@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 (the
+delegated relational surface + the LLM-pipeline extension operators);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each (omitted only
+for genuinely approximate operators — ivf ANN — which get a rows-only
+check). Column names/types are aligned between both sides; see
+lightning_metastore_spark/plans/queries.py for the float-determinism
+strategy (decimal-cast sums, rounded cosines, keyed tiebreaks).
 """
 
 from __future__ import annotations
@@ -14,25 +16,26 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _registry():
+    from lightning_metastore_spark.plans.queries import RELATIONAL_QUERIES
+    from lightning_metastore_spark.plans.pipeline_queries import PIPELINE_QUERIES
+    merged = {}
+    merged.update(RELATIONAL_QUERIES)
+    merged.update(PIPELINE_QUERIES)
+    return merged
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: TPC-H Q5-shape 6-table
+    snowflake join (the reference's doc revenue query)."""
+    from lightning_metastore_spark.plans.queries import q5_local_supplier_revenue
+    return q5_local_supplier_revenue(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.build for name, spec in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: spec.oracle for name, spec in _registry().items()
+            if spec.oracle is not None}

@@ -1,0 +1,130 @@
+"""Text-analysis column functions for training-data pipelines.
+
+Every function here is a pure JVM-side column expression (regexp /
+collection functions — zero Python UDFs), so they run inside
+whole-stage codegen and scale linearly with the corpus: at 100 TB these
+are single-scan map-only transforms with no shuffle at all.
+
+Functions:
+- token_count         whitespace tokens + a BPE-ish subword regex count
+- quality_features    length / punctuation / stopword / repetition ratios
+                      + composite quality score
+- lang_id             deterministic marker-token + script heuristic
+- fingerprint         md5 of whitespace-normalized lowercase text
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/marker heuristic. These
+# are standard high-frequency function words; scoring = count of marker
+# hits per language, argmax with a fixed precedence order.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans"],
+    "es": ["el", "los", "las", "y", "es", "una", "que"],
+}
+
+_STOPWORDS = _LANG_MARKERS["en"]
+
+# BPE-ish subword segmentation: word-initial chunk of up to 4 chars then
+# continuation chunks of up to 4 chars, digits and punctuation as their
+# own tokens. A cheap, deterministic proxy for BPE token counting.
+_BPE_ISH = r"[A-Za-z]{1,4}|[0-9]|[^\sA-Za-z0-9]"
+
+
+def token_count_cols(text: Column) -> list[Column]:
+    ws = F.size(F.regexp_extract_all(text, F.lit(r"(\S+)"), 1)).alias("n_tokens")
+    bpe = F.size(F.regexp_extract_all(text, F.lit(f"({_BPE_ISH})"), 1)).alias("n_subwords")
+    return [ws, bpe]
+
+
+def token_counts(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, n_subwords) — map-only."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        *token_count_cols(t),
+    )
+
+
+def quality_features(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features + composite score in [0, 1].
+
+    Heuristics mirror common LLM-corpus filters: doc length, mean word
+    length, stopword density, punctuation density, and the ratio of
+    distinct to total tokens (repetition penalty). The score is a
+    clamped linear blend — deterministic, engine-portable arithmetic.
+    """
+    t = F.lower(F.col(text_col))
+    toks = F.split(t, r"\s+")
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"([^\w\s])"), 1))
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_ratio = n_stop / n_tokens
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    distinct_ratio = n_distinct / n_tokens
+    avg_token_len = (n_chars - (n_tokens - 1)) / n_tokens
+    length_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    score = (F.lit(0.35) * length_score
+             + F.lit(0.25) * distinct_ratio
+             + F.lit(0.25) * F.least(stop_ratio * 4, F.lit(1.0))
+             + F.lit(0.15) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))))
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(avg_token_len, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pred_lang) — marker-token + CJK-script heuristic.
+
+    CJK codepoints force 'zh'; otherwise the language with the highest
+    marker-token count wins, ties broken by the fixed order en>de>fr>es,
+    and zero hits everywhere → 'und'. Fully deterministic and expressible
+    identically in any SQL engine (the oracle mirrors this CASE chain).
+    """
+    t = F.lower(F.col(text_col))
+    toks = F.split(t, r"\s+")
+    counts = {}
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        counts[lang] = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+    cjk = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"([一-鿿])"), 1))
+    best = F.greatest(*counts.values())
+    pred = (
+        F.when(cjk > 0, F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .when(counts["en"] == best, F.lit("en"))
+        .when(counts["de"] == best, F.lit("de"))
+        .when(counts["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return docs.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, fp) — md5 over whitespace-normalized lowercase text.
+
+    The canonical cheap document fingerprint for exact-dup detection at
+    scale; grouping on fp instead of text keeps shuffle rows tiny.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return docs.select(F.col(id_col), F.md5(norm).alias("fp"))

@@ -1,0 +1,323 @@
+"""Deduplication operators for large-scale text corpora.
+
+Five strategies, all expressed as shuffles-on-keys DataFrame programs
+(no cross joins except the small brute-force baselines, no driver-side
+loops, no Python in the hot path — every hash is a JVM expression):
+
+- exact:            normalize -> groupBy(text) -> keep min doc_id
+- n-gram Jaccard:   shingle explode -> equi-join on shingle -> count ratio
+- MinHash + LSH:    shingle -> k minhashes -> band buckets -> candidate
+                    equi-join -> exact-Jaccard verify
+- SimHash:          token hash bit aggregation -> fingerprint -> chunk
+                    (hamming-LSH) buckets -> bit_count verify -> exact verify
+- embedding cosine: pairwise cosine >= threshold (brute force baseline;
+                    the IVF/LSH scale path lives in operators/similarity.py)
+
+Scale design (100 TB): MinHash/SimHash candidate generation is linear in
+corpus size with shuffle keys of bounded fan-in (band buckets / bit
+chunks). The only quadratic step — verification — runs per candidate
+pair only. High-document-frequency shingles can be dropped via
+``max_shingle_df`` to bound the worst-case bucket join (stop-shingle
+skew), mirroring what production near-dup pipelines do.
+
+Determinism: hash functions are md5-based JVM expressions with fixed
+seeded coefficients, so results are reproducible across any cluster
+layout and partitioning.
+
+Reference parity note: the reference has no dedup operators (it delegates
+all queries to Spark, SURVEY.md §2.7); this family is part of the
+driver-mandated LLM-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 2^31-1, Mersenne prime: (a*h + b) mod P stays in int64 because the base
+# hash is truncated to 28 bits (7 hex chars of md5) and a < 2^31.
+_MERSENNE_P = 2_147_483_647
+_H_BITS = 7  # hex chars of md5 used for the base shingle hash (28 bits)
+
+
+def _hash_coefficients(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
+            for _ in range(num_hashes)]
+
+
+def tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, token array) — lowercased whitespace tokenization, JVM-side."""
+    return docs.select(
+        F.col(id_col),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("toks"),
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles, one row per (doc, shingle).
+
+    Built entirely with collection expressions (sequence/transform/slice)
+    so shingling stays inside whole-stage codegen — no UDF.
+    """
+    toks = tokens(docs, text_col, id_col)
+    shingled = toks.select(
+        F.col(id_col),
+        F.when(
+            F.size("toks") >= n,
+            F.expr(f"transform(sequence(1, size(toks) - {n - 1}), "
+                   f"i -> concat_ws(' ', slice(toks, i, {n})))"),
+        ).otherwise(F.expr("array(concat_ws(' ', toks))")).alias("shingle_arr"),
+    )
+    return (shingled
+            .select(F.col(id_col), F.explode("shingle_arr").alias("shingle"))
+            .distinct())
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", normalize: bool = True) -> DataFrame:
+    """Exact dedup: keep the smallest id per (normalized) text.
+
+    One hash-aggregation shuffle on the text hash. For 100 TB inputs,
+    group on md5(text) rather than the full text to keep shuffle rows
+    small; collision probability is negligible (2^-128 per pair).
+    """
+    key = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")) \
+        if normalize else F.col(text_col)
+    return (docs
+            .select(F.col(id_col), F.md5(key).alias("text_key"))
+            .groupBy("text_key")
+            .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+            .select(id_col, "dup_count"))
+
+
+def _shingle_counts(sh: DataFrame, id_col: str) -> DataFrame:
+    return sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  max_shingle_df: int | None = None) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs: (id_a, id_b, jaccard).
+
+    Plan: explode shingles -> self equi-join on shingle (the shuffle key)
+    -> per-pair intersection count -> |A ∪ B| = |A| + |B| - |A ∩ B|.
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    docs — bounds the fan-out of hot shingles at scale.
+    """
+    sh = shingles(docs, n, text_col, id_col)
+    counts = _shingle_counts(sh, id_col)
+    if max_shingle_df is not None:
+        sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = (sh.join(sdf.filter(F.col("df") <= max_shingle_df).select("shingle"),
+                      "shingle"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(ca, "id_a").join(cb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias("doc_id_a"), F.col("id_b").alias("doc_id_b"),
+                F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 64,
+                       id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Per-doc MinHash signature as ``num_hashes`` min-aggregated columns.
+
+    Base hash: 28 bits of md5(shingle) (JVM expression); family:
+    h_i(x) = (a_i * x + b_i) mod 2^31-1. One aggregation pass computes
+    every signature slot (map-side partial mins keep the shuffle tiny).
+    """
+    coeffs = _hash_coefficients(num_hashes, seed)
+    base = F.conv(F.substring(F.md5("shingle"), 1, _H_BITS), 16, 10).cast("long")
+    with_h = sh.select(F.col(id_col), base.alias("h"))
+    mins = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return with_h.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
+                      num_hashes: int = 64, bands: int = 16, n: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      seed: int = 42) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified: (doc_id_a, doc_id_b, jaccard).
+
+    16 bands x 4 rows: P[candidate] = 1-(1-s^4)^16 — ~1e-7 miss rate at
+    s=0.9, so verified output equals the exact-Jaccard answer while doing
+    ~linear work. Candidate generation shuffles on (band, bucket); the
+    exact verify joins shingles only for candidate pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingles(docs, n, text_col, id_col)
+    sig = minhash_signatures(sh, num_hashes, id_col, seed)
+
+    band_entries = F.array(*[
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.hash(*[F.col(f"mh_{bi * rows_per_band + r}")
+                     for r in range(rows_per_band)]).alias("bucket"),
+        )
+        for bi in range(bands)
+    ])
+    buckets = (sig.select(F.col(id_col), F.explode(band_entries).alias("be"))
+               .select(id_col, F.col("be.band").alias("band"),
+                       F.col("be.bucket").alias("bucket")))
+    ba, bb = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        ba.join(bb, (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_id_a"),
+                F.col(f"b.{id_col}").alias("doc_id_b"))
+        .distinct()
+    )
+    return _verify_pairs_jaccard(candidates, sh, threshold, id_col)
+
+
+def _verify_pairs_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float,
+                          id_col: str) -> DataFrame:
+    """Exact Jaccard on candidate pairs only (per-pair work, not O(n^2))."""
+    counts = _shingle_counts(sh, id_col)
+    sa = sh.select(F.col(id_col).alias("doc_id_a"), F.col("shingle"))
+    sb = sh.select(F.col(id_col).alias("doc_id_b"), F.col("shingle"))
+    inter = (pairs.join(sa, "doc_id_a").join(sb, ["doc_id_b", "shingle"])
+             .groupBy("doc_id_a", "doc_id_b")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    ca = counts.select(F.col(id_col).alias("doc_id_a"), F.col("n_shingles").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("doc_id_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (inter.join(ca, "doc_id_a").join(cb, "doc_id_b")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits signed int64
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash fingerprint per doc: (id, simhash).
+
+    Token weight = term frequency. Per bit k, aggregate
+    sum(weight * (bit_k ? 1 : -1)); fingerprint packs the sign bits.
+    All 60 bit-sums run in ONE aggregation pass (map-side combine), so
+    the shuffle carries 60 longs per doc regardless of doc length.
+    """
+    toks = tokens(docs, text_col, id_col)
+    tf = (toks.select(F.col(id_col), F.explode("toks").alias("token"))
+          .groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("w")))
+    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    with_h = tf.select(F.col(id_col), F.col("w"), h.alias("th"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("th"), k).bitwiseAND(1) == 1, F.col("w"))
+              .otherwise(-F.col("w"))).alias(f"b_{k}")
+        for k in range(_SIMHASH_BITS)
+    ]
+    agg = with_h.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for k in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"b_{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, hamming_max: int = 8,
+                  jaccard_threshold: float = 0.5, n: int = 3,
+                  chunks: int = 10, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """SimHash near-dup pairs, exact-verified: (doc_id_a, doc_id_b, jaccard).
+
+    Hamming-LSH: split the 60-bit fingerprint into ``chunks`` chunks; by
+    pigeonhole any pair within hamming distance < chunks shares at least
+    one exact chunk, so candidate recall is guaranteed for
+    hamming_max < chunks. Candidates shuffle on (chunk_idx, chunk_value);
+    verify with bit_count(xor) then exact Jaccard.
+    """
+    fp = simhash_fingerprints(docs, text_col, id_col)
+    chunk_bits = _SIMHASH_BITS // chunks
+    mask = (1 << chunk_bits) - 1
+    entries = F.array(*[
+        F.struct(F.lit(j).alias("ci"),
+                 F.shiftright(F.col("simhash"), j * chunk_bits)
+                 .bitwiseAND(mask).alias("cv"))
+        for j in range(chunks)
+    ])
+    cb = (fp.select(F.col(id_col), F.col("simhash"), F.explode(entries).alias("e"))
+          .select(id_col, "simhash", F.col("e.ci").alias("ci"), F.col("e.cv").alias("cv")))
+    a, b = cb.alias("a"), cb.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.ci") == F.col("b.ci")) & (F.col("a.cv") == F.col("b.cv"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_id_a"),
+                F.col(f"b.{id_col}").alias("doc_id_b"),
+                F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+        .distinct()
+        .filter(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= hamming_max)
+        .select("doc_id_a", "doc_id_b")
+    )
+    sh = shingles(docs, n, text_col, id_col)
+    return _verify_pairs_jaccard(candidates, sh, jaccard_threshold, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup (brute-force baseline; scale path = similarity.py)
+# ---------------------------------------------------------------------------
+
+def cosine_expr(a, b):
+    """Cosine similarity between two array<double> columns, JVM-side."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.45,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """All pairs with cosine >= threshold: (vec_id_a, vec_id_b).
+
+    Brute force O(n^2) pair join — correct baseline and fine up to ~1e5
+    vectors; beyond that use similarity.ivf_neardup_pairs (bucketed).
+    Norms are precomputed per row so the pair join only does the dot
+    product.
+    """
+    vecd = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn(
+        "norm", F.sqrt(F.aggregate(F.transform("v", lambda x: x * x),
+                                   F.lit(0.0), lambda acc, v: acc + v)))
+    a, b = vecd.alias("a"), vecd.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn("cosine", dot / (F.col("a.norm") * F.col("b.norm")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col(f"a.{id_col}").alias("vec_id_a"),
+                F.col(f"b.{id_col}").alias("vec_id_b"))
+    )

@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- ``brute_force_topk`` — exact cosine top-k. The query set is broadcast;
+  each executor scans its slice of the corpus once. Correct at any corpus
+  size; cost is O(|corpus| * |queries|), the right baseline and oracle.
+- ``ivf_topk`` — IVF-style bucketed ANN: a deterministic centroid subset
+  partitions the corpus; queries probe only the ``nprobe`` nearest cells.
+  This is the 100 TB path: corpus cells are a hash-partitioned equi-join
+  key, so the scan per query drops by ~|cells|/nprobe.
+
+All vector math is JVM-side collection expressions (zip_with/aggregate),
+cast to array<double> so accumulation matches the DuckDB oracle
+bit-for-bit modulo the final rounding. Ranks are computed on cosine
+rounded to 9 decimals with an id tiebreak, making orderings
+engine-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _with_norm(emb: DataFrame, id_col: str, vec_col: str,
+               out_id: str) -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).cast("array<double>").alias(f"{out_id}_v"),
+    ).withColumn(
+        f"{out_id}_norm",
+        F.sqrt(F.aggregate(F.transform(f"{out_id}_v", lambda x: x * x),
+                           F.lit(0.0), lambda acc, v: acc + v)))
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "vec_id") -> DataFrame:
+    """Exact cosine top-k: (query_id, rk, neighbor_id, cosine).
+
+    The query side is broadcast — the corpus never shuffles; ranking
+    shuffles only (query_id, neighbor_id, cosine) tuples, k-bounded by
+    the window filter.
+    """
+    c = _with_norm(corpus, id_col, vec_col, "neighbor_id")
+    q = _with_norm(queries, query_id_col, vec_col, "query_id")
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine",
+                    F.round(_dot("query_id_v", "neighbor_id_v")
+                            / (F.col("query_id_norm") * F.col("neighbor_id_norm")), 9))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "rk", "neighbor_id", "cosine")
+            .orderBy("query_id", "rk"))
+
+
+def assign_cells(corpus: DataFrame, centroids: DataFrame,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 centroid_id_col: str = "centroid_id") -> DataFrame:
+    """Assign every vector to its nearest centroid (broadcast argmax).
+
+    Returns (vec_id, cell, v, norm) — the IVF index. At 100 TB this is
+    one broadcast pass over the corpus; persist/bucket the result by
+    ``cell`` to make repeated queries shuffle-free.
+    """
+    c = _with_norm(corpus, id_col, vec_col, "vid")
+    cen = _with_norm(centroids, centroid_id_col, vec_col, "cid")
+    scored = c.join(F.broadcast(cen)).withColumn(
+        "sim", _dot("vid_v", "cid_v") / (F.col("vid_norm") * F.col("cid_norm")))
+    w = W.partitionBy("vid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("vid").alias(id_col), F.col("cid").alias("cell"),
+                    F.col("vid_v").alias("v"), F.col("vid_norm").alias("norm")))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+             k: int = 5, nprobe: int = 3, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: probe the nprobe nearest cells per query.
+
+    Plan: index = assign_cells(corpus); per query pick nprobe cells
+    (broadcast centroid argmax), then an equi-join on ``cell`` restricts
+    the scan to probed cells. Approximate — no SQL oracle; recall vs
+    brute force is asserted in tests.
+    """
+    index = assign_cells(corpus, centroids, id_col, vec_col)
+    q = _with_norm(queries, id_col, vec_col, "query_id")
+    cen = _with_norm(centroids, "centroid_id", vec_col, "cid")
+    qc = q.join(F.broadcast(cen)).withColumn(
+        "sim", _dot("query_id_v", "cid_v") / (F.col("query_id_norm") * F.col("cid_norm")))
+    wq = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
+    probes = (qc.withColumn("rk", F.row_number().over(wq))
+              .filter(F.col("rk") <= nprobe)
+              .select("query_id", F.col("cid").alias("cell"),
+                      "query_id_v", "query_id_norm"))
+    scored = (
+        probes.join(index, "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("cosine",
+                    F.round(_dot("query_id_v", "v")
+                            / (F.col("query_id_norm") * F.col("norm")), 9))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "rk", F.col(id_col).alias("neighbor_id"), "cosine")
+            .orderBy("query_id", "rk"))

@@ -1,0 +1,342 @@
+"""LLM-data-pipeline + DQ query registry — (spark, sf_dir) callables with
+DuckDB oracles, mirroring plans/queries.py for the extension surface:
+dedup, similarity search, text analysis, multimodal metadata, DQ checks.
+
+Oracle notes:
+- minhash/simhash oracles are the EXACT n-gram-Jaccard answer: both
+  operators verify candidates with exact Jaccard, and their LSH stages
+  have (empirically asserted, tests/test_dedup.py) 100% recall at the
+  0.5 threshold on this corpus, so the verified output equals the exact
+  answer. ivf_topk is genuinely approximate → rows-only (no oracle).
+- Floating-point determinism: see plans/queries.py docstring (decimal
+  sums; cosine rounded to 9dp with id tiebreaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lightning_metastore_spark.operators import dedup, dq, similarity
+from lightning_metastore_spark.functions import text as text_fns
+from lightning_metastore_spark.plans.queries import QuerySpec
+from lightning_metastore_spark.session import load_tables
+
+
+# --- dedup -----------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup.exact_dedup(t["documents"]).orderBy("doc_id")
+
+
+DEDUP_EXACT_ORACLE = r"""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+FROM (SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS k
+      FROM documents)
+GROUP BY k
+ORDER BY doc_id
+"""
+
+# Shared exact-Jaccard oracle (3-word shingles, threshold 0.5) — also the
+# oracle for the LSH variants, whose verified output must equal it.
+_JACCARD_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              ELSE array_to_string(t, ' ') END AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+), sc AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b, ROUND(c / (sa.n + sb.n - c), 6) AS jaccard
+FROM inter
+JOIN sc sa ON sa.doc_id = doc_id_a
+JOIN sc sb ON sb.doc_id = doc_id_b
+WHERE c / (sa.n + sb.n - c) >= 0.5
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (dedup.jaccard_pairs(t["documents"], threshold=0.5, n=3)
+            .orderBy("doc_id_a", "doc_id_b"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (dedup.minhash_lsh_pairs(t["documents"], threshold=0.5)
+            .orderBy("doc_id_a", "doc_id_b"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    # chunks=12 (5-bit chunks) guarantees candidate recall up to hamming
+    # 11 by pigeonhole; measured true-pair hammings on this corpus reach
+    # 11. Web-scale simhash uses hamming<=3 with 16-bit chunks — the
+    # chunk knob trades bucket fan-in for recall (see simhash_pairs doc).
+    return (dedup.simhash_pairs(t["documents"], hamming_max=11, chunks=12,
+                                jaccard_threshold=0.5)
+            .orderBy("doc_id_a", "doc_id_b"))
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return (dedup.embedding_neardup_pairs(t["embeddings"], threshold=0.45)
+            .orderBy("vec_id_a", "vec_id_b"))
+
+
+DEDUP_EMBEDDING_ORACLE = """
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+ORDER BY 1, 2
+"""
+
+
+# --- similarity search -----------------------------------------------------
+
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+ANN_BRUTE_ORACLE = """
+WITH q AS (SELECT * FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 9) AS cosine
+  FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+)
+SELECT query_id, rk, neighbor_id, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+ORDER BY query_id, rk
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (approximate — rows-only check; recall asserted
+    in tests/test_similarity.py against the brute-force baseline)."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    centroids = (emb.filter(F.col("vec_id") % 37 == 0)
+                 .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    # These embeddings are near-isotropic (max pairwise cosine ~0.5), so
+    # cells are weakly separated — nprobe=6 of ~13 cells gives ~0.75
+    # recall; clustered real-world embeddings need far fewer probes.
+    return similarity.ivf_topk(emb, queries, centroids, k=5, nprobe=6)
+
+
+# --- text analysis ---------------------------------------------------------
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text_fns.token_counts(t["documents"]).orderBy("doc_id")
+
+
+TOKEN_COUNTS_ORACLE = r"""
+SELECT doc_id,
+       CAST(LENGTH(text) AS INT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '(\S+)', 1)) AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '([A-Za-z]{1,4}|[0-9]|[^\sA-Za-z0-9])', 1)) AS INT) AS n_subwords
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text_fns.quality_features(t["documents"]).orderBy("doc_id")
+
+
+TEXT_QUALITY_ORACLE = r"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(LENGTH(text) AS INT) AS n_chars,
+         CAST(len(string_split_regex(lower(text), '\s+')) AS INT) AS n_tokens,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+              x -> list_contains(['the','a','of','and','to','in','is'], x))) AS INT) AS n_stop,
+         CAST(len(regexp_extract_all(text, '([^\w\s])', 1)) AS INT) AS n_punct,
+         CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS INT) AS n_distinct
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       ROUND((n_chars - (n_tokens - 1)) / n_tokens, 6) AS avg_token_len,
+       ROUND(n_stop / n_tokens, 6) AS stopword_ratio,
+       ROUND(n_punct / GREATEST(n_chars, 1), 6) AS punct_ratio,
+       ROUND(n_distinct / n_tokens, 6) AS distinct_ratio,
+       ROUND(0.35 * LEAST(n_tokens / 100.0, 1.0)
+             + 0.25 * (n_distinct / n_tokens)
+             + 0.25 * LEAST((n_stop / n_tokens) * 4, 1.0)
+             + 0.15 * (1.0 - LEAST((n_punct / GREATEST(n_chars, 1)) * 10, 1.0)), 6)
+         AS quality_score
+FROM f ORDER BY doc_id
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text_fns.lang_id(t["documents"]).orderBy("doc_id")
+
+
+LANG_ID_ORACLE = r"""
+WITH c AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(lower(text), '\s+'),
+        x -> list_contains(['the','a','of','and','to','in','is'], x))) AS en_c,
+    len(list_filter(string_split_regex(lower(text), '\s+'),
+        x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS de_c,
+    len(list_filter(string_split_regex(lower(text), '\s+'),
+        x -> list_contains(['le','la','les','et','est','une','dans'], x))) AS fr_c,
+    len(list_filter(string_split_regex(lower(text), '\s+'),
+        x -> list_contains(['el','los','las','y','es','una','que'], x))) AS es_c,
+    len(regexp_extract_all(text, '([一-鿿])', 1)) AS cjk
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN cjk > 0 THEN 'zh'
+            WHEN GREATEST(en_c, de_c, fr_c, es_c) = 0 THEN 'und'
+            WHEN en_c = GREATEST(en_c, de_c, fr_c, es_c) THEN 'en'
+            WHEN de_c = GREATEST(en_c, de_c, fr_c, es_c) THEN 'de'
+            WHEN fr_c = GREATEST(en_c, de_c, fr_c, es_c) THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM c ORDER BY doc_id
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text_fns.fingerprint(t["documents"]).orderBy("doc_id")
+
+
+FINGERPRINT_ORACLE = r"""
+SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary multimodal column plumbing: treat text bytes as the
+    binary payload, derive typed metadata (byte length + content digest)
+    JVM-side. The decode/feature-extract stubs live in
+    sources/multimodal.py (rows-only, Pandas-UDF plumbing)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    content = F.encode(F.col("text"), "UTF-8")
+    return (t["documents"]
+            .select(F.col("doc_id"),
+                    F.length(content).alias("n_bytes"),
+                    F.md5(content).alias("content_md5"))
+            .orderBy("doc_id"))
+
+
+MULTIMODAL_META_ORACLE = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- DQ checks -------------------------------------------------------------
+
+def dq_pk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return dq.pk_check(t["orders"], ["o_orderkey"], "pk_orders", "orders")
+
+
+DQ_PK_ORACLE = """
+SELECT 'pk_orders' AS dq_name, 'orders' AS table_name,
+       'Primary Key Constraint' AS check_type,
+       CAST(SUM(cnt) AS BIGINT) AS total,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS valid,
+       CAST(SUM(cnt) - SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS invalid
+FROM (SELECT o_orderkey, COUNT(*) AS cnt FROM orders
+      WHERE o_orderkey IS NOT NULL GROUP BY 1)
+"""
+
+
+def dq_fk_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    return dq.fk_check(t["lineitem"], ["l_orderkey"], t["orders"],
+                       ["o_orderkey"], "fk_lineitem_orders", "lineitem")
+
+
+DQ_FK_ORACLE = """
+SELECT 'fk_lineitem_orders' AS dq_name, 'lineitem' AS table_name,
+       'Foreign Key Constraint' AS check_type,
+       (SELECT COUNT(*) FROM lineitem) AS total,
+       (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS valid,
+       (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS invalid
+"""
+
+
+def dq_custom_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return dq.custom_check(t["lineitem"],
+                           "l_discount >= 0 AND l_discount <= 0.5 AND l_quantity > 0",
+                           "discount_range", "lineitem")
+
+
+DQ_CUSTOM_ORACLE = """
+SELECT 'discount_range' AS dq_name, 'lineitem' AS table_name,
+       'Custom Data Quality' AS check_type,
+       COUNT(*) AS total,
+       CAST(SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.5 AND l_quantity > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS valid,
+       COUNT(*) - CAST(SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.5 AND l_quantity > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS invalid
+FROM lineitem
+"""
+
+
+PIPELINE_QUERIES: dict[str, QuerySpec] = {
+    s.name: s for s in [
+        QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE,
+                  "exact dedup via normalized-text hash groupBy"),
+        QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, _JACCARD_ORACLE,
+                  "exact 3-gram shingle Jaccard near-dup pairs"),
+        QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, _JACCARD_ORACLE,
+                  "MinHash+LSH banding, exact-verified"),
+        QuerySpec("dedup_simhash", dedup_simhash, _JACCARD_ORACLE,
+                  "SimHash hamming-LSH, exact-verified"),
+        QuerySpec("dedup_embedding", dedup_embedding, DEDUP_EMBEDDING_ORACLE,
+                  "embedding cosine near-dup pairs"),
+        QuerySpec("ann_brute_force_topk", ann_brute_force_topk, ANN_BRUTE_ORACLE,
+                  "exact cosine top-k neighbors"),
+        QuerySpec("ann_ivf_topk", ann_ivf_topk, None,
+                  "IVF-bucketed approximate top-k (rows-only)"),
+        QuerySpec("text_token_counts", text_token_counts, TOKEN_COUNTS_ORACLE,
+                  "whitespace + BPE-ish token counting"),
+        QuerySpec("text_quality", text_quality, TEXT_QUALITY_ORACLE,
+                  "quality features + composite score"),
+        QuerySpec("text_lang_id", text_lang_id, LANG_ID_ORACLE,
+                  "marker-token + script language ID"),
+        QuerySpec("text_fingerprint", text_fingerprint, FINGERPRINT_ORACLE,
+                  "normalized md5 document fingerprint"),
+        QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_ORACLE,
+                  "binary-column metadata derivation"),
+        QuerySpec("dq_pk_orders", dq_pk_orders, DQ_PK_ORACLE,
+                  "PK constraint check (single-pass)"),
+        QuerySpec("dq_fk_lineitem_orders", dq_fk_lineitem_orders, DQ_FK_ORACLE,
+                  "FK orphan check via left-anti join"),
+        QuerySpec("dq_custom_discount", dq_custom_discount, DQ_CUSTOM_ORACLE,
+                  "custom boolean-expression DQ"),
+    ]
+}

@@ -1,0 +1,553 @@
+"""Relational query library — the delegated Spark SQL surface.
+
+The reference delegates every relational operator to Spark Catalyst
+(SURVEY.md §2.7; reference `LightningExtendedParser.scala:224-236` routes
+non-DDL text straight to the Spark parser). This module exercises that
+surface as first-class DataFrame programs over the driver's TPC-H-ish
+tables, each paired with a DuckDB oracle SQL string.
+
+Determinism contract (both engines must hash-identically):
+- Money columns in this dataset are exact 2-decimal values. Double sums
+  accumulate in partition order (engine- and partitioning-dependent), and
+  double->DECIMAL casts round differently across engines at digit
+  boundaries (DuckDB: scaled-multiply + half-even; Spark: shortest-repr +
+  HALF_UP — verified empirically). So all money aggregation happens in
+  EXACT scaled-integer space: cents(x) = CAST(ROUND(x*100) AS BIGINT) is
+  engine-identical (inputs sit within 4e-9 of integers), products like
+  e*(1-d)*(1+t) become cents(e)*(100-pct(d))*(100+pct(t)) — exact int64,
+  order-independent, bit-identical on any cluster layout — and the final
+  value is one double division at the end.
+- Every computed column is aliased identically in Spark and oracle SQL.
+- Top-k orderings always carry a unique key tiebreak.
+
+Scale notes inline per query: joins that should broadcast do so
+explicitly; aggregations are partial-agg friendly (plain groupBy, no
+driver-side collect anywhere). int64 headroom: charge_scaled <= ~1.1e11
+per row, so overflow needs >8e7 rows per GROUP — repartition by group key
+or widen to decimal only beyond ~sf1000 per group.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from lightning_metastore_spark.session import load_tables
+
+
+def cents(col: Column) -> Column:
+    """Exact integer cents for a 2-decimal double column."""
+    return F.round(col * 100).cast("long")
+
+
+def pct(col: Column) -> Column:
+    """Exact integer percent for a 2-decimal fraction column (0.08 -> 8)."""
+    return F.round(col * 100).cast("long")
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # DuckDB SQL over pre-registered views; None = rows-only check
+    doc: str = ""
+
+
+# Scaled-integer building blocks shared by the oracles (DuckDB syntax).
+_C = "CAST(ROUND({x} * 100) AS BIGINT)"
+
+
+def _cents_sql(x: str) -> str:
+    return _C.format(x=x)
+
+
+# revenue terms: cents(e) * (100 - pct(d))  -> scale 1e4
+_REV_SPARK = lambda: cents(F.col("l_extendedprice")) * (100 - pct(F.col("l_discount")))  # noqa: E731
+_REV_SQL = (f"{_cents_sql('l_extendedprice')} * "
+            f"(100 - {_cents_sql('l_discount')})")
+# charge: revenue * (100 + pct(t)) -> scale 1e6
+_CHG_SQL = f"{_REV_SQL} * (100 + {_cents_sql('l_tax')})"
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped queries (reference doc examples: lightning-commands.md:112-128,
+# data_virtulization.md:145-182, build-open-lakehouse...md:144-168)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy with partial aggregation.
+
+    At 100 TB this is a single parquet scan + 2-stage hash agg; the
+    shipdate filter and the 7-column projection push into the scan.
+    """
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    rev = _REV_SPARK()
+    chg = rev * (100 + pct(F.col("l_tax")))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).alias("qty_s"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("base_s"),
+            F.sum(rev).alias("disc_s"),
+            F.sum(chg).alias("chg_s"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus",
+            (F.col("qty_s") * 1.0).alias("sum_qty"),
+            (F.col("base_s") / 100.0).alias("sum_base_price"),
+            (F.col("disc_s") / 10000.0).alias("sum_disc_price"),
+            (F.col("chg_s") / 1000000.0).alias("sum_charge"),
+            "count_order",
+            (F.col("qty_s") * 1.0 / F.col("count_order")).alias("avg_qty"),
+            (F.col("base_s") / 100.0 / F.col("count_order")).alias("avg_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+       CAST(SUM({_cents_sql('l_extendedprice')}) AS DOUBLE) / 100 AS sum_base_price,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000 AS sum_disc_price,
+       CAST(SUM({_CHG_SQL}) AS DOUBLE) / 1000000 AS sum_charge,
+       COUNT(*) AS count_order,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM({_cents_sql('l_extendedprice')}) AS DOUBLE) / 100 / COUNT(*) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact join -> top-k.
+
+    customer is ~1/40 of lineitem rows: broadcast it so the fact side
+    never shuffles for that join. Top-k via orderBy+limit (Spark plans
+    TakeOrderedAndProject — no full sort materialization).
+    """
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    cutoff = F.lit("1998-06-30").cast("timestamp")
+    orders = t["orders"].filter(F.col("o_orderdate") < cutoff)
+    li = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(_REV_SPARK()) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_ORACLE = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       SUM({_REV_SQL}) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30'
+  AND l_shipdate > TIMESTAMP '1998-06-30'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table snowflake join + group (the reference's
+    'revenue query', lightning-commands.md:112-128).
+
+    region/nation/supplier/customer are tiny dims — all broadcast; the
+    only shuffle is lineitem<->orders (fact-fact) plus the final
+    25-group agg. This is the plan shape that survives 100 TB.
+    """
+    t = load_tables(spark, sf_dir,
+                    ("region", "nation", "customer", "supplier", "orders", "lineitem"))
+    region = t["region"].filter(F.col("r_name") == "ASIA")
+    nation = t["nation"].join(F.broadcast(region),
+                              t["nation"].n_regionkey == region.r_regionkey)
+    supp = t["supplier"].join(F.broadcast(nation),
+                              t["supplier"].s_nationkey == nation.n_nationkey)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    cust = t["customer"]
+    li = t["lineitem"]
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), (orders.o_custkey == cust.c_custkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg((F.sum(_REV_SPARK()) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_ORACLE = f"""
+SELECT n_name,
+       SUM({_REV_SQL}) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q1 shape: CTE + correlated scalar subquery (reference doc
+    build-open-lakehouse-using-apache-iceberg.md:144-168). Catalyst
+    decorrelates the subquery into a broadcastable per-segment agg.
+    """
+    load_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql("""
+        WITH cust_total AS (
+          SELECT c_custkey, c_mktsegment,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_spend
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_custkey, c_mktsegment
+        )
+        SELECT c_custkey, c_mktsegment, total_spend
+        FROM cust_total ct
+        WHERE total_spend > (
+          SELECT 1.3 * AVG(total_spend) FROM cust_total ct2
+          WHERE ct2.c_mktsegment = ct.c_mktsegment
+        )
+        ORDER BY total_spend DESC, c_custkey
+        LIMIT 100
+    """)
+
+
+Q_BIG_SPENDERS_ORACLE = """
+WITH cust_total AS (
+  SELECT c_custkey, c_mktsegment,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_spend
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_mktsegment
+)
+SELECT c_custkey, c_mktsegment, total_spend
+FROM cust_total ct
+WHERE total_spend > (
+  SELECT 1.3 * AVG(total_spend) FROM cust_total ct2
+  WHERE ct2.c_mktsegment = ct.c_mktsegment
+)
+ORDER BY total_spend DESC, c_custkey
+LIMIT 100
+"""
+
+
+def q_window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: per-customer top-3 orders by price with running
+    total. row_number over a unique (price, key) ordering is
+    deterministic; the single shuffle is the window partitioning.
+    """
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        t["orders"]
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("running_spend",
+                    (F.sum(cents(F.col("o_totalprice")))
+                     .over(w.rowsBetween(W.unboundedPreceding, 0)) / 100.0))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice", "running_spend")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+Q_WINDOW_ORACLE = f"""
+SELECT o_custkey, rk, o_orderkey, o_totalprice, running_spend
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+         SUM({_cents_sql('o_totalprice')})
+              OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_spend
+  FROM orders
+) WHERE rk <= 3
+ORDER BY o_custkey, rk
+"""
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP over two dims — partial-agg friendly; Spark plans
+    a single Expand + hash agg (no repeated scans)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             (F.sum(cents(F.col("o_totalprice"))) / 100.0).alias("total_price"))
+        .orderBy(F.asc_nulls_first("o_orderpriority"), F.asc_nulls_first("o_orderstatus"))
+    )
+
+
+Q_ROLLUP_ORACLE = f"""
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       SUM({_cents_sql('o_totalprice')}) / 100.0 AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (DataFrame .pivot with explicit values -> no extra pass to
+    discover the domain; oracle expresses it as CASE sums)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    piv = (
+        t["orders"]
+        .withColumn("price_c", cents(F.col("o_totalprice")))
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum("price_c"))
+    )
+    return (
+        piv.select(
+            "o_orderpriority",
+            (F.col("O") / 100.0).alias("total_open"),
+            (F.col("F") / 100.0).alias("total_filled"),
+            (F.col("P") / 100.0).alias("total_pending"),
+        ).orderBy("o_orderpriority")
+    )
+
+
+Q_PIVOT_ORACLE = f"""
+SELECT o_orderpriority,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN {_cents_sql('o_totalprice')} END) / 100.0 AS total_open,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN {_cents_sql('o_totalprice')} END) / 100.0 AS total_filled,
+       SUM(CASE WHEN o_orderstatus = 'P' THEN {_cents_sql('o_totalprice')} END) / 100.0 AS total_pending
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_setops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: customers with both an URGENT and a LOW order
+    (INTERSECT) minus those with any 'F' order (EXCEPT)."""
+    load_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql("""
+        SELECT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+        WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+        WHERE o_orderpriority = '5-LOW'
+        EXCEPT
+        SELECT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+        WHERE o_orderstatus = 'F'
+        ORDER BY c_custkey
+    """)
+
+
+Q_SETOPS_ORACLE = """
+SELECT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+WHERE o_orderpriority = '5-LOW'
+EXCEPT
+SELECT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+WHERE o_orderstatus = 'F'
+ORDER BY c_custkey
+"""
+
+
+def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins (the scalable EXISTS / NOT EXISTS): per segment,
+    how many customers have an urgent order vs no order at all."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    cust, orders = t["customer"], t["orders"]
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    has_urgent = (cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+                  .groupBy("c_mktsegment")
+                  .agg(F.count(F.lit(1)).alias("n_with_urgent")))
+    no_orders = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+                 .groupBy("c_mktsegment")
+                 .agg(F.count(F.lit(1)).alias("n_without_orders")))
+    return (has_urgent.join(no_orders, "c_mktsegment", "full_outer")
+            .select("c_mktsegment",
+                    F.coalesce("n_with_urgent", F.lit(0)).alias("n_with_urgent"),
+                    F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"))
+            .orderBy("c_mktsegment"))
+
+
+Q_SEMI_ANTI_ORACLE = """
+WITH has_urgent AS (
+  SELECT c_mktsegment, COUNT(*) AS n_with_urgent FROM customer
+  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+  GROUP BY c_mktsegment
+), no_orders AS (
+  SELECT c_mktsegment, COUNT(*) AS n_without_orders FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY c_mktsegment
+)
+SELECT COALESCE(h.c_mktsegment, n.c_mktsegment) AS c_mktsegment,
+       COALESCE(n_with_urgent, 0) AS n_with_urgent,
+       COALESCE(n_without_orders, 0) AS n_without_orders
+FROM has_urgent h FULL OUTER JOIN no_orders n ON h.c_mktsegment = n.c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math/JSON scalar function surface over events —
+    everything JVM-side in one whole-stage-codegen span."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].filter(F.col("event_id") % 97 == 0)
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("etype_upper"),
+        F.length("event_type").alias("etype_len"),
+        F.substring("event_type", 1, 3).alias("etype_pfx"),
+        F.year("ts").alias("ev_year"),
+        F.month("ts").alias("ev_month"),
+        F.dayofmonth("ts").alias("ev_day"),
+        F.hour("ts").alias("ev_hour"),
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.round(F.abs(F.col("value")) + F.sqrt(F.abs(F.col("value"))), 6).alias("val_math"),
+        F.concat_ws("-", "event_type", F.col("user_id").cast("string")).alias("tag"),
+    ).orderBy("event_id")
+
+
+Q_SCALAR_ORACLE = """
+SELECT event_id,
+       UPPER(event_type) AS etype_upper,
+       CAST(LENGTH(event_type) AS INT) AS etype_len,
+       SUBSTRING(event_type, 1, 3) AS etype_pfx,
+       CAST(YEAR(ts) AS INT) AS ev_year,
+       CAST(MONTH(ts) AS INT) AS ev_month,
+       CAST(DAY(ts) AS INT) AS ev_day,
+       CAST(HOUR(ts) AS INT) AS ev_hour,
+       CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+       ROUND(ABS(value) + SQRT(ABS(value)), 6) AS val_math,
+       event_type || '-' || CAST(user_id AS VARCHAR) AS tag
+FROM events
+WHERE event_id % 97 = 0
+ORDER BY event_id
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming windowed
+    agg): date_trunc to the hour + 2-stage hash agg."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_ts"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             (F.sum(cents(F.col("value"))) / 100.0).alias("sum_value"),
+             F.countDistinct("user_id").alias("n_users"))
+        .orderBy("hour_ts", "event_type")
+    )
+
+
+Q_EVENTS_HOURLY_ORACLE = f"""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
+       COUNT(*) AS n_events,
+       SUM({_cents_sql('value')}) / 100.0 AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_ts, event_type
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle gap) as two window passes —
+    the classic scalable formulation: lag -> new-session flag ->
+    cumulative sum = session id. One shuffle on user_id.
+    """
+    t = load_tables(spark, sf_dir, ("events",))
+    by_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = (
+        t["events"]
+        .withColumn("prev_us", F.lag(F.unix_micros("ts")).over(by_user))
+        .withColumn("new_session",
+                    F.when(F.col("prev_us").isNull()
+                           | (F.unix_micros("ts") - F.col("prev_us") > 30 * 60 * 1_000_000),
+                           F.lit(1)).otherwise(F.lit(0)))
+        .withColumn("session_id", F.sum("new_session").over(
+            by_user.rowsBetween(W.unboundedPreceding, 0)))
+    )
+    return (
+        ev.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+Q_SESSIONIZE_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+), flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), sessions AS (
+  SELECT user_id, us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       make_timestamp(MIN(us)) AS session_start,
+       make_timestamp(MAX(us)) AS session_end
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+RELATIONAL_QUERIES: dict[str, QuerySpec] = {
+    s.name: s for s in [
+        QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE,
+                  "TPC-H Q1 shape: scan + grouped aggregation"),
+        QuerySpec("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE,
+                  "TPC-H Q3 shape: dim filter + fact join + top-k"),
+        QuerySpec("q5_local_supplier_revenue", q5_local_supplier_revenue, Q5_ORACLE,
+                  "TPC-H Q5 shape: 6-table snowflake join"),
+        QuerySpec("q_big_spenders", q_big_spenders, Q_BIG_SPENDERS_ORACLE,
+                  "TPC-DS Q1 shape: CTE + correlated scalar subquery"),
+        QuerySpec("q_window_topk_orders", q_window_topk_orders, Q_WINDOW_ORACLE,
+                  "window: row_number + running sum"),
+        QuerySpec("q_rollup_orders", q_rollup_orders, Q_ROLLUP_ORACLE,
+                  "GROUP BY ROLLUP"),
+        QuerySpec("q_pivot_status", q_pivot_status, Q_PIVOT_ORACLE,
+                  "pivot with explicit domain"),
+        QuerySpec("q_setops_segments", q_setops_segments, Q_SETOPS_ORACLE,
+                  "INTERSECT / EXCEPT"),
+        QuerySpec("q_semi_anti_customers", q_semi_anti_customers, Q_SEMI_ANTI_ORACLE,
+                  "left-semi / left-anti joins"),
+        QuerySpec("q_scalar_functions", q_scalar_functions, Q_SCALAR_ORACLE,
+                  "string/date/math/JSON scalar surface"),
+        QuerySpec("q_events_hourly", q_events_hourly, Q_EVENTS_HOURLY_ORACLE,
+                  "tumbling-window aggregation (batch form)"),
+        QuerySpec("q_events_sessionize", q_events_sessionize, Q_SESSIONIZE_ORACLE,
+                  "gap-based sessionization via windows"),
+    ]
+}

@@ -1,0 +1,73 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is a test vehicle; every config here is chosen to behave the
+same on a 1000-executor cluster: AQE on (runtime re-plan + skew-join),
+shuffle partitions sized to the parallelism at hand, Arrow enabled for
+the Pandas-UDF slow path, UTC session time so results are oracle-stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "lightning_metastore_spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read as long and convert in load_tables.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    return builder.getOrCreate()
+
+
+TPCH_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                tables: tuple[str, ...] = TPCH_TABLES) -> dict:
+    """Load the driver's parquet tables and register them as temp views.
+
+    Parquet scans here get Catalyst's full treatment for free: column
+    pruning, predicate pushdown, partition coalescing via AQE.
+    """
+    from pyspark.sql import functions as F
+
+    # events.parquet stores TIMESTAMP(NANOS); Spark's reader rejects it
+    # unless nanos are surfaced as long. Set at runtime so this works on
+    # ANY caller-provided session (the driver builds its own), not just
+    # ours from get_spark().
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    dfs = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            # Nanosecond timestamps arrive as long (nanosAsLong conf);
+            # truncate to microseconds — matches DuckDB's epoch_us view.
+            for col, dtype in df.dtypes:
+                if col == "ts" and dtype == "bigint":
+                    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df.createOrReplaceTempView(name)
+            dfs[name] = df
+    return dfs

@@ -1,0 +1,68 @@
+"""Dedup operator tests: LSH recall vs the exact answer, determinism,
+and behavior on crafted micro-fixtures."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from lightning_metastore_spark.operators import dedup  # noqa: E402
+
+from tests.conftest import SF_DIR  # noqa: E402
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_minhash_lsh_recall_equals_exact(spark):
+    """The pipeline claim: LSH candidates + exact verify == exact pairs."""
+    docs = _docs(spark)
+    exact = {(r.doc_id_a, r.doc_id_b)
+             for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()}
+    lsh = {(r.doc_id_a, r.doc_id_b)
+           for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert lsh == exact
+
+
+def test_simhash_recall_equals_exact(spark):
+    docs = _docs(spark)
+    exact = {(r.doc_id_a, r.doc_id_b)
+             for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()}
+    sh = {(r.doc_id_a, r.doc_id_b)
+          for r in dedup.simhash_pairs(docs, hamming_max=11, chunks=12,
+                                       jaccard_threshold=0.5).collect()}
+    assert sh == exact
+
+
+def test_exact_dedup_micro(spark):
+    rows = [(1, "a b c"), (2, "A  b   C"), (3, "different text here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.dup_count for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}  # 1 and 2 normalize to the same text
+
+
+def test_jaccard_pairs_micro(spark):
+    rows = [
+        (1, "w1 w2 w3 w4 w5 w6"),
+        (2, "w1 w2 w3 w4 w5 w6"),          # identical -> jaccard 1.0
+        (3, "x1 x2 x3 x4 x5 x6 x7 x8"),    # disjoint
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r.doc_id_a, r.doc_id_b): r.jaccard
+             for r in dedup.jaccard_pairs(df, threshold=0.5).collect()}
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_minhash_deterministic(spark):
+    docs = _docs(spark)
+    sig1 = dedup.minhash_signatures(dedup.shingles(docs)).orderBy("doc_id").limit(5).collect()
+    sig2 = dedup.minhash_signatures(dedup.shingles(docs)).orderBy("doc_id").limit(5).collect()
+    assert sig1 == sig2
+
+
+def test_embedding_neardup_symmetric_threshold(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pairs = dedup.embedding_neardup_pairs(emb, threshold=0.45).collect()
+    assert all(r.vec_id_a < r.vec_id_b for r in pairs)

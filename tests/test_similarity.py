@@ -1,0 +1,49 @@
+"""Similarity-search tests: brute-force sanity + IVF recall."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lightning_metastore_spark.operators import similarity  # noqa: E402
+
+from tests.conftest import SF_DIR  # noqa: E402
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_brute_force_topk_shape(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    out = similarity.brute_force_topk(emb, q, k=5).collect()
+    n_queries = q.count()
+    assert len(out) == 5 * n_queries
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        assert [r.rk for r in sorted(rows, key=lambda r: r.rk)] == [1, 2, 3, 4, 5]
+        cos = [r.cosine for r in sorted(rows, key=lambda r: r.rk)]
+        assert cos == sorted(cos, reverse=True)
+        assert all(r.neighbor_id != qid for r in rows)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with nprobe=6 must recover most of the true top-5 (measured
+    0.74 on this near-isotropic corpus); this guards the bucketing
+    logic, not a precise recall SLA."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    cen = (emb.filter(F.col("vec_id") % 37 == 0)
+           .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.brute_force_topk(emb, q, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in similarity.ivf_topk(emb, q, cen, k=5, nprobe=6).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} too low — bucketing broken?"
