@@ -1,0 +1,170 @@
+"""`lightning.*` name resolution: rewrite standard SQL so Catalyst sees
+plain temp views.
+
+The reference registers a DSv2 TableCatalog named `lightning` and lets
+the analyzer call `loadTable` per identifier (SURVEY.md §3 EP2). PySpark
+cannot register a Python TableCatalog, so the idiomatic equivalent is a
+resolver pass: find `lightning.datasource.**` / `lightning.metastore.**`
+identifier chains in the query text (outside quoted regions), resolve
+each to a DataFrame via the metastore + catalog units, register it as a
+deterministic temp view, and splice the view name back in. The rewritten
+text goes to `spark.sql()` — Catalyst then owns analysis, optimization
+(pushdown into the just-registered scans) and execution.
+
+USL tables re-enter resolution with their activation SQL (the reference
+nests `context.sql(...)` inside the scan, `usl/USLTableScan.scala:48-51`);
+we add cycle detection, which the reference lacks (documented divergence).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from lightning_metastore_spark.catalog.units import load_catalog_unit
+from lightning_metastore_spark.model.metastore import (
+    DATASOURCE_ROOT,
+    METASTORE_ROOT,
+)
+
+_CHAIN = re.compile(
+    r"\blightning\.(?:datasource|metastore)(?:\.[A-Za-z_][A-Za-z0-9_\-]*)+",
+    re.IGNORECASE,
+)
+# Split SQL into quoted and unquoted segments so rewrites never touch
+# string literals or backtick-quoted identifiers.
+_QUOTED = re.compile(r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|`(?:[^`]|``)*`)")
+
+
+class ResolutionError(Exception):
+    pass
+
+
+class Resolver:
+    def __init__(self, spark, metastore):
+        self.spark = spark
+        self.metastore = metastore
+
+    # -- public -------------------------------------------------------------
+
+    def resolve_sql(self, sql: str, _stack: frozenset = frozenset()) -> str:
+        """Rewrite every lightning.* table reference to a temp-view name."""
+        parts = _QUOTED.split(sql)
+        for i, part in enumerate(parts):
+            if i % 2 == 1:  # quoted segment — leave untouched
+                continue
+            parts[i] = _CHAIN.sub(
+                lambda m: self._rewrite_chain(m.group(0), _stack), part)
+        return "".join(parts)
+
+    def load_table(self, path: list[str],
+                   _stack: frozenset = frozenset()) -> DataFrame:
+        """Resolve a full path (['datasource'|'metastore', ...]) to a
+        DataFrame. Raises ResolutionError when nothing matches."""
+        root = path[0].lower()
+        if root == DATASOURCE_ROOT:
+            return self._load_datasource_table(path[1:])
+        if root == METASTORE_ROOT:
+            return self._load_metastore_table(path[1:], _stack)
+        raise ResolutionError(f"unknown lightning root: {path[0]}")
+
+    # -- chain rewriting ----------------------------------------------------
+
+    def _rewrite_chain(self, chain: str, _stack: frozenset) -> str:
+        """A matched chain may include trailing column projections
+        (`lightning.datasource.f.t.orders.o_orderkey`): resolve the
+        longest prefix that names a table, keep the rest."""
+        parts = chain.split(".")[1:]  # drop leading 'lightning'
+        last_err: Optional[Exception] = None
+        for cut in range(len(parts), 1, -1):
+            prefix = parts[:cut]
+            try:
+                df = self.load_table(prefix, _stack)
+            except Exception as e:  # try a shorter prefix
+                # keep the LONGEST-prefix error — it names the actual
+                # failure (e.g. "not activated"), not a fallback miss
+                if last_err is None:
+                    last_err = e
+                continue
+            view = self._view_name(prefix)
+            df.createOrReplaceTempView(view)
+            rest = parts[cut:]
+            return ".".join([view] + rest)
+        raise ResolutionError(
+            f"cannot resolve {chain!r}: {last_err}") from last_err
+
+    @staticmethod
+    def _view_name(path: list[str]) -> str:
+        digest = hashlib.md5(".".join(p.lower() for p in path).encode()).hexdigest()[:12]
+        return f"l_{path[-1].lower()}_{digest}"
+
+    # -- datasource root ----------------------------------------------------
+
+    def _load_datasource_table(self, rest: list[str]) -> DataFrame:
+        hit = self.metastore.find_parent_datasource(rest)
+        if hit is None:
+            raise ResolutionError(
+                f"no datasource found along lightning.datasource.{'.'.join(rest)}")
+        ds, residual = hit
+        return load_catalog_unit(ds).load_table(self.spark, residual)
+
+    # -- metastore root -----------------------------------------------------
+
+    def _load_metastore_table(self, rest: list[str],
+                              _stack: frozenset) -> DataFrame:
+        if not rest:
+            raise ResolutionError("empty metastore path")
+        # (a) snapshot-registered table: <ns...>/<name>_table.json
+        t = self.metastore.load_table(rest[:-1], rest[-1])
+        if t is not None:
+            return self._load_registered(t)
+        # (b) USL table: <ns...>/<usl>_usl.json + activation query
+        if len(rest) >= 2:
+            ns, usl_name, table = rest[:-2], rest[-2], rest[-1]
+            usl = self.metastore.load_usl(ns, usl_name)
+            if usl is not None:
+                return self._load_usl_table(ns, usl, table, _stack)
+        raise ResolutionError(
+            f"no table or USL at lightning.metastore.{'.'.join(rest)}")
+
+    def _load_registered(self, t) -> DataFrame:
+        """Snapshot table: load the origin via its datasource, then apply
+        the INGESTED schema as an override (cast per column) — mirrors
+        `LightningCatalogUnit.loadTable` with schema copy (SURVEY §2.4)."""
+        from pyspark.sql.types import StructType
+
+        src = t.source_fqn
+        if src and src[0].lower() == "lightning":
+            src = src[1:]
+        df = self.load_table(src)
+        schema = StructType.fromJson(__import__("json").loads(t.schema_json))
+        cols = []
+        for f_ in schema.fields:
+            if f_.name not in df.columns:
+                raise ResolutionError(
+                    f"ingested column {f_.name!r} missing from source "
+                    f"{'.'.join(t.source_fqn)}")
+            cols.append(F.col(f_.name).cast(f_.dataType))
+        return df.select(*cols)
+
+    def _load_usl_table(self, ns: list[str], usl, table: str,
+                        _stack: frozenset) -> DataFrame:
+        key = ".".join(ns + [usl.name, table]).lower()
+        if key in _stack:
+            raise ResolutionError(
+                f"cyclic USL activation detected at {key} "
+                f"(the reference would loop forever here)")
+        spec = next((s for s in usl.tables if s.get("name", "").lower() == table.lower()),
+                    None)
+        if spec is None:
+            raise ResolutionError(f"USL {usl.name} has no table {table!r}")
+        query = self.metastore.load_activation(ns, usl.name, table)
+        if query is None:
+            # same error contract as USLTable.scala:47-52
+            raise ResolutionError(
+                f"USL table {table} is not activated (ACTIVATE USL TABLE first)")
+        rewritten = self.resolve_sql(query, _stack | {key})
+        return self.spark.sql(rewritten)

@@ -1,0 +1,232 @@
+"""Per-source catalog units: how a registered DataSource turns into
+DataFrames, namespace listings, and writes.
+
+Reference: one `CatalogUnit` per source family
+(`spark-common/.../catalog/CatalogUnit.scala`, `FileCatalogUnit.scala:
+108-141`, `JDBCDataSourceCatalogUnit.scala:36-180`,
+`AbstractDeltaCatalogUnit.scala:29-79`). Ours map straight onto
+`spark.read` so Catalyst's DSv2 pushdown (predicates, column pruning,
+partition pruning) applies untouched — the unit adds zero execution
+code, exactly like the reference delegates to Spark's own tables.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lightning_metastore_spark.model.serde import DataSource
+
+_FILE_EXTENSIONS = {
+    "PARQUET": ".parquet",
+    "ORC": ".orc",
+    "CSV": ".csv",
+    "JSON": ".json",
+    "AVRO": ".avro",
+}
+
+
+class CatalogUnitError(Exception):
+    pass
+
+
+class CatalogUnit:
+    def __init__(self, ds: DataSource):
+        self.ds = ds
+
+    def load_table(self, spark: SparkSession, residual: list[str]) -> DataFrame:
+        raise NotImplementedError
+
+    def list_tables(self, spark: SparkSession, residual: list[str]) -> list[str]:
+        raise NotImplementedError
+
+    def list_namespaces(self, spark: SparkSession, residual: list[str]) -> list[str]:
+        return []
+
+    def write_table(self, df: DataFrame, residual: list[str],
+                    mode: str = "append") -> None:
+        raise CatalogUnitError(
+            f"{self.ds.source_type} datasource is not writable")
+
+
+class FileCatalogUnit(CatalogUnit):
+    """Structured file formats over a registered path.
+
+    Reference semantics (`FileCatalogUnit.scala:75-141`): the datasource's
+    `path` option holds the data; the table named like the datasource
+    reads the path itself. Extension (documented divergence): a residual
+    path selects `<path>/<residual>` or `<path>/<residual><ext>`, so one
+    registration over a directory exposes each data file/subdir as a
+    table — at 100 TB one registration covers a whole lake zone without
+    per-table DDL.
+    """
+
+    @property
+    def fmt(self) -> str:
+        return self.ds.source_type.lower()
+
+    @property
+    def path(self) -> str:
+        p = self.ds.options.get("path")
+        if not p:
+            raise CatalogUnitError(
+                f"file datasource {self.ds.name} has no 'path' option")
+        return p
+
+    def _reader(self, spark: SparkSession):
+        opts = {k: v for k, v in self.ds.options.items() if k != "path"}
+        reader = spark.read.format(self.fmt)
+        if self.fmt == "csv" and "header" not in opts:
+            opts["header"] = "true"
+        if self.fmt == "csv" and "inferSchema" not in opts:
+            opts["inferSchema"] = "true"
+        return reader.options(**opts)
+
+    def _resolve_path(self, residual: list[str]) -> str:
+        if not residual:
+            return self.path
+        base = os.path.join(self.path, *residual)
+        ext = _FILE_EXTENSIONS[self.ds.source_type]
+        for cand in (base, base + ext):
+            if os.path.exists(cand):
+                return cand
+        raise CatalogUnitError(
+            f"no {self.fmt} data at {base} for table "
+            f"{'.'.join([self.ds.name] + residual)}")
+
+    def load_table(self, spark: SparkSession, residual: list[str]) -> DataFrame:
+        return self._reader(spark).load(self._resolve_path(residual))
+
+    def list_tables(self, spark: SparkSession, residual: list[str]) -> list[str]:
+        base = os.path.join(self.path, *residual) if residual else self.path
+        if not os.path.isdir(base):
+            return []
+        ext = _FILE_EXTENSIONS[self.ds.source_type]
+        out = set()
+        for entry in os.listdir(base):
+            full = os.path.join(base, entry)
+            if entry.endswith(ext):
+                out.add(entry[: -len(ext)] if os.path.isfile(full) else entry)
+        return sorted(out)
+
+    def list_namespaces(self, spark: SparkSession, residual: list[str]) -> list[str]:
+        base = os.path.join(self.path, *residual) if residual else self.path
+        if not os.path.isdir(base):
+            return []
+        ext = _FILE_EXTENSIONS[self.ds.source_type]
+        return sorted(e for e in os.listdir(base)
+                      if os.path.isdir(os.path.join(base, e))
+                      and not e.endswith(ext))
+
+    def write_table(self, df: DataFrame, residual: list[str],
+                    mode: str = "append") -> None:
+        if residual:
+            path = os.path.join(self.path, *residual)
+            path = path if os.path.splitext(path)[1] else path + _FILE_EXTENSIONS[self.ds.source_type]
+        else:
+            path = self.path
+        opts = {k: v for k, v in self.ds.options.items() if k != "path"}
+        if self.fmt == "csv" and "header" not in opts:
+            opts["header"] = "true"
+        df.write.format(self.fmt).options(**opts).mode(mode).save(path)
+
+
+class JDBCCatalogUnit(CatalogUnit):
+    """JDBC sources via Spark's JDBC DSv2 (predicate + aggregate pushdown
+    come from Spark, `JDBCDataSourceCatalogUnit.scala:36-180`).
+
+    residual = [table] or [schema, table] (2-level namespace sources —
+    Snowflake/Redshift quirks at reference :63-101 — collapse to
+    schema-qualified dbtable).
+    """
+
+    def _jdbc_opts(self) -> dict[str, str]:
+        opts = dict(self.ds.options)
+        if "url" not in opts:
+            raise CatalogUnitError(
+                f"jdbc datasource {self.ds.name} has no 'url' option")
+        return opts
+
+    def load_table(self, spark: SparkSession, residual: list[str]) -> DataFrame:
+        if not residual:
+            raise CatalogUnitError("jdbc table reference requires a table name")
+        opts = self._jdbc_opts()
+        opts["dbtable"] = ".".join(residual)
+        return spark.read.format("jdbc").options(**opts).load()
+
+    def list_tables(self, spark: SparkSession, residual: list[str]) -> list[str]:
+        # Requires driver round-trip (information_schema); formats differ
+        # per engine — exposed when a JDBC driver jar is on the session.
+        opts = self._jdbc_opts()
+        schema = residual[0] if residual else opts.get("schema", "public")
+        q = (f"(SELECT table_name FROM information_schema.tables "
+             f"WHERE table_schema = '{schema}') t")
+        opts["dbtable"] = q
+        df = spark.read.format("jdbc").options(**opts).load()
+        return sorted(r[0] for r in df.collect())
+
+    def write_table(self, df: DataFrame, residual: list[str],
+                    mode: str = "append") -> None:
+        opts = self._jdbc_opts()
+        df.write.format("jdbc").options(**opts) \
+            .option("dbtable", ".".join(residual)).mode(mode).save()
+
+
+class DeltaCatalogUnit(CatalogUnit):
+    """Delta: path-per-table directory layout (`AbstractDeltaCatalogUnit.
+    scala:29-79` — list tables = list dirs). Requires delta-spark on the
+    session; absence raises at load time, not registration."""
+
+    def load_table(self, spark: SparkSession, residual: list[str]) -> DataFrame:
+        path = os.path.join(self.ds.options["path"], *residual)
+        return spark.read.format("delta").load(path)
+
+    def list_tables(self, spark: SparkSession, residual: list[str]) -> list[str]:
+        base = os.path.join(self.ds.options["path"], *residual)
+        if not os.path.isdir(base):
+            return []
+        return sorted(e for e in os.listdir(base)
+                      if os.path.isdir(os.path.join(base, e, "_delta_log")))
+
+    def write_table(self, df: DataFrame, residual: list[str],
+                    mode: str = "append") -> None:
+        path = os.path.join(self.ds.options["path"], *residual)
+        df.write.format("delta").mode(mode).save(path)
+
+
+class IcebergCatalogUnit(CatalogUnit):
+    """Iceberg via a mounted Spark catalog (the reference delegates to
+    Iceberg's SparkCatalog per version, `AbstractIcebergCatalogUnit.
+    scala:28-66`); time travel via VERSION AS OF passes through SQL."""
+
+    def _catalog(self) -> str:
+        return self.ds.options.get("catalog", self.ds.name)
+
+    def load_table(self, spark: SparkSession, residual: list[str]) -> DataFrame:
+        return spark.table(".".join([self._catalog()] + residual))
+
+    def list_tables(self, spark: SparkSession, residual: list[str]) -> list[str]:
+        rows = spark.sql(
+            f"SHOW TABLES IN {'.'.join([self._catalog()] + residual)}").collect()
+        return sorted(r.tableName for r in rows)
+
+
+def load_catalog_unit(ds: DataSource) -> CatalogUnit:
+    """Factory mirroring `CatalogUnitFactory.scala:26-38`. Unstructured
+    types are handled by sources/unstructured.py's table builder."""
+    if ds.source_type in _FILE_EXTENSIONS:
+        return FileCatalogUnit(ds)
+    if ds.source_type == "JDBC":
+        return JDBCCatalogUnit(ds)
+    if ds.source_type == "DELTA":
+        return DeltaCatalogUnit(ds)
+    if ds.source_type == "ICEBERG":
+        return IcebergCatalogUnit(ds)
+    if ds.is_unstructured:
+        from lightning_metastore_spark.sources.unstructured import (
+            UnstructuredCatalogUnit,
+        )
+        return UnstructuredCatalogUnit(ds)
+    raise CatalogUnitError(f"unsupported source type: {ds.source_type}")

@@ -1,0 +1,751 @@
+"""Lightning DDL dialect: detection, parsing, and command execution.
+
+The reference detects its dialect by keyword sniffing over
+comment-stripped uppercased text (`LightningExtendedParser.
+isLightningCommand`, scala:134-186) before handing anything else to the
+delegate Spark parser. We mirror that: `is_lightning_command` +
+regex-based command parsers; everything else goes through the resolver
+to `spark.sql()`.
+
+Each command is a small dataclass with `run(ctx) -> DataFrame` —
+the Python analogue of the reference's `LeafRunnableCommand` specs
+(`LightningCommandBase.scala:34-108`): driver-side metastore I/O, with
+Spark jobs only where the command semantically needs them (REGISTER
+CATALOG schema snaphots, ACTIVATE analysis, DQ runs).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame
+
+from lightning_metastore_spark.model.metastore import (
+    DATASOURCE_ROOT,
+    METASTORE_ROOT,
+    MetastoreError,
+)
+from lightning_metastore_spark.model.serde import (
+    ALL_SOURCE_TYPES,
+    DataSource,
+    RegisteredTable,
+    UnifiedSemanticLayer,
+)
+from lightning_metastore_spark.parser.create_table import (
+    CreateTableSpec,
+    parse_create_table,
+    split_ddl_bundle,
+)
+
+_COMMENT = re.compile(r"(--[^\n]*)|(/\*.*?\*/)", re.S)
+
+_SOURCE_TYPES_ALT = "|".join(sorted(ALL_SOURCE_TYPES))
+
+_LIGHTNING_HEADS = (
+    re.compile(r"^REGISTER\s+(OR\s+REPLACE\s+)?(" + _SOURCE_TYPES_ALT + r")\s+DATASOURCE\b", re.I),
+    re.compile(r"^REGISTER\s+(OR\s+REPLACE\s+)?CATALOG\b", re.I),
+    re.compile(r"^REGISTER\s+DQ\b", re.I),
+    re.compile(r"^(COMPILE|ACTIVATE|LOAD|UPDATE|REMOVE)\s+USL\b", re.I),
+    re.compile(r"^(LIST|RUN|REMOVE|SHOW)\s+DQ\b", re.I),
+    re.compile(r"^SHOW\s+NAMESPACES\s+OR\s+TABLES\b", re.I),
+    re.compile(r"^(CREATE|DROP)\s+NAMESPACE\s+(IF\s+(NOT\s+)?EXISTS\s+)?LIGHTNING\.", re.I),
+    re.compile(r"^SHOW\s+(NAMESPACES|TABLES)\s+IN\s+LIGHTNING\b", re.I),
+    re.compile(r"^(DESC|DESCRIBE)\s+(TABLE\s+|DATASOURCE\s+)?LIGHTNING\.", re.I),
+    re.compile(r"^DROP\s+DATASOURCE\b", re.I),
+)
+
+
+def strip_comments(sql: str) -> str:
+    return _COMMENT.sub(" ", sql).strip()
+
+
+def is_lightning_command(sql: str) -> bool:
+    text = strip_comments(sql)
+    return any(p.match(text) for p in _LIGHTNING_HEADS)
+
+
+class CommandParseError(Exception):
+    pass
+
+
+def _split_path(dotted: str) -> list[str]:
+    parts = [p for p in dotted.strip().strip(".").split(".") if p]
+    if parts and parts[0].lower() == "lightning":
+        parts = parts[1:]
+    return parts
+
+
+def _require_root(path: list[str], root: str, what: str) -> list[str]:
+    if not path or path[0].lower() != root:
+        raise CommandParseError(
+            f"{what} namespace must be under lightning.{root}, "
+            f"got lightning.{'.'.join(path)}")
+    return path[1:]
+
+
+_OPT_ITEM = re.compile(
+    r"""([\w.\-]+)\s*(?:=\s*|\s+)("(?:[^"]*)"|'(?:[^']*)'|[^,\s][^,]*)""", re.S)
+
+
+def parse_options(body: str) -> dict[str, str]:
+    """OPTIONS(k "v", k2 'v2', k3=v3) — reference grammar uses
+    `key "value"` pairs; we also accept `=`."""
+    opts = {}
+    for m in _OPT_ITEM.finditer(body):
+        k, v = m.group(1), m.group(2).strip()
+        if v and v[0] in "\"'" and v[-1] == v[0]:
+            v = v[1:-1]
+        opts[k] = v
+    return opts
+
+
+# ---------------------------------------------------------------------------
+# command dataclasses
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Command:
+    def run(self, ctx) -> DataFrame:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    @staticmethod
+    def _df(ctx, rows, schema) -> DataFrame:
+        return ctx.spark.createDataFrame(rows, schema)
+
+
+@dataclass
+class RegisterDataSource(Command):
+    """`RegisterDataSourceSpec.scala:40-114` — validate per-type options,
+    persist the datasource document."""
+    name: str
+    source_type: str
+    namespace: list[str]
+    options: dict[str, str]
+    replace: bool = False
+    tag_schema: Optional[str] = None
+
+    _REQUIRED = {"JDBC": ["url"], "DELTA": ["path"], "ICEBERG": []}
+
+    def run(self, ctx) -> DataFrame:
+        st = self.source_type.upper()
+        required = self._REQUIRED.get(st, ["path"])
+        for k in required:
+            if k not in self.options:
+                raise CommandParseError(
+                    f"{st} datasource requires OPTIONS({k} ...)")
+        ns = _require_root(self.namespace, DATASOURCE_ROOT, "datasource")
+        ds = DataSource(self.name, ns, st, self.options, self.tag_schema)
+        ctx.metastore.save_datasource(ds, replace=self.replace)
+        fqn = ".".join(["lightning", DATASOURCE_ROOT] + ns + [self.name])
+        return self._df(ctx, [(fqn,)], "registered string")
+
+
+@dataclass
+class DropDataSource(Command):
+    path: list[str]
+
+    def run(self, ctx) -> DataFrame:
+        rest = _require_root(self.path, DATASOURCE_ROOT, "datasource")
+        ctx.metastore.drop_datasource(rest[:-1], rest[-1])
+        return self._df(ctx, [(".".join(self.path),)], "dropped string")
+
+
+@dataclass
+class RegisterCatalog(Command):
+    """`RegisterCatalogSpec.scala:31-91`: recursively walk a datasource's
+    namespaces, snapshotting each table's schema into the metastore.
+    SQL LIKE name filter -> regex (reference :41-49)."""
+    name: str
+    source: list[str]
+    namespace: list[str]
+    replace: bool = False
+    name_like: Optional[str] = None
+    options: dict[str, str] = field(default_factory=dict)
+
+    def run(self, ctx) -> DataFrame:
+        from lightning_metastore_spark.catalog.units import load_catalog_unit
+
+        target_ns = _require_root(self.namespace, METASTORE_ROOT, "catalog")
+        src = _require_root(list(self.source), DATASOURCE_ROOT, "catalog source")
+        hit = ctx.metastore.find_parent_datasource(src)
+        if hit is None:
+            raise CommandParseError(
+                f"no datasource at lightning.{'.'.join(self.source)}")
+        ds, residual = hit
+        unit = load_catalog_unit(ds)
+        pattern = None
+        if self.name_like:
+            pattern = re.compile(
+                "^" + re.escape(self.name_like).replace("%", ".*").replace("_", ".")
+                + "$", re.I)
+        ctx.metastore.create_namespace(METASTORE_ROOT, target_ns + [self.name],
+                                       if_not_exists=True)
+        registered = []
+
+        def walk(res_path: list[str], out_ns: list[str]) -> None:
+            for tbl in unit.list_tables(ctx.spark, res_path):
+                if pattern and not pattern.match(tbl):
+                    continue
+                df = unit.load_table(ctx.spark, res_path + [tbl])
+                fqn = (["lightning", DATASOURCE_ROOT] + ds.namespace
+                       + [ds.name] + res_path + [tbl])
+                t = RegisteredTable(tbl, out_ns, fqn, df.schema.json())
+                ctx.metastore.save_table(t, replace=self.replace)
+                registered.append(".".join(out_ns + [tbl]))
+            for sub in unit.list_namespaces(ctx.spark, res_path):
+                ctx.metastore.create_namespace(
+                    METASTORE_ROOT, out_ns + [sub], if_not_exists=True)
+                walk(res_path + [sub], out_ns + [sub])
+
+        walk(residual, target_ns + [self.name])
+        return self._df(ctx, [(r,) for r in registered], "registered string")
+
+
+@dataclass
+class CreateNamespace(Command):
+    path: list[str]
+    if_not_exists: bool = False
+
+    def run(self, ctx) -> DataFrame:
+        root, rest = self.path[0].lower(), self.path[1:]
+        ctx.metastore.create_namespace(root, rest, if_not_exists=self.if_not_exists)
+        return self._df(ctx, [(".".join(self.path),)], "created string")
+
+
+@dataclass
+class DropNamespace(Command):
+    path: list[str]
+    if_exists: bool = False
+    cascade: bool = False
+
+    def run(self, ctx) -> DataFrame:
+        root, rest = self.path[0].lower(), self.path[1:]
+        try:
+            ctx.metastore.drop_namespace(root, rest, cascade=self.cascade)
+        except MetastoreError:
+            if not self.if_exists:
+                raise
+        return self._df(ctx, [(".".join(self.path),)], "dropped string")
+
+
+@dataclass
+class ShowNamespaces(Command):
+    path: list[str]
+
+    def run(self, ctx) -> DataFrame:
+        if not self.path:
+            rows = [(DATASOURCE_ROOT,), (METASTORE_ROOT,)]
+            return self._df(ctx, rows, "namespace string")
+        root, rest = self.path[0].lower(), self.path[1:]
+        names = set(ctx.metastore.list_namespaces(root, rest))
+        if root == DATASOURCE_ROOT:
+            hit = ctx.metastore.find_parent_datasource(rest)
+            if hit is not None:
+                from lightning_metastore_spark.catalog.units import load_catalog_unit
+                ds, residual = hit
+                names.update(load_catalog_unit(ds).list_namespaces(ctx.spark, residual))
+        return self._df(ctx, [(n,) for n in sorted(names)], "namespace string")
+
+
+@dataclass
+class ShowTables(Command):
+    path: list[str]
+
+    def run(self, ctx) -> DataFrame:
+        root, rest = self.path[0].lower(), self.path[1:]
+        names: list[str] = []
+        if root == DATASOURCE_ROOT:
+            hit = ctx.metastore.find_parent_datasource(rest)
+            if hit is not None:
+                from lightning_metastore_spark.catalog.units import load_catalog_unit
+                ds, residual = hit
+                names = load_catalog_unit(ds).list_tables(ctx.spark, residual)
+        elif root == METASTORE_ROOT:
+            names = ctx.metastore.list_tables(rest)
+            usl = (ctx.metastore.load_usl(rest[:-1], rest[-1]) if rest else None)
+            if usl is not None:
+                names = sorted(t["name"] for t in usl.tables)
+        return self._df(ctx, [(n,) for n in names], "tableName string")
+
+
+@dataclass
+class ShowNamespacesOrTables(Command):
+    """Merged listing classifying each child (reference namespace.scala:
+    29-50): usl | namespace | table | datasource."""
+    path: list[str]
+
+    def run(self, ctx) -> DataFrame:
+        rows: list[tuple[str, str]] = []
+        if not self.path:
+            rows = [(DATASOURCE_ROOT, "namespace"), (METASTORE_ROOT, "namespace")]
+            return self._df(ctx, rows, "name string, type string")
+        root, rest = self.path[0].lower(), self.path[1:]
+        for n in ctx.metastore.list_namespaces(root, rest):
+            rows.append((n, "namespace"))
+        if root == DATASOURCE_ROOT:
+            for n in ctx.metastore.list_datasources(rest):
+                rows.append((n, "datasource"))
+            hit = ctx.metastore.find_parent_datasource(rest)
+            if hit is not None:
+                from lightning_metastore_spark.catalog.units import load_catalog_unit
+                ds, residual = hit
+                unit = load_catalog_unit(ds)
+                rows.extend((n, "namespace")
+                            for n in unit.list_namespaces(ctx.spark, residual))
+                rows.extend((n, "table")
+                            for n in unit.list_tables(ctx.spark, residual))
+        else:
+            rows.extend((n, "table") for n in ctx.metastore.list_tables(rest))
+            rows.extend((n, "usl") for n in ctx.metastore.list_usls(rest))
+        rows = sorted(set(rows))
+        return self._df(ctx, rows, "name string, type string")
+
+
+@dataclass
+class DescribeTable(Command):
+    path: list[str]
+
+    def run(self, ctx) -> DataFrame:
+        df = ctx.resolver.load_table(self.path)
+        rows = [(f.name, f.dataType.simpleString(), f.nullable)
+                for f in df.schema.fields]
+        return self._df(ctx, rows, "col_name string, data_type string, nullable boolean")
+
+
+# -- USL --------------------------------------------------------------------
+
+@dataclass
+class CompileUSL(Command):
+    """`CompileUSLSpec.scala:31-112`: split the DDL bundle, parse each
+    table, check duplicate names + FK target existence, qualify FK refs,
+    optionally persist (DEPLOY)."""
+    name: str
+    namespace: list[str]
+    ddl: str
+    deploy: bool = False
+    if_not_exists: bool = False
+
+    def run(self, ctx) -> DataFrame:
+        ns = _require_root(self.namespace, METASTORE_ROOT, "USL")
+        specs: list[CreateTableSpec] = []
+        seen = set()
+        for stmt in split_ddl_bundle(self.ddl):
+            spec = parse_create_table(stmt)
+            if spec.name.lower() in seen:
+                raise CommandParseError(f"duplicate table in USL: {spec.name}")
+            seen.add(spec.name.lower())
+            specs.append(spec)
+        fqn_prefix = ".".join(["lightning", METASTORE_ROOT] + ns + [self.name])
+        for spec in specs:
+            for fk in spec.all_foreign_keys():
+                target = fk["table"].split(".")[-1].lower()
+                if target not in seen:
+                    raise CommandParseError(
+                        f"FK in {spec.name} references unknown table {fk['table']!r}")
+                fk["table"] = f"{fqn_prefix}.{target}"
+        usl = UnifiedSemanticLayer(self.name, ns, [s.to_dict() for s in specs])
+        if self.deploy:
+            if self.if_not_exists and ctx.metastore.load_usl(ns, self.name):
+                return self._df(ctx, [(usl.to_json(),)], "json string")
+            ctx.metastore.save_usl(usl, replace=not self.if_not_exists)
+        return self._df(ctx, [(usl.to_json(),)], "json string")
+
+
+# Upcast-compatibility lattice (`LightningSource.dataTypeQueryable`,
+# scala:68-90): defined type accepts queried type iff lossless widening.
+_WIDENS = {
+    "tinyint": {"tinyint"},
+    "smallint": {"tinyint", "smallint"},
+    "int": {"tinyint", "smallint", "int"},
+    "bigint": {"tinyint", "smallint", "int", "bigint"},
+    "float": {"float"},
+    "double": {"float", "double"},
+    "string": {"string"},
+    "boolean": {"boolean"},
+    "date": {"date"},
+    "timestamp": {"timestamp", "timestamp_ntz"},
+    "timestamp_ntz": {"timestamp_ntz"},
+    "binary": {"binary"},
+}
+
+
+def type_accepts(defined: str, queried: str) -> bool:
+    d, q = defined.lower(), queried.lower()
+    d = {"byte": "tinyint", "short": "smallint", "integer": "int",
+         "long": "bigint", "real": "float"}.get(d, d)
+    if d == q:
+        return True
+    dv = re.match(r"(var)?char\((\d+)\)", d)
+    qv = re.match(r"(var)?char\((\d+)\)", q)
+    if d == "string" and (q == "string" or qv):
+        return True
+    if dv:
+        return bool(qv) and int(qv.group(2)) <= int(dv.group(2))
+    dd = re.match(r"decimal\((\d+),(\d+)\)", d)
+    qd = re.match(r"decimal\((\d+),(\d+)\)", q)
+    if dd:
+        return bool(qd) and int(qd.group(1)) <= int(dd.group(1)) \
+            and int(qd.group(2)) <= int(dd.group(2))
+    return q in _WIDENS.get(d, set())
+
+
+@dataclass
+class ActivateUSLTable(Command):
+    """`ActivateUSLTableSpec.scala:33-88`: analyze the mapping query,
+    check arity + upcast compatibility against the declared schema,
+    persist the activation query."""
+    path: list[str]  # under lightning.metastore: ns... usl table
+    query: str
+
+    def run(self, ctx) -> DataFrame:
+        rest = _require_root(self.path, METASTORE_ROOT, "USL table")
+        if len(rest) < 2:
+            raise CommandParseError(
+                "ACTIVATE USL TABLE expects lightning.metastore.<ns...>.<usl>.<table>")
+        ns, usl_name, table = rest[:-2], rest[-2], rest[-1]
+        usl = ctx.metastore.load_usl(ns, usl_name)
+        if usl is None:
+            raise CommandParseError(f"no USL {usl_name} under {'.'.join(ns)}")
+        spec = next((CreateTableSpec.from_dict(s) for s in usl.tables
+                     if s["name"].lower() == table.lower()), None)
+        if spec is None:
+            raise CommandParseError(f"USL {usl_name} has no table {table}")
+        analyzed = ctx.spark.sql(ctx.resolver.resolve_sql(self.query))
+        declared = spec.columns
+        if len(analyzed.schema) != len(declared):
+            raise CommandParseError(
+                f"column count mismatch: table defines {len(declared)}, "
+                f"query produces {len(analyzed.schema)}")
+        for f, c in zip(analyzed.schema.fields, declared):
+            if not type_accepts(c.data_type, f.dataType.simpleString()):
+                raise CommandParseError(
+                    f"type mismatch for {c.name}: declared {c.data_type}, "
+                    f"query yields {f.dataType.simpleString()}")
+        ctx.metastore.save_activation(ns, usl_name, table, self.query)
+        return self._df(ctx, [(".".join(self.path), self.query)],
+                        "activated string, query string")
+
+
+@dataclass
+class LoadUSL(Command):
+    name: str
+    namespace: list[str]
+
+    def run(self, ctx) -> DataFrame:
+        ns = _require_root(self.namespace, METASTORE_ROOT, "USL")
+        usl = ctx.metastore.load_usl(ns, self.name)
+        if usl is None:
+            raise CommandParseError(f"no USL {self.name} under {'.'.join(ns)}")
+        return self._df(ctx, [(usl.to_json(),)], "json string")
+
+
+@dataclass
+class UpdateUSL(Command):
+    name: str
+    namespace: list[str]
+    payload: str
+
+    def run(self, ctx) -> DataFrame:
+        ns = _require_root(self.namespace, METASTORE_ROOT, "USL")
+        d = json.loads(self.payload)
+        usl = UnifiedSemanticLayer(self.name, ns, d.get("tables", d)
+                                   if isinstance(d, dict) else d)
+        ctx.metastore.save_usl(usl, replace=True)
+        return self._df(ctx, [(usl.to_json(),)], "json string")
+
+
+@dataclass
+class RemoveUSL(Command):
+    name: str
+    namespace: list[str]
+
+    def run(self, ctx) -> DataFrame:
+        ns = _require_root(self.namespace, METASTORE_ROOT, "USL")
+        ctx.metastore.remove_usl(ns, self.name)
+        return self._df(ctx, [(self.name,)], "removed string")
+
+
+# -- DQ ---------------------------------------------------------------------
+
+def _usl_for_table(ctx, path: list[str]):
+    rest = _require_root(list(path), METASTORE_ROOT, "DQ table")
+    if len(rest) < 2:
+        raise CommandParseError(
+            "DQ table must be lightning.metastore.<ns...>.<usl>.<table>")
+    ns, usl_name, table = rest[:-2], rest[-2], rest[-1]
+    usl = ctx.metastore.load_usl(ns, usl_name)
+    if usl is None:
+        raise CommandParseError(f"no USL {usl_name} under {'.'.join(ns)}")
+    spec = next((s for s in usl.tables if s["name"].lower() == table.lower()), None)
+    if spec is None:
+        raise CommandParseError(f"USL {usl_name} has no table {table}")
+    return ns, usl, spec, table
+
+
+@dataclass
+class RegisterDQ(Command):
+    """`DataQualitySpec.scala:211-245`: validate the expression by
+    planning it against the table, then append to the table spec."""
+    name: str
+    table_path: list[str]
+    expression: str
+
+    def run(self, ctx) -> DataFrame:
+        ns, usl, spec, table = _usl_for_table(ctx, self.table_path)
+        dqs = spec.setdefault("dataQualities", [])
+        if any(d["name"] == self.name for d in dqs):
+            raise CommandParseError(f"DQ {self.name} already registered on {table}")
+        df = ctx.resolver.load_table(self.table_path)
+        # validate by forcing analysis of the filter plan (the reference
+        # parse->analyze->optimize->plans it, DataQualitySpec.scala:37-46)
+        _ = df.filter(self.expression).schema
+        dqs.append({"name": self.name, "expression": self.expression})
+        ctx.metastore.save_usl(usl, replace=True)
+        return self._df(ctx, [(self.name, ".".join(self.table_path))],
+                        "dq_name string, table string")
+
+
+@dataclass
+class ListDQ(Command):
+    usl_path: list[str]
+
+    def run(self, ctx) -> DataFrame:
+        rest = _require_root(list(self.usl_path), METASTORE_ROOT, "USL")
+        ns, usl_name = rest[:-1], rest[-1]
+        usl = ctx.metastore.load_usl(ns, usl_name)
+        if usl is None:
+            raise CommandParseError(f"no USL {usl_name} under {'.'.join(ns)}")
+        rows = []
+        for spec_d in usl.tables:
+            spec = CreateTableSpec.from_dict(spec_d)
+            if spec.all_pk_columns():
+                rows.append(("_pk", spec.name, "Primary Key Constraint",
+                             ",".join(spec.all_pk_columns())))
+            for uk in spec.all_unique_keys():
+                rows.append(("_uk", spec.name, "Unique Constraint", ",".join(uk)))
+            for fk in spec.all_foreign_keys():
+                rows.append(("_fk", spec.name, "Foreign Key Constraint",
+                             f"{','.join(fk['columns'])} -> {fk['table']}"
+                             f"({','.join(fk['refColumns'])})"))
+            for d in spec_d.get("dataQualities", []):
+                rows.append((d["name"], spec.name, "Custom Data Quality",
+                             d["expression"]))
+        return self._df(ctx, rows,
+                        "name string, table string, type string, expression string")
+
+
+@dataclass
+class RunDQ(Command):
+    """`DataQualitySpec.scala:280-482` — run constraint + custom checks;
+    (name, table, type, total, valid, invalid) per check. Scalable
+    formulations from operators/dq.py."""
+    table_path: list[str]
+    name: Optional[str] = None
+
+    def run(self, ctx) -> DataFrame:
+        from functools import reduce
+
+        from lightning_metastore_spark.operators import dq as dq_ops
+
+        ns, usl, spec_d, table = _usl_for_table(ctx, self.table_path)
+        spec = CreateTableSpec.from_dict(spec_d)
+        df = ctx.resolver.load_table(self.table_path)
+        results = []
+        if self.name is None:
+            pk = spec.all_pk_columns()
+            if pk:
+                results.append(dq_ops.pk_check(df, pk, ",".join(pk), table))
+            for uk in spec.all_unique_keys():
+                results.append(dq_ops.unique_check(df, uk, ",".join(uk), table))
+            for fk in spec.all_foreign_keys():
+                parent = ctx.resolver.load_table(_split_path(fk["table"]))
+                results.append(dq_ops.fk_check(
+                    df, fk["columns"], parent, fk["refColumns"],
+                    ",".join(fk["columns"]), table))
+        for d in spec_d.get("dataQualities", []):
+            if self.name is None or d["name"] == self.name:
+                results.append(dq_ops.custom_check(
+                    df, d["expression"], d["name"], table))
+        if not results:
+            raise CommandParseError(
+                f"no DQ named {self.name!r} on {table}" if self.name
+                else f"no constraints or DQ on {table}")
+        return reduce(DataFrame.unionAll, results)
+
+
+@dataclass
+class RemoveDQ(Command):
+    name: str
+    table_path: list[str]
+
+    def run(self, ctx) -> DataFrame:
+        ns, usl, spec, table = _usl_for_table(ctx, self.table_path)
+        dqs = spec.get("dataQualities", [])
+        kept = [d for d in dqs if d["name"] != self.name]
+        if len(kept) == len(dqs):
+            raise CommandParseError(f"no DQ named {self.name} on {table}")
+        spec["dataQualities"] = kept
+        ctx.metastore.save_usl(usl, replace=True)
+        return self._df(ctx, [(self.name, table)], "removed string, table string")
+
+
+@dataclass
+class ShowDQRecords(Command):
+    """`DataQualitySpec.scala:509-621` — return the valid or invalid rows."""
+    name: str
+    table_path: list[str]
+    valid: bool
+    limit: Optional[int] = None
+
+    def run(self, ctx) -> DataFrame:
+        from lightning_metastore_spark.operators import dq as dq_ops
+
+        _, _, spec, table = _usl_for_table(ctx, self.table_path)
+        d = next((x for x in spec.get("dataQualities", [])
+                  if x["name"] == self.name), None)
+        if d is None:
+            raise CommandParseError(f"no DQ named {self.name} on {table}")
+        df = ctx.resolver.load_table(self.table_path)
+        return dq_ops.dq_records(df, d["expression"], valid=self.valid,
+                                 limit=self.limit)
+
+
+# ---------------------------------------------------------------------------
+# parsing
+# ---------------------------------------------------------------------------
+
+_R_DS = re.compile(
+    r"^REGISTER\s+(?P<replace>OR\s+REPLACE\s+)?(?P<type>" + _SOURCE_TYPES_ALT + r")\s+"
+    r"DATASOURCE\s+(?P<name>[\w\-]+)\s*"
+    r"(?:OPTIONS\s*\((?P<opts>.*?)\)\s*)?"
+    r"NAMESPACE\s+(?P<ns>[\w.\-]+)\s*"
+    r"(?:TAG\s*\((?P<tag>.*?)\)\s*)?$",
+    re.I | re.S)
+
+_R_CAT = re.compile(
+    r"^REGISTER\s+(?P<replace>OR\s+REPLACE\s+)?CATALOG\s+(?P<name>[\w\-]+)\s*"
+    r"(?:OPTIONS\s*\((?P<opts>.*?)\)\s*)?"
+    r"SOURCE\s+(?P<src>[\w.\-]+)\s*"
+    r"(?:NAME\s+LIKE\s+'(?P<like>[^']*)'\s*)?"
+    r"NAMESPACE\s+(?P<ns>[\w.\-]+)\s*$",
+    re.I | re.S)
+
+_R_CREATE_NS = re.compile(
+    r"^CREATE\s+NAMESPACE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<path>[\w.\-]+)\s*$", re.I)
+_R_DROP_NS = re.compile(
+    r"^DROP\s+NAMESPACE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<path>[\w.\-]+)"
+    r"\s*(?P<cascade>CASCADE)?\s*$", re.I)
+_R_SHOW_NS = re.compile(
+    r"^SHOW\s+NAMESPACES(\s+IN\s+(?P<path>[\w.\-]+))?\s*$", re.I)
+_R_SHOW_T = re.compile(r"^SHOW\s+TABLES\s+IN\s+(?P<path>[\w.\-]+)\s*$", re.I)
+_R_SHOW_NT = re.compile(
+    r"^SHOW\s+NAMESPACES\s+OR\s+TABLES\s+IN\s+(?P<path>[\w.\-]+)\s*$", re.I)
+_R_DESC = re.compile(
+    r"^(DESC|DESCRIBE)\s+(TABLE\s+|DATASOURCE\s+)?(?P<path>[\w.\-]+)\s*$", re.I)
+_R_DROP_DS = re.compile(r"^DROP\s+DATASOURCE\s+(?P<path>[\w.\-]+)\s*$", re.I)
+
+_R_COMPILE = re.compile(
+    r"^COMPILE\s+USL\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w\-]+)\s+"
+    r"(?P<deploy>DEPLOY\s+)?NAMESPACE\s+(?P<ns>[\w.\-]+)\s+DDL\s+(?P<ddl>.*)$",
+    re.I | re.S)
+_R_ACTIVATE = re.compile(
+    r"^ACTIVATE\s+USL\s+TABLE\s+(?P<path>[\w.\-]+)\s+AS\s+(?P<q>.*)$", re.I | re.S)
+_R_LOAD_USL = re.compile(
+    r"^LOAD\s+USL\s+(?P<name>[\w\-]+)\s+NAMESPACE\s+(?P<ns>[\w.\-]+)\s*$", re.I)
+_R_UPDATE_USL = re.compile(
+    r"^UPDATE\s+USL\s+(?P<name>[\w\-]+)\s+NAMESPACE\s+(?P<ns>[\w.\-]+)\s+AS\s+(?P<p>.*)$",
+    re.I | re.S)
+_R_REMOVE_USL = re.compile(
+    r"^REMOVE\s+USL\s+(?P<name>[\w\-]+)\s+NAMESPACE\s+(?P<ns>[\w.\-]+)\s*$", re.I)
+
+_R_REG_DQ = re.compile(
+    r"^REGISTER\s+DQ\s+(?P<name>[\w\-]+)\s+TABLE\s+(?P<t>[\w.\-]+)\s+AS\s+(?P<e>.*)$",
+    re.I | re.S)
+_R_LIST_DQ = re.compile(r"^LIST\s+DQ\s+USL\s+(?P<path>[\w.\-]+)\s*$", re.I)
+_R_RUN_DQ = re.compile(
+    r"^RUN\s+DQ\s+(?:(?P<name>[\w\-]+)\s+)?TABLE\s+(?P<t>[\w.\-]+)\s*$", re.I)
+_R_REMOVE_DQ = re.compile(
+    r"^REMOVE\s+DQ\s+(?P<name>[\w\-]+)\s+TABLE\s+(?P<t>[\w.\-]+)\s*$", re.I)
+_R_SHOW_DQ = re.compile(
+    r"^SHOW\s+DQ\s+(?P<kind>VALID|INVALID)\s+RECORD\s+(?P<name>[\w\-]+)\s+"
+    r"TABLE\s+(?P<t>[\w.\-]+)(\s+LIMIT\s+(?P<limit>\d+))?\s*$", re.I)
+
+
+def parse_command(sql: str) -> Command:
+    text = strip_comments(sql)
+
+    m = _R_DS.match(text)
+    if m:
+        return RegisterDataSource(
+            name=m.group("name"), source_type=m.group("type").upper(),
+            namespace=_split_path(m.group("ns")),
+            options=parse_options(m.group("opts") or ""),
+            replace=bool(m.group("replace")),
+            tag_schema=(m.group("tag").strip() if m.group("tag") else None))
+    m = _R_CAT.match(text)
+    if m:
+        return RegisterCatalog(
+            name=m.group("name"), source=_split_path(m.group("src")),
+            namespace=_split_path(m.group("ns")),
+            replace=bool(m.group("replace")), name_like=m.group("like"),
+            options=parse_options(m.group("opts") or ""))
+    m = _R_COMPILE.match(text)
+    if m:
+        return CompileUSL(name=m.group("name"), namespace=_split_path(m.group("ns")),
+                          ddl=m.group("ddl"), deploy=bool(m.group("deploy")),
+                          if_not_exists=bool(m.group("ine")))
+    m = _R_ACTIVATE.match(text)
+    if m:
+        return ActivateUSLTable(path=_split_path(m.group("path")), query=m.group("q"))
+    m = _R_LOAD_USL.match(text)
+    if m:
+        return LoadUSL(m.group("name"), _split_path(m.group("ns")))
+    m = _R_UPDATE_USL.match(text)
+    if m:
+        return UpdateUSL(m.group("name"), _split_path(m.group("ns")), m.group("p"))
+    m = _R_REMOVE_USL.match(text)
+    if m:
+        return RemoveUSL(m.group("name"), _split_path(m.group("ns")))
+    m = _R_REG_DQ.match(text)
+    if m:
+        return RegisterDQ(m.group("name"), _split_path(m.group("t")), m.group("e"))
+    m = _R_LIST_DQ.match(text)
+    if m:
+        return ListDQ(_split_path(m.group("path")))
+    m = _R_RUN_DQ.match(text)
+    if m:
+        return RunDQ(_split_path(m.group("t")), m.group("name"))
+    m = _R_REMOVE_DQ.match(text)
+    if m:
+        return RemoveDQ(m.group("name"), _split_path(m.group("t")))
+    m = _R_SHOW_DQ.match(text)
+    if m:
+        return ShowDQRecords(m.group("name"), _split_path(m.group("t")),
+                             valid=m.group("kind").upper() == "VALID",
+                             limit=int(m.group("limit")) if m.group("limit") else None)
+    m = _R_SHOW_NT.match(text)
+    if m:
+        return ShowNamespacesOrTables(_split_path(m.group("path")))
+    m = _R_SHOW_NS.match(text)
+    if m:
+        return ShowNamespaces(_split_path(m.group("path") or ""))
+    m = _R_SHOW_T.match(text)
+    if m:
+        return ShowTables(_split_path(m.group("path")))
+    m = _R_CREATE_NS.match(text)
+    if m:
+        return CreateNamespace(_split_path(m.group("path")), bool(m.group("ine")))
+    m = _R_DROP_NS.match(text)
+    if m:
+        return DropNamespace(_split_path(m.group("path")), bool(m.group("ie")),
+                             bool(m.group("cascade")))
+    m = _R_DROP_DS.match(text)
+    if m:
+        return DropDataSource(_split_path(m.group("path")))
+    m = _R_DESC.match(text)
+    if m:
+        return DescribeTable(_split_path(m.group("path")))
+    raise CommandParseError(f"unrecognized Lightning command: {text[:80]!r}")

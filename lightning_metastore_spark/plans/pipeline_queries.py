@@ -23,6 +23,116 @@ from lightning_metastore_spark.plans.queries import QuerySpec
 from lightning_metastore_spark.session import load_tables
 
 
+# --- catalog-routed queries ------------------------------------------------
+# These run through the FULL Lightning stack: DDL command -> JSON
+# metastore -> resolver rewrite of lightning.* names -> spark.sql. The
+# oracle sees the same relational result, proving the catalog layer adds
+# resolution, not semantics (the reference's delegation contract).
+
+def _ctx(spark, sf_dir: str):
+    import tempfile
+
+    from lightning_metastore_spark.context import LightningContext
+
+    ctx = LightningContext(
+        spark, warehouse=tempfile.mkdtemp(prefix="lightning-gate-"))
+    ctx.sql("CREATE NAMESPACE IF NOT EXISTS lightning.datasource.file")
+    ctx.sql(f"REGISTER OR REPLACE PARQUET DATASOURCE tpch "
+            f"OPTIONS(path '{sf_dir}') NAMESPACE lightning.datasource.file")
+    return ctx
+
+
+def catalog_federated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's doc revenue query shape (lightning-commands.md:
+    112-128) run over lightning.* names end-to-end."""
+    ctx = _ctx(spark, sf_dir)
+    return ctx.sql("""
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE)
+                 / 10000 AS revenue,
+               COUNT(*) AS n_items
+        FROM lightning.datasource.file.tpch.lineitem
+        JOIN lightning.datasource.file.tpch.orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)
+
+
+CATALOG_FEDERATED_ORACLE = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE)
+         / 10000 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def catalog_usl_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USL compile -> activate -> query: the governed-view path
+    (CompileUSLSpec / ActivateUSLTableSpec / USLTableScan)."""
+    ctx = _ctx(spark, sf_dir)
+    ctx.sql("CREATE NAMESPACE IF NOT EXISTS lightning.metastore.crm")
+    ctx.sql("""COMPILE USL gate_mart DEPLOY NAMESPACE lightning.metastore.crm DDL
+        create table vip (c_custkey BIGINT primary key, c_name String,
+                          c_acctbal double)""")
+    ctx.sql("""ACTIVATE USL TABLE lightning.metastore.crm.gate_mart.vip AS
+        SELECT c_custkey, c_name, c_acctbal
+        FROM lightning.datasource.file.tpch.customer
+        WHERE c_acctbal > 5000""")
+    return ctx.sql("""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM lightning.metastore.crm.gate_mart.vip
+        ORDER BY c_custkey
+    """)
+
+
+CATALOG_USL_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer WHERE c_acctbal > 5000
+ORDER BY c_custkey
+"""
+
+
+def catalog_dq_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUN DQ through the command layer over a USL table (constraint +
+    custom checks, DataQualitySpec semantics)."""
+    ctx = _ctx(spark, sf_dir)
+    ctx.sql("CREATE NAMESPACE IF NOT EXISTS lightning.metastore.dqns")
+    ctx.sql("""COMPILE USL dq_mart DEPLOY NAMESPACE lightning.metastore.dqns DDL
+        create table ords (o_orderkey BIGINT primary key, o_custkey BIGINT,
+                           o_totalprice double)""")
+    ctx.sql("""ACTIVATE USL TABLE lightning.metastore.dqns.dq_mart.ords AS
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM lightning.datasource.file.tpch.orders""")
+    ctx.sql("""REGISTER DQ price_pos TABLE lightning.metastore.dqns.dq_mart.ords
+        AS o_totalprice > 0""")
+    return (ctx.sql("RUN DQ TABLE lightning.metastore.dqns.dq_mart.ords")
+            .orderBy("check_type"))
+
+
+CATALOG_DQ_ORACLE = """
+SELECT 'o_orderkey' AS dq_name, 'ords' AS table_name,
+       'Primary Key Constraint' AS check_type,
+       (SELECT COUNT(*) FROM orders) AS total,
+       (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+          WHERE o_orderkey IS NOT NULL GROUP BY 1 HAVING COUNT(*) = 1)) AS valid,
+       (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM (
+          SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL
+          GROUP BY 1 HAVING COUNT(*) = 1)) AS invalid
+UNION ALL
+SELECT 'price_pos', 'ords', 'Custom Data Quality',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders WHERE o_totalprice > 0),
+       (SELECT COUNT(*) FROM orders) -
+       (SELECT COUNT(*) FROM orders WHERE o_totalprice > 0)
+ORDER BY check_type
+"""
+
+
 # --- dedup -----------------------------------------------------------------
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,6 +418,13 @@ FROM lineitem
 
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     s.name: s for s in [
+        QuerySpec("catalog_federated_revenue", catalog_federated_revenue,
+                  CATALOG_FEDERATED_ORACLE,
+                  "full catalog stack: REGISTER -> resolver -> spark.sql"),
+        QuerySpec("catalog_usl_view", catalog_usl_view, CATALOG_USL_ORACLE,
+                  "USL compile/activate/query (governed view)"),
+        QuerySpec("catalog_dq_run", catalog_dq_run, CATALOG_DQ_ORACLE,
+                  "RUN DQ command over a USL table"),
         QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE,
                   "exact dedup via normalized-text hash groupBy"),
         QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, _JACCARD_ORACLE,

@@ -1,0 +1,393 @@
+"""Unstructured file tables (PDF / TEXT / IMAGE / VIDEO) over binaryFile.
+
+Reference architecture (SURVEY.md §2.3): DSv2 FileTable per modality,
+one row per whole file, metadata table (`...name`) + content table
+(`...name.content`), three scan modes, declared TAG columns fed from
+`.tag` JSON sidecars, and content laziness driven by column projection
+(`UnstructuredFilePartitionReaderFactory.scala`).
+
+PySpark mapping:
+- `spark.read.format("binaryFile")` supplies (path, modificationTime,
+  length, content); its scan already pushes path/length/modificationTime
+  filters and never splits files — identical physics to the reference's
+  `isSplitable=false` whole-file reader.
+- scan modes: file_scan = top-level glob; recursive_scan =
+  recursiveFileLookup + derived `subdir` column; parts_scan = Hive-style
+  partition discovery (pruning for free, as the reference gets from
+  `InMemoryFileIndex`).
+- extraction runs in `mapInPandas` (Arrow-batched) AFTER any metadata
+  filters, mirroring the reference's filter-before-extract ordering.
+- decode/extract for modalities whose libraries aren't in this
+  container (PIL thumbnails, EXIF, full PDF text) degrade to
+  clearly-marked deterministic stubs; pure-Python parsers give REAL
+  width/height for PNG/JPEG/GIF and duration/dims for MP4.
+
+Scale: one row per file; partitions = files. At 100 TB the knobs are
+`spark.sql.files.maxPartitionBytes` (packs small files per task) and
+partition-dir pruning — both native to the binaryFile source.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import re
+import struct
+from typing import Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lightning_metastore_spark.catalog.units import CatalogUnit, CatalogUnitError
+from lightning_metastore_spark.model.serde import DataSource
+
+DEFAULT_GLOBS = {
+    "PDF": "*.pdf",
+    "TEXT": "*.txt",
+    "IMAGE": "*.{png,jpg,jpeg,gif,bmp}",
+    "VIDEO": "*.{mp4,mov,avi,mkv}",
+    "AUDIO": "*.{mp3,wav,flac}",
+}
+
+PREVIEW_LEN_OPT = "pdf_preview_len"       # UnstructuredData.scala:68-69
+THUMB_W_OPT = "image_thumbnail_with"      # (sic — reference option name)
+THUMB_H_OPT = "image_thumbnail_height"
+DEFAULT_PREVIEW_LEN = 1000
+DEFAULT_THUMB = 100
+
+
+# ---------------------------------------------------------------------------
+# pure-Python extractors (deterministic; import-gated libs upgrade them)
+# ---------------------------------------------------------------------------
+
+def png_jpeg_dimensions(data: bytes) -> tuple[Optional[int], Optional[int]]:
+    """Real header parsing for PNG / JPEG / GIF / BMP — no library."""
+    try:
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h = struct.unpack(">II", data[16:24])
+            return int(w), int(h)
+        if data[:2] == b"\xff\xd8":  # JPEG: scan for SOFn marker
+            i = 2
+            while i + 9 < len(data):
+                if data[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = data[i + 1]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", data[i + 5: i + 9])
+                    return int(w), int(h)
+                seglen = struct.unpack(">H", data[i + 2: i + 4])[0]
+                i += 2 + seglen
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", data[6:10])
+            return int(w), int(h)
+        if data[:2] == b"BM":
+            w, h = struct.unpack("<ii", data[18:26])
+            return int(w), abs(int(h))
+    except Exception:
+        pass
+    return None, None
+
+
+def mp4_metadata(data: bytes) -> dict:
+    """Real MP4 box walk: mvhd -> duration seconds, tkhd -> dimensions.
+    Mirrors the reference's Duration / Media Time Scale tag reads
+    (VideoReaderFactory.scala:36-107)."""
+    out: dict = {"duration": None, "width": None, "height": None, "format": None}
+    try:
+        if data[4:8] == b"ftyp":
+            out["format"] = data[8:12].decode("ascii", "ignore").strip()
+
+        def walk(buf: bytes, start: int, end: int) -> None:
+            i = start
+            while i + 8 <= end:
+                size = struct.unpack(">I", buf[i: i + 4])[0]
+                box = buf[i + 4: i + 8]
+                if size < 8:
+                    break
+                if box in (b"moov", b"trak"):
+                    walk(buf, i + 8, min(i + size, end))
+                elif box == b"mvhd":
+                    ver = buf[i + 8]
+                    if ver == 0:
+                        scale, dur = struct.unpack(">II", buf[i + 20: i + 28])
+                    else:
+                        scale = struct.unpack(">I", buf[i + 28: i + 32])[0]
+                        dur = struct.unpack(">Q", buf[i + 32: i + 40])[0]
+                    if scale:
+                        out["duration"] = round(dur / scale, 3)
+                elif box == b"tkhd":
+                    ver = buf[i + 8]
+                    off = i + 8 + (96 if ver == 1 else 84)
+                    w, h = struct.unpack(">II", buf[off: off + 8])
+                    if w and h and out["width"] is None:
+                        out["width"], out["height"] = w >> 16, h >> 16
+                i += size
+        walk(data, 0, len(data))
+    except Exception:
+        pass
+    return out
+
+
+def pdf_text(data: bytes, max_chars: int) -> str:
+    """PDF text extraction. Uses pypdf when available; otherwise a
+    deterministic STUB that pulls printable text out of uncompressed
+    content streams — adequate for previews/tests, clearly not a full
+    extractor (container lacks pdf libs; see module docstring)."""
+    try:
+        import pypdf  # type: ignore
+
+        reader = pypdf.PdfReader(io.BytesIO(data))
+        text = "\n".join((p.extract_text() or "") for p in reader.pages)
+        return text[:max_chars]
+    except Exception:
+        pass
+    chunks = re.findall(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj", data)
+    if not chunks:
+        chunks = re.findall(rb"\(((?:[^()\\]|\\.)*)\)", data[:200_000])
+    text = b" ".join(chunks).decode("latin-1", "ignore")
+    return text[:max_chars]
+
+
+def image_thumbnail(data: bytes, w: int, h: int) -> Optional[bytes]:
+    """Thumbnail via Pillow when available; STUB -> None otherwise
+    (reference uses Thumbnailator, UnstructuredData.scala:195-202)."""
+    try:
+        from PIL import Image  # type: ignore
+
+        img = Image.open(io.BytesIO(data))
+        img.thumbnail((w, h))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+    except Exception:
+        return None
+
+
+def image_tags(data: bytes) -> str:
+    """EXIF tag JSON; STUB '{}' without Pillow (reference uses
+    metadata-extractor)."""
+    try:
+        from PIL import ExifTags, Image  # type: ignore
+
+        img = Image.open(io.BytesIO(data))
+        exif = img.getexif()
+        tags = {str(ExifTags.TAGS.get(k, k)): str(v) for k, v in exif.items()}
+        return json.dumps(tags, sort_keys=True)
+    except Exception:
+        return "{}"
+
+
+# ---------------------------------------------------------------------------
+# modality schemas (FIXTURES.md §5 / reference *Table.scala)
+# ---------------------------------------------------------------------------
+
+METADATA_SCHEMAS = {
+    "PDF": ("type string, path string, modifiedat timestamp, "
+            "sizeinbytes bigint, preview string"),
+    "TEXT": ("type string, path string, modifiedat timestamp, "
+             "sizeinbytes bigint, preview string"),
+    "IMAGE": ("type string, path string, modifiedat timestamp, "
+              "sizeinbytes bigint, width int, height int, tags string, "
+              "imagethumbnail binary"),
+    "VIDEO": ("type string, path string, format string, modifiedat timestamp, "
+              "sizeinbytes bigint, duration float, width int, height int, "
+              "tags string"),
+}
+
+CONTENT_SCHEMAS = {
+    "PDF": "path string, textcontent string, bincontent binary",
+    "TEXT": "path string, textcontent string",
+    "IMAGE": "path string, imagecontent binary",
+    "VIDEO": "path string, videothumbnail binary, videocontent binary",
+}
+
+
+class UnstructuredCatalogUnit(CatalogUnit):
+    """One datasource -> two logical tables: `<name>` (metadata) and
+    `<name>.content` (reference resolves the trailing `content`
+    identifier, AbstractLightningCatalog.scala:293-301)."""
+
+    def __init__(self, ds: DataSource):
+        super().__init__(ds)
+        if ds.source_type not in METADATA_SCHEMAS:
+            raise CatalogUnitError(
+                f"unsupported unstructured type {ds.source_type} "
+                f"(reference leaves AUDIO unimplemented too)")
+
+    @property
+    def path(self) -> str:
+        p = self.ds.options.get("path")
+        if not p:
+            raise CatalogUnitError(f"{self.ds.name}: missing 'path' option")
+        return p
+
+    @property
+    def scan_type(self) -> str:
+        return self.ds.options.get("scan_type", "file_scan")
+
+    def _binary_df(self, spark: SparkSession) -> DataFrame:
+        glob = self.ds.options.get("glob", DEFAULT_GLOBS[self.ds.source_type])
+        reader = (spark.read.format("binaryFile")
+                  .option("pathGlobFilter", glob))
+        mode = self.scan_type
+        if mode == "recursive_scan":
+            df = reader.option("recursiveFileLookup", "true").load(self.path)
+            root = re.escape("file:" + os.path.abspath(self.path))
+            df = df.withColumn(
+                "subdir",
+                F.regexp_extract("path", root + r"/(?:(.*)/)?[^/]+$", 1))
+        elif mode == "parts_scan":
+            df = reader.load(self.path)  # Hive partition discovery on
+        else:  # file_scan — leaf files of the root dir only
+            df = reader.option("recursiveFileLookup", "true").load(self.path)
+            root = re.escape("file:" + os.path.abspath(self.path))
+            df = df.filter(F.col("path").rlike(root + r"/[^/]+$"))
+        return df
+
+    # -- table loading ------------------------------------------------------
+
+    def load_table(self, spark: SparkSession, residual: list[str]) -> DataFrame:
+        if residual == ["content"]:
+            return self._content_table(spark)
+        if residual:
+            raise CatalogUnitError(
+                f"unstructured datasource {self.ds.name} has no table "
+                f"{'.'.join(residual)} (only <name> and <name>.content)")
+        return self._metadata_table(spark)
+
+    def list_tables(self, spark: SparkSession, residual: list[str]) -> list[str]:
+        return [self.ds.name, "content"] if not residual else []
+
+    def _extra_cols(self, df: DataFrame) -> list[str]:
+        base = {"path", "modificationTime", "length", "content"}
+        return [c for c in df.columns if c not in base]
+
+    def _metadata_table(self, spark: SparkSession) -> DataFrame:
+        df = self._binary_df(spark)
+        st = self.ds.source_type
+        extra = self._extra_cols(df)  # subdir / partition cols
+        preview_len = int(self.ds.options.get(PREVIEW_LEN_OPT, DEFAULT_PREVIEW_LEN))
+        tw = int(self.ds.options.get(THUMB_W_OPT, DEFAULT_THUMB))
+        th = int(self.ds.options.get(THUMB_H_OPT, DEFAULT_THUMB))
+        schema = METADATA_SCHEMAS[st] + "".join(
+            f", {c} string" for c in extra)
+
+        def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf_ in batches:
+                rows = []
+                for _, r in pdf_.iterrows():
+                    data = bytes(r["content"])
+                    base = {"type": st.lower(), "path": r["path"],
+                            "modifiedat": r["modificationTime"],
+                            "sizeinbytes": int(r["length"])}
+                    if st in ("PDF", "TEXT"):
+                        base["preview"] = (
+                            pdf_text(data, preview_len) if st == "PDF"
+                            else data.decode("utf-8", "ignore")[:preview_len])
+                    elif st == "IMAGE":
+                        w, h = png_jpeg_dimensions(data)
+                        base.update(width=w, height=h, tags=image_tags(data),
+                                    imagethumbnail=image_thumbnail(data, tw, th))
+                    elif st == "VIDEO":
+                        meta = mp4_metadata(data)
+                        base.update(format=meta["format"],
+                                    duration=meta["duration"],
+                                    width=meta["width"], height=meta["height"],
+                                    tags="{}")
+                    for c in extra:
+                        base[c] = r[c]
+                    rows.append(base)
+                cols = [f.strip().split()[0] for f in schema.split(",")]
+                yield pd.DataFrame(rows, columns=cols) if rows else \
+                    pd.DataFrame(columns=cols)
+
+        out = df.mapInPandas(extract, schema=schema)
+        return self._with_tags(spark, out)
+
+    def _content_table(self, spark: SparkSession) -> DataFrame:
+        df = self._binary_df(spark)
+        st = self.ds.source_type
+        if st == "TEXT":
+            return df.select("path",
+                             F.decode("content", "UTF-8").alias("textcontent"))
+        if st == "IMAGE":
+            return df.select("path", F.col("content").alias("imagecontent"))
+        if st == "VIDEO":
+            tw = int(self.ds.options.get(THUMB_W_OPT, DEFAULT_THUMB))
+            return df.select("path", F.lit(None).cast("binary").alias("videothumbnail"),
+                             F.col("content").alias("videocontent"))
+        # PDF
+        preview_len = 10_000_000
+
+        def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf_ in batches:
+                rows = [{"path": r["path"],
+                         "textcontent": pdf_text(bytes(r["content"]), preview_len),
+                         "bincontent": bytes(r["content"])}
+                        for _, r in pdf_.iterrows()]
+                yield pd.DataFrame(rows, columns=["path", "textcontent", "bincontent"]) \
+                    if rows else pd.DataFrame(columns=["path", "textcontent", "bincontent"])
+
+        return df.mapInPandas(
+            extract, schema="path string, textcontent string, bincontent binary")
+
+    # -- TAG sidecars -------------------------------------------------------
+
+    def _with_tags(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        """Append declared TAG columns from `<file>.tag` JSON sidecars
+        (UnstructuredFilePartitionReaderFactory.scala:106-116); missing
+        sidecar -> nulls. Implemented as a broadcast left join against a
+        sidecar DataFrame — metadata-sized, never a shuffle on the fact
+        side."""
+        if not self.ds.tag_schema:
+            return df
+        try:
+            tags_raw = (spark.read.format("binaryFile")
+                        .option("pathGlobFilter", "*.tag")
+                        .option("recursiveFileLookup", "true")
+                        .load(self.path))
+        except Exception:
+            tags_raw = None
+        tag_schema = self.ds.tag_schema
+        if tags_raw is None or not tags_raw.head(1):
+            parsed = None
+        else:
+            parsed = (tags_raw
+                      .select(F.expr("substring(path, 1, length(path) - 4)").alias("path"),
+                              F.from_json(F.decode("content", "UTF-8"),
+                                          tag_schema).alias("t")))
+        if parsed is None:
+            from pyspark.sql.types import StructType
+            empty_struct = F.from_json(F.lit(None).cast("string"), tag_schema)
+            return df.withColumn("__t", empty_struct).select("*", "__t.*").drop("__t")
+        return (df.join(F.broadcast(parsed), "path", "left")
+                .select("*", "t.*").drop("t"))
+
+    # -- writes (INSERT INTO unstructured tables) ---------------------------
+
+    def write_table(self, df: DataFrame, residual: list[str],
+                    mode: str = "append") -> None:
+        """Write rows back as files (UnstructuredFileWrite.scala:37-93):
+        each row provides `path` (file name) + the modality content
+        column. foreachPartition — executor-side, no driver collect."""
+        st = self.ds.source_type
+        content_col = {"PDF": "bincontent", "TEXT": "textcontent",
+                       "IMAGE": "imagecontent", "VIDEO": "videocontent"}[st]
+        root = self.path
+        is_text = st == "TEXT"
+
+        def write_partition(rows) -> None:
+            for r in rows:
+                d = r.asDict()
+                name = os.path.basename(str(d["path"]))
+                data = d[content_col]
+                out = os.path.join(root, name)
+                os.makedirs(root, exist_ok=True)
+                with open(out, "w" if is_text else "wb") as fh:
+                    fh.write(data)
+
+        df.foreachPartition(write_partition)

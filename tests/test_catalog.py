@@ -1,0 +1,239 @@
+"""End-to-end catalog tests mirroring the reference suites
+(RegisterFileDataSourceTestSuite, RegisterCatalogTestSuite,
+CompileUCLTestSuite, ActivateUCLTableTestSuite,
+RegisterDataQualityTestSuite — SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from lightning_metastore_spark.context import LightningContext  # noqa: E402
+
+from tests.conftest import SF_DIR  # noqa: E402
+
+TAXIS = [(1, 1000371, 1.8, 15.32, "N"), (2, 1000372, 2.5, 22.15, "N"),
+         (2, 1000373, 0.9, 9.01, "N"), (1, 1000374, 8.4, 42.13, "Y")]
+TAXIS_COLS = ["vendor_id", "trip_id", "trip_distance", "fare_amount",
+              "store_and_fwd_flag"]
+
+
+@pytest.fixture()
+def ctx(spark, tmp_path):
+    return LightningContext(spark, warehouse=str(tmp_path / "model"))
+
+
+def test_register_parquet_datasource_and_query(ctx):
+    ctx.sql("CREATE NAMESPACE lightning.datasource.file")
+    ctx.sql(f"REGISTER PARQUET DATASOURCE tpch OPTIONS(path '{SF_DIR}') "
+            f"NAMESPACE lightning.datasource.file")
+    out = ctx.sql("""
+        SELECT o_orderpriority, count(*) AS n
+        FROM lightning.datasource.file.tpch.orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """).collect()
+    assert len(out) == 5 and all(r.n > 0 for r in out)
+
+
+def test_register_requires_namespace_root(ctx):
+    with pytest.raises(Exception, match="lightning.datasource"):
+        ctx.sql(f"REGISTER PARQUET DATASOURCE t OPTIONS(path '{SF_DIR}') "
+                f"NAMESPACE lightning.metastore.nope")
+
+
+def test_federated_join_across_two_sources(ctx, spark, tmp_path):
+    """data_virtulization.md:127-156 — join across two registered
+    sources (here: parquet x csv)."""
+    csv_dir = tmp_path / "csvsrc"
+    spark.createDataFrame(
+        [(1, "BUILDING"), (2, "AUTOMOBILE")], ["seg_id", "segment"]
+    ).write.option("header", "true").csv(str(csv_dir / "segmap.csv"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.file")
+    ctx.sql(f"REGISTER PARQUET DATASOURCE tpch OPTIONS(path '{SF_DIR}') "
+            f"NAMESPACE lightning.datasource.file")
+    ctx.sql(f"REGISTER CSV DATASOURCE segs OPTIONS(path '{csv_dir}') "
+            f"NAMESPACE lightning.datasource.file")
+    out = ctx.sql("""
+        SELECT s.segment, count(*) AS n
+        FROM lightning.datasource.file.tpch.customer c
+        JOIN lightning.datasource.file.segs.segmap s
+          ON c.c_mktsegment = s.segment
+        GROUP BY s.segment ORDER BY s.segment
+    """).collect()
+    assert [r.segment for r in out] == ["AUTOMOBILE", "BUILDING"]
+
+
+def test_show_namespaces_and_tables(ctx):
+    ctx.sql("CREATE NAMESPACE lightning.datasource.file")
+    ctx.sql(f"REGISTER PARQUET DATASOURCE tpch OPTIONS(path '{SF_DIR}') "
+            f"NAMESPACE lightning.datasource.file")
+    ns = [r.namespace for r in ctx.sql("SHOW NAMESPACES IN lightning").collect()]
+    assert ns == ["datasource", "metastore"]
+    ns2 = [r.namespace for r in
+           ctx.sql("SHOW NAMESPACES IN lightning.datasource").collect()]
+    assert "file" in ns2
+    tables = [r.tableName for r in
+              ctx.sql("SHOW TABLES IN lightning.datasource.file.tpch").collect()]
+    assert "orders" in tables and "lineitem" in tables
+    merged = {(r.name, r.type) for r in
+              ctx.sql("SHOW NAMESPACES OR TABLES IN lightning.datasource.file").collect()}
+    assert ("tpch", "datasource") in merged
+
+
+def test_describe_table(ctx):
+    ctx.sql("CREATE NAMESPACE lightning.datasource.file")
+    ctx.sql(f"REGISTER PARQUET DATASOURCE tpch OPTIONS(path '{SF_DIR}') "
+            f"NAMESPACE lightning.datasource.file")
+    rows = ctx.sql("DESCRIBE TABLE lightning.datasource.file.tpch.region").collect()
+    assert [(r.col_name, r.data_type) for r in rows] == [
+        ("r_regionkey", "int"), ("r_name", "string")]
+
+
+def test_register_catalog_snapshot(ctx):
+    ctx.sql("CREATE NAMESPACE lightning.datasource.file")
+    ctx.sql(f"REGISTER PARQUET DATASOURCE tpch OPTIONS(path '{SF_DIR}') "
+            f"NAMESPACE lightning.datasource.file")
+    ctx.sql("CREATE NAMESPACE lightning.metastore.snap")
+    registered = ctx.sql(
+        "REGISTER CATALOG tpchsnap SOURCE lightning.datasource.file.tpch "
+        "NAME LIKE '%r%' NAMESPACE lightning.metastore.snap").collect()
+    names = {r.registered.split(".")[-1] for r in registered}
+    # only tables containing 'r' (LIKE filter, RegisterCatalogSpec :41-49)
+    assert "orders" in names and "region" in names
+    assert "events" not in names
+    out = ctx.sql("""
+        SELECT count(*) AS n FROM lightning.metastore.snap.tpchsnap.orders
+    """).collect()
+    assert out[0].n == 1500
+
+
+USL_DDL = """
+create table customers (c_custkey BIGINT primary key, c_name String,
+  c_mktsegment String, UNIQUE (c_custkey, c_name));
+create table big_orders (o_orderkey BIGINT primary key, o_custkey BIGINT,
+  o_totalprice double,
+  foreign key(o_custkey) references customers(c_custkey))
+"""
+
+
+def _setup_usl(ctx):
+    ctx.sql("CREATE NAMESPACE lightning.datasource.file")
+    ctx.sql(f"REGISTER PARQUET DATASOURCE tpch OPTIONS(path '{SF_DIR}') "
+            f"NAMESPACE lightning.datasource.file")
+    ctx.sql("CREATE NAMESPACE lightning.metastore.crm")
+    ctx.sql(f"COMPILE USL ordermart DEPLOY NAMESPACE lightning.metastore.crm "
+            f"DDL {USL_DDL}")
+
+
+def test_usl_compile_activate_query(ctx):
+    _setup_usl(ctx)
+    ctx.sql("""ACTIVATE USL TABLE lightning.metastore.crm.ordermart.customers AS
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM lightning.datasource.file.tpch.customer""")
+    ctx.sql("""ACTIVATE USL TABLE lightning.metastore.crm.ordermart.big_orders AS
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM lightning.datasource.file.tpch.orders WHERE o_totalprice > 300000""")
+    out = ctx.sql("""
+        SELECT c.c_mktsegment, count(*) AS n
+        FROM lightning.metastore.crm.ordermart.big_orders o
+        JOIN lightning.metastore.crm.ordermart.customers c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """).collect()
+    assert len(out) == 5
+
+
+def test_usl_not_activated_error(ctx):
+    _setup_usl(ctx)
+    with pytest.raises(Exception, match="not activated"):
+        ctx.sql("SELECT * FROM lightning.metastore.crm.ordermart.customers").collect()
+
+
+def test_usl_type_mismatch_rejected(ctx):
+    """ActivateUCLTableTestSuite: downcasts are rejected by the
+    upcast-compat lattice (LightningSource.scala:68-90)."""
+    _setup_usl(ctx)
+    with pytest.raises(Exception, match="type mismatch"):
+        ctx.sql("""ACTIVATE USL TABLE lightning.metastore.crm.ordermart.customers AS
+            SELECT CAST(c_custkey AS STRING), c_name, c_mktsegment
+            FROM lightning.datasource.file.tpch.customer""")
+    with pytest.raises(Exception, match="column count"):
+        ctx.sql("""ACTIVATE USL TABLE lightning.metastore.crm.ordermart.customers AS
+            SELECT c_custkey, c_name
+            FROM lightning.datasource.file.tpch.customer""")
+
+
+def test_usl_load_update_remove(ctx):
+    _setup_usl(ctx)
+    loaded = ctx.sql("LOAD USL ordermart NAMESPACE lightning.metastore.crm").collect()
+    assert "customers" in loaded[0].json
+    ctx.sql("REMOVE USL ordermart NAMESPACE lightning.metastore.crm")
+    with pytest.raises(Exception, match="no USL"):
+        ctx.sql("LOAD USL ordermart NAMESPACE lightning.metastore.crm")
+
+
+def test_dq_register_run_list_remove(ctx):
+    _setup_usl(ctx)
+    ctx.sql("""ACTIVATE USL TABLE lightning.metastore.crm.ordermart.customers AS
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM lightning.datasource.file.tpch.customer""")
+    ctx.sql("""ACTIVATE USL TABLE lightning.metastore.crm.ordermart.big_orders AS
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM lightning.datasource.file.tpch.orders""")
+    ctx.sql("""REGISTER DQ price_positive
+        TABLE lightning.metastore.crm.ordermart.big_orders
+        AS o_totalprice > 0""")
+    listed = ctx.sql("LIST DQ USL lightning.metastore.crm.ordermart").collect()
+    types = {r.type for r in listed}
+    assert {"Primary Key Constraint", "Unique Constraint",
+            "Foreign Key Constraint", "Custom Data Quality"} <= types
+    results = ctx.sql(
+        "RUN DQ TABLE lightning.metastore.crm.ordermart.big_orders").collect()
+    by_type = {r.check_type: r for r in results}
+    pk = by_type["Primary Key Constraint"]
+    assert (pk.total, pk.valid, pk.invalid) == (1500, 1500, 0)
+    fk = by_type["Foreign Key Constraint"]
+    assert fk.invalid == 0
+    custom = by_type["Custom Data Quality"]
+    assert custom.total == 1500 and custom.invalid == 0
+    ctx.sql("REMOVE DQ price_positive TABLE lightning.metastore.crm.ordermart.big_orders")
+    listed2 = ctx.sql("LIST DQ USL lightning.metastore.crm.ordermart").collect()
+    assert all(r.name != "price_positive" for r in listed2)
+
+
+def test_dq_show_records(ctx):
+    _setup_usl(ctx)
+    ctx.sql("""ACTIVATE USL TABLE lightning.metastore.crm.ordermart.big_orders AS
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM lightning.datasource.file.tpch.orders""")
+    ctx.sql("""REGISTER DQ low_price
+        TABLE lightning.metastore.crm.ordermart.big_orders
+        AS o_totalprice < 5000""")
+    bad = ctx.sql("""SHOW DQ INVALID RECORD low_price
+        TABLE lightning.metastore.crm.ordermart.big_orders LIMIT 5""").collect()
+    assert len(bad) == 5
+    assert all(r.o_totalprice >= 5000 for r in bad)
+
+
+def test_usl_cycle_detection(ctx, tmp_path):
+    _setup_usl(ctx)
+    # activation that references the USL table itself
+    ctx.metastore.save_activation(
+        ["crm"], "ordermart", "customers",
+        "SELECT c_custkey, c_name, c_mktsegment "
+        "FROM lightning.metastore.crm.ordermart.customers")
+    with pytest.raises(Exception, match="[cC]ycl"):
+        ctx.sql("SELECT * FROM lightning.metastore.crm.ordermart.customers").collect()
+
+
+def test_drop_datasource_and_namespace(ctx):
+    ctx.sql("CREATE NAMESPACE lightning.datasource.tmp")
+    ctx.sql(f"REGISTER PARQUET DATASOURCE t1 OPTIONS(path '{SF_DIR}') "
+            f"NAMESPACE lightning.datasource.tmp")
+    ctx.sql("DROP DATASOURCE lightning.datasource.tmp.t1")
+    with pytest.raises(Exception):
+        ctx.sql("SELECT * FROM lightning.datasource.tmp.t1.orders").collect()
+    ctx.sql("DROP NAMESPACE lightning.datasource.tmp")
