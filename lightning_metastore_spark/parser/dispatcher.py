@@ -55,6 +55,8 @@ _LIGHTNING_HEADS = (
     re.compile(r"^SHOW\s+(NAMESPACES|TABLES)\s+IN\s+LIGHTNING\b", re.I),
     re.compile(r"^(DESC|DESCRIBE)\s+(TABLE\s+|DATASOURCE\s+)?LIGHTNING\.", re.I),
     re.compile(r"^DROP\s+DATASOURCE\b", re.I),
+    re.compile(r"^INSERT\s+(INTO|OVERWRITE)\s+LIGHTNING\.", re.I),
+    re.compile(r"^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?LIGHTNING\.[\w.\-]+\s+AS\b", re.I),
 )
 
 
@@ -313,6 +315,68 @@ class DescribeTable(Command):
         rows = [(f.name, f.dataType.simpleString(), f.nullable)
                 for f in df.schema.fields]
         return self._df(ctx, rows, "col_name string, data_type string, nullable boolean")
+
+
+@dataclass
+class InsertInto(Command):
+    """INSERT INTO/OVERWRITE a lightning datasource table — delegated to
+    the owning catalog unit's write path (the reference delegates to the
+    unit catalogs, AbstractLightningCatalog.createTable:109-121 /
+    doc data_virtulization.md:95-107). The SELECT body goes through the
+    resolver, so cross-source INSERT ... SELECT federation works."""
+    path: list[str]
+    query: str
+    overwrite: bool = False
+
+    def run(self, ctx) -> DataFrame:
+        from lightning_metastore_spark.catalog.units import load_catalog_unit
+
+        rest = _require_root(self.path, DATASOURCE_ROOT, "INSERT target")
+        hit = ctx.metastore.find_parent_datasource(rest)
+        if hit is None:
+            raise CommandParseError(
+                f"no datasource at lightning.{'.'.join(self.path)}")
+        ds, residual = hit
+        df = ctx.spark.sql(ctx.resolver.resolve_sql(self.query))
+        load_catalog_unit(ds).write_table(
+            df, residual, mode="overwrite" if self.overwrite else "append")
+        return self._df(ctx, [(".".join(self.path),)], "inserted string")
+
+
+@dataclass
+class CreateTableAsSelect(Command):
+    """CTAS against a lightning datasource path (file units: writes a new
+    table under the registered path)."""
+    path: list[str]
+    query: str
+    if_not_exists: bool = False
+
+    def run(self, ctx) -> DataFrame:
+        from lightning_metastore_spark.catalog.units import (
+            CatalogUnitError,
+            load_catalog_unit,
+        )
+
+        rest = _require_root(self.path, DATASOURCE_ROOT, "CTAS target")
+        hit = ctx.metastore.find_parent_datasource(rest)
+        if hit is None:
+            raise CommandParseError(
+                f"no datasource at lightning.{'.'.join(self.path)}")
+        ds, residual = hit
+        unit = load_catalog_unit(ds)
+        try:
+            unit.load_table(ctx.spark, residual)
+            exists = True
+        except (CatalogUnitError, Exception):
+            exists = False
+        if exists:
+            if self.if_not_exists:
+                return self._df(ctx, [(".".join(self.path),)], "created string")
+            raise CommandParseError(
+                f"table already exists: lightning.{'.'.join(self.path)}")
+        df = ctx.spark.sql(ctx.resolver.resolve_sql(self.query))
+        unit.write_table(df, residual, mode="errorifexists")
+        return self._df(ctx, [(".".join(self.path),)], "created string")
 
 
 # -- USL --------------------------------------------------------------------
@@ -674,9 +738,26 @@ _R_SHOW_DQ = re.compile(
     r"TABLE\s+(?P<t>[\w.\-]+)(\s+LIMIT\s+(?P<limit>\d+))?\s*$", re.I)
 
 
+_R_INSERT = re.compile(
+    r"^INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(TABLE\s+)?(?P<path>[\w.\-]+)\s+"
+    r"(?P<q>(SELECT|VALUES|WITH|TABLE)\b.*)$", re.I | re.S)
+_R_CTAS = re.compile(
+    r"^CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<path>LIGHTNING\.[\w.\-]+)\s+"
+    r"AS\s+(?P<q>.*)$", re.I | re.S)
+
+
 def parse_command(sql: str) -> Command:
     text = strip_comments(sql)
 
+    m = _R_INSERT.match(text)
+    if m:
+        return InsertInto(path=_split_path(m.group("path")), query=m.group("q"),
+                          overwrite=m.group("mode").upper() == "OVERWRITE")
+    m = _R_CTAS.match(text)
+    if m:
+        return CreateTableAsSelect(path=_split_path(m.group("path")),
+                                   query=m.group("q"),
+                                   if_not_exists=bool(m.group("ine")))
     m = _R_DS.match(text)
     if m:
         return RegisterDataSource(

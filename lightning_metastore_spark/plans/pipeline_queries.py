@@ -200,7 +200,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
-    return (dedup.embedding_neardup_pairs(t["embeddings"], threshold=0.45)
+    return (dedup.embedding_neardup_pairs_blocked(t["embeddings"], threshold=0.45)
             .orderBy("vec_id_a", "vec_id_b"))
 
 
@@ -362,6 +362,17 @@ FROM documents ORDER BY doc_id
 """
 
 
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing end-to-end (mapInPandas batch path);
+    decode itself is a marked deterministic stub (sources/multimodal.py)
+    -> rows-only check."""
+    from lightning_metastore_spark.sources import multimodal as mm
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    payloads = mm.documents_as_binary(t["documents"])
+    return mm.decode_metadata(payloads).orderBy("id")
+
+
 # --- DQ checks -------------------------------------------------------------
 
 def dq_pk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -449,6 +460,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "normalized md5 document fingerprint"),
         QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_ORACLE,
                   "binary-column metadata derivation"),
+        QuerySpec("mm_decode_stub", mm_decode_stub, None,
+                  "multimodal decode plumbing (stubbed decode, rows-only)"),
         QuerySpec("dq_pk_orders", dq_pk_orders, DQ_PK_ORACLE,
                   "PK constraint check (single-pass)"),
         QuerySpec("dq_fk_lineitem_orders", dq_fk_lineitem_orders, DQ_FK_ORACLE,

@@ -1,0 +1,105 @@
+"""Structured Streaming over event sources — an extension surface.
+
+The reference has NO streaming operators (SURVEY.md §2.7: its only
+touchpoint is reading a streaming sink's `_spark_metadata`); this module
+is part of the driver-mandated extension: the same event analytics the
+batch library exposes (plans/queries.py q_events_*), expressed as
+incremental Structured Streaming programs.
+
+Design for scale: watermarked windowed aggregation keeps state bounded
+(late events beyond the watermark are dropped); the stateful
+sessionizer uses applyInPandasWithState so per-user session state lives
+in the state store, shuffled once on user_id — the standard pattern for
+billions of keys.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
+                 "event_type string, value double, props string")
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 16) -> DataFrame:
+    """File-source event stream (new parquet files appear in `path`).
+    Timestamps are normalized to microseconds like session.load_tables."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (spark.readStream
+           .schema(EVENTS_SCHEMA.replace("ts timestamp", "ts bigint"))
+           .option("maxFilesPerTrigger", str(max_files_per_trigger))
+           .parquet(path))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          slide: str | None = None,
+                          watermark: str = "2 hours") -> DataFrame:
+    """Tumbling (or sliding, when `slide` differs) windowed counts with a
+    watermark bounding state: the streaming twin of q_events_hourly."""
+    w = (F.window("ts", window, slide) if slide else F.window("ts", window))
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(w.alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0)
+                 .alias("sum_value"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "event_type", "n_events", "sum_value"))
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+_SESSION_STATE_SCHEMA = "last_us long, n_sessions long, n_events long"
+_SESSION_OUT_SCHEMA = ("user_id long, n_sessions long, n_events long")
+
+
+def _sessionize_group(key, pdf_iter: Iterable[pd.DataFrame],
+                      state: GroupState):
+    """Per-user incremental session counting (30-min gap), state =
+    (last event micros, sessions so far, events so far)."""
+    (user_id,) = key
+    if state.exists:
+        last_us, n_sessions, n_events = state.get
+    else:
+        last_us, n_sessions, n_events = None, 0, 0
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("ts")
+        for ts in pdf["ts"]:
+            us = int(ts.value) // 1000  # pandas Timestamp ns -> us
+            if last_us is None or us - last_us > _SESSION_GAP_US:
+                n_sessions += 1
+            last_us = us
+            n_events += 1
+    state.update((last_us, n_sessions, n_events))
+    yield pd.DataFrame([{"user_id": user_id, "n_sessions": n_sessions,
+                         "n_events": n_events}])
+
+
+def sessionize_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    session counts that survive across micro-batches."""
+    return (events
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _sessionize_group,
+                outputStructType=_SESSION_OUT_SCHEMA,
+                stateStructType=_SESSION_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_to_memory(stream_df: DataFrame, query_name: str,
+                  output_mode: str = "update") -> None:
+    """Drain all available input into an in-memory table (test harness)."""
+    q = (stream_df.writeStream.format("memory")
+         .queryName(query_name).outputMode(output_mode).start())
+    q.processAllAvailable()
+    q.stop()

@@ -229,6 +229,35 @@ def test_usl_cycle_detection(ctx, tmp_path):
         ctx.sql("SELECT * FROM lightning.metastore.crm.ordermart.customers").collect()
 
 
+def test_insert_into_and_ctas(ctx, spark, tmp_path):
+    """INSERT INTO / CTAS delegated to the unit write path
+    (doc data_virtulization.md:95-107)."""
+    out_dir = tmp_path / "sink"
+    out_dir.mkdir()
+    ctx.sql("CREATE NAMESPACE lightning.datasource.file")
+    ctx.sql(f"REGISTER PARQUET DATASOURCE tpch OPTIONS(path '{SF_DIR}') "
+            f"NAMESPACE lightning.datasource.file")
+    ctx.sql(f"REGISTER PARQUET DATASOURCE sink OPTIONS(path '{out_dir}') "
+            f"NAMESPACE lightning.datasource.file")
+    ctx.sql("""CREATE TABLE lightning.datasource.file.sink.top_nations AS
+        SELECT n_name, count(*) AS n
+        FROM lightning.datasource.file.tpch.nation n
+        JOIN lightning.datasource.file.tpch.customer c
+          ON n.n_nationkey = c.c_nationkey
+        GROUP BY n_name""")
+    first = ctx.sql("SELECT count(*) AS c FROM "
+                    "lightning.datasource.file.sink.top_nations").collect()[0].c
+    assert first == 25
+    ctx.sql("""INSERT INTO lightning.datasource.file.sink.top_nations
+        SELECT 'EXTRA' AS n_name, CAST(0 AS LONG) AS n""")
+    after = ctx.sql("SELECT count(*) AS c FROM "
+                    "lightning.datasource.file.sink.top_nations").collect()[0].c
+    assert after == 26
+    with pytest.raises(Exception, match="already exists"):
+        ctx.sql("CREATE TABLE lightning.datasource.file.sink.top_nations AS "
+                "SELECT 1 AS x")
+
+
 def test_drop_datasource_and_namespace(ctx):
     ctx.sql("CREATE NAMESPACE lightning.datasource.tmp")
     ctx.sql(f"REGISTER PARQUET DATASOURCE t1 OPTIONS(path '{SF_DIR}') "

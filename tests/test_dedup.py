@@ -66,3 +66,12 @@ def test_embedding_neardup_symmetric_threshold(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     pairs = dedup.embedding_neardup_pairs(emb, threshold=0.45).collect()
     assert all(r.vec_id_a < r.vec_id_b for r in pairs)
+
+
+def test_embedding_blocked_equals_brute_force(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    brute = {(r.vec_id_a, r.vec_id_b)
+             for r in dedup.embedding_neardup_pairs(emb, 0.45).collect()}
+    blocked = {(r.vec_id_a, r.vec_id_b)
+               for r in dedup.embedding_neardup_pairs_blocked(emb, 0.45).collect()}
+    assert blocked == brute and len(blocked) > 0

@@ -1,0 +1,79 @@
+"""Structured Streaming tests: windowed counts and the stateful
+sessionizer drained through a memory sink, checked against batch
+equivalents on the same data."""
+
+from __future__ import annotations
+
+import shutil
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lightning_metastore_spark.streaming import events as sev  # noqa: E402
+from lightning_metastore_spark.session import load_tables  # noqa: E402
+
+from tests.conftest import SF_DIR  # noqa: E402
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_windowed_counts_match_batch(spark, events_dir):
+    stream = sev.read_event_stream(spark, events_dir)
+    assert stream.isStreaming
+    agg = sev.windowed_event_counts(stream, window="1 hour")
+    sev.run_to_memory(agg, "win_counts", output_mode="update")
+    streamed = {(r.window_start, r.event_type): r.n_events
+                for r in spark.sql("SELECT * FROM win_counts").collect()}
+    batch = load_tables(spark, SF_DIR, ("events",))["events"]
+    expected = {(r.hour_ts, r.event_type): r.n
+                for r in batch.groupBy(
+                    F.date_trunc("hour", "ts").alias("hour_ts"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert streamed == expected
+
+
+def test_stateful_sessionizer_matches_batch(spark, events_dir):
+    stream = sev.read_event_stream(spark, events_dir)
+    out = sev.sessionize_stateful(stream)
+    sev.run_to_memory(out, "sessions", output_mode="update")
+    streamed = {r.user_id: (r.n_sessions, r.n_events)
+                for r in spark.sql(
+                    "SELECT user_id, max(n_sessions) AS n_sessions, "
+                    "max(n_events) AS n_events FROM sessions GROUP BY user_id"
+                ).collect()}
+    # batch twin: q_events_sessionize formulation
+    from lightning_metastore_spark.plans.queries import q_events_sessionize
+    batch = (q_events_sessionize(spark, SF_DIR)
+             .groupBy("user_id")
+             .agg(F.max("session_id").alias("n_sessions"),
+                  F.sum("n_events").alias("n_events")))
+    expected = {r.user_id: (r.n_sessions, r.n_events) for r in batch.collect()}
+    assert streamed == expected
+
+
+def test_multimodal_decode_and_features(spark):
+    from lightning_metastore_spark.sources import multimodal as mm
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    payloads = mm.documents_as_binary(docs)
+    meta = mm.decode_metadata(payloads).collect()
+    assert len(meta) == 50
+    assert all(64 <= r.width < 256 and 1 <= r.n_channels <= 4 for r in meta)
+    # deterministic: same input -> same metadata
+    meta2 = mm.decode_metadata(payloads).collect()
+    assert sorted(map(tuple, meta)) == sorted(map(tuple, meta2))
+    feats = mm.extract_features(payloads).collect()
+    assert len(feats) == 50 and all(len(r.feature) == mm.FEATURE_DIM for r in feats)
+
+    with pytest.raises(Exception):  # real-decode path is a marked stub
+        mm.decode_metadata(payloads, decode_stub=False).collect()
