@@ -29,6 +29,12 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the JVM/codegen/parquet-footer paths so the first timed query
+    # isn't charged for session warmup (the metric is warm-session query
+    # time, matching how the reference — a Spark plugin — would measure).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
     timings: dict[str, float] = {}
     for name, build in ep.queries().items():
         t0 = time.perf_counter()

@@ -523,6 +523,188 @@ ORDER BY user_id, session_id
 """
 
 
+def q_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated aggregate subquery (per-group max)
+    decorrelated by Catalyst into a broadcast join against the grouped
+    maxima."""
+    load_tables(spark, sf_dir, ("supplier", "nation"))
+    return spark.sql("""
+        SELECT n_name, s_name, s_acctbal
+        FROM supplier s JOIN nation n ON s_nationkey = n_nationkey
+        WHERE s_acctbal = (
+          SELECT MAX(s_acctbal) FROM supplier s2
+          WHERE s2.s_nationkey = s.s_nationkey
+        )
+        ORDER BY n_name, s_name
+    """)
+
+
+Q_TOP_SUPPLIER_ORACLE = """
+SELECT n_name, s_name, s_acctbal
+FROM supplier s JOIN nation n ON s_nationkey = n_nationkey
+WHERE s_acctbal = (
+  SELECT MAX(s_acctbal) FROM supplier s2
+  WHERE s2.s_nationkey = s.s_nationkey
+)
+ORDER BY n_name, s_name
+"""
+
+
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with date arithmetic -> left-semi join;
+    counts per priority."""
+    load_tables(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS n_late
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAYS
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_late
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: nation-pair trade volume by year. Both nation
+    dims broadcast; the supplier and customer lookups stay broadcast
+    joins on the fact rows."""
+    t = load_tables(spark, sf_dir,
+                    ("nation", "customer", "supplier", "orders", "lineitem"))
+    n1 = t["nation"].select(F.col("n_nationkey").alias("s_nk"),
+                            F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("c_nk"),
+                            F.col("n_name").alias("cust_nation"))
+    pair = (t["lineitem"]
+            .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+            .filter(((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+                    | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))))
+    return (pair
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg((F.sum(_REV_SPARK()) / 10000.0).alias("volume"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+Q7_ORACLE = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(YEAR(l_shipdate) AS INT) AS l_year,
+       SUM({_REV_SQL}) / 10000.0 AS volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (li.join(t["orders"], li.l_orderkey == t["orders"].o_orderkey)
+            .join(F.broadcast(t["customer"]),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(t["nation"]),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg((F.sum(_REV_SPARK()) / 10000.0).alias("revenue"))
+            .orderBy(F.desc("revenue"), "c_custkey")
+            .limit(20))
+
+
+Q10_ORACLE = f"""
+SELECT c_custkey, c_name, n_name,
+       SUM({_REV_SQL}) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join surface: order counts per customer INCLUDING
+    zero-order customers (left outer + conditional count)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    return (t["customer"]
+            .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("n_orders"))
+            .groupBy("n_orders")
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+            .orderBy("n_orders"))
+
+
+Q_LEFT_JOIN_ORACLE = """
+SELECT n_orders, COUNT(*) AS n_customers FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY n_orders ORDER BY n_orders
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS + HAVING (the grouped surface beyond
+    rollup/cube): one Expand node, no repeated scans."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+                 AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                                (o_orderpriority, o_orderstatus))
+        HAVING COUNT(*) > 100
+        ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """)
+
+
+Q_GROUPING_SETS_ORACLE = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                        (o_orderpriority, o_orderstatus))
+HAVING COUNT(*) > 100
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+
 RELATIONAL_QUERIES: dict[str, QuerySpec] = {
     s.name: s for s in [
         QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE,
@@ -549,5 +731,18 @@ RELATIONAL_QUERIES: dict[str, QuerySpec] = {
                   "tumbling-window aggregation (batch form)"),
         QuerySpec("q_events_sessionize", q_events_sessionize, Q_SESSIONIZE_ORACLE,
                   "gap-based sessionization via windows"),
+        QuerySpec("q_top_supplier_per_nation", q_top_supplier_per_nation,
+                  Q_TOP_SUPPLIER_ORACLE,
+                  "TPC-H Q2 shape: correlated aggregate subquery"),
+        QuerySpec("q4_late_orders", q4_late_orders, Q4_ORACLE,
+                  "TPC-H Q4 shape: EXISTS with date arithmetic"),
+        QuerySpec("q7_volume_shipping", q7_volume_shipping, Q7_ORACLE,
+                  "TPC-H Q7 shape: nation-pair volume by year"),
+        QuerySpec("q10_returned_items", q10_returned_items, Q10_ORACLE,
+                  "TPC-H Q10 shape: returned-item revenue top-k"),
+        QuerySpec("q_left_join_counts", q_left_join_counts, Q_LEFT_JOIN_ORACLE,
+                  "left outer join + double aggregation"),
+        QuerySpec("q_grouping_sets", q_grouping_sets, Q_GROUPING_SETS_ORACLE,
+                  "GROUPING SETS + HAVING"),
     ]
 }

@@ -1,0 +1,103 @@
+"""JDBC datasource tests using embedded Derby (the jars ship with
+Spark) — the analogue of the reference's H2-based
+RegisterJDBCDataSourceSuite (H2TestBase.createH2SimpleTable:55-82)."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from lightning_metastore_spark.context import LightningContext  # noqa: E402
+
+from tests.conftest import SF_DIR  # noqa: E402
+
+
+@pytest.fixture()
+def derby_url(spark, tmp_path):
+    """Create the reference's test_users/test_jobs fixture in an
+    embedded Derby database via the JVM's DriverManager."""
+    db = str(tmp_path / "derbydb")
+    url = f"jdbc:derby:{db};create=true"
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.execute("CREATE TABLE test_users (uid INT PRIMARY KEY, jid INT)")
+    st.execute("CREATE TABLE test_jobs (jid INT PRIMARY KEY, name CHAR(10))")
+    for i in range(1, 6):
+        st.execute(f"INSERT INTO test_users VALUES ({i}, {i})")
+        st.execute(f"INSERT INTO test_jobs VALUES ({i}, 'job{i}')")
+    st.close()
+    conn.close()
+    return f"jdbc:derby:{db}"
+
+
+@pytest.fixture()
+def ctx(spark, tmp_path):
+    return LightningContext(spark, warehouse=str(tmp_path / "model"))
+
+
+def test_register_jdbc_and_query(ctx, derby_url):
+    ctx.sql("CREATE NAMESPACE lightning.datasource.rdbms")
+    ctx.sql(f"REGISTER JDBC DATASOURCE derbydb "
+            f"OPTIONS(url '{derby_url}', "
+            f"driver 'org.apache.derby.iapi.jdbc.AutoloadedDriver') "
+            f"NAMESPACE lightning.datasource.rdbms")
+    rows = ctx.sql("""
+        SELECT u.uid, j.name
+        FROM lightning.datasource.rdbms.derbydb.test_users u
+        JOIN lightning.datasource.rdbms.derbydb.test_jobs j ON u.jid = j.jid
+        ORDER BY u.uid
+    """).collect()
+    assert len(rows) == 5
+    assert rows[0].uid == 1 and rows[0].name.strip() == "job1"
+
+
+def test_jdbc_federated_with_parquet(ctx, derby_url):
+    """Federation across JDBC and parquet sources in one query — the
+    reference's core value proposition (data_virtulization.md)."""
+    ctx.sql("CREATE NAMESPACE lightning.datasource.rdbms")
+    ctx.sql("CREATE NAMESPACE lightning.datasource.file")
+    ctx.sql(f"REGISTER JDBC DATASOURCE derbydb OPTIONS(url '{derby_url}') "
+            f"NAMESPACE lightning.datasource.rdbms")
+    ctx.sql(f"REGISTER PARQUET DATASOURCE tpch OPTIONS(path '{SF_DIR}') "
+            f"NAMESPACE lightning.datasource.file")
+    rows = ctx.sql("""
+        SELECT u.uid, r.r_name
+        FROM lightning.datasource.rdbms.derbydb.test_users u
+        JOIN lightning.datasource.file.tpch.region r
+          ON u.uid - 1 = r.r_regionkey
+        ORDER BY u.uid
+    """).collect()
+    assert len(rows) == 5
+    assert rows[0].r_name == "AFRICA"
+
+
+def test_jdbc_predicate_pushdown(ctx, derby_url):
+    """Filters must push into the JDBC scan (Spark DSv2 handles it —
+    verify PushedFilters appears in the plan)."""
+    ctx.sql("CREATE NAMESPACE lightning.datasource.rdbms")
+    ctx.sql(f"REGISTER JDBC DATASOURCE derbydb OPTIONS(url '{derby_url}') "
+            f"NAMESPACE lightning.datasource.rdbms")
+    df = ctx.sql("SELECT uid FROM lightning.datasource.rdbms.derbydb.test_users "
+                 "WHERE uid > 3")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(UID,3)" in plan
+    assert {r.uid for r in df.collect()} == {4, 5}
+
+
+def test_jdbc_write(ctx, derby_url, spark):
+    from lightning_metastore_spark.catalog.units import load_catalog_unit
+
+    ctx.sql("CREATE NAMESPACE lightning.datasource.rdbms")
+    ctx.sql(f"REGISTER JDBC DATASOURCE derbydb OPTIONS(url '{derby_url}') "
+            f"NAMESPACE lightning.datasource.rdbms")
+    ds = ctx.metastore.load_datasource(["rdbms"], "derbydb")
+    unit = load_catalog_unit(ds)
+    new = spark.createDataFrame([(10, 10)], ["uid", "jid"])
+    unit.write_table(new, ["test_users"], mode="append")
+    n = ctx.sql("SELECT count(*) AS c FROM "
+                "lightning.datasource.rdbms.derbydb.test_users").collect()[0].c
+    assert n == 6
