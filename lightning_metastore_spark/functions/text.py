@@ -119,6 +119,54 @@ def lang_id(docs: DataFrame, text_col: str = "text",
     return docs.select(F.col(id_col), pred.alias("pred_lang"))
 
 
+_PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b(?:\+?1[\s.\-]?)?\(?\d{3}\)?[\s.\-]\d{3}[\s.\-]\d{4}\b", "<PHONE>"),
+    (r"\b(?:\d[ \-]?){13,16}\b", "<CARD>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Chain of regexp_replace passes masking emails/SSNs/phones/card
+    numbers — the standard pre-training scrub, entirely JVM-side."""
+    out = col
+    for pat, repl in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-k TF-IDF terms per document: (doc_id, rk, token, tfidf).
+
+    tf = in-doc count; idf = ln((N+1)/(df+1)) + 1 (smoothed); score
+    rounded to 9dp before ranking (with a token tiebreak) for
+    engine-stable ordering. Two shuffles: per-(doc,token) counts and the
+    token document-frequency join; df is a broadcast-sized table for
+    any real vocabulary.
+    """
+    from pyspark.sql.window import Window as W
+
+    toks = docs.select(F.col(id_col),
+                       F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
+                       .alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (tf.groupBy("token")
+             .agg(F.countDistinct(id_col).alias("df_t")))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (tf.join(F.broadcast(dfreq), "token")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn(
+                  "tfidf",
+                  F.round(F.col("tf") * (F.log((F.col("n_docs") + 1)
+                                               / (F.col("df_t") + 1)) + 1), 9)))
+    w = W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(id_col, "rk", "token", "tfidf"))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """(doc_id, fp) — md5 over whitespace-normalized lowercase text.

@@ -319,6 +319,45 @@ def simhash_pairs(docs: DataFrame, hamming_max: int = 8,
                                  strategy="shingle-join")
 
 
+def connected_components(pairs: DataFrame, nodes: DataFrame,
+                         id_col: str = "doc_id",
+                         max_iterations: int = 25) -> DataFrame:
+    """Duplicate-cluster assignment: (id, cluster_id) where cluster_id is
+    the minimum id reachable through the near-dup pair graph.
+
+    Iterative min-label propagation (the standard large-graph CC
+    algorithm on DataFrames): each round, every node takes the min of
+    its own label and its neighbors' labels; converges in O(component
+    diameter) rounds — near-dup components are tiny cliques, so 2-4
+    rounds in practice. Each round is one join + one aggregation, all
+    shuffle-on-id; intermediate labels are cached and the loop exits on
+    a zero-changes check (one cheap count per round).
+    """
+    edges = (pairs.select(F.col("doc_id_a").alias("src"),
+                          F.col("doc_id_b").alias("dst"))
+             .union(pairs.select(F.col("doc_id_b").alias("src"),
+                                 F.col("doc_id_a").alias("dst"))))
+    labels = nodes.select(F.col(id_col).alias("node"),
+                          F.col(id_col).alias("label")).cache()
+    for _ in range(max_iterations):
+        neighbor_min = (edges.join(labels, edges.src == labels.node)
+                        .groupBy("dst").agg(F.min("label").alias("nmin")))
+        new_labels = (labels.join(neighbor_min, labels.node == neighbor_min.dst,
+                                  "left")
+                      .select(F.col("node"),
+                              F.least("label", F.coalesce("nmin", "label"))
+                              .alias("label"))).cache()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col),
+                         F.col("label").alias("cluster_id"))
+
+
 # ---------------------------------------------------------------------------
 # Embedding cosine near-dup (brute-force baseline; scale path = similarity.py)
 # ---------------------------------------------------------------------------

@@ -213,6 +213,106 @@ ORDER BY 1, 2
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster ids via connected components over the exact
+    Jaccard pair graph; oracle = DuckDB recursive CTE reachability."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5, n=3)
+    return (dedup.connected_components(pairs, docs)
+            .orderBy("doc_id"))
+
+
+DEDUP_CLUSTERS_ORACLE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              ELSE array_to_string(t, ' ') END AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+), sc AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN sc sa ON sa.doc_id = a.doc_id JOIN sc sb ON sb.doc_id = b.doc_id
+  GROUP BY 1, 2, sa.n, sb.n
+  HAVING COUNT(*) / (sa.n + sb.n - COUNT(*)) >= 0.5
+), edges AS (
+  SELECT ida AS src, idb AS dst FROM pairs
+  UNION ALL SELECT idb, ida FROM pairs
+), reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT src AS doc_id, MIN(node) AS cluster_id
+FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over text with synthetic injected PII (the corpus has
+    none) — proves the masking passes end-to-end."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    withpii = t["documents"].select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com or 555-123-4567 ssn 123-45-6789"))
+        .alias("text"))
+    return (withpii
+            .select("doc_id", text_fns.redact_pii(F.col("text")).alias("clean"))
+            .orderBy("doc_id"))
+
+
+PII_ORACLE = r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com or 555-123-4567 ssn 123-45-6789',
+          '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+      '\b(?:\+?1[\s.\-]?)?\(?\d{3}\)?[\s.\-]\d{3}[\s.\-]\d{4}\b', '<PHONE>', 'g'),
+    '\b(?:\d[ \-]?){13,16}\b', '<CARD>', 'g') AS clean
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (text_fns.tfidf_top_terms(t["documents"], k=3)
+            .orderBy("doc_id", "rk"))
+
+
+TFIDF_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df_t FROM tf GROUP BY 1
+), nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token,
+         ROUND(tf * (LN((n_docs + 1) / (df_t + 1.0)) + 1), 9) AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+)
+SELECT doc_id, rk, token, tfidf FROM (
+  SELECT doc_id, token, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token) AS rk
+  FROM scored
+) WHERE rk <= 3
+ORDER BY doc_id, rk
+"""
+
+
 # --- similarity search -----------------------------------------------------
 
 def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,6 +546,12 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "SimHash hamming-LSH, exact-verified"),
         QuerySpec("dedup_embedding", dedup_embedding, DEDUP_EMBEDDING_ORACLE,
                   "embedding cosine near-dup pairs"),
+        QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE,
+                  "connected-components duplicate clusters"),
+        QuerySpec("text_pii_redact", text_pii_redact, PII_ORACLE,
+                  "PII masking (email/ssn/phone/card)"),
+        QuerySpec("text_tfidf_top_terms", text_tfidf_top_terms, TFIDF_ORACLE,
+                  "top-k TF-IDF terms per document"),
         QuerySpec("ann_brute_force_topk", ann_brute_force_topk, ANN_BRUTE_ORACLE,
                   "exact cosine top-k neighbors"),
         QuerySpec("ann_ivf_topk", ann_ivf_topk, None,

@@ -68,6 +68,16 @@ def test_embedding_neardup_symmetric_threshold(spark):
     assert all(r.vec_id_a < r.vec_id_b for r in pairs)
 
 
+def test_connected_components_micro(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], ["doc_id_a", "doc_id_b"])
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 7, 8, 9)],
+                                  ["doc_id"])
+    out = {r.doc_id: r.cluster_id
+           for r in dedup.connected_components(pairs, nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 9}
+
+
 def test_embedding_blocked_equals_brute_force(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     brute = {(r.vec_id_a, r.vec_id_b)
