@@ -57,6 +57,7 @@ _LIGHTNING_HEADS = (
     re.compile(r"^DROP\s+DATASOURCE\b", re.I),
     re.compile(r"^INSERT\s+(INTO|OVERWRITE)\s+LIGHTNING\.", re.I),
     re.compile(r"^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?LIGHTNING\.[\w.\-]+\s+AS\b", re.I),
+    re.compile(r"^UPDATE\s+LIGHTNING\.[\w.\-]+\s+SET\b", re.I),
 )
 
 
@@ -377,6 +378,78 @@ class CreateTableAsSelect(Command):
         df = ctx.spark.sql(ctx.resolver.resolve_sql(self.query))
         unit.write_table(df, residual, mode="errorifexists")
         return self._df(ctx, [(".".join(self.path),)], "created string")
+
+
+@dataclass
+class UpdateFileTags(Command):
+    """`UPDATE lightning.datasource.<...>.<ds> SET tag = value [, ...]
+    [WHERE <predicate>]` — rewrites the `.tag` JSON sidecars of an
+    unstructured datasource's files.
+
+    The reference left this UNFINISHED (logical plan exists but the
+    parser hook is commented out — `UpdateLightningTableTag.scala:28-66`,
+    `LightningExtendedParser.scala:230-232`); here it works: the WHERE
+    predicate is evaluated against the metadata table (so filters can
+    use extracted columns), and matching files' sidecars are rewritten
+    executor-side via foreachPartition — no driver collect of content.
+    """
+    path: list[str]
+    assignments: dict[str, str]   # tag column -> SQL literal expression
+    where: Optional[str] = None
+
+    def run(self, ctx) -> DataFrame:
+        import json as _json
+        import os as _os
+
+        from pyspark.sql import functions as F
+
+        from lightning_metastore_spark.catalog.units import load_catalog_unit
+        from lightning_metastore_spark.sources.unstructured import (
+            UnstructuredCatalogUnit,
+        )
+
+        rest = _require_root(self.path, DATASOURCE_ROOT, "UPDATE target")
+        hit = ctx.metastore.find_parent_datasource(rest)
+        if hit is None:
+            raise CommandParseError(
+                f"no datasource at lightning.{'.'.join(self.path)}")
+        ds, residual = hit
+        unit = load_catalog_unit(ds)
+        if not isinstance(unit, UnstructuredCatalogUnit):
+            raise CommandParseError(
+                "UPDATE ... SET tags applies to unstructured datasources only")
+        if not ds.tag_schema:
+            raise CommandParseError(
+                f"datasource {ds.name} declares no TAG schema")
+        meta = unit.load_table(ctx.spark, residual)
+        if self.where:
+            meta = meta.filter(self.where)
+        tag_cols = [c.strip().split()[0] for c in ds.tag_schema.split(",")]
+        exprs = [F.expr(v).alias(k) for k, v in self.assignments.items()]
+        for k in self.assignments:
+            if k not in tag_cols:
+                raise CommandParseError(
+                    f"unknown tag column {k!r}; declared: {tag_cols}")
+        updates = meta.select(
+            "path",
+            F.struct(*[F.expr(self.assignments[c]).alias(c) if c in self.assignments
+                       else F.col(c).alias(c) for c in tag_cols]).alias("t"))
+
+        def write_sidecars(rows) -> None:
+            for r in rows:
+                p = r.path
+                if p.startswith("file:"):
+                    p = p[len("file:"):]
+                d = r.t.asDict(recursive=True)
+                clean = {k: (str(v) if hasattr(v, "isoformat") else v)
+                         for k, v in d.items() if v is not None}
+                with open(p + ".tag", "w") as fh:
+                    fh.write(_json.dumps(clean, sort_keys=True, default=str))
+
+        updates.foreachPartition(write_sidecars)
+        n = updates.count()
+        return self._df(ctx, [(".".join(self.path), n)],
+                        "updated string, n_files long")
 
 
 # -- USL --------------------------------------------------------------------
@@ -746,9 +819,29 @@ _R_CTAS = re.compile(
     r"AS\s+(?P<q>.*)$", re.I | re.S)
 
 
+_R_UPDATE_TAGS = re.compile(
+    r"^UPDATE\s+(?P<path>LIGHTNING\.[\w.\-]+)\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<where>.+))?$", re.I | re.S)
+
+
+def _parse_assignments(s: str) -> dict[str, str]:
+    out = {}
+    for item in s.split(","):
+        if "=" not in item:
+            raise CommandParseError(f"bad SET assignment: {item!r}")
+        k, v = item.split("=", 1)
+        out[k.strip()] = v.strip()
+    return out
+
+
 def parse_command(sql: str) -> Command:
     text = strip_comments(sql)
 
+    m = _R_UPDATE_TAGS.match(text)
+    if m:
+        return UpdateFileTags(path=_split_path(m.group("path")),
+                              assignments=_parse_assignments(m.group("sets")),
+                              where=m.group("where"))
     m = _R_INSERT.match(text)
     if m:
         return InsertInto(path=_split_path(m.group("path")), query=m.group("q"),

@@ -1,0 +1,52 @@
+"""Skew utilities: salted join / two-phase agg must equal their plain
+counterparts on skewed data."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lightning_metastore_spark.operators import skew  # noqa: E402
+
+
+def _skewed(spark):
+    # 90% of rows share key 0
+    hot = spark.range(9000).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+    rest = spark.range(1000).select((F.col("id") % 50 + 1).alias("k"),
+                                    F.col("id").alias("v"))
+    return hot.union(rest)
+
+
+def test_salted_join_equals_plain(spark):
+    large = _skewed(spark)
+    small = spark.range(51).select(F.col("id").alias("k"),
+                                   (F.col("id") * 10).alias("w"))
+    plain = large.join(small, "k").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("sw"))
+    salted = skew.salted_join(large, small, ["k"], salt=8).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("sw"))
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_left_join(spark):
+    large = _skewed(spark)
+    small = spark.range(5).select(F.col("id").alias("k"), F.lit("x").alias("w"))
+    plain = large.join(small, "k", "left").count()
+    salted = skew.salted_join(large, small, ["k"], salt=4, how="left").count()
+    assert salted == plain
+
+
+def test_two_phase_agg_equals_plain(spark):
+    df = _skewed(spark)
+    plain = {(r.k): (r.n, r.s, r.mx) for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("n"),
+                                 F.sum("v").alias("s"),
+                                 F.max("v").alias("mx")).collect()}
+    two = {(r.k): (r.n, r.s, r.mx) for r in
+           skew.two_phase_agg(df, ["k"],
+                              {"n": "count(*)", "s": "sum(v)", "mx": "max(v)"},
+                              salt=8).collect()}
+    assert two == plain

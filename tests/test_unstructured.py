@@ -136,6 +136,29 @@ def test_image_dimensions_and_content(ctx, tmp_path):
     assert content[1].imagecontent[:8] == b"\x89PNG\r\n\x1a\n"
 
 
+def test_update_file_tags(ctx, text_tree):
+    """UPDATE ... SET over tag sidecars — the reference's unfinished
+    feature (UpdateLightningTableTag.scala), working here."""
+    root, _ = text_tree
+    ctx.sql("CREATE NAMESPACE lightning.datasource.files")
+    ctx.sql(f"REGISTER TEXT DATASOURCE txt OPTIONS(path '{root}') "
+            f"NAMESPACE lightning.datasource.files "
+            f"TAG (author string, score int)")
+    out = ctx.sql("""UPDATE lightning.datasource.files.txt
+        SET author = 'alice', score = 7
+        WHERE sizeinbytes > 5""").collect()
+    assert out[0].n_files == 1  # only bb.txt (16 B) matches
+    rows = {r.path.split("/")[-1]: r for r in
+            ctx.sql("SELECT * FROM lightning.datasource.files.txt").collect()}
+    assert rows["bb.txt"].author == "alice" and rows["bb.txt"].score == 7
+    assert rows["aa.txt"].author is None
+    # update everything (no WHERE), expression value
+    ctx.sql("UPDATE lightning.datasource.files.txt SET score = 1 + 1")
+    rows = {r.path.split("/")[-1]: r for r in
+            ctx.sql("SELECT * FROM lightning.datasource.files.txt").collect()}
+    assert all(r.score == 2 for r in rows.values())
+
+
 def test_unstructured_write_roundtrip(ctx, spark, text_tree):
     """INSERT-INTO-style write-back (UnstructuredFileWrite.scala:37-93)."""
     root, _ = text_tree
