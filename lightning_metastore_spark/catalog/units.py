@@ -157,15 +157,31 @@ class JDBCCatalogUnit(CatalogUnit):
         return spark.read.format("jdbc").options(**opts).load()
 
     def list_tables(self, spark: SparkSession, residual: list[str]) -> list[str]:
-        # Requires driver round-trip (information_schema); formats differ
-        # per engine — exposed when a JDBC driver jar is on the session.
+        """Table listing via the engine's metadata views. Tries ANSI
+        information_schema first, then Derby's SYS catalog (the
+        reference walks per-dialect metadata the same way —
+        JDBCDataSourceCatalogUnit.scala:63-101)."""
         opts = self._jdbc_opts()
-        schema = residual[0] if residual else opts.get("schema", "public")
-        q = (f"(SELECT table_name FROM information_schema.tables "
-             f"WHERE table_schema = '{schema}') t")
-        opts["dbtable"] = q
-        df = spark.read.format("jdbc").options(**opts).load()
-        return sorted(r[0] for r in df.collect())
+        schema = residual[0] if residual else opts.get("schema")
+        queries = []
+        if schema:
+            queries.append("(SELECT table_name FROM information_schema.tables "
+                           f"WHERE table_schema = '{schema}') t")
+        else:
+            queries.append("(SELECT table_name FROM information_schema.tables) t")
+        queries.append(  # Derby
+            "(SELECT TABLENAME AS table_name FROM SYS.SYSTABLES "
+            "WHERE TABLETYPE = 'T') t")
+        last = None
+        for q in queries:
+            o = dict(opts)
+            o["dbtable"] = q
+            try:
+                df = spark.read.format("jdbc").options(**o).load()
+                return sorted(r[0] for r in df.collect())
+            except Exception as e:
+                last = e
+        raise CatalogUnitError(f"cannot list JDBC tables: {last}")
 
     def write_table(self, df: DataFrame, residual: list[str],
                     mode: str = "append") -> None:

@@ -58,6 +58,10 @@ _LIGHTNING_HEADS = (
     re.compile(r"^INSERT\s+(INTO|OVERWRITE)\s+LIGHTNING\.", re.I),
     re.compile(r"^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?LIGHTNING\.[\w.\-]+\s+AS\b", re.I),
     re.compile(r"^UPDATE\s+LIGHTNING\.[\w.\-]+\s+SET\b", re.I),
+    # standalone annotated / namespaced CREATE TABLE spec (echoes JSON)
+    re.compile(r"^@\w+\s*\(", re.I),
+    re.compile(r"^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?[\w.`\-]+\s*\(.*\)\s*"
+               r"NAMESPACE\s+LIGHTNING\.", re.I | re.S),
 )
 
 
@@ -378,6 +382,20 @@ class CreateTableAsSelect(Command):
         df = ctx.spark.sql(ctx.resolver.resolve_sql(self.query))
         unit.write_table(df, residual, mode="errorifexists")
         return self._df(ctx, [(".".join(self.path),)], "created string")
+
+
+@dataclass
+class CreateTableSpecCommand(Command):
+    """Standalone `[@Hints] CREATE TABLE ... [NAMESPACE lightning...]`:
+    parse the spec (constraints + annotations) and echo it as JSON —
+    the reference's standalone behavior (SURVEY §2.1: 'standalone run
+    just echoes JSON', LightningExtensionAstBuilder.scala:59-90)."""
+    ddl: str
+
+    def run(self, ctx) -> DataFrame:
+        spec = parse_create_table(self.ddl)
+        return self._df(ctx, [(json.dumps(spec.to_dict(), indent=2),)],
+                        "json string")
 
 
 @dataclass
@@ -851,6 +869,10 @@ def parse_command(sql: str) -> Command:
         return CreateTableAsSelect(path=_split_path(m.group("path")),
                                    query=m.group("q"),
                                    if_not_exists=bool(m.group("ine")))
+    if text.startswith("@") or re.match(
+            r"^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?[\w.`\-]+\s*\(", text,
+            re.I | re.S):
+        return CreateTableSpecCommand(ddl=text)
     m = _R_DS.match(text)
     if m:
         return RegisterDataSource(

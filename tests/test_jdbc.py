@@ -88,6 +88,37 @@ def test_jdbc_predicate_pushdown(ctx, derby_url):
     assert {r.uid for r in df.collect()} == {4, 5}
 
 
+def test_register_catalog_from_jdbc(ctx, derby_url):
+    """REGISTER CATALOG snapshots JDBC table schemas into the metastore
+    (RegisterCatalogTestSuite analogue, Derby SYS-catalog listing)."""
+    ctx.sql("CREATE NAMESPACE lightning.datasource.rdbms")
+    ctx.sql(f"REGISTER JDBC DATASOURCE derbydb OPTIONS(url '{derby_url}') "
+            f"NAMESPACE lightning.datasource.rdbms")
+    ctx.sql("CREATE NAMESPACE lightning.metastore.jsnap")
+    regs = ctx.sql("REGISTER CATALOG dsnap "
+                   "SOURCE lightning.datasource.rdbms.derbydb "
+                   "NAME LIKE 'TEST%' "
+                   "NAMESPACE lightning.metastore.jsnap").collect()
+    assert len(regs) == 2
+    n = ctx.sql("SELECT count(*) AS c FROM "
+                "lightning.metastore.jsnap.dsnap.TEST_USERS").collect()[0].c
+    assert n == 5
+
+
+def test_create_table_spec_echo(ctx):
+    """Standalone CREATE TABLE echoes the parsed spec as JSON
+    (reference standalone behavior)."""
+    import json as _json
+
+    out = ctx.sql("""@DataQuality(name=q1, expression=id > 0)
+        create table widgets (id BIGINT primary key, name String not null)
+        NAMESPACE lightning.metastore.specs""").collect()
+    spec = _json.loads(out[0].json)
+    assert spec["name"] == "widgets"
+    assert spec["columns"][0]["primaryKey"] is True
+    assert spec["annotations"][0]["name"] == "DataQuality"
+
+
 def test_jdbc_write(ctx, derby_url, spark):
     from lightning_metastore_spark.catalog.units import load_catalog_unit
 

@@ -1,0 +1,69 @@
+"""Physical-plan quality guards: the optimizations we rely on at 100 TB
+must be visible in the plan — filter pushdown into parquet scans,
+broadcast joins for dims, partial aggregation, top-k without full sort.
+A regression here is a performance bug even when results stay correct."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from lightning_metastore_spark.plans.queries import (  # noqa: E402
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q5_local_supplier_revenue,
+    q10_returned_items,
+)
+
+from tests.conftest import SF_DIR  # noqa: E402
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_partial_agg(spark):
+    plan = _plan(q1_pricing_summary(spark, SF_DIR))
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    # projection pruned to the 7 needed columns, not the full table
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_q3_broadcasts_dim_and_topk(spark):
+    plan = _plan(q3_shipping_priority(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # pushed to scan
+    assert "TakeOrderedAndProject" in plan  # top-k, no global sort
+
+
+def test_q5_all_dims_broadcast(spark):
+    plan = _plan(q5_local_supplier_revenue(spark, SF_DIR))
+    # snowflake dims resolve to broadcast joins; no SortMergeJoin needed
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q10_returnflag_pushdown(spark):
+    plan = _plan(q10_returned_items(spark, SF_DIR))
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_resolver_preserves_pushdown(spark, tmp_path):
+    """Filters must push through the resolver's temp views into the
+    underlying parquet scan (the whole point of rewriting instead of
+    materializing)."""
+    from lightning_metastore_spark.context import LightningContext
+
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE IF NOT EXISTS lightning.datasource.file")
+    ctx.sql(f"REGISTER OR REPLACE PARQUET DATASOURCE t OPTIONS(path '{SF_DIR}') "
+            f"NAMESPACE lightning.datasource.file")
+    df = ctx.sql("""
+        SELECT o_orderkey FROM lightning.datasource.file.t.orders
+        WHERE o_orderpriority = '1-URGENT'""")
+    plan = _plan(df)
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+    assert "ReadSchema: struct<o_orderkey:bigint" in plan  # column pruning
