@@ -89,9 +89,20 @@ class Resolver:
                 if last_err is None:
                     last_err = e
                 continue
+            rest = parts[cut:]
+            if rest and rest[0] not in df.columns:
+                # the trailing segment is neither a table (longer prefix
+                # failed) nor a column of this table — surface the
+                # longer prefix's error instead of leaking a mangled
+                # view name from Spark's analyzer
+                if last_err is None:
+                    last_err = ResolutionError(
+                        f"{'.'.join(['lightning'] + prefix + [rest[0]])} is "
+                        f"neither a table nor a column of "
+                        f"lightning.{'.'.join(prefix)}")
+                continue
             view = self._view_name(prefix)
             df.createOrReplaceTempView(view)
-            rest = parts[cut:]
             return ".".join([view] + rest)
         raise ResolutionError(
             f"cannot resolve {chain!r}: {last_err}") from last_err

@@ -25,6 +25,7 @@ _FILE_EXTENSIONS = {
     "CSV": ".csv",
     "JSON": ".json",
     "AVRO": ".avro",
+    "XML": ".xml",  # built-in source since Spark 4
 }
 
 
@@ -82,6 +83,8 @@ class FileCatalogUnit(CatalogUnit):
             opts["header"] = "true"
         if self.fmt == "csv" and "inferSchema" not in opts:
             opts["inferSchema"] = "true"
+        if self.fmt == "xml" and "rowTag" not in opts:
+            opts["rowTag"] = "row"
         return reader.options(**opts)
 
     def _resolve_path(self, residual: list[str]) -> str:

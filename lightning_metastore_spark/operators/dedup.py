@@ -333,10 +333,13 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     shuffle-on-id; intermediate labels are cached and the loop exits on
     a zero-changes check (one cheap count per round).
     """
+    # cache the edge list: the convergence loop runs an action per round
+    # and would otherwise recompute the (possibly expensive) pair
+    # pipeline every iteration
     edges = (pairs.select(F.col("doc_id_a").alias("src"),
                           F.col("doc_id_b").alias("dst"))
              .union(pairs.select(F.col("doc_id_b").alias("src"),
-                                 F.col("doc_id_a").alias("dst"))))
+                                 F.col("doc_id_a").alias("dst")))).cache()
     labels = nodes.select(F.col(id_col).alias("node"),
                           F.col(id_col).alias("label")).cache()
     for _ in range(max_iterations):

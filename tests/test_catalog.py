@@ -229,6 +229,32 @@ def test_usl_cycle_detection(ctx, tmp_path):
         ctx.sql("SELECT * FROM lightning.metastore.crm.ordermart.customers").collect()
 
 
+def test_register_xml_datasource(ctx, tmp_path):
+    """XML file source (built into Spark 4; reference lists XML as a
+    datasource type)."""
+    xml_dir = tmp_path / "xmlsrc"
+    xml_dir.mkdir()
+    (xml_dir / "people.xml").write_text(
+        "<rows><row><pid>1</pid><name>ann</name></row>"
+        "<row><pid>2</pid><name>bob</name></row></rows>")
+    ctx.sql("CREATE NAMESPACE lightning.datasource.file")
+    ctx.sql(f"REGISTER XML DATASOURCE xsrc OPTIONS(path '{xml_dir}') "
+            f"NAMESPACE lightning.datasource.file")
+    rows = ctx.sql("SELECT pid, name FROM "
+                   "lightning.datasource.file.xsrc.people ORDER BY pid").collect()
+    assert [(r.pid, r.name) for r in rows] == [(1, "ann"), (2, "bob")]
+
+
+def test_unknown_trailing_segment_good_error(ctx):
+    """A typo'd table behind a valid datasource must surface a lightning
+    error, not a mangled temp-view name from the Spark analyzer."""
+    ctx.sql("CREATE NAMESPACE lightning.datasource.file")
+    ctx.sql(f"REGISTER PARQUET DATASOURCE tpch OPTIONS(path '{SF_DIR}') "
+            f"NAMESPACE lightning.datasource.file")
+    with pytest.raises(Exception, match="no parquet data|neither a table"):
+        ctx.sql("SELECT * FROM lightning.datasource.file.tpch.nope").collect()
+
+
 def test_insert_into_and_ctas(ctx, spark, tmp_path):
     """INSERT INTO / CTAS delegated to the unit write path
     (doc data_virtulization.md:95-107)."""
