@@ -9,6 +9,7 @@ the Pandas-UDF slow path, UTC session time so results are oracle-stable.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -30,6 +31,8 @@ def get_spark(app_name: str = "lightning_metastore_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.warehouse.dir",
+                os.path.join(tempfile.gettempdir(), "lightning-spark-warehouse"))
         # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as long and convert in load_tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

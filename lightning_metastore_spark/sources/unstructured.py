@@ -253,14 +253,34 @@ class UnstructuredCatalogUnit(CatalogUnit):
     def load_table(self, spark: SparkSession, residual: list[str]) -> DataFrame:
         if residual == ["content"]:
             return self._content_table(spark)
+        if residual == ["files"]:
+            return self._files_table(spark)
         if residual:
             raise CatalogUnitError(
                 f"unstructured datasource {self.ds.name} has no table "
-                f"{'.'.join(residual)} (only <name> and <name>.content)")
+                f"{'.'.join(residual)} (tables: <name>, <name>.content, "
+                f"<name>.files)")
         return self._metadata_table(spark)
 
     def list_tables(self, spark: SparkSession, residual: list[str]) -> list[str]:
-        return [self.ds.name, "content"] if not residual else []
+        return [self.ds.name, "content", "files"] if not residual else []
+
+    def _files_table(self, spark: SparkSession) -> DataFrame:
+        """Metadata-ONLY fast path: pure file listing, no content bytes
+        read or decoded. The reference gets this laziness per-column
+        (`contentNeed`, UnstructuredFilePartitionReaderFactory.scala:
+        166-174); binaryFile always materializes content, so we expose
+        the listing as its own table — size/mtime scans over millions of
+        files cost directory listings only."""
+        base = {"path", "modificationTime", "length", "content"}
+        df = self._binary_df(spark)
+        extra = [c for c in df.columns if c not in base]
+        return df.select(
+            F.lit(self.ds.source_type.lower()).alias("type"),
+            F.col("path"),
+            F.col("modificationTime").alias("modifiedat"),
+            F.col("length").alias("sizeinbytes"),
+            *extra)
 
     def _extra_cols(self, df: DataFrame) -> list[str]:
         base = {"path", "modificationTime", "length", "content"}

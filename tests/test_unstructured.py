@@ -136,6 +136,22 @@ def test_image_dimensions_and_content(ctx, tmp_path):
     assert content[1].imagecontent[:8] == b"\x89PNG\r\n\x1a\n"
 
 
+def test_files_listing_table(ctx, text_tree):
+    """<name>.files = metadata-only fast path: no content read, no
+    extraction UDF in the plan."""
+    root, _ = text_tree
+    ctx.sql("CREATE NAMESPACE lightning.datasource.files")
+    ctx.sql(f"REGISTER TEXT DATASOURCE txt OPTIONS(path '{root}') "
+            f"NAMESPACE lightning.datasource.files")
+    df = ctx.sql("SELECT path, sizeinbytes FROM "
+                 "lightning.datasource.files.txt.files ORDER BY path")
+    rows = df.collect()
+    assert [r.sizeinbytes for r in rows] == [3, 16]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan  # no extraction stage
+    assert "content" not in plan.split("ReadSchema")[-1][:200]  # pruned
+
+
 def test_update_file_tags(ctx, text_tree):
     """UPDATE ... SET over tag sidecars — the reference's unfinished
     feature (UpdateLightningTableTag.scala), working here."""
