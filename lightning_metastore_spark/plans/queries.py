@@ -705,6 +705,38 @@ ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
 """
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregates: exact interpolated percentiles per group
+    (percentile_cont — deterministic given identical input doubles)."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT o_orderstatus,
+               ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6)
+                 AS median_price,
+               ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice), 6)
+                 AS p95_price,
+               ROUND(MIN(o_totalprice), 2) AS min_price,
+               ROUND(MAX(o_totalprice), 2) AS max_price
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """)
+
+
+Q_PERCENTILES_ORACLE = """
+SELECT o_orderstatus,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6)
+         AS median_price,
+       ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice), 6)
+         AS p95_price,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 RELATIONAL_QUERIES: dict[str, QuerySpec] = {
     s.name: s for s in [
         QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE,
@@ -744,5 +776,7 @@ RELATIONAL_QUERIES: dict[str, QuerySpec] = {
                   "left outer join + double aggregation"),
         QuerySpec("q_grouping_sets", q_grouping_sets, Q_GROUPING_SETS_ORACLE,
                   "GROUPING SETS + HAVING"),
+        QuerySpec("q_percentiles", q_percentiles, Q_PERCENTILES_ORACLE,
+                  "ordered-set aggregates (percentile_cont)"),
     ]
 }
