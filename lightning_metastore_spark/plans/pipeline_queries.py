@@ -473,6 +473,43 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_metadata(payloads).orderBy("id")
 
 
+# --- streaming (batch-equivalence through the gate) ------------------------
+
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming windowed aggregation drained to completion;
+    the oracle is the BATCH SQL — passing proves the incremental
+    computation converges to the batch answer."""
+    import os
+    import tempfile
+    import shutil
+
+    from lightning_metastore_spark.streaming import events as sev
+
+    d = tempfile.mkdtemp(prefix="lightning-stream-")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(d, "events.parquet"))
+    stream = sev.read_event_stream(spark, d)
+    agg = sev.windowed_event_counts(stream, window="1 hour")
+    # complete mode: the memory sink holds exactly the final aggregation
+    # state (update mode would append one row per key per trigger)
+    name = "gate_stream_hourly"
+    sev.run_to_memory(agg, name, output_mode="complete")
+    return spark.sql(f"""
+        SELECT window_start, event_type, n_events, sum_value
+        FROM {name} ORDER BY window_start, event_type
+    """)
+
+
+STREAM_HOURLY_ORACLE = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
 # --- DQ checks -------------------------------------------------------------
 
 def dq_pk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -568,6 +605,9 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "binary-column metadata derivation"),
         QuerySpec("mm_decode_stub", mm_decode_stub, None,
                   "multimodal decode plumbing (stubbed decode, rows-only)"),
+        QuerySpec("stream_events_hourly", stream_events_hourly,
+                  STREAM_HOURLY_ORACLE,
+                  "streamed windowed agg == batch answer"),
         QuerySpec("dq_pk_orders", dq_pk_orders, DQ_PK_ORACLE,
                   "PK constraint check (single-pass)"),
         QuerySpec("dq_fk_lineitem_orders", dq_fk_lineitem_orders, DQ_FK_ORACLE,
