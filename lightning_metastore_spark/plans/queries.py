@@ -737,6 +737,96 @@ ORDER BY o_orderstatus
 """
 
 
+def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame: events in the trailing hour per user (numeric
+    range over epoch micros — engine-portable frame semantics)."""
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql("""
+        SELECT event_id, user_id,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY unix_micros(ts)
+                              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                 AS n_last_hour
+        FROM events
+        ORDER BY event_id
+    """)
+
+
+Q_RANGE_WINDOW_ORACLE = """
+SELECT event_id, user_id,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         AS n_last_hour
+FROM events
+ORDER BY event_id
+"""
+
+
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions: first/last/lead/lag + ntile over
+    per-customer order sequences."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT o_custkey, o_orderkey,
+               FIRST_VALUE(o_orderkey) OVER w AS first_order,
+               LAG(o_orderkey) OVER w AS prev_order,
+               LEAD(o_orderkey) OVER w AS next_order,
+               NTILE(4) OVER w AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey
+    """)
+
+
+Q_WINDOW_NAV_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       LAG(o_orderkey) OVER w AS prev_order,
+       LEAD(o_orderkey) OVER w AS next_order,
+       NTILE(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions in the gate: per-label stats of
+    vector norms and extrema (aggregate/transform/array_max)."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                              F.lit(0.0), lambda a, x: a + x))
+    return (t["embeddings"]
+            .select("label", F.round(norm, 9).alias("norm"),
+                    F.round(F.array_max(v), 9).alias("vmax"),
+                    F.size(v).alias("dim"))
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("norm"), 6).alias("min_norm"),
+                 F.round(F.max("norm"), 6).alias("max_norm"),
+                 F.round(F.max("vmax"), 6).alias("max_component"),
+                 F.max("dim").alias("dim"))
+            .orderBy("label"))
+
+
+Q_VECTOR_STATS_ORACLE = """
+WITH per_vec AS (
+  SELECT label,
+         ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                            x -> x * x))), 9) AS norm,
+         ROUND(list_max(CAST(embedding AS DOUBLE[])), 9) AS vmax,
+         len(embedding) AS dim
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n,
+       ROUND(MIN(norm), 6) AS min_norm,
+       ROUND(MAX(norm), 6) AS max_norm,
+       ROUND(MAX(vmax), 6) AS max_component,
+       CAST(MAX(dim) AS INT) AS dim
+FROM per_vec GROUP BY label ORDER BY label
+"""
+
+
 RELATIONAL_QUERIES: dict[str, QuerySpec] = {
     s.name: s for s in [
         QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE,
@@ -778,5 +868,11 @@ RELATIONAL_QUERIES: dict[str, QuerySpec] = {
                   "GROUPING SETS + HAVING"),
         QuerySpec("q_percentiles", q_percentiles, Q_PERCENTILES_ORACLE,
                   "ordered-set aggregates (percentile_cont)"),
+        QuerySpec("q_range_window", q_range_window, Q_RANGE_WINDOW_ORACLE,
+                  "RANGE window frame over event time"),
+        QuerySpec("q_window_navigation", q_window_navigation, Q_WINDOW_NAV_ORACLE,
+                  "first/lag/lead/ntile navigation windows"),
+        QuerySpec("q_vector_stats", q_vector_stats, Q_VECTOR_STATS_ORACLE,
+                  "array higher-order functions over embeddings"),
     ]
 }
