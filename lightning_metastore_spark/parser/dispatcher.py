@@ -62,6 +62,7 @@ _LIGHTNING_HEADS = (
     re.compile(r"^@\w+\s*\(", re.I),
     re.compile(r"^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?[\w.`\-]+\s*\(.*\)\s*"
                r"NAMESPACE\s+LIGHTNING\.", re.I | re.S),
+    re.compile(r"^MERGE\s+INTO\s+LIGHTNING\.", re.I),
 )
 
 
@@ -382,6 +383,96 @@ class CreateTableAsSelect(Command):
         df = ctx.spark.sql(ctx.resolver.resolve_sql(self.query))
         unit.write_table(df, residual, mode="errorifexists")
         return self._df(ctx, [(".".join(self.path),)], "created string")
+
+
+@dataclass
+class MergeInto(Command):
+    """`MERGE INTO lightning.<file-table> [AS t] USING <src> [AS s]
+    ON <cond> WHEN MATCHED THEN UPDATE SET ...|DELETE
+    WHEN NOT MATCHED THEN INSERT *|(cols) VALUES (exprs)`.
+
+    The reference supports MERGE only through Iceberg's extension
+    (doc etl_in_iceberg_lakehouse.md); for plain file tables we express
+    the upsert as one full-outer join: matched rows apply UPDATE/DELETE,
+    target-only rows pass through, source-only rows INSERT. The result
+    is localCheckpointed to break lineage, then overwrites the target —
+    a single shuffle on the join condition. (On Iceberg/Delta units the
+    engine-native MERGE would be used instead.)
+    """
+    target: list[str]
+    target_alias: str
+    source_sql: str
+    source_alias: str
+    on_cond: str
+    update_set: Optional[dict[str, str]] = None   # None = no clause
+    matched_delete: bool = False
+    insert_cols: Optional[list[str]] = None       # None + insert_all=False = no clause
+    insert_values: Optional[list[str]] = None
+    insert_all: bool = False
+
+    def run(self, ctx) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from lightning_metastore_spark.catalog.units import load_catalog_unit
+
+        rest = _require_root(self.target, DATASOURCE_ROOT, "MERGE target")
+        hit = ctx.metastore.find_parent_datasource(rest)
+        if hit is None:
+            raise CommandParseError(
+                f"no datasource at lightning.{'.'.join(self.target)}")
+        ds, residual = hit
+        unit = load_catalog_unit(ds)
+        t_df = (unit.load_table(ctx.spark, residual)
+                .withColumn("__te", F.lit(1)).alias(self.target_alias))
+        src = self.source_sql.strip()
+        if src.startswith("("):
+            src = src[1:-1]
+        if re.match(r"^lightning\.", src, re.I):
+            s_base = ctx.resolver.load_table(_split_path(src))
+        else:
+            s_base = ctx.spark.sql(ctx.resolver.resolve_sql(src))
+        s_df = s_base.withColumn("__se", F.lit(1)).alias(self.source_alias)
+        joined = t_df.join(s_df, F.expr(self.on_cond), "full_outer")
+
+        ta, sa = self.target_alias, self.source_alias
+        matched = (F.col(f"{ta}.__te").isNotNull()
+                   & F.col(f"{sa}.__se").isNotNull())
+        t_only = F.col(f"{ta}.__te").isNotNull() & F.col(f"{sa}.__se").isNull()
+        s_only = F.col(f"{ta}.__te").isNull() & F.col(f"{sa}.__se").isNotNull()
+
+        target_cols = [c for c in unit.load_table(ctx.spark, residual).columns]
+        keep = t_only
+        if self.matched_delete:
+            pass  # matched rows dropped
+        else:
+            keep = keep | matched
+        if self.insert_all or self.insert_cols:
+            keep = keep | s_only
+        out_cols = []
+        for c in target_cols:
+            t_val = F.col(f"{ta}.`{c}`")
+            if self.update_set and not self.matched_delete:
+                upd = F.expr(self.update_set.get(c, f"{ta}.`{c}`"))
+                m_val = upd
+            else:
+                m_val = t_val
+            if self.insert_all:
+                i_val = F.col(f"{sa}.`{c}`") if c in s_base.columns \
+                    else F.lit(None)
+            elif self.insert_cols and c in self.insert_cols:
+                i_val = F.expr(self.insert_values[self.insert_cols.index(c)])
+            else:
+                i_val = F.lit(None)
+            out_cols.append(
+                F.when(matched, m_val).when(t_only, t_val)
+                .otherwise(i_val).alias(c))
+        result = joined.filter(keep).select(*out_cols)
+        # break lineage from the files we are about to overwrite
+        materialized = result.localCheckpoint(eager=True)
+        unit.write_table(materialized, residual, mode="overwrite")
+        n = materialized.count()
+        return self._df(ctx, [(".".join(self.target), n)],
+                        "merged string, n_rows long")
 
 
 @dataclass
@@ -843,18 +934,88 @@ _R_UPDATE_TAGS = re.compile(
 
 
 def _parse_assignments(s: str) -> dict[str, str]:
+    from lightning_metastore_spark.parser.create_table import _split_top_level
+
     out = {}
-    for item in s.split(","):
+    for item in _split_top_level(s):
         if "=" not in item:
             raise CommandParseError(f"bad SET assignment: {item!r}")
         k, v = item.split("=", 1)
-        out[k.strip()] = v.strip()
+        k = k.strip()
+        # strip a target-alias prefix ("t.col = ...")
+        if "." in k:
+            k = k.split(".")[-1]
+        out[k] = v.strip()
     return out
+
+
+_R_MERGE_HEAD = re.compile(
+    r"^MERGE\s+INTO\s+(?P<target>[\w.\-]+)"
+    r"(?:\s+(?:AS\s+)?(?P<ta>(?!USING\b)\w+))?\s+USING\s+",
+    re.I)
+_R_MERGE_UPDATE = re.compile(
+    r"^MATCHED\s+THEN\s+UPDATE\s+SET\s+(?P<sets>.+)$", re.I | re.S)
+_R_MERGE_DELETE = re.compile(r"^MATCHED\s+THEN\s+DELETE\s*$", re.I)
+_R_MERGE_INSERT = re.compile(
+    r"^NOT\s+MATCHED\s+THEN\s+INSERT\s+(?:(?P<star>\*)|"
+    r"\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.*)\))\s*$", re.I | re.S)
+
+
+def _parse_merge(text: str) -> "MergeInto":
+    from lightning_metastore_spark.parser.create_table import _split_top_level
+
+    m = _R_MERGE_HEAD.match(text)
+    rest = text[m.end():].lstrip()
+    if rest.startswith("("):
+        depth, i = 0, 0
+        for i, ch in enumerate(rest):
+            depth += 1 if ch == "(" else (-1 if ch == ")" else 0)
+            if depth == 0:
+                break
+        source_sql, rest = rest[: i + 1], rest[i + 1:].lstrip()
+    else:
+        source_sql, _, rest = rest.partition(" ")
+        rest = rest.lstrip()
+    sa = "s"
+    am = re.match(r"(?:AS\s+)?(?!ON\b)(\w+)\s+", rest, re.I)
+    if am:
+        sa, rest = am.group(1), rest[am.end():]
+    om = re.match(r"ON\s+(?P<cond>.+?)\s+(?=WHEN\s)", rest, re.I | re.S)
+    if not om:
+        raise CommandParseError("MERGE INTO requires ON <cond> WHEN ...")
+    cond, clauses_text = om.group("cond"), rest[om.end():]
+    cmd = MergeInto(target=_split_path(m.group("target")),
+                    target_alias=m.group("ta") or "t",
+                    source_sql=source_sql, source_alias=sa, on_cond=cond)
+    for clause in re.split(r"\bWHEN\s+", clauses_text, flags=re.I):
+        clause = clause.strip()
+        if not clause:
+            continue
+        cm = _R_MERGE_UPDATE.match(clause)
+        if cm:
+            cmd.update_set = _parse_assignments(cm.group("sets"))
+            continue
+        if _R_MERGE_DELETE.match(clause):
+            cmd.matched_delete = True
+            continue
+        cm = _R_MERGE_INSERT.match(clause)
+        if cm:
+            if cm.group("star"):
+                cmd.insert_all = True
+            else:
+                cmd.insert_cols = [c.strip() for c in cm.group("cols").split(",")]
+                cmd.insert_values = [v.strip() for v in
+                                     _split_top_level(cm.group("vals"))]
+            continue
+        raise CommandParseError(f"unsupported MERGE clause: WHEN {clause[:60]}")
+    return cmd
 
 
 def parse_command(sql: str) -> Command:
     text = strip_comments(sql)
 
+    if _R_MERGE_HEAD.match(text):
+        return _parse_merge(text)
     m = _R_UPDATE_TAGS.match(text)
     if m:
         return UpdateFileTags(path=_split_path(m.group("path")),
