@@ -473,6 +473,91 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_metadata(payloads).orderBy("id")
 
 
+def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment + stratified downsampling
+    — hash-based (md5 of the id), so assignment is stable across runs,
+    clusters and engines; no RNG state to coordinate. The hex-prefix
+    comparison gives train ≈ 0.797, val ≈ 0.1, test remainder; the
+    per-language 'keep' flag additionally downsamples English to ~50%.
+    At 100 TB this is a map-only scan."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    h2 = F.substring(F.md5(F.concat(F.lit("ds:"), F.col("doc_id").cast("string"))), 1, 2)
+    split = (F.when(h < F.lit("cc"), "train")
+             .when(h < F.lit("e6"), "val")
+             .otherwise("test"))
+    keep = F.when((F.col("lang") == "en") & (h2 >= F.lit("80")), False).otherwise(True)
+    return (t["documents"]
+            .select("doc_id", "lang", split.alias("split"), keep.alias("keep"))
+            .orderBy("doc_id"))
+
+
+SAMPLE_SPLIT_ORACLE = """
+SELECT doc_id, lang,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split,
+       NOT (lang = 'en'
+            AND substring(md5('ds:' || CAST(doc_id AS VARCHAR)), 1, 2) >= '80')
+         AS keep
+FROM documents ORDER BY doc_id
+"""
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the dedup story: per near-dup cluster keep the 'best'
+    document (longest text, id tiebreak) — the selection policy real
+    pipelines apply after clustering."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5, n=3)
+    clusters = dedup.connected_components(pairs, docs)
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (docs.join(clusters, "doc_id")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("doc_id", "cluster_id", "n_chars")
+            .orderBy("doc_id"))
+
+
+DEDUP_KEEP_BEST_ORACLE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              ELSE array_to_string(t, ' ') END AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+), sc AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN sc sa ON sa.doc_id = a.doc_id JOIN sc sb ON sb.doc_id = b.doc_id
+  GROUP BY 1, 2, sa.n, sb.n
+  HAVING COUNT(*) / (sa.n + sb.n - COUNT(*)) >= 0.5
+), edges AS (
+  SELECT ida AS src, idb AS dst FROM pairs
+  UNION ALL SELECT idb, ida FROM pairs
+), reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.node
+), clusters AS (
+  SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
+)
+SELECT doc_id, cluster_id, n_chars FROM (
+  SELECT d.doc_id, c.cluster_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rk
+  FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+) WHERE rk = 1
+ORDER BY doc_id
+"""
+
+
 # --- streaming (batch-equivalence through the gate) ------------------------
 
 def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,6 +670,10 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "embedding cosine near-dup pairs"),
         QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE,
                   "connected-components duplicate clusters"),
+        QuerySpec("dedup_keep_best", dedup_keep_best, DEDUP_KEEP_BEST_ORACLE,
+                  "per-cluster best-document selection"),
+        QuerySpec("sample_split_assign", sample_split_assign, SAMPLE_SPLIT_ORACLE,
+                  "deterministic hash-based split + stratified sampling"),
         QuerySpec("text_pii_redact", text_pii_redact, PII_ORACLE,
                   "PII masking (email/ssn/phone/card)"),
         QuerySpec("text_tfidf_top_terms", text_tfidf_top_terms, TFIDF_ORACLE,
