@@ -50,6 +50,68 @@ class Resolver:
 
     # -- public -------------------------------------------------------------
 
+    def try_single_jdbc_pushdown(self, sql: str):
+        """When EVERY table a query touches lives in the SAME JDBC
+        datasource, ship the whole query to the source as
+        `dbtable=(query)` — the federation optimization the reference
+        lacks (SURVEY §4: JDBC sources otherwise scan whole tables minus
+        pushed filters). Returns a DataFrame or None when not applicable.
+
+        Applicability guard: the statement is a SELECT/WITH, every
+        FROM/JOIN identifier is a lightning.* chain, and all chains
+        resolve (metastore-only, no scans) to one JDBC datasource.
+        Caveat: the pushed text runs in the REMOTE dialect — Spark-only
+        functions make it inapplicable; callers can disable via
+        LightningContext(jdbc_pushdown=False).
+        """
+        import re as _re
+
+        head = sql.lstrip().split(None, 1)
+        if not head or head[0].upper() not in ("SELECT", "WITH"):
+            return None
+        parts = _QUOTED.split(sql)
+        target = None  # (DataSource key, DataSource)
+        for i, part in enumerate(parts):
+            if i % 2 == 1:
+                continue
+            for m in _re.finditer(r"\b(?:FROM|JOIN)\s+([A-Za-z_][\w.\-]*)",
+                                  part, _re.I):
+                ident = m.group(1)
+                if not ident.lower().startswith("lightning."):
+                    return None  # touches a non-lightning relation
+        chains = {c for i, part in enumerate(parts) if i % 2 == 0
+                  for c in _CHAIN.findall(part)}
+        if not chains:
+            return None
+        rewrites = {}
+        for chain in chains:
+            path = chain.split(".")[1:]
+            if not path or path[0].lower() != DATASOURCE_ROOT:
+                return None
+            hit = self.metastore.find_parent_datasource(path[1:])
+            if hit is None:
+                return None
+            ds, residual = hit
+            if ds.source_type != "JDBC" or not residual:
+                return None
+            key = (tuple(ds.namespace), ds.name)
+            if target is None:
+                target = (key, ds)
+            elif target[0] != key:
+                return None  # spans two sources -> federate via Spark
+            rewrites[chain] = ".".join(residual)
+        pushed_parts = list(parts)
+        for i, part in enumerate(pushed_parts):
+            if i % 2 == 1:
+                continue
+            for chain, native in sorted(rewrites.items(), key=lambda kv: -len(kv[0])):
+                part = part.replace(chain, native)
+            pushed_parts[i] = part
+        pushed = "".join(pushed_parts)
+        opts = dict(target[1].options)
+        opts["dbtable"] = f"({pushed}) pushed_q"
+        return self.spark.read.format("jdbc").options(**opts).load()
+
     def resolve_sql(self, sql: str, _stack: frozenset = frozenset()) -> str:
         """Rewrite every lightning.* table reference to a temp-view name."""
         parts = _QUOTED.split(sql)

@@ -28,16 +28,26 @@ from lightning_metastore_spark.parser.dispatcher import (
 
 
 class LightningContext:
-    def __init__(self, spark: SparkSession, warehouse: str | None = None):
+    def __init__(self, spark: SparkSession, warehouse: str | None = None,
+                 jdbc_pushdown: bool = False):
+        # jdbc_pushdown is opt-in: the pushed query runs in the REMOTE
+        # dialect, which may surface different identifier casing (e.g.
+        # Derby uppercases) and only supports ANSI-compatible text.
         self.spark = spark
         if warehouse is None:
             warehouse = os.path.join(tempfile.gettempdir(), "lightning-model")
         self.metastore = Metastore(warehouse)
         self.resolver = Resolver(spark, self.metastore)
+        self.jdbc_pushdown = jdbc_pushdown
 
     def sql(self, query: str) -> DataFrame:
         if is_lightning_command(query):
             return parse_command(query).run(self)
+        if self.jdbc_pushdown:
+            # single-JDBC-source queries execute AT the source
+            pushed = self.resolver.try_single_jdbc_pushdown(query)
+            if pushed is not None:
+                return pushed
         return self.spark.sql(self.resolver.resolve_sql(query))
 
     def table(self, name: str) -> DataFrame:

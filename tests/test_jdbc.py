@@ -119,6 +119,68 @@ def test_create_table_spec_echo(ctx):
     assert spec["annotations"][0]["name"] == "DataQuality"
 
 
+def test_single_source_join_pushdown(ctx, derby_url):
+    """A join touching only one JDBC source executes AT the source as
+    dbtable=(query) — ONE JDBC scan, no Spark-side join (the federation
+    optimization the reference lacks, SURVEY §4). Opt-in because the
+    remote dialect controls identifier casing."""
+    from lightning_metastore_spark.context import LightningContext
+
+    ctx.sql("CREATE NAMESPACE lightning.datasource.rdbms")
+    ctx.sql(f"REGISTER JDBC DATASOURCE derbydb OPTIONS(url '{derby_url}') "
+            f"NAMESPACE lightning.datasource.rdbms")
+    ctx = LightningContext(ctx.spark, warehouse=str(ctx.metastore.warehouse),
+                           jdbc_pushdown=True)
+    df = ctx.sql("""
+        SELECT u.uid, j.name
+        FROM lightning.datasource.rdbms.derbydb.test_users u
+        JOIN lightning.datasource.rdbms.derbydb.test_jobs j ON u.jid = j.jid
+        WHERE u.uid <= 3
+        ORDER BY u.uid
+    """)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan JDBCRelation") == 1  # whole query shipped
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    rows = df.collect()
+    assert [(r.UID, r.NAME.strip()) for r in rows] == [
+        (1, "job1"), (2, "job2"), (3, "job3")]
+
+
+def test_pushdown_disabled_federates_in_spark(ctx, derby_url):
+    ctx.sql("CREATE NAMESPACE lightning.datasource.rdbms")
+    ctx.sql(f"REGISTER JDBC DATASOURCE derbydb OPTIONS(url '{derby_url}') "
+            f"NAMESPACE lightning.datasource.rdbms")
+    df = ctx.sql("""
+        SELECT count(*) AS n
+        FROM lightning.datasource.rdbms.derbydb.test_users u
+        JOIN lightning.datasource.rdbms.derbydb.test_jobs j ON u.jid = j.jid
+    """)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan JDBCRelation") == 2  # two scans, Spark joins
+    assert df.collect()[0].n == 5
+
+
+def test_pushdown_skipped_for_cross_source(ctx, derby_url):
+    """Queries spanning JDBC + parquet must keep federating in Spark
+    even with pushdown enabled."""
+    from lightning_metastore_spark.context import LightningContext
+
+    ctx.sql("CREATE NAMESPACE lightning.datasource.rdbms")
+    ctx.sql(f"REGISTER JDBC DATASOURCE derbydb OPTIONS(url '{derby_url}') "
+            f"NAMESPACE lightning.datasource.rdbms")
+    ctx = LightningContext(ctx.spark, warehouse=str(ctx.metastore.warehouse),
+                           jdbc_pushdown=True)
+    ctx.sql("CREATE NAMESPACE lightning.datasource.file")
+    ctx.sql(f"REGISTER PARQUET DATASOURCE tpch OPTIONS(path '{SF_DIR}') "
+            f"NAMESPACE lightning.datasource.file")
+    df = ctx.sql("""
+        SELECT count(*) AS n
+        FROM lightning.datasource.rdbms.derbydb.test_users u
+        JOIN lightning.datasource.file.tpch.region r ON u.uid - 1 = r.r_regionkey
+    """)
+    assert df.collect()[0].n == 5
+
+
 def test_jdbc_write(ctx, derby_url, spark):
     from lightning_metastore_spark.catalog.units import load_catalog_unit
 
