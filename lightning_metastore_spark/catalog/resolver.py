@@ -44,9 +44,11 @@ class ResolutionError(Exception):
 
 
 class Resolver:
-    def __init__(self, spark, metastore):
+    def __init__(self, spark, metastore, current_user: Optional[str] = None):
         self.spark = spark
         self.metastore = metastore
+        # identity for @AccessControl enforcement; None disables checks
+        self.current_user = current_user
 
     # -- public -------------------------------------------------------------
 
@@ -240,4 +242,35 @@ class Resolver:
             raise ResolutionError(
                 f"USL table {table} is not activated (ACTIVATE USL TABLE first)")
         rewritten = self.resolve_sql(query, _stack | {key})
-        return self.spark.sql(rewritten)
+        df = self.spark.sql(rewritten)
+        return self._enforce_access(df, spec, ns + [usl.name, table])
+
+    def _enforce_access(self, df: DataFrame, spec: dict, path: list[str]):
+        """@AccessControl enforcement — the reference parses these hints
+        but never enforces them (the optimizer rule is commented out,
+        LightningSparkSessionExtension.scala:38-39). Ours works:
+        accessType=deny blocks listed users outright; accessType=regex
+        masks values of columns whose name matches the `columns` regex.
+        Disabled when no current_user is set (matching the reference's
+        effective default)."""
+        user = self.current_user
+        if user is None:
+            return df
+        for ann in spec.get("annotations", []):
+            if ann.get("name", "").lower() != "accesscontrol":
+                continue
+            args = ann.get("args", {})
+            users = [u.strip() for u in args.get("users", "").split(",") if u.strip()]
+            if users and user not in users:
+                continue
+            atype = args.get("accessType", "deny").lower()
+            if atype == "deny":
+                raise ResolutionError(
+                    f"access denied for user {user!r} on "
+                    f"lightning.metastore.{'.'.join(path)}")
+            if atype == "regex":
+                pat = re.compile(args.get("columns", ".*"), re.I)
+                df = df.select(*[
+                    F.lit("***").alias(c) if pat.fullmatch(c) else F.col(c)
+                    for c in df.columns])
+        return df

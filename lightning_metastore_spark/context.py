@@ -29,15 +29,16 @@ from lightning_metastore_spark.parser.dispatcher import (
 
 class LightningContext:
     def __init__(self, spark: SparkSession, warehouse: str | None = None,
-                 jdbc_pushdown: bool = False):
+                 jdbc_pushdown: bool = False, current_user: str | None = None):
         # jdbc_pushdown is opt-in: the pushed query runs in the REMOTE
         # dialect, which may surface different identifier casing (e.g.
         # Derby uppercases) and only supports ANSI-compatible text.
+        # current_user enables @AccessControl enforcement on USL tables.
         self.spark = spark
         if warehouse is None:
             warehouse = os.path.join(tempfile.gettempdir(), "lightning-model")
         self.metastore = Metastore(warehouse)
-        self.resolver = Resolver(spark, self.metastore)
+        self.resolver = Resolver(spark, self.metastore, current_user=current_user)
         self.jdbc_pushdown = jdbc_pushdown
 
     def sql(self, query: str) -> DataFrame:

@@ -815,6 +815,39 @@ class RunDQ(Command):
             if self.name is None or d["name"] == self.name:
                 results.append(dq_ops.custom_check(
                     df, d["expression"], d["name"], table))
+        # @DataQuality annotations from the CREATE TABLE spec, with
+        # ${var} -> CTE substitution (reference CreateTableSpec.
+        # withDQExpression:97-111 / LightningParserUtils:53-71)
+        for ann in spec_d.get("annotations", []):
+            if ann.get("name", "").lower() != "dataquality":
+                continue
+            dq_name = ann.get("args", {}).get("name")
+            expr = ann.get("args", {}).get("expression")
+            if not dq_name or not expr:
+                continue
+            if self.name is not None and dq_name != self.name:
+                continue
+            cte_defs = {k: v for k, v in ann["args"].items()
+                        if k not in ("name", "expression")}
+            view = f"__dq_{dq_name}"
+            df.createOrReplaceTempView(view)
+            # ${var} becomes a subquery over its CTE (scalar or IN-list)
+            expr_sub = re.sub(r"\$\{(\w+)\}", r"(SELECT * FROM \1)", expr)
+            prefix = ""
+            if cte_defs:
+                ctes = ", ".join(
+                    f"{k} AS ({ctx.resolver.resolve_sql(v)})"
+                    for k, v in cte_defs.items())
+                prefix = f"WITH {ctes} "
+            stats = ctx.spark.sql(
+                f"{prefix}SELECT COUNT(*) AS total, "
+                f"CAST(SUM(CASE WHEN {expr_sub} THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS valid FROM {view}")
+            results.append(stats.selectExpr(
+                f"'{dq_name}' AS dq_name", f"'{table}' AS table_name",
+                "'Custom Data Quality' AS check_type",
+                "CAST(total AS BIGINT) AS total", "valid",
+                "CAST(total - valid AS BIGINT) AS invalid"))
         if not results:
             raise CommandParseError(
                 f"no DQ named {self.name!r} on {table}" if self.name
