@@ -473,6 +473,24 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_metadata(payloads).orderBy("id")
 
 
+def sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based profiling: approx distinct counts (HyperLogLog++)
+    and approx percentiles per event type — the constant-memory
+    mergeable-sketch path for 100 TB profiling. Approximate by nature
+    (engine HLL implementations differ) -> rows-only check; accuracy vs
+    exact is asserted in tests/test_sketches.py."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (t["events"]
+            .groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+                 F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_q"),
+                 F.count(F.lit(1)).alias("n"))
+            .select("event_type", "approx_users",
+                    F.col("value_q")[0].alias("p50"),
+                    F.col("value_q")[1].alias("p95"), "n")
+            .orderBy("event_type"))
+
+
 def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment + stratified downsampling
     — hash-based (md5 of the id), so assignment is stable across runs,
@@ -674,6 +692,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "per-cluster best-document selection"),
         QuerySpec("sample_split_assign", sample_split_assign, SAMPLE_SPLIT_ORACLE,
                   "deterministic hash-based split + stratified sampling"),
+        QuerySpec("sketch_profile", sketch_profile, None,
+                  "HLL++ distinct + approx percentiles (rows-only)"),
         QuerySpec("text_pii_redact", text_pii_redact, PII_ORACLE,
                   "PII masking (email/ssn/phone/card)"),
         QuerySpec("text_tfidf_top_terms", text_tfidf_top_terms, TFIDF_ORACLE,

@@ -27,7 +27,7 @@ def test_registry_consistency():
     assert set(oracles) <= set(qs)
     # only genuinely approximate operators may omit an oracle
     rows_only = set(qs) - set(oracles)
-    assert rows_only <= {"ann_ivf_topk", "mm_decode_stub"}
+    assert rows_only <= {"ann_ivf_topk", "mm_decode_stub", "sketch_profile"}
 
 
 def test_spot_correctness_vs_duckdb(spark):
