@@ -705,6 +705,41 @@ ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
 """
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window (30-min gap) — the oracle is the
+    classic lag+cumsum SQL formulation, so this cross-checks Spark's
+    built-in session semantics against the portable definition."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (t["events"]
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.col("session_window.start").alias("session_start"),
+                    "n_events")
+            .orderBy("user_id", "session_start"))
+
+
+Q_SESSION_WINDOW_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+), flagged AS (
+  SELECT user_id, ts, us, event_id,
+         CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-set aggregates: exact interpolated percentiles per group
     (percentile_cont — deterministic given identical input doubles)."""
@@ -874,5 +909,7 @@ RELATIONAL_QUERIES: dict[str, QuerySpec] = {
                   "first/lag/lead/ntile navigation windows"),
         QuerySpec("q_vector_stats", q_vector_stats, Q_VECTOR_STATS_ORACLE,
                   "array higher-order functions over embeddings"),
+        QuerySpec("q_session_window", q_session_window, Q_SESSION_WINDOW_ORACLE,
+                  "native session_window vs lag+cumsum oracle"),
     ]
 }
