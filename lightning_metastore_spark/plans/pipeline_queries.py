@@ -189,11 +189,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
-    # chunks=12 (5-bit chunks) guarantees candidate recall up to hamming
-    # 11 by pigeonhole; measured true-pair hammings on this corpus reach
-    # 11. Web-scale simhash uses hamming<=3 with 16-bit chunks — the
-    # chunk knob trades bucket fan-in for recall (see simhash_pairs doc).
-    return (dedup.simhash_pairs(t["documents"], hamming_max=11, chunks=12,
+    # chunks=15 (4-bit chunks) guarantees candidate recall up to hamming
+    # 14 by pigeonhole; measured true-pair hammings on this corpus reach
+    # 12 at sf0.1 (small shared vocabulary -> weak simhash separation).
+    # Web-scale simhash uses hamming<=3 with 16-bit chunks — the chunk
+    # knob trades bucket fan-in for recall (see simhash_pairs doc).
+    return (dedup.simhash_pairs(t["documents"], hamming_max=14, chunks=15,
                                 jaccard_threshold=0.5)
             .orderBy("doc_id_a", "doc_id_b"))
 

@@ -31,7 +31,7 @@ def test_simhash_recall_equals_exact(spark):
     exact = {(r.doc_id_a, r.doc_id_b)
              for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()}
     sh = {(r.doc_id_a, r.doc_id_b)
-          for r in dedup.simhash_pairs(docs, hamming_max=11, chunks=12,
+          for r in dedup.simhash_pairs(docs, hamming_max=14, chunks=15,
                                        jaccard_threshold=0.5).collect()}
     assert sh == exact
 
