@@ -107,15 +107,18 @@ def _shingle_counts(sh: DataFrame, id_col: str) -> DataFrame:
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
                   text_col: str = "text", id_col: str = "doc_id",
-                  max_shingle_df: int | None = None) -> DataFrame:
+                  max_shingle_df: int | None = None,
+                  sh: DataFrame | None = None) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs: (id_a, id_b, jaccard).
 
     Plan: explode shingles -> self equi-join on shingle (the shuffle key)
     -> per-pair intersection count -> |A ∪ B| = |A| + |B| - |A ∩ B|.
     ``max_shingle_df`` drops shingles appearing in more than that many
-    docs — bounds the fan-out of hot shingles at scale.
+    docs — bounds the fan-out of hot shingles at scale. Pass a prebuilt
+    (persisted) ``sh`` to amortize shingling across operators.
     """
-    sh = shingles(docs, n, text_col, id_col)
+    if sh is None:
+        sh = shingles(docs, n, text_col, id_col)
     counts = _shingle_counts(sh, id_col)
     if max_shingle_df is not None:
         sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -162,7 +165,7 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 64,
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
                       num_hashes: int = 64, bands: int = 16, n: int = 3,
                       text_col: str = "text", id_col: str = "doc_id",
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42, sh: DataFrame | None = None) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified: (doc_id_a, doc_id_b, jaccard).
 
     16 bands x 4 rows: P[candidate] = 1-(1-s^4)^16 — ~1e-7 miss rate at
@@ -171,7 +174,8 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     exact verify joins shingles only for candidate pairs.
     """
     rows_per_band = num_hashes // bands
-    sh = shingles(docs, n, text_col, id_col)
+    if sh is None:
+        sh = shingles(docs, n, text_col, id_col)
     sig = minhash_signatures(sh, num_hashes, id_col, seed)
 
     band_entries = F.array(*[
@@ -292,7 +296,8 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
 def simhash_pairs(docs: DataFrame, hamming_max: int = 8,
                   jaccard_threshold: float = 0.5, n: int = 3,
                   chunks: int = 10, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  sh: DataFrame | None = None) -> DataFrame:
     """SimHash near-dup pairs, exact-verified: (doc_id_a, doc_id_b, jaccard).
 
     Hamming-LSH: split the 60-bit fingerprint into ``chunks`` chunks; by
@@ -326,7 +331,8 @@ def simhash_pairs(docs: DataFrame, hamming_max: int = 8,
                 F.col(f"b.{id_col}").alias("doc_id_b"))
         .distinct()
     )
-    sh = shingles(docs, n, text_col, id_col)
+    if sh is None:
+        sh = shingles(docs, n, text_col, id_col)
     # SimHash's hamming gate separates weakly on small-vocabulary corpora
     # (candidates can be a large pair fraction) — the shingle-join verify
     # enumerates only truly-overlapping pairs instead of joining per

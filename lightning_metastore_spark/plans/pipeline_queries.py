@@ -135,6 +135,21 @@ ORDER BY check_type
 
 # --- dedup -----------------------------------------------------------------
 
+# Session-scoped shingle cache shared by the dedup queries: all of them
+# shingle the same documents table, so the exploded (doc_id, shingle)
+# relation is persisted once per (session, sf_dir) — MEMORY_AND_DISK,
+# ~20 MB at sf0.1; the later queries skip the tokenize/explode/distinct
+# pipeline entirely.
+_shingle_cache: dict = {}
+
+
+def _shingles_cached(spark: SparkSession, docs: DataFrame, sf_dir: str):
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _shingle_cache:
+        _shingle_cache[key] = dedup.shingles(docs).persist()
+    return _shingle_cache[key]
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     return dedup.exact_dedup(t["documents"]).orderBy("doc_id")
@@ -177,13 +192,15 @@ ORDER BY doc_id_a, doc_id_b
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
-    return (dedup.jaccard_pairs(t["documents"], threshold=0.5, n=3)
+    sh = _shingles_cached(spark, t["documents"], sf_dir)
+    return (dedup.jaccard_pairs(t["documents"], threshold=0.5, n=3, sh=sh)
             .orderBy("doc_id_a", "doc_id_b"))
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
-    return (dedup.minhash_lsh_pairs(t["documents"], threshold=0.5)
+    sh = _shingles_cached(spark, t["documents"], sf_dir)
+    return (dedup.minhash_lsh_pairs(t["documents"], threshold=0.5, sh=sh)
             .orderBy("doc_id_a", "doc_id_b"))
 
 
@@ -194,8 +211,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 12 at sf0.1 (small shared vocabulary -> weak simhash separation).
     # Web-scale simhash uses hamming<=3 with 16-bit chunks — the chunk
     # knob trades bucket fan-in for recall (see simhash_pairs doc).
+    sh = _shingles_cached(spark, t["documents"], sf_dir)
     return (dedup.simhash_pairs(t["documents"], hamming_max=14, chunks=15,
-                                jaccard_threshold=0.5)
+                                jaccard_threshold=0.5, sh=sh)
             .orderBy("doc_id_a", "doc_id_b"))
 
 
@@ -219,7 +237,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard pair graph; oracle = DuckDB recursive CTE reachability."""
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
-    pairs = dedup.jaccard_pairs(docs, threshold=0.5, n=3)
+    sh = _shingles_cached(spark, docs, sf_dir)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5, n=3, sh=sh)
     return (dedup.connected_components(pairs, docs)
             .orderBy("doc_id"))
 
@@ -531,7 +550,8 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
-    pairs = dedup.jaccard_pairs(docs, threshold=0.5, n=3)
+    sh = _shingles_cached(spark, docs, sf_dir)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5, n=3, sh=sh)
     clusters = dedup.connected_components(pairs, docs)
     w = W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
     return (docs.join(clusters, "doc_id")
