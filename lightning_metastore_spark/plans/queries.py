@@ -32,6 +32,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Optional
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -862,6 +864,37 @@ FROM per_vec GROUP BY label ORDER BY label
 """
 
 
+def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vectorized-Python escape hatch in the gate: an Arrow-batched
+    pandas_udf computing a fee schedule (pure float64 arithmetic — same
+    IEEE ops as the SQL oracle, so results hash-match). Demonstrates
+    that when Python IS needed, the Arrow path preserves determinism."""
+    from pyspark.sql.functions import pandas_udf
+
+    t = load_tables(spark, sf_dir, ("orders",))
+
+    @pandas_udf("double")
+    def fee(price: pd.Series) -> pd.Series:
+        # piecewise fee: 2% under 100k, else 1% + 1000; float64 vector ops
+        return (price * 0.02).where(price < 100000.0, price * 0.01 + 1000.0)
+
+    return (t["orders"]
+            .withColumn("fee", F.round(fee(F.col("o_totalprice")), 6))
+            .filter(F.col("o_orderkey") % 31 == 0)
+            .select("o_orderkey", "o_totalprice", "fee")
+            .orderBy("o_orderkey"))
+
+
+Q_PANDAS_UDF_ORACLE = """
+SELECT o_orderkey, o_totalprice,
+       ROUND(CASE WHEN o_totalprice < 100000.0 THEN o_totalprice * 0.02
+                  ELSE o_totalprice * 0.01 + 1000.0 END, 6) AS fee
+FROM orders
+WHERE o_orderkey % 31 = 0
+ORDER BY o_orderkey
+"""
+
+
 RELATIONAL_QUERIES: dict[str, QuerySpec] = {
     s.name: s for s in [
         QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE,
@@ -911,5 +944,7 @@ RELATIONAL_QUERIES: dict[str, QuerySpec] = {
                   "array higher-order functions over embeddings"),
         QuerySpec("q_session_window", q_session_window, Q_SESSION_WINDOW_ORACLE,
                   "native session_window vs lag+cumsum oracle"),
+        QuerySpec("q_pandas_udf", q_pandas_udf, Q_PANDAS_UDF_ORACLE,
+                  "Arrow-batched pandas UDF (vectorized Python path)"),
     ]
 }
