@@ -109,9 +109,11 @@ class FileCatalogUnit(CatalogUnit):
         ext = _FILE_EXTENSIONS[self.ds.source_type]
         out = set()
         for entry in os.listdir(base):
-            full = os.path.join(base, entry)
             if entry.endswith(ext):
-                out.add(entry[: -len(ext)] if os.path.isfile(full) else entry)
+                # strip the extension for files AND directories — dotted
+                # names are unresolvable (the resolver splits on '.') and
+                # _resolve_path re-appends the extension when loading
+                out.add(entry[: -len(ext)])
         return sorted(out)
 
     def list_namespaces(self, spark: SparkSession, residual: list[str]) -> list[str]:

@@ -119,11 +119,13 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
     """
     if sh is None:
         sh = shingles(docs, n, text_col, id_col)
-    counts = _shingle_counts(sh, id_col)
     if max_shingle_df is not None:
         sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = (sh.join(sdf.filter(F.col("df") <= max_shingle_df).select("shingle"),
                       "shingle"))
+    # counts AFTER the df filter so the Jaccard denominator matches the
+    # filtered shingle universe the numerator is computed over
+    counts = _shingle_counts(sh, id_col)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -364,6 +366,7 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
                                  F.col("doc_id_a").alias("dst")))).cache()
     labels = nodes.select(F.col(id_col).alias("node"),
                           F.col(id_col).alias("label")).cache()
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (edges.join(labels, edges.src == labels.node)
                         .groupBy("dst").agg(F.min("label").alias("nmin")))
@@ -378,7 +381,14 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"rounds — a component's diameter exceeds the bound; raise "
+            f"max_iterations (silent partial labels would be wrong)")
     return labels.select(F.col("node").alias(id_col),
                          F.col("label").alias("cluster_id"))
 

@@ -88,4 +88,5 @@ def dq_records(df: DataFrame, expr: str, valid: bool = True,
     """Row-level DQ results (SHOW DQ VALID|INVALID RECORD)."""
     cond = F.expr(expr)
     out = df.filter(cond if valid else ~cond)
-    return out.limit(limit) if limit else out
+    # `is not None`, not truthiness: LIMIT 0 must return zero rows
+    return out.limit(limit) if limit is not None else out

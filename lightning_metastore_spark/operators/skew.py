@@ -27,7 +27,14 @@ def salted_join(large: DataFrame, small: DataFrame, keys: Sequence[str],
                 salt: int = 16, how: str = "inner") -> DataFrame:
     """Equi-join where ``large`` has skewed key frequencies and
     ``small`` is too big to broadcast. Replication cost: |small| * salt
-    shuffle rows — pick salt ~ (hot-key rows / target task rows)."""
+    shuffle rows — pick salt ~ (hot-key rows / target task rows).
+
+    Only inner/left(+semi) joins are sound: right/full outer would emit
+    the small side's salt replicas as separate null-padded rows."""
+    if how.replace("_", "").lower() not in ("inner", "left", "leftouter",
+                                            "leftsemi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi joins, got {how!r}")
     salted_large = large.withColumn(
         SALT_COL, F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int"))
     salted_small = small.withColumn(

@@ -373,8 +373,17 @@ class CreateTableAsSelect(Command):
         try:
             unit.load_table(ctx.spark, residual)
             exists = True
-        except (CatalogUnitError, Exception):
+        except CatalogUnitError:
             exists = False
+        except Exception as e:
+            # only a not-found style analysis error means "free to create";
+            # infrastructure failures must NOT be misread as absence
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg \
+                    or "cannot be found" in msg:
+                exists = False
+            else:
+                raise
         if exists:
             if self.if_not_exists:
                 return self._df(ctx, [(".".join(self.path),)], "created string")
@@ -440,7 +449,7 @@ class MergeInto(Command):
         t_only = F.col(f"{ta}.__te").isNotNull() & F.col(f"{sa}.__se").isNull()
         s_only = F.col(f"{ta}.__te").isNull() & F.col(f"{sa}.__se").isNotNull()
 
-        target_cols = [c for c in unit.load_table(ctx.spark, residual).columns]
+        target_cols = [c for c in t_df.columns if c != "__te"]
         keep = t_only
         if self.matched_delete:
             pass  # matched rows dropped
@@ -534,7 +543,6 @@ class UpdateFileTags(Command):
         if self.where:
             meta = meta.filter(self.where)
         tag_cols = [c.strip().split()[0] for c in ds.tag_schema.split(",")]
-        exprs = [F.expr(v).alias(k) for k, v in self.assignments.items()]
         for k in self.assignments:
             if k not in tag_cols:
                 raise CommandParseError(
@@ -543,6 +551,11 @@ class UpdateFileTags(Command):
             "path",
             F.struct(*[F.expr(self.assignments[c]).alias(c) if c in self.assignments
                        else F.col(c).alias(c) for c in tag_cols]).alias("t"))
+        # materialize BEFORE rewriting sidecars: a lazy re-evaluation after
+        # foreachPartition would re-read the just-updated .tag files and
+        # report a wrong count (and re-run extraction twice)
+        updates = updates.persist()
+        n = updates.count()
 
         def write_sidecars(rows) -> None:
             for r in rows:
@@ -556,7 +569,7 @@ class UpdateFileTags(Command):
                     fh.write(_json.dumps(clean, sort_keys=True, default=str))
 
         updates.foreachPartition(write_sidecars)
-        n = updates.count()
+        updates.unpersist()
         return self._df(ctx, [(".".join(self.path), n)],
                         "updated string, n_files long")
 
@@ -633,8 +646,14 @@ def type_accepts(defined: str, queried: str) -> bool:
     dd = re.match(r"decimal\((\d+),(\d+)\)", d)
     qd = re.match(r"decimal\((\d+),(\d+)\)", q)
     if dd:
-        return bool(qd) and int(qd.group(1)) <= int(dd.group(1)) \
-            and int(qd.group(2)) <= int(dd.group(2))
+        if not qd:
+            return False
+        dp, dscale = int(dd.group(1)), int(dd.group(2))
+        qp, qscale = int(qd.group(1)), int(qd.group(2))
+        # lossless widening: both the integer-digit capacity (p - s) and
+        # the scale must fit — precision/scale compared independently
+        # would accept e.g. decimal(10,0) into decimal(10,5), overflowing
+        return (qp - qscale) <= (dp - dscale) and qscale <= dscale
     return q in _WIDENS.get(d, set())
 
 

@@ -144,7 +144,13 @@ _shingle_cache: dict = {}
 
 
 def _shingles_cached(spark: SparkSession, docs: DataFrame, sf_dir: str):
-    key = (id(spark.sparkContext), sf_dir)
+    # key by applicationId (unique per context lifetime — id() could be
+    # reused after GC); purge entries from dead applications so cached
+    # DataFrames bound to a stopped context are never returned
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _shingle_cache if k[0] != app_id]:
+        del _shingle_cache[k]
+    key = (app_id, sf_dir)
     if key not in _shingle_cache:
         _shingle_cache[key] = dedup.shingles(docs).persist()
     return _shingle_cache[key]

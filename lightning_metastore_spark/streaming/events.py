@@ -70,9 +70,13 @@ def _sessionize_group(key, pdf_iter: Iterable[pd.DataFrame],
         last_us, n_sessions, n_events = state.get
     else:
         last_us, n_sessions, n_events = None, 0, 0
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values("ts")
-        for ts in pdf["ts"]:
+    # concatenate ALL chunks before sorting: a user whose batch spans
+    # multiple Arrow chunks would otherwise be sorted per-chunk, counting
+    # sessions across out-of-order chunk boundaries
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        all_events = pd.concat(chunks).sort_values("ts")
+        for ts in all_events["ts"]:
             us = int(ts.value) // 1000  # pandas Timestamp ns -> us
             if last_us is None or us - last_us > _SESSION_GAP_US:
                 n_sessions += 1

@@ -48,3 +48,9 @@ def test_dq_records(spark):
     _, order = _fixture(spark)
     bad = dq.dq_records(order, "cid <= 3", valid=False).collect()
     assert [r.oid for r in bad] == [5]
+
+
+def test_dq_records_limit_zero(spark):
+    """Regression: LIMIT 0 must return zero rows, not everything."""
+    _, order = _fixture(spark)
+    assert dq.dq_records(order, "cid <= 3", valid=True, limit=0).count() == 0

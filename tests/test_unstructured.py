@@ -175,6 +175,22 @@ def test_update_file_tags(ctx, text_tree):
     assert all(r.score == 2 for r in rows.values())
 
 
+def test_update_tags_where_on_updated_tag_column(ctx, text_tree):
+    """Regression: n_files must be counted BEFORE sidecars are rewritten
+    — a lazy recount after the write re-reads the updated tags and a
+    WHERE on the tag column being SET would report 0."""
+    root, _ = text_tree
+    ctx.sql("CREATE NAMESPACE lightning.datasource.files")
+    ctx.sql(f"REGISTER TEXT DATASOURCE txt OPTIONS(path '{root}') "
+            f"NAMESPACE lightning.datasource.files TAG (status string)")
+    ctx.sql("UPDATE lightning.datasource.files.txt SET status = 'pending'")
+    out = ctx.sql("UPDATE lightning.datasource.files.txt SET status = 'done' "
+                  "WHERE status = 'pending'").collect()
+    assert out[0].n_files == 2  # both files matched the pre-update state
+    rows = ctx.sql("SELECT status FROM lightning.datasource.files.txt").collect()
+    assert all(r.status == "done" for r in rows)
+
+
 def test_unstructured_write_roundtrip(ctx, spark, text_tree):
     """INSERT-INTO-style write-back (UnstructuredFileWrite.scala:37-93)."""
     root, _ = text_tree
