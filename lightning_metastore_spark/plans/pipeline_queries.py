@@ -499,6 +499,30 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_metadata(payloads).orderBy("id")
 
 
+def clean_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level corpus dedup in the gate: every document is wrapped in
+    identical header/footer lines, then remove_boilerplate_lines must
+    strip exactly those (bodies are unique, df=1) — the oracle is the
+    original text. Exercises explode -> line-df -> anti-join ->
+    order-preserving reassembly end to end."""
+    from lightning_metastore_spark.operators.cleaning import (
+        remove_boilerplate_lines,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    wrapped = t["documents"].select(
+        "doc_id",
+        F.concat(F.lit("SITE HEADER | nav | login\n"),
+                 F.col("text"),
+                 F.lit("\n(c) footer — all rights reserved")).alias("text"))
+    return remove_boilerplate_lines(wrapped, max_df=2).orderBy("doc_id")
+
+
+CLEAN_BOILERPLATE_ORACLE = """
+SELECT doc_id, text FROM documents ORDER BY doc_id
+"""
+
+
 def sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based profiling: approx distinct counts (HyperLogLog++)
     and approx percentiles per event type — the constant-memory
@@ -721,6 +745,9 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "deterministic hash-based split + stratified sampling"),
         QuerySpec("sketch_profile", sketch_profile, None,
                   "HLL++ distinct + approx percentiles (rows-only)"),
+        QuerySpec("clean_boilerplate", clean_boilerplate,
+                  CLEAN_BOILERPLATE_ORACLE,
+                  "corpus-level line dedup (boilerplate removal)"),
         QuerySpec("text_pii_redact", text_pii_redact, PII_ORACLE,
                   "PII masking (email/ssn/phone/card)"),
         QuerySpec("text_tfidf_top_terms", text_tfidf_top_terms, TFIDF_ORACLE,
