@@ -167,6 +167,37 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
             .select(id_col, "rk", "token", "tfidf"))
 
 
+def unigram_logprob(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob) — mean unigram log-probability of
+    each document under the corpus unigram distribution: the classic
+    cheap perplexity-filter proxy (very low scores = gibberish, very
+    high = degenerate repetition of frequent tokens).
+
+    Two aggregations (corpus token counts are vocabulary-sized ->
+    broadcast to the scoring join). Per-doc summation of ln values is
+    made order-independent by summing DECIMAL(28,15)-cast terms — each
+    ln term is the identical IEEE double in any engine, decimal addition
+    is exact, so results are bit-stable on any partitioning.
+    """
+    toks = docs.select(F.col(id_col),
+                       F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
+                       .alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    corpus = toks.groupBy("token").agg(F.count(F.lit(1)).alias("ctf"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    lp = F.log(F.col("ctf") / F.col("n_total"))
+    scored = (tf.join(F.broadcast(corpus), "token")
+              .crossJoin(F.broadcast(total))
+              .withColumn("term", (F.col("tf") * lp).cast("decimal(28,15)")))
+    return (scored.groupBy(id_col)
+            .agg(F.sum("tf").alias("n_tokens"),
+                 F.sum("term").alias("lp_sum"))
+            .select(id_col, F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.round(F.col("lp_sum").cast("double") / F.col("n_tokens"), 9)
+                    .alias("avg_logprob")))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """(doc_id, fp) — md5 over whitespace-normalized lowercase text.

@@ -456,6 +456,30 @@ FROM c ORDER BY doc_id
 """
 
 
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text_fns.unigram_logprob(t["documents"]).orderBy("doc_id")
+
+
+UNIGRAM_LOGPROB_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), corpus AS (
+  SELECT token, COUNT(*) AS ctf FROM toks GROUP BY 1
+), total AS (SELECT COUNT(*) AS n_total FROM toks)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(CAST(tf * LN(ctf / CAST(n_total AS DOUBLE))
+                           AS DECIMAL(28,15))) AS DOUBLE)
+             / SUM(tf), 9) AS avg_logprob
+FROM tf JOIN corpus USING (token) CROSS JOIN total
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     return text_fns.fingerprint(t["documents"]).orderBy("doc_id")
@@ -764,6 +788,9 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "marker-token + script language ID"),
         QuerySpec("text_fingerprint", text_fingerprint, FINGERPRINT_ORACLE,
                   "normalized md5 document fingerprint"),
+        QuerySpec("text_unigram_logprob", text_unigram_logprob,
+                  UNIGRAM_LOGPROB_ORACLE,
+                  "unigram log-prob quality proxy (perplexity filter)"),
         QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_ORACLE,
                   "binary-column metadata derivation"),
         QuerySpec("mm_decode_stub", mm_decode_stub, None,
