@@ -315,12 +315,38 @@ class ShowNamespacesOrTables(Command):
 @dataclass
 class DescribeTable(Command):
     path: list[str]
+    datasource: bool = False
 
     def run(self, ctx) -> DataFrame:
+        if self.datasource or self._is_datasource(ctx):
+            return self._describe_datasource(ctx)
         df = ctx.resolver.load_table(self.path)
         rows = [(f.name, f.dataType.simpleString(), f.nullable)
                 for f in df.schema.fields]
         return self._df(ctx, rows, "col_name string, data_type string, nullable boolean")
+
+    def _is_datasource(self, ctx) -> bool:
+        if not self.path or self.path[0].lower() != DATASOURCE_ROOT:
+            return False
+        rest = self.path[1:]
+        return bool(rest) and \
+            ctx.metastore.load_datasource(rest[:-1], rest[-1]) is not None
+
+    def _describe_datasource(self, ctx) -> DataFrame:
+        rest = _require_root(self.path, DATASOURCE_ROOT, "DESCRIBE DATASOURCE")
+        ds = ctx.metastore.load_datasource(rest[:-1], rest[-1])
+        if ds is None:
+            raise CommandParseError(
+                f"no datasource at lightning.{'.'.join(self.path)}")
+        from lightning_metastore_spark.model.serde import _CREDENTIAL_KEYS
+        rows = [("name", ds.name), ("type", ds.source_type),
+                ("namespace", ".".join(["lightning", DATASOURCE_ROOT] + ds.namespace))]
+        for k, v in sorted(ds.options.items()):
+            masked = "***" if any(c in k.lower() for c in _CREDENTIAL_KEYS) else v
+            rows.append((f"option:{k}", masked))
+        if ds.tag_schema:
+            rows.append(("tagSchema", ds.tag_schema))
+        return self._df(ctx, rows, "property string, value string")
 
 
 @dataclass
@@ -1156,5 +1182,7 @@ def parse_command(sql: str) -> Command:
         return DropDataSource(_split_path(m.group("path")))
     m = _R_DESC.match(text)
     if m:
-        return DescribeTable(_split_path(m.group("path")))
+        return DescribeTable(_split_path(m.group("path")),
+                             datasource=bool(m.group(2))
+                             and m.group(2).strip().upper() == "DATASOURCE")
     raise CommandParseError(f"unrecognized Lightning command: {text[:80]!r}")

@@ -92,6 +92,18 @@ def test_describe_table(ctx):
         ("r_regionkey", "int"), ("r_name", "string")]
 
 
+def test_describe_datasource_masks_credentials(ctx):
+    ctx.sql("CREATE NAMESPACE lightning.datasource.rdbms")
+    ctx.sql("REGISTER JDBC DATASOURCE pgx "
+            "OPTIONS(url 'jdbc:postgresql://h/db', user 'svc', "
+            "password 'hunter2') NAMESPACE lightning.datasource.rdbms")
+    props = {r.property: r.value for r in
+             ctx.sql("DESCRIBE DATASOURCE lightning.datasource.rdbms.pgx").collect()}
+    assert props["type"] == "JDBC"
+    assert props["option:password"] == "***"
+    assert props["option:url"] == "jdbc:postgresql://h/db"
+
+
 def test_register_catalog_snapshot(ctx):
     ctx.sql("CREATE NAMESPACE lightning.datasource.file")
     ctx.sql(f"REGISTER PARQUET DATASOURCE tpch OPTIONS(path '{SF_DIR}') "
