@@ -46,13 +46,42 @@ def main() -> None:
             print(f"bench error in {name}: {e}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
-    print(json.dumps({
+
+    # Overhead check: the catalog-routed revenue query vs the identical
+    # query issued directly against the parquet views. The delta is the
+    # whole control-plane cost (metastore reads + resolver rewrite) —
+    # the reference's design goal is that this stays constant per query.
+    overhead = None
+    try:
+        from lightning_metastore_spark.session import load_tables
+
+        load_tables(spark, sf_dir, ("lineitem", "orders"))
+        direct_sql = """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE)
+                     / 10000 AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        t0 = time.perf_counter()
+        spark.sql(direct_sql).collect()
+        direct = round(time.perf_counter() - t0, 3)
+        overhead = {"catalog_routed_sec": timings.get("catalog_federated_revenue"),
+                    "direct_spark_sec": direct}
+    except Exception:
+        pass
+
+    out = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if overhead:
+        out["catalog_overhead"] = overhead
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

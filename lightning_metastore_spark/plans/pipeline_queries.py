@@ -688,6 +688,40 @@ ORDER BY window_start, event_type
 """
 
 
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: watermarked dropDuplicates on event_id
+    over a duplicated input stream (every event fed twice); the oracle
+    is the batch distinct — exactly-once semantics through the gate."""
+    import os
+    import shutil
+    import tempfile
+
+    from lightning_metastore_spark.streaming import events as sev
+
+    d = tempfile.mkdtemp(prefix="lightning-dupstream-")
+    # two copies of the same file = at-least-once delivery simulation
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(d, "events_a.parquet"))
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(d, "events_b.parquet"))
+    stream = sev.read_event_stream(spark, d)
+    deduped = (stream
+               .withWatermark("ts", "1 hour")
+               .dropDuplicates(["event_id"])
+               .groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n_unique")))
+    name = "gate_stream_dedup"
+    sev.run_to_memory(deduped, name, output_mode="complete")
+    return spark.sql(f"SELECT event_type, n_unique FROM {name} "
+                     f"ORDER BY event_type")
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --- DQ checks -------------------------------------------------------------
 
 def dq_pk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -798,6 +832,9 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("stream_events_hourly", stream_events_hourly,
                   STREAM_HOURLY_ORACLE,
                   "streamed windowed agg == batch answer"),
+        QuerySpec("stream_dedup_events", stream_dedup_events,
+                  STREAM_DEDUP_ORACLE,
+                  "watermarked streaming dedup (exactly-once) == batch distinct"),
         QuerySpec("dq_pk_orders", dq_pk_orders, DQ_PK_ORACLE,
                   "PK constraint check (single-pass)"),
         QuerySpec("dq_fk_lineitem_orders", dq_fk_lineitem_orders, DQ_FK_ORACLE,

@@ -61,6 +61,25 @@ def test_api_ddl_roundtrip(server):
     assert status == 200
 
 
+def test_api_edq_full_export(server):
+    """/api/edq streams the full (unlimited) DQ record set."""
+    _post_q(server, "CREATE NAMESPACE lightning.metastore.apicrm")
+    _post_q(server, "COMPILE USL m DEPLOY NAMESPACE lightning.metastore.apicrm "
+                    "DDL create table o (o_orderkey BIGINT primary key, "
+                    "o_totalprice double)")
+    _post_q(server, "ACTIVATE USL TABLE lightning.metastore.apicrm.m.o AS "
+                    "SELECT o_orderkey, o_totalprice FROM "
+                    "lightning.datasource.file.tpch.orders")
+    _post_q(server, "REGISTER DQ cheap TABLE lightning.metastore.apicrm.m.o "
+                    "AS o_totalprice < 5000")
+    url = (f"http://{server.host}:{server.port}/api/edq"
+           f"?name=cheap&table=lightning.metastore.apicrm.m.o&validity=valid")
+    with urllib.request.urlopen(url) as resp:
+        rows = json.loads(resp.read())
+    assert len(rows) > 0
+    assert all(r["o_totalprice"] < 5000 for r in rows)
+
+
 def test_api_errors(server):
     req = urllib.request.Request(
         f"http://{server.host}:{server.port}/api/q",
