@@ -1,0 +1,104 @@
+"""End-to-end corpus curation: the composed LLM-data pipeline.
+
+``curate_corpus`` chains the individual operators into the standard
+pretraining-data flow, all lazily planned as ONE DataFrame program so
+Catalyst can pipeline the stages:
+
+    1. boilerplate line removal        (cleaning.remove_boilerplate_lines)
+    2. quality scoring + threshold     (text.quality_features)
+    3. language filter                 (text.lang_id)
+    4. exact dedup                     (text.fingerprint + keep-min-id)
+    5. near-dup clustering + keep-best (dedup.jaccard/minhash + CC)
+    6. deterministic split assignment  (md5-hash train/val/test)
+
+Output: (doc_id, text, quality_score, pred_lang, cluster_id, split,
+keep) — ``keep`` is the final verdict; filtered rows stay inspectable
+(keep=False with a reason) rather than vanishing, which is how real
+curation pipelines audit their attrition.
+
+Scale: every stage is a shuffle-on-key DataFrame op documented in its
+own module; nothing here adds a collect or a new shuffle beyond the
+component operators.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from lightning_metastore_spark.functions import text as text_fns
+from lightning_metastore_spark.operators import dedup
+from lightning_metastore_spark.operators.cleaning import remove_boilerplate_lines
+
+
+@dataclass
+class CurationConfig:
+    boilerplate_max_df: int = 2
+    min_quality: float = 0.3
+    allowed_langs: tuple = ("en", "de", "fr", "es", "zh", "und")
+    near_dup_threshold: float = 0.5
+    use_minhash: bool = True         # False = exact jaccard pairs
+    train_frac_hex: str = "cc"       # md5-prefix cutoffs (~0.797)
+    val_frac_hex: str = "e6"         # (~0.1 more)
+
+
+def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    cfg = cfg or CurationConfig()
+
+    cleaned = remove_boilerplate_lines(docs, cfg.boilerplate_max_df,
+                                       text_col=text_col, id_col=id_col)
+    quality = text_fns.quality_features(cleaned, text_col, id_col) \
+        .select(id_col, "quality_score")
+    lang = text_fns.lang_id(cleaned, text_col, id_col)
+
+    # exact dedup: smallest id per normalized fingerprint survives
+    fp = text_fns.fingerprint(cleaned, text_col, id_col)
+    fp_keep = (fp.groupBy("fp").agg(F.min(id_col).alias("__keep_id")))
+    exact_kept = fp.join(fp_keep, "fp").withColumn(
+        "exact_survivor", F.col(id_col) == F.col("__keep_id"))
+
+    # near-dup clusters over the exact survivors; keep longest per cluster
+    survivors = (cleaned.join(
+        exact_kept.filter("exact_survivor").select(id_col), id_col))
+    pair_fn = dedup.minhash_lsh_pairs if cfg.use_minhash else dedup.jaccard_pairs
+    pairs = pair_fn(survivors, cfg.near_dup_threshold,
+                    text_col=text_col, id_col=id_col)
+    clusters = dedup.connected_components(pairs, survivors, id_col=id_col)
+    best = (survivors
+            .withColumn("__len", F.length(text_col))
+            .join(clusters, id_col)
+            .withColumn("__rk", F.row_number().over(
+                W.partitionBy("cluster_id")
+                .orderBy(F.desc("__len"), F.asc(id_col))))
+            .select(id_col, "cluster_id",
+                    (F.col("__rk") == 1).alias("cluster_survivor")))
+
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    split = (F.when(h < F.lit(cfg.train_frac_hex), "train")
+             .when(h < F.lit(cfg.val_frac_hex), "val").otherwise("test"))
+
+    out = (cleaned
+           .join(quality, id_col)
+           .join(lang, id_col)
+           .join(exact_kept.select(id_col, "exact_survivor"), id_col)
+           .join(best, id_col, "left")
+           .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+           .withColumn("cluster_survivor",
+                       F.coalesce("cluster_survivor", F.lit(False)))
+           .withColumn("split", split))
+    keep = (F.col("exact_survivor") & F.col("cluster_survivor")
+            & (F.col("quality_score") >= cfg.min_quality)
+            & F.col("pred_lang").isin(*cfg.allowed_langs))
+    reason = (F.when(~F.col("exact_survivor"), "exact_duplicate")
+              .when(~F.col("cluster_survivor"), "near_duplicate")
+              .when(F.col("quality_score") < cfg.min_quality, "low_quality")
+              .when(~F.col("pred_lang").isin(*cfg.allowed_langs), "language")
+              .otherwise(None))
+    return out.select(id_col, text_col, "quality_score", "pred_lang",
+                      "cluster_id", "split", keep.alias("keep"),
+                      reason.alias("drop_reason"))

@@ -688,6 +688,21 @@ ORDER BY window_start, event_type
 """
 
 
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end curation flow (clean -> quality -> lang ->
+    exact dedup -> near-dup cluster keep-best -> split) over the driver
+    corpus. Stage logic is individually oracle-backed by the other gate
+    queries; the composition is a rows-only check + pipeline tests."""
+    from lightning_metastore_spark.operators.pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (curate_corpus(t["documents"], CurationConfig(min_quality=0.0))
+            .orderBy("doc_id"))
+
+
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication: watermarked dropDuplicates on event_id
     over a duplicated input stream (every event fed twice); the oracle
@@ -806,6 +821,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("clean_boilerplate", clean_boilerplate,
                   CLEAN_BOILERPLATE_ORACLE,
                   "corpus-level line dedup (boilerplate removal)"),
+        QuerySpec("curation_pipeline", curation_pipeline, None,
+                  "composed end-to-end corpus curation (rows-only)"),
         QuerySpec("text_pii_redact", text_pii_redact, PII_ORACLE,
                   "PII masking (email/ssn/phone/card)"),
         QuerySpec("text_tfidf_top_terms", text_tfidf_top_terms, TFIDF_ORACLE,

@@ -27,7 +27,8 @@ def test_registry_consistency():
     assert set(oracles) <= set(qs)
     # only genuinely approximate operators may omit an oracle
     rows_only = set(qs) - set(oracles)
-    assert rows_only <= {"ann_ivf_topk", "mm_decode_stub", "sketch_profile"}
+    assert rows_only <= {"ann_ivf_topk", "mm_decode_stub", "sketch_profile",
+                         "curation_pipeline"}
 
 
 def test_spot_correctness_vs_duckdb(spark):

@@ -1,0 +1,51 @@
+"""End-to-end corpus curation pipeline tests."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from lightning_metastore_spark.operators.pipeline import (  # noqa: E402
+    CurationConfig,
+    curate_corpus,
+)
+
+from tests.conftest import SF_DIR  # noqa: E402
+
+
+def test_curate_corpus_on_driver_documents(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = curate_corpus(docs, CurationConfig(min_quality=0.0)).collect()
+    assert len(out) == docs.count()  # filtered rows kept, flagged
+    by_id = {r.doc_id: r for r in out}
+    kept = [r for r in out if r.keep]
+    dropped = [r for r in out if not r.keep]
+    # near-dup pairs exist in this corpus -> some docs drop as near_duplicate
+    assert any(r.drop_reason == "near_duplicate" for r in dropped)
+    assert all(r.drop_reason is None for r in kept)
+    # splits are deterministic and all three appear
+    assert {r.split for r in out} == {"train", "val", "test"}
+    # cluster survivors: exactly one kept doc per cluster among kept rows
+    survivors_per_cluster = {}
+    for r in kept:
+        survivors_per_cluster.setdefault(r.cluster_id, 0)
+        survivors_per_cluster[r.cluster_id] += 1
+    assert all(v == 1 for v in survivors_per_cluster.values())
+    # determinism: second run identical
+    out2 = curate_corpus(docs, CurationConfig(min_quality=0.0)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_curate_corpus_micro_reasons(spark):
+    docs = spark.createDataFrame([
+        (1, "the quick brown fox jumps over a lazy dog " * 5),
+        (2, "the quick brown fox jumps over a lazy dog " * 5),  # exact dup
+        (3, "x"),                                               # low quality
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           curate_corpus(docs, CurationConfig(min_quality=0.45,
+                                              boilerplate_max_df=10)).collect()}
+    assert out[1].keep
+    assert not out[2].keep and out[2].drop_reason == "exact_duplicate"
+    assert not out[3].keep and out[3].drop_reason == "low_quality"
