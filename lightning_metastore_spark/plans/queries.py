@@ -375,6 +375,30 @@ ORDER BY c_custkey
 """
 
 
+def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operators (INTERSECT ALL / EXCEPT ALL) —
+    multiplicity-preserving, unlike q_setops_segments' distinct forms."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql("""
+        SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        INTERSECT ALL
+        SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'O'
+        EXCEPT ALL
+        SELECT l_suppkey FROM lineitem WHERE l_quantity > 45
+        ORDER BY l_suppkey
+    """)
+
+
+Q_SETOPS_ALL_ORACLE = """
+SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+INTERSECT ALL
+SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'O'
+EXCEPT ALL
+SELECT l_suppkey FROM lineitem WHERE l_quantity > 45
+ORDER BY l_suppkey
+"""
+
+
 def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti joins (the scalable EXISTS / NOT EXISTS): per segment,
     how many customers have an urgent order vs no order at all."""
@@ -913,6 +937,8 @@ RELATIONAL_QUERIES: dict[str, QuerySpec] = {
                   "pivot with explicit domain"),
         QuerySpec("q_setops_segments", q_setops_segments, Q_SETOPS_ORACLE,
                   "INTERSECT / EXCEPT"),
+        QuerySpec("q_setops_all", q_setops_all, Q_SETOPS_ALL_ORACLE,
+                  "INTERSECT ALL / EXCEPT ALL (bag semantics)"),
         QuerySpec("q_semi_anti_customers", q_semi_anti_customers, Q_SEMI_ANTI_ORACLE,
                   "left-semi / left-anti joins"),
         QuerySpec("q_scalar_functions", q_scalar_functions, Q_SCALAR_ORACLE,
