@@ -399,6 +399,34 @@ ORDER BY l_suppkey
 """
 
 
+def q_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates in one GROUP BY — Spark plans a
+    single Expand + two-level aggregation, no repeated scans."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps,
+               COUNT(DISTINCT l_orderkey) AS n_orders,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """)
+
+
+Q_MULTI_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti joins (the scalable EXISTS / NOT EXISTS): per segment,
     how many customers have an urgent order vs no order at all."""
@@ -939,6 +967,8 @@ RELATIONAL_QUERIES: dict[str, QuerySpec] = {
                   "INTERSECT / EXCEPT"),
         QuerySpec("q_setops_all", q_setops_all, Q_SETOPS_ALL_ORACLE,
                   "INTERSECT ALL / EXCEPT ALL (bag semantics)"),
+        QuerySpec("q_multi_distinct", q_multi_distinct, Q_MULTI_DISTINCT_ORACLE,
+                  "multiple DISTINCT aggregates (Expand plan)"),
         QuerySpec("q_semi_anti_customers", q_semi_anti_customers, Q_SEMI_ANTI_ORACLE,
                   "left-semi / left-anti joins"),
         QuerySpec("q_scalar_functions", q_scalar_functions, Q_SCALAR_ORACLE,
