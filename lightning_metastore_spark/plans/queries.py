@@ -399,6 +399,54 @@ ORDER BY l_suppkey
 """
 
 
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: NULLIF-manufactured nulls through null-safe
+    equality (Spark `<=>` == ANSI IS NOT DISTINCT FROM), null grouping,
+    COALESCE, and count(col) vs count(*) asymmetry."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql("""
+        WITH t AS (
+          SELECT NULLIF(l_discount, 0.0) AS disc, l_returnflag,
+                 NULLIF(l_tax, 0.0) AS tax
+          FROM lineitem
+        )
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               COUNT(disc) AS n_disc_nonnull,
+               SUM(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS n_disc_null,
+               SUM(CASE WHEN disc <=> tax THEN 1 ELSE 0 END) AS n_nullsafe_eq,
+               SUM(CASE WHEN disc IS DISTINCT FROM tax THEN 1 ELSE 0 END)
+                 AS n_distinct_from,
+               CAST(SUM(CAST(ROUND(COALESCE(disc, 0.0) * 100) AS BIGINT))
+                    AS DOUBLE) / 100 AS disc_total
+        FROM t
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """)
+
+
+Q_NULL_SEMANTICS_ORACLE = """
+WITH t AS (
+  SELECT NULLIF(l_discount, 0.0) AS disc, l_returnflag,
+         NULLIF(l_tax, 0.0) AS tax
+  FROM lineitem
+)
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       COUNT(disc) AS n_disc_nonnull,
+       CAST(SUM(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_disc_null,
+       CAST(SUM(CASE WHEN disc IS NOT DISTINCT FROM tax THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nullsafe_eq,
+       CAST(SUM(CASE WHEN disc IS DISTINCT FROM tax THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_distinct_from,
+       CAST(SUM(CAST(ROUND(COALESCE(disc, 0.0) * 100) AS BIGINT))
+            AS DOUBLE) / 100 AS disc_total
+FROM t
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def q_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiple DISTINCT aggregates in one GROUP BY — Spark plans a
     single Expand + two-level aggregation, no repeated scans."""
@@ -969,6 +1017,8 @@ RELATIONAL_QUERIES: dict[str, QuerySpec] = {
                   "INTERSECT ALL / EXCEPT ALL (bag semantics)"),
         QuerySpec("q_multi_distinct", q_multi_distinct, Q_MULTI_DISTINCT_ORACLE,
                   "multiple DISTINCT aggregates (Expand plan)"),
+        QuerySpec("q_null_semantics", q_null_semantics, Q_NULL_SEMANTICS_ORACLE,
+                  "null-safe equality / IS DISTINCT FROM / null counting"),
         QuerySpec("q_semi_anti_customers", q_semi_anti_customers, Q_SEMI_ANTI_ORACLE,
                   "left-semi / left-anti joins"),
         QuerySpec("q_scalar_functions", q_scalar_functions, Q_SCALAR_ORACLE,

@@ -61,6 +61,41 @@ def test_stateful_sessionizer_matches_batch(spark, events_dir):
     assert streamed == expected
 
 
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    """Watermarked stream-stream join (views -> purchases within 1h per
+    user) must equal the batch join on the same data."""
+    from pyspark.sql import functions as F
+
+    def sides(df):
+        views = (df.filter(F.col("event_type") == "view")
+                 .select(F.col("user_id").alias("v_user"),
+                         F.col("ts").alias("v_ts"),
+                         F.col("event_id").alias("v_id")))
+        buys = (df.filter(F.col("event_type") == "purchase")
+                .select(F.col("user_id").alias("b_user"),
+                        F.col("ts").alias("b_ts"),
+                        F.col("event_id").alias("b_id")))
+        return views, buys
+
+    stream = sev.read_event_stream(spark, events_dir)
+    sv, sb = sides(stream)
+    joined = (sv.withWatermark("v_ts", "2 hours")
+              .join(sb.withWatermark("b_ts", "2 hours"),
+                    F.expr("v_user = b_user AND "
+                           "b_ts BETWEEN v_ts AND v_ts + INTERVAL 1 HOUR")))
+    sev.run_to_memory(joined.select("v_id", "b_id"), "ss_join",
+                      output_mode="append")
+    streamed = {(r.v_id, r.b_id)
+                for r in spark.sql("SELECT * FROM ss_join").collect()}
+    batch = load_tables(spark, SF_DIR, ("events",))["events"]
+    bv, bb = sides(batch)
+    expected = {(r.v_id, r.b_id) for r in
+                bv.join(bb, F.expr(
+                    "v_user = b_user AND "
+                    "b_ts BETWEEN v_ts AND v_ts + INTERVAL 1 HOUR")).collect()}
+    assert streamed == expected and len(expected) > 0
+
+
 def test_multimodal_decode_and_features(spark):
     from lightning_metastore_spark.sources import multimodal as mm
 
