@@ -399,6 +399,45 @@ ORDER BY l_suppkey
 """
 
 
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic surface: days-to-ship stats per priority (exact
+    integer-day sums; Spark datediff == DATE subtraction in DuckDB),
+    plus month bucketing and quarter extraction."""
+    load_tables(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql("""
+        SELECT o_orderpriority,
+               CAST(QUARTER(o_orderdate) AS INT) AS q,
+               COUNT(*) AS n,
+               CAST(SUM(DATEDIFF(l_shipdate, o_orderdate)) AS BIGINT)
+                 AS total_days_to_ship,
+               CAST(MIN(DATEDIFF(l_shipdate, o_orderdate)) AS INT) AS min_days,
+               CAST(MAX(DATEDIFF(l_shipdate, o_orderdate)) AS INT) AS max_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY o_orderpriority, QUARTER(o_orderdate)
+        ORDER BY o_orderpriority, q
+    """)
+
+
+Q_DATE_ARITHMETIC_ORACLE = """
+SELECT o_orderpriority,
+       CAST(QUARTER(o_orderdate) AS INT) AS q,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)) AS BIGINT)
+         AS total_days_to_ship,
+       CAST(MIN(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)) AS INT)
+         AS min_days,
+       CAST(MAX(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)) AS INT)
+         AS max_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_orderpriority, QUARTER(o_orderdate)
+ORDER BY o_orderpriority, q
+"""
+
+
 def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL-handling surface: NULLIF-manufactured nulls through null-safe
     equality (Spark `<=>` == ANSI IS NOT DISTINCT FROM), null grouping,
@@ -1019,6 +1058,8 @@ RELATIONAL_QUERIES: dict[str, QuerySpec] = {
                   "multiple DISTINCT aggregates (Expand plan)"),
         QuerySpec("q_null_semantics", q_null_semantics, Q_NULL_SEMANTICS_ORACLE,
                   "null-safe equality / IS DISTINCT FROM / null counting"),
+        QuerySpec("q_date_arithmetic", q_date_arithmetic, Q_DATE_ARITHMETIC_ORACLE,
+                  "datediff / quarter bucketing (exact integer days)"),
         QuerySpec("q_semi_anti_customers", q_semi_anti_customers, Q_SEMI_ANTI_ORACLE,
                   "left-semi / left-anti joins"),
         QuerySpec("q_scalar_functions", q_scalar_functions, Q_SCALAR_ORACLE,
