@@ -399,6 +399,63 @@ ORDER BY l_suppkey
 """
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — all 2^n grouping combinations in one Expand pass
+    (completes the rollup / grouping-sets / cube trio)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (t["lineitem"]
+            .cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum(cents(F.col("l_extendedprice"))) / 100.0).alias("total"))
+            .orderBy(F.asc_nulls_first("l_returnflag"),
+                     F.asc_nulls_first("l_linestatus")))
+
+
+Q_CUBE_ORACLE = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM({_cents_sql('l_extendedprice')}) AS DOUBLE) / 100 AS total
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+def q_string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wider string-function surface: pad/trim/replace/repeat/reverse/
+    split_part/left/right — functions shared verbatim by both engines."""
+    load_tables(spark, sf_dir, ("part",))
+    return spark.sql("""
+        SELECT p_partkey,
+               LPAD(CAST(p_partkey AS STRING), 8, '0') AS padded_key,
+               RPAD(p_brand, 12, '.') AS brand_pad,
+               REVERSE(p_type) AS type_rev,
+               REPLACE(p_type, ' ', '_') AS type_snake,
+               REPEAT(LEFT(p_brand, 2), 2) AS brand_echo,
+               RIGHT(p_name, 5) AS name_tail,
+               SPLIT_PART(p_type, ' ', 1) AS type_first,
+               TRIM(LEADING 'B' FROM p_brand) AS brand_trim
+        FROM part
+        WHERE p_partkey % 43 = 0
+        ORDER BY p_partkey
+    """)
+
+
+Q_STRING_SURFACE_ORACLE = """
+SELECT p_partkey,
+       LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+       RPAD(p_brand, 12, '.') AS brand_pad,
+       REVERSE(p_type) AS type_rev,
+       REPLACE(p_type, ' ', '_') AS type_snake,
+       REPEAT(LEFT(p_brand, 2), 2) AS brand_echo,
+       RIGHT(p_name, 5) AS name_tail,
+       SPLIT_PART(p_type, ' ', 1) AS type_first,
+       TRIM(LEADING 'B' FROM p_brand) AS brand_trim
+FROM part
+WHERE p_partkey % 43 = 0
+ORDER BY p_partkey
+"""
+
+
 def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date arithmetic surface: days-to-ship stats per priority (exact
     integer-day sums; Spark datediff == DATE subtraction in DuckDB),
@@ -1060,6 +1117,10 @@ RELATIONAL_QUERIES: dict[str, QuerySpec] = {
                   "null-safe equality / IS DISTINCT FROM / null counting"),
         QuerySpec("q_date_arithmetic", q_date_arithmetic, Q_DATE_ARITHMETIC_ORACLE,
                   "datediff / quarter bucketing (exact integer days)"),
+        QuerySpec("q_cube", q_cube, Q_CUBE_ORACLE,
+                  "GROUP BY CUBE (completes rollup/sets/cube trio)"),
+        QuerySpec("q_string_surface", q_string_surface, Q_STRING_SURFACE_ORACLE,
+                  "pad/trim/replace/repeat/reverse/split_part surface"),
         QuerySpec("q_semi_anti_customers", q_semi_anti_customers, Q_SEMI_ANTI_ORACLE,
                   "left-semi / left-anti joins"),
         QuerySpec("q_scalar_functions", q_scalar_functions, Q_SCALAR_ORACLE,
