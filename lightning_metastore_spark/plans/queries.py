@@ -708,8 +708,10 @@ WITH ev AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
 ), sessions AS (
   SELECT user_id, us,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         -- CAST: DuckDB integer SUM yields HUGEINT (int128); Spark window SUM is
+         -- BIGINT. Typed value-hash compare requires the explicit downcast.
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,

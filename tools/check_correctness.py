@@ -37,6 +37,32 @@ def canon_value(v):
     return v
 
 
+def _arrow_compat(s, o):
+    """True when Spark type `s` and DuckDB type `o` hash identically.
+
+    Equal types are compatible; so are integer-width differences (Spark
+    rank() is int32, DuckDB's is int64 — r1 driver gate proved these hash
+    alike), timestamp-unit differences, and large_string vs string.
+    int64 vs decimal128 (DuckDB HUGEINT) or int vs float are NOT — DuckDB
+    HUGEINT/DECIMAL reach pandas as float64/Decimal and the typed hash
+    diverges (the r1 q_events_sessionize red row).
+    """
+    import pyarrow as pa
+
+    if s.equals(o):
+        return True
+    if pa.types.is_integer(s) and pa.types.is_integer(o):
+        return True
+    if pa.types.is_timestamp(s) and pa.types.is_timestamp(o):
+        return True
+    str_like = (pa.types.is_string, pa.types.is_large_string)
+    if any(p(s) for p in str_like) and any(p(o) for p in str_like):
+        return True
+    if pa.types.is_list(s) and pa.types.is_list(o):
+        return _arrow_compat(s.value_type, o.value_type)
+    return False
+
+
 def canon_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(canon_value(r[i]) for i in order) for r in rows]
@@ -79,11 +105,23 @@ def main():
             res = con.sql(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            oarrow = {f.name: f.type for f in con.sql(oracles[name]).arrow().schema}
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
         errs = []
+        # Typed-schema gate: the driver hashes TYPED values, so a DuckDB
+        # HUGEINT/DECIMAL column vs a Spark BIGINT/DOUBLE one fails its hash
+        # even when the Python-canonicalized values below agree. Compare the
+        # Arrow types both engines would hand the driver.
+        try:
+            sarrow = {f.name: f.type for f in sdf.toArrow().schema}
+            for c in scols:
+                if c in oarrow and not _arrow_compat(sarrow[c], oarrow[c]):
+                    errs.append(f"arrow type of {c!r}: spark={sarrow[c]} duck={oarrow[c]}")
+        except Exception as e:  # toArrow can fail on exotic types; fall through
+            print(f"note {name}: arrow compare skipped ({e})")
         if len(srows) != len(orows):
             errs.append(f"rowcount spark={len(srows)} duck={len(orows)}")
         if sorted(scols) != sorted(ocols):
