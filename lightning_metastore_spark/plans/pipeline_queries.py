@@ -398,7 +398,10 @@ FROM documents ORDER BY doc_id
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
-    return text_fns.quality_features(t["documents"]).orderBy("doc_id")
+    return (text_fns.quality_features(t["documents"])
+            .join(text_fns.token_counts(t["documents"])
+                  .select("doc_id", "n_subwords"), "doc_id")
+            .orderBy("doc_id"))
 
 
 TEXT_QUALITY_ORACLE = r"""
@@ -409,10 +412,12 @@ WITH f AS (
          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
               x -> list_contains(['the','a','of','and','to','in','is'], x))) AS INT) AS n_stop,
          CAST(len(regexp_extract_all(text, '([^\w\s])', 1)) AS INT) AS n_punct,
-         CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS INT) AS n_distinct
+         CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS INT) AS n_distinct,
+         CAST(len(regexp_extract_all(text, '([A-Za-z]{1,4}|[0-9]|[^\sA-Za-z0-9])', 1)) AS INT)
+           AS n_subwords
   FROM documents
 )
-SELECT doc_id, n_chars, n_tokens,
+SELECT doc_id, n_chars, n_tokens, n_subwords,
        ROUND((n_chars - (n_tokens - 1)) / n_tokens, 6) AS avg_token_len,
        ROUND(n_stop / n_tokens, 6) AS stopword_ratio,
        ROUND(n_punct / GREATEST(n_chars, 1), 6) AS punct_ratio,
@@ -427,8 +432,14 @@ FROM f ORDER BY doc_id
 
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID + normalized md5 document fingerprint in one entry —
+    both are map-only scans over documents, joined on doc_id (the join
+    collapses to a single scan once Catalyst dedups the subtrees; at
+    worst it's two map-only passes)."""
     t = load_tables(spark, sf_dir, ("documents",))
-    return text_fns.lang_id(t["documents"]).orderBy("doc_id")
+    return (text_fns.lang_id(t["documents"])
+            .join(text_fns.fingerprint(t["documents"]), "doc_id")
+            .orderBy("doc_id"))
 
 
 LANG_ID_ORACLE = r"""
@@ -445,14 +456,16 @@ WITH c AS (
     len(regexp_extract_all(text, '([一-鿿])', 1)) AS cjk
   FROM documents
 )
-SELECT doc_id,
+SELECT c.doc_id,
        CASE WHEN cjk > 0 THEN 'zh'
             WHEN GREATEST(en_c, de_c, fr_c, es_c) = 0 THEN 'und'
             WHEN en_c = GREATEST(en_c, de_c, fr_c, es_c) THEN 'en'
             WHEN de_c = GREATEST(en_c, de_c, fr_c, es_c) THEN 'de'
             WHEN fr_c = GREATEST(en_c, de_c, fr_c, es_c) THEN 'fr'
-            ELSE 'es' END AS pred_lang
-FROM c ORDER BY doc_id
+            ELSE 'es' END AS pred_lang,
+       md5(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g')) AS fp
+FROM c JOIN documents d ON d.doc_id = c.doc_id
+ORDER BY c.doc_id
 """
 
 
@@ -492,35 +505,41 @@ FROM documents ORDER BY doc_id
 
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque-binary multimodal column plumbing: treat text bytes as the
-    binary payload, derive typed metadata (byte length + content digest)
-    JVM-side. The decode/feature-extract stubs live in
-    sources/multimodal.py (rows-only, Pandas-UDF plumbing)."""
-    t = load_tables(spark, sf_dir, ("documents",))
-    content = F.encode(F.col("text"), "UTF-8")
-    return (t["documents"]
-            .select(F.col("doc_id"),
-                    F.length(content).alias("n_bytes"),
-                    F.md5(content).alias("content_md5"))
-            .orderBy("doc_id"))
-
-
-MULTIMODAL_META_ORACLE = """
-SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-       md5(text) AS content_md5
-FROM documents ORDER BY doc_id
-"""
-
-
-def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode plumbing end-to-end (mapInPandas batch path);
-    decode itself is a marked deterministic stub (sources/multimodal.py)
-    -> rows-only check."""
+    """Opaque-binary multimodal column plumbing, fully hash-verified:
+    JVM-side metadata (byte length + content digest) joined with the
+    Arrow-batched mapInPandas decode path (sources/multimodal.py). The
+    decode stub derives width/height/channels deterministically from the
+    md5 digest, so the DuckDB oracle reproduces them with hex-digit
+    arithmetic — the whole mapInPandas round-trip is value-checked, not
+    just row-counted."""
     from lightning_metastore_spark.sources import multimodal as mm
 
     t = load_tables(spark, sf_dir, ("documents",))
     payloads = mm.documents_as_binary(t["documents"])
-    return mm.decode_metadata(payloads).orderBy("id")
+    jvm = payloads.select("id",
+                          F.length("content").alias("n_bytes"),
+                          F.md5("content").alias("content_md5"))
+    dec = mm.decode_metadata(payloads).select("id", "width", "height",
+                                              "n_channels")
+    return jvm.join(dec, "id").orderBy("id")
+
+
+# hex pair -> byte value, mirroring multimodal._stub_dims digest math
+_HEX_BYTE = ("(strpos('0123456789abcdef', substring(content_md5, {a}, 1)) - 1)"
+             " * 16 + (strpos('0123456789abcdef', substring(content_md5, {b}, 1)) - 1)")
+
+MULTIMODAL_META_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id AS id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+         md5(text) AS content_md5
+  FROM documents
+)
+SELECT id, n_bytes, content_md5,
+       CAST(64 + ({_HEX_BYTE.format(a=1, b=2)}) % 192 AS INT) AS width,
+       CAST(64 + ({_HEX_BYTE.format(a=3, b=4)}) % 192 AS INT) AS height,
+       CAST(1 + ({_HEX_BYTE.format(a=5, b=6)}) % 4 AS INT) AS n_channels
+FROM m ORDER BY id
+"""
 
 
 def clean_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -703,6 +722,37 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both Structured Streaming paths in one hash-checked gate entry:
+    the windowed aggregation (full per-hour granularity) LEFT-JOINED with
+    the watermarked streaming dedup's per-type unique counts. Passing
+    proves (a) the incremental windowed agg converges to the batch
+    answer row-for-row and (b) dropDuplicates over an at-least-once
+    (duplicated) stream equals batch COUNT(DISTINCT)."""
+    hourly = stream_events_hourly(spark, sf_dir)
+    deduped = stream_dedup_events(spark, sf_dir)
+    return (hourly.join(deduped, "event_type", "left")
+            .select("window_start", "event_type", "n_events", "sum_value",
+                    "n_unique")
+            .orderBy("window_start", "event_type"))
+
+
+STREAM_EVENTS_ORACLE = """
+WITH h AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+         event_type, COUNT(*) AS n_events,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+  FROM events GROUP BY 1, 2
+), u AS (
+  SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+  FROM events GROUP BY 1
+)
+SELECT window_start, event_type, n_events, sum_value, n_unique
+FROM h LEFT JOIN u USING (event_type)
+ORDER BY window_start, event_type
+"""
+
+
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication: watermarked dropDuplicates on event_id
     over a duplicated input stream (every event fed twice); the oracle
@@ -738,6 +788,17 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 # --- DQ checks -------------------------------------------------------------
+
+def dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three DQ check kinds (PK single-pass, FK left-anti, custom
+    boolean expression) as one 3-row hash-checked gate entry — they
+    share the (dq_name, table_name, check_type, total, valid, invalid)
+    result contract, so a tagged union covers the family."""
+    return (dq_pk_orders(spark, sf_dir)
+            .unionByName(dq_fk_lineitem_orders(spark, sf_dir))
+            .unionByName(dq_custom_discount(spark, sf_dir))
+            .orderBy("dq_name"))
+
 
 def dq_pk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("orders",))
@@ -791,6 +852,14 @@ FROM lineitem
 """
 
 
+DQ_SUITE_ORACLE = (
+    "SELECT * FROM (" + DQ_PK_ORACLE + ") "
+    "UNION ALL SELECT * FROM (" + DQ_FK_ORACLE + ") "
+    "UNION ALL SELECT * FROM (" + DQ_CUSTOM_ORACLE + ") "
+    "ORDER BY dq_name"
+)
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     s.name: s for s in [
         QuerySpec("catalog_federated_revenue", catalog_federated_revenue,
@@ -831,32 +900,18 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "exact cosine top-k neighbors"),
         QuerySpec("ann_ivf_topk", ann_ivf_topk, None,
                   "IVF-bucketed approximate top-k (rows-only)"),
-        QuerySpec("text_token_counts", text_token_counts, TOKEN_COUNTS_ORACLE,
-                  "whitespace + BPE-ish token counting"),
         QuerySpec("text_quality", text_quality, TEXT_QUALITY_ORACLE,
-                  "quality features + composite score"),
+                  "quality features + composite score + BPE-ish tokens"),
         QuerySpec("text_lang_id", text_lang_id, LANG_ID_ORACLE,
-                  "marker-token + script language ID"),
-        QuerySpec("text_fingerprint", text_fingerprint, FINGERPRINT_ORACLE,
-                  "normalized md5 document fingerprint"),
+                  "language ID + normalized md5 fingerprint"),
         QuerySpec("text_unigram_logprob", text_unigram_logprob,
                   UNIGRAM_LOGPROB_ORACLE,
                   "unigram log-prob quality proxy (perplexity filter)"),
         QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_ORACLE,
-                  "binary-column metadata derivation"),
-        QuerySpec("mm_decode_stub", mm_decode_stub, None,
-                  "multimodal decode plumbing (stubbed decode, rows-only)"),
-        QuerySpec("stream_events_hourly", stream_events_hourly,
-                  STREAM_HOURLY_ORACLE,
-                  "streamed windowed agg == batch answer"),
-        QuerySpec("stream_dedup_events", stream_dedup_events,
-                  STREAM_DEDUP_ORACLE,
-                  "watermarked streaming dedup (exactly-once) == batch distinct"),
-        QuerySpec("dq_pk_orders", dq_pk_orders, DQ_PK_ORACLE,
-                  "PK constraint check (single-pass)"),
-        QuerySpec("dq_fk_lineitem_orders", dq_fk_lineitem_orders, DQ_FK_ORACLE,
-                  "FK orphan check via left-anti join"),
-        QuerySpec("dq_custom_discount", dq_custom_discount, DQ_CUSTOM_ORACLE,
-                  "custom boolean-expression DQ"),
+                  "binary-column metadata + mapInPandas decode (hash-checked)"),
+        QuerySpec("stream_events", stream_events, STREAM_EVENTS_ORACLE,
+                  "streamed windowed agg + exactly-once dedup == batch"),
+        QuerySpec("dq_suite", dq_suite, DQ_SUITE_ORACLE,
+                  "PK + FK + custom DQ checks (tagged union)"),
     ]
 }

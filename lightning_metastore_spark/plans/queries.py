@@ -420,6 +420,93 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 """
 
 
+def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP and CUBE in one gate entry (tagged union): each is a single
+    Expand + partial/final hash agg — one scan per input table, no
+    grouping-set re-scans. Registry is capped at 50 driver-checked
+    entries, so the two Expand variants share one hash-verified row."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    r = (t["orders"]
+         .rollup("o_orderpriority", "o_orderstatus")
+         .agg(F.count(F.lit(1)).alias("n"),
+              (F.sum(cents(F.col("o_totalprice"))) / 100.0).alias("total"))
+         .select(F.lit("rollup").alias("op"),
+                 F.col("o_orderpriority").alias("dim1"),
+                 F.col("o_orderstatus").alias("dim2"), "n", "total"))
+    c = (t["lineitem"]
+         .cube("l_returnflag", "l_linestatus")
+         .agg(F.count(F.lit(1)).alias("n"),
+              (F.sum(cents(F.col("l_extendedprice"))) / 100.0).alias("total"))
+         .select(F.lit("cube").alias("op"),
+                 F.col("l_returnflag").alias("dim1"),
+                 F.col("l_linestatus").alias("dim2"), "n", "total"))
+    return r.unionAll(c).orderBy("op", F.asc_nulls_first("dim1"),
+                                 F.asc_nulls_first("dim2"))
+
+
+Q_ROLLUP_CUBE_ORACLE = f"""
+SELECT 'rollup' AS op, o_orderpriority AS dim1, o_orderstatus AS dim2,
+       COUNT(*) AS n, CAST(SUM({_cents_sql('o_totalprice')}) AS DOUBLE) / 100 AS total
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+UNION ALL
+SELECT 'cube' AS op, l_returnflag AS dim1, l_linestatus AS dim2,
+       COUNT(*) AS n, CAST(SUM({_cents_sql('l_extendedprice')}) AS DOUBLE) / 100 AS total
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY op, dim1 NULLS FIRST, dim2 NULLS FIRST
+"""
+
+
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (INTERSECT/EXCEPT) and bag (INTERSECT ALL/EXCEPT ALL) set
+    operators in one tagged gate entry — both precedence groups preserved
+    via subqueries."""
+    load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql("""
+        SELECT 'distinct' AS op, c_custkey AS key FROM (
+          SELECT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+          WHERE o_orderpriority = '1-URGENT'
+          INTERSECT
+          SELECT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+          WHERE o_orderpriority = '5-LOW'
+          EXCEPT
+          SELECT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+          WHERE o_orderstatus = 'F'
+        )
+        UNION ALL
+        SELECT 'bag' AS op, l_suppkey AS key FROM (
+          SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+          INTERSECT ALL
+          SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'O'
+          EXCEPT ALL
+          SELECT l_suppkey FROM lineitem WHERE l_quantity > 45
+        )
+        ORDER BY op, key
+    """)
+
+
+Q_SETOPS_COMBINED_ORACLE = """
+SELECT 'distinct' AS op, c_custkey AS key FROM (
+  SELECT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+  WHERE o_orderpriority = '1-URGENT'
+  INTERSECT
+  SELECT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+  WHERE o_orderpriority = '5-LOW'
+  EXCEPT
+  SELECT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+  WHERE o_orderstatus = 'F'
+)
+UNION ALL
+SELECT 'bag' AS op, l_suppkey AS key FROM (
+  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+  INTERSECT ALL
+  SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'O'
+  EXCEPT ALL
+  SELECT l_suppkey FROM lineitem WHERE l_quantity > 45
+)
+ORDER BY op, key
+"""
+
+
 def q_string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wider string-function surface: pad/trim/replace/repeat/reverse/
     split_part/left/right — functions shared verbatim by both engines."""
@@ -672,10 +759,13 @@ ORDER BY hour_ts, event_type
 
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min idle gap) as two window passes —
-    the classic scalable formulation: lag -> new-session flag ->
-    cumulative sum = session id. One shuffle on user_id.
-    """
+    """Gap-based sessionization (30-min idle gap) two ways in one gate
+    entry: (a) the classic scalable lag -> new-session flag -> cumulative
+    sum formulation (one shuffle on user_id), (b) Spark's NATIVE
+    session_window aggregation — joined on (user_id, session_start), so
+    the oracle hash-verifies that both produce identical sessions. An
+    inner join means any native/window divergence surfaces as a rowcount
+    mismatch."""
     t = load_tables(spark, sf_dir, ("events",))
     by_user = W.partitionBy("user_id").orderBy("ts", "event_id")
     ev = (
@@ -688,13 +778,22 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("session_id", F.sum("new_session").over(
             by_user.rowsBetween(W.unboundedPreceding, 0)))
     )
-    return (
+    windowed = (
         ev.groupBy("user_id", "session_id")
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.min("ts").alias("session_start"),
              F.max("ts").alias("session_end"))
-        .orderBy("user_id", "session_id")
     )
+    native = (t["events"]
+              .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+              .agg(F.count(F.lit(1)).alias("n_events_native"))
+              .select("user_id",
+                      F.col("session_window.start").alias("session_start"),
+                      "n_events_native"))
+    return (windowed.join(native, ["user_id", "session_start"])
+            .select("user_id", "session_id", "n_events", "n_events_native",
+                    "session_start", "session_end")
+            .orderBy("user_id", "session_id"))
 
 
 Q_SESSIONIZE_ORACLE = """
@@ -715,6 +814,7 @@ WITH ev AS (
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
+       COUNT(*) AS n_events_native,
        make_timestamp(MIN(us)) AS session_start,
        make_timestamp(MAX(us)) AS session_end
 FROM sessions
@@ -1024,6 +1124,43 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame + navigation functions (first/lag/lead/ntile) in one
+    gate entry over events: one windowed pass per distinct (partition,
+    ordering) spec — Spark plans a single sort for the two specs sharing
+    (user_id, us) ordering. NTILE is deterministic because the ordering
+    key (us, event_id) is unique."""
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql("""
+        SELECT event_id, user_id,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY unix_micros(ts)
+                              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                 AS n_last_hour,
+               FIRST_VALUE(event_id) OVER w AS first_event,
+               LAG(event_id) OVER w AS prev_event,
+               LEAD(event_id) OVER w AS next_event,
+               NTILE(4) OVER w AS quartile
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY unix_micros(ts), event_id)
+        ORDER BY event_id
+    """)
+
+
+Q_WINDOW_FRAMES_ORACLE = """
+SELECT event_id, user_id,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         AS n_last_hour,
+       FIRST_VALUE(event_id) OVER w AS first_event,
+       LAG(event_id) OVER w AS prev_event,
+       LEAD(event_id) OVER w AS next_event,
+       NTILE(4) OVER w AS quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+ORDER BY event_id
+"""
+
+
 def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order functions in the gate: per-label stats of
     vector norms and extrema (aggregate/transform/array_max)."""
@@ -1105,22 +1242,18 @@ RELATIONAL_QUERIES: dict[str, QuerySpec] = {
                   "TPC-DS Q1 shape: CTE + correlated scalar subquery"),
         QuerySpec("q_window_topk_orders", q_window_topk_orders, Q_WINDOW_ORACLE,
                   "window: row_number + running sum"),
-        QuerySpec("q_rollup_orders", q_rollup_orders, Q_ROLLUP_ORACLE,
-                  "GROUP BY ROLLUP"),
+        QuerySpec("q_rollup_cube", q_rollup_cube, Q_ROLLUP_CUBE_ORACLE,
+                  "GROUP BY ROLLUP + CUBE (both Expand variants)"),
         QuerySpec("q_pivot_status", q_pivot_status, Q_PIVOT_ORACLE,
                   "pivot with explicit domain"),
-        QuerySpec("q_setops_segments", q_setops_segments, Q_SETOPS_ORACLE,
-                  "INTERSECT / EXCEPT"),
-        QuerySpec("q_setops_all", q_setops_all, Q_SETOPS_ALL_ORACLE,
-                  "INTERSECT ALL / EXCEPT ALL (bag semantics)"),
+        QuerySpec("q_setops", q_setops, Q_SETOPS_COMBINED_ORACLE,
+                  "INTERSECT/EXCEPT + INTERSECT ALL/EXCEPT ALL"),
         QuerySpec("q_multi_distinct", q_multi_distinct, Q_MULTI_DISTINCT_ORACLE,
                   "multiple DISTINCT aggregates (Expand plan)"),
         QuerySpec("q_null_semantics", q_null_semantics, Q_NULL_SEMANTICS_ORACLE,
                   "null-safe equality / IS DISTINCT FROM / null counting"),
         QuerySpec("q_date_arithmetic", q_date_arithmetic, Q_DATE_ARITHMETIC_ORACLE,
                   "datediff / quarter bucketing (exact integer days)"),
-        QuerySpec("q_cube", q_cube, Q_CUBE_ORACLE,
-                  "GROUP BY CUBE (completes rollup/sets/cube trio)"),
         QuerySpec("q_string_surface", q_string_surface, Q_STRING_SURFACE_ORACLE,
                   "pad/trim/replace/repeat/reverse/split_part surface"),
         QuerySpec("q_semi_anti_customers", q_semi_anti_customers, Q_SEMI_ANTI_ORACLE,
@@ -1130,7 +1263,7 @@ RELATIONAL_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("q_events_hourly", q_events_hourly, Q_EVENTS_HOURLY_ORACLE,
                   "tumbling-window aggregation (batch form)"),
         QuerySpec("q_events_sessionize", q_events_sessionize, Q_SESSIONIZE_ORACLE,
-                  "gap-based sessionization via windows"),
+                  "gap sessionization: lag+cumsum vs native session_window"),
         QuerySpec("q_top_supplier_per_nation", q_top_supplier_per_nation,
                   Q_TOP_SUPPLIER_ORACLE,
                   "TPC-H Q2 shape: correlated aggregate subquery"),
@@ -1146,14 +1279,10 @@ RELATIONAL_QUERIES: dict[str, QuerySpec] = {
                   "GROUPING SETS + HAVING"),
         QuerySpec("q_percentiles", q_percentiles, Q_PERCENTILES_ORACLE,
                   "ordered-set aggregates (percentile_cont)"),
-        QuerySpec("q_range_window", q_range_window, Q_RANGE_WINDOW_ORACLE,
-                  "RANGE window frame over event time"),
-        QuerySpec("q_window_navigation", q_window_navigation, Q_WINDOW_NAV_ORACLE,
-                  "first/lag/lead/ntile navigation windows"),
+        QuerySpec("q_window_frames", q_window_frames, Q_WINDOW_FRAMES_ORACLE,
+                  "RANGE frame + first/lag/lead/ntile navigation"),
         QuerySpec("q_vector_stats", q_vector_stats, Q_VECTOR_STATS_ORACLE,
                   "array higher-order functions over embeddings"),
-        QuerySpec("q_session_window", q_session_window, Q_SESSION_WINDOW_ORACLE,
-                  "native session_window vs lag+cumsum oracle"),
         QuerySpec("q_pandas_udf", q_pandas_udf, Q_PANDAS_UDF_ORACLE,
                   "Arrow-batched pandas UDF (vectorized Python path)"),
     ]

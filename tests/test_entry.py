@@ -23,11 +23,14 @@ def test_registry_consistency():
     qs = ep.queries()
     oracles = ep.oracle_sql()
     assert len(qs) >= 25
+    # the driver checks exactly the first 50 registry entries — every
+    # entry must fit under that cap so none escapes the hard gate
+    assert len(qs) <= 50
     # every oracle key must be a declared query
     assert set(oracles) <= set(qs)
     # only genuinely approximate operators may omit an oracle
     rows_only = set(qs) - set(oracles)
-    assert rows_only <= {"ann_ivf_topk", "mm_decode_stub", "sketch_profile",
+    assert rows_only <= {"ann_ivf_topk", "sketch_profile",
                          "curation_pipeline"}
 
 
@@ -40,7 +43,7 @@ def test_spot_correctness_vs_duckdb(spark):
     for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     qs, oracles = ep.queries(), ep.oracle_sql()
-    for name in ("q1_pricing_summary", "dedup_ngram_jaccard", "dq_pk_orders"):
+    for name in ("q1_pricing_summary", "dedup_ngram_jaccard", "dq_suite"):
         sdf = qs[name](spark, SF_DIR)
         srows = sorted([tuple(map(str, r)) for r in sdf.collect()])
         orows = sorted([tuple(map(str, r)) for r in con.sql(oracles[name]).fetchall()])
