@@ -215,12 +215,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chunks=15 (4-bit chunks) guarantees candidate recall up to hamming
     # 14 by pigeonhole; measured true-pair hammings on this corpus reach
     # 12 at sf0.1 (small shared vocabulary -> weak simhash separation).
-    # Web-scale simhash uses hamming<=3 with 16-bit chunks — the chunk
-    # knob trades bucket fan-in for recall (see simhash_pairs doc).
+    # These params intentionally trip the operator's degeneracy guard
+    # (random-pair collision prob 0.62 — near-all-pairs at scale); the
+    # scale-safe setting is dedup.SIMHASH_WEB_SCALE (4x15-bit chunks,
+    # hamming<=3). The warning is the documented, intended behavior here.
+    import warnings
+
     sh = _shingles_cached(spark, t["documents"], sf_dir)
-    return (dedup.simhash_pairs(t["documents"], hamming_max=14, chunks=15,
-                                jaccard_threshold=0.5, sh=sh)
-            .orderBy("doc_id_a", "doc_id_b"))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        pairs = dedup.simhash_pairs(t["documents"], hamming_max=14,
+                                    chunks=15, jaccard_threshold=0.5, sh=sh)
+    return pairs.orderBy("doc_id_a", "doc_id_b")
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:

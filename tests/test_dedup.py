@@ -36,6 +36,47 @@ def test_simhash_recall_equals_exact(spark):
     assert sh == exact
 
 
+def test_simhash_degenerate_guard(spark):
+    """Narrow chunks -> near-all-pairs candidate join: the guard must
+    warn by default, raise in error mode, and stay silent for the
+    web-scale parameterization."""
+    import warnings
+
+    import pytest
+
+    rows = [(1, "w1 w2 w3 w4 w5 w6"), (2, "w1 w2 w3 w4 w5 w6"),
+            (3, "x1 x2 x3 x4 x5 x6")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert dedup.simhash_collision_probability(15) > 0.6
+    assert dedup.simhash_collision_probability(4) < 1e-3
+    with pytest.warns(RuntimeWarning, match="all-pairs"):
+        dedup.simhash_pairs(df, hamming_max=14, chunks=15)
+    with pytest.raises(ValueError, match="all-pairs"):
+        dedup.simhash_pairs(df, hamming_max=14, chunks=15,
+                            on_degenerate="error")
+    # pigeonhole violation is always a hard error (silent recall loss)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_pairs(df, hamming_max=4, chunks=4)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        dedup.simhash_pairs(df, **dedup.SIMHASH_WEB_SCALE)
+
+
+def test_simhash_web_scale_params_find_dups(spark):
+    """SIMHASH_WEB_SCALE (4x15-bit chunks, hamming<=3) finds
+    hamming-close near-dups — here exact duplicates (hamming 0) —
+    without enumerating unrelated pairs."""
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "one two three four five six seven eight nine"),
+            (4, "unrelated words entirely distinct corpus body text")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r.doc_id_a, r.doc_id_b)
+             for r in dedup.simhash_pairs(df, jaccard_threshold=0.5,
+                                          **dedup.SIMHASH_WEB_SCALE).collect()}
+    assert pairs == {(1, 2)}
+
+
 def test_exact_dedup_micro(spark):
     rows = [(1, "a b c"), (2, "A  b   C"), (3, "different text here")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
