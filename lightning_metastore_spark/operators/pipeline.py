@@ -50,8 +50,19 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
                   id_col: str = "doc_id") -> DataFrame:
     cfg = cfg or CurationConfig()
 
+    # `cleaned` (itself ~2 shuffles deep) feeds five branches below
+    # (quality, lang, fingerprint, near-dup survivors, final join) —
+    # without a materialization each branch replans and recomputes the
+    # whole boilerplate-removal subtree: ~5 redundant full passes at
+    # 100 TB, and the connected-components loop re-embeds that subtree
+    # in every round's plan (plan-size explosion). An eager
+    # localCheckpoint computes it ONCE and truncates lineage to a leaf.
+    # Trade-off: localCheckpoint blocks are non-reliable (lost with an
+    # executor); for multi-hour cluster runs set a checkpoint dir and
+    # swap in .checkpoint() — same single-materialization shape.
     cleaned = remove_boilerplate_lines(docs, cfg.boilerplate_max_df,
-                                       text_col=text_col, id_col=id_col)
+                                       text_col=text_col, id_col=id_col) \
+        .localCheckpoint(eager=True)
     quality = text_fns.quality_features(cleaned, text_col, id_col) \
         .select(id_col, "quality_score")
     lang = text_fns.lang_id(cleaned, text_col, id_col)

@@ -37,6 +37,24 @@ def test_curate_corpus_on_driver_documents(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
+def test_curate_corpus_single_materialization(spark):
+    """The `cleaned` subtree is eagerly localCheckpointed: the returned
+    plan must read it as a leaf (ExistingRDD), never re-embedding the
+    boilerplate-removal pipeline (posexplode etc.) — that recomputation
+    was ~5 redundant full passes before the checkpoint."""
+    import io
+    from contextlib import redirect_stdout
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = curate_corpus(docs, CurationConfig(min_quality=0.0))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "ExistingRDD" in plan       # checkpoint leaf is what's scanned
+    assert "posexplode" not in plan    # boilerplate subtree not replanned
+
+
 def test_curate_corpus_micro_reasons(spark):
     docs = spark.createDataFrame([
         (1, "the quick brown fox jumps over a lazy dog " * 5),
