@@ -22,6 +22,7 @@ import datetime
 import decimal
 import json
 import threading
+from itertools import chain
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -42,6 +43,14 @@ def encode_value(v):
     if hasattr(v, "asDict"):  # Row (struct)
         return {k: encode_value(x) for k, x in v.asDict().items()}
     return v
+
+
+def rows_from_df(df):
+    """Row iterator for streaming. Pulling the FIRST row eagerly (in
+    _respond_df) forces execution of the first partition before any HTTP
+    status line is sent, so runtime errors (not just analysis errors)
+    still produce a clean 400."""
+    return df.toLocalIterator()
 
 
 def rows_to_json_stream(df, write):
@@ -70,11 +79,38 @@ class LightningAPIServer:
                 pass
 
             def _respond_df(self, df):
+                # Execute up to the first row BEFORE emitting the status
+                # line: Spark evaluates lazily, so without this a
+                # runtime failure would surface mid-stream after "200"
+                # is already on the wire.
+                sentinel = object()
+                try:
+                    rows = rows_from_df(df)
+                    first = next(rows, sentinel)
+                except Exception as e:
+                    return self._error(400, str(e)[:500])
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Access-Control-Allow-Origin", "*")
                 self.end_headers()
-                rows_to_json_stream(df, self.wfile.write)
+                write = self.wfile.write
+                try:
+                    write(b"[")
+                    if first is not sentinel:
+                        for i, row in enumerate(chain([first], rows)):
+                            if i:
+                                write(b",")
+                            obj = {k: encode_value(v)
+                                   for k, v in row.asDict().items()}
+                            write(json.dumps(obj).encode("utf-8"))
+                    write(b"]")
+                except BrokenPipeError:
+                    pass
+                except Exception:
+                    # headers are already sent: abort the connection
+                    # (client sees truncated JSON) — writing a second
+                    # status line into the body would corrupt the reply
+                    self.close_connection = True
 
             def _error(self, code: int, msg: str):
                 self.send_response(code)

@@ -154,7 +154,10 @@ class Resolver:
                     last_err = e
                 continue
             rest = parts[cut:]
-            if rest and rest[0] not in df.columns:
+            # Spark SQL identifiers are case-insensitive by default —
+            # compare accordingly, or O_ORDERKEY vs o_orderkey would
+            # fail resolution that plain Spark SQL accepts
+            if rest and rest[0].lower() not in {c.lower() for c in df.columns}:
                 # the trailing segment is neither a table (longer prefix
                 # failed) nor a column of this table — surface the
                 # longer prefix's error instead of leaking a mangled

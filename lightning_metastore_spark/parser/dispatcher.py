@@ -370,6 +370,13 @@ class InsertInto(Command):
                 f"no datasource at lightning.{'.'.join(self.path)}")
         ds, residual = hit
         df = ctx.spark.sql(ctx.resolver.resolve_sql(self.query))
+        if self.overwrite:
+            # INSERT OVERWRITE t SELECT ... FROM t would otherwise read
+            # and truncate the same files; materialize the SELECT first
+            # (same lineage-break MergeInto uses). Note localCheckpoint
+            # blocks are non-reliable — a unit-level staging write (tmp
+            # dir + rename) is the durable upgrade path for long jobs.
+            df = df.localCheckpoint(eager=True)
         load_catalog_unit(ds).write_table(
             df, residual, mode="overwrite" if self.overwrite else "append")
         return self._df(ctx, [(".".join(self.path),)], "inserted string")
@@ -447,9 +454,19 @@ class MergeInto(Command):
 
     def run(self, ctx) -> DataFrame:
         from pyspark.sql import functions as F
+        from pyspark.sql.window import Window as W
 
         from lightning_metastore_spark.catalog.units import load_catalog_unit
 
+        if self.matched_delete and self.update_set:
+            # Clauses carry no conditions in this grammar, so UPDATE and
+            # DELETE would both claim every matched row — refuse instead
+            # of silently preferring one (ANSI MERGE requires distinct
+            # AND-conditions to disambiguate).
+            raise CommandParseError(
+                "MERGE with both an unconditional WHEN MATCHED UPDATE and "
+                "WHEN MATCHED DELETE is ambiguous — every matched row "
+                "satisfies both clauses; drop one of them")
         rest = _require_root(self.target, DATASOURCE_ROOT, "MERGE target")
         hit = ctx.metastore.find_parent_datasource(rest)
         if hit is None:
@@ -458,7 +475,9 @@ class MergeInto(Command):
         ds, residual = hit
         unit = load_catalog_unit(ds)
         t_df = (unit.load_table(ctx.spark, residual)
-                .withColumn("__te", F.lit(1)).alias(self.target_alias))
+                .withColumn("__te", F.lit(1))
+                .withColumn("__tid", F.monotonically_increasing_id())
+                .alias(self.target_alias))
         src = self.source_sql.strip()
         if src.startswith("("):
             src = src[1:-1]
@@ -475,7 +494,7 @@ class MergeInto(Command):
         t_only = F.col(f"{ta}.__te").isNotNull() & F.col(f"{sa}.__se").isNull()
         s_only = F.col(f"{ta}.__te").isNull() & F.col(f"{sa}.__se").isNotNull()
 
-        target_cols = [c for c in t_df.columns if c != "__te"]
+        target_cols = [c for c in t_df.columns if c not in ("__te", "__tid")]
         keep = t_only
         if self.matched_delete:
             pass  # matched rows dropped
@@ -501,11 +520,33 @@ class MergeInto(Command):
             out_cols.append(
                 F.when(matched, m_val).when(t_only, t_val)
                 .otherwise(i_val).alias(c))
-        result = joined.filter(keep).select(*out_cols)
+        # standard MERGE cardinality rule (Delta/ANSI behavior): a target
+        # row matched by more than one source row is an error, not a
+        # silent duplication — even pass-through/DELETE paths, where the
+        # full-outer join would silently multiply or over-delete rows.
+        # The per-target match count is a window in the SAME pass as the
+        # result, and the violation is checked on the materialized
+        # output BEFORE the destructive overwrite.
+        n_matches = F.count(F.when(matched, F.lit(1))).over(
+            W.partitionBy(F.col(f"{ta}.__tid")))
+        enriched = (joined
+                    .withColumn("__nm", n_matches)
+                    .withColumn("__dup", matched
+                                & F.col(f"{ta}.__tid").isNotNull()
+                                & (F.col("__nm") > 1))
+                    .withColumn("__keep", keep))
+        result = (enriched.filter(F.col("__keep") | F.col("__dup"))
+                  .select(*out_cols, "__dup", "__keep"))
         # break lineage from the files we are about to overwrite
         materialized = result.localCheckpoint(eager=True)
-        unit.write_table(materialized, residual, mode="overwrite")
-        n = materialized.count()
+        if materialized.filter("__dup").limit(1).count() > 0:
+            raise CommandParseError(
+                "MERGE failed: at least one target row matches multiple "
+                "source rows (ON condition is not unique on the source "
+                "side) — the standard MERGE cardinality violation")
+        final = materialized.filter("__keep").drop("__dup", "__keep")
+        unit.write_table(final, residual, mode="overwrite")
+        n = final.count()
         return self._df(ctx, [(".".join(self.target), n)],
                         "merged string, n_rows long")
 

@@ -92,3 +92,18 @@ def test_api_errors(server):
         urllib.request.urlopen(
             f"http://{server.host}:{server.port}/api/nope")
     assert e2.value.code == 404
+
+
+def test_api_runtime_error_clean_400(server):
+    """A query that passes analysis but fails at execution must yield a
+    clean 400: the server pulls the first row BEFORE sending the status
+    line, so lazy-evaluation failures don't corrupt a 200 reply."""
+    req = urllib.request.Request(
+        f"http://{server.host}:{server.port}/api/q",
+        data=json.dumps({"query": """
+            SELECT assert_true(o_orderkey < 0) AS x
+            FROM lightning.datasource.file.tpch.orders"""}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400

@@ -304,3 +304,16 @@ def test_drop_datasource_and_namespace(ctx):
     with pytest.raises(Exception):
         ctx.sql("SELECT * FROM lightning.datasource.tmp.t1.orders").collect()
     ctx.sql("DROP NAMESPACE lightning.datasource.tmp")
+
+
+def test_chain_column_case_insensitive(ctx):
+    """Spark SQL identifiers are case-insensitive — a trailing column
+    segment in a lightning.* chain must resolve regardless of case."""
+    ctx.sql("CREATE NAMESPACE lightning.datasource.file")
+    ctx.sql(f"REGISTER PARQUET DATASOURCE tpch OPTIONS(path '{SF_DIR}') "
+            f"NAMESPACE lightning.datasource.file")
+    rows = ctx.sql(
+        "SELECT lightning.datasource.file.tpch.orders.O_ORDERKEY AS k "
+        "FROM lightning.datasource.file.tpch.orders ORDER BY k LIMIT 1"
+    ).collect()
+    assert len(rows) == 1 and rows[0].k is not None

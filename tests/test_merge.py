@@ -99,3 +99,61 @@ def test_merge_against_lightning_source(ctx, spark, tmp_path):
         WHEN MATCHED THEN UPDATE SET name = s.name, amount = s.amount
     """)
     assert _rows(ctx)[3] == ("c9", 33.0)
+
+
+def test_merge_duplicate_source_match_raises(ctx, spark):
+    """Standard MERGE cardinality rule: >1 source row matching one target
+    row is an error (Delta/ANSI behavior), not a silent duplication —
+    and the violation is detected BEFORE the destructive overwrite."""
+    from lightning_metastore_spark.parser.dispatcher import CommandParseError
+    spark.createDataFrame(
+        [(2, "x", 1.0), (2, "y", 2.0)], ["id", "name", "amount"]
+    ).createOrReplaceTempView("dup_src")
+    with pytest.raises(CommandParseError, match="multiple"):
+        ctx.sql("""
+            MERGE INTO lightning.datasource.file.db.accounts AS t
+            USING (SELECT * FROM dup_src) AS s
+            ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET name = s.name, amount = s.amount
+        """)
+    assert _rows(ctx) == {1: ("a", 10.0), 2: ("b", 20.0), 3: ("c", 30.0)}
+
+
+def test_merge_duplicate_match_delete_raises(ctx, spark):
+    """DELETE path too: dup matches would silently over-delete."""
+    from lightning_metastore_spark.parser.dispatcher import CommandParseError
+    spark.createDataFrame([(1,), (1,)], ["id"]).createOrReplaceTempView("dup_dels")
+    with pytest.raises(CommandParseError, match="multiple"):
+        ctx.sql("""
+            MERGE INTO lightning.datasource.file.db.accounts AS t
+            USING (SELECT * FROM dup_dels) AS s
+            ON t.id = s.id
+            WHEN MATCHED THEN DELETE
+        """)
+    assert _rows(ctx) == {1: ("a", 10.0), 2: ("b", 20.0), 3: ("c", 30.0)}
+
+
+def test_merge_update_plus_delete_rejected(ctx, spark):
+    """Unconditional UPDATE + DELETE both claim every matched row — the
+    grammar has no AND-conditions to disambiguate, so refuse."""
+    from lightning_metastore_spark.parser.dispatcher import CommandParseError
+    spark.createDataFrame(
+        [(1, "q", 1.0)], ["id", "name", "amount"]).createOrReplaceTempView("one_row")
+    with pytest.raises(CommandParseError, match="ambiguous"):
+        ctx.sql("""
+            MERGE INTO lightning.datasource.file.db.accounts AS t
+            USING (SELECT * FROM one_row) AS s
+            ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET name = s.name
+            WHEN MATCHED THEN DELETE
+        """)
+
+
+def test_insert_overwrite_self_read(ctx):
+    """INSERT OVERWRITE t SELECT ... FROM t must materialize the SELECT
+    before truncating the target (lineage break), or the read and the
+    overwrite race on the same files."""
+    ctx.sql("""INSERT OVERWRITE lightning.datasource.file.db.accounts
+        SELECT id, name, amount * 2 AS amount
+        FROM lightning.datasource.file.db.accounts WHERE id <= 2""")
+    assert _rows(ctx) == {1: ("a", 20.0), 2: ("b", 40.0)}
