@@ -19,10 +19,15 @@ from typing import Any, Optional
 
 # Source types, per the reference's enum (`DataSourceType.scala`).
 FILE_SOURCE_TYPES = {"PARQUET", "ORC", "CSV", "JSON", "AVRO", "XML",
-                     "PDF", "TEXT", "IMAGE", "VIDEO", "AUDIO"}
+                     "PDF", "TEXT", "IMAGE", "VIDEO", "AUDIO",
+                     "UNSTRUCTURED"}
 NON_FILE_SOURCE_TYPES = {"JDBC", "ICEBERG", "DELTA"}
 ALL_SOURCE_TYPES = FILE_SOURCE_TYPES | NON_FILE_SOURCE_TYPES
-UNSTRUCTURED_TYPES = {"PDF", "TEXT", "IMAGE", "VIDEO", "AUDIO"}
+# UNSTRUCTURED = the reference's generic binary fallback
+# (UnstructuredFileFormat.scala shortName "unstructured": any file,
+# metadata columns only + bincontent content table)
+UNSTRUCTURED_TYPES = {"PDF", "TEXT", "IMAGE", "VIDEO", "AUDIO",
+                      "UNSTRUCTURED"}
 
 _CREDENTIAL_KEYS = {"password", "secret", "token", "key", "credential"}
 

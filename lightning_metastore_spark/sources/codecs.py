@@ -1,0 +1,620 @@
+"""Pure-stdlib media codecs for the unstructured sources.
+
+The container has no Pillow / pypdf / ffmpeg, so the extraction the
+reference gets from PDFBox (`pdf/PdfReaderFactory.scala:52-67`),
+Thumbnailator (`UnstructuredData.scala:195-202`) and metadata-extractor
+(`video/VideoReaderFactory.scala:36-107`, image EXIF) is implemented
+here directly on the byte formats with only `zlib` + `struct`:
+
+- PDF text: FlateDecode content streams (zlib) interpreted for the text
+  operators Tj / TJ / ' / " with Td/TD/T*/ET line breaks. Handles the
+  common simple-font case (Latin-1/WinAnsi byte strings + hex strings);
+  CID-keyed composite fonts come out as raw bytes — the documented
+  limit of a stdlib-only extractor. pypdf upgrades this when importable.
+- Thumbnails: real decode for PNG (all 5 scanline filters, color types
+  0/2/3/4/6 at bit depth 8), GIF (LZW, interlace), BMP (16/24/32-bit
+  uncompressed) -> aspect-fit nearest-neighbor resize -> PNG encode.
+  JPEG *decode* (Huffman+IDCT) stays out of scope; JPEG thumbnails
+  require Pillow and return None here.
+- EXIF: JPEG APP1 / PNG eXIf chunk -> TIFF IFD walk (IFD0 + Exif + GPS
+  sub-IFDs) with the common tag-name table.
+- Video: RIFF/AVI `avih` header and Matroska EBML (TimecodeScale,
+  Duration, PixelWidth/PixelHeight). The MP4 box walk lives in
+  unstructured.py.
+
+Everything here runs executor-side inside Arrow-batched mapInPandas —
+per-file Python cost is the same shape as the reference's per-file JVM
+extraction, and none of it touches a Spark shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+import zlib
+from typing import Iterator, Optional
+
+# ---------------------------------------------------------------------------
+# PDF — FlateDecode content-stream text extraction
+# ---------------------------------------------------------------------------
+
+_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.S)
+_PDF_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _pdf_unescape(raw: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i]
+        if c != 0x5C:  # backslash
+            out.append(c)
+            i += 1
+            continue
+        i += 1
+        if i >= n:
+            break
+        nxt = raw[i:i + 1]
+        if nxt in _PDF_ESCAPES:
+            out += _PDF_ESCAPES[nxt]
+            i += 1
+        elif nxt.isdigit():  # octal \ddd (1-3 digits)
+            j = i
+            while j < n and j - i < 3 and chr(raw[j]).isdigit():
+                j += 1
+            out.append(int(raw[i:j], 8) & 0xFF)
+            i = j
+        elif nxt in (b"\n", b"\r"):  # line continuation
+            i += 1
+            if nxt == b"\r" and raw[i:i + 1] == b"\n":
+                i += 1
+        else:
+            out += nxt
+            i += 1
+    return bytes(out)
+
+
+def pdf_content_streams(data: bytes) -> Iterator[bytes]:
+    """Yield every stream body, FlateDecode-decompressed when the stream
+    dict says /FlateDecode (the overwhelmingly common filter). Streams
+    with other filters (DCT, LZW, ...) are skipped — they are images,
+    not text content."""
+    for m in _STREAM_RE.finditer(data):
+        sdict = m.group(1)
+        start = m.end()
+        end = data.find(b"endstream", start)
+        if end < 0:
+            continue
+        body = data[start:end].rstrip(b"\r\n")
+        if b"/FlateDecode" in sdict:
+            try:
+                yield zlib.decompress(body)
+            except Exception:
+                continue
+        elif b"/Filter" not in sdict:
+            yield body
+
+
+_TOKEN_RE = re.compile(
+    rb"\(((?:[^()\\]|\\.)*)\)"      # 1: literal string
+    rb"|<([0-9A-Fa-f\s]*)>"          # 2: hex string
+    rb"|\[((?:\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>|[^\]])*)\]\s*TJ"  # 3: TJ array
+    rb"|(Tj|T\*|Td|TD|ET|')"         # 4: operators that matter
+)
+_ARRAY_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>")
+
+
+def _decode_pdf_string(lit: Optional[bytes], hexs: Optional[bytes]) -> str:
+    if lit is not None:
+        return _pdf_unescape(lit).decode("latin-1", "ignore")
+    hexs = re.sub(rb"\s", b"", hexs or b"")
+    if len(hexs) % 2:
+        hexs += b"0"
+    return bytes.fromhex(hexs.decode("ascii", "ignore")).decode("latin-1", "ignore")
+
+
+def extract_stream_text(stream: bytes) -> str:
+    """Interpret the text-showing operators of one content stream:
+    strings followed by Tj / ' , TJ arrays (glyph-kerning numbers
+    dropped), and newlines for Td/TD/T*/ET positioning ops."""
+    parts: list[str] = []
+    pending: Optional[str] = None
+    for m in _TOKEN_RE.finditer(stream):
+        lit, hexs, arr, op = m.groups()
+        if arr is not None:  # [ ... ] TJ
+            seg = "".join(_decode_pdf_string(a, b)
+                          for a, b in _ARRAY_STR_RE.findall(arr))
+            if seg:
+                parts.append(seg)
+            pending = None
+        elif lit is not None or hexs is not None:
+            pending = _decode_pdf_string(lit, hexs)
+        elif op in (b"Tj", b"'"):
+            if pending is not None:
+                if op == b"'":
+                    parts.append("\n")
+                parts.append(pending)
+                pending = None
+        elif op in (b"Td", b"TD", b"T*", b"ET"):
+            if parts and not parts[-1].endswith("\n"):
+                parts.append("\n")
+            pending = None
+    return "".join(parts)
+
+
+def pdf_text_flate(data: bytes, max_chars: int) -> str:
+    """Full-document text via the FlateDecode interpreter. Returns ''
+    when no text operators are found (caller falls back)."""
+    out: list[str] = []
+    total = 0
+    for stream in pdf_content_streams(data):
+        if b"Tj" not in stream and b"TJ" not in stream and b"'" not in stream:
+            continue
+        t = extract_stream_text(stream)
+        if t.strip():
+            out.append(t)
+            total += len(t)
+            if total >= max_chars:
+                break
+    return "".join(out)[:max_chars].strip()
+
+
+# ---------------------------------------------------------------------------
+# PNG decode / encode
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(data: bytes) -> Iterator[tuple[bytes, bytes]]:
+    i = 8
+    while i + 8 <= len(data):
+        ln = struct.unpack(">I", data[i:i + 4])[0]
+        typ = data[i + 4:i + 8]
+        yield typ, data[i + 8:i + 8 + ln]
+        i += 12 + ln
+        if typ == b"IEND":
+            break
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_decode(data: bytes) -> tuple[int, int, list[bytes]]:
+    """Decode an 8-bit-depth PNG into RGB rows. Supports color types
+    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) and all
+    five scanline filters; interlaced PNGs are rejected."""
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    width = height = None
+    color_type = bit_depth = None
+    palette = b""
+    idat = bytearray()
+    for typ, body in _png_chunks(data):
+        if typ == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if bit_depth != 8:
+                raise ValueError(f"unsupported bit depth {bit_depth}")
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+        elif typ == b"PLTE":
+            palette = body
+        elif typ == b"IDAT":
+            idat += body
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    rows: list[bytes] = []
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                ul = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        prev = line
+        # normalize to RGB
+        if color_type == 2:
+            rows.append(bytes(line))
+        elif color_type == 6:
+            rows.append(bytes(b for i in range(0, stride, 4)
+                              for b in line[i:i + 3]))
+        elif color_type == 0:
+            rows.append(bytes(b for v in line for b in (v, v, v)))
+        elif color_type == 4:
+            rows.append(bytes(b for i in range(0, stride, 2)
+                              for b in (line[i], line[i], line[i])))
+        else:  # palette
+            rows.append(bytes(b for idx in line
+                              for b in palette[3 * idx:3 * idx + 3]))
+    return width, height, rows
+
+
+def png_encode(width: int, height: int, rgb_rows: list[bytes]) -> bytes:
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        raw = typ + body
+        return struct.pack(">I", len(body)) + raw + \
+            struct.pack(">I", zlib.crc32(raw) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    scanlines = b"".join(b"\x00" + r for r in rgb_rows)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scanlines, 6))
+            + chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------------------
+# GIF decode (first frame, LZW)
+# ---------------------------------------------------------------------------
+
+def gif_decode(data: bytes) -> tuple[int, int, list[bytes]]:
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    flags = data[10]
+    gct_size = 2 << (flags & 7) if flags & 0x80 else 0
+    pos = 13
+    gct = data[pos:pos + 3 * gct_size]
+    pos += 3 * gct_size
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _, _, w, h, iflags = struct.unpack("<HHHHB", data[pos + 1:pos + 10])
+            pos += 10
+            if iflags & 0x80:  # local color table
+                lct_size = 2 << (iflags & 7)
+                ct = data[pos:pos + 3 * lct_size]
+                pos += 3 * lct_size
+            else:
+                ct = gct
+            interlaced = bool(iflags & 0x40)
+            min_code_size = data[pos]
+            pos += 1
+            blocks = bytearray()
+            while data[pos]:
+                ln = data[pos]
+                blocks += data[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            indices = _lzw_decode(bytes(blocks), min_code_size, w * h)
+            rows = [bytes(b for idx in indices[y * w:(y + 1) * w]
+                          for b in ct[3 * idx:3 * idx + 3])
+                    for y in range(h)]
+            if interlaced:
+                order = ([y for y in range(0, h, 8)] +
+                         [y for y in range(4, h, 8)] +
+                         [y for y in range(2, h, 4)] +
+                         [y for y in range(1, h, 2)])
+                deinter: list[bytes] = [b""] * h
+                for src_i, dst_y in enumerate(order):
+                    deinter[dst_y] = rows[src_i]
+                rows = deinter
+            return w, h, rows
+        else:
+            break
+    raise ValueError("no image block in GIF")
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearray:
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: Optional[bytes] = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if code < len(table):
+                entry = table[code]
+            elif prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("bad LZW stream")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+            if len(out) >= max_pixels:
+                return out
+    return out
+
+
+# ---------------------------------------------------------------------------
+# BMP decode (uncompressed 16/24/32-bit)
+# ---------------------------------------------------------------------------
+
+def bmp_decode(data: bytes) -> tuple[int, int, list[bytes]]:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    pix_off = struct.unpack("<I", data[10:14])[0]
+    w, h_raw = struct.unpack("<ii", data[18:26])
+    bpp = struct.unpack("<H", data[28:30])[0]
+    comp = struct.unpack("<I", data[30:34])[0]
+    if comp not in (0, 3) or bpp not in (16, 24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    h = abs(h_raw)
+    bottom_up = h_raw > 0
+    bytes_pp = bpp // 8
+    stride = (w * bytes_pp + 3) & ~3
+    rows: list[bytes] = []
+    for y in range(h):
+        src_y = (h - 1 - y) if bottom_up else y
+        line = data[pix_off + src_y * stride: pix_off + src_y * stride + w * bytes_pp]
+        if bpp == 16:  # BGR555
+            row = bytearray()
+            for i in range(0, len(line), 2):
+                v = struct.unpack("<H", line[i:i + 2])[0]
+                row += bytes(((v >> 10 & 31) << 3, (v >> 5 & 31) << 3,
+                              (v & 31) << 3))
+            rows.append(bytes(row))
+        else:  # BGR(A) -> RGB
+            rows.append(bytes(b for i in range(0, len(line), bytes_pp)
+                              for b in (line[i + 2], line[i + 1], line[i])))
+    return w, h, rows
+
+
+# ---------------------------------------------------------------------------
+# resize + thumbnail entry point
+# ---------------------------------------------------------------------------
+
+def resize_nearest(width: int, height: int, rows: list[bytes],
+                   new_w: int, new_h: int) -> list[bytes]:
+    xs = [min(width - 1, x * width // new_w) for x in range(new_w)]
+    out = []
+    for y in range(new_h):
+        src = rows[min(height - 1, y * height // new_h)]
+        out.append(bytes(b for x in xs for b in src[3 * x:3 * x + 3]))
+    return out
+
+
+def thumbnail_png(data: bytes, box_w: int, box_h: int) -> Optional[bytes]:
+    """Aspect-fit thumbnail (PIL.thumbnail semantics: fit within box,
+    never upscale) re-encoded as PNG. None for formats needing a full
+    entropy decoder (JPEG) — Pillow upgrades that path."""
+    try:
+        if data[:8] == _PNG_MAGIC:
+            w, h, rows = png_decode(data)
+        elif data[:6] in (b"GIF87a", b"GIF89a"):
+            w, h, rows = gif_decode(data)
+        elif data[:2] == b"BM":
+            w, h, rows = bmp_decode(data)
+        else:
+            return None
+        scale = min(box_w / w, box_h / h, 1.0)
+        nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+        return png_encode(nw, nh, resize_nearest(w, h, rows, nw, nh))
+    except Exception:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# EXIF — TIFF IFD walk (JPEG APP1 / PNG eXIf)
+# ---------------------------------------------------------------------------
+
+_EXIF_TAGS = {
+    0x010E: "ImageDescription", 0x010F: "Make", 0x0110: "Model",
+    0x0112: "Orientation", 0x011A: "XResolution", 0x011B: "YResolution",
+    0x0128: "ResolutionUnit", 0x0131: "Software", 0x0132: "DateTime",
+    0x013B: "Artist", 0x8298: "Copyright", 0x829A: "ExposureTime",
+    0x829D: "FNumber", 0x8827: "ISOSpeedRatings", 0x9003: "DateTimeOriginal",
+    0x9004: "DateTimeDigitized", 0x9201: "ShutterSpeedValue",
+    0x9202: "ApertureValue", 0x9204: "ExposureBiasValue",
+    0x9207: "MeteringMode", 0x9209: "Flash", 0x920A: "FocalLength",
+    0xA002: "PixelXDimension", 0xA003: "PixelYDimension",
+    0xA403: "WhiteBalance", 0xA406: "SceneCaptureType",
+    0x8769: "ExifOffset", 0x8825: "GPSInfo",
+    0x0001: "GPSLatitudeRef", 0x0002: "GPSLatitude",
+    0x0003: "GPSLongitudeRef", 0x0004: "GPSLongitude",
+}
+_TIFF_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+
+def _tiff_value(tiff: bytes, bo: str, vtype: int, count: int, vfield: bytes):
+    size = _TIFF_SIZES.get(vtype, 1) * count
+    raw = vfield[:4] if size <= 4 else \
+        tiff[struct.unpack(bo + "I", vfield)[0]:][:size]
+    if vtype == 2:  # ASCII
+        return raw.split(b"\0")[0].decode("ascii", "ignore")
+    if vtype in (1, 7):
+        return raw[0] if count == 1 else list(raw[:count])
+    fmt = {3: "H", 4: "I", 9: "i"}.get(vtype)
+    if fmt:
+        vals = [struct.unpack_from(bo + fmt, raw, i * _TIFF_SIZES[vtype])[0]
+                for i in range(count)]
+        return vals[0] if count == 1 else vals
+    if vtype in (5, 10):  # RATIONAL
+        f = "I" if vtype == 5 else "i"
+        vals = []
+        for i in range(count):
+            num, den = struct.unpack_from(bo + f + f, raw, i * 8)
+            vals.append(round(num / den, 6) if den else 0)
+        return vals[0] if count == 1 else vals
+    return None
+
+
+def _walk_ifd(tiff: bytes, bo: str, offset: int, out: dict,
+              depth: int = 0) -> None:
+    if depth > 3 or offset + 2 > len(tiff):
+        return
+    n = struct.unpack_from(bo + "H", tiff, offset)[0]
+    for i in range(n):
+        base = offset + 2 + 12 * i
+        if base + 12 > len(tiff):
+            return
+        tag, vtype, count = struct.unpack_from(bo + "HHI", tiff, base)
+        vfield = tiff[base + 8: base + 12]
+        try:
+            val = _tiff_value(tiff, bo, vtype, count, vfield)
+        except Exception:
+            continue
+        name = _EXIF_TAGS.get(tag)
+        if tag in (0x8769, 0x8825) and isinstance(val, int):  # sub-IFDs
+            _walk_ifd(tiff, bo, val, out, depth + 1)
+        elif name is not None and val is not None:
+            out[name] = str(val)
+
+
+def exif_from_tiff(tiff: bytes) -> dict:
+    if tiff[:2] == b"II":
+        bo = "<"
+    elif tiff[:2] == b"MM":
+        bo = ">"
+    else:
+        return {}
+    ifd0 = struct.unpack_from(bo + "I", tiff, 4)[0]
+    out: dict = {}
+    _walk_ifd(tiff, bo, ifd0, out)
+    return out
+
+
+def exif_tags(data: bytes) -> dict:
+    """EXIF dict from JPEG (APP1) or PNG (eXIf chunk) bytes."""
+    try:
+        if data[:2] == b"\xff\xd8":  # JPEG: walk segments for APP1/Exif
+            i = 2
+            while i + 4 < len(data) and data[i] == 0xFF:
+                marker = data[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seglen = struct.unpack(">H", data[i + 2:i + 4])[0]
+                if marker == 0xE1 and data[i + 4:i + 10] == b"Exif\x00\x00":
+                    return exif_from_tiff(data[i + 10:i + 2 + seglen])
+                if marker == 0xDA:  # start of scan — no APP1 coming
+                    break
+                i += 2 + seglen
+        elif data[:8] == _PNG_MAGIC:
+            for typ, body in _png_chunks(data):
+                if typ == b"eXIf":
+                    return exif_from_tiff(body)
+    except Exception:
+        pass
+    return {}
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) and MKV (EBML) metadata
+# ---------------------------------------------------------------------------
+
+def avi_metadata(data: bytes) -> dict:
+    """Main AVI header (`avih`): duration from µs-per-frame × frames,
+    dimensions from dwWidth/dwHeight."""
+    out = {"duration": None, "width": None, "height": None, "format": None}
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return out
+    out["format"] = "avi"
+    pos = data.find(b"avih")
+    if pos < 0 or pos + 48 > len(data):
+        return out
+    body = data[pos + 8:]  # skip fourcc + size
+    us_per_frame, _, _, _, total_frames = struct.unpack("<5I", body[:20])
+    width, height = struct.unpack("<II", body[32:40])
+    if us_per_frame and total_frames:
+        out["duration"] = round(us_per_frame * total_frames / 1e6, 3)
+    out["width"], out["height"] = (width or None), (height or None)
+    return out
+
+
+def _ebml_read_id(data: bytes, pos: int) -> tuple[int, int]:
+    first = data[pos]
+    for ln in range(1, 5):
+        if first & (0x80 >> (ln - 1)):
+            return int.from_bytes(data[pos:pos + ln], "big"), pos + ln
+    raise ValueError("bad EBML id")
+
+
+def _ebml_read_size(data: bytes, pos: int) -> tuple[int, int]:
+    first = data[pos]
+    for ln in range(1, 9):
+        if first & (0x80 >> (ln - 1)):
+            val = (first & (0xFF >> ln)).to_bytes(1, "big") + data[pos + 1:pos + ln]
+            return int.from_bytes(val, "big"), pos + ln
+    raise ValueError("bad EBML size")
+
+
+_MKV_CONTAINERS = {0x18538067,  # Segment
+                   0x1549A966,  # Info
+                   0x1654AE6B,  # Tracks
+                   0xAE,        # TrackEntry
+                   0xE0}        # Video
+
+
+def mkv_metadata(data: bytes) -> dict:
+    """Matroska/WebM: TimecodeScale × Duration -> seconds;
+    PixelWidth/PixelHeight from the first video track."""
+    out = {"duration": None, "width": None, "height": None, "format": None}
+    if data[:4] != b"\x1aE\xdf\xa3":
+        return out
+    out["format"] = "webm" if b"webm" in data[:64] else "matroska"
+    timescale = 1_000_000  # ns per timecode tick (Matroska default)
+    duration_ticks: Optional[float] = None
+
+    def walk(start: int, end: int) -> None:
+        nonlocal timescale, duration_ticks
+        pos = start
+        while pos < end - 1:
+            try:
+                eid, pos = _ebml_read_id(data, pos)
+                size, pos = _ebml_read_size(data, pos)
+            except Exception:
+                return
+            body_end = min(pos + size, end)
+            if eid in _MKV_CONTAINERS:
+                walk(pos, body_end)
+            elif eid == 0x2AD7B1:  # TimecodeScale
+                timescale = int.from_bytes(data[pos:body_end], "big")
+            elif eid == 0x4489:  # Duration (float)
+                raw = data[pos:body_end]
+                duration_ticks = struct.unpack(
+                    ">f" if len(raw) == 4 else ">d", raw)[0]
+            elif eid == 0xB0 and out["width"] is None:  # PixelWidth
+                out["width"] = int.from_bytes(data[pos:body_end], "big")
+            elif eid == 0xBA and out["height"] is None:  # PixelHeight
+                out["height"] = int.from_bytes(data[pos:body_end], "big")
+            pos = body_end
+
+    walk(0, len(data))
+    if duration_ticks is not None:
+        out["duration"] = round(duration_ticks * timescale / 1e9, 3)
+    return out

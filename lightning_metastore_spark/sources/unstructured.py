@@ -17,10 +17,14 @@ PySpark mapping:
   `InMemoryFileIndex`).
 - extraction runs in `mapInPandas` (Arrow-batched) AFTER any metadata
   filters, mirroring the reference's filter-before-extract ordering.
-- decode/extract for modalities whose libraries aren't in this
-  container (PIL thumbnails, EXIF, full PDF text) degrade to
-  clearly-marked deterministic stubs; pure-Python parsers give REAL
-  width/height for PNG/JPEG/GIF and duration/dims for MP4.
+- extraction is REAL without external libs (sources/codecs.py, pure
+  zlib+struct): FlateDecode PDF text, PNG/GIF/BMP thumbnails, EXIF IFD
+  walk, MP4/MOV + AVI + MKV duration/dims. Pillow/pypdf upgrade the
+  paths when importable (JPEG thumbnail decode is the one gap that
+  genuinely needs Pillow).
+- the generic `UNSTRUCTURED` modality mirrors the reference's binary
+  fallback (`UnstructuredFileFormat.scala`): any file, metadata columns
+  only, `bincontent` content table.
 
 Scale: one row per file; partitions = files. At 100 TB the knobs are
 `spark.sql.files.maxPartitionBytes` (packs small files per task) and
@@ -43,6 +47,7 @@ from pyspark.sql import functions as F
 
 from lightning_metastore_spark.catalog.units import CatalogUnit, CatalogUnitError
 from lightning_metastore_spark.model.serde import DataSource
+from lightning_metastore_spark.sources import codecs
 
 DEFAULT_GLOBS = {
     "PDF": "*.pdf",
@@ -50,6 +55,7 @@ DEFAULT_GLOBS = {
     "IMAGE": "*.{png,jpg,jpeg,gif,bmp}",
     "VIDEO": "*.{mp4,mov,avi,mkv}",
     "AUDIO": "*.{mp3,wav,flac}",
+    "UNSTRUCTURED": "*",   # generic binary fallback — every file
 }
 
 PREVIEW_LEN_OPT = "pdf_preview_len"       # UnstructuredData.scala:68-69
@@ -133,28 +139,31 @@ def mp4_metadata(data: bytes) -> dict:
 
 
 def pdf_text(data: bytes, max_chars: int) -> str:
-    """PDF text extraction. Uses pypdf when available; otherwise a
-    deterministic STUB that pulls printable text out of uncompressed
-    content streams — adequate for previews/tests, clearly not a full
-    extractor (container lacks pdf libs; see module docstring)."""
+    """PDF text extraction (parity: PdfReaderFactory.scala:52-67 via
+    PDFBox). pypdf when importable; else the pure-zlib FlateDecode
+    content-stream interpreter (codecs.pdf_text_flate) — REAL extraction
+    on compressed real-world PDFs; last resort is the uncompressed-
+    stream regex for damaged files."""
     try:
         import pypdf  # type: ignore
 
         reader = pypdf.PdfReader(io.BytesIO(data))
         text = "\n".join((p.extract_text() or "") for p in reader.pages)
-        return text[:max_chars]
+        if text.strip():
+            return text[:max_chars]
     except Exception:
         pass
-    chunks = re.findall(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj", data)
-    if not chunks:
-        chunks = re.findall(rb"\(((?:[^()\\]|\\.)*)\)", data[:200_000])
-    text = b" ".join(chunks).decode("latin-1", "ignore")
-    return text[:max_chars]
+    text = codecs.pdf_text_flate(data, max_chars)
+    if text:
+        return text
+    chunks = re.findall(rb"\(((?:[^()\\]|\\.)*)\)", data[:200_000])
+    return b" ".join(chunks).decode("latin-1", "ignore")[:max_chars]
 
 
 def image_thumbnail(data: bytes, w: int, h: int) -> Optional[bytes]:
-    """Thumbnail via Pillow when available; STUB -> None otherwise
-    (reference uses Thumbnailator, UnstructuredData.scala:195-202)."""
+    """Aspect-fit thumbnail (parity: Thumbnailator,
+    UnstructuredData.scala:195-202). Pillow when importable (covers
+    JPEG); else the pure-stdlib PNG/GIF/BMP decode->resize->PNG path."""
     try:
         from PIL import Image  # type: ignore
 
@@ -164,21 +173,38 @@ def image_thumbnail(data: bytes, w: int, h: int) -> Optional[bytes]:
         img.save(buf, format="PNG")
         return buf.getvalue()
     except Exception:
-        return None
+        pass
+    return codecs.thumbnail_png(data, w, h)
 
 
 def image_tags(data: bytes) -> str:
-    """EXIF tag JSON; STUB '{}' without Pillow (reference uses
-    metadata-extractor)."""
+    """EXIF tag JSON (parity: metadata-extractor). Pillow when
+    importable; else the pure TIFF-IFD walk over JPEG APP1 / PNG eXIf."""
     try:
         from PIL import ExifTags, Image  # type: ignore
 
         img = Image.open(io.BytesIO(data))
         exif = img.getexif()
         tags = {str(ExifTags.TAGS.get(k, k)): str(v) for k, v in exif.items()}
-        return json.dumps(tags, sort_keys=True)
+        if tags:
+            return json.dumps(tags, sort_keys=True)
     except Exception:
-        return "{}"
+        pass
+    return json.dumps(codecs.exif_tags(data), sort_keys=True)
+
+
+def video_metadata(data: bytes) -> dict:
+    """Container-dispatching video metadata (parity:
+    VideoReaderFactory.scala:36-107 reads Duration / Media Time Scale /
+    dimension tags for many containers): MP4/MOV box walk, AVI RIFF
+    header, MKV/WebM EBML."""
+    if data[4:8] in (b"ftyp", b"moov", b"mdat", b"wide"):
+        return mp4_metadata(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return codecs.avi_metadata(data)
+    if data[:4] == b"\x1aE\xdf\xa3":
+        return codecs.mkv_metadata(data)
+    return {"duration": None, "width": None, "height": None, "format": None}
 
 
 # ---------------------------------------------------------------------------
@@ -196,6 +222,10 @@ METADATA_SCHEMAS = {
     "VIDEO": ("type string, path string, format string, modifiedat timestamp, "
               "sizeinbytes bigint, duration float, width int, height int, "
               "tags string"),
+    # generic fallback: metadata columns only (UnstructuredFileFormat.
+    # scala:104-119 emits exactly type/path/modificationTime/length)
+    "UNSTRUCTURED": ("type string, path string, modifiedat timestamp, "
+                     "sizeinbytes bigint"),
 }
 
 CONTENT_SCHEMAS = {
@@ -203,6 +233,7 @@ CONTENT_SCHEMAS = {
     "TEXT": "path string, textcontent string",
     "IMAGE": "path string, imagecontent binary",
     "VIDEO": "path string, videothumbnail binary, videocontent binary",
+    "UNSTRUCTURED": "path string, bincontent binary",
 }
 
 
@@ -287,8 +318,12 @@ class UnstructuredCatalogUnit(CatalogUnit):
         return [c for c in df.columns if c not in base]
 
     def _metadata_table(self, spark: SparkSession) -> DataFrame:
-        df = self._binary_df(spark)
         st = self.ds.source_type
+        if st == "UNSTRUCTURED":
+            # generic fallback = pure listing (no decode, content bytes
+            # never read — binaryFile prunes the content column)
+            return self._with_tags(spark, self._files_table(spark))
+        df = self._binary_df(spark)
         extra = self._extra_cols(df)  # subdir / partition cols
         preview_len = int(self.ds.options.get(PREVIEW_LEN_OPT, DEFAULT_PREVIEW_LEN))
         tw = int(self.ds.options.get(THUMB_W_OPT, DEFAULT_THUMB))
@@ -313,7 +348,7 @@ class UnstructuredCatalogUnit(CatalogUnit):
                         base.update(width=w, height=h, tags=image_tags(data),
                                     imagethumbnail=image_thumbnail(data, tw, th))
                     elif st == "VIDEO":
-                        meta = mp4_metadata(data)
+                        meta = video_metadata(data)
                         base.update(format=meta["format"],
                                     duration=meta["duration"],
                                     width=meta["width"], height=meta["height"],
@@ -336,6 +371,8 @@ class UnstructuredCatalogUnit(CatalogUnit):
                              F.decode("content", "UTF-8").alias("textcontent"))
         if st == "IMAGE":
             return df.select("path", F.col("content").alias("imagecontent"))
+        if st == "UNSTRUCTURED":
+            return df.select("path", F.col("content").alias("bincontent"))
         if st == "VIDEO":
             tw = int(self.ds.options.get(THUMB_W_OPT, DEFAULT_THUMB))
             return df.select("path", F.lit(None).cast("binary").alias("videothumbnail"),
@@ -391,14 +428,45 @@ class UnstructuredCatalogUnit(CatalogUnit):
 
     def write_table(self, df: DataFrame, residual: list[str],
                     mode: str = "append") -> None:
-        """Write rows back as files (UnstructuredFileWrite.scala:37-93):
-        each row provides `path` (file name) + the modality content
-        column. foreachPartition — executor-side, no driver collect."""
+        """Write rows back as files (UnstructuredFileWrite.scala:37-93 /
+        BinOutputWriter.scala:80-116): each row provides `path` (file
+        name) + the modality content column. Image rows also emit the
+        `<name>_thumbnail.<ext>` twin file, exactly as BinOutputWriter
+        does. foreachPartition — executor-side, no driver collect.
+
+        mode='overwrite' clears the previously-written files matching
+        the source glob first (stale rows don't survive an overwrite
+        that dropped them); any other non-append mode is rejected."""
         st = self.ds.source_type
         content_col = {"PDF": "bincontent", "TEXT": "textcontent",
-                       "IMAGE": "imagecontent", "VIDEO": "videocontent"}[st]
+                       "IMAGE": "imagecontent", "VIDEO": "videocontent",
+                       "UNSTRUCTURED": "bincontent"}[st]
         root = self.path
         is_text = st == "TEXT"
+        if mode not in ("append", "overwrite"):
+            raise CatalogUnitError(
+                f"unstructured write supports append/overwrite, not {mode!r}")
+        if mode == "overwrite":
+            # materialize BEFORE deleting: the rows may be derived from
+            # the very files we are about to remove
+            df = df.localCheckpoint(eager=True)
+            import glob as _glob
+            pattern = self.ds.options.get(
+                "glob", DEFAULT_GLOBS[st])
+            # brace-expand {a,b} by hand (glob has no brace support)
+            m = re.fullmatch(r"(.*)\{([^}]*)\}(.*)", pattern)
+            pats = ([f"{m.group(1)}{alt}{m.group(3)}"
+                     for alt in m.group(2).split(",")] if m else [pattern])
+            for p in pats:
+                for f in _glob.glob(os.path.join(root, p)):
+                    os.remove(f)
+        tw = int(self.ds.options.get(THUMB_W_OPT, DEFAULT_THUMB))
+        th = int(self.ds.options.get(THUMB_H_OPT, DEFAULT_THUMB))
+        emit_thumb = st == "IMAGE"
+
+        def thumb_twin_path(out: str) -> str:
+            stem, ext = os.path.splitext(out)
+            return f"{stem}_thumbnail{ext}" if ext else out + "_thumbnail"
 
         def write_partition(rows) -> None:
             for r in rows:
@@ -409,5 +477,12 @@ class UnstructuredCatalogUnit(CatalogUnit):
                 os.makedirs(root, exist_ok=True)
                 with open(out, "w" if is_text else "wb") as fh:
                     fh.write(data)
+                if emit_thumb:
+                    # prefer a provided imagethumbnail column, else build
+                    thumb = d.get("imagethumbnail") or image_thumbnail(
+                        bytes(data), tw, th)
+                    if thumb:
+                        with open(thumb_twin_path(out), "wb") as fh:
+                            fh.write(bytes(thumb))
 
         df.foreachPartition(write_partition)

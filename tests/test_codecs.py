@@ -1,0 +1,263 @@
+"""Pure-stdlib codec tests: FlateDecode PDF text, PNG decode/encode
+(all filters), GIF LZW, BMP, EXIF TIFF walk, AVI/MKV headers.
+These are the extraction paths the reference gets from PDFBox /
+Thumbnailator / metadata-extractor (PdfReaderFactory.scala:52-67,
+UnstructuredData.scala:195-202, VideoReaderFactory.scala:36-107)."""
+
+from __future__ import annotations
+
+import struct
+import sys
+import zlib
+
+sys.path.insert(0, "/root/repo")
+
+from lightning_metastore_spark.sources import codecs  # noqa: E402
+
+
+# -- fixture builders --------------------------------------------------------
+
+def make_flate_pdf(*lines: str) -> bytes:
+    """Minimal but real PDF: one page whose content stream is
+    zlib-compressed (FlateDecode) — the shape virtually every real-world
+    PDF uses, which the old uncompressed-regex stub could NOT read."""
+    content = b"BT /F1 12 Tf 72 720 Td " + b" T* ".join(
+        b"(" + ln.encode("latin-1") + b") Tj" for ln in lines) + b" ET"
+    comp = zlib.compress(content)
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n",
+        b"4 0 obj << /Length " + str(len(comp)).encode()
+        + b" /Filter /FlateDecode >> stream\n" + comp + b"\nendstream endobj\n",
+    ]
+    return b"%PDF-1.4\n" + b"".join(objs) + b"%%EOF\n"
+
+
+def gradient_rows(w: int, h: int) -> list[bytes]:
+    return [bytes(c for x in range(w) for c in
+                  ((x * 255) // max(1, w - 1), (y * 255) // max(1, h - 1), 128))
+            for y in range(h)]
+
+
+def apply_png_filter(ftype: int, rows: list[bytes], channels: int = 3) -> bytes:
+    """Forward-filter scanlines so the decoder's un-filtering is tested
+    against ground truth."""
+    out = bytearray()
+    prev = bytes(len(rows[0]))
+    for row in rows:
+        out.append(ftype)
+        for i, v in enumerate(row):
+            left = row[i - channels] if i >= channels else 0
+            up = prev[i]
+            ul = prev[i - channels] if i >= channels else 0
+            if ftype == 0:
+                f = v
+            elif ftype == 1:
+                f = v - left
+            elif ftype == 2:
+                f = v - up
+            elif ftype == 3:
+                f = v - ((left + up) >> 1)
+            else:
+                f = v - codecs._paeth(left, up, ul)
+            out.append(f & 0xFF)
+        prev = row
+    return bytes(out)
+
+
+def make_png_filtered(w: int, h: int, ftype: int) -> tuple[bytes, list[bytes]]:
+    rows = gradient_rows(w, h)
+    def chunk(typ, body):
+        raw = typ + body
+        return struct.pack(">I", len(body)) + raw + struct.pack(
+            ">I", zlib.crc32(raw) & 0xFFFFFFFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(apply_png_filter(ftype, rows))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b"")), rows
+
+
+def make_gif(w: int, h: int, pixels: list[int], colors: list[bytes]) -> bytes:
+    """GIF with per-pixel clear codes — dead-simple valid LZW."""
+    n = max(2, (max(len(colors) - 1, 1)).bit_length())
+    table = b"".join(colors) + b"\x00\x00\x00" * ((1 << n) - len(colors))
+    clear, end = 1 << n, (1 << n) + 1
+    code_size = n + 1
+    bits, acc, nbits = bytearray(), 0, 0
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    for p in pixels:
+        emit(clear)
+        emit(p)
+    emit(end)
+    if nbits:
+        bits.append(acc & 0xFF)
+    sub = bytes([len(bits)]) + bytes(bits) + b"\x00"
+    return (b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (n - 1), 0, 0)
+            + table + b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + bytes([n]) + sub + b"\x3B")
+
+
+def make_bmp24(w: int, h: int, rows: list[bytes]) -> bytes:
+    stride = (w * 3 + 3) & ~3
+    pix = b"".join(
+        bytes(b for x in range(w) for b in
+              (rows[y][3 * x + 2], rows[y][3 * x + 1], rows[y][3 * x]))
+        + b"\x00" * (stride - w * 3)
+        for y in reversed(range(h)))  # bottom-up
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(pix), 2835, 2835, 0, 0))
+    return header + pix
+
+
+def make_exif_jpeg(make: str = "TestCam", model: str = "X100") -> bytes:
+    mk = make.encode() + b"\x00"
+    md = model.encode() + b"\x00"
+    # TIFF: II, IFD0 at 8 with 3 entries + next-IFD 0, then string data
+    n_entries = 3
+    data_off = 8 + 2 + 12 * n_entries + 4
+    entries = (
+        struct.pack("<HHI4s", 0x010F, 2, len(mk),
+                    struct.pack("<I", data_off)) +
+        struct.pack("<HHI4s", 0x0110, 2, len(md),
+                    struct.pack("<I", data_off + len(mk))) +
+        struct.pack("<HHIHH", 0x0112, 3, 1, 6, 0)  # Orientation=6 inline
+    )
+    tiff = (b"II*\x00" + struct.pack("<I", 8)
+            + struct.pack("<H", n_entries) + entries
+            + struct.pack("<I", 0) + mk + md)
+    app1 = b"Exif\x00\x00" + tiff
+    return (b"\xff\xd8" + b"\xff\xe1" + struct.pack(">H", len(app1) + 2)
+            + app1 + b"\xff\xd9")
+
+
+def make_avi(us_per_frame: int, frames: int, w: int, h: int) -> bytes:
+    avih = struct.pack("<14I", us_per_frame, 0, 0, 0, frames, 0, 1, 0,
+                       w, h, 0, 0, 0, 0)
+    hdrl = b"avih" + struct.pack("<I", len(avih)) + avih
+    lst = b"LIST" + struct.pack("<I", 4 + len(hdrl)) + b"hdrl" + hdrl
+    return b"RIFF" + struct.pack("<I", 4 + len(lst)) + b"AVI " + lst
+
+
+def _ebml(eid: int, body: bytes) -> bytes:
+    id_bytes = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    assert len(body) < 127
+    return id_bytes + bytes([0x80 | len(body)]) + body
+
+
+def make_mkv(duration_s: float, timescale_ns: int, w: int, h: int) -> bytes:
+    info = _ebml(0x1549A966,
+                 _ebml(0x2AD7B1, timescale_ns.to_bytes(4, "big"))
+                 + _ebml(0x4489, struct.pack(">d",
+                                             duration_s * 1e9 / timescale_ns)))
+    video = _ebml(0xE0, _ebml(0xB0, w.to_bytes(2, "big"))
+                  + _ebml(0xBA, h.to_bytes(2, "big")))
+    tracks = _ebml(0x1654AE6B, _ebml(0xAE, video))
+    seg_body = info + tracks
+    segment = (0x18538067).to_bytes(4, "big") + bytes([0x80 | len(seg_body)]) \
+        + seg_body
+    ebml_head = _ebml(0x1A45DFA3, b"")
+    return ebml_head + segment
+
+
+# -- tests -------------------------------------------------------------------
+
+def test_pdf_flate_text():
+    pdf = make_flate_pdf("Hello compressed world", "second line")
+    text = codecs.pdf_text_flate(pdf, 1000)
+    assert "Hello compressed world" in text
+    assert "second line" in text
+    # multi-line structure is preserved (T* emits a newline)
+    assert text.index("Hello") < text.index("second")
+
+
+def test_pdf_hex_and_escapes():
+    content = rb"BT (paren \(x\) and \134backslash) Tj <48692068657821> Tj ET"
+    comp = zlib.compress(content)
+    pdf = (b"%PDF-1.4\n4 0 obj << /Length " + str(len(comp)).encode()
+           + b" /Filter /FlateDecode >> stream\n" + comp
+           + b"\nendstream endobj\n%%EOF")
+    text = codecs.pdf_text_flate(pdf, 1000)
+    assert "paren (x) and \\backslash" in text
+    assert "Hi hex!" in text
+
+
+def test_png_roundtrip_and_all_filters():
+    rows = gradient_rows(20, 11)
+    enc = codecs.png_encode(20, 11, rows)
+    w, h, dec = codecs.png_decode(enc)
+    assert (w, h) == (20, 11) and dec == rows
+    for ftype in (0, 1, 2, 3, 4):
+        data, expect = make_png_filtered(13, 7, ftype)
+        w, h, dec = codecs.png_decode(data)
+        assert (w, h) == (13, 7)
+        assert dec == expect, f"filter {ftype} mismatch"
+
+
+def test_gif_decode():
+    colors = [b"\xff\x00\x00", b"\x00\xff\x00", b"\x00\x00\xff",
+              b"\xff\xff\xff"]
+    gif = make_gif(2, 2, [0, 1, 2, 3], colors)
+    w, h, rows = codecs.gif_decode(gif)
+    assert (w, h) == (2, 2)
+    assert rows[0] == b"\xff\x00\x00\x00\xff\x00"
+    assert rows[1] == b"\x00\x00\xff\xff\xff\xff"
+
+
+def test_bmp_decode():
+    rows = gradient_rows(5, 3)
+    w, h, dec = codecs.bmp_decode(make_bmp24(5, 3, rows))
+    assert (w, h) == (5, 3) and dec == rows
+
+
+def test_thumbnail_aspect_fit_and_no_upscale():
+    rows = gradient_rows(64, 32)
+    png = codecs.png_encode(64, 32, rows)
+    thumb = codecs.thumbnail_png(png, 16, 16)
+    w, h, trows = codecs.png_decode(thumb)
+    assert (w, h) == (16, 8)  # aspect preserved
+    # corners approximate the source gradient
+    assert trows[0][0:3][2] == 128
+    big = codecs.thumbnail_png(png, 500, 500)
+    w2, h2, _ = codecs.png_decode(big)
+    assert (w2, h2) == (64, 32)  # never upscaled
+
+
+def test_thumbnail_gif_and_bmp_sources():
+    gif = make_gif(2, 2, [0, 1, 2, 3],
+                   [b"\xff\x00\x00", b"\x00\xff\x00", b"\x00\x00\xff",
+                    b"\xff\xff\xff"])
+    assert codecs.thumbnail_png(gif, 10, 10) is not None
+    bmp = make_bmp24(5, 3, gradient_rows(5, 3))
+    t = codecs.thumbnail_png(bmp, 2, 2)
+    w, h, _ = codecs.png_decode(t)
+    assert (w, h) <= (2, 2)
+
+
+def test_exif_jpeg():
+    tags = codecs.exif_tags(make_exif_jpeg("TestCam", "X100"))
+    assert tags["Make"] == "TestCam"
+    assert tags["Model"] == "X100"
+    assert tags["Orientation"] == "6"
+
+
+def test_avi_metadata():
+    meta = codecs.avi_metadata(make_avi(40_000, 250, 640, 480))
+    assert meta["format"] == "avi"
+    assert meta["duration"] == 10.0  # 40ms * 250 frames
+    assert (meta["width"], meta["height"]) == (640, 480)
+
+
+def test_mkv_metadata():
+    meta = codecs.mkv_metadata(make_mkv(12.5, 1_000_000, 1280, 720))
+    assert meta["format"] == "matroska"
+    assert abs(meta["duration"] - 12.5) < 0.01
+    assert (meta["width"], meta["height"]) == (1280, 720)

@@ -206,3 +206,133 @@ def test_unstructured_write_roundtrip(ctx, spark, text_tree):
     rows = ctx.sql("SELECT * FROM lightning.datasource.files.txt "
                    "WHERE path LIKE '%dd.txt'").collect()
     assert len(rows) == 1 and rows[0].preview == "written back"
+
+
+def test_pdf_flate_extraction_real(ctx, tmp_path):
+    """Compressed (FlateDecode) PDFs — the shape virtually every
+    real-world PDF has — must yield REAL text, not the old stub's empty
+    string (parity: RegisterPdfDataSourceTestSuite content asserts)."""
+    from tests.test_codecs import make_flate_pdf
+    root = tmp_path / "pdfs"
+    root.mkdir()
+    (root / "report.pdf").write_bytes(
+        make_flate_pdf("Quarterly revenue rose 12 percent.",
+                       "Risks remain in logistics."))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.files")
+    ctx.sql(f"REGISTER PDF DATASOURCE docs OPTIONS(path '{root}') "
+            f"NAMESPACE lightning.datasource.files")
+    meta = ctx.sql(
+        "SELECT preview FROM lightning.datasource.files.docs").collect()
+    assert "Quarterly revenue rose 12 percent." in meta[0].preview
+    content = ctx.sql("SELECT textcontent FROM "
+                      "lightning.datasource.files.docs.content").collect()
+    assert "Risks remain in logistics." in content[0].textcontent
+
+
+def test_image_thumbnail_and_exif_real(ctx, tmp_path):
+    """Thumbnails + EXIF without Pillow: pure-stdlib PNG decode/resize
+    and TIFF IFD walk (parity: UnstructuredData.scala:195-202 +
+    metadata-extractor)."""
+    from lightning_metastore_spark.sources import codecs
+    from tests.test_codecs import gradient_rows
+    root = tmp_path / "img"
+    root.mkdir()
+    (root / "photo.png").write_bytes(
+        codecs.png_encode(64, 32, gradient_rows(64, 32)))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.files")
+    ctx.sql(f"REGISTER IMAGE DATASOURCE img OPTIONS(path '{root}', "
+            f"image_thumbnail_with '16', image_thumbnail_height '16') "
+            f"NAMESPACE lightning.datasource.files")
+    row = ctx.sql("SELECT * FROM lightning.datasource.files.img").collect()[0]
+    assert (row.width, row.height) == (64, 32)
+    assert row.imagethumbnail is not None
+    tw, th, _ = codecs.png_decode(bytes(row.imagethumbnail))
+    assert (tw, th) == (16, 8)  # aspect-fit inside 16x16
+
+
+def test_video_avi_and_mkv_metadata(ctx, tmp_path):
+    """Non-MP4 containers (parity: VideoReaderFactory.scala:36-107 reads
+    tags for many formats via metadata-extractor)."""
+    from tests.test_codecs import make_avi, make_mkv
+    root = tmp_path / "vid"
+    root.mkdir()
+    (root / "clip.avi").write_bytes(make_avi(40_000, 250, 640, 480))
+    (root / "clip.mkv").write_bytes(make_mkv(12.5, 1_000_000, 1280, 720))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.files")
+    ctx.sql(f"REGISTER VIDEO DATASOURCE vid OPTIONS(path '{root}') "
+            f"NAMESPACE lightning.datasource.files")
+    rows = {r.path.split("/")[-1]: r for r in
+            ctx.sql("SELECT * FROM lightning.datasource.files.vid").collect()}
+    avi = rows["clip.avi"]
+    assert avi.format == "avi" and abs(avi.duration - 10.0) < 0.01
+    assert (avi.width, avi.height) == (640, 480)
+    mkv = rows["clip.mkv"]
+    assert mkv.format == "matroska" and abs(mkv.duration - 12.5) < 0.05
+    assert (mkv.width, mkv.height) == (1280, 720)
+
+
+def test_generic_unstructured_fallback(ctx, tmp_path):
+    """UNSTRUCTURED modality = any-file binary fallback
+    (UnstructuredFileFormat.scala): metadata listing + bincontent."""
+    root = tmp_path / "blob"
+    root.mkdir()
+    (root / "data.bin").write_bytes(b"\x00\x01\x02\x03")
+    (root / "notes.xyz").write_bytes(b"opaque")
+    ctx.sql("CREATE NAMESPACE lightning.datasource.files")
+    ctx.sql(f"REGISTER UNSTRUCTURED DATASOURCE blob OPTIONS(path '{root}') "
+            f"NAMESPACE lightning.datasource.files")
+    rows = ctx.sql("SELECT * FROM lightning.datasource.files.blob "
+                   "ORDER BY path").collect()
+    assert [r.path.split("/")[-1] for r in rows] == ["data.bin", "notes.xyz"]
+    assert rows[0].type == "unstructured" and rows[0].sizeinbytes == 4
+    content = ctx.sql("SELECT * FROM lightning.datasource.files.blob.content "
+                      "ORDER BY path").collect()
+    assert bytes(content[0].bincontent) == b"\x00\x01\x02\x03"
+
+
+def test_write_overwrite_clears_stale_files(ctx, spark, tmp_path):
+    """mode='overwrite' must remove files the new rowset no longer
+    contains (the old writer silently appended)."""
+    root = tmp_path / "txt"
+    root.mkdir()
+    (root / "keep.txt").write_text("old keep")
+    (root / "drop.txt").write_text("to be dropped")
+    ctx.sql("CREATE NAMESPACE lightning.datasource.files")
+    ctx.sql(f"REGISTER TEXT DATASOURCE txt OPTIONS(path '{root}') "
+            f"NAMESPACE lightning.datasource.files")
+    from lightning_metastore_spark.catalog.units import load_catalog_unit
+    unit = load_catalog_unit(ctx.metastore.load_datasource(["files"], "txt"))
+    new = spark.createDataFrame([("keep.txt", "new keep")],
+                                ["path", "textcontent"])
+    unit.write_table(new, [], mode="overwrite")
+    rows = ctx.sql("SELECT path, preview FROM "
+                   "lightning.datasource.files.txt").collect()
+    assert len(rows) == 1
+    assert rows[0].preview == "new keep"
+    import pytest as _pt
+    from lightning_metastore_spark.catalog.units import CatalogUnitError
+    with _pt.raises(CatalogUnitError, match="append/overwrite"):
+        unit.write_table(new, [], mode="error_if_exists")
+
+
+def test_image_write_emits_thumbnail_twin(ctx, spark, tmp_path):
+    """BinOutputWriter.scala:80-116 parity: writing image content also
+    writes the `<name>_thumbnail.<ext>` twin file."""
+    from lightning_metastore_spark.sources import codecs
+    from tests.test_codecs import gradient_rows
+    root = tmp_path / "img"
+    root.mkdir()
+    ctx.sql("CREATE NAMESPACE lightning.datasource.files")
+    ctx.sql(f"REGISTER IMAGE DATASOURCE img OPTIONS(path '{root}', "
+            f"image_thumbnail_with '8', image_thumbnail_height '8') "
+            f"NAMESPACE lightning.datasource.files")
+    from lightning_metastore_spark.catalog.units import load_catalog_unit
+    unit = load_catalog_unit(ctx.metastore.load_datasource(["files"], "img"))
+    png = codecs.png_encode(32, 32, gradient_rows(32, 32))
+    df = spark.createDataFrame([("shot.png", bytearray(png))],
+                               ["path", "imagecontent"])
+    unit.write_table(df, [])
+    assert (root / "shot.png").read_bytes() == png
+    twin = (root / "shot_thumbnail.png").read_bytes()
+    tw, th, _ = codecs.png_decode(twin)
+    assert (tw, th) == (8, 8)
