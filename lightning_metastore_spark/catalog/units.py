@@ -16,6 +16,7 @@ import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from lightning_metastore_spark.model.serde import DataSource
 
@@ -168,22 +169,29 @@ class JDBCCatalogUnit(CatalogUnit):
         JDBCDataSourceCatalogUnit.scala:63-101)."""
         opts = self._jdbc_opts()
         schema = residual[0] if residual else opts.get("schema")
-        queries = []
-        if schema:
-            queries.append("(SELECT table_name FROM information_schema.tables "
-                           f"WHERE table_schema = '{schema}') t")
-        else:
-            queries.append("(SELECT table_name FROM information_schema.tables) t")
-        queries.append(  # Derby
-            "(SELECT TABLENAME AS table_name FROM SYS.SYSTABLES "
-            "WHERE TABLETYPE = 'T') t")
+        # The schema predicate is applied as a Spark Column filter, NOT
+        # interpolated into the wrapped SQL: Spark's JDBC dialect
+        # compiles the literal with proper quoting when it pushes the
+        # filter down, so hostile schema names can't break the query.
+        queries = [
+            "(SELECT table_name, table_schema "
+            "FROM information_schema.tables) t",
+            # Derby has no information_schema
+            "(SELECT TABLENAME AS table_name, SCHEMANAME AS table_schema "
+            "FROM SYS.SYSTABLES JOIN SYS.SYSSCHEMAS "
+            "ON SYS.SYSTABLES.SCHEMAID = SYS.SYSSCHEMAS.SCHEMAID "
+            "WHERE TABLETYPE = 'T') t",
+        ]
         last = None
         for q in queries:
             o = dict(opts)
             o["dbtable"] = q
             try:
                 df = spark.read.format("jdbc").options(**o).load()
-                return sorted(r[0] for r in df.collect())
+                if schema:
+                    df = df.where(F.lower(F.col("table_schema"))
+                                  == str(schema).lower())
+                return sorted(r[0] for r in df.select("table_name").collect())
             except Exception as e:
                 last = e
         raise CatalogUnitError(f"cannot list JDBC tables: {last}")

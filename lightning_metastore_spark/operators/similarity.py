@@ -63,6 +63,65 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .orderBy("query_id", "rk"))
 
 
+def kmeans_centroids(corpus: DataFrame, k: int = 16, iters: int = 4,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     sample_fraction: float | None = None) -> DataFrame:
+    """Corpus-adaptive IVF centroids: deterministic sampled Lloyd's
+    k-means, the same driver-held-centroid shape as MLlib KMeans.
+
+    - init: the k rows with the smallest md5(id) — a deterministic
+      pseudo-random spread (no RNG, so plans are replayable).
+    - assignment: centroids are tiny (k x dim doubles) and live on the
+      driver; each iteration embeds them as literals, so assignment is a
+      pure map pass (whole-stage codegen, no join, no shuffle).
+    - update: posexplode to (cell, dim_pos) and avg — one partial-agg
+      shuffle of n x dim scalars; k x dim result rows collect to the
+      driver.
+
+    At 100 TB: fit on a hash-sample (``sample_fraction``) — centroid
+    quality needs thousands of points per cell, not the full corpus —
+    then ``assign_cells`` indexes the full corpus in one broadcast pass.
+    Empty cells keep their previous centroid (standard Lloyd fallback).
+    """
+    df = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"))
+    if sample_fraction is not None:
+        df = df.filter(
+            F.abs(F.hash(F.col("_id"))) % 10_000 < int(sample_fraction * 10_000))
+    df = df.persist()
+    try:
+        init = (df.withColumn("_h", F.md5(F.col("_id").cast("string")))
+                .orderBy("_h").limit(k).select("_v").collect())
+        cents = [list(r._v) for r in init]
+        for _ in range(iters):
+            # nearest-centroid id via a literal-embedded dot-product array
+            sims = F.array(*[
+                F.aggregate(
+                    F.zip_with("_v", F.array(*[F.lit(x) for x in c]),
+                               lambda a, b: a * b),
+                    F.lit(0.0), lambda acc, v: acc + v)
+                / F.lit(sum(x * x for x in c) ** 0.5 or 1.0)
+                for c in cents])
+            assigned = (df.withColumn("_sims", sims)
+                        .withColumn("_cell", F.expr(
+                            "array_position(_sims, array_max(_sims))")))
+            means = (assigned
+                     .select("_cell", F.posexplode("_v").alias("_p", "_x"))
+                     .groupBy("_cell", "_p").agg(F.avg("_x").alias("_m"))
+                     .collect())
+            new_cents = [list(c) for c in cents]
+            for r in means:
+                new_cents[r._cell - 1][r._p] = r._m
+            cents = new_cents
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [(i, cents[i]) for i in range(k)],
+            schema=f"centroid_id long, {vec_col} array<double>")
+    finally:
+        df.unpersist()
+
+
 def assign_cells(corpus: DataFrame, centroids: DataFrame,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  centroid_id_col: str = "centroid_id") -> DataFrame:

@@ -194,3 +194,24 @@ def test_jdbc_write(ctx, derby_url, spark):
     n = ctx.sql("SELECT count(*) AS c FROM "
                 "lightning.datasource.rdbms.derbydb.test_users").collect()[0].c
     assert n == 6
+
+
+def test_jdbc_list_tables_hostile_schema(ctx, derby_url):
+    """Schema filter is a Spark Column predicate, never SQL-interpolated:
+    a quote-bearing schema name must yield an empty listing, not a
+    syntax error / injection."""
+    from lightning_metastore_spark.catalog.units import load_catalog_unit
+    ctx.sql("CREATE NAMESPACE lightning.datasource.rdbms")
+    ctx.sql(f"REGISTER JDBC DATASOURCE derbydb "
+            f"OPTIONS(url '{derby_url}', "
+            f"driver 'org.apache.derby.iapi.jdbc.AutoloadedDriver') "
+            f"NAMESPACE lightning.datasource.rdbms")
+    unit = load_catalog_unit(ctx.metastore.load_datasource(["rdbms"], "derbydb"))
+    spark = ctx.spark
+    # normal listing still works (Derby default schema is APP)
+    tables = unit.list_tables(spark, ["APP"])
+    assert "TEST_USERS" in tables and "TEST_JOBS" in tables
+    hostile = "x'; DROP TABLE test_users; --"
+    assert unit.list_tables(spark, [hostile]) == []
+    # and the table survived
+    assert unit.load_table(spark, ["test_users"]).count() == 5

@@ -34,16 +34,27 @@ def test_brute_force_topk_shape(spark):
 
 
 def test_ivf_recall_vs_brute_force(spark):
-    """IVF with nprobe=6 must recover most of the true top-5 (measured
-    0.74 on this near-isotropic corpus); this guards the bucketing
-    logic, not a precise recall SLA."""
+    """IVF with k-means centroids and nprobe=6 must recover most of the
+    true top-5; the fitted centroids must beat (or match) the old
+    modulo-sample baseline of 0.74 on this near-isotropic corpus."""
     emb = _emb(spark)
     q = emb.filter(F.col("vec_id") % 50 == 0)
-    cen = (emb.filter(F.col("vec_id") % 37 == 0)
-           .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    cen = similarity.kmeans_centroids(emb, k=14, iters=3)
     exact = {(r.query_id, r.neighbor_id)
              for r in similarity.brute_force_topk(emb, q, k=5).collect()}
     approx = {(r.query_id, r.neighbor_id)
               for r in similarity.ivf_topk(emb, q, cen, k=5, nprobe=6).collect()}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.6, f"IVF recall {recall:.2f} too low — bucketing broken?"
+    assert recall >= 0.75, f"IVF recall {recall:.2f} too low — fit broken?"
+
+
+def test_kmeans_centroids_deterministic(spark):
+    emb = _emb(spark)
+    a = similarity.kmeans_centroids(emb, k=8, iters=2).collect()
+    b = similarity.kmeans_centroids(emb, k=8, iters=2).collect()
+    assert [r.embedding for r in sorted(a, key=lambda r: r.centroid_id)] == \
+        [r.embedding for r in sorted(b, key=lambda r: r.centroid_id)]
+    # sampled fit also works and yields k rows
+    s = similarity.kmeans_centroids(emb, k=8, iters=2,
+                                    sample_fraction=0.5).collect()
+    assert len(s) == 8
