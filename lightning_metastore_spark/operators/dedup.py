@@ -400,20 +400,78 @@ def simhash_pairs(docs: DataFrame, hamming_max: int = 8,
                                  strategy="shingle-join")
 
 
+def _cc_union_find(edge_rows, nodes: DataFrame, id_col: str) -> DataFrame:
+    """Driver-side union-find over a collected edge list (small-graph
+    fast path of connected_components).
+
+    Union-by-min-root with path compression: when two roots merge, the
+    smaller id becomes the parent, so every final root IS the minimum id
+    of its component — bit-identical labels to the distributed
+    min-label-propagation loop. Only nodes whose label differs from
+    their own id ship back (the duplicate minority); everyone else gets
+    their identity label from a broadcast left join.
+    """
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    dup_labels = [(n, find(n)) for n in parent]
+    dup_labels = [(n, c) for n, c in dup_labels if n != c]
+    id_type = nodes.schema[id_col].dataType
+    schema = T.StructType([T.StructField("_uf_node", id_type),
+                           T.StructField("_uf_root", id_type)])
+    mapping = nodes.sparkSession.createDataFrame(dup_labels, schema=schema)
+    return (nodes.select(F.col(id_col))
+            .join(F.broadcast(mapping), F.col(id_col) == F.col("_uf_node"),
+                  "left")
+            .select(F.col(id_col),
+                    F.coalesce("_uf_root", F.col(id_col)).alias("cluster_id")))
+
+
 def connected_components(pairs: DataFrame, nodes: DataFrame,
                          id_col: str = "doc_id",
-                         max_iterations: int = 25) -> DataFrame:
+                         max_iterations: int = 25,
+                         driver_cutoff_edges: int = 5_000_000) -> DataFrame:
     """Duplicate-cluster assignment: (id, cluster_id) where cluster_id is
     the minimum id reachable through the near-dup pair graph.
 
-    Iterative min-label propagation (the standard large-graph CC
-    algorithm on DataFrames): each round, every node takes the min of
-    its own label and its neighbors' labels; converges in O(component
-    diameter) rounds — near-dup components are tiny cliques, so 2-4
-    rounds in practice. Each round is one join + one aggregation, all
-    shuffle-on-id; intermediate labels are cached and the loop exits on
-    a zero-changes check (one cheap count per round).
+    Adaptive execution. Verified near-dup graphs are sparse by
+    construction (edges only between confirmed duplicates), so when the
+    edge list fits the ``driver_cutoff_edges`` bound (~80 MB of id pairs
+    at the default) the labels come from a driver-side union-find —
+    O(E α(E)), one collect, one broadcast join back — instead of paying
+    the propagation loop's per-round join + count job overhead. Above
+    the bound, iterative min-label propagation runs (the 100 TB path):
+    each round every node takes the min of its own and its neighbors'
+    labels; converges in O(component diameter) rounds, one join + one
+    aggregation per round, cached labels, zero-changes exit check.
+    Both paths produce identical labels: cluster_id = min id in the
+    component (union-find attaches the larger root under the smaller,
+    so each final root IS the component minimum).
     """
+    head = (pairs.select("doc_id_a", "doc_id_b")
+            .limit(driver_cutoff_edges + 1).collect())
+    if len(head) <= driver_cutoff_edges:
+        return _cc_union_find(head, nodes, id_col)
     # cache the edge list: the convergence loop runs an action per round
     # and would otherwise recompute the (possibly expensive) pair
     # pipeline every iteration

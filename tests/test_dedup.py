@@ -119,6 +119,25 @@ def test_connected_components_micro(spark):
     assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 9}
 
 
+def test_connected_components_paths_agree(spark):
+    # chain of 4, a triangle, a self-contained pair, and isolated nodes;
+    # string ids exercise the type-generic mapping schema
+    pairs = spark.createDataFrame(
+        [("d", "c"), ("c", "b"), ("b", "a"), ("x", "y"), ("y", "z"),
+         ("x", "z"), ("p", "q")], ["doc_id_a", "doc_id_b"])
+    nodes = spark.createDataFrame(
+        [(i,) for i in "abcdxyzpqmn"], ["doc_id"])
+    expected = {"a": "a", "b": "a", "c": "a", "d": "a",
+                "x": "x", "y": "x", "z": "x",
+                "p": "p", "q": "p", "m": "m", "n": "n"}
+    fast = {r.doc_id: r.cluster_id
+            for r in dedup.connected_components(pairs, nodes).collect()}
+    dist = {r.doc_id: r.cluster_id
+            for r in dedup.connected_components(
+                pairs, nodes, driver_cutoff_edges=0).collect()}
+    assert fast == expected and dist == expected
+
+
 def test_embedding_blocked_equals_brute_force(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     brute = {(r.vec_id_a, r.vec_id_b)
