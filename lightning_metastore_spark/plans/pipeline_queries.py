@@ -679,10 +679,8 @@ ORDER BY doc_id
 
 # --- streaming (batch-equivalence through the gate) ------------------------
 
-def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming windowed aggregation drained to completion;
-    the oracle is the BATCH SQL — passing proves the incremental
-    computation converges to the batch answer."""
+def _hourly_stream(spark: SparkSession, sf_dir: str):
+    """Build (unstarted) the windowed-agg stream and its sink name."""
     import os
     import tempfile
     import shutil
@@ -694,9 +692,18 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(d, "events.parquet"))
     stream = sev.read_event_stream(spark, d)
     agg = sev.windowed_event_counts(stream, window="1 hour")
+    return agg, "gate_stream_hourly"
+
+
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming windowed aggregation drained to completion;
+    the oracle is the BATCH SQL — passing proves the incremental
+    computation converges to the batch answer."""
+    from lightning_metastore_spark.streaming import events as sev
+
+    agg, name = _hourly_stream(spark, sf_dir)
     # complete mode: the memory sink holds exactly the final aggregation
     # state (update mode would append one row per key per trigger)
-    name = "gate_stream_hourly"
     sev.run_to_memory(agg, name, output_mode="complete")
     return spark.sql(f"""
         SELECT window_start, event_type, n_events, sum_value
@@ -735,9 +742,27 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the watermarked streaming dedup's per-type unique counts. Passing
     proves (a) the incremental windowed agg converges to the batch
     answer row-for-row and (b) dropDuplicates over an at-least-once
-    (duplicated) stream equals batch COUNT(DISTINCT)."""
-    hourly = stream_events_hourly(spark, sf_dir)
-    deduped = stream_dedup_events(spark, sf_dir)
+    (duplicated) stream equals batch COUNT(DISTINCT).
+
+    The two streams are independent, so both queries start before either
+    drains: their micro-batch work interleaves on the scheduler and wall
+    time is the max of the two, not the sum."""
+    from lightning_metastore_spark.streaming import events as sev
+
+    agg, hourly_name = _hourly_stream(spark, sf_dir)
+    ded, dedup_name = _dedup_stream(spark, sf_dir)
+    queries = [sev.start_memory_stream(agg, hourly_name, "complete"),
+               sev.start_memory_stream(ded, dedup_name, "complete")]
+    for q in queries:
+        q.processAllAvailable()
+    for q in queries:
+        q.stop()
+    hourly = spark.sql(f"""
+        SELECT window_start, event_type, n_events, sum_value
+        FROM {hourly_name} ORDER BY window_start, event_type
+    """)
+    deduped = spark.sql(f"SELECT event_type, n_unique FROM {dedup_name} "
+                        f"ORDER BY event_type")
     return (hourly.join(deduped, "event_type", "left")
             .select("window_start", "event_type", "n_events", "sum_value",
                     "n_unique")
@@ -760,10 +785,8 @@ ORDER BY window_start, event_type
 """
 
 
-def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming deduplication: watermarked dropDuplicates on event_id
-    over a duplicated input stream (every event fed twice); the oracle
-    is the batch distinct — exactly-once semantics through the gate."""
+def _dedup_stream(spark: SparkSession, sf_dir: str):
+    """Build (unstarted) the dedup-count stream and its sink name."""
     import os
     import shutil
     import tempfile
@@ -782,7 +805,16 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                .dropDuplicates(["event_id"])
                .groupBy("event_type")
                .agg(F.count(F.lit(1)).alias("n_unique")))
-    name = "gate_stream_dedup"
+    return deduped, "gate_stream_dedup"
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: watermarked dropDuplicates on event_id
+    over a duplicated input stream (every event fed twice); the oracle
+    is the batch distinct — exactly-once semantics through the gate."""
+    from lightning_metastore_spark.streaming import events as sev
+
+    deduped, name = _dedup_stream(spark, sf_dir)
     sev.run_to_memory(deduped, name, output_mode="complete")
     return spark.sql(f"SELECT event_type, n_unique FROM {name} "
                      f"ORDER BY event_type")

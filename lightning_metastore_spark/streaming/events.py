@@ -100,10 +100,18 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def start_memory_stream(stream_df: DataFrame, query_name: str,
+                        output_mode: str = "update"):
+    """Start (without draining) a memory-sink query; returns the handle.
+    Independent streams started together drain concurrently — wall time
+    becomes the max, not the sum, of their micro-batch work."""
+    return (stream_df.writeStream.format("memory")
+            .queryName(query_name).outputMode(output_mode).start())
+
+
 def run_to_memory(stream_df: DataFrame, query_name: str,
                   output_mode: str = "update") -> None:
     """Drain all available input into an in-memory table (test harness)."""
-    q = (stream_df.writeStream.format("memory")
-         .queryName(query_name).outputMode(output_mode).start())
+    q = start_memory_stream(stream_df, query_name, output_mode)
     q.processAllAvailable()
     q.stop()
