@@ -312,9 +312,9 @@ def simhash_collision_probability(chunks: int) -> float:
     return 1.0 - (1.0 - 2.0 ** -chunk_bits) ** chunks
 
 
-def simhash_pairs(docs: DataFrame, hamming_max: int = 8,
+def simhash_pairs(docs: DataFrame, hamming_max: int = 4,
                   jaccard_threshold: float = 0.5, n: int = 3,
-                  chunks: int = 10, text_col: str = "text",
+                  chunks: int = 5, text_col: str = "text",
                   id_col: str = "doc_id",
                   sh: DataFrame | None = None,
                   max_collision_prob: float = 0.05,
@@ -333,7 +333,10 @@ def simhash_pairs(docs: DataFrame, hamming_max: int = 8,
     pair fraction, and when it exceeds ``max_collision_prob`` the
     operator warns (``on_degenerate='warn'``) or refuses ('error'):
     at web scale that join is an accidental all-pairs. The scale-safe
-    setting is ``SIMHASH_WEB_SCALE`` (4x15-bit chunks, hamming<=3).
+    setting is ``SIMHASH_WEB_SCALE`` (4x15-bit chunks, hamming<=3);
+    the defaults (5x12-bit chunks, hamming<=4, random-pair collision
+    ~1.2e-3) sit safely under the guard — a default-arg call never
+    warns, the guard fires only on explicitly degenerate chunking.
     """
     if hamming_max >= chunks:
         raise ValueError(
@@ -456,29 +459,41 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
 
     Adaptive execution. Verified near-dup graphs are sparse by
     construction (edges only between confirmed duplicates), so when the
-    edge list fits the ``driver_cutoff_edges`` bound (~80 MB of id pairs
-    at the default) the labels come from a driver-side union-find —
-    O(E α(E)), one collect, one broadcast join back — instead of paying
-    the propagation loop's per-round join + count job overhead. Above
-    the bound, iterative min-label propagation runs (the 100 TB path):
-    each round every node takes the min of its own and its neighbors'
-    labels; converges in O(component diameter) rounds, one join + one
+    edge list fits the ``driver_cutoff_edges`` bound the labels come
+    from a driver-side union-find — O(E α(E)), one Arrow collect, one
+    broadcast join back — instead of paying the propagation loop's
+    per-round join + count job overhead. The path decision is a cheap
+    ``limit(cutoff+1).count()`` over the persisted edge list (never a
+    wasted driver collect of an over-cutoff graph), and the collect
+    itself is Arrow-batched ``toPandas`` (two primitive columns, ~16
+    bytes/edge — not per-row Python Row objects). Above the bound,
+    iterative min-label propagation runs (the 100 TB path): each round
+    every node takes the min of its own and its neighbors' labels;
+    converges in O(component diameter) rounds, one join + one
     aggregation per round, cached labels, zero-changes exit check.
     Both paths produce identical labels: cluster_id = min id in the
     component (union-find attaches the larger root under the smaller,
     so each final root IS the component minimum).
     """
-    head = (pairs.select("doc_id_a", "doc_id_b")
-            .limit(driver_cutoff_edges + 1).collect())
-    if len(head) <= driver_cutoff_edges:
-        return _cc_union_find(head, nodes, id_col)
+    # persist the (possibly expensive) pair pipeline ONCE: the size
+    # probe, the driver collect / distributed loop all reuse it
+    sel = pairs.select("doc_id_a", "doc_id_b").persist()
+    n_edges_capped = sel.limit(driver_cutoff_edges + 1).count()
+    if n_edges_capped <= driver_cutoff_edges:
+        spark = pairs.sparkSession
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        pdf = sel.toPandas()
+        sel.unpersist()
+        edge_rows = list(zip(pdf["doc_id_a"].tolist(),
+                             pdf["doc_id_b"].tolist()))
+        return _cc_union_find(edge_rows, nodes, id_col)
     # cache the edge list: the convergence loop runs an action per round
     # and would otherwise recompute the (possibly expensive) pair
     # pipeline every iteration
-    edges = (pairs.select(F.col("doc_id_a").alias("src"),
-                          F.col("doc_id_b").alias("dst"))
-             .union(pairs.select(F.col("doc_id_b").alias("src"),
-                                 F.col("doc_id_a").alias("dst")))).cache()
+    edges = (sel.select(F.col("doc_id_a").alias("src"),
+                        F.col("doc_id_b").alias("dst"))
+             .union(sel.select(F.col("doc_id_b").alias("src"),
+                               F.col("doc_id_a").alias("dst")))).cache()
     labels = nodes.select(F.col(id_col).alias("node"),
                           F.col(id_col).alias("label")).cache()
     converged = False
@@ -499,6 +514,7 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
             converged = True
             break
     edges.unpersist()
+    sel.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "

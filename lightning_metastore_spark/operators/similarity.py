@@ -98,18 +98,25 @@ def kmeans_centroids(corpus: DataFrame, k: int = 16, iters: int = 4,
     rows = (df.withColumn("_h", F.md5(F.col("_id").cast("string")))
             .orderBy("_h").limit(max_sample).select("_v").collect())
     x = np.array([r._v for r in rows], dtype=np.float64)
-    cents = x[:k].copy()
+    if len(x) == 0:
+        raise ValueError(
+            "kmeans_centroids: the sampled corpus is empty — nothing to "
+            "fit (check the corpus / sample_fraction)")
+    # fewer sample rows than requested cells: fit what exists (k distinct
+    # centroids cannot be produced from < k points anyway)
+    k_eff = min(k, len(x))
+    cents = x[:k_eff].copy()
     for _ in range(iters):
         norms = np.linalg.norm(cents, axis=1)
         norms[norms == 0.0] = 1.0
         cell = (x @ cents.T / norms).argmax(axis=1)
-        for c in range(k):
+        for c in range(k_eff):
             members = x[cell == c]
             if len(members):
                 cents[c] = members.mean(axis=0)
     spark = corpus.sparkSession
     return spark.createDataFrame(
-        [(i, [float(v) for v in cents[i]]) for i in range(k)],
+        [(i, [float(v) for v in cents[i]]) for i in range(k_eff)],
         schema=f"centroid_id long, {vec_col} array<double>")
 
 

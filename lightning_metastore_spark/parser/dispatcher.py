@@ -527,9 +527,20 @@ class MergeInto(Command):
         # The per-target match count is a window in the SAME pass as the
         # result, and the violation is checked on the materialized
         # output BEFORE the destructive overwrite.
+        # Window partition key: target rows key by __tid; source-only
+        # (INSERT) rows have NULL __tid and would otherwise all funnel
+        # through ONE window partition — severe skew for insert-heavy
+        # merges at scale. Each gets a unique negative surrogate instead
+        # (singleton partitions; real __tid is non-negative, no
+        # collision), keeping the cardinality check single-pass AND
+        # balanced.
         n_matches = F.count(F.when(matched, F.lit(1))).over(
-            W.partitionBy(F.col(f"{ta}.__tid")))
+            W.partitionBy(F.col("__wkey")))
         enriched = (joined
+                    .withColumn(
+                        "__wkey",
+                        F.coalesce(F.col(f"{ta}.__tid"),
+                                   -F.monotonically_increasing_id() - 1))
                     .withColumn("__nm", n_matches)
                     .withColumn("__dup", matched
                                 & F.col(f"{ta}.__tid").isNotNull()

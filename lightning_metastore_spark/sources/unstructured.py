@@ -37,6 +37,7 @@ import io
 import json
 import os
 import re
+import shutil
 import struct
 from typing import Iterator, Optional
 
@@ -436,7 +437,20 @@ class UnstructuredCatalogUnit(CatalogUnit):
 
         mode='overwrite' clears the previously-written files matching
         the source glob first (stale rows don't survive an overwrite
-        that dropped them); any other non-append mode is rejected."""
+        that dropped them); any other non-append mode is rejected.
+
+        Crash safety: new files are fully written into a hidden staging
+        directory first; only after every partition has succeeded are
+        the stale files removed and the staged files renamed into place
+        (per-file-atomic ``os.replace``). A failure mid-write leaves the
+        table untouched — there is no delete-then-rewrite window where
+        the data exists nowhere. The stale-file cleanup mirrors the
+        datasource's scan mode (recursive/parts scans walk subdirs, a
+        file_scan only clears the top level) and skips anything that is
+        not a regular file (glob '*' also matches directories)."""
+        import fnmatch
+        import uuid
+
         st = self.ds.source_type
         content_col = {"PDF": "bincontent", "TEXT": "textcontent",
                        "IMAGE": "imagecontent", "VIDEO": "videocontent",
@@ -446,23 +460,31 @@ class UnstructuredCatalogUnit(CatalogUnit):
         if mode not in ("append", "overwrite"):
             raise CatalogUnitError(
                 f"unstructured write supports append/overwrite, not {mode!r}")
+        stale: list[str] = []
         if mode == "overwrite":
             # materialize BEFORE deleting: the rows may be derived from
             # the very files we are about to remove
             df = df.localCheckpoint(eager=True)
-            import glob as _glob
-            pattern = self.ds.options.get(
-                "glob", DEFAULT_GLOBS[st])
-            # brace-expand {a,b} by hand (glob has no brace support)
+            pattern = self.ds.options.get("glob", DEFAULT_GLOBS[st])
+            # brace-expand {a,b} by hand (fnmatch has no brace support)
             m = re.fullmatch(r"(.*)\{([^}]*)\}(.*)", pattern)
             pats = ([f"{m.group(1)}{alt}{m.group(3)}"
                      for alt in m.group(2).split(",")] if m else [pattern])
-            for p in pats:
-                for f in _glob.glob(os.path.join(root, p)):
-                    os.remove(f)
+            recursive = self.scan_type in ("recursive_scan", "parts_scan")
+            if os.path.isdir(root):
+                for dirpath, dirnames, filenames in os.walk(root):
+                    dirnames[:] = [d for d in dirnames
+                                   if not d.startswith(".staging-")]
+                    for fn in filenames:
+                        if any(fnmatch.fnmatch(fn, p) for p in pats):
+                            stale.append(os.path.join(dirpath, fn))
+                    if not recursive:
+                        break  # file_scan reads top-level files only
         tw = int(self.ds.options.get(THUMB_W_OPT, DEFAULT_THUMB))
         th = int(self.ds.options.get(THUMB_H_OPT, DEFAULT_THUMB))
         emit_thumb = st == "IMAGE"
+        staging = os.path.join(root, f".staging-{uuid.uuid4().hex}")
+        os.makedirs(staging, exist_ok=True)
 
         def thumb_twin_path(out: str) -> str:
             stem, ext = os.path.splitext(out)
@@ -473,8 +495,7 @@ class UnstructuredCatalogUnit(CatalogUnit):
                 d = r.asDict()
                 name = os.path.basename(str(d["path"]))
                 data = d[content_col]
-                out = os.path.join(root, name)
-                os.makedirs(root, exist_ok=True)
+                out = os.path.join(staging, name)
                 with open(out, "w" if is_text else "wb") as fh:
                     fh.write(data)
                 if emit_thumb:
@@ -485,4 +506,14 @@ class UnstructuredCatalogUnit(CatalogUnit):
                         with open(thumb_twin_path(out), "wb") as fh:
                             fh.write(bytes(thumb))
 
-        df.foreachPartition(write_partition)
+        try:
+            df.foreachPartition(write_partition)
+            # every partition succeeded: now (and only now) retire the
+            # stale files and swap the staged ones into place
+            for f in stale:
+                if os.path.isfile(f):
+                    os.remove(f)
+            for fn in os.listdir(staging):
+                os.replace(os.path.join(staging, fn), os.path.join(root, fn))
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)

@@ -60,6 +60,10 @@ def test_simhash_degenerate_guard(spark):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         dedup.simhash_pairs(df, **dedup.SIMHASH_WEB_SCALE)
+    # the function's own defaults must not trip its own guard
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        dedup.simhash_pairs(df)
 
 
 def test_simhash_web_scale_params_find_dups(spark):

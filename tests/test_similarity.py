@@ -58,3 +58,17 @@ def test_kmeans_centroids_deterministic(spark):
     s = similarity.kmeans_centroids(emb, k=8, iters=2,
                                     sample_fraction=0.5).collect()
     assert len(s) == 8
+
+
+def test_kmeans_centroids_small_and_empty_sample(spark):
+    """k larger than the sample clamps to the sample size (no
+    IndexError); an empty corpus is a clear error, not a numpy crash."""
+    import pytest
+
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    cents = similarity.kmeans_centroids(tiny, k=8, iters=2).collect()
+    assert len(cents) == 3
+    with pytest.raises(ValueError, match="empty"):
+        similarity.kmeans_centroids(tiny.filter("vec_id < 0"), k=4)

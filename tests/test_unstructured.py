@@ -315,6 +315,42 @@ def test_write_overwrite_clears_stale_files(ctx, spark, tmp_path):
         unit.write_table(new, [], mode="error_if_exists")
 
 
+def test_write_overwrite_staged_and_subdir_safe(ctx, spark, tmp_path):
+    """Overwrite cleanup must skip directories (glob '*' matches them),
+    must clear stale files under subdirs when the scan mode is
+    recursive, must leave them alone for a top-level file_scan, and
+    must leave no staging litter behind."""
+    from lightning_metastore_spark.catalog.units import load_catalog_unit
+    root = tmp_path / "blob"
+    sub = root / "nested"
+    sub.mkdir(parents=True)
+    (root / "top.bin").write_bytes(b"old-top")
+    (sub / "deep.bin").write_bytes(b"old-deep")
+    ctx.sql("CREATE NAMESPACE lightning.datasource.files")
+    ctx.sql(f"REGISTER UNSTRUCTURED DATASOURCE flatblob OPTIONS("
+            f"path '{root}') NAMESPACE lightning.datasource.files")
+    unit = load_catalog_unit(
+        ctx.metastore.load_datasource(["files"], "flatblob"))
+    new = spark.createDataFrame([("fresh.bin", bytearray(b"fresh"))],
+                                ["path", "bincontent"])
+    # file_scan: the subdirectory itself must not break the walk, and
+    # its contents are out of scope for the overwrite
+    unit.write_table(new, [], mode="overwrite")
+    assert not (root / "top.bin").exists()
+    assert (root / "fresh.bin").read_bytes() == b"fresh"
+    assert (sub / "deep.bin").read_bytes() == b"old-deep"
+    # recursive_scan: the nested stale file is in scope and goes away
+    ctx.sql(f"REGISTER UNSTRUCTURED DATASOURCE deepblob OPTIONS("
+            f"path '{root}', scan_type 'recursive_scan') "
+            f"NAMESPACE lightning.datasource.files")
+    unit2 = load_catalog_unit(
+        ctx.metastore.load_datasource(["files"], "deepblob"))
+    unit2.write_table(new, [], mode="overwrite")
+    assert not (sub / "deep.bin").exists()
+    assert (root / "fresh.bin").read_bytes() == b"fresh"
+    assert not [p for p in root.iterdir() if p.name.startswith(".staging-")]
+
+
 def test_image_write_emits_thumbnail_twin(ctx, spark, tmp_path):
     """BinOutputWriter.scala:80-116 parity: writing image content also
     writes the `<name>_thumbnail.<ext>` twin file."""
