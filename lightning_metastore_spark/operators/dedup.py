@@ -478,50 +478,66 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     # persist the (possibly expensive) pair pipeline ONCE: the size
     # probe, the driver collect / distributed loop all reuse it
     sel = pairs.select("doc_id_a", "doc_id_b").persist()
-    n_edges_capped = sel.limit(driver_cutoff_edges + 1).count()
-    if n_edges_capped <= driver_cutoff_edges:
-        spark = pairs.sparkSession
-        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-        pdf = sel.toPandas()
+    edges = None
+    try:
+        n_edges_capped = sel.limit(driver_cutoff_edges + 1).count()
+        if n_edges_capped <= driver_cutoff_edges:
+            spark = pairs.sparkSession
+            arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+            prior = spark.conf.get(arrow_key, None)
+            spark.conf.set(arrow_key, "true")
+            try:
+                pdf = sel.toPandas()
+            finally:
+                # a library operator must not leave the session's Arrow
+                # behavior flipped for every later toPandas call
+                if prior is None:
+                    spark.conf.unset(arrow_key)
+                else:
+                    spark.conf.set(arrow_key, prior)
+            edge_rows = list(zip(pdf["doc_id_a"].tolist(),
+                                 pdf["doc_id_b"].tolist()))
+            return _cc_union_find(edge_rows, nodes, id_col)
+        # cache the edge list: the convergence loop runs an action per
+        # round and would otherwise recompute the (possibly expensive)
+        # pair pipeline every iteration
+        edges = (sel.select(F.col("doc_id_a").alias("src"),
+                            F.col("doc_id_b").alias("dst"))
+                 .union(sel.select(F.col("doc_id_b").alias("src"),
+                                   F.col("doc_id_a").alias("dst")))).cache()
+        labels = nodes.select(F.col(id_col).alias("node"),
+                              F.col(id_col).alias("label")).cache()
+        converged = False
+        for _ in range(max_iterations):
+            neighbor_min = (edges.join(labels, edges.src == labels.node)
+                            .groupBy("dst").agg(F.min("label").alias("nmin")))
+            new_labels = (labels.join(neighbor_min,
+                                      labels.node == neighbor_min.dst,
+                                      "left")
+                          .select(F.col("node"),
+                                  F.least("label", F.coalesce("nmin", "label"))
+                                  .alias("label"))).cache()
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"),
+                             F.col("n.node") == F.col("o.node"))
+                       .filter(F.col("n.label") != F.col("o.label")).count())
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} "
+                f"rounds — a component's diameter exceeds the bound; raise "
+                f"max_iterations (silent partial labels would be wrong)")
+        return labels.select(F.col("node").alias(id_col),
+                             F.col("label").alias("cluster_id"))
+    finally:
+        # no leaked cache entries on any exit path (success OR error)
         sel.unpersist()
-        edge_rows = list(zip(pdf["doc_id_a"].tolist(),
-                             pdf["doc_id_b"].tolist()))
-        return _cc_union_find(edge_rows, nodes, id_col)
-    # cache the edge list: the convergence loop runs an action per round
-    # and would otherwise recompute the (possibly expensive) pair
-    # pipeline every iteration
-    edges = (sel.select(F.col("doc_id_a").alias("src"),
-                        F.col("doc_id_b").alias("dst"))
-             .union(sel.select(F.col("doc_id_b").alias("src"),
-                               F.col("doc_id_a").alias("dst")))).cache()
-    labels = nodes.select(F.col(id_col).alias("node"),
-                          F.col(id_col).alias("label")).cache()
-    converged = False
-    for _ in range(max_iterations):
-        neighbor_min = (edges.join(labels, edges.src == labels.node)
-                        .groupBy("dst").agg(F.min("label").alias("nmin")))
-        new_labels = (labels.join(neighbor_min, labels.node == neighbor_min.dst,
-                                  "left")
-                      .select(F.col("node"),
-                              F.least("label", F.coalesce("nmin", "label"))
-                              .alias("label"))).cache()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    edges.unpersist()
-    sel.unpersist()
-    if not converged:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} "
-            f"rounds — a component's diameter exceeds the bound; raise "
-            f"max_iterations (silent partial labels would be wrong)")
-    return labels.select(F.col("node").alias(id_col),
-                         F.col("label").alias("cluster_id"))
+        if edges is not None:
+            edges.unpersist()
 
 
 # ---------------------------------------------------------------------------

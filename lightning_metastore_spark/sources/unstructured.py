@@ -440,14 +440,24 @@ class UnstructuredCatalogUnit(CatalogUnit):
         that dropped them); any other non-append mode is rejected.
 
         Crash safety: new files are fully written into a hidden staging
-        directory first; only after every partition has succeeded are
-        the stale files removed and the staged files renamed into place
-        (per-file-atomic ``os.replace``). A failure mid-write leaves the
-        table untouched — there is no delete-then-rewrite window where
-        the data exists nowhere. The stale-file cleanup mirrors the
-        datasource's scan mode (recursive/parts scans walk subdirs, a
-        file_scan only clears the top level) and skips anything that is
-        not a regular file (glob '*' also matches directories)."""
+        directory first; only after every partition has succeeded does
+        the commit run — and it renames the staged files into place
+        FIRST (per-file-atomic ``os.replace``, which atomically
+        overwrites a same-path stale file), and only then deletes the
+        remaining stale files that had no replacement. A failure
+        mid-write leaves the table untouched, and a failure mid-commit
+        can only leave extra old files behind — there is no window
+        where a row's data exists nowhere. The staging dir is removed
+        only after the replace loop completes; leftover ``.staging-*``
+        litter from hard-killed prior runs is swept at the start of the
+        next overwrite. Staged files are keyed by their path RELATIVE
+        to the table root (not basename), so two same-named files in
+        different subdirs of a recursive-scan table never collide and
+        are restored into their original subdirs. The stale-file
+        cleanup mirrors the datasource's scan mode (recursive/parts
+        scans walk subdirs, a file_scan only clears the top level) and
+        skips anything that is not a regular file (glob '*' also
+        matches directories)."""
         import fnmatch
         import uuid
 
@@ -462,6 +472,14 @@ class UnstructuredCatalogUnit(CatalogUnit):
                 f"unstructured write supports append/overwrite, not {mode!r}")
         stale: list[str] = []
         if mode == "overwrite":
+            # sweep .staging-* litter from hard-killed prior runs (their
+            # finally never ran); nothing live can be in them — a live
+            # staging dir only exists inside this method's own lifetime
+            if os.path.isdir(root):
+                for entry in os.listdir(root):
+                    if entry.startswith(".staging-"):
+                        shutil.rmtree(os.path.join(root, entry),
+                                      ignore_errors=True)
             # materialize BEFORE deleting: the rows may be derived from
             # the very files we are about to remove
             df = df.localCheckpoint(eager=True)
@@ -490,12 +508,26 @@ class UnstructuredCatalogUnit(CatalogUnit):
             stem, ext = os.path.splitext(out)
             return f"{stem}_thumbnail{ext}" if ext else out + "_thumbnail"
 
+        abs_root = os.path.abspath(root)
+
+        def staged_name(path: str) -> str:
+            # key by path-relative-to-root so same-named files in
+            # different subdirs of a recursive table don't collide in
+            # staging and get restored into their original subdirs;
+            # paths outside the root (new rows named by bare filename)
+            # fall back to basename at the top level
+            ap = os.path.abspath(str(path))
+            if ap.startswith(abs_root + os.sep):
+                return os.path.relpath(ap, abs_root)
+            return os.path.basename(str(path))
+
         def write_partition(rows) -> None:
             for r in rows:
                 d = r.asDict()
-                name = os.path.basename(str(d["path"]))
+                name = staged_name(d["path"])
                 data = d[content_col]
                 out = os.path.join(staging, name)
+                os.makedirs(os.path.dirname(out), exist_ok=True)
                 with open(out, "w" if is_text else "wb") as fh:
                     fh.write(data)
                 if emit_thumb:
@@ -508,12 +540,27 @@ class UnstructuredCatalogUnit(CatalogUnit):
 
         try:
             df.foreachPartition(write_partition)
-            # every partition succeeded: now (and only now) retire the
-            # stale files and swap the staged ones into place
-            for f in stale:
-                if os.path.isfile(f):
-                    os.remove(f)
-            for fn in os.listdir(staging):
-                os.replace(os.path.join(staging, fn), os.path.join(root, fn))
-        finally:
+        except Exception:
+            # nothing committed yet — the staged partial output is
+            # garbage, the table is untouched; clean up and re-raise
             shutil.rmtree(staging, ignore_errors=True)
+            raise
+        # every partition succeeded: commit. Order matters for crash
+        # safety — restore staged files FIRST (os.replace atomically
+        # overwrites a same-path stale file), THEN delete the stale
+        # leftovers that had no replacement, THEN drop the (now empty)
+        # staging dir. A crash anywhere in this sequence can only leave
+        # extra old files behind, never lose the new data.
+        restored: set[str] = set()
+        for dirpath, _dirnames, filenames in os.walk(staging):
+            for fn in filenames:
+                src = os.path.join(dirpath, fn)
+                rel = os.path.relpath(src, staging)
+                dst = os.path.join(root, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(src, dst)
+                restored.add(os.path.abspath(dst))
+        for f in stale:
+            if os.path.abspath(f) not in restored and os.path.isfile(f):
+                os.remove(f)
+        shutil.rmtree(staging, ignore_errors=True)

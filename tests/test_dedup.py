@@ -142,6 +142,27 @@ def test_connected_components_paths_agree(spark):
     assert fast == expected and dist == expected
 
 
+def test_connected_components_restores_arrow_conf(spark):
+    """The union-find path needs Arrow for its toPandas collect, but a
+    library operator must not leave the session conf mutated — a caller
+    who deliberately disabled Arrow keeps it disabled afterwards."""
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prior = spark.conf.get(key, None)
+    pairs = spark.createDataFrame([(1, 2)], ["doc_id_a", "doc_id_b"])
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], ["doc_id"])
+    try:
+        spark.conf.set(key, "false")
+        out = {r.doc_id: r.cluster_id
+               for r in dedup.connected_components(pairs, nodes).collect()}
+        assert out == {1: 1, 2: 1, 3: 3}
+        assert spark.conf.get(key) == "false"
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
 def test_embedding_blocked_equals_brute_force(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     brute = {(r.vec_id_a, r.vec_id_b)

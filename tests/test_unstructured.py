@@ -351,6 +351,58 @@ def test_write_overwrite_staged_and_subdir_safe(ctx, spark, tmp_path):
     assert not [p for p in root.iterdir() if p.name.startswith(".staging-")]
 
 
+def test_write_same_basename_different_subdirs(ctx, spark, tmp_path):
+    """Two rows whose paths share a basename but live in different
+    subdirs of a recursive table must both survive an overwrite (the
+    old writer keyed staging by basename — the second silently
+    clobbered the first) and be restored into their original subdirs."""
+    from lightning_metastore_spark.catalog.units import load_catalog_unit
+    root = tmp_path / "tree"
+    a = root / "a"
+    b = root / "b"
+    a.mkdir(parents=True)
+    b.mkdir()
+    (a / "doc.txt").write_text("old a")
+    (b / "doc.txt").write_text("old b")
+    ctx.sql("CREATE NAMESPACE lightning.datasource.files")
+    ctx.sql(f"REGISTER TEXT DATASOURCE tree OPTIONS(path '{root}', "
+            f"scan_type 'recursive_scan') NAMESPACE "
+            f"lightning.datasource.files")
+    unit = load_catalog_unit(ctx.metastore.load_datasource(["files"], "tree"))
+    new = spark.createDataFrame(
+        [(str(a / "doc.txt"), "new a"), (str(b / "doc.txt"), "new b")],
+        ["path", "textcontent"])
+    unit.write_table(new, [], mode="overwrite")
+    assert (a / "doc.txt").read_text() == "new a"
+    assert (b / "doc.txt").read_text() == "new b"
+    rows = ctx.sql("SELECT subdir, preview FROM "
+                   "lightning.datasource.files.tree ORDER BY subdir").collect()
+    assert [(r.subdir, r.preview) for r in rows] == [("a", "new a"),
+                                                     ("b", "new b")]
+
+
+def test_overwrite_sweeps_stale_staging_litter(ctx, spark, tmp_path):
+    """A .staging-* dir left by a hard-killed prior run must be removed
+    by the next overwrite, not accumulate forever."""
+    from lightning_metastore_spark.catalog.units import load_catalog_unit
+    root = tmp_path / "txt"
+    root.mkdir()
+    (root / "keep.txt").write_text("old")
+    litter = root / ".staging-deadbeef"
+    litter.mkdir()
+    (litter / "orphan.txt").write_text("orphaned partial write")
+    ctx.sql("CREATE NAMESPACE lightning.datasource.files")
+    ctx.sql(f"REGISTER TEXT DATASOURCE txt OPTIONS(path '{root}') "
+            f"NAMESPACE lightning.datasource.files")
+    unit = load_catalog_unit(ctx.metastore.load_datasource(["files"], "txt"))
+    new = spark.createDataFrame([("keep.txt", "new")],
+                                ["path", "textcontent"])
+    unit.write_table(new, [], mode="overwrite")
+    assert not litter.exists()
+    assert (root / "keep.txt").read_text() == "new"
+    assert not [p for p in root.iterdir() if p.name.startswith(".staging-")]
+
+
 def test_image_write_emits_thumbnail_twin(ctx, spark, tmp_path):
     """BinOutputWriter.scala:80-116 parity: writing image content also
     writes the `<name>_thumbnail.<ext>` twin file."""
