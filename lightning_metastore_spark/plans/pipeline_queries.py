@@ -373,8 +373,18 @@ ORDER BY query_id, rk
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (approximate — rows-only check; recall asserted
-    in tests/test_similarity.py against the brute-force baseline)."""
+    """IVF-bucketed ANN, oracle-hardened as recall verdicts.
+
+    An approximate index can't hash-match a SQL oracle on its raw
+    neighbor lists, so the gate emits *deterministic verdict columns*
+    instead: per-query recall@5 of the IVF result against the in-Spark
+    brute-force ground truth (itself hash-verified against DuckDB by the
+    ``ann_brute_force_topk`` gate). ``recall_ok`` uses a generous ≥0.2
+    per-query floor (observed min 0.4 across SFs), ``mean_recall_ok``
+    asserts the corpus mean ≥0.7 (observed ~0.80–0.82 with nprobe=6 of
+    14 cells on these near-isotropic embeddings). The DuckDB oracle
+    produces the same query_id rows with TRUE verdicts — the row is
+    hash-green iff every recall bound actually holds."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
     queries = emb.filter(F.col("vec_id") % 50 == 0)
@@ -384,7 +394,29 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # These embeddings are near-isotropic (max pairwise cosine ~0.5), so
     # cells are weakly separated — nprobe=6 of 14 cells still gives
     # ~0.8 recall; clustered real-world embeddings need far fewer probes.
-    return similarity.ivf_topk(emb, queries, centroids, k=5, nprobe=6)
+    ivf = similarity.ivf_topk(emb, queries, centroids, k=5, nprobe=6)
+    truth = similarity.brute_force_topk(emb, queries, k=5)
+    hits = (truth.select("query_id", "neighbor_id")
+            .join(ivf.select("query_id", "neighbor_id"),
+                  ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    per_q = (truth.select("query_id").distinct()
+             .join(hits, "query_id", "left")
+             .select("query_id",
+                     (F.coalesce("n_hit", F.lit(0)) / F.lit(5.0))
+                     .alias("recall")))
+    mean_r = per_q.agg(F.avg("recall").alias("mean_recall"))
+    return (per_q.crossJoin(F.broadcast(mean_r))
+            .select("query_id",
+                    (F.col("recall") >= 0.2).alias("recall_ok"),
+                    (F.col("mean_recall") >= 0.7).alias("mean_recall_ok"))
+            .orderBy("query_id"))
+
+
+ANN_IVF_ORACLE = """
+SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_recall_ok
+FROM embeddings WHERE vec_id % 50 = 0 ORDER BY query_id
+"""
 
 
 # --- text analysis ---------------------------------------------------------
@@ -574,21 +606,47 @@ SELECT doc_id, text FROM documents ORDER BY doc_id
 
 
 def sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based profiling: approx distinct counts (HyperLogLog++)
-    and approx percentiles per event type — the constant-memory
-    mergeable-sketch path for 100 TB profiling. Approximate by nature
-    (engine HLL implementations differ) -> rows-only check; accuracy vs
-    exact is asserted in tests/test_sketches.py."""
+    """Sketch-based profiling, oracle-hardened as accuracy verdicts.
+
+    The 100 TB path is the constant-memory mergeable sketches
+    (HyperLogLog++ distinct counts, approx percentiles); engine HLL
+    implementations differ, so the raw estimates can't hash-match a
+    DuckDB oracle. The gate therefore emits *deterministic* columns —
+    exact per-type row and distinct-user counts (which DuckDB
+    reproduces) — plus verdict booleans checking each sketch against
+    the exact answer computed in the same query: HLL within ±5%
+    (rsd=0.02 configured), approx percentiles within ±5% relative (or
+    ±0.01 absolute) of the exact sort-based percentile. The exact
+    aggregates exist to make sketch accuracy auditable in-query; a real
+    100 TB profiling run drops them and keeps only the sketch columns."""
     t = load_tables(spark, sf_dir, ("events",))
-    return (t["events"]
+    prof = (t["events"]
             .groupBy("event_type")
             .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
                  F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_q"),
-                 F.count(F.lit(1)).alias("n"))
-            .select("event_type", "approx_users",
-                    F.col("value_q")[0].alias("p50"),
-                    F.col("value_q")[1].alias("p95"), "n")
-            .orderBy("event_type"))
+                 F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("user_id").alias("exact_users"),
+                 F.expr("percentile(value, array(0.5D, 0.95D))").alias("value_qe")))
+
+    def _close(approx, exact):
+        return (F.abs(approx - exact)
+                <= F.greatest(F.abs(exact) * 0.05, F.lit(0.01)))
+
+    return (prof.select(
+        "event_type", "n", "exact_users",
+        (F.abs(F.col("approx_users") - F.col("exact_users"))
+         <= F.greatest(F.col("exact_users") * 0.05, F.lit(1.0)))
+        .alias("users_ok"),
+        _close(F.col("value_q")[0], F.col("value_qe")[0]).alias("p50_ok"),
+        _close(F.col("value_q")[1], F.col("value_qe")[1]).alias("p95_ok"))
+        .orderBy("event_type"))
+
+
+SKETCH_PROFILE_ORACLE = """
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS users_ok, TRUE AS p50_ok, TRUE AS p95_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
 
 
 def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -724,16 +782,161 @@ ORDER BY window_start, event_type
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed end-to-end curation flow (clean -> quality -> lang ->
     exact dedup -> near-dup cluster keep-best -> split) over the driver
-    corpus. Stage logic is individually oracle-backed by the other gate
-    queries; the composition is a rows-only check + pipeline tests."""
+    corpus, hash-checked row-for-row against a fully composed DuckDB
+    oracle (every stage's SQL twin chained into one statement).
+
+    The gate uses ``use_minhash=False`` (exact n-gram Jaccard pairs) so
+    the near-dup stage is *structurally* SQL-expressible rather than
+    relying on LSH banding having no false negatives at this SF; the
+    minhash variant's equality to the exact pairs is separately asserted
+    by the ``dedup_minhash_lsh`` gate and tests/test_pipeline.py."""
     from lightning_metastore_spark.operators.pipeline import (
         CurationConfig,
         curate_corpus,
     )
 
     t = load_tables(spark, sf_dir, ("documents",))
-    return (curate_corpus(t["documents"], CurationConfig(min_quality=0.0))
-            .orderBy("doc_id"))
+    cfg = CurationConfig(min_quality=0.0, use_minhash=False)
+    return curate_corpus(t["documents"], cfg).orderBy("doc_id")
+
+
+# Every stage of curate_corpus, composed into one DuckDB statement:
+# line-df boilerplate removal -> quality score on the CLEANED text ->
+# lang-id -> md5-fingerprint exact dedup (min doc_id survives) ->
+# exact 3-gram Jaccard pairs over survivors -> recursive-CTE connected
+# components (min label) -> keep-best (longest cleaned text, id
+# tiebreak) -> md5-prefix split. Mirrors operators/pipeline.py stage
+# for stage; the stage SQL twins are the same ones the standalone
+# gates (clean_boilerplate, text_quality, text_lang_id, dedup_exact,
+# dedup_ngram_jaccard, dedup_keep_best, sample_split_assign) verify.
+CURATION_ORACLE = r"""
+WITH RECURSIVE
+lns AS (
+  SELECT doc_id, i AS pos, ls[i] AS line,
+         md5(lower(regexp_replace(trim(ls[i]), '\s+', ' ', 'g'))) AS k
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+       unnest(generate_series(1, len(ls))) AS g(i)
+),
+freq AS (
+  SELECT k FROM lns GROUP BY k HAVING COUNT(DISTINCT doc_id) > 2
+),
+cleaned AS (
+  SELECT d.doc_id, COALESCE(r.text, '') AS text
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+    FROM lns WHERE k NOT IN (SELECT k FROM freq)
+    GROUP BY doc_id
+  ) r ON r.doc_id = d.doc_id
+),
+qf AS (
+  SELECT doc_id,
+         LENGTH(text) AS n_chars,
+         len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+             x -> list_contains(['the','a','of','and','to','in','is'], x))) AS n_stop,
+         len(regexp_extract_all(text, '([^\w\s])', 1)) AS n_punct,
+         len(list_distinct(string_split_regex(lower(text), '\s+'))) AS n_distinct
+  FROM cleaned
+),
+qs AS (
+  SELECT doc_id,
+         ROUND(0.35 * LEAST(n_tokens / 100.0, 1.0)
+               + 0.25 * (n_distinct / n_tokens)
+               + 0.25 * LEAST((n_stop / n_tokens) * 4, 1.0)
+               + 0.15 * (1.0 - LEAST((n_punct / GREATEST(n_chars, 1)) * 10, 1.0)), 6)
+           AS quality_score
+  FROM qf
+),
+lm AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(lower(text), '\s+'),
+        x -> list_contains(['the','a','of','and','to','in','is'], x))) AS en_c,
+    len(list_filter(string_split_regex(lower(text), '\s+'),
+        x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS de_c,
+    len(list_filter(string_split_regex(lower(text), '\s+'),
+        x -> list_contains(['le','la','les','et','est','une','dans'], x))) AS fr_c,
+    len(list_filter(string_split_regex(lower(text), '\s+'),
+        x -> list_contains(['el','los','las','y','es','una','que'], x))) AS es_c,
+    len(regexp_extract_all(text, '([一-鿿])', 1)) AS cjk
+  FROM cleaned
+),
+lng AS (
+  SELECT doc_id,
+         CASE WHEN cjk > 0 THEN 'zh'
+              WHEN GREATEST(en_c, de_c, fr_c, es_c) = 0 THEN 'und'
+              WHEN en_c = GREATEST(en_c, de_c, fr_c, es_c) THEN 'en'
+              WHEN de_c = GREATEST(en_c, de_c, fr_c, es_c) THEN 'de'
+              WHEN fr_c = GREATEST(en_c, de_c, fr_c, es_c) THEN 'fr'
+              ELSE 'es' END AS pred_lang
+  FROM lm
+),
+fps AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+  FROM cleaned
+),
+ek AS (SELECT fp, MIN(doc_id) AS keep_id FROM fps GROUP BY fp),
+ex AS (
+  SELECT f.doc_id, f.doc_id = k.keep_id AS exact_survivor
+  FROM fps f JOIN ek k USING (fp)
+),
+surv AS (
+  SELECT c.doc_id, c.text FROM cleaned c
+  JOIN ex ON ex.doc_id = c.doc_id AND ex.exact_survivor
+),
+toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM surv
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              ELSE array_to_string(t, ' ') END AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+),
+sc AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT ida, idb FROM inter
+  JOIN sc sa ON sa.doc_id = ida JOIN sc sb ON sb.doc_id = idb
+  WHERE c / (sa.n + sb.n - c) >= 0.5
+),
+edges AS (
+  SELECT ida AS src, idb AS dst FROM pairs
+  UNION ALL SELECT idb, ida FROM pairs
+),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM surv
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.node
+),
+clusters AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src),
+best AS (
+  SELECT doc_id, cluster_id, rk = 1 AS cluster_survivor FROM (
+    SELECT s.doc_id, c.cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                              ORDER BY LENGTH(s.text) DESC, s.doc_id) AS rk
+    FROM surv s JOIN clusters c ON c.doc_id = s.doc_id)
+)
+SELECT c.doc_id, c.text, qs.quality_score, lng.pred_lang,
+       COALESCE(b.cluster_id, c.doc_id) AS cluster_id,
+       CASE WHEN substring(md5(CAST(c.doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+            WHEN substring(md5(CAST(c.doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split,
+       (ex.exact_survivor AND COALESCE(b.cluster_survivor, FALSE)) AS keep,
+       CASE WHEN NOT ex.exact_survivor THEN 'exact_duplicate'
+            WHEN NOT COALESCE(b.cluster_survivor, FALSE) THEN 'near_duplicate'
+            ELSE NULL END AS drop_reason
+FROM cleaned c
+JOIN qs USING (doc_id)
+JOIN lng USING (doc_id)
+JOIN ex USING (doc_id)
+LEFT JOIN best b USING (doc_id)
+ORDER BY c.doc_id
+"""
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -924,21 +1127,21 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "per-cluster best-document selection"),
         QuerySpec("sample_split_assign", sample_split_assign, SAMPLE_SPLIT_ORACLE,
                   "deterministic hash-based split + stratified sampling"),
-        QuerySpec("sketch_profile", sketch_profile, None,
-                  "HLL++ distinct + approx percentiles (rows-only)"),
+        QuerySpec("sketch_profile", sketch_profile, SKETCH_PROFILE_ORACLE,
+                  "HLL++/percentile sketches, accuracy-verdict hashed"),
         QuerySpec("clean_boilerplate", clean_boilerplate,
                   CLEAN_BOILERPLATE_ORACLE,
                   "corpus-level line dedup (boilerplate removal)"),
-        QuerySpec("curation_pipeline", curation_pipeline, None,
-                  "composed end-to-end corpus curation (rows-only)"),
+        QuerySpec("curation_pipeline", curation_pipeline, CURATION_ORACLE,
+                  "composed end-to-end corpus curation (full-row hashed)"),
         QuerySpec("text_pii_redact", text_pii_redact, PII_ORACLE,
                   "PII masking (email/ssn/phone/card)"),
         QuerySpec("text_tfidf_top_terms", text_tfidf_top_terms, TFIDF_ORACLE,
                   "top-k TF-IDF terms per document"),
         QuerySpec("ann_brute_force_topk", ann_brute_force_topk, ANN_BRUTE_ORACLE,
                   "exact cosine top-k neighbors"),
-        QuerySpec("ann_ivf_topk", ann_ivf_topk, None,
-                  "IVF-bucketed approximate top-k (rows-only)"),
+        QuerySpec("ann_ivf_topk", ann_ivf_topk, ANN_IVF_ORACLE,
+                  "IVF approximate top-k, recall-verdict hashed"),
         QuerySpec("text_quality", text_quality, TEXT_QUALITY_ORACLE,
                   "quality features + composite score + BPE-ish tokens"),
         QuerySpec("text_lang_id", text_lang_id, LANG_ID_ORACLE,
