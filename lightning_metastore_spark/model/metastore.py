@@ -12,21 +12,20 @@ reference user:
     <dir>/.properties                               (namespace metadata)
 
 The reference supports HDFS/S3/local through Hadoop's FileSystem
-(`model/HdfsFileSystem.scala`); we use local-path I/O behind small
-helpers — at cluster scale the metastore lives on shared storage and
-every operation here is tiny driver-side metadata I/O (never executor
-work), so the engine's data-plane scalability is unaffected.
+(`model/HdfsFileSystem.scala:57`); all I/O here routes through the
+scheme-resolved shim in `model/fs.py`, so a warehouse of
+``s3://bucket/wh`` or ``hdfs://nn/wh`` works with the same code
+(pyarrow.fs clients). Every operation is tiny driver-side metadata
+I/O — never executor work — so the data plane is unaffected either way.
 """
 
 from __future__ import annotations
 
 import json
-import os
 import re
-import shutil
-from pathlib import Path
 from typing import Optional
 
+from lightning_metastore_spark.model.fs import get_filesystem
 from lightning_metastore_spark.model.serde import (
     DataSource,
     RegisteredTable,
@@ -49,7 +48,7 @@ def _check_name(name: str) -> str:
 
 
 class Metastore:
-    """Process-wide catalog state rooted at a warehouse directory.
+    """Process-wide catalog state rooted at a warehouse directory/URL.
 
     Mirrors the singleton `LightningModelFactory` pattern
     (`LightningModelFactory.scala:29-55`) without forcing global state —
@@ -57,100 +56,103 @@ class Metastore:
     """
 
     def __init__(self, warehouse: str):
-        self.warehouse = Path(warehouse)
-        (self.warehouse / DATASOURCE_ROOT).mkdir(parents=True, exist_ok=True)
-        (self.warehouse / METASTORE_ROOT).mkdir(parents=True, exist_ok=True)
+        self.warehouse = warehouse
+        self.fs, self.root = get_filesystem(warehouse)
+        self.fs.mkdirs(self.fs.join(self.root, DATASOURCE_ROOT))
+        self.fs.mkdirs(self.fs.join(self.root, METASTORE_ROOT))
 
     # -- namespaces ---------------------------------------------------------
 
-    def _root_dir(self, root: str) -> Path:
+    def _root_dir(self, root: str) -> str:
         if root not in (DATASOURCE_ROOT, METASTORE_ROOT):
             raise MetastoreError(
                 f"namespace must start with lightning.{DATASOURCE_ROOT} or "
                 f"lightning.{METASTORE_ROOT}, got {root!r}")
-        return self.warehouse / root
+        return self.fs.join(self.root, root)
 
-    def _ns_dir(self, root: str, ns: list[str]) -> Path:
+    def _ns_dir(self, root: str, ns: list[str]) -> str:
         d = self._root_dir(root)
         for part in ns:
-            d = d / _check_name(part)
+            d = self.fs.join(d, _check_name(part))
         return d
 
     def create_namespace(self, root: str, ns: list[str],
                          properties: Optional[dict] = None,
                          if_not_exists: bool = False) -> None:
         d = self._ns_dir(root, ns)
-        if d.exists():
+        if self.fs.exists(d):
             if if_not_exists:
                 return
             raise MetastoreError(f"namespace already exists: {'.'.join(ns)}")
-        d.mkdir(parents=True)
+        self.fs.mkdirs(d)
         if properties:
-            (d / ".properties").write_text(json.dumps(properties))
+            self.fs.write_text(self.fs.join(d, ".properties"),
+                               json.dumps(properties))
 
     def namespace_exists(self, root: str, ns: list[str]) -> bool:
-        return self._ns_dir(root, ns).is_dir()
+        return self.fs.is_dir(self._ns_dir(root, ns))
 
     def drop_namespace(self, root: str, ns: list[str], cascade: bool = False) -> None:
         d = self._ns_dir(root, ns)
-        if not d.is_dir():
+        if not self.fs.is_dir(d):
             raise MetastoreError(f"no such namespace: {'.'.join(ns)}")
-        if not cascade and any(d.iterdir()):
+        if not cascade and self.fs.listdir(d):
             raise MetastoreError(f"namespace not empty: {'.'.join(ns)}")
-        shutil.rmtree(d)
+        self.fs.rmtree(d)
 
     def list_namespaces(self, root: str, ns: list[str]) -> list[str]:
         d = self._ns_dir(root, ns)
-        if not d.is_dir():
+        if not self.fs.is_dir(d):
             return []
-        return sorted(p.name for p in d.iterdir()
-                      if p.is_dir() and not p.name.startswith("."))
+        return sorted(n for n in self.fs.listdir(d)
+                      if self.fs.is_dir(self.fs.join(d, n))
+                      and not n.startswith("."))
 
     def namespace_properties(self, root: str, ns: list[str]) -> dict:
-        p = self._ns_dir(root, ns) / ".properties"
-        return json.loads(p.read_text()) if p.exists() else {}
+        p = self.fs.join(self._ns_dir(root, ns), ".properties")
+        return json.loads(self.fs.read_text(p)) if self.fs.exists(p) else {}
 
     # -- datasources --------------------------------------------------------
 
-    def _ds_path(self, ns: list[str], name: str, is_file: bool) -> Path:
+    def _ds_path(self, ns: list[str], name: str, is_file: bool) -> str:
         suffix = "_fs.json" if is_file else "_ds.json"
-        return self._ns_dir(DATASOURCE_ROOT, ns) / f"{_check_name(name)}{suffix}"
+        return self.fs.join(self._ns_dir(DATASOURCE_ROOT, ns),
+                            f"{_check_name(name)}{suffix}")
 
     def save_datasource(self, ds: DataSource, replace: bool = False) -> None:
-        d = self._ns_dir(DATASOURCE_ROOT, ds.namespace)
-        d.mkdir(parents=True, exist_ok=True)
+        self.fs.mkdirs(self._ns_dir(DATASOURCE_ROOT, ds.namespace))
         path = self._ds_path(ds.namespace, ds.name, ds.is_file)
         other = self._ds_path(ds.namespace, ds.name, not ds.is_file)
-        if (path.exists() or other.exists()) and not replace:
+        if (self.fs.exists(path) or self.fs.exists(other)) and not replace:
             raise MetastoreError(
                 f"datasource already exists: {'.'.join(ds.namespace + [ds.name])}")
-        other.unlink(missing_ok=True)
-        path.write_text(ds.to_json())
+        self.fs.remove(other, missing_ok=True)
+        self.fs.write_text(path, ds.to_json())
 
     def load_datasource(self, ns: list[str], name: str) -> Optional[DataSource]:
         for is_file in (False, True):
             p = self._ds_path(ns, name, is_file)
-            if p.exists():
-                return DataSource.from_json(p.read_text())
+            if self.fs.exists(p):
+                return DataSource.from_json(self.fs.read_text(p))
         return None
 
     def list_datasources(self, ns: list[str]) -> list[str]:
         d = self._ns_dir(DATASOURCE_ROOT, ns)
-        if not d.is_dir():
+        if not self.fs.is_dir(d):
             return []
         out = []
-        for p in d.iterdir():
+        for n in self.fs.listdir(d):
             for sfx in ("_ds.json", "_fs.json"):
-                if p.name.endswith(sfx):
-                    out.append(p.name[: -len(sfx)])
+                if n.endswith(sfx):
+                    out.append(n[: -len(sfx)])
         return sorted(out)
 
     def drop_datasource(self, ns: list[str], name: str) -> None:
         found = False
         for is_file in (False, True):
             p = self._ds_path(ns, name, is_file)
-            if p.exists():
-                p.unlink()
+            if self.fs.exists(p):
+                self.fs.remove(p)
                 found = True
         if not found:
             raise MetastoreError(f"no such datasource: {'.'.join(ns + [name])}")
@@ -175,74 +177,84 @@ class Metastore:
 
     def save_table(self, t: RegisteredTable, replace: bool = False) -> None:
         d = self._ns_dir(METASTORE_ROOT, t.namespace)
-        d.mkdir(parents=True, exist_ok=True)
-        p = d / f"{_check_name(t.name)}_table.json"
-        if p.exists() and not replace:
+        self.fs.mkdirs(d)
+        p = self.fs.join(d, f"{_check_name(t.name)}_table.json")
+        if self.fs.exists(p) and not replace:
             raise MetastoreError(
                 f"table already registered: {'.'.join(t.namespace + [t.name])}")
-        p.write_text(t.to_json())
+        self.fs.write_text(p, t.to_json())
 
     def load_table(self, ns: list[str], name: str) -> Optional[RegisteredTable]:
-        p = self._ns_dir(METASTORE_ROOT, ns) / f"{_check_name(name)}_table.json"
-        return RegisteredTable.from_json(p.read_text()) if p.exists() else None
+        p = self.fs.join(self._ns_dir(METASTORE_ROOT, ns),
+                         f"{_check_name(name)}_table.json")
+        if not self.fs.exists(p):
+            return None
+        return RegisteredTable.from_json(self.fs.read_text(p))
 
     def list_tables(self, ns: list[str]) -> list[str]:
         d = self._ns_dir(METASTORE_ROOT, ns)
-        if not d.is_dir():
+        if not self.fs.is_dir(d):
             return []
-        return sorted(p.name[: -len("_table.json")] for p in d.iterdir()
-                      if p.name.endswith("_table.json"))
+        return sorted(n[: -len("_table.json")] for n in self.fs.listdir(d)
+                      if n.endswith("_table.json"))
 
     def drop_table(self, ns: list[str], name: str) -> None:
-        p = self._ns_dir(METASTORE_ROOT, ns) / f"{_check_name(name)}_table.json"
-        if not p.exists():
+        p = self.fs.join(self._ns_dir(METASTORE_ROOT, ns),
+                         f"{_check_name(name)}_table.json")
+        if not self.fs.exists(p):
             raise MetastoreError(f"no such table: {'.'.join(ns + [name])}")
-        p.unlink()
+        self.fs.remove(p)
 
     # -- USL ----------------------------------------------------------------
 
     def save_usl(self, usl: UnifiedSemanticLayer, replace: bool = False) -> None:
         d = self._ns_dir(METASTORE_ROOT, usl.namespace)
-        d.mkdir(parents=True, exist_ok=True)
-        p = d / f"{_check_name(usl.name)}_usl.json"
-        if p.exists() and not replace:
+        self.fs.mkdirs(d)
+        p = self.fs.join(d, f"{_check_name(usl.name)}_usl.json")
+        if self.fs.exists(p) and not replace:
             raise MetastoreError(
                 f"USL already exists: {'.'.join(usl.namespace + [usl.name])}")
-        p.write_text(usl.to_json())
+        self.fs.write_text(p, usl.to_json())
 
     def load_usl(self, ns: list[str], name: str) -> Optional[UnifiedSemanticLayer]:
-        p = self._ns_dir(METASTORE_ROOT, ns) / f"{_check_name(name)}_usl.json"
-        return UnifiedSemanticLayer.from_json(p.read_text()) if p.exists() else None
+        p = self.fs.join(self._ns_dir(METASTORE_ROOT, ns),
+                         f"{_check_name(name)}_usl.json")
+        if not self.fs.exists(p):
+            return None
+        return UnifiedSemanticLayer.from_json(self.fs.read_text(p))
 
     def list_usls(self, ns: list[str]) -> list[str]:
         d = self._ns_dir(METASTORE_ROOT, ns)
-        if not d.is_dir():
+        if not self.fs.is_dir(d):
             return []
-        return sorted(p.name[: -len("_usl.json")] for p in d.iterdir()
-                      if p.name.endswith("_usl.json"))
+        return sorted(n[: -len("_usl.json")] for n in self.fs.listdir(d)
+                      if n.endswith("_usl.json"))
 
     def remove_usl(self, ns: list[str], name: str) -> None:
         d = self._ns_dir(METASTORE_ROOT, ns)
-        p = d / f"{_check_name(name)}_usl.json"
-        if not p.exists():
+        p = self.fs.join(d, f"{_check_name(name)}_usl.json")
+        if not self.fs.exists(p):
             raise MetastoreError(f"no such USL: {'.'.join(ns + [name])}")
-        p.unlink()
-        act_dir = d / f".{name}"
-        if act_dir.is_dir():
-            shutil.rmtree(act_dir)
+        self.fs.remove(p)
+        act_dir = self.fs.join(d, f".{name}")
+        if self.fs.is_dir(act_dir):
+            self.fs.rmtree(act_dir)
 
     # -- USL activation queries (`<ns>/.<usl>/<table>_activation_query.json`)
 
     def save_activation(self, ns: list[str], usl: str, table: str,
                         query: str) -> None:
-        d = self._ns_dir(METASTORE_ROOT, ns) / f".{_check_name(usl)}"
-        d.mkdir(parents=True, exist_ok=True)
-        (d / f"{_check_name(table)}_activation_query.json").write_text(
+        d = self.fs.join(self._ns_dir(METASTORE_ROOT, ns),
+                         f".{_check_name(usl)}")
+        self.fs.mkdirs(d)
+        self.fs.write_text(
+            self.fs.join(d, f"{_check_name(table)}_activation_query.json"),
             json.dumps({"table": table, "query": query}))
 
     def load_activation(self, ns: list[str], usl: str, table: str) -> Optional[str]:
-        p = (self._ns_dir(METASTORE_ROOT, ns) / f".{_check_name(usl)}"
-             / f"{_check_name(table)}_activation_query.json")
-        if not p.exists():
+        p = self.fs.join(self._ns_dir(METASTORE_ROOT, ns),
+                         f".{_check_name(usl)}",
+                         f"{_check_name(table)}_activation_query.json")
+        if not self.fs.exists(p):
             return None
-        return json.loads(p.read_text())["query"]
+        return json.loads(self.fs.read_text(p))["query"]

@@ -636,15 +636,26 @@ class UpdateFileTags(Command):
         n = updates.count()
 
         def write_sidecars(rows) -> None:
+            # executor-side: resolve the filesystem from each row's path
+            # URL (model/fs.py shim — file:/s3:/hdfs: all valid); cache
+            # one client per scheme so object-store clients are built
+            # once per partition, not per row
+            from lightning_metastore_spark.model.fs import (
+                get_filesystem,
+                split_url,
+            )
+
+            by_scheme: dict = {}
             for r in rows:
-                p = r.path
-                if p.startswith("file:"):
-                    p = p[len("file:"):]
+                scheme, p = split_url(r.path)
+                if scheme not in by_scheme:
+                    by_scheme[scheme] = get_filesystem(r.path)[0]
+                fs = by_scheme[scheme]
                 d = r.t.asDict(recursive=True)
                 clean = {k: (str(v) if hasattr(v, "isoformat") else v)
                          for k, v in d.items() if v is not None}
-                with open(p + ".tag", "w") as fh:
-                    fh.write(_json.dumps(clean, sort_keys=True, default=str))
+                fs.write_text(p + ".tag",
+                              _json.dumps(clean, sort_keys=True, default=str))
 
         updates.foreachPartition(write_sidecars)
         updates.unpersist()

@@ -37,7 +37,6 @@ import io
 import json
 import os
 import re
-import shutil
 import struct
 from typing import Iterator, Optional
 
@@ -261,6 +260,18 @@ class UnstructuredCatalogUnit(CatalogUnit):
     def scan_type(self) -> str:
         return self.ds.options.get("scan_type", "file_scan")
 
+    def _root_uri_regex(self) -> str:
+        """Regex matching this table's root as binaryFile reports it in
+        the `path` column, scheme-agnostic: `file:/abs/x`, `s3a://b/x`,
+        `hdfs://nn/x` all match. Local relative roots are absolutized
+        (binaryFile always reports absolute URIs)."""
+        from lightning_metastore_spark.model.fs import split_url
+
+        scheme, p = split_url(self.path)
+        if scheme in ("", "file"):
+            p = os.path.abspath(p)
+        return r"[A-Za-z][A-Za-z0-9+.\-]*:/{0,2}" + re.escape(p.rstrip("/"))
+
     def _binary_df(self, spark: SparkSession) -> DataFrame:
         glob = self.ds.options.get("glob", DEFAULT_GLOBS[self.ds.source_type])
         reader = (spark.read.format("binaryFile")
@@ -268,16 +279,17 @@ class UnstructuredCatalogUnit(CatalogUnit):
         mode = self.scan_type
         if mode == "recursive_scan":
             df = reader.option("recursiveFileLookup", "true").load(self.path)
-            root = re.escape("file:" + os.path.abspath(self.path))
             df = df.withColumn(
                 "subdir",
-                F.regexp_extract("path", root + r"/(?:(.*)/)?[^/]+$", 1))
+                F.regexp_extract("path",
+                                 self._root_uri_regex() + r"/(?:(.*)/)?[^/]+$",
+                                 1))
         elif mode == "parts_scan":
             df = reader.load(self.path)  # Hive partition discovery on
         else:  # file_scan — leaf files of the root dir only
             df = reader.option("recursiveFileLookup", "true").load(self.path)
-            root = re.escape("file:" + os.path.abspath(self.path))
-            df = df.filter(F.col("path").rlike(root + r"/[^/]+$"))
+            df = df.filter(F.col("path").rlike(self._root_uri_regex()
+                                               + r"/[^/]+$"))
         return df
 
     # -- table loading ------------------------------------------------------
@@ -442,8 +454,9 @@ class UnstructuredCatalogUnit(CatalogUnit):
         Crash safety: new files are fully written into a hidden staging
         directory first; only after every partition has succeeded does
         the commit run — and it renames the staged files into place
-        FIRST (per-file-atomic ``os.replace``, which atomically
-        overwrites a same-path stale file), and only then deletes the
+        FIRST (``fs.replace``: an atomic POSIX rename locally / HDFS,
+        copy+delete on object stores — either way it lands the new file
+        over a same-path stale one), and only then deletes the
         remaining stale files that had no replacement. A failure
         mid-write leaves the table untouched, and a failure mid-commit
         can only leave extra old files behind — there is no window
@@ -457,15 +470,23 @@ class UnstructuredCatalogUnit(CatalogUnit):
         cleanup mirrors the datasource's scan mode (recursive/parts
         scans walk subdirs, a file_scan only clears the top level) and
         skips anything that is not a regular file (glob '*' also
-        matches directories)."""
+        matches directories).
+
+        All I/O routes through model/fs.py (HdfsFileSystem.scala:57
+        parity): the table root may be file://, s3://, hdfs://...
+        Executors resolve the filesystem INSIDE the partition closure
+        from the URL string — no FS handle is pickled."""
         import fnmatch
         import uuid
+
+        from lightning_metastore_spark.model.fs import get_filesystem
 
         st = self.ds.source_type
         content_col = {"PDF": "bincontent", "TEXT": "textcontent",
                        "IMAGE": "imagecontent", "VIDEO": "videocontent",
                        "UNSTRUCTURED": "bincontent"}[st]
-        root = self.path
+        root_url = self.path
+        fs, root = get_filesystem(root_url)
         is_text = st == "TEXT"
         if mode not in ("append", "overwrite"):
             raise CatalogUnitError(
@@ -475,11 +496,9 @@ class UnstructuredCatalogUnit(CatalogUnit):
             # sweep .staging-* litter from hard-killed prior runs (their
             # finally never ran); nothing live can be in them — a live
             # staging dir only exists inside this method's own lifetime
-            if os.path.isdir(root):
-                for entry in os.listdir(root):
-                    if entry.startswith(".staging-"):
-                        shutil.rmtree(os.path.join(root, entry),
-                                      ignore_errors=True)
+            for entry in fs.listdir(root):
+                if entry.startswith(".staging-"):
+                    fs.rmtree(fs.join(root, entry), ignore_errors=True)
             # materialize BEFORE deleting: the rows may be derived from
             # the very files we are about to remove
             df = df.localCheckpoint(eager=True)
@@ -489,78 +508,89 @@ class UnstructuredCatalogUnit(CatalogUnit):
             pats = ([f"{m.group(1)}{alt}{m.group(3)}"
                      for alt in m.group(2).split(",")] if m else [pattern])
             recursive = self.scan_type in ("recursive_scan", "parts_scan")
-            if os.path.isdir(root):
-                for dirpath, dirnames, filenames in os.walk(root):
-                    dirnames[:] = [d for d in dirnames
-                                   if not d.startswith(".staging-")]
-                    for fn in filenames:
-                        if any(fnmatch.fnmatch(fn, p) for p in pats):
-                            stale.append(os.path.join(dirpath, fn))
-                    if not recursive:
-                        break  # file_scan reads top-level files only
+            for dirpath, dirnames, filenames in fs.walk(root):
+                dirnames[:] = [d for d in dirnames
+                               if not d.startswith(".staging-")]
+                for fn in filenames:
+                    if any(fnmatch.fnmatch(fn, p) for p in pats):
+                        stale.append(fs.join(dirpath, fn))
+                if not recursive:
+                    break  # file_scan reads top-level files only
         tw = int(self.ds.options.get(THUMB_W_OPT, DEFAULT_THUMB))
         th = int(self.ds.options.get(THUMB_H_OPT, DEFAULT_THUMB))
         emit_thumb = st == "IMAGE"
-        staging = os.path.join(root, f".staging-{uuid.uuid4().hex}")
-        os.makedirs(staging, exist_ok=True)
-
-        def thumb_twin_path(out: str) -> str:
-            stem, ext = os.path.splitext(out)
-            return f"{stem}_thumbnail{ext}" if ext else out + "_thumbnail"
-
-        abs_root = os.path.abspath(root)
-
-        def staged_name(path: str) -> str:
-            # key by path-relative-to-root so same-named files in
-            # different subdirs of a recursive table don't collide in
-            # staging and get restored into their original subdirs;
-            # paths outside the root (new rows named by bare filename)
-            # fall back to basename at the top level
-            ap = os.path.abspath(str(path))
-            if ap.startswith(abs_root + os.sep):
-                return os.path.relpath(ap, abs_root)
-            return os.path.basename(str(path))
+        staging_name = f".staging-{uuid.uuid4().hex}"
+        staging = fs.join(root, staging_name)
+        fs.mkdirs(staging)
 
         def write_partition(rows) -> None:
+            # runs on EXECUTORS: resolve the filesystem from the URL
+            # string here (never pickle a driver-side handle)
+            import posixpath
+
+            from lightning_metastore_spark.model.fs import (
+                get_filesystem,
+                split_url,
+            )
+
+            pfs, proot = get_filesystem(root_url)
+            pstaging = pfs.join(proot, staging_name)
+            rootn = posixpath.normpath(proot)
+
+            def staged_name(path: str) -> str:
+                # key by path-relative-to-root so same-named files in
+                # different subdirs of a recursive table don't collide
+                # in staging and get restored into their original
+                # subdirs; paths outside the root (new rows named by a
+                # bare filename) fall back to basename at the top level
+                p = posixpath.normpath(split_url(str(path))[1])
+                if p.startswith(rootn + "/"):
+                    return posixpath.relpath(p, rootn)
+                return posixpath.basename(p)
+
+            def thumb_twin_path(out: str) -> str:
+                stem, ext = os.path.splitext(out)
+                return f"{stem}_thumbnail{ext}" if ext else out + "_thumbnail"
+
             for r in rows:
                 d = r.asDict()
                 name = staged_name(d["path"])
                 data = d[content_col]
-                out = os.path.join(staging, name)
-                os.makedirs(os.path.dirname(out), exist_ok=True)
-                with open(out, "w" if is_text else "wb") as fh:
-                    fh.write(data)
+                out = pfs.join(pstaging, name)
+                pfs.write_bytes(out, data.encode("utf-8") if is_text
+                                else bytes(data))
                 if emit_thumb:
                     # prefer a provided imagethumbnail column, else build
                     thumb = d.get("imagethumbnail") or image_thumbnail(
                         bytes(data), tw, th)
                     if thumb:
-                        with open(thumb_twin_path(out), "wb") as fh:
-                            fh.write(bytes(thumb))
+                        pfs.write_bytes(thumb_twin_path(out), bytes(thumb))
 
         try:
             df.foreachPartition(write_partition)
         except Exception:
             # nothing committed yet — the staged partial output is
             # garbage, the table is untouched; clean up and re-raise
-            shutil.rmtree(staging, ignore_errors=True)
+            fs.rmtree(staging, ignore_errors=True)
             raise
         # every partition succeeded: commit. Order matters for crash
-        # safety — restore staged files FIRST (os.replace atomically
-        # overwrites a same-path stale file), THEN delete the stale
+        # safety — restore staged files FIRST (fs.replace lands the new
+        # file over a same-path stale one), THEN delete the stale
         # leftovers that had no replacement, THEN drop the (now empty)
         # staging dir. A crash anywhere in this sequence can only leave
         # extra old files behind, never lose the new data.
         restored: set[str] = set()
-        for dirpath, _dirnames, filenames in os.walk(staging):
+        for dirpath, _dirnames, filenames in fs.walk(staging):
             for fn in filenames:
-                src = os.path.join(dirpath, fn)
-                rel = os.path.relpath(src, staging)
-                dst = os.path.join(root, rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.replace(src, dst)
-                restored.add(os.path.abspath(dst))
+                src = fs.join(dirpath, fn)
+                rel = fs.relpath(src, staging)
+                dst = fs.join(root, rel)
+                parent = fs.parent(dst)
+                if parent:
+                    fs.mkdirs(parent)
+                fs.replace(src, dst)
+                restored.add(dst)
         for f in stale:
-            if os.path.abspath(f) not in restored and os.path.isfile(f):
-                os.remove(f)
-        shutil.rmtree(staging, ignore_errors=True)
+            if f not in restored and fs.is_file(f):
+                fs.remove(f)
+        fs.rmtree(staging, ignore_errors=True)
