@@ -5,6 +5,13 @@ JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
 Each query is timed to full materialization (collect). Session startup is
 excluded — the metric is query execution, matching how the reference (a
 Spark plugin) would be measured on a warm session.
+
+Runs every query $SPARK_GRAFT_BENCH_RUNS times (default 2): "queries"
+holds the FIRST run's sample (round-over-round comparable — same
+protocol as earlier rounds), "queries_min" the per-query minimum across
+runs, so a >20% swing can be adjudicated noise-vs-regression from one
+bench file (min stable => noise; min moved => real). "value" stays the
+first-run total.
 """
 
 from __future__ import annotations
@@ -35,15 +42,26 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
-    for name, build in ep.queries().items():
-        t0 = time.perf_counter()
-        try:
-            build(spark, sf_dir).collect()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # a failed query must not hide the rest
-            timings[name] = -1.0
-            print(f"bench error in {name}: {e}", file=sys.stderr)
+    timings_min: dict[str, float] = {}
+    for run in range(n_runs):
+        for name, build in ep.queries().items():
+            t0 = time.perf_counter()
+            try:
+                build(spark, sf_dir).collect()
+                t = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # a failed query must not hide the rest
+                t = -1.0
+                if run == 0:
+                    print(f"bench error in {name}: {e}", file=sys.stderr)
+            if run == 0:
+                timings[name] = t
+            prev = timings_min.get(name)
+            if t >= 0 and (prev is None or prev < 0 or t < prev):
+                timings_min[name] = t
+            elif prev is None:
+                timings_min[name] = t
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
 
@@ -77,6 +95,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
+        "runs": n_runs,
         "sf": sf,
     }
     if overhead:

@@ -620,13 +620,23 @@ def sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates exist to make sketch accuracy auditable in-query; a real
     100 TB profiling run drops them and keeps only the sketch columns."""
     t = load_tables(spark, sf_dir, ("events",))
-    prof = (t["events"]
-            .groupBy("event_type")
-            .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-                 F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_q"),
-                 F.count(F.lit(1)).alias("n"),
-                 F.countDistinct("user_id").alias("exact_users"),
-                 F.expr("percentile(value, array(0.5D, 0.95D))").alias("value_qe")))
+    ev = t["events"]
+    # two aggregations joined on the 5-row group key, NOT one combined
+    # agg: mixing countDistinct with non-distinct aggregates makes
+    # Catalyst plan an Expand (every input row duplicated per distinct
+    # group) — measured 5x slower at sf0.1. Two clean passes shuffle
+    # only per-group sketch state and join broadcast-small results.
+    sketches = (ev.groupBy("event_type")
+                .agg(F.approx_count_distinct("user_id", rsd=0.02)
+                     .alias("approx_users"),
+                     F.percentile_approx("value", [0.5, 0.95], 10000)
+                     .alias("value_q"),
+                     F.count(F.lit(1)).alias("n")))
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_users"),
+                  F.expr("percentile(value, array(0.5D, 0.95D))")
+                  .alias("value_qe")))
+    prof = sketches.join(exact, "event_type")
 
     def _close(approx, exact):
         return (F.abs(approx - exact)

@@ -8,9 +8,13 @@ here directly on the byte formats with only `zlib` + `struct`:
 
 - PDF text: FlateDecode content streams (zlib) interpreted for the text
   operators Tj / TJ / ' / " with Td/TD/T*/ET line breaks. Handles the
-  common simple-font case (Latin-1/WinAnsi byte strings + hex strings);
-  CID-keyed composite fonts come out as raw bytes — the documented
-  limit of a stdlib-only extractor. pypdf upgrades this when importable.
+  common simple-font case (Latin-1/WinAnsi byte strings + hex strings)
+  AND CID-keyed composite fonts via their /ToUnicode CMaps: the object
+  graph (including /ObjStm object streams) is walked to associate each
+  page-resource font name with its parsed bfchar/bfrange mapping, and
+  content-stream Tf operators switch the active decoder. Fonts without
+  a ToUnicode CMap (rare in text-bearing PDFs — it's what makes them
+  copy-paste-able) fall back to Latin-1. pypdf upgrades when importable.
 - Thumbnails: real decode for PNG (all 5 scanline filters, color types
   0/2/3/4/6 at bit depth 8), GIF (LZW, interlace), BMP (16/24/32-bit
   uncompressed) -> aspect-fit nearest-neighbor resize -> PNG encode.
@@ -103,35 +107,230 @@ _TOKEN_RE = re.compile(
     rb"|<([0-9A-Fa-f\s]*)>"          # 2: hex string
     rb"|\[((?:\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>|[^\]])*)\]\s*TJ"  # 3: TJ array
     rb"|(Tj|T\*|Td|TD|ET|')"         # 4: operators that matter
+    rb"|/([A-Za-z0-9_.+\-]+)\s+[0-9.+\-]+\s+Tf"  # 5: font selection
 )
 _ARRAY_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>")
 
 
-def _decode_pdf_string(lit: Optional[bytes], hexs: Optional[bytes]) -> str:
+def _string_bytes(lit: Optional[bytes], hexs: Optional[bytes]) -> bytes:
+    """Raw byte content of a PDF string token (escapes / hex resolved).
+    Decoding to text happens AFTER, per the active font's CMap."""
     if lit is not None:
-        return _pdf_unescape(lit).decode("latin-1", "ignore")
+        return _pdf_unescape(lit)
     hexs = re.sub(rb"\s", b"", hexs or b"")
     if len(hexs) % 2:
         hexs += b"0"
-    return bytes.fromhex(hexs.decode("ascii", "ignore")).decode("latin-1", "ignore")
+    return bytes.fromhex(hexs.decode("ascii", "ignore"))
 
 
-def extract_stream_text(stream: bytes) -> str:
+class ToUnicodeCMap:
+    """Parsed /ToUnicode CMap: code bytes -> unicode text.
+
+    bfchar entries live in ``single``; bfrange entries stay unexpanded
+    in ``ranges`` (a <0000><FFFF> range would explode a dict) and are
+    resolved arithmetically at decode time. ``lengths`` holds the code
+    byte widths from codespacerange (composite fonts: almost always 2)."""
+
+    def __init__(self) -> None:
+        self.single: dict[bytes, str] = {}
+        # (lo_int, hi_int, code_len, base_text) — base's last UTF-16
+        # unit increments with the offset, per the CMap spec
+        self.ranges: list[tuple[int, int, int, str]] = []
+        self.lengths: set[int] = set()
+
+    def _lens(self) -> list[int]:
+        return sorted(self.lengths or {2}, reverse=True)
+
+    def decode(self, raw: bytes) -> str:
+        out: list[str] = []
+        lens = self._lens()
+        i, n = 0, len(raw)
+        while i < n:
+            for ln in lens:
+                seg = raw[i:i + ln]
+                if len(seg) < ln:
+                    continue
+                hit = self.single.get(seg)
+                if hit is not None:
+                    out.append(hit)
+                    i += ln
+                    break
+                code = int.from_bytes(seg, "big")
+                for lo, hi, rln, base in self.ranges:
+                    if rln == ln and lo <= code <= hi:
+                        if base:
+                            out.append(base[:-1]
+                                       + chr(ord(base[-1]) + code - lo))
+                        i += ln
+                        break
+                else:
+                    continue
+                break
+            else:
+                i += min(lens)  # unmapped code: skip, emit nothing
+        return "".join(out)
+
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CODESPACE_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.S)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_RANGE3_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+    rb"(?:<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>)*)\s*\])")
+_HEX1_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _utf16_text(hexs: bytes) -> str:
+    raw = bytes.fromhex(hexs.decode("ascii"))
+    return raw.decode("utf-16-be", "ignore")
+
+
+def parse_tounicode(raw: bytes) -> Optional[ToUnicodeCMap]:
+    """Parse a ToUnicode CMap stream body (bfchar / bfrange /
+    codespacerange sections). Returns None for an empty mapping."""
+    cm = ToUnicodeCMap()
+    for m in _CODESPACE_RE.finditer(raw):
+        for lo, _hi in _HEXPAIR_RE.findall(m.group(1)):
+            cm.lengths.add(len(lo) // 2)
+    for m in _BFCHAR_RE.finditer(raw):
+        for src, dst in _HEXPAIR_RE.findall(m.group(1)):
+            cm.single[bytes.fromhex(src.decode("ascii"))] = _utf16_text(dst)
+            cm.lengths.add(len(src) // 2)
+    for m in _BFRANGE_RE.finditer(raw):
+        for lo, hi, base, arr in _RANGE3_RE.findall(m.group(1)):
+            code_len = len(lo) // 2
+            cm.lengths.add(code_len)
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if arr:  # [<d1> <d2> ...] — one dst per consecutive code
+                for off, d in enumerate(_HEX1_RE.findall(arr)):
+                    code = lo_i + off
+                    if code > hi_i:
+                        break
+                    cm.single[code.to_bytes(code_len, "big")] = _utf16_text(d)
+            else:
+                cm.ranges.append((lo_i, hi_i, code_len, _utf16_text(base)))
+    return cm if (cm.single or cm.ranges) else None
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
+_STREAMBODY_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.S)
+
+
+def _obj_stream_body(body: bytes) -> Optional[bytes]:
+    """Stream payload of one object body, FlateDecode'd if declared."""
+    m = _STREAMBODY_RE.search(body)
+    if not m:
+        return None
+    start = m.end()
+    end = body.find(b"endstream", start)
+    if end < 0:
+        return None
+    payload = body[start:end].rstrip(b"\r\n")
+    if b"/FlateDecode" in m.group(1):
+        try:
+            return zlib.decompress(payload)
+        except Exception:
+            return None
+    return payload
+
+
+def _pdf_objects(data: bytes) -> dict[int, bytes]:
+    """num -> object body, including objects packed in /ObjStm object
+    streams (header of num/offset int pairs, bodies after /First)."""
+    objs: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(data):
+        objs[int(m.group(1))] = m.group(2)
+    for body in list(objs.values()):
+        head = body.split(b"stream", 1)[0]
+        if b"/ObjStm" not in head:
+            continue
+        inner = _obj_stream_body(body)
+        nm = re.search(rb"/N\s+(\d+)", head)
+        fm = re.search(rb"/First\s+(\d+)", head)
+        if inner is None or not nm or not fm:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        try:
+            header = [int(x) for x in inner[:first].split()]
+        except ValueError:
+            continue
+        for k in range(n):
+            if 2 * k + 1 >= len(header):
+                break
+            num, off = header[2 * k], header[2 * k + 1]
+            end = (first + header[2 * k + 3]
+                   if 2 * k + 3 < len(header) else len(inner))
+            objs.setdefault(num, inner[first + off:end])
+    return objs
+
+
+def pdf_font_cmaps(data: bytes) -> dict[bytes, ToUnicodeCMap]:
+    """Resource font name (e.g. b'F1') -> parsed ToUnicode CMap.
+
+    Walks every /Font resource dict in the object graph and resolves
+    each font's /ToUnicode stream. Names are merged document-wide (the
+    per-page association a full xref walk would give matters only when
+    two pages bind the same name to different fonts — vanishingly rare
+    and self-inflicted)."""
+    try:
+        objs = _pdf_objects(data)
+    except Exception:
+        return {}
+    cmap_cache: dict[int, Optional[ToUnicodeCMap]] = {}
+    fonts: dict[bytes, ToUnicodeCMap] = {}
+    for body in objs.values():
+        for fm in re.finditer(rb"/Font\s*<<(.*?)>>", body, re.S):
+            for name, ref in re.findall(
+                    rb"/([A-Za-z0-9_.+\-]+)\s+(\d+)\s+\d+\s+R", fm.group(1)):
+                fontobj = objs.get(int(ref))
+                if fontobj is None:
+                    continue
+                tu = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fontobj)
+                if not tu:
+                    continue
+                cnum = int(tu.group(1))
+                if cnum not in cmap_cache:
+                    sb = _obj_stream_body(objs.get(cnum, b""))
+                    cmap_cache[cnum] = (parse_tounicode(sb)
+                                        if sb is not None else None)
+                cm = cmap_cache[cnum]
+                if cm is not None:
+                    fonts[name] = cm
+    return fonts
+
+
+def extract_stream_text(stream: bytes,
+                        fonts: Optional[dict[bytes, ToUnicodeCMap]] = None) -> str:
     """Interpret the text-showing operators of one content stream:
     strings followed by Tj / ' , TJ arrays (glyph-kerning numbers
-    dropped), and newlines for Td/TD/T*/ET positioning ops."""
+    dropped), newlines for Td/TD/T*/ET positioning ops, and Tf font
+    switches driving CMap decoding for composite fonts."""
     parts: list[str] = []
     pending: Optional[str] = None
+    cmap: Optional[ToUnicodeCMap] = None
+
+    def _decode(lit: Optional[bytes], hexs: Optional[bytes]) -> str:
+        raw = _string_bytes(lit, hexs)
+        if cmap is not None:
+            return cmap.decode(raw)
+        return raw.decode("latin-1", "ignore")
+
     for m in _TOKEN_RE.finditer(stream):
-        lit, hexs, arr, op = m.groups()
-        if arr is not None:  # [ ... ] TJ
-            seg = "".join(_decode_pdf_string(a, b)
+        lit, hexs, arr, op, fontname = m.groups()
+        if fontname is not None:
+            cmap = (fonts or {}).get(fontname)
+            pending = None
+        elif arr is not None:  # [ ... ] TJ
+            # findall yields b'' (not None) for the unmatched alternative:
+            # a non-empty b means the hex branch matched
+            seg = "".join(_decode(None, b) if b else _decode(a, None)
                           for a, b in _ARRAY_STR_RE.findall(arr))
             if seg:
                 parts.append(seg)
             pending = None
         elif lit is not None or hexs is not None:
-            pending = _decode_pdf_string(lit, hexs)
+            pending = _decode(lit, hexs)
         elif op in (b"Tj", b"'"):
             if pending is not None:
                 if op == b"'":
@@ -146,14 +345,16 @@ def extract_stream_text(stream: bytes) -> str:
 
 
 def pdf_text_flate(data: bytes, max_chars: int) -> str:
-    """Full-document text via the FlateDecode interpreter. Returns ''
-    when no text operators are found (caller falls back)."""
+    """Full-document text via the FlateDecode interpreter (composite
+    fonts decoded through their ToUnicode CMaps). Returns '' when no
+    text operators are found (caller falls back)."""
+    fonts = pdf_font_cmaps(data)
     out: list[str] = []
     total = 0
     for stream in pdf_content_streams(data):
         if b"Tj" not in stream and b"TJ" not in stream and b"'" not in stream:
             continue
-        t = extract_stream_text(stream)
+        t = extract_stream_text(stream, fonts)
         if t.strip():
             out.append(t)
             total += len(t)

@@ -190,6 +190,94 @@ def test_pdf_hex_and_escapes():
     assert "Hi hex!" in text
 
 
+_CMAP_BODY = b"""/CIDInit /ProcSet findresource begin
+begincmap
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+3 beginbfchar
+<0001> <0048>
+<0002> <0069>
+<0005> <D83DDE00>
+endbfchar
+2 beginbfrange
+<0010> <0019> <0030>
+<0020> <0022> [<0058> <0059> <005A>]
+endbfrange
+endcmap
+CMapName currentdict /CMap defineresource pop
+end end"""
+
+
+def make_cid_pdf(content: bytes, objstm: bool = False) -> bytes:
+    """PDF whose page font is a CID-keyed Type0 composite font with a
+    /ToUnicode CMap — the case PDFBox handles via its CMap parser
+    (pdf/PdfReaderFactory.scala:52-67) and a byte-level extractor must
+    resolve through bfchar/bfrange. With objstm=True the page + font
+    dicts are packed into an /ObjStm object stream (the modern
+    compressed-xref layout)."""
+    comp = zlib.compress(content)
+    cmap_comp = zlib.compress(_CMAP_BODY)
+    page = b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R " \
+           b"/Resources << /Font << /F7 5 0 R >> >> >>"
+    font = b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H " \
+           b"/Encoding /Identity-H /ToUnicode 6 0 R >>"
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+        b"4 0 obj << /Length " + str(len(comp)).encode()
+        + b" /Filter /FlateDecode >> stream\n" + comp
+        + b"\nendstream endobj\n",
+        b"6 0 obj << /Length " + str(len(cmap_comp)).encode()
+        + b" /Filter /FlateDecode >> stream\n" + cmap_comp
+        + b"\nendstream endobj\n",
+    ]
+    if objstm:
+        inner = b"3 0 5 " + str(len(page) + 1).encode() + b" " \
+                + page + b"\n" + font
+        first = len(b"3 0 5 999 ")  # recompute precisely below
+        header = b"3 0 5 " + str(len(page) + 1).encode() + b" "
+        first = len(header)
+        stm = zlib.compress(inner)
+        objs.append(
+            b"7 0 obj << /Type /ObjStm /N 2 /First " + str(first).encode()
+            + b" /Length " + str(len(stm)).encode()
+            + b" /Filter /FlateDecode >> stream\n" + stm
+            + b"\nendstream endobj\n")
+    else:
+        objs.insert(2, b"3 0 obj " + page + b" endobj\n")
+        objs.insert(3, b"5 0 obj " + font + b" endobj\n")
+    return b"%PDF-1.5\n" + b"".join(objs) + b"%%EOF\n"
+
+
+def test_pdf_cid_font_tounicode():
+    """CID 2-byte codes resolve through bfchar (incl. a surrogate-pair
+    emoji dst), a contiguous bfrange, and an array bfrange."""
+    content = (b"BT /F7 12 Tf <00010002> Tj T* "
+               b"<001000110019> Tj <002000210022> Tj <0005> Tj ET")
+    text = codecs.pdf_text_flate(make_cid_pdf(content), 1000)
+    assert "Hi" in text
+    assert "019" in text          # bfrange <0010>-><0030> ('0'), 1, 9
+    assert "XYZ" in text          # array-form bfrange
+    assert "\U0001f600" in text   # UTF-16 surrogate pair dst
+
+
+def test_pdf_cid_font_in_objstm():
+    """Same, with page+font dicts packed in an /ObjStm object stream."""
+    content = b"BT /F7 9 Tf [<0001> -120 <0002>] TJ ET"
+    text = codecs.pdf_text_flate(make_cid_pdf(content, objstm=True), 1000)
+    assert "Hi" in text
+
+
+def test_pdf_mixed_simple_and_cid_fonts():
+    """A Tf switch back to a simple (no-ToUnicode) font must return to
+    Latin-1 decoding mid-stream."""
+    content = (b"BT /F7 12 Tf <00010002> Tj "
+               b"/F1 12 Tf (plain latin) Tj ET")
+    text = codecs.pdf_text_flate(make_cid_pdf(content), 1000)
+    assert "Hi" in text and "plain latin" in text
+
+
 def test_png_roundtrip_and_all_filters():
     rows = gradient_rows(20, 11)
     enc = codecs.png_encode(20, 11, rows)
