@@ -13,6 +13,7 @@ code, exactly like the reference delegates to Spark's own tables.
 from __future__ import annotations
 
 import os
+import re
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -198,9 +199,70 @@ class JDBCCatalogUnit(CatalogUnit):
 
     def write_table(self, df: DataFrame, residual: list[str],
                     mode: str = "append") -> None:
+        """append: plain JDBC batch insert. overwrite: STAGED
+        transactional swap — Spark's own jdbc overwrite drops and
+        recreates the table (losing constraints) and commits per
+        partition-batch, so a mid-write failure leaves a half-empty
+        target. Instead the rows land in a staging table first
+        (executor-parallel, off the target), then one driver-side JDBC
+        transaction does DELETE target + INSERT ... SELECT from
+        staging: readers see the old rows or the new rows, never a
+        partial state. This is the MERGE INTO commit path for JDBC
+        targets (the reference supports MERGE only through Iceberg —
+        doc/etl_in_iceberg_lakehouse.md; a warehouse-grade RDBMS target
+        deserves the same atomicity)."""
         opts = self._jdbc_opts()
+        table = ".".join(residual)
+        if mode != "overwrite":
+            df.write.format("jdbc").options(**opts) \
+                .option("dbtable", table).mode(mode).save()
+            return
+        import uuid
+
+        stg = ".".join(residual[:-1]
+                       + [f"{residual[-1]}_stg_{uuid.uuid4().hex[:8]}"])
         df.write.format("jdbc").options(**opts) \
-            .option("dbtable", ".".join(residual)).mode(mode).save()
+            .option("dbtable", stg).mode("overwrite").save()
+        cols = ", ".join(self._sql_ident(c) for c in df.columns)
+        spark = df.sparkSession
+        jvm = spark.sparkContext._jvm
+        props = jvm.java.util.Properties()
+        for k in ("user", "password"):
+            if k in opts:
+                props.setProperty(k, opts[k])
+        conn = jvm.java.sql.DriverManager.getConnection(opts["url"], props)
+        try:
+            conn.setAutoCommit(False)
+            st = conn.createStatement()
+            try:
+                st.executeUpdate(f"DELETE FROM {table}")
+                st.executeUpdate(f"INSERT INTO {table} ({cols}) "
+                                 f"SELECT {cols} FROM {stg}")
+                conn.commit()
+            except Exception:
+                conn.rollback()
+                raise
+            finally:
+                # staging cleanup is best-effort and outside the swap
+                # transaction — a leftover staging table is litter, not
+                # corruption
+                try:
+                    st.executeUpdate(f"DROP TABLE {stg}")
+                    conn.commit()
+                except Exception:
+                    pass
+                st.close()
+        finally:
+            conn.close()
+
+    @staticmethod
+    def _sql_ident(name: str) -> str:
+        """Bare identifiers pass through (the engine's case folding then
+        matches however the table was created); anything else is quoted
+        with doubled-quote escaping."""
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            return name
+        return '"' + name.replace('"', '""') + '"'
 
 
 class DeltaCatalogUnit(CatalogUnit):

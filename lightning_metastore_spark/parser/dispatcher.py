@@ -502,19 +502,25 @@ class MergeInto(Command):
             keep = keep | matched
         if self.insert_all or self.insert_cols:
             keep = keep | s_only
+        # column matching is case-insensitive, like Spark's own analyzer
+        # (a Derby/Snowflake target reports ID/NAME while the source and
+        # SET clauses usually say id/name)
+        s_cols_ci = {c.lower(): c for c in s_base.columns}
+        update_ci = {k.lower(): v for k, v in (self.update_set or {}).items()}
+        insert_ci = ({c.lower(): i for i, c in enumerate(self.insert_cols)}
+                     if self.insert_cols else {})
         out_cols = []
         for c in target_cols:
             t_val = F.col(f"{ta}.`{c}`")
             if self.update_set and not self.matched_delete:
-                upd = F.expr(self.update_set.get(c, f"{ta}.`{c}`"))
-                m_val = upd
+                m_val = F.expr(update_ci.get(c.lower(), f"{ta}.`{c}`"))
             else:
                 m_val = t_val
             if self.insert_all:
-                i_val = F.col(f"{sa}.`{c}`") if c in s_base.columns \
-                    else F.lit(None)
-            elif self.insert_cols and c in self.insert_cols:
-                i_val = F.expr(self.insert_values[self.insert_cols.index(c)])
+                sc = s_cols_ci.get(c.lower())
+                i_val = F.col(f"{sa}.`{sc}`") if sc else F.lit(None)
+            elif self.insert_cols and c.lower() in insert_ci:
+                i_val = F.expr(self.insert_values[insert_ci[c.lower()]])
             else:
                 i_val = F.lit(None)
             out_cols.append(

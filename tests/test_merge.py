@@ -157,3 +157,88 @@ def test_insert_overwrite_self_read(ctx):
         SELECT id, name, amount * 2 AS amount
         FROM lightning.datasource.file.db.accounts WHERE id <= 2""")
     assert _rows(ctx) == {1: ("a", 20.0), 2: ("b", 40.0)}
+
+
+@pytest.fixture()
+def derby_ctx(spark, tmp_path):
+    """MERGE target inside embedded Derby: the staged-transactional
+    JDBC overwrite path (the reference supports MERGE only through
+    Iceberg — this extends it to warehouse RDBMS targets)."""
+    db = str(tmp_path / "mergedb")
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(
+        f"jdbc:derby:{db};create=true")
+    st = conn.createStatement()
+    st.execute("CREATE TABLE accounts "
+               "(id INT PRIMARY KEY, name VARCHAR(20), amount DOUBLE)")
+    for i, n, a in [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]:
+        st.execute(f"INSERT INTO accounts VALUES ({i}, '{n}', {a})")
+    st.close()
+    conn.close()
+    c = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    c.sql("CREATE NAMESPACE lightning.datasource.rdbms")
+    c.sql(f"REGISTER JDBC DATASOURCE mdb OPTIONS(url 'jdbc:derby:{db}', "
+          f"driver 'org.apache.derby.iapi.jdbc.AutoloadedDriver') "
+          f"NAMESPACE lightning.datasource.rdbms")
+    return c
+
+
+def _derby_rows(ctx):
+    return {r.ID: (r.NAME, r.AMOUNT) for r in ctx.sql(
+        "SELECT * FROM lightning.datasource.rdbms.mdb.accounts").collect()}
+
+
+def test_merge_upsert_jdbc_target(derby_ctx, spark):
+    spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], ["id", "name", "amount"]
+    ).createOrReplaceTempView("jdbc_updates")
+    out = derby_ctx.sql("""
+        MERGE INTO lightning.datasource.rdbms.mdb.accounts AS t
+        USING (SELECT * FROM jdbc_updates) AS s
+        ON t.ID = s.id
+        WHEN MATCHED THEN UPDATE SET NAME = s.name, AMOUNT = s.amount
+        WHEN NOT MATCHED THEN INSERT *
+    """).collect()
+    assert out[0].n_rows == 4
+    assert _derby_rows(derby_ctx) == {1: ("a", 10.0), 2: ("b2", 99.0),
+                                      3: ("c", 30.0), 4: ("d", 40.0)}
+    # the swap preserved the REAL table (transactional DELETE+INSERT,
+    # not Spark's drop-and-recreate): the PK constraint must still hold
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(
+        derby_ctx.metastore.load_datasource(["rdbms"], "mdb").options["url"])
+    st = conn.createStatement()
+    import py4j.protocol
+    with pytest.raises(py4j.protocol.Py4JJavaError):
+        st.execute("INSERT INTO accounts VALUES (1, 'dup', 0.0)")
+    st.close()
+    conn.close()
+
+
+def test_merge_delete_jdbc_target(derby_ctx, spark):
+    spark.createDataFrame([(1,), (3,)], ["id"]).createOrReplaceTempView(
+        "jdbc_dels")
+    derby_ctx.sql("""
+        MERGE INTO lightning.datasource.rdbms.mdb.accounts AS t
+        USING (SELECT * FROM jdbc_dels) AS s
+        ON t.ID = s.id
+        WHEN MATCHED THEN DELETE
+    """)
+    assert _derby_rows(derby_ctx) == {2: ("b", 20.0)}
+
+
+def test_merge_jdbc_no_staging_litter(derby_ctx, spark):
+    """After a successful merge the staging table is dropped."""
+    spark.createDataFrame([(2, "x", 1.0)], ["id", "name", "amount"]
+                          ).createOrReplaceTempView("jdbc_one")
+    derby_ctx.sql("""
+        MERGE INTO lightning.datasource.rdbms.mdb.accounts AS t
+        USING (SELECT * FROM jdbc_one) AS s
+        ON t.ID = s.id
+        WHEN MATCHED THEN UPDATE SET NAME = s.name, AMOUNT = s.amount
+    """)
+    from lightning_metastore_spark.catalog.units import load_catalog_unit
+    unit = load_catalog_unit(
+        derby_ctx.metastore.load_datasource(["rdbms"], "mdb"))
+    tables = unit.list_tables(spark, [])
+    assert not [t for t in tables if "_stg_" in t.lower()], tables
