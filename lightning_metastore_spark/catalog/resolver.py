@@ -38,6 +38,30 @@ _CHAIN = re.compile(
 # string literals or backtick-quoted identifiers.
 _QUOTED = re.compile(r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|`(?:[^`]|``)*`)")
 
+# fixed-width type sizes for the row-width estimate; variable-width
+# (string/binary/decimal/nested) priced at 20 bytes, matching Spark's
+# own defaultSize heuristics closely enough for a broadcast decision
+_TYPE_WIDTH = {"byte": 1, "boolean": 1, "short": 2, "integer": 4,
+               "float": 4, "date": 4, "long": 8, "double": 8,
+               "timestamp": 8, "timestamp_ntz": 8}
+
+
+def _est_row_width(schema) -> int:
+    return 8 + sum(_TYPE_WIDTH.get(f.dataType.typeName(), 20)
+                   for f in schema.fields)
+
+
+_SIZE_SUFFIX = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+                "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+
+
+def _parse_size_bytes(raw: str) -> int:
+    """Parse Spark size-conf strings ('10485760', '10MB', '-1')."""
+    m = re.fullmatch(r"(-?\d+)\s*([a-zA-Z]*)", str(raw).strip())
+    if not m:
+        return -1
+    return int(m.group(1)) * _SIZE_SUFFIX.get(m.group(2).lower(), 1)
+
 
 class ResolutionError(Exception):
     pass
@@ -211,7 +235,16 @@ class Resolver:
     def _load_registered(self, t) -> DataFrame:
         """Snapshot table: load the origin via its datasource, then apply
         the INGESTED schema as an override (cast per column) — mirrors
-        `LightningCatalogUnit.loadTable` with schema copy (SURVEY §2.4)."""
+        `LightningCatalogUnit.loadTable` with schema copy (SURVEY §2.4).
+
+        Statistics: when REGISTER CATALOG analyzed the table, its row
+        count x a type-derived row width estimates the table size; a
+        table under spark.sql.autoBroadcastJoinThreshold gets a
+        broadcast hint. This matters most for JDBC snapshots — Spark
+        prices an unknown JDBC relation at defaultSizeInBytes (huge), so
+        a 5-row dimension would otherwise sort-merge-join against a
+        billion-row fact instead of broadcasting (the docs-only stats
+        claim at lightning-commands.md:28-33, actually implemented)."""
         from pyspark.sql.types import StructType
 
         src = t.source_fqn
@@ -226,7 +259,14 @@ class Resolver:
                     f"ingested column {f_.name!r} missing from source "
                     f"{'.'.join(t.source_fqn)}")
             cols.append(F.col(f_.name).cast(f_.dataType))
-        return df.select(*cols)
+        out = df.select(*cols)
+        if t.row_count is not None:
+            est = t.row_count * _est_row_width(schema)
+            thr = _parse_size_bytes(self.spark.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"))
+            if 0 < thr and est <= thr:
+                out = out.hint("broadcast")
+        return out
 
     def _load_usl_table(self, ns: list[str], usl, table: str,
                         _stack: frozenset) -> DataFrame:

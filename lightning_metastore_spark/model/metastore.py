@@ -188,7 +188,16 @@ class Metastore:
         p = self.fs.join(self._ns_dir(METASTORE_ROOT, ns),
                          f"{_check_name(name)}_table.json")
         if not self.fs.exists(p):
-            return None
+            # Spark SQL identifiers are case-insensitive; a JDBC engine
+            # may have reported the snapshot name in its own case
+            # (Derby: TEST_USERS) while the query says test_users
+            for cand in self.list_tables(ns):
+                if cand.lower() == name.lower():
+                    p = self.fs.join(self._ns_dir(METASTORE_ROOT, ns),
+                                     f"{cand}_table.json")
+                    break
+            else:
+                return None
         return RegisteredTable.from_json(self.fs.read_text(p))
 
     def list_tables(self, ns: list[str]) -> list[str]:

@@ -81,19 +81,24 @@ class RegisteredTable:
     namespace: list[str]           # path under `lightning.metastore`
     source_fqn: list[str]          # full lightning path of the origin table
     schema_json: str               # Spark StructType.json()
+    row_count: Optional[int] = None  # ANALYZE at REGISTER CATALOG time
 
     def to_json(self) -> str:
-        return json.dumps({
+        d = {
             "name": self.name,
             "namespace": self.namespace,
             "sourceFqn": self.source_fqn,
             "schemaJson": self.schema_json,
-        }, indent=2)
+        }
+        if self.row_count is not None:
+            d["rowCount"] = self.row_count
+        return json.dumps(d, indent=2)
 
     @classmethod
     def from_json(cls, s: str) -> "RegisteredTable":
         d = json.loads(s)
-        return cls(d["name"], d["namespace"], d["sourceFqn"], d["schemaJson"])
+        return cls(d["name"], d["namespace"], d["sourceFqn"], d["schemaJson"],
+                   d.get("rowCount"))
 
 
 @dataclass

@@ -193,14 +193,30 @@ class RegisterCatalog(Command):
                                        if_not_exists=True)
         registered = []
 
+        # ANALYZE at snapshot time (docs claim the reference derives
+        # optimizer statistics from registration — lightning-commands.md
+        # :28-33 — but never implements it; ours does): the row count is
+        # stored on the RegisteredTable and drives a broadcast decision
+        # at load (resolver._load_registered). Opt out with
+        # OPTIONS(analyze 'false') when a source table is too expensive
+        # to count at registration.
+        analyze = str(self.options.get("analyze", "true")).lower() != "false"
+
         def walk(res_path: list[str], out_ns: list[str]) -> None:
             for tbl in unit.list_tables(ctx.spark, res_path):
                 if pattern and not pattern.match(tbl):
                     continue
                 df = unit.load_table(ctx.spark, res_path + [tbl])
+                n_rows = None
+                if analyze:
+                    try:
+                        n_rows = df.count()
+                    except Exception:
+                        n_rows = None  # stats are advisory, never fatal
                 fqn = (["lightning", DATASOURCE_ROOT] + ds.namespace
                        + [ds.name] + res_path + [tbl])
-                t = RegisteredTable(tbl, out_ns, fqn, df.schema.json())
+                t = RegisteredTable(tbl, out_ns, fqn, df.schema.json(),
+                                    row_count=n_rows)
                 ctx.metastore.save_table(t, replace=self.replace)
                 registered.append(".".join(out_ns + [tbl]))
             for sub in unit.list_namespaces(ctx.spark, res_path):

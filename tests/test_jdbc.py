@@ -215,3 +215,62 @@ def test_jdbc_list_tables_hostile_schema(ctx, derby_url):
     assert unit.list_tables(spark, [hostile]) == []
     # and the table survived
     assert unit.load_table(spark, ["test_users"]).count() == 5
+
+
+def test_snapshot_stats_drive_broadcast_join(ctx, derby_url, spark):
+    """Constraint-derived statistics reach Catalyst (the docs-only
+    claim at lightning-commands.md:28-33, implemented): REGISTER
+    CATALOG analyzes each table (row count persisted on the snapshot);
+    loading the snapshot then hints broadcast when count x row-width is
+    under autoBroadcastJoinThreshold. Without the stats, Spark prices
+    the JDBC relation at defaultSizeInBytes (huge) and plans a
+    sort-merge join; with them, the same join broadcasts."""
+    ctx.sql("CREATE NAMESPACE lightning.datasource.rdbms")
+    ctx.sql(f"REGISTER JDBC DATASOURCE derbydb "
+            f"OPTIONS(url '{derby_url}', "
+            f"driver 'org.apache.derby.iapi.jdbc.AutoloadedDriver') "
+            f"NAMESPACE lightning.datasource.rdbms")
+    ctx.sql("CREATE NAMESPACE lightning.metastore.snap")
+    ctx.sql("REGISTER CATALOG jd SOURCE lightning.datasource.rdbms.derbydb "
+            "NAMESPACE lightning.metastore.snap")
+    t = ctx.metastore.load_table(["snap", "jd"], "test_users")
+    assert t is not None and t.row_count == 5
+
+    # the fact side must be priced ABOVE the session's 64m broadcast
+    # threshold or Spark broadcasts it instead (range stats are exact):
+    # 20M rows ≈ 305 MiB estimated. Plan-only test — nothing executes.
+    big = spark.range(20_000_000).selectExpr(
+        "CAST(id % 5 + 1 AS INT) AS uid",
+        "repeat('x', 40) AS payload")
+    big.createOrReplaceTempView("fact_rows")
+
+    def plan(sql: str) -> str:
+        df = ctx.sql(sql)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    with_stats = plan("""
+        SELECT f.uid, COUNT(*) AS n
+        FROM fact_rows f
+        JOIN lightning.metastore.snap.jd.test_users u ON f.uid = u.uid
+        GROUP BY f.uid""")
+    assert "BroadcastHashJoin" in with_stats, with_stats
+    without_stats = plan("""
+        SELECT f.uid, COUNT(*) AS n
+        FROM fact_rows f
+        JOIN lightning.datasource.rdbms.derbydb.test_users u ON f.uid = u.uid
+        GROUP BY f.uid""")
+    assert "SortMergeJoin" in without_stats, without_stats
+
+
+def test_register_catalog_analyze_false_skips_count(ctx, derby_url):
+    ctx.sql("CREATE NAMESPACE lightning.datasource.rdbms")
+    ctx.sql(f"REGISTER JDBC DATASOURCE derbydb "
+            f"OPTIONS(url '{derby_url}', "
+            f"driver 'org.apache.derby.iapi.jdbc.AutoloadedDriver') "
+            f"NAMESPACE lightning.datasource.rdbms")
+    ctx.sql("CREATE NAMESPACE lightning.metastore.snap2")
+    ctx.sql("REGISTER CATALOG jd OPTIONS(analyze 'false') "
+            "SOURCE lightning.datasource.rdbms.derbydb "
+            "NAMESPACE lightning.metastore.snap2")
+    t = ctx.metastore.load_table(["snap2", "jd"], "test_users")
+    assert t is not None and t.row_count is None
