@@ -598,6 +598,266 @@ def bmp_decode(data: bytes) -> tuple[int, int, list[bytes]]:
 # ---------------------------------------------------------------------------
 # resize + thumbnail entry point
 # ---------------------------------------------------------------------------
+# JPEG — baseline (SOF0/SOF1) Huffman decoder
+# ---------------------------------------------------------------------------
+#
+# Closes the one previously Pillow-only gap: real JPEG pixel decode for
+# thumbnails (Thumbnailator parity, UnstructuredData.scala:195-202) and
+# the multimodal feature path. Baseline sequential + extended sequential
+# only; progressive (SOF2) raises — Pillow upgrades that path when
+# importable. Entropy decoding is bit-serial Python (fine at thumbnail
+# scale); dequant + IDCT + upsample + color transform are vectorized
+# numpy over ALL blocks at once, so the heavy math is C-speed.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _BitReader:
+    """MSB-first bit reader over de-stuffed entropy data."""
+
+    __slots__ = ("buf", "pos", "n")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+        self.n = len(buf) * 8
+
+    def bit(self) -> int:
+        p = self.pos
+        if p >= self.n:
+            raise EOFError("jpeg: out of entropy bits")
+        self.pos = p + 1
+        return (self.buf[p >> 3] >> (7 - (p & 7))) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_table(bits_counts: bytes, values: bytes) -> dict:
+    """Canonical Huffman: {(code_length, code): value}."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits_counts[ln - 1]):
+            table[(ln, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(r: _BitReader, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.bit()
+        v = table.get((ln, code))
+        if v is not None:
+            return v
+    raise ValueError("jpeg: invalid Huffman code")
+
+
+def _receive_extend(r: _BitReader, s: int) -> int:
+    if s == 0:
+        return 0
+    v = r.bits(s)
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def jpeg_decode(data: bytes) -> tuple[int, int, list[bytes]]:
+    """(width, height, RGB rows) for a baseline JPEG."""
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    dri = 0
+    scan_comps = None
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        ln = struct.unpack(">H", data[i + 2:i + 4])[0]
+        seg = data[i + 4:i + 2 + ln]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            j = 0
+            while j < len(seg):
+                prec, tid = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if prec:
+                    vals = struct.unpack(f">64H", seg[j:j + 128])
+                    j += 128
+                else:
+                    vals = seg[j:j + 64]
+                    j += 64
+                q = np.zeros(64, dtype=np.float64)
+                for z, v in enumerate(vals):
+                    q[_ZIGZAG[z]] = v
+                qt[tid] = q.reshape(8, 8)
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            frame = (w, h, comps)
+        elif marker == 0xC2:
+            raise ValueError("jpeg: progressive (SOF2) not supported "
+                             "without Pillow")
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                counts = seg[j + 1:j + 17]
+                nvals = sum(counts)
+                huff[(tc, th)] = _huff_table(
+                    counts, seg[j + 17:j + 17 + nvals])
+                j += 17 + nvals
+        elif marker == 0xDD:
+            dri = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c:3 + 2 * c]
+                scan_comps.append({"id": cid, "dc": tt >> 4, "ac": tt & 15})
+            i = i + 2 + ln
+            break
+        i += 2 + ln
+    if frame is None or scan_comps is None:
+        raise ValueError("jpeg: missing SOF/SOS")
+    w, h, comps = frame
+    by_id = {c["id"]: c for c in comps}
+    for sc in scan_comps:
+        by_id[sc["id"]].update(dc=sc["dc"], ac=sc["ac"])
+
+    # entropy segments split at restart markers, 0xFF00 de-stuffed
+    segments: list[bytes] = []
+    cur = bytearray()
+    j = i
+    n = len(data)
+    while j < n:
+        b = data[j]
+        if b == 0xFF and j + 1 < n:
+            m = data[j + 1]
+            if m == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= m <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        j += 1
+    segments.append(bytes(cur))
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-component coefficient planes in MCU raster order
+    planes = {c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
+                                dtype=np.float64) for c in comps}
+    coefs: dict[int, list] = {c["id"]: [] for c in comps}
+
+    total_mcus = mcux * mcuy
+    per_seg = dri if dri else total_mcus
+    mcu = 0
+    for seg_bytes in segments:
+        if mcu >= total_mcus:
+            break
+        r = _BitReader(seg_bytes)
+        pred = {c["id"]: 0 for c in comps}
+        for _ in range(min(per_seg, total_mcus - mcu)):
+            for c in comps:
+                dct = huff[(0, c["dc"])]
+                act = huff[(1, c["ac"])]
+                for _blk in range(c["h"] * c["v"]):
+                    block = np.zeros(64, dtype=np.float64)
+                    s = _huff_decode(r, dct)
+                    diff = _receive_extend(r, s)
+                    pred[c["id"]] += diff
+                    block[0] = pred[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(r, act)
+                        rr, ss = rs >> 4, rs & 15
+                        if ss == 0:
+                            if rr == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += rr
+                        if k > 63:
+                            break
+                        block[_ZIGZAG[k]] = _receive_extend(r, ss)
+                        k += 1
+                    coefs[c["id"]].append(block)
+            mcu += 1
+
+    # vectorized dequant + IDCT over all blocks per component
+    xs = np.arange(8)
+    us = np.arange(8)
+    C = np.cos((2 * xs[None, :] + 1) * us[:, None] * np.pi / 16) * 0.5
+    C[0, :] *= 1 / np.sqrt(2)
+    for c in comps:
+        blocks = np.array(coefs[c["id"]]).reshape(-1, 8, 8)
+        blocks *= qt[c["tq"]][None, :, :]
+        pix = np.einsum("ux,nuv,vy->nxy", C, blocks, C) + 128.0
+        plane = planes[c["id"]]
+        bw = c["h"] * 8  # block-pixels per MCU horizontally
+        per_mcu = c["h"] * c["v"]
+        for bi in range(pix.shape[0]):
+            m, k = divmod(bi, per_mcu)
+            my, mx = divmod(m, mcux)
+            byy, bxx = divmod(k, c["h"])
+            y0 = my * c["v"] * 8 + byy * 8
+            x0 = mx * bw + bxx * 8
+            plane[y0:y0 + 8, x0:x0 + 8] = pix[bi]
+
+    # upsample to full resolution and color-transform
+    full = {}
+    for c in comps:
+        p = planes[c["id"]]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        full[c["id"]] = p[:h, :w]
+    if len(comps) == 1:
+        y = np.clip(full[comps[0]["id"]], 0, 255)
+        rgb = np.stack([y, y, y], axis=-1)
+    else:
+        y, cb, cr = (full[comps[k]["id"]] for k in range(3))
+        r_ = y + 1.402 * (cr - 128.0)
+        g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b_ = y + 1.772 * (cb - 128.0)
+        rgb = np.clip(np.stack([r_, g_, b_], axis=-1), 0, 255)
+    arr = rgb.astype(np.uint8)
+    return w, h, [arr[row].tobytes() for row in range(h)]
+
+
+# ---------------------------------------------------------------------------
 
 def resize_nearest(width: int, height: int, rows: list[bytes],
                    new_w: int, new_h: int) -> list[bytes]:
@@ -611,8 +871,8 @@ def resize_nearest(width: int, height: int, rows: list[bytes],
 
 def thumbnail_png(data: bytes, box_w: int, box_h: int) -> Optional[bytes]:
     """Aspect-fit thumbnail (PIL.thumbnail semantics: fit within box,
-    never upscale) re-encoded as PNG. None for formats needing a full
-    entropy decoder (JPEG) — Pillow upgrades that path."""
+    never upscale) re-encoded as PNG. None only for formats without a
+    decoder here (progressive JPEG) — Pillow upgrades those."""
     try:
         if data[:8] == _PNG_MAGIC:
             w, h, rows = png_decode(data)
@@ -620,6 +880,8 @@ def thumbnail_png(data: bytes, box_w: int, box_h: int) -> Optional[bytes]:
             w, h, rows = gif_decode(data)
         elif data[:2] == b"BM":
             w, h, rows = bmp_decode(data)
+        elif data[:2] == b"\xff\xd8":
+            w, h, rows = jpeg_decode(data)
         else:
             return None
         scale = min(box_w / w, box_h / h, 1.0)

@@ -2,12 +2,15 @@
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side plumbing here is REAL and tested — schemas, batch
-iteration, partition sizing, UDF signatures. The pixel/sample decoding
-itself is STUBBED (this container ships no image/audio libraries):
+iteration, partition sizing, UDF signatures. Two decode modes:
 ``decode_stub=True`` (default) derives deterministic pseudo-metadata
-from content digests so pipelines are testable end-to-end;
-``decode_stub=False`` raises NotImplementedError at the decode site,
-which is where Pillow/torchaudio/ffmpeg calls slot in.
+from content digests so pipelines are verifiable end-to-end against a
+SQL oracle (the driver gate's mode); ``decode_stub=False`` REALLY
+decodes image payloads through sources/codecs.py (PNG / GIF / BMP /
+baseline JPEG — no external libraries) for true dimensions and
+classical pixel features; audio/video payloads and progressive JPEG
+raise NotImplementedError there, which is where torchaudio/ffmpeg/
+Pillow slot in.
 
 Batch shape notes for 100 TB: inputs arrive as whole-file rows
 (binaryFile) or payload columns; `spark.sql.execution.arrow.
@@ -39,6 +42,29 @@ def _stub_dims(digest: bytes) -> tuple[int, int, int]:
     return w, h, c
 
 
+def _real_decode(data: bytes):
+    """(width, height, RGB rows) via the stdlib codecs; raises
+    NotImplementedError for payloads that need an external runtime."""
+    from lightning_metastore_spark.sources import codecs
+
+    try:
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            return codecs.png_decode(data)
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            return codecs.gif_decode(data)
+        if data[:2] == b"BM":
+            return codecs.bmp_decode(data)
+        if data[:2] == b"\xff\xd8":
+            return codecs.jpeg_decode(data)
+    except NotImplementedError:
+        raise
+    except Exception as e:
+        raise NotImplementedError(f"undecodable image payload: {e}") from e
+    raise NotImplementedError(
+        "payload is not a decodable image (audio/video decode requires "
+        "torchaudio/ffmpeg — not in this container)")
+
+
 def decode_metadata(df: DataFrame, id_col: str = "id",
                     content_col: str = "content",
                     decode_stub: bool = True) -> DataFrame:
@@ -54,9 +80,8 @@ def decode_metadata(df: DataFrame, id_col: str = "id",
                 if decode_stub:
                     w, h, c = _stub_dims(digest)
                 else:
-                    raise NotImplementedError(
-                        "real decode requires an image/audio library "
-                        "(Pillow / torchaudio / ffmpeg) — not in this container")
+                    w, h, _rows = _real_decode(data)
+                    c = 3  # codecs decode to RGB rows
                 rows.append({"id": int(r[id_col]), "n_bytes": len(data),
                              "content_md5": digest.hex(), "width": w,
                              "height": h, "n_channels": c})
@@ -71,19 +96,33 @@ def extract_features(df: DataFrame, id_col: str = "id",
                      decode_stub: bool = True) -> DataFrame:
     """binary payload -> fixed-dim float feature vector (the embedding
     step of a multimodal pipeline). Stub: md5-seeded deterministic
-    vector; real impl would run a vision/audio encoder per Arrow batch
-    (GPU-friendly batch boundary)."""
+    vector. Real (decode_stub=False): classical pixel features from the
+    stdlib-decoded RGB — per-channel mean/std + a 10-bin luminance
+    histogram (3+3+10 = FEATURE_DIM). A learned encoder replaces this
+    per Arrow batch (GPU-friendly batch boundary)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 data = bytes(r[content_col])
-                if not decode_stub:
-                    raise NotImplementedError(
-                        "real feature extraction requires a model runtime")
-                digest = hashlib.md5(data).digest()
-                vec = [((digest[i % 16] / 255.0) - 0.5) for i in range(FEATURE_DIM)]
+                if decode_stub:
+                    digest = hashlib.md5(data).digest()
+                    vec = [((digest[i % 16] / 255.0) - 0.5)
+                           for i in range(FEATURE_DIM)]
+                else:
+                    w, h, rgb_rows = _real_decode(data)
+                    arr = (np.frombuffer(b"".join(rgb_rows), dtype=np.uint8)
+                           .reshape(h, w, 3).astype(np.float64) / 255.0)
+                    lum = arr @ np.array([0.299, 0.587, 0.114])
+                    hist, _ = np.histogram(lum, bins=FEATURE_DIM - 6,
+                                           range=(0.0, 1.0))
+                    hist = hist / max(1, lum.size)
+                    vec = ([float(arr[..., c].mean()) for c in range(3)]
+                           + [float(arr[..., c].std()) for c in range(3)]
+                           + [float(x) for x in hist])
                 rows.append({"id": int(r[id_col]), "feature": vec})
             yield pd.DataFrame(rows, columns=["id", "feature"]) if rows else \
                 pd.DataFrame(columns=["id", "feature"])

@@ -18,10 +18,11 @@ PySpark mapping:
 - extraction runs in `mapInPandas` (Arrow-batched) AFTER any metadata
   filters, mirroring the reference's filter-before-extract ordering.
 - extraction is REAL without external libs (sources/codecs.py, pure
-  zlib+struct): FlateDecode PDF text, PNG/GIF/BMP thumbnails, EXIF IFD
+  zlib+struct+numpy): FlateDecode PDF text incl. CID fonts via
+  ToUnicode CMaps, PNG/GIF/BMP/baseline-JPEG thumbnails, EXIF IFD
   walk, MP4/MOV + AVI + MKV duration/dims. Pillow/pypdf upgrade the
-  paths when importable (JPEG thumbnail decode is the one gap that
-  genuinely needs Pillow).
+  paths when importable (progressive JPEG is the remaining
+  Pillow-only decode).
 - the generic `UNSTRUCTURED` modality mirrors the reference's binary
   fallback (`UnstructuredFileFormat.scala`): any file, metadata columns
   only, `bincontent` content table.
@@ -163,7 +164,8 @@ def pdf_text(data: bytes, max_chars: int) -> str:
 def image_thumbnail(data: bytes, w: int, h: int) -> Optional[bytes]:
     """Aspect-fit thumbnail (parity: Thumbnailator,
     UnstructuredData.scala:195-202). Pillow when importable (covers
-    JPEG); else the pure-stdlib PNG/GIF/BMP decode->resize->PNG path."""
+    progressive JPEG); else the pure-stdlib PNG/GIF/BMP/baseline-JPEG
+    decode->resize->PNG path."""
     try:
         from PIL import Image  # type: ignore
 

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import struct
 import sys
+
+import pytest
 import zlib
 
 sys.path.insert(0, "/root/repo")
@@ -349,3 +351,127 @@ def test_mkv_metadata():
     assert meta["format"] == "matroska"
     assert abs(meta["duration"] - 12.5) < 0.01
     assert (meta["width"], meta["height"]) == (1280, 720)
+
+
+# -- JPEG baseline decoder ----------------------------------------------------
+
+# 16x16 baseline YCbCr JPEG (CPython test-suite fixture imghdrdata/
+# python.jpg, PSF-licensed) — a real camera-toolchain-shaped file:
+# two DQTs, four DHTs, 4:4:4 sampling.
+_PYTHON_JPG = __import__("base64").b64decode(
+    "/9j/4AAQSkZJRgABAQEAAQABAAD/2wBDAAMCAgICAgMCAgIDAwMDBAYEBAQEBAgGBgUGCQgKCgkI"
+    "CQkKDA8MCgsOCwkJDRENDg8QEBEQCgwSExIQEw8QEBD/2wBDAQMDAwQDBAgEBAgQCwkLEBAQEBAQ"
+    "EBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBD/wAARCAAQABADASIA"
+    "AhEBAxEB/8QAFgABAQEAAAAAAAAAAAAAAAAABwQF/8QAJBAAAQQBBAICAwAAAAAAAAAAAQIDBAYF"
+    "BwgSExEiABQJMTL/xAAVAQEBAAAAAAAAAAAAAAAAAAAABv/EACMRAAECBQMFAAAAAAAAAAAAAAEC"
+    "EQMEBQYhABIxFRZhgeH/2gAMAwEAAhEDEQA/ABSm0mobc8HmExLUlRzzEWPkJWW+ulrsaUVAseUg"
+    "slSlH9LKuPryIKuWPZdskzXmm3fX5m2nF4GlVxx/HOpx4ks51+MiU/Iaad7UcUo4tILoS4kqcWke"
+    "zS0hO/HvuRp0rO6hWnWO1UisZVuFi4GFeyEpmGepa5S5SWVPuciFKRFLgSrwetnyPIB+Vb4N9mKh"
+    "QMzo5po9XLdDs9d6ZVix2VEhiL9kuNPxw2gEKcDQ/rs8AuA8VAe0vdl7VOYn+27flGAUgmITjbhS"
+    "mCg3BYlyeWDkMolvw4KOp1KM6iCNvngZHwetf//Z")
+
+_STD_LUM_QT = bytes([16] * 64)  # flat quant table -> exact arithmetic
+
+# canonical "typical" Huffman tables from the JPEG spec (Annex K.3)
+_DC_BITS = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+_DC_VALS = bytes(range(12))
+_AC_BITS = bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D])
+_AC_VALS = bytes([
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def make_gray_dc_jpeg(dc_level: int) -> bytes:
+    """Hand-assembled single-MCU grayscale baseline JPEG whose only
+    coefficient is the DC term: decodes to one flat 8x8 block of value
+    128 + 2*dc_level (flat qt=16, DCT DC scale 1/8 -> 16*dc/8)."""
+    import struct as st
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + st.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + _STD_LUM_QT)
+    sof = seg(0xC0, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    dht = (seg(0xC4, bytes([0x00]) + _DC_BITS + _DC_VALS)
+           + seg(0xC4, bytes([0x10]) + _AC_BITS + _AC_VALS))
+    sos_hdr = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # entropy: DC category + magnitude bits, then EOB (AC code 0x00)
+    bits = ""
+    cat = dc_level.bit_length() if dc_level > 0 else 0
+    # DC table: category c encoded per _DC_BITS canonical assignment
+    dc_codes = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(_DC_BITS[ln - 1]):
+            dc_codes[_DC_VALS[k]] = (ln, code)
+            code += 1
+            k += 1
+        code <<= 1
+    ln, c = dc_codes[cat]
+    bits += format(c, f"0{ln}b")
+    if cat:
+        bits += format(dc_level, f"0{cat}b")
+    ac_codes = {}
+    code = 0
+    k = 0
+    for ln2 in range(1, 17):
+        for _ in range(_AC_BITS[ln2 - 1]):
+            ac_codes[_AC_VALS[k]] = (ln2, code)
+            code += 1
+            k += 1
+        code <<= 1
+    ln2, c2 = ac_codes[0x00]  # EOB
+    bits += format(c2, f"0{ln2}b")
+    bits += "1" * (-len(bits) % 8)  # pad with 1s
+    entropy = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    entropy = entropy.replace(b"\xff", b"\xff\x00")
+    return (b"\xff\xd8" + dqt + sof + dht + sos_hdr + entropy
+            + b"\xff\xd9")
+
+
+def test_jpeg_dc_only_exact():
+    """Ground-truth check: flat quant table 16, DC coefficient d ->
+    every pixel is exactly 128 + 2*d (IDCT of a DC-only block)."""
+    for d in (0, 5, 17):
+        w, h, rows = codecs.jpeg_decode(make_gray_dc_jpeg(d))
+        assert (w, h) == (8, 8)
+        expect = 128 + 2 * d
+        for r in rows:
+            assert set(r) == {expect}, (d, set(r))
+
+
+def test_jpeg_real_fixture_decodes():
+    w, h, rows = codecs.jpeg_decode(_PYTHON_JPG)
+    assert (w, h) == (16, 16)
+    assert len(rows) == 16 and all(len(r) == 48 for r in rows)
+    # real image content: not a constant field
+    assert len({bytes(r) for r in rows}) > 1
+
+
+def test_jpeg_thumbnail_path():
+    """thumbnail_png now covers JPEG without Pillow (the previously
+    documented gap, UnstructuredData.scala:195-202 parity)."""
+    thumb = codecs.thumbnail_png(_PYTHON_JPG, 8, 8)
+    assert thumb is not None and thumb[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h, rows = codecs.png_decode(thumb)
+    assert (w, h) == (8, 8)
+
+
+def test_jpeg_progressive_rejected():
+    """SOF2 must raise (Pillow path), not silently mis-decode."""
+    bad = _PYTHON_JPG.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(Exception):
+        codecs.jpeg_decode(bad)

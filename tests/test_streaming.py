@@ -110,5 +110,29 @@ def test_multimodal_decode_and_features(spark):
     feats = mm.extract_features(payloads).collect()
     assert len(feats) == 50 and all(len(r.feature) == mm.FEATURE_DIM for r in feats)
 
-    with pytest.raises(Exception):  # real-decode path is a marked stub
+    with pytest.raises(Exception):  # text payloads are not decodable images
         mm.decode_metadata(payloads, decode_stub=False).collect()
+
+
+def test_multimodal_real_decode_images(spark):
+    """decode_stub=False REALLY decodes image payloads through the
+    stdlib codecs (PNG + baseline JPEG) inside mapInPandas — true
+    dimensions and pixel-derived features, no Pillow."""
+    from lightning_metastore_spark.sources import codecs, multimodal as mm
+    from tests.test_codecs import _PYTHON_JPG, gradient_rows
+
+    png = codecs.png_encode(20, 11, gradient_rows(20, 11))
+    df = spark.createDataFrame([(1, bytearray(png)), (2, bytearray(_PYTHON_JPG))],
+                               "id long, content binary")
+    meta = {r.id: r for r in mm.decode_metadata(df, decode_stub=False).collect()}
+    assert (meta[1].width, meta[1].height, meta[1].n_channels) == (20, 11, 3)
+    assert (meta[2].width, meta[2].height) == (16, 16)
+    feats = {r.id: r.feature for r in
+             mm.extract_features(df, decode_stub=False).collect()}
+    assert all(len(v) == mm.FEATURE_DIM for v in feats.values())
+    # channel means of the gradient PNG: R ramps 0->255 (mean ~0.5),
+    # B constant 128/255
+    assert abs(feats[1][0] - 0.5) < 0.05
+    assert abs(feats[1][2] - 128 / 255) < 0.01
+    # histogram bins sum to ~1 (a distribution over luminance)
+    assert abs(sum(feats[1][6:]) - 1.0) < 1e-6
