@@ -151,12 +151,13 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 64,
                        id_col: str = "doc_id", seed: int = 42) -> DataFrame:
     """Per-doc MinHash signature as ``num_hashes`` min-aggregated columns.
 
-    Base hash: 28 bits of md5(shingle) (JVM expression); family:
-    h_i(x) = (a_i * x + b_i) mod 2^31-1. One aggregation pass computes
-    every signature slot (map-side partial mins keep the shuffle tiny).
+    Base hash: 28 bits of xxhash64(shingle) — JVM-native, fixed seed,
+    no hex round-trip; family: h_i(x) = (a_i * x + b_i) mod 2^31-1.
+    One aggregation pass computes every signature slot (map-side
+    partial mins keep the shuffle tiny).
     """
     coeffs = _hash_coefficients(num_hashes, seed)
-    base = F.conv(F.substring(F.md5("shingle"), 1, _H_BITS), 16, 10).cast("long")
+    base = F.xxhash64("shingle").bitwiseAND(F.lit((1 << (_H_BITS * 4)) - 1))
     with_h = sh.select(F.col(id_col), base.alias("h"))
     mins = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(f"mh_{i}")
@@ -266,15 +267,27 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
     # 2*sum(w*b) - sum(w) keeps everything branch-free. Lane headroom
     # bounds per-doc token count at 2^20 (~1M); widen lanes for longer
     # docs.
+    #
+    # ONE shuffle, not two: tf weighting needs no (doc, token) pre-
+    # aggregation — sum over distinct tokens of tf*packed(token) equals
+    # sum of packed(token) over raw occurrences, so occurrences feed the
+    # doc-level aggregate directly and the map-side partial combine
+    # collapses each partition to one row per doc before the exchange
+    # (measured ~45% off fingerprint wall time at sf0.1).
     lanes, lane_bits = 3, 20
     n_cols = _SIMHASH_BITS // lanes
     mask = (1 << lane_bits) - 1
 
     toks = tokens(docs, text_col, id_col)
-    tf = (toks.select(F.col(id_col), F.explode("toks").alias("token"))
-          .groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("w")))
+    occ = toks.select(F.col(id_col), F.explode("toks").alias("token"))
+    # md5 (not xxhash64) as the token hash: measured on the sf0.1
+    # corpus, xxhash-derived fingerprints cluster 3.6x more candidate
+    # pairs inside the hamming radius (12.5k vs 3.5k), and the exact-
+    # jaccard verify on the extra candidates costs more than the hex
+    # round-trip saves. Hash choice shifts hamming geometry, not just
+    # speed — benchmark before switching.
     h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
-    with_h = tf.select(F.col(id_col), F.col("w"), h.alias("th"))
+    with_h = occ.select(F.col(id_col), h.alias("th"))
     aggs = []
     for j in range(n_cols):
         packed = None
@@ -283,8 +296,8 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
             term = (F.shiftright(F.col("th"), k).bitwiseAND(1)
                     * F.lit(1 << (lane_bits * lane)))
             packed = term if packed is None else packed + term
-        aggs.append(F.sum(F.col("w") * packed).alias(f"p_{j}"))
-    aggs.append(F.sum("w").alias("w_total"))
+        aggs.append(F.sum(packed).alias(f"p_{j}"))
+    aggs.append(F.count(F.lit(1)).alias("w_total"))
     agg = with_h.groupBy(id_col).agg(*aggs)
     fp = None
     for k in range(_SIMHASH_BITS):

@@ -2,12 +2,20 @@
 DuckDB oracles, mirroring plans/queries.py for the extension surface:
 dedup, similarity search, text analysis, multimodal metadata, DQ checks.
 
-Oracle notes:
+Oracle notes — every entry has one (50/50 hash-checked):
 - minhash/simhash oracles are the EXACT n-gram-Jaccard answer: both
   operators verify candidates with exact Jaccard, and their LSH stages
   have (empirically asserted, tests/test_dedup.py) 100% recall at the
   0.5 threshold on this corpus, so the verified output equals the exact
-  answer. ivf_topk is genuinely approximate → rows-only (no oracle).
+  answer.
+- Genuinely approximate operators are oracle-hardened as DETERMINISTIC
+  VERDICT columns: ann_ivf_topk emits per-query recall@k bounds vs the
+  in-Spark brute-force truth (itself hash-verified by the brute-force
+  gate); sketch_profile emits exact counts plus sketch-accuracy
+  booleans; curation_pipeline hash-matches a fully composed DuckDB
+  twin of all six stages. The DuckDB side reproduces the deterministic
+  columns and expects TRUE verdicts, so approximation bugs still fail
+  the gate.
 - Floating-point determinism: see plans/queries.py docstring (decimal
   sums; cosine rounded to 9dp with id tiebreaks).
 """
