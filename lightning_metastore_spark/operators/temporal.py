@@ -1,0 +1,173 @@
+"""Temporal join operators Spark SQL lacks natively: as-of join,
+bucketed range join, multi-resolution hypertable rollup.
+
+These are the point-in-time primitives of event/feature pipelines
+(feature stores, tick data, session attribution). Spark has no ASOF
+JOIN and plans naive range predicates as broadcast-nested-loop; both
+formulations here are single-shuffle compositions of existing
+DataFrame operators, per the engine's Spark-first design rule
+(SURVEY.md §7) — no UDFs, no driver loops.
+
+Scale shapes:
+- ``asof_join``: union the two streams, ONE shuffle on the join key,
+  forward-fill the right side's columns with ``last(ignoreNulls)``
+  over (key, time) — O(n log n) per key partition and zero fan-out.
+  The join-then-rank alternative (equi-join + row_number) explodes to
+  |left| x |right-per-key| intermediates; the union-window form never
+  materializes a candidate pair.
+- ``range_join``: band-bucketize both sides at width = hi - lo (the
+  left interval spans at most 2 buckets), equi-join on (key, bucket),
+  apply the residual BETWEEN inside the join. Turns the O(n*m)
+  nested-loop Spark would plan into a keyed hash join whose fan-out is
+  the true match density. DuckDB's IEJoin is the oracle.
+- ``hypertable_rollup``: one pass, one shuffle — GROUPING SETS over
+  pre-truncated time buckets (the TimescaleDB continuous-aggregate
+  shape without the incremental store).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join(left: DataFrame, right: DataFrame,
+              ts_col: str = "ts", by: Sequence[str] = ("user_id",),
+              value_cols: Optional[Sequence[str]] = None,
+              tolerance_seconds: Optional[float] = None,
+              suffix: str = "_asof") -> DataFrame:
+    """LEFT as-of join: each left row gains the latest right row's
+    ``value_cols`` with right.ts <= left.ts, per ``by`` key (backward
+    direction, pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics).
+    Left rows with no prior right row keep NULLs; ``tolerance_seconds``
+    additionally NULLs matches older than the window.
+
+    Ties: a right row at exactly left.ts matches (<=). Multiple right
+    rows sharing (by, ts) are resolved by the last one in ``ts_col``
+    then input order of the union — pre-deduplicate the right side for
+    fully deterministic output (the gate query does).
+    """
+    by = list(by)
+    if value_cols is None:
+        value_cols = [c for c in right.columns
+                      if c not in by and c != ts_col]
+    value_cols = list(value_cols)
+
+    l_tag = left.withColumn("__is_left", F.lit(1))
+    for c in value_cols:
+        l_tag = l_tag.withColumn(f"__r_{c}", F.lit(None).cast(
+            dict(right.dtypes)[c]))
+    l_tag = l_tag.withColumn("__r_ts", F.lit(None).cast(
+        dict(right.dtypes)[ts_col]))
+    r_tag = right.select(
+        *[F.col(c) for c in by],
+        F.col(ts_col),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(ts_col).alias("__r_ts"))
+    for c in left.columns:
+        if c not in by and c != ts_col:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(
+                dict(left.dtypes)[c]))
+    unioned = l_tag.unionByName(r_tag)
+
+    # right rows order BEFORE left rows at equal ts => <= semantics
+    w = (W.partitionBy(*by)
+         .orderBy(F.col(ts_col).asc(), F.col("__is_left").asc())
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    filled = unioned.select(
+        "*",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+          for c in value_cols],
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__f_ts"))
+    out = filled.filter(F.col("__is_left") == 1)
+    keep = (F.lit(True) if tolerance_seconds is None else
+            (F.col(ts_col).cast("double") - F.col("__f_ts").cast("double")
+             <= F.lit(float(tolerance_seconds))))
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[F.when(keep, F.col(f"__f_{c}")).alias(f"{c}{suffix}")
+          for c in value_cols])
+
+
+def range_join(left: DataFrame, right: DataFrame,
+               left_val: str, right_val: str,
+               lo: float, hi: float,
+               by: Sequence[str] = (),
+               how: str = "inner") -> DataFrame:
+    """Join rows where ``right.right_val BETWEEN left.left_val + lo AND
+    left.left_val + hi`` (plus optional equi-keys ``by``) WITHOUT the
+    broadcast-nested-loop plan Spark gives a bare range predicate.
+
+    Both sides bucketize at width = hi - lo; a left interval overlaps
+    at most 2 consecutive buckets, so the left side fans out x2 (a
+    constant) and the join runs as a keyed hash join on
+    (by..., bucket) with the exact BETWEEN as a residual condition.
+    """
+    if hi <= lo:
+        raise ValueError(f"range_join needs hi > lo, got [{lo}, {hi}]")
+    if how != "inner":
+        raise ValueError("range_join supports inner joins")
+    width = float(hi - lo)
+    by = list(by)
+    # the right side is renamed wholesale before the join: both inputs
+    # commonly derive from the SAME source DataFrame (self-range-joins
+    # on an event table), and unique names sidestep Spark's ambiguous-
+    # self-join resolution entirely
+    r_ren = right.select(*[F.col(c).alias(f"__r_{c}") for c in right.columns])
+    lb0 = F.floor((F.col(left_val) + F.lit(float(lo))) / width).cast("long")
+    lb1 = F.floor((F.col(left_val) + F.lit(float(hi))) / width).cast("long")
+    l_b = left.withColumn("__lb", F.explode(F.array_distinct(
+        F.array(lb0, lb1))))
+    r_b = r_ren.withColumn("__rb", F.floor(F.col(f"__r_{right_val}") / width)
+                           .cast("long"))
+    join_cond = (
+        (F.col("__lb") == F.col("__rb"))
+        & (F.col(f"__r_{right_val}") >= F.col(left_val) + F.lit(float(lo)))
+        & (F.col(f"__r_{right_val}") <= F.col(left_val) + F.lit(float(hi))))
+    for k in by:
+        join_cond = join_cond & (F.col(k) == F.col(f"__r_{k}"))
+    joined = l_b.join(r_b, join_cond)
+    lcols = [F.col(c) for c in left.columns]
+    rcols = [F.col(f"__r_{c}").alias(c if c not in left.columns else f"r_{c}")
+             for c in right.columns]
+    return joined.select(*lcols, *rcols)
+
+
+def hypertable_rollup(events: DataFrame, ts_col: str = "ts",
+                      key_col: str = "event_type",
+                      value_col: str = "value",
+                      resolutions: Sequence[str] = ("hour", "day", "week"),
+                      ) -> DataFrame:
+    """Multi-resolution time-bucket aggregates in ONE pass / ONE
+    shuffle via GROUPING SETS over pre-truncated buckets (the
+    continuous-aggregate query shape). Output: (resolution,
+    bucket_start, key, n, sum_value_cents-derived double) stacked."""
+    buckets = events.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).alias("v"),
+        *[F.date_trunc(r, F.col(ts_col)).alias(f"b_{r}")
+          for r in resolutions])
+    bucket_cols = ", ".join(f"b_{r}" for r in resolutions)
+    sets = ", ".join(f"(key, b_{r})" for r in resolutions)
+    buckets.createOrReplaceTempView("__rollup_in")
+    res_case = " ".join(
+        f"WHEN b_{r} IS NOT NULL THEN '{r}'" for r in resolutions)
+    # exact cents accumulation: engine-portable money math (see
+    # plans/queries.py float-determinism note)
+    return buckets.sparkSession.sql(f"""
+        SELECT CASE {res_case} END AS resolution,
+               COALESCE({", ".join(f"b_{r}" for r in resolutions)})
+                 AS bucket_start,
+               key,
+               COUNT(v) AS n,
+               CAST(SUM(CAST(ROUND(v * 100) AS BIGINT)) AS DOUBLE) / 100
+                 AS sum_value
+        FROM __rollup_in
+        GROUP BY GROUPING SETS ({sets})
+        HAVING CASE {res_case} END IS NOT NULL
+        ORDER BY resolution, bucket_start, key
+    """)

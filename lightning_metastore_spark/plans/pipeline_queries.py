@@ -237,6 +237,35 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("doc_id_a", "doc_id_b")
 
 
+def dedup_neardup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three text near-dup pair generators in ONE tagged-union gate
+    entry (the 50-slot registry discipline: identical schemas AND the
+    same exact-Jaccard answer, so a union with a method tag preserves
+    each operator's full hash check while using one slot). Each method
+    still runs its own candidate-generation path — n-gram shingle
+    equi-join, MinHash banding, SimHash hamming-LSH — over the shared
+    shingle cache."""
+    tag = F.lit
+    ng = (dedup_ngram_jaccard(spark, sf_dir)
+          .select(tag("ngram").alias("method"), "*"))
+    mh = (dedup_minhash_lsh(spark, sf_dir)
+          .select(tag("minhash").alias("method"), "*"))
+    sim = (dedup_simhash(spark, sf_dir)
+           .select(tag("simhash").alias("method"), "*"))
+    return (ng.unionByName(mh).unionByName(sim)
+            .orderBy("method", "doc_id_a", "doc_id_b"))
+
+
+_NEARDUP_SUITE_ORACLE = (
+    "WITH exact_pairs AS (" + _JACCARD_ORACLE.replace(
+        "ORDER BY doc_id_a, doc_id_b", "") + ")\n"
+    "SELECT m.method, p.doc_id_a, p.doc_id_b, p.jaccard\n"
+    "FROM exact_pairs p CROSS JOIN (\n"
+    "  SELECT UNNEST(['ngram', 'minhash', 'simhash']) AS method) m\n"
+    "ORDER BY m.method, p.doc_id_a, p.doc_id_b"
+)
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
     return (dedup.embedding_neardup_pairs_blocked(t["embeddings"], threshold=0.45)
@@ -1047,6 +1076,125 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --- temporal joins (operators/temporal.py) --------------------------------
+
+def temporal_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time attribution: each click event gains the latest
+    prior purchase value for its user — the as-of join Spark SQL lacks,
+    expressed as ONE shuffle (union + keyed forward-fill). Oracle:
+    DuckDB's native ASOF LEFT JOIN, an independent implementation of
+    the same semantics. The right side is pre-deduplicated per
+    (user, ts) so tie order can't differ between engines."""
+    from lightning_metastore_spark.operators.temporal import asof_join
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.round(F.max("value"), 6).alias("pvalue")))
+    out = asof_join(clicks, purchases, ts_col="ts", by=["user_id"],
+                    value_cols=["pvalue"], suffix="_asof")
+    return (out.select("event_id", "user_id", "ts",
+                       F.col("pvalue_asof"))
+            .orderBy("event_id"))
+
+
+TEMPORAL_ASOF_ORACLE = """
+WITH c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, ts, ROUND(MAX(value), 6) AS pvalue
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+       p.pvalue AS pvalue_asof
+FROM c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+ORDER BY c.event_id
+"""
+
+
+def temporal_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval attribution: purchases within 1 hour AFTER a view by
+    the same user, aggregated per user. The bucketed range join runs
+    as a keyed hash join on (user, time-bucket) with the BETWEEN as a
+    residual — not the broadcast-nested-loop Spark plans for a bare
+    range predicate. Oracle: DuckDB's IEJoin on the plain BETWEEN."""
+    from lightning_metastore_spark.operators.temporal import range_join
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", F.col("event_id").alias("view_id"),
+                     F.col("ts").cast("double").alias("v_ts")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("ts").cast("double").alias("p_ts"),
+                         "value"))
+    pairs = range_join(views, purchases, "v_ts", "p_ts",
+                       lo=0.0, hi=3600.0, by=["user_id"])
+    return (pairs.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 (F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  .cast("double") / 100).alias("sum_purchases"))
+            .orderBy("user_id"))
+
+
+TEMPORAL_RANGE_ORACLE = """
+WITH v AS (
+  SELECT user_id, event_id AS view_id, ts FROM events
+  WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id, COUNT(*) AS n_pairs,
+       CAST(SUM(CAST(ROUND(p.value * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS sum_purchases
+FROM v JOIN p ON p.user_id = v.user_id
+  AND p.ts BETWEEN v.ts AND v.ts + INTERVAL 1 HOUR
+GROUP BY v.user_id
+ORDER BY v.user_id
+"""
+
+
+def temporal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (hour/day/week) in one
+    pass via GROUPING SETS — the TimescaleDB continuous-aggregate
+    query shape. Oracle: three stacked DuckDB aggregates."""
+    from lightning_metastore_spark.operators.temporal import (
+        hypertable_rollup,
+    )
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return hypertable_rollup(t["events"], ts_col="ts",
+                             key_col="event_type", value_col="value",
+                             resolutions=("hour", "day", "week"))
+
+
+TEMPORAL_ROLLUP_ORACLE = """
+SELECT * FROM (
+  SELECT 'hour' AS resolution,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+         event_type AS key, COUNT(value) AS n,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+           AS sum_value
+  FROM events GROUP BY 2, 3
+  UNION ALL
+  SELECT 'day', CAST(date_trunc('day', ts) AS TIMESTAMP), event_type,
+         COUNT(value),
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+  FROM events GROUP BY 2, 3
+  UNION ALL
+  SELECT 'week', CAST(date_trunc('week', ts) AS TIMESTAMP), event_type,
+         COUNT(value),
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+  FROM events GROUP BY 2, 3
+)
+ORDER BY resolution, bucket_start, key
+"""
+
+
 # --- DQ checks -------------------------------------------------------------
 
 def dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1131,12 +1279,9 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "RUN DQ command over a USL table"),
         QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE,
                   "exact dedup via normalized-text hash groupBy"),
-        QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, _JACCARD_ORACLE,
-                  "exact 3-gram shingle Jaccard near-dup pairs"),
-        QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, _JACCARD_ORACLE,
-                  "MinHash+LSH banding, exact-verified"),
-        QuerySpec("dedup_simhash", dedup_simhash, _JACCARD_ORACLE,
-                  "SimHash hamming-LSH, exact-verified"),
+        QuerySpec("dedup_neardup_suite", dedup_neardup_suite,
+                  _NEARDUP_SUITE_ORACLE,
+                  "ngram/minhash/simhash near-dup pairs (tagged union)"),
         QuerySpec("dedup_embedding", dedup_embedding, DEDUP_EMBEDDING_ORACLE,
                   "embedding cosine near-dup pairs"),
         QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE,
@@ -1169,6 +1314,15 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "unigram log-prob quality proxy (perplexity filter)"),
         QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_ORACLE,
                   "binary-column metadata + mapInPandas decode (hash-checked)"),
+        QuerySpec("temporal_asof_join", temporal_asof_join,
+                  TEMPORAL_ASOF_ORACLE,
+                  "as-of join (union+forward-fill) vs DuckDB ASOF JOIN"),
+        QuerySpec("temporal_range_join", temporal_range_join,
+                  TEMPORAL_RANGE_ORACLE,
+                  "bucketed range join vs DuckDB IEJoin"),
+        QuerySpec("temporal_rollup", temporal_rollup,
+                  TEMPORAL_ROLLUP_ORACLE,
+                  "hypertable rollup: grouping-sets multi-resolution"),
         QuerySpec("stream_events", stream_events, STREAM_EVENTS_ORACLE,
                   "streamed windowed agg + exactly-once dedup == batch"),
         QuerySpec("dq_suite", dq_suite, DQ_SUITE_ORACLE,

@@ -43,7 +43,7 @@ def test_spot_correctness_vs_duckdb(spark):
     for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     qs, oracles = ep.queries(), ep.oracle_sql()
-    for name in ("q1_pricing_summary", "dedup_ngram_jaccard", "dq_suite"):
+    for name in ("q1_pricing_summary", "dedup_neardup_suite", "dq_suite"):
         sdf = qs[name](spark, SF_DIR)
         srows = sorted([tuple(map(str, r)) for r in sdf.collect()])
         orows = sorted([tuple(map(str, r)) for r in con.sql(oracles[name]).fetchall()])

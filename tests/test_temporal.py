@@ -1,0 +1,137 @@
+"""Temporal operators: as-of join (union+forward-fill), bucketed range
+join, hypertable rollup. Semantics pinned against hand-computed truth;
+plan shape pinned against the nested-loop degeneration the naive
+formulations produce."""
+
+from __future__ import annotations
+
+import sys
+from datetime import datetime
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lightning_metastore_spark.operators.temporal import (  # noqa: E402
+    asof_join,
+    hypertable_rollup,
+    range_join,
+)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def quotes_trades(spark):
+    trades = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:05"), "A"),
+         (2, _ts("2024-01-01T10:00:20"), "A"),
+         (3, _ts("2024-01-01T10:00:01"), "B"),
+         (4, _ts("2024-01-01T09:59:00"), "A")],
+        "trade_id long, ts timestamp, sym string")
+    quotes = spark.createDataFrame(
+        [(_ts("2024-01-01T10:00:00"), "A", 100.0),
+         (_ts("2024-01-01T10:00:10"), "A", 101.0),
+         (_ts("2024-01-01T10:00:20"), "A", 102.0),
+         (_ts("2024-01-01T10:00:02"), "B", 55.0)],
+        "ts timestamp, sym string, px double")
+    return quotes, trades
+
+
+def test_asof_backward_semantics(quotes_trades):
+    quotes, trades = quotes_trades
+    out = {r.trade_id: r.px_asof for r in
+           asof_join(trades, quotes, ts_col="ts", by=["sym"],
+                     value_cols=["px"]).collect()}
+    assert out[1] == 100.0          # latest quote <= 10:00:05
+    assert out[2] == 102.0          # exact-ts quote matches (<=)
+    assert out[3] is None           # B quote is AFTER the trade
+    assert out[4] is None           # no quote before 09:59
+
+
+def test_asof_tolerance(quotes_trades):
+    quotes, trades = quotes_trades
+    out = {r.trade_id: r.px_asof for r in
+           asof_join(trades, quotes, ts_col="ts", by=["sym"],
+                     value_cols=["px"], tolerance_seconds=3).collect()}
+    assert out[1] is None           # 5s-old quote outside 3s tolerance
+    assert out[2] == 102.0          # 0s old
+
+
+def test_asof_single_shuffle_no_join(spark, quotes_trades):
+    """The scalable property: NO join operator at all — one exchange on
+    the by-key, then a window. |left| x |right| never materializes."""
+    quotes, trades = quotes_trades
+    plan = (asof_join(trades, quotes, ts_col="ts", by=["sym"],
+                      value_cols=["px"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_range_join_matches_naive(spark):
+    left = spark.range(200).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 3.0).alias("lv"),
+        F.col("id").alias("lid"))
+    right = spark.range(300).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 2.0).alias("rv"),
+        F.col("id").alias("rid"))
+    got = {(r.lid, r.rid) for r in
+           range_join(left, right, "lv", "rv", lo=1.0, hi=9.0,
+                      by=["k"]).collect()}
+    naive = {(r.lid, r.rid) for r in
+             left.alias("l").join(
+                 right.alias("r"),
+                 (F.col("l.k") == F.col("r.k"))
+                 & (F.col("r.rv") >= F.col("l.lv") + 1.0)
+                 & (F.col("r.rv") <= F.col("l.lv") + 9.0)).select(
+                     F.col("l.lid").alias("lid"),
+                     F.col("r.rid").alias("rid")).collect()}
+    assert got == naive and len(got) > 100
+
+
+def test_range_join_is_hash_join_not_bnl(spark):
+    """The bare range predicate plans as BroadcastNestedLoopJoin; the
+    bucketed formulation must be an equi (hash/SMJ) join."""
+    left = spark.range(1000).select((F.col("id") * 1.0).alias("lv"))
+    right = spark.range(1000).select((F.col("id") * 1.0).alias("rv"))
+    plan = (range_join(left, right, "lv", "rv", lo=0.0, hi=5.0)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_range_join_self_source(spark):
+    """Both sides deriving from the same DataFrame (the common
+    self-range-join on one event table) must not trip Spark's
+    ambiguous-self-join analyzer."""
+    ev = spark.createDataFrame(
+        [(1, 0.0), (1, 30.0), (1, 3000.0), (2, 10.0), (2, 20.0)],
+        "u long, t double")
+    pairs = range_join(ev, ev, "t", "t", lo=1.0, hi=60.0, by=["u"])
+    got = {(r.u, r.t, r.r_t) for r in pairs.collect()}
+    assert got == {(1, 0.0, 30.0), (2, 10.0, 20.0)}
+
+
+def test_hypertable_rollup_consistency(spark):
+    ev = spark.createDataFrame(
+        [(_ts("2024-01-01T10:15:00"), "a", 1.0),
+         (_ts("2024-01-01T10:45:00"), "a", 2.0),
+         (_ts("2024-01-01T11:15:00"), "a", 4.0),
+         (_ts("2024-01-02T00:00:00"), "b", 8.0)],
+        "ts timestamp, event_type string, value double")
+    rows = hypertable_rollup(ev, resolutions=("hour", "day")).collect()
+    hours = {(r.bucket_start.isoformat(), r.key): (r.n, r.sum_value)
+             for r in rows if r.resolution == "hour"}
+    days = {(r.bucket_start.isoformat(), r.key): (r.n, r.sum_value)
+            for r in rows if r.resolution == "day"}
+    assert hours[("2024-01-01T10:00:00", "a")] == (2, 3.0)
+    assert hours[("2024-01-01T11:00:00", "a")] == (1, 4.0)
+    assert days[("2024-01-01T00:00:00", "a")] == (3, 7.0)
+    assert days[("2024-01-02T00:00:00", "b")] == (1, 8.0)
+    # single-pass: hour totals reconcile with day totals
+    assert sum(v[1] for k, v in hours.items() if k[0].startswith("2024-01-01")
+               and k[1] == "a") == days[("2024-01-01T00:00:00", "a")][1]
