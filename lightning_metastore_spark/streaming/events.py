@@ -30,13 +30,24 @@ EVENTS_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
 def read_event_stream(spark: SparkSession, path: str,
                       max_files_per_trigger: int = 16) -> DataFrame:
     """File-source event stream (new parquet files appear in `path`).
-    Timestamps are normalized to microseconds like session.load_tables."""
+    Timestamps are normalized to microseconds like session.load_tables.
+
+    The physical ts encoding is sniffed from a batch read of the existing
+    files (readStream needs a declared schema up front): TIMESTAMP(NANOS)
+    parquet surfaces as bigint under nanosAsLong and is truncated to
+    micros; TIMESTAMP(MICROS) parquet reads natively. One driver-side
+    footer read — no data scan."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_is_nanos = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    schema = (EVENTS_SCHEMA.replace("ts timestamp", "ts bigint")
+              if ts_is_nanos else EVENTS_SCHEMA)
     raw = (spark.readStream
-           .schema(EVENTS_SCHEMA.replace("ts timestamp", "ts bigint"))
+           .schema(schema)
            .option("maxFilesPerTrigger", str(max_files_per_trigger))
            .parquet(path))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
