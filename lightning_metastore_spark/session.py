@@ -36,6 +36,10 @@ def get_spark(app_name: str = "lightning_metastore_spark",
         # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as long and convert in load_tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # TIMESTAMP(MICROS) parquet without isAdjustedToUTC would otherwise
+        # infer as TIMESTAMP_NTZ, which unix_micros()/CAST AS DOUBLE reject;
+        # read as session-TZ timestamp (UTC here) — value-preserving.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     return builder.getOrCreate()
 
@@ -55,11 +59,13 @@ def load_tables(spark: SparkSession, sf_dir: str,
     """
     from pyspark.sql import functions as F
 
-    # events.parquet stores TIMESTAMP(NANOS); Spark's reader rejects it
-    # unless nanos are surfaced as long. Set at runtime so this works on
-    # ANY caller-provided session (the driver builds its own), not just
-    # ours from get_spark().
+    # events.parquet has shipped as TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    # in different driver builds; normalize BOTH to session-TZ timestamp
+    # at micro precision. Set at runtime so this works on ANY
+    # caller-provided session (the driver builds its own), not just ours
+    # from get_spark().
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
     dfs = {}
     for name in tables:
@@ -68,9 +74,14 @@ def load_tables(spark: SparkSession, sf_dir: str,
             df = spark.read.parquet(path)
             # Nanosecond timestamps arrive as long (nanosAsLong conf);
             # truncate to microseconds — matches DuckDB's epoch_us view.
+            # TIMESTAMP_NTZ (micros parquet read before the conf above took
+            # effect, or by a session that cached the schema) casts to
+            # timestamp value-preserving under the UTC session timezone.
             for col, dtype in df.dtypes:
                 if col == "ts" and dtype == "bigint":
                     df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                elif col == "ts" and dtype == "timestamp_ntz":
+                    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             df.createOrReplaceTempView(name)
             dfs[name] = df
     return dfs

@@ -27,18 +27,37 @@ EVENTS_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
                  "event_type string, value double, props string")
 
 
+_TS_ENCODING_CACHE: dict = {}  # path -> bool (ts_is_nanos)
+
+
 def read_event_stream(spark: SparkSession, path: str,
-                      max_files_per_trigger: int = 16) -> DataFrame:
+                      max_files_per_trigger: int = 16,
+                      ts_encoding: str | None = None) -> DataFrame:
     """File-source event stream (new parquet files appear in `path`).
     Timestamps are normalized to microseconds like session.load_tables.
 
     The physical ts encoding is sniffed from a batch read of the existing
     files (readStream needs a declared schema up front): TIMESTAMP(NANOS)
     parquet surfaces as bigint under nanosAsLong and is truncated to
-    micros; TIMESTAMP(MICROS) parquet reads natively. One driver-side
-    footer read — no data scan."""
+    micros; TIMESTAMP(MICROS) parquet reads natively. The sniff is ONE
+    driver-side footer read, cached per path; pass ts_encoding
+    ('nanos'|'micros') to skip it — required when the directory is still
+    empty at stream start (default then: micros). All files under `path`
+    must share one physical ts encoding: the schema is fixed at stream
+    definition, so a mixed directory fails (nanos file under a micros
+    schema) or misparses (micros under nanos) mid-stream."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_is_nanos = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    if ts_encoding is not None:
+        ts_is_nanos = ts_encoding == "nanos"
+    elif path in _TS_ENCODING_CACHE:
+        ts_is_nanos = _TS_ENCODING_CACHE[path]
+    else:
+        try:
+            ts_is_nanos = (dict(spark.read.parquet(path).dtypes)
+                           .get("ts") == "bigint")
+            _TS_ENCODING_CACHE[path] = ts_is_nanos
+        except Exception:  # empty dir: no footer to sniff; don't cache
+            ts_is_nanos = False
     schema = (EVENTS_SCHEMA.replace("ts timestamp", "ts bigint")
               if ts_is_nanos else EVENTS_SCHEMA)
     raw = (spark.readStream
