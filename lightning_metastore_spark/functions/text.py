@@ -198,6 +198,88 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
                     .alias("avg_logprob")))
 
 
+def repetition_features(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    Columns (fractions rounded to 6dp, engine-portable arithmetic):
+    - n_words / n_distinct_words
+    - distinct_word_ratio      n_distinct / n_words
+    - dup_word_char_frac       fraction of word characters belonging to
+                               words that occur more than once
+    - top_2gram_char_frac      characters covered by the single most
+                               repeated word 2-gram (count x length,
+                               counting only 2-grams that occur more
+                               than once), over the document's total
+                               characters — max over the product, so
+                               no mode tie-break is needed
+    - dup_2gram_char_frac      fraction of 2-gram characters inside
+                               2-grams occurring more than once
+    - word_entropy             Shannon entropy (nats) of the in-doc
+                               unigram distribution: ln(N) - sum(c ln c)/N
+    - is_repetitive            composite flag (the Gopher-repetition
+                               reject rule shape)
+
+    Scale: two explode + keyed aggregations (words, 2-grams) — the
+    TF-shape shuffle that map-side combines to one row per (doc, term);
+    per-doc entropy terms are summed as DECIMAL(28,15) so the result is
+    bit-stable on any partitioning (each c*ln(c) term is the identical
+    IEEE double everywhere; decimal addition is exact and
+    order-independent).
+    """
+    t = F.lower(F.col(text_col))
+    toks = docs.select(F.col(id_col), F.length(F.col(text_col)).alias("n_chars"),
+                       F.split(t, r"\s+").alias("toks"))
+
+    occ = toks.select(F.col(id_col), F.explode("toks").alias("w"))
+    wc = occ.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    wstats = (wc.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.sum(F.col("c") * F.length("w")).alias("wchars"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("w"))
+              .otherwise(F.lit(0))).alias("dup_wchars"),
+        F.sum((F.col("c") * F.log("c")).cast("decimal(28,15)")).alias("clnc")))
+
+    grams = (toks.withColumn("m", F.size("toks") - 1)
+             .filter(F.col("m") >= 1)
+             .select(F.col(id_col),
+                     F.explode(F.expr(
+                         "transform(arrays_zip(slice(toks, 1, m), "
+                         "slice(toks, 2, m)), s -> concat(s['0'], ' ', s['1']))"
+                     )).alias("g")))
+    gc = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    gstats = (gc.groupBy(id_col).agg(
+        F.max(F.when(F.col("c") > 1, F.col("c") * F.length("g"))
+              .otherwise(F.lit(0))).alias("top_gchars"),
+        F.sum(F.col("c") * F.length("g")).alias("gchars"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("g"))
+              .otherwise(F.lit(0))).alias("dup_gchars")))
+
+    base = (toks.select(F.col(id_col), "n_chars")
+            .join(wstats, id_col)
+            .join(gstats, id_col, "left"))
+    distinct_ratio = F.col("n_distinct_words") / F.col("n_words")
+    dup_word_frac = F.col("dup_wchars") / F.col("wchars")
+    top_gram_frac = F.coalesce(F.col("top_gchars") / F.col("n_chars"), F.lit(0.0))
+    dup_gram_frac = F.coalesce(F.col("dup_gchars") / F.col("gchars"), F.lit(0.0))
+    entropy = (F.log("n_words")
+               - F.col("clnc").cast("double") / F.col("n_words"))
+    is_rep = ((dup_gram_frac > 0.4) | (top_gram_frac > 0.06)
+              | (distinct_ratio < 0.3))
+    return base.select(
+        F.col(id_col),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
+        F.round(distinct_ratio, 6).alias("distinct_word_ratio"),
+        F.round(dup_word_frac, 6).alias("dup_word_char_frac"),
+        F.round(top_gram_frac, 6).alias("top_2gram_char_frac"),
+        F.round(dup_gram_frac, 6).alias("dup_2gram_char_frac"),
+        F.round(entropy, 6).alias("word_entropy"),
+        is_rep.alias("is_repetitive"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """(doc_id, fp) — md5 over whitespace-normalized lowercase text.

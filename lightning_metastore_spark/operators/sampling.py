@@ -1,0 +1,60 @@
+"""Deterministic sampling operators for corpus mixture control.
+
+Pre-training pipelines re-weight domains/languages to a target mixture
+(e.g. up-weight books, down-weight boilerplate web). This module does
+that with hash-thinning: every document's keep/drop decision is a pure
+function of its id, so the sample is reproducible across runs, engines
+and cluster layouts — no RNG state, no seeds to coordinate, and the
+decision is a map-only expression at any corpus size.
+
+Scale design: one tiny per-group count aggregate (groups = domains or
+languages — dozens, not millions) broadcast back onto the corpus scan;
+everything else is map-only JVM expressions.
+
+Reference parity note: the reference has no sampling operators
+(SURVEY.md §2.7); part of the driver-mandated LLM-pipeline extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HASH_SPACE = 4294967296.0  # 2^32: the first 8 md5 hex chars as uniform u32
+
+
+def mixture_resample(docs: DataFrame, weights: dict[str, float],
+                     target_frac: float = 0.6,
+                     group_col: str = "lang", id_col: str = "doc_id",
+                     salt: str = "mix") -> DataFrame:
+    """Resample a corpus toward a target group mixture, deterministically:
+    (doc_id, <group_col>, keep_rate, kept).
+
+    The target corpus size is ``target_frac * N``; group g should
+    contribute ``weights[g]`` of it, so its per-doc keep rate is
+    ``min(1, target_frac * N * w_g / n_g)`` (capped — a group cannot be
+    up-sampled above 1x; real pipelines repeat epochs for that).
+    Groups absent from ``weights`` get rate 0 (dropped).
+
+    A doc is kept iff the first 8 hex chars of md5("<salt>:<id>") —
+    a uniform 32-bit value — fall below ``rate * 2^32``, compared as
+    zero-padded hex strings so the whole decision stays in string/int
+    expressions any engine evaluates identically.
+    """
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_g"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    rate = F.least(
+        F.lit(1.0),
+        F.coalesce(wmap[F.col(group_col)], F.lit(0.0))
+        * F.lit(target_frac) * F.col("n_total") / F.col("n_g"))
+    threshold = F.lpad(F.lower(F.hex(F.floor(rate * F.lit(_HASH_SPACE))
+                                     .cast("long"))), 8, "0")
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8)
+    kept = F.when(rate >= 1.0, F.lit(True)).otherwise(h < threshold)
+    return (docs.join(F.broadcast(counts), group_col)
+            .crossJoin(F.broadcast(total))
+            .select(F.col(id_col), F.col(group_col),
+                    F.round(rate, 6).alias("keep_rate"),
+                    kept.alias("kept")))

@@ -143,25 +143,47 @@ ORDER BY check_type
 
 # --- dedup -----------------------------------------------------------------
 
-# Session-scoped shingle cache shared by the dedup queries: all of them
-# shingle the same documents table, so the exploded (doc_id, shingle)
-# relation is persisted once per (session, sf_dir) — MEMORY_AND_DISK,
-# ~20 MB at sf0.1; the later queries skip the tokenize/explode/distinct
-# pipeline entirely.
-_shingle_cache: dict = {}
+# Session-scoped cache of sub-plans shared by the dedup queries: they
+# all shingle the same documents table, and three of them (ngram pairs,
+# clusters, keep-best) walk the same exact-Jaccard pair graph — so the
+# shingle relation, the verified pair list and the cluster assignment
+# are each persisted once per (session, sf_dir) and later queries skip
+# the whole upstream pipeline. MEMORY_AND_DISK; ~20 MB at sf0.1.
+_df_cache: dict = {}
 
 
-def _shingles_cached(spark: SparkSession, docs: DataFrame, sf_dir: str):
+def _cached_df(spark: SparkSession, sf_dir: str, tag: str, build):
     # key by applicationId (unique per context lifetime — id() could be
     # reused after GC); purge entries from dead applications so cached
     # DataFrames bound to a stopped context are never returned
     app_id = spark.sparkContext.applicationId
-    for k in [k for k in _shingle_cache if k[0] != app_id]:
-        del _shingle_cache[k]
-    key = (app_id, sf_dir)
-    if key not in _shingle_cache:
-        _shingle_cache[key] = dedup.shingles(docs).persist()
-    return _shingle_cache[key]
+    for k in [k for k in _df_cache if k[0] != app_id]:
+        del _df_cache[k]
+    key = (app_id, sf_dir, tag)
+    if key not in _df_cache:
+        _df_cache[key] = build().persist()
+    return _df_cache[key]
+
+
+def _shingles_cached(spark: SparkSession, docs: DataFrame, sf_dir: str):
+    return _cached_df(spark, sf_dir, "shingles",
+                      lambda: dedup.shingles(docs))
+
+
+def _jaccard_pairs_cached(spark: SparkSession, docs: DataFrame, sf_dir: str):
+    """Exact-Jaccard near-dup pairs (threshold 0.5, n=3) — the shared
+    ground-truth pair graph for ngram dedup, clustering and keep-best."""
+    sh = _shingles_cached(spark, docs, sf_dir)
+    return _cached_df(spark, sf_dir, "jaccard_pairs",
+                      lambda: dedup.jaccard_pairs(docs, threshold=0.5, n=3,
+                                                  sh=sh))
+
+
+def _clusters_cached(spark: SparkSession, docs: DataFrame, sf_dir: str):
+    """Connected-components cluster labels over the shared pair graph."""
+    pairs = _jaccard_pairs_cached(spark, docs, sf_dir)
+    return _cached_df(spark, sf_dir, "clusters",
+                      lambda: dedup.connected_components(pairs, docs))
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,8 +228,7 @@ ORDER BY doc_id_a, doc_id_b
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
-    sh = _shingles_cached(spark, t["documents"], sf_dir)
-    return (dedup.jaccard_pairs(t["documents"], threshold=0.5, n=3, sh=sh)
+    return (_jaccard_pairs_cached(spark, t["documents"], sf_dir)
             .orderBy("doc_id_a", "doc_id_b"))
 
 
@@ -286,9 +307,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard pair graph; oracle = DuckDB recursive CTE reachability."""
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
-    sh = _shingles_cached(spark, docs, sf_dir)
-    pairs = dedup.jaccard_pairs(docs, threshold=0.5, n=3, sh=sh)
-    return (dedup.connected_components(pairs, docs)
+    return (_clusters_cached(spark, docs, sf_dir)
             .orderBy("doc_id"))
 
 
@@ -735,9 +754,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
-    sh = _shingles_cached(spark, docs, sf_dir)
-    pairs = dedup.jaccard_pairs(docs, threshold=0.5, n=3, sh=sh)
-    clusters = dedup.connected_components(pairs, docs)
+    clusters = _clusters_cached(spark, docs, sf_dir)
     w = W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
     return (docs.join(clusters, "doc_id")
             .withColumn("rk", F.row_number().over(w))
@@ -1268,6 +1285,181 @@ DQ_SUITE_ORACLE = (
 )
 
 
+# --- round-6 additions: repetition / contamination / mixture / histogram ---
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-word character
+    fraction, top/duplicate 2-gram coverage, in-doc word entropy and the
+    composite reject flag (functions/text.py::repetition_features)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text_fns.repetition_features(t["documents"]).orderBy("doc_id")
+
+
+TEXT_REPETITION_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, LENGTH(text) AS n_chars,
+         string_split_regex(lower(text), '\s+') AS t
+  FROM documents
+), wc AS (
+  SELECT doc_id, w, COUNT(*) AS c
+  FROM toks, unnest(t) AS u(w) GROUP BY 1, 2
+), wstats AS (
+  SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct_words,
+         SUM(c * LENGTH(w)) AS wchars,
+         SUM(CASE WHEN c > 1 THEN c * LENGTH(w) ELSE 0 END) AS dup_wchars,
+         SUM(CAST(c * ln(c) AS DECIMAL(28,15))) AS clnc
+  FROM wc GROUP BY 1
+), grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS s(i)
+  WHERE len(t) >= 2
+), gc AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2
+), gstats AS (
+  SELECT doc_id,
+         MAX(CASE WHEN c > 1 THEN c * LENGTH(g) ELSE 0 END) AS top_gchars,
+         SUM(c * LENGTH(g)) AS gchars,
+         SUM(CASE WHEN c > 1 THEN c * LENGTH(g) ELSE 0 END) AS dup_gchars
+  FROM gc GROUP BY 1
+)
+SELECT toks.doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_distinct_words AS BIGINT) AS n_distinct_words,
+       ROUND(n_distinct_words / n_words, 6) AS distinct_word_ratio,
+       ROUND(dup_wchars / wchars, 6) AS dup_word_char_frac,
+       ROUND(COALESCE(top_gchars / n_chars, CAST(0.0 AS DOUBLE)), 6)
+         AS top_2gram_char_frac,
+       ROUND(COALESCE(dup_gchars / gchars, CAST(0.0 AS DOUBLE)), 6)
+         AS dup_2gram_char_frac,
+       ROUND(ln(n_words) - CAST(clnc AS DOUBLE) / n_words, 6) AS word_entropy,
+       (COALESCE(dup_gchars / gchars, CAST(0.0 AS DOUBLE)) > 0.4
+        OR COALESCE(top_gchars / n_chars, CAST(0.0 AS DOUBLE)) > 0.06
+        OR n_distinct_words / n_words < 0.3) AS is_repetitive
+FROM toks
+JOIN wstats ON wstats.doc_id = toks.doc_id
+LEFT JOIN gstats ON gstats.doc_id = toks.doc_id
+ORDER BY toks.doc_id
+"""
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 25th document plays the eval
+    benchmark; the rest of the corpus is scored for 3-gram overlap
+    against it (operators/contamination.py — broadcast membership join)."""
+    from lightning_metastore_spark.operators.contamination import (
+        contamination_overlap)
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    return (contamination_overlap(train, bench, n=3, flag_threshold=0.5)
+            .orderBy("doc_id"))
+
+
+CONTAMINATION_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              ELSE array_to_string(t, ' ') END AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 25 = 0
+), train AS (
+  SELECT * FROM sh WHERE doc_id % 25 <> 0
+), hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_contaminated
+  FROM train t JOIN bench b ON t.shingle = b.shingle GROUP BY 1
+), counts AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1
+)
+SELECT c.doc_id, CAST(c.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       ROUND(COALESCE(h.n_contaminated, 0) / c.n_shingles, 6) AS contam_frac,
+       COALESCE(h.n_contaminated, 0) / c.n_shingles >= 0.5 AS is_contaminated
+FROM counts c LEFT JOIN hits h ON h.doc_id = c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+_MIXTURE_WEIGHTS = {"en": 0.3, "de": 0.1, "fr": 0.3, "es": 0.15, "zh": 0.15}
+
+
+def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture resampling to a target weight vector, hash-thinned
+    deterministically (operators/sampling.py::mixture_resample). The fr
+    weight intentionally exceeds its corpus share so the rate cap (1.0)
+    path is exercised."""
+    from lightning_metastore_spark.operators.sampling import mixture_resample
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (mixture_resample(t["documents"], _MIXTURE_WEIGHTS,
+                             target_frac=0.6)
+            .orderBy("doc_id"))
+
+
+DOMAIN_MIXTURE_ORACLE = r"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY 1
+), total AS (
+  SELECT COUNT(*) AS n_total FROM documents
+), rated AS (
+  SELECT d.doc_id, d.lang,
+         LEAST(CAST(1.0 AS DOUBLE),
+               CASE d.lang WHEN 'en' THEN CAST(0.3 AS DOUBLE)
+                           WHEN 'de' THEN CAST(0.1 AS DOUBLE)
+                           WHEN 'fr' THEN CAST(0.3 AS DOUBLE)
+                           WHEN 'es' THEN CAST(0.15 AS DOUBLE)
+                           WHEN 'zh' THEN CAST(0.15 AS DOUBLE)
+                           ELSE CAST(0.0 AS DOUBLE) END
+               * CAST(0.6 AS DOUBLE) * n_total / n_g) AS rate
+  FROM documents d JOIN counts USING (lang) CROSS JOIN total
+)
+SELECT doc_id, lang, ROUND(rate, 6) AS keep_rate,
+       CASE WHEN rate >= 1.0 THEN TRUE
+            ELSE substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < lpad(lower(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT))),
+                        8, '0') END AS kept
+FROM rated ORDER BY doc_id
+"""
+
+
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length histogram (bucket width 8): the profiling
+    pass a pipeline runs before choosing packing/truncation lengths.
+    One map-only scan + one tiny aggregation."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tc = text_fns.token_counts(t["documents"])
+    return (tc.withColumn("bucket_lo",
+                          (F.floor(F.col("n_tokens") / 8) * 8).cast("long"))
+            .groupBy("bucket_lo")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("n_tokens").cast("long").alias("min_tokens"),
+                 F.max("n_tokens").cast("long").alias("max_tokens"),
+                 F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"))
+            .orderBy("bucket_lo"))
+
+
+TOKEN_HISTOGRAM_ORACLE = r"""
+WITH tc AS (
+  SELECT doc_id, LENGTH(text) AS n_chars,
+         len(regexp_extract_all(text, '(\S+)', 1)) AS n_tokens
+  FROM documents
+)
+SELECT CAST(FLOOR(n_tokens / 8) * 8 AS BIGINT) AS bucket_lo,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       ROUND(AVG(n_tokens), 6) AS avg_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM tc GROUP BY 1 ORDER BY 1
+"""
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     s.name: s for s in [
         QuerySpec("catalog_federated_revenue", catalog_federated_revenue,
@@ -1327,5 +1519,14 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "streamed windowed agg + exactly-once dedup == batch"),
         QuerySpec("dq_suite", dq_suite, DQ_SUITE_ORACLE,
                   "PK + FK + custom DQ checks (tagged union)"),
+        QuerySpec("text_repetition", text_repetition, TEXT_REPETITION_ORACLE,
+                  "Gopher-style repetition filters + word entropy"),
+        QuerySpec("contamination_check", contamination_check,
+                  CONTAMINATION_ORACLE,
+                  "benchmark n-gram decontamination (broadcast membership)"),
+        QuerySpec("domain_mixture", domain_mixture, DOMAIN_MIXTURE_ORACLE,
+                  "deterministic hash-thinned mixture resampling"),
+        QuerySpec("token_histogram", token_histogram, TOKEN_HISTOGRAM_ORACLE,
+                  "token-length histogram (pre-packing profile)"),
     ]
 }

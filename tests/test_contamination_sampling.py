@@ -1,0 +1,67 @@
+"""Contamination-check and mixture-resampling operator tests."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lightning_metastore_spark.operators.contamination import (  # noqa: E402
+    contamination_overlap)
+from lightning_metastore_spark.operators.sampling import (  # noqa: E402
+    mixture_resample)
+
+
+def test_contamination_overlap_micro(spark):
+    train = spark.createDataFrame([
+        (1, "the quick brown fox jumps high"),   # shares "the quick brown",
+                                                 # "quick brown fox"
+        (2, "totally different words here now"),
+        (3, "short doc"),                        # < n words -> whole-text shingle
+    ], ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox runs away")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in contamination_overlap(train, bench, n=3).collect()}
+    assert out[1].n_shingles == 4 and out[1].n_contaminated == 2
+    assert out[1].contam_frac == 0.5 and bool(out[1].is_contaminated)
+    assert out[2].n_contaminated == 0 and not bool(out[2].is_contaminated)
+    assert out[3].n_shingles == 1 and out[3].n_contaminated == 0
+
+
+def test_contamination_is_deterministic(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    a = contamination_overlap(train, bench).orderBy("doc_id").collect()
+    b = contamination_overlap(train, bench).orderBy("doc_id").collect()
+    assert a == b and len(a) == train.count()
+
+
+def test_mixture_resample_rates_and_determinism(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    weights = {"en": 0.3, "de": 0.1, "fr": 0.3, "es": 0.15, "zh": 0.15}
+    out = mixture_resample(docs, weights, target_frac=0.6)
+    rows = out.orderBy("doc_id").collect()
+    assert len(rows) == docs.count()
+    # fr is over-weighted relative to its share -> rate capped at 1.0,
+    # meaning every fr doc is kept
+    fr = [r for r in rows if r.lang == "fr"]
+    assert fr and all(r.keep_rate == 1.0 and r.kept for r in fr)
+    # kept fraction per language approximates its rate (hash-uniformity)
+    for lang in ("en", "zh"):
+        grp = [r for r in rows if r.lang == lang]
+        rate = grp[0].keep_rate
+        kept_frac = sum(r.kept for r in grp) / len(grp)
+        assert abs(kept_frac - rate) < 0.2
+    # decisions are a pure function of doc_id -> rerun is identical
+    assert rows == out.orderBy("doc_id").collect()
+
+
+def test_mixture_resample_unknown_group_dropped(spark):
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "xx"), (3, "en")], ["doc_id", "lang"])
+    out = {r.doc_id: r for r in
+           mixture_resample(docs, {"en": 1.0}, target_frac=0.5).collect()}
+    assert out[2].keep_rate == 0.0 and not out[2].kept

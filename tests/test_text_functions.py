@@ -43,3 +43,38 @@ def test_fingerprint_normalizes_whitespace(spark):
                                ["doc_id", "text"])
     fps = [r.fp for r in tf.fingerprint(df).orderBy("doc_id").collect()]
     assert fps[0] == fps[1]
+
+
+def test_repetition_features_micro(spark):
+    # doc 1: "a b a b" -> words a:2 b:2; 2-grams "a b":2, "b a":1
+    # doc 2: all-distinct words; doc 3: single word (no 2-grams)
+    df = spark.createDataFrame([
+        (1, "a b a b"),
+        (2, "one two three four"),
+        (3, "solo"),
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in tf.repetition_features(df).collect()}
+
+    r1 = out[1]
+    assert r1.n_words == 4 and r1.n_distinct_words == 2
+    assert r1.distinct_word_ratio == 0.5
+    assert r1.dup_word_char_frac == 1.0  # every word repeats
+    # top 2-gram "a b" count 2, len 3 -> 6 chars over 7 text chars
+    assert r1.top_2gram_char_frac == round(6 / 7, 6)
+    # dup gram chars 6 over total gram chars 9
+    assert r1.dup_2gram_char_frac == round(6 / 9, 6)
+    # entropy of {2/4, 2/4} = ln 2
+    import math
+    assert abs(r1.word_entropy - round(math.log(2), 6)) < 1e-9
+    assert bool(r1.is_repetitive)
+
+    r2 = out[2]
+    assert r2.distinct_word_ratio == 1.0
+    assert r2.dup_word_char_frac == 0.0
+    assert r2.dup_2gram_char_frac == 0.0
+    assert not bool(r2.is_repetitive)
+
+    r3 = out[3]  # no 2-grams -> zero-coalesced fractions
+    assert r3.n_words == 1
+    assert r3.top_2gram_char_frac == 0.0
+    assert r3.word_entropy == 0.0
