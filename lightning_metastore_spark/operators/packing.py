@@ -1,0 +1,90 @@
+"""Sequence packing for training-data pipelines.
+
+Pre-training dataloaders concatenate the token stream in a fixed
+document order and cut it into fixed-capacity windows ("concat and
+chunk"). The batch-side job is to compute, for every document, its
+global token offset and which chunks it lands in — a global prefix sum
+over a total order.
+
+Scale design (100 TB): a naive ``SUM() OVER (ORDER BY id)`` window has
+no PARTITION BY, so Spark plans it as a SINGLE partition — the whole
+corpus through one task. This module implements the classic two-phase
+distributed prefix sum instead: documents are range-bucketed by a
+monotone block key, per-block token sums are aggregated (a
+blocks-sized relation), the tiny block-sum list is prefix-summed on
+the driver and broadcast back, and the final cumulative offset is an
+intra-block window (partitioned — parallel) plus the block's base
+offset. Identical results to the single-partition window at any block
+count.
+
+Reference parity note: the reference has no packing operators
+(SURVEY.md §2.7); part of the driver-mandated LLM-pipeline extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def packed_offsets(docs: DataFrame, capacity: int = 2048,
+                   n_blocks: int = 64, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document packing offsets under concat-and-chunk:
+    (doc_id, n_tokens, start_offset, end_offset, first_chunk,
+    last_chunk, n_chunks).
+
+    The token stream is ordered by ``id_col``; ``capacity`` is the chunk
+    (context-window) length. ``first_chunk``/``last_chunk`` are the
+    chunk indexes containing the document's first and last token —
+    documents straddle chunk boundaries, n_chunks = how many windows the
+    document touches (input for straddle-loss accounting).
+
+    Two shuffles: the per-block aggregate and the intra-block window.
+    The block key floor(id * n_blocks / (max_id + 1)) is monotone in id,
+    so blocks tile the global order; per-block sums (``n_blocks`` rows)
+    prefix-sum on the driver.
+    """
+    tc = docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"(\S+)"), 1))
+        .alias("n_tokens"))
+
+    max_id = tc.agg(F.max(id_col)).first()[0]
+    if max_id is None:
+        return tc.select(
+            F.col(id_col), F.col("n_tokens").cast("long"),
+            F.lit(0).cast("long").alias("start_offset"),
+            F.lit(0).cast("long").alias("end_offset"),
+            F.lit(0).cast("long").alias("first_chunk"),
+            F.lit(0).cast("long").alias("last_chunk"),
+            F.lit(0).cast("long").alias("n_chunks"))
+    blk = F.floor(F.col(id_col) * n_blocks / (max_id + 1)).alias("blk")
+    tcb = tc.select("*", blk)
+
+    block_sums = (tcb.groupBy("blk").agg(F.sum("n_tokens").alias("s"))
+                  .orderBy("blk").collect())
+    base, offsets = 0, {}
+    for r in block_sums:
+        offsets[r["blk"]] = base
+        base += r["s"]
+    base_df = tcb.sparkSession.createDataFrame(
+        [(int(b), int(o)) for b, o in offsets.items()], "blk long, base long")
+
+    w = W.partitionBy("blk").orderBy(id_col).rowsBetween(
+        W.unboundedPreceding, W.currentRow)
+    cum = (tcb.join(F.broadcast(base_df), "blk")
+           .withColumn("end_offset", F.sum("n_tokens").over(w) + F.col("base")))
+    start = F.col("end_offset") - F.col("n_tokens")
+    first_chunk = F.floor(start / capacity)
+    last_chunk = F.floor((F.col("end_offset") - 1) / capacity)
+    return cum.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        start.cast("long").alias("start_offset"),
+        F.col("end_offset").cast("long").alias("end_offset"),
+        first_chunk.cast("long").alias("first_chunk"),
+        F.greatest(last_chunk, first_chunk).cast("long").alias("last_chunk"),
+        (F.greatest(last_chunk, first_chunk) - first_chunk + 1)
+        .cast("long").alias("n_chunks"))

@@ -1460,6 +1460,41 @@ FROM tc GROUP BY 1 ORDER BY 1
 """
 
 
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing offsets (capacity 2048) via the
+    two-phase distributed prefix sum (operators/packing.py) — the
+    oracle's single-partition SUM() OVER (ORDER BY) window is exactly
+    what the operator avoids at scale."""
+    from lightning_metastore_spark.operators.packing import packed_offsets
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return packed_offsets(t["documents"], capacity=2048).orderBy("doc_id")
+
+
+SEQUENCE_PACK_ORACLE = r"""
+WITH tc AS (
+  SELECT doc_id, len(regexp_extract_all(text, '(\S+)', 1)) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+  FROM tc
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST(cum AS BIGINT) AS end_offset,
+       CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS first_chunk,
+       CAST(GREATEST(FLOOR((cum - 1) / 2048),
+                     FLOOR((cum - n_tokens) / 2048)) AS BIGINT) AS last_chunk,
+       CAST(GREATEST(FLOOR((cum - 1) / 2048),
+                     FLOOR((cum - n_tokens) / 2048))
+            - FLOOR((cum - n_tokens) / 2048) + 1 AS BIGINT) AS n_chunks
+FROM c ORDER BY doc_id
+"""
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     s.name: s for s in [
         QuerySpec("catalog_federated_revenue", catalog_federated_revenue,
@@ -1528,5 +1563,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "deterministic hash-thinned mixture resampling"),
         QuerySpec("token_histogram", token_histogram, TOKEN_HISTOGRAM_ORACLE,
                   "token-length histogram (pre-packing profile)"),
+        QuerySpec("sequence_pack", sequence_pack, SEQUENCE_PACK_ORACLE,
+                  "concat-and-chunk packing offsets (2-phase prefix sum)"),
     ]
 }

@@ -1,0 +1,43 @@
+"""Sequence-packing operator tests."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from lightning_metastore_spark.operators.packing import packed_offsets  # noqa: E402
+
+
+def test_packed_offsets_micro(spark):
+    # token counts: 3, 4, 2, 5 -> cum 3, 7, 9, 14; capacity 4
+    df = spark.createDataFrame([
+        (10, "a b c"),
+        (20, "d e f g"),
+        (30, "h i"),
+        (40, "j k l m n"),
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in packed_offsets(df, capacity=4).collect()}
+    assert (out[10].start_offset, out[10].end_offset) == (0, 3)
+    assert (out[10].first_chunk, out[10].last_chunk, out[10].n_chunks) == (0, 0, 1)
+    # doc 20 spans tokens 3..6 -> chunks 0 and 1
+    assert (out[20].first_chunk, out[20].last_chunk, out[20].n_chunks) == (0, 1, 2)
+    assert (out[30].start_offset, out[30].end_offset) == (7, 9)
+    # doc 40 spans tokens 9..13 -> chunks 2 and 3
+    assert (out[40].first_chunk, out[40].last_chunk, out[40].n_chunks) == (2, 3, 2)
+
+
+def test_packed_offsets_matches_single_partition_window(spark):
+    """The two-phase prefix sum must equal the naive global window for
+    every block count (blocks only change parallelism, never results)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = packed_offsets(docs, capacity=512, n_blocks=1).orderBy("doc_id").collect()
+    b = packed_offsets(docs, capacity=512, n_blocks=64).orderBy("doc_id").collect()
+    assert a == b
+    total = sum(r.n_tokens for r in a)
+    assert a[-1].end_offset == total
+
+
+def test_packed_offsets_empty_input(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    assert packed_offsets(df).count() == 0
