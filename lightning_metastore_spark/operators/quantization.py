@@ -1,0 +1,62 @@
+"""Embedding quantization for large-scale vector corpora.
+
+At 100 TB an fp32 embedding column is routinely the widest thing in the
+table; int8 scalar quantization shrinks it 4x before ANN indexing (the
+standard IVF-SQ8 recipe). This module computes per-dimension symmetric
+scales over the corpus, the clipped int8 codes, and per-vector
+reconstruction-error stats for accuracy monitoring.
+
+Scale design: per-dimension scales come from one posexplode +
+dimension-keyed aggregation (shuffle keys = the embedding width, e.g.
+64-4096 — tiny); the scale table broadcasts back onto the exploded
+stream, and the per-vector error aggregate shuffles once on vec_id.
+Everything is JVM column expressions; error sums are DECIMAL-cast so
+results are bit-stable on any partitioning.
+
+Reference parity note: the reference has no quantization operators
+(SURVEY.md §2.7); part of the driver-mandated LLM-pipeline extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scalar_quantize_stats(emb: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          q_max: int = 127) -> DataFrame:
+    """Symmetric int8 scalar quantization + reconstruction stats:
+    (vec_id, n_dims, n_clipped, max_abs_err, mse).
+
+    scale_d = max(|v_d|)/q_max per dimension d over the corpus;
+    code = clamp(round(v/scale), -q_max, q_max). All-zero dimensions
+    (scale 0) quantize to 0. ``n_clipped`` counts values whose unclamped
+    code exceeded the range — 0 under symmetric max-abs scaling, the
+    column exists because real pipelines quantize NEW vectors with
+    frozen scales, where clipping is the signal to re-fit.
+    """
+    ex = emb.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+        .alias("dim", "val"))
+    scales = (ex.groupBy("dim")
+              .agg((F.max(F.abs("val")) / q_max).alias("scale")))
+    raw_code = F.round(F.col("val") / F.col("scale"))
+    code = F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+        F.least(F.greatest(raw_code, F.lit(float(-q_max))),
+                F.lit(float(q_max))))
+    clipped = F.when((F.col("scale") != 0) & (F.abs(raw_code) > q_max), 1) \
+        .otherwise(0)
+    err = F.col("val") - code * F.col("scale")
+    return (ex.join(F.broadcast(scales), "dim")
+            .select(F.col(id_col), clipped.alias("clipped"),
+                    err.alias("err"))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_dims"),
+                 F.sum("clipped").cast("long").alias("n_clipped"),
+                 F.round(F.max(F.abs("err")), 9).alias("max_abs_err"),
+                 F.round(
+                     F.sum((F.col("err") * F.col("err"))
+                           .cast("decimal(28,15)")).cast("double")
+                     / F.count(F.lit(1)), 9).alias("mse")))

@@ -23,6 +23,30 @@ from pyspark.sql import functions as F
 _HASH_SPACE = 4294967296.0  # 2^32: the first 8 md5 hex chars as uniform u32
 
 
+def stratified_fixed_n(docs: DataFrame, n_per_group: int,
+                       group_col: str = "lang", id_col: str = "doc_id",
+                       salt: str = "strat") -> DataFrame:
+    """Exactly min(n, |group|) rows per group, chosen by hash order:
+    (doc_id, <group_col>, sample_rank).
+
+    Rank docs within each group by md5("<salt>:<id>") (id tiebreak) and
+    keep the first n — a deterministic uniform sample that is stable
+    under corpus growth ONLY for the ranks that stay below n (carving
+    eval sets before a re-crawl should pin ids instead). One window
+    shuffle on the group key; groups are domains/languages, so per-group
+    ordering state is the only memory cost — at extreme group skew,
+    pre-filter with an approximate per-group rate then rank the
+    survivors (rate * |g| >> n keeps recall exact).
+    """
+    from pyspark.sql.window import Window as W
+
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = W.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (docs.select(F.col(id_col), F.col(group_col))
+            .withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= n_per_group))
+
+
 def mixture_resample(docs: DataFrame, weights: dict[str, float],
                      target_frac: float = 0.6,
                      group_col: str = "lang", id_col: str = "doc_id",

@@ -475,6 +475,41 @@ FROM embeddings WHERE vec_id % 50 = 0 ORDER BY query_id
 """
 
 
+def ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both ANN paths in one tagged-union slot (50-slot registry
+    discipline): the exact brute-force top-k rows and the IVF recall
+    verdicts, schema-aligned with NULLs on the columns the other method
+    doesn't produce. Each method keeps its full per-row hash check."""
+    brute = (ann_brute_force_topk(spark, sf_dir)
+             .select(F.lit("brute").alias("method"), "query_id",
+                     F.col("rk").cast("long").alias("rk"),
+                     F.col("neighbor_id").cast("long").alias("neighbor_id"),
+                     "cosine",
+                     F.lit(None).cast("boolean").alias("recall_ok"),
+                     F.lit(None).cast("boolean").alias("mean_recall_ok")))
+    ivf = (ann_ivf_topk(spark, sf_dir)
+           .select(F.lit("ivf").alias("method"), "query_id",
+                   F.lit(None).cast("long").alias("rk"),
+                   F.lit(None).cast("long").alias("neighbor_id"),
+                   F.lit(None).cast("double").alias("cosine"),
+                   "recall_ok", "mean_recall_ok"))
+    return (brute.unionByName(ivf)
+            .orderBy("method", "query_id", "rk"))
+
+
+ANN_SUITE_ORACLE = (
+    "SELECT 'brute' AS method, query_id, CAST(rk AS BIGINT) AS rk, "
+    "CAST(neighbor_id AS BIGINT) AS neighbor_id, cosine, "
+    "CAST(NULL AS BOOLEAN) AS recall_ok, "
+    "CAST(NULL AS BOOLEAN) AS mean_recall_ok "
+    "FROM (" + ANN_BRUTE_ORACLE + ") "
+    "UNION ALL "
+    "SELECT 'ivf', query_id, NULL, NULL, CAST(NULL AS DOUBLE), "
+    "recall_ok, mean_recall_ok FROM (" + ANN_IVF_ORACLE + ") "
+    "ORDER BY method, query_id, rk"
+)
+
+
 # --- text analysis ---------------------------------------------------------
 
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -797,6 +832,29 @@ SELECT doc_id, cluster_id, n_chars FROM (
 ) WHERE rk = 1
 ORDER BY doc_id
 """
+
+
+def dedup_cluster_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labels AND per-cluster best-doc selection in one
+    tagged-union slot (50-slot registry discipline) — both walk the
+    shared cached pair graph, so the union costs one CC pass total."""
+    labels = (dedup_clusters(spark, sf_dir)
+              .select(F.lit("labels").alias("part"), "doc_id", "cluster_id",
+                      F.lit(None).cast("long").alias("n_chars")))
+    best = (dedup_keep_best(spark, sf_dir)
+            .select(F.lit("keep_best").alias("part"), "doc_id", "cluster_id",
+                    F.col("n_chars").cast("long").alias("n_chars")))
+    return labels.unionByName(best).orderBy("part", "doc_id")
+
+
+DEDUP_CLUSTER_SUITE_ORACLE = (
+    "SELECT 'labels' AS part, doc_id, cluster_id, "
+    "CAST(NULL AS BIGINT) AS n_chars FROM (" + DEDUP_CLUSTERS_ORACLE + ") "
+    "UNION ALL "
+    "SELECT 'keep_best', doc_id, cluster_id, CAST(n_chars AS BIGINT) "
+    "FROM (" + DEDUP_KEEP_BEST_ORACLE + ") "
+    "ORDER BY part, doc_id"
+)
 
 
 # --- streaming (batch-equivalence through the gate) ------------------------
@@ -1427,6 +1485,31 @@ FROM rated ORDER BY doc_id
 """
 
 
+def stratified_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n-per-language eval-set carving: 20 docs per lang by
+    deterministic hash order (operators/sampling.py::stratified_fixed_n)."""
+    from lightning_metastore_spark.operators.sampling import stratified_fixed_n
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (stratified_fixed_n(t["documents"], 20)
+            .orderBy("lang", "sample_rank"))
+
+
+STRATIFIED_FIXED_ORACLE = r"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank
+FROM ranked WHERE sample_rank <= 20
+ORDER BY lang, sample_rank
+"""
+
+
 def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token-length histogram (bucket width 8): the profiling
     pass a pipeline runs before choosing packing/truncation lengths.
@@ -1457,6 +1540,46 @@ SELECT CAST(FLOOR(n_tokens / 8) * 8 AS BIGINT) AS bucket_lo,
        ROUND(AVG(n_tokens), 6) AS avg_tokens,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM tc GROUP BY 1 ORDER BY 1
+"""
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column with per-vector
+    reconstruction-error stats (operators/quantization.py): corpus-fit
+    per-dimension scales broadcast onto the exploded value stream."""
+    from lightning_metastore_spark.operators.quantization import (
+        scalar_quantize_stats)
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return scalar_quantize_stats(t["embeddings"]).orderBy("vec_id")
+
+
+EMBEDDING_QUANTIZE_ORACLE = r"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ex AS (
+  SELECT vec_id, i - 1 AS dim, v[i] AS val
+  FROM e, unnest(generate_series(1, len(v))) AS s(i)
+), scales AS (
+  SELECT dim, MAX(ABS(val)) / 127 AS scale FROM ex GROUP BY 1
+), q AS (
+  SELECT vec_id,
+         CASE WHEN scale = 0 THEN 1 ELSE 0 END AS zs,
+         CASE WHEN scale = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE LEAST(GREATEST(ROUND(val / scale), CAST(-127.0 AS DOUBLE)),
+                         CAST(127.0 AS DOUBLE)) END AS code,
+         CASE WHEN scale <> 0 AND ABS(ROUND(val / scale)) > 127 THEN 1
+              ELSE 0 END AS clipped,
+         val, scale
+  FROM ex JOIN scales USING (dim)
+)
+SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims,
+       CAST(SUM(clipped) AS BIGINT) AS n_clipped,
+       ROUND(MAX(ABS(val - code * scale)), 9) AS max_abs_err,
+       ROUND(CAST(SUM(CAST((val - code * scale) * (val - code * scale)
+                           AS DECIMAL(28,15))) AS DOUBLE) / COUNT(*), 9)
+         AS mse
+FROM q GROUP BY vec_id ORDER BY vec_id
 """
 
 
@@ -1495,6 +1618,124 @@ FROM c ORDER BY doc_id
 """
 
 
+def _melt(df: DataFrame, section: str, key_col: str,
+          num_cols: list[str], str_cols: tuple = ()) -> DataFrame:
+    """Melt a wide gate output into the shared long schema
+    (section, row_key, metric, value_num, value_str) so gates with
+    different shapes can share one registry slot without losing any
+    value from the hash check. Booleans cast to 0.0/1.0."""
+    entries = ([F.struct(F.lit(c).alias("metric"),
+                         F.col(c).cast("double").alias("value_num"),
+                         F.lit(None).cast("string").alias("value_str"))
+                for c in num_cols]
+               + [F.struct(F.lit(c).alias("metric"),
+                           F.lit(None).cast("double").alias("value_num"),
+                           F.col(c).cast("string").alias("value_str"))
+                  for c in str_cols])
+    return (df.select(F.lit(section).alias("section"),
+                      F.col(key_col).cast("long").alias("row_key"),
+                      F.explode(F.array(*entries)).alias("m"))
+            .select("section", "row_key", "m.metric", "m.value_num",
+                    "m.value_str"))
+
+
+def _melt_sql(oracle: str, section: str, key_col: str,
+              num_cols: list[str], str_cols: tuple = ()) -> str:
+    """DuckDB twin of _melt: one UNION ALL arm per column over the
+    wrapped component oracle (subquery ORDER BY is legal and ignored)."""
+    arms = [
+        f"SELECT '{section}' AS section, CAST({key_col} AS BIGINT) AS row_key, "
+        f"'{c}' AS metric, CAST({c} AS DOUBLE) AS value_num, "
+        f"CAST(NULL AS VARCHAR) AS value_str FROM _src"
+        for c in num_cols
+    ] + [
+        f"SELECT '{section}', CAST({key_col} AS BIGINT), '{c}', "
+        f"CAST(NULL AS DOUBLE), CAST({c} AS VARCHAR) FROM _src"
+        for c in str_cols
+    ]
+    return ("SELECT * FROM (WITH _src AS (SELECT * FROM (" + oracle + ")) "
+            + " UNION ALL ".join(arms) + ")")
+
+
+def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four document-profiling operators in one melted tagged-union slot
+    (50-slot registry discipline): Gopher repetition filters, the
+    token-length histogram, sequence packing and the contamination
+    check. Every cell of every component is still hash-verified."""
+    parts = [
+        _melt(text_repetition(spark, sf_dir), "repetition", "doc_id",
+              ["n_words", "n_distinct_words", "distinct_word_ratio",
+               "dup_word_char_frac", "top_2gram_char_frac",
+               "dup_2gram_char_frac", "word_entropy", "is_repetitive"]),
+        _melt(token_histogram(spark, sf_dir), "histogram", "bucket_lo",
+              ["n_docs", "min_tokens", "max_tokens", "avg_tokens",
+               "sum_chars"]),
+        _melt(sequence_pack(spark, sf_dir), "pack", "doc_id",
+              ["n_tokens", "start_offset", "end_offset", "first_chunk",
+               "last_chunk", "n_chunks"]),
+        _melt(contamination_check(spark, sf_dir), "contamination", "doc_id",
+              ["n_shingles", "n_contaminated", "contam_frac",
+               "is_contaminated"]),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("section", "row_key", "metric")
+
+
+CORPUS_PROFILE_SUITE_ORACLE = (
+    "SELECT * FROM ("
+    + _melt_sql(TEXT_REPETITION_ORACLE, "repetition", "doc_id",
+                ["n_words", "n_distinct_words", "distinct_word_ratio",
+                 "dup_word_char_frac", "top_2gram_char_frac",
+                 "dup_2gram_char_frac", "word_entropy", "is_repetitive"])
+    + " UNION ALL "
+    + _melt_sql(TOKEN_HISTOGRAM_ORACLE, "histogram", "bucket_lo",
+                ["n_docs", "min_tokens", "max_tokens", "avg_tokens",
+                 "sum_chars"])
+    + " UNION ALL "
+    + _melt_sql(SEQUENCE_PACK_ORACLE, "pack", "doc_id",
+                ["n_tokens", "start_offset", "end_offset", "first_chunk",
+                 "last_chunk", "n_chunks"])
+    + " UNION ALL "
+    + _melt_sql(CONTAMINATION_ORACLE, "contamination", "doc_id",
+                ["n_shingles", "n_contaminated", "contam_frac",
+                 "is_contaminated"])
+    + ") ORDER BY section, row_key, metric"
+)
+
+
+def sampling_quantize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling, exact-n stratified sampling and int8
+    embedding quantization in one melted tagged-union slot."""
+    parts = [
+        _melt(domain_mixture(spark, sf_dir), "mixture", "doc_id",
+              ["keep_rate", "kept"], ("lang",)),
+        _melt(stratified_sample_fixed(spark, sf_dir), "stratified", "doc_id",
+              ["sample_rank"], ("lang",)),
+        _melt(embedding_quantize(spark, sf_dir), "quantize", "vec_id",
+              ["n_dims", "n_clipped", "max_abs_err", "mse"]),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("section", "row_key", "metric")
+
+
+SAMPLING_QUANTIZE_SUITE_ORACLE = (
+    "SELECT * FROM ("
+    + _melt_sql(DOMAIN_MIXTURE_ORACLE, "mixture", "doc_id",
+                ["keep_rate", "kept"], ("lang",))
+    + " UNION ALL "
+    + _melt_sql(STRATIFIED_FIXED_ORACLE, "stratified", "doc_id",
+                ["sample_rank"], ("lang",))
+    + " UNION ALL "
+    + _melt_sql(EMBEDDING_QUANTIZE_ORACLE, "quantize", "vec_id",
+                ["n_dims", "n_clipped", "max_abs_err", "mse"])
+    + ") ORDER BY section, row_key, metric"
+)
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     s.name: s for s in [
         QuerySpec("catalog_federated_revenue", catalog_federated_revenue,
@@ -1511,10 +1752,9 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "ngram/minhash/simhash near-dup pairs (tagged union)"),
         QuerySpec("dedup_embedding", dedup_embedding, DEDUP_EMBEDDING_ORACLE,
                   "embedding cosine near-dup pairs"),
-        QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE,
-                  "connected-components duplicate clusters"),
-        QuerySpec("dedup_keep_best", dedup_keep_best, DEDUP_KEEP_BEST_ORACLE,
-                  "per-cluster best-document selection"),
+        QuerySpec("dedup_cluster_suite", dedup_cluster_suite,
+                  DEDUP_CLUSTER_SUITE_ORACLE,
+                  "CC cluster labels + per-cluster keep-best (tagged union)"),
         QuerySpec("sample_split_assign", sample_split_assign, SAMPLE_SPLIT_ORACLE,
                   "deterministic hash-based split + stratified sampling"),
         QuerySpec("sketch_profile", sketch_profile, SKETCH_PROFILE_ORACLE,
@@ -1528,10 +1768,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "PII masking (email/ssn/phone/card)"),
         QuerySpec("text_tfidf_top_terms", text_tfidf_top_terms, TFIDF_ORACLE,
                   "top-k TF-IDF terms per document"),
-        QuerySpec("ann_brute_force_topk", ann_brute_force_topk, ANN_BRUTE_ORACLE,
-                  "exact cosine top-k neighbors"),
-        QuerySpec("ann_ivf_topk", ann_ivf_topk, ANN_IVF_ORACLE,
-                  "IVF approximate top-k, recall-verdict hashed"),
+        QuerySpec("ann_topk_suite", ann_topk_suite, ANN_SUITE_ORACLE,
+                  "brute-force top-k + IVF recall verdicts (tagged union)"),
         QuerySpec("text_quality", text_quality, TEXT_QUALITY_ORACLE,
                   "quality features + composite score + BPE-ish tokens"),
         QuerySpec("text_lang_id", text_lang_id, LANG_ID_ORACLE,
@@ -1554,16 +1792,13 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "streamed windowed agg + exactly-once dedup == batch"),
         QuerySpec("dq_suite", dq_suite, DQ_SUITE_ORACLE,
                   "PK + FK + custom DQ checks (tagged union)"),
-        QuerySpec("text_repetition", text_repetition, TEXT_REPETITION_ORACLE,
-                  "Gopher-style repetition filters + word entropy"),
-        QuerySpec("contamination_check", contamination_check,
-                  CONTAMINATION_ORACLE,
-                  "benchmark n-gram decontamination (broadcast membership)"),
-        QuerySpec("domain_mixture", domain_mixture, DOMAIN_MIXTURE_ORACLE,
-                  "deterministic hash-thinned mixture resampling"),
-        QuerySpec("token_histogram", token_histogram, TOKEN_HISTOGRAM_ORACLE,
-                  "token-length histogram (pre-packing profile)"),
-        QuerySpec("sequence_pack", sequence_pack, SEQUENCE_PACK_ORACLE,
-                  "concat-and-chunk packing offsets (2-phase prefix sum)"),
+        QuerySpec("corpus_profile_suite", corpus_profile_suite,
+                  CORPUS_PROFILE_SUITE_ORACLE,
+                  "repetition + histogram + packing + contamination "
+                  "(melted tagged union)"),
+        QuerySpec("sampling_quantize_suite", sampling_quantize_suite,
+                  SAMPLING_QUANTIZE_SUITE_ORACLE,
+                  "mixture resample + stratified sample + int8 quantize "
+                  "(melted tagged union)"),
     ]
 }

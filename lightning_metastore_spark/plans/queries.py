@@ -314,34 +314,49 @@ ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
 
 
 def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot (DataFrame .pivot with explicit values -> no extra pass to
-    discover the domain; oracle expresses it as CASE sums)."""
+    """Pivot AND unpivot in one slot: DataFrame .pivot with explicit
+    values (no extra domain-discovery pass) widens per-priority status
+    sums+counts, then stack() melts the wide result back to long — the
+    round trip exercises both operators and the long output hash-checks
+    every pivot cell. Oracle: the UNION ALL expansion."""
     t = load_tables(spark, sf_dir, ("orders",))
     piv = (
         t["orders"]
         .withColumn("price_c", cents(F.col("o_totalprice")))
         .groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["O", "F", "P"])
-        .agg(F.sum("price_c"))
+        .agg(F.sum("price_c").alias("t"), F.count(F.lit(1)).alias("n"))
     )
-    return (
-        piv.select(
-            "o_orderpriority",
-            (F.col("O") / 100.0).alias("total_open"),
-            (F.col("F") / 100.0).alias("total_filled"),
-            (F.col("P") / 100.0).alias("total_pending"),
-        ).orderBy("o_orderpriority")
-    )
+    return (piv.selectExpr(
+        "o_orderpriority",
+        "stack(3, 'O', O_n, O_t, 'F', F_n, F_t, 'P', P_n, P_t) "
+        "as (o_orderstatus, n_orders, total_c)")
+        .select("o_orderpriority", "o_orderstatus",
+                F.coalesce(F.col("n_orders"), F.lit(0))
+                .cast("long").alias("n_orders"),
+                (F.coalesce(F.col("total_c"), F.lit(0)) / 100.0)
+                .alias("total_price"))
+        .orderBy("o_orderpriority", "o_orderstatus"))
 
 
 Q_PIVOT_ORACLE = f"""
-SELECT o_orderpriority,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN {_cents_sql('o_totalprice')} END) / 100.0 AS total_open,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN {_cents_sql('o_totalprice')} END) / 100.0 AS total_filled,
-       SUM(CASE WHEN o_orderstatus = 'P' THEN {_cents_sql('o_totalprice')} END) / 100.0 AS total_pending
-FROM orders
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority
+WITH wide AS (
+  SELECT o_orderpriority,
+         COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+         SUM(CASE WHEN o_orderstatus = 'O' THEN {_cents_sql('o_totalprice')} ELSE 0 END) AS t_o,
+         COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN {_cents_sql('o_totalprice')} ELSE 0 END) AS t_f,
+         COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+         SUM(CASE WHEN o_orderstatus = 'P' THEN {_cents_sql('o_totalprice')} ELSE 0 END) AS t_p
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'O' AS o_orderstatus,
+       CAST(n_o AS BIGINT) AS n_orders, t_o / 100.0 AS total_price FROM wide
+UNION ALL
+SELECT o_orderpriority, 'F', CAST(n_f AS BIGINT), t_f / 100.0 FROM wide
+UNION ALL
+SELECT o_orderpriority, 'P', CAST(n_p AS BIGINT), t_p / 100.0 FROM wide
+ORDER BY o_orderpriority, o_orderstatus
 """
 
 
@@ -1245,7 +1260,7 @@ RELATIONAL_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("q_rollup_cube", q_rollup_cube, Q_ROLLUP_CUBE_ORACLE,
                   "GROUP BY ROLLUP + CUBE (both Expand variants)"),
         QuerySpec("q_pivot_status", q_pivot_status, Q_PIVOT_ORACLE,
-                  "pivot with explicit domain"),
+                  "pivot (explicit domain) + unpivot via stack round trip"),
         QuerySpec("q_setops", q_setops, Q_SETOPS_COMBINED_ORACLE,
                   "INTERSECT/EXCEPT + INTERSECT ALL/EXCEPT ALL"),
         QuerySpec("q_multi_distinct", q_multi_distinct, Q_MULTI_DISTINCT_ORACLE,

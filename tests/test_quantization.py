@@ -1,0 +1,33 @@
+"""Embedding scalar-quantization tests."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from lightning_metastore_spark.operators.quantization import (  # noqa: E402
+    scalar_quantize_stats)
+
+
+def test_quantize_error_bounds(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = scalar_quantize_stats(emb).collect()
+    assert len(rows) == emb.count()
+    # symmetric max-abs fit: nothing clips, rounding error <= scale/2 and
+    # scales are max|v|/127 with |v| <~ 1 -> errors well under 0.01
+    assert all(r.n_clipped == 0 for r in rows)
+    assert all(r.n_dims == 64 for r in rows)
+    assert all(0.0 <= r.max_abs_err < 0.01 for r in rows)
+    assert all(0.0 <= r.mse < 1e-4 for r in rows)
+
+
+def test_quantize_zero_dimension(spark):
+    # second dimension all-zero -> scale 0 -> codes 0, zero error there
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, -2.0]), (2, [0.5, 0.0, 2.0])],
+        "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in scalar_quantize_stats(emb).collect()}
+    assert out[1].n_dims == 3 and out[1].n_clipped == 0
+    # max values quantize exactly (code +-127): error only from rounding
+    assert out[1].max_abs_err < 0.01 and out[2].max_abs_err < 0.01
