@@ -130,6 +130,44 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def attribution_interval_join(clicks: DataFrame, purchases: DataFrame,
+                              watermark: str = "2 hours",
+                              attribution_window_min: int = 30) -> DataFrame:
+    """Stream-stream interval join: click -> purchase attribution.
+
+    Each purchase joins the same user's clicks that happened in the
+    ``attribution_window_min`` minutes before it — the canonical
+    stream-stream use case. Both sides carry watermarks and the join
+    condition bounds event time on both inputs, so Spark can expire
+    state: click state is held for watermark + window, purchase state
+    for the watermark — bounded regardless of stream length. The join
+    shuffles both streams once on user_id.
+
+    Works identically on batch DataFrames (the batch twin is the test
+    oracle): the join condition is pure Catalyst, only the watermarks
+    are stream-specific (no-ops in batch mode).
+    """
+    c = (clicks.filter(F.col("event_type") == "click")
+         .withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("event_id").alias("click_id"),
+                 F.col("ts").alias("click_ts")))
+    p = (purchases.filter(F.col("event_type") == "purchase")
+         .withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("purchase_ts"),
+                 F.col("value").alias("purchase_value")))
+    cond = ((F.col("c_user") == F.col("p_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts")
+               - F.expr(f"INTERVAL {attribution_window_min} MINUTES")))
+    return (c.join(p, cond)
+            .select(F.col("p_user").alias("user_id"), "click_id",
+                    "purchase_id", "click_ts", "purchase_ts",
+                    "purchase_value"))
+
+
 def start_memory_stream(stream_df: DataFrame, query_name: str,
                         output_mode: str = "update"):
     """Start (without draining) a memory-sink query; returns the handle.

@@ -136,3 +136,30 @@ def test_multimodal_real_decode_images(spark):
     assert abs(feats[1][2] - 128 / 255) < 0.01
     # histogram bins sum to ~1 (a distribution over luminance)
     assert abs(sum(feats[1][6:]) - 1.0) < 1e-6
+
+
+def test_attribution_interval_join_matches_batch(spark, events_dir):
+    """The library attribution operator (click -> purchase within 30 min)
+    streamed must equal its batch twin — same function, batch inputs."""
+    stream = sev.read_event_stream(spark, events_dir)
+    out = sev.attribution_interval_join(stream, stream)
+    sev.run_to_memory(out.select("click_id", "purchase_id"), "attrib",
+                      output_mode="append")
+    streamed = {(r.click_id, r.purchase_id)
+                for r in spark.sql("SELECT * FROM attrib").collect()}
+    batch = load_tables(spark, SF_DIR, ("events",))["events"]
+    expected = {(r.click_id, r.purchase_id)
+                for r in sev.attribution_interval_join(batch, batch).collect()}
+    assert streamed == expected and len(expected) > 0
+
+
+def test_read_event_stream_empty_dir_and_cache(spark, tmp_path):
+    """ADVICE r5: a stream must be definable on a still-empty directory
+    (defaults to micros encoding), and the sniff caches per path."""
+    d = tmp_path / "empty_stream"
+    d.mkdir()
+    df = sev.read_event_stream(spark, str(d))
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    # explicit encoding parameter also skips the sniff
+    df2 = sev.read_event_stream(spark, str(d), ts_encoding="nanos")
+    assert dict(df2.dtypes)["ts"] == "timestamp"  # normalized post-conversion
