@@ -106,17 +106,37 @@ def _shingle_counts(sh: DataFrame, id_col: str) -> DataFrame:
     return sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
 
+def shingle_intersections(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-pair shingle intersection counts over every co-occurring doc
+    pair: (doc_id_a, doc_id_b, n_common). The single expensive self
+    equi-join of the exact-Jaccard family — callers that need it more
+    than once (exact pairs + LSH verifies) should compute it once,
+    persist, and pass it through."""
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_id_a"),
+                 F.col(f"b.{id_col}").alias("doc_id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
                   text_col: str = "text", id_col: str = "doc_id",
                   max_shingle_df: int | None = None,
-                  sh: DataFrame | None = None) -> DataFrame:
+                  sh: DataFrame | None = None,
+                  inter: DataFrame | None = None) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs: (id_a, id_b, jaccard).
 
     Plan: explode shingles -> self equi-join on shingle (the shuffle key)
     -> per-pair intersection count -> |A ∪ B| = |A| + |B| - |A ∩ B|.
     ``max_shingle_df`` drops shingles appearing in more than that many
     docs — bounds the fan-out of hot shingles at scale. Pass a prebuilt
-    (persisted) ``sh`` to amortize shingling across operators.
+    (persisted) ``sh`` to amortize shingling across operators, and a
+    prebuilt ``inter`` (shingle_intersections of the SAME unfiltered sh)
+    to amortize the intersection join too; ``inter`` is ignored when
+    ``max_shingle_df`` filters the shingle universe.
     """
     if sh is None:
         sh = shingles(docs, n, text_col, id_col)
@@ -124,17 +144,14 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
         sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = (sh.join(sdf.filter(F.col("df") <= max_shingle_df).select("shingle"),
                       "shingle"))
+        inter = None  # the cached intersections cover the unfiltered universe
     # counts AFTER the df filter so the Jaccard denominator matches the
     # filtered shingle universe the numerator is computed over
     counts = _shingle_counts(sh, id_col)
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    if inter is None:
+        inter = shingle_intersections(sh, id_col)
+    inter = inter.select(F.col("doc_id_a").alias("id_a"),
+                         F.col("doc_id_b").alias("id_b"), "n_common")
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
@@ -206,7 +223,8 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
 
 
 def _verify_pairs_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float,
-                          id_col: str, strategy: str = "pairwise") -> DataFrame:
+                          id_col: str, strategy: str = "pairwise",
+                          inter: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard restricted to candidate pairs.
 
     strategy='pairwise' (default): pairs x shingles join — per-pair work;
@@ -215,7 +233,9 @@ def _verify_pairs_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float,
     against the candidate set — right when the candidate set is a large
     fraction of all similar-ish pairs (SimHash on short-vocabulary
     corpora, where hamming separates poorly), because the equi-join
-    enumerates only genuinely-overlapping pairs.
+    enumerates only genuinely-overlapping pairs. Pass a prebuilt
+    (persisted) ``inter`` = shingle_intersections(sh) to skip the
+    equi-join entirely.
     """
     counts = _shingle_counts(sh, id_col)
     ca = counts.select(F.col(id_col).alias("doc_id_a"), F.col("n_shingles").alias("n_a"))
@@ -225,13 +245,9 @@ def _verify_pairs_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float,
              .filter(F.least("n_a", "n_b") / F.greatest("n_a", "n_b")
                      >= F.lit(threshold)))
     if strategy == "shingle-join":
-        a = sh.select(F.col(id_col).alias("doc_id_a"), "shingle")
-        b = sh.select(F.col(id_col).alias("doc_id_b"), "shingle")
-        inter = (a.join(b, ["shingle"])
-                 .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-                 .groupBy("doc_id_a", "doc_id_b")
-                 .agg(F.count(F.lit(1)).alias("n_common"))
-                 .join(sized, ["doc_id_a", "doc_id_b"]))
+        if inter is None:
+            inter = shingle_intersections(sh, id_col)
+        inter = inter.join(sized, ["doc_id_a", "doc_id_b"])
     else:
         sa = sh.select(F.col(id_col).alias("doc_id_a"), F.col("shingle"))
         sb = sh.select(F.col(id_col).alias("doc_id_b"), F.col("shingle"))
@@ -330,6 +346,7 @@ def simhash_pairs(docs: DataFrame, hamming_max: int = 4,
                   chunks: int = 5, text_col: str = "text",
                   id_col: str = "doc_id",
                   sh: DataFrame | None = None,
+                  inter: DataFrame | None = None,
                   max_collision_prob: float = 0.05,
                   on_degenerate: str = "warn") -> DataFrame:
     """SimHash near-dup pairs, exact-verified: (doc_id_a, doc_id_b, jaccard).
@@ -413,7 +430,7 @@ def simhash_pairs(docs: DataFrame, hamming_max: int = 4,
     # enumerates only truly-overlapping pairs instead of joining per
     # candidate. See _verify_pairs_jaccard.
     return _verify_pairs_jaccard(candidates, sh, jaccard_threshold, id_col,
-                                 strategy="shingle-join")
+                                 strategy="shingle-join", inter=inter)
 
 
 def _cc_union_find(edge_rows, nodes: DataFrame, id_col: str) -> DataFrame:

@@ -170,13 +170,23 @@ def _shingles_cached(spark: SparkSession, docs: DataFrame, sf_dir: str):
                       lambda: dedup.shingles(docs))
 
 
+def _intersections_cached(spark: SparkSession, docs: DataFrame, sf_dir: str):
+    """Per-pair shingle intersection counts — THE expensive equi-join of
+    the exact-Jaccard family, shared by ngram pairs and the SimHash
+    shingle-join verify."""
+    sh = _shingles_cached(spark, docs, sf_dir)
+    return _cached_df(spark, sf_dir, "intersections",
+                      lambda: dedup.shingle_intersections(sh))
+
+
 def _jaccard_pairs_cached(spark: SparkSession, docs: DataFrame, sf_dir: str):
     """Exact-Jaccard near-dup pairs (threshold 0.5, n=3) — the shared
     ground-truth pair graph for ngram dedup, clustering and keep-best."""
     sh = _shingles_cached(spark, docs, sf_dir)
+    inter = _intersections_cached(spark, docs, sf_dir)
     return _cached_df(spark, sf_dir, "jaccard_pairs",
                       lambda: dedup.jaccard_pairs(docs, threshold=0.5, n=3,
-                                                  sh=sh))
+                                                  sh=sh, inter=inter))
 
 
 def _clusters_cached(spark: SparkSession, docs: DataFrame, sf_dir: str):
@@ -251,10 +261,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     import warnings
 
     sh = _shingles_cached(spark, t["documents"], sf_dir)
+    inter = _intersections_cached(spark, t["documents"], sf_dir)
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", RuntimeWarning)
         pairs = dedup.simhash_pairs(t["documents"], hamming_max=14,
-                                    chunks=15, jaccard_threshold=0.5, sh=sh)
+                                    chunks=15, jaccard_threshold=0.5, sh=sh,
+                                    inter=inter)
     return pairs.orderBy("doc_id_a", "doc_id_b")
 
 
