@@ -43,11 +43,22 @@ class CurationConfig:
     use_minhash: bool = True         # False = exact jaccard pairs
     train_frac_hex: str = "cc"       # md5-prefix cutoffs (~0.797)
     val_frac_hex: str = "e6"         # (~0.1 more)
+    # optional stages (None = off, keeping the gate oracle's shape):
+    max_dup_2gram_frac: float | None = None   # Gopher repetition reject
+    max_contam_frac: float | None = None      # benchmark decontamination
+    contam_ngram: int = 3
 
 
 def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
                   text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  benchmark: DataFrame | None = None) -> DataFrame:
+    """See module docstring. Optional stages (off by default):
+    ``cfg.max_dup_2gram_frac`` rejects Gopher-repetitive documents
+    (functions/text.py::repetition_features on the CLEANED text);
+    ``benchmark`` + ``cfg.max_contam_frac`` rejects documents whose
+    n-gram overlap with the benchmark exceeds the bound
+    (operators/contamination.py — broadcast membership join)."""
     cfg = cfg or CurationConfig()
 
     # `cleaned` (itself ~2 shuffles deep) feeds five branches below
@@ -102,13 +113,34 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
            .withColumn("cluster_survivor",
                        F.coalesce("cluster_survivor", F.lit(False)))
            .withColumn("split", split))
+
+    rep_ok = F.lit(True)
+    if cfg.max_dup_2gram_frac is not None:
+        rep = text_fns.repetition_features(cleaned, text_col, id_col) \
+            .select(id_col, "dup_2gram_char_frac")
+        out = out.join(rep, id_col)
+        rep_ok = F.col("dup_2gram_char_frac") <= cfg.max_dup_2gram_frac
+    contam_ok = F.lit(True)
+    if benchmark is not None and cfg.max_contam_frac is not None:
+        from lightning_metastore_spark.operators.contamination import (
+            contamination_overlap)
+        contam = contamination_overlap(cleaned, benchmark, cfg.contam_ngram,
+                                       text_col=text_col, id_col=id_col) \
+            .select(id_col, "contam_frac")
+        out = out.join(contam, id_col, "left")
+        contam_ok = (F.coalesce("contam_frac", F.lit(0.0))
+                     <= cfg.max_contam_frac)
+
     keep = (F.col("exact_survivor") & F.col("cluster_survivor")
             & (F.col("quality_score") >= cfg.min_quality)
-            & F.col("pred_lang").isin(*cfg.allowed_langs))
+            & F.col("pred_lang").isin(*cfg.allowed_langs)
+            & rep_ok & contam_ok)
     reason = (F.when(~F.col("exact_survivor"), "exact_duplicate")
               .when(~F.col("cluster_survivor"), "near_duplicate")
               .when(F.col("quality_score") < cfg.min_quality, "low_quality")
               .when(~F.col("pred_lang").isin(*cfg.allowed_langs), "language")
+              .when(~rep_ok, "repetitive")
+              .when(~contam_ok, "contaminated")
               .otherwise(None))
     return out.select(id_col, text_col, "quality_score", "pred_lang",
                       "cluster_id", "split", keep.alias("keep"),

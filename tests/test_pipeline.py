@@ -67,3 +67,26 @@ def test_curate_corpus_micro_reasons(spark):
     assert out[1].keep
     assert not out[2].keep and out[2].drop_reason == "exact_duplicate"
     assert not out[3].keep and out[3].drop_reason == "low_quality"
+
+
+def test_curation_optional_repetition_and_contamination_stages(spark):
+    from pyspark.sql import functions as F
+    from lightning_metastore_spark.operators.pipeline import (
+        CurationConfig, curate_corpus)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    cfg = CurationConfig(min_quality=0.0, use_minhash=False,
+                         max_dup_2gram_frac=0.5, max_contam_frac=0.9)
+    out = curate_corpus(docs, cfg, benchmark=bench).collect()
+    assert len(out) == docs.count()
+    reasons = {r.drop_reason for r in out}
+    # both new stages actually fire on this corpus at these thresholds
+    assert "repetitive" in reasons or "contaminated" in reasons
+    # keep is consistent with its reason
+    assert all((r.drop_reason is None) == bool(r.keep) for r in out)
+    # default config (stages off) is unchanged: no new reasons appear
+    base = curate_corpus(docs, CurationConfig(min_quality=0.0,
+                                              use_minhash=False)).collect()
+    assert {r.drop_reason for r in base} <= {
+        None, "exact_duplicate", "near_duplicate", "low_quality", "language"}
