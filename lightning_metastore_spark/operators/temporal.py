@@ -171,3 +171,50 @@ def hypertable_rollup(events: DataFrame, ts_col: str = "ts",
         HAVING CASE {res_case} END IS NOT NULL
         ORDER BY resolution, bucket_start, key
     """)
+
+
+def gap_filled_hourly(events: DataFrame, ts_col: str = "ts",
+                      value_col: str = "value",
+                      method: str = "sequence") -> DataFrame:
+    """Zero-filled hourly series over the events' time span:
+    (bucket_start, n, sum_value) with a row for EVERY hour, gaps at
+    n=0 — the calendar gap-fill every time-series dashboard needs
+    (TimescaleDB's time_bucket_gapfill shape).
+
+    method='sequence' (default, the scale path): the calendar comes
+    from one sequence() + explode over the min/max bounds — constant
+    plan depth, parallel, no iteration. method='recursive': the same
+    calendar via Spark 4's WITH RECURSIVE (one row per recursion level;
+    engine-portable SQL but linear recursion depth — demonstration of
+    the recursive-CTE surface, not the 100 TB path). Both produce
+    identical output (test-asserted).
+    """
+    spark = events.sparkSession
+    hourly = (events
+              .groupBy(F.date_trunc("hour", F.col(ts_col)).alias("bh"))
+              .agg(F.count(value_col).alias("n"),
+                   (F.sum(F.round(F.col(value_col) * 100).cast("long"))
+                    .cast("double") / 100).alias("sv")))
+    if method == "recursive":
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", "1000000")
+        events.select(F.col(ts_col).alias("ts")) \
+            .createOrReplaceTempView("__gapfill_in")
+        cal = spark.sql("""
+            WITH RECURSIVE cal(h, hi) AS (
+              SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP),
+                     CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP)
+              FROM __gapfill_in
+              UNION ALL
+              SELECT h + INTERVAL 1 HOUR, hi FROM cal WHERE h < hi
+            ) SELECT h FROM cal""")
+    else:
+        bounds = events.agg(
+            F.date_trunc("hour", F.min(ts_col)).alias("lo"),
+            F.date_trunc("hour", F.max(ts_col)).alias("hi"))
+        cal = bounds.select(
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR")))
+            .alias("h"))
+    return (cal.join(hourly, cal.h == hourly.bh, "left")
+            .select(F.col("h").alias("bucket_start"),
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+                    F.coalesce("sv", F.lit(0.0)).alias("sum_value")))

@@ -1247,16 +1247,26 @@ ORDER BY v.user_id
 
 def temporal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup (hour/day/week) in one
-    pass via GROUPING SETS — the TimescaleDB continuous-aggregate
-    query shape. Oracle: three stacked DuckDB aggregates."""
+    pass via GROUPING SETS — the TimescaleDB continuous-aggregate query
+    shape — PLUS a zero-filled hourly calendar section built with
+    Spark 4's WITH RECURSIVE (gap_filled_hourly; the sequence() scale
+    path is test-asserted equal). Oracle: stacked DuckDB aggregates +
+    the same recursive-CTE calendar."""
     from lightning_metastore_spark.operators.temporal import (
+        gap_filled_hourly,
         hypertable_rollup,
     )
 
     t = load_tables(spark, sf_dir, ("events",))
-    return hypertable_rollup(t["events"], ts_col="ts",
-                             key_col="event_type", value_col="value",
-                             resolutions=("hour", "day", "week"))
+    rollup = hypertable_rollup(t["events"], ts_col="ts",
+                               key_col="event_type", value_col="value",
+                               resolutions=("hour", "day", "week"))
+    fill = (gap_filled_hourly(t["events"], method="recursive")
+            .select(F.lit("hour_fill").alias("resolution"),
+                    "bucket_start", F.lit("(all)").alias("key"),
+                    "n", "sum_value"))
+    return (rollup.unionByName(fill)
+            .orderBy("resolution", "bucket_start", "key"))
 
 
 TEMPORAL_ROLLUP_ORACLE = """
@@ -1277,6 +1287,21 @@ SELECT * FROM (
          COUNT(value),
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
   FROM events GROUP BY 2, 3
+  UNION ALL
+  SELECT 'hour_fill', h, '(all)',
+         COALESCE(a.n, 0), COALESCE(a.sv, CAST(0.0 AS DOUBLE))
+  FROM (WITH RECURSIVE cal(h, hi) AS (
+          SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP),
+                 CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP)
+          FROM events
+          UNION ALL
+          SELECT h + INTERVAL 1 HOUR, hi FROM cal WHERE h < hi
+        ) SELECT h FROM cal) c
+  LEFT JOIN (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bh,
+                    COUNT(value) AS n,
+                    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                      / 100 AS sv
+             FROM events GROUP BY 1) a ON a.bh = c.h
 )
 ORDER BY resolution, bucket_start, key
 """

