@@ -261,6 +261,49 @@ def _verify_pairs_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float,
             .select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
+def corpus_dup_spans(docs: DataFrame, k: int = 5, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Cross-document exact-substring duplication signal (the
+    Lee-et-al-style "deduplicating training data" span statistic):
+    (doc_id, n_spans, n_dup_spans, dup_span_frac).
+
+    Every k-token window (span) of every document is hashed; a span is
+    duplicated when its token sequence occurs more than once in the
+    WHOLE corpus (other docs or elsewhere in the same doc).
+    ``dup_span_frac`` is the per-doc fraction of duplicated spans — the
+    score exact-substring dedup pipelines threshold on before cutting.
+
+    Scale: positional k-grams explode to ~tokens-per-doc rows; the
+    corpus-wide occurrence count is one hash aggregation on the gram
+    (map-side combined), rejoined on the same key, then one per-doc
+    aggregate. Same shuffle shape as TF-IDF. Docs shorter than k tokens
+    contribute their whole text as one span (consistent with
+    ``shingles``).
+    """
+    toks = tokens(docs, text_col, id_col)
+    zip_args = ", ".join(f"slice(toks, {i + 1}, m)" for i in range(k))
+    concat_args = ", ' ', ".join(f"s['{i}']" for i in range(k))
+    spans = (
+        toks.withColumn("m", F.size("toks") - (k - 1))
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("m") >= 1,
+                F.expr(f"transform(arrays_zip({zip_args}), "
+                       f"s -> concat({concat_args}))"),
+            ).otherwise(F.expr("array(concat_ws(' ', toks))")).alias("g_arr"))
+        .select(F.col(id_col), F.explode("g_arr").alias("g")))
+    occ = spans.groupBy("g").agg(F.count(F.lit(1)).alias("occ"))
+    return (spans.join(occ, "g")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_spans"),
+                 F.sum(F.when(F.col("occ") > 1, 1).otherwise(0))
+                 .cast("long").alias("n_dup_spans"))
+            .select(F.col(id_col), "n_spans", "n_dup_spans",
+                    F.round(F.col("n_dup_spans") / F.col("n_spans"), 6)
+                    .alias("dup_span_frac")))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -1480,6 +1480,37 @@ ORDER BY c.doc_id
 """
 
 
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring duplication fractions (5-token
+    spans, Lee-et-al exact-substring dedup signal —
+    operators/dedup.py::corpus_dup_spans)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup.corpus_dup_spans(t["documents"], k=5).orderBy("doc_id")
+
+
+DUP_SPANS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+), sp AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 5
+              THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                   t[i+3] || ' ' || t[i+4]
+              ELSE array_to_string(t, ' ') END AS g
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS s(i)
+), occ AS (
+  SELECT g, COUNT(*) AS occ FROM sp GROUP BY 1
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       ROUND(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) / COUNT(*), 6)
+         AS dup_span_frac
+FROM sp JOIN occ USING (g)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _MIXTURE_WEIGHTS = {"en": 0.3, "de": 0.1, "fr": 0.3, "es": 0.15, "zh": 0.15}
 
 
@@ -1695,10 +1726,11 @@ def _melt_sql(oracle: str, section: str, key_col: str,
 
 
 def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Four document-profiling operators in one melted tagged-union slot
+    """Five document-profiling operators in one melted tagged-union slot
     (50-slot registry discipline): Gopher repetition filters, the
-    token-length histogram, sequence packing and the contamination
-    check. Every cell of every component is still hash-verified."""
+    token-length histogram, sequence packing, the contamination check
+    and cross-document exact-substring duplication. Every cell of every
+    component is still hash-verified."""
     parts = [
         _melt(text_repetition(spark, sf_dir), "repetition", "doc_id",
               ["n_words", "n_distinct_words", "distinct_word_ratio",
@@ -1713,6 +1745,8 @@ def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _melt(contamination_check(spark, sf_dir), "contamination", "doc_id",
               ["n_shingles", "n_contaminated", "contam_frac",
                "is_contaminated"]),
+        _melt(dup_span_stats(spark, sf_dir), "dup_spans", "doc_id",
+              ["n_spans", "n_dup_spans", "dup_span_frac"]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -1738,6 +1772,9 @@ CORPUS_PROFILE_SUITE_ORACLE = (
     + _melt_sql(CONTAMINATION_ORACLE, "contamination", "doc_id",
                 ["n_shingles", "n_contaminated", "contam_frac",
                  "is_contaminated"])
+    + " UNION ALL "
+    + _melt_sql(DUP_SPANS_ORACLE, "dup_spans", "doc_id",
+                ["n_spans", "n_dup_spans", "dup_span_frac"])
     + ") ORDER BY section, row_key, metric"
 )
 

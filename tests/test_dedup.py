@@ -170,3 +170,29 @@ def test_embedding_blocked_equals_brute_force(spark):
     blocked = {(r.vec_id_a, r.vec_id_b)
                for r in dedup.embedding_neardup_pairs_blocked(emb, 0.45).collect()}
     assert blocked == brute and len(blocked) > 0
+
+
+def test_corpus_dup_spans_micro(spark):
+    # doc1 and doc2 share the exact 5-token prefix; doc3 is unique;
+    # doc4 is shorter than k -> whole-text span
+    docs = spark.createDataFrame([
+        (1, "a b c d e f"),          # spans: "a b c d e", "b c d e f"
+        (2, "a b c d e zz"),         # spans: "a b c d e", "b c d e zz"
+        (3, "q w e r t y"),
+        (4, "tiny doc"),
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup.corpus_dup_spans(docs, k=5).collect()}
+    assert out[1].n_spans == 2 and out[1].n_dup_spans == 1
+    assert out[1].dup_span_frac == 0.5
+    assert out[2].n_dup_spans == 1
+    assert out[3].n_dup_spans == 0 and out[3].dup_span_frac == 0.0
+    assert out[4].n_spans == 1 and out[4].n_dup_spans == 0
+
+
+def test_corpus_dup_spans_within_doc_repeat(spark):
+    # the same 5-gram twice INSIDE one doc also counts (occ > 1)
+    docs = spark.createDataFrame(
+        [(1, "x y z w v x y z w v")], ["doc_id", "text"])
+    r = dedup.corpus_dup_spans(docs, k=5).collect()[0]
+    # spans at positions 1..6; "x y z w v" occurs at pos 1 and 6
+    assert r.n_spans == 6 and r.n_dup_spans == 2
