@@ -1248,10 +1248,13 @@ ORDER BY v.user_id
 def temporal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup (hour/day/week) in one
     pass via GROUPING SETS — the TimescaleDB continuous-aggregate query
-    shape — PLUS a zero-filled hourly calendar section built with
-    Spark 4's WITH RECURSIVE (gap_filled_hourly; the sequence() scale
-    path is test-asserted equal). Oracle: stacked DuckDB aggregates +
-    the same recursive-CTE calendar."""
+    shape — PLUS a zero-filled hourly calendar section
+    (gap_filled_hourly). The gate runs the sequence() calendar — the
+    constant-depth scale path (the WITH RECURSIVE variant costs one
+    iteration per hour: a measured 0.7s -> 4.4s regression at sf0.1 and
+    a linear-depth smell at any scale); Spark's recursive CTE surface is
+    exercised and equality-asserted in tests/test_temporal.py. Oracle:
+    stacked DuckDB aggregates + a recursive-CTE calendar."""
     from lightning_metastore_spark.operators.temporal import (
         gap_filled_hourly,
         hypertable_rollup,
@@ -1261,7 +1264,7 @@ def temporal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup = hypertable_rollup(t["events"], ts_col="ts",
                                key_col="event_type", value_col="value",
                                resolutions=("hour", "day", "week"))
-    fill = (gap_filled_hourly(t["events"], method="recursive")
+    fill = (gap_filled_hourly(t["events"], method="sequence")
             .select(F.lit("hour_fill").alias("resolution"),
                     "bucket_start", F.lit("(all)").alias("key"),
                     "n", "sum_value"))
