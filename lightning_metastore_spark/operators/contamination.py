@@ -28,7 +28,9 @@ from lightning_metastore_spark.operators.dedup import shingles
 def contamination_overlap(train: DataFrame, benchmark: DataFrame,
                           n: int = 3, flag_threshold: float = 0.5,
                           text_col: str = "text",
-                          id_col: str = "doc_id") -> DataFrame:
+                          id_col: str = "doc_id",
+                          sh_train: DataFrame | None = None,
+                          sh_bench: DataFrame | None = None) -> DataFrame:
     """Per-training-doc benchmark n-gram overlap:
     (doc_id, n_shingles, n_contaminated, contam_frac, is_contaminated).
 
@@ -37,10 +39,15 @@ def contamination_overlap(train: DataFrame, benchmark: DataFrame,
     contaminated fraction and ``is_contaminated`` flags docs at or above
     ``flag_threshold``. Documents shorter than n words contribute their
     whole text as one shingle (same convention as the dedup operators).
+    Pass prebuilt ``sh_train``/``sh_bench`` (e.g. a persisted corpus
+    shingle relation filtered by the train/bench predicate) to skip the
+    tokenize/explode passes.
     """
-    sh_t = shingles(train, n, text_col, id_col)
-    bench_set = (shingles(benchmark, n, text_col, id_col)
-                 .select("shingle").distinct())
+    sh_t = sh_train if sh_train is not None \
+        else shingles(train, n, text_col, id_col)
+    sh_b = sh_bench if sh_bench is not None \
+        else shingles(benchmark, n, text_col, id_col)
+    bench_set = sh_b.select("shingle").distinct()
     hits = (sh_t.join(F.broadcast(bench_set), "shingle")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_contaminated")))

@@ -1444,7 +1444,9 @@ ORDER BY toks.doc_id
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 25th document plays the eval
     benchmark; the rest of the corpus is scored for 3-gram overlap
-    against it (operators/contamination.py — broadcast membership join)."""
+    against it (operators/contamination.py — broadcast membership join).
+    Both sides' shingles come from the persisted corpus relation,
+    filtered by the train/bench predicate — no re-tokenization."""
     from lightning_metastore_spark.operators.contamination import (
         contamination_overlap)
 
@@ -1452,8 +1454,12 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"]
     bench = docs.filter(F.col("doc_id") % 25 == 0)
     train = docs.filter(F.col("doc_id") % 25 != 0)
-    return (contamination_overlap(train, bench, n=3, flag_threshold=0.5)
-            .orderBy("doc_id"))
+    sh = _shingles_cached(spark, docs, sf_dir)
+    return (contamination_overlap(
+        train, bench, n=3, flag_threshold=0.5,
+        sh_train=sh.filter(F.col("doc_id") % 25 != 0),
+        sh_bench=sh.filter(F.col("doc_id") % 25 == 0))
+        .orderBy("doc_id"))
 
 
 CONTAMINATION_ORACLE = r"""
