@@ -1,0 +1,72 @@
+"""Data-layout operators: write-side clustering for scan pruning.
+
+At 100 TB, scan cost is dominated by how much data a query can SKIP.
+Parquet readers prune row groups (and whole files) from footer min/max
+statistics — but only if the writer clustered values so ranges are
+tight and disjoint. ``write_range_clustered`` is the standard recipe:
+repartitionByRange on the clustering keys (one range of the key space
+per output file — Spark samples the key distribution, so skew spreads)
+then sortWithinPartitions (tight row-group stats inside each file).
+A predicate on the leading key then touches ~1/N of the files instead
+of all of them.
+
+Reference parity note: the reference delegates all writes to Spark and
+has no layout control (SURVEY.md §2.2); part of the scale-engineering
+extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_range_clustered(df: DataFrame, path: str, cols: list[str],
+                          n_files: int = 16, mode: str = "overwrite") -> None:
+    """Write ``df`` as parquet range-clustered on ``cols``: ~one key
+    range per file, rows sorted within each file so row-group min/max
+    stats are tight. ``n_files`` sizes output files — at scale pick
+    total_bytes / target_file_size (128-1024 MB files).
+
+    Timestamps are forced to TIMESTAMP_MICROS for the write: Spark's
+    default INT96 encoding carries NO parquet min/max statistics, so a
+    table clustered on an INT96 timestamp is unprunable — the layout
+    work would buy nothing.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.parquet.outputTimestampType"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        (df.repartitionByRange(n_files, *cols)
+           .sortWithinPartitions(*cols)
+           .write.mode(mode).parquet(path))
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
+def file_column_ranges(path: str, column: str) -> list[tuple]:
+    """Per-file (min, max) of ``column`` from parquet footer statistics
+    — the exact information a reader prunes with. Driver-side metadata
+    read only (no data scan); used to verify clustering quality."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == column and col.statistics:
+                    s = col.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            out.append((lo, hi))
+    return out
