@@ -28,10 +28,10 @@ def test_registry_consistency():
     assert len(qs) <= 50
     # every oracle key must be a declared query
     assert set(oracles) <= set(qs)
-    # only genuinely approximate operators may omit an oracle
+    # every slot carries a full DuckDB oracle since r6 (approximate
+    # operators are hash-gated through deterministic verdict columns)
     rows_only = set(qs) - set(oracles)
-    assert rows_only <= {"ann_ivf_topk", "sketch_profile",
-                         "curation_pipeline"}
+    assert rows_only == set()
 
 
 def test_spot_correctness_vs_duckdb(spark):
