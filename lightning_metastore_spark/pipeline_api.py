@@ -1,0 +1,88 @@
+"""The LLM-data-pipeline operator surface, re-exported as one namespace.
+
+Everything a training-data pipeline needs, each a DataFrame-in /
+DataFrame-out program documented (with its 100 TB shuffle shape) in its
+home module:
+
+    from lightning_metastore_spark import pipeline_api as P
+    pairs    = P.minhash_lsh_pairs(docs, threshold=0.8)
+    clusters = P.connected_components(pairs, docs)
+    curated  = P.curate_corpus(docs)
+
+Dedup:        exact_dedup, jaccard_pairs, minhash_lsh_pairs,
+              simhash_pairs, embedding_neardup_pairs_blocked,
+              connected_components, corpus_dup_spans
+Similarity:   brute_force_topk, ivf_topk, kmeans_centroids
+Text quality: token_counts, quality_features, lang_id, redact_pii,
+              tfidf_top_terms, unigram_logprob, fingerprint,
+              repetition_features
+Cleaning:     remove_boilerplate_lines
+Hygiene:      contamination_overlap
+Sampling:     mixture_resample, stratified_fixed_n
+Packing:      packed_offsets
+Embeddings:   scalar_quantize_stats
+Temporal:     asof_join, range_join, hypertable_rollup,
+              gap_filled_hourly
+Layout:       write_range_clustered, file_column_ranges
+Composed:     curate_corpus, CurationConfig
+Streaming:    lightning_metastore_spark.streaming.events (windowed
+              aggregation, stateful sessionizer, attribution join)
+"""
+
+from __future__ import annotations
+
+from lightning_metastore_spark.functions.text import (  # noqa: F401
+    fingerprint,
+    lang_id,
+    quality_features,
+    redact_pii,
+    repetition_features,
+    tfidf_top_terms,
+    token_counts,
+    unigram_logprob,
+)
+from lightning_metastore_spark.operators.cleaning import (  # noqa: F401
+    remove_boilerplate_lines,
+)
+from lightning_metastore_spark.operators.contamination import (  # noqa: F401
+    contamination_overlap,
+)
+from lightning_metastore_spark.operators.dedup import (  # noqa: F401
+    connected_components,
+    corpus_dup_spans,
+    embedding_neardup_pairs_blocked,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    shingles,
+    simhash_pairs,
+)
+from lightning_metastore_spark.operators.layout import (  # noqa: F401
+    file_column_ranges,
+    write_range_clustered,
+)
+from lightning_metastore_spark.operators.packing import (  # noqa: F401
+    packed_offsets,
+)
+from lightning_metastore_spark.operators.pipeline import (  # noqa: F401
+    CurationConfig,
+    curate_corpus,
+)
+from lightning_metastore_spark.operators.quantization import (  # noqa: F401
+    scalar_quantize_stats,
+)
+from lightning_metastore_spark.operators.sampling import (  # noqa: F401
+    mixture_resample,
+    stratified_fixed_n,
+)
+from lightning_metastore_spark.operators.similarity import (  # noqa: F401
+    brute_force_topk,
+    ivf_topk,
+    kmeans_centroids,
+)
+from lightning_metastore_spark.operators.temporal import (  # noqa: F401
+    asof_join,
+    gap_filled_hourly,
+    hypertable_rollup,
+    range_join,
+)

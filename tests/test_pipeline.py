@@ -90,3 +90,15 @@ def test_curation_optional_repetition_and_contamination_stages(spark):
                                               use_minhash=False)).collect()
     assert {r.drop_reason for r in base} <= {
         None, "exact_duplicate", "near_duplicate", "low_quality", "language"}
+
+
+def test_pipeline_api_facade(spark):
+    """The one-namespace operator surface resolves and runs."""
+    from lightning_metastore_spark import pipeline_api as P
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    assert P.exact_dedup(docs).count() > 0
+    assert P.token_counts(docs).columns == ["doc_id", "n_chars", "n_tokens",
+                                            "n_subwords"]
+    public = [n for n in dir(P) if not n.startswith("_") and n != "annotations"]
+    assert len(public) >= 28
