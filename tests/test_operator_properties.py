@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) for the round-6 pipeline operators:
+each Spark program is checked against a brute-force Python model on
+randomized micro-corpora."""
+
+from __future__ import annotations
+
+import sys
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, "/root/repo")
+
+from lightning_metastore_spark.operators.dedup import corpus_dup_spans  # noqa: E402
+from lightning_metastore_spark.operators.packing import packed_offsets  # noqa: E402
+from lightning_metastore_spark.operators.sampling import (  # noqa: E402
+    mixture_resample)
+
+WORD = st.sampled_from(["a", "bb", "ccc", "dd", "e"])
+DOC = st.lists(WORD, min_size=1, max_size=12).map(" ".join)
+
+_SETTINGS = dict(max_examples=8, deadline=None)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(DOC, min_size=1, max_size=8), st.integers(2, 7))
+def test_packing_matches_naive_cumsum(docs_texts, capacity):
+    spark = _spark()
+    rows = [(i * 3 + 1, t) for i, t in enumerate(docs_texts)]  # sparse ids
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in packed_offsets(df, capacity=capacity,
+                                               n_blocks=3).collect()}
+    cum = 0
+    for doc_id, text in rows:
+        n = len(text.split())
+        r = out[doc_id]
+        assert (r.start_offset, r.end_offset) == (cum, cum + n)
+        assert r.first_chunk == cum // capacity
+        assert r.last_chunk == max((cum + n - 1) // capacity, r.first_chunk)
+        assert r.n_chunks == r.last_chunk - r.first_chunk + 1
+        cum += n
+
+
+@settings(**_SETTINGS)
+@given(st.lists(DOC, min_size=2, max_size=8), st.integers(2, 4))
+def test_dup_spans_match_bruteforce(docs_texts, k):
+    spark = _spark()
+    rows = [(i, t) for i, t in enumerate(docs_texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in corpus_dup_spans(df, k=k).collect()}
+    # brute force: positional k-grams (whole text when shorter than k)
+    spans = {}
+    for doc_id, t in rows:
+        toks = t.lower().split()
+        if len(toks) >= k:
+            spans[doc_id] = [" ".join(toks[i:i + k])
+                             for i in range(len(toks) - k + 1)]
+        else:
+            spans[doc_id] = [" ".join(toks)]
+    occ = Counter(g for gs in spans.values() for g in gs)
+    for doc_id, gs in spans.items():
+        r = out[doc_id]
+        assert r.n_spans == len(gs)
+        assert r.n_dup_spans == sum(1 for g in gs if occ[g] > 1)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 100),
+                          st.sampled_from(["en", "de", "fr"])),
+                min_size=1, max_size=20, unique_by=lambda x: x[0]),
+       st.floats(0.1, 1.0))
+def test_mixture_resample_invariants(rows, target_frac):
+    spark = _spark()
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    weights = {"en": 0.5, "de": 0.5}  # fr absent -> dropped
+    out = mixture_resample(df, weights, target_frac=target_frac).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        assert 0.0 <= r.keep_rate <= 1.0
+        if r.lang == "fr":
+            assert r.keep_rate == 0.0 and not r.kept
+        if r.keep_rate == 1.0:
+            assert r.kept
+        if r.keep_rate == 0.0:
+            assert not r.kept
+
+
+def _spark():
+    from lightning_metastore_spark.session import get_spark
+    s = get_spark("tests")
+    s.sparkContext.setLogLevel("ERROR")
+    return s
