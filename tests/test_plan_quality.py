@@ -67,3 +67,44 @@ def test_resolver_preserves_pushdown(spark, tmp_path):
     plan = _plan(df)
     assert "EqualTo(o_orderpriority,1-URGENT)" in plan
     assert "ReadSchema: struct<o_orderkey:bigint" in plan  # column pruning
+
+
+def test_contamination_benchmark_is_broadcast(spark):
+    """The benchmark n-gram set must reach the membership join as a
+    broadcast — at 100 TB the corpus side must never shuffle for it."""
+    from pyspark.sql import functions as F
+    from lightning_metastore_spark.operators.contamination import (
+        contamination_overlap)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(contamination_overlap(
+        docs.filter(F.col("doc_id") % 25 != 0),
+        docs.filter(F.col("doc_id") % 25 == 0)))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quantize_scales_are_broadcast(spark):
+    """Per-dimension scales (width-sized) broadcast onto the exploded
+    value stream; the only shuffles are the dim agg and the per-vector
+    agg."""
+    from lightning_metastore_spark.operators.quantization import (
+        scalar_quantize_stats)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(scalar_quantize_stats(emb))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan  # map-side combine on the vec agg
+
+
+def test_packing_window_is_partitioned(spark):
+    """The prefix-sum window must be partitioned on the block key — a
+    single-partition global window would serialize the corpus."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from lightning_metastore_spark.operators.packing import packed_offsets
+
+    plan = _plan(packed_offsets(docs, n_blocks=8))
+    # the Window's exchange must hash-partition on the block key; a
+    # global window would show Exchange SinglePartition instead
+    assert "Window" in plan
+    assert "hashpartitioning(blk" in plan
+    assert "SinglePartition" not in plan
