@@ -168,6 +168,29 @@ def attribution_interval_join(clicks: DataFrame, purchases: DataFrame,
                     "purchase_value"))
 
 
+def start_idempotent_parquet_sink(stream_df: DataFrame, path: str,
+                                  checkpoint: str):
+    """Exactly-once parquet sink via foreachBatch: each micro-batch
+    overwrites its own `batch=<id>` directory, so a batch replayed
+    after a failure (foreachBatch is at-least-once) lands in the same
+    place instead of duplicating — idempotence + the checkpoint's
+    offset tracking give end-to-end exactly-once. The standard
+    production sink pattern for sinks without transactional support.
+
+    Returns the StreamingQuery handle; the caller owns stop()."""
+    from pyspark.sql import functions as _F
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.withColumn("_batch_id", _F.lit(batch_id))
+         .write.mode("overwrite")
+         .parquet(f"{path}/batch={batch_id}"))
+
+    return (stream_df.writeStream
+            .foreachBatch(_write_batch)
+            .option("checkpointLocation", checkpoint)
+            .start())
+
+
 def start_memory_stream(stream_df: DataFrame, query_name: str,
                         output_mode: str = "update"):
     """Start (without draining) a memory-sink query; returns the handle.

@@ -163,3 +163,27 @@ def test_read_event_stream_empty_dir_and_cache(spark, tmp_path):
     # explicit encoding parameter also skips the sniff
     df2 = sev.read_event_stream(spark, str(d), ts_encoding="nanos")
     assert dict(df2.dtypes)["ts"] == "timestamp"  # normalized post-conversion
+
+
+def test_idempotent_parquet_sink_exactly_once(spark, events_dir, tmp_path):
+    """foreachBatch sink: drain, then RESTART from the same checkpoint —
+    no new data means no new rows, and replay never duplicates."""
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+
+    def drain():
+        stream = sev.read_event_stream(spark, events_dir)
+        q = sev.start_idempotent_parquet_sink(
+            stream.select("event_id", "ts", "user_id"), out, ckpt)
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    total = spark.read.parquet(out).count()
+    expected = load_tables(spark, SF_DIR, ("events",))["events"].count()
+    assert total == expected
+    drain()  # restart on the same checkpoint: offsets already committed
+    assert spark.read.parquet(out).count() == expected
+    # every event exactly once
+    ids = spark.read.parquet(out).select("event_id").distinct().count()
+    assert ids == expected
