@@ -130,6 +130,85 @@ def extract_features(df: DataFrame, id_col: str = "id",
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = ("id long, width int, height int, rgb binary")
+FRAME_SCHEMA = ("id long, frame_idx int, frame_ts double, frame binary")
+
+
+def resize_images(df: DataFrame, target_w: int = 32, target_h: int = 32,
+                  id_col: str = "id", content_col: str = "content",
+                  decode_stub: bool = True) -> DataFrame:
+    """binary image payload -> fixed-size RGB thumbnail (the resize
+    step before a vision encoder). Real path (decode_stub=False):
+    stdlib decode + numpy nearest-neighbor resample — no Pillow.
+    Stub: digest-seeded deterministic RGB of the target size, so the
+    batch shape / schema / memory profile are exercised end-to-end.
+    Output rgb = target_h*target_w*3 raw bytes, row-major."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = ["id", "width", "height", "rgb"]
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r[content_col])
+                if decode_stub:
+                    digest = hashlib.md5(data).digest()
+                    rng = np.frombuffer(
+                        (digest * (target_w * target_h * 3 // 16 + 1))
+                        [:target_w * target_h * 3], dtype=np.uint8)
+                    out = rng
+                else:
+                    w, h, rgb_rows = _real_decode(data)
+                    arr = (np.frombuffer(b"".join(rgb_rows), dtype=np.uint8)
+                           .reshape(h, w, 3))
+                    yi = (np.arange(target_h) * h // target_h)
+                    xi = (np.arange(target_w) * w // target_w)
+                    out = arr[yi][:, xi].reshape(-1)
+                rows.append({"id": int(r[id_col]), "width": target_w,
+                             "height": target_h, "rgb": out.tobytes()})
+            yield pd.DataFrame(rows, columns=cols) if rows else \
+                pd.DataFrame(columns=cols)
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_video_frames(df: DataFrame, n_frames: int = 4,
+                        id_col: str = "id", content_col: str = "content",
+                        decode_stub: bool = True) -> DataFrame:
+    """binary video payload -> n sampled frames (one output row per
+    frame): the fan-out step of a video-training pipeline. The Spark
+    plumbing — per-row fan-out inside mapInPandas, frame schema, batch
+    memory shape — is real; actual frame extraction needs ffmpeg
+    (absent here), so decode_stub=False raises NotImplementedError at
+    the decode call site where ffmpeg slots in. Stub frames are
+    digest-seeded deterministic bytes with evenly-spaced pseudo
+    timestamps derived from payload length."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["id", "frame_idx", "frame_ts", "frame"]
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r[content_col])
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "video frame extraction requires ffmpeg — not in "
+                        "this container; wire it here")
+                digest = hashlib.md5(data).digest()
+                pseudo_duration = max(1.0, len(data) / 1024.0)
+                for i in range(n_frames):
+                    fd = hashlib.md5(digest + bytes([i])).digest()
+                    rows.append({
+                        "id": int(r[id_col]), "frame_idx": i,
+                        "frame_ts": round(i * pseudo_duration / n_frames, 6),
+                        "frame": fd * 4})
+            yield pd.DataFrame(rows, columns=cols) if rows else \
+                pd.DataFrame(columns=cols)
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def documents_as_binary(docs: DataFrame) -> DataFrame:
     """Adapter: treat the documents table's text as binary payloads so
     multimodal plumbing is exercisable on the driver's test data."""

@@ -187,3 +187,43 @@ def test_idempotent_parquet_sink_exactly_once(spark, events_dir, tmp_path):
     # every event exactly once
     ids = spark.read.parquet(out).select("event_id").distinct().count()
     assert ids == expected
+
+
+def test_multimodal_resize_real_and_stub(spark):
+    from lightning_metastore_spark.sources import codecs, multimodal as mm
+    from tests.test_codecs import gradient_rows
+
+    png = codecs.png_encode(20, 11, gradient_rows(20, 11))
+    df = spark.createDataFrame([(1, bytearray(png))], "id long, content binary")
+    real = mm.resize_images(df, 8, 6, decode_stub=False).collect()[0]
+    assert (real.width, real.height) == (8, 6)
+    assert len(bytes(real.rgb)) == 8 * 6 * 3
+    # nearest-neighbor of the horizontal R-ramp stays monotone in R
+    rgb = bytes(real.rgb)
+    r_row = [rgb[(0 * 8 + x) * 3] for x in range(8)]
+    assert r_row == sorted(r_row)
+    # stub: deterministic, right shape
+    s1 = mm.resize_images(df, 8, 6).collect()[0]
+    s2 = mm.resize_images(df, 8, 6).collect()[0]
+    assert bytes(s1.rgb) == bytes(s2.rgb) and len(bytes(s1.rgb)) == 8 * 6 * 3
+
+
+def test_multimodal_frame_sampling(spark):
+    import pytest
+    from lightning_metastore_spark.sources import multimodal as mm
+
+    df = spark.createDataFrame([(1, bytearray(b"fakevideo" * 500)),
+                                (2, bytearray(b"other" * 100))],
+                               "id long, content binary")
+    frames = mm.sample_video_frames(df, n_frames=4).collect()
+    assert len(frames) == 8  # per-row fan-out: 4 frames x 2 videos
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.id, []).append(r)
+    for vid, fs in by_id.items():
+        ts = [f.frame_ts for f in sorted(fs, key=lambda f: f.frame_idx)]
+        assert ts == sorted(ts) and ts[0] == 0.0  # evenly spaced from 0
+        assert len({bytes(f.frame) for f in fs}) == 4  # distinct frames
+    # the real path fails AT THE DECODE SITE, not in the plumbing
+    with pytest.raises(Exception, match="ffmpeg"):
+        mm.sample_video_frames(df, decode_stub=False).collect()
