@@ -116,10 +116,15 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
 
     rep_ok = F.lit(True)
     if cfg.max_dup_2gram_frac is not None:
+        # LEFT join + coalesce (like the contamination stage below): a
+        # doc with NULL/empty text has no repetition row, and an inner
+        # join would silently drop it instead of flagging it — output
+        # row count must be invariant to which stages are enabled.
         rep = text_fns.repetition_features(cleaned, text_col, id_col) \
             .select(id_col, "dup_2gram_char_frac")
-        out = out.join(rep, id_col)
-        rep_ok = F.col("dup_2gram_char_frac") <= cfg.max_dup_2gram_frac
+        out = out.join(rep, id_col, "left")
+        rep_ok = (F.coalesce("dup_2gram_char_frac", F.lit(0.0))
+                  <= cfg.max_dup_2gram_frac)
     contam_ok = F.lit(True)
     if benchmark is not None and cfg.max_contam_frac is not None:
         from lightning_metastore_spark.operators.contamination import (

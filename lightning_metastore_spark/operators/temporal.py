@@ -196,17 +196,35 @@ def gap_filled_hourly(events: DataFrame, ts_col: str = "ts",
                    (F.sum(F.round(F.col(value_col) * 100).cast("long"))
                     .cast("double") / 100).alias("sv")))
     if method == "recursive":
-        spark.conf.set("spark.sql.cteRecursionLevelLimit", "1000000")
-        events.select(F.col(ts_col).alias("ts")) \
-            .createOrReplaceTempView("__gapfill_in")
-        cal = spark.sql("""
-            WITH RECURSIVE cal(h, hi) AS (
-              SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP),
-                     CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP)
-              FROM __gapfill_in
-              UNION ALL
-              SELECT h + INTERVAL 1 HOUR, hi FROM cal WHERE h < hi
-            ) SELECT h FROM cal""")
+        # scope BOTH side effects: the recursion-limit conf is saved and
+        # restored (pattern: operators/layout.py outputTimestampType),
+        # and the input view gets a unique name dropped after use. The
+        # recursion limit is read at EXECUTION time, so the calendar is
+        # materialized eagerly (localCheckpoint — one row per hour,
+        # bounded) inside the scoped region; the conf seen by the rest
+        # of the session is exactly what it was before this call.
+        import uuid
+
+        view = f"__gapfill_in_{uuid.uuid4().hex[:12]}"
+        conf_key = "spark.sql.cteRecursionLevelLimit"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "1000000")
+        events.select(F.col(ts_col).alias("ts")).createOrReplaceTempView(view)
+        try:
+            cal = spark.sql(f"""
+                WITH RECURSIVE cal(h, hi) AS (
+                  SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP),
+                         CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP)
+                  FROM {view}
+                  UNION ALL
+                  SELECT h + INTERVAL 1 HOUR, hi FROM cal WHERE h < hi
+                ) SELECT h FROM cal""").localCheckpoint(eager=True)
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+            spark.catalog.dropTempView(view)
     else:
         bounds = events.agg(
             F.date_trunc("hour", F.min(ts_col)).alias("lo"),

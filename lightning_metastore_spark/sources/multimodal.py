@@ -74,15 +74,17 @@ def decode_metadata(df: DataFrame, id_col: str = "id",
         cols = ["id", "n_bytes", "content_md5", "width", "height", "n_channels"]
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r[content_col])
+            # zip over columns, not iterrows(): iterrows materializes a
+            # pandas Series per row — several times slower per batch.
+            for rid, raw in zip(pdf[id_col], pdf[content_col]):
+                data = bytes(raw)
                 digest = hashlib.md5(data).digest()
                 if decode_stub:
                     w, h, c = _stub_dims(digest)
                 else:
                     w, h, _rows = _real_decode(data)
                     c = 3  # codecs decode to RGB rows
-                rows.append({"id": int(r[id_col]), "n_bytes": len(data),
+                rows.append({"id": int(rid), "n_bytes": len(data),
                              "content_md5": digest.hex(), "width": w,
                              "height": h, "n_channels": c})
             yield pd.DataFrame(rows, columns=cols) if rows else \
@@ -106,8 +108,8 @@ def extract_features(df: DataFrame, id_col: str = "id",
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r[content_col])
+            for rid, raw in zip(pdf[id_col], pdf[content_col]):
+                data = bytes(raw)
                 if decode_stub:
                     digest = hashlib.md5(data).digest()
                     vec = [((digest[i % 16] / 255.0) - 0.5)
@@ -123,7 +125,7 @@ def extract_features(df: DataFrame, id_col: str = "id",
                     vec = ([float(arr[..., c].mean()) for c in range(3)]
                            + [float(arr[..., c].std()) for c in range(3)]
                            + [float(x) for x in hist])
-                rows.append({"id": int(r[id_col]), "feature": vec})
+                rows.append({"id": int(rid), "feature": vec})
             yield pd.DataFrame(rows, columns=["id", "feature"]) if rows else \
                 pd.DataFrame(columns=["id", "feature"])
 
@@ -150,8 +152,8 @@ def resize_images(df: DataFrame, target_w: int = 32, target_h: int = 32,
         cols = ["id", "width", "height", "rgb"]
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r[content_col])
+            for rid, raw in zip(pdf[id_col], pdf[content_col]):
+                data = bytes(raw)
                 if decode_stub:
                     digest = hashlib.md5(data).digest()
                     rng = np.frombuffer(
@@ -165,7 +167,7 @@ def resize_images(df: DataFrame, target_w: int = 32, target_h: int = 32,
                     yi = (np.arange(target_h) * h // target_h)
                     xi = (np.arange(target_w) * w // target_w)
                     out = arr[yi][:, xi].reshape(-1)
-                rows.append({"id": int(r[id_col]), "width": target_w,
+                rows.append({"id": int(rid), "width": target_w,
                              "height": target_h, "rgb": out.tobytes()})
             yield pd.DataFrame(rows, columns=cols) if rows else \
                 pd.DataFrame(columns=cols)
@@ -189,8 +191,8 @@ def sample_video_frames(df: DataFrame, n_frames: int = 4,
         cols = ["id", "frame_idx", "frame_ts", "frame"]
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r[content_col])
+            for rid, raw in zip(pdf[id_col], pdf[content_col]):
+                data = bytes(raw)
                 if not decode_stub:
                     raise NotImplementedError(
                         "video frame extraction requires ffmpeg — not in "
@@ -200,7 +202,7 @@ def sample_video_frames(df: DataFrame, n_frames: int = 4,
                 for i in range(n_frames):
                     fd = hashlib.md5(digest + bytes([i])).digest()
                     rows.append({
-                        "id": int(r[id_col]), "frame_idx": i,
+                        "id": int(rid), "frame_idx": i,
                         "frame_ts": round(i * pseudo_duration / n_frames, 6),
                         "frame": fd * 4})
             yield pd.DataFrame(rows, columns=cols) if rows else \

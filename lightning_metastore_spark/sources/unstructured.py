@@ -349,11 +349,15 @@ class UnstructuredCatalogUnit(CatalogUnit):
         def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf_ in batches:
                 rows = []
-                for _, r in pdf_.iterrows():
-                    data = bytes(r["content"])
-                    base = {"type": st.lower(), "path": r["path"],
-                            "modifiedat": r["modificationTime"],
-                            "sizeinbytes": int(r["length"])}
+                # column zips, not iterrows(): no per-row Series build
+                for raw, path, mtime, length, *extras in zip(
+                        pdf_["content"], pdf_["path"],
+                        pdf_["modificationTime"], pdf_["length"],
+                        *(pdf_[c] for c in extra)):
+                    data = bytes(raw)
+                    base = {"type": st.lower(), "path": path,
+                            "modifiedat": mtime,
+                            "sizeinbytes": int(length)}
                     if st in ("PDF", "TEXT"):
                         base["preview"] = (
                             pdf_text(data, preview_len) if st == "PDF"
@@ -368,8 +372,8 @@ class UnstructuredCatalogUnit(CatalogUnit):
                                     duration=meta["duration"],
                                     width=meta["width"], height=meta["height"],
                                     tags="{}")
-                    for c in extra:
-                        base[c] = r[c]
+                    for c, v in zip(extra, extras):
+                        base[c] = v
                     rows.append(base)
                 cols = [f.strip().split()[0] for f in schema.split(",")]
                 yield pd.DataFrame(rows, columns=cols) if rows else \
@@ -397,10 +401,10 @@ class UnstructuredCatalogUnit(CatalogUnit):
 
         def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf_ in batches:
-                rows = [{"path": r["path"],
-                         "textcontent": pdf_text(bytes(r["content"]), preview_len),
-                         "bincontent": bytes(r["content"])}
-                        for _, r in pdf_.iterrows()]
+                rows = [{"path": path,
+                         "textcontent": pdf_text(bytes(raw), preview_len),
+                         "bincontent": bytes(raw)}
+                        for path, raw in zip(pdf_["path"], pdf_["content"])]
                 yield pd.DataFrame(rows, columns=["path", "textcontent", "bincontent"]) \
                     if rows else pd.DataFrame(columns=["path", "textcontent", "bincontent"])
 

@@ -27,7 +27,7 @@ EVENTS_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
                  "event_type string, value double, props string")
 
 
-_TS_ENCODING_CACHE: dict = {}  # path -> bool (ts_is_nanos)
+_TS_ENCODING_CACHE: dict = {}  # (applicationId, path) -> bool (ts_is_nanos)
 
 
 def read_event_stream(spark: SparkSession, path: str,
@@ -47,15 +47,24 @@ def read_event_stream(spark: SparkSession, path: str,
     definition, so a mixed directory fails (nanos file under a micros
     schema) or misparses (micros under nanos) mid-stream."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # cache keyed by (applicationId, path) — a NEW Spark app reusing the
+    # path (possibly after the files were rewritten in the other
+    # encoding) re-sniffs; dead-app entries are purged so the cache
+    # never outgrows one app's paths (mirrors _cached_df in
+    # plans/pipeline_queries.py)
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _TS_ENCODING_CACHE if k[0] != app_id]:
+        del _TS_ENCODING_CACHE[k]
+    cache_key = (app_id, path)
     if ts_encoding is not None:
         ts_is_nanos = ts_encoding == "nanos"
-    elif path in _TS_ENCODING_CACHE:
-        ts_is_nanos = _TS_ENCODING_CACHE[path]
+    elif cache_key in _TS_ENCODING_CACHE:
+        ts_is_nanos = _TS_ENCODING_CACHE[cache_key]
     else:
         try:
             ts_is_nanos = (dict(spark.read.parquet(path).dtypes)
                            .get("ts") == "bigint")
-            _TS_ENCODING_CACHE[path] = ts_is_nanos
+            _TS_ENCODING_CACHE[cache_key] = ts_is_nanos
         except Exception:  # empty dir: no footer to sniff; don't cache
             ts_is_nanos = False
     schema = (EVENTS_SCHEMA.replace("ts timestamp", "ts bigint")

@@ -92,6 +92,26 @@ def test_curation_optional_repetition_and_contamination_stages(spark):
         None, "exact_duplicate", "near_duplicate", "low_quality", "language"}
 
 
+def test_curation_row_count_invariant_to_stages(spark):
+    """A doc with degenerate text (no repetition-features row) must be
+    flagged, not silently dropped, when the repetition stage is on:
+    output row count is invariant to which stages are enabled."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over a lazy dog " * 5),
+         (2, "word " * 80),        # repetitive
+         (3, "")],                 # degenerate: no repetition row
+        "doc_id long, text string")
+    base = curate_corpus(docs, CurationConfig(
+        min_quality=0.0, boilerplate_max_df=10)).collect()
+    rep = curate_corpus(docs, CurationConfig(
+        min_quality=0.0, boilerplate_max_df=10,
+        max_dup_2gram_frac=0.5)).collect()
+    assert len(base) == len(rep) == 3
+    by_id = {r.doc_id: r for r in rep}
+    assert not by_id[2].keep and by_id[2].drop_reason == "repetitive"
+    assert 3 in by_id  # degenerate doc present, coalesced to non-repetitive
+
+
 def test_pipeline_api_facade(spark):
     """The one-namespace operator surface resolves and runs."""
     from lightning_metastore_spark import pipeline_api as P

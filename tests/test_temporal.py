@@ -154,3 +154,20 @@ def test_gap_filled_hourly_methods_agree(spark):
                for a, b in zip(hours, hours[1:]))
     # gaps exist at sf0.001 and are zero-filled
     assert any(r.n == 0 and r.sum_value == 0.0 for r in seq) or True
+
+
+def test_gap_filled_recursive_side_effect_free(spark):
+    """The recursive path must not leak session state: the recursion-
+    limit conf is restored and the input temp view is dropped."""
+    from lightning_metastore_spark.operators.temporal import gap_filled_hourly
+    from lightning_metastore_spark.session import load_tables
+    from tests.conftest import SF_DIR
+
+    key = "spark.sql.cteRecursionLevelLimit"
+    before = spark.conf.get(key, None)
+    events = load_tables(spark, SF_DIR, ("events",))["events"]
+    out = gap_filled_hourly(events, method="recursive")
+    assert spark.conf.get(key, None) == before
+    assert not [v.name for v in spark.catalog.listTables()
+                if v.name.startswith("__gapfill_in")]
+    assert out.count() > 0  # still executable after conf restore
