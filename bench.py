@@ -69,6 +69,11 @@ def main() -> None:
     # query issued directly against the parquet views. The delta is the
     # whole control-plane cost (metastore reads + resolver rewrite) —
     # the reference's design goal is that this stays constant per query.
+    # SYMMETRIC protocol (r6 verdict fix): both sides warmed once
+    # untimed, then n>=3 timed runs INTERLEAVED in the same session
+    # state, min-of-n reported for BOTH — the earlier protocol compared
+    # the routed side's cold first run against one post-bench warm
+    # direct run and overstated the ratio ~2x.
     overhead = None
     try:
         from lightning_metastore_spark.session import load_tables
@@ -82,11 +87,46 @@ def main() -> None:
                    COUNT(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority"""
-        t0 = time.perf_counter()
+        # Steady-state routing cost: register ONCE (DDL is a one-time
+        # setup in any real deployment), then time routed vs direct
+        # queries interleaved against the same warm session. The full
+        # gate function (fresh warehouse + REGISTER + query) is timed
+        # separately so the one-time DDL cost stays visible.
+        from lightning_metastore_spark.plans.pipeline_queries import _ctx
+
+        routed_sql = """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE)
+                     / 10000 AS revenue,
+                   COUNT(*) AS n_items
+            FROM lightning.datasource.file.tpch.lineitem
+            JOIN lightning.datasource.file.tpch.orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        ctx = _ctx(spark, sf_dir)
+        routed_fn = ep.queries()["catalog_federated_revenue"]
+        n_oh = max(3, int(os.environ.get("SPARK_GRAFT_OVERHEAD_RUNS", "3")))
+        ctx.sql(routed_sql).collect()        # warm both paths untimed
         spark.sql(direct_sql).collect()
-        direct = round(time.perf_counter() - t0, 3)
-        overhead = {"catalog_routed_sec": timings.get("catalog_federated_revenue"),
-                    "direct_spark_sec": direct}
+        routed_ts, direct_ts, ddl_ts = [], [], []
+        for _ in range(n_oh):
+            t0 = time.perf_counter()
+            ctx.sql(routed_sql).collect()
+            routed_ts.append(round(time.perf_counter() - t0, 3))
+            t0 = time.perf_counter()
+            spark.sql(direct_sql).collect()
+            direct_ts.append(round(time.perf_counter() - t0, 3))
+            t0 = time.perf_counter()
+            routed_fn(spark, sf_dir).collect()
+            ddl_ts.append(round(time.perf_counter() - t0, 3))
+        overhead = {"catalog_routed_sec": min(routed_ts),
+                    "direct_spark_sec": min(direct_ts),
+                    "routed_with_ddl_sec": min(ddl_ts),
+                    "ratio": round(min(routed_ts) / max(1e-9, min(direct_ts)), 3),
+                    "runs": n_oh,
+                    "routed_runs": routed_ts,
+                    "direct_runs": direct_ts,
+                    "ddl_runs": ddl_ts}
     except Exception:
         pass
 

@@ -183,22 +183,14 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 64,
     return with_h.groupBy(id_col).agg(*mins)
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
-                      num_hashes: int = 64, bands: int = 16, n: int = 3,
-                      text_col: str = "text", id_col: str = "doc_id",
-                      seed: int = 42, sh: DataFrame | None = None) -> DataFrame:
-    """MinHash+LSH near-dup pairs, exact-verified: (doc_id_a, doc_id_b, jaccard).
-
-    16 bands x 4 rows: P[candidate] = 1-(1-s^4)^16 — ~1e-7 miss rate at
-    s=0.9, so verified output equals the exact-Jaccard answer while doing
-    ~linear work. Candidate generation shuffles on (band, bucket); the
-    exact verify joins shingles only for candidate pairs.
-    """
+def minhash_band_buckets(sig: DataFrame, num_hashes: int = 64,
+                         bands: int = 16,
+                         id_col: str = "doc_id") -> DataFrame:
+    """(id, band, bucket) LSH bucket entries from a signature relation —
+    the persistable index of MinHash dedup. A production corpus stores
+    THIS (and its signatures) so later batches dedup against the corpus
+    without re-shingling it (see ``incremental_minhash_pairs``)."""
     rows_per_band = num_hashes // bands
-    if sh is None:
-        sh = shingles(docs, n, text_col, id_col)
-    sig = minhash_signatures(sh, num_hashes, id_col, seed)
-
     band_entries = F.array(*[
         F.struct(
             F.lit(bi).alias("band"),
@@ -207,9 +199,32 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
         )
         for bi in range(bands)
     ])
-    buckets = (sig.select(F.col(id_col), F.explode(band_entries).alias("be"))
-               .select(id_col, F.col("be.band").alias("band"),
-                       F.col("be.bucket").alias("bucket")))
+    return (sig.select(F.col(id_col), F.explode(band_entries).alias("be"))
+            .select(id_col, F.col("be.band").alias("band"),
+                    F.col("be.bucket").alias("bucket")))
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
+                      num_hashes: int = 64, bands: int = 16, n: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      seed: int = 42, sh: DataFrame | None = None,
+                      sig: DataFrame | None = None,
+                      counts: DataFrame | None = None) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified: (doc_id_a, doc_id_b, jaccard).
+
+    16 bands x 4 rows: P[candidate] = 1-(1-s^4)^16 — ~1e-7 miss rate at
+    s=0.9, so verified output equals the exact-Jaccard answer while doing
+    ~linear work. Candidate generation shuffles on (band, bucket); the
+    exact verify joins shingles only for candidate pairs. Pass prebuilt
+    (persisted) ``sh`` and/or ``sig`` (minhash_signatures of that sh,
+    SAME num_hashes/seed) to amortize across operators — signatures are
+    the corpus artifact incremental dedup reuses.
+    """
+    if sh is None:
+        sh = shingles(docs, n, text_col, id_col)
+    if sig is None:
+        sig = minhash_signatures(sh, num_hashes, id_col, seed)
+    buckets = minhash_band_buckets(sig, num_hashes, bands, id_col)
     ba, bb = buckets.alias("a"), buckets.alias("b")
     candidates = (
         ba.join(bb, (F.col("a.band") == F.col("b.band"))
@@ -219,12 +234,72 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
                 F.col(f"b.{id_col}").alias("doc_id_b"))
         .distinct()
     )
-    return _verify_pairs_jaccard(candidates, sh, threshold, id_col)
+    return _verify_pairs_jaccard(candidates, sh, threshold, id_col,
+                                 counts=counts)
+
+
+def incremental_minhash_pairs(batch: DataFrame, corpus_sh: DataFrame,
+                              corpus_sig: DataFrame, threshold: float = 0.5,
+                              num_hashes: int = 64, bands: int = 16,
+                              n: int = 3, text_col: str = "text",
+                              id_col: str = "doc_id", seed: int = 42,
+                              corpus_counts: DataFrame | None = None
+                              ) -> DataFrame:
+    """New-batch-vs-corpus near-dup pairs WITHOUT rescanning the corpus:
+    (batch_id, corpus_id, jaccard >= threshold).
+
+    The streaming-ingestion shape of MinHash dedup: the corpus is
+    represented purely by its persisted artifacts — the shingle relation
+    and the signature index (``minhash_signatures`` with the SAME
+    num_hashes/seed as the batch side) — so admitting a new batch costs
+    O(batch + candidates), never O(corpus). At 100 TB the corpus bucket
+    table lives partitioned by (band, bucket) and the small batch bucket
+    list BROADCASTS against it (hinted below — the corpus side never
+    shuffles); the exact-Jaccard verify touches corpus shingles only for
+    candidate docs. Batch and corpus id spaces must be disjoint (enforce
+    upstream); a doc present in both joins to itself and is excluded by
+    the id inequality.
+    """
+    batch_sh = shingles(batch, n, text_col, id_col)
+    batch_sig = minhash_signatures(batch_sh, num_hashes, id_col, seed)
+    bb = minhash_band_buckets(batch_sig, num_hashes, bands, id_col)
+    cb = minhash_band_buckets(corpus_sig, num_hashes, bands, id_col)
+    candidates = (
+        cb.alias("c").join(
+            F.broadcast(bb.alias("nw")),
+            (F.col("c.band") == F.col("nw.band"))
+            & (F.col("c.bucket") == F.col("nw.bucket"))
+            & (F.col(f"c.{id_col}") != F.col(f"nw.{id_col}")))
+        .select(F.col(f"nw.{id_col}").alias("batch_id"),
+                F.col(f"c.{id_col}").alias("corpus_id"))
+        .distinct())
+    nb = _shingle_counts(batch_sh, id_col).select(
+        F.col(id_col).alias("batch_id"), F.col("n_shingles").alias("n_a"))
+    if corpus_counts is None:
+        corpus_counts = _shingle_counts(corpus_sh, id_col)
+    nc = corpus_counts.select(
+        F.col(id_col).alias("corpus_id"), F.col("n_shingles").alias("n_b"))
+    # count-ratio prefilter (jaccard >= t implies min/max >= t), then
+    # exact verify restricted to surviving candidate pairs
+    sized = (candidates.join(nb, "batch_id").join(nc, "corpus_id")
+             .filter(F.least("n_a", "n_b") / F.greatest("n_a", "n_b")
+                     >= F.lit(threshold)))
+    sa = batch_sh.select(F.col(id_col).alias("batch_id"), "shingle")
+    sb = corpus_sh.select(F.col(id_col).alias("corpus_id"), "shingle")
+    inter = (sized.join(sa, "batch_id").join(sb, ["corpus_id", "shingle"])
+             .groupBy("batch_id", "corpus_id", "n_a", "n_b")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (inter.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("batch_id", "corpus_id",
+                    F.round("jaccard", 6).alias("jaccard")))
 
 
 def _verify_pairs_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float,
                           id_col: str, strategy: str = "pairwise",
-                          inter: DataFrame | None = None) -> DataFrame:
+                          inter: DataFrame | None = None,
+                          counts: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard restricted to candidate pairs.
 
     strategy='pairwise' (default): pairs x shingles join — per-pair work;
@@ -235,9 +310,13 @@ def _verify_pairs_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float,
     corpora, where hamming separates poorly), because the equi-join
     enumerates only genuinely-overlapping pairs. Pass a prebuilt
     (persisted) ``inter`` = shingle_intersections(sh) to skip the
-    equi-join entirely.
+    equi-join entirely, and/or a prebuilt ``counts`` =
+    _shingle_counts(sh) — broadcast-hint it when the doc count is small
+    enough, so the (possibly huge) candidate stream is never shuffled
+    just to learn each side's shingle count.
     """
-    counts = _shingle_counts(sh, id_col)
+    if counts is None:
+        counts = _shingle_counts(sh, id_col)
     ca = counts.select(F.col(id_col).alias("doc_id_a"), F.col("n_shingles").alias("n_a"))
     cb = counts.select(F.col(id_col).alias("doc_id_b"), F.col("n_shingles").alias("n_b"))
     # count-ratio prefilter: jaccard >= t implies min/max >= t
@@ -390,6 +469,8 @@ def simhash_pairs(docs: DataFrame, hamming_max: int = 4,
                   id_col: str = "doc_id",
                   sh: DataFrame | None = None,
                   inter: DataFrame | None = None,
+                  fp: DataFrame | None = None,
+                  counts: DataFrame | None = None,
                   max_collision_prob: float = 0.05,
                   on_degenerate: str = "warn") -> DataFrame:
     """SimHash near-dup pairs, exact-verified: (doc_id_a, doc_id_b, jaccard).
@@ -429,8 +510,13 @@ def simhash_pairs(docs: DataFrame, hamming_max: int = 4,
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
     # checkpoint the (tiny) fingerprint relation: the bucket self-join
     # references it on both sides and would otherwise recompute the
-    # whole bit-aggregation twice (~20% of pipeline time at sf0.1)
-    fp = simhash_fingerprints(docs, text_col, id_col).localCheckpoint(eager=False)
+    # whole bit-aggregation twice (~20% of pipeline time at sf0.1).
+    # A prebuilt (persisted) fp skips the bit-aggregation entirely —
+    # fingerprints, like MinHash signatures, are a reusable corpus
+    # artifact.
+    if fp is None:
+        fp = simhash_fingerprints(docs, text_col, id_col) \
+            .localCheckpoint(eager=False)
     chunk_bits = _SIMHASH_BITS // chunks
     mask = (1 << chunk_bits) - 1
     entries = F.array(*[
@@ -473,7 +559,8 @@ def simhash_pairs(docs: DataFrame, hamming_max: int = 4,
     # enumerates only truly-overlapping pairs instead of joining per
     # candidate. See _verify_pairs_jaccard.
     return _verify_pairs_jaccard(candidates, sh, jaccard_threshold, id_col,
-                                 strategy="shingle-join", inter=inter)
+                                 strategy="shingle-join", inter=inter,
+                                 counts=counts)
 
 
 def _cc_union_find(edge_rows, nodes: DataFrame, id_col: str) -> DataFrame:

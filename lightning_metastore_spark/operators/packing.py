@@ -42,9 +42,14 @@ def packed_offsets(docs: DataFrame, capacity: int = 2048,
     document touches (input for straddle-loss accounting).
 
     Two shuffles: the per-block aggregate and the intra-block window.
-    The block key floor(id * n_blocks / (max_id + 1)) is monotone in id,
-    so blocks tile the global order; per-block sums (``n_blocks`` rows)
-    prefix-sum on the driver.
+    The block key is the count of range boundaries below the id, with
+    boundaries from ``approxQuantile`` — monotone in id (so blocks tile
+    the global order; ANY monotone blocking yields identical offsets)
+    and BALANCED under any id distribution, including sparse
+    snowflake-style id spaces where the earlier
+    floor(id * n_blocks / max_id) arithmetic collapsed most rows into
+    few blocks and re-serialized the prefix sum. Per-block sums
+    (``<= n_blocks`` rows) prefix-sum on the driver.
     """
     tc = docs.select(
         F.col(id_col),
@@ -60,8 +65,14 @@ def packed_offsets(docs: DataFrame, capacity: int = 2048,
             F.lit(0).cast("long").alias("first_chunk"),
             F.lit(0).cast("long").alias("last_chunk"),
             F.lit(0).cast("long").alias("n_chunks"))
-    blk = F.floor(F.col(id_col) * n_blocks / (max_id + 1)).alias("blk")
-    tcb = tc.select("*", blk)
+    probs = [i / n_blocks for i in range(1, n_blocks)]
+    bounds = sorted(set(
+        tc.approxQuantile(id_col, probs, 1.0 / (4 * n_blocks)))) \
+        if probs else []
+    blk = F.lit(0)
+    for b in bounds:
+        blk = blk + F.when(F.col(id_col) > F.lit(b), 1).otherwise(0)
+    tcb = tc.select("*", blk.cast("long").alias("blk"))
 
     block_sums = (tcb.groupBy("blk").agg(F.sum("n_tokens").alias("s"))
                   .orderBy("blk").collect())

@@ -161,7 +161,14 @@ def _cached_df(spark: SparkSession, sf_dir: str, tag: str, build):
         del _df_cache[k]
     key = (app_id, sf_dir, tag)
     if key not in _df_cache:
-        _df_cache[key] = build().persist()
+        df = build().persist()
+        # materialize NOW: persist() is lazy, and when one action's
+        # branches reference the same unmaterialized cache entry through
+        # several concurrent stages, stages can race to compute the same
+        # subtree (cache blocks land only as each partition finishes);
+        # an eager count makes every later reference a cache read.
+        df.count()
+        _df_cache[key] = df
     return _df_cache[key]
 
 
@@ -177,6 +184,34 @@ def _intersections_cached(spark: SparkSession, docs: DataFrame, sf_dir: str):
     sh = _shingles_cached(spark, docs, sf_dir)
     return _cached_df(spark, sf_dir, "intersections",
                       lambda: dedup.shingle_intersections(sh))
+
+
+def _shingle_counts_cached(spark: SparkSession, docs: DataFrame, sf_dir: str):
+    """Persisted per-doc shingle counts (one row per doc) — broadcast by
+    the verify paths so multi-million-row candidate streams are never
+    shuffled just to learn each side's set size. Gate-scale broadcast:
+    at 100 TB counts is corpus-wide and the verifies fall back to the
+    keyed join (the operators' default when no counts is passed)."""
+    sh = _shingles_cached(spark, docs, sf_dir)
+    return _cached_df(spark, sf_dir, "shingle_counts",
+                      lambda: dedup._shingle_counts(sh, "doc_id"))
+
+
+def _minhash_sig_cached(spark: SparkSession, docs: DataFrame, sf_dir: str):
+    """Persisted MinHash signature index (64 hashes, seed 42) over the
+    shared shingle relation — the corpus artifact a production pipeline
+    stores: batch LSH dedup reads it, and incremental new-batch dedup
+    reuses it instead of rescanning the corpus."""
+    sh = _shingles_cached(spark, docs, sf_dir)
+    return _cached_df(spark, sf_dir, "minhash_sig",
+                      lambda: dedup.minhash_signatures(sh))
+
+
+def _simhash_fp_cached(spark: SparkSession, docs: DataFrame, sf_dir: str):
+    """Persisted 60-bit SimHash fingerprints — one bit-aggregation pass,
+    reused by every simhash query in the session."""
+    return _cached_df(spark, sf_dir, "simhash_fp",
+                      lambda: dedup.simhash_fingerprints(docs))
 
 
 def _jaccard_pairs_cached(spark: SparkSession, docs: DataFrame, sf_dir: str):
@@ -245,7 +280,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     sh = _shingles_cached(spark, t["documents"], sf_dir)
-    return (dedup.minhash_lsh_pairs(t["documents"], threshold=0.5, sh=sh)
+    sig = _minhash_sig_cached(spark, t["documents"], sf_dir)
+    counts = _shingle_counts_cached(spark, t["documents"], sf_dir)
+    return (dedup.minhash_lsh_pairs(t["documents"], threshold=0.5, sh=sh,
+                                    sig=sig, counts=F.broadcast(counts))
             .orderBy("doc_id_a", "doc_id_b"))
 
 
@@ -262,22 +300,62 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh = _shingles_cached(spark, t["documents"], sf_dir)
     inter = _intersections_cached(spark, t["documents"], sf_dir)
+    fp = _simhash_fp_cached(spark, t["documents"], sf_dir)
+    counts = _shingle_counts_cached(spark, t["documents"], sf_dir)
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", RuntimeWarning)
         pairs = dedup.simhash_pairs(t["documents"], hamming_max=14,
                                     chunks=15, jaccard_threshold=0.5, sh=sh,
-                                    inter=inter)
+                                    inter=inter, fp=fp,
+                                    counts=F.broadcast(counts))
     return pairs.orderBy("doc_id_a", "doc_id_b")
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental new-batch-vs-corpus MinHash dedup: docs with
+    doc_id % 10 == 0 play the incoming batch, the rest the existing
+    corpus. The corpus side is represented ONLY by its persisted
+    artifacts — the shared shingle relation and the cached MinHash
+    signature index (filtered per side; a doc's signature depends only
+    on its own shingles, so subsetting the full-corpus index is exact).
+    The corpus text is never rescanned: the streaming-ingestion shape."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    is_batch = F.col("doc_id") % 10 == 0
+    batch = docs.filter(is_batch)
+    sh = _shingles_cached(spark, docs, sf_dir)
+    sig = _minhash_sig_cached(spark, docs, sf_dir)
+    counts = _shingle_counts_cached(spark, docs, sf_dir)
+    return (dedup.incremental_minhash_pairs(
+        batch, sh.filter(~is_batch), sig.filter(~is_batch),
+        corpus_counts=counts.filter(~is_batch))
+        .orderBy("batch_id", "corpus_id"))
+
+
 def dedup_neardup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three text near-dup pair generators in ONE tagged-union gate
-    entry (the 50-slot registry discipline: identical schemas AND the
-    same exact-Jaccard answer, so a union with a method tag preserves
-    each operator's full hash check while using one slot). Each method
-    still runs its own candidate-generation path — n-gram shingle
-    equi-join, MinHash banding, SimHash hamming-LSH — over the shared
-    shingle cache."""
+    """All four text near-dup pair generators in ONE tagged-union gate
+    entry (the 50-slot registry discipline: identical schemas, so a
+    union with a method tag preserves each operator's full hash check
+    while using one slot). Each method still runs its own
+    candidate-generation path — n-gram shingle equi-join, MinHash
+    banding, SimHash hamming-LSH, incremental batch-vs-corpus banding —
+    over the shared shingle/signature/fingerprint caches.
+
+    Cold-cache builds are submitted from driver threads: the four
+    post-shingle artifacts (intersections, signatures, fingerprints,
+    counts) are independent, and their small stages underutilize the
+    cluster — concurrent job submission overlaps them (the standard
+    Spark multi-job driver pattern; on a real cluster use a FAIR pool)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    _shingles_cached(spark, docs, sf_dir)  # every artifact's input
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        for f in [ex.submit(fn, spark, docs, sf_dir)
+                  for fn in (_intersections_cached, _minhash_sig_cached,
+                             _simhash_fp_cached, _shingle_counts_cached)]:
+            f.result()
     tag = F.lit
     ng = (dedup_ngram_jaccard(spark, sf_dir)
           .select(tag("ngram").alias("method"), "*"))
@@ -285,17 +363,51 @@ def dedup_neardup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(tag("minhash").alias("method"), "*"))
     sim = (dedup_simhash(spark, sf_dir)
            .select(tag("simhash").alias("method"), "*"))
-    return (ng.unionByName(mh).unionByName(sim)
+    inc = (dedup_incremental(spark, sf_dir)
+           .select(tag("incremental").alias("method"),
+                   F.col("batch_id").alias("doc_id_a"),
+                   F.col("corpus_id").alias("doc_id_b"), "jaccard"))
+    return (ng.unionByName(mh).unionByName(sim).unionByName(inc)
             .orderBy("method", "doc_id_a", "doc_id_b"))
 
 
+# incremental oracle: exact Jaccard pairs between the batch (doc_id%10=0)
+# and the corpus (rest) — directional (batch id first), same CTE shapes
+# as _JACCARD_ORACLE
+_INCREMENTAL_ORACLE_BODY = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              ELSE array_to_string(t, ' ') END AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+), sc AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+   AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b, ROUND(c / (sa.n + sb.n - c), 6) AS jaccard
+FROM inter
+JOIN sc sa ON sa.doc_id = doc_id_a
+JOIN sc sb ON sb.doc_id = doc_id_b
+WHERE c / (sa.n + sb.n - c) >= 0.5
+"""
+
 _NEARDUP_SUITE_ORACLE = (
+    "SELECT * FROM (\n"
     "WITH exact_pairs AS (" + _JACCARD_ORACLE.replace(
         "ORDER BY doc_id_a, doc_id_b", "") + ")\n"
     "SELECT m.method, p.doc_id_a, p.doc_id_b, p.jaccard\n"
     "FROM exact_pairs p CROSS JOIN (\n"
     "  SELECT UNNEST(['ngram', 'minhash', 'simhash']) AS method) m\n"
-    "ORDER BY m.method, p.doc_id_a, p.doc_id_b"
+    "UNION ALL\n"
+    "SELECT 'incremental' AS method, i.* FROM (" + _INCREMENTAL_ORACLE_BODY
+    + ") i\n"
+    ") ORDER BY method, doc_id_a, doc_id_b"
 )
 
 
@@ -1446,7 +1558,14 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark; the rest of the corpus is scored for 3-gram overlap
     against it (operators/contamination.py — broadcast membership join).
     Both sides' shingles come from the persisted corpus relation,
-    filtered by the train/bench predicate — no re-tokenization."""
+    filtered by the train/bench predicate — no re-tokenization.
+
+    GATE-SCALE CONSTRUCTION ONLY: this gate carves the benchmark out of
+    the corpus as a 1/25 fraction for oracle convenience. The operator's
+    broadcast design assumes an eval-suite-sized benchmark (fixed small
+    doc count — thousands of docs, MBs of shingles); at the documented
+    100 TB shape a corpus-fraction benchmark would NOT be broadcastable.
+    Real deployments pass an actual benchmark table, never a fraction."""
     from lightning_metastore_spark.operators.contamination import (
         contamination_overlap)
 

@@ -36,6 +36,27 @@ def test_simhash_recall_equals_exact(spark):
     assert sh == exact
 
 
+def test_incremental_minhash_equals_exact_cross_pairs(spark):
+    """Incremental batch-vs-corpus dedup must find exactly the exact-
+    Jaccard pairs that cross the batch/corpus split — the corpus
+    represented only by its persisted shingle + signature artifacts."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    is_batch = F.col("doc_id") % 10 == 0
+    exact = {(r.doc_id_a, r.doc_id_b)
+             for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()}
+    cross = {(a, b) if a % 10 == 0 else (b, a)
+             for a, b in exact if (a % 10 == 0) != (b % 10 == 0)}
+    sh = dedup.shingles(docs)
+    sig = dedup.minhash_signatures(sh)
+    got = {(r.batch_id, r.corpus_id)
+           for r in dedup.incremental_minhash_pairs(
+               docs.filter(is_batch), sh.filter(~is_batch),
+               sig.filter(~is_batch)).collect()}
+    assert got == cross and len(cross) > 0
+
+
 def test_simhash_degenerate_guard(spark):
     """Narrow chunks -> near-all-pairs candidate join: the guard must
     warn by default, raise in error mode, and stay silent for the

@@ -41,3 +41,32 @@ def test_packed_offsets_matches_single_partition_window(spark):
 def test_packed_offsets_empty_input(spark):
     df = spark.createDataFrame([], "doc_id long, text string")
     assert packed_offsets(df).count() == 0
+
+
+def test_packed_offsets_sparse_ids_stay_balanced(spark):
+    """Snowflake-style sparse ids (drawn from a 2^40 space, heavily
+    clumped) must still spread across blocks — id-arithmetic blocking
+    collapsed them into a few blocks, re-serializing the prefix sum —
+    and offsets must equal the naive single-partition window."""
+    import random
+
+    rng = random.Random(7)
+    # two dense clumps + a long sparse tail, worst case for id*n/max
+    ids = sorted(set(
+        [rng.randrange(2**39, 2**39 + 50_000) for _ in range(400)]
+        + [rng.randrange(2**40 - 50_000, 2**40) for _ in range(400)]
+        + [rng.randrange(0, 2**40) for _ in range(200)]))
+    docs = spark.createDataFrame(
+        [(i, "tok " * rng.randrange(1, 30)) for i in ids],
+        "doc_id long, text string")
+    n_blocks = 16
+    out = packed_offsets(docs, capacity=256, n_blocks=n_blocks)
+    naive = packed_offsets(docs, capacity=256, n_blocks=1)
+    assert out.orderBy("doc_id").collect() == naive.orderBy("doc_id").collect()
+    # block occupancy: recompute the block key the operator uses
+    tc = docs.selectExpr("doc_id")
+    probs = [i / n_blocks for i in range(1, n_blocks)]
+    bounds = sorted(set(tc.approxQuantile("doc_id", probs,
+                                          1.0 / (4 * n_blocks))))
+    occupied = {sum(1 for b in bounds if i > b) for i in ids}
+    assert len(occupied) >= n_blocks // 2

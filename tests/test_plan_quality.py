@@ -96,6 +96,38 @@ def test_quantize_scales_are_broadcast(spark):
     assert "partial_count" in plan  # map-side combine on the vec agg
 
 
+def test_neardup_verify_counts_broadcast(spark):
+    """The dedup verify paths must join per-doc shingle counts onto the
+    (possibly multi-million-row) candidate stream via BROADCAST when the
+    caller passes the gate-scale counts relation — shuffling candidates
+    twice just to learn set sizes was ~30% of simhash verify time."""
+    from pyspark.sql import functions as F
+    from lightning_metastore_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sh = dedup.shingles(docs)
+    counts = dedup._shingle_counts(sh, "doc_id")
+    plan = _plan(dedup.minhash_lsh_pairs(
+        docs, threshold=0.5, sh=sh, counts=F.broadcast(counts)))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_dedup_batch_broadcasts(spark):
+    """Incremental batch-vs-corpus dedup: the batch bucket list must
+    broadcast against the corpus bucket index — the corpus side never
+    shuffles for candidate generation."""
+    from pyspark.sql import functions as F
+    from lightning_metastore_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    is_batch = F.col("doc_id") % 10 == 0
+    sh = dedup.shingles(docs)
+    sig = dedup.minhash_signatures(sh)
+    plan = _plan(dedup.incremental_minhash_pairs(
+        docs.filter(is_batch), sh.filter(~is_batch), sig.filter(~is_batch)))
+    assert "BroadcastHashJoin" in plan
+
+
 def test_packing_window_is_partitioned(spark):
     """The prefix-sum window must be partitioned on the block key — a
     single-partition global window would serialize the corpus."""
