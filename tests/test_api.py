@@ -94,6 +94,86 @@ def test_api_errors(server):
     assert e2.value.code == 404
 
 
+@pytest.fixture()
+def guarded_server(spark, tmp_path):
+    """Server with row cap + query timeout enabled."""
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model_guard"))
+    srv = LightningAPIServer(ctx, max_rows=5, query_timeout_sec=1.5).start()
+    yield srv
+    srv.stop()
+
+
+def test_api_content_type_negotiation(server):
+    # wrong request body type -> 415
+    req = urllib.request.Request(
+        f"http://{server.host}:{server.port}/api/q",
+        data=b"<q>select 1</q>",
+        headers={"Content-Type": "text/xml"}, method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 415
+    # unproducible Accept -> 406
+    req = urllib.request.Request(
+        f"http://{server.host}:{server.port}/api/q",
+        data=json.dumps({"query": "SELECT 1 AS x"}).encode(),
+        headers={"Content-Type": "application/json",
+                 "Accept": "text/csv"}, method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e2:
+        urllib.request.urlopen(req)
+    assert e2.value.code == 406
+
+
+def test_api_ndjson_stream(server):
+    req = urllib.request.Request(
+        f"http://{server.host}:{server.port}/api/q",
+        data=json.dumps({"query": "SELECT id FROM range(3)"}).encode(),
+        headers={"Content-Type": "application/json",
+                 "Accept": "application/x-ndjson"}, method="POST")
+    with urllib.request.urlopen(req) as resp:
+        assert resp.headers["Content-Type"] == "application/x-ndjson"
+        lines = [json.loads(l) for l in resp.read().splitlines() if l]
+    assert lines == [{"id": 0}, {"id": 1}, {"id": 2}]
+
+
+def test_api_max_rows_cap(guarded_server):
+    status, rows = _post_q(guarded_server, "SELECT id FROM range(1000)")
+    assert status == 200 and len(rows) == 5
+
+
+def test_api_query_timeout_408(guarded_server):
+    """A runaway query is cancelled via its job group: clean 408 before
+    any rows are sent."""
+    req = urllib.request.Request(
+        f"http://{guarded_server.host}:{guarded_server.port}/api/q",
+        data=json.dumps({"query": """
+            SELECT count(id) AS n
+            FROM range(0, 200000000000, 1, 400)"""}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 408
+
+
+def test_api_midstream_error_trailer(server):
+    """A failure AFTER rows are on the wire must close the payload as
+    well-formed JSON whose last element is an {__error__} trailer, not a
+    truncated body. range(0,1000,1,4) partitions are pulled in order by
+    toLocalIterator: partition 0 (ids 0-249) streams fine, partition 1
+    hits assert_true(id < 250)."""
+    req = urllib.request.Request(
+        f"http://{server.host}:{server.port}/api/q",
+        data=json.dumps({"query": """
+            SELECT id, assert_true(id < 250) AS ok
+            FROM range(0, 1000, 1, 4)"""}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req) as resp:
+        status, body = resp.status, resp.read()
+    assert status == 200
+    rows = json.loads(body)  # must parse — well-formed despite failure
+    assert rows and "__error__" in rows[-1]
+    assert [r["id"] for r in rows[:-1]] == list(range(250))
+
+
 def test_api_runtime_error_clean_400(server):
     """A query that passes analysis but fails at execution must yield a
     clean 400: the server pulls the first row BEFORE sending the status
