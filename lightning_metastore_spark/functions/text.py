@@ -289,3 +289,110 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     """
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     return docs.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+def bigram_logprob(docs: DataFrame, lam: float = 0.7,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_terms, avg_logprob) — mean log-probability of each
+    document under an interpolated bigram LM fit on the corpus itself:
+    p(w_i | w_{i-1}) = lam * c(w_{i-1} w_i)/c(w_{i-1})
+                     + (1-lam) * c(w_i)/N.
+    The KenLM-style perplexity-filter signal (CCNet thresholds a 5-gram
+    model; a 2-gram keeps the identical distributed shape — n-gram
+    counts are one keyed aggregation, scoring one keyed join).
+
+    100 TB shape: the unigram table is vocabulary-sized (broadcast);
+    the bigram count table is NOT broadcastable at scale, so scoring
+    joins per-doc bigram tf against it ON THE BIGRAM KEY — the TF-IDF
+    shuffle shape. Docs with fewer than 2 tokens have no bigrams and no
+    output row (filter upstream or coalesce downstream).
+
+    Determinism: per-term doubles are identical in any engine (same
+    left-associated expression); the per-doc sum is DECIMAL(28,15) so
+    partitioning cannot reorder floating-point addition.
+    """
+    toks = docs.select(F.col(id_col),
+                       F.split(F.lower(F.col(text_col)), r"\s+").alias("t"))
+    uni = toks.select(F.col(id_col), F.explode("t").alias("token"))
+    c1 = uni.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
+    total = uni.agg(F.count(F.lit(1)).alias("n_total"))
+    big = (toks.withColumn("m", F.size("t") - 1)
+           .filter(F.col("m") >= 1)
+           .select(F.col(id_col), F.explode(F.expr(
+               "transform(sequence(1, m), "
+               "i -> struct(t[i-1] AS prev, t[i] AS next))")).alias("b"))
+           .select(F.col(id_col), F.col("b.prev").alias("prev"),
+                   F.col("b.next").alias("next")))
+    c2 = big.groupBy("prev", "next").agg(F.count(F.lit(1)).alias("c2"))
+    tf = big.groupBy(id_col, "prev", "next").agg(
+        F.count(F.lit(1)).alias("tf"))
+    cp = F.broadcast(c1.select(F.col("token").alias("prev"),
+                               F.col("c1").alias("cp")))
+    cn = F.broadcast(c1.select(F.col("token").alias("next"),
+                               F.col("c1").alias("cn")))
+    # left-associated exactly as the SQL oracle writes it:
+    # (lam*c2)/cp + ((1-lam)*cn)/N — same IEEE doubles in any engine
+    p = (F.lit(lam) * F.col("c2") / F.col("cp")
+         + F.lit(1.0 - lam) * F.col("cn") / F.col("n_total"))
+    scored = (tf.join(c2, ["prev", "next"])
+              .join(cp, "prev").join(cn, "next")
+              .crossJoin(F.broadcast(total))
+              .withColumn("term",
+                          (F.col("tf") * F.log(p)).cast("decimal(28,15)")))
+    return (scored.groupBy(id_col)
+            .agg(F.sum("tf").alias("n_terms"), F.sum("term").alias("s"))
+            .select(F.col(id_col),
+                    F.col("n_terms").cast("long").alias("n_terms"),
+                    F.round(F.col("s").cast("double") / F.col("n_terms"), 9)
+                    .alias("avg_logprob")))
+
+
+CLASSIFIER_BUCKETS = 4096
+
+
+def classifier_weights(spark, n_buckets: int = CLASSIFIER_BUCKETS):
+    """Deterministic stand-in for a trained linear model's weight
+    table: bucket -> integer weight in [-1000, 999] (w = m/1000). A
+    real fastText-style model loads its trained vector here instead —
+    the SHAPE (a small table broadcast onto the token stream) is the
+    production inference pattern.
+    """
+    return spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        (F.conv(F.substring(F.md5(F.concat(F.lit("w:"),
+                                           F.col("id").cast("string"))),
+                            1, 4), 16, 10).cast("long") % 2000
+         - 1000).alias("m"))
+
+
+def classifier_score(docs: DataFrame, n_buckets: int = CLASSIFIER_BUCKETS,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_terms, score) — linear text classifier inference as a
+    DataFrame program (the fastText quality-classifier shape used to
+    filter pretraining corpora): tokens hash into ``n_buckets`` feature
+    buckets, the weight table broadcasts onto the token stream, and the
+    document score is sigmoid(mean bucket weight).
+
+    100 TB shape: map-only expression per token + ONE broadcast join
+    (the model is KBs) + one per-doc aggregation — no shuffle beyond
+    the final doc agg. Weights are integers m (w = m/1000), so the
+    per-doc sum is exact in DECIMAL and partition-order-stable.
+    """
+    spark = docs.sparkSession
+    toks = docs.select(F.col(id_col),
+                       F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
+                       .alias("token"))
+    bucket = (F.conv(F.substring(F.md5("token"), 1, 3), 16, 10)
+              .cast("long") % n_buckets)
+    w = classifier_weights(spark, n_buckets)
+    agg = (toks.select(F.col(id_col), bucket.alias("bucket"))
+           .join(F.broadcast(w), "bucket")
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("m").cast("decimal(28,15)")).alias("s")))
+    score = 1.0 / (1.0 + F.exp(-(F.col("s").cast("double")
+                                 / F.lit(1000.0) / F.col("n"))))
+    return agg.select(F.col(id_col), F.col("n").cast("long").alias("n_terms"),
+                      F.round(score, 9).alias("score"))

@@ -723,28 +723,93 @@ ORDER BY c.doc_id
 """
 
 
-def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based document scoring in one melted slot (50-slot registry
+    discipline): 'unigram' = corpus unigram LM mean log-prob (the cheap
+    perplexity proxy), 'bigram' = interpolated bigram LM mean log-prob
+    (the KenLM-style CCNet filter shape), 'classifier' = linear
+    (fastText-shaped) quality classifier inference via a broadcast
+    hashed-feature weight table. Columns: (section, doc_id, n_terms,
+    score)."""
     t = load_tables(spark, sf_dir, ("documents",))
-    return text_fns.unigram_logprob(t["documents"]).orderBy("doc_id")
+    docs = t["documents"]
+    uni = (text_fns.unigram_logprob(docs)
+           .select(F.lit("unigram").alias("section"), "doc_id",
+                   F.col("n_tokens").alias("n_terms"),
+                   F.col("avg_logprob").alias("score")))
+    big = (text_fns.bigram_logprob(docs)
+           .select(F.lit("bigram").alias("section"), "doc_id",
+                   "n_terms", F.col("avg_logprob").alias("score")))
+    clf = (text_fns.classifier_score(docs)
+           .select(F.lit("classifier").alias("section"), "doc_id",
+                   "n_terms", "score"))
+    return (uni.unionByName(big).unionByName(clf)
+            .orderBy("section", "doc_id"))
 
 
-UNIGRAM_LOGPROB_ORACLE = r"""
-WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
-  FROM documents
+# DuckDB int value of the first k hex chars of an md5 string
+def _hexint_sql(expr: str, k: int) -> str:
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substring({expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (k - 1 - i)}"
+        for i in range(k))
+    return f"({terms})"
+
+
+TEXT_LM_SUITE_ORACLE = r"""
+WITH toksarr AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+), toks AS (
+  SELECT doc_id, unnest(t) AS token FROM toksarr
 ), tf AS (
   SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
 ), corpus AS (
   SELECT token, COUNT(*) AS ctf FROM toks GROUP BY 1
-), total AS (SELECT COUNT(*) AS n_total FROM toks)
-SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-       ROUND(CAST(SUM(CAST(tf * LN(ctf / CAST(n_total AS DOUBLE))
-                           AS DECIMAL(28,15))) AS DOUBLE)
-             / SUM(tf), 9) AS avg_logprob
-FROM tf JOIN corpus USING (token) CROSS JOIN total
-GROUP BY doc_id
-ORDER BY doc_id
-"""
+), total AS (SELECT COUNT(*) AS n_total FROM toks),
+big AS (
+  SELECT doc_id, t[i] AS prev, t[i+1] AS next
+  FROM toksarr, unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+), c2 AS (
+  SELECT prev, next, COUNT(*) AS c2 FROM big GROUP BY 1, 2
+), btf AS (
+  SELECT doc_id, prev, next, COUNT(*) AS tf FROM big GROUP BY 1, 2, 3
+), wtok AS (
+  SELECT doc_id, {HEX3} AS bucket
+  FROM (SELECT doc_id, md5(token) AS h FROM toks)
+), wts AS (
+  SELECT doc_id,
+         ({HEX4W} % 2000 - 1000) AS m
+  FROM (SELECT doc_id, md5('w:' || CAST(bucket AS VARCHAR)) AS hw FROM wtok)
+)
+SELECT * FROM (
+  SELECT 'unigram' AS section, doc_id, CAST(SUM(tf) AS BIGINT) AS n_terms,
+         ROUND(CAST(SUM(CAST(tf * LN(ctf / CAST(n_total AS DOUBLE))
+                             AS DECIMAL(28,15))) AS DOUBLE)
+               / SUM(tf), 9) AS score
+  FROM tf JOIN corpus USING (token) CROSS JOIN total
+  GROUP BY doc_id
+  UNION ALL
+  SELECT 'bigram', btf.doc_id, CAST(SUM(btf.tf) AS BIGINT),
+         ROUND(CAST(SUM(CAST(btf.tf * LN(0.7 * c2.c2 / cp.ctf
+                                         + 0.3 * cn.ctf
+                                           / CAST(n_total AS DOUBLE))
+                             AS DECIMAL(28,15))) AS DOUBLE)
+               / SUM(btf.tf), 9)
+  FROM btf JOIN c2 USING (prev, next)
+  JOIN corpus cp ON cp.token = btf.prev
+  JOIN corpus cn ON cn.token = btf.next
+  CROSS JOIN total
+  GROUP BY btf.doc_id
+  UNION ALL
+  SELECT 'classifier', doc_id, CAST(COUNT(*) AS BIGINT),
+         ROUND(1.0 / (1.0 + EXP(-(CAST(SUM(CAST(m AS DECIMAL(28,15)))
+                                       AS DOUBLE)
+                                  / 1000.0 / COUNT(*)))), 9)
+  FROM wts GROUP BY doc_id
+) ORDER BY section, doc_id
+""".replace("{HEX3}", _hexint_sql("h", 3)).replace(
+    "{HEX4W}", _hexint_sql("hw", 4))
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1951,7 +2016,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "exact dedup via normalized-text hash groupBy"),
         QuerySpec("dedup_neardup_suite", dedup_neardup_suite,
                   _NEARDUP_SUITE_ORACLE,
-                  "ngram/minhash/simhash near-dup pairs (tagged union)"),
+                  "ngram/minhash/simhash/incremental-batch near-dup "
+                  "pairs (tagged union)"),
         QuerySpec("dedup_embedding", dedup_embedding, DEDUP_EMBEDDING_ORACLE,
                   "embedding cosine near-dup pairs"),
         QuerySpec("dedup_cluster_suite", dedup_cluster_suite,
@@ -1976,9 +2042,10 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "quality features + composite score + BPE-ish tokens"),
         QuerySpec("text_lang_id", text_lang_id, LANG_ID_ORACLE,
                   "language ID + normalized md5 fingerprint"),
-        QuerySpec("text_unigram_logprob", text_unigram_logprob,
-                  UNIGRAM_LOGPROB_ORACLE,
-                  "unigram log-prob quality proxy (perplexity filter)"),
+        QuerySpec("text_lm_suite", text_lm_suite,
+                  TEXT_LM_SUITE_ORACLE,
+                  "unigram + interpolated-bigram LM log-prob + linear "
+                  "classifier inference (melted tagged union)"),
         QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_ORACLE,
                   "binary-column metadata + mapInPandas decode (hash-checked)"),
         QuerySpec("temporal_asof_join", temporal_asof_join,

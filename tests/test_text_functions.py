@@ -78,3 +78,45 @@ def test_repetition_features_micro(spark):
     assert r3.n_words == 1
     assert r3.top_2gram_char_frac == 0.0
     assert r3.word_entropy == 0.0
+
+
+def test_bigram_logprob_micro(spark):
+    """Hand-checked interpolated bigram LM on a 2-doc corpus."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in tf.bigram_logprob(docs).collect()}
+    # corpus: tokens a,b,a,b,a,b,c (N=7); c1: a=3,b=3,c=1
+    # bigrams: doc1 = (a,b),(b,a),(a,b); doc2 = (a,b),(b,c)
+    # c2: (a,b)=3, (b,a)=1, (b,c)=1
+    lam = 0.7
+    p_ab = lam * 3 / 3 + (1 - lam) * 3 / 7
+    p_ba = lam * 1 / 3 + (1 - lam) * 3 / 7
+    p_bc = lam * 1 / 3 + (1 - lam) * 1 / 7
+    exp1 = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    exp2 = (math.log(p_ab) + math.log(p_bc)) / 2
+    assert out[1].n_terms == 3 and abs(out[1].avg_logprob - exp1) < 1e-8
+    assert out[2].n_terms == 2 and abs(out[2].avg_logprob - exp2) < 1e-8
+    # single-token doc contributes no bigram row
+    one = spark.createDataFrame([(9, "solo")], ["doc_id", "text"])
+    assert tf.bigram_logprob(one).count() == 0
+
+
+def test_classifier_score_deterministic_and_bounded(spark):
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(50)
+    a = {r.doc_id: r.score for r in tf.classifier_score(docs).collect()}
+    b = {r.doc_id: r.score for r in tf.classifier_score(docs).collect()}
+    assert a == b and len(a) == 50
+    assert all(0.0 < s < 1.0 for s in a.values())
+    # scores separate documents (a constant classifier would be useless)
+    assert len(set(a.values())) > 10
+
+
+def test_classifier_weights_table_shape(spark):
+    w = tf.classifier_weights(spark).collect()
+    assert len(w) == tf.CLASSIFIER_BUCKETS
+    ms = [r.m for r in w]
+    assert min(ms) >= -1000 and max(ms) <= 999
+    assert len(set(ms)) > 1000  # weights actually vary
