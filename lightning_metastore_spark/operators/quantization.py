@@ -60,3 +60,51 @@ def scalar_quantize_stats(emb: DataFrame, id_col: str = "vec_id",
                      F.sum((F.col("err") * F.col("err"))
                            .cast("decimal(28,15)")).cast("double")
                      / F.count(F.lit(1)), 9).alias("mse")))
+
+
+RP_OUT_DIMS = 8
+
+
+def random_project(emb: DataFrame, k: int = RP_OUT_DIMS,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Johnson-Lindenstrauss random projection y = (x @ R) / sqrt(k)
+    with deterministic Rademacher entries R[i,j] in {+1,-1} derived
+    from md5("r:i:j") parity — the cheap dimensionality-reduction step
+    before ANN indexing / clustering when the native width is large.
+    Output: (vec_id, y0..y{k-1}).
+
+    100 TB shape: posexplode the vector -> ONE broadcast join against
+    the (d x k)-row sign table (KBs — the projection matrix is the
+    model) -> one (vec, out-dim)-keyed aggregation -> one per-vec
+    pivot-style agg. Per-term products are exact sign flips of the
+    input doubles; sums are DECIMAL(28,15)-accumulated so results are
+    bit-stable under any partitioning (and engine-reproducible — the
+    DuckDB oracle recomputes R from the same md5 arithmetic).
+    """
+    spark = emb.sparkSession
+    ex = emb.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+        .alias("i", "x"))
+    d = emb.select(F.size(vec_col).alias("d")).first()["d"]
+    sign = (F.when(
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit("r"),
+                                             F.col("i").cast("string"),
+                                             F.col("j").cast("string"))),
+                           1, 1), 16, 10).cast("long") % 2 == 0,
+        F.lit(1)).otherwise(F.lit(-1)))
+    r = (spark.range(d * k)
+         .select((F.col("id") / k).cast("long").alias("i"),
+                 (F.col("id") % k).alias("j"))
+         .withColumn("s", sign))
+    dots = (ex.join(F.broadcast(r), "i")
+            .withColumn("term", (F.col("x") * F.col("s"))
+                        .cast("decimal(28,15)"))
+            .groupBy(id_col, "j")
+            .agg(F.sum("term").alias("dot"))
+            .withColumn("y", F.round(
+                F.col("dot").cast("double") / float(k) ** 0.5, 9)))
+    return (dots.groupBy(id_col)
+            .agg(*[F.max(F.when(F.col("j") == j, F.col("y"))).alias(f"y{j}")
+                   for j in range(k)]))

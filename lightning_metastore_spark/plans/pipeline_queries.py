@@ -1972,9 +1972,51 @@ CORPUS_PROFILE_SUITE_ORACLE = (
 )
 
 
+def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection of the embeddings table
+    to RP_OUT_DIMS dims (operators/quantization.py::random_project) —
+    deterministic md5-derived Rademacher matrix, broadcast join, decimal
+    sums, so the full projected values hash-verify against DuckDB."""
+    from lightning_metastore_spark.operators.quantization import (
+        random_project)
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return random_project(t["embeddings"]).orderBy("vec_id")
+
+
+_RP_HEX1 = "(strpos('0123456789abcdef', substring(h, 1, 1)) - 1)"
+
+EMBEDDING_PROJECT_ORACLE = (r"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ex AS (
+  SELECT vec_id, i - 1 AS i, v[i] AS x
+  FROM e, unnest(generate_series(1, len(v))) AS s(i)
+), r AS (
+  SELECT i, j, CASE WHEN {HEX1} % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM (SELECT gi.i, gj.j,
+               md5('r:' || CAST(gi.i AS VARCHAR) || ':'
+                        || CAST(gj.j AS VARCHAR)) AS h
+        FROM (SELECT unnest(generate_series(0,
+                (SELECT MAX(i) FROM ex))) AS i) gi,
+             (SELECT unnest(generate_series(0, 7)) AS j) gj)
+), y AS (
+  SELECT vec_id, j,
+         ROUND(CAST(SUM(CAST(x * s AS DECIMAL(28,15))) AS DOUBLE)
+               / SQRT(8.0), 9) AS y
+  FROM ex JOIN r USING (i) GROUP BY 1, 2
+)
+SELECT vec_id,
+""" + ",\n".join(f"       MAX(CASE WHEN j = {j} THEN y END) AS y{j}"
+                 for j in range(8)) + r"""
+FROM y GROUP BY vec_id ORDER BY vec_id
+""").replace("{HEX1}", _RP_HEX1)
+
+
 def sampling_quantize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Domain-mixture resampling, exact-n stratified sampling and int8
-    embedding quantization in one melted tagged-union slot."""
+    """Domain-mixture resampling, exact-n stratified sampling, int8
+    embedding quantization and JL random projection in one melted
+    tagged-union slot."""
     parts = [
         _melt(domain_mixture(spark, sf_dir), "mixture", "doc_id",
               ["keep_rate", "kept"], ("lang",)),
@@ -1982,6 +2024,8 @@ def sampling_quantize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
               ["sample_rank"], ("lang",)),
         _melt(embedding_quantize(spark, sf_dir), "quantize", "vec_id",
               ["n_dims", "n_clipped", "max_abs_err", "mse"]),
+        _melt(embedding_project(spark, sf_dir), "project", "vec_id",
+              [f"y{j}" for j in range(8)]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -1999,6 +2043,9 @@ SAMPLING_QUANTIZE_SUITE_ORACLE = (
     + " UNION ALL "
     + _melt_sql(EMBEDDING_QUANTIZE_ORACLE, "quantize", "vec_id",
                 ["n_dims", "n_clipped", "max_abs_err", "mse"])
+    + " UNION ALL "
+    + _melt_sql(EMBEDDING_PROJECT_ORACLE, "project", "vec_id",
+                [f"y{j}" for j in range(8)])
     + ") ORDER BY section, row_key, metric"
 )
 
@@ -2068,6 +2115,6 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("sampling_quantize_suite", sampling_quantize_suite,
                   SAMPLING_QUANTIZE_SUITE_ORACLE,
                   "mixture resample + stratified sample + int8 quantize "
-                  "(melted tagged union)"),
+                  "+ JL random projection (melted tagged union)"),
     ]
 }

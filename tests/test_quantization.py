@@ -31,3 +31,43 @@ def test_quantize_zero_dimension(spark):
     assert out[1].n_dims == 3 and out[1].n_clipped == 0
     # max values quantize exactly (code +-127): error only from rounding
     assert out[1].max_abs_err < 0.01 and out[2].max_abs_err < 0.01
+
+
+def test_random_project_matches_numpy(spark):
+    """The distributed projection must equal a direct numpy x @ R with
+    the same md5-derived Rademacher matrix."""
+    import hashlib
+
+    import numpy as np
+
+    from lightning_metastore_spark.operators.quantization import (
+        RP_OUT_DIMS, random_project)
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(20)
+    rows = emb.collect()
+    d = len(rows[0].embedding)
+    k = RP_OUT_DIMS
+
+    def sign(i, j):
+        h = hashlib.md5(f"r:{i}:{j}".encode()).hexdigest()
+        return 1 if int(h[0], 16) % 2 == 0 else -1
+
+    R = np.array([[sign(i, j) for j in range(k)] for i in range(d)],
+                 dtype=np.float64)
+    got = {r.vec_id: [r[f"y{j}"] for j in range(k)]
+           for r in random_project(emb).collect()}
+    for r in rows:
+        x = np.array(r.embedding, dtype=np.float64)
+        want = (x @ R) / np.sqrt(k)
+        assert np.allclose(got[r.vec_id], want, atol=1e-6), r.vec_id
+
+
+def test_random_project_deterministic_across_partitionings(spark):
+    from lightning_metastore_spark.operators.quantization import (
+        random_project)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = random_project(emb.repartition(1)).orderBy("vec_id").collect()
+    b = random_project(emb.repartition(16)).orderBy("vec_id").collect()
+    assert a == b
