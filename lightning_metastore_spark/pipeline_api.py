@@ -11,27 +11,34 @@ home module:
 
 Dedup:        exact_dedup, jaccard_pairs, minhash_lsh_pairs,
               simhash_pairs, embedding_neardup_pairs_blocked,
-              connected_components, corpus_dup_spans
+              connected_components, corpus_dup_spans,
+              incremental_minhash_pairs, minhash_signatures,
+              minhash_band_buckets
 Similarity:   brute_force_topk, ivf_topk, kmeans_centroids
 Text quality: token_counts, quality_features, lang_id, redact_pii,
-              tfidf_top_terms, unigram_logprob, fingerprint,
-              repetition_features
+              tfidf_top_terms, unigram_logprob, bigram_logprob,
+              classifier_score, fingerprint, repetition_features
 Cleaning:     remove_boilerplate_lines
 Hygiene:      contamination_overlap
 Sampling:     mixture_resample, stratified_fixed_n
 Packing:      packed_offsets
-Embeddings:   scalar_quantize_stats
+Embeddings:   scalar_quantize_stats, random_project
 Temporal:     asof_join, range_join, hypertable_rollup,
               gap_filled_hourly
 Layout:       write_range_clustered, file_column_ranges
 Composed:     curate_corpus, CurationConfig
 Streaming:    lightning_metastore_spark.streaming.events (windowed
-              aggregation, stateful sessionizer, attribution join)
+              aggregation, stateful sessionizer, attribution join);
+              lightning_metastore_spark.streaming.ingest (corpus
+              ingestion with incremental dedup: build_dedup_index,
+              dedup_batch_against_index, start_dedup_ingest_sink)
 """
 
 from __future__ import annotations
 
 from lightning_metastore_spark.functions.text import (  # noqa: F401
+    bigram_logprob,
+    classifier_score,
     fingerprint,
     lang_id,
     quality_features,
@@ -52,8 +59,11 @@ from lightning_metastore_spark.operators.dedup import (  # noqa: F401
     corpus_dup_spans,
     embedding_neardup_pairs_blocked,
     exact_dedup,
+    incremental_minhash_pairs,
     jaccard_pairs,
+    minhash_band_buckets,
     minhash_lsh_pairs,
+    minhash_signatures,
     shingles,
     simhash_pairs,
 )
@@ -69,6 +79,7 @@ from lightning_metastore_spark.operators.pipeline import (  # noqa: F401
     curate_corpus,
 )
 from lightning_metastore_spark.operators.quantization import (  # noqa: F401
+    random_project,
     scalar_quantize_stats,
 )
 from lightning_metastore_spark.operators.sampling import (  # noqa: F401
