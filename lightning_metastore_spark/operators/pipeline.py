@@ -47,6 +47,8 @@ class CurationConfig:
     max_dup_2gram_frac: float | None = None   # Gopher repetition reject
     max_contam_frac: float | None = None      # benchmark decontamination
     contam_ngram: int = 3
+    min_classifier_score: float | None = None  # linear-classifier floor
+    min_avg_logprob: float | None = None       # unigram LM perplexity floor
 
 
 def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
@@ -56,9 +58,15 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
     """See module docstring. Optional stages (off by default):
     ``cfg.max_dup_2gram_frac`` rejects Gopher-repetitive documents
     (functions/text.py::repetition_features on the CLEANED text);
+    ``cfg.min_classifier_score`` rejects below the linear quality
+    classifier's floor (functions/text.py::classifier_score);
+    ``cfg.min_avg_logprob`` rejects high-perplexity documents under the
+    corpus unigram LM (functions/text.py::unigram_logprob);
     ``benchmark`` + ``cfg.max_contam_frac`` rejects documents whose
     n-gram overlap with the benchmark exceeds the bound
-    (operators/contamination.py — broadcast membership join)."""
+    (operators/contamination.py — broadcast membership join). Every
+    optional stage is a LEFT join with a coalesced neutral default, so
+    output row count is invariant to which stages are enabled."""
     cfg = cfg or CurationConfig()
 
     # `cleaned` (itself ~2 shuffles deep) feeds five branches below
@@ -125,6 +133,23 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
         out = out.join(rep, id_col, "left")
         rep_ok = (F.coalesce("dup_2gram_char_frac", F.lit(0.0))
                   <= cfg.max_dup_2gram_frac)
+    clf_ok = F.lit(True)
+    if cfg.min_classifier_score is not None:
+        clf = text_fns.classifier_score(cleaned, text_col=text_col,
+                                        id_col=id_col) \
+            .select(id_col, F.col("score").alias("clf_score"))
+        out = out.join(clf, id_col, "left")
+        # a degenerate doc has no token rows -> no score; treat as
+        # neutral (0.5) so row count stays invariant to enabled stages
+        clf_ok = (F.coalesce("clf_score", F.lit(0.5))
+                  >= cfg.min_classifier_score)
+    lm_ok = F.lit(True)
+    if cfg.min_avg_logprob is not None:
+        lm = text_fns.unigram_logprob(cleaned, text_col, id_col) \
+            .select(id_col, "avg_logprob")
+        out = out.join(lm, id_col, "left")
+        lm_ok = (F.coalesce("avg_logprob", F.lit(0.0))
+                 >= cfg.min_avg_logprob)
     contam_ok = F.lit(True)
     if benchmark is not None and cfg.max_contam_frac is not None:
         from lightning_metastore_spark.operators.contamination import (
@@ -139,12 +164,14 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
     keep = (F.col("exact_survivor") & F.col("cluster_survivor")
             & (F.col("quality_score") >= cfg.min_quality)
             & F.col("pred_lang").isin(*cfg.allowed_langs)
-            & rep_ok & contam_ok)
+            & rep_ok & clf_ok & lm_ok & contam_ok)
     reason = (F.when(~F.col("exact_survivor"), "exact_duplicate")
               .when(~F.col("cluster_survivor"), "near_duplicate")
               .when(F.col("quality_score") < cfg.min_quality, "low_quality")
               .when(~F.col("pred_lang").isin(*cfg.allowed_langs), "language")
               .when(~rep_ok, "repetitive")
+              .when(~clf_ok, "low_classifier_score")
+              .when(~lm_ok, "high_perplexity")
               .when(~contam_ok, "contaminated")
               .otherwise(None))
     return out.select(id_col, text_col, "quality_score", "pred_lang",

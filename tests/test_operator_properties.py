@@ -91,3 +91,56 @@ def _spark():
     s = get_spark("tests")
     s.sparkContext.setLogLevel("ERROR")
     return s
+
+
+@settings(**_SETTINGS)
+@given(st.lists(DOC, min_size=2, max_size=7))
+def test_bigram_logprob_matches_bruteforce(docs_texts):
+    import math
+
+    from lightning_metastore_spark.functions.text import bigram_logprob
+
+    spark = _spark()
+    rows = [(i, t) for i, t in enumerate(docs_texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    toks = {i: t.lower().split() for i, t in rows}
+    c1 = Counter(w for ts in toks.values() for w in ts)
+    n_total = sum(c1.values())
+    c2 = Counter((ts[j], ts[j + 1]) for ts in toks.values()
+                 for j in range(len(ts) - 1))
+    for i, ts in toks.items():
+        grams = [(ts[j], ts[j + 1]) for j in range(len(ts) - 1)]
+        if not grams:
+            assert i not in out
+            continue
+        want = sum(math.log(0.7 * c2[g] / c1[g[0]]
+                            + 0.3 * c1[g[1]] / n_total)
+                   for g in grams) / len(grams)
+        assert out[i].n_terms == len(grams)
+        assert abs(out[i].avg_logprob - want) < 1e-7
+
+
+@settings(**_SETTINGS)
+@given(st.lists(DOC, min_size=1, max_size=6))
+def test_incremental_equals_filtered_full_pairs(docs_texts):
+    """incremental(batch, corpus artifacts) == full jaccard_pairs
+    restricted to cross-split pairs, on any random corpus."""
+    from lightning_metastore_spark.operators import dedup
+
+    spark = _spark()
+    rows = [(i, t) for i, t in enumerate(docs_texts * 2)]  # force dups
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {(r.doc_id_a, r.doc_id_b)
+             for r in dedup.jaccard_pairs(df, threshold=0.5).collect()}
+    cross = {(a, b) if a % 2 == 0 else (b, a)
+             for a, b in exact if (a % 2) != (b % 2)}
+    sh = dedup.shingles(df)
+    sig = dedup.minhash_signatures(sh)
+    from pyspark.sql import functions as F
+    is_b = F.col("doc_id") % 2 == 0
+    got = {(r.batch_id, r.corpus_id)
+           for r in dedup.incremental_minhash_pairs(
+               df.filter(is_b), sh.filter(~is_b),
+               sig.filter(~is_b)).collect()}
+    assert got == cross

@@ -112,6 +112,22 @@ def test_curation_row_count_invariant_to_stages(spark):
     assert 3 in by_id  # degenerate doc present, coalesced to non-repetitive
 
 
+def test_curation_classifier_and_perplexity_stages(spark):
+    """The model-score stages fire with aggressive thresholds, stay off
+    by default, and never change the output row count."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    cfg = CurationConfig(min_quality=0.0, use_minhash=False,
+                         min_classifier_score=0.55,   # aggressive floor
+                         min_avg_logprob=-7.0)
+    out = curate_corpus(docs, cfg).collect()
+    assert len(out) == n
+    reasons = {r.drop_reason for r in out}
+    assert ("low_classifier_score" in reasons
+            or "high_perplexity" in reasons)
+    assert all((r.drop_reason is None) == bool(r.keep) for r in out)
+
+
 def test_pipeline_api_facade(spark):
     """The one-namespace operator surface resolves and runs."""
     from lightning_metastore_spark import pipeline_api as P

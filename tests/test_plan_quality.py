@@ -128,6 +128,19 @@ def test_incremental_dedup_batch_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_classifier_weights_broadcast(spark):
+    """Model inference must be map-only + broadcast join + one partial-
+    aggregated doc agg — the weight table (the model) never shuffles
+    the token stream."""
+    from lightning_metastore_spark.functions.text import classifier_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(classifier_score(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_" in plan  # map-side combine on the doc agg
+
+
 def test_packing_window_is_partitioned(spark):
     """The prefix-sum window must be partitioned on the block key — a
     single-partition global window would serialize the corpus."""
