@@ -112,6 +112,29 @@ def dedup_batch_against_index(spark: SparkSession, batch: DataFrame,
                   id_col, "left_anti")
 
 
+def compact_dedup_index(spark: SparkSession, index_dir: str) -> None:
+    """Offline index maintenance: merge the accumulated ``batch=<id>``
+    dirs (the streaming sink adds one per micro-batch — the classic
+    streaming small-file problem) into a single compacted partition per
+    artifact. Run while the stream is STOPPED; restarting from the same
+    checkpoint is safe — committed batches never replay, and integer
+    micro-batch ids never collide with the ``compacted`` partition
+    name. At 100 TB this is the standard offline compaction job any
+    streaming table sink schedules; here the swap is a local
+    write-aside + rename."""
+    import shutil
+
+    for art in ("shingles", "signatures"):
+        root = os.path.join(index_dir, art)
+        df = spark.read.parquet(root).drop("batch")
+        tmp = os.path.join(index_dir, f"_{art}_compacting")
+        # materialize the merged artifact BEFORE touching the source dirs
+        df.write.mode("overwrite").parquet(
+            os.path.join(tmp, "batch=compacted"))
+        shutil.rmtree(root)
+        os.rename(tmp, root)
+
+
 def start_dedup_ingest_sink(stream_docs: DataFrame, index_dir: str,
                             out_dir: str, checkpoint: str,
                             threshold: float = 0.5,

@@ -102,6 +102,32 @@ def test_streaming_ingest_restart_no_duplicates(spark, tmp_path):
                   spark.read.parquet(out).collect()) == first == [10]
 
 
+def test_compact_dedup_index_preserves_decisions(spark, tmp_path):
+    """Compaction merges batch dirs into one partition without changing
+    any admission decision."""
+    idx = str(tmp_path / "idx")
+    ingest.build_dedup_index(_mkdocs(spark, [(1, BASE)]), idx)
+    # simulate two admitted batches
+    for bid, rows in ((0, [(10, OTHER)]), (1, [(20, THIRD)])):
+        sh, sig = ingest._artifacts(_mkdocs(spark, rows), "doc_id", "text")
+        sh.write.parquet(os.path.join(idx, "shingles", f"batch={bid}"))
+        sig.write.parquet(os.path.join(idx, "signatures", f"batch={bid}"))
+    probe = _mkdocs(spark, [
+        (90, OTHER + " tail"),  # near-dup of indexed 10 -> reject
+        (91, "fresh wholly novel words never indexed anywhere before")])
+    before = sorted(r.doc_id for r in ingest.dedup_batch_against_index(
+        spark, probe, idx).collect())
+    ingest.compact_dedup_index(spark, idx)
+    dirs = os.listdir(os.path.join(idx, "shingles"))
+    assert dirs == ["batch=compacted"]
+    after = sorted(r.doc_id for r in ingest.dedup_batch_against_index(
+        spark, probe, idx).collect())
+    assert before == after == [91]
+    sig_ids = {r.doc_id for r in spark.read.parquet(
+        os.path.join(idx, "signatures")).select("doc_id").collect()}
+    assert sig_ids == {1, 10, 20}
+
+
 def test_replayed_batch_reproduces_decision(spark, tmp_path):
     """The replay contract: with its own artifacts already indexed, a
     batch re-run with exclude_batch reproduces the original admission
