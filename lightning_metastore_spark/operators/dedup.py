@@ -243,7 +243,9 @@ def incremental_minhash_pairs(batch: DataFrame, corpus_sh: DataFrame,
                               num_hashes: int = 64, bands: int = 16,
                               n: int = 3, text_col: str = "text",
                               id_col: str = "doc_id", seed: int = 42,
-                              corpus_counts: DataFrame | None = None
+                              corpus_counts: DataFrame | None = None,
+                              batch_sh: DataFrame | None = None,
+                              batch_sig: DataFrame | None = None
                               ) -> DataFrame:
     """New-batch-vs-corpus near-dup pairs WITHOUT rescanning the corpus:
     (batch_id, corpus_id, jaccard >= threshold).
@@ -258,10 +260,14 @@ def incremental_minhash_pairs(batch: DataFrame, corpus_sh: DataFrame,
     shuffles); the exact-Jaccard verify touches corpus shingles only for
     candidate docs. Batch and corpus id spaces must be disjoint (enforce
     upstream); a doc present in both joins to itself and is excluded by
-    the id inequality.
+    the id inequality. Pass prebuilt ``batch_sh``/``batch_sig`` (and
+    ``corpus_counts``) when persisted relations already cover the batch
+    — per-doc artifacts subset exactly.
     """
-    batch_sh = shingles(batch, n, text_col, id_col)
-    batch_sig = minhash_signatures(batch_sh, num_hashes, id_col, seed)
+    if batch_sh is None:
+        batch_sh = shingles(batch, n, text_col, id_col)
+    if batch_sig is None:
+        batch_sig = minhash_signatures(batch_sh, num_hashes, id_col, seed)
     bb = minhash_band_buckets(batch_sig, num_hashes, bands, id_col)
     cb = minhash_band_buckets(corpus_sig, num_hashes, bands, id_col)
     candidates = (

@@ -328,7 +328,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = _shingle_counts_cached(spark, docs, sf_dir)
     return (dedup.incremental_minhash_pairs(
         batch, sh.filter(~is_batch), sig.filter(~is_batch),
-        corpus_counts=counts.filter(~is_batch))
+        corpus_counts=counts.filter(~is_batch),
+        # the cached relations cover both sides; per-doc artifacts
+        # subset exactly, so no re-shingling / re-hashing of the batch
+        batch_sh=sh.filter(is_batch), batch_sig=sig.filter(is_batch))
         .orderBy("batch_id", "corpus_id"))
 
 
