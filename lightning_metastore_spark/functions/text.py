@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 # Marker stopwords per language for the n-gram/marker heuristic. These
 # are standard high-frequency function words; scoring = count of marker
@@ -396,3 +397,70 @@ def classifier_score(docs: DataFrame, n_buckets: int = CLASSIFIER_BUCKETS,
                                  / F.lit(1000.0) / F.col("n"))))
     return agg.select(F.col(id_col), F.col("n").cast("long").alias("n_terms"),
                       F.round(score, 9).alias("score"))
+
+
+VOCAB_SIZE = 256
+
+
+def build_vocab(docs: DataFrame, vocab_size: int = VOCAB_SIZE,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(token, token_id) — the top-``vocab_size`` corpus tokens by
+    frequency, ids 1..V assigned in (count DESC, token ASC) order; id 0
+    is reserved for OOV at encode time.
+
+    100 TB shape: one token aggregation (map-side combined) followed by
+    a distributed TakeOrdered top-V — the global (count, token) sort
+    only ever materializes V rows. The final row_number window runs on
+    those V rows (a broadcast-sized relation), not the corpus.
+    """
+    toks = docs.select(
+        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)),
+                                       F.lit(r"(\S+)"), 1)).alias("token"))
+    top = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+           .orderBy(F.desc("cnt"), F.asc("token")).limit(vocab_size))
+    w = W.orderBy(F.desc("cnt"), F.asc("token"))
+    return top.select("token", F.row_number().over(w).alias("token_id"))
+
+
+def encode_token_stats(docs: DataFrame, vocab_size: int = VOCAB_SIZE,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Tokenizer-application stats per document: encode every token to
+    its vocab id (OOV -> 0) and aggregate
+    ``(doc_id, n_tokens, n_oov, oov_frac, n_distinct_ids,
+    ids_checksum)`` where ``ids_checksum = SUM(pos * token_id)`` over
+    1-based positions — a deterministic fingerprint of the full encoded
+    id SEQUENCE (order-sensitive), so the oracle hash check covers the
+    actual encoding, not just counts.
+
+    100 TB shape: map-only position fan-out + ONE broadcast join against
+    the KB-sized vocab + one per-doc aggregation. Emitting the id
+    arrays themselves (``collect_list`` over pos) is the same plan; the
+    checksum keeps gate output compact. Docs with zero tokens keep a
+    row (left join from the id spine, zero-filled).
+    """
+    vocab = build_vocab(docs, vocab_size, text_col, id_col)
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.regexp_extract_all(F.lower(F.col(text_col)),
+                                          F.lit(r"(\S+)"), 1))
+        .alias("pos", "token"))
+    enc = (toks.join(F.broadcast(vocab), "token", "left")
+           .withColumn("tid", F.coalesce("token_id", F.lit(0))))
+    agg = (enc.groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_tokens"),
+                F.sum((F.col("tid") == 0).cast("long")).alias("n_oov"),
+                F.countDistinct("tid").alias("n_distinct_ids"),
+                F.sum((F.col("pos") + 1) * F.col("tid")).alias("ids_checksum")))
+    return (docs.select(id_col).join(agg, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                    .alias("n_tokens"),
+                    F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+                    F.when(F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(0.0))
+                    .otherwise(F.round(F.col("n_oov") / F.col("n_tokens"), 9))
+                    .alias("oov_frac"),
+                    F.coalesce("n_distinct_ids", F.lit(0)).cast("long")
+                    .alias("n_distinct_ids"),
+                    F.coalesce("ids_checksum", F.lit(0)).cast("long")
+                    .alias("ids_checksum")))

@@ -798,3 +798,88 @@ def embedding_neardup_pairs_blocked(emb: DataFrame, threshold: float = 0.45,
     return (fan.groupBy("bi", "bj")
             .applyInPandas(block_pairs, "vec_id_a long, vec_id_b long")
             .distinct())
+
+
+SEMDEDUP_PLANES = 4
+
+
+def semantic_dedup(emb: DataFrame, n_planes: int = SEMDEDUP_PLANES,
+                   threshold: float = 0.45, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    bucket vectors, compare cosines only WITHIN a bucket, and keep the
+    lowest-id representative of every near-duplicate group.
+
+    Output per vector: ``(vec_id, bucket, n_dups, kept)`` — ``n_dups``
+    counts same-bucket partners with cosine >= ``threshold``; ``kept``
+    is 1 unless a smaller-id partner exists (the SemDeDup keep rule).
+
+    Bucketing here is ``n_planes`` deterministic Rademacher hyperplane
+    signs (bit j = sign of the DECIMAL-summed projection onto
+    md5-derived plane j — the same exact-arithmetic trick as
+    quantization.random_project, so any engine reproduces the buckets
+    bit-for-bit). The production SemDeDup recipe buckets by k-means
+    cell instead — that path is ``similarity.kmeans_centroids`` +
+    ``assign_cells`` composed with the same within-bucket compare; the
+    hyperplane variant is the oracle-reproducible twin (k-means cells
+    depend on a fitted model, not pure arithmetic).
+
+    100 TB shape: ONE broadcast join against the (d x n_planes) sign
+    table + two keyed aggs to form buckets, then a bucket-keyed
+    self-join — candidate pairs are bounded per bucket (raise
+    ``n_planes`` as the corpus grows: 2^n_planes buckets), never
+    all-pairs. No Python in the hot path; the cosine is a JVM
+    higher-order-function expression.
+    """
+    spark = emb.sparkSession
+    base = emb.select(F.col(id_col).alias("vid"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    d = base.select(F.size("v").alias("d")).first()["d"]
+    sign = (F.when(
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit("sb"),
+                                             F.col("i").cast("string"),
+                                             F.col("j").cast("string"))),
+                           1, 1), 16, 10).cast("long") % 2 == 0,
+        F.lit(1)).otherwise(F.lit(-1)))
+    planes = (spark.range(d * n_planes)
+              .select((F.col("id") / n_planes).cast("long").alias("i"),
+                      (F.col("id") % n_planes).alias("j"))
+              .withColumn("s", sign))
+    ex = base.select("vid", F.posexplode("v").alias("i", "x"))
+    bits = (ex.join(F.broadcast(planes), "i")
+            .withColumn("term", (F.col("x") * F.col("s"))
+                        .cast("decimal(28,15)"))
+            .groupBy("vid", "j")
+            .agg(F.sum("term").alias("proj"))
+            .withColumn("bit", (F.col("proj") >= 0).cast("long")))
+    buckets = (bits.groupBy("vid")
+               .agg(F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("j"))
+                          .cast("long")).alias("bucket")))
+    vecs = (base.join(buckets, "vid")
+            .withColumn("norm", F.sqrt(F.aggregate(
+                "v", F.lit(0.0), lambda a, x: a + x * x))))
+    a = vecs.select(F.col("vid").alias("ida"), F.col("bucket"),
+                    F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = vecs.select(F.col("vid").alias("idb"), F.col("bucket"),
+                    F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    pairs = (a.join(b, "bucket")
+             .filter(F.col("ida") < F.col("idb"))
+             .withColumn("cos", dot / (F.col("na") * F.col("nb")))
+             .filter(F.col("cos") >= threshold)
+             .select("ida", "idb"))
+    sides = (pairs.select(F.col("ida").alias("vid"),
+                          F.lit(0).alias("is_better"))
+             .unionByName(pairs.select(F.col("idb").alias("vid"),
+                                       F.lit(1).alias("is_better"))))
+    cnt = (sides.groupBy("vid")
+           .agg(F.count(F.lit(1)).alias("n_dups"),
+                F.sum("is_better").alias("n_better")))
+    return (buckets.join(cnt, "vid", "left")
+            .select(F.col("vid").alias(id_col),
+                    F.col("bucket").cast("long").alias("bucket"),
+                    F.coalesce("n_dups", F.lit(0)).cast("long")
+                    .alias("n_dups"),
+                    (F.coalesce("n_better", F.lit(0)) == 0).cast("long")
+                    .alias("kept")))

@@ -13,11 +13,12 @@ Dedup:        exact_dedup, jaccard_pairs, minhash_lsh_pairs,
               simhash_pairs, embedding_neardup_pairs_blocked,
               connected_components, corpus_dup_spans,
               incremental_minhash_pairs, minhash_signatures,
-              minhash_band_buckets
+              minhash_band_buckets, semantic_dedup
 Similarity:   brute_force_topk, ivf_topk, kmeans_centroids
 Text quality: token_counts, quality_features, lang_id, redact_pii,
               tfidf_top_terms, unigram_logprob, bigram_logprob,
               classifier_score, fingerprint, repetition_features
+Tokenizing:   build_vocab, encode_token_stats, chunk_documents
 Cleaning:     remove_boilerplate_lines
 Hygiene:      contamination_overlap
 Sampling:     mixture_resample, stratified_fixed_n
@@ -38,7 +39,9 @@ from __future__ import annotations
 
 from lightning_metastore_spark.functions.text import (  # noqa: F401
     bigram_logprob,
+    build_vocab,
     classifier_score,
+    encode_token_stats,
     fingerprint,
     lang_id,
     quality_features,
@@ -47,6 +50,9 @@ from lightning_metastore_spark.functions.text import (  # noqa: F401
     tfidf_top_terms,
     token_counts,
     unigram_logprob,
+)
+from lightning_metastore_spark.operators.chunking import (  # noqa: F401
+    chunk_documents,
 )
 from lightning_metastore_spark.operators.cleaning import (  # noqa: F401
     remove_boilerplate_lines,
@@ -64,6 +70,7 @@ from lightning_metastore_spark.operators.dedup import (  # noqa: F401
     minhash_band_buckets,
     minhash_lsh_pairs,
     minhash_signatures,
+    semantic_dedup,
     shingles,
     simhash_pairs,
 )

@@ -1882,6 +1882,135 @@ FROM c ORDER BY doc_id
 """
 
 
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (chunk_size=32, overlap=8) of every
+    document (operators/chunking.py) — map-only explode, no shuffle;
+    chunk fingerprints hash-verified. Row key packs (doc_id, chunk_id)
+    as doc_id*100+chunk_id (gate docs are <=100 tokens -> <=4 chunks)."""
+    from lightning_metastore_spark.operators.chunking import chunk_documents
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (chunk_documents(t["documents"], chunk_size=32, overlap=8)
+            .withColumn("ck", F.col("doc_id") * 100 + F.col("chunk_id"))
+            .select("ck", "start_tok", "end_tok", "n_chunk_tokens",
+                    "chunk_md5")
+            .orderBy("ck"))
+
+
+DOC_CHUNKS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '(\S+)', 1) AS t FROM documents
+), meta AS (
+  SELECT doc_id, t, len(t) AS n,
+         CASE WHEN len(t) <= 32 THEN 1
+              ELSE CAST(CEIL((len(t) - 32) / 24.0) AS BIGINT) + 1 END AS nc
+  FROM toks
+), ch AS (
+  SELECT doc_id, i - 1 AS chunk_id, (i - 1) * 24 AS start_tok,
+         LEAST((i - 1) * 24 + 32, n) AS end_tok, t
+  FROM meta, unnest(generate_series(1, nc)) AS g(i)
+)
+SELECT doc_id * 100 + chunk_id AS ck,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(end_tok AS BIGINT) AS end_tok,
+       CAST(end_tok - start_tok AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(t[start_tok + 1:end_tok], ' ')) AS chunk_md5
+FROM ch ORDER BY ck
+"""
+
+
+def token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application: encode every document against the
+    corpus-fit top-256 vocab (functions/text.py::encode_token_stats);
+    the order-sensitive ids_checksum hash-verifies the full encoded
+    sequence, not just counts."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text_fns.encode_token_stats(t["documents"]).orderBy("doc_id")
+
+
+TOKEN_IDS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS token
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '(\S+)', 1) AS t
+        FROM documents), unnest(generate_series(1, len(t))) AS g(i)
+), vocab AS (
+  SELECT token, ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS token_id
+  FROM (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+        ORDER BY cnt DESC, token ASC LIMIT 256)
+), enc AS (
+  SELECT k.doc_id, k.pos, COALESCE(v.token_id, 0) AS tid
+  FROM toks k LEFT JOIN vocab v USING (token)
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS n_oov,
+         COUNT(DISTINCT tid) AS n_distinct_ids,
+         SUM((pos + 1) * tid) AS ids_checksum
+  FROM enc GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_oov, 0) AS BIGINT) AS n_oov,
+       CASE WHEN COALESCE(n_tokens, 0) = 0 THEN 0.0
+            ELSE ROUND(n_oov * 1.0 / n_tokens, 9) END AS oov_frac,
+       CAST(COALESCE(n_distinct_ids, 0) AS BIGINT) AS n_distinct_ids,
+       CAST(COALESCE(ids_checksum, 0) AS BIGINT) AS ids_checksum
+FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id
+"""
+
+
+def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table
+    (operators/dedup.py::semantic_dedup): deterministic hyperplane
+    sign-buckets, within-bucket cosine >= 0.45, keep-lowest-id rule."""
+    from lightning_metastore_spark.operators.dedup import semantic_dedup
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return semantic_dedup(t["embeddings"]).orderBy("vec_id")
+
+
+_SB_HEX1 = "(strpos('0123456789abcdef', substring(h, 1, 1)) - 1)"
+
+EMBEDDING_SEMDEDUP_ORACLE = (r"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ex AS (
+  SELECT vec_id, i - 1 AS i, v[i] AS x
+  FROM e, unnest(generate_series(1, len(v))) AS s(i)
+), pl AS (
+  SELECT i, j, CASE WHEN {HEX1} % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM (SELECT gi.i, gj.j,
+               md5('sb:' || CAST(gi.i AS VARCHAR) || ':'
+                         || CAST(gj.j AS VARCHAR)) AS h
+        FROM (SELECT unnest(generate_series(0,
+                (SELECT MAX(i) FROM ex))) AS i) gi,
+             (SELECT unnest(generate_series(0, 3)) AS j) gj)
+), bits AS (
+  SELECT vec_id, j,
+         CASE WHEN SUM(CAST(x * s AS DECIMAL(28,15))) >= 0 THEN 1 ELSE 0 END
+           AS bit
+  FROM ex JOIN pl USING (i) GROUP BY 1, 2
+), bk AS (
+  SELECT vec_id, CAST(SUM(bit * CAST(POWER(2, j) AS BIGINT)) AS BIGINT)
+           AS bucket
+  FROM bits GROUP BY 1
+), pairs AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.45
+), cnt AS (
+  SELECT vid, COUNT(*) AS n_dups, SUM(is_better) AS n_better
+  FROM (SELECT ida AS vid, 0 AS is_better FROM pairs
+        UNION ALL SELECT idb, 1 FROM pairs)
+  GROUP BY 1
+)
+SELECT bk.vec_id, bucket,
+       CAST(COALESCE(n_dups, 0) AS BIGINT) AS n_dups,
+       CAST(CASE WHEN COALESCE(n_better, 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS kept
+FROM bk LEFT JOIN cnt ON cnt.vid = bk.vec_id ORDER BY vec_id
+""").replace("{HEX1}", _SB_HEX1)
+
+
 def _melt(df: DataFrame, section: str, key_col: str,
           num_cols: list[str], str_cols: tuple = ()) -> DataFrame:
     """Melt a wide gate output into the shared long schema
@@ -1922,11 +2051,12 @@ def _melt_sql(oracle: str, section: str, key_col: str,
 
 
 def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Five document-profiling operators in one melted tagged-union slot
-    (50-slot registry discipline): Gopher repetition filters, the
-    token-length histogram, sequence packing, the contamination check
-    and cross-document exact-substring duplication. Every cell of every
-    component is still hash-verified."""
+    """Seven document-profiling operators in one melted tagged-union
+    slot (50-slot registry discipline): Gopher repetition filters, the
+    token-length histogram, sequence packing, the contamination check,
+    cross-document exact-substring duplication, sliding-window chunking
+    and tokenizer (vocab-id) application. Every cell of every component
+    is still hash-verified."""
     parts = [
         _melt(text_repetition(spark, sf_dir), "repetition", "doc_id",
               ["n_words", "n_distinct_words", "distinct_word_ratio",
@@ -1943,6 +2073,11 @@ def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                "is_contaminated"]),
         _melt(dup_span_stats(spark, sf_dir), "dup_spans", "doc_id",
               ["n_spans", "n_dup_spans", "dup_span_frac"]),
+        _melt(doc_chunks(spark, sf_dir), "chunks", "ck",
+              ["start_tok", "end_tok", "n_chunk_tokens"], ("chunk_md5",)),
+        _melt(token_ids(spark, sf_dir), "token_ids", "doc_id",
+              ["n_tokens", "n_oov", "oov_frac", "n_distinct_ids",
+               "ids_checksum"]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -1971,6 +2106,13 @@ CORPUS_PROFILE_SUITE_ORACLE = (
     + " UNION ALL "
     + _melt_sql(DUP_SPANS_ORACLE, "dup_spans", "doc_id",
                 ["n_spans", "n_dup_spans", "dup_span_frac"])
+    + " UNION ALL "
+    + _melt_sql(DOC_CHUNKS_ORACLE, "chunks", "ck",
+                ["start_tok", "end_tok", "n_chunk_tokens"], ("chunk_md5",))
+    + " UNION ALL "
+    + _melt_sql(TOKEN_IDS_ORACLE, "token_ids", "doc_id",
+                ["n_tokens", "n_oov", "oov_frac", "n_distinct_ids",
+                 "ids_checksum"])
     + ") ORDER BY section, row_key, metric"
 )
 
@@ -2018,8 +2160,8 @@ FROM y GROUP BY vec_id ORDER BY vec_id
 
 def sampling_quantize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling, exact-n stratified sampling, int8
-    embedding quantization and JL random projection in one melted
-    tagged-union slot."""
+    embedding quantization, JL random projection and SemDeDup-style
+    semantic dedup in one melted tagged-union slot."""
     parts = [
         _melt(domain_mixture(spark, sf_dir), "mixture", "doc_id",
               ["keep_rate", "kept"], ("lang",)),
@@ -2029,6 +2171,8 @@ def sampling_quantize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
               ["n_dims", "n_clipped", "max_abs_err", "mse"]),
         _melt(embedding_project(spark, sf_dir), "project", "vec_id",
               [f"y{j}" for j in range(8)]),
+        _melt(embedding_semdedup(spark, sf_dir), "semdedup", "vec_id",
+              ["bucket", "n_dups", "kept"]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2049,6 +2193,9 @@ SAMPLING_QUANTIZE_SUITE_ORACLE = (
     + " UNION ALL "
     + _melt_sql(EMBEDDING_PROJECT_ORACLE, "project", "vec_id",
                 [f"y{j}" for j in range(8)])
+    + " UNION ALL "
+    + _melt_sql(EMBEDDING_SEMDEDUP_ORACLE, "semdedup", "vec_id",
+                ["bucket", "n_dups", "kept"])
     + ") ORDER BY section, row_key, metric"
 )
 
