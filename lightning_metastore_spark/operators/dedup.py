@@ -824,51 +824,83 @@ def semantic_dedup(emb: DataFrame, n_planes: int = SEMDEDUP_PLANES,
     hyperplane variant is the oracle-reproducible twin (k-means cells
     depend on a fitted model, not pure arithmetic).
 
-    100 TB shape: ONE broadcast join against the (d x n_planes) sign
-    table + two keyed aggs to form buckets, then a bucket-keyed
-    self-join — candidate pairs are bounded per bucket (raise
-    ``n_planes`` as the corpus grows: 2^n_planes buckets), never
-    all-pairs. No Python in the hot path; the cosine is a JVM
-    higher-order-function expression.
+    100 TB shape: bucketing is MAP-ONLY — the (d x n_planes) sign
+    matrix is derived driver-side from the same md5 arithmetic and
+    inlined as literal arrays, so each bucket bit is one
+    zip_with+aggregate expression over the vector (no explode, no join,
+    no shuffle before the pair join). Then ONE bucket-keyed self-join —
+    candidate pairs are bounded per bucket (raise ``n_planes`` as the
+    corpus grows: 2^n_planes buckets), never all-pairs. For very wide
+    embeddings (d in the thousands) where literal arrays would bloat
+    the plan, swap in the broadcast sign-table join used by
+    ``quantization.random_project`` — same results. Per-plane sums are
+    DECIMAL-accumulated (order-independent -> engine-reproducible).
     """
-    spark = emb.sparkSession
+    import hashlib
+
     base = emb.select(F.col(id_col).alias("vid"),
                       F.col(vec_col).cast("array<double>").alias("v"))
     d = base.select(F.size("v").alias("d")).first()["d"]
-    sign = (F.when(
-        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit("sb"),
-                                             F.col("i").cast("string"),
-                                             F.col("j").cast("string"))),
-                           1, 1), 16, 10).cast("long") % 2 == 0,
-        F.lit(1)).otherwise(F.lit(-1)))
-    planes = (spark.range(d * n_planes)
-              .select((F.col("id") / n_planes).cast("long").alias("i"),
-                      (F.col("id") % n_planes).alias("j"))
-              .withColumn("s", sign))
-    ex = base.select("vid", F.posexplode("v").alias("i", "x"))
-    bits = (ex.join(F.broadcast(planes), "i")
-            .withColumn("term", (F.col("x") * F.col("s"))
-                        .cast("decimal(28,15)"))
-            .groupBy("vid", "j")
-            .agg(F.sum("term").alias("proj"))
-            .withColumn("bit", (F.col("proj") >= 0).cast("long")))
-    buckets = (bits.groupBy("vid")
-               .agg(F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("j"))
-                          .cast("long")).alias("bucket")))
-    vecs = (base.join(buckets, "vid")
+
+    def _sign(i: int, j: int) -> float:
+        h = hashlib.md5(f"sb:{i}:{j}".encode()).hexdigest()
+        return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+    zero = F.lit("0").cast("decimal(28,15)")
+    bucket = None
+    for j in range(n_planes):
+        signs = F.array(*[F.lit(_sign(i, j)) for i in range(d)])
+        proj = F.aggregate(
+            F.zip_with("v", signs,
+                       lambda x, s: (x * s).cast("decimal(28,15)")),
+            zero, lambda acc, t: (acc + t).cast("decimal(28,15)"))
+        bit = (proj >= 0).cast("long") * (2 ** j)
+        bucket = bit if bucket is None else bucket + bit
+    vecs = (base.withColumn("bucket", bucket)
             .withColumn("norm", F.sqrt(F.aggregate(
                 "v", F.lit(0.0), lambda a, x: a + x * x))))
-    a = vecs.select(F.col("vid").alias("ida"), F.col("bucket"),
-                    F.col("v").alias("va"), F.col("norm").alias("na"))
-    b = vecs.select(F.col("vid").alias("idb"), F.col("bucket"),
-                    F.col("v").alias("vb"), F.col("norm").alias("nb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    pairs = (a.join(b, "bucket")
-             .filter(F.col("ida") < F.col("idb"))
-             .withColumn("cos", dot / (F.col("na") * F.col("nb")))
-             .filter(F.col("cos") >= threshold)
-             .select("ida", "idb"))
+    return _semdedup_within_buckets(vecs, threshold, id_col)
+
+
+def _semdedup_within_buckets(vecs: DataFrame, threshold: float,
+                             id_col: str) -> DataFrame:
+    """Shared SemDeDup core over a pre-bucketed vector relation
+    ``(vid, bucket, v, norm)``: per-bucket pairwise cosine via one
+    Arrow-batched numpy GEMM (the same vectorized discipline as
+    ``embedding_neardup_pairs_blocked`` — a JVM expression over the
+    exploded pair fan-out measured ~5x slower), then keep-lowest-id.
+    Returns (id_col, bucket, n_dups, kept) for EVERY input vector.
+
+    Memory bound: one bucket's vectors form one GEMM tile, so size
+    buckets (n_planes / k-means k) to keep tiles in executor memory;
+    for oversized buckets compose with the bi/bj tiling of
+    ``embedding_neardup_pairs_blocked`` inside each bucket.
+    """
+    import pandas as pd
+
+    # vecs feeds BOTH the pair fan-out and the final id spine; without
+    # materialization the scan + bucket expression run twice.
+    vecs = vecs.localCheckpoint(eager=True)
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"ida": pd.Series(dtype="int64"),
+                                 "idb": pd.Series(dtype="int64")})
+        M = np.stack(pdf["v"].to_numpy())
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        Mn = M / norms
+        ia, ib = np.nonzero(np.triu(Mn @ Mn.T >= threshold, k=1))
+        ids = pdf["vid"].to_numpy()
+        lo = np.minimum(ids[ia], ids[ib])
+        hi = np.maximum(ids[ia], ids[ib])
+        return pd.DataFrame({"ida": lo, "idb": hi})
+
+    pairs = (vecs.select("vid", "bucket", "v")
+             .groupBy("bucket")
+             .applyInPandas(bucket_pairs, "ida long, idb long"))
     sides = (pairs.select(F.col("ida").alias("vid"),
                           F.lit(0).alias("is_better"))
              .unionByName(pairs.select(F.col("idb").alias("vid"),
@@ -876,10 +908,44 @@ def semantic_dedup(emb: DataFrame, n_planes: int = SEMDEDUP_PLANES,
     cnt = (sides.groupBy("vid")
            .agg(F.count(F.lit(1)).alias("n_dups"),
                 F.sum("is_better").alias("n_better")))
-    return (buckets.join(cnt, "vid", "left")
+    return (vecs.select("vid", "bucket").join(cnt, "vid", "left")
             .select(F.col("vid").alias(id_col),
                     F.col("bucket").cast("long").alias("bucket"),
                     F.coalesce("n_dups", F.lit(0)).cast("long")
                     .alias("n_dups"),
                     (F.coalesce("n_better", F.lit(0)) == 0).cast("long")
                     .alias("kept")))
+
+
+def semantic_dedup_kmeans(emb: DataFrame, centroids: DataFrame | None = None,
+                          k: int = 16, threshold: float = 0.45,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """The production SemDeDup path: bucket = k-means cell (the paper's
+    recipe) instead of hyperplane signs, then the identical
+    within-bucket cosine compare + keep-lowest-id rule.
+
+    ``centroids`` defaults to ``similarity.kmeans_centroids(emb, k)``
+    (deterministic hash-sample Lloyd fit); pass a persisted centroid
+    table to reuse one fit across corpus increments — cell assignment
+    then stays consistent between runs, so previously-kept
+    representatives keep their cells.
+
+    100 TB shape: one broadcast centroid-argmax pass over the corpus
+    (``assign_cells``) + the bucket-keyed self-join — identical
+    candidate discipline as ``semantic_dedup``, with data-adaptive
+    buckets (k-means balances occupancy where hyperplanes can't).
+    Approximate like the hyperplane variant (cross-cell near-dups are
+    not compared); no SQL oracle — cell assignments depend on the
+    fitted model, so equivalence is test-asserted instead.
+    """
+    from lightning_metastore_spark.operators.similarity import (
+        assign_cells, kmeans_centroids)
+
+    if centroids is None:
+        centroids = kmeans_centroids(emb, k=k, id_col=id_col,
+                                     vec_col=vec_col)
+    index = assign_cells(emb, centroids, id_col=id_col, vec_col=vec_col)
+    vecs = index.select(F.col(id_col).alias("vid"),
+                        F.col("cell").alias("bucket"), "v", "norm")
+    return _semdedup_within_buckets(vecs, threshold, id_col)

@@ -13,7 +13,8 @@ Dedup:        exact_dedup, jaccard_pairs, minhash_lsh_pairs,
               simhash_pairs, embedding_neardup_pairs_blocked,
               connected_components, corpus_dup_spans,
               incremental_minhash_pairs, minhash_signatures,
-              minhash_band_buckets, semantic_dedup
+              minhash_band_buckets, semantic_dedup,
+              semantic_dedup_kmeans
 Similarity:   brute_force_topk, ivf_topk, kmeans_centroids
 Text quality: token_counts, quality_features, lang_id, redact_pii,
               tfidf_top_terms, unigram_logprob, bigram_logprob,
@@ -71,6 +72,7 @@ from lightning_metastore_spark.operators.dedup import (  # noqa: F401
     minhash_lsh_pairs,
     minhash_signatures,
     semantic_dedup,
+    semantic_dedup_kmeans,
     shingles,
     simhash_pairs,
 )

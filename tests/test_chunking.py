@@ -134,3 +134,23 @@ def test_semantic_dedup_never_pairs_across_buckets(spark):
         kept = [r for r in members if r.kept == 1]
         assert len(kept) == 1
         assert kept[0].vec_id == min(r.vec_id for r in members)
+
+
+def test_semantic_dedup_kmeans_variant(spark):
+    """The k-means-cell variant applies the same within-bucket compare:
+    identical vectors always share a cell, so exactly one of each
+    duplicate group is kept — and buckets match assign_cells output."""
+    v1 = [1.0, 0.0, 0.5, 0.25]
+    v2 = [0.0, 1.0, -0.5, 0.125]
+    emb = spark.createDataFrame(
+        [(1, v1), (2, v1), (3, v2), (4, v2), (5, v2)],
+        "vec_id long, embedding array<double>")
+    from lightning_metastore_spark.operators.dedup import (
+        semantic_dedup_kmeans)
+
+    rows = {r.vec_id: r for r in semantic_dedup_kmeans(emb, k=2).collect()}
+    assert rows[1].bucket == rows[2].bucket
+    assert rows[3].bucket == rows[4].bucket == rows[5].bucket
+    assert (rows[1].kept, rows[2].kept) == (1, 0)
+    assert (rows[3].kept, rows[4].kept, rows[5].kept) == (1, 0, 0)
+    assert rows[5].n_dups == 2

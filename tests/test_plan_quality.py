@@ -153,3 +153,18 @@ def test_packing_window_is_partitioned(spark):
     assert "Window" in plan
     assert "hashpartitioning(blk" in plan
     assert "SinglePartition" not in plan
+
+
+def test_semantic_dedup_is_bucket_keyed(spark):
+    """SemDeDup's candidate generation must be bucket-KEYED (one
+    Arrow-batched GEMM per bucket group — never a cartesian/nested-loop
+    all-pairs join), with the hyperplane bucketing fully map-only
+    (inlined sign literals, no join/shuffle before the bucket group)."""
+    from lightning_metastore_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(semantic_dedup(emb))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # per-bucket GEMM
+    assert "hashpartitioning(bucket" in plan  # pair fan-out keyed on bucket
