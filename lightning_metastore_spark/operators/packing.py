@@ -99,3 +99,75 @@ def packed_offsets(docs: DataFrame, capacity: int = 2048,
         F.greatest(last_chunk, first_chunk).cast("long").alias("last_chunk"),
         (F.greatest(last_chunk, first_chunk) - first_chunk + 1)
         .cast("long").alias("n_chunks"))
+
+
+def greedy_pack_bins(docs: DataFrame, capacity: int = 2048,
+                     n_shards: int = 32, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Padding-minimizing sequence packing: first-fit-decreasing (FFD)
+    bin packing of whole documents into fixed-``capacity`` bins — the
+    alternative to concat-and-chunk (``packed_offsets``) when documents
+    must NOT straddle context windows (no cross-doc attention, no
+    truncated tails). Returns one row per document:
+    ``(doc_id, n_tokens, bin_id, bin_fill, bin_n_docs)``.
+
+    Distribution: exact FFD is inherently sequential (every placement
+    depends on all previous bins), so the corpus is hash-sharded into
+    ``n_shards`` independent groups and FFD runs per shard inside one
+    Arrow-batched ``applyInPandas`` — the standard production
+    compromise (pack per data shard; padding overhead stays within the
+    FFD 11/9*OPT+1 bound PER SHARD, and shards are statistically
+    similar under hash assignment). bin_id is globally unique
+    (shard * 2^40 + local bin). Docs longer than ``capacity`` get a
+    dedicated single-doc bin, truncation left to the caller.
+
+    100 TB shape: one map pass for lengths + ONE shuffle on the shard
+    key; each shard's state is its open-bin fill list (tiny). Shards
+    scale horizontally — n_shards should track cluster parallelism,
+    not corpus size; rows per shard are bounded by executor memory per
+    task (stream-friendly: only lengths + ids cross into Python).
+    Deterministic: placement order is (n_tokens DESC, doc_id) within a
+    shard; shard assignment is a hash of the id.
+    """
+    import pandas as pd
+
+    tc = docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"(\S+)"), 1))
+        .alias("n_tokens"),
+        (F.abs(F.hash(F.col(id_col))) % n_shards).alias("shard"))
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tokens", id_col],
+                              ascending=[False, True], kind="mergesort")
+        shard = int(pdf["shard"].iloc[0])
+        fills: list[int] = []      # open-bin fill levels, index = local bin
+        bin_of, n_of = [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            placed = None
+            if n < capacity:       # oversized docs never share a bin
+                for i, f in enumerate(fills):
+                    if f + n <= capacity:
+                        placed = i
+                        break
+            if placed is None:
+                placed = len(fills)
+                fills.append(0)
+            fills[placed] += n
+            bin_of.append(placed)
+        counts: dict[int, int] = {}
+        for b in bin_of:
+            counts[b] = counts.get(b, 0) + 1
+        return pd.DataFrame({
+            id_col: pdf[id_col].to_numpy(),
+            "n_tokens": pdf["n_tokens"].to_numpy(),
+            "bin_id": [shard * (1 << 40) + b for b in bin_of],
+            "bin_fill": [fills[b] for b in bin_of],
+            "bin_n_docs": [counts[b] for b in bin_of],
+        })
+
+    return (tc.groupBy("shard")
+            .applyInPandas(pack_shard,
+                           f"{id_col} long, n_tokens long, bin_id long, "
+                           "bin_fill long, bin_n_docs long"))

@@ -23,7 +23,7 @@ Tokenizing:   build_vocab, encode_token_stats, chunk_documents
 Cleaning:     remove_boilerplate_lines
 Hygiene:      contamination_overlap
 Sampling:     mixture_resample, stratified_fixed_n
-Packing:      packed_offsets
+Packing:      packed_offsets, greedy_pack_bins
 Embeddings:   scalar_quantize_stats, random_project
 Temporal:     asof_join, range_join, hypertable_rollup,
               gap_filled_hourly
@@ -81,6 +81,7 @@ from lightning_metastore_spark.operators.layout import (  # noqa: F401
     write_range_clustered,
 )
 from lightning_metastore_spark.operators.packing import (  # noqa: F401
+    greedy_pack_bins,
     packed_offsets,
 )
 from lightning_metastore_spark.operators.pipeline import (  # noqa: F401

@@ -70,3 +70,53 @@ def test_packed_offsets_sparse_ids_stay_balanced(spark):
                                           1.0 / (4 * n_blocks))))
     occupied = {sum(1 for b in bounds if i > b) for i in ids}
     assert len(occupied) >= n_blocks // 2
+
+
+def test_greedy_pack_bins_invariants(spark):
+    """FFD packing: every doc placed once, shared bins never exceed
+    capacity, oversized docs sit alone, per-shard bin count respects
+    the FFD 11/9*OPT+1 bound, and bin_fill/bin_n_docs are consistent."""
+    from lightning_metastore_spark.operators.packing import greedy_pack_bins
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, "t " * rng.randint(0, 300)) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = 256
+    out = greedy_pack_bins(docs, capacity=cap, n_shards=4).collect()
+    assert sorted(r.doc_id for r in out) == list(range(400))
+
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r.bin_id, []).append(r)
+    for rs in by_bin.values():
+        fill = sum(r.n_tokens for r in rs)
+        assert all(r.bin_fill == fill for r in rs)
+        assert all(r.bin_n_docs == len(rs) for r in rs)
+        if len(rs) > 1:
+            assert fill <= cap
+        else:
+            assert fill <= cap or rs[0].n_tokens >= cap  # oversized alone
+
+    # FFD quality per shard: bins <= 11/9 * ceil(total/cap) + 1
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.bin_id >> 40, []).append(r)
+    for rs in by_shard.values():
+        small = [r for r in rs if r.n_tokens < cap]
+        bins = {r.bin_id for r in small}
+        lb = -(-sum(r.n_tokens for r in small) // cap)
+        assert len(bins) <= 11 * lb / 9 + 1
+
+
+def test_greedy_pack_bins_partitioning_invariant(spark):
+    """Output is identical no matter how the input is partitioned —
+    shard assignment is a pure id hash, placement order is sorted."""
+    from lightning_metastore_spark.operators.packing import greedy_pack_bins
+
+    rows = [(i, "w " * (i % 97)) for i in range(200)]
+    docs1 = spark.createDataFrame(rows, "doc_id long, text string")
+    docs2 = docs1.repartition(13)
+    a = sorted(map(tuple, greedy_pack_bins(docs1, 128, 3).collect()))
+    b = sorted(map(tuple, greedy_pack_bins(docs2, 128, 3).collect()))
+    assert a == b
