@@ -464,3 +464,55 @@ def encode_token_stats(docs: DataFrame, vocab_size: int = VOCAB_SIZE,
                     .alias("n_distinct_ids"),
                     F.coalesce("ids_checksum", F.lit(0)).cast("long")
                     .alias("ids_checksum")))
+
+
+BM25_QUERY = ("query", "join", "vector", "stream")
+
+
+def bm25_scores(docs: DataFrame, query_terms: tuple = BM25_QUERY,
+                k1: float = 1.2, b: float = 0.75, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-document BM25 relevance against a fixed query — the
+    retrieval-ranking primitive (Lucene's variant:
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``, tf saturation ``k1``,
+    length normalization ``b``). Returns
+    ``(doc_id, n_terms, score)`` for EVERY document (zero-filled when
+    no query term occurs); ``n_terms`` counts query-term occurrences.
+
+    100 TB shape: the token stream is filtered to the query terms
+    BEFORE any aggregation (map-only, the stream shrinks to query-hit
+    rows), document length and corpus stats (N, avgdl) come from one
+    per-doc agg + one scalar agg broadcast back, and the df relation is
+    query-sized (broadcast). Per-doc sums are DECIMAL-accumulated so
+    scores are partition-order-stable and engine-reproducible.
+    """
+    toks = docs.select(F.col(id_col),
+                       F.explode(F.regexp_extract_all(
+                           F.lower(F.col(text_col)), F.lit(r"(\S+)"), 1))
+                       .alias("token"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # every doc keeps a row: dl=0 for empty docs via the id spine
+    dl = (docs.select(id_col).join(dl, id_col, "left")
+          .select(id_col, F.coalesce("dl", F.lit(0)).alias("dl")))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    hits = toks.filter(F.col("token").isin(*query_terms))
+    tf = hits.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = hits.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    denom = (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    term = (idf * F.col("tf") * (k1 + 1.0) / denom).cast("decimal(28,15)")
+    scored = (tf.join(F.broadcast(df), "token")
+              .join(dl, id_col)
+              .crossJoin(F.broadcast(stats))
+              .withColumn("term", term))
+    agg = (scored.groupBy(id_col)
+           .agg(F.sum("tf").alias("n_terms"),
+                F.sum("term").alias("s")))
+    return (docs.select(id_col).join(agg, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_terms", F.lit(0)).cast("long")
+                    .alias("n_terms"),
+                    F.round(F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+                            9).alias("score")))

@@ -18,7 +18,8 @@ Dedup:        exact_dedup, jaccard_pairs, minhash_lsh_pairs,
 Similarity:   brute_force_topk, ivf_topk, kmeans_centroids
 Text quality: token_counts, quality_features, lang_id, redact_pii,
               tfidf_top_terms, unigram_logprob, bigram_logprob,
-              classifier_score, fingerprint, repetition_features
+              classifier_score, fingerprint, repetition_features,
+              bm25_scores
 Tokenizing:   build_vocab, encode_token_stats, chunk_documents
 Cleaning:     remove_boilerplate_lines
 Hygiene:      contamination_overlap
@@ -40,6 +41,7 @@ from __future__ import annotations
 
 from lightning_metastore_spark.functions.text import (  # noqa: F401
     bigram_logprob,
+    bm25_scores,
     build_vocab,
     classifier_score,
     encode_token_stats,

@@ -746,7 +746,10 @@ def text_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     clf = (text_fns.classifier_score(docs)
            .select(F.lit("classifier").alias("section"), "doc_id",
                    "n_terms", "score"))
-    return (uni.unionByName(big).unionByName(clf)
+    bm = (text_fns.bm25_scores(docs)
+          .select(F.lit("bm25").alias("section"), "doc_id",
+                  "n_terms", "score"))
+    return (uni.unionByName(big).unionByName(clf).unionByName(bm)
             .orderBy("section", "doc_id"))
 
 
@@ -810,6 +813,41 @@ SELECT * FROM (
                                        AS DOUBLE)
                                   / 1000.0 / COUNT(*)))), 9)
   FROM wts GROUP BY doc_id
+  UNION ALL
+  SELECT 'bm25', d.doc_id, CAST(COALESCE(b.n_terms, 0) AS BIGINT),
+         ROUND(COALESCE(b.s, 0.0), 9)
+  FROM documents d LEFT JOIN (
+    WITH btoks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '(\S+)', 1))
+               AS token
+      FROM documents
+    ), bdl AS (
+      SELECT d2.doc_id, COALESCE(x.dl, 0) AS dl
+      FROM documents d2 LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS dl FROM btoks GROUP BY 1) x
+        USING (doc_id)
+    ), bstats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM bdl
+    ), bhits AS (
+      SELECT doc_id, token FROM btoks
+      WHERE token IN ('query', 'join', 'vector', 'stream')
+    ), btf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM bhits GROUP BY 1, 2
+    ), bdf AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM bhits GROUP BY 1
+    )
+    SELECT btf.doc_id, SUM(btf.tf) AS n_terms,
+           CAST(SUM(CAST(
+             LN(1.0 + (bstats.n_docs - bdf.df + CAST(0.5 AS DOUBLE))
+                      / (bdf.df + CAST(0.5 AS DOUBLE)))
+             * btf.tf * CAST(2.2 AS DOUBLE)
+             / (btf.tf + CAST(1.2 AS DOUBLE)
+                * (0.25 + CAST(0.75 AS DOUBLE) * bdl.dl / bstats.avgdl))
+             AS DECIMAL(28,15))) AS DOUBLE) AS s
+    FROM btf JOIN bdf USING (token) JOIN bdl USING (doc_id)
+    CROSS JOIN bstats
+    GROUP BY btf.doc_id
+  ) b USING (doc_id)
 ) ORDER BY section, doc_id
 """.replace("{HEX3}", _hexint_sql("h", 3)).replace(
     "{HEX4W}", _hexint_sql("hw", 4))

@@ -120,3 +120,37 @@ def test_classifier_weights_table_shape(spark):
     ms = [r.m for r in w]
     assert min(ms) >= -1000 and max(ms) <= 999
     assert len(set(ms)) > 1000  # weights actually vary
+
+
+def test_bm25_scores_match_naive(spark):
+    """BM25 vs a plain-Python oracle (Lucene variant), incl. a doc with
+    no query hits (zero-filled) and an empty doc (dl=0 still counted in
+    N/avgdl)."""
+    import math
+
+    from lightning_metastore_spark.functions.text import bm25_scores
+
+    rows = [(1, "join the fast join query"), (2, "slow scan only"),
+            (3, ""), (4, "vector vector stream join")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = ("query", "join", "vector", "stream")
+    got = {r.doc_id: (r.n_terms, r.score)
+           for r in bm25_scores(docs, query_terms=q).collect()}
+
+    toks = {d: t.lower().split() for d, t in rows}
+    N = len(rows)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    df = {term: sum(1 for t in toks.values() if term in t) for term in q}
+    k1, b = 1.2, 0.75
+    for d, t in toks.items():
+        n_terms = sum(1 for w in t if w in q)
+        s = 0.0
+        for term in q:
+            tf = t.count(term)
+            if tf == 0 or df[term] == 0:
+                continue
+            idf = math.log(1.0 + (N - df[term] + 0.5) / (df[term] + 0.5))
+            s += idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * len(t) / avgdl))
+        assert got[d] == (n_terms, round(s, 9)), d
+    assert got[2] == (0, 0.0) and got[3] == (0, 0.0)
