@@ -49,3 +49,39 @@ def remove_boilerplate_lines(docs: DataFrame, max_df: int = 2,
     return (docs.select(id_col)
             .join(rebuilt, id_col, "left")
             .select(id_col, F.coalesce(text_col, F.lit("")).alias(text_col)))
+
+
+def dedup_lines_within_doc(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           line_sep: str = "\n") -> DataFrame:
+    """(id, text, n_lines, n_kept) with REPEATED lines removed within
+    each document (first occurrence kept, order preserved) — the
+    RefinedWeb/Dolma intra-document cleanup for scraped pages that
+    repeat nav blocks or paragraphs inside one document.
+
+    Line identity is the whitespace-normalized lowercase md5, matching
+    ``remove_boilerplate_lines`` (the corpus-level sibling: that one
+    drops lines frequent ACROSS documents and costs two shuffles; this
+    one is entirely MAP-ONLY — an index-aware higher-order filter per
+    row, zero shuffle, linear scan at any corpus size). Quadratic only
+    in each document's line count.
+    """
+    lines = F.split(F.col(text_col), line_sep)
+
+    def norm(c):
+        return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+
+    normed = F.transform(lines, norm)
+    kept = F.filter(
+        lines,
+        lambda x, i: ~F.array_contains(F.slice(normed, F.lit(1), i), norm(x)))
+    # compute in a separate projection: emitting an output column ALSO
+    # named text_col in the same select would make Catalyst re-resolve
+    # the lambda's text_col reference against the cleaned output
+    staged = docs.select(F.col(id_col), kept.alias("_kept"),
+                         F.size(lines).cast("long").alias("n_lines"))
+    return staged.select(
+        F.col(id_col),
+        F.array_join("_kept", line_sep).alias(text_col),
+        "n_lines",
+        F.size("_kept").cast("long").alias("n_kept"))

@@ -21,7 +21,7 @@ Text quality: token_counts, quality_features, lang_id, redact_pii,
               classifier_score, fingerprint, repetition_features,
               bm25_scores
 Tokenizing:   build_vocab, encode_token_stats, chunk_documents
-Cleaning:     remove_boilerplate_lines
+Cleaning:     remove_boilerplate_lines, dedup_lines_within_doc
 Hygiene:      contamination_overlap
 Sampling:     mixture_resample, stratified_fixed_n
 Packing:      packed_offsets, greedy_pack_bins
@@ -58,6 +58,7 @@ from lightning_metastore_spark.operators.chunking import (  # noqa: F401
     chunk_documents,
 )
 from lightning_metastore_spark.operators.cleaning import (  # noqa: F401
+    dedup_lines_within_doc,
     remove_boilerplate_lines,
 )
 from lightning_metastore_spark.operators.contamination import (  # noqa: F401
