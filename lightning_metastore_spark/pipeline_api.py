@@ -28,6 +28,8 @@ Packing:      packed_offsets, greedy_pack_bins
 Embeddings:   scalar_quantize_stats, random_project
 Temporal:     asof_join, range_join, hypertable_rollup,
               gap_filled_hourly
+Multimodal:   image_dhash, dhash_neardup_pairs (perceptual image
+              dedup; decode/feature/resize live in sources.multimodal)
 Layout:       write_range_clustered, file_column_ranges
 Composed:     curate_corpus, CurationConfig
 Streaming:    lightning_metastore_spark.streaming.events (windowed
@@ -98,6 +100,10 @@ from lightning_metastore_spark.operators.quantization import (  # noqa: F401
 from lightning_metastore_spark.operators.sampling import (  # noqa: F401
     mixture_resample,
     stratified_fixed_n,
+)
+from lightning_metastore_spark.sources.multimodal import (  # noqa: F401
+    dhash_neardup_pairs,
+    image_dhash,
 )
 from lightning_metastore_spark.operators.similarity import (  # noqa: F401
     brute_force_topk,

@@ -227,3 +227,52 @@ def test_multimodal_frame_sampling(spark):
     # the real path fails AT THE DECODE SITE, not in the plumbing
     with pytest.raises(Exception, match="ffmpeg"):
         mm.sample_video_frames(df, decode_stub=False).collect()
+
+
+def test_image_dhash_neardup_real_decode(spark):
+    """Real-decode dHash: a 1-pixel edit stays within hamming<=3 of the
+    original (pair found), an inverted gradient does not; identical
+    payloads hash identically. Candidate generation is chunk-keyed."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_codecs import gradient_rows, make_bmp24
+
+    from lightning_metastore_spark.sources.multimodal import (
+        dhash_neardup_pairs, image_dhash)
+
+    w, h = 18, 16
+    rows = [bytearray(r) for r in gradient_rows(w, h)]
+    edited = [bytearray(r) for r in rows]
+    edited[3][9] = (edited[3][9] + 7) % 256          # tiny edit
+    inverted = [bytes(255 - b for b in r) for r in rows]
+    imgs = spark.createDataFrame(
+        [(1, make_bmp24(w, h, [bytes(r) for r in rows])),
+         (2, make_bmp24(w, h, [bytes(r) for r in edited])),
+         (3, make_bmp24(w, h, list(inverted))),
+         (4, make_bmp24(w, h, [bytes(r) for r in rows]))],  # exact dup of 1
+        "id long, content binary")
+    hashes = image_dhash(imgs, decode_stub=False)
+    hv = {r.id: r.dhash for r in hashes.collect()}
+    assert hv[1] == hv[4]                            # identical payload
+    pairs = {(r.ida, r.idb): r.hamming
+             for r in dhash_neardup_pairs(hashes).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 0
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    plan = (dhash_neardup_pairs(hashes)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_image_dhash_stub_mode(spark):
+    """Stub mode: deterministic digest-derived hashes — equal payloads
+    collide, distinct payloads (almost surely) differ."""
+    from lightning_metastore_spark.sources.multimodal import image_dhash
+
+    imgs = spark.createDataFrame(
+        [(1, b"payload-a"), (2, b"payload-b"), (3, b"payload-a")],
+        "id long, content binary")
+    hv = {r.id: r.dhash for r in image_dhash(imgs).collect()}
+    assert hv[1] == hv[3] and hv[1] != hv[2]
