@@ -29,7 +29,8 @@ Embeddings:   scalar_quantize_stats, random_project
 Temporal:     asof_join, range_join, hypertable_rollup,
               gap_filled_hourly
 Multimodal:   image_dhash, dhash_neardup_pairs (perceptual image
-              dedup; decode/feature/resize live in sources.multimodal)
+              dedup), frame_audio (25ms/10ms speech windowing);
+              decode/feature/resize live in sources.multimodal
 Layout:       write_range_clustered, file_column_ranges
 Composed:     curate_corpus, CurationConfig
 Streaming:    lightning_metastore_spark.streaming.events (windowed
@@ -103,6 +104,7 @@ from lightning_metastore_spark.operators.sampling import (  # noqa: F401
 )
 from lightning_metastore_spark.sources.multimodal import (  # noqa: F401
     dhash_neardup_pairs,
+    frame_audio,
     image_dhash,
 )
 from lightning_metastore_spark.operators.similarity import (  # noqa: F401

@@ -302,3 +302,67 @@ def dhash_neardup_pairs(hashes: DataFrame, max_dist: int = 3,
         "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= max_dist)
         .select("ida", "idb", "hamming"))
+
+
+AUDIO_FRAME_SCHEMA = ("id long, frame_idx int, start_ms double, "
+                      "end_ms double, n_samples int, pcm binary")
+
+
+def frame_audio(df: DataFrame, frame_ms: int = 25, hop_ms: int = 10,
+                sample_rate: int = 16_000, id_col: str = "id",
+                content_col: str = "content",
+                decode_stub: bool = True) -> DataFrame:
+    """binary audio payload -> overlapping PCM frames (one row per
+    frame): the windowing step before an audio encoder (25 ms windows /
+    10 ms hop is the standard speech-feature shape). The Spark
+    plumbing — per-row fan-out, frame schema, batch memory — is real;
+    actual codec decode (mp3/flac/ogg) needs an audio library, so
+    decode_stub=False treats the payload AS raw mono int16 PCM at
+    ``sample_rate`` (the wired-in decoder replaces that one line).
+    Stub mode derives a deterministic pseudo-PCM stream from the
+    content digest (length-proportional), exercising identical fan-out.
+
+    100 TB shape: map-only fan-out bounded by payload duration / hop;
+    frames of one payload stay in one task (no shuffle), Arrow batch
+    memory bounded by maxRecordsPerBatch x frame bytes.
+    """
+    spf = sample_rate * frame_ms // 1000   # samples per frame
+    hop = sample_rate * hop_ms // 1000     # samples per hop
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = ["id", "frame_idx", "start_ms", "end_ms", "n_samples", "pcm"]
+        for pdf in batches:
+            rows = []
+            for rid, raw in zip(pdf[id_col], pdf[content_col]):
+                data = bytes(raw)
+                if decode_stub:
+                    digest = hashlib.md5(data).digest()
+                    n = max(spf, min(4 * sample_rate,
+                                     len(data) * 16))  # pseudo samples
+                    reps = n * 2 // 16 + 1
+                    pcm = np.frombuffer((digest * reps)[:n * 2],
+                                        dtype="<i2")
+                else:
+                    # raw mono int16 little-endian PCM; a real codec
+                    # decode (mp3/flac) slots in at this line
+                    pcm = np.frombuffer(
+                        data[:len(data) - (len(data) % 2)], dtype="<i2")
+                n = len(pcm)
+                i = 0
+                start = 0
+                while start + spf <= n or (i == 0 and n > 0):
+                    end = min(start + spf, n)
+                    rows.append({
+                        "id": int(rid), "frame_idx": i,
+                        "start_ms": round(start * 1000.0 / sample_rate, 6),
+                        "end_ms": round(end * 1000.0 / sample_rate, 6),
+                        "n_samples": end - start,
+                        "pcm": pcm[start:end].tobytes()})
+                    i += 1
+                    start += hop
+            yield pd.DataFrame(rows, columns=cols) if rows else \
+                pd.DataFrame(columns=cols)
+
+    return df.mapInPandas(run, schema=AUDIO_FRAME_SCHEMA)

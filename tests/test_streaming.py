@@ -276,3 +276,35 @@ def test_image_dhash_stub_mode(spark):
         "id long, content binary")
     hv = {r.id: r.dhash for r in image_dhash(imgs).collect()}
     assert hv[1] == hv[3] and hv[1] != hv[2]
+
+
+def test_frame_audio_windowing(spark):
+    """Audio framing (25ms/10ms @16kHz): raw-PCM path fans out to
+    overlapping frames with exact sample offsets; a payload shorter
+    than one frame yields one partial frame; stub path is deterministic
+    per payload."""
+    import numpy as np
+
+    from lightning_metastore_spark.sources.multimodal import frame_audio
+
+    pcm = np.arange(1600, dtype="<i2").tobytes()  # 100 ms @ 16 kHz
+    df = spark.createDataFrame([(1, pcm), (2, b"\x01\x02")],
+                               "id long, content binary")
+    rows = sorted(frame_audio(df, decode_stub=False).collect(),
+                  key=lambda r: (r.id, r.frame_idx))
+    by = {}
+    for r in rows:
+        by.setdefault(r.id, []).append(r)
+    # starts 0,160,...,1120 (start+400 <= 1600) -> 8 full frames
+    assert [r.n_samples for r in by[1]] == [400] * 8
+    assert by[1][0].start_ms == 0.0 and by[1][0].end_ms == 25.0
+    assert by[1][-1].start_ms == 70.0 and by[1][-1].end_ms == 95.0
+    # frame content is the actual PCM slice
+    assert np.frombuffer(by[1][1].pcm, dtype="<i2")[0] == 160
+    assert len(by[2]) == 1 and by[2][0].n_samples == 1
+
+    stub = {(r.id, r.frame_idx): r.pcm
+            for r in frame_audio(df).collect()}
+    stub2 = {(r.id, r.frame_idx): r.pcm
+             for r in frame_audio(df).collect()}
+    assert stub == stub2 and len(stub) > 0
