@@ -29,7 +29,8 @@ Embeddings:   scalar_quantize_stats, random_project
 Temporal:     asof_join, range_join, hypertable_rollup,
               gap_filled_hourly
 Multimodal:   image_dhash, dhash_neardup_pairs (perceptual image
-              dedup), frame_audio (25ms/10ms speech windowing);
+              dedup), frame_audio + audio_features (speech windowing
+              and batched-DSP front end);
               decode/feature/resize live in sources.multimodal
 Layout:       write_range_clustered, file_column_ranges
 Composed:     curate_corpus, CurationConfig
@@ -103,6 +104,7 @@ from lightning_metastore_spark.operators.sampling import (  # noqa: F401
     stratified_fixed_n,
 )
 from lightning_metastore_spark.sources.multimodal import (  # noqa: F401
+    audio_features,
     dhash_neardup_pairs,
     frame_audio,
     image_dhash,

@@ -366,3 +366,54 @@ def frame_audio(df: DataFrame, frame_ms: int = 25, hop_ms: int = 10,
                 pd.DataFrame(columns=cols)
 
     return df.mapInPandas(run, schema=AUDIO_FRAME_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = ("id long, frame_idx int, log_energy double, "
+                        "zcr double, spectral_centroid double")
+
+
+def audio_features(frames: DataFrame, sample_rate: int = 16_000,
+                   id_col: str = "id") -> DataFrame:
+    """Per-frame classical audio features over ``frame_audio`` output:
+    log energy, zero-crossing rate and spectral centroid (Hz) — the
+    numpy-only stand-in for a mel-spectrogram front end (swap the rfft
+    block for a mel filter bank when a learned encoder needs it).
+
+    Vectorized per Arrow batch: frames stack into one (n, spf) matrix,
+    one rfft call per batch — no per-row Python in the loop body except
+    the byte-to-array view. Map-only (no shuffle); composes directly
+    with frame_audio in the same stage.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = ["id", "frame_idx", "log_energy", "zcr",
+                "spectral_centroid"]
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
+            arrs = [np.frombuffer(b, dtype="<i2").astype(np.float64)
+                    / 32768.0 for b in pdf["pcm"]]
+            width = max(len(a) for a in arrs)
+            M = np.zeros((len(arrs), width))
+            for r, a in enumerate(arrs):
+                M[r, :len(a)] = a
+            energy = (M * M).sum(axis=1)
+            log_e = np.log(energy + 1e-12)
+            zcr = (np.abs(np.diff(np.signbit(M), axis=1)).sum(axis=1)
+                   / max(1, width - 1))
+            spec = np.abs(np.fft.rfft(M, axis=1))
+            freqs = np.fft.rfftfreq(width, d=1.0 / sample_rate)
+            denom = spec.sum(axis=1)
+            denom[denom == 0.0] = 1.0
+            centroid = (spec * freqs).sum(axis=1) / denom
+            yield pd.DataFrame({
+                "id": pdf[id_col].astype("int64").to_numpy(),
+                "frame_idx": pdf["frame_idx"].astype("int32").to_numpy(),
+                "log_energy": np.round(log_e, 9),
+                "zcr": np.round(zcr, 9),
+                "spectral_centroid": np.round(centroid, 9)})
+
+    return frames.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)

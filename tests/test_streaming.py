@@ -308,3 +308,38 @@ def test_frame_audio_windowing(spark):
     stub2 = {(r.id, r.frame_idx): r.pcm
              for r in frame_audio(df).collect()}
     assert stub == stub2 and len(stub) > 0
+
+
+def test_audio_features_pipeline(spark):
+    """frame_audio -> audio_features composes map-only; a pure tone's
+    spectral centroid lands near its frequency and a silent frame has
+    minimal energy."""
+    import math
+
+    import numpy as np
+
+    from lightning_metastore_spark.sources.multimodal import (
+        audio_features, frame_audio)
+
+    sr = 16_000
+    t = np.arange(sr // 10) / sr                       # 100 ms
+    tone = (np.sin(2 * math.pi * 1000.0 * t) * 20000).astype("<i2")
+    silent = np.zeros(sr // 10, dtype="<i2")
+    df = spark.createDataFrame(
+        [(1, tone.tobytes()), (2, silent.tobytes())],
+        "id long, content binary")
+    frames = frame_audio(df, decode_stub=False, sample_rate=sr)
+    feats = sorted(audio_features(frames, sample_rate=sr).collect(),
+                   key=lambda r: (r.id, r.frame_idx))
+    tone_rows = [r for r in feats if r.id == 1]
+    sil_rows = [r for r in feats if r.id == 2]
+    assert len(tone_rows) == len(sil_rows) == 8
+    for r in tone_rows:
+        assert abs(r.spectral_centroid - 1000.0) < 150.0
+        assert r.zcr > 0.05
+    for r in sil_rows:
+        assert r.log_energy < -20 and r.spectral_centroid == 0.0
+
+    plan = (audio_features(frames)._jdf.queryExecution().executedPlan()
+            .toString())
+    assert "Exchange" not in plan
