@@ -144,3 +144,57 @@ def test_incremental_equals_filtered_full_pairs(docs_texts):
                df.filter(is_b), sh.filter(~is_b),
                sig.filter(~is_b)).collect()}
     assert got == cross
+
+
+from lightning_metastore_spark.operators.chunking import (  # noqa: E402
+    chunk_documents)
+from lightning_metastore_spark.functions.text import (  # noqa: E402
+    build_vocab, encode_token_stats)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.one_of(DOC, st.just("")), min_size=1, max_size=8),
+       st.integers(2, 10), st.integers(0, 5))
+def test_chunking_matches_naive(texts, chunk_size, overlap):
+    import hashlib
+
+    if overlap >= chunk_size:
+        overlap = chunk_size - 1
+    spark = _spark()
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.doc_id, r.chunk_id): (r.start_tok, r.end_tok, r.chunk_md5)
+           for r in chunk_documents(df, chunk_size, overlap).collect()}
+    stride = chunk_size - overlap
+    want = {}
+    for doc_id, text in rows:
+        toks = text.split()
+        n = len(toks)
+        n_chunks = 1 if n <= chunk_size else -(-(n - chunk_size) // stride) + 1
+        for c in range(n_chunks):
+            s, e = c * stride, min(c * stride + chunk_size, n)
+            want[(doc_id, c)] = (s, e, hashlib.md5(
+                " ".join(toks[s:e]).encode()).hexdigest())
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.one_of(DOC, st.just("")), min_size=1, max_size=8),
+       st.integers(1, 6))
+def test_token_encoding_matches_naive(texts, vocab_size):
+    spark = _spark()
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    counts = Counter(w for _, t in rows for w in t.lower().split())
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    vocab = {w: i + 1 for i, (w, _) in enumerate(ranked[:vocab_size])}
+    got_vocab = {r.token: r.token_id
+                 for r in build_vocab(df, vocab_size).collect()}
+    assert got_vocab == vocab
+    got = {r.doc_id: (r.n_tokens, r.n_oov, r.n_distinct_ids, r.ids_checksum)
+           for r in encode_token_stats(df, vocab_size).collect()}
+    for doc_id, text in rows:
+        ids = [vocab.get(w, 0) for w in text.lower().split()]
+        assert got[doc_id] == (
+            len(ids), sum(1 for x in ids if x == 0), len(set(ids)),
+            sum((p + 1) * x for p, x in enumerate(ids)))
