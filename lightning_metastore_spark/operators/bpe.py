@@ -1,0 +1,169 @@
+"""Distributed BPE (byte-pair-encoding) tokenizer training.
+
+The classic Sennrich BPE learner: start from characters, repeatedly
+merge the most frequent adjacent symbol pair. The key scale fact is
+that after the first aggregation the working set is the DISTINCT-WORD
+frequency table — vocabulary-sized (millions of rows at web scale),
+thousands of times smaller than the corpus — so each merge iteration
+is one pair-count aggregation over that small relation plus a
+batch-applied merge, not a corpus pass.
+
+Plan shape (100 TB): ONE corpus-wide shuffle builds (word, freq);
+every iteration is then: explode adjacent pairs (JVM ``transform``
+with index over the symbol arrays) -> one freq-weighted pair agg ->
+``limit(1)`` top pair (distributed TakeOrdered) -> apply the merge to
+the symbol arrays in an Arrow-batched ``mapInPandas`` ->
+``localCheckpoint`` (iterative-algorithm lineage cut, same pattern as
+Lloyd's k-means in operators/similarity.py). Driver state per
+iteration is exactly one (left, right, count) row.
+
+Determinism: ties in pair frequency break lexicographically on
+(left, right); merge application is the standard greedy left-to-right
+non-overlapping replacement — both mirrored by the naive twin in
+tests/test_bpe.py.
+
+Reference parity note: the reference has no tokenizer training
+(SURVEY.md §2.7); part of the driver-mandated LLM-pipeline extension.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SYMS_SCHEMA = "word string, freq long, syms array<string>"
+
+
+def _word_symbols(docs: DataFrame, text_col: str,
+                  lowercase: bool) -> DataFrame:
+    """(word, freq, syms) — the distinct-word frequency table with each
+    word split into single-character symbols. One corpus shuffle."""
+    text = F.col(text_col)
+    if lowercase:
+        text = F.lower(text)
+    words = (docs.select(F.explode(
+        F.regexp_extract_all(text, F.lit(r"(\S+)"), 1)).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    # one symbol per character ('.' can't match newline, but words come
+    # from a \S+ extraction so none contain one)
+    return words.select("word", "freq",
+                        F.regexp_extract_all(F.col("word"), F.lit("(.)"), 1)
+                        .alias("syms"))
+
+
+def _merge_batch(l: str, r: str):
+    """mapInPandas body applying one merge rule greedily left-to-right
+    (non-overlapping), the standard BPE apply step."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for syms in pdf["syms"]:
+                syms = list(syms)
+                merged, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == l
+                            and syms[i + 1] == r):
+                        merged.append(l + r)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                out.append(merged)
+            yield pd.DataFrame({"word": pdf["word"], "freq": pdf["freq"],
+                                "syms": out})
+
+    return run
+
+
+def _pair_counts(syms: DataFrame) -> DataFrame:
+    """Freq-weighted adjacent-pair counts over the symbol arrays —
+    JVM transform-with-index, no Python."""
+    pairs = F.expr(
+        "transform(slice(syms, 1, size(syms) - 1), "
+        "(s, i) -> struct(s AS l, syms[i + 1] AS r))")
+    return (syms.select("freq", F.explode(pairs).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("c")))
+
+
+def learn_bpe_merges(docs: DataFrame, n_merges: int = 16,
+                     min_pair_freq: int = 2, text_col: str = "text",
+                     lowercase: bool = True) -> list[tuple[str, str, int]]:
+    """Learn up to ``n_merges`` BPE merge rules from the corpus.
+    Returns [(left, right, pair_freq), ...] in merge order — feed to
+    ``apply_bpe_merges`` or export as a tokenizer artifact.
+
+    Stops early when no adjacent pair reaches ``min_pair_freq``.
+    """
+    cur = _word_symbols(docs, text_col, lowercase).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (_pair_counts(cur)
+               .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+               .limit(1).collect())
+        if not top or top[0]["c"] < min_pair_freq:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((l, r, c))
+        cur = (cur.mapInPandas(_merge_batch(l, r), schema=_SYMS_SCHEMA)
+               .localCheckpoint())
+    return merges
+
+
+def apply_bpe_merges(docs: DataFrame, merges: list[tuple[str, str, int]],
+                     text_col: str = "text", id_col: str = "doc_id",
+                     lowercase: bool = True) -> DataFrame:
+    """Segment every document with learned merge rules:
+    (doc_id, n_words, n_bpe_tokens, compression) where compression =
+    characters per BPE token (higher = merges are effective).
+
+    One Arrow-batched pass over the corpus; the merge list (the trained
+    tokenizer) rides inside the closure — KBs, effectively broadcast.
+    """
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.regexp_extract_all(text, F.lit(r"(\S+)"), 1).alias("words"))
+    rules = [(l, r) for l, r, _ in merges]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def segment(word: str) -> int:
+            syms = list(word)
+            for l, r in rules:
+                merged, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == l
+                            and syms[i + 1] == r):
+                        merged.append(l + r)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                syms = merged
+            return len(syms)
+
+        for pdf in batches:
+            rows = []
+            for rid, words in zip(pdf[id_col], pdf["words"]):
+                n_tok = sum(segment(w) for w in words)
+                n_chars = sum(len(w) for w in words)
+                rows.append({
+                    "doc_id": int(rid), "n_words": len(words),
+                    "n_bpe_tokens": n_tok,
+                    "compression": round(n_chars / n_tok, 9)
+                    if n_tok else 0.0})
+            yield (pd.DataFrame(rows,
+                                columns=["doc_id", "n_words",
+                                         "n_bpe_tokens", "compression"])
+                   if rows else
+                   pd.DataFrame(columns=["doc_id", "n_words",
+                                         "n_bpe_tokens", "compression"]))
+
+    return base.mapInPandas(
+        run, schema="doc_id long, n_words long, n_bpe_tokens long, "
+                    "compression double")

@@ -20,7 +20,8 @@ Text quality: token_counts, quality_features, lang_id, redact_pii,
               tfidf_top_terms, unigram_logprob, bigram_logprob,
               classifier_score, fingerprint, repetition_features,
               bm25_scores
-Tokenizing:   build_vocab, encode_token_stats, chunk_documents
+Tokenizing:   build_vocab, encode_token_stats, chunk_documents,
+              learn_bpe_merges, apply_bpe_merges
 Cleaning:     remove_boilerplate_lines, dedup_lines_within_doc
 Hygiene:      contamination_overlap
 Sampling:     mixture_resample, stratified_fixed_n
@@ -57,6 +58,10 @@ from lightning_metastore_spark.functions.text import (  # noqa: F401
     tfidf_top_terms,
     token_counts,
     unigram_logprob,
+)
+from lightning_metastore_spark.operators.bpe import (  # noqa: F401
+    apply_bpe_merges,
+    learn_bpe_merges,
 )
 from lightning_metastore_spark.operators.chunking import (  # noqa: F401
     chunk_documents,

@@ -1,0 +1,81 @@
+"""Distributed BPE training vs the classic sequential learner."""
+
+from __future__ import annotations
+
+import sys
+from collections import Counter
+
+sys.path.insert(0, "/root/repo")
+
+from lightning_metastore_spark.operators.bpe import (  # noqa: E402
+    apply_bpe_merges, learn_bpe_merges)
+
+
+def _naive_bpe(texts: list[str], n_merges: int, min_pair_freq: int = 2):
+    """Sennrich BPE with the same tie-break: max count, then smallest
+    (left, right) lexicographically; greedy left-to-right apply."""
+    vocab = Counter(w for t in texts for w in t.lower().split())
+    words = {w: list(w) for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        counts: Counter = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += vocab[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        if c < min_pair_freq:
+            break
+        merges.append((l, r, c))
+        for w, syms in words.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            words[w] = merged
+    return merges, words
+
+
+TEXTS = ["low lower lowest low low",
+         "new newer newest new news",
+         "widest wide wider low new",
+         "the lowest newest low"]
+
+
+def test_learn_bpe_matches_naive(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string")
+    got = learn_bpe_merges(docs, n_merges=10)
+    want, _ = _naive_bpe(TEXTS, 10)
+    assert got == want
+    assert len(got) > 3          # the corpus supports real merges
+    assert ("l", "o") in [(l, r) for l, r, _ in got[:2]]  # 'lo' is frequent
+
+
+def test_apply_bpe_merges_matches_naive(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string")
+    merges = learn_bpe_merges(docs, n_merges=6)
+    out = {r.doc_id: r for r in apply_bpe_merges(docs, merges).collect()}
+    _, words = _naive_bpe(TEXTS, 6)
+    for i, t in enumerate(TEXTS):
+        ws = t.lower().split()
+        n_tok = sum(len(words[w]) for w in ws)
+        n_chars = sum(len(w) for w in ws)
+        assert out[i].n_words == len(ws)
+        assert out[i].n_bpe_tokens == n_tok, (i, t)
+        assert out[i].compression == round(n_chars / n_tok, 9)
+        assert out[i].n_bpe_tokens < n_chars  # merges actually compress
+
+
+def test_learn_bpe_min_freq_stops(spark):
+    docs = spark.createDataFrame([(1, "ab ab cd")], "doc_id long, text string")
+    # (a,b) has freq 2; (c,d) freq 1 -> exactly one merge at threshold 2
+    assert learn_bpe_merges(docs, n_merges=5, min_pair_freq=2) == \
+        [("a", "b", 2)]
