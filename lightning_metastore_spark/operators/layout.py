@@ -70,3 +70,33 @@ def file_column_ranges(path: str, column: str) -> list[tuple]:
         if lo is not None:
             out.append((lo, hi))
     return out
+
+
+def write_training_shards(df: DataFrame, path: str, n_shards: int = 16,
+                          seed: str = "0", id_col: str = "doc_id",
+                          mode: str = "overwrite") -> None:
+    """Export a curated corpus as ``n_shards`` parquet shards in a
+    DETERMINISTIC pseudo-random order — the global-shuffle step before
+    training (dataloaders then read shards sequentially; the shuffle
+    already happened at write time, reproducibly).
+
+    Order and shard assignment both derive from ``md5(seed || id)``:
+    repartitionByRange on the hash gives ~equal shards (hash output is
+    uniform, so range boundaries split evenly — no hot shard even if
+    ids are skewed), sortWithinPartitions fixes intra-shard order.
+    Changing ``seed`` reshuffles; the same seed reproduces the exact
+    same bytes — re-runs of a training pipeline see the identical data
+    order (the property checkpoint-resume depends on).
+
+    100 TB shape: one range shuffle, no driver involvement; ``n_shards``
+    = total_bytes / target_file_size like write_range_clustered.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn(
+        "__shuffle_key",
+        F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))))
+    (keyed.repartitionByRange(n_shards, "__shuffle_key")
+     .sortWithinPartitions("__shuffle_key")
+     .drop("__shuffle_key")
+     .write.mode(mode).parquet(path))

@@ -35,3 +35,38 @@ def test_range_clustered_write_produces_disjoint_ranges(spark, tmp_path):
     # correctness under the clustered layout
     expect = li.filter(f"l_shipdate >= '{probe}'").count()
     assert back.filter(f"l_shipdate >= '{probe}'").count() == expect
+
+
+def test_write_training_shards_deterministic_and_balanced(spark, tmp_path):
+    """Same seed -> byte-identical order across runs; different seed ->
+    different order; shards stay balanced under skewed ids; every row
+    survives exactly once."""
+    import glob
+
+    from lightning_metastore_spark.operators.layout import (
+        write_training_shards)
+
+    # skewed id space: snowflake-style sparse ids
+    rows = [(i * 1_000_003 + 17, f"doc {i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    p1, p2, p3 = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "c")
+    write_training_shards(df, p1, n_shards=8, seed="s1")
+    write_training_shards(df, p2, n_shards=8, seed="s1")
+    write_training_shards(df, p3, n_shards=8, seed="s2")
+
+    def read_order(p):
+        files = sorted(glob.glob(p + "/part-*.parquet"))
+        out = []
+        for f in files:
+            out.extend(r.doc_id for r in spark.read.parquet(f).collect())
+        return files, out
+
+    f1, o1 = read_order(p1)
+    _, o2 = read_order(p2)
+    _, o3 = read_order(p3)
+    assert o1 == o2                      # same seed reproduces exactly
+    assert o1 != o3                      # new seed reshuffles
+    assert sorted(o1) == sorted(r[0] for r in rows)  # lossless
+    sizes = [len(spark.read.parquet(f).collect()) for f in f1]
+    assert len(sizes) == 8 and min(sizes) >= 400 // 8 // 4  # no hot shard
