@@ -403,7 +403,7 @@ VOCAB_SIZE = 256
 
 
 def build_vocab(docs: DataFrame, vocab_size: int = VOCAB_SIZE,
-                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                text_col: str = "text") -> DataFrame:
     """(token, token_id) — the top-``vocab_size`` corpus tokens by
     frequency, ids 1..V assigned in (count DESC, token ASC) order; id 0
     is reserved for OOV at encode time.
@@ -439,7 +439,7 @@ def encode_token_stats(docs: DataFrame, vocab_size: int = VOCAB_SIZE,
     checksum keeps gate output compact. Docs with zero tokens keep a
     row (left join from the id spine, zero-filled).
     """
-    vocab = build_vocab(docs, vocab_size, text_col, id_col)
+    vocab = build_vocab(docs, vocab_size, text_col)
     toks = docs.select(
         F.col(id_col),
         F.posexplode(F.regexp_extract_all(F.lower(F.col(text_col)),
@@ -481,22 +481,21 @@ def bm25_scores(docs: DataFrame, query_terms: tuple = BM25_QUERY,
 
     100 TB shape: the token stream is filtered to the query terms
     BEFORE any aggregation (map-only, the stream shrinks to query-hit
-    rows), document length and corpus stats (N, avgdl) come from one
-    per-doc agg + one scalar agg broadcast back, and the df relation is
+    rows), document length is a map-only ``size()`` on the scan (NO
+    token explode or per-doc agg for lengths), corpus stats (N, avgdl)
+    are one scalar agg broadcast back, and the df relation is
     query-sized (broadcast). Per-doc sums are DECIMAL-accumulated so
     scores are partition-order-stable and engine-reproducible.
     """
-    toks = docs.select(F.col(id_col),
-                       F.explode(F.regexp_extract_all(
-                           F.lower(F.col(text_col)), F.lit(r"(\S+)"), 1))
-                       .alias("token"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    # every doc keeps a row: dl=0 for empty docs via the id spine
-    dl = (docs.select(id_col).join(dl, id_col, "left")
-          .select(id_col, F.coalesce("dl", F.lit(0)).alias("dl")))
+    tok_arr = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                   F.lit(r"(\S+)"), 1)
+    # doc length without exploding: map-only, and doubles as the id
+    # spine (every doc keeps a row, dl=0 for empty docs)
+    dl = docs.select(F.col(id_col), F.size(tok_arr).alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
                    F.avg("dl").alias("avgdl"))
-    hits = toks.filter(F.col("token").isin(*query_terms))
+    hits = (docs.select(F.col(id_col), F.explode(tok_arr).alias("token"))
+            .filter(F.col("token").isin(*query_terms)))
     tf = hits.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     df = hits.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
@@ -510,7 +509,7 @@ def bm25_scores(docs: DataFrame, query_terms: tuple = BM25_QUERY,
     agg = (scored.groupBy(id_col)
            .agg(F.sum("tf").alias("n_terms"),
                 F.sum("term").alias("s")))
-    return (docs.select(id_col).join(agg, id_col, "left")
+    return (dl.select(id_col).join(agg, id_col, "left")
             .select(F.col(id_col),
                     F.coalesce("n_terms", F.lit(0)).cast("long")
                     .alias("n_terms"),

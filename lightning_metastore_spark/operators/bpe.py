@@ -131,8 +131,18 @@ def apply_bpe_merges(docs: DataFrame, merges: list[tuple[str, str, int]],
         F.regexp_extract_all(text, F.lit(r"(\S+)"), 1).alias("words"))
     rules = [(l, r) for l, r, _ in merges]
 
+    out_cols = [id_col, "n_words", "n_bpe_tokens", "compression"]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # memoize per distinct word — the Zipfian head dominates the
+        # token stream, so the common case is a dict hit, mirroring the
+        # learner's distinct-word working set
+        cache: dict[str, int] = {}
+
         def segment(word: str) -> int:
+            hit = cache.get(word)
+            if hit is not None:
+                return hit
             syms = list(word)
             for l, r in rules:
                 merged, i = [], 0
@@ -145,6 +155,7 @@ def apply_bpe_merges(docs: DataFrame, merges: list[tuple[str, str, int]],
                         merged.append(syms[i])
                         i += 1
                 syms = merged
+            cache[word] = len(syms)
             return len(syms)
 
         for pdf in batches:
@@ -153,17 +164,13 @@ def apply_bpe_merges(docs: DataFrame, merges: list[tuple[str, str, int]],
                 n_tok = sum(segment(w) for w in words)
                 n_chars = sum(len(w) for w in words)
                 rows.append({
-                    "doc_id": int(rid), "n_words": len(words),
+                    id_col: int(rid), "n_words": len(words),
                     "n_bpe_tokens": n_tok,
                     "compression": round(n_chars / n_tok, 9)
                     if n_tok else 0.0})
-            yield (pd.DataFrame(rows,
-                                columns=["doc_id", "n_words",
-                                         "n_bpe_tokens", "compression"])
-                   if rows else
-                   pd.DataFrame(columns=["doc_id", "n_words",
-                                         "n_bpe_tokens", "compression"]))
+            yield (pd.DataFrame(rows, columns=out_cols) if rows else
+                   pd.DataFrame(columns=out_cols))
 
     return base.mapInPandas(
-        run, schema="doc_id long, n_words long, n_bpe_tokens long, "
+        run, schema=f"{id_col} long, n_words long, n_bpe_tokens long, "
                     "compression double")

@@ -840,7 +840,12 @@ def semantic_dedup(emb: DataFrame, n_planes: int = SEMDEDUP_PLANES,
 
     base = emb.select(F.col(id_col).alias("vid"),
                       F.col(vec_col).cast("array<double>").alias("v"))
-    d = base.select(F.size("v").alias("d")).first()["d"]
+    first = base.select(F.size("v").alias("d")).first()
+    if first is None or first["d"] is None or first["d"] < 1:
+        # empty input (or null first vector): nothing to bucket
+        return emb.sparkSession.createDataFrame(
+            [], schema=f"{id_col} long, bucket long, n_dups long, kept long")
+    d = first["d"]
 
     def _sign(i: int, j: int) -> float:
         h = hashlib.md5(f"sb:{i}:{j}".encode()).hexdigest()
@@ -856,16 +861,14 @@ def semantic_dedup(emb: DataFrame, n_planes: int = SEMDEDUP_PLANES,
             zero, lambda acc, t: (acc + t).cast("decimal(28,15)"))
         bit = (proj >= 0).cast("long") * (2 ** j)
         bucket = bit if bucket is None else bucket + bit
-    vecs = (base.withColumn("bucket", bucket)
-            .withColumn("norm", F.sqrt(F.aggregate(
-                "v", F.lit(0.0), lambda a, x: a + x * x))))
+    vecs = base.withColumn("bucket", bucket)
     return _semdedup_within_buckets(vecs, threshold, id_col)
 
 
 def _semdedup_within_buckets(vecs: DataFrame, threshold: float,
                              id_col: str) -> DataFrame:
     """Shared SemDeDup core over a pre-bucketed vector relation
-    ``(vid, bucket, v, norm)``: per-bucket pairwise cosine via one
+    ``(vid, bucket, v)``: per-bucket pairwise cosine via one
     Arrow-batched numpy GEMM (the same vectorized discipline as
     ``embedding_neardup_pairs_blocked`` — a JVM expression over the
     exploded pair fan-out measured ~5x slower), then keep-lowest-id.
@@ -947,5 +950,5 @@ def semantic_dedup_kmeans(emb: DataFrame, centroids: DataFrame | None = None,
                                      vec_col=vec_col)
     index = assign_cells(emb, centroids, id_col=id_col, vec_col=vec_col)
     vecs = index.select(F.col(id_col).alias("vid"),
-                        F.col("cell").alias("bucket"), "v", "norm")
+                        F.col("cell").alias("bucket"), "v")
     return _semdedup_within_buckets(vecs, threshold, id_col)

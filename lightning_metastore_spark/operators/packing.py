@@ -135,7 +135,7 @@ def greedy_pack_bins(docs: DataFrame, capacity: int = 2048,
         F.col(id_col),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"(\S+)"), 1))
         .alias("n_tokens"),
-        (F.abs(F.hash(F.col(id_col))) % n_shards).alias("shard"))
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_shards)).alias("shard"))
 
     def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["n_tokens", id_col],

@@ -2031,10 +2031,15 @@ WITH e AS (
            AS bucket
   FROM bits GROUP BY 1
 ), pairs AS (
+  -- zero-vector guard mirrors the Spark side (norms of 0 -> treated
+  -- as 1 -> cosine 0 -> below any positive threshold); without it
+  -- DuckDB's NaN cosine sorts above every double and would pass >=
   SELECT a.vec_id AS ida, b.vec_id AS idb
   FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
   JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
-  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.45
+  WHERE list_dot_product(ea.v, ea.v) > 0
+    AND list_dot_product(eb.v, eb.v) > 0
+    AND list_cosine_similarity(ea.v, eb.v) >= 0.45
 ), cnt AS (
   SELECT vid, COUNT(*) AS n_dups, SUM(is_better) AS n_better
   FROM (SELECT ida AS vid, 0 AS is_better FROM pairs

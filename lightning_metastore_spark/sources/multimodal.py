@@ -328,6 +328,11 @@ def frame_audio(df: DataFrame, frame_ms: int = 25, hop_ms: int = 10,
     """
     spf = sample_rate * frame_ms // 1000   # samples per frame
     hop = sample_rate * hop_ms // 1000     # samples per hop
+    if spf <= 0 or hop <= 0:
+        raise ValueError(
+            "frame_audio: frame_ms/hop_ms too small for sample_rate — "
+            f"samples per frame={spf}, per hop={hop}; both must be >= 1 "
+            "(a zero hop would loop forever in the executor)")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -379,10 +384,14 @@ def audio_features(frames: DataFrame, sample_rate: int = 16_000,
     numpy-only stand-in for a mel-spectrogram front end (swap the rfft
     block for a mel filter bank when a learned encoder needs it).
 
-    Vectorized per Arrow batch: frames stack into one (n, spf) matrix,
-    one rfft call per batch — no per-row Python in the loop body except
-    the byte-to-array view. Map-only (no shuffle); composes directly
-    with frame_audio in the same stage.
+    Vectorized per Arrow batch, grouped BY FRAME LENGTH: all frames of
+    one length stack into one (n, len) matrix and share one rfft call
+    (almost every frame is spf samples, so the common case is a single
+    GEMM-shaped batch). Grouping by the frame's OWN length — not the
+    batch max — keeps every feature a pure function of that frame's
+    samples: zero-padding to a batch-dependent width would change zcr
+    denominators and rfft bin frequencies with partitioning/batch
+    size. Map-only (no shuffle); composes with frame_audio in-stage.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -396,19 +405,25 @@ def audio_features(frames: DataFrame, sample_rate: int = 16_000,
                 continue
             arrs = [np.frombuffer(b, dtype="<i2").astype(np.float64)
                     / 32768.0 for b in pdf["pcm"]]
-            width = max(len(a) for a in arrs)
-            M = np.zeros((len(arrs), width))
-            for r, a in enumerate(arrs):
-                M[r, :len(a)] = a
-            energy = (M * M).sum(axis=1)
-            log_e = np.log(energy + 1e-12)
-            zcr = (np.abs(np.diff(np.signbit(M), axis=1)).sum(axis=1)
-                   / max(1, width - 1))
-            spec = np.abs(np.fft.rfft(M, axis=1))
-            freqs = np.fft.rfftfreq(width, d=1.0 / sample_rate)
-            denom = spec.sum(axis=1)
-            denom[denom == 0.0] = 1.0
-            centroid = (spec * freqs).sum(axis=1) / denom
+            lengths = np.array([len(a) for a in arrs])
+            log_e = np.zeros(len(arrs))
+            zcr = np.zeros(len(arrs))
+            centroid = np.zeros(len(arrs))
+            for width in np.unique(lengths):
+                idx = np.nonzero(lengths == width)[0]
+                if width == 0:
+                    log_e[idx] = np.log(1e-12)
+                    continue
+                M = np.stack([arrs[i] for i in idx])
+                energy = (M * M).sum(axis=1)
+                log_e[idx] = np.log(energy + 1e-12)
+                zcr[idx] = (np.abs(np.diff(np.signbit(M), axis=1))
+                            .sum(axis=1) / max(1, width - 1))
+                spec = np.abs(np.fft.rfft(M, axis=1))
+                freqs = np.fft.rfftfreq(int(width), d=1.0 / sample_rate)
+                denom = spec.sum(axis=1)
+                denom[denom == 0.0] = 1.0
+                centroid[idx] = (spec * freqs).sum(axis=1) / denom
             yield pd.DataFrame({
                 "id": pdf[id_col].astype("int64").to_numpy(),
                 "frame_idx": pdf["frame_idx"].astype("int32").to_numpy(),

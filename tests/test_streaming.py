@@ -343,3 +343,28 @@ def test_audio_features_pipeline(spark):
     plan = (audio_features(frames)._jdf.queryExecution().executedPlan()
             .toString())
     assert "Exchange" not in plan
+
+
+def test_audio_features_batch_invariant(spark):
+    """Features are a pure function of each frame's own samples — a
+    short (partial) frame scores identically whether it shares an
+    Arrow batch with full frames or sits alone (regression: padding to
+    the batch max width skewed zcr/centroid)."""
+    import numpy as np
+
+    from lightning_metastore_spark.sources.multimodal import (
+        audio_features, frame_audio)
+
+    full = (np.arange(1600, dtype="<i2") * 7 % 4001 - 2000).astype("<i2")
+    short = np.array([500, -400, 300], dtype="<i2")
+    df = spark.createDataFrame(
+        [(1, full.tobytes()), (2, short.tobytes())],
+        "id long, content binary")
+    frames = frame_audio(df, decode_stub=False)
+    together = {(r.id, r.frame_idx): (r.log_energy, r.zcr,
+                                      r.spectral_centroid)
+                for r in audio_features(frames.coalesce(1)).collect()}
+    alone = {(r.id, r.frame_idx): (r.log_energy, r.zcr,
+                                   r.spectral_centroid)
+             for r in audio_features(frames.repartition(8, "id")).collect()}
+    assert together == alone
