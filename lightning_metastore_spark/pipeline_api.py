@@ -33,8 +33,8 @@ Multimodal:   image_dhash, dhash_neardup_pairs (perceptual image
               dedup), frame_audio + audio_features (speech windowing
               and batched-DSP front end);
               decode/feature/resize live in sources.multimodal
-Layout:       write_range_clustered, file_column_ranges,
-              write_training_shards
+Layout:       write_range_clustered, write_zorder_clustered,
+              file_column_ranges, write_training_shards
 Composed:     curate_corpus, CurationConfig
 Streaming:    lightning_metastore_spark.streaming.events (windowed
               aggregation, stateful sessionizer, attribution join);
@@ -93,6 +93,7 @@ from lightning_metastore_spark.operators.layout import (  # noqa: F401
     file_column_ranges,
     write_range_clustered,
     write_training_shards,
+    write_zorder_clustered,
 )
 from lightning_metastore_spark.operators.packing import (  # noqa: F401
     greedy_pack_bins,

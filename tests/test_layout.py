@@ -70,3 +70,46 @@ def test_write_training_shards_deterministic_and_balanced(spark, tmp_path):
     assert sorted(o1) == sorted(r[0] for r in rows)  # lossless
     sizes = [len(spark.read.parquet(f).collect()) for f in f1]
     assert len(sizes) == 8 and min(sizes) >= 400 // 8 // 4  # no hot shard
+
+
+def test_write_zorder_clustered_prunes_both_columns(spark, tmp_path):
+    """Z-order layout: every file covers a small bounding box in BOTH
+    clustered dimensions, so predicates on either column skip most
+    files — where range clustering only serves its leading column."""
+    import random
+
+    from lightning_metastore_spark.operators.layout import (
+        file_column_ranges, write_range_clustered, write_zorder_clustered)
+
+    rng = random.Random(5)
+    rows = [(i, rng.randint(0, 99_999), rng.randint(0, 99_999))
+            for i in range(20_000)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+
+    zp, rp = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zorder_clustered(df, zp, ["x", "y"], n_files=16)
+    write_range_clustered(df, rp, ["x"], n_files=16)
+
+    def avg_span(path, col):
+        ranges = file_column_ranges(path, col)
+        return sum(hi - lo for lo, hi in ranges) / len(ranges)
+
+    full = 100_000
+    # both dimensions tight under z-order (16 files ~ 4x4 grid -> each
+    # box ~1/4 of each axis; allow slack for quantile estimation)
+    assert avg_span(zp, "x") < full * 0.45
+    assert avg_span(zp, "y") < full * 0.45
+    # range clustering: leading column tight, trailing column unpruned
+    assert avg_span(rp, "x") < full * 0.15
+    assert avg_span(rp, "y") > full * 0.9
+
+
+def test_write_zorder_requires_two_columns(spark, tmp_path):
+    import pytest
+
+    from lightning_metastore_spark.operators.layout import (
+        write_zorder_clustered)
+
+    df = spark.range(10)
+    with pytest.raises(ValueError):
+        write_zorder_clustered(df, str(tmp_path / "x"), ["id"])
