@@ -317,3 +317,35 @@ def test_chain_column_case_insensitive(ctx):
         "FROM lightning.datasource.file.tpch.orders ORDER BY k LIMIT 1"
     ).collect()
     assert len(rows) == 1 and rows[0].k is not None
+
+
+def test_schema_drift_report(ctx, spark, tmp_path):
+    """Snapshot a source, evolve the source schema, and get per-column
+    drift rows with the upcast verdict of the ACTIVATE lattice."""
+    from lightning_metastore_spark.catalog.drift import schema_drift
+
+    src = str(tmp_path / "driftsrc")
+    spark.createDataFrame([(1, "a", 10)],
+                          "id int, name string, v bigint") \
+        .write.parquet(f"{src}/t1.parquet")
+    ctx.sql("CREATE NAMESPACE lightning.datasource.file")
+    ctx.sql(f"REGISTER PARQUET DATASOURCE drft OPTIONS(path '{src}') "
+            "NAMESPACE lightning.datasource.file")
+    ctx.sql("CREATE NAMESPACE lightning.metastore.driftns")
+    ctx.sql("REGISTER CATALOG snapd SOURCE lightning.datasource.file.drft "
+            "NAMESPACE lightning.metastore.driftns")
+
+    assert schema_drift(ctx, ["driftns", "snapd"]).count() == 0
+
+    # evolve: id widens (lossy vs snapshot), name removed, v narrows
+    # (still upcasts into the stored bigint), extra added
+    spark.createDataFrame([(1, 5, 2.0)], "id bigint, v int, extra double") \
+        .write.mode("overwrite").parquet(f"{src}/t1.parquet")
+
+    drift = {(r.column, r.change): r
+             for r in schema_drift(ctx, ["driftns", "snapd"]).collect()}
+    assert drift[("name", "removed")].upcast_ok is False
+    assert drift[("extra", "added")].current_type == "double"
+    assert drift[("id", "type_changed")].upcast_ok is False   # int <- bigint
+    assert drift[("v", "type_changed")].upcast_ok is True     # bigint <- int
+    assert len(drift) == 4
