@@ -55,6 +55,10 @@ def packed_offsets(docs: DataFrame, capacity: int = 2048,
         F.col(id_col),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"(\S+)"), 1))
         .alias("n_tokens"))
+    # four consumers follow (max-id probe, quantile sketch, block sums,
+    # final window); materialize the 16-byte-per-doc relation once so
+    # the corpus is scanned+tokenized once, not four times
+    tc = tc.localCheckpoint(eager=True)
 
     max_id = tc.agg(F.max(id_col)).first()[0]
     if max_id is None:
