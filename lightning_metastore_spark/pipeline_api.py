@@ -25,6 +25,7 @@ Tokenizing:   build_vocab, encode_token_stats, chunk_documents,
 Cleaning:     remove_boilerplate_lines, dedup_lines_within_doc
 Hygiene:      contamination_overlap
 Sampling:     mixture_resample, stratified_fixed_n
+Skyline:      skyline (Pareto-optimal set, two-phase distributed)
 Packing:      packed_offsets, greedy_pack_bins
 Embeddings:   scalar_quantize_stats, random_project
 Temporal:     asof_join, range_join, hypertable_rollup,
@@ -116,6 +117,9 @@ from lightning_metastore_spark.sources.multimodal import (  # noqa: F401
     dhash_neardup_pairs,
     frame_audio,
     image_dhash,
+)
+from lightning_metastore_spark.operators.skyline import (  # noqa: F401
+    skyline,
 )
 from lightning_metastore_spark.operators.similarity import (  # noqa: F401
     brute_force_topk,

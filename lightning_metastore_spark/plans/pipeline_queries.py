@@ -2054,6 +2054,40 @@ FROM bk LEFT JOIN cnt ON cnt.vid = bk.vec_id ORDER BY vec_id
 """).replace("{HEX1}", _SB_HEX1)
 
 
+def doc_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal documents (operators/skyline.py): minimize
+    character count, maximize token count — the 'densest short docs'
+    frontier, no weighting chosen. Oracle = the NOT EXISTS dominance
+    definition."""
+    from lightning_metastore_spark.operators.skyline import skyline
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    base = t["documents"].select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"(\S+)"), 1))
+        .cast("long").alias("n_tokens"))
+    return (skyline(base, minimize=["n_chars"], maximize=["n_tokens"])
+            .orderBy("doc_id"))
+
+
+DOC_SKYLINE_ORACLE = r"""
+WITH m AS (
+  SELECT doc_id, LENGTH(text) AS n_chars,
+         len(regexp_extract_all(text, '(\S+)', 1)) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM m a
+WHERE NOT EXISTS (
+  SELECT 1 FROM m b
+  WHERE b.n_chars <= a.n_chars AND b.n_tokens >= a.n_tokens
+    AND (b.n_chars < a.n_chars OR b.n_tokens > a.n_tokens))
+ORDER BY doc_id
+"""
+
+
 def _melt(df: DataFrame, section: str, key_col: str,
           num_cols: list[str], str_cols: tuple = ()) -> DataFrame:
     """Melt a wide gate output into the shared long schema
@@ -2121,6 +2155,8 @@ def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _melt(token_ids(spark, sf_dir), "token_ids", "doc_id",
               ["n_tokens", "n_oov", "oov_frac", "n_distinct_ids",
                "ids_checksum"]),
+        _melt(doc_skyline(spark, sf_dir), "skyline", "doc_id",
+              ["n_chars", "n_tokens"]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2156,6 +2192,9 @@ CORPUS_PROFILE_SUITE_ORACLE = (
     + _melt_sql(TOKEN_IDS_ORACLE, "token_ids", "doc_id",
                 ["n_tokens", "n_oov", "oov_frac", "n_distinct_ids",
                  "ids_checksum"])
+    + " UNION ALL "
+    + _melt_sql(DOC_SKYLINE_ORACLE, "skyline", "doc_id",
+                ["n_chars", "n_tokens"])
     + ") ORDER BY section, row_key, metric"
 )
 

@@ -50,3 +50,43 @@ def test_two_phase_agg_equals_plain(spark):
                               {"n": "count(*)", "s": "sum(v)", "mx": "max(v)"},
                               salt=8).collect()}
     assert two == plain
+
+
+def test_skyline_matches_not_exists(spark):
+    """Two-phase distributed skyline == the NOT EXISTS definition,
+    invariant to input partitioning; duplicates of a skyline point all
+    survive."""
+    import random
+
+    from lightning_metastore_spark.operators.skyline import skyline
+
+    rng = random.Random(13)
+    rows = [(i, rng.randint(0, 50), rng.randint(0, 50))
+            for i in range(300)]
+    rows += [(900, 0, 50), (901, 0, 50)]      # duplicate extreme point
+    df = spark.createDataFrame(rows, "id long, cost long, value long")
+
+    got = sorted(r.id for r in
+                 skyline(df, minimize=["cost"], maximize=["value"]).collect())
+    want = sorted(
+        i for i, c, v in rows
+        if not any((c2 <= c and v2 >= v and (c2 < c or v2 > v))
+                   for _, c2, v2 in rows))
+    assert got == want
+    assert 900 in got and 901 in got
+
+    got13 = sorted(r.id for r in skyline(
+        df.repartition(13), minimize=["cost"], maximize=["value"]).collect())
+    assert got13 == got
+
+
+def test_skyline_three_dims(spark):
+    from lightning_metastore_spark.operators.skyline import skyline
+
+    rows = [(1, 1, 1, 1), (2, 2, 2, 2), (3, 1, 2, 0), (4, 3, 1, 0)]
+    df = spark.createDataFrame(rows, "id long, a long, b long, c long")
+    got = sorted(r.id for r in
+                 skyline(df, minimize=["a", "b", "c"]).collect())
+    # (2,2,2) dominated by (1,1,1); (3: 1,2,0) escapes via c; (4: 3,1,0)
+    # escapes via b/c against 1 and via a-vs-b trade against 3
+    assert got == [1, 3, 4]
