@@ -172,3 +172,36 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
             .filter(F.col("rk") <= k)
             .select("query_id", "rk", F.col(id_col).alias("neighbor_id"), "cosine")
             .orderBy("query_id", "rk"))
+
+
+def refresh_topk(prior_topk: DataFrame, delta: DataFrame,
+                 queries: DataFrame, k: int = 5, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 query_id_col: str = "vec_id") -> DataFrame:
+    """Incremental exact top-k maintenance for a GROWING corpus: merge
+    the persisted prior result with the scores of only the DELTA batch
+    — never rescanning the base corpus (the interactive/ingest-refresh
+    pattern; cf. incremental top-k similarity search, EDBT 2020 —
+    algorithmic idea reimplemented from the public description).
+
+    Correctness: cosine top-k is a monoid under this merge —
+    ``topk(base UNION delta) == merge(topk(base), topk(delta))`` —
+    because any global top-k member is in its own source's top-k. The
+    tests assert exactly that algebraic identity.
+
+    100 TB shape: the base corpus is touched ZERO times; work is
+    O(|delta| x |queries|) scoring plus a window over 2k candidates
+    per query. Deletions are out of scope (a deletion invalidates the
+    monoid — recompute or tombstone-filter first).
+    """
+    delta_topk = brute_force_topk(delta, queries, k, id_col, vec_col,
+                                  query_id_col)
+    merged = (prior_topk.select("query_id", "neighbor_id", "cosine")
+              .unionByName(delta_topk.select("query_id", "neighbor_id",
+                                             "cosine")))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                          F.asc("neighbor_id"))
+    return (merged.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "rk", "neighbor_id", "cosine")
+            .orderBy("query_id", "rk"))

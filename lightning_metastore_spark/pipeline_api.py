@@ -15,7 +15,8 @@ Dedup:        exact_dedup, jaccard_pairs, minhash_lsh_pairs,
               incremental_minhash_pairs, minhash_signatures,
               minhash_band_buckets, semantic_dedup,
               semantic_dedup_kmeans
-Similarity:   brute_force_topk, ivf_topk, kmeans_centroids
+Similarity:   brute_force_topk, ivf_topk, kmeans_centroids,
+              refresh_topk (incremental, base never rescanned)
 Text quality: token_counts, quality_features, lang_id, redact_pii,
               tfidf_top_terms, unigram_logprob, bigram_logprob,
               classifier_score, fingerprint, repetition_features,
@@ -125,6 +126,7 @@ from lightning_metastore_spark.operators.similarity import (  # noqa: F401
     brute_force_topk,
     ivf_topk,
     kmeans_centroids,
+    refresh_topk,
 )
 from lightning_metastore_spark.operators.temporal import (  # noqa: F401
     asof_join,

@@ -72,3 +72,30 @@ def test_kmeans_centroids_small_and_empty_sample(spark):
     assert len(cents) == 3
     with pytest.raises(ValueError, match="empty"):
         similarity.kmeans_centroids(tiny.filter("vec_id < 0"), k=4)
+
+
+def test_refresh_topk_equals_full_recompute(spark):
+    """The incremental merge is exact: topk(base+delta) ==
+    refresh(topk(base), delta) — the base corpus is never rescanned."""
+    import random
+
+    from lightning_metastore_spark.operators.similarity import (
+        brute_force_topk, refresh_topk)
+
+    rng = random.Random(21)
+
+    def emb(ids):
+        return spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in ids],
+            "vec_id long, embedding array<double>")
+
+    base, delta, queries = emb(range(60)), emb(range(100, 130)), emb(
+        range(500, 505))
+    full = spark.createDataFrame(base.union(delta).collect(),
+                                 base.schema)
+    want = [tuple(r) for r in
+            brute_force_topk(full, queries, k=4).collect()]
+    prior = brute_force_topk(base, queries, k=4)
+    got = [tuple(r) for r in
+           refresh_topk(prior, delta, queries, k=4).collect()]
+    assert got == want
