@@ -42,6 +42,8 @@ def schema_drift(ctx, ns: list[str]) -> DataFrame:
     """
     from lightning_metastore_spark.parser.dispatcher import type_accepts
 
+    from lightning_metastore_spark.catalog.resolver import ResolutionError
+
     rows = []
     for name in ctx.metastore.list_tables(ns):
         t = ctx.metastore.load_table(ns, name)
@@ -51,7 +53,13 @@ def schema_drift(ctx, ns: list[str]) -> DataFrame:
         src = t.source_fqn
         if src and src[0].lower() == "lightning":
             src = src[1:]
-        current = ctx.resolver.load_table(src).schema
+        try:
+            current = ctx.resolver.load_table(src).schema
+        except ResolutionError:
+            # the whole source table is gone — the most severe drift;
+            # report it instead of blowing up the sweep
+            rows.append((name, "*", "source_missing", None, None, False))
+            continue
         cur = {f.name: f.dataType.simpleString() for f in current.fields}
         old = {f.name: f.dataType.simpleString() for f in stored.fields}
         for col, dt in old.items():

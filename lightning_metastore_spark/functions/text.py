@@ -490,8 +490,12 @@ def bm25_scores(docs: DataFrame, query_terms: tuple = BM25_QUERY,
     tok_arr = F.regexp_extract_all(F.lower(F.col(text_col)),
                                    F.lit(r"(\S+)"), 1)
     # doc length without exploding: map-only, and doubles as the id
-    # spine (every doc keeps a row, dl=0 for empty docs)
-    dl = docs.select(F.col(id_col), F.size(tok_arr).alias("dl"))
+    # spine (every doc keeps a row; NULL text must count as dl=0 like
+    # the explode-based formulation did — size(NULL) is NULL/-1)
+    dl = docs.select(
+        F.col(id_col),
+        F.greatest(F.coalesce(F.size(tok_arr), F.lit(0)), F.lit(0))
+        .alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
                    F.avg("dl").alias("avgdl"))
     hits = (docs.select(F.col(id_col), F.explode(tok_arr).alias("token"))

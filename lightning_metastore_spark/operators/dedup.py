@@ -840,11 +840,22 @@ def semantic_dedup(emb: DataFrame, n_planes: int = SEMDEDUP_PLANES,
 
     base = emb.select(F.col(id_col).alias("vid"),
                       F.col(vec_col).cast("array<double>").alias("v"))
-    first = base.select(F.size("v").alias("d")).first()
-    if first is None or first["d"] is None or first["d"] < 1:
-        # empty input (or null first vector): nothing to bucket
-        return emb.sparkSession.createDataFrame(
-            [], schema=f"{id_col} long, bucket long, n_dups long, kept long")
+    # probe the first NON-degenerate vector for the width (limit-1 with
+    # a pushed filter — early-exits, never a full pass); a null/empty
+    # vector elsewhere keeps its row (bucket null -> joins nothing ->
+    # kept=1), it must not blank the whole report
+    first = (base.filter(F.size("v") > 0)
+             .select(F.size("v").alias("d")).first())
+    if first is None:
+        # no usable vectors at all: empty result with the INPUT id type
+        from pyspark.sql.types import (LongType, StructField, StructType)
+
+        id_type = emb.schema[id_col].dataType
+        return emb.sparkSession.createDataFrame([], schema=StructType([
+            StructField(id_col, id_type),
+            StructField("bucket", LongType()),
+            StructField("n_dups", LongType()),
+            StructField("kept", LongType())]))
     d = first["d"]
 
     def _sign(i: int, j: int) -> float:

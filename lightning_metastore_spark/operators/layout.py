@@ -20,6 +20,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _write_parquet_micros(df: DataFrame, path: str, mode: str) -> None:
+    """Parquet write with timestamps forced to TIMESTAMP_MICROS (INT96
+    carries no parquet min/max stats, so clustering on an INT96 column
+    would be unprunable); the session conf is restored afterwards."""
+    spark = df.sparkSession
+    key = "spark.sql.parquet.outputTimestampType"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        df.write.mode(mode).parquet(path)
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
 def write_range_clustered(df: DataFrame, path: str, cols: list[str],
                           n_files: int = 16, mode: str = "overwrite") -> None:
     """Write ``df`` as parquet range-clustered on ``cols``: ~one key
@@ -32,19 +49,9 @@ def write_range_clustered(df: DataFrame, path: str, cols: list[str],
     table clustered on an INT96 timestamp is unprunable — the layout
     work would buy nothing.
     """
-    spark = df.sparkSession
-    key = "spark.sql.parquet.outputTimestampType"
-    prior = spark.conf.get(key, None)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try:
-        (df.repartitionByRange(n_files, *cols)
-           .sortWithinPartitions(*cols)
-           .write.mode(mode).parquet(path))
-    finally:
-        if prior is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prior)
+    _write_parquet_micros(
+        df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols),
+        path, mode)
 
 
 def file_column_ranges(path: str, column: str) -> list[tuple]:
@@ -115,23 +122,30 @@ def write_zorder_clustered(df: DataFrame, path: str, cols: list[str],
     (the Delta OPTIMIZE ZORDER BY recipe, built from public
     primitives).
 
-    100 TB shape: one driver-side approxQuantile pass per column (a
-    sketch aggregation, no collect of data), then a map-only Morton
-    key expression and ONE range shuffle — same cost as
-    write_range_clustered. Everything is a JVM when-chain + bit
-    arithmetic; no UDFs.
+    100 TB shape: ONE driver-side approxQuantile pass for ALL columns
+    (the multi-column sketch overload — one scan regardless of column
+    count), then a map-only Morton key expression and ONE range
+    shuffle — same cost as write_range_clustered. Everything is a JVM
+    when-chain + bit arithmetic; no UDFs.
     """
     from pyspark.sql import functions as F
 
     if len(cols) < 2:
         raise ValueError("write_zorder_clustered needs >= 2 columns — "
                          "use write_range_clustered for one")
+    if bits * len(cols) > 63:
+        # JVM shiftleft masks the shift amount mod 64 — positions past
+        # 63 would silently alias low bits and corrupt the key
+        raise ValueError(
+            f"bits ({bits}) x columns ({len(cols)}) must fit a signed "
+            "int64 Morton key (<= 63 bit positions) — lower bits or "
+            "cluster on fewer columns")
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    all_bounds = df.approxQuantile(list(cols), probs, 1.0 / (4 * n_buckets))
     zparts = []
     for ci, c in enumerate(cols):
-        bounds = sorted(set(df.approxQuantile(
-            c, probs, 1.0 / (4 * n_buckets))))
+        bounds = sorted(set(all_bounds[ci]))
         bucket = F.lit(0)
         for b in bounds:
             bucket = bucket + F.when(F.col(c) > F.lit(b), 1).otherwise(0)
@@ -144,18 +158,8 @@ def write_zorder_clustered(df: DataFrame, path: str, cols: list[str],
     z = zparts[0]
     for p in zparts[1:]:
         z = z + p
-    spark = df.sparkSession
-    key = "spark.sql.parquet.outputTimestampType"
-    prior = spark.conf.get(key, None)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try:
-        (df.withColumn("__z", z)
+    out = (df.withColumn("__z", z)
            .repartitionByRange(n_files, "__z")
            .sortWithinPartitions("__z")
-           .drop("__z")
-           .write.mode(mode).parquet(path))
-    finally:
-        if prior is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prior)
+           .drop("__z"))
+    _write_parquet_micros(out, path, mode)

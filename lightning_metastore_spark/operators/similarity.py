@@ -177,7 +177,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
 def refresh_topk(prior_topk: DataFrame, delta: DataFrame,
                  queries: DataFrame, k: int = 5, id_col: str = "vec_id",
                  vec_col: str = "embedding",
-                 query_id_col: str = "vec_id") -> DataFrame:
+                 query_id_col: str = "vec_id",
+                 check_prior: bool = True) -> DataFrame:
     """Incremental exact top-k maintenance for a GROWING corpus: merge
     the persisted prior result with the scores of only the DELTA batch
     — never rescanning the base corpus (the interactive/ingest-refresh
@@ -193,7 +194,23 @@ def refresh_topk(prior_topk: DataFrame, delta: DataFrame,
     O(|delta| x |queries|) scoring plus a window over 2k candidates
     per query. Deletions are out of scope (a deletion invalidates the
     monoid — recompute or tombstone-filter first).
+
+    ``check_prior`` (default on) raises when a query id has NO rows in
+    ``prior_topk`` — merging would silently return delta-only
+    neighbors for a query the prior never saw (e.g. a freshly added
+    query vector). Pass ``check_prior=False`` only when the base
+    corpus was legitimately too small to yield prior neighbors.
     """
+    if check_prior:
+        q_ids = queries.select(F.col(query_id_col).alias("query_id"))
+        missing = (q_ids.join(prior_topk.select("query_id").distinct(),
+                              "query_id", "left_anti").limit(5).collect())
+        if missing:
+            ids = sorted(r.query_id for r in missing)
+            raise ValueError(
+                f"refresh_topk: query ids {ids} have no prior_topk rows "
+                "— run brute_force_topk for new queries (or pass "
+                "check_prior=False if the base corpus was empty)")
     delta_topk = brute_force_topk(delta, queries, k, id_col, vec_col,
                                   query_id_col)
     merged = (prior_topk.select("query_id", "neighbor_id", "cosine")

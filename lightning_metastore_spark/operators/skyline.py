@@ -34,10 +34,18 @@ from pyspark.sql import functions as F
 
 def _local_skyline(pdf: pd.DataFrame, dims: list[str]) -> pd.DataFrame:
     """Rows of ``pdf`` not dominated within ``pdf`` (all dims already
-    normalized to MINIMIZE)."""
+    normalized to MINIMIZE). Rows with a NULL/NaN criterion are always
+    KEPT and never dominate — SQL NULL comparison semantics, matching
+    the NOT EXISTS oracle definition."""
     import numpy as np
 
-    X = pdf[dims].to_numpy(dtype=np.float64)
+    X_all = pdf[dims].to_numpy(dtype=np.float64)
+    finite = np.isfinite(X_all).all(axis=1)
+    if not finite.all():
+        kept_null = pdf[~finite]
+        rest = _local_skyline(pdf[finite], dims)
+        return pd.concat([rest, kept_null])
+    X = X_all
     n = len(X)
     if n <= 1:
         return pdf

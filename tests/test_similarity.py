@@ -99,3 +99,23 @@ def test_refresh_topk_equals_full_recompute(spark):
     got = [tuple(r) for r in
            refresh_topk(prior, delta, queries, k=4).collect()]
     assert got == want
+
+
+def test_refresh_topk_rejects_unseen_query(spark):
+    import pytest
+
+    from lightning_metastore_spark.operators.similarity import (
+        brute_force_topk, refresh_topk)
+
+    def emb(ids):
+        return spark.createDataFrame(
+            [(i, [float(i % 7 + 1), 1.0]) for i in ids],
+            "vec_id long, embedding array<double>")
+
+    prior = brute_force_topk(emb(range(10)), emb([100]), k=3)
+    with pytest.raises(ValueError, match="no prior_topk rows"):
+        refresh_topk(prior, emb(range(20, 25)), emb([100, 101]), k=3)
+    # the escape hatch still works
+    out = refresh_topk(prior, emb(range(20, 25)), emb([100, 101]), k=3,
+                       check_prior=False)
+    assert out.count() > 0

@@ -90,3 +90,17 @@ def test_skyline_three_dims(spark):
     # (2,2,2) dominated by (1,1,1); (3: 1,2,0) escapes via c; (4: 3,1,0)
     # escapes via b/c against 1 and via a-vs-b trade against 3
     assert got == [1, 3, 4]
+
+
+def test_skyline_keeps_null_rows(spark):
+    """A NULL criterion can neither dominate nor be dominated — the
+    row is always kept (SQL NULL semantics, matching the oracle)."""
+    from lightning_metastore_spark.operators.skyline import skyline
+
+    rows = [(1, 1, 10), (2, 5, 20), (3, None, 50), (4, 9, 9)]
+    df = spark.createDataFrame(rows, "id long, cost long, value long")
+    got = sorted(r.id for r in
+                 skyline(df, minimize=["cost"], maximize=["value"]).collect())
+    # 1 and 2 trade cost-vs-value; 3 survives via its NULL cost;
+    # 4 is dominated by 2 (5<=9, 20>=9, strict)
+    assert got == [1, 2, 3]
