@@ -82,3 +82,39 @@ def mixture_resample(docs: DataFrame, weights: dict[str, float],
             .select(F.col(id_col), F.col(group_col),
                     F.round(rate, 6).alias("keep_rate"),
                     kept.alias("kept")))
+
+
+def weighted_sample_n(docs: DataFrame, n: int, weight_col: str,
+                      id_col: str = "doc_id",
+                      salt: str = "wsample") -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES): each row draws a deterministic uniform u from
+    md5("<salt>:<id>") and competes with key ``-ln(u) / weight`` —
+    the n smallest keys win, giving inclusion probability proportional
+    to weight, exactly, without coordination. The pre-training use:
+    quality- or length-weighted corpus subsets that are bit-reproducible
+    across runs and engines.
+
+    Output: (doc_id, <weight_col>, sample_rank) for the n winners.
+
+    100 TB shape: the key is a map-only expression; selection is a
+    distributed TakeOrdered (each partition surfaces its n best, the
+    driver merges n) — no global sort, no shuffle of the corpus. Keys
+    round to 9dp with an id tiebreak so the ranking is engine-stable
+    (the cosine discipline). Weights must be >= 1; zero/negative
+    weights are rejected rows would otherwise divide by zero.
+    """
+    u = ((F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        1, 8), 16, 10).cast("double") + 1.0) / (_HASH_SPACE + 1.0))
+    key = F.round(-F.log(u) / F.col(weight_col), 9)
+    ranked = (docs.filter(F.col(weight_col) >= 1)
+              .select(F.col(id_col), F.col(weight_col),
+                      key.alias("_k"))
+              .orderBy(F.asc("_k"), F.asc(id_col))
+              .limit(n))
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy(F.asc("_k"), F.asc(id_col))
+    return (ranked.withColumn("sample_rank", F.row_number().over(w))
+            .select(id_col, weight_col, "sample_rank"))

@@ -25,7 +25,8 @@ Tokenizing:   build_vocab, encode_token_stats, chunk_documents,
               learn_bpe_merges, apply_bpe_merges
 Cleaning:     remove_boilerplate_lines, dedup_lines_within_doc
 Hygiene:      contamination_overlap
-Sampling:     mixture_resample, stratified_fixed_n
+Sampling:     mixture_resample, stratified_fixed_n,
+              weighted_sample_n (A-ES, without replacement)
 Skyline:      skyline (Pareto-optimal set, two-phase distributed)
 Packing:      packed_offsets, greedy_pack_bins
 Embeddings:   scalar_quantize_stats, random_project
@@ -112,6 +113,7 @@ from lightning_metastore_spark.operators.quantization import (  # noqa: F401
 from lightning_metastore_spark.operators.sampling import (  # noqa: F401
     mixture_resample,
     stratified_fixed_n,
+    weighted_sample_n,
 )
 from lightning_metastore_spark.sources.multimodal import (  # noqa: F401
     audio_features,

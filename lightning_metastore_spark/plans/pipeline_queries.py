@@ -2240,6 +2240,37 @@ FROM y GROUP BY vec_id ORDER BY vec_id
 """).replace("{HEX1}", _RP_HEX1)
 
 
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (operators/sampling.py::weighted_sample_n): 100 docs weighted by
+    n_chars, deterministic md5-derived uniforms, 9dp-rounded keys."""
+    from lightning_metastore_spark.operators.sampling import (
+        weighted_sample_n)
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (weighted_sample_n(t["documents"], n=100, weight_col="n_chars")
+            .orderBy("sample_rank"))
+
+
+WEIGHTED_SAMPLE_ORACLE = (r"""
+WITH u AS (
+  SELECT doc_id, n_chars, ({HEX8} + 1.0) / 4294967297.0 AS u
+  FROM (SELECT doc_id, n_chars,
+               md5('wsample:' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents WHERE n_chars >= 1)
+), keyed AS (
+  SELECT doc_id, n_chars, ROUND(-LN(u) / n_chars, 9) AS k FROM u
+), ranked AS (
+  SELECT doc_id, n_chars,
+         CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS BIGINT)
+           AS sample_rank
+  FROM keyed
+)
+SELECT doc_id, n_chars, sample_rank FROM ranked
+WHERE sample_rank <= 100 ORDER BY sample_rank
+""").replace("{HEX8}", _hexint_sql("h", 8))
+
+
 def sampling_quantize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling, exact-n stratified sampling, int8
     embedding quantization, JL random projection and SemDeDup-style
@@ -2255,6 +2286,8 @@ def sampling_quantize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
               [f"y{j}" for j in range(8)]),
         _melt(embedding_semdedup(spark, sf_dir), "semdedup", "vec_id",
               ["bucket", "n_dups", "kept"]),
+        _melt(weighted_sample(spark, sf_dir), "weighted", "doc_id",
+              ["n_chars", "sample_rank"]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2278,6 +2311,9 @@ SAMPLING_QUANTIZE_SUITE_ORACLE = (
     + " UNION ALL "
     + _melt_sql(EMBEDDING_SEMDEDUP_ORACLE, "semdedup", "vec_id",
                 ["bucket", "n_dups", "kept"])
+    + " UNION ALL "
+    + _melt_sql(WEIGHTED_SAMPLE_ORACLE, "weighted", "doc_id",
+                ["n_chars", "sample_rank"])
     + ") ORDER BY section, row_key, metric"
 )
 

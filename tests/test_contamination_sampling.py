@@ -65,3 +65,30 @@ def test_mixture_resample_unknown_group_dropped(spark):
     out = {r.doc_id: r for r in
            mixture_resample(docs, {"en": 1.0}, target_frac=0.5).collect()}
     assert out[2].keep_rate == 0.0 and not out[2].kept
+
+
+def test_weighted_sample_n_matches_naive(spark):
+    """A-ES weighted sampling: exact naive-twin equality (same md5
+    uniforms, same key formula), heavy weights dominate, zero-weight
+    rows excluded."""
+    import hashlib
+    import math
+
+    from lightning_metastore_spark.operators.sampling import (
+        weighted_sample_n)
+
+    rows = [(i, 1 + (i % 5)) for i in range(200)] + [(999, 100000), (998, 0)]
+    docs = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [(r.doc_id, r.sample_rank)
+           for r in weighted_sample_n(docs, n=30, weight_col="w",
+                                      id_col="doc_id").collect()]
+
+    def key(i, w):
+        h = int(hashlib.md5(f"wsample:{i}".encode()).hexdigest()[:8], 16)
+        u = (h + 1.0) / 4294967297.0
+        return round(-math.log(u) / w, 9)
+
+    want = sorted(((key(i, w), i) for i, w in rows if w >= 1))[:30]
+    assert got == [(i, rk + 1) for rk, (_, i) in enumerate(want)]
+    assert got[0][0] == 999          # the 100000-weight doc wins
+    assert all(i != 998 for i, _ in got)
