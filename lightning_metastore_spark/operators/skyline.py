@@ -117,3 +117,37 @@ def skyline(df: DataFrame, minimize: list[str] = (),
               .applyInPandas(lambda key, pdf: final(key, pdf.drop(
                   columns=["__g"], errors="ignore")), schema=schema))
     return merged.select(*out_cols)
+
+
+def skyline_per_group(df: DataFrame, group_cols: list[str],
+                      minimize: list[str] = (),
+                      maximize: list[str] = ()) -> DataFrame:
+    """Skyline computed independently WITHIN each group (e.g. the
+    Pareto-front of documents per language): one shuffle on the group
+    key, then the whole dominance computation runs inside each group's
+    Arrow batch — no second pass needed because groups are complete
+    after the shuffle.
+
+    Memory bound is the largest group (same caveat as any
+    groupBy-apply); for huge groups fall back to ``skyline`` per group
+    subset.
+    """
+    dims = list(minimize) + list(maximize)
+    if len(dims) < 2:
+        raise ValueError("skyline_per_group needs >= 2 criteria columns")
+    norm = df
+    tmp = []
+    for c in maximize:
+        nc = f"__neg_{c}"
+        norm = norm.withColumn(nc, -F.col(c))
+        tmp.append(nc)
+    ndims = list(minimize) + tmp
+    out_cols = df.columns
+    schema = norm.schema
+
+    def per_group(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _local_skyline(pdf, ndims)
+
+    return (norm.groupBy(*group_cols)
+            .applyInPandas(per_group, schema=schema)
+            .select(*out_cols))

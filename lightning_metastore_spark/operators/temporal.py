@@ -236,3 +236,64 @@ def gap_filled_hourly(events: DataFrame, ts_col: str = "ts",
             .select(F.col("h").alias("bucket_start"),
                     F.coalesce("n", F.lit(0)).cast("long").alias("n"),
                     F.coalesce("sv", F.lit(0.0)).alias("sum_value")))
+
+
+def lttb_downsample(series: DataFrame, n_out: int,
+                    key_col: str = "user_id", ts_col: str = "ts",
+                    val_col: str = "value") -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013 —
+    public algorithm) of each key's time series to ``n_out`` points:
+    the standard shape-preserving reduction before charting/inspection
+    of billions of raw points. First and last points are always kept;
+    each interior bucket contributes the point forming the largest
+    triangle with the previously selected point and the next bucket's
+    centroid.
+
+    One shuffle on the series key; each series runs in one Arrow batch
+    (visualization series fit by construction — n_out and the raw
+    series both bound well under executor memory; pre-aggregate first
+    for series that don't). Deterministic: ties take the earliest
+    point.
+    """
+    if n_out < 3:
+        raise ValueError("lttb_downsample needs n_out >= 3 "
+                         "(first + last + at least one bucket)")
+    import pandas as pd
+
+    out_schema = series.select(key_col, ts_col, val_col).schema
+
+    def lttb(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        if n <= n_out:
+            return pdf[[key_col, ts_col, val_col]]
+        x = pdf[ts_col].astype("int64").to_numpy(dtype=np.float64)
+        y = pdf[val_col].to_numpy(dtype=np.float64)
+        # n_out-2 interior buckets over points 1..n-2
+        bounds = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+        selected = [0]
+        prev = 0
+        for b in range(n_out - 2):
+            lo, hi = bounds[b], bounds[b + 1]
+            nxt_lo, nxt_hi = hi, (bounds[b + 2] if b + 2 <= n_out - 2
+                                  else n - 1)
+            if nxt_hi <= nxt_lo:
+                nxt_hi = nxt_lo + 1
+            cx = x[nxt_lo:nxt_hi].mean() if nxt_hi > nxt_lo else x[n - 1]
+            cy = y[nxt_lo:nxt_hi].mean() if nxt_hi > nxt_lo else y[n - 1]
+            if hi <= lo:
+                continue
+            ax, ay = x[prev], y[prev]
+            areas = np.abs((ax - cx) * (y[lo:hi] - ay)
+                           - (ax - x[lo:hi]) * (cy - ay))
+            pick = lo + int(areas.argmax())   # argmax -> earliest on tie
+            selected.append(pick)
+            prev = pick
+        selected.append(n - 1)
+        return pdf.iloc[selected][[key_col, ts_col, val_col]]
+
+    return (series.select(key_col, ts_col, val_col)
+            .groupBy(key_col)
+            .applyInPandas(lttb, schema=out_schema))

@@ -27,11 +27,11 @@ Cleaning:     remove_boilerplate_lines, dedup_lines_within_doc
 Hygiene:      contamination_overlap
 Sampling:     mixture_resample, stratified_fixed_n,
               weighted_sample_n (A-ES, without replacement)
-Skyline:      skyline (Pareto-optimal set, two-phase distributed)
+Skyline:      skyline, skyline_per_group (Pareto-optimal sets)
 Packing:      packed_offsets, greedy_pack_bins
 Embeddings:   scalar_quantize_stats, random_project
 Temporal:     asof_join, range_join, hypertable_rollup,
-              gap_filled_hourly
+              gap_filled_hourly, lttb_downsample
 Multimodal:   image_dhash, dhash_neardup_pairs (perceptual image
               dedup), frame_audio + audio_features (speech windowing
               and batched-DSP front end);
@@ -123,6 +123,7 @@ from lightning_metastore_spark.sources.multimodal import (  # noqa: F401
 )
 from lightning_metastore_spark.operators.skyline import (  # noqa: F401
     skyline,
+    skyline_per_group,
 )
 from lightning_metastore_spark.operators.similarity import (  # noqa: F401
     brute_force_topk,
@@ -134,5 +135,6 @@ from lightning_metastore_spark.operators.temporal import (  # noqa: F401
     asof_join,
     gap_filled_hourly,
     hypertable_rollup,
+    lttb_downsample,
     range_join,
 )

@@ -104,3 +104,25 @@ def test_skyline_keeps_null_rows(spark):
     # 1 and 2 trade cost-vs-value; 3 survives via its NULL cost;
     # 4 is dominated by 2 (5<=9, 20>=9, strict)
     assert got == [1, 2, 3]
+
+
+def test_skyline_per_group(spark):
+    """Per-group skyline: fronts are independent across groups and
+    each equals the single-group skyline of that slice."""
+    import random
+
+    from lightning_metastore_spark.operators.skyline import (
+        skyline, skyline_per_group)
+
+    rng = random.Random(17)
+    rows = [(i, ["a", "b", "c"][i % 3], rng.randint(0, 30),
+             rng.randint(0, 30)) for i in range(240)]
+    df = spark.createDataFrame(rows, "id long, g string, cost long, value long")
+    got = sorted((r.g, r.id) for r in skyline_per_group(
+        df, ["g"], minimize=["cost"], maximize=["value"]).collect())
+    want = []
+    for g in ("a", "b", "c"):
+        sub = df.filter(df.g == g)
+        want += [(g, r.id) for r in
+                 skyline(sub, minimize=["cost"], maximize=["value"]).collect()]
+    assert got == sorted(want)

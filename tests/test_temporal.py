@@ -171,3 +171,33 @@ def test_gap_filled_recursive_side_effect_free(spark):
     assert not [v.name for v in spark.catalog.listTables()
                 if v.name.startswith("__gapfill_in")]
     assert out.count() > 0  # still executable after conf restore
+
+
+def test_lttb_downsample_shape_preserving(spark):
+    """LTTB: exact output size, endpoints kept, points are a subset of
+    the input, a spike survives the reduction, short series pass
+    through unchanged, and output is partition-invariant."""
+    import datetime as dt
+
+    from lightning_metastore_spark.operators.temporal import lttb_downsample
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(500):
+        v = 1.0 if i != 250 else 500.0          # lone spike mid-series
+        rows.append((7, base + dt.timedelta(seconds=i), v))
+    rows += [(8, base + dt.timedelta(seconds=i), float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+    out = lttb_downsample(df, n_out=20).collect()
+    s7 = sorted([r for r in out if r.user_id == 7], key=lambda r: r.ts)
+    s8 = sorted([r for r in out if r.user_id == 8], key=lambda r: r.ts)
+    assert len(s7) == 20 and len(s8) == 5       # short series untouched
+    assert s7[0].ts == base
+    assert s7[-1].ts == base + dt.timedelta(seconds=499)
+    in_set = {(r[0], r[1], r[2]) for r in rows}
+    assert all((r.user_id, r.ts, r.value) in in_set for r in out)
+    assert any(r.value == 500.0 for r in s7)    # the spike is kept
+
+    out13 = lttb_downsample(df.repartition(13), n_out=20).collect()
+    assert sorted(map(tuple, out13)) == sorted(map(tuple, out))
