@@ -28,6 +28,7 @@ Hygiene:      contamination_overlap
 Sampling:     mixture_resample, stratified_fixed_n,
               weighted_sample_n (A-ES, without replacement)
 Skyline:      skyline, skyline_per_group (Pareto-optimal sets)
+Frequency:    heavy_hitters (space-saving sketch -> exact verify)
 Packing:      packed_offsets, greedy_pack_bins
 Embeddings:   scalar_quantize_stats, random_project
 Temporal:     asof_join, range_join, hypertable_rollup,
@@ -91,6 +92,9 @@ from lightning_metastore_spark.operators.dedup import (  # noqa: F401
     semantic_dedup_kmeans,
     shingles,
     simhash_pairs,
+)
+from lightning_metastore_spark.operators.heavy_hitters import (  # noqa: F401
+    heavy_hitters,
 )
 from lightning_metastore_spark.operators.layout import (  # noqa: F401
     file_column_ranges,

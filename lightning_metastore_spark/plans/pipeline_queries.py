@@ -2088,6 +2088,38 @@ ORDER BY doc_id
 """
 
 
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens covering >= 1.7% of the corpus token stream via the
+    bounded-memory sketch-then-verify heavy-hitters operator
+    (operators/heavy_hitters.py) — the output is EXACT (the sketch only
+    proposes candidates), so it hash-verifies against a plain SQL
+    frequency oracle."""
+    from lightning_metastore_spark.operators.heavy_hitters import (
+        heavy_hitters)
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = t["documents"].select(
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")),
+                                       F.lit(r"(\S+)"), 1)).alias("token"))
+    return heavy_hitters(toks, s=0.017, item_col="token").orderBy("rank")
+
+
+TOKEN_HEAVY_ORACLE = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '(\S+)', 1)) AS token
+  FROM documents
+), tot AS (SELECT COUNT(*) AS n FROM toks),
+c AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS BIGINT)
+         AS rank,
+       token, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(cnt / CAST(n AS DOUBLE), 9) AS frac
+FROM c CROSS JOIN tot
+WHERE cnt >= CAST(0.017 AS DOUBLE) * n
+ORDER BY rank
+"""
+
+
 def _melt(df: DataFrame, section: str, key_col: str,
           num_cols: list[str], str_cols: tuple = ()) -> DataFrame:
     """Melt a wide gate output into the shared long schema
@@ -2157,6 +2189,8 @@ def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                "ids_checksum"]),
         _melt(doc_skyline(spark, sf_dir), "skyline", "doc_id",
               ["n_chars", "n_tokens"]),
+        _melt(token_heavy_hitters(spark, sf_dir), "heavy", "rank",
+              ["cnt", "frac"], ("token",)),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2195,6 +2229,9 @@ CORPUS_PROFILE_SUITE_ORACLE = (
     + " UNION ALL "
     + _melt_sql(DOC_SKYLINE_ORACLE, "skyline", "doc_id",
                 ["n_chars", "n_tokens"])
+    + " UNION ALL "
+    + _melt_sql(TOKEN_HEAVY_ORACLE, "heavy", "rank",
+                ["cnt", "frac"], ("token",))
     + ") ORDER BY section, row_key, metric"
 )
 
