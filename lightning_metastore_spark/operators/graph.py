@@ -1,0 +1,96 @@
+"""Distributed graph analytics over duplicate-pair / link graphs.
+
+PageRank by synchronous power iteration, expressed as iterated
+DataFrame joins — the textbook scalable shape (cf. the PageRank
+example shipped with Apache Spark, `examples/src/main/python/
+pagerank.py`, re-expressed on DataFrames): each iteration is ONE
+shuffle join of the rank vector with the edge list on the source id
+plus ONE aggregation on the destination id. No driver-side state
+beyond loop control; the rank vector never leaves the cluster.
+
+Determinism discipline (shared with the rest of the repo — see
+functions/text.py word-entropy): per-edge contributions are computed
+in IEEE doubles (deterministic scalar math), then cast to
+DECIMAL(28,15) before the SUM so the aggregate is exact and
+partition-order independent; the decimal total is cast back to double
+for the damping blend. This makes the whole iteration bit-stable under
+any partitioning, which the DuckDB oracle twin relies on.
+
+Scale notes (100 TB / 1000-executor shapes):
+- Each iteration shuffles the edge list once on ``src`` and the
+  contribution stream once on ``dst`` — O(E) per iteration, the same
+  cost profile as one groupBy. Degrees are computed once up front.
+- ``persist_every`` truncates lineage: without it, k iterations build
+  a 2k-join plan that Catalyst must re-analyze each action and that
+  re-executes from the scan on failure. For k <= ~4 the composed plan
+  is fine (gate default); for deep iteration pass e.g. 2.
+- Skewed hubs (celebrity nodes) concentrate one reduce key per hot
+  destination; AQE skew-join handles the join side, and the decimal
+  SUM is a plain hash aggregate with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(28,15)"
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             n_iter: int = 3, damping: float = 0.85,
+             symmetrize: bool = True,
+             persist_every: int | None = None) -> DataFrame:
+    """PageRank over ``edges`` -> (node, rank).
+
+    ``symmetrize=True`` treats the edge list as undirected (the
+    duplicate-pair graph case: pairs arrive as id_a < id_b once) and
+    unions the reversed edges; duplicate edges are dropped so each
+    neighbor contributes once. Nodes are the edge endpoints — callers
+    wanting isolated vertices ranked should union them in afterwards
+    with the teleport-only rank (1-d)/N; restricting to incident nodes
+    means every node has out-degree >= 1, so no dangling-mass
+    redistribution step is needed.
+
+    Ranks are initialized uniform (1/N) and iterated
+    ``r'(v) = (1-d)/N + d * sum_{u->v} r(u)/deg(u)`` for ``n_iter``
+    synchronous steps. With no dangling nodes the ranks sum to 1 at
+    every step (tested).
+    """
+    e = edges.select(F.col(src).cast("long").alias("src"),
+                     F.col(dst).cast("long").alias("dst"))
+    if symmetrize:
+        e = e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst")))
+    e = e.distinct()
+
+    nodes = (e.select(F.col("src").alias("node")).distinct())
+    # one small aggregate, broadcast everywhere the scalar N is needed —
+    # keeps the whole computation declarative (no driver .count() action)
+    n_df = nodes.agg(F.count("*").alias("n_nodes"))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+
+    ranks = (nodes.crossJoin(F.broadcast(n_df))
+             .select("node",
+                     (F.lit(1.0) / F.col("n_nodes").cast("double"))
+                     .alias("rank")))
+
+    teleport_num = F.lit(1.0) - F.lit(float(damping))  # IEEE 1.0 - d
+    for i in range(n_iter):
+        contribs = (e.join(ranks.withColumnRenamed("node", "src"), "src")
+                    .join(deg, "src")
+                    .select(F.col("dst").alias("node"),
+                            (F.col("rank") / F.col("deg").cast("double"))
+                            .cast(_DEC).alias("contrib")))
+        summed = (contribs.groupBy("node")
+                  .agg(F.sum("contrib").cast("double").alias("in_rank")))
+        # every incident node has in-edges (symmetric graph) so the join
+        # is inner; teleport term re-added from the broadcast scalar
+        ranks = (summed.crossJoin(F.broadcast(n_df))
+                 .select("node",
+                         (teleport_num / F.col("n_nodes").cast("double")
+                          + F.lit(float(damping)) * F.col("in_rank"))
+                         .alias("rank")))
+        if persist_every and (i + 1) % persist_every == 0 and i + 1 < n_iter:
+            ranks = ranks.persist()
+    return ranks

@@ -1064,25 +1064,106 @@ ORDER BY doc_id
 """
 
 
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the shared near-dup pair graph
+    (operators/graph.py — iterated join/agg power iteration, decimal-
+    summed contributions): ranks the docs that are duplicated against
+    the most other documents, the 'template detector' signal a corpus
+    curator runs after clustering. 3 synchronous iterations, damping
+    0.85; the DuckDB oracle unrolls the identical arithmetic."""
+    from lightning_metastore_spark.operators.graph import pagerank
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    pairs = _jaccard_pairs_cached(spark, docs, sf_dir)
+    return (pagerank(pairs, src="doc_id_a", dst="doc_id_b",
+                     n_iter=3, damping=0.85)
+            .select(F.col("node").alias("doc_id"),
+                    F.round("rank", 9).alias("score"))
+            .orderBy("doc_id"))
+
+
+# the same pair graph as the clusters oracle, then 3 unrolled power
+# iterations mirroring operators/graph.py bit for bit: contributions
+# rank/deg in doubles, DECIMAL(28,15)-cast before SUM (exact,
+# order-independent), teleport (1.0-0.85)/N re-added in doubles
+_PAGERANK_ITER = """
+i{next} AS (
+  SELECT e.dst AS node,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.c
+         + CAST(0.85 AS DOUBLE)
+           * CAST(SUM(CAST(p.rank / CAST(d.deg AS DOUBLE)
+                           AS DECIMAL(28,15))) AS DOUBLE) AS rank
+  FROM edges e JOIN i{prev} p ON p.node = e.src
+  JOIN deg d ON d.node = e.src CROSS JOIN n
+  GROUP BY e.dst, n.c
+)"""
+
+DEDUP_PAGERANK_ORACLE = (r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              ELSE array_to_string(t, ' ') END AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+), sc AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN sc sa ON sa.doc_id = a.doc_id JOIN sc sb ON sb.doc_id = b.doc_id
+  GROUP BY 1, 2, sa.n, sb.n
+  HAVING COUNT(*) / (sa.n + sb.n - COUNT(*)) >= 0.5
+), edges AS (
+  SELECT ida AS src, idb AS dst FROM pairs
+  UNION SELECT idb, ida FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), n AS (SELECT COUNT(*) AS c FROM nodes
+), deg AS (
+  SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1
+), i0 AS (
+  SELECT node, CAST(1.0 AS DOUBLE) / n.c AS rank FROM nodes CROSS JOIN n
+),"""
+    + _PAGERANK_ITER.format(prev=0, next=1) + ","
+    + _PAGERANK_ITER.format(prev=1, next=2) + ","
+    + _PAGERANK_ITER.format(prev=2, next=3) + """
+SELECT node AS doc_id, ROUND(rank, 9) AS score FROM i3 ORDER BY doc_id
+""")
+
+
 def dedup_cluster_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster labels AND per-cluster best-doc selection in one
-    tagged-union slot (50-slot registry discipline) — both walk the
-    shared cached pair graph, so the union costs one CC pass total."""
+    """Cluster labels, per-cluster best-doc selection AND pair-graph
+    PageRank in one tagged-union slot (50-slot registry discipline) —
+    all three walk the shared cached pair graph, so the union costs one
+    CC pass plus three rank iterations total."""
     labels = (dedup_clusters(spark, sf_dir)
               .select(F.lit("labels").alias("part"), "doc_id", "cluster_id",
-                      F.lit(None).cast("long").alias("n_chars")))
+                      F.lit(None).cast("long").alias("n_chars"),
+                      F.lit(None).cast("double").alias("score")))
     best = (dedup_keep_best(spark, sf_dir)
             .select(F.lit("keep_best").alias("part"), "doc_id", "cluster_id",
-                    F.col("n_chars").cast("long").alias("n_chars")))
-    return labels.unionByName(best).orderBy("part", "doc_id")
+                    F.col("n_chars").cast("long").alias("n_chars"),
+                    F.lit(None).cast("double").alias("score")))
+    pr = (dedup_pagerank(spark, sf_dir)
+          .select(F.lit("pagerank").alias("part"), "doc_id",
+                  F.lit(None).cast("long").alias("cluster_id"),
+                  F.lit(None).cast("long").alias("n_chars"), "score"))
+    return labels.unionByName(best).unionByName(pr).orderBy("part", "doc_id")
 
 
 DEDUP_CLUSTER_SUITE_ORACLE = (
     "SELECT 'labels' AS part, doc_id, cluster_id, "
-    "CAST(NULL AS BIGINT) AS n_chars FROM (" + DEDUP_CLUSTERS_ORACLE + ") "
+    "CAST(NULL AS BIGINT) AS n_chars, CAST(NULL AS DOUBLE) AS score "
+    "FROM (" + DEDUP_CLUSTERS_ORACLE + ") "
     "UNION ALL "
-    "SELECT 'keep_best', doc_id, cluster_id, CAST(n_chars AS BIGINT) "
+    "SELECT 'keep_best', doc_id, cluster_id, CAST(n_chars AS BIGINT), "
+    "CAST(NULL AS DOUBLE) "
     "FROM (" + DEDUP_KEEP_BEST_ORACLE + ") "
+    "UNION ALL "
+    "SELECT 'pagerank', doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), "
+    "score FROM (" + DEDUP_PAGERANK_ORACLE + ") "
     "ORDER BY part, doc_id"
 )
 

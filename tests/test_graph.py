@@ -1,0 +1,80 @@
+"""PageRank (operators/graph.py): agreement with a naive driver-side
+power iteration, partition invariance, and the rank-mass invariant."""
+
+from __future__ import annotations
+
+import random
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lightning_metastore_spark.operators.graph import pagerank  # noqa: E402
+
+
+def _naive_pagerank(edge_list, n_iter=3, damping=0.85):
+    """Reference implementation: pure-Python synchronous power
+    iteration over the symmetrized simple graph."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edge_list:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        incoming = {v: 0.0 for v in nodes}
+        for u in nodes:
+            share = rank[u] / len(adj[u])
+            for v in adj[u]:
+                incoming[v] += share
+        rank = {v: (1.0 - damping) / n + damping * incoming[v]
+                for v in nodes}
+    return rank
+
+
+def _random_edges(seed, n_nodes=40, n_edges=90):
+    rng = random.Random(seed)
+    edges = set()
+    while len(edges) < n_edges:
+        a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    return sorted(edges)
+
+
+@pytest.mark.parametrize("seed", [7, 21])
+def test_pagerank_matches_naive(spark, seed):
+    edges = _random_edges(seed)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, n_iter=3).collect()}
+    want = _naive_pagerank(edges, n_iter=3)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_pagerank_partition_invariant(spark):
+    edges = _random_edges(3, n_nodes=60, n_edges=150)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted((r["node"], r["rank"])
+               for r in pagerank(df, n_iter=3).collect())
+    b = sorted((r["node"], r["rank"])
+               for r in pagerank(df.repartition(17), n_iter=3).collect())
+    assert a == b  # bit-identical: decimal-summed contributions
+
+
+def test_pagerank_mass_conserved_and_hub_ranks_highest(spark):
+    # star graph: hub 0 <-> spokes 1..9, plus a detached 2-clique
+    edges = [(0, i) for i in range(1, 10)] + [(100, 101)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = pagerank(df, n_iter=5, persist_every=2).collect()
+    total = sum(r["rank"] for r in rows)
+    assert total == pytest.approx(1.0, abs=1e-9)  # no dangling mass lost
+    ranks = {r["node"]: r["rank"] for r in rows}
+    assert ranks[0] == max(ranks.values())
+    assert ranks[100] == pytest.approx(ranks[101], abs=1e-15)
