@@ -519,3 +519,128 @@ def bm25_scores(docs: DataFrame, query_terms: tuple = BM25_QUERY,
                     .alias("n_terms"),
                     F.round(F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
                             9).alias("score")))
+
+
+def zipf_fit(docs: DataFrame, top_v: int = 256, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level Zipf's-law fit + vocabulary totals, one output row:
+    (grp, slope, intercept, r2, n_types, n_tokens, ttr).
+
+    Least-squares fit of ln(freq) on ln(rank) over the ``top_v`` most
+    frequent tokens (freq desc, token tiebreak). Corpus curators use the
+    slope (Zipfian text ~ -1) as a generation/degeneracy probe: template
+    or machine-looped corpora flatten (slope -> 0) or steepen sharply.
+
+    Scale shape: one token aggregation (the TF relation); the fit runs
+    on the top-``top_v`` rows only — TakeOrdered brings back a bounded
+    set, so the global rank window is over <= top_v rows by
+    construction, never the vocabulary. n_types/n_tokens come from the
+    same TF relation (count + exact long sum). ln terms are rounded to
+    9dp then DECIMAL(28,15)-summed, so every sum is exact and
+    partition-order independent (the cross-engine-stability pattern
+    used throughout this module).
+    """
+    t = F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token")
+    toks = docs.select(t)
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    top = tf.orderBy(F.desc("freq"), F.asc("token")).limit(top_v)
+    w = W.orderBy(F.desc("freq"), F.asc("token"))  # bounded: <= top_v rows
+    ranked = top.select("freq", F.row_number().over(w).alias("rank"))
+    x = F.round(F.log(F.col("rank").cast("double")), 9)
+    y = F.round(F.log(F.col("freq").cast("double")), 9)
+    dec = lambda c: c.cast("decimal(28,15)")  # noqa: E731
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec(x)).cast("double").alias("sx"),
+        F.sum(dec(y)).cast("double").alias("sy"),
+        F.sum(dec(x * y)).cast("double").alias("sxy"),
+        F.sum(dec(x * x)).cast("double").alias("sxx"),
+        F.sum(dec(y * y)).cast("double").alias("syy"))
+    tot = tf.agg(F.count(F.lit(1)).cast("long").alias("n_types"),
+                 F.sum("freq").cast("long").alias("n_tokens"))
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return (s.crossJoin(F.broadcast(tot)).select(
+        F.lit(0).cast("long").alias("grp"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+        .alias("intercept"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+        F.col("n_types"),
+        F.col("n_tokens"),
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 9)
+        .alias("ttr")))
+
+
+# mojibake marker sequences: UTF-8 bytes of common Latin-1/Win-1252
+# characters re-decoded as Latin-1 ("Ã©" = 'é' mangled,
+# "â€" = the first two chars of mangled curly punctuation)
+_MOJIBAKE_SEQS = ("Ã©", "â€")
+_CTRL_RE = r"[\x00-\x08\x0b-\x1f\x7f]"
+_NONASCII_RE = r"[^\x00-\x7f]"
+
+
+def encoding_anomalies(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-doc encoding-health probe: (doc_id, n_replacement, n_ctrl,
+    mojibake_hits, nonascii_frac, is_suspect) — the ftfy-ish triage a
+    web-corpus pipeline runs before spending tokenizer cycles.
+
+    n_replacement counts U+FFFD (decoder already gave up), n_ctrl counts
+    C0/C1-ish control characters (binary junk in 'text'), mojibake_hits
+    counts the classic UTF-8-as-Latin-1 double-encoding digraphs.
+    Map-only length arithmetic over replace/regexp_replace — zero
+    shuffles, engine-portable integer math.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    n_repl = n - F.length(F.replace(t, F.lit("�"), F.lit("")))
+    n_ctrl = n - F.length(F.regexp_replace(t, _CTRL_RE, ""))
+    moji = sum(
+        ((n - F.length(F.replace(t, F.lit(s), F.lit("")))) / len(s)
+         ).cast("long")
+        for s in _MOJIBAKE_SEQS)
+    nonascii = n - F.length(F.regexp_replace(t, _NONASCII_RE, ""))
+    return docs.select(
+        F.col(id_col),
+        n_repl.cast("long").alias("n_replacement"),
+        n_ctrl.cast("long").alias("n_ctrl"),
+        moji.alias("mojibake_hits"),
+        F.round(nonascii.cast("double") / F.greatest(n, F.lit(1)), 6)
+        .alias("nonascii_frac"),
+        ((n_repl > 0) | (n_ctrl > 0) | (moji > 0)).alias("is_suspect"))
+
+
+def domain_profile(docs: DataFrame, min_avg_quality: float = 0.5,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   domain_col: str = "source",
+                   lang_col: str = "lang") -> DataFrame:
+    """Per-domain curation profile: (source, n_docs, sum_chars,
+    avg_quality, n_langs, domain_keep) — the domain-level filter pass
+    (RefinedWeb/C4-style source blocklisting by aggregate quality).
+
+    One hash aggregation keyed by domain (domains ≪ documents, so the
+    output is broadcast-sized); per-doc quality comes from
+    ``quality_features`` (map-only). avg_quality sums the 6dp-rounded
+    per-doc scores as DECIMAL(28,15) — exact, partition-stable — then
+    divides by the count.
+    """
+    q = quality_features(docs, text_col, id_col).select(id_col,
+                                                        "quality_score")
+    per_doc = docs.select(F.col(id_col), F.col(domain_col),
+                          F.col(lang_col),
+                          F.length(F.col(text_col)).alias("n_chars")) \
+        .join(q, id_col)
+    agg = (per_doc.groupBy(domain_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+                F.sum(F.col("quality_score").cast("decimal(28,15)"))
+                .cast("double").alias("q_sum"),
+                F.countDistinct(lang_col).cast("long").alias("n_langs")))
+    avg_q = F.round(F.col("q_sum") / F.col("n_docs"), 6)
+    return agg.select(
+        F.col(domain_col), "n_docs", "sum_chars",
+        avg_q.alias("avg_quality"), "n_langs",
+        (avg_q >= F.lit(float(min_avg_quality))).alias("domain_keep"))

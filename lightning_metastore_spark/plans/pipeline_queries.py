@@ -2201,6 +2201,156 @@ ORDER BY rank
 """
 
 
+def corpus_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level Zipf's-law fit (functions/text.py::zipf_fit): LS fit
+    of ln(freq) on ln(rank) over the top-256 tokens + vocabulary totals
+    — the generation/degeneracy probe. One row; every coefficient
+    hash-verified against the identical DuckDB arithmetic."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text_fns.zipf_fit(t["documents"], top_v=256)
+
+
+CORPUS_ZIPF_ORACLE = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT token, COUNT(*) AS freq FROM toks GROUP BY 1
+), top AS (
+  SELECT token, freq FROM tf ORDER BY freq DESC, token LIMIT 256
+), ranked AS (
+  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+  FROM top
+), xy AS (
+  SELECT ROUND(LN(CAST(rank AS DOUBLE)), 9) AS x,
+         ROUND(LN(CAST(freq AS DOUBLE)), 9) AS y
+  FROM ranked
+), s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,15))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,15))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(28,15))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,15))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(28,15))) AS DOUBLE) AS syy
+  FROM xy
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(freq) AS BIGINT) AS n_tokens
+  FROM tf
+)
+SELECT CAST(0 AS BIGINT) AS grp,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+       n_types, n_tokens,
+       ROUND(CAST(n_types AS DOUBLE) / n_tokens, 9) AS ttr
+FROM s CROSS JOIN tot
+"""
+
+
+# the encoding-anomaly injection suffix: mojibake digraphs (mangled é,
+# mangled curly quote), U+FFFD, and a BEL control char
+_ENC_SUFFIX = " \u00c3\u00a9\u00e2\u20ac\ufffd\u0007"
+_ENC_SUFFIX_SQL = ("' ' || chr(195) || chr(169) || chr(226) || chr(8364)"
+                   " || chr(65533) || chr(7)")
+
+
+def encoding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-anomaly triage (functions/text.py::encoding_anomalies)
+    with synthetic anomalies injected into every 5th document (the
+    corpus itself is clean UTF-8) — proves U+FFFD / control-char /
+    mojibake detection fires end to end and stays zero elsewhere."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    injected = t["documents"].select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(_ENC_SUFFIX)))
+        .otherwise(F.col("text")).alias("text"))
+    return text_fns.encoding_anomalies(injected).orderBy("doc_id")
+
+
+ENCODING_PROFILE_ORACLE = r"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || {SUF} ELSE text END AS text
+  FROM documents
+), m AS (
+  SELECT doc_id, text,
+         length(text) AS n,
+         length(text) - length(replace(text, chr(65533), ''))
+           AS n_replacement,
+         length(text) - length(regexp_replace(text,
+             '[\x00-\x08\x0b-\x1f\x7f]', '', 'g')) AS n_ctrl,
+         CAST((length(text) - length(replace(text, chr(195) || chr(169), '')))
+              / 2
+            + (length(text) - length(replace(text, chr(226) || chr(8364), '')))
+              / 2 AS BIGINT) AS mojibake_hits,
+         length(text) - length(regexp_replace(text, '[^\x00-\x7f]', '', 'g'))
+           AS n_nonascii
+  FROM inj
+)
+SELECT doc_id,
+       CAST(n_replacement AS BIGINT) AS n_replacement,
+       CAST(n_ctrl AS BIGINT) AS n_ctrl,
+       mojibake_hits,
+       ROUND(CAST(n_nonascii AS DOUBLE) / GREATEST(n, 1), 6)
+         AS nonascii_frac,
+       (n_replacement > 0 OR n_ctrl > 0 OR mojibake_hits > 0) AS is_suspect
+FROM m ORDER BY doc_id
+""".replace("{SUF}", _ENC_SUFFIX_SQL)
+
+
+def domain_profile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain aggregate curation profile (functions/text.py::
+    domain_profile): n_docs / chars / decimal-summed avg quality /
+    language spread / keep-verdict per source, keyed for the melt by
+    the numeric source suffix."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (text_fns.domain_profile(t["documents"], min_avg_quality=0.5)
+            .select(F.regexp_extract("source", r"(\d+)", 1).cast("long")
+                    .alias("dom_id"),
+                    "source", "n_docs", "sum_chars", "avg_quality",
+                    "n_langs", "domain_keep")
+            .orderBy("dom_id"))
+
+
+DOMAIN_PROFILE_ORACLE = r"""
+WITH f AS (
+  SELECT doc_id, source, lang, LENGTH(text) AS n_chars,
+         CAST(len(string_split_regex(lower(text), '\s+')) AS INT) AS n_tokens,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+              x -> list_contains(['the','a','of','and','to','in','is'], x)))
+            AS INT) AS n_stop,
+         CAST(len(regexp_extract_all(text, '([^\w\s])', 1)) AS INT) AS n_punct,
+         CAST(len(list_distinct(string_split_regex(lower(text), '\s+')))
+            AS INT) AS n_distinct
+  FROM documents
+), q AS (
+  SELECT doc_id, source, lang, n_chars,
+         ROUND(0.35 * LEAST(n_tokens / 100.0, 1.0)
+               + 0.25 * (n_distinct / n_tokens)
+               + 0.25 * LEAST((n_stop / n_tokens) * 4, 1.0)
+               + 0.15 * (1.0 - LEAST((n_punct / GREATEST(n_chars, 1)) * 10,
+                                     1.0)), 6) AS quality_score
+  FROM f
+), agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(SUM(CAST(quality_score AS DECIMAL(28,15))) AS DOUBLE) AS q_sum,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM q GROUP BY source
+)
+SELECT CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) AS dom_id,
+       source, n_docs, sum_chars,
+       ROUND(q_sum / n_docs, 6) AS avg_quality, n_langs,
+       ROUND(q_sum / n_docs, 6) >= 0.5 AS domain_keep
+FROM agg ORDER BY dom_id
+"""
+
+
 def _melt(df: DataFrame, section: str, key_col: str,
           num_cols: list[str], str_cols: tuple = ()) -> DataFrame:
     """Melt a wide gate output into the shared long schema
@@ -2241,12 +2391,13 @@ def _melt_sql(oracle: str, section: str, key_col: str,
 
 
 def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seven document-profiling operators in one melted tagged-union
+    """Twelve document-profiling operators in one melted tagged-union
     slot (50-slot registry discipline): Gopher repetition filters, the
     token-length histogram, sequence packing, the contamination check,
-    cross-document exact-substring duplication, sliding-window chunking
-    and tokenizer (vocab-id) application. Every cell of every component
-    is still hash-verified."""
+    cross-document exact-substring duplication, sliding-window chunking,
+    tokenizer (vocab-id) application, skyline, heavy hitters, the Zipf
+    fit, encoding-anomaly triage and the per-domain curation profile.
+    Every cell of every component is still hash-verified."""
     parts = [
         _melt(text_repetition(spark, sf_dir), "repetition", "doc_id",
               ["n_words", "n_distinct_words", "distinct_word_ratio",
@@ -2272,6 +2423,14 @@ def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
               ["n_chars", "n_tokens"]),
         _melt(token_heavy_hitters(spark, sf_dir), "heavy", "rank",
               ["cnt", "frac"], ("token",)),
+        _melt(corpus_zipf(spark, sf_dir), "zipf", "grp",
+              ["slope", "intercept", "r2", "n_types", "n_tokens", "ttr"]),
+        _melt(encoding_profile(spark, sf_dir), "encoding", "doc_id",
+              ["n_replacement", "n_ctrl", "mojibake_hits", "nonascii_frac",
+               "is_suspect"]),
+        _melt(domain_profile_gate(spark, sf_dir), "domains", "dom_id",
+              ["n_docs", "sum_chars", "avg_quality", "n_langs",
+               "domain_keep"], ("source",)),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2313,6 +2472,17 @@ CORPUS_PROFILE_SUITE_ORACLE = (
     + " UNION ALL "
     + _melt_sql(TOKEN_HEAVY_ORACLE, "heavy", "rank",
                 ["cnt", "frac"], ("token",))
+    + " UNION ALL "
+    + _melt_sql(CORPUS_ZIPF_ORACLE, "zipf", "grp",
+                ["slope", "intercept", "r2", "n_types", "n_tokens", "ttr"])
+    + " UNION ALL "
+    + _melt_sql(ENCODING_PROFILE_ORACLE, "encoding", "doc_id",
+                ["n_replacement", "n_ctrl", "mojibake_hits", "nonascii_frac",
+                 "is_suspect"])
+    + " UNION ALL "
+    + _melt_sql(DOMAIN_PROFILE_ORACLE, "domains", "dom_id",
+                ["n_docs", "sum_chars", "avg_quality", "n_langs",
+                 "domain_keep"], ("source",))
     + ") ORDER BY section, row_key, metric"
 )
 

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import sys
 
+import pytest
+
 sys.path.insert(0, "/root/repo")
 
 from lightning_metastore_spark.functions import text as tf  # noqa: E402
@@ -154,3 +156,74 @@ def test_bm25_scores_match_naive(spark):
                 tf + k1 * (1.0 - b + b * len(t) / avgdl))
         assert got[d] == (n_terms, round(s, 9)), d
     assert got[2] == (0, 0.0) and got[3] == (0, 0.0)
+
+
+def test_zipf_fit_recovers_powerlaw(spark):
+    # synthetic exactly-Zipfian corpus: token w_r appears round(1000/r)
+    # times -> ln(freq) ~ ln(1000) - 1.0 * ln(rank)
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rows = []
+    for r in range(1, 51):
+        rows.extend([(r, "w%03d" % r)] * round(1000 / r))
+    df = spark.createDataFrame(rows, ["i", "w"]) \
+        .groupBy("i").agg(F.concat_ws(" ", F.collect_list("w"))
+                          .alias("text")) \
+        .withColumnRenamed("i", "doc_id")
+    out = tf.zipf_fit(df, top_v=50).collect()[0]
+    # numpy reference fit over the identical (rank, freq) points
+    freqs = sorted((round(1000 / r) for r in range(1, 51)), reverse=True)
+    x = np.log(np.arange(1, 51)); y = np.log(freqs)
+    slope_ref, intercept_ref = np.polyfit(x, y, 1)
+    assert out["slope"] == pytest.approx(slope_ref, abs=1e-4)
+    assert out["intercept"] == pytest.approx(intercept_ref, abs=1e-4)
+    assert out["r2"] > 0.99
+    assert out["n_types"] == 50
+    assert out["n_tokens"] == sum(freqs)
+
+
+def test_zipf_fit_partition_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, "alpha beta beta gamma gamma gamma delta") for i in range(40)],
+        ["doc_id", "text"])
+    a = tf.zipf_fit(df, top_v=16).collect()[0]
+    b = tf.zipf_fit(df.repartition(13), top_v=16).collect()[0]
+    assert a == b
+
+
+def test_encoding_anomalies_detects_injected(spark):
+    moji = "Ã©"          # mangled e-acute
+    bad = "ok text" + "�" + "\x07\x08" + moji + moji
+    df = spark.createDataFrame([(1, "clean ascii text"),
+                                (2, bad),
+                                (3, "中文 文本")],
+                               ["doc_id", "text"])
+    out = {r.doc_id: r for r in tf.encoding_anomalies(df).collect()}
+    assert (out[1].n_replacement, out[1].n_ctrl, out[1].mojibake_hits) == (0, 0, 0)
+    assert out[1].is_suspect is False
+    assert out[2].n_replacement == 1
+    assert out[2].n_ctrl == 2
+    assert out[2].mojibake_hits == 2
+    assert out[2].is_suspect is True
+    # CJK is non-ascii but NOT suspect
+    assert out[3].is_suspect is False
+    assert out[3].nonascii_frac > 0.5
+
+
+def test_domain_profile_aggregates_and_verdict(spark):
+    good = ("the quick brown fox jumps over the lazy dog and runs to the "
+            "hills in a long winding tale of many different words") * 2
+    df = spark.createDataFrame(
+        [(1, good, "en", "srcA"), (2, good + " extra tokens here", "fr", "srcA"),
+         (3, "x! y! z!", "en", "srcB")],
+        ["doc_id", "text", "lang", "source"])
+    out = {r.source: r for r in tf.domain_profile(df, min_avg_quality=0.5)
+           .collect()}
+    assert out["srcA"].n_docs == 2
+    assert out["srcA"].n_langs == 2
+    assert bool(out["srcA"].domain_keep) is True
+    assert bool(out["srcB"].domain_keep) is False
+    # avg equals the mean of the per-doc scores
+    q = {r.doc_id: r.quality_score for r in tf.quality_features(df).collect()}
+    assert out["srcA"].avg_quality == pytest.approx((q[1] + q[2]) / 2, abs=1e-6)
