@@ -2625,7 +2625,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "embedding cosine near-dup pairs"),
         QuerySpec("dedup_cluster_suite", dedup_cluster_suite,
                   DEDUP_CLUSTER_SUITE_ORACLE,
-                  "CC cluster labels + per-cluster keep-best (tagged union)"),
+                  "CC cluster labels + per-cluster keep-best + pair-graph "
+                  "PageRank (tagged union)"),
         QuerySpec("sample_split_assign", sample_split_assign, SAMPLE_SPLIT_ORACLE,
                   "deterministic hash-based split + stratified sampling"),
         QuerySpec("sketch_profile", sketch_profile, SKETCH_PROFILE_ORACLE,
@@ -2666,7 +2667,9 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "PK + FK + custom DQ checks (tagged union)"),
         QuerySpec("corpus_profile_suite", corpus_profile_suite,
                   CORPUS_PROFILE_SUITE_ORACLE,
-                  "repetition + histogram + packing + contamination "
+                  "repetition + histogram + packing + contamination + "
+                  "chunking + tokenizer ids + skyline + heavy hitters + "
+                  "Zipf fit + encoding triage + domain profile "
                   "(melted tagged union)"),
         QuerySpec("sampling_quantize_suite", sampling_quantize_suite,
                   SAMPLING_QUANTIZE_SUITE_ORACLE,
