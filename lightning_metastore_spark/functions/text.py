@@ -644,3 +644,36 @@ def domain_profile(docs: DataFrame, min_avg_quality: float = 0.5,
         F.col(domain_col), "n_docs", "sum_chars",
         avg_q.alias("avg_quality"), "n_langs",
         (avg_q >= F.lit(float(min_avg_quality))).alias("domain_keep"))
+
+
+def phrase_search(docs: DataFrame, phrase: str, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact-phrase retrieval via a positional inverted index:
+    (doc_id, n_hits, first_pos) for documents containing the
+    whitespace-tokenized ``phrase`` as adjacent lowercase tokens.
+
+    Plan: posexplode the token stream, KEEP ONLY the phrase's terms
+    (the inverted-index posting-list read — Catalyst pushes the isin
+    filter into the scan projection), then chain m-1 keyed equi-joins
+    ``pos_i = pos_0 + i`` on (doc_id, position) — the standard
+    positional-index phrase intersection. Each join's inputs are
+    posting-list-sized, never the corpus; positions ride along so no
+    re-tokenization happens after the explode.
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+"))
+        .alias("pos", "token"))
+    posting = toks.filter(F.col("token").isin(*set(terms)))
+    m = (posting.filter(F.col("token") == terms[0])
+         .select(id_col, F.col("pos").alias("p0")))
+    for i, term in enumerate(terms[1:], start=1):
+        pi = (posting.filter(F.col("token") == term)
+              .select(F.col(id_col), (F.col("pos") - i).alias("p0")))
+        m = m.join(pi, [id_col, "p0"])
+    return (m.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"),
+                 F.min("p0").cast("long").alias("first_pos")))

@@ -64,11 +64,17 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                              F.col("src").alias("dst")))
     e = e.distinct()
 
-    nodes = (e.select(F.col("src").alias("node")).distinct())
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # degree rides on the edge list so each iteration pays exactly ONE
+    # join; the (src, dst, deg) relation is iteration-invariant, so
+    # persist it once instead of recomputing union+distinct+degree in
+    # every iteration's lineage
+    ed = e.join(deg, "src").persist()
+
+    nodes = (ed.select(F.col("src").alias("node")).distinct())
     # one small aggregate, broadcast everywhere the scalar N is needed —
     # keeps the whole computation declarative (no driver .count() action)
     n_df = nodes.agg(F.count("*").alias("n_nodes"))
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
 
     ranks = (nodes.crossJoin(F.broadcast(n_df))
              .select("node",
@@ -77,8 +83,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     teleport_num = F.lit(1.0) - F.lit(float(damping))  # IEEE 1.0 - d
     for i in range(n_iter):
-        contribs = (e.join(ranks.withColumnRenamed("node", "src"), "src")
-                    .join(deg, "src")
+        contribs = (ed.join(ranks.withColumnRenamed("node", "src"), "src")
                     .select(F.col("dst").alias("node"),
                             (F.col("rank") / F.col("deg").cast("double"))
                             .cast(_DEC).alias("contrib")))

@@ -118,3 +118,28 @@ def weighted_sample_n(docs: DataFrame, n: int, weight_col: str,
     w = W.orderBy(F.asc("_k"), F.asc(id_col))
     return (ranked.withColumn("sample_rank", F.row_number().over(w))
             .select(id_col, weight_col, "sample_rank"))
+
+
+def quantile_normalize(df: DataFrame, value_col: str,
+                       group_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Within-group percentile rank of ``value_col``:
+    (id, group, value, pct_rank) with pct_rank in [0, 1].
+
+    The mixture-control preprocessing step: raw quality/perplexity
+    scores are NOT comparable across languages or domains (different
+    scorers, different baselines), so per-group rank normalization puts
+    every group on one scale before a global keep-threshold is applied.
+
+    PERCENT_RANK over (group, value, id) — the id tiebreak makes ranks
+    deterministic under ties. ONE shuffle on the group key; each window
+    partition is a single group, so skew follows group sizes (salt or
+    sub-split ultra-hot groups upstream if one group dominates the
+    corpus).
+    """
+    from pyspark.sql.window import Window as W
+
+    w = (W.partitionBy(group_col)
+         .orderBy(F.asc(value_col), F.asc(id_col)))
+    return df.select(
+        F.col(id_col), F.col(group_col), F.col(value_col),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"))

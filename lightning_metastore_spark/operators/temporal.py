@@ -297,3 +297,41 @@ def lttb_downsample(series: DataFrame, n_out: int,
     return (series.select(key_col, ts_col, val_col)
             .groupBy(key_col)
             .applyInPandas(lttb, schema=out_schema))
+
+
+def rolling_zscore(events: DataFrame, ts_col: str = "ts",
+                   key_col: str = "event_type",
+                   trailing: int = 24, min_periods: int = 12) -> DataFrame:
+    """Per-series hourly-count anomaly score: (key, bucket_start, n,
+    zscore) where zscore compares each hour's event count with the
+    TRAILING ``trailing``-bucket window (current bucket excluded) —
+    the standard streaming-ops traffic-anomaly probe.
+
+    zscore is NULL until ``min_periods`` trailing buckets exist or when
+    the trailing counts are constant (zero variance). The arithmetic is
+    engine-portable: trailing mean/variance come from exact integer
+    sums (n*sum_sq - sum^2), divisions in doubles, rounded to 6dp.
+
+    Scale shape: ONE bucket aggregation (map-side combined) then ONE
+    window partitioned by the series key — hourly buckets are ~9k rows
+    per series-year, so each window partition is bounded regardless of
+    raw event volume. No global window, no driver state.
+    """
+    hourly = (events
+              .select(F.col(key_col).alias("key"),
+                      F.date_trunc("hour", F.col(ts_col))
+                      .alias("bucket_start"))
+              .groupBy("key", "bucket_start")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = (W.partitionBy("key").orderBy("bucket_start")
+         .rowsBetween(-trailing, -1))
+    t_n = F.count("n").over(w)
+    t_sum = F.sum("n").over(w)
+    t_sumsq = F.sum(F.col("n") * F.col("n")).over(w)
+    mean = t_sum.cast("double") / t_n
+    # population variance from exact integer sums: (n*Σx² − (Σx)²)/n²
+    var = ((t_n * t_sumsq - t_sum * t_sum).cast("double")
+           / (t_n * t_n).cast("double"))
+    z = F.when((t_n >= min_periods) & (var > 0),
+               F.round((F.col("n") - mean) / F.sqrt(var), 6))
+    return (hourly.select("key", "bucket_start", "n", z.alias("zscore")))

@@ -749,7 +749,14 @@ def text_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm = (text_fns.bm25_scores(docs)
           .select(F.lit("bm25").alias("section"), "doc_id",
                   "n_terms", "score"))
+    # 'phrase' = positional-index exact-phrase retrieval: n_terms plays
+    # n_hits, score plays first_pos (both hash-verified as values)
+    ph = (text_fns.phrase_search(docs, "the table")
+          .select(F.lit("phrase").alias("section"), "doc_id",
+                  F.col("n_hits").alias("n_terms"),
+                  F.col("first_pos").cast("double").alias("score")))
     return (uni.unionByName(big).unionByName(clf).unionByName(bm)
+            .unionByName(ph)
             .orderBy("section", "doc_id"))
 
 
@@ -848,6 +855,21 @@ SELECT * FROM (
     CROSS JOIN bstats
     GROUP BY btf.doc_id
   ) b USING (doc_id)
+UNION ALL
+SELECT 'phrase', doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(MIN(p0) AS DOUBLE) AS score
+FROM (
+  SELECT a.doc_id, a.pos AS p0
+  FROM (SELECT doc_id, i - 1 AS pos, t[i] AS token
+        FROM toksarr, unnest(generate_series(1, len(t))) AS g(i)
+        WHERE t[i] IN ('the', 'table')) a
+  JOIN (SELECT doc_id, i - 1 AS pos, t[i] AS token
+        FROM toksarr, unnest(generate_series(1, len(t))) AS g(i)
+        WHERE t[i] IN ('the', 'table')) b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.token = 'the' AND b.token = 'table'
+)
+GROUP BY doc_id
 ) ORDER BY section, doc_id
 """.replace("{HEX3}", _hexint_sql("h", 3)).replace(
     "{HEX4W}", _hexint_sql("hw", 4))
@@ -1557,6 +1579,7 @@ def temporal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lightning_metastore_spark.operators.temporal import (
         gap_filled_hourly,
         hypertable_rollup,
+        rolling_zscore,
     )
 
     t = load_tables(spark, sf_dir, ("events",))
@@ -1567,7 +1590,11 @@ def temporal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("hour_fill").alias("resolution"),
                     "bucket_start", F.lit("(all)").alias("key"),
                     "n", "sum_value"))
-    return (rollup.unionByName(fill)
+    z = (rolling_zscore(t["events"], trailing=24, min_periods=12)
+         .select(F.lit("hour_z").alias("resolution"), "bucket_start",
+                 "key", F.col("n").cast("long").alias("n"),
+                 F.col("zscore").alias("sum_value")))
+    return (rollup.unionByName(fill).unionByName(z)
             .orderBy("resolution", "bucket_start", "key"))
 
 
@@ -1604,6 +1631,25 @@ SELECT * FROM (
                     CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
                       / 100 AS sv
              FROM events GROUP BY 1) a ON a.bh = c.h
+  UNION ALL
+  SELECT 'hour_z', bucket_start, key, n,
+         CASE WHEN t_n >= 12 AND t_n * t_sumsq - t_sum * t_sum > 0
+              THEN ROUND((n - CAST(t_sum AS DOUBLE) / t_n)
+                         / SQRT(CAST(t_n * t_sumsq - t_sum * t_sum AS DOUBLE)
+                                / CAST(t_n * t_n AS DOUBLE)), 6)
+         END
+  FROM (
+    SELECT key, bucket_start, n,
+           COUNT(n) OVER tw AS t_n,
+           SUM(n) OVER tw AS t_sum,
+           SUM(n * n) OVER tw AS t_sumsq
+    FROM (SELECT event_type AS key,
+                 CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2)
+    WINDOW tw AS (PARTITION BY key ORDER BY bucket_start
+                  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+  )
 )
 ORDER BY resolution, bucket_start, key
 """
@@ -2559,10 +2605,32 @@ WHERE sample_rank <= 100 ORDER BY sample_rank
 """).replace("{HEX8}", _hexint_sql("h", 8))
 
 
+def quantile_normalize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile-rank normalization of document length
+    (operators/sampling.py::quantile_normalize) — the cross-group score
+    calibration step before a global keep-threshold."""
+    from lightning_metastore_spark.operators.sampling import (
+        quantile_normalize)
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (quantile_normalize(t["documents"], value_col="n_chars",
+                               group_col="lang")
+            .orderBy("doc_id"))
+
+
+QUANTILE_NORMALIZE_ORACLE = """
+SELECT doc_id, lang, n_chars,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id), 9) AS pct_rank
+FROM documents ORDER BY doc_id
+"""
+
+
 def sampling_quantize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling, exact-n stratified sampling, int8
-    embedding quantization, JL random projection and SemDeDup-style
-    semantic dedup in one melted tagged-union slot."""
+    embedding quantization, JL random projection, SemDeDup-style
+    semantic dedup, weighted sampling and per-group quantile
+    normalization in one melted tagged-union slot."""
     parts = [
         _melt(domain_mixture(spark, sf_dir), "mixture", "doc_id",
               ["keep_rate", "kept"], ("lang",)),
@@ -2576,6 +2644,8 @@ def sampling_quantize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
               ["bucket", "n_dups", "kept"]),
         _melt(weighted_sample(spark, sf_dir), "weighted", "doc_id",
               ["n_chars", "sample_rank"]),
+        _melt(quantile_normalize_gate(spark, sf_dir), "qnorm", "doc_id",
+              ["n_chars", "pct_rank"], ("lang",)),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2602,6 +2672,9 @@ SAMPLING_QUANTIZE_SUITE_ORACLE = (
     + " UNION ALL "
     + _melt_sql(WEIGHTED_SAMPLE_ORACLE, "weighted", "doc_id",
                 ["n_chars", "sample_rank"])
+    + " UNION ALL "
+    + _melt_sql(QUANTILE_NORMALIZE_ORACLE, "qnorm", "doc_id",
+                ["n_chars", "pct_rank"], ("lang",))
     + ") ORDER BY section, row_key, metric"
 )
 

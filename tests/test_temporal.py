@@ -201,3 +201,41 @@ def test_lttb_downsample_shape_preserving(spark):
 
     out13 = lttb_downsample(df.repartition(13), n_out=20).collect()
     assert sorted(map(tuple, out13)) == sorted(map(tuple, out))
+
+
+def test_rolling_zscore_flags_injected_spike(spark):
+    import datetime as dt
+    from lightning_metastore_spark.operators.temporal import rolling_zscore
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(40):
+        # steady 5 events/hour, except hour 30 bursts to 50
+        n = 50 if h == 30 else 5 + (h % 2)  # slight variance so std > 0
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h), "click"))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    out = {r["bucket_start"].hour + 24 * (r["bucket_start"].day - 1): r
+           for r in rolling_zscore(df, trailing=24, min_periods=12).collect()}
+    # warm-up hours have NULL zscore
+    assert out[0]["zscore"] is None and out[11]["zscore"] is None
+    # the spike hour is strongly anomalous, neighbours are not
+    assert out[30]["zscore"] > 10
+    assert abs(out[29]["zscore"]) < 3
+    # spike hour leaves the trailing window after 24 buckets: no NULLs
+    assert all(out[h]["zscore"] is not None for h in range(12, 40))
+
+
+def test_rolling_zscore_partition_invariant(spark):
+    import datetime as dt
+    from lightning_metastore_spark.operators.temporal import rolling_zscore
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [(i, base + dt.timedelta(hours=i % 50, minutes=i % 7),
+             "t%d" % (i % 3)) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    a = sorted(map(tuple, rolling_zscore(df).collect()))
+    b = sorted(map(tuple, rolling_zscore(df.repartition(23)).collect()))
+    assert a == b

@@ -227,3 +227,42 @@ def test_domain_profile_aggregates_and_verdict(spark):
     # avg equals the mean of the per-doc scores
     q = {r.doc_id: r.quality_score for r in tf.quality_features(df).collect()}
     assert out["srcA"].avg_quality == pytest.approx((q[1] + q[2]) / 2, abs=1e-6)
+
+
+def test_phrase_search_positions_and_counts(spark):
+    df = spark.createDataFrame([
+        (1, "big data is big and big data wins"),
+        (2, "data big is not the phrase"),
+        (3, "prefix words big data"),
+        (4, "no match here"),
+    ], ["doc_id", "text"])
+    out = {r.doc_id: (r.n_hits, r.first_pos)
+           for r in tf.phrase_search(df, "big data").collect()}
+    assert out == {1: (2, 0), 3: (1, 2)}
+
+
+def test_phrase_search_three_terms_and_repeats(spark):
+    df = spark.createDataFrame([
+        (1, "a a a b"),       # "a a" hits at 0 and 1; "a a b" at 1
+        (2, "a b a a"),
+    ], ["doc_id", "text"])
+    two = {r.doc_id: r.n_hits for r in tf.phrase_search(df, "a a").collect()}
+    assert two == {1: 2, 2: 1}
+    three = {r.doc_id: (r.n_hits, r.first_pos)
+             for r in tf.phrase_search(df, "a a b").collect()}
+    assert three == {1: (1, 1)}
+
+
+def test_quantile_normalize_per_group_ranks(spark):
+    from lightning_metastore_spark.operators.sampling import (
+        quantile_normalize)
+
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", 20), (3, "en", 30),
+         (4, "fr", 5), (5, "fr", 500)],
+        ["doc_id", "lang", "n_chars"])
+    out = {r.doc_id: r.pct_rank
+           for r in quantile_normalize(df, "n_chars", "lang").collect()}
+    assert out[1] == 0.0 and out[2] == 0.5 and out[3] == 1.0
+    # extreme raw gap, same normalized spread as en's min/max
+    assert out[4] == 0.0 and out[5] == 1.0
