@@ -963,3 +963,122 @@ def semantic_dedup_kmeans(emb: DataFrame, centroids: DataFrame | None = None,
     vecs = index.select(F.col(id_col).alias("vid"),
                         F.col("cell").alias("bucket"), "v")
     return _semdedup_within_buckets(vecs, threshold, id_col)
+
+
+# --- content-defined chunking (CDC) dedup ---------------------------------
+
+_CDC_BASE = 33
+_CDC_PRIME = 1000003
+
+
+def cdc_chunks(docs: DataFrame, window: int = 8, modulus: int = 32,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS boundary rule):
+    (doc_id, ck, chunk_len, chunk_md5) — split each document at the
+    1-based positions i where the Karp-Rabin polynomial hash of the
+    trailing ``window`` characters (codepoints mod 256, base 33, mod
+    1000003) is 0 mod ``modulus``; expected chunk length ~= ``modulus``
+    characters.
+
+    Because boundaries depend only on LOCAL content, an insertion or
+    deletion disturbs at most the chunks it touches — unlike
+    fixed-width chunking, where one shifted character changes every
+    downstream chunk hash. That locality is what makes chunk-hash
+    dedup robust to partial edits (storage dedup, diff transfer, and
+    chunk-level duplication mining on LLM corpora).
+
+    Implementation is an Arrow-batched ``mapInPandas`` pass — the
+    windowed hash is one numpy sliding-window/matrix product per
+    document (vectorized integer math; a JVM higher-order-function
+    formulation exists but re-evaluates the O(n·w) boundary lambda per
+    reference after projection collapse — measured pathological, hence
+    the Arrow path; same discipline as skyline/LTTB). Text is
+    whitespace-normalized first so chunking is layout-invariant.
+    Map-only: zero shuffle, batch-bounded memory, exact integer math
+    mirrored by the DuckDB oracle.
+    """
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    w, d = int(window), int(modulus)
+    pows = np.array([(_CDC_BASE ** (w - j)) % _CDC_PRIME
+                     for j in range(1, w + 1)], dtype=np.int64)
+    base = docs.select(F.col(id_col), F.col(text_col).alias("_text"))
+
+    def run(batches):
+        # ASCII \s to mirror RE2/Java semantics in the DuckDB oracle
+        ws_re = _re.compile(r"\s+", _re.ASCII)
+        for pdf in batches:
+            ids, cks, lens, md5s = [], [], [], []
+            for rid, text in zip(pdf[id_col], pdf["_text"]):
+                t = ws_re.sub(" ", text or "")
+                n = len(t)
+                if n == 0:
+                    continue
+                codes = (np.frombuffer(t.encode("utf-32-le"),
+                                       dtype="<u4").astype(np.int64)
+                         % 256)
+                cuts = [0]
+                if n >= w:
+                    win = np.lib.stride_tricks.sliding_window_view(codes, w)
+                    h = (win @ pows) % _CDC_PRIME % d
+                    # window ending at 1-based position i = idx + w
+                    cuts.extend(int(j) + w for j in np.nonzero(h == 0)[0])
+                if cuts[-1] != n:
+                    cuts.append(n)
+                for k in range(len(cuts) - 1):
+                    chunk = t[cuts[k]:cuts[k + 1]]
+                    ids.append(int(rid))
+                    cks.append(k + 1)
+                    lens.append(len(chunk))
+                    md5s.append(hashlib.md5(chunk.encode()).hexdigest())
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "ck": pd.Series(cks, dtype="int64"),
+                                "chunk_len": pd.Series(lens, dtype="int64"),
+                                "chunk_md5": pd.Series(md5s, dtype="object")})
+
+    return base.mapInPandas(
+        run, schema=f"{id_col} long, ck long, chunk_len long, "
+                    "chunk_md5 string")
+
+
+def cdc_dup_stats(docs: DataFrame, window: int = 8, modulus: int = 32,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Chunk-level duplication profile per document: (doc_id, n_chunks,
+    n_dup_chunks, dup_chunk_frac, avg_chunk_len) where a chunk is
+    'dup' when its hash occurs in MORE THAN ONE document.
+
+    Shuffle shape (the TF-IDF / dup-spans discipline): map-only CDC
+    fan-out -> one chunk-hash-keyed aggregation (map-side combined) for
+    corpus document frequency -> rejoin on the same key -> one per-doc
+    aggregation. Chunk hashes are 32-char md5s; the shuffle carries
+    hashes, never chunk text.
+    """
+    ch = cdc_chunks(docs, window, modulus, text_col, id_col)
+    dfreq = (ch.select(id_col, "chunk_md5").distinct()
+             .groupBy("chunk_md5")
+             .agg(F.count(F.lit(1)).alias("df")))
+    per_doc = (ch.join(dfreq, "chunk_md5")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_chunks"),
+                    F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+                    .alias("n_dup_chunks"),
+                    F.sum("chunk_len").alias("_len_sum")))
+    return (docs.select(id_col).distinct()
+            .join(per_doc, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("n_chunks", F.lit(0)).cast("long")
+                .alias("n_chunks"),
+                F.coalesce("n_dup_chunks", F.lit(0)).cast("long")
+                .alias("n_dup_chunks"),
+                F.round(F.coalesce(F.col("n_dup_chunks"), F.lit(0))
+                        / F.greatest(F.col("n_chunks"), F.lit(1)), 6)
+                .alias("dup_chunk_frac"),
+                F.round(F.coalesce(F.col("_len_sum"), F.lit(0))
+                        / F.greatest(F.col("n_chunks"), F.lit(1)), 6)
+                .alias("avg_chunk_len")))

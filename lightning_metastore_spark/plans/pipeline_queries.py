@@ -2397,6 +2397,73 @@ FROM agg ORDER BY dom_id
 """
 
 
+def cdc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking duplication profile
+    (operators/dedup.py::cdc_dup_stats): rolling-hash chunk boundaries,
+    corpus chunk-hash document frequency, per-doc dup fractions — the
+    chunk-granular dedup signal robust to partial edits."""
+    from lightning_metastore_spark.operators.dedup import cdc_dup_stats
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return cdc_dup_stats(t["documents"], window=8, modulus=32) \
+        .orderBy("doc_id")
+
+
+def _cdc_pows_sql() -> str:
+    from lightning_metastore_spark.operators.dedup import (
+        _CDC_BASE, _CDC_PRIME)
+    pows = [(_CDC_BASE ** (8 - j)) % _CDC_PRIME for j in range(1, 9)]
+    return "[" + ", ".join(str(p) for p in pows) + "]"
+
+
+CDC_PROFILE_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(text, '\s+', ' ', 'g') AS t FROM documents
+), base AS (
+  SELECT doc_id, t,
+         list_transform(regexp_extract_all(t, '(.)', 1),
+                        c -> unicode(c) % 256) AS cs
+  FROM norm
+), bp AS (
+  SELECT doc_id, t, cs,
+         list_filter(generate_series(8, len(cs)),
+           i -> list_sum(list_transform(generate_series(1, 8),
+                  j -> cs[i - 8 + j] * ({POWS})[j]))
+                % 1000003 % 32 = 0) AS bpos
+  FROM base
+), cu AS (
+  SELECT doc_id, t, len(cs) AS n,
+         list_sort(list_distinct([0] || COALESCE(bpos, [])
+                                 || [len(cs)])) AS cuts
+  FROM bp
+), ch AS (
+  SELECT doc_id, substring(t, cuts[k] + 1, cuts[k + 1] - cuts[k]) AS chunk
+  FROM cu, unnest(generate_series(1, len(cuts) - 1)) AS g(k)
+  WHERE n > 0
+), hashed AS (
+  SELECT doc_id, chunk, md5(chunk) AS chunk_md5 FROM ch
+), dfreq AS (
+  SELECT chunk_md5, COUNT(DISTINCT doc_id) AS df FROM hashed GROUP BY 1
+), per AS (
+  SELECT doc_id, COUNT(*) AS n_chunks,
+         SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+         SUM(length(chunk)) AS len_sum
+  FROM hashed JOIN dfreq USING (chunk_md5)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+       ROUND(COALESCE(n_dup_chunks, 0) / GREATEST(n_chunks, 1), 6)
+         AS dup_chunk_frac,
+       ROUND(COALESCE(len_sum, 0) / GREATEST(n_chunks, 1), 6)
+         AS avg_chunk_len
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per USING (doc_id)
+ORDER BY doc_id
+""".replace("{POWS}", _cdc_pows_sql())
+
+
 def _melt(df: DataFrame, section: str, key_col: str,
           num_cols: list[str], str_cols: tuple = ()) -> DataFrame:
     """Melt a wide gate output into the shared long schema
@@ -2477,6 +2544,9 @@ def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _melt(domain_profile_gate(spark, sf_dir), "domains", "dom_id",
               ["n_docs", "sum_chars", "avg_quality", "n_langs",
                "domain_keep"], ("source",)),
+        _melt(cdc_profile(spark, sf_dir), "cdc", "doc_id",
+              ["n_chunks", "n_dup_chunks", "dup_chunk_frac",
+               "avg_chunk_len"]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2529,6 +2599,10 @@ CORPUS_PROFILE_SUITE_ORACLE = (
     + _melt_sql(DOMAIN_PROFILE_ORACLE, "domains", "dom_id",
                 ["n_docs", "sum_chars", "avg_quality", "n_langs",
                  "domain_keep"], ("source",))
+    + " UNION ALL "
+    + _melt_sql(CDC_PROFILE_ORACLE, "cdc", "doc_id",
+                ["n_chunks", "n_dup_chunks", "dup_chunk_frac",
+                 "avg_chunk_len"])
     + ") ORDER BY section, row_key, metric"
 )
 
