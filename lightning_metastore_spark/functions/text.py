@@ -677,3 +677,36 @@ def phrase_search(docs: DataFrame, phrase: str, text_col: str = "text",
     return (m.groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_hits"),
                  F.min("p0").cast("long").alias("first_pos")))
+
+
+# entity patterns shared by the extractor and the gate oracle — plain
+# RE2/Java-compatible syntax (no lookaround), so both engines count
+# identically
+_ENTITY_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "n_urls": r"https?://[^\s]+",
+    "n_dates": r"\d{4}-\d{2}-\d{2}",
+    "n_numbers": r"\b\d+\.?\d*\b",
+}
+
+
+def entity_counts(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-doc surface-entity census: (doc_id, n_emails, n_urls,
+    n_dates, n_numbers, any_entity) — the cheap structured-content
+    probe pipelines use to route documents (code/tabular/contact pages
+    behave differently downstream than prose).
+
+    Map-only ``regexp_count`` expressions — zero shuffle at any corpus
+    size; patterns are RE2/Java-portable so the DuckDB oracle counts
+    the exact same spans.
+    """
+    t = F.col(text_col)
+    cols = [F.regexp_count(t, F.lit(pat)).cast("long").alias(name)
+            for name, pat in _ENTITY_PATTERNS.items()]
+    out = docs.select(F.col(id_col), *cols)
+    any_e = None
+    for name in _ENTITY_PATTERNS:
+        c = F.col(name) > 0
+        any_e = c if any_e is None else (any_e | c)
+    return out.select("*", any_e.alias("any_entity"))

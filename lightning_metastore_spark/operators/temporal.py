@@ -335,3 +335,52 @@ def rolling_zscore(events: DataFrame, ts_col: str = "ts",
     z = F.when((t_n >= min_periods) & (var > 0),
                F.round((F.col("n") - mean) / F.sqrt(var), 6))
     return (hourly.select("key", "bucket_start", "n", z.alias("zscore")))
+
+
+def funnel_counts(events: DataFrame, stages: Sequence[str],
+                  ts_col: str = "ts", user_col: str = "user_id",
+                  type_col: str = "event_type") -> DataFrame:
+    """Ordered-funnel analysis: (stage_idx, stage, n_users, conversion)
+    — how many users performed stage k STRICTLY AFTER their first
+    completion of stage k-1, and the fraction relative to stage 1
+    (the product analytics staple Spark lacks MATCH_RECOGNIZE for).
+
+    Semantics: t_1(u) = min ts of a stage-1 event; t_k(u) = min ts of a
+    stage-k event with ts > t_{k-1}(u). A user reaches stage k iff t_k
+    exists — ties at the exact same timestamp do NOT advance the
+    funnel (strict ordering, deterministic under any partitioning).
+
+    Plan shape: the event stream is filtered to funnel stages (map-only
+    shrink), then each stage is one min-aggregation keyed by user
+    joined back on user_id — k-1 joins all on the SAME key, so one
+    hash partitioning is reused; per-stage outputs are single-row
+    aggregates unioned at the end (driver never sees per-user data).
+    """
+    ev = (events.select(F.col(user_col).alias("u"),
+                        F.col(type_col).alias("et"),
+                        F.col(ts_col).alias("t"))
+          .filter(F.col("et").isin(*stages)))
+    reached = (ev.filter(F.col("et") == stages[0])
+               .groupBy("u").agg(F.min("t").alias("tk")))
+    per_stage = [reached]
+    for stage in stages[1:]:
+        nxt = (ev.filter(F.col("et") == stage)
+               .join(per_stage[-1], "u")
+               .filter(F.col("t") > F.col("tk"))
+               .groupBy("u").agg(F.min("t").alias("tk")))
+        per_stage.append(nxt)
+    base = per_stage[0].agg(F.count(F.lit(1)).alias("n0"))
+    outs = []
+    for k, (stage, df) in enumerate(zip(stages, per_stage), start=1):
+        outs.append(df.agg(F.count(F.lit(1)).alias("n_users"))
+                    .crossJoin(F.broadcast(base))
+                    .select(F.lit(k).cast("long").alias("stage_idx"),
+                            F.lit(stage).alias("stage"),
+                            F.col("n_users").cast("long").alias("n_users"),
+                            F.round(F.col("n_users")
+                                    / F.greatest(F.col("n0"), F.lit(1)), 6)
+                            .alias("conversion")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -1577,6 +1577,7 @@ def temporal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised and equality-asserted in tests/test_temporal.py. Oracle:
     stacked DuckDB aggregates + a recursive-CTE calendar."""
     from lightning_metastore_spark.operators.temporal import (
+        funnel_counts,
         gap_filled_hourly,
         hypertable_rollup,
         rolling_zscore,
@@ -1594,7 +1595,14 @@ def temporal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.lit("hour_z").alias("resolution"), "bucket_start",
                  "key", F.col("n").cast("long").alias("n"),
                  F.col("zscore").alias("sum_value")))
-    return (rollup.unionByName(fill).unionByName(z)
+    fun = (funnel_counts(t["events"], stages=("view", "click", "purchase"))
+           .select(F.lit("funnel").alias("resolution"),
+                   F.lit(None).cast("timestamp").alias("bucket_start"),
+                   F.concat(F.col("stage_idx").cast("string"), F.lit(":"),
+                            F.col("stage")).alias("key"),
+                   F.col("n_users").alias("n"),
+                   F.col("conversion").alias("sum_value")))
+    return (rollup.unionByName(fill).unionByName(z).unionByName(fun)
             .orderBy("resolution", "bucket_start", "key"))
 
 
@@ -1649,6 +1657,28 @@ SELECT * FROM (
           FROM events GROUP BY 1, 2)
     WINDOW tw AS (PARTITION BY key ORDER BY bucket_start
                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+  )
+  UNION ALL
+  SELECT 'funnel', CAST(NULL AS TIMESTAMP), fk, n_users,
+         ROUND(CAST(n_users AS DOUBLE) / GREATEST(n0, 1), 6)
+  FROM (
+    WITH f0 AS (
+      SELECT user_id AS u, MIN(ts) AS tk FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), f1 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS tk
+      FROM events e JOIN f0 ON f0.u = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > f0.tk GROUP BY 1
+    ), f2 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS tk
+      FROM events e JOIN f1 ON f1.u = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > f1.tk GROUP BY 1
+    ), n0t AS (SELECT COUNT(*) AS n0 FROM f0)
+    SELECT '1:view' AS fk, (SELECT COUNT(*) FROM f0) AS n_users, n0 FROM n0t
+    UNION ALL
+    SELECT '2:click', (SELECT COUNT(*) FROM f1), n0 FROM n0t
+    UNION ALL
+    SELECT '3:purchase', (SELECT COUNT(*) FROM f2), n0 FROM n0t
   )
 )
 ORDER BY resolution, bucket_start, key
@@ -2464,6 +2494,48 @@ ORDER BY doc_id
 """.replace("{POWS}", _cdc_pows_sql())
 
 
+def entity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface-entity census (functions/text.py::entity_counts) with
+    deterministic entities injected into every 3rd document (the corpus
+    is entity-free word soup) — counts verified span-for-span."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    suffix = (" mail bob@example.org or visit https://example.org/x "
+              "on 2024-05-17 order 42 total 9.99")
+    injected = t["documents"].select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(suffix)))
+        .otherwise(F.col("text")).alias("text"))
+    return text_fns.entity_counts(injected).orderBy("doc_id")
+
+
+ENTITY_PROFILE_ORACLE = r"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text ||
+           ' mail bob@example.org or visit https://example.org/x on 2024-05-17 order 42 total 9.99'
+         ELSE text END AS text
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      AS n_emails,
+    CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT)
+      AS n_urls,
+    CAST(len(regexp_extract_all(text, '\d{4}-\d{2}-\d{2}')) AS BIGINT)
+      AS n_dates,
+    CAST(len(regexp_extract_all(text, '\b\d+\.?\d*\b')) AS BIGINT)
+      AS n_numbers
+  FROM inj
+)
+SELECT doc_id, n_emails, n_urls, n_dates, n_numbers,
+       (n_emails > 0 OR n_urls > 0 OR n_dates > 0 OR n_numbers > 0)
+         AS any_entity
+FROM c ORDER BY doc_id
+"""
+
+
 def _melt(df: DataFrame, section: str, key_col: str,
           num_cols: list[str], str_cols: tuple = ()) -> DataFrame:
     """Melt a wide gate output into the shared long schema
@@ -2547,6 +2619,9 @@ def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _melt(cdc_profile(spark, sf_dir), "cdc", "doc_id",
               ["n_chunks", "n_dup_chunks", "dup_chunk_frac",
                "avg_chunk_len"]),
+        _melt(entity_profile(spark, sf_dir), "entities", "doc_id",
+              ["n_emails", "n_urls", "n_dates", "n_numbers",
+               "any_entity"]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2603,6 +2678,10 @@ CORPUS_PROFILE_SUITE_ORACLE = (
     + _melt_sql(CDC_PROFILE_ORACLE, "cdc", "doc_id",
                 ["n_chunks", "n_dup_chunks", "dup_chunk_frac",
                  "avg_chunk_len"])
+    + " UNION ALL "
+    + _melt_sql(ENTITY_PROFILE_ORACLE, "entities", "doc_id",
+                ["n_emails", "n_urls", "n_dates", "n_numbers",
+                 "any_entity"])
     + ") ORDER BY section, row_key, metric"
 )
 

@@ -239,3 +239,30 @@ def test_rolling_zscore_partition_invariant(spark):
     a = sorted(map(tuple, rolling_zscore(df).collect()))
     b = sorted(map(tuple, rolling_zscore(df.repartition(23)).collect()))
     assert a == b
+
+
+def test_funnel_counts_strict_ordering(spark):
+    import datetime as dt
+    from lightning_metastore_spark.operators.temporal import funnel_counts
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # user 1: full ordered funnel
+        (1, t0, "view"), (1, t0 + s, "click"), (1, t0 + 2 * s, "purchase"),
+        # user 2: click BEFORE view -> stops at view
+        (2, t0, "click"), (2, t0 + s, "view"),
+        # user 3: click at the SAME ts as view -> strict order fails
+        (3, t0, "view"), (3, t0, "click"),
+        # user 4: view+click, purchase before click -> stops at click
+        (4, t0, "view"), (4, t0 + s, "purchase"), (4, t0 + 2 * s, "click"),
+        # user 5: never views (enters nothing)
+        (5, t0, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(u, ts, et) for u, ts, et in rows], ["user_id", "ts", "event_type"])
+    out = {r.stage: (r.n_users, r.conversion)
+           for r in funnel_counts(df, ("view", "click", "purchase")).collect()}
+    assert out["view"] == (4, 1.0)
+    assert out["click"] == (2, 0.5)       # users 1 and 4
+    assert out["purchase"] == (1, 0.25)   # user 1 only

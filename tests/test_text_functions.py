@@ -266,3 +266,20 @@ def test_quantile_normalize_per_group_ranks(spark):
     assert out[1] == 0.0 and out[2] == 0.5 and out[3] == 1.0
     # extreme raw gap, same normalized spread as en's min/max
     assert out[4] == 0.0 and out[5] == 1.0
+
+
+def test_entity_counts_exact_spans(spark):
+    df = spark.createDataFrame([
+        (1, "reach a@b.io or c.d+x@e-f.org via https://x.io/p?q=1 "
+            "on 2024-01-02 and 1999-12-31 buy 3 for 9.99"),
+        (2, "no entities in plain prose here"),
+        (3, "ftp://not-matched and 2024/01/02 slashed date"),
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in tf.entity_counts(df).collect()}
+    assert (out[1].n_emails, out[1].n_urls, out[1].n_dates) == (2, 1, 2)
+    assert out[1].n_numbers >= 2 and bool(out[1].any_entity)
+    assert (out[2].n_emails, out[2].n_urls, out[2].n_dates,
+            out[2].n_numbers) == (0, 0, 0, 0)
+    assert not bool(out[2].any_entity)
+    assert out[3].n_urls == 0 and out[3].n_dates == 0
+    assert out[3].n_numbers > 0  # the slashed date's digit runs count
