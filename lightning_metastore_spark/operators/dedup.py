@@ -1007,6 +1007,17 @@ def cdc_chunks(docs: DataFrame, window: int = 8, modulus: int = 32,
     pows = np.array([(_CDC_BASE ** (w - j)) % _CDC_PRIME
                      for j in range(1, w + 1)], dtype=np.int64)
     base = docs.select(F.col(id_col), F.col(text_col).alias("_text"))
+    # the decode loop is CPU-bound per document: when the source arrives
+    # in fewer splits than the session's parallelism (the single-file
+    # local case — at warehouse scale file count provides this for
+    # free), spread it once so every core chunks
+    try:
+        n_parts = base.rdd.getNumPartitions()
+        target = base.sparkSession._sc.defaultParallelism
+        if n_parts < max(target // 2, 2):
+            base = base.repartition(target)
+    except Exception:
+        pass
 
     def run(batches):
         # ASCII \s to mirror RE2/Java semantics in the DuckDB oracle
@@ -1058,7 +1069,9 @@ def cdc_dup_stats(docs: DataFrame, window: int = 8, modulus: int = 32,
     aggregation. Chunk hashes are 32-char md5s; the shuffle carries
     hashes, never chunk text.
     """
-    ch = cdc_chunks(docs, window, modulus, text_col, id_col)
+    # the chunk relation feeds BOTH the document-frequency agg and the
+    # per-doc rejoin — persist so the Arrow chunking pass runs once
+    ch = cdc_chunks(docs, window, modulus, text_col, id_col).persist()
     dfreq = (ch.select(id_col, "chunk_md5").distinct()
              .groupBy("chunk_md5")
              .agg(F.count(F.lit(1)).alias("df")))
