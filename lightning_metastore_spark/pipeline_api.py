@@ -14,25 +14,31 @@ Dedup:        exact_dedup, jaccard_pairs, minhash_lsh_pairs,
               connected_components, corpus_dup_spans,
               incremental_minhash_pairs, minhash_signatures,
               minhash_band_buckets, semantic_dedup,
-              semantic_dedup_kmeans
+              semantic_dedup_kmeans, cdc_chunks + cdc_dup_stats
+              (content-defined chunk dedup)
 Similarity:   brute_force_topk, ivf_topk, kmeans_centroids,
               refresh_topk (incremental, base never rescanned)
 Text quality: token_counts, quality_features, lang_id, redact_pii,
               tfidf_top_terms, unigram_logprob, bigram_logprob,
               classifier_score, fingerprint, repetition_features,
-              bm25_scores
+              bm25_scores, phrase_search, zipf_fit,
+              encoding_anomalies, entity_counts, domain_profile
 Tokenizing:   build_vocab, encode_token_stats, chunk_documents,
-              learn_bpe_merges, apply_bpe_merges
+              learn_bpe_merges, apply_bpe_merges,
+              train_unigram_lm, apply_unigram_lm
 Cleaning:     remove_boilerplate_lines, dedup_lines_within_doc
 Hygiene:      contamination_overlap
 Sampling:     mixture_resample, stratified_fixed_n,
-              weighted_sample_n (A-ES, without replacement)
+              weighted_sample_n (A-ES, without replacement),
+              quantile_normalize (per-group percentile rank)
 Skyline:      skyline, skyline_per_group (Pareto-optimal sets)
 Frequency:    heavy_hitters (space-saving sketch -> exact verify)
 Packing:      packed_offsets, greedy_pack_bins
 Embeddings:   scalar_quantize_stats, random_project
 Temporal:     asof_join, range_join, hypertable_rollup,
-              gap_filled_hourly, lttb_downsample
+              gap_filled_hourly, lttb_downsample, rolling_zscore,
+              funnel_counts
+Graph:        pagerank (power iteration over edge lists)
 Multimodal:   image_dhash, dhash_neardup_pairs (perceptual image
               dedup), frame_audio + audio_features (speech windowing
               and batched-DSP front end);
@@ -51,6 +57,11 @@ from __future__ import annotations
 
 from lightning_metastore_spark.functions.text import (  # noqa: F401
     bigram_logprob,
+    domain_profile,
+    encoding_anomalies,
+    entity_counts,
+    phrase_search,
+    zipf_fit,
     bm25_scores,
     build_vocab,
     classifier_score,
@@ -79,6 +90,8 @@ from lightning_metastore_spark.operators.contamination import (  # noqa: F401
     contamination_overlap,
 )
 from lightning_metastore_spark.operators.dedup import (  # noqa: F401
+    cdc_chunks,
+    cdc_dup_stats,
     connected_components,
     corpus_dup_spans,
     embedding_neardup_pairs_blocked,
@@ -116,6 +129,7 @@ from lightning_metastore_spark.operators.quantization import (  # noqa: F401
 )
 from lightning_metastore_spark.operators.sampling import (  # noqa: F401
     mixture_resample,
+    quantile_normalize,
     stratified_fixed_n,
     weighted_sample_n,
 )
@@ -135,10 +149,19 @@ from lightning_metastore_spark.operators.similarity import (  # noqa: F401
     kmeans_centroids,
     refresh_topk,
 )
+from lightning_metastore_spark.operators.graph import (  # noqa: F401
+    pagerank,
+)
+from lightning_metastore_spark.operators.unigram_lm import (  # noqa: F401
+    apply_unigram_lm,
+    train_unigram_lm,
+)
 from lightning_metastore_spark.operators.temporal import (  # noqa: F401
     asof_join,
+    funnel_counts,
     gap_filled_hourly,
     hypertable_rollup,
     lttb_downsample,
     range_join,
+    rolling_zscore,
 )
