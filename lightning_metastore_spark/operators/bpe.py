@@ -174,3 +174,20 @@ def apply_bpe_merges(docs: DataFrame, merges: list[tuple[str, str, int]],
     return base.mapInPandas(
         run, schema=f"{id_col} long, n_words long, n_bpe_tokens long, "
                     "compression double")
+
+
+def save_bpe_merges(spark, merges: list[tuple[str, str, int]],
+                    path: str) -> None:
+    """Persist a trained merge list as a parquet tokenizer artifact
+    (rank-ordered; rank IS the merge priority). Tiny file — the point
+    is an engine-portable, versionable artifact next to the corpus."""
+    rows = [(i, l, r, int(c)) for i, (l, r, c) in enumerate(merges)]
+    df = spark.createDataFrame(
+        rows, "rank long, left string, right string, pair_freq long")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bpe_merges(spark, path: str) -> list[tuple[str, str, int]]:
+    """Reload a saved merge list in training order."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["left"], r["right"], int(r["pair_freq"])) for r in rows]

@@ -1095,3 +1095,57 @@ def cdc_dup_stats(docs: DataFrame, window: int = 8, modulus: int = 32,
                 F.round(F.coalesce(F.col("_len_sum"), F.lit(0))
                         / F.greatest(F.col("n_chunks"), F.lit(1)), 6)
                 .alias("avg_chunk_len")))
+
+
+def cdc_chunk_index(docs: DataFrame, window: int = 8, modulus: int = 32,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """The persisted corpus artifact for incremental CDC dedup:
+    (chunk_md5, df) — each distinct chunk hash with its document
+    frequency. One Arrow chunking pass + one hash-keyed agg; at scale
+    this lives partitioned by hash prefix next to the corpus, exactly
+    like the MinHash signature index."""
+    ch = cdc_chunks(docs, window, modulus, text_col, id_col)
+    return (ch.select(id_col, "chunk_md5").distinct()
+            .groupBy("chunk_md5")
+            .agg(F.count(F.lit(1)).cast("long").alias("df")))
+
+
+def cdc_batch_against_index(batch: DataFrame, index: DataFrame,
+                            window: int = 8, modulus: int = 32,
+                            max_known_frac: float = 0.5,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Incremental chunk-level dedup of a NEW batch against a stored
+    corpus chunk index: (doc_id, n_chunks, n_known_chunks, known_frac,
+    admit) — admit=false when more than ``max_known_frac`` of a doc's
+    chunks already exist in the corpus (a mostly-recycled page).
+
+    The corpus is touched ZERO times: only its (chunk_md5, df) index
+    participates. The batch side is small by definition, so its chunk
+    hashes broadcast into the index join; cost is O(batch + hits)
+    regardless of corpus size — the incremental-MinHash discipline at
+    chunk granularity.
+    """
+    ch = cdc_chunks(batch, window, modulus, text_col, id_col)
+    hits = (index.join(F.broadcast(ch.select("chunk_md5").distinct()),
+                       "chunk_md5")
+            .select("chunk_md5"))
+    per_doc = (ch.join(F.broadcast(hits.withColumn("_known", F.lit(1))),
+                       "chunk_md5", "left")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_chunks"),
+                    F.sum(F.coalesce("_known", F.lit(0)))
+                    .alias("n_known_chunks")))
+    known_frac = F.round(F.col("n_known_chunks")
+                         / F.greatest(F.col("n_chunks"), F.lit(1)), 6)
+    return (batch.select(id_col).distinct()
+            .join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_chunks", F.lit(0)).cast("long")
+                    .alias("n_chunks"),
+                    F.coalesce("n_known_chunks", F.lit(0)).cast("long")
+                    .alias("n_known_chunks"),
+                    F.coalesce(known_frac, F.lit(0.0)).alias("known_frac"),
+                    (F.coalesce(known_frac, F.lit(0.0))
+                     <= F.lit(float(max_known_frac))).alias("admit")))

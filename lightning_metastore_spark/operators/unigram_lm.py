@@ -239,3 +239,19 @@ def apply_unigram_lm(docs: DataFrame, pieces: list[tuple[str, float]],
     return base.mapInPandas(
         run, schema=f"{id_col} long, n_words long, n_lm_tokens long, "
                     "compression double, avg_piece_logp double")
+
+
+def save_unigram_lm(spark, pieces: list[tuple[str, float]],
+                    path: str) -> None:
+    """Persist the trained piece table (piece, logp) as a parquet
+    tokenizer artifact."""
+    df = spark.createDataFrame([(p, float(lp)) for p, lp in pieces],
+                               "piece string, logp double")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_unigram_lm(spark, path: str) -> list[tuple[str, float]]:
+    """Reload a saved piece table, sorted by piece (the canonical order
+    ``train_unigram_lm`` returns)."""
+    rows = spark.read.parquet(path).orderBy("piece").collect()
+    return [(r["piece"], float(r["logp"])) for r in rows]

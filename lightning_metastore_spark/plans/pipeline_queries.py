@@ -1098,8 +1098,11 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
     pairs = _jaccard_pairs_cached(spark, docs, sf_dir)
-    return (pagerank(pairs, src="doc_id_a", dst="doc_id_b",
-                     n_iter=3, damping=0.85)
+    ranks = _cached_df(spark, sf_dir, "pagerank",
+                       lambda: pagerank(pairs, src="doc_id_a",
+                                        dst="doc_id_b",
+                                        n_iter=3, damping=0.85))
+    return (ranks
             .select(F.col("node").alias("doc_id"),
                     F.round("rank", 9).alias("score"))
             .orderBy("doc_id"))

@@ -79,3 +79,20 @@ def test_learn_bpe_min_freq_stops(spark):
     # (a,b) has freq 2; (c,d) freq 1 -> exactly one merge at threshold 2
     assert learn_bpe_merges(docs, n_merges=5, min_pair_freq=2) == \
         [("a", "b", 2)]
+
+
+def test_bpe_merges_roundtrip_through_parquet(spark, tmp_path):
+    from lightning_metastore_spark.operators.bpe import (
+        load_bpe_merges, save_bpe_merges)
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string")
+    merges = learn_bpe_merges(docs, n_merges=6)
+    path = str(tmp_path / "bpe_artifact")
+    save_bpe_merges(spark, merges, path)
+    assert load_bpe_merges(spark, path) == merges
+    # the reloaded artifact applies identically
+    a = sorted(map(tuple, apply_bpe_merges(docs, merges).collect()))
+    b = sorted(map(tuple, apply_bpe_merges(
+        docs, load_bpe_merges(spark, path)).collect()))
+    assert a == b

@@ -290,3 +290,26 @@ def test_cdc_dup_stats_partition_invariant_and_exact(spark):
         assert frac == round(want_dup / max(len(mine), 1), 6)
     # the shared prefix actually produces cross-doc dup chunks
     assert any(r[2] > 0 for r in a)
+
+
+def test_cdc_incremental_index_admission(spark):
+    from lightning_metastore_spark.operators.dedup import (
+        cdc_batch_against_index, cdc_chunk_index)
+
+    prefix = " ".join(f"word{j}x{j * 7 % 13}" for j in range(60))
+    corpus = spark.createDataFrame(
+        [(i, prefix + f" corpus tail {i} " * 3) for i in range(6)],
+        ["doc_id", "text"])
+    index = cdc_chunk_index(corpus).persist()
+    batch = spark.createDataFrame([
+        (100, prefix + " tiny new bit"),          # mostly recycled
+        (101, "completely novel content " +
+              " ".join(f"fresh{j}" for j in range(40))),
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           cdc_batch_against_index(batch, index,
+                                   max_known_frac=0.5).collect()}
+    assert out[100].known_frac > 0.5 and not out[100].admit
+    assert out[101].known_frac < 0.2 and out[101].admit
+    # the corpus index never grew — operator is read-only on it
+    assert index.count() == cdc_chunk_index(corpus).count()

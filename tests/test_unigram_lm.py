@@ -141,3 +141,19 @@ def test_unsegmentable_word_counts_as_char_oov(spark):
     low_seg = _naive_viterbi("low", scores, 3)
     assert row.n_words == 2
     assert row.n_lm_tokens == 2 + len(low_seg)  # 2 OOV chars + low pieces
+
+
+def test_unigram_lm_roundtrip_through_parquet(spark, tmp_path):
+    from lightning_metastore_spark.operators.unigram_lm import (
+        load_unigram_lm, save_unigram_lm)
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string")
+    pieces = train_unigram_lm(docs, vocab_size=16, em_iters=1,
+                              max_piece_len=3, seed_size=32)
+    path = str(tmp_path / "unigram_artifact")
+    save_unigram_lm(spark, pieces, path)
+    got = load_unigram_lm(spark, path)
+    assert [p for p, _ in got] == [p for p, _ in pieces]
+    for (_, a), (_, b) in zip(got, pieces):
+        assert a == b  # float64 exact through parquet
