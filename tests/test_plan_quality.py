@@ -168,3 +168,67 @@ def test_semantic_dedup_is_bucket_keyed(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FlatMapGroupsInPandas" in plan  # per-bucket GEMM
     assert "hashpartitioning(bucket" in plan  # pair fan-out keyed on bucket
+
+
+def test_pagerank_has_no_cartesian_and_partial_agg(spark):
+    """The power iteration must stay a keyed join + partial-aggregated
+    sum: the only nested-loop joins allowed are the 1-row broadcast of
+    the scalar N (BroadcastNestedLoopJoin over a single-row aggregate),
+    never a CartesianProduct over data."""
+    from lightning_metastore_spark.operators.graph import pagerank
+
+    edges = spark.range(200).selectExpr("id AS src", "(id + 1) % 200 AS dst")
+    plan = _plan(pagerank(edges, n_iter=2))
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan          # map-side combine of contribs
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row N broadcast
+
+
+def test_funnel_joins_stay_on_user_key(spark):
+    """Every data join in the funnel chains on user_id — no other join
+    key and no cartesian join over per-user data (only the single-row
+    stage-total broadcasts are nested-loop)."""
+    import datetime as dt
+
+    from lightning_metastore_spark.operators.temporal import funnel_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i % 50, t0 + dt.timedelta(minutes=i), e)
+            for i, e in enumerate(["view", "click", "purchase"] * 100)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    plan = _plan(funnel_counts(df, ("view", "click", "purchase")))
+    assert "CartesianProduct" not in plan
+    joins = [ln for ln in plan.splitlines()
+             if "SortMergeJoin" in ln or "BroadcastHashJoin" in ln
+             or "ShuffledHashJoin" in ln]
+    assert joins, "expected keyed joins in the funnel plan"
+    assert all("u#" in ln or "u " in ln for ln in joins), joins
+
+
+def test_phrase_search_filters_before_join(spark):
+    """The posting-list isin filter must apply BEFORE the position
+    join — the join inputs are term-filtered streams, never the full
+    token explosion of both sides."""
+    from lightning_metastore_spark.functions.text import phrase_search
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 5) for i in range(50)],
+        ["doc_id", "text"])
+    plan = _plan(phrase_search(docs, "alpha beta"))
+    assert "CartesianProduct" not in plan
+    # each join input carries the term equality filter below the join
+    assert plan.count("= alpha") >= 1 and plan.count("= beta") >= 1
+
+
+def test_cdc_dup_stats_shuffles_hashes_not_text(spark):
+    """The CDC dup profile's exchanges carry chunk hashes and counts —
+    the normalized document text must never reach a shuffle."""
+    from lightning_metastore_spark.operators.dedup import cdc_dup_stats
+
+    docs = spark.createDataFrame(
+        [(i, "some text body here repeated words " * 3) for i in range(20)],
+        ["doc_id", "text"])
+    plan = _plan(cdc_dup_stats(docs))
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "_text" not in ln, ln
