@@ -108,3 +108,43 @@ def random_project(emb: DataFrame, k: int = RP_OUT_DIMS,
     return (dots.groupBy(id_col)
             .agg(*[F.max(F.when(F.col("j") == j, F.col("y"))).alias(f"y{j}")
                    for j in range(k)]))
+
+
+def norm_outliers(emb: DataFrame, k: float = 3.0, exact: bool = False,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Robust embedding-norm outlier detection: (vec_id, norm, rz,
+    is_outlier) where rz = (norm - median) / IQR over the corpus norms
+    and is_outlier = |rz| > ``k`` — the cheap degenerate-embedding
+    screen (zero vectors, exploded activations, wrong-model rows) run
+    before any similarity work.
+
+    Norms are decimal-summed squares (partition-stable) computed
+    map-only on the exploded value stream with ONE vec-keyed
+    aggregation. The median/IQR statistics are a single 3-number
+    aggregate broadcast back onto the stream: with ``exact=False``
+    (the scale default) they come from ``approx_percentile`` —
+    mergeable sketch, bounded memory; ``exact=True`` uses the exact
+    ``percentile`` aggregate (holds the norm vector in memory — gate /
+    oracle use only; embeddings tables small enough to profile exactly
+    are also small enough for this).
+    """
+    ex = emb.select(F.col(id_col), F.explode(vec_col).alias("x"))
+    sq = (F.col("x").cast("double") * F.col("x").cast("double")) \
+        .cast("decimal(28,15)")
+    norms = (ex.groupBy(id_col)
+             .agg(F.sum(sq).alias("s2"))
+             .select(id_col,
+                     F.round(F.sqrt(F.col("s2").cast("double")), 9)
+                     .alias("norm")))
+    fn = "percentile" if exact else "approx_percentile"
+    stats = norms.agg(
+        F.expr(f"{fn}(norm, array(0.25D, 0.5D, 0.75D))").alias("q"))
+    med = F.col("q")[1]
+    iqr = F.col("q")[2] - F.col("q")[0]
+    rz = (F.col("norm") - med) / iqr
+    return (norms.crossJoin(F.broadcast(stats))
+            .select(F.col(id_col), "norm",
+                    F.when(iqr > 0, F.round(rz, 6)).alias("rz"),
+                    F.when(iqr > 0, F.abs(rz) > F.lit(float(k)))
+                    .otherwise(F.lit(False)).alias("is_outlier")))

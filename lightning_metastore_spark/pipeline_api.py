@@ -34,7 +34,8 @@ Sampling:     mixture_resample, stratified_fixed_n,
 Skyline:      skyline, skyline_per_group (Pareto-optimal sets)
 Frequency:    heavy_hitters (space-saving sketch -> exact verify)
 Packing:      packed_offsets, greedy_pack_bins
-Embeddings:   scalar_quantize_stats, random_project
+Embeddings:   scalar_quantize_stats, random_project,
+              norm_outliers (robust norm screen)
 Temporal:     asof_join, range_join, hypertable_rollup,
               gap_filled_hourly, lttb_downsample, rolling_zscore,
               funnel_counts
@@ -124,6 +125,7 @@ from lightning_metastore_spark.operators.pipeline import (  # noqa: F401
     curate_corpus,
 )
 from lightning_metastore_spark.operators.quantization import (  # noqa: F401
+    norm_outliers,
     random_project,
     scalar_quantize_stats,
 )

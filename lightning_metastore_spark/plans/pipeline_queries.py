@@ -2782,6 +2782,45 @@ FROM documents ORDER BY doc_id
 """
 
 
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust norm-outlier screen (operators/quantization.py::
+    norm_outliers, exact percentiles for the oracle; the operator's
+    scale default is the approx_percentile sketch)."""
+    from lightning_metastore_spark.operators.quantization import (
+        norm_outliers)
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return norm_outliers(t["embeddings"], k=3.0, exact=True) \
+        .orderBy("vec_id")
+
+
+EMBEDDING_OUTLIERS_ORACLE = r"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ex AS (
+  SELECT vec_id, v[i] AS x
+  FROM e, unnest(generate_series(1, len(v))) AS s(i)
+), norms AS (
+  SELECT vec_id,
+         ROUND(SQRT(CAST(SUM(CAST(x * x AS DECIMAL(28,15))) AS DOUBLE)), 9)
+           AS norm
+  FROM ex GROUP BY 1
+), stats AS (
+  SELECT quantile_cont(norm, 0.25) AS q1,
+         quantile_cont(norm, 0.5) AS med,
+         quantile_cont(norm, 0.75) AS q3
+  FROM norms
+)
+SELECT vec_id, norm,
+       CASE WHEN q3 - q1 > 0 THEN ROUND((norm - med) / (q3 - q1), 6) END
+         AS rz,
+       CASE WHEN q3 - q1 > 0 THEN ABS((norm - med) / (q3 - q1)) > 3.0
+            ELSE FALSE END AS is_outlier
+FROM norms CROSS JOIN stats
+ORDER BY vec_id
+"""
+
+
 def sampling_quantize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling, exact-n stratified sampling, int8
     embedding quantization, JL random projection, SemDeDup-style
@@ -2802,6 +2841,8 @@ def sampling_quantize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
               ["n_chars", "sample_rank"]),
         _melt(quantile_normalize_gate(spark, sf_dir), "qnorm", "doc_id",
               ["n_chars", "pct_rank"], ("lang",)),
+        _melt(embedding_outliers(spark, sf_dir), "outliers", "vec_id",
+              ["norm", "rz", "is_outlier"]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2831,6 +2872,9 @@ SAMPLING_QUANTIZE_SUITE_ORACLE = (
     + " UNION ALL "
     + _melt_sql(QUANTILE_NORMALIZE_ORACLE, "qnorm", "doc_id",
                 ["n_chars", "pct_rank"], ("lang",))
+    + " UNION ALL "
+    + _melt_sql(EMBEDDING_OUTLIERS_ORACLE, "outliers", "vec_id",
+                ["norm", "rz", "is_outlier"])
     + ") ORDER BY section, row_key, metric"
 )
 

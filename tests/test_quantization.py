@@ -71,3 +71,45 @@ def test_random_project_deterministic_across_partitionings(spark):
     a = random_project(emb.repartition(1)).orderBy("vec_id").collect()
     b = random_project(emb.repartition(16)).orderBy("vec_id").collect()
     assert a == b
+
+
+def test_norm_outliers_flags_degenerate_vectors(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(60)]
+    rows.append((100, [50.0] * 16))       # exploded activation
+    rows.append((101, [0.0] * 16))        # zero vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from lightning_metastore_spark.operators.quantization import (
+        norm_outliers)
+
+    out = {r.vec_id: r for r in norm_outliers(emb, exact=True).collect()}
+    assert bool(out[100].is_outlier) and out[100].rz > 3
+    assert bool(out[101].is_outlier) and out[101].rz < -3
+    n_flagged = sum(1 for r in out.values() if r.is_outlier)
+    assert n_flagged <= 5                  # normal vectors mostly pass
+    assert out[101].norm == 0.0
+    # partition invariance (decimal-summed squares + broadcast stats)
+    again = {r.vec_id: r for r in
+             norm_outliers(emb.repartition(7), exact=True).collect()}
+    assert {k: (v.norm, v.rz, v.is_outlier) for k, v in out.items()} == \
+           {k: (v.norm, v.rz, v.is_outlier) for k, v in again.items()}
+
+
+def test_norm_outliers_approx_close_to_exact(spark):
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    from lightning_metastore_spark.operators.quantization import (
+        norm_outliers)
+
+    ex = {r.vec_id: r for r in norm_outliers(emb, exact=True).collect()}
+    ap = {r.vec_id: r for r in norm_outliers(emb, exact=False).collect()}
+    assert set(ex) == set(ap)
+    # norms identical (stats differ only via the percentile estimate)
+    for k in ex:
+        assert ex[k].norm == ap[k].norm
+    agree = sum(1 for k in ex
+                if bool(ex[k].is_outlier) == bool(ap[k].is_outlier))
+    assert agree >= len(ex) * 0.98
