@@ -50,6 +50,7 @@ _LIGHTNING_HEADS = (
     re.compile(r"^REGISTER\s+DQ\b", re.I),
     re.compile(r"^(COMPILE|ACTIVATE|LOAD|UPDATE|REMOVE)\s+USL\b", re.I),
     re.compile(r"^(LIST|RUN|REMOVE|SHOW)\s+DQ\b", re.I),
+    re.compile(r"^RUN\s+PIPELINE\b", re.I),
     re.compile(r"^SHOW\s+NAMESPACES\s+OR\s+TABLES\b", re.I),
     re.compile(r"^(CREATE|DROP)\s+NAMESPACE\s+(IF\s+(NOT\s+)?EXISTS\s+)?LIGHTNING\.", re.I),
     re.compile(r"^SHOW\s+(NAMESPACES|TABLES)\s+IN\s+LIGHTNING\b", re.I),
@@ -986,6 +987,83 @@ class RunDQ(Command):
 
 
 @dataclass
+class RunPipeline(Command):
+    """`RUN PIPELINE <op> ON lightning.<table> [OPTIONS(...)]` — the
+    LLM-data-pipeline operator surface exposed through the SQL dialect
+    (and therefore the REST `/api/q` endpoint): a reference-style SQL
+    user can run dedup/quality/profile operators on any registered
+    table without touching the Python API.
+
+    Beyond-reference extension (the reference has no pipeline
+    operators); the op registry mirrors ``pipeline_api``. Single-table
+    ops only — multi-input operators (contamination, as-of joins) stay
+    Python-side where both inputs can be named."""
+    op: str
+    table_path: list[str]
+    options: dict = field(default_factory=dict)
+
+    # op -> (callable(df, **kwargs), {option: coercion}); every op is a
+    # DataFrame-in/DataFrame-out program from the pipeline surface
+    @staticmethod
+    def _registry():
+        from pyspark.sql import functions as F
+
+        from lightning_metastore_spark.functions import text as tf
+        from lightning_metastore_spark.operators import cleaning, dedup
+        from lightning_metastore_spark.operators.pipeline import (
+            CurationConfig, curate_corpus)
+
+        def clusters(df, threshold=0.5, **kw):
+            pairs = dedup.minhash_lsh_pairs(df, threshold=threshold, **kw)
+            return dedup.connected_components(pairs, df)
+
+        def curate(df, min_quality=0.3, **kw):
+            return curate_corpus(df, CurationConfig(
+                min_quality=min_quality, **kw))
+
+        return {
+            "exact_dedup": (dedup.exact_dedup, {}),
+            "near_dup_pairs": (dedup.minhash_lsh_pairs,
+                               {"threshold": float, "n": int}),
+            "dup_clusters": (clusters, {"threshold": float}),
+            "cdc_dup_stats": (dedup.cdc_dup_stats,
+                              {"window": int, "modulus": int}),
+            "quality": (tf.quality_features, {}),
+            "lang_id": (tf.lang_id, {}),
+            "repetition": (tf.repetition_features, {}),
+            "entities": (tf.entity_counts, {}),
+            "encoding": (tf.encoding_anomalies, {}),
+            "zipf": (tf.zipf_fit, {"top_v": int}),
+            "domains": (tf.domain_profile, {"min_avg_quality": float}),
+            "pii_redact": (lambda df, text_col="text", id_col="doc_id":
+                           df.select(F.col(id_col),
+                                     tf.redact_pii(F.col(text_col))
+                                     .alias("clean")), {}),
+            "boilerplate": (cleaning.remove_boilerplate_lines,
+                            {"max_df": int}),
+            "curate": (curate, {"min_quality": float}),
+        }
+
+    def run(self, ctx) -> DataFrame:
+        reg = self._registry()
+        if self.op not in reg:
+            raise CommandParseError(
+                f"unknown pipeline op {self.op!r}; available: "
+                + ", ".join(sorted(reg)))
+        fn, coercions = reg[self.op]
+        kwargs = {}
+        for k, v in self.options.items():
+            coerce = coercions.get(k, str)
+            try:
+                kwargs[k] = coerce(v)
+            except ValueError as e:
+                raise CommandParseError(
+                    f"bad value for option {k!r}: {v!r}") from e
+        df = ctx.resolver.load_table(self.table_path)
+        return fn(df, **kwargs)
+
+
+@dataclass
 class RemoveDQ(Command):
     name: str
     table_path: list[str]
@@ -1076,6 +1154,9 @@ _R_REG_DQ = re.compile(
 _R_LIST_DQ = re.compile(r"^LIST\s+DQ\s+USL\s+(?P<path>[\w.\-]+)\s*$", re.I)
 _R_RUN_DQ = re.compile(
     r"^RUN\s+DQ\s+(?:(?P<name>[\w\-]+)\s+)?TABLE\s+(?P<t>[\w.\-]+)\s*$", re.I)
+_R_RUN_PIPELINE = re.compile(
+    r"^RUN\s+PIPELINE\s+(?P<op>[\w\-]+)\s+ON\s+(?P<t>[\w.\-]+)\s*"
+    r"(?:OPTIONS\s*\((?P<opts>.*)\))?\s*$", re.I | re.S)
 _R_REMOVE_DQ = re.compile(
     r"^REMOVE\s+DQ\s+(?P<name>[\w\-]+)\s+TABLE\s+(?P<t>[\w.\-]+)\s*$", re.I)
 _R_SHOW_DQ = re.compile(
@@ -1238,6 +1319,11 @@ def parse_command(sql: str) -> Command:
     m = _R_RUN_DQ.match(text)
     if m:
         return RunDQ(_split_path(m.group("t")), m.group("name"))
+    m = _R_RUN_PIPELINE.match(text)
+    if m:
+        return RunPipeline(op=m.group("op").lower(),
+                           table_path=_split_path(m.group("t")),
+                           options=parse_options(m.group("opts") or ""))
     m = _R_REMOVE_DQ.match(text)
     if m:
         return RemoveDQ(m.group("name"), _split_path(m.group("t")))

@@ -187,3 +187,15 @@ def test_api_runtime_error_clean_400(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req)
     assert e.value.code == 400
+
+
+def test_api_run_pipeline(server):
+    """The pipeline operator surface is reachable over HTTP — a
+    reference-style REST client can run dedup/quality ops by SQL."""
+    status, rows = _post_q(
+        server, "RUN PIPELINE lang_id ON "
+                "lightning.datasource.file.tpch.documents")
+    assert status == 200 and len(rows) > 0
+    assert {"doc_id", "pred_lang"} <= set(rows[0].keys())
+    langs = {r["pred_lang"] for r in rows}
+    assert "en" in langs

@@ -349,3 +349,41 @@ def test_schema_drift_report(ctx, spark, tmp_path):
     assert drift[("id", "type_changed")].upcast_ok is False   # int <- bigint
     assert drift[("v", "type_changed")].upcast_ok is True     # bigint <- int
     assert len(drift) == 4
+
+
+def test_run_pipeline_command_surface(ctx, spark):
+    """RUN PIPELINE exposes the LLM-pipeline operators through the SQL
+    dialect — equivalent to calling the Python API on the same table."""
+    from lightning_metastore_spark.functions import text as tfn
+    from lightning_metastore_spark.operators import dedup as ddp
+
+    ctx.sql("CREATE NAMESPACE lightning.datasource.file")
+    ctx.sql(f"REGISTER PARQUET DATASOURCE tpch OPTIONS(path '{SF_DIR}') "
+            f"NAMESPACE lightning.datasource.file")
+    tbl = "lightning.datasource.file.tpch.documents"
+
+    out = ctx.sql(f"RUN PIPELINE quality ON {tbl}")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    want = sorted(map(tuple, tfn.quality_features(docs).collect()))
+    assert sorted(map(tuple, out.collect())) == want
+
+    dd = ctx.sql(f"RUN PIPELINE exact_dedup ON {tbl}")
+    want_dd = sorted(map(tuple, ddp.exact_dedup(docs).collect()))
+    assert sorted(map(tuple, dd.collect())) == want_dd
+
+    # options flow through with type coercion
+    zipf = ctx.sql(f"RUN PIPELINE zipf ON {tbl} OPTIONS(top_v '32')")
+    want_z = tfn.zipf_fit(docs, top_v=32).collect()
+    assert zipf.collect() == want_z
+
+    pairs = ctx.sql(
+        f"RUN PIPELINE near_dup_pairs ON {tbl} OPTIONS(threshold '0.5')")
+    assert {c for c in pairs.columns} == {"doc_id_a", "doc_id_b", "jaccard"}
+
+    import pytest as _pt
+    from lightning_metastore_spark.parser.dispatcher import (
+        CommandParseError)
+    with _pt.raises(CommandParseError, match="available"):
+        ctx.sql(f"RUN PIPELINE nonsense ON {tbl}")
+    with _pt.raises(CommandParseError, match="bad value"):
+        ctx.sql(f"RUN PIPELINE zipf ON {tbl} OPTIONS(top_v 'many')")
