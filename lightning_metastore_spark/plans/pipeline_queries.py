@@ -2922,7 +2922,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("text_lm_suite", text_lm_suite,
                   TEXT_LM_SUITE_ORACLE,
                   "unigram + interpolated-bigram LM log-prob + linear "
-                  "classifier inference (melted tagged union)"),
+                  "classifier inference + BM25 scoring + positional "
+                  "phrase search (melted tagged union)"),
         QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_ORACLE,
                   "binary-column metadata + mapInPandas decode (hash-checked)"),
         QuerySpec("temporal_asof_join", temporal_asof_join,
@@ -2933,7 +2934,9 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "bucketed range join vs DuckDB IEJoin"),
         QuerySpec("temporal_rollup", temporal_rollup,
                   TEMPORAL_ROLLUP_ORACLE,
-                  "hypertable rollup: grouping-sets multi-resolution"),
+                  "hypertable rollup (grouping sets) + calendar "
+                  "gap-fill + rolling z-score anomaly + ordered "
+                  "funnel"),
         QuerySpec("stream_events", stream_events, STREAM_EVENTS_ORACLE,
                   "streamed windowed agg + exactly-once dedup == batch"),
         QuerySpec("dq_suite", dq_suite, DQ_SUITE_ORACLE,
@@ -2942,11 +2945,13 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   CORPUS_PROFILE_SUITE_ORACLE,
                   "repetition + histogram + packing + contamination + "
                   "chunking + tokenizer ids + skyline + heavy hitters + "
-                  "Zipf fit + encoding triage + domain profile "
-                  "(melted tagged union)"),
+                  "Zipf fit + encoding triage + domain profile + CDC "
+                  "chunk dedup + entity census (melted tagged union)"),
         QuerySpec("sampling_quantize_suite", sampling_quantize_suite,
                   SAMPLING_QUANTIZE_SUITE_ORACLE,
-                  "mixture resample + stratified sample + int8 quantize "
-                  "+ JL random projection (melted tagged union)"),
+                  "mixture resample + stratified/weighted sample + int8 "
+                  "quantize + JL projection + semantic dedup + quantile "
+                  "normalization + norm-outlier screen (melted tagged "
+                  "union)"),
     ]
 }
