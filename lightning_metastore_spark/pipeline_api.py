@@ -48,7 +48,8 @@ Layout:       write_range_clustered, write_zorder_clustered,
               file_column_ranges, write_training_shards
 Composed:     curate_corpus, CurationConfig
 Streaming:    lightning_metastore_spark.streaming.events (windowed
-              aggregation, stateful sessionizer, attribution join);
+              aggregation, stateful sessionizer, stateful funnel,
+              attribution join);
               lightning_metastore_spark.streaming.ingest (corpus
               ingestion with incremental dedup: build_dedup_index,
               dedup_batch_against_index, start_dedup_ingest_sink)

@@ -215,3 +215,51 @@ def run_to_memory(stream_df: DataFrame, query_name: str,
     q = start_memory_stream(stream_df, query_name, output_mode)
     q.processAllAvailable()
     q.stop()
+
+
+_FUNNEL_STATE_SCHEMA = "k long, last_us long"
+_FUNNEL_OUT_SCHEMA = "user_id long, stage_reached long, stage_us long"
+
+
+def funnel_stateful(events: DataFrame,
+                    stages: tuple = ("view", "click", "purchase")) -> DataFrame:
+    """Streaming ordered-funnel via applyInPandasWithState: per-user
+    furthest stage whose events occurred in strict ts order — the
+    incremental twin of operators/temporal.funnel_counts.
+
+    State is two numbers per user (stage index + the chain's last event
+    micros): processing events in timestamp order, the first stage-k+1
+    event strictly after t_k IS the batch semantics' min — so under
+    ts-ordered arrival (the sessionizer's documented assumption; late
+    events would need per-stage buffers) the final state equals the
+    batch funnel exactly, which the batch-equivalence test asserts
+    across multi-batch ingestion.
+    """
+    stage_list = list(stages)
+
+    def group_fn(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        k, last_us = state.get if state.exists else (0, 0)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            ev = pd.concat(chunks).sort_values("ts")
+            for ts, et in zip(ev["ts"], ev["event_type"]):
+                if k >= len(stage_list):
+                    break
+                us = int(ts.value) // 1000
+                if et == stage_list[k] and (k == 0 or us > last_us):
+                    k += 1
+                    last_us = us
+        state.update((k, last_us))
+        yield pd.DataFrame([{"user_id": user_id, "stage_reached": k,
+                             "stage_us": last_us}])
+
+    return (events
+            .filter(F.col("event_type").isin(*stage_list))
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                group_fn,
+                outputStructType=_FUNNEL_OUT_SCHEMA,
+                stateStructType=_FUNNEL_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

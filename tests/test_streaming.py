@@ -368,3 +368,43 @@ def test_audio_features_batch_invariant(spark):
                                    r.spectral_centroid)
              for r in audio_features(frames.repartition(8, "id")).collect()}
     assert together == alone
+
+
+def test_stateful_funnel_matches_batch(spark, tmp_path):
+    """Streaming funnel state across MULTIPLE ts-ordered micro-batches
+    must equal the batch funnel (operators/temporal.funnel_counts) on
+    the same events."""
+    import time
+
+    from lightning_metastore_spark.operators.temporal import funnel_counts
+
+    events = load_tables(spark, SF_DIR, ("events",))["events"]
+    # split into 3 ts-ordered files, fed one per micro-batch
+    d = tmp_path / "funnel_stream"
+    d.mkdir()
+    bounds = events.selectExpr(
+        "percentile(CAST(ts AS DOUBLE), array(1.0D/3, 2.0D/3)) AS q"
+    ).collect()[0]["q"]
+    bounds = [F.lit(b).cast("timestamp") for b in bounds]
+    parts = [events.filter(F.col("ts") <= bounds[0]),
+             events.filter((F.col("ts") > bounds[0])
+                           & (F.col("ts") <= bounds[1])),
+             events.filter(F.col("ts") > bounds[1])]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(str(d / f"chunk_{i}"))
+        for f in (d / f"chunk_{i}").glob("*.parquet"):
+            f.rename(d / f"part_{i}.parquet")
+        time.sleep(0.05)  # distinct mod-times: files trigger in ts order
+    stream = sev.read_event_stream(spark, str(d),
+                                   max_files_per_trigger=1)
+    out = sev.funnel_stateful(stream, stages=("view", "click", "purchase"))
+    sev.run_to_memory(out, "funnel_state", output_mode="update")
+    reached = {r.user_id: r.k for r in spark.sql(
+        "SELECT user_id, max(stage_reached) AS k FROM funnel_state "
+        "GROUP BY user_id").collect()}
+    batch = {r.stage_idx: r.n_users
+             for r in funnel_counts(
+                 events, ("view", "click", "purchase")).collect()}
+    for s in (1, 2, 3):
+        streamed_n = sum(1 for k in reached.values() if k >= s)
+        assert streamed_n == batch[s], (s, streamed_n, batch[s])
