@@ -99,3 +99,49 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         if persist_every and (i + 1) % persist_every == 0 and i + 1 < n_iter:
             ranks = ranks.persist()
     return ranks
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst",
+                    symmetrize: bool = True) -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient:
+    (node, degree, n_triangles, clustering) — the duplicate-graph
+    cohesion probe (template families form near-cliques — high
+    clustering; chance collisions form stars — zero clustering).
+
+    The standard distributed formulation: orient every edge low->high
+    (each triangle a<b<c is then generated exactly once as the wedge
+    a->b, b->c closed by a->c), ONE self-join on the wedge midpoint and
+    ONE membership join against the oriented edge list — never an
+    all-pairs step. clustering = 2*T / (deg*(deg-1)), NULL for
+    degree<2 nodes.
+    """
+    e = edges.select(F.col(src).cast("long").alias("src"),
+                     F.col(dst).cast("long").alias("dst"))
+    if symmetrize:
+        e = e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst")))
+    e = e.filter(F.col("src") != F.col("dst")).distinct()
+    deg = e.groupBy(F.col("src").alias("node")) \
+           .agg(F.count("*").alias("degree"))
+    lo = (e.filter(F.col("src") < F.col("dst")))  # oriented, each edge once
+    ab = lo.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = lo.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = lo.select(F.col("src").alias("a"), F.col("dst").alias("c"),
+                   F.lit(1).alias("_closed"))
+    tri = (ab.join(bc, "b")                      # wedges a<b<c
+           .join(ac, ["a", "c"])                 # closed by a->c
+           .select("a", "b", "c"))
+    per_node = (tri.selectExpr("a AS node")
+                .union(tri.selectExpr("b AS node"))
+                .union(tri.selectExpr("c AS node"))
+                .groupBy("node")
+                .agg(F.count("*").alias("n_triangles")))
+    cc = (F.lit(2.0) * F.col("n_triangles")
+          / (F.col("degree") * (F.col("degree") - F.lit(1))))
+    return (deg.join(per_node, "node", "left")
+            .select("node", F.col("degree").cast("long").alias("degree"),
+                    F.coalesce("n_triangles", F.lit(0)).cast("long")
+                    .alias("n_triangles"),
+                    F.when(F.col("degree") >= 2,
+                           F.round(F.coalesce(cc, F.lit(0.0)), 6))
+                    .alias("clustering")))

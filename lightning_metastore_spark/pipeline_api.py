@@ -39,7 +39,8 @@ Embeddings:   scalar_quantize_stats, random_project,
 Temporal:     asof_join, range_join, hypertable_rollup,
               gap_filled_hourly, lttb_downsample, rolling_zscore,
               funnel_counts
-Graph:        pagerank (power iteration over edge lists)
+Graph:        pagerank (power iteration over edge lists),
+              triangle_counts (oriented-wedge join)
 Multimodal:   image_dhash, dhash_neardup_pairs (perceptual image
               dedup), frame_audio + audio_features (speech windowing
               and batched-DSP front end);
@@ -154,6 +155,7 @@ from lightning_metastore_spark.operators.similarity import (  # noqa: F401
 )
 from lightning_metastore_spark.operators.graph import (  # noqa: F401
     pagerank,
+    triangle_counts,
 )
 from lightning_metastore_spark.operators.unigram_lm import (  # noqa: F401
     apply_unigram_lm,

@@ -172,6 +172,45 @@ def _cached_df(spark: SparkSession, sf_dir: str, tag: str, build):
     return _df_cache[key]
 
 
+def _melt(df: DataFrame, section: str, key_col: str,
+          num_cols: list[str], str_cols: tuple = ()) -> DataFrame:
+    """Melt a wide gate output into the shared long schema
+    (section, row_key, metric, value_num, value_str) so gates with
+    different shapes can share one registry slot without losing any
+    value from the hash check. Booleans cast to 0.0/1.0."""
+    entries = ([F.struct(F.lit(c).alias("metric"),
+                         F.col(c).cast("double").alias("value_num"),
+                         F.lit(None).cast("string").alias("value_str"))
+                for c in num_cols]
+               + [F.struct(F.lit(c).alias("metric"),
+                           F.lit(None).cast("double").alias("value_num"),
+                           F.col(c).cast("string").alias("value_str"))
+                  for c in str_cols])
+    return (df.select(F.lit(section).alias("section"),
+                      F.col(key_col).cast("long").alias("row_key"),
+                      F.explode(F.array(*entries)).alias("m"))
+            .select("section", "row_key", "m.metric", "m.value_num",
+                    "m.value_str"))
+
+
+def _melt_sql(oracle: str, section: str, key_col: str,
+              num_cols: list[str], str_cols: tuple = ()) -> str:
+    """DuckDB twin of _melt: one UNION ALL arm per column over the
+    wrapped component oracle (subquery ORDER BY is legal and ignored)."""
+    arms = [
+        f"SELECT '{section}' AS section, CAST({key_col} AS BIGINT) AS row_key, "
+        f"'{c}' AS metric, CAST({c} AS DOUBLE) AS value_num, "
+        f"CAST(NULL AS VARCHAR) AS value_str FROM _src"
+        for c in num_cols
+    ] + [
+        f"SELECT '{section}', CAST({key_col} AS BIGINT), '{c}', "
+        f"CAST(NULL AS DOUBLE), CAST({c} AS VARCHAR) FROM _src"
+        for c in str_cols
+    ]
+    return ("SELECT * FROM (WITH _src AS (SELECT * FROM (" + oracle + ")) "
+            + " UNION ALL ".join(arms) + ")")
+
+
 def _shingles_cached(spark: SparkSession, docs: DataFrame, sf_dir: str):
     return _cached_df(spark, sf_dir, "shingles",
                       lambda: dedup.shingles(docs))
@@ -1158,38 +1197,99 @@ SELECT node AS doc_id, ROUND(rank, 9) AS score FROM i3 ORDER BY doc_id
 """)
 
 
+def dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient over the shared
+    near-dup pair graph (operators/graph.py::triangle_counts) — the
+    cohesion probe separating template families (near-cliques) from
+    chance-collision stars."""
+    from lightning_metastore_spark.operators.graph import triangle_counts
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    pairs = _jaccard_pairs_cached(spark, docs, sf_dir)
+    return (triangle_counts(pairs, src="doc_id_a", dst="doc_id_b")
+            .select(F.col("node").alias("doc_id"), "degree",
+                    "n_triangles", "clustering")
+            .orderBy("doc_id"))
+
+
+DEDUP_TRIANGLES_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              ELSE array_to_string(t, ' ') END AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+), sc AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN sc sa ON sa.doc_id = a.doc_id JOIN sc sb ON sb.doc_id = b.doc_id
+  GROUP BY 1, 2, sa.n, sb.n
+  HAVING COUNT(*) / (sa.n + sb.n - COUNT(*)) >= 0.5
+), edges AS (
+  SELECT ida AS src, idb AS dst FROM pairs
+  UNION SELECT idb, ida FROM pairs
+), lo AS (
+  SELECT src, dst FROM edges WHERE src < dst
+), tri AS (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM lo ab JOIN lo bc ON bc.src = ab.dst
+  JOIN lo ac ON ac.src = ab.src AND ac.dst = bc.dst
+), pn AS (
+  SELECT node, COUNT(*) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY 1
+), deg AS (
+  SELECT src AS node, COUNT(*) AS degree FROM edges GROUP BY 1
+)
+SELECT node AS doc_id, degree,
+       COALESCE(n_triangles, 0) AS n_triangles,
+       CASE WHEN degree >= 2
+            THEN ROUND(CAST(2.0 AS DOUBLE) * COALESCE(n_triangles, 0)
+                       / (degree * (degree - 1)), 6) END AS clustering
+FROM deg LEFT JOIN pn USING (node)
+ORDER BY doc_id
+"""
+
+
 def dedup_cluster_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster labels, per-cluster best-doc selection AND pair-graph
-    PageRank in one tagged-union slot (50-slot registry discipline) —
-    all three walk the shared cached pair graph, so the union costs one
-    CC pass plus three rank iterations total."""
-    labels = (dedup_clusters(spark, sf_dir)
-              .select(F.lit("labels").alias("part"), "doc_id", "cluster_id",
-                      F.lit(None).cast("long").alias("n_chars"),
-                      F.lit(None).cast("double").alias("score")))
-    best = (dedup_keep_best(spark, sf_dir)
-            .select(F.lit("keep_best").alias("part"), "doc_id", "cluster_id",
-                    F.col("n_chars").cast("long").alias("n_chars"),
-                    F.lit(None).cast("double").alias("score")))
-    pr = (dedup_pagerank(spark, sf_dir)
-          .select(F.lit("pagerank").alias("part"), "doc_id",
-                  F.lit(None).cast("long").alias("cluster_id"),
-                  F.lit(None).cast("long").alias("n_chars"), "score"))
-    return labels.unionByName(best).unionByName(pr).orderBy("part", "doc_id")
+    """Cluster labels, per-cluster best-doc selection, pair-graph
+    PageRank AND triangle/clustering-coefficient stats in one melted
+    tagged-union slot (50-slot registry discipline) — all four walk the
+    shared cached pair graph."""
+    parts = [
+        _melt(dedup_clusters(spark, sf_dir), "labels", "doc_id",
+              ["cluster_id"]),
+        _melt(dedup_keep_best(spark, sf_dir), "keep_best", "doc_id",
+              ["cluster_id", "n_chars"]),
+        _melt(dedup_pagerank(spark, sf_dir), "pagerank", "doc_id",
+              ["score"]),
+        _melt(dedup_triangles(spark, sf_dir), "triangles", "doc_id",
+              ["degree", "n_triangles", "clustering"]),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("section", "row_key", "metric")
 
 
 DEDUP_CLUSTER_SUITE_ORACLE = (
-    "SELECT 'labels' AS part, doc_id, cluster_id, "
-    "CAST(NULL AS BIGINT) AS n_chars, CAST(NULL AS DOUBLE) AS score "
-    "FROM (" + DEDUP_CLUSTERS_ORACLE + ") "
-    "UNION ALL "
-    "SELECT 'keep_best', doc_id, cluster_id, CAST(n_chars AS BIGINT), "
-    "CAST(NULL AS DOUBLE) "
-    "FROM (" + DEDUP_KEEP_BEST_ORACLE + ") "
-    "UNION ALL "
-    "SELECT 'pagerank', doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), "
-    "score FROM (" + DEDUP_PAGERANK_ORACLE + ") "
-    "ORDER BY part, doc_id"
+    "SELECT * FROM ("
+    + _melt_sql(DEDUP_CLUSTERS_ORACLE, "labels", "doc_id", ["cluster_id"])
+    + " UNION ALL "
+    + _melt_sql(DEDUP_KEEP_BEST_ORACLE, "keep_best", "doc_id",
+                ["cluster_id", "n_chars"])
+    + " UNION ALL "
+    + _melt_sql(DEDUP_PAGERANK_ORACLE, "pagerank", "doc_id", ["score"])
+    + " UNION ALL "
+    + _melt_sql(DEDUP_TRIANGLES_ORACLE, "triangles", "doc_id",
+                ["degree", "n_triangles", "clustering"])
+    + ") ORDER BY section, row_key, metric"
 )
 
 
@@ -2539,45 +2639,6 @@ FROM c ORDER BY doc_id
 """
 
 
-def _melt(df: DataFrame, section: str, key_col: str,
-          num_cols: list[str], str_cols: tuple = ()) -> DataFrame:
-    """Melt a wide gate output into the shared long schema
-    (section, row_key, metric, value_num, value_str) so gates with
-    different shapes can share one registry slot without losing any
-    value from the hash check. Booleans cast to 0.0/1.0."""
-    entries = ([F.struct(F.lit(c).alias("metric"),
-                         F.col(c).cast("double").alias("value_num"),
-                         F.lit(None).cast("string").alias("value_str"))
-                for c in num_cols]
-               + [F.struct(F.lit(c).alias("metric"),
-                           F.lit(None).cast("double").alias("value_num"),
-                           F.col(c).cast("string").alias("value_str"))
-                  for c in str_cols])
-    return (df.select(F.lit(section).alias("section"),
-                      F.col(key_col).cast("long").alias("row_key"),
-                      F.explode(F.array(*entries)).alias("m"))
-            .select("section", "row_key", "m.metric", "m.value_num",
-                    "m.value_str"))
-
-
-def _melt_sql(oracle: str, section: str, key_col: str,
-              num_cols: list[str], str_cols: tuple = ()) -> str:
-    """DuckDB twin of _melt: one UNION ALL arm per column over the
-    wrapped component oracle (subquery ORDER BY is legal and ignored)."""
-    arms = [
-        f"SELECT '{section}' AS section, CAST({key_col} AS BIGINT) AS row_key, "
-        f"'{c}' AS metric, CAST({c} AS DOUBLE) AS value_num, "
-        f"CAST(NULL AS VARCHAR) AS value_str FROM _src"
-        for c in num_cols
-    ] + [
-        f"SELECT '{section}', CAST({key_col} AS BIGINT), '{c}', "
-        f"CAST(NULL AS DOUBLE), CAST({c} AS VARCHAR) FROM _src"
-        for c in str_cols
-    ]
-    return ("SELECT * FROM (WITH _src AS (SELECT * FROM (" + oracle + ")) "
-            + " UNION ALL ".join(arms) + ")")
-
-
 def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Twelve document-profiling operators in one melted tagged-union
     slot (50-slot registry discipline): Gopher repetition filters, the
@@ -2899,7 +2960,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("dedup_cluster_suite", dedup_cluster_suite,
                   DEDUP_CLUSTER_SUITE_ORACLE,
                   "CC cluster labels + per-cluster keep-best + pair-graph "
-                  "PageRank (tagged union)"),
+                  "PageRank + triangles/clustering (melted tagged union)"),
         QuerySpec("sample_split_assign", sample_split_assign, SAMPLE_SPLIT_ORACLE,
                   "deterministic hash-based split + stratified sampling"),
         QuerySpec("sketch_profile", sketch_profile, SKETCH_PROFILE_ORACLE,

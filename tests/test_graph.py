@@ -78,3 +78,41 @@ def test_pagerank_mass_conserved_and_hub_ranks_highest(spark):
     ranks = {r["node"]: r["rank"] for r in rows}
     assert ranks[0] == max(ranks.values())
     assert ranks[100] == pytest.approx(ranks[101], abs=1e-15)
+
+
+def test_triangle_counts_known_graph(spark):
+    from lightning_metastore_spark.operators.graph import triangle_counts
+
+    # K4 on {0,1,2,3} (4 triangles, each node in 3), a star 10-(11,12,13)
+    # (no triangles), plus a lone extra triangle 20-21-22
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    star = [(10, 11), (10, 12), (10, 13)]
+    tri = [(20, 21), (21, 22), (20, 22)]
+    df = spark.createDataFrame(k4 + star + tri, "src long, dst long")
+    out = {r.node: r for r in triangle_counts(df).collect()}
+    for v in range(4):
+        assert (out[v].degree, out[v].n_triangles) == (3, 3)
+        assert out[v].clustering == 1.0
+    assert (out[10].degree, out[10].n_triangles) == (3, 0)
+    assert out[10].clustering == 0.0
+    assert out[11].clustering is None          # degree 1
+    for v in (20, 21, 22):
+        assert (out[v].n_triangles, out[v].clustering) == (1, 1.0)
+
+
+def test_triangle_counts_matches_naive(spark):
+    from itertools import combinations
+
+    from lightning_metastore_spark.operators.graph import triangle_counts
+
+    edges = _random_edges(13, n_nodes=30, n_edges=80)
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {v: sum(1 for x, y in combinations(sorted(adj[v]), 2)
+                   if y in adj.get(x, ()))
+            for v in adj}
+    got = {r.node: r.n_triangles for r in triangle_counts(
+        spark.createDataFrame(edges, "src long, dst long")).collect()}
+    assert got == want
