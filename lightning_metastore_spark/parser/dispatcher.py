@@ -1001,6 +1001,7 @@ class RunPipeline(Command):
     op: str
     table_path: list[str]
     options: dict = field(default_factory=dict)
+    sink_path: Optional[list[str]] = None
 
     # op -> (callable(df, **kwargs), {option: coercion}); every op is a
     # DataFrame-in/DataFrame-out program from the pipeline surface
@@ -1060,7 +1061,25 @@ class RunPipeline(Command):
                 raise CommandParseError(
                     f"bad value for option {k!r}: {v!r}") from e
         df = ctx.resolver.load_table(self.table_path)
-        return fn(df, **kwargs)
+        out = fn(df, **kwargs)
+        if self.sink_path is None:
+            return out
+        # SINK <lightning path>: materialize through the datasource unit
+        # writer (the CTAS path) so curation results land as queryable
+        # registered tables, SQL-only end to end
+        from lightning_metastore_spark.catalog.units import (
+            load_catalog_unit)
+
+        rest = _require_root(self.sink_path, DATASOURCE_ROOT,
+                             "RUN PIPELINE sink")
+        hit = ctx.metastore.find_parent_datasource(rest)
+        if hit is None:
+            raise CommandParseError(
+                f"no datasource at lightning.{'.'.join(self.sink_path)}")
+        ds, residual = hit
+        load_catalog_unit(ds).write_table(out, residual, mode="overwrite")
+        return self._df(ctx, [(".".join(self.sink_path),)],
+                        "written string")
 
 
 @dataclass
@@ -1156,7 +1175,8 @@ _R_RUN_DQ = re.compile(
     r"^RUN\s+DQ\s+(?:(?P<name>[\w\-]+)\s+)?TABLE\s+(?P<t>[\w.\-]+)\s*$", re.I)
 _R_RUN_PIPELINE = re.compile(
     r"^RUN\s+PIPELINE\s+(?P<op>[\w\-]+)\s+ON\s+(?P<t>[\w.\-]+)\s*"
-    r"(?:OPTIONS\s*\((?P<opts>.*)\))?\s*$", re.I | re.S)
+    r"(?:OPTIONS\s*\((?P<opts>.*?)\))?\s*"
+    r"(?:SINK\s+(?P<sink>[\w.\-]+))?\s*$", re.I | re.S)
 _R_REMOVE_DQ = re.compile(
     r"^REMOVE\s+DQ\s+(?P<name>[\w\-]+)\s+TABLE\s+(?P<t>[\w.\-]+)\s*$", re.I)
 _R_SHOW_DQ = re.compile(
@@ -1323,7 +1343,9 @@ def parse_command(sql: str) -> Command:
     if m:
         return RunPipeline(op=m.group("op").lower(),
                            table_path=_split_path(m.group("t")),
-                           options=parse_options(m.group("opts") or ""))
+                           options=parse_options(m.group("opts") or ""),
+                           sink_path=(_split_path(m.group("sink"))
+                                      if m.group("sink") else None))
     m = _R_REMOVE_DQ.match(text)
     if m:
         return RemoveDQ(m.group("name"), _split_path(m.group("t")))

@@ -387,3 +387,26 @@ def test_run_pipeline_command_surface(ctx, spark):
         ctx.sql(f"RUN PIPELINE nonsense ON {tbl}")
     with _pt.raises(CommandParseError, match="bad value"):
         ctx.sql(f"RUN PIPELINE zipf ON {tbl} OPTIONS(top_v 'many')")
+
+
+def test_run_pipeline_sink_materializes_table(ctx, spark, tmp_path):
+    """RUN PIPELINE ... SINK writes the result through the datasource
+    unit writer — the curated output is immediately queryable as a
+    registered lightning table."""
+    out_dir = tmp_path / "curated"
+    out_dir.mkdir()
+    ctx.sql("CREATE NAMESPACE lightning.datasource.file")
+    ctx.sql(f"REGISTER PARQUET DATASOURCE tpch OPTIONS(path '{SF_DIR}') "
+            f"NAMESPACE lightning.datasource.file")
+    ctx.sql(f"REGISTER PARQUET DATASOURCE cur OPTIONS(path '{out_dir}') "
+            f"NAMESPACE lightning.datasource.file")
+    res = ctx.sql(
+        "RUN PIPELINE lang_id ON lightning.datasource.file.tpch.documents "
+        "SINK lightning.datasource.file.cur.doc_langs").collect()
+    assert res[0].written.endswith("cur.doc_langs")
+    back = ctx.sql("SELECT pred_lang, count(*) AS n FROM "
+                   "lightning.datasource.file.cur.doc_langs "
+                   "GROUP BY 1 ORDER BY 1").collect()
+    assert sum(r.n for r in back) == spark.read.parquet(
+        f"{SF_DIR}/documents.parquet").count()
+    assert {r.pred_lang for r in back} >= {"en"}
