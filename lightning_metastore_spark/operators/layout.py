@@ -163,3 +163,33 @@ def write_zorder_clustered(df: DataFrame, path: str, cols: list[str],
            .sortWithinPartitions("__z")
            .drop("__z"))
     _write_parquet_micros(out, path, mode)
+
+
+def compact_parquet(spark, path: str, out_path: str,
+                    target_mb: int = 128) -> dict:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_mb`` each — the maintenance job every long-running
+    ingest pipeline needs (streaming sinks and incremental batches
+    accumulate KB-sized files whose open/footer overhead eventually
+    dominates scans).
+
+    The output file count comes from the INPUT'S on-disk bytes (summed
+    driver-side from the file listing — metadata only, no data read),
+    so the sizing is stable regardless of in-memory row width. One
+    round-robin repartition (the only shuffle) spreads rows evenly;
+    callers who need clustering should follow with
+    ``write_range_clustered``/``write_zorder_clustered`` instead.
+    Returns {"n_input_files", "input_mb", "n_output_files"}.
+    """
+    import glob
+    import os
+
+    files = [f for f in glob.glob(os.path.join(path, "**", "*.parquet"),
+                                  recursive=True)]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, round(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    _write_parquet_micros(df.repartition(n_out), out_path, "overwrite")
+    return {"n_input_files": len(files),
+            "input_mb": round(total / 1024 / 1024, 3),
+            "n_output_files": n_out}

@@ -46,7 +46,8 @@ Multimodal:   image_dhash, dhash_neardup_pairs (perceptual image
               and batched-DSP front end);
               decode/feature/resize live in sources.multimodal
 Layout:       write_range_clustered, write_zorder_clustered,
-              file_column_ranges, write_training_shards
+              file_column_ranges, write_training_shards,
+              compact_parquet (small-file maintenance)
 Composed:     curate_corpus, CurationConfig
 Streaming:    lightning_metastore_spark.streaming.events (windowed
               aggregation, stateful sessionizer, stateful funnel,
@@ -113,6 +114,7 @@ from lightning_metastore_spark.operators.heavy_hitters import (  # noqa: F401
     heavy_hitters,
 )
 from lightning_metastore_spark.operators.layout import (  # noqa: F401
+    compact_parquet,
     file_column_ranges,
     write_range_clustered,
     write_training_shards,

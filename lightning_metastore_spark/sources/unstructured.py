@@ -600,3 +600,33 @@ class UnstructuredCatalogUnit(CatalogUnit):
             if f not in restored and fs.is_file(f):
                 fs.remove(f)
         fs.rmtree(staging, ignore_errors=True)
+
+
+def read_jsonl_with_quarantine(spark, path: str, schema: str):
+    """JSONL corpus ingest with bad-record quarantine: returns
+    (good_df, bad_df) where malformed lines land in the quarantine
+    frame with their raw text instead of poisoning the batch — the
+    PERMISSIVE + columnNameOfCorruptRecord pattern every production
+    ingest front end runs.
+
+    ``schema`` is the expected DDL ("doc_id long, text string", ...);
+    rows where Spark could parse nothing keep only the raw line. The
+    split is one predicate on the corrupt column — the source is still
+    a single scan, and both frames prune/push down independently.
+    """
+    from pyspark.sql import functions as F
+
+    full = schema + ", _corrupt string"
+    df = (spark.read
+          .schema(full)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .json(path))
+    # cache the parse: the corrupt-column split reads the source twice
+    # otherwise, and Spark requires referencing the corrupt column only
+    # from a materialized frame (SPARK-21610)
+    df = df.cache()
+    good = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    bad = (df.filter(F.col("_corrupt").isNotNull())
+           .select(F.col("_corrupt").alias("raw_line")))
+    return good, bad

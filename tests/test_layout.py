@@ -113,3 +113,22 @@ def test_write_zorder_requires_two_columns(spark, tmp_path):
     df = spark.range(10)
     with pytest.raises(ValueError):
         write_zorder_clustered(df, str(tmp_path / "x"), ["id"])
+
+
+def test_compact_parquet_hits_target_count(spark, tmp_path):
+    from lightning_metastore_spark.operators.layout import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    # 40 tiny files
+    spark.range(40000).selectExpr("id", "repeat('x', 64) AS pad") \
+        .repartition(40).write.parquet(src)
+    out = str(tmp_path / "compacted")
+    stats = compact_parquet(spark, src, out, target_mb=1)
+    assert stats["n_input_files"] == 40
+    import glob
+    produced = glob.glob(out + "/*.parquet")
+    assert len(produced) == stats["n_output_files"] < 10
+    # lossless
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(out).orderBy("id").collect()
+    assert a == b

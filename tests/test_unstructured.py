@@ -424,3 +424,22 @@ def test_image_write_emits_thumbnail_twin(ctx, spark, tmp_path):
     twin = (root / "shot_thumbnail.png").read_bytes()
     tw, th, _ = codecs.png_decode(twin)
     assert (tw, th) == (8, 8)
+
+
+def test_jsonl_quarantine_split(spark, tmp_path):
+    from lightning_metastore_spark.sources.unstructured import (
+        read_jsonl_with_quarantine)
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good row"}\n'
+        'this is not json at all\n'
+        '{"doc_id": 2, "text": "another good"}\n'
+        '{"doc_id": broken json, "text": }\n')
+    good, bad = read_jsonl_with_quarantine(
+        spark, str(p), "doc_id long, text string")
+    rows = {r.doc_id: r.text for r in good.collect()}
+    assert rows == {1: "good row", 2: "another good"}
+    raws = sorted(r.raw_line for r in bad.collect())
+    assert raws == sorted(["this is not json at all",
+                           '{"doc_id": broken json, "text": }'])
