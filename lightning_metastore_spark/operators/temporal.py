@@ -384,3 +384,35 @@ def funnel_counts(events: DataFrame, stages: Sequence[str],
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7,
+                         ts_col: str = "ts",
+                         user_col: str = "user_id") -> DataFrame:
+    """Trailing-window distinct actives per day — the DAU/WAU/MAU
+    metric: (day, n_active) where n_active = distinct users with any
+    event in the ``window_days`` days ending at ``day``.
+
+    Sliding distinct counts can't ride a window function (DISTINCT
+    isn't frame-mergeable), so the standard shape: dedupe to (user,
+    day) FIRST (one agg — collapses raw volume to user-day), explode
+    each activity day into the <= ``window_days`` windows it serves
+    (bounded fan-out = window/slide ratio), then one distinct-count per
+    window day. Windows after the last observed day are dropped.
+    At MAU scale (30x fan-out) switch the last agg to HLL
+    (approx_count_distinct) — same plan, sketchable.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    user_days = (events.select(F.col(user_col).alias("u"),
+                               day.alias("d")).distinct())
+    top = user_days.agg(F.max("d").alias("max_d"))
+    serves = F.explode(F.expr(
+        f"sequence(d, d + INTERVAL {int(window_days) - 1} DAYS, "
+        f"INTERVAL 1 DAY)"))
+    return (user_days
+            .select("u", serves.alias("day"))
+            .join(F.broadcast(top), F.col("day") <= F.col("max_d"))
+            .groupBy("day")
+            .agg(F.countDistinct("u").cast("long").alias("n_active"))
+            .select(F.col("day").cast("timestamp").alias("day"),
+                    "n_active"))

@@ -38,7 +38,7 @@ Embeddings:   scalar_quantize_stats, random_project,
               norm_outliers (robust norm screen)
 Temporal:     asof_join, range_join, hypertable_rollup,
               gap_filled_hourly, lttb_downsample, rolling_zscore,
-              funnel_counts
+              funnel_counts, rolling_active_users (DAU/WAU)
 Graph:        pagerank (power iteration over edge lists),
               triangle_counts (oriented-wedge join)
 Multimodal:   image_dhash, dhash_neardup_pairs (perceptual image
@@ -170,5 +170,6 @@ from lightning_metastore_spark.operators.temporal import (  # noqa: F401
     hypertable_rollup,
     lttb_downsample,
     range_join,
+    rolling_active_users,
     rolling_zscore,
 )

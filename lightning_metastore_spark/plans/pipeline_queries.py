@@ -1683,6 +1683,7 @@ def temporal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         funnel_counts,
         gap_filled_hourly,
         hypertable_rollup,
+        rolling_active_users,
         rolling_zscore,
     )
 
@@ -1705,7 +1706,14 @@ def temporal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("stage")).alias("key"),
                    F.col("n_users").alias("n"),
                    F.col("conversion").alias("sum_value")))
+    wau = (rolling_active_users(t["events"], window_days=7)
+           .select(F.lit("wau").alias("resolution"),
+                   F.col("day").alias("bucket_start"),
+                   F.lit("(all)").alias("key"),
+                   F.col("n_active").alias("n"),
+                   F.lit(None).cast("double").alias("sum_value")))
     return (rollup.unionByName(fill).unionByName(z).unionByName(fun)
+            .unionByName(wau)
             .orderBy("resolution", "bucket_start", "key"))
 
 
@@ -1782,6 +1790,22 @@ SELECT * FROM (
     SELECT '2:click', (SELECT COUNT(*) FROM f1), n0 FROM n0t
     UNION ALL
     SELECT '3:purchase', (SELECT COUNT(*) FROM f2), n0 FROM n0t
+  )
+  UNION ALL
+  SELECT 'wau', w, '(all)', n_active, CAST(NULL AS DOUBLE)
+  FROM (
+    WITH ud AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+      FROM events
+    ), serves AS (
+      SELECT u, d + to_days(CAST(i AS INT)) AS w
+      FROM ud, unnest(generate_series(0, 6)) AS g(i)
+    )
+    SELECT w, CAST(COUNT(DISTINCT u) AS BIGINT) AS n_active
+    FROM serves
+    WHERE w <= (SELECT MAX(d) FROM ud)
+    GROUP BY w
   )
 )
 ORDER BY resolution, bucket_start, key
@@ -2997,7 +3021,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   TEMPORAL_ROLLUP_ORACLE,
                   "hypertable rollup (grouping sets) + calendar "
                   "gap-fill + rolling z-score anomaly + ordered "
-                  "funnel"),
+                  "funnel + trailing-window actives (WAU)"),
         QuerySpec("stream_events", stream_events, STREAM_EVENTS_ORACLE,
                   "streamed windowed agg + exactly-once dedup == batch"),
         QuerySpec("dq_suite", dq_suite, DQ_SUITE_ORACLE,

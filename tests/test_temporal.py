@@ -266,3 +266,34 @@ def test_funnel_counts_strict_ordering(spark):
     assert out["view"] == (4, 1.0)
     assert out["click"] == (2, 0.5)       # users 1 and 4
     assert out["purchase"] == (1, 0.25)   # user 1 only
+
+
+def test_rolling_active_users_matches_naive(spark):
+    import datetime as dt
+    from collections import defaultdict
+
+    from lightning_metastore_spark.operators.temporal import (
+        rolling_active_users)
+
+    base = dt.datetime(2024, 2, 1)
+    rows = []
+    eid = 0
+    for day in range(20):
+        for u in range(day % 5 + 1):      # varying daily actives
+            rows.append((eid, base + dt.timedelta(days=day, hours=u), u))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    got = {r.day.date(): r.n_active
+           for r in rolling_active_users(df, window_days=7).collect()}
+    by_day = defaultdict(set)
+    for _, ts, u in rows:
+        by_day[ts.date()].add(u)
+    days = sorted(by_day)
+    for w in days:
+        active = set()
+        for d in by_day:
+            if 0 <= (w - d).days <= 6:
+                active |= by_day[d]
+        assert got[w] == len(active), w
+    # every output day has observed data through max(day) only
+    assert max(got) == max(days)
