@@ -168,11 +168,16 @@ class LightningAPIServer:
                             write(b"[")
                         if first is not sentinel:
                             for row in chain([first], rows):
-                                if emitted and fmt == "array":
-                                    write(b",")
+                                # serialize FULLY before any write: a
+                                # row that fails to encode must not
+                                # leave a dangling separator for the
+                                # error trailer to double
                                 obj = {k: encode_value(v)
                                        for k, v in row.asDict().items()}
-                                write(json.dumps(obj).encode("utf-8"))
+                                payload = json.dumps(obj).encode("utf-8")
+                                if emitted and fmt == "array":
+                                    write(b",")
+                                write(payload)
                                 if fmt == "ndjson":
                                     write(b"\n")
                                 emitted += 1

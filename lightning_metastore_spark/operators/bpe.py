@@ -161,6 +161,8 @@ def apply_bpe_merges(docs: DataFrame, merges: list[tuple[str, str, int]],
         for pdf in batches:
             rows = []
             for rid, words in zip(pdf[id_col], pdf["words"]):
+                if words is None:        # NULL text -> empty doc row
+                    words = []
                 n_tok = sum(segment(w) for w in words)
                 n_chars = sum(len(w) for w in words)
                 rows.append({

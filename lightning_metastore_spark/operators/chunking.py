@@ -47,9 +47,12 @@ def chunk_documents(docs: DataFrame, chunk_size: int = 32,
     if not 0 <= overlap < chunk_size:
         raise ValueError("chunk_documents: need 0 <= overlap < chunk_size")
     stride = chunk_size - overlap
+    # NULL text behaves as empty (one empty chunk): coalesce BEFORE the
+    # extract so _n is 0, never NULL/-1 (size-of-null semantics vary)
     toks = docs.select(
         F.col(id_col),
-        F.regexp_extract_all(F.col(text_col), F.lit(r"(\S+)"), 1).alias("_t"),
+        F.regexp_extract_all(F.coalesce(F.col(text_col), F.lit("")),
+                             F.lit(r"(\S+)"), 1).alias("_t"),
     ).withColumn("_n", F.size("_t"))
     n_chunks = F.when(F.col("_n") <= chunk_size, F.lit(1)).otherwise(
         F.ceil((F.col("_n") - chunk_size) / F.lit(stride)) + 1)

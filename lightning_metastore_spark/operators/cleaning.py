@@ -66,7 +66,11 @@ def dedup_lines_within_doc(docs: DataFrame, text_col: str = "text",
     row, zero shuffle, linear scan at any corpus size). Quadratic only
     in each document's line count.
     """
-    lines = F.split(F.col(text_col), line_sep)
+    import re as _re
+
+    # F.split takes a REGEX but the reassembly join is literal — escape
+    # so separators like '|' or '.' split on the literal character
+    lines = F.split(F.col(text_col), _re.escape(line_sep))
 
     def norm(c):
         return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))

@@ -899,6 +899,16 @@ def _semdedup_within_buckets(vecs: DataFrame, threshold: float,
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
+        # degenerate rows (NULL / width-mismatched vectors) all land in
+        # the NULL bucket together — drop them HERE so they pair with
+        # nothing (kept=1 via the left join) instead of np.stack
+        # raising on None/ragged input and killing the stage
+        vs = pdf["v"]
+        keep = vs.map(lambda x: x is not None)
+        pdf = pdf[keep]
+        if len(pdf) >= 2:
+            lens = pdf["v"].map(len)
+            pdf = pdf[lens == lens.iloc[0]]
         if len(pdf) < 2:
             return pd.DataFrame({"ida": pd.Series(dtype="int64"),
                                  "idb": pd.Series(dtype="int64")})
@@ -1069,9 +1079,14 @@ def cdc_dup_stats(docs: DataFrame, window: int = 8, modulus: int = 32,
     aggregation. Chunk hashes are 32-char md5s; the shuffle carries
     hashes, never chunk text.
     """
+    from lightning_metastore_spark.operators._cache import persist_slot
+
     # the chunk relation feeds BOTH the document-frequency agg and the
-    # per-doc rejoin — persist so the Arrow chunking pass runs once
-    ch = cdc_chunks(docs, window, modulus, text_col, id_col).persist()
+    # per-doc rejoin — persist (single-slot: repeated calls through the
+    # SQL/REST surface release the previous call's cache) so the Arrow
+    # chunking pass runs once
+    ch = persist_slot("cdc_dup_stats.chunks",
+                      cdc_chunks(docs, window, modulus, text_col, id_col))
     dfreq = (ch.select(id_col, "chunk_md5").distinct()
              .groupBy("chunk_md5")
              .agg(F.count(F.lit(1)).alias("df")))

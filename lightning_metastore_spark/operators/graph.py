@@ -46,16 +46,17 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     ``symmetrize=True`` treats the edge list as undirected (the
     duplicate-pair graph case: pairs arrive as id_a < id_b once) and
     unions the reversed edges; duplicate edges are dropped so each
-    neighbor contributes once. Nodes are the edge endpoints — callers
-    wanting isolated vertices ranked should union them in afterwards
-    with the teleport-only rank (1-d)/N; restricting to incident nodes
-    means every node has out-degree >= 1, so no dangling-mass
-    redistribution step is needed.
+    neighbor contributes once. ``symmetrize=False`` runs true directed
+    PageRank: nodes are BOTH endpoints, sink nodes' (out-degree 0)
+    mass is redistributed uniformly each step (the standard dangling
+    correction — one decimal-summed scalar aggregate, broadcast back).
+    Isolated vertices (no edges at all) are not ranked; union them in
+    afterwards at the teleport-only rank if needed.
 
-    Ranks are initialized uniform (1/N) and iterated
-    ``r'(v) = (1-d)/N + d * sum_{u->v} r(u)/deg(u)`` for ``n_iter``
-    synchronous steps. With no dangling nodes the ranks sum to 1 at
-    every step (tested).
+    Ranks are initialized uniform (1/N) and iterated ``r'(v) =
+    (1-d)/N + d * (sum_{u->v} r(u)/deg(u) + dangling/N)`` for
+    ``n_iter`` synchronous steps; total mass stays 1 at every step
+    (tested for both modes).
     """
     e = edges.select(F.col(src).cast("long").alias("src"),
                      F.col(dst).cast("long").alias("dst"))
@@ -64,20 +65,28 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                              F.col("src").alias("dst")))
     e = e.distinct()
 
+    from lightning_metastore_spark.operators._cache import persist_slot
+
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # degree rides on the edge list so each iteration pays exactly ONE
     # join; the (src, dst, deg) relation is iteration-invariant, so
     # persist it once instead of recomputing union+distinct+degree in
-    # every iteration's lineage
-    ed = e.join(deg, "src").persist()
+    # every iteration's lineage (single-slot: the next pagerank call
+    # releases this call's cache — no per-call CacheManager leak)
+    ed = persist_slot("pagerank.edges", e.join(deg, "src"))
 
-    nodes = (ed.select(F.col("src").alias("node")).distinct())
+    nodes = persist_slot(
+        "pagerank.nodes",
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node"))).distinct()
+        .join(deg.withColumnRenamed("src", "node"), "node", "left")
+        .select("node", F.coalesce("deg", F.lit(0)).alias("out_deg")))
     # one small aggregate, broadcast everywhere the scalar N is needed —
     # keeps the whole computation declarative (no driver .count() action)
     n_df = nodes.agg(F.count("*").alias("n_nodes"))
 
     ranks = (nodes.crossJoin(F.broadcast(n_df))
-             .select("node",
+             .select("node", "out_deg",
                      (F.lit(1.0) / F.col("n_nodes").cast("double"))
                      .alias("rank")))
 
@@ -89,16 +98,25 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                             .cast(_DEC).alias("contrib")))
         summed = (contribs.groupBy("node")
                   .agg(F.sum("contrib").cast("double").alias("in_rank")))
-        # every incident node has in-edges (symmetric graph) so the join
-        # is inner; teleport term re-added from the broadcast scalar
-        ranks = (summed.crossJoin(F.broadcast(n_df))
-                 .select("node",
+        # dangling (sink) mass, exactly zero rows/0.0 when symmetric
+        dangling = (ranks.filter(F.col("out_deg") == 0)
+                    .agg(F.coalesce(F.sum(F.col("rank").cast(_DEC))
+                                    .cast("double"), F.lit(0.0))
+                         .alias("dangling")))
+        # nodes without in-edges still receive teleport + dangling share
+        ranks = (nodes.join(summed, "node", "left")
+                 .crossJoin(F.broadcast(n_df))
+                 .crossJoin(F.broadcast(dangling))
+                 .select("node", "out_deg",
                          (teleport_num / F.col("n_nodes").cast("double")
-                          + F.lit(float(damping)) * F.col("in_rank"))
+                          + F.lit(float(damping))
+                          * (F.coalesce("in_rank", F.lit(0.0))
+                             + F.col("dangling")
+                             / F.col("n_nodes").cast("double")))
                          .alias("rank")))
         if persist_every and (i + 1) % persist_every == 0 and i + 1 < n_iter:
             ranks = ranks.persist()
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst",

@@ -46,6 +46,13 @@ def heavy_hitters(items: DataFrame, s: float = 0.02,
         raise ValueError("heavy_hitters: s must be in (0, 1)")
     capacity = int(1.0 / s) + 1
 
+    from lightning_metastore_spark.operators._cache import persist_slot
+
+    # the item stream (typically an exploded tokenization) feeds the
+    # sketch pass, the total count AND the exact verify — persist it
+    # once (single-slot) so the upstream fan-out runs a single time
+    items = persist_slot("heavy_hitters.items", items)
+
     def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         for pdf in batches:

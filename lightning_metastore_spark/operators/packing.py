@@ -53,7 +53,8 @@ def packed_offsets(docs: DataFrame, capacity: int = 2048,
     """
     tc = docs.select(
         F.col(id_col),
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"(\S+)"), 1))
+        F.size(F.regexp_extract_all(F.coalesce(F.col(text_col), F.lit("")),
+                                    F.lit(r"(\S+)"), 1))
         .alias("n_tokens"))
     # four consumers follow (max-id probe, quantile sketch, block sums,
     # final window); materialize the 16-byte-per-doc relation once so
@@ -137,7 +138,8 @@ def greedy_pack_bins(docs: DataFrame, capacity: int = 2048,
 
     tc = docs.select(
         F.col(id_col),
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"(\S+)"), 1))
+        F.size(F.regexp_extract_all(F.coalesce(F.col(text_col), F.lit("")),
+                                    F.lit(r"(\S+)"), 1))
         .alias("n_tokens"),
         F.pmod(F.hash(F.col(id_col)), F.lit(n_shards)).alias("shard"))
 

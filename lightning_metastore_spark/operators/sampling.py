@@ -101,14 +101,16 @@ def weighted_sample_n(docs: DataFrame, n: int, weight_col: str,
     distributed TakeOrdered (each partition surfaces its n best, the
     driver merges n) — no global sort, no shuffle of the corpus. Keys
     round to 9dp with an id tiebreak so the ranking is engine-stable
-    (the cosine discipline). Weights must be >= 1; zero/negative
-    weights are rejected rows would otherwise divide by zero.
+    (the cosine discipline). Weights must be > 0 (any positive weight
+    is a legal E-S input — quality scores in (0, 1] included);
+    zero/negative weights are rejected (they would divide by zero or
+    invert the key order).
     """
     u = ((F.conv(F.substring(
         F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
         1, 8), 16, 10).cast("double") + 1.0) / (_HASH_SPACE + 1.0))
     key = F.round(-F.log(u) / F.col(weight_col), 9)
-    ranked = (docs.filter(F.col(weight_col) >= 1)
+    ranked = (docs.filter(F.col(weight_col) > 0)
               .select(F.col(id_col), F.col(weight_col),
                       key.alias("_k"))
               .orderBy(F.asc("_k"), F.asc(id_col))

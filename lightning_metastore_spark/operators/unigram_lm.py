@@ -220,6 +220,8 @@ def apply_unigram_lm(docs: DataFrame, pieces: list[tuple[str, float]],
         for pdf in batches:
             rows = []
             for rid, words in zip(pdf[id_col], pdf["words"]):
+                if words is None:        # NULL text -> empty doc row
+                    words = []
                 n_tok, lp = 0, 0.0
                 for w in words:
                     t, l = word_stats(w)

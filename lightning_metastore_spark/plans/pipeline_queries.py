@@ -2832,7 +2832,7 @@ WITH u AS (
   SELECT doc_id, n_chars, ({HEX8} + 1.0) / 4294967297.0 AS u
   FROM (SELECT doc_id, n_chars,
                md5('wsample:' || CAST(doc_id AS VARCHAR)) AS h
-        FROM documents WHERE n_chars >= 1)
+        FROM documents WHERE n_chars > 0)
 ), keyed AS (
   SELECT doc_id, n_chars, ROUND(-LN(u) / n_chars, 9) AS k FROM u
 ), ranked AS (

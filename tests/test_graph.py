@@ -116,3 +116,34 @@ def test_triangle_counts_matches_naive(spark):
     got = {r.node: r.n_triangles for r in triangle_counts(
         spark.createDataFrame(edges, "src long, dst long")).collect()}
     assert got == want
+
+
+def test_pagerank_directed_with_dangling(spark):
+    """symmetrize=False: true directed semantics — sink mass
+    redistributed, source-only and sink nodes all ranked."""
+    from collections import defaultdict
+
+    edges = [(1, 2), (1, 3), (3, 2), (4, 1)]  # 2 is a sink, 4 a source
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, n_iter=4, symmetrize=False).collect()}
+
+    out = defaultdict(list)
+    nodes = sorted({n for e in edges for n in e})
+    for a, b in edges:
+        out[a].append(b)
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(4):
+        incoming = {v: 0.0 for v in nodes}
+        for u in nodes:
+            for v in out.get(u, ()):
+                incoming[v] += rank[u] / len(out[u])
+        dang = sum(rank[u] for u in nodes if not out.get(u))
+        rank = {v: 0.15000000000000002 / n
+                + 0.85 * (incoming[v] + dang / n) for v in nodes}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v] == pytest.approx(rank[v], abs=1e-12), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert got[2] == max(got.values())   # the sink everybody points at

@@ -198,3 +198,76 @@ def test_token_encoding_matches_naive(texts, vocab_size):
         assert got[doc_id] == (
             len(ids), sum(1 for x in ids if x == 0), len(set(ids)),
             sum((p + 1) * x for p, x in enumerate(ids)))
+
+
+def test_null_and_degenerate_inputs_do_not_crash(spark):
+    """Review batch: NULL text / NULL vectors are survivable everywhere
+    an Arrow or size() path used to choke (scraped corpora contain
+    them)."""
+    from pyspark.sql import functions as F
+
+    from lightning_metastore_spark.operators.bpe import (
+        apply_bpe_merges, learn_bpe_merges)
+    from lightning_metastore_spark.operators.chunking import chunk_documents
+    from lightning_metastore_spark.operators.dedup import semantic_dedup
+    from lightning_metastore_spark.operators.packing import greedy_pack_bins
+    from lightning_metastore_spark.operators.unigram_lm import (
+        apply_unigram_lm, train_unigram_lm)
+
+    docs = spark.createDataFrame(
+        [(1, "real text body here"), (2, None), (3, "")],
+        "doc_id long, text string")
+
+    merges = learn_bpe_merges(docs, n_merges=2, min_pair_freq=1)
+    bpe = {r.doc_id: r.n_words for r in apply_bpe_merges(docs, merges).collect()}
+    assert bpe[2] == 0 and bpe[3] == 0 and bpe[1] == 4
+
+    pieces = train_unigram_lm(docs, vocab_size=8, em_iters=1,
+                              max_piece_len=2, seed_size=16)
+    ulm = {r.doc_id: r.n_words
+           for r in apply_unigram_lm(docs, pieces).collect()}
+    assert ulm[2] == 0 and ulm[1] == 4
+
+    ch = chunk_documents(docs, chunk_size=4, overlap=1)
+    per_doc = {r.doc_id for r in ch.collect()}
+    assert per_doc == {1, 2, 3}          # every doc_id appears
+    assert all(r.n_chunk_tokens >= 0 for r in ch.collect())
+
+    bins = {r.doc_id: r for r in
+            greedy_pack_bins(docs, capacity=8, n_shards=2).collect()}
+    assert bins[2].n_tokens == 0 and bins[2].bin_fill >= 0
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, None), (4, None),
+         (5, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>")
+    sem = {r.vec_id: r.kept for r in semantic_dedup(emb, threshold=0.99,
+                                                    n_planes=2).collect()}
+    # degenerate rows survive as kept=1; the near-dup pair still dedups
+    assert sem[3] == 1 and sem[4] == 1 and sem[5] == 1
+    assert (sem[1], sem[2]) in {(1, 0), (0, 1)}
+
+
+def test_weighted_sample_accepts_fractional_weights(spark):
+    from lightning_metastore_spark.operators.sampling import (
+        weighted_sample_n)
+
+    df = spark.createDataFrame(
+        [(i, 0.05 + (i % 10) / 10.0) for i in range(100)],
+        "doc_id long, w double")
+    out = weighted_sample_n(df, n=20, weight_col="w")
+    assert out.count() == 20             # (0,1] weights are legal E-S input
+    # zero/negative weights still rejected
+    df2 = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 0.5)],
+                                "doc_id long, w double")
+    rows = weighted_sample_n(df2, n=5, weight_col="w").collect()
+    assert [r.doc_id for r in rows] == [3]
+
+
+def test_dedup_lines_literal_separator(spark):
+    from lightning_metastore_spark.operators.cleaning import (
+        dedup_lines_within_doc)
+
+    df = spark.createDataFrame([(1, "a|b|a|c")], "doc_id long, text string")
+    row = dedup_lines_within_doc(df, line_sep="|").collect()[0]
+    assert row.text == "a|b|c" and (row.n_lines, row.n_kept) == (4, 3)
