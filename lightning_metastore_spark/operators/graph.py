@@ -22,8 +22,10 @@ Scale notes (100 TB / 1000-executor shapes):
   cost profile as one groupBy. Degrees are computed once up front.
 - ``persist_every`` truncates lineage: without it, k iterations build
   a 2k-join plan that Catalyst must re-analyze each action and that
-  re-executes from the scan on failure. For k <= ~4 the composed plan
-  is fine (gate default); for deep iteration pass e.g. 2.
+  re-executes from the scan on failure — and the dangling-mass scalar
+  references the rank vector a second time, so the UNPERSISTED rank
+  tree doubles per iteration. For k <= ~4 the composed plan is fine
+  (gate default); for deep iteration pass persist_every=2.
 - Skewed hubs (celebrity nodes) concentrate one reduce key per hot
   destination; AQE skew-join handles the join side, and the decimal
   SUM is a plain hash aggregate with map-side partial aggregation.
