@@ -51,6 +51,7 @@ _LIGHTNING_HEADS = (
     re.compile(r"^(COMPILE|ACTIVATE|LOAD|UPDATE|REMOVE)\s+USL\b", re.I),
     re.compile(r"^(LIST|RUN|REMOVE|SHOW)\s+DQ\b", re.I),
     re.compile(r"^RUN\s+PIPELINE\b", re.I),
+    re.compile(r"^LIST\s+PIPELINE\s+OPS\b", re.I),
     re.compile(r"^SHOW\s+NAMESPACES\s+OR\s+TABLES\b", re.I),
     re.compile(r"^(CREATE|DROP)\s+NAMESPACE\s+(IF\s+(NOT\s+)?EXISTS\s+)?LIGHTNING\.", re.I),
     re.compile(r"^SHOW\s+(NAMESPACES|TABLES)\s+IN\s+LIGHTNING\b", re.I),
@@ -1083,6 +1084,21 @@ class RunPipeline(Command):
 
 
 @dataclass
+class ListPipelineOps(Command):
+    """`LIST PIPELINE OPS` — discoverability for the RUN PIPELINE
+    surface: one row per op with its typed options."""
+
+    def run(self, ctx) -> DataFrame:
+        rows = []
+        for op, (fn, coercions) in sorted(RunPipeline._registry().items()):
+            opts = ", ".join(f"{k} ({t.__name__})"
+                             for k, t in sorted(coercions.items()))
+            doc = (fn.__doc__ or "").strip().split("\n")[0]
+            rows.append((op, opts, doc[:120]))
+        return self._df(ctx, rows, "op string, options string, doc string")
+
+
+@dataclass
 class RemoveDQ(Command):
     name: str
     table_path: list[str]
@@ -1339,6 +1355,8 @@ def parse_command(sql: str) -> Command:
     m = _R_RUN_DQ.match(text)
     if m:
         return RunDQ(_split_path(m.group("t")), m.group("name"))
+    if re.match(r"^LIST\s+PIPELINE\s+OPS\s*$", text, re.I):
+        return ListPipelineOps()
     m = _R_RUN_PIPELINE.match(text)
     if m:
         return RunPipeline(op=m.group("op").lower(),

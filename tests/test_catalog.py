@@ -410,3 +410,12 @@ def test_run_pipeline_sink_materializes_table(ctx, spark, tmp_path):
     assert sum(r.n for r in back) == spark.read.parquet(
         f"{SF_DIR}/documents.parquet").count()
     assert {r.pred_lang for r in back} >= {"en"}
+
+
+def test_list_pipeline_ops(ctx):
+    rows = ctx.sql("LIST PIPELINE OPS").collect()
+    ops = {r.op for r in rows}
+    assert {"exact_dedup", "quality", "zipf", "cdc_dup_stats",
+            "curate"} <= ops
+    z = next(r for r in rows if r.op == "zipf")
+    assert "top_v (int)" in z.options
