@@ -100,22 +100,33 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                             .cast(_DEC).alias("contrib")))
         summed = (contribs.groupBy("node")
                   .agg(F.sum("contrib").cast("double").alias("in_rank")))
-        # dangling (sink) mass, exactly zero rows/0.0 when symmetric
-        dangling = (ranks.filter(F.col("out_deg") == 0)
-                    .agg(F.coalesce(F.sum(F.col("rank").cast(_DEC))
-                                    .cast("double"), F.lit(0.0))
-                         .alias("dangling")))
-        # nodes without in-edges still receive teleport + dangling share
-        ranks = (nodes.join(summed, "node", "left")
-                 .crossJoin(F.broadcast(n_df))
-                 .crossJoin(F.broadcast(dangling))
-                 .select("node", "out_deg",
-                         (teleport_num / F.col("n_nodes").cast("double")
-                          + F.lit(float(damping))
-                          * (F.coalesce("in_rank", F.lit(0.0))
-                             + F.col("dangling")
-                             / F.col("n_nodes").cast("double")))
-                         .alias("rank")))
+        if symmetrize:
+            # a symmetric graph has no sinks and every node has
+            # in-edges: skip the dangling machinery entirely — it would
+            # reference the rank tree a second time (doubling the
+            # un-persisted plan per iteration) to add an exact 0.0
+            ranks = (summed.crossJoin(F.broadcast(n_df))
+                     .select("node", F.lit(1).alias("out_deg"),
+                             (teleport_num / F.col("n_nodes").cast("double")
+                              + F.lit(float(damping)) * F.col("in_rank"))
+                             .alias("rank")))
+        else:
+            # dangling (sink) mass, redistributed uniformly
+            dangling = (ranks.filter(F.col("out_deg") == 0)
+                        .agg(F.coalesce(F.sum(F.col("rank").cast(_DEC))
+                                        .cast("double"), F.lit(0.0))
+                             .alias("dangling")))
+            # nodes without in-edges still get teleport + dangling share
+            ranks = (nodes.join(summed, "node", "left")
+                     .crossJoin(F.broadcast(n_df))
+                     .crossJoin(F.broadcast(dangling))
+                     .select("node", "out_deg",
+                             (teleport_num / F.col("n_nodes").cast("double")
+                              + F.lit(float(damping))
+                              * (F.coalesce("in_rank", F.lit(0.0))
+                                 + F.col("dangling")
+                                 / F.col("n_nodes").cast("double")))
+                             .alias("rank")))
         if persist_every and (i + 1) % persist_every == 0 and i + 1 < n_iter:
             ranks = ranks.persist()
     return ranks.select("node", "rank")
