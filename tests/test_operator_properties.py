@@ -271,3 +271,54 @@ def test_dedup_lines_literal_separator(spark):
     df = spark.createDataFrame([(1, "a|b|a|c")], "doc_id long, text string")
     row = dedup_lines_within_doc(df, line_sep="|").collect()[0]
     assert row.text == "a|b|c" and (row.n_lines, row.n_kept) == (4, 3)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.text(alphabet="abc xyz.", min_size=0, max_size=120),
+                min_size=1, max_size=6),
+       st.integers(8, 64))
+def test_cdc_chunks_lossless_and_deterministic(texts, modulus):
+    """CDC property: for ANY text, chunk lengths reassemble the
+    whitespace-normalized text exactly and chunking is deterministic."""
+    import re
+
+    from lightning_metastore_spark.operators.dedup import cdc_chunks
+
+    spark = _spark()
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cdc_chunks(df, modulus=modulus).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in rows:
+        norm = re.sub(r"\s+", " ", t, flags=re.ASCII)
+        got = sorted(by_doc.get(i, []), key=lambda r: r.ck)
+        if not norm:
+            assert got == []
+            continue
+        assert sum(r.chunk_len for r in got) == len(norm)
+        assert [r.ck for r in got] == list(range(1, len(got) + 1))
+        assert all(r.chunk_len >= 1 for r in got)
+    again = cdc_chunks(df, modulus=modulus).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                min_size=1, max_size=25),
+       st.booleans())
+def test_pagerank_mass_conserved_any_graph(edge_list, symmetric):
+    """PageRank property: total rank mass is 1 on any graph, in both
+    the symmetric and the directed (dangling-corrected) mode."""
+    from lightning_metastore_spark.operators.graph import pagerank
+
+    edges = [(a, b) for a, b in edge_list if a != b]
+    if not edges:
+        return
+    spark = _spark()
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = pagerank(df, n_iter=3, symmetrize=symmetric).collect()
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 1e-9
+    assert all(r["rank"] > 0 for r in rows)
