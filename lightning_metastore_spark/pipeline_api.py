@@ -51,7 +51,7 @@ Layout:       write_range_clustered, write_zorder_clustered,
 Composed:     curate_corpus, CurationConfig
 Streaming:    lightning_metastore_spark.streaming.events (windowed
               aggregation, stateful sessionizer, stateful funnel,
-              attribution join);
+              stateful rolling z-score, attribution join);
               lightning_metastore_spark.streaming.ingest (corpus
               ingestion with incremental dedup: build_dedup_index,
               dedup_batch_against_index, start_dedup_ingest_sink)

@@ -263,3 +263,90 @@ def funnel_stateful(events: DataFrame,
                 stateStructType=_FUNNEL_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+_ZSCORE_STATE_SCHEMA = "hours array<long>, counts array<long>"
+_ZSCORE_OUT_SCHEMA = ("key string, bucket_start timestamp, n long, "
+                      "zscore double")
+
+
+def rolling_zscore_stateful(events: DataFrame, trailing: int = 24,
+                            min_periods: int = 12) -> DataFrame:
+    """Streaming twin of operators/temporal.rolling_zscore: per-series
+    hourly-count anomaly scores maintained incrementally via
+    applyInPandasWithState.
+
+    State per series is the trailing ``trailing``+1 observed
+    hourly-bucket counts (bounded — older buckets are pruned as newer
+    ones arrive), so memory never grows with stream length. Each micro-batch merges its hourly
+    counts into the state and re-emits rows for every hour it touched;
+    under ts-ordered arrival the LATEST emission per (key, hour) equals
+    the batch operator exactly (asserted by the batch-equivalence
+    test); a late event updates its hour's count and re-emits that
+    hour's corrected score (update-mode semantics downstream).
+
+    The arithmetic is the batch operator's: trailing mean/variance from
+    exact integer sums over the window EXCLUDING the current hour, NULL
+    until ``min_periods`` trailing buckets exist or variance is zero.
+    """
+    def group_fn(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        (etype,) = key
+        if state.exists:
+            hours, counts = state.get
+            hist = dict(zip(hours, counts))
+        else:
+            hist = {}
+        touched = set()
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            hour_us = (pdf["ts"].astype("int64") // 1000) \
+                // 3_600_000_000 * 3_600_000_000
+            for h, c in hour_us.value_counts().items():
+                h = int(h)
+                hist[h] = hist.get(h, 0) + int(c)
+                touched.add(h)
+        # emit BEFORE pruning: a wide batch can touch hours older
+        # than the retention horizon whose windows need the unpruned
+        # map. The window is ROW-based — the trailing ``trailing``
+        # OBSERVED buckets before h (matching the batch operator's
+        # ROWS BETWEEN frame), not clock hours.
+        full_ks = sorted(hist)
+        rows = []
+        for h in sorted(touched):
+            idx = full_ks.index(h)
+            window = [hist[p] for p in full_ks[max(0, idx - trailing):idx]]
+            z = None
+            t_n = len(window)
+            if t_n >= min_periods:
+                t_sum = sum(window)
+                t_sumsq = sum(c * c for c in window)
+                num = t_n * t_sumsq - t_sum * t_sum
+                if num > 0:
+                    mean = t_sum / t_n
+                    var = num / (t_n * t_n)
+                    z = round((hist[h] - mean) / (var ** 0.5), 6)
+            rows.append({"key": etype,
+                         "bucket_start": pd.Timestamp(h, unit="us"),
+                         "n": hist[h], "zscore": z})
+        # prune state: only the last ``trailing``+1 OBSERVED buckets
+        # can serve any window at or after the newest hour
+        ks = sorted(hist)[-(trailing + 1):]
+        state.update((ks, [hist[h] for h in ks]))
+        yield (pd.DataFrame(rows,
+                            columns=["key", "bucket_start", "n", "zscore"])
+               if rows else
+               pd.DataFrame({"key": pd.Series(dtype="object"),
+                             "bucket_start":
+                             pd.Series(dtype="datetime64[us]"),
+                             "n": pd.Series(dtype="int64"),
+                             "zscore": pd.Series(dtype="float64")}))
+
+    return (events
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                group_fn,
+                outputStructType=_ZSCORE_OUT_SCHEMA,
+                stateStructType=_ZSCORE_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -408,3 +408,48 @@ def test_stateful_funnel_matches_batch(spark, tmp_path):
     for s in (1, 2, 3):
         streamed_n = sum(1 for k in reached.values() if k >= s)
         assert streamed_n == batch[s], (s, streamed_n, batch[s])
+
+
+def test_stateful_rolling_zscore_matches_batch(spark, tmp_path):
+    """Streaming per-series anomaly scores across multiple ts-ordered
+    micro-batches: the LATEST emission per (key, hour) must equal the
+    batch rolling_zscore on the same events."""
+    import time
+
+    from lightning_metastore_spark.operators.temporal import rolling_zscore
+
+    events = load_tables(spark, SF_DIR, ("events",))["events"]
+    d = tmp_path / "z_stream"
+    d.mkdir()
+    bounds = events.selectExpr(
+        "percentile(CAST(ts AS DOUBLE), array(1.0D/3, 2.0D/3)) AS q"
+    ).collect()[0]["q"]
+    bounds = [F.lit(b).cast("timestamp") for b in bounds]
+    parts = [events.filter(F.col("ts") <= bounds[0]),
+             events.filter((F.col("ts") > bounds[0])
+                           & (F.col("ts") <= bounds[1])),
+             events.filter(F.col("ts") > bounds[1])]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(str(d / f"chunk_{i}"))
+        for f in (d / f"chunk_{i}").glob("*.parquet"):
+            f.rename(d / f"part_{i}.parquet")
+        time.sleep(0.05)
+    stream = sev.read_event_stream(spark, str(d), max_files_per_trigger=1)
+    out = sev.rolling_zscore_stateful(stream)
+    sev.run_to_memory(out, "z_state", output_mode="update")
+    # keep the LAST emission per (key, hour): batches can re-emit an
+    # hour with a refined count; memory-sink update mode appends, so
+    # dedupe by max n (counts only grow under ordered arrival)
+    streamed = {(r.key, r.bucket_start): (r.n, r.zscore)
+                for r in spark.sql("""
+                    SELECT key, bucket_start, n, zscore FROM (
+                      SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY key, bucket_start
+                        ORDER BY n DESC) AS rk
+                      FROM z_state) WHERE rk = 1
+                """).collect()}
+    batch = {(r.key, r.bucket_start): (r.n, r.zscore)
+             for r in rolling_zscore(events).collect()}
+    assert set(streamed) == set(batch)
+    for k in batch:
+        assert streamed[k] == batch[k], k
