@@ -176,3 +176,48 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst",
                     F.when(F.col("degree") >= 2,
                            F.round(F.coalesce(cc, F.lit(0.0)), 6))
                     .alias("clustering")))
+
+
+def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
+                      n_iter: int = 5, symmetrize: bool = True) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA):
+    (node, community). Labels start as node ids; each round every node
+    adopts the most frequent label among its neighbors, ties broken by
+    the SMALLEST label — fully deterministic, the same rule the naive
+    twin replays.
+
+    Connected components (operators/dedup.py) answers "what is
+    transitively linked"; LPA answers the finer "which densely-linked
+    sub-family inside a component" — template families inside a big
+    weakly-joined dup cluster.
+
+    Scale shape: per round ONE join of the label vector with the edge
+    list + one (node, label) count agg + one argmax agg — all keyed by
+    node id, the PageRank cost profile. Synchronous updates may
+    oscillate on bipartite-ish structures, so the round count is
+    bounded by ``n_iter`` (communities stabilize in a few rounds on
+    near-dup graphs).
+    """
+    from lightning_metastore_spark.operators._cache import persist_slot
+
+    e = edges.select(F.col(src).cast("long").alias("src"),
+                     F.col(dst).cast("long").alias("dst"))
+    if symmetrize:
+        e = e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst")))
+    e = persist_slot("lpa.edges", e.filter(F.col("src") != F.col("dst"))
+                     .distinct())
+    labels = (e.select(F.col("src").alias("node")).distinct()
+              .withColumn("community", F.col("node")))
+    for _ in range(n_iter):
+        neigh = (e.join(labels.withColumnRenamed("node", "dst")
+                        .withColumnRenamed("community", "nl"), "dst")
+                 .groupBy(F.col("src").alias("node"), F.col("nl"))
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+        # argmax by (count desc, label asc): max of (cnt, -label)
+        labels = (neigh.groupBy("node")
+                  .agg(F.max(F.struct(F.col("cnt"),
+                                      (-F.col("nl")).alias("neg")))
+                       .alias("m"))
+                  .select("node", (-F.col("m.neg")).alias("community")))
+    return labels

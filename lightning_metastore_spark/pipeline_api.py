@@ -40,7 +40,8 @@ Temporal:     asof_join, range_join, hypertable_rollup,
               gap_filled_hourly, lttb_downsample, rolling_zscore,
               funnel_counts, rolling_active_users (DAU/WAU)
 Graph:        pagerank (power iteration over edge lists),
-              triangle_counts (oriented-wedge join)
+              triangle_counts (oriented-wedge join),
+              label_propagation (LPA communities)
 Multimodal:   image_dhash, dhash_neardup_pairs (perceptual image
               dedup), frame_audio + audio_features (speech windowing
               and batched-DSP front end);
@@ -156,6 +157,7 @@ from lightning_metastore_spark.operators.similarity import (  # noqa: F401
     refresh_topk,
 )
 from lightning_metastore_spark.operators.graph import (  # noqa: F401
+    label_propagation,
     pagerank,
     triangle_counts,
 )

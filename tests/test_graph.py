@@ -147,3 +147,43 @@ def test_pagerank_directed_with_dangling(spark):
         assert got[v] == pytest.approx(rank[v], abs=1e-12), v
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
     assert got[2] == max(got.values())   # the sink everybody points at
+
+
+def test_label_propagation_separates_dense_families(spark):
+    from lightning_metastore_spark.operators.graph import label_propagation
+
+    # two 4-cliques joined by ONE bridge edge: CC sees one component,
+    # LPA separates the two dense families
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    bridge = [(3, 10)]
+    df = spark.createDataFrame(c1 + c2 + bridge, "src long, dst long")
+    out = {r.node: r.community
+           for r in label_propagation(df, n_iter=5).collect()}
+    assert len({out[v] for v in range(4)}) == 1
+    assert len({out[v] for v in range(10, 14)}) == 1
+    assert out[0] != out[10]
+
+
+def test_label_propagation_matches_naive(spark):
+    from collections import Counter, defaultdict
+
+    from lightning_metastore_spark.operators.graph import label_propagation
+
+    edges = _random_edges(29, n_nodes=25, n_edges=60)
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    lab = {v: v for v in adj}
+    for _ in range(4):
+        nxt = {}
+        for v in adj:
+            c = Counter(lab[u] for u in adj[v])
+            best = min(c, key=lambda l: (-c[l], l))
+            nxt[v] = best
+        lab = nxt
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.community
+           for r in label_propagation(df, n_iter=4).collect()}
+    assert got == lab
