@@ -1044,6 +1044,16 @@ class RunPipeline(Command):
             "boilerplate": (cleaning.remove_boilerplate_lines,
                             {"max_df": int}),
             "curate": (curate, {"min_quality": float}),
+            # two-table op: the benchmark side is another lightning
+            # table, resolved via the TABLE option coercion
+            "contamination": (
+                lambda df, bench, n=3, flag_threshold=0.5:
+                __import__("lightning_metastore_spark.operators."
+                           "contamination",
+                           fromlist=["contamination_overlap"])
+                .contamination_overlap(df, bench, n=n,
+                                       flag_threshold=flag_threshold),
+                {"bench": "TABLE", "n": int, "flag_threshold": float}),
         }
 
     def run(self, ctx) -> DataFrame:
@@ -1056,11 +1066,22 @@ class RunPipeline(Command):
         kwargs = {}
         for k, v in self.options.items():
             coerce = coercions.get(k, str)
+            if coerce == "TABLE":
+                # a second lightning table participates (e.g. the
+                # decontamination benchmark): resolve it like ON's table
+                kwargs[k] = ctx.resolver.load_table(_split_path(v))
+                continue
             try:
                 kwargs[k] = coerce(v)
             except ValueError as e:
                 raise CommandParseError(
                     f"bad value for option {k!r}: {v!r}") from e
+        missing = [k for k, t in coercions.items()
+                   if t == "TABLE" and k not in kwargs]
+        if missing:
+            raise CommandParseError(
+                f"op {self.op!r} requires table option(s): "
+                + ", ".join(missing))
         df = ctx.resolver.load_table(self.table_path)
         out = fn(df, **kwargs)
         if self.sink_path is None:
@@ -1091,8 +1112,9 @@ class ListPipelineOps(Command):
     def run(self, ctx) -> DataFrame:
         rows = []
         for op, (fn, coercions) in sorted(RunPipeline._registry().items()):
-            opts = ", ".join(f"{k} ({t.__name__})"
-                             for k, t in sorted(coercions.items()))
+            opts = ", ".join(
+                f"{k} ({t if isinstance(t, str) else t.__name__})"
+                for k, t in sorted(coercions.items()))
             doc = (fn.__doc__ or "").strip().split("\n")[0]
             rows.append((op, opts, doc[:120]))
         return self._df(ctx, rows, "op string, options string, doc string")

@@ -419,3 +419,34 @@ def test_list_pipeline_ops(ctx):
             "curate"} <= ops
     z = next(r for r in rows if r.op == "zipf")
     assert "top_v (int)" in z.options
+
+
+def test_run_pipeline_contamination_two_tables(ctx, spark, tmp_path):
+    """Two-table pipeline op through SQL: decontamination of a corpus
+    table against a REGISTERED benchmark table."""
+    from lightning_metastore_spark.operators.contamination import (
+        contamination_overlap)
+
+    bench_dir = tmp_path / "benchdata"
+    bench_dir.mkdir()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.filter("doc_id % 25 = 0").write.parquet(str(bench_dir / "bench"))
+
+    ctx.sql("CREATE NAMESPACE lightning.datasource.file")
+    ctx.sql(f"REGISTER PARQUET DATASOURCE tpch OPTIONS(path '{SF_DIR}') "
+            f"NAMESPACE lightning.datasource.file")
+    ctx.sql(f"REGISTER PARQUET DATASOURCE ev OPTIONS(path '{bench_dir}') "
+            f"NAMESPACE lightning.datasource.file")
+    out = ctx.sql(
+        "RUN PIPELINE contamination ON lightning.datasource.file.tpch.documents "
+        "OPTIONS(bench 'lightning.datasource.file.ev.bench', n '3')")
+    bench_df = spark.read.parquet(str(bench_dir / "bench"))
+    want = sorted(map(tuple,
+                      contamination_overlap(docs, bench_df, n=3).collect()))
+    assert sorted(map(tuple, out.collect())) == want
+    # missing required table option is a clear error
+    import pytest as _pt
+    from lightning_metastore_spark.parser.dispatcher import CommandParseError
+    with _pt.raises(CommandParseError, match="requires table option"):
+        ctx.sql("RUN PIPELINE contamination ON "
+                "lightning.datasource.file.tpch.documents")
