@@ -1044,8 +1044,18 @@ class RunPipeline(Command):
             "boilerplate": (cleaning.remove_boilerplate_lines,
                             {"max_df": int}),
             "curate": (curate, {"min_quality": float}),
-            # two-table op: the benchmark side is another lightning
+            # two-table ops: the second side is another lightning
             # table, resolved via the TABLE option coercion
+            "asof_join": (
+                lambda df, right, ts_col="ts", by="user_id",
+                tolerance_seconds=None:
+                __import__("lightning_metastore_spark.operators.temporal",
+                           fromlist=["asof_join"])
+                .asof_join(df, right, ts_col=ts_col,
+                           by=tuple(by.split(",")),
+                           tolerance_seconds=tolerance_seconds),
+                {"right": "TABLE", "ts_col": str, "by": str,
+                 "tolerance_seconds": float}),
             "contamination": (
                 lambda df, bench, n=3, flag_threshold=0.5:
                 __import__("lightning_metastore_spark.operators."

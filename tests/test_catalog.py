@@ -450,3 +450,18 @@ def test_run_pipeline_contamination_two_tables(ctx, spark, tmp_path):
     with _pt.raises(CommandParseError, match="requires table option"):
         ctx.sql("RUN PIPELINE contamination ON "
                 "lightning.datasource.file.tpch.documents")
+
+
+def test_run_pipeline_asof_join(ctx, spark):
+    from lightning_metastore_spark.operators.temporal import asof_join
+
+    ctx.sql("CREATE NAMESPACE lightning.datasource.file")
+    ctx.sql(f"REGISTER PARQUET DATASOURCE tpch OPTIONS(path '{SF_DIR}') "
+            f"NAMESPACE lightning.datasource.file")
+    out = ctx.sql(
+        "RUN PIPELINE asof_join ON lightning.datasource.file.tpch.events "
+        "OPTIONS(right 'lightning.datasource.file.tpch.events', "
+        "by 'user_id')")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert out.count() == events.count()
+    assert any(c.endswith("_asof") for c in out.columns)
