@@ -416,3 +416,38 @@ def rolling_active_users(events: DataFrame, window_days: int = 7,
             .agg(F.countDistinct("u").cast("long").alias("n_active"))
             .select(F.col("day").cast("timestamp").alias("day"),
                     "n_active"))
+
+
+def retention_cohorts(events: DataFrame, max_offset_days: int = 7,
+                      ts_col: str = "ts",
+                      user_col: str = "user_id") -> DataFrame:
+    """Cohort retention: (cohort_day, offset_days, n_active, retention)
+    — for each first-activity cohort, the fraction of its users active
+    again ``offset_days`` later (offset 0 is the cohort itself,
+    retention 1.0 by construction). The product-analytics staple next
+    to funnels.
+
+    Shape: raw events collapse to (user, day) once; the per-user
+    first-day (cohort) is one min-aggregation joined back on user_id
+    (same key — partitioning reused); per-(cohort, offset) distinct
+    actives and cohort sizes are two further keyed aggregations. All
+    shuffles carry user/day pairs, never raw events.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    ud = (events.select(F.col(user_col).alias("u"), day.alias("d"))
+          .distinct())
+    first = ud.groupBy("u").agg(F.min("d").alias("cohort"))
+    act = (ud.join(first, "u")
+           .withColumn("offset_days",
+                       F.datediff(F.col("d"), F.col("cohort")))
+           .filter(F.col("offset_days") <= max_offset_days))
+    ret = (act.groupBy("cohort", "offset_days")
+           .agg(F.countDistinct("u").alias("n_active")))
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1))
+                                        .alias("cohort_size"))
+    return (ret.join(sizes, "cohort")
+            .select(F.col("cohort").cast("timestamp").alias("cohort_day"),
+                    F.col("offset_days").cast("long").alias("offset_days"),
+                    F.col("n_active").cast("long").alias("n_active"),
+                    F.round(F.col("n_active")
+                            / F.col("cohort_size"), 6).alias("retention")))

@@ -38,7 +38,8 @@ Embeddings:   scalar_quantize_stats, random_project,
               norm_outliers (robust norm screen)
 Temporal:     asof_join, range_join, hypertable_rollup,
               gap_filled_hourly, lttb_downsample, rolling_zscore,
-              funnel_counts, rolling_active_users (DAU/WAU)
+              funnel_counts, rolling_active_users (DAU/WAU),
+              retention_cohorts
 Graph:        pagerank (power iteration over edge lists),
               triangle_counts (oriented-wedge join),
               label_propagation (LPA communities)
@@ -172,6 +173,7 @@ from lightning_metastore_spark.operators.temporal import (  # noqa: F401
     hypertable_rollup,
     lttb_downsample,
     range_join,
+    retention_cohorts,
     rolling_active_users,
     rolling_zscore,
 )

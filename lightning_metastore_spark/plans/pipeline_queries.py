@@ -1683,6 +1683,7 @@ def temporal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         funnel_counts,
         gap_filled_hourly,
         hypertable_rollup,
+        retention_cohorts,
         rolling_active_users,
         rolling_zscore,
     )
@@ -1712,8 +1713,15 @@ def temporal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.lit("(all)").alias("key"),
                    F.col("n_active").alias("n"),
                    F.lit(None).cast("double").alias("sum_value")))
+    ret = (retention_cohorts(t["events"], max_offset_days=7)
+           .select(F.lit("retention").alias("resolution"),
+                   F.col("cohort_day").alias("bucket_start"),
+                   F.concat(F.lit("d"), F.col("offset_days").cast("string"))
+                   .alias("key"),
+                   F.col("n_active").alias("n"),
+                   F.col("retention").alias("sum_value")))
     return (rollup.unionByName(fill).unionByName(z).unionByName(fun)
-            .unionByName(wau)
+            .unionByName(wau).unionByName(ret)
             .orderBy("resolution", "bucket_start", "key"))
 
 
@@ -1806,6 +1814,31 @@ SELECT * FROM (
     FROM serves
     WHERE w <= (SELECT MAX(d) FROM ud)
     GROUP BY w
+  )
+  UNION ALL
+  SELECT 'retention', cohort, 'd' || CAST(offset_days AS VARCHAR),
+         n_active, ROUND(CAST(n_active AS DOUBLE) / cohort_size, 6)
+  FROM (
+    WITH ud AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+      FROM events
+    ), firsts AS (
+      SELECT u, MIN(d) AS cohort FROM ud GROUP BY 1
+    ), act AS (
+      SELECT f.cohort, date_diff('day', f.cohort, ud.d) AS offset_days,
+             ud.u
+      FROM ud JOIN firsts f ON f.u = ud.u
+      WHERE date_diff('day', f.cohort, ud.d) <= 7
+    ), ret AS (
+      SELECT cohort, offset_days,
+             CAST(COUNT(DISTINCT u) AS BIGINT) AS n_active
+      FROM act GROUP BY 1, 2
+    ), sizes AS (
+      SELECT cohort, COUNT(*) AS cohort_size FROM firsts GROUP BY 1
+    )
+    SELECT r.cohort, r.offset_days, r.n_active, s.cohort_size
+    FROM ret r JOIN sizes s USING (cohort)
   )
 )
 ORDER BY resolution, bucket_start, key
@@ -3021,7 +3054,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   TEMPORAL_ROLLUP_ORACLE,
                   "hypertable rollup (grouping sets) + calendar "
                   "gap-fill + rolling z-score anomaly + ordered "
-                  "funnel + trailing-window actives (WAU)"),
+                  "funnel + trailing-window actives (WAU) + cohort retention"),
         QuerySpec("stream_events", stream_events, STREAM_EVENTS_ORACLE,
                   "streamed windowed agg + exactly-once dedup == batch"),
         QuerySpec("dq_suite", dq_suite, DQ_SUITE_ORACLE,

@@ -297,3 +297,35 @@ def test_rolling_active_users_matches_naive(spark):
         assert got[w] == len(active), w
     # every output day has observed data through max(day) only
     assert max(got) == max(days)
+
+
+def test_retention_cohorts_matches_naive(spark):
+    import datetime as dt
+    from collections import defaultdict
+
+    from lightning_metastore_spark.operators.temporal import (
+        retention_cohorts)
+
+    base = dt.datetime(2024, 4, 1)
+    rows, eid = [], 0
+    # cohort A (day 0): users 1-4; user 1 returns d1, d3; user 2 d3
+    # cohort B (day 2): users 10-11; user 10 returns d1
+    for u in (1, 2, 3, 4):
+        rows.append((eid, base, u)); eid += 1
+    rows += [(eid, base + dt.timedelta(days=1), 1), ]; eid += 1
+    rows += [(eid, base + dt.timedelta(days=3), 1)]; eid += 1
+    rows += [(eid, base + dt.timedelta(days=3), 2)]; eid += 1
+    for u in (10, 11):
+        rows.append((eid, base + dt.timedelta(days=2), u)); eid += 1
+    rows += [(eid, base + dt.timedelta(days=3), 10)]; eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    out = {(r.cohort_day.date(), r.offset_days): (r.n_active, r.retention)
+           for r in retention_cohorts(df, max_offset_days=7).collect()}
+    d0 = base.date()
+    assert out[(d0, 0)] == (4, 1.0)
+    assert out[(d0, 1)] == (1, 0.25)
+    assert out[(d0, 3)] == (2, 0.5)
+    d2 = (base + dt.timedelta(days=2)).date()
+    assert out[(d2, 0)] == (2, 1.0)
+    assert out[(d2, 1)] == (1, 0.5)
+    assert (d0, 2) not in out         # nobody from cohort A on day 2
