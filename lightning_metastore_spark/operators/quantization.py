@@ -148,3 +148,87 @@ def norm_outliers(emb: DataFrame, k: float = 3.0, exact: bool = False,
                     F.when(iqr > 0, F.round(rz, 6)).alias("rz"),
                     F.when(iqr > 0, F.abs(rz) > F.lit(float(k)))
                     .otherwise(F.lit(False)).alias("is_outlier")))
+
+
+def power_iteration_pca(emb: DataFrame, k: int = 2, n_iter: int = 10,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id"):
+    """Top-``k`` principal components by distributed orthogonal (block
+    power) iteration — PCA without ever materializing the d x d
+    covariance: each iteration computes Y = Xc^T (Xc V) with two
+    passes over the data and a driver-side QR of the d x k block.
+
+    Returns (components, mean) as numpy arrays (d x k, and d) — the
+    projection model a pipeline ships (compose with
+    ``random_project``-style application or a mapInPandas transform).
+    Components have deterministic sign (largest-|loading| entry made
+    positive) and a deterministic md5-seeded start, so runs are
+    reproducible.
+
+    Scale shape: the mean and each iteration's Y are (d x k)-sized
+    aggregates — executors stream rows through one Arrow-batched GEMM
+    per batch and emit PARTIAL (d x k) blocks; the driver only ever
+    reduces p blocks of d*k numbers and runs QR on d x k (KBs). The
+    corpus is scanned 1 + n_iter times; persist the (centered) input
+    when iterating deeply.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    base = emb.select(F.col(vec_col).cast("array<double>").alias("v")) \
+        .filter(F.col("v").isNotNull())
+    first = base.select(F.size("v").alias("d")).first()
+    if first is None:
+        raise ValueError("power_iteration_pca: empty input")
+    d = int(first["d"])
+
+    # mean vector: one exploded dim-keyed agg (d rows back to driver)
+    ex = base.select(F.posexplode("v").alias("dim", "x"))
+    mean_rows = (ex.groupBy("dim").agg(F.avg("x").alias("m"))
+                 .orderBy("dim").collect())
+    mean = np.array([r["m"] for r in mean_rows])
+
+    # deterministic start block from md5 digits
+    V = np.array([[int(hashlib.md5(f"pca:{i}:{j}".encode())
+                       .hexdigest()[:8], 16) / 0xFFFFFFFF - 0.5
+                   for j in range(k)] for i in range(d)])
+    V, _ = np.linalg.qr(V)
+
+    def make_pass(Vb, meanb):
+        def run(batches):
+            total = np.zeros((d, k))
+            seen = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["v"].to_numpy()) - meanb
+                total += X.T @ (X @ Vb)
+                seen = True
+            if seen:
+                yield pd.DataFrame({"dim": np.repeat(np.arange(d), k),
+                                    "j": np.tile(np.arange(k), d),
+                                    "val": total.ravel()})
+            else:
+                yield pd.DataFrame({"dim": pd.Series(dtype="int64"),
+                                    "j": pd.Series(dtype="int64"),
+                                    "val": pd.Series(dtype="float64")})
+        return run
+
+    for _ in range(n_iter):
+        rows = (base.mapInPandas(make_pass(V, mean),
+                                 schema="dim long, j long, val double")
+                .groupBy("dim", "j").agg(F.sum("val").alias("y"))
+                .collect())
+        Y = np.zeros((d, k))
+        for r in rows:
+            Y[int(r["dim"]), int(r["j"])] = r["y"]
+        V, _ = np.linalg.qr(Y)
+
+    # deterministic sign: make the largest-|loading| coordinate positive
+    for j in range(k):
+        i = int(np.argmax(np.abs(V[:, j])))
+        if V[i, j] < 0:
+            V[:, j] = -V[:, j]
+    return V, mean

@@ -113,3 +113,39 @@ def test_norm_outliers_approx_close_to_exact(spark):
     agree = sum(1 for k in ex
                 if bool(ex[k].is_outlier) == bool(ap[k].is_outlier))
     assert agree >= len(ex) * 0.98
+
+
+def test_power_iteration_pca_matches_numpy(spark):
+    import numpy as np
+
+    from lightning_metastore_spark.operators.quantization import (
+        power_iteration_pca)
+
+    rng = np.random.default_rng(5)
+    # anisotropic cloud: strong direction u1, weaker u2, noise floor
+    n, dim = 400, 8
+    u1 = np.zeros(dim); u1[0] = 3.0; u1[3] = 4.0   # |u1| = 5
+    u2 = np.zeros(dim); u2[1] = 2.0; u2[5] = -1.0
+    X = (rng.normal(size=(n, 1)) * u1 + rng.normal(size=(n, 1)) * u2
+         + 0.05 * rng.normal(size=(n, dim)) + 7.0)
+    rows = [(i, X[i].tolist()) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    V, mean = power_iteration_pca(emb, k=2, n_iter=15)
+    Xc = X - X.mean(axis=0)
+    _, _, Vt = np.linalg.svd(Xc, full_matrices=False)
+    ref = Vt[:2].T
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    for j in range(2):
+        cos = abs(float(V[:, j] @ ref[:, j]))
+        assert cos > 0.999, (j, cos)
+    # orthonormal block
+    assert np.allclose(V.T @ V, np.eye(2), atol=1e-9)
+    # deterministic across invocations (fixed seed + sign rule)
+    V2, _ = power_iteration_pca(emb, k=2, n_iter=15)
+    assert np.allclose(V, V2)
+    # NULL vectors are ignored, not fatal
+    emb2 = emb.union(spark.createDataFrame([(9999, None)],
+                                           "vec_id long, embedding array<double>"))
+    V3, _ = power_iteration_pca(emb2, k=2, n_iter=15)
+    assert np.allclose(V, V3)
