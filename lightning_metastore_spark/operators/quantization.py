@@ -232,3 +232,44 @@ def power_iteration_pca(emb: DataFrame, k: int = 2, n_iter: int = 10,
         if V[i, j] < 0:
             V[:, j] = -V[:, j]
     return V, mean
+
+
+def apply_pca(emb: DataFrame, components, mean,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Project every vector onto trained principal components:
+    (vec_id, y0..y{k-1}) = (x - mean) @ V. One map-only Arrow GEMM
+    pass with the (d x k) model in the closure — the application half
+    of ``power_iteration_pca`` (dimensionality reduction before ANN /
+    semantic dedup, the deterministic alternative to the random
+    projection when a fitted basis is worth one extra training pass).
+    NULL vectors pass through as NULL coordinates."""
+    import numpy as np
+    import pandas as pd
+
+    V = np.asarray(components, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+    k = V.shape[1]
+    cols = [id_col] + [f"y{j}" for j in range(k)]
+
+    def run(batches):
+        for pdf in batches:
+            ids, good, mats = [], [], []
+            out_rows = []
+            for rid, v in zip(pdf[id_col], pdf["v"]):
+                if v is None or len(v) != V.shape[0]:
+                    out_rows.append([int(rid)] + [None] * k)
+                else:
+                    ids.append(int(rid))
+                    mats.append(np.asarray(v, dtype=np.float64))
+            if mats:
+                Y = (np.stack(mats) - mu) @ V
+                for rid, y in zip(ids, Y):
+                    out_rows.append([rid] + [float(c) for c in y])
+            yield pd.DataFrame(out_rows, columns=cols)
+
+    base = emb.select(F.col(id_col),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    schema = f"{id_col} long, " + ", ".join(f"y{j} double"
+                                            for j in range(k))
+    return base.mapInPandas(run, schema=schema)

@@ -36,7 +36,7 @@ Frequency:    heavy_hitters (space-saving sketch -> exact verify)
 Packing:      packed_offsets, greedy_pack_bins
 Embeddings:   scalar_quantize_stats, random_project,
               norm_outliers (robust norm screen),
-              power_iteration_pca (distributed top-k PCA)
+              power_iteration_pca + apply_pca (distributed top-k PCA)
 Temporal:     asof_join, range_join, hypertable_rollup,
               gap_filled_hourly, lttb_downsample, rolling_zscore,
               funnel_counts, rolling_active_users (DAU/WAU),
@@ -132,6 +132,7 @@ from lightning_metastore_spark.operators.pipeline import (  # noqa: F401
     curate_corpus,
 )
 from lightning_metastore_spark.operators.quantization import (  # noqa: F401
+    apply_pca,
     norm_outliers,
     power_iteration_pca,
     random_project,

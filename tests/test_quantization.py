@@ -149,3 +149,26 @@ def test_power_iteration_pca_matches_numpy(spark):
                                            "vec_id long, embedding array<double>"))
     V3, _ = power_iteration_pca(emb2, k=2, n_iter=15)
     assert np.allclose(V, V3)
+
+
+def test_apply_pca_projects_like_numpy(spark):
+    import numpy as np
+
+    from lightning_metastore_spark.operators.quantization import (
+        apply_pca, power_iteration_pca)
+
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(120, 6)) * np.array([5, 1, 3, 0.5, 0.1, 2])
+    rows = [(i, X[i].tolist()) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    V, mean = power_iteration_pca(emb, k=3, n_iter=12)
+    got = {r.vec_id: [r.y0, r.y1, r.y2]
+           for r in apply_pca(emb, V, mean).collect()}
+    want = (X - mean) @ V
+    for i in range(120):
+        assert np.allclose(got[i], want[i], atol=1e-9), i
+    # NULL vector -> NULL coordinates, row preserved
+    alien = spark.createDataFrame([(999, None)],
+                                  "vec_id long, embedding array<double>")
+    r = apply_pca(alien, V, mean).collect()[0]
+    assert r.vec_id == 999 and r.y0 is None
