@@ -5,6 +5,7 @@ output + index extension, replay safety."""
 from __future__ import annotations
 
 import os
+import time
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -64,6 +65,12 @@ def test_streaming_ingest_extends_index(spark, tmp_path):
     _write_file(src + "/f2.parquet",
                 [(20, OTHER + " tail"),      # near-dup of batch-1's 10
                  (21, THIRD)])
+    # the file source orders micro-batches by modification time and
+    # back-to-back pyarrow writes can tie at coarse mtime granularity
+    # (observed flake: f2 admitted first) — force a strict order
+    now = time.time()
+    os.utime(src + "/f1.parquet", (now - 10, now - 10))
+    os.utime(src + "/f2.parquet", (now, now))
     stream = (spark.readStream.schema("doc_id long, text string")
               .option("maxFilesPerTrigger", "1").parquet(src))
     q = ingest.start_dedup_ingest_sink(stream, idx, out, ckpt)
