@@ -907,8 +907,14 @@ def _semdedup_within_buckets(vecs: DataFrame, threshold: float,
         keep = vs.map(lambda x: x is not None)
         pdf = pdf[keep]
         if len(pdf) >= 2:
+            # keep the MODAL width (smallest on ties, deterministic) —
+            # keying off the first row would let one anomalous-width row
+            # at position 0 evict every normal vector from pairing
             lens = pdf["v"].map(len)
-            pdf = pdf[lens == lens.iloc[0]]
+            vc = lens.value_counts()
+            top = vc.max()
+            modal = min(int(w) for w, c in vc.items() if c == top)
+            pdf = pdf[lens == modal]
         if len(pdf) < 2:
             return pd.DataFrame({"ida": pd.Series(dtype="int64"),
                                  "idb": pd.Series(dtype="int64")})

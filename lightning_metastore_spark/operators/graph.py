@@ -179,7 +179,8 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst",
 
 
 def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
-                      n_iter: int = 5, symmetrize: bool = True) -> DataFrame:
+                      n_iter: int = 5, symmetrize: bool = True,
+                      persist_every: int | None = None) -> DataFrame:
     """Community detection by synchronous label propagation (LPA):
     (node, community). Labels start as node ids; each round every node
     adopts the most frequent label among its neighbors, ties broken by
@@ -197,6 +198,16 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
     oscillate on bipartite-ish structures, so the round count is
     bounded by ``n_iter`` (communities stabilize in a few rounds on
     near-dup graphs).
+
+    ``persist_every`` bounds plan depth for deep iteration (the same
+    contract as ``pagerank(persist_every=)``): every k rounds the
+    label vector is locally checkpointed, so the lineage Catalyst
+    must re-analyze per action stays at <= k rounds of joins instead
+    of growing by 2 joins + 2 aggs per round. localCheckpoint (not
+    persist) because only a checkpoint truncates the LOGICAL plan —
+    a cached tree still carries its full lineage through analysis.
+    Default None keeps the composed plan (fine for n_iter <= ~5);
+    pass persist_every=2-3 when iterating to stabilization.
     """
     from lightning_metastore_spark.operators._cache import persist_slot
 
@@ -209,7 +220,7 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
                      .distinct())
     labels = (e.select(F.col("src").alias("node")).distinct()
               .withColumn("community", F.col("node")))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         neigh = (e.join(labels.withColumnRenamed("node", "dst")
                         .withColumnRenamed("community", "nl"), "dst")
                  .groupBy(F.col("src").alias("node"), F.col("nl"))
@@ -220,4 +231,7 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
                                       (-F.col("nl")).alias("neg")))
                        .alias("m"))
                   .select("node", (-F.col("m.neg")).alias("community")))
+        if (persist_every and (i + 1) % persist_every == 0
+                and i + 1 < n_iter):
+            labels = labels.localCheckpoint(eager=True)
     return labels

@@ -175,21 +175,32 @@ def compact_parquet(spark, path: str, out_path: str,
 
     The output file count comes from the INPUT'S on-disk bytes (summed
     driver-side from the file listing — metadata only, no data read),
-    so the sizing is stable regardless of in-memory row width. One
-    round-robin repartition (the only shuffle) spreads rows evenly;
-    callers who need clustering should follow with
-    ``write_range_clustered``/``write_zorder_clustered`` instead.
-    Returns {"n_input_files", "input_mb", "n_output_files"}.
+    so the sizing is stable regardless of in-memory row width. Listing
+    goes through the Hadoop FileSystem API, so any Spark-readable
+    scheme (s3a://, hdfs://, file://, bare local paths) sizes
+    correctly; an empty listing raises instead of silently rewriting
+    everything into one file. One round-robin repartition (the only
+    shuffle) spreads rows evenly; callers who need clustering should
+    follow with ``write_range_clustered``/``write_zorder_clustered``
+    instead. Returns {"n_input_files", "input_mb", "n_output_files"}.
     """
-    import glob
-    import os
-
-    files = [f for f in glob.glob(os.path.join(path, "**", "*.parquet"),
-                                  recursive=True)]
-    total = sum(os.path.getsize(f) for f in files)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    n_files, total = 0, 0
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            n_files += 1
+            total += st.getLen()
+    if n_files == 0:
+        raise ValueError(
+            f"compact_parquet: no .parquet files under {path!r} — "
+            "refusing to size output from an empty listing")
     n_out = max(1, round(total / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
     _write_parquet_micros(df.repartition(n_out), out_path, "overwrite")
-    return {"n_input_files": len(files),
+    return {"n_input_files": n_files,
             "input_mb": round(total / 1024 / 1024, 3),
             "n_output_files": n_out}

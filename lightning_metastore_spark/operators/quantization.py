@@ -183,6 +183,10 @@ def power_iteration_pca(emb: DataFrame, k: int = 2, n_iter: int = 10,
     if first is None:
         raise ValueError("power_iteration_pca: empty input")
     d = int(first["d"])
+    # exclude ragged (wrong-width) vectors up front — mirroring
+    # apply_pca's width check — so one degenerate row can't skew the
+    # posexploded mean or crash np.stack mid-iteration
+    base = base.filter(F.size("v") == d)
 
     # mean vector: one exploded dim-keyed agg (d rows back to driver)
     ex = base.select(F.posexplode("v").alias("dim", "x"))

@@ -1093,7 +1093,18 @@ class RunPipeline(Command):
                 f"op {self.op!r} requires table option(s): "
                 + ", ".join(missing))
         df = ctx.resolver.load_table(self.table_path)
-        out = fn(df, **kwargs)
+        try:
+            out = fn(df, **kwargs)
+        except TypeError as e:
+            # a typo'd OPTIONS key reaches fn as an unexpected str
+            # kwarg — surface it as a parse error naming the op's
+            # declared options (plus the intentional text_col/id_col
+            # style passthrough) instead of a raw 500 through REST
+            known = ", ".join(sorted(coercions)) or "(none)"
+            raise CommandParseError(
+                f"bad option(s) for pipeline op {self.op!r}: {e}; "
+                f"declared options: {known} (column-name options like "
+                "text_col/id_col pass through as strings)") from e
         if self.sink_path is None:
             return out
         # SINK <lightning path>: materialize through the datasource unit

@@ -282,8 +282,14 @@ def rolling_zscore_stateful(events: DataFrame, trailing: int = 24,
     counts into the state and re-emits rows for every hour it touched;
     under ts-ordered arrival the LATEST emission per (key, hour) equals
     the batch operator exactly (asserted by the batch-equivalence
-    test); a late event updates its hour's count and re-emits that
-    hour's corrected score (update-mode semantics downstream).
+    test). A late event whose hour is STILL WITHIN the retained
+    trailing+1 buckets updates that hour's count and re-emits its
+    corrected score (update-mode semantics downstream); an event for
+    an hour already pruned from state restarts that hour's count from
+    zero — the correction guarantee is scoped to the retention
+    horizon, matching the ts-ordered-arrival assumption. Keep a
+    longer ``trailing`` than the expected lateness if stragglers
+    beyond that horizon must stay exact.
 
     The arithmetic is the batch operator's: trailing mean/variance from
     exact integer sums over the window EXCLUDING the current hour, NULL

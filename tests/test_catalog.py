@@ -387,6 +387,10 @@ def test_run_pipeline_command_surface(ctx, spark):
         ctx.sql(f"RUN PIPELINE nonsense ON {tbl}")
     with _pt.raises(CommandParseError, match="bad value"):
         ctx.sql(f"RUN PIPELINE zipf ON {tbl} OPTIONS(top_v 'many')")
+    # a typo'd option key surfaces as a parse error naming the op's
+    # declared options, not a raw TypeError (a 500 through REST)
+    with _pt.raises(CommandParseError, match="declared options.*top_v"):
+        ctx.sql(f"RUN PIPELINE zipf ON {tbl} OPTIONS(topv '32')")
 
 
 def test_run_pipeline_sink_materializes_table(ctx, spark, tmp_path):

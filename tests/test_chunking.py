@@ -154,3 +154,28 @@ def test_semantic_dedup_kmeans_variant(spark):
     assert (rows[1].kept, rows[2].kept) == (1, 0)
     assert (rows[3].kept, rows[4].kept, rows[5].kept) == (1, 0, 0)
     assert rows[5].n_dups == 2
+
+
+def test_semantic_dedup_modal_width_wins(spark):
+    """Width-mismatched rows in a bucket are filtered to the MODAL
+    width (smallest on ties) — an anomalous-width row can never evict
+    the normal vectors from pairing, wherever it lands in the batch."""
+    from lightning_metastore_spark.operators.dedup import (
+        _semdedup_within_buckets)
+
+    v = [1.0, 0.5, -0.25, 2.0]
+    rows = ([(9, 0, [5.0, -5.0]), (1, 0, v), (2, 0, v), (3, 0, v)]
+            # tie bucket: two width-2 vs two width-3 -> width 2 wins
+            + [(20, 1, [1.0, 1.0]), (21, 1, [1.0, 1.0]),
+               (22, 1, [2.0, 2.0, 2.0]), (23, 1, [2.0, 2.0, 2.0])])
+    vecs = spark.createDataFrame(rows, "vid long, bucket long, v array<double>")
+    out = {r.vec_id: r for r in
+           _semdedup_within_buckets(vecs, 0.9, "vec_id").collect()}
+    # the three identical modal-width vectors pair with each other
+    assert (out[1].n_dups, out[2].n_dups, out[3].n_dups) == (2, 2, 2)
+    assert (out[1].kept, out[2].kept, out[3].kept) == (1, 0, 0)
+    # the anomalous-width row pairs with nothing but survives (kept)
+    assert out[9].n_dups == 0 and out[9].kept == 1
+    # tie: smaller width is modal; the width-3 twins stay unpaired
+    assert out[20].n_dups == 1 and out[21].n_dups == 1
+    assert out[22].n_dups == 0 and out[23].n_dups == 0

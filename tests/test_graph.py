@@ -187,3 +187,32 @@ def test_label_propagation_matches_naive(spark):
     got = {r.node: r.community
            for r in label_propagation(df, n_iter=4).collect()}
     assert got == lab
+
+
+def test_label_propagation_persist_every_bounds_plan_depth(spark):
+    """Deep LPA with persist_every: results identical to the composed
+    plan, and lineage is truly truncated — the final plan's join count
+    stops growing with n_iter (localCheckpoint resets the logical
+    plan, which .persist() alone would not)."""
+    from lightning_metastore_spark.operators.graph import label_propagation
+
+    edges = _random_edges(31, n_nodes=30, n_edges=70)
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    plain = {r.node: r.community
+             for r in label_propagation(df, n_iter=8).collect()}
+    ckpt8 = label_propagation(df, n_iter=8, persist_every=2)
+    got = {r.node: r.community for r in ckpt8.collect()}
+    assert got == plain
+
+    def joins(d):
+        return (d._jdf.queryExecution().optimizedPlan().toString()
+                .count("Join"))
+
+    # with persist_every=2 the un-checkpointed tail is <= 2 rounds for
+    # ANY n_iter: 6-, 8- and 12-round runs all leave the same plan
+    ckpt6 = label_propagation(df, n_iter=6, persist_every=2)
+    ckpt12 = label_propagation(df, n_iter=12, persist_every=2)
+    assert joins(ckpt8) == joins(ckpt6) == joins(ckpt12)
+    # ...while the composed plan keeps one join per round
+    assert joins(label_propagation(df, n_iter=8)) > joins(ckpt8)

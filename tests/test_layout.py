@@ -132,3 +132,16 @@ def test_compact_parquet_hits_target_count(spark, tmp_path):
     a = spark.read.parquet(src).orderBy("id").collect()
     b = spark.read.parquet(out).orderBy("id").collect()
     assert a == b
+
+
+def test_compact_parquet_empty_listing_raises(spark, tmp_path):
+    """No parquet under the input path must raise, not silently size
+    the output from total=0 (one-file rewrite of the whole dataset)."""
+    import pytest
+
+    from lightning_metastore_spark.operators.layout import compact_parquet
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no .parquet files"):
+        compact_parquet(spark, str(empty), str(tmp_path / "out"))

@@ -172,3 +172,26 @@ def test_apply_pca_projects_like_numpy(spark):
                                   "vec_id long, embedding array<double>")
     r = apply_pca(alien, V, mean).collect()[0]
     assert r.vec_id == 999 and r.y0 is None
+
+
+def test_power_iteration_pca_ignores_ragged_vectors(spark):
+    """A wrong-width row is excluded up front (the apply_pca width
+    rule): the trained model equals the clean-input model instead of
+    a skewed mean or an np.stack crash mid-iteration."""
+    import numpy as np
+
+    from lightning_metastore_spark.operators.quantization import (
+        power_iteration_pca)
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(120, 6)) * np.array([4, 1, 2, 0.5, 0.2, 3])
+    rows = [(i, X[i].tolist()) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    V0, mean0 = power_iteration_pca(emb, k=2, n_iter=10)
+
+    ragged = spark.createDataFrame(
+        [(9998, [1.0, 2.0]), (9999, [float(j) for j in range(9)])],
+        "vec_id long, embedding array<double>")
+    V1, mean1 = power_iteration_pca(emb.union(ragged), k=2, n_iter=10)
+    assert np.allclose(V0, V1)
+    assert np.allclose(mean0, mean1)
