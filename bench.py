@@ -6,12 +6,19 @@ Each query is timed to full materialization (collect). Session startup is
 excluded — the metric is query execution, matching how the reference (a
 Spark plugin) would be measured on a warm session.
 
-Runs every query $SPARK_GRAFT_BENCH_RUNS times (default 2): "queries"
+Runs every query $SPARK_GRAFT_BENCH_RUNS times (default 3): "queries"
 holds the FIRST run's sample (round-over-round comparable — same
 protocol as earlier rounds), "queries_min" the per-query minimum across
 runs, so a >20% swing can be adjudicated noise-vs-regression from one
 bench file (min stable => noise; min moved => real). "value" stays the
 first-run total.
+
+"suite_sections" makes the melted tagged-union suites attributable:
+after the suite runs (shared _cached_df artifacts warm), every member
+of SUITE_SECTIONS is timed standalone, min across the same run count —
+{suite: {section: sec}}. A plan regression inside one member now moves
+that member's number, while scope growth shows up as a NEW section key;
+the suite total alone could not distinguish the two.
 """
 
 from __future__ import annotations
@@ -42,7 +49,7 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     for run in range(n_runs):
@@ -64,6 +71,35 @@ def main() -> None:
                 timings_min[name] = t
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+
+    # Per-section attribution for the melted suites: time each member
+    # standalone AFTER the suite runs above, so the session-scoped
+    # _cached_df artifacts are warm and a section's time is its own
+    # incremental plan cost (min across the same number of runs).
+    suite_sections: dict[str, dict[str, float]] = {}
+    try:
+        from lightning_metastore_spark.plans.pipeline_queries import (
+            SUITE_SECTIONS)
+
+        for suite, sections in SUITE_SECTIONS.items():
+            out_s: dict[str, float] = {}
+            for sec, build in sections.items():
+                best = -1.0
+                for _ in range(n_runs):
+                    t0 = time.perf_counter()
+                    try:
+                        build(spark, sf_dir).collect()
+                        t = round(time.perf_counter() - t0, 3)
+                    except Exception as e:
+                        print(f"bench error in {suite}:{sec}: {e}",
+                              file=sys.stderr)
+                        break
+                    if best < 0 or t < best:
+                        best = t
+                out_s[sec] = best
+            suite_sections[suite] = out_s
+    except Exception as e:
+        print(f"bench error in suite sections: {e}", file=sys.stderr)
 
     # Overhead check: the catalog-routed revenue query vs the identical
     # query issued directly against the parquet views. The delta is the
@@ -136,6 +172,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_min": timings_min,
+        "suite_sections": suite_sections,
         "runs": n_runs,
         "sf": sf,
     }

@@ -3073,3 +3073,107 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "union)"),
     ]
 }
+
+
+# --- per-section attribution for the melted suites -------------------------
+# Several gate entries are tagged unions of independent operators (the
+# 50-slot registry discipline). A suite total alone is not attributable
+# round-over-round: scope growth (a new member) and a plan regression in
+# an existing member read identically. SUITE_SECTIONS maps each melted
+# suite to its members as standalone (spark, sf_dir) builders; bench.py
+# times every section individually (after the suite run, so the shared
+# _cached_df artifacts are warm and a section's time is its OWN
+# incremental plan cost) and emits {suite: {section: sec}} alongside
+# the suite totals.
+
+def _lm_section(fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = load_tables(spark, sf_dir, ("documents",))
+        return fn(t["documents"])
+    return run
+
+
+def _lm_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text_fns.phrase_search(t["documents"], "the table")
+
+
+def _temporal_section(fn, **kwargs):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lightning_metastore_spark.operators import temporal
+
+        t = load_tables(spark, sf_dir, ("events",))
+        return getattr(temporal, fn)(t["events"], **kwargs)
+    return run
+
+
+SUITE_SECTIONS: dict = {
+    "dedup_neardup_suite": {
+        "ngram": dedup_ngram_jaccard,
+        "minhash": dedup_minhash_lsh,
+        "simhash": dedup_simhash,
+        "incremental": dedup_incremental,
+    },
+    "dedup_cluster_suite": {
+        "labels": dedup_clusters,
+        "keep_best": dedup_keep_best,
+        "pagerank": dedup_pagerank,
+        "triangles": dedup_triangles,
+    },
+    "ann_topk_suite": {
+        "brute": ann_brute_force_topk,
+        "ivf": ann_ivf_topk,
+    },
+    "text_lm_suite": {
+        "unigram": _lm_section(text_fns.unigram_logprob),
+        "bigram": _lm_section(text_fns.bigram_logprob),
+        "classifier": _lm_section(text_fns.classifier_score),
+        "bm25": _lm_section(text_fns.bm25_scores),
+        "phrase": _lm_phrase,
+    },
+    "temporal_rollup": {
+        "rollup": _temporal_section("hypertable_rollup", ts_col="ts",
+                                    key_col="event_type", value_col="value",
+                                    resolutions=("hour", "day", "week")),
+        "hour_fill": _temporal_section("gap_filled_hourly",
+                                       method="sequence"),
+        "hour_z": _temporal_section("rolling_zscore", trailing=24,
+                                    min_periods=12),
+        "funnel": _temporal_section("funnel_counts",
+                                    stages=("view", "click", "purchase")),
+        "wau": _temporal_section("rolling_active_users", window_days=7),
+        "retention": _temporal_section("retention_cohorts",
+                                       max_offset_days=7),
+    },
+    "dq_suite": {
+        "pk": dq_pk_orders,
+        "fk": dq_fk_lineitem_orders,
+        "custom": dq_custom_discount,
+    },
+    "corpus_profile_suite": {
+        "repetition": text_repetition,
+        "histogram": token_histogram,
+        "pack": sequence_pack,
+        "contamination": contamination_check,
+        "dup_spans": dup_span_stats,
+        "chunks": doc_chunks,
+        "token_ids": token_ids,
+        "skyline": doc_skyline,
+        "heavy": token_heavy_hitters,
+        "zipf": corpus_zipf,
+        "encoding": encoding_profile,
+        "domains": domain_profile_gate,
+        "cdc": cdc_profile,
+        "entities": entity_profile,
+    },
+    "sampling_quantize_suite": {
+        "mixture": domain_mixture,
+        "stratified": stratified_sample_fixed,
+        "quantize": embedding_quantize,
+        "project": embedding_project,
+        "semdedup": embedding_semdedup,
+        "weighted": weighted_sample,
+        "qnorm": quantile_normalize_gate,
+        "outliers": embedding_outliers,
+    },
+}
