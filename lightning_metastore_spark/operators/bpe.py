@@ -8,14 +8,22 @@ thousands of times smaller than the corpus — so each merge iteration
 is one pair-count aggregation over that small relation plus a
 batch-applied merge, not a corpus pass.
 
-Plan shape (100 TB): ONE corpus-wide shuffle builds (word, freq);
-every iteration is then: explode adjacent pairs (JVM ``transform``
-with index over the symbol arrays) -> one freq-weighted pair agg ->
-``limit(1)`` top pair (distributed TakeOrdered) -> apply the merge to
-the symbol arrays in an Arrow-batched ``mapInPandas`` ->
-``localCheckpoint`` (iterative-algorithm lineage cut, same pattern as
-Lloyd's k-means in operators/similarity.py). Driver state per
-iteration is exactly one (left, right, count) row.
+Plan shape (100 TB): ONE corpus-wide shuffle builds (word, freq), and
+ONE full pair-count aggregation seeds the (l, r, c) counts relation.
+Every iteration after that is DELTA-ONLY — the heap-based learner's
+insight, expressed distributively: merging (l, r) can change the pair
+multiset only of words whose current segmentation contains (l, r)
+adjacently, so the iteration (a) filters the word relation to that
+affected subset with a JVM array_contains probe, (b) rewrites just
+those words in an Arrow-batched ``mapInPandas``, (c) aggregates pair
+counts over the affected words before and after the rewrite (two
+small keyed aggs), and (d) outer-joins the net delta into the counts
+relation. The full vocabulary is never re-aggregated after the seed
+pass; the top pair is a ``limit(1)`` TakeOrdered on the maintained
+counts relation. Both the word and counts relations are
+localCheckpointed per iteration (iterative-algorithm lineage cut,
+same pattern as Lloyd's k-means in operators/similarity.py); driver
+state per iteration is exactly one (left, right, count) row.
 
 Determinism: ties in pair frequency break lexicographically on
 (left, right); merge application is the standard greedy left-to-right
@@ -91,27 +99,89 @@ def _pair_counts(syms: DataFrame) -> DataFrame:
             .agg(F.sum("freq").alias("c")))
 
 
+def _contains_pair(l: str, r: str):
+    """Boolean column: does the current segmentation contain the
+    adjacent pair (l, r)? array_contains over the same struct stream
+    the pair aggregation explodes — pure JVM, and safe for arbitrary
+    symbol content (no SQL-string quoting of the symbols)."""
+    pairs = F.expr(
+        "transform(slice(syms, 1, size(syms) - 1), "
+        "(s, i) -> struct(s AS l, syms[i + 1] AS r))")
+    return F.array_contains(
+        pairs, F.struct(F.lit(l).alias("l"), F.lit(r).alias("r")))
+
+
 def learn_bpe_merges(docs: DataFrame, n_merges: int = 16,
                      min_pair_freq: int = 2, text_col: str = "text",
-                     lowercase: bool = True) -> list[tuple[str, str, int]]:
+                     lowercase: bool = True,
+                     stats: list | None = None) -> list[tuple[str, str, int]]:
     """Learn up to ``n_merges`` BPE merge rules from the corpus.
     Returns [(left, right, pair_freq), ...] in merge order — feed to
     ``apply_bpe_merges`` or export as a tokenizer artifact.
 
     Stops early when no adjacent pair reaches ``min_pair_freq``.
+
+    Pair counts are maintained incrementally (see the module
+    docstring): after the seed aggregation, each iteration recounts
+    pairs ONLY over the words affected by the last merge, so deep
+    vocabularies (tens of thousands of merges) cost per-iteration
+    work proportional to the merge's footprint, not the vocabulary.
+    Pass ``stats`` (an empty list) to receive one
+    ``{"n_affected": int}`` dict per merge — the test hook proving
+    the delta property (affected counts come from the flag column the
+    rewrite already carries, one cheap count on the checkpointed
+    relation, only when requested).
     """
-    cur = _word_symbols(docs, text_col, lowercase).localCheckpoint()
+    cur = (_word_symbols(docs, text_col, lowercase)
+           .withColumn("__m", F.lit(0)).localCheckpoint())
+    n_parts = cur.rdd.getNumPartitions()
+    counts = _pair_counts(cur).localCheckpoint()  # the ONLY full agg
+    pairs_expr = F.expr(
+        "transform(slice(syms, 1, size(syms) - 1), "
+        "(s, i) -> struct(s AS l, syms[i + 1] AS r))")
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
-        top = (_pair_counts(cur)
-               .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+        top = (counts.orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
                .limit(1).collect())
         if not top or top[0]["c"] < min_pair_freq:
             break
         l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
         merges.append((l, r, c))
-        cur = (cur.mapInPandas(_merge_batch(l, r), schema=_SYMS_SCHEMA)
+        hit = _contains_pair(l, r)
+        # rewrite ONLY the affected words; untouched words stream
+        # through a JVM filter, never Python. __m flags the rewritten
+        # rows inside the new checkpoint so the delta's "after" side
+        # can key off them without a second rewrite. coalesce pins the
+        # partition count — the two-branch union would otherwise
+        # double it every iteration.
+        nxt = (cur.filter(~hit).withColumn("__m", F.lit(0))
+               .select("word", "freq", "syms", "__m")
+               .unionByName(
+                   cur.filter(hit).select("word", "freq", "syms")
+                   .mapInPandas(_merge_batch(l, r), schema=_SYMS_SCHEMA)
+                   .withColumn("__m", F.lit(1)))
+               .coalesce(n_parts)
                .localCheckpoint())
+        if stats is not None:
+            stats.append({"left": l, "right": r,
+                          "n_affected": nxt.filter("__m = 1").count()})
+        # fold the delta straight into the counts relation in ONE
+        # keyed agg: prior counts ride as (l, r, +c) rows, the affected
+        # words' pairs as signed freq rows (-freq before the rewrite,
+        # +freq after), so counts' = sum per (l, r) — no join, one
+        # shuffle, input sized |counts| + |affected-word pairs|.
+        signed = (cur.filter(hit)
+                  .select((-F.col("freq")).alias("w"), "syms")
+                  .unionByName(nxt.filter("__m = 1")
+                               .select(F.col("freq").alias("w"), "syms"))
+                  .select("w", F.explode(pairs_expr).alias("p"))
+                  .select("p.l", "p.r", "w"))
+        counts = (counts.select("l", "r", F.col("c").alias("w"))
+                  .unionByName(signed)
+                  .groupBy("l", "r").agg(F.sum("w").alias("c"))
+                  .filter(F.col("c") > 0)
+                  .localCheckpoint())
+        cur = nxt
     return merges
 
 

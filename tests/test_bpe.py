@@ -96,3 +96,42 @@ def test_bpe_merges_roundtrip_through_parquet(spark, tmp_path):
     b = sorted(map(tuple, apply_bpe_merges(
         docs, load_bpe_merges(spark, path)).collect()))
     assert a == b
+
+
+def test_learn_bpe_delta_touches_only_affected_words(spark):
+    """The incremental learner's per-iteration footprint is the
+    affected-word subset: the stats hook (counted off the rewrite's
+    own flag column) must equal the naive twin's affected-word count
+    per merge — and be a strict subset of the vocabulary after the
+    first merges."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string")
+    stats: list = []
+    got = learn_bpe_merges(docs, n_merges=8, stats=stats)
+    want, _ = _naive_bpe(TEXTS, 8)
+    assert got == want
+    assert len(stats) == len(got)
+
+    # replay the naive learner, counting affected DISTINCT WORDS per merge
+    vocab = Counter(w for t in TEXTS for w in t.lower().split())
+    words = {w: list(w) for w in vocab}
+    n_vocab = len(words)
+    for (l, r, _c), st in zip(want, stats):
+        affected = 0
+        for w, syms in words.items():
+            if any(a == l and b == r for a, b in zip(syms, syms[1:])):
+                affected += 1
+                merged, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == l
+                            and syms[i + 1] == r):
+                        merged.append(l + r)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                words[w] = merged
+        assert st["n_affected"] == affected, (l, r)
+    # the delta property has bite: at least one merge touched a strict
+    # subset of the vocabulary
+    assert min(s["n_affected"] for s in stats) < n_vocab
