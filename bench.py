@@ -19,6 +19,13 @@ of SUITE_SECTIONS is timed standalone, min across the same run count —
 {suite: {section: sec}}. A plan regression inside one member now moves
 that member's number, while scope growth shows up as a NEW section key;
 the suite total alone could not distinguish the two.
+
+CAVEAT (by design): standalone sections re-execute shared upstream
+artifacts the suite computes once, so a suite's section times SUM ABOVE
+its suite total (e.g. corpus_profile sections ~1.6x the suite). Section
+numbers are for ROUND-OVER-ROUND per-section comparison under this
+fixed protocol — never read the sum as the suite's cost or a
+regression.
 """
 
 from __future__ import annotations

@@ -358,12 +358,16 @@ def corpus_dup_spans(docs: DataFrame, k: int = 5, text_col: str = "text",
     ``dup_span_frac`` is the per-doc fraction of duplicated spans — the
     score exact-substring dedup pipelines threshold on before cutting.
 
-    Scale: positional k-grams explode to ~tokens-per-doc rows; the
-    corpus-wide occurrence count is one hash aggregation on the gram
-    (map-side combined), rejoined on the same key, then one per-doc
-    aggregate. Same shuffle shape as TF-IDF. Docs shorter than k tokens
-    contribute their whole text as one span (consistent with
-    ``shingles``).
+    Scale: positional k-grams explode to ~tokens-per-doc rows, then the
+    span TEXT is immediately collapsed to ``xxhash64`` (8-byte key)
+    before anything shuffles — the corpus-wide occurrence count is one
+    hash aggregation on that 64-bit key (map-side combined), rejoined
+    on the same key, then one per-doc aggregate; the raw ~k*word-size
+    span strings never reach an exchange (same hash-not-text discipline
+    as ``cdc_dup_stats``). A 64-bit collision would misclassify a
+    single span — immaterial for a dup-fraction statistic. Same shuffle
+    shape as TF-IDF. Docs shorter than k tokens contribute their whole
+    text as one span (consistent with ``shingles``).
     """
     toks = tokens(docs, text_col, id_col)
     zip_args = ", ".join(f"slice(toks, {i + 1}, m)" for i in range(k))
@@ -377,9 +381,10 @@ def corpus_dup_spans(docs: DataFrame, k: int = 5, text_col: str = "text",
                 F.expr(f"transform(arrays_zip({zip_args}), "
                        f"s -> concat({concat_args}))"),
             ).otherwise(F.expr("array(concat_ws(' ', toks))")).alias("g_arr"))
-        .select(F.col(id_col), F.explode("g_arr").alias("g")))
-    occ = spans.groupBy("g").agg(F.count(F.lit(1)).alias("occ"))
-    return (spans.join(occ, "g")
+        .select(F.col(id_col), F.explode("g_arr").alias("g"))
+        .select(F.col(id_col), F.xxhash64("g").alias("gh")))
+    occ = spans.groupBy("gh").agg(F.count(F.lit(1)).alias("occ"))
+    return (spans.join(occ, "gh")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_spans"),
                  F.sum(F.when(F.col("occ") > 1, 1).otherwise(0))

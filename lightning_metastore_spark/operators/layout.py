@@ -187,6 +187,13 @@ def compact_parquet(spark, path: str, out_path: str,
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    # missing and empty paths report uniformly as ValueError — without
+    # this a nonexistent path surfaces as a raw Py4J FileNotFoundException
+    # from fs.listFiles
+    if not fs.exists(hpath):
+        raise ValueError(
+            f"compact_parquet: no .parquet files under {path!r} — "
+            "path does not exist")
     it = fs.listFiles(hpath, True)
     n_files, total = 0, 0
     while it.hasNext():

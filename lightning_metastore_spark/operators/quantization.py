@@ -179,7 +179,12 @@ def power_iteration_pca(emb: DataFrame, k: int = 2, n_iter: int = 10,
 
     base = emb.select(F.col(vec_col).cast("array<double>").alias("v")) \
         .filter(F.col("v").isNotNull())
-    first = base.select(F.size("v").alias("d")).first()
+    # the expected width is the MODAL width (most frequent, ties to the
+    # smaller), not whatever row .first() happens to return — one
+    # anomalous-width row arriving first must not define d and evict
+    # every normal vector (same fix as semantic_dedup's tie-bucket)
+    first = (base.groupBy(F.size("v").alias("d")).count()
+             .orderBy(F.desc("count"), F.asc("d")).first())
     if first is None:
         raise ValueError("power_iteration_pca: empty input")
     d = int(first["d"])

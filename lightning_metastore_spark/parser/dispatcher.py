@@ -996,9 +996,17 @@ class RunPipeline(Command):
     table without touching the Python API.
 
     Beyond-reference extension (the reference has no pipeline
-    operators); the op registry mirrors ``pipeline_api``. Single-table
-    ops only — multi-input operators (contamination, as-of joins) stay
-    Python-side where both inputs can be named."""
+    operators); the op registry mirrors ``pipeline_api`` across every
+    operator family: dedup (minhash/simhash/CDC/spans/semantic), graph
+    (pagerank/triangles/communities over a pairs table), tokenizers
+    (BPE + unigram-LM train/apply with OPTIONS(save/load) artifact
+    paths), temporal product analytics (funnel/retention/DAU-WAU/
+    rollup/gap-fill/zscore/LTTB), corpus profiling (tfidf/bm25/zipf/
+    heavy-hitters/skyline/...), sampling/packing/chunking, embedding
+    ops (quantize/project/outliers), and layout maintenance
+    (compact/zorder/range-cluster/shard-export writing to
+    OPTIONS(path)). Two-table ops name the second side via a TABLE
+    option (asof_join, contamination)."""
     op: str
     table_path: list[str]
     options: dict = field(default_factory=dict)
@@ -1022,6 +1030,108 @@ class RunPipeline(Command):
         def curate(df, min_quality=0.3, **kw):
             return curate_corpus(df, CurationConfig(
                 min_quality=min_quality, **kw))
+
+        from lightning_metastore_spark.operators import (
+            bpe, chunking, graph, layout, packing, quantization, sampling,
+            skyline as skyline_mod, temporal, unigram_lm)
+        from lightning_metastore_spark.operators.heavy_hitters import (
+            heavy_hitters)
+
+        # option coercions beyond the builtin types: booleans arrive as
+        # 'true'/'false' strings, lists as comma-separated values
+        def _bool(v: str) -> bool:
+            s = v.strip().lower()
+            if s in ("1", "true", "yes"):
+                return True
+            if s in ("0", "false", "no"):
+                return False
+            raise ValueError(f"not a boolean: {v!r}")
+        _bool.__name__ = "bool"
+
+        def _csv(v: str) -> tuple:
+            items = tuple(s.strip() for s in v.split(",") if s.strip())
+            if not items:
+                raise ValueError("empty list")
+            return items
+        _csv.__name__ = "csv"
+
+        # ---- tokenizer train/apply: artifact path flows via OPTIONS ----
+        def bpe_train(df, n_merges=16, min_pair_freq=2, text_col="text",
+                      save=None):
+            """Learn BPE merge rules; OPTIONS(save '...') persists the artifact."""
+            merges = bpe.learn_bpe_merges(
+                df, n_merges=n_merges, min_pair_freq=min_pair_freq,
+                text_col=text_col)
+            if save:
+                bpe.save_bpe_merges(df.sparkSession, merges, save)
+            return df.sparkSession.createDataFrame(
+                [(i, l, r, int(c)) for i, (l, r, c) in enumerate(merges)],
+                "rank long, left string, right string, pair_freq long")
+
+        def bpe_apply(df, load, text_col="text", id_col="doc_id"):
+            """Tokenize with a saved BPE artifact (OPTIONS(load '...'))."""
+            merges = bpe.load_bpe_merges(df.sparkSession, load)
+            return bpe.apply_bpe_merges(df, merges, text_col=text_col,
+                                        id_col=id_col)
+
+        def unigram_train(df, vocab_size=64, em_iters=2, text_col="text",
+                          save=None):
+            """Train a unigram-LM (Kudo) tokenizer; OPTIONS(save '...') persists it."""
+            pieces = unigram_lm.train_unigram_lm(
+                df, vocab_size=vocab_size, em_iters=em_iters,
+                text_col=text_col)
+            if save:
+                unigram_lm.save_unigram_lm(df.sparkSession, pieces, save)
+            return df.sparkSession.createDataFrame(
+                [(p, float(s)) for p, s in pieces],
+                "piece string, logprob double")
+
+        def unigram_apply(df, load, text_col="text", id_col="doc_id"):
+            """Segment with a saved unigram-LM artifact (OPTIONS(load '...'))."""
+            pieces = unigram_lm.load_unigram_lm(df.sparkSession, load)
+            return unigram_lm.apply_unigram_lm(df, pieces,
+                                               text_col=text_col,
+                                               id_col=id_col)
+
+        # ---- layout maintenance: results land on disk, summary row back ----
+        def compact(df, path, out_path, target_mb=128):
+            """Compact a parquet directory (OPTIONS(path, out_path)); ON table supplies the session only."""
+            stats = layout.compact_parquet(df.sparkSession, path, out_path,
+                                           target_mb=target_mb)
+            return df.sparkSession.createDataFrame(
+                [(stats["n_input_files"], float(stats["input_mb"]),
+                  stats["n_output_files"], out_path)],
+                "n_input_files long, input_mb double, "
+                "n_output_files long, out_path string")
+
+        def zorder(df, path, cols, n_files=16):
+            """Write the table Z-order clustered on cols to OPTIONS(path)."""
+            layout.write_zorder_clustered(df, path, list(cols),
+                                          n_files=n_files)
+            return df.sparkSession.createDataFrame(
+                [(path, ",".join(cols), n_files)],
+                "path string, cols string, n_files long")
+
+        def range_cluster(df, path, cols, n_files=16):
+            """Write the table range-clustered on cols to OPTIONS(path)."""
+            layout.write_range_clustered(df, path, list(cols),
+                                         n_files=n_files)
+            return df.sparkSession.createDataFrame(
+                [(path, ",".join(cols), n_files)],
+                "path string, cols string, n_files long")
+
+        def shard_export(df, path, n_shards=16, seed="0", id_col="doc_id"):
+            """Export deterministic pseudo-random training shards to OPTIONS(path)."""
+            layout.write_training_shards(df, path, n_shards=n_shards,
+                                         seed=seed, id_col=id_col)
+            return df.sparkSession.createDataFrame(
+                [(path, n_shards, seed)],
+                "path string, n_shards long, seed string")
+
+        def skyline_op(df, minimize=(), maximize=()):
+            """Pareto frontier over minimize/maximize column lists."""
+            return skyline_mod.skyline(df, minimize=list(minimize),
+                                       maximize=list(maximize))
 
         return {
             "exact_dedup": (dedup.exact_dedup, {}),
@@ -1064,6 +1174,83 @@ class RunPipeline(Command):
                 .contamination_overlap(df, bench, n=n,
                                        flag_threshold=flag_threshold),
                 {"bench": "TABLE", "n": int, "flag_threshold": float}),
+            # ---- dedup (beyond minhash): simhash, spans, semantic ----
+            "simhash_pairs": (dedup.simhash_pairs,
+                              {"hamming_max": int,
+                               "jaccard_threshold": float,
+                               "n": int, "chunks": int}),
+            "dup_spans": (dedup.corpus_dup_spans, {"k": int}),
+            "semdedup": (dedup.semantic_dedup,
+                         {"n_planes": int, "threshold": float}),
+            "dedup_lines": (cleaning.dedup_lines_within_doc, {}),
+            # ---- graph over a pairs/edges table ----
+            "pagerank": (graph.pagerank,
+                         {"src": str, "dst": str, "n_iter": int,
+                          "damping": float, "symmetrize": _bool}),
+            "triangles": (graph.triangle_counts,
+                          {"src": str, "dst": str, "symmetrize": _bool}),
+            "communities": (graph.label_propagation,
+                            {"src": str, "dst": str, "n_iter": int,
+                             "symmetrize": _bool}),
+            # ---- tokenizers: train writes an artifact, apply loads it ----
+            "bpe_train": (bpe_train,
+                          {"n_merges": int, "min_pair_freq": int,
+                           "save": str}),
+            "bpe_apply": (bpe_apply, {"load": str}),
+            "unigram_train": (unigram_train,
+                              {"vocab_size": int, "em_iters": int,
+                               "save": str}),
+            "unigram_apply": (unigram_apply, {"load": str}),
+            # ---- temporal / product analytics over an events table ----
+            "funnel": (temporal.funnel_counts, {"stages": _csv}),
+            "active_users": (temporal.rolling_active_users,
+                             {"window_days": int}),
+            "retention": (temporal.retention_cohorts,
+                          {"max_offset_days": int}),
+            "rollup": (temporal.hypertable_rollup,
+                       {"resolutions": _csv}),
+            "gap_fill": (temporal.gap_filled_hourly, {"method": str}),
+            "rolling_zscore": (temporal.rolling_zscore,
+                               {"trailing": int, "min_periods": int}),
+            "lttb": (temporal.lttb_downsample, {"n_out": int}),
+            # ---- corpus profiling / retrieval scores ----
+            "heavy_hitters": (heavy_hitters, {"s": float}),
+            "skyline": (skyline_op,
+                        {"minimize": _csv, "maximize": _csv}),
+            "tfidf": (tf.tfidf_top_terms, {"k": int}),
+            "fingerprint": (tf.fingerprint, {}),
+            "token_stats": (tf.encode_token_stats, {"vocab_size": int}),
+            "phrase_search": (tf.phrase_search, {"phrase": str}),
+            "bm25": (tf.bm25_scores,
+                     {"query_terms": _csv, "k1": float, "b": float}),
+            "unigram_logprob": (tf.unigram_logprob, {}),
+            "bigram_logprob": (tf.bigram_logprob, {"lam": float}),
+            "classifier_score": (tf.classifier_score,
+                                 {"n_buckets": int}),
+            # ---- sampling / packing / chunking ----
+            "stratified_sample": (sampling.stratified_fixed_n,
+                                  {"n_per_group": int, "group_col": str}),
+            "weighted_sample": (sampling.weighted_sample_n,
+                                {"n": int, "weight_col": str}),
+            "pack": (packing.packed_offsets,
+                     {"capacity": int, "n_blocks": int}),
+            "chunk": (chunking.chunk_documents,
+                      {"chunk_size": int, "overlap": int}),
+            # ---- embedding-table ops ----
+            "quantize": (quantization.scalar_quantize_stats,
+                         {"q_max": int}),
+            "random_project": (quantization.random_project, {"k": int}),
+            "norm_outliers": (quantization.norm_outliers,
+                              {"k": float, "exact": _bool}),
+            # ---- layout maintenance (writes to OPTIONS(path)) ----
+            "compact": (compact,
+                        {"path": str, "out_path": str, "target_mb": int}),
+            "zorder": (zorder,
+                       {"path": str, "cols": _csv, "n_files": int}),
+            "range_cluster": (range_cluster,
+                              {"path": str, "cols": _csv, "n_files": int}),
+            "shard_export": (shard_export,
+                             {"path": str, "n_shards": int, "seed": str}),
         }
 
     def run(self, ctx) -> DataFrame:
@@ -1093,18 +1280,32 @@ class RunPipeline(Command):
                 f"op {self.op!r} requires table option(s): "
                 + ", ".join(missing))
         df = ctx.resolver.load_table(self.table_path)
+
+        def _bad_options(e: TypeError) -> CommandParseError:
+            known = ", ".join(sorted(coercions)) or "(none)"
+            return CommandParseError(
+                f"bad option(s) for pipeline op {self.op!r}: {e}; "
+                f"declared options: {known} (column-name options like "
+                "text_col/id_col pass through as strings)")
+
+        # validate kwargs against the callable BEFORE invoking, so a
+        # typo'd OPTIONS key is a parse error while a genuine TypeError
+        # raised during operator execution (eager ops: BPE learning,
+        # PCA collect) propagates as the internal error it is
+        import inspect
+        try:
+            inspect.signature(fn).bind(df, **kwargs)
+        except TypeError as e:
+            raise _bad_options(e) from e
         try:
             out = fn(df, **kwargs)
         except TypeError as e:
-            # a typo'd OPTIONS key reaches fn as an unexpected str
-            # kwarg — surface it as a parse error naming the op's
-            # declared options (plus the intentional text_col/id_col
-            # style passthrough) instead of a raw 500 through REST
-            known = ", ".join(sorted(coercions)) or "(none)"
-            raise CommandParseError(
-                f"bad option(s) for pipeline op {self.op!r}: {e}; "
-                f"declared options: {known} (column-name options like "
-                "text_col/id_col pass through as strings)") from e
+            # ops that forward **kwargs (e.g. curate -> CurationConfig)
+            # only surface the typo at call time; translate ONLY the
+            # unexpected-kwarg shape, let everything else propagate
+            if "unexpected keyword argument" not in str(e):
+                raise
+            raise _bad_options(e) from e
         if self.sink_path is None:
             return out
         # SINK <lightning path>: materialize through the datasource unit

@@ -135,6 +135,38 @@ def compact_dedup_index(spark: SparkSession, index_dir: str) -> None:
         os.rename(tmp, root)
 
 
+def ingest_micro_batch(spark: SparkSession, batch_df: DataFrame,
+                       batch_id: int, index_dir: str, out_dir: str,
+                       threshold: float = 0.5, id_col: str = "doc_id",
+                       text_col: str = "text") -> None:
+    """The sink's per-batch body (module-level so tests can drive the
+    REAL production path with explicit batch ids and replay order):
+    admit the batch against the index excluding its own partition,
+    then idempotently overwrite its output + artifact directories.
+
+    Replay stability under interleaving: a batch replayed AFTER later
+    batches committed sees MORE index than its original run — but only
+    docs the later batches ADMITTED are indexed, and anything in a
+    later batch that near-duped this batch's admitted docs was itself
+    rejected (never indexed). So the extra partitions cannot reject
+    this batch's admitted docs, and the replay reproduces the original
+    decisions exactly (test_ingest pins this)."""
+    novel = dedup_batch_against_index(
+        spark, batch_df, index_dir, threshold, id_col, text_col,
+        exclude_batch=batch_id)
+    # cut the triple-branch plan once: novel feeds docs-out AND both
+    # artifact writes; each write would otherwise recompute the
+    # whole dedup pipeline (3x the batch cost)
+    novel = novel.localCheckpoint(eager=True)
+    novel.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch={batch_id}"))
+    sh, sig = _artifacts(novel, id_col, text_col)
+    sh.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "shingles", f"batch={batch_id}"))
+    sig.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "signatures", f"batch={batch_id}"))
+
+
 def start_dedup_ingest_sink(stream_docs: DataFrame, index_dir: str,
                             out_dir: str, checkpoint: str,
                             threshold: float = 0.5,
@@ -148,20 +180,8 @@ def start_dedup_ingest_sink(stream_docs: DataFrame, index_dir: str,
     spark = stream_docs.sparkSession
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        novel = dedup_batch_against_index(
-            spark, batch_df, index_dir, threshold, id_col, text_col,
-            exclude_batch=batch_id)
-        # cut the triple-branch plan once: novel feeds docs-out AND both
-        # artifact writes; each write would otherwise recompute the
-        # whole dedup pipeline (3x the batch cost)
-        novel = novel.localCheckpoint(eager=True)
-        novel.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}"))
-        sh, sig = _artifacts(novel, id_col, text_col)
-        sh.write.mode("overwrite").parquet(
-            os.path.join(index_dir, "shingles", f"batch={batch_id}"))
-        sig.write.mode("overwrite").parquet(
-            os.path.join(index_dir, "signatures", f"batch={batch_id}"))
+        ingest_micro_batch(spark, batch_df, batch_id, index_dir, out_dir,
+                           threshold, id_col, text_col)
 
     return (stream_docs.writeStream
             .foreachBatch(_ingest)

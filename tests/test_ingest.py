@@ -164,3 +164,48 @@ def test_replayed_batch_reproduces_decision(spark, tmp_path):
     rekeyed = _mkdocs(spark, [(99, OTHER)])
     assert ingest.dedup_batch_against_index(
         spark, rekeyed, idx).count() == 0
+
+
+def test_interleaved_replay_reproduces_decisions(spark, tmp_path):
+    """At-least-once with REORDERING: batch 5 commits, batch 6 commits
+    (rejecting a near-dup of batch 5's admission), then batch 5
+    REPLAYS. The replay sees batch 6's artifacts — strictly more index
+    than its original run — yet must reproduce the original admission:
+    later batches only index docs they ADMITTED, and anything near-dup
+    to batch 5's output was rejected by batch 6, so the extra
+    partitions cannot flip batch 5's decisions. Drives the real sink
+    body (ingest_micro_batch), not a simulation."""
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    ingest.build_dedup_index(_mkdocs(spark, [(1, BASE)]), idx)
+
+    b5 = _mkdocs(spark, [(10, OTHER),            # novel -> admit
+                         (11, BASE + " extra")])  # corpus near-dup -> reject
+    b6 = _mkdocs(spark, [(20, OTHER + " ish"),   # near-dup of 10 -> reject
+                         (21, THIRD)])           # novel -> admit
+
+    ingest.ingest_micro_batch(spark, b5, 5, idx, out)
+    ingest.ingest_micro_batch(spark, b6, 6, idx, out)
+
+    def out_ids(bid):
+        return sorted(r.doc_id for r in
+                      spark.read.parquet(f"{out}/batch={bid}").collect())
+
+    def index_state():
+        sh = spark.read.parquet(os.path.join(idx, "shingles"))
+        return sorted(map(tuple, sh.select("batch", "doc_id")
+                          .distinct().collect()))
+
+    assert out_ids(5) == [10] and out_ids(6) == [21]
+    before = index_state()
+
+    # the replay: batch 5 re-runs AFTER batch 6 committed
+    ingest.ingest_micro_batch(spark, b5, 5, idx, out)
+    assert out_ids(5) == [10], "replay flipped batch 5's admission"
+    assert out_ids(6) == [21]
+    assert index_state() == before, "replay mutated the index state"
+
+    # and a batch 7 arriving after the replay still dedups against both
+    b7 = _mkdocs(spark, [(30, THIRD + " more"),  # near-dup of 21 -> reject
+                         (31, "entirely fresh text about nothing seen")])
+    ingest.ingest_micro_batch(spark, b7, 7, idx, out)
+    assert out_ids(7) == [31]

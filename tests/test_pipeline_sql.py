@@ -1,0 +1,323 @@
+"""RUN PIPELINE SQL surface == Python API, for the full round-9 op
+registry (graph, tokenizer train/apply, temporal, profile, sampling/
+packing, embedding, layout families). One module-scoped fixture writes
+small parquet tables and registers them as a lightning datasource; each
+case runs the op through the SQL dialect and asserts row equality with
+the Python API on the same data, plus one HTTP round trip through the
+REST server."""
+
+from __future__ import annotations
+
+import json
+import sys
+import urllib.request
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from lightning_metastore_spark.context import LightningContext  # noqa: E402
+
+from tests.conftest import SF_DIR  # noqa: E402
+
+NS = "lightning.datasource.file.pipe"
+DOCS, EVENTS, EMB, EDGES = (f"{NS}.docs", f"{NS}.events",
+                            f"{NS}.emb", f"{NS}.edges")
+
+
+@pytest.fixture(scope="module")
+def env(spark, tmp_path_factory):
+    """Small tables + a registered datasource + a LightningContext,
+    shared across all cases in this module (read-only use)."""
+    root = tmp_path_factory.mktemp("pipe_sql")
+    ds = root / "ds"
+    ds.mkdir()
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .orderBy("doc_id").limit(40))
+    docs.write.parquet(str(ds / "docs"))
+    events = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+              .filter("user_id < 20"))
+    events.write.parquet(str(ds / "events"))
+    emb = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+           .orderBy("vec_id").limit(40))
+    emb.write.parquet(str(ds / "emb"))
+    edges = spark.range(30).selectExpr(
+        "id AS src", "(id + 1) % 30 AS dst").union(
+        spark.range(30).selectExpr("id AS src", "(id + 2) % 30 AS dst"))
+    edges.write.parquet(str(ds / "edges"))
+
+    ctx = LightningContext(spark, warehouse=str(root / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.file")
+    ctx.sql(f"REGISTER PARQUET DATASOURCE pipe OPTIONS(path '{ds}') "
+            "NAMESPACE lightning.datasource.file")
+
+    class Env:
+        pass
+
+    e = Env()
+    e.ctx = ctx
+    e.root = root
+    e.docs = spark.read.parquet(str(ds / "docs"))
+    e.events = spark.read.parquet(str(ds / "events"))
+    e.emb = spark.read.parquet(str(ds / "emb"))
+    e.edges = spark.read.parquet(str(ds / "edges"))
+    return e
+
+
+def _rows(df):
+    return sorted(map(repr, df.collect()))
+
+
+# (case id, SQL after "RUN PIPELINE ", python callable over env)
+def _cases():
+    from lightning_metastore_spark.functions import text as tf
+    from lightning_metastore_spark.operators import (
+        chunking, cleaning, dedup, graph, packing, quantization, sampling,
+        skyline, temporal)
+    from lightning_metastore_spark.operators.heavy_hitters import (
+        heavy_hitters)
+
+    return [
+        ("simhash_pairs",
+         f"simhash_pairs ON {DOCS} OPTIONS(hamming_max '3')",
+         lambda e: dedup.simhash_pairs(e.docs, hamming_max=3)),
+        ("dup_spans",
+         f"dup_spans ON {DOCS} OPTIONS(k '4')",
+         lambda e: dedup.corpus_dup_spans(e.docs, k=4)),
+        ("semdedup",
+         f"semdedup ON {EMB} OPTIONS(threshold '0.4')",
+         lambda e: dedup.semantic_dedup(e.emb, threshold=0.4)),
+        ("dedup_lines",
+         f"dedup_lines ON {DOCS}",
+         lambda e: cleaning.dedup_lines_within_doc(e.docs)),
+        ("pagerank",
+         f"pagerank ON {EDGES} OPTIONS(n_iter '3', damping '0.85')",
+         lambda e: graph.pagerank(e.edges, n_iter=3, damping=0.85)),
+        ("triangles",
+         f"triangles ON {EDGES}",
+         lambda e: graph.triangle_counts(e.edges)),
+        ("communities",
+         f"communities ON {EDGES} OPTIONS(n_iter '3', symmetrize 'true')",
+         lambda e: graph.label_propagation(e.edges, n_iter=3,
+                                           symmetrize=True)),
+        ("funnel",
+         f"funnel ON {EVENTS} OPTIONS(stages 'view,click,purchase')",
+         lambda e: temporal.funnel_counts(
+             e.events, ("view", "click", "purchase"))),
+        ("active_users",
+         f"active_users ON {EVENTS} OPTIONS(window_days '3')",
+         lambda e: temporal.rolling_active_users(e.events, window_days=3)),
+        ("retention",
+         f"retention ON {EVENTS} OPTIONS(max_offset_days '5')",
+         lambda e: temporal.retention_cohorts(e.events, max_offset_days=5)),
+        ("rollup",
+         f"rollup ON {EVENTS} OPTIONS(resolutions 'hour,day')",
+         lambda e: temporal.hypertable_rollup(
+             e.events, resolutions=("hour", "day"))),
+        ("gap_fill",
+         f"gap_fill ON {EVENTS}",
+         lambda e: temporal.gap_filled_hourly(e.events)),
+        ("rolling_zscore",
+         f"rolling_zscore ON {EVENTS} "
+         "OPTIONS(trailing '6', min_periods '3')",
+         lambda e: temporal.rolling_zscore(e.events, trailing=6,
+                                           min_periods=3)),
+        ("lttb",
+         f"lttb ON {EVENTS} OPTIONS(n_out '4')",
+         lambda e: temporal.lttb_downsample(e.events, n_out=4)),
+        ("heavy_hitters",
+         f"heavy_hitters ON {EVENTS} "
+         "OPTIONS(s '0.05', item_col 'event_type')",
+         lambda e: heavy_hitters(e.events, s=0.05,
+                                 item_col="event_type")),
+        ("skyline",
+         f"skyline ON {DOCS} "
+         "OPTIONS(minimize 'n_chars', maximize 'doc_id')",
+         lambda e: skyline.skyline(e.docs, minimize=["n_chars"],
+                                   maximize=["doc_id"])),
+        ("tfidf",
+         f"tfidf ON {DOCS} OPTIONS(k '3')",
+         lambda e: tf.tfidf_top_terms(e.docs, k=3)),
+        ("fingerprint",
+         f"fingerprint ON {DOCS}",
+         lambda e: tf.fingerprint(e.docs)),
+        ("token_stats",
+         f"token_stats ON {DOCS} OPTIONS(vocab_size '64')",
+         lambda e: tf.encode_token_stats(e.docs, vocab_size=64)),
+        ("phrase_search",
+         f"phrase_search ON {DOCS} OPTIONS(phrase 'table scan')",
+         lambda e: tf.phrase_search(e.docs, "table scan")),
+        ("bm25",
+         f"bm25 ON {DOCS} OPTIONS(query_terms 'query,join')",
+         lambda e: tf.bm25_scores(e.docs, query_terms=("query", "join"))),
+        ("unigram_logprob",
+         f"unigram_logprob ON {DOCS}",
+         lambda e: tf.unigram_logprob(e.docs)),
+        ("bigram_logprob",
+         f"bigram_logprob ON {DOCS} OPTIONS(lam '0.6')",
+         lambda e: tf.bigram_logprob(e.docs, lam=0.6)),
+        ("classifier_score",
+         f"classifier_score ON {DOCS}",
+         lambda e: tf.classifier_score(e.docs)),
+        ("stratified_sample",
+         f"stratified_sample ON {DOCS} "
+         "OPTIONS(n_per_group '3', group_col 'lang')",
+         lambda e: sampling.stratified_fixed_n(e.docs, 3,
+                                               group_col="lang")),
+        ("weighted_sample",
+         f"weighted_sample ON {DOCS} "
+         "OPTIONS(n '10', weight_col 'n_chars')",
+         lambda e: sampling.weighted_sample_n(e.docs, 10,
+                                              weight_col="n_chars")),
+        ("pack",
+         f"pack ON {DOCS} OPTIONS(capacity '512', n_blocks '4')",
+         lambda e: packing.packed_offsets(e.docs, capacity=512,
+                                          n_blocks=4)),
+        ("chunk",
+         f"chunk ON {DOCS} OPTIONS(chunk_size '16', overlap '4')",
+         lambda e: chunking.chunk_documents(e.docs, chunk_size=16,
+                                            overlap=4)),
+        ("quantize",
+         f"quantize ON {EMB}",
+         lambda e: quantization.scalar_quantize_stats(e.emb)),
+        ("random_project",
+         f"random_project ON {EMB} OPTIONS(k '4')",
+         lambda e: quantization.random_project(e.emb, k=4)),
+        ("norm_outliers",
+         f"norm_outliers ON {EMB} OPTIONS(k '2.0', exact 'true')",
+         lambda e: quantization.norm_outliers(e.emb, k=2.0, exact=True)),
+    ]
+
+
+@pytest.mark.parametrize("case", _cases(), ids=lambda c: c[0])
+def test_run_pipeline_equals_python_api(env, case):
+    _, sql, pyfn = case
+    got = _rows(env.ctx.sql(f"RUN PIPELINE {sql}"))
+    want = _rows(pyfn(env))
+    assert got == want and len(got) > 0
+
+
+def test_list_pipeline_ops_covers_all_families(env):
+    rows = env.ctx.sql("LIST PIPELINE OPS").collect()
+    ops = {r.op for r in rows}
+    assert len(ops) >= 30
+    assert {"pagerank", "triangles", "communities",       # graph
+            "bpe_train", "bpe_apply", "unigram_train",    # tokenizer
+            "funnel", "retention", "active_users",        # temporal
+            "heavy_hitters", "skyline", "zipf",           # profile
+            "compact", "zorder", "shard_export"} <= ops   # layout
+
+
+def test_tokenizer_train_apply_roundtrip_sql(env):
+    """bpe_train/unigram_train persist artifacts via OPTIONS(save);
+    *_apply loads them with OPTIONS(load) and matches the Python API."""
+    from lightning_metastore_spark.operators import bpe, unigram_lm
+
+    bp = str(env.root / "bpe_artifact")
+    out = env.ctx.sql(f"RUN PIPELINE bpe_train ON {DOCS} "
+                      f"OPTIONS(n_merges '6', save '{bp}')")
+    learned = [(r.left, r.right, r.pair_freq)
+               for r in out.orderBy("rank").collect()]
+    want = bpe.learn_bpe_merges(env.docs, n_merges=6)
+    assert learned == [(l, r, c) for l, r, c in want] and learned
+
+    applied = env.ctx.sql(f"RUN PIPELINE bpe_apply ON {DOCS} "
+                          f"OPTIONS(load '{bp}')")
+    assert _rows(applied) == _rows(bpe.apply_bpe_merges(env.docs, want))
+
+    up = str(env.root / "uni_artifact")
+    outu = env.ctx.sql(f"RUN PIPELINE unigram_train ON {DOCS} "
+                       f"OPTIONS(vocab_size '32', em_iters '1', "
+                       f"save '{up}')")
+    pieces = unigram_lm.train_unigram_lm(env.docs, vocab_size=32,
+                                         em_iters=1)
+    assert sorted((r.piece, round(r.logprob, 9))
+                  for r in outu.collect()) == \
+        sorted((p, round(s, 9)) for p, s in pieces)
+
+    appliedu = env.ctx.sql(f"RUN PIPELINE unigram_apply ON {DOCS} "
+                           f"OPTIONS(load '{up}')")
+    assert _rows(appliedu) == _rows(
+        unigram_lm.apply_unigram_lm(env.docs, pieces))
+
+
+def test_layout_ops_write_and_report(env, spark):
+    """compact/zorder/range_cluster/shard_export write real parquet to
+    OPTIONS(path) and return a summary row; row counts are preserved."""
+    n_docs = env.docs.count()
+
+    zp = str(env.root / "zorder_out")
+    row = env.ctx.sql(
+        f"RUN PIPELINE zorder ON {DOCS} "
+        f"OPTIONS(path '{zp}', cols 'n_chars,doc_id', n_files '2')"
+    ).collect()[0]
+    assert row.n_files == 2
+    assert spark.read.parquet(zp).count() == n_docs
+
+    rp = str(env.root / "range_out")
+    env.ctx.sql(f"RUN PIPELINE range_cluster ON {DOCS} "
+                f"OPTIONS(path '{rp}', cols 'doc_id', n_files '2')")
+    assert spark.read.parquet(rp).count() == n_docs
+
+    sp = str(env.root / "shards_out")
+    env.ctx.sql(f"RUN PIPELINE shard_export ON {DOCS} "
+                f"OPTIONS(path '{sp}', n_shards '3')")
+    assert spark.read.parquet(sp).count() == n_docs
+
+    cp = str(env.root / "compact_out")
+    stats = env.ctx.sql(
+        f"RUN PIPELINE compact ON {DOCS} "
+        f"OPTIONS(path '{zp}', out_path '{cp}', target_mb '64')"
+    ).collect()[0]
+    assert stats.n_input_files == 2 and stats.n_output_files >= 1
+    assert spark.read.parquet(cp).count() == n_docs
+
+
+def test_pipeline_internal_typeerror_not_masked(env):
+    """A genuine TypeError raised INSIDE an operator must propagate,
+    not be relabeled as a bad-option parse error (ADVICE r8)."""
+    from lightning_metastore_spark.parser.dispatcher import (
+        CommandParseError, RunPipeline)
+
+    fn, coercions = RunPipeline._registry()["quality"]
+
+    def exploding(df, **kw):
+        raise TypeError("internal: not an options problem")
+
+    # simulate via the command object with a patched registry entry
+    cmd = RunPipeline(op="quality", table_path=DOCS.split(".")[1:])
+    import unittest.mock as mock
+    with mock.patch.object(
+            RunPipeline, "_registry",
+            staticmethod(lambda: {"quality": (exploding, coercions)})):
+        with pytest.raises(TypeError, match="internal"):
+            cmd.run(env.ctx)
+    # while a typo'd option is still the friendly parse error
+    with pytest.raises(CommandParseError, match="declared options"):
+        env.ctx.sql(f"RUN PIPELINE quality ON {DOCS} "
+                    "OPTIONS(nonsense_opt 'x')")
+
+
+def test_http_round_trip_new_op(env):
+    """One new-family op over real HTTP: funnel through /api/q equals
+    the Python API."""
+    from lightning_metastore_spark.api import LightningAPIServer
+    from lightning_metastore_spark.operators import temporal
+
+    srv = LightningAPIServer(env.ctx).start()
+    try:
+        req = urllib.request.Request(
+            f"http://{srv.host}:{srv.port}/api/q",
+            data=json.dumps({
+                "query": f"RUN PIPELINE funnel ON {EVENTS} "
+                         "OPTIONS(stages 'view,click,purchase')"}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req) as resp:
+            status, rows = resp.status, json.loads(resp.read())
+    finally:
+        srv.stop()
+    want = [r.asDict() for r in temporal.funnel_counts(
+        env.events, ("view", "click", "purchase")).collect()]
+    assert status == 200
+    assert sorted(tuple(sorted(r.items())) for r in rows) == \
+        sorted(tuple(sorted(w.items())) for w in want)

@@ -232,3 +232,24 @@ def test_cdc_dup_stats_shuffles_hashes_not_text(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "_text" not in ln, ln
+
+
+def test_dup_spans_shuffles_hash_not_span_text(spark):
+    """corpus_dup_spans' occurrence agg and rejoin key on xxhash64 of
+    the span (8-byte key) — the raw k-token span STRING must never be
+    a shuffle key (same hash-not-text discipline as cdc_dup_stats)."""
+    from lightning_metastore_spark.operators.dedup import corpus_dup_spans
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " * 4)
+         for i in range(20)],
+        ["doc_id", "text"])
+    plan = _plan(corpus_dup_spans(docs, k=5))
+    assert "xxhash64" in plan
+    exchanges = [ln for ln in plan.splitlines()
+                 if "Exchange hashpartitioning" in ln]
+    assert exchanges
+    # shuffle keys are the hash column (gh) or doc_id — never the
+    # span text column g
+    for ln in exchanges:
+        assert "g#" not in ln, ln
