@@ -10,20 +10,25 @@ batch-applied merge, not a corpus pass.
 
 Plan shape (100 TB): ONE corpus-wide shuffle builds (word, freq), and
 ONE full pair-count aggregation seeds the (l, r, c) counts relation.
-Every iteration after that is DELTA-ONLY — the heap-based learner's
-insight, expressed distributively: merging (l, r) can change the pair
-multiset only of words whose current segmentation contains (l, r)
-adjacently, so the iteration (a) filters the word relation to that
-affected subset with a JVM array_contains probe, (b) rewrites just
-those words in an Arrow-batched ``mapInPandas``, (c) aggregates pair
-counts over the affected words before and after the rewrite (two
-small keyed aggs), and (d) outer-joins the net delta into the counts
-relation. The full vocabulary is never re-aggregated after the seed
-pass; the top pair is a ``limit(1)`` TakeOrdered on the maintained
-counts relation. Both the word and counts relations are
-localCheckpointed per iteration (iterative-algorithm lineage cut,
-same pattern as Lloyd's k-means in operators/similarity.py); driver
-state per iteration is exactly one (left, right, count) row.
+Every round after that maintains counts by DELTA — the heap-based
+learner's insight, expressed distributively: merging (l, r) can change
+the pair multiset only of words whose current segmentation contains
+(l, r) adjacently, so each round (a) filters the word relation to
+that affected subset with a JVM array_contains probe, (b) rewrites
+just those words in an Arrow-batched ``mapInPandas``, (c) aggregates
+pair counts over the affected words before and after the rewrite, and
+(d) folds the signed delta into the counts relation in one keyed agg.
+The full vocabulary is never re-AGGREGATED after the seed pass —
+though the word relation is still SCANNED (JVM filter) and
+re-checkpointed once per round; only the Python rewrite and the
+shuffle volume are delta-sized. The top pairs are a small TakeOrdered
+on the maintained counts relation, and ``batch_m`` top
+non-interacting merges apply per round (frequency-batched BPE), so a
+32k-merge vocabulary needs ~32k/batch_m driver round-trips rather
+than 32k. Both the word and counts relations are localCheckpointed
+per round (iterative-algorithm lineage cut, same pattern as Lloyd's
+k-means in operators/similarity.py); driver state per round is the
+top-pair sample only.
 
 Determinism: ties in pair frequency break lexicographically on
 (left, right); merge application is the standard greedy left-to-right
@@ -63,25 +68,30 @@ def _word_symbols(docs: DataFrame, text_col: str,
                         .alias("syms"))
 
 
-def _merge_batch(l: str, r: str):
-    """mapInPandas body applying one merge rule greedily left-to-right
-    (non-overlapping), the standard BPE apply step."""
+def _merge_batch(rules: list[tuple[str, str]]):
+    """mapInPandas body applying a list of merge rules, each greedily
+    left-to-right (non-overlapping), in list order — the standard BPE
+    apply step. Rules in one batch are mutually non-interacting
+    (disjoint symbols and outputs, see ``learn_bpe_merges``), so the
+    in-order application equals applying them in any order."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for syms in pdf["syms"]:
                 syms = list(syms)
-                merged, i = [], 0
-                while i < len(syms):
-                    if (i + 1 < len(syms) and syms[i] == l
-                            and syms[i + 1] == r):
-                        merged.append(l + r)
-                        i += 2
-                    else:
-                        merged.append(syms[i])
-                        i += 1
-                out.append(merged)
+                for l, r in rules:
+                    merged, i = [], 0
+                    while i < len(syms):
+                        if (i + 1 < len(syms) and syms[i] == l
+                                and syms[i + 1] == r):
+                            merged.append(l + r)
+                            i += 2
+                        else:
+                            merged.append(syms[i])
+                            i += 1
+                    syms = merged
+                out.append(syms)
             yield pd.DataFrame({"word": pdf["word"], "freq": pdf["freq"],
                                 "syms": out})
 
@@ -114,7 +124,8 @@ def _contains_pair(l: str, r: str):
 def learn_bpe_merges(docs: DataFrame, n_merges: int = 16,
                      min_pair_freq: int = 2, text_col: str = "text",
                      lowercase: bool = True,
-                     stats: list | None = None) -> list[tuple[str, str, int]]:
+                     stats: list | None = None,
+                     batch_m: int = 1) -> list[tuple[str, str, int]]:
     """Learn up to ``n_merges`` BPE merge rules from the corpus.
     Returns [(left, right, pair_freq), ...] in merge order — feed to
     ``apply_bpe_merges`` or export as a tokenizer artifact.
@@ -122,15 +133,32 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = 16,
     Stops early when no adjacent pair reaches ``min_pair_freq``.
 
     Pair counts are maintained incrementally (see the module
-    docstring): after the seed aggregation, each iteration recounts
-    pairs ONLY over the words affected by the last merge, so deep
-    vocabularies (tens of thousands of merges) cost per-iteration
-    work proportional to the merge's footprint, not the vocabulary.
-    Pass ``stats`` (an empty list) to receive one
-    ``{"n_affected": int}`` dict per merge — the test hook proving
-    the delta property (affected counts come from the flag column the
-    rewrite already carries, one cheap count on the checkpointed
-    relation, only when requested).
+    docstring): after the seed aggregation, each round's Python
+    rewrite and pair-count delta are sized to the words affected by
+    that round's merges (the word relation is still scanned by a JVM
+    filter and re-checkpointed once per round — only the Python and
+    shuffle work is delta-sized).
+
+    ``batch_m``: merges applied per round. 1 (default) is EXACT
+    sequential Sennrich BPE. >1 selects up to ``batch_m`` top pairs
+    that are mutually NON-INTERACTING — no shared input symbol and no
+    rule's output equal to another's input or output — and applies
+    them in one rewrite + one delta fold: the published
+    frequency-batched BPE variant. Each selected rule's count is exact
+    (non-interacting rules cannot change each other's counts), and
+    within a round the rules commute; across rounds the learned merge
+    ORDER can differ from sequential BPE when a merge's newly created
+    pairs would have outranked a later rule in the same batch. Driver
+    round-trips drop from n_merges to ~n_merges/batch_m — the
+    sequential-latency fix for real 32k-merge vocabularies where each
+    round is scheduler-bound, not data-bound.
+
+    Pass ``stats`` (an empty list) to receive one dict per ROUND:
+    ``{"n_affected": int}`` plus ``left``/``right`` when the round
+    applied one rule, else ``rules`` — the test hook proving the delta
+    property (affected counts come from the flag column the rewrite
+    already carries, one cheap count on the checkpointed relation,
+    only when requested).
     """
     cur = (_word_symbols(docs, text_col, lowercase)
            .withColumn("__m", F.lit(0)).localCheckpoint())
@@ -140,14 +168,42 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = 16,
         "transform(slice(syms, 1, size(syms) - 1), "
         "(s, i) -> struct(s AS l, syms[i + 1] AS r))")
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
+        want = min(batch_m, n_merges - len(merges))
         top = (counts.orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
-               .limit(1).collect())
-        if not top or top[0]["c"] < min_pair_freq:
+               .limit(max(8, 4 * want)).collect())
+        top = [t for t in top if t["c"] >= min_pair_freq]
+        if not top:
             break
-        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
-        merges.append((l, r, c))
-        hit = _contains_pair(l, r)
+        # greedy non-interacting selection in priority order: a rule
+        # joins the batch only if its inputs AND its output are
+        # disjoint from every already-accepted rule's inputs/output —
+        # merging (x,l,r,y)->(x,l+r,y) then provably cannot create,
+        # destroy, or consume any other accepted rule's occurrences,
+        # so simultaneous application == sequential in any order and
+        # each rule's round-start count is its exact apply-time count
+        batch: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for t in top:
+            if len(batch) >= want:
+                break
+            l, r, c = t["l"], t["r"], int(t["c"])
+            if l in used or r in used or (l + r) in used:
+                continue
+            batch.append((l, r, c))
+            used.update((l, r, l + r))
+        merges.extend(batch)
+        rules = [(l, r) for l, r, _ in batch]
+        # one adjacent-pair stream probed against the whole batch with
+        # a single arrays_overlap — NOT an OR-chain of array_contains,
+        # which would rebuild the transform per rule
+        if len(rules) == 1:
+            hit = _contains_pair(*rules[0])
+        else:
+            probe = F.array(*[
+                F.struct(F.lit(l).alias("l"), F.lit(r).alias("r"))
+                for l, r in rules])
+            hit = F.arrays_overlap(pairs_expr, probe)
         # rewrite ONLY the affected words; untouched words stream
         # through a JVM filter, never Python. __m flags the rewritten
         # rows inside the new checkpoint so the delta's "after" side
@@ -158,13 +214,17 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = 16,
                .select("word", "freq", "syms", "__m")
                .unionByName(
                    cur.filter(hit).select("word", "freq", "syms")
-                   .mapInPandas(_merge_batch(l, r), schema=_SYMS_SCHEMA)
+                   .mapInPandas(_merge_batch(rules), schema=_SYMS_SCHEMA)
                    .withColumn("__m", F.lit(1)))
                .coalesce(n_parts)
                .localCheckpoint())
         if stats is not None:
-            stats.append({"left": l, "right": r,
-                          "n_affected": nxt.filter("__m = 1").count()})
+            entry = {"n_affected": nxt.filter("__m = 1").count()}
+            if len(rules) == 1:
+                entry["left"], entry["right"] = rules[0]
+            else:
+                entry["rules"] = rules
+            stats.append(entry)
         # fold the delta straight into the counts relation in ONE
         # keyed agg: prior counts ride as (l, r, +c) rows, the affected
         # words' pairs as signed freq rows (-freq before the rewrite,

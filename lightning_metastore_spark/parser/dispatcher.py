@@ -1057,11 +1057,11 @@ class RunPipeline(Command):
 
         # ---- tokenizer train/apply: artifact path flows via OPTIONS ----
         def bpe_train(df, n_merges=16, min_pair_freq=2, text_col="text",
-                      save=None):
+                      save=None, batch_m=1):
             """Learn BPE merge rules; OPTIONS(save '...') persists the artifact."""
             merges = bpe.learn_bpe_merges(
                 df, n_merges=n_merges, min_pair_freq=min_pair_freq,
-                text_col=text_col)
+                text_col=text_col, batch_m=batch_m)
             if save:
                 bpe.save_bpe_merges(df.sparkSession, merges, save)
             return df.sparkSession.createDataFrame(
@@ -1195,7 +1195,7 @@ class RunPipeline(Command):
             # ---- tokenizers: train writes an artifact, apply loads it ----
             "bpe_train": (bpe_train,
                           {"n_merges": int, "min_pair_freq": int,
-                           "save": str}),
+                           "save": str, "batch_m": int}),
             "bpe_apply": (bpe_apply, {"load": str}),
             "unigram_train": (unigram_train,
                               {"vocab_size": int, "em_iters": int,

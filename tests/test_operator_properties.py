@@ -322,3 +322,50 @@ def test_pagerank_mass_conserved_any_graph(edge_list, symmetric):
     total = sum(r["rank"] for r in rows)
     assert abs(total - 1.0) < 1e-9
     assert all(r["rank"] > 0 for r in rows)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(
+    st.tuples(st.integers(0, 4),          # user_id — few users, heavy reuse
+              st.integers(0, 3),          # ts second — heavy collisions
+              st.sampled_from(["s1", "s2", "s3", "noise"])),
+    min_size=1, max_size=30))
+def test_funnel_strict_ordering_under_timestamp_ties(events):
+    """funnel_counts' strict-ordering semantics under adversarial
+    timestamp ties (the DuckDB oracle can't see this): a stage-k event
+    at the SAME timestamp as the user's t_{k-1} must NOT advance the
+    funnel — only ts strictly greater counts. Checked against a
+    sequential twin of the published definition: t_1(u) = min ts of a
+    stage-1 event, t_k(u) = min ts of a stage-k event with
+    ts > t_{k-1}(u)."""
+    import datetime as dt
+
+    from lightning_metastore_spark.operators.temporal import funnel_counts
+
+    stages = ["s1", "s2", "s3"]
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(u, t0 + dt.timedelta(seconds=s), e) for u, s, e in events]
+
+    # sequential twin
+    per_user: dict[int, list] = {}
+    for u, ts, e in rows:
+        per_user.setdefault(u, []).append((ts, e))
+    reached = [0] * len(stages)
+    for u, evs in per_user.items():
+        t_prev = None
+        for k, stage in enumerate(stages):
+            cand = [ts for ts, e in evs if e == stage
+                    and (t_prev is None or ts > t_prev)]
+            if not cand:
+                break
+            t_prev = min(cand)
+            reached[k] += 1
+
+    spark = _spark()
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {r.stage_idx: (r.n_users, r.conversion)
+           for r in funnel_counts(df, stages).collect()}
+    assert [got[k + 1][0] for k in range(len(stages))] == reached
+    base = max(reached[0], 1)
+    for k in range(len(stages)):
+        assert got[k + 1][1] == round(reached[k] / base, 6)
