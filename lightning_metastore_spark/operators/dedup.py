@@ -394,6 +394,94 @@ def corpus_dup_spans(docs: DataFrame, k: int = 5, text_col: str = "text",
                     .alias("dup_span_frac")))
 
 
+def remove_dup_spans(docs: DataFrame, k: int = 5, min_occ: int = 2,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Excise corpus-duplicated k-token spans from every document — the
+    REMOVAL step of exact-substring training-data dedup
+    (``corpus_dup_spans`` scores the duplication; this operator cuts
+    it): (doc_id, clean_text, n_tokens, n_removed, removed_frac).
+
+    A span is duplicated when its token sequence occurs at least
+    ``min_occ`` times corpus-wide (counting every occurrence, same doc
+    or not); every token covered by at least one duplicated window is
+    removed and the survivors re-joined with single spaces. Output text
+    is in normalized token space (lowercased, whitespace-collapsed) —
+    the SAME normalization detection uses, so removal and detection
+    cannot disagree. Docs shorter than ``k`` tokens form one whole-text
+    window; a duplicated short doc empties entirely.
+
+    Scale shape: the identical hashed-span shuffle as
+    ``corpus_dup_spans`` (xxhash64 8-byte keys — span text never
+    reaches an exchange), the occurrence filter joined back to the
+    POSITIONAL span stream, one per-doc collect of duplicated window
+    starts (bounded by the doc's own token count), then one Arrow pass
+    doing an O(tokens + starts) difference-array excision per doc. No
+    all-pairs step anywhere; every agg/join keys on the span hash or
+    the doc id.
+    """
+    import pandas as pd
+
+    toks = tokens(docs, text_col, id_col)
+    zip_args = ", ".join(f"slice(toks, {i + 1}, m)" for i in range(k))
+    concat_args = ", ' ', ".join(f"s['{i}']" for i in range(k))
+    base = (
+        toks.withColumn("m", F.size("toks") - (k - 1))
+        .select(
+            F.col(id_col), "toks",
+            F.when(
+                F.col("m") >= 1,
+                F.expr(f"transform(arrays_zip({zip_args}), "
+                       f"s -> concat({concat_args}))"),
+            ).otherwise(F.expr("array(concat_ws(' ', toks))"))
+            .alias("g_arr")))
+    spans = (base
+             .select(F.col(id_col), F.posexplode("g_arr")
+                     .alias("pos", "g"))
+             .select(F.col(id_col), "pos", F.xxhash64("g").alias("gh")))
+    dup = (spans.groupBy("gh").agg(F.count(F.lit(1)).alias("occ"))
+           .filter(F.col("occ") >= min_occ).select("gh"))
+    starts = (spans.join(dup, "gh")
+              .groupBy(id_col)
+              .agg(F.sort_array(F.collect_list("pos")).alias("starts")))
+    joined = base.select(id_col, "toks").join(starts, id_col, "left")
+
+    def excise(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for rid, tk, st in zip(pdf[id_col], pdf["toks"],
+                                   pdf["starts"]):
+                tk = list(tk)
+                n = len(tk)
+                width = k if n >= k else n          # whole-doc window
+                if st is None or len(st) == 0:
+                    kept = tk
+                else:
+                    cover = np.zeros(n + 1, dtype=np.int64)
+                    for s in st:
+                        cover[s] += 1
+                        cover[min(int(s) + width, n)] -= 1
+                    covered = np.cumsum(cover[:n]) > 0
+                    kept = [t for t, c in zip(tk, covered) if not c]
+                n_removed = n - len(kept)
+                rows.append({
+                    id_col: int(rid),
+                    "clean_text": " ".join(kept),
+                    "n_tokens": n, "n_removed": n_removed,
+                    "removed_frac": round(n_removed / n, 6) if n else 0.0})
+            cols = [id_col, "clean_text", "n_tokens", "n_removed",
+                    "removed_frac"]
+            yield (pd.DataFrame(rows, columns=cols) if rows
+                   else pd.DataFrame(columns=cols))
+
+    return joined.mapInPandas(
+        excise, schema=f"{id_col} long, clean_text string, "
+                       "n_tokens long, n_removed long, "
+                       "removed_frac double")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

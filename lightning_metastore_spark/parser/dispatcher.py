@@ -1180,6 +1180,8 @@ class RunPipeline(Command):
                                "jaccard_threshold": float,
                                "n": int, "chunks": int}),
             "dup_spans": (dedup.corpus_dup_spans, {"k": int}),
+            "remove_dup_spans": (dedup.remove_dup_spans,
+                                 {"k": int, "min_occ": int}),
             "semdedup": (dedup.semantic_dedup,
                          {"n_planes": int, "threshold": float}),
             "dedup_lines": (cleaning.dedup_lines_within_doc, {}),

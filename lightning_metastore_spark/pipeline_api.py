@@ -11,7 +11,7 @@ home module:
 
 Dedup:        exact_dedup, jaccard_pairs, minhash_lsh_pairs,
               simhash_pairs, embedding_neardup_pairs_blocked,
-              connected_components, corpus_dup_spans,
+              connected_components, corpus_dup_spans, remove_dup_spans,
               incremental_minhash_pairs, minhash_signatures,
               minhash_band_buckets, semantic_dedup,
               semantic_dedup_kmeans, cdc_chunks + cdc_dup_stats
@@ -101,6 +101,7 @@ from lightning_metastore_spark.operators.dedup import (  # noqa: F401
     cdc_dup_stats,
     connected_components,
     corpus_dup_spans,
+    remove_dup_spans,
     embedding_neardup_pairs_blocked,
     exact_dedup,
     incremental_minhash_pairs,

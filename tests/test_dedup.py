@@ -219,6 +219,73 @@ def test_corpus_dup_spans_within_doc_repeat(spark):
     assert r.n_spans == 6 and r.n_dup_spans == 2
 
 
+def test_remove_dup_spans_excises_covered_tokens(spark):
+    """Removal twin of the micro fixture: tokens covered by any
+    corpus-duplicated k-window disappear; everything else survives in
+    order. doc4 (< k tokens, unique) is untouched; a short doc whose
+    WHOLE text duplicates empties entirely."""
+    docs = spark.createDataFrame([
+        (1, "a b c d e f"),          # "a b c d e" dups with doc2
+        (2, "a b c d e zz"),
+        (3, "q w e r t y"),
+        (4, "tiny doc"),
+        (5, "tiny doc"),             # whole-text dup of doc4
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           dedup.remove_dup_spans(docs, k=5).collect()}
+    # docs 1,2: window [0,5) covered -> first five tokens removed
+    assert out[1].clean_text == "f" and out[1].n_removed == 5
+    assert out[2].clean_text == "zz" and out[2].removed_frac == round(5 / 6, 6)
+    assert out[3].clean_text == "q w e r t y" and out[3].n_removed == 0
+    # doc4/doc5: the whole-text window duplicates -> both empty
+    assert out[4].clean_text == "" and out[4].removed_frac == 1.0
+    assert out[5].clean_text == ""
+
+
+def test_remove_dup_spans_matches_naive_twin(spark):
+    """Sequential twin over a corpus with overlapping and within-doc
+    duplicated windows: coverage = union of all duplicated k-window
+    intervals, exactly."""
+    texts = {1: "p q r s t u v p q r s t",   # "p q r s t" at 0 and 7
+             2: "p q r s t m n o",
+             3: "m n o p q r s t x",
+             4: "unique words only here now"}
+    k = 5
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+
+    # naive: count every positional k-gram corpus-wide, cover, excise
+    from collections import Counter
+    grams: Counter = Counter()
+    toks = {i: t.lower().split() for i, t in texts.items()}
+    for tk in toks.values():
+        if len(tk) < k:
+            grams[tuple(tk)] += 1
+        else:
+            for i in range(len(tk) - k + 1):
+                grams[tuple(tk[i:i + k])] += 1
+    want = {}
+    for did, tk in toks.items():
+        n = len(tk)
+        covered = [False] * n
+        if n < k:
+            if grams[tuple(tk)] > 1:
+                covered = [True] * n
+        else:
+            for i in range(n - k + 1):
+                if grams[tuple(tk[i:i + k])] > 1:
+                    for j in range(i, i + k):
+                        covered[j] = True
+        kept = [t for t, c in zip(tk, covered) if not c]
+        want[did] = (" ".join(kept), n, n - len(kept))
+
+    out = {r.doc_id: r for r in
+           dedup.remove_dup_spans(docs, k=k).collect()}
+    for did, (ct, n, nr) in want.items():
+        assert (out[did].clean_text, out[did].n_tokens,
+                out[did].n_removed) == (ct, n, nr), did
+    assert any(r[2] > 0 for r in want.values())  # the fixture has bite
+
+
 # --- content-defined chunking ---------------------------------------------
 
 def test_cdc_chunks_cover_text_losslessly(spark):

@@ -369,3 +369,41 @@ def test_funnel_strict_ordering_under_timestamp_ties(events):
     base = max(reached[0], 1)
     for k in range(len(stages)):
         assert got[k + 1][1] == round(reached[k] / base, 6)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(DOC, min_size=2, max_size=8), st.integers(2, 4))
+def test_remove_dup_spans_matches_bruteforce(docs_texts, k):
+    """Randomized twin for the span REMOVAL operator: every token
+    covered by any corpus-duplicated k-window (>= 2 occurrences,
+    within- or cross-doc) is excised; survivors keep their order."""
+    from lightning_metastore_spark.operators.dedup import remove_dup_spans
+
+    spark = _spark()
+    rows = [(i, t) for i, t in enumerate(docs_texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    grams: Counter = Counter()
+    toks = {i: t.lower().split() for i, t in rows}
+    for tk in toks.values():
+        if len(tk) < k:
+            grams[tuple(tk)] += 1
+        else:
+            for i in range(len(tk) - k + 1):
+                grams[tuple(tk[i:i + k])] += 1
+
+    out = {r.doc_id: r for r in remove_dup_spans(df, k=k).collect()}
+    for did, tk in toks.items():
+        n = len(tk)
+        covered = [False] * n
+        if n < k:
+            if grams[tuple(tk)] > 1:
+                covered = [True] * n
+        else:
+            for i in range(n - k + 1):
+                if grams[tuple(tk[i:i + k])] > 1:
+                    for j in range(i, i + k):
+                        covered[j] = True
+        kept = [t for t, c in zip(tk, covered) if not c]
+        assert out[did].clean_text == " ".join(kept), (did, tk)
+        assert out[did].n_removed == sum(covered)

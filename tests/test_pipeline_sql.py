@@ -84,6 +84,9 @@ def _cases():
         ("dup_spans",
          f"dup_spans ON {DOCS} OPTIONS(k '4')",
          lambda e: dedup.corpus_dup_spans(e.docs, k=4)),
+        ("remove_dup_spans",
+         f"remove_dup_spans ON {DOCS} OPTIONS(k '4')",
+         lambda e: dedup.remove_dup_spans(e.docs, k=4)),
         ("semdedup",
          f"semdedup ON {EMB} OPTIONS(threshold '0.4')",
          lambda e: dedup.semantic_dedup(e.emb, threshold=0.4)),
