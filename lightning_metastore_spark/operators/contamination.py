@@ -60,3 +60,142 @@ def contamination_overlap(train: DataFrame, benchmark: DataFrame,
                     .cast("long").alias("n_contaminated"),
                     F.round(frac, 6).alias("contam_frac"),
                     (frac >= F.lit(flag_threshold)).alias("is_contaminated")))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination artifact
+# ---------------------------------------------------------------------------
+#
+# contamination_overlap broadcasts the benchmark's DISTINCT shingle set —
+# right for eval-suite-sized benchmarks, but a held-out-set membership
+# test over billions of grams (e.g. "everything in the validation split
+# of the web crawl") needs a bounded artifact. A Bloom filter gives a
+# fixed-size bitmap with ZERO false negatives (a contaminated doc can
+# never slip through) and a tunable false-positive rate (a clean doc is
+# occasionally over-flagged — the safe direction for decontamination).
+
+
+def _bloom_positions(shingle: str, k: int, n_bits: int) -> list:
+    """k bit positions via Kirsch-Mitzenmacher double hashing over one
+    blake2b digest — deterministic across Python versions/platforms
+    (no PYTHONHASHSEED dependence), identical in build and test."""
+    import hashlib
+
+    d = hashlib.blake2b(shingle.encode("utf-8"), digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1   # odd => full-period stride
+    return [(h1 + i * h2) % n_bits for i in range(k)]
+
+
+def build_ngram_bloom(benchmark: DataFrame, n: int = 3,
+                      n_bits: int = 1 << 20, k: int = 4,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> dict:
+    """Build a Bloom-filter membership artifact over the benchmark's
+    distinct word n-grams: {"bits", "n_bits", "k", "n", "n_grams"}.
+
+    Distributed build: the JVM ``shingles`` relation (identical
+    semantics to ``contamination_overlap`` — no Python re-tokenization
+    to drift) streams through one Arrow pass that accumulates a PARTIAL
+    bitmap per partition; the driver ORs the p partition bitmaps
+    (p x n_bits/8 bytes — 128 KB each at the default size, a bounded
+    artifact, never the gram set itself). At 100 TB the benchmark side
+    is what grows; the filter stays fixed-size by construction.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if n_bits % 8:
+        raise ValueError("n_bits must be a multiple of 8")
+    sh_b = shingles(benchmark, n, text_col, id_col) \
+        .select("shingle").distinct()
+    nb = n_bits
+
+    def partial(batches):
+        bits = np.zeros(nb // 8, dtype=np.uint8)
+        cnt = 0
+        for pdf in batches:
+            for s in pdf["shingle"]:
+                for p in _bloom_positions(s, k, nb):
+                    bits[p >> 3] |= np.uint8(1 << (p & 7))
+            cnt += len(pdf)
+        yield pd.DataFrame({"bits": [bits.tobytes()], "cnt": [cnt]})
+
+    rows = sh_b.mapInPandas(partial, "bits binary, cnt long").collect()
+    merged = np.zeros(n_bits // 8, dtype=np.uint8)
+    n_grams = 0
+    for r in rows:
+        merged |= np.frombuffer(r["bits"], dtype=np.uint8)
+        n_grams += int(r["cnt"])
+    return {"bits": merged.tobytes(), "n_bits": n_bits, "k": k,
+            "n": n, "n_grams": n_grams}
+
+
+def bloom_fp_rate(bloom: dict) -> float:
+    """Theoretical false-positive probability of the built filter:
+    (1 - e^(-k*n/m))^k."""
+    import math
+
+    m, k, ng = bloom["n_bits"], bloom["k"], bloom["n_grams"]
+    return (1.0 - math.exp(-k * ng / m)) ** k
+
+
+def bloom_contamination(train: DataFrame, bloom: dict,
+                        flag_threshold: float = 0.5,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Per-training-doc contamination via the Bloom artifact — same
+    output schema as ``contamination_overlap``: (doc_id, n_shingles,
+    n_contaminated, contam_frac, is_contaminated).
+
+    Guarantees: n_contaminated here is a SUPERSET count of the exact
+    operator's (no false negatives — every true benchmark gram hits);
+    over-flagging is bounded by ``bloom_fp_rate``. Map-only over the
+    training shingle stream with the fixed-size bitmap riding the task
+    closure (use ``spark.sparkContext.broadcast`` for filters beyond a
+    few MB); one per-doc aggregation — the corpus never shuffles
+    against the benchmark at all, which is the point at 100 TB.
+    """
+    import numpy as np
+    import pandas as pd
+
+    bits = np.frombuffer(bloom["bits"], dtype=np.uint8)
+    k, nb = bloom["k"], bloom["n_bits"]
+    sh_t = shingles(train, bloom["n"], text_col, id_col)
+
+    def test(batches):
+        for pdf in batches:
+            hit = [all(bits[p >> 3] & (1 << (p & 7))
+                       for p in _bloom_positions(s, k, nb))
+                   for s in pdf["shingle"]]
+            yield pd.DataFrame({id_col: pdf[id_col], "hit": hit})
+
+    hits = sh_t.mapInPandas(test, f"{id_col} long, hit boolean")
+    frac = F.col("n_contaminated") / F.col("n_shingles")
+    return (hits.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"),
+                 F.sum(F.col("hit").cast("long")).cast("long")
+                 .alias("n_contaminated"))
+            .select(F.col(id_col), "n_shingles", "n_contaminated",
+                    F.round(frac, 6).alias("contam_frac"),
+                    (frac >= F.lit(flag_threshold))
+                    .alias("is_contaminated")))
+
+
+def save_ngram_bloom(spark, bloom: dict, path: str) -> None:
+    """Persist the filter as a one-row parquet artifact (bitmap +
+    parameters) — engine-portable and versionable next to the corpus,
+    like the tokenizer artifacts."""
+    df = spark.createDataFrame(
+        [(bytearray(bloom["bits"]), bloom["n_bits"], bloom["k"],
+          bloom["n"], bloom["n_grams"])],
+        "bits binary, n_bits long, k long, n long, n_grams long")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_ngram_bloom(spark, path: str) -> dict:
+    """Reload a saved filter artifact."""
+    r = spark.read.parquet(path).collect()[0]
+    return {"bits": bytes(r["bits"]), "n_bits": int(r["n_bits"]),
+            "k": int(r["k"]), "n": int(r["n"]),
+            "n_grams": int(r["n_grams"])}

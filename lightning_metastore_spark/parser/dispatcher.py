@@ -1133,6 +1133,28 @@ class RunPipeline(Command):
             return skyline_mod.skyline(df, minimize=list(minimize),
                                        maximize=list(maximize))
 
+        # ---- Bloom decontamination: build on the BENCHMARK table,
+        # ---- decontaminate the training table against the artifact ----
+        def bloom_build(df, save, n=3, n_bits=1 << 20, k=4):
+            """Build a benchmark n-gram Bloom artifact at OPTIONS(save); returns its stats."""
+            from lightning_metastore_spark.operators import (
+                contamination as cont)
+            bloom = cont.build_ngram_bloom(df, n=n, n_bits=n_bits, k=k)
+            cont.save_ngram_bloom(df.sparkSession, bloom, save)
+            return df.sparkSession.createDataFrame(
+                [(save, bloom["n_bits"], bloom["k"], bloom["n"],
+                  bloom["n_grams"], float(cont.bloom_fp_rate(bloom)))],
+                "path string, n_bits long, k long, n long, "
+                "n_grams long, fp_rate double")
+
+        def bloom_decontaminate(df, load, flag_threshold=0.5):
+            """Flag docs whose n-grams hit a saved Bloom artifact (OPTIONS(load))."""
+            from lightning_metastore_spark.operators import (
+                contamination as cont)
+            bloom = cont.load_ngram_bloom(df.sparkSession, load)
+            return cont.bloom_contamination(
+                df, bloom, flag_threshold=flag_threshold)
+
         return {
             "exact_dedup": (dedup.exact_dedup, {}),
             "near_dup_pairs": (dedup.minhash_lsh_pairs,
@@ -1174,6 +1196,12 @@ class RunPipeline(Command):
                 .contamination_overlap(df, bench, n=n,
                                        flag_threshold=flag_threshold),
                 {"bench": "TABLE", "n": int, "flag_threshold": float}),
+            "bloom_build": (bloom_build,
+                            {"save": str, "n": int, "n_bits": int,
+                             "k": int}),
+            "bloom_decontaminate": (bloom_decontaminate,
+                                    {"load": str,
+                                     "flag_threshold": float}),
             # ---- dedup (beyond minhash): simhash, spans, semantic ----
             "simhash_pairs": (dedup.simhash_pairs,
                               {"hamming_max": int,

@@ -27,7 +27,7 @@ Tokenizing:   build_vocab, encode_token_stats, chunk_documents,
               learn_bpe_merges, apply_bpe_merges,
               train_unigram_lm, apply_unigram_lm
 Cleaning:     remove_boilerplate_lines, dedup_lines_within_doc
-Hygiene:      contamination_overlap
+Hygiene:      contamination_overlap, build_ngram_bloom / bloom_contamination
 Sampling:     mixture_resample, stratified_fixed_n,
               weighted_sample_n (A-ES, without replacement),
               quantile_normalize (per-group percentile rank)
@@ -94,7 +94,12 @@ from lightning_metastore_spark.operators.cleaning import (  # noqa: F401
     remove_boilerplate_lines,
 )
 from lightning_metastore_spark.operators.contamination import (  # noqa: F401
+    bloom_contamination,
+    bloom_fp_rate,
+    build_ngram_bloom,
     contamination_overlap,
+    load_ngram_bloom,
+    save_ngram_bloom,
 )
 from lightning_metastore_spark.operators.dedup import (  # noqa: F401
     cdc_chunks,

@@ -92,3 +92,100 @@ def test_weighted_sample_n_matches_naive(spark):
     assert got == [(i, rk + 1) for rk, (_, i) in enumerate(want)]
     assert got[0][0] == 999          # the 100000-weight doc wins
     assert all(i != 998 for i, _ in got)
+
+
+# --- Bloom-filter decontamination artifact ---------------------------------
+
+def _bloom_fixture(spark):
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i} unique tail words here") for i in range(20)]
+        + [(100, "secret benchmark question one two three"),
+           (101, "another held out example four five six")],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(1, "secret benchmark question one two three"),
+         (2, "another held out example four five six")],
+        ["doc_id", "text"])
+    return docs, bench
+
+
+def test_bloom_contamination_no_false_negatives_and_exact_at_size(spark):
+    """Zero false negatives by construction; at a comfortably-sized
+    filter the FP term vanishes and the Bloom output EQUALS the exact
+    broadcast-set operator row for row."""
+    from lightning_metastore_spark.operators.contamination import (
+        bloom_contamination, bloom_fp_rate, build_ngram_bloom,
+        contamination_overlap)
+
+    docs, bench = _bloom_fixture(spark)
+    bloom = build_ngram_bloom(bench, n=3, n_bits=1 << 18, k=5)
+    assert bloom["n_grams"] > 0 and bloom_fp_rate(bloom) < 1e-10
+
+    got = sorted(map(tuple, bloom_contamination(docs, bloom).collect()))
+    want = sorted(map(tuple, contamination_overlap(docs, bench, n=3).collect()))
+    assert got == want
+    flagged = {r[0] for r in got if r[4]}
+    assert flagged == {100, 101}
+
+
+def test_bloom_contamination_superset_under_small_filter(spark):
+    """An undersized filter may over-flag (false positives) but can
+    NEVER under-count: per-doc n_contaminated >= the exact operator's."""
+    from lightning_metastore_spark.operators.contamination import (
+        bloom_contamination, build_ngram_bloom, contamination_overlap)
+
+    docs, bench = _bloom_fixture(spark)
+    bloom = build_ngram_bloom(bench, n=3, n_bits=64, k=2)  # deliberately tiny
+    got = {r.doc_id: r.n_contaminated
+           for r in bloom_contamination(docs, bloom).collect()}
+    want = {r.doc_id: r.n_contaminated
+            for r in contamination_overlap(docs, bench, n=3).collect()}
+    assert set(got) == set(want)
+    assert all(got[d] >= want[d] for d in want)
+    # the held-out docs are still fully contaminated
+    assert got[100] >= want[100] > 0
+
+
+def test_bloom_fp_rate_tracks_theory(spark):
+    """Measured FP frequency on novel grams stays within ~4x of the
+    analytic (1-e^(-kn/m))^k (generous bound for a small sample)."""
+    from lightning_metastore_spark.operators.contamination import (
+        _bloom_positions, bloom_fp_rate, build_ngram_bloom)
+
+    import numpy as np
+
+    bench = spark.createDataFrame(
+        [(i, f"bench gram {i} alpha {i * 7} beta {i * 13}")
+         for i in range(100)], ["doc_id", "text"])
+    bloom = build_ngram_bloom(bench, n=3, n_bits=1 << 12, k=3)
+    theory = bloom_fp_rate(bloom)
+    assert 0 < theory < 0.5
+    bits = np.frombuffer(bloom["bits"], dtype=np.uint8)
+    novel = [f"novel {i} gram {i * 31}" for i in range(4000)]
+    fp = sum(
+        all(bits[p >> 3] & (1 << (p & 7))
+            for p in _bloom_positions(s, bloom["k"], bloom["n_bits"]))
+        for s in novel) / len(novel)
+    assert fp <= 4 * theory + 0.01
+
+
+def test_bloom_artifact_roundtrip_and_partition_invariance(spark, tmp_path):
+    from lightning_metastore_spark.operators.contamination import (
+        bloom_contamination, build_ngram_bloom, load_ngram_bloom,
+        save_ngram_bloom)
+
+    docs, bench = _bloom_fixture(spark)
+    bloom = build_ngram_bloom(bench, n=3)
+    path = str(tmp_path / "bloom_artifact")
+    save_ngram_bloom(spark, bloom, path)
+    loaded = load_ngram_bloom(spark, path)
+    assert loaded == bloom
+
+    a = sorted(map(tuple, bloom_contamination(docs, bloom).collect()))
+    b = sorted(map(tuple, bloom_contamination(
+        docs.repartition(7), loaded).collect()))
+    assert a == b
+    # build is partition-invariant too (partial-bitmap OR is commutative)
+    bloom2 = build_ngram_bloom(bench.repartition(5), n=3)
+    assert bloom2["bits"] == bloom["bits"] and \
+        bloom2["n_grams"] == bloom["n_grams"]

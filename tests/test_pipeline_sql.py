@@ -244,6 +244,26 @@ def test_tokenizer_train_apply_roundtrip_sql(env):
         unigram_lm.apply_unigram_lm(env.docs, pieces))
 
 
+def test_bloom_build_decontaminate_roundtrip_sql(env):
+    """bloom_build persists a Bloom artifact from the benchmark table;
+    bloom_decontaminate flags the corpus against it — matching the
+    Python API."""
+    from lightning_metastore_spark.operators import contamination as cont
+
+    bp = str(env.root / "bloom_sql_artifact")
+    row = env.ctx.sql(f"RUN PIPELINE bloom_build ON {DOCS} "
+                      f"OPTIONS(n '3', save '{bp}')").collect()[0]
+    assert row.n_grams > 0 and 0 <= row.fp_rate < 1
+
+    got = env.ctx.sql(f"RUN PIPELINE bloom_decontaminate ON {DOCS} "
+                      f"OPTIONS(load '{bp}', flag_threshold '0.9')")
+    bloom = cont.load_ngram_bloom(env.docs.sparkSession, bp)
+    want = cont.bloom_contamination(env.docs, bloom, flag_threshold=0.9)
+    assert _rows(got) == _rows(want)
+    # a corpus decontaminated against its own grams is fully flagged
+    assert all(r.is_contaminated for r in got.collect())
+
+
 def test_layout_ops_write_and_report(env, spark):
     """compact/zorder/range_cluster/shard_export write real parquet to
     OPTIONS(path) and return a summary row; row counts are preserved."""
