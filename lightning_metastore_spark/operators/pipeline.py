@@ -45,6 +45,8 @@ class CurationConfig:
     val_frac_hex: str = "e6"         # (~0.1 more)
     # optional stages (None = off, keeping the gate oracle's shape):
     max_dup_2gram_frac: float | None = None   # Gopher repetition reject
+    max_dup_span_frac: float | None = None    # exact-substring dup reject
+    dup_span_k: int = 5
     max_contam_frac: float | None = None      # benchmark decontamination
     contam_ngram: int = 3
     min_classifier_score: float | None = None  # linear-classifier floor
@@ -58,6 +60,9 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
     """See module docstring. Optional stages (off by default):
     ``cfg.max_dup_2gram_frac`` rejects Gopher-repetitive documents
     (functions/text.py::repetition_features on the CLEANED text);
+    ``cfg.max_dup_span_frac`` rejects documents dominated by
+    corpus-duplicated exact k-token substrings
+    (operators/dedup.py::corpus_dup_spans on the cleaned text);
     ``cfg.min_classifier_score`` rejects below the linear quality
     classifier's floor (functions/text.py::classifier_score);
     ``cfg.min_avg_logprob`` rejects high-perplexity documents under the
@@ -133,6 +138,17 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
         out = out.join(rep, id_col, "left")
         rep_ok = (F.coalesce("dup_2gram_char_frac", F.lit(0.0))
                   <= cfg.max_dup_2gram_frac)
+    span_ok = F.lit(True)
+    if cfg.max_dup_span_frac is not None:
+        # reject docs dominated by corpus-duplicated exact substrings
+        # (the Lee-et-al span signal; remove_dup_spans offers excision
+        # instead of rejection when the salvageable text matters)
+        spans = dedup.corpus_dup_spans(cleaned, cfg.dup_span_k,
+                                       text_col, id_col) \
+            .select(id_col, "dup_span_frac")
+        out = out.join(spans, id_col, "left")
+        span_ok = (F.coalesce("dup_span_frac", F.lit(0.0))
+                   <= cfg.max_dup_span_frac)
     clf_ok = F.lit(True)
     if cfg.min_classifier_score is not None:
         clf = text_fns.classifier_score(cleaned, text_col=text_col,
@@ -164,12 +180,13 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
     keep = (F.col("exact_survivor") & F.col("cluster_survivor")
             & (F.col("quality_score") >= cfg.min_quality)
             & F.col("pred_lang").isin(*cfg.allowed_langs)
-            & rep_ok & clf_ok & lm_ok & contam_ok)
+            & rep_ok & span_ok & clf_ok & lm_ok & contam_ok)
     reason = (F.when(~F.col("exact_survivor"), "exact_duplicate")
               .when(~F.col("cluster_survivor"), "near_duplicate")
               .when(F.col("quality_score") < cfg.min_quality, "low_quality")
               .when(~F.col("pred_lang").isin(*cfg.allowed_langs), "language")
               .when(~rep_ok, "repetitive")
+              .when(~span_ok, "dup_spans")
               .when(~clf_ok, "low_classifier_score")
               .when(~lm_ok, "high_perplexity")
               .when(~contam_ok, "contaminated")

@@ -1175,7 +1175,13 @@ class RunPipeline(Command):
                                      .alias("clean")), {}),
             "boilerplate": (cleaning.remove_boilerplate_lines,
                             {"max_df": int}),
-            "curate": (curate, {"min_quality": float}),
+            "curate": (curate,
+                       {"min_quality": float,
+                        "max_dup_2gram_frac": float,
+                        "max_dup_span_frac": float, "dup_span_k": int,
+                        "min_classifier_score": float,
+                        "min_avg_logprob": float,
+                        "near_dup_threshold": float}),
             # two-table ops: the second side is another lightning
             # table, resolved via the TABLE option coercion
             "asof_join": (

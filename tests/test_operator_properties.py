@@ -407,3 +407,81 @@ def test_remove_dup_spans_matches_bruteforce(docs_texts, k):
         kept = [t for t, c in zip(tk, covered) if not c]
         assert out[did].clean_text == " ".join(kept), (did, tk)
         assert out[did].n_removed == sum(covered)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 9)),
+                min_size=1, max_size=40),
+       st.integers(1, 4))
+def test_rolling_active_users_matches_bruteforce(user_days, window_days):
+    """DAU/WAU twin: n_active(day) = distinct users with >= 1 event in
+    the window_days window ending at day, for every day from the first
+    activity to the last (trailing windows after the last observed day
+    are dropped)."""
+    import datetime as dt
+
+    from lightning_metastore_spark.operators.temporal import (
+        rolling_active_users)
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [(u, t0 + dt.timedelta(days=d, hours=u % 3))
+            for u, d in user_days]
+    spark = _spark()
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {r.day.date(): r.n_active
+           for r in rolling_active_users(df, window_days).collect()}
+
+    days_by_user: dict = {}
+    for u, d in user_days:
+        days_by_user.setdefault(u, set()).add(d)
+    max_d = max(d for _, d in user_days)
+    want = {}
+    for day in range(0, max_d + 1):
+        lo = day - window_days + 1
+        n = sum(1 for u, ds in days_by_user.items()
+                if any(lo <= d <= day for d in ds))
+        if n:
+            want[(t0 + dt.timedelta(days=day)).date()] = n
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 9)),
+                min_size=1, max_size=40),
+       st.integers(1, 5))
+def test_retention_cohorts_matches_bruteforce(user_days, max_offset):
+    """Cohort-retention twin: for each first-day cohort and offset,
+    n_active = distinct cohort users active exactly offset days after
+    their first day; retention = n_active / cohort_size; offset 0 is
+    always 1.0."""
+    import datetime as dt
+
+    from lightning_metastore_spark.operators.temporal import (
+        retention_cohorts)
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [(u, t0 + dt.timedelta(days=d, hours=u % 3))
+            for u, d in user_days]
+    spark = _spark()
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {(r.cohort_day.date(), r.offset_days): (r.n_active, r.retention)
+           for r in retention_cohorts(df, max_offset).collect()}
+
+    days_by_user: dict = {}
+    for u, d in user_days:
+        days_by_user.setdefault(u, set()).add(d)
+    first = {u: min(ds) for u, ds in days_by_user.items()}
+    cohort_users: dict = {}
+    for u, f in first.items():
+        cohort_users.setdefault(f, set()).add(u)
+    want = {}
+    for f, users in cohort_users.items():
+        for off in range(0, max_offset + 1):
+            n = sum(1 for u in users if f + off in days_by_user[u])
+            if n:
+                want[((t0 + dt.timedelta(days=f)).date(), off)] = \
+                    (n, round(n / len(users), 6))
+    assert got == want
+    for (day, off), (n, r) in got.items():
+        if off == 0:
+            assert r == 1.0

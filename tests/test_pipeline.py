@@ -138,3 +138,33 @@ def test_pipeline_api_facade(spark):
                                             "n_subwords"]
     public = [n for n in dir(P) if not n.startswith("_") and n != "annotations"]
     assert len(public) >= 28
+
+
+def test_curation_dup_span_stage(spark):
+    """Optional exact-substring stage: a doc sharing a long prefix with
+    another (but not near-dup enough to cluster) is rejected with
+    reason dup_spans; row count stays invariant and the default config
+    is unaffected."""
+    shared = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, shared + " unique alpha tail content here now ok yes"),
+         (2, shared + " different omega ending words go here today"),
+         (3, "completely original text with no overlap anywhere at all"),
+         (4, "")],
+        "doc_id long, text string")
+    cfg = CurationConfig(min_quality=0.0, boilerplate_max_df=10,
+                         use_minhash=False, near_dup_threshold=0.95,
+                         max_dup_span_frac=0.4, dup_span_k=5)
+    out = {r.doc_id: r for r in curate_corpus(docs, cfg).collect()}
+    assert len(out) == 4
+    # docs 1 and 2 share a 10-token prefix -> 6 duplicated 5-windows of
+    # ~14 total each -> frac > 0.4 -> rejected
+    assert out[1].drop_reason == "dup_spans" and not out[1].keep
+    assert out[2].drop_reason == "dup_spans"
+    assert out[3].keep and out[3].drop_reason is None
+    assert 4 in out  # degenerate doc coalesces to non-duplicated
+    # stage off: same corpus, no dup_spans reason
+    base = curate_corpus(docs, CurationConfig(
+        min_quality=0.0, boilerplate_max_df=10, use_minhash=False,
+        near_dup_threshold=0.95)).collect()
+    assert "dup_spans" not in {r.drop_reason for r in base}

@@ -344,3 +344,18 @@ def test_http_round_trip_new_op(env):
     assert status == 200
     assert sorted(tuple(sorted(r.items())) for r in rows) == \
         sorted(tuple(sorted(w.items())) for w in want)
+
+
+def test_curate_optional_stage_options_coerce(env):
+    """The curate op's optional-stage OPTIONS arrive typed (floats, not
+    strings) so threshold comparisons work through SQL."""
+    from lightning_metastore_spark.operators.pipeline import (
+        CurationConfig, curate_corpus)
+
+    got = env.ctx.sql(
+        f"RUN PIPELINE curate ON {DOCS} "
+        "OPTIONS(min_quality '0.0', max_dup_span_frac '0.4', "
+        "dup_span_k '5')")
+    want = curate_corpus(env.docs, CurationConfig(
+        min_quality=0.0, max_dup_span_frac=0.4, dup_span_k=5))
+    assert _rows(got) == _rows(want)
