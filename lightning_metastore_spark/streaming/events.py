@@ -356,3 +356,88 @@ def rolling_zscore_stateful(events: DataFrame, trailing: int = 24,
                 stateStructType=_ZSCORE_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+_HH_STATE_SCHEMA = ("items array<string>, counts array<long>, "
+                    "errs array<long>, total long")
+_HH_OUT_SCHEMA = ("grp int, item string, est long, err long, "
+                  "grp_total long")
+
+
+def heavy_hitters_stateful(items: DataFrame, s: float = 0.02,
+                           item_col: str = "item",
+                           n_groups: int = 32) -> DataFrame:
+    """Streaming heavy hitters: a Space-Saving summary maintained in
+    the state store — the incremental twin of
+    operators/heavy_hitters.heavy_hitters.
+
+    Items hash into ``n_groups`` state groups (all occurrences of an
+    item land in ONE group, so an item with global frequency >= s*N has
+    in-group share >= s — the pigeonhole guarantee survives the
+    partitioning, and the group count is the parallelism knob). Each
+    group's state is a ceil(1/s)+1-counter Space-Saving summary
+    (Metwally et al.): bounded memory per group regardless of stream
+    cardinality or length. Every micro-batch folds its items into the
+    summary and re-emits the group's full counter table
+    (grp, item, est, err, grp_total) in update mode — ``est`` is the
+    overestimate, ``est - err`` the guaranteed lower bound, and
+    summing ``grp_total`` over the latest emission per group gives N
+    for thresholding downstream (keep est >= s*N; exact when the
+    summary never evicted, superset-with-bounds otherwise — the same
+    sketch-then-verify split as the batch operator, with the verify
+    half living wherever the consumer can afford an exact recount).
+    """
+    if not 0.0 < s < 1.0:
+        raise ValueError("heavy_hitters_stateful: s must be in (0, 1)")
+    capacity = int(1.0 / s) + 1
+
+    keyed = items.select(
+        (F.abs(F.xxhash64(F.col(item_col).cast("string")))
+         % n_groups).cast("int").alias("grp"),
+        F.col(item_col).cast("string").alias("item"))
+
+    def group_fn(key, pdf_iter: Iterable[pd.DataFrame],
+                 state: GroupState):
+        (grp,) = key
+        if state.exists:
+            its, cnts, errs, total = state.get
+            summary = {i: [int(c), int(e)]
+                       for i, c, e in zip(its, cnts, errs)}
+            total = int(total)
+        else:
+            summary, total = {}, 0
+        for pdf in pdf_iter:
+            for v in pdf["item"]:
+                total += 1
+                if v in summary:
+                    summary[v][0] += 1
+                elif len(summary) < capacity:
+                    summary[v] = [1, 0]
+                else:
+                    # evict the minimum (deterministic tie-break),
+                    # inherit its count as the new item's error bound
+                    mk = min(summary,
+                             key=lambda k: (summary[k][0], str(k)))
+                    mc = summary.pop(mk)[0]
+                    summary[v] = [mc + 1, mc]
+        ks = sorted(summary)
+        state.update((ks, [summary[k][0] for k in ks],
+                      [summary[k][1] for k in ks], total))
+        yield pd.DataFrame(
+            {"grp": grp, "item": ks,
+             "est": [summary[k][0] for k in ks],
+             "err": [summary[k][1] for k in ks],
+             "grp_total": total}) if ks else pd.DataFrame(
+            {"grp": pd.Series(dtype="int32"),
+             "item": pd.Series(dtype="object"),
+             "est": pd.Series(dtype="int64"),
+             "err": pd.Series(dtype="int64"),
+             "grp_total": pd.Series(dtype="int64")})
+
+    return (keyed.groupBy("grp")
+            .applyInPandasWithState(
+                group_fn,
+                outputStructType=_HH_OUT_SCHEMA,
+                stateStructType=_HH_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -453,3 +453,117 @@ def test_stateful_rolling_zscore_matches_batch(spark, tmp_path):
     assert set(streamed) == set(batch)
     for k in batch:
         assert streamed[k] == batch[k], k
+
+
+def test_stateful_heavy_hitters_matches_batch(spark, tmp_path):
+    """Streaming Space-Saving summary across multiple micro-batches:
+    (a) with capacity >= distinct items the final estimates are EXACT
+    per-item counts; (b) every batch-operator heavy hitter appears in
+    the final summary with est - err <= true count <= est."""
+    import time
+
+    from lightning_metastore_spark.operators.heavy_hitters import (
+        heavy_hitters)
+
+    events = load_tables(spark, SF_DIR, ("events",))["events"]
+    d = tmp_path / "hh_stream"
+    d.mkdir()
+    mid = events.selectExpr(
+        "percentile(CAST(ts AS DOUBLE), 0.5D) AS m").collect()[0]["m"]
+    parts = [events.filter(F.col("ts") <= F.lit(mid).cast("timestamp")),
+             events.filter(F.col("ts") > F.lit(mid).cast("timestamp"))]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(str(d / f"chunk_{i}"))
+        for f in (d / f"chunk_{i}").glob("*.parquet"):
+            f.rename(d / f"part_{i}.parquet")
+        time.sleep(0.05)
+
+    stream = sev.read_event_stream(spark, str(d), max_files_per_trigger=1)
+    out = sev.heavy_hitters_stateful(
+        stream.select(F.col("event_type").alias("item")), s=0.05,
+        n_groups=4)
+    sev.run_to_memory(out, "hh_state", output_mode="update")
+
+    # latest emission per (grp, item): est only grows, so max(est) wins;
+    # latest grp_total per grp likewise
+    final = {r.item: (r.est, r.err)
+             for r in spark.sql("""
+                 SELECT item, est, err FROM (
+                   SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY grp, item ORDER BY est DESC) AS rk
+                   FROM hh_state) WHERE rk = 1""").collect()}
+    n_seen = spark.sql(
+        "SELECT SUM(t) AS n FROM (SELECT grp, MAX(grp_total) AS t "
+        "FROM hh_state GROUP BY grp)").collect()[0]["n"]
+    assert n_seen == events.count()
+
+    truth = {r.event_type: r.cnt for r in events.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # 5 event types << capacity(1/0.05)+1: summaries never evict, so
+    # the stream's estimates are exact and err == 0
+    assert set(final) == set(truth)
+    for item, (est, err) in final.items():
+        assert est == truth[item] and err == 0
+
+    # consistency with the batch operator at the same threshold
+    batch = {r.item: r.cnt for r in heavy_hitters(
+        events.select(F.col("event_type").alias("item")), s=0.05)
+        .collect()}
+    streamed_heavy = {i for i, (est, _) in final.items()
+                      if est >= 0.05 * n_seen}
+    assert streamed_heavy == set(batch)
+    for i in batch:
+        assert final[i][0] == batch[i]
+
+
+def test_stateful_heavy_hitters_eviction_bounds(spark, tmp_path):
+    """Under eviction pressure (capacity << distinct items) the summary
+    may overestimate but never loses a truly frequent item, and
+    est - err <= true count <= est holds for every surviving item."""
+    import time
+
+    rows = []
+    # one dominant item (40%), one medium (20%), long tail of singletons
+    for i in range(200):
+        if i % 5 < 2:
+            rows.append((i, "dominant"))
+        elif i % 5 == 2:
+            rows.append((i, "medium"))
+        else:
+            rows.append((i, f"tail_{i}"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "hh_evict"
+    d.mkdir()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        pq.write_table(pa.table({
+            "event_id": pa.array([r[0] for r in chunk], type=pa.int64()),
+            "item": pa.array([r[1] for r in chunk])}),
+            str(d / f"part_{i}.parquet"))
+        time.sleep(0.05)
+
+    stream = (spark.readStream.schema("event_id bigint, item string")
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    # s=0.2 -> capacity 6 per group, far below ~120 distinct tail items
+    out = sev.heavy_hitters_stateful(stream, s=0.2, n_groups=2)
+    sev.run_to_memory(out, "hh_evict", output_mode="update")
+
+    final = {r.item: (r.est, r.err)
+             for r in spark.sql("""
+                 SELECT item, est, err FROM (
+                   SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY grp, item ORDER BY est DESC) AS rk
+                   FROM hh_evict) WHERE rk = 1""").collect()}
+    truth = {}
+    for _, it in rows:
+        truth[it] = truth.get(it, 0) + 1
+    # the guarantee: items with share >= s survive with valid bounds
+    for heavy in ("dominant", "medium"):
+        assert heavy in final, heavy
+        est, err = final[heavy]
+        assert est - err <= truth[heavy] <= est, (heavy, est, err)
+    # bounds hold for EVERY emitted item
+    for it, (est, err) in final.items():
+        assert est - err <= truth.get(it, 0) <= est, it
