@@ -451,3 +451,38 @@ def retention_cohorts(events: DataFrame, max_offset_days: int = 7,
                     F.col("n_active").cast("long").alias("n_active"),
                     F.round(F.col("n_active")
                             / F.col("cohort_size"), 6).alias("retention")))
+
+
+def sessionize(events: DataFrame, gap_minutes: float = 30,
+               ts_col: str = "ts",
+               user_col: str = "user_id") -> DataFrame:
+    """Gap-based batch sessionization: (user_id, session_id, n_events,
+    session_start, session_end) — a new session starts when the idle
+    gap since the user's previous event exceeds ``gap_minutes`` (the
+    classic lag -> new-session flag -> cumulative-sum formulation, ONE
+    shuffle on the user key; streaming/events.sessionize_stateful is
+    the incremental twin, plans/queries.q_events_sessionize the
+    dual-formulation gate).
+
+    Deterministic under timestamp ties: tied events have gap 0, which
+    never opens a session, so session boundaries and numbering do not
+    depend on the tie order.
+    """
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    by_user = W.partitionBy(user_col).orderBy(ts_col)
+    ev = (events
+          .withColumn("__prev_us",
+                      F.lag(F.unix_micros(F.col(ts_col))).over(by_user))
+          .withColumn("__new", F.when(
+              F.col("__prev_us").isNull()
+              | (F.unix_micros(F.col(ts_col)) - F.col("__prev_us")
+                 > gap_us), F.lit(1)).otherwise(F.lit(0)))
+          .withColumn("session_id", F.sum("__new").over(
+              by_user.rowsBetween(W.unboundedPreceding, 0))))
+    return (ev.groupBy(user_col, "session_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.min(ts_col).alias("session_start"),
+                 F.max(ts_col).alias("session_end"))
+            .select(F.col(user_col), F.col("session_id").cast("long")
+                    .alias("session_id"), "n_events",
+                    "session_start", "session_end"))

@@ -1239,6 +1239,8 @@ class RunPipeline(Command):
             "unigram_apply": (unigram_apply, {"load": str}),
             # ---- temporal / product analytics over an events table ----
             "funnel": (temporal.funnel_counts, {"stages": _csv}),
+            "sessionize": (temporal.sessionize,
+                           {"gap_minutes": float}),
             "active_users": (temporal.rolling_active_users,
                              {"window_days": int}),
             "retention": (temporal.retention_cohorts,

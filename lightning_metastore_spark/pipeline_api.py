@@ -185,4 +185,5 @@ from lightning_metastore_spark.operators.temporal import (  # noqa: F401
     retention_cohorts,
     rolling_active_users,
     rolling_zscore,
+    sessionize,
 )

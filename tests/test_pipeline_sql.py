@@ -107,6 +107,9 @@ def _cases():
          f"funnel ON {EVENTS} OPTIONS(stages 'view,click,purchase')",
          lambda e: temporal.funnel_counts(
              e.events, ("view", "click", "purchase"))),
+        ("sessionize",
+         f"sessionize ON {EVENTS} OPTIONS(gap_minutes '30')",
+         lambda e: temporal.sessionize(e.events, gap_minutes=30)),
         ("active_users",
          f"active_users ON {EVENTS} OPTIONS(window_days '3')",
          lambda e: temporal.rolling_active_users(e.events, window_days=3)),

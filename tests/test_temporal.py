@@ -329,3 +329,52 @@ def test_retention_cohorts_matches_naive(spark):
     assert out[(d2, 0)] == (2, 1.0)
     assert out[(d2, 1)] == (1, 0.5)
     assert (d0, 2) not in out         # nobody from cohort A on day 2
+
+
+def test_sessionize_matches_native_session_window(spark):
+    """The lag+cumsum sessionizer must agree session-for-session with
+    Spark's independent native session_window aggregation (same check
+    the q_events_sessionize gate enforces, here for the reusable
+    operator)."""
+    from lightning_metastore_spark.operators.temporal import sessionize
+    from lightning_metastore_spark.session import load_tables
+
+    from tests.conftest import SF_DIR
+    events = load_tables(spark, SF_DIR, ("events",))["events"]
+    ours = sessionize(events, gap_minutes=30)
+    native = (events.groupBy(F.session_window("ts", "30 minutes"),
+                             "user_id")
+              .agg(F.count(F.lit(1)).alias("n_native"))
+              .select("user_id",
+                      F.col("session_window.start").alias("session_start"),
+                      "n_native"))
+    joined = ours.join(native, ["user_id", "session_start"]).collect()
+    assert len(joined) == ours.count() == native.count() > 0
+    assert all(r.n_events == r.n_native for r in joined)
+
+
+def test_sessionize_micro_and_tie_determinism(spark):
+    """Known session boundaries on a hand-built fixture, including
+    timestamp ties (gap 0 never opens a session, any tie order)."""
+    import datetime as dt
+
+    from lightning_metastore_spark.operators.temporal import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0), (1, t0 + dt.timedelta(minutes=10)),       # session 1
+        (1, t0 + dt.timedelta(minutes=50)),                # gap 40 -> s2
+        (1, t0 + dt.timedelta(minutes=50)),                # tie, same s2
+        (2, t0), (2, t0 + dt.timedelta(minutes=31)),       # s1, s2
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {(r.user_id, r.session_id): r
+           for r in sessionize(df, gap_minutes=30).collect()}
+    assert out[(1, 1)].n_events == 2
+    assert out[(1, 2)].n_events == 2                       # tie joined s2
+    assert out[(2, 1)].n_events == 1 and out[(2, 2)].n_events == 1
+    # permutation of input rows changes nothing
+    out2 = {(r.user_id, r.session_id): r.n_events
+            for r in sessionize(df.orderBy(F.desc("ts")).repartition(5),
+                                gap_minutes=30).collect()}
+    assert out2 == {k: v.n_events for k, v in out.items()}
