@@ -142,15 +142,22 @@ def assign_cells(corpus: DataFrame, centroids: DataFrame,
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
              k: int = 5, nprobe: int = 3, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             index: DataFrame | None = None) -> DataFrame:
     """IVF approximate top-k: probe the nprobe nearest cells per query.
 
     Plan: index = assign_cells(corpus); per query pick nprobe cells
     (broadcast centroid argmax), then an equi-join on ``cell`` restricts
     the scan to probed cells. Approximate — no SQL oracle; recall vs
     brute force is asserted in tests.
+
+    Pass a prebuilt ``index`` (assign_cells output, e.g. reloaded via
+    ``load_ivf_index``) to skip the assignment pass — the serving path:
+    index once, query many times against cell-partitioned parquet where
+    the cell equi-join prunes unprobed partitions at the scan.
     """
-    index = assign_cells(corpus, centroids, id_col, vec_col)
+    if index is None:
+        index = assign_cells(corpus, centroids, id_col, vec_col)
     q = _with_norm(queries, id_col, vec_col, "query_id")
     cen = _with_norm(centroids, "centroid_id", vec_col, "cid")
     qc = q.join(F.broadcast(cen)).withColumn(
@@ -222,3 +229,41 @@ def refresh_topk(prior_topk: DataFrame, delta: DataFrame,
             .filter(F.col("rk") <= k)
             .select("query_id", "rk", "neighbor_id", "cosine")
             .orderBy("query_id", "rk"))
+
+
+def save_ivf_index(corpus: DataFrame, centroids: DataFrame, path: str,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> dict:
+    """Persist the IVF index as a serving artifact: the cell-assigned
+    corpus written PARTITIONED BY cell (a query probing nprobe cells
+    then scans only those cells' files — partition pruning does the
+    |cells|/nprobe read reduction on disk, not just in the join) plus
+    the KB-sized centroid table. Returns {"n_vectors", "n_cells"}.
+
+    The 100 TB serving split: index once (one broadcast assign pass +
+    one partitioned write), query forever without touching the raw
+    corpus — and ``refresh_topk`` absorbs deltas without re-indexing.
+    """
+    import os
+
+    index = assign_cells(corpus, centroids, id_col, vec_col)
+    index.write.mode("overwrite").partitionBy("cell") \
+        .parquet(os.path.join(path, "cells"))
+    centroids.coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(path, "centroids"))
+    spark = corpus.sparkSession
+    cells = spark.read.parquet(os.path.join(path, "cells"))
+    return {"n_vectors": cells.count(),
+            "n_cells": centroids.count()}
+
+
+def load_ivf_index(spark, path: str):
+    """Reload a saved IVF index: (centroids, index) ready for
+    ``ivf_topk(..., index=index)``. The index DataFrame reads the
+    cell-partitioned layout, so the downstream cell equi-join prunes
+    partitions at the scan."""
+    import os
+
+    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    index = spark.read.parquet(os.path.join(path, "cells"))
+    return centroids, index

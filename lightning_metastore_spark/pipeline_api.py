@@ -161,10 +161,13 @@ from lightning_metastore_spark.operators.skyline import (  # noqa: F401
     skyline_per_group,
 )
 from lightning_metastore_spark.operators.similarity import (  # noqa: F401
+    assign_cells,
     brute_force_topk,
     ivf_topk,
     kmeans_centroids,
+    load_ivf_index,
     refresh_topk,
+    save_ivf_index,
 )
 from lightning_metastore_spark.operators.graph import (  # noqa: F401
     label_propagation,

@@ -119,3 +119,32 @@ def test_refresh_topk_rejects_unseen_query(spark):
     out = refresh_topk(prior, emb(range(20, 25)), emb([100, 101]), k=3,
                        check_prior=False)
     assert out.count() > 0
+
+
+def test_ivf_index_persistence_roundtrip(spark, tmp_path):
+    """save_ivf_index -> load_ivf_index -> ivf_topk(index=...) equals
+    the fresh in-memory path, and the persisted layout is
+    cell-partitioned so probed-cell reads prune partitions."""
+    from lightning_metastore_spark.operators.similarity import (
+        ivf_topk, kmeans_centroids, load_ivf_index, save_ivf_index)
+
+    emb = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+           .orderBy("vec_id").limit(120))
+    queries = emb.limit(6)
+    cents = kmeans_centroids(emb, k=8, iters=2)
+
+    path = str(tmp_path / "ivf_index")
+    stats = save_ivf_index(emb, cents, path)
+    assert stats["n_vectors"] == 120 and stats["n_cells"] == 8
+
+    loaded_cents, index = load_ivf_index(spark, path)
+    fresh = ivf_topk(emb, queries, cents, k=4, nprobe=3)
+    served = ivf_topk(emb, queries, loaded_cents, k=4, nprobe=3,
+                      index=index)
+    assert sorted(map(tuple, fresh.collect())) == \
+        sorted(map(tuple, served.collect()))
+
+    # the layout prunes: a single-cell read shows a partition filter
+    one = spark.read.parquet(f"{path}/cells").filter("cell = 0")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cell" in plan
