@@ -485,3 +485,56 @@ def test_retention_cohorts_matches_bruteforce(user_days, max_offset):
     for (day, off), (n, r) in got.items():
         if off == 0:
             assert r == 1.0
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20)),
+                min_size=1, max_size=20),
+       st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20),
+                          st.integers(0, 99)),
+                min_size=0, max_size=20),
+       st.one_of(st.none(), st.integers(1, 8)))
+def test_asof_join_matches_bruteforce(left_rows, right_rows, tol):
+    """Backward as-of twin under heavy key/timestamp collisions: each
+    left row takes the LATEST deduplicated right value with
+    right.ts <= left.ts (ties match), NULLed when older than the
+    tolerance window."""
+    import datetime as dt
+
+    from lightning_metastore_spark.operators.temporal import asof_join
+
+    spark = _spark()
+    t0 = dt.datetime(2024, 6, 1)
+
+    # deduplicate the right side per (key, ts) — the operator's
+    # documented precondition for fully deterministic output: keep the
+    # max value per (key, ts)
+    rdedup: dict = {}
+    for u, s, v in right_rows:
+        rk = (u, s)
+        rdedup[rk] = max(rdedup.get(rk, -1), v)
+
+    left = spark.createDataFrame(
+        [(i, u, t0 + dt.timedelta(seconds=s))
+         for i, (u, s) in enumerate(left_rows)],
+        "row_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(u, t0 + dt.timedelta(seconds=s), v)
+         for (u, s), v in sorted(rdedup.items())],
+        "user_id long, ts timestamp, val long") \
+        if rdedup else spark.createDataFrame(
+        [], "user_id long, ts timestamp, val long")
+
+    got = {r.row_id: r.val_asof
+           for r in asof_join(left, right, tolerance_seconds=tol)
+           .collect()}
+
+    for i, (u, s) in enumerate(left_rows):
+        cands = [(rs, v) for (ru, rs), v in rdedup.items()
+                 if ru == u and rs <= s]
+        want = None
+        if cands:
+            rs, v = max(cands)
+            if tol is None or s - rs <= tol:
+                want = v
+        assert got[i] == want, (i, u, s, got[i], want)
