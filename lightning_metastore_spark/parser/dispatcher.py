@@ -1202,6 +1202,21 @@ class RunPipeline(Command):
                 .contamination_overlap(df, bench, n=n,
                                        flag_threshold=flag_threshold),
                 {"bench": "TABLE", "n": int, "flag_threshold": float}),
+            "range_join": (
+                lambda df, right, left_val, right_val, lo, hi, by="":
+                __import__("lightning_metastore_spark.operators.temporal",
+                           fromlist=["range_join"])
+                .range_join(df, right, left_val, right_val, lo, hi,
+                            by=tuple(b for b in by.split(",") if b)),
+                {"right": "TABLE", "left_val": str, "right_val": str,
+                 "lo": float, "hi": float, "by": str}),
+            "ann_topk": (
+                lambda df, queries, k=5:
+                __import__("lightning_metastore_spark.operators."
+                           "similarity",
+                           fromlist=["brute_force_topk"])
+                .brute_force_topk(df, queries, k=k),
+                {"queries": "TABLE", "k": int}),
             "bloom_build": (bloom_build,
                             {"save": str, "n": int, "n_bits": int,
                              "k": int}),

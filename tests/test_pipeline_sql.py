@@ -362,3 +362,25 @@ def test_curate_optional_stage_options_coerce(env):
     want = curate_corpus(env.docs, CurationConfig(
         min_quality=0.0, max_dup_span_frac=0.4, dup_span_k=5))
     assert _rows(got) == _rows(want)
+
+
+def test_two_table_range_join_and_ann_sql(env, spark, tmp_path_factory):
+    """The remaining two-table ops through SQL: range_join (self-range
+    on events.value) and ann_topk (corpus vs a registered query
+    table)."""
+    from lightning_metastore_spark.operators.similarity import (
+        brute_force_topk)
+    from lightning_metastore_spark.operators.temporal import range_join
+
+    got = env.ctx.sql(
+        f"RUN PIPELINE range_join ON {EVENTS} "
+        f"OPTIONS(right '{EVENTS}', left_val 'value', "
+        "right_val 'value', lo '0.0', hi '5.0', by 'event_type')")
+    want = range_join(env.events, env.events, "value", "value",
+                      0.0, 5.0, by=("event_type",))
+    assert _rows(got) == _rows(want) and got.count() > 0
+
+    gota = env.ctx.sql(f"RUN PIPELINE ann_topk ON {EMB} "
+                       f"OPTIONS(queries '{EMB}', k '3')")
+    wanta = brute_force_topk(env.emb, env.emb, k=3)
+    assert _rows(gota) == _rows(wanta)
