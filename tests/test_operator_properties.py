@@ -538,3 +538,34 @@ def test_asof_join_matches_bruteforce(left_rows, right_rows, tol):
             if tol is None or s - rs <= tol:
                 want = v
         assert got[i] == want, (i, u, s, got[i], want)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 1), st.integers(0, 40)),
+                min_size=1, max_size=15),
+       st.lists(st.tuples(st.integers(0, 1), st.integers(0, 40)),
+                min_size=1, max_size=15),
+       st.integers(-4, 4), st.integers(1, 6))
+def test_range_join_matches_bruteforce(lrows, rrows, lo, width):
+    """Band-bucketed range join vs the naive double loop, with values
+    sitting exactly on bucket boundaries (integers over a small range,
+    inclusive BETWEEN on both ends, optional equi-key)."""
+    from lightning_metastore_spark.operators.temporal import range_join
+
+    hi = lo + width
+    spark = _spark()
+    left = spark.createDataFrame(
+        [(i, k, float(v) / 2) for i, (k, v) in enumerate(lrows)],
+        "lid long, k long, lv double")
+    right = spark.createDataFrame(
+        [(j, k, float(v) / 2) for j, (k, v) in enumerate(rrows)],
+        "rid long, k long, rv double")
+    got = sorted((r.lid, r.rid) for r in range_join(
+        left, right, "lv", "rv", float(lo), float(hi),
+        by=("k",)).collect())
+    want = sorted(
+        (i, j)
+        for i, (lk, lv) in enumerate(lrows)
+        for j, (rk, rv) in enumerate(rrows)
+        if lk == rk and lv / 2 + lo <= rv / 2 <= lv / 2 + hi)
+    assert got == want
