@@ -323,3 +323,91 @@ def load_bpe_merges(spark, path: str) -> list[tuple[str, str, int]]:
     """Reload a saved merge list in training order."""
     rows = spark.read.parquet(path).orderBy("rank").collect()
     return [(r["left"], r["right"], int(r["pair_freq"])) for r in rows]
+
+
+def bpe_vocab(docs: DataFrame, merges: list[tuple[str, str, int]],
+              text_col: str = "text",
+              lowercase: bool = True) -> list[tuple[str, int]]:
+    """Deterministic piece->id vocabulary for a trained merge list:
+    id 0 is UNK, then the corpus's distinct base characters in sorted
+    order, then one merged symbol per rule in rank order (the
+    SentencePiece-style contract: ids are stable across runs and
+    engines because every input is deterministic). One JVM
+    character-explode aggregation over the corpus — the vocabulary is
+    KB-sized by construction."""
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    chars = (docs.select(F.explode(F.split(
+        F.regexp_replace(text, r"\s+", ""), "")).alias("c"))
+        .filter(F.col("c") != "")
+        .distinct().orderBy("c").collect())
+    pieces = ["<unk>"] + [r["c"] for r in chars] + \
+        [l + r for l, r, _ in merges]
+    return [(p, i) for i, p in enumerate(pieces)]
+
+
+def encode_bpe_ids(docs: DataFrame, merges: list[tuple[str, str, int]],
+                   vocab: list[tuple[str, int]] | None = None,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   lowercase: bool = True) -> DataFrame:
+    """Encode every document to BPE piece ids — the actual
+    tokenizer-application output a training pipeline feeds to packing:
+    (doc_id, n_pieces, ids, ids_checksum). Pieces outside the
+    vocabulary (characters unseen at train time) encode as UNK (id 0).
+
+    One Arrow-batched map pass with the merge rules + vocabulary in
+    the closure (KBs); per-distinct-word memoization exploits the
+    Zipfian head exactly like ``apply_bpe_merges``. ``ids_checksum``
+    is an order-sensitive polynomial hash of the id sequence, so two
+    encodings agree iff every position agrees.
+    """
+    if vocab is None:
+        vocab = bpe_vocab(docs, merges, text_col, lowercase)
+    piece_ids = dict(vocab)
+    rules = [(l, r) for l, r, _ in merges]
+
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.regexp_extract_all(text, F.lit(r"(\S+)"), 1).alias("words"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[int]] = {}
+
+        def segment(word: str) -> list[int]:
+            hit = cache.get(word)
+            if hit is not None:
+                return hit
+            syms = list(word)
+            for l, r in rules:
+                merged, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == l
+                            and syms[i + 1] == r):
+                        merged.append(l + r)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                syms = merged
+            ids = [piece_ids.get(s, 0) for s in syms]
+            cache[word] = ids
+            return ids
+
+        cols = [id_col, "n_pieces", "ids", "ids_checksum"]
+        for pdf in batches:
+            rows = []
+            for rid, words in zip(pdf[id_col], pdf["words"]):
+                ids: list[int] = []
+                for w in (words if words is not None else []):
+                    ids.extend(segment(w))
+                ck = 0
+                for x in ids:
+                    ck = (ck * 1_000_003 + x + 1) % (1 << 61)
+                rows.append({id_col: int(rid), "n_pieces": len(ids),
+                             "ids": ids, "ids_checksum": ck})
+            yield (pd.DataFrame(rows, columns=cols) if rows else
+                   pd.DataFrame(columns=cols))
+
+    return base.mapInPandas(
+        run, schema=f"{id_col} long, n_pieces long, ids array<int>, "
+                    "ids_checksum long")

@@ -1248,6 +1248,12 @@ class RunPipeline(Command):
                           {"n_merges": int, "min_pair_freq": int,
                            "save": str, "batch_m": int}),
             "bpe_apply": (bpe_apply, {"load": str}),
+            "bpe_encode": (
+                lambda df, load, text_col="text", id_col="doc_id":
+                bpe.encode_bpe_ids(
+                    df, bpe.load_bpe_merges(df.sparkSession, load),
+                    text_col=text_col, id_col=id_col),
+                {"load": str}),
             "unigram_train": (unigram_train,
                               {"vocab_size": int, "em_iters": int,
                                "save": str}),

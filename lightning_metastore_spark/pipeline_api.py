@@ -84,7 +84,11 @@ from lightning_metastore_spark.functions.text import (  # noqa: F401
 )
 from lightning_metastore_spark.operators.bpe import (  # noqa: F401
     apply_bpe_merges,
+    bpe_vocab,
+    encode_bpe_ids,
     learn_bpe_merges,
+    load_bpe_merges,
+    save_bpe_merges,
 )
 from lightning_metastore_spark.operators.chunking import (  # noqa: F401
     chunk_documents,

@@ -199,3 +199,20 @@ def test_api_run_pipeline(server):
     assert {"doc_id", "pred_lang"} <= set(rows[0].keys())
     langs = {r["pred_lang"] for r in rows}
     assert "en" in langs
+
+
+def test_api_run_pipeline_bad_option_clean_400(server):
+    """A typo'd RUN PIPELINE option must surface as a clean 400 naming
+    the declared options — never a raw TypeError 500."""
+    req = urllib.request.Request(
+        f"http://{server.host}:{server.port}/api/q",
+        data=json.dumps({
+            "query": "RUN PIPELINE zipf ON "
+                     "lightning.datasource.file.tpch.documents "
+                     "OPTIONS(topv '32')"}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
+    body = e.value.read().decode()
+    assert "declared options" in body and "top_v" in body

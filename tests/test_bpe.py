@@ -216,3 +216,43 @@ def test_batched_bpe_counts_exact_per_round(spark):
                         i += 1
                 words[w] = merged
     assert mi == len(merges)
+
+
+def test_encode_bpe_ids_matches_naive(spark):
+    """Full id-encoding twin: vocabulary = UNK + sorted base chars +
+    merge outputs in rank order; per-doc id sequences equal the naive
+    segment-and-map, and the checksum is order-sensitive."""
+    from lightning_metastore_spark.operators.bpe import (
+        bpe_vocab, encode_bpe_ids)
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string")
+    merges = learn_bpe_merges(docs, n_merges=6)
+    vocab = bpe_vocab(docs, merges)
+    piece_ids = dict(vocab)
+    assert vocab[0] == ("<unk>", 0)
+    base_chars = sorted({c for t in TEXTS for c in t.lower()
+                         if not c.isspace()})
+    assert [p for p, _ in vocab[1:1 + len(base_chars)]] == base_chars
+    assert [p for p, _ in vocab[1 + len(base_chars):]] == \
+        [l + r for l, r, _ in merges]
+
+    _, words = _naive_bpe(TEXTS, 6)
+    out = {r.doc_id: r for r in encode_bpe_ids(docs, merges).collect()}
+    for i, t in enumerate(TEXTS):
+        want = [piece_ids[p] for w in t.lower().split()
+                for p in words[w]]
+        assert list(out[i].ids) == want, i
+        assert out[i].n_pieces == len(want)
+    # order sensitivity: two docs with the same multiset, different
+    # order, must checksum differently
+    d2 = spark.createDataFrame([(1, "low new"), (2, "new low")],
+                               "doc_id long, text string")
+    cks = {r.doc_id: r.ids_checksum
+           for r in encode_bpe_ids(d2, merges, vocab=vocab).collect()}
+    assert cks[1] != cks[2]
+
+    # unseen character at encode time -> UNK id 0
+    d3 = spark.createDataFrame([(1, "low ☃")], "doc_id long, text string")
+    r3 = encode_bpe_ids(d3, merges, vocab=vocab).collect()[0]
+    assert 0 in list(r3.ids)

@@ -246,6 +246,11 @@ def test_tokenizer_train_apply_roundtrip_sql(env):
     assert _rows(appliedu) == _rows(
         unigram_lm.apply_unigram_lm(env.docs, pieces))
 
+    # full id encoding from the saved BPE artifact
+    enc = env.ctx.sql(f"RUN PIPELINE bpe_encode ON {DOCS} "
+                      f"OPTIONS(load '{bp}')")
+    assert _rows(enc) == _rows(bpe.encode_bpe_ids(env.docs, want))
+
 
 def test_bloom_build_decontaminate_roundtrip_sql(env):
     """bloom_build persists a Bloom artifact from the benchmark table;
