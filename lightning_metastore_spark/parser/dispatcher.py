@@ -1293,6 +1293,25 @@ class RunPipeline(Command):
                                 {"n": int, "weight_col": str}),
             "pack": (packing.packed_offsets,
                      {"capacity": int, "n_blocks": int}),
+            "pack_bins": (packing.greedy_pack_bins,
+                          {"capacity": int, "n_shards": int}),
+            "quantile_normalize": (
+                sampling.quantile_normalize,
+                {"value_col": str, "group_col": str}),
+            "mixture_resample": (
+                lambda df, weights, target_frac=0.6, group_col="lang":
+                sampling.mixture_resample(
+                    df, dict((kv.split(":")[0], float(kv.split(":")[1]))
+                             for kv in weights),
+                    target_frac=target_frac, group_col=group_col),
+                {"weights": _csv, "target_frac": float,
+                 "group_col": str}),
+            "pca_project": (
+                lambda df, k=2, n_iter=8:
+                (lambda cm: quantization.apply_pca(df, cm[0], cm[1]))(
+                    quantization.power_iteration_pca(df, k=k,
+                                                     n_iter=n_iter)),
+                {"k": int, "n_iter": int}),
             "chunk": (chunking.chunk_documents,
                       {"chunk_size": int, "overlap": int}),
             # ---- embedding-table ops ----

@@ -183,6 +183,30 @@ def _cases():
          f"chunk ON {DOCS} OPTIONS(chunk_size '16', overlap '4')",
          lambda e: chunking.chunk_documents(e.docs, chunk_size=16,
                                             overlap=4)),
+        ("pack_bins",
+         f"pack_bins ON {DOCS} OPTIONS(capacity '512', n_shards '3')",
+         lambda e: packing.greedy_pack_bins(e.docs, capacity=512,
+                                            n_shards=3)),
+        ("quantile_normalize",
+         f"quantile_normalize ON {DOCS} "
+         "OPTIONS(value_col 'n_chars', group_col 'lang')",
+         lambda e: sampling.quantile_normalize(e.docs, "n_chars",
+                                               "lang")),
+        ("mixture_resample",
+         f"mixture_resample ON {DOCS} "
+         "OPTIONS(weights 'en:0.5,es:0.3,zh:0.2', target_frac '0.5')",
+         lambda e: sampling.mixture_resample(
+             e.docs, {"en": 0.5, "es": 0.3, "zh": 0.2},
+             target_frac=0.5)),
+        ("pca_project",
+         f"pca_project ON {EMB} OPTIONS(k '2', n_iter '4')",
+         lambda e: __import__(
+             "lightning_metastore_spark.operators.quantization",
+             fromlist=["apply_pca"]).apply_pca(
+                 e.emb, *__import__(
+                     "lightning_metastore_spark.operators.quantization",
+                     fromlist=["power_iteration_pca"])
+                 .power_iteration_pca(e.emb, k=2, n_iter=4))),
         ("quantize",
          f"quantize ON {EMB}",
          lambda e: quantization.scalar_quantize_stats(e.emb)),
