@@ -253,3 +253,60 @@ def test_dup_spans_shuffles_hash_not_span_text(spark):
     # span text column g
     for ln in exchanges:
         assert "g#" not in ln, ln
+
+
+def test_remove_dup_spans_shuffles_hash_not_span_text(spark):
+    """The removal operator inherits the scorer's hash-not-text
+    discipline: every exchange keys on the xxhash64 column or the doc
+    id — never the span text."""
+    from lightning_metastore_spark.operators.dedup import remove_dup_spans
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " * 4)
+         for i in range(20)],
+        ["doc_id", "text"])
+    plan = _plan(remove_dup_spans(docs, k=5))
+    assert "xxhash64" in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "g#" not in ln, ln
+
+
+def test_bloom_contamination_is_joinless(spark):
+    """The Bloom membership test must be map-only + one per-doc agg:
+    the corpus never joins (or shuffles) against the benchmark — that
+    is the operator's entire reason to exist."""
+    from lightning_metastore_spark.operators.contamination import (
+        bloom_contamination, build_ngram_bloom)
+
+    bench = spark.createDataFrame(
+        [(1, "some benchmark text here now")], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(i, f"training doc {i} words go here") for i in range(20)],
+        ["doc_id", "text"])
+    bloom = build_ngram_bloom(bench, n=3, n_bits=1 << 12)
+    plan = _plan(bloom_contamination(docs, bloom))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, node
+    # exactly two exchanges: the shingle distinct (the operator's
+    # documented per-doc-distinct semantics) and the per-doc agg —
+    # nothing benchmark-sized ever shuffles
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_sessionize_single_user_shuffle(spark):
+    """Batch sessionization is ONE shuffle on the user key: the window
+    chain and the session aggregation reuse the same partitioning."""
+    import datetime as dt
+
+    from lightning_metastore_spark.operators.temporal import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i % 7, t0 + dt.timedelta(minutes=i * 3)) for i in range(100)],
+        ["user_id", "ts"])
+    plan = _plan(sessionize(df))
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 1, exchanges
+    assert "user_id" in exchanges[0]
