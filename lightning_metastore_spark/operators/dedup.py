@@ -346,6 +346,30 @@ def _verify_pairs_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float,
             .select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
+def _span_hashes(docs: DataFrame, k: int, text_col: str,
+                 id_col: str) -> DataFrame:
+    """(id, pos, gh) — every positional k-token window hashed to
+    xxhash64 BEFORE anything shuffles (8-byte keys; the raw span text
+    never reaches an exchange). Docs shorter than k tokens contribute
+    their whole text as the single window at pos 0. Shared by the
+    scorer, the excision operator, and the incremental span index."""
+    toks = tokens(docs, text_col, id_col)
+    zip_args = ", ".join(f"slice(toks, {i + 1}, m)" for i in range(k))
+    concat_args = ", ' ', ".join(f"s['{i}']" for i in range(k))
+    return (
+        toks.withColumn("m", F.size("toks") - (k - 1))
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("m") >= 1,
+                F.expr(f"transform(arrays_zip({zip_args}), "
+                       f"s -> concat({concat_args}))"),
+            ).otherwise(F.expr("array(concat_ws(' ', toks))"))
+            .alias("g_arr"))
+        .select(F.col(id_col), F.posexplode("g_arr").alias("pos", "g"))
+        .select(F.col(id_col), "pos", F.xxhash64("g").alias("gh")))
+
+
 def corpus_dup_spans(docs: DataFrame, k: int = 5, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Cross-document exact-substring duplication signal (the
@@ -369,20 +393,7 @@ def corpus_dup_spans(docs: DataFrame, k: int = 5, text_col: str = "text",
     shape as TF-IDF. Docs shorter than k tokens contribute their whole
     text as one span (consistent with ``shingles``).
     """
-    toks = tokens(docs, text_col, id_col)
-    zip_args = ", ".join(f"slice(toks, {i + 1}, m)" for i in range(k))
-    concat_args = ", ' ', ".join(f"s['{i}']" for i in range(k))
-    spans = (
-        toks.withColumn("m", F.size("toks") - (k - 1))
-        .select(
-            F.col(id_col),
-            F.when(
-                F.col("m") >= 1,
-                F.expr(f"transform(arrays_zip({zip_args}), "
-                       f"s -> concat({concat_args}))"),
-            ).otherwise(F.expr("array(concat_ws(' ', toks))")).alias("g_arr"))
-        .select(F.col(id_col), F.explode("g_arr").alias("g"))
-        .select(F.col(id_col), F.xxhash64("g").alias("gh")))
+    spans = _span_hashes(docs, k, text_col, id_col).drop("pos")
     occ = spans.groupBy("gh").agg(F.count(F.lit(1)).alias("occ"))
     return (spans.join(occ, "gh")
             .groupBy(id_col)
@@ -480,6 +491,59 @@ def remove_dup_spans(docs: DataFrame, k: int = 5, min_occ: int = 2,
         excise, schema=f"{id_col} long, clean_text string, "
                        "n_tokens long, n_removed long, "
                        "removed_frac double")
+
+
+def span_index(docs: DataFrame, k: int = 5, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """The persisted corpus artifact for incremental exact-substring
+    dedup: (gh, occ) — every distinct positional k-gram's xxhash64 with
+    its corpus-wide occurrence count. One span fan-out + one hash-keyed
+    agg; at scale this lives partitioned by hash prefix next to the
+    corpus, exactly like the MinHash signature and CDC chunk indexes.
+    """
+    return (_span_hashes(docs, k, text_col, id_col)
+            .groupBy("gh").agg(F.count(F.lit(1)).cast("long")
+                               .alias("occ")))
+
+
+def span_batch_against_index(batch: DataFrame, index: DataFrame,
+                             k: int = 5, max_dup_frac: float = 0.5,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Incremental span-level dedup of a NEW batch against a stored
+    span index: (doc_id, n_spans, n_known_spans, known_frac, admit) —
+    admit=false when more than ``max_dup_frac`` of a doc's k-token
+    windows already exist in the corpus (a mostly-recycled page, the
+    exact-substring analogue of ``cdc_batch_against_index``).
+
+    The corpus is touched ZERO times: only its (gh, occ) index
+    participates, and the batch's distinct span hashes BROADCAST into
+    the index join, so admitting a batch is O(batch + hits) regardless
+    of corpus size. Within-batch duplicated spans do not count as
+    known — only corpus history rejects (intra-batch dup is
+    ``corpus_dup_spans``' job on the batch itself).
+    """
+    sp = _span_hashes(batch, k, text_col, id_col)
+    hits = (index.join(F.broadcast(sp.select("gh").distinct()), "gh")
+            .select("gh"))
+    per_doc = (sp.join(F.broadcast(hits.withColumn("_known", F.lit(1))),
+                       "gh", "left")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_spans"),
+                    F.sum(F.coalesce("_known", F.lit(0)))
+                    .alias("n_known_spans")))
+    known_frac = F.round(F.col("n_known_spans")
+                         / F.greatest(F.col("n_spans"), F.lit(1)), 6)
+    return (batch.select(id_col).distinct()
+            .join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_spans", F.lit(0)).cast("long")
+                    .alias("n_spans"),
+                    F.coalesce("n_known_spans", F.lit(0)).cast("long")
+                    .alias("n_known_spans"),
+                    F.coalesce(known_frac, F.lit(0.0)).alias("known_frac"),
+                    (F.coalesce(known_frac, F.lit(0.0))
+                     <= F.lit(float(max_dup_frac))).alias("admit")))
 
 
 # ---------------------------------------------------------------------------

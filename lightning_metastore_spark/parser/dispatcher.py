@@ -1231,6 +1231,12 @@ class RunPipeline(Command):
             "dup_spans": (dedup.corpus_dup_spans, {"k": int}),
             "remove_dup_spans": (dedup.remove_dup_spans,
                                  {"k": int, "min_occ": int}),
+            "span_index": (dedup.span_index, {"k": int}),
+            "span_admit": (
+                lambda df, index, k=5, max_dup_frac=0.5:
+                dedup.span_batch_against_index(
+                    df, index, k=k, max_dup_frac=max_dup_frac),
+                {"index": "TABLE", "k": int, "max_dup_frac": float}),
             "semdedup": (dedup.semantic_dedup,
                          {"n_planes": int, "threshold": float}),
             "dedup_lines": (cleaning.dedup_lines_within_doc, {}),

@@ -111,6 +111,8 @@ from lightning_metastore_spark.operators.dedup import (  # noqa: F401
     connected_components,
     corpus_dup_spans,
     remove_dup_spans,
+    span_batch_against_index,
+    span_index,
     embedding_neardup_pairs_blocked,
     exact_dedup,
     incremental_minhash_pairs,

@@ -7,6 +7,8 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from lightning_metastore_spark.operators import dedup  # noqa: E402
 
 from tests.conftest import SF_DIR  # noqa: E402
@@ -284,6 +286,62 @@ def test_remove_dup_spans_matches_naive_twin(spark):
         assert (out[did].clean_text, out[did].n_tokens,
                 out[did].n_removed) == (ct, n, nr), did
     assert any(r[2] > 0 for r in want.values())  # the fixture has bite
+
+
+def test_span_index_incremental_admission(spark):
+    """Incremental exact-substring dedup: a new batch is admitted or
+    rejected against the stored span index only — the corpus is never
+    rescanned. Counts match a naive recount; within-batch duplication
+    does not reject."""
+    corpus = spark.createDataFrame([
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "one two three four five six seven eight"),
+    ], ["doc_id", "text"])
+    idx = dedup.span_index(corpus, k=5)
+    # occurrence counts are exact
+    assert idx.count() > 0
+    assert idx.agg(F.sum("occ")).collect()[0][0] == 4 + 4  # 8-k+1 each
+
+    batch = spark.createDataFrame([
+        # 3 of 4 windows shared with corpus doc 1 -> reject at 0.5
+        (10, "alpha beta gamma delta epsilon zeta eta NEW"),
+        # fully novel -> admit
+        (11, "totally fresh words that no corpus doc ever used"),
+        # duplicated WITHIN the batch only -> still admitted
+        (12, "totally fresh words that no corpus doc ever used"),
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup.span_batch_against_index(
+        batch, idx, k=5, max_dup_frac=0.5).collect()}
+    assert not out[10].admit and out[10].n_known_spans == 3
+    assert out[10].n_spans == 4
+    assert out[11].admit and out[11].n_known_spans == 0
+    assert out[12].admit, "within-batch dup must not reject"
+
+    # naive recount of known windows for doc 10
+    corpus_grams = set()
+    for t in ("alpha beta gamma delta epsilon zeta eta theta",
+              "one two three four five six seven eight"):
+        tk = t.split()
+        for i in range(len(tk) - 4):
+            corpus_grams.add(tuple(tk[i:i + 5]))
+    tk = "alpha beta gamma delta epsilon zeta eta NEW".lower().split()
+    want_known = sum(1 for i in range(len(tk) - 4)
+                     if tuple(tk[i:i + 5]) in corpus_grams)
+    assert out[10].n_known_spans == want_known
+
+
+def test_span_batch_against_index_short_doc_and_empty_batch(spark):
+    """Whole-text window semantics carry over: a short doc whose full
+    text exists in the corpus is fully known; a short novel doc is
+    admitted with one unknown span."""
+    corpus = spark.createDataFrame([(1, "tiny doc")], ["doc_id", "text"])
+    idx = dedup.span_index(corpus, k=5)
+    batch = spark.createDataFrame(
+        [(10, "tiny doc"), (11, "other text")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup.span_batch_against_index(
+        batch, idx, k=5, max_dup_frac=0.5).collect()}
+    assert out[10].known_frac == 1.0 and not out[10].admit
+    assert out[11].n_spans == 1 and out[11].n_known_spans == 0
 
 
 # --- content-defined chunking ---------------------------------------------

@@ -413,3 +413,27 @@ def test_two_table_range_join_and_ann_sql(env, spark, tmp_path_factory):
                        f"OPTIONS(queries '{EMB}', k '3')")
     wanta = brute_force_topk(env.emb, env.emb, k=3)
     assert _rows(gota) == _rows(wanta)
+
+
+def test_span_index_build_and_admit_sql(env, spark, tmp_path_factory):
+    """Incremental exact-substring dedup through SQL: span_index SINKs
+    the artifact as a registered table; span_admit checks a batch
+    against it via the TABLE option."""
+    from lightning_metastore_spark.operators import dedup
+
+    out_dir = tmp_path_factory.mktemp("span_idx_ds")
+    env.ctx.sql(f"REGISTER PARQUET DATASOURCE spidx "
+                f"OPTIONS(path '{out_dir}') "
+                "NAMESPACE lightning.datasource.file")
+    env.ctx.sql(f"RUN PIPELINE span_index ON {DOCS} OPTIONS(k '4') "
+                "SINK lightning.datasource.file.spidx.idx")
+    got = env.ctx.sql(
+        f"RUN PIPELINE span_admit ON {DOCS} "
+        "OPTIONS(index 'lightning.datasource.file.spidx.idx', "
+        "k '4', max_dup_frac '0.5')")
+    idx = dedup.span_index(env.docs, k=4)
+    want = dedup.span_batch_against_index(env.docs, idx, k=4,
+                                          max_dup_frac=0.5)
+    assert _rows(got) == _rows(want)
+    # a batch checked against its own corpus index is fully known
+    assert all(r.known_frac == 1.0 for r in got.collect())
