@@ -569,3 +569,80 @@ def test_range_join_matches_bruteforce(lrows, rrows, lo, width):
         for j, (rk, rv) in enumerate(rrows)
         if lk == rk and lv / 2 + lo <= rv / 2 <= lv / 2 + hi)
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 300)),
+                min_size=1, max_size=30),
+       st.integers(1, 10))
+def test_sessionize_matches_bruteforce(events, gap_minutes):
+    """Gap-sessionization twin under dense/tied timestamps: session
+    boundaries open exactly when the idle gap exceeds gap_minutes;
+    counts, starts and ends match a sequential sweep."""
+    import datetime as dt
+
+    from lightning_metastore_spark.operators.temporal import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(u, t0 + dt.timedelta(minutes=m)) for u, m in events]
+    spark = _spark()
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {(r.user_id, r.session_id):
+           (r.n_events, r.session_start, r.session_end)
+           for r in sessionize(df, gap_minutes=gap_minutes).collect()}
+
+    per_user: dict = {}
+    for u, m in events:
+        per_user.setdefault(u, []).append(m)
+    want = {}
+    for u, ms in per_user.items():
+        ms.sort()
+        sid, n, start = 0, 0, None
+        prev = None
+        for m in ms:
+            if prev is None or m - prev > gap_minutes:
+                if sid:
+                    want[(u, sid)] = (n, t0 + dt.timedelta(minutes=start),
+                                      t0 + dt.timedelta(minutes=prev))
+                sid += 1
+                n, start = 0, m
+            n += 1
+            prev = m
+        want[(u, sid)] = (n, t0 + dt.timedelta(minutes=start),
+                          t0 + dt.timedelta(minutes=prev))
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(st.lists(DOC, min_size=1, max_size=6),
+       st.lists(DOC, min_size=1, max_size=6),
+       st.integers(2, 4))
+def test_span_admission_matches_bruteforce(corpus_texts, batch_texts, k):
+    """Incremental span admission twin: known spans are exactly the
+    batch windows whose token sequence exists anywhere in the corpus
+    (whole-text window for short docs)."""
+    from lightning_metastore_spark.operators.dedup import (
+        span_batch_against_index, span_index)
+
+    spark = _spark()
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(batch_texts)],
+        ["doc_id", "text"])
+
+    def windows(text):
+        tk = text.lower().split()
+        if len(tk) < k:
+            return [tuple(tk)]
+        return [tuple(tk[i:i + k]) for i in range(len(tk) - k + 1)]
+
+    corpus_grams = {w for t in corpus_texts for w in windows(t)}
+    idx = span_index(corpus, k=k)
+    out = {r.doc_id: r for r in span_batch_against_index(
+        batch, idx, k=k).collect()}
+    for i, t in enumerate(batch_texts):
+        ws = windows(t)
+        known = sum(1 for w in ws if w in corpus_grams)
+        r = out[100 + i]
+        assert (r.n_spans, r.n_known_spans) == (len(ws), known), (i, t)
