@@ -15,8 +15,11 @@ Dedup:        exact_dedup, jaccard_pairs, minhash_lsh_pairs,
               incremental_minhash_pairs, minhash_signatures,
               minhash_band_buckets, semantic_dedup,
               semantic_dedup_kmeans, cdc_chunks + cdc_dup_stats
-              (content-defined chunk dedup)
+              (content-defined chunk dedup), span_index +
+              span_batch_against_index (incremental exact-substring)
 Similarity:   brute_force_topk, ivf_topk, kmeans_centroids,
+              assign_cells, save_ivf_index / load_ivf_index
+              (cell-partitioned serving artifact),
               refresh_topk (incremental, base never rescanned)
 Text quality: token_counts, quality_features, lang_id, redact_pii,
               tfidf_top_terms, unigram_logprob, bigram_logprob,
@@ -24,8 +27,10 @@ Text quality: token_counts, quality_features, lang_id, redact_pii,
               bm25_scores, phrase_search, zipf_fit,
               encoding_anomalies, entity_counts, domain_profile
 Tokenizing:   build_vocab, encode_token_stats, chunk_documents,
-              learn_bpe_merges, apply_bpe_merges,
-              train_unigram_lm, apply_unigram_lm
+              learn_bpe_merges (batch_m frequency-batched),
+              apply_bpe_merges, bpe_vocab + encode_bpe_ids,
+              train_unigram_lm, apply_unigram_lm,
+              save/load artifacts for both tokenizers
 Cleaning:     remove_boilerplate_lines, dedup_lines_within_doc
 Hygiene:      contamination_overlap, build_ngram_bloom / bloom_contamination
 Sampling:     mixture_resample, stratified_fixed_n,
@@ -39,8 +44,8 @@ Embeddings:   scalar_quantize_stats, random_project,
               power_iteration_pca + apply_pca (distributed top-k PCA)
 Temporal:     asof_join, range_join, hypertable_rollup,
               gap_filled_hourly, lttb_downsample, rolling_zscore,
-              funnel_counts, rolling_active_users (DAU/WAU),
-              retention_cohorts
+              funnel_counts, sessionize, rolling_active_users
+              (DAU/WAU), retention_cohorts
 Graph:        pagerank (power iteration over edge lists),
               triangle_counts (oriented-wedge join),
               label_propagation (LPA communities)
@@ -54,7 +59,8 @@ Layout:       write_range_clustered, write_zorder_clustered,
 Composed:     curate_corpus, CurationConfig
 Streaming:    lightning_metastore_spark.streaming.events (windowed
               aggregation, stateful sessionizer, stateful funnel,
-              stateful rolling z-score, attribution join);
+              stateful rolling z-score, stateful heavy hitters,
+              attribution join);
               lightning_metastore_spark.streaming.ingest (corpus
               ingestion with incremental dedup: build_dedup_index,
               dedup_batch_against_index, start_dedup_ingest_sink)
