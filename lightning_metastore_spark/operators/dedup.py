@@ -534,8 +534,11 @@ def span_batch_against_index(batch: DataFrame, index: DataFrame,
                     .alias("n_known_spans")))
     known_frac = F.round(F.col("n_known_spans")
                          / F.greatest(F.col("n_spans"), F.lit(1)), 6)
+    # per_doc is batch-row-bounded (one row per batch doc), so the
+    # final reattach join broadcasts too — the whole operator plans
+    # with zero sort-merge joins
     return (batch.select(id_col).distinct()
-            .join(per_doc, id_col, "left")
+            .join(F.broadcast(per_doc), id_col, "left")
             .select(F.col(id_col),
                     F.coalesce("n_spans", F.lit(0)).cast("long")
                     .alias("n_spans"),

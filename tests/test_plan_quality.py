@@ -310,3 +310,24 @@ def test_sessionize_single_user_shuffle(spark):
     exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert len(exchanges) == 1, exchanges
     assert "user_id" in exchanges[0]
+
+
+def test_span_admission_broadcasts_batch_not_corpus(spark):
+    """Incremental span admission must broadcast the BATCH's distinct
+    hashes into the index join (O(batch) regardless of corpus size) —
+    no sort-merge/shuffled join against the index and no cartesian."""
+    from lightning_metastore_spark.operators.dedup import (
+        span_batch_against_index, span_index)
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i} alpha beta gamma delta") for i in range(50)],
+        ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"])
+    idx = span_index(corpus, k=4)
+    plan = _plan(span_batch_against_index(batch, idx, k=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the index side is probed by a broadcast of batch hashes — the
+    # index never sort-merge-joins (which would shuffle it)
+    assert "SortMergeJoin" not in plan
