@@ -77,58 +77,82 @@ def contamination_overlap(train: DataFrame, benchmark: DataFrame,
 
 def _bloom_positions(shingle: str, k: int, n_bits: int) -> list:
     """k bit positions via Kirsch-Mitzenmacher double hashing over one
-    blake2b digest — deterministic across Python versions/platforms
-    (no PYTHONHASHSEED dependence), identical in build and test."""
+    md5 digest — deterministic across Python versions/platforms (no
+    PYTHONHASHSEED dependence) and, deliberately, re-derivable by ANY
+    engine with an md5() function: h1/h2 are the first/second 15 hex
+    chars as integers (60 bits each — in int64 range everywhere),
+    reduced mod n_bits BEFORE the stride walk so no intermediate
+    exceeds k * n_bits. The JVM twin is ``_bloom_position_cols``; the
+    DuckDB gate oracle re-derives the same positions in SQL — the
+    filter's exact bit pattern (false positives included) is therefore
+    engine-portable and hash-verifiable."""
     import hashlib
 
-    d = hashlib.blake2b(shingle.encode("utf-8"), digest_size=16).digest()
-    h1 = int.from_bytes(d[:8], "little")
-    h2 = int.from_bytes(d[8:], "little") | 1   # odd => full-period stride
+    h = hashlib.md5(shingle.encode("utf-8")).hexdigest()
+    h1 = int(h[:15], 16) % n_bits
+    h2 = (int(h[15:30], 16) | 1) % n_bits   # odd (n_bits is even)
     return [(h1 + i * h2) % n_bits for i in range(k)]
+
+
+def _bloom_position_cols(shingle_col, k: int, n_bits: int):
+    """JVM expression twin of ``_bloom_positions``: array<long> of the
+    k bit positions, computed inside whole-stage codegen so neither the
+    build nor the membership test runs per-string Python hashing."""
+    h = F.md5(shingle_col)
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % n_bits
+    h2 = (F.conv(F.substring(h, 16, 15), 16, 10).cast("long")
+          .bitwiseOR(F.lit(1))) % n_bits
+    return F.array(*[(h1 + F.lit(i) * h2) % F.lit(n_bits)
+                     for i in range(k)])
 
 
 def build_ngram_bloom(benchmark: DataFrame, n: int = 3,
                       n_bits: int = 1 << 20, k: int = 4,
                       text_col: str = "text",
-                      id_col: str = "doc_id") -> dict:
+                      id_col: str = "doc_id",
+                      sh_bench: DataFrame | None = None) -> dict:
     """Build a Bloom-filter membership artifact over the benchmark's
     distinct word n-grams: {"bits", "n_bits", "k", "n", "n_grams"}.
 
-    Distributed build: the JVM ``shingles`` relation (identical
-    semantics to ``contamination_overlap`` — no Python re-tokenization
-    to drift) streams through one Arrow pass that accumulates a PARTIAL
-    bitmap per partition; the driver ORs the p partition bitmaps
-    (p x n_bits/8 bytes — 128 KB each at the default size, a bounded
-    artifact, never the gram set itself). At 100 TB the benchmark side
-    is what grows; the filter stays fixed-size by construction.
+    Distributed build, fully JVM until final assembly: the ``shingles``
+    relation (identical semantics to ``contamination_overlap`` — no
+    Python re-tokenization to drift) maps each gram to its k bit
+    positions inside codegen, then ONE distributed ``bit_or``
+    aggregation keyed on the 64-bit word index ORs every bit in place —
+    the driver collects at most n_bits/64 (word, bits) rows, i.e.
+    EXACTLY one bitmap's worth regardless of partition count (at
+    n_bits = 2^33 for billions of grams that is 1 GiB once, never
+    p x 1 GiB; there is no per-partition partial-bitmap round trip).
+    At 100 TB the benchmark side is what grows; the filter stays
+    fixed-size by construction. Pass ``sh_bench`` (a persisted shingle
+    relation) to skip the tokenize/explode pass.
     """
     import numpy as np
-    import pandas as pd
 
     if n_bits % 8:
         raise ValueError("n_bits must be a multiple of 8")
-    sh_b = shingles(benchmark, n, text_col, id_col) \
+    sh_b = (sh_bench if sh_bench is not None
+            else shingles(benchmark, n, text_col, id_col)) \
         .select("shingle").distinct()
-    nb = n_bits
 
-    def partial(batches):
-        bits = np.zeros(nb // 8, dtype=np.uint8)
-        cnt = 0
-        for pdf in batches:
-            for s in pdf["shingle"]:
-                for p in _bloom_positions(s, k, nb):
-                    bits[p >> 3] |= np.uint8(1 << (p & 7))
-            cnt += len(pdf)
-        yield pd.DataFrame({"bits": [bits.tobytes()], "cnt": [cnt]})
-
-    rows = sh_b.mapInPandas(partial, "bits binary, cnt long").collect()
-    merged = np.zeros(n_bits // 8, dtype=np.uint8)
-    n_grams = 0
+    pos = sh_b.select(F.explode(
+        _bloom_position_cols(F.col("shingle"), k, n_bits)).alias("p"))
+    rows = (pos.select(
+                F.shiftright(F.col("p"), 6).alias("w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 63 AS INT))")
+                .alias("m"))
+            .groupBy("w")
+            .agg(F.expr("bit_or(m)").alias("word"),
+                 F.count(F.lit(1)).alias("cnt"))
+            .collect())
+    words = np.zeros(max(1, n_bits // 64), dtype=np.uint64)
+    n_pos = 0
     for r in rows:
-        merged |= np.frombuffer(r["bits"], dtype=np.uint8)
-        n_grams += int(r["cnt"])
-    return {"bits": merged.tobytes(), "n_bits": n_bits, "k": k,
-            "n": n, "n_grams": n_grams}
+        words[int(r["w"])] = np.uint64(int(r["word"]) & (2**64 - 1))
+        n_pos += int(r["cnt"])
+    # every gram contributes exactly k position rows (duplicates kept)
+    return {"bits": words.astype("<u8").tobytes()[:n_bits // 8],
+            "n_bits": n_bits, "k": k, "n": n, "n_grams": n_pos // k}
 
 
 def bloom_fp_rate(bloom: dict) -> float:
@@ -143,34 +167,46 @@ def bloom_fp_rate(bloom: dict) -> float:
 def bloom_contamination(train: DataFrame, bloom: dict,
                         flag_threshold: float = 0.5,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        sh_train: DataFrame | None = None) -> DataFrame:
     """Per-training-doc contamination via the Bloom artifact — same
     output schema as ``contamination_overlap``: (doc_id, n_shingles,
     n_contaminated, contam_frac, is_contaminated).
 
     Guarantees: n_contaminated here is a SUPERSET count of the exact
     operator's (no false negatives — every true benchmark gram hits);
-    over-flagging is bounded by ``bloom_fp_rate``. Map-only over the
-    training shingle stream with the fixed-size bitmap riding the task
-    closure (use ``spark.sparkContext.broadcast`` for filters beyond a
-    few MB); one per-doc aggregation — the corpus never shuffles
-    against the benchmark at all, which is the point at 100 TB.
+    over-flagging is bounded by ``bloom_fp_rate``. The k bit positions
+    are computed JVM-side inside codegen; the only Python work is a
+    VECTORIZED numpy probe of the bitmap per Arrow batch (one fancy-
+    index + all-reduce — no per-string hashing, no per-element loop).
+    The fixed-size bitmap rides the task closure (use
+    ``spark.sparkContext.broadcast`` for filters beyond a few MB); one
+    per-doc aggregation — the corpus never shuffles against the
+    benchmark at all, which is the point at 100 TB. Pass ``sh_train``
+    (a persisted shingle relation) to skip the tokenize/explode pass.
     """
     import numpy as np
     import pandas as pd
 
     bits = np.frombuffer(bloom["bits"], dtype=np.uint8)
     k, nb = bloom["k"], bloom["n_bits"]
-    sh_t = shingles(train, bloom["n"], text_col, id_col)
+    sh_t = sh_train if sh_train is not None \
+        else shingles(train, bloom["n"], text_col, id_col)
+    pos_df = sh_t.select(
+        F.col(id_col),
+        _bloom_position_cols(F.col("shingle"), k, nb).alias("ps"))
 
     def test(batches):
+        masks = (np.uint8(1) << np.arange(8, dtype=np.uint8))
         for pdf in batches:
-            hit = [all(bits[p >> 3] & (1 << (p & 7))
-                       for p in _bloom_positions(s, k, nb))
-                   for s in pdf["shingle"]]
+            if len(pdf):
+                pos = np.vstack(pdf["ps"].to_numpy()).astype(np.int64)
+                hit = ((bits[pos >> 3] & masks[pos & 7]) != 0).all(axis=1)
+            else:
+                hit = np.array([], dtype=bool)
             yield pd.DataFrame({id_col: pdf[id_col], "hit": hit})
 
-    hits = sh_t.mapInPandas(test, f"{id_col} long, hit boolean")
+    hits = pos_df.mapInPandas(test, f"{id_col} long, hit boolean")
     frac = F.col("n_contaminated") / F.col("n_shingles")
     return (hits.groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"),

@@ -189,3 +189,26 @@ def test_bloom_artifact_roundtrip_and_partition_invariance(spark, tmp_path):
     bloom2 = build_ngram_bloom(bench.repartition(5), n=3)
     assert bloom2["bits"] == bloom["bits"] and \
         bloom2["n_grams"] == bloom["n_grams"]
+
+
+def test_bloom_positions_python_jvm_agree(spark):
+    """The md5 double-hash position derivation is the engine-portable
+    contract: the Python reference (_bloom_positions — used by tests
+    and any external verifier), the JVM codegen expression
+    (_bloom_position_cols — used by build and membership), and the
+    DuckDB gate oracle must all emit identical positions. Pin the
+    first two here (the oracle is pinned by the correctness gate)."""
+    from pyspark.sql import functions as F
+
+    from lightning_metastore_spark.operators.contamination import (
+        _bloom_position_cols, _bloom_positions)
+
+    strs = ["alpha beta gamma", "", "a", "秘密 基准 问题",
+            "one two three four", "x" * 200]
+    for n_bits, k in ((1 << 20, 4), (64, 2), (1 << 12, 7)):
+        df = spark.createDataFrame([(s,) for s in strs], ["s"])
+        got = {r["s"]: list(r["ps"]) for r in df.select(
+            "s", _bloom_position_cols(F.col("s"), k, n_bits).alias("ps"))
+            .collect()}
+        for s in strs:
+            assert got[s] == _bloom_positions(s, k, n_bits), (s, n_bits, k)
