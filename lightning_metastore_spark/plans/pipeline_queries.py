@@ -1686,6 +1686,7 @@ def temporal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         retention_cohorts,
         rolling_active_users,
         rolling_zscore,
+        sessionize,
     )
 
     t = load_tables(spark, sf_dir, ("events",))
@@ -1720,8 +1721,21 @@ def temporal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("key"),
                    F.col("n_active").alias("n"),
                    F.col("retention").alias("sum_value")))
+    # session duration is an exact integer-microsecond difference over
+    # 1e6 — both engines compute the identical IEEE division, so no
+    # rounding is needed (or wanted) for the hash check
+    ses = (sessionize(t["events"], gap_minutes=30)
+           .select(F.lit("session").alias("resolution"),
+                   F.col("session_start").alias("bucket_start"),
+                   F.concat(F.col("user_id").cast("string"), F.lit(":"),
+                            F.col("session_id").cast("string"))
+                   .alias("key"),
+                   F.col("n_events").alias("n"),
+                   ((F.unix_micros("session_end")
+                     - F.unix_micros("session_start"))
+                    / F.lit(1000000.0)).alias("sum_value")))
     return (rollup.unionByName(fill).unionByName(z).unionByName(fun)
-            .unionByName(wau).unionByName(ret)
+            .unionByName(wau).unionByName(ret).unionByName(ses)
             .orderBy("resolution", "bucket_start", "key"))
 
 
@@ -1815,6 +1829,23 @@ SELECT * FROM (
     WHERE w <= (SELECT MAX(d) FROM ud)
     GROUP BY w
   )
+  UNION ALL
+  SELECT 'session', MIN(ts),
+         CAST(user_id AS VARCHAR) || ':' || CAST(sid AS VARCHAR),
+         COUNT(*), (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0
+  FROM (
+    SELECT user_id, ts,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM (SELECT user_id, ts,
+                 CASE WHEN prev IS NULL
+                       OR epoch_us(ts) - prev > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM (SELECT user_id, ts,
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY ts) AS prev
+                FROM events))
+  ) GROUP BY user_id, sid
   UNION ALL
   SELECT 'retention', cohort, 'd' || CAST(offset_days AS VARCHAR),
          n_active, ROUND(CAST(n_active AS DOUBLE) / cohort_size, 6)
@@ -2696,14 +2727,290 @@ FROM c ORDER BY doc_id
 """
 
 
+def span_removal_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span EXCISION (operators/dedup.py::
+    remove_dup_spans): every 5-token window occurring >= 2 times
+    corpus-wide is cut from every document; the md5 of the rebuilt
+    clean text hash-verifies the full excision, not just counts.
+    ``removed_frac`` is recomputed JVM-side (F.round = HALF_UP, the
+    DuckDB ROUND convention) so the gate never depends on Python
+    banker's rounding."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    out = dedup.remove_dup_spans(t["documents"], k=5, min_occ=2)
+    return (out.select(
+        "doc_id", "n_tokens", "n_removed",
+        F.round(F.col("n_removed") / F.col("n_tokens"), 6)
+        .alias("removed_frac"),
+        F.md5("clean_text").alias("clean_md5"))
+        .orderBy("doc_id"))
+
+
+SPAN_REMOVAL_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+), sp AS (
+  SELECT doc_id, i - 1 AS pos,
+         CASE WHEN len(t) >= 5
+              THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                   t[i+3] || ' ' || t[i+4]
+              ELSE array_to_string(t, ' ') END AS g
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS s(i)
+), dup AS (
+  SELECT g FROM sp GROUP BY g HAVING COUNT(*) >= 2
+), starts AS (
+  SELECT doc_id, pos FROM sp JOIN dup USING (g)
+), tok AS (
+  SELECT doc_id, i - 1 AS j, t[i] AS tk, len(t) AS n
+  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+), cov AS (
+  SELECT tok.doc_id, tok.j, tok.tk, tok.n,
+         EXISTS (SELECT 1 FROM starts s
+                 WHERE s.doc_id = tok.doc_id AND s.pos <= tok.j
+                   AND tok.j < s.pos +
+                       CASE WHEN tok.n >= 5 THEN 5 ELSE tok.n END)
+           AS covered
+  FROM tok
+), agg AS (
+  SELECT doc_id, MAX(n) AS n_tokens,
+         SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS n_removed,
+         COALESCE(string_agg(CASE WHEN NOT covered THEN tk END,
+                             ' ' ORDER BY j), '') AS clean_text
+  FROM cov GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_removed AS BIGINT) AS n_removed,
+       ROUND(n_removed / n_tokens, 6) AS removed_frac,
+       md5(clean_text) AS clean_md5
+FROM agg ORDER BY doc_id
+"""
+
+
+def span_admission_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-substring admission (operators/dedup.py::
+    span_index + span_batch_against_index): every 10th document plays
+    the NEW batch, the rest the stored corpus; a batch doc is rejected
+    when > 50% of its 5-token windows already exist in the corpus
+    index. The corpus is touched zero times — only its (gh, occ) index
+    joins, broadcast-probed by the batch's distinct hashes."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    rest = docs.filter(F.col("doc_id") % 10 != 7)
+    idx = dedup.span_index(rest, k=5)
+    return dedup.span_batch_against_index(
+        batch, idx, k=5, max_dup_frac=0.5).orderBy("doc_id")
+
+
+SPAN_ADMIT_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+), sp AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 5
+              THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                   t[i+3] || ' ' || t[i+4]
+              ELSE array_to_string(t, ' ') END AS g
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS s(i)
+), idx AS (
+  SELECT DISTINCT g FROM sp WHERE doc_id % 10 <> 7
+), b AS (
+  SELECT doc_id, sp.g, i.g IS NOT NULL AS known
+  FROM sp LEFT JOIN idx i USING (g) WHERE doc_id % 10 = 7
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_spans,
+         SUM(CASE WHEN known THEN 1 ELSE 0 END) AS n_known
+  FROM b GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(n_known AS BIGINT) AS n_known_spans,
+       ROUND(n_known / GREATEST(n_spans, 1), 6) AS known_frac,
+       ROUND(n_known / GREATEST(n_spans, 1), 6) <= 0.5 AS admit
+FROM agg ORDER BY doc_id
+"""
+
+
+def bloom_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (operators/contamination.py::
+    build_ngram_bloom + bloom_contamination): the same 1/25 benchmark
+    carve as ``contamination_check``, but membership goes through the
+    fixed-size bitmap artifact (distributed bit_or build, JVM-derived
+    md5 positions, vectorized numpy probes). Because the position
+    derivation is engine-portable integer math, the DuckDB oracle
+    re-derives the EXACT bit pattern — false positives included — so
+    the gate hash-verifies the filter bit-for-bit, not merely a
+    superset property. Timed cost includes the filter build (the
+    operator's real per-run cost)."""
+    from lightning_metastore_spark.operators.contamination import (
+        bloom_contamination, build_ngram_bloom)
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    sh = _shingles_cached(spark, docs, sf_dir)
+    bloom = build_ngram_bloom(
+        docs.filter(F.col("doc_id") % 25 == 0), n=3, n_bits=1 << 20,
+        k=4, sh_bench=sh.filter(F.col("doc_id") % 25 == 0))
+    return bloom_contamination(
+        docs.filter(F.col("doc_id") % 25 != 0), bloom,
+        flag_threshold=0.5,
+        sh_train=sh.filter(F.col("doc_id") % 25 != 0)).orderBy("doc_id")
+
+
+BLOOM_ORACLE = (r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              ELSE array_to_string(t, ' ') END AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+), hh AS (
+  SELECT doc_id, shingle,
+         ({H1}) % 1048576 AS h1,
+         ((({H2}) | 1) % 1048576) AS h2
+  FROM (SELECT doc_id, shingle, md5(shingle) AS h FROM sh)
+), bpos AS (
+  SELECT DISTINCT (h1 + i * h2) % 1048576 AS p
+  FROM hh, unnest(generate_series(0, 3)) AS gg(i)
+  WHERE doc_id % 25 = 0
+), tpos AS (
+  SELECT doc_id, shingle, (h1 + i * h2) % 1048576 AS p
+  FROM hh, unnest(generate_series(0, 3)) AS gg(i)
+  WHERE doc_id % 25 <> 0
+), shhit AS (
+  SELECT doc_id, shingle, BOOL_AND(bp.p IS NOT NULL) AS hit
+  FROM tpos LEFT JOIN bpos bp USING (p) GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_shingles,
+         SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_contaminated
+  FROM shhit GROUP BY 1
+)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_contaminated AS BIGINT) AS n_contaminated,
+       ROUND(n_contaminated / n_shingles, 6) AS contam_frac,
+       n_contaminated / n_shingles >= 0.5 AS is_contaminated
+FROM agg ORDER BY doc_id
+""").replace("{H1}", _hexint_sql("h", 15)) \
+    .replace("{H2}", _hexint_sql("substring(h, 16, 15)", 15))
+
+
+def pack_bins_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing bin packing (operators/packing.py::
+    greedy_pack_bins) at n_shards=1 — the single-shard setting makes
+    the placement the pure sequential FFD over (n_tokens DESC, doc_id),
+    which the oracle replays as a DuckDB recursive CTE carrying the
+    open-bin fill list (one iteration per document; gate-scale only —
+    the operator's scale path is per-shard FFD, pytest-twinned in
+    tests/test_packing.py)."""
+    from lightning_metastore_spark.operators.packing import (
+        greedy_pack_bins)
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return greedy_pack_bins(t["documents"], capacity=2048, n_shards=1) \
+        .orderBy("doc_id")
+
+
+PACK_BINS_ORACLE = r"""
+WITH RECURSIVE lens AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+), ordered AS (
+  SELECT doc_id, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM lens
+), st AS (
+  SELECT 0 AS rn, CAST([] AS BIGINT[]) AS fills, CAST([] AS BIGINT[]) AS bins
+  UNION ALL
+  SELECT z.rn,
+         CASE WHEN z.f IS NULL THEN list_append(z.fills, z.n_tokens)
+              ELSE list_transform(z.fills,
+                     (x, i) -> CASE WHEN i = z.f THEN x + z.n_tokens
+                               ELSE x END) END,
+         list_append(z.bins, COALESCE(z.f, len(z.fills) + 1))
+  FROM (SELECT o.rn, o.n_tokens, s.fills, s.bins,
+               CASE WHEN o.n_tokens < 2048 THEN
+                 list_min(list_filter(list_transform(s.fills,
+                   (x, i) -> CASE WHEN x + o.n_tokens <= 2048
+                             THEN CAST(i AS BIGINT) END),
+                   y -> y IS NOT NULL))
+               END AS f
+        FROM st s JOIN ordered o ON o.rn = s.rn + 1) z
+), fin AS (
+  SELECT fills, bins FROM st ORDER BY rn DESC LIMIT 1
+), asg AS (
+  SELECT o.doc_id, o.n_tokens, fin.bins[o.rn] AS b,
+         fin.fills[fin.bins[o.rn]] AS fl
+  FROM ordered o, fin
+), cnts AS (
+  SELECT b, COUNT(*) AS c FROM asg GROUP BY b
+)
+SELECT doc_id, n_tokens, CAST(b - 1 AS BIGINT) AS bin_id,
+       CAST(fl AS BIGINT) AS bin_fill, CAST(c AS BIGINT) AS bin_n_docs
+FROM asg JOIN cnts USING (b) ORDER BY doc_id
+"""
+
+
+def bpe_ids_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer id-encoding plumbing (operators/bpe.py::
+    encode_bpe_ids) at merges=[] — the deterministic character-level
+    vocabulary (<unk>=0, then sorted distinct corpus chars), so the
+    order-sensitive polynomial ids_checksum hash-verifies the encode
+    path (vocab derivation, id lookup, sequence order) cross-engine.
+    Merge APPLICATION is inherently sequential per word and
+    SQL-inexpressible; it is pytest-twinned merge-for-merge in
+    tests/test_bpe.py. The checksum is compared as a STRING (exact —
+    it exceeds double precision)."""
+    from lightning_metastore_spark.operators.bpe import encode_bpe_ids
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    out = encode_bpe_ids(t["documents"], merges=[])
+    return (out.select("doc_id", "n_pieces",
+                       F.col("ids_checksum").cast("string")
+                       .alias("ids_checksum"))
+            .orderBy("doc_id"))
+
+
+BPE_IDS_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS words
+  FROM documents
+), wt AS (
+  SELECT doc_id, i AS wi, words[i] AS word
+  FROM w, unnest(generate_series(1, len(words))) AS g(i)
+), ch AS (
+  SELECT doc_id, wi, j, substring(word, j, 1) AS c
+  FROM wt, unnest(generate_series(1, length(word))) AS u(j)
+), vocab AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS cid
+  FROM (SELECT DISTINCT c FROM ch)
+), lst AS (
+  SELECT doc_id, list(CAST(cid AS HUGEINT) ORDER BY wi, j) AS ids,
+         COUNT(*) AS n_pieces
+  FROM ch JOIN vocab USING (c) GROUP BY doc_id
+), ck AS (
+  SELECT doc_id, n_pieces,
+         CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), ids),
+              (a, b) -> (a * 1000003 + b + 1) % 2305843009213693952)
+           AS BIGINT) AS ids_checksum
+  FROM lst
+)
+SELECT d.doc_id, CAST(COALESCE(n_pieces, 0) AS BIGINT) AS n_pieces,
+       CAST(COALESCE(ids_checksum, 0) AS VARCHAR) AS ids_checksum
+FROM documents d LEFT JOIN ck USING (doc_id) ORDER BY doc_id
+"""
+
+
 def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Twelve document-profiling operators in one melted tagged-union
+    """Nineteen document-profiling operators in one melted tagged-union
     slot (50-slot registry discipline): Gopher repetition filters, the
     token-length histogram, sequence packing, the contamination check,
-    cross-document exact-substring duplication, sliding-window chunking,
-    tokenizer (vocab-id) application, skyline, heavy hitters, the Zipf
-    fit, encoding-anomaly triage and the per-domain curation profile.
-    Every cell of every component is still hash-verified."""
+    cross-document exact-substring duplication + its EXCISION + the
+    incremental span-index admission, Bloom-filter decontamination,
+    sliding-window chunking, tokenizer (vocab-id) application + BPE id
+    encoding, FFD bin packing, skyline, heavy hitters, the Zipf fit,
+    encoding-anomaly triage, CDC chunk dedup, entity census and the
+    per-domain curation profile. Every cell of every component is
+    still hash-verified."""
     parts = [
         _melt(text_repetition(spark, sf_dir), "repetition", "doc_id",
               ["n_words", "n_distinct_words", "distinct_word_ratio",
@@ -2743,6 +3050,17 @@ def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _melt(entity_profile(spark, sf_dir), "entities", "doc_id",
               ["n_emails", "n_urls", "n_dates", "n_numbers",
                "any_entity"]),
+        _melt(span_removal_check(spark, sf_dir), "span_removal", "doc_id",
+              ["n_tokens", "n_removed", "removed_frac"], ("clean_md5",)),
+        _melt(span_admission_check(spark, sf_dir), "span_admit", "doc_id",
+              ["n_spans", "n_known_spans", "known_frac", "admit"]),
+        _melt(bloom_check(spark, sf_dir), "bloom", "doc_id",
+              ["n_shingles", "n_contaminated", "contam_frac",
+               "is_contaminated"]),
+        _melt(pack_bins_check(spark, sf_dir), "bins", "doc_id",
+              ["n_tokens", "bin_id", "bin_fill", "bin_n_docs"]),
+        _melt(bpe_ids_check(spark, sf_dir), "bpe_ids", "doc_id",
+              ["n_pieces"], ("ids_checksum",)),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2803,6 +3121,22 @@ CORPUS_PROFILE_SUITE_ORACLE = (
     + _melt_sql(ENTITY_PROFILE_ORACLE, "entities", "doc_id",
                 ["n_emails", "n_urls", "n_dates", "n_numbers",
                  "any_entity"])
+    + " UNION ALL "
+    + _melt_sql(SPAN_REMOVAL_ORACLE, "span_removal", "doc_id",
+                ["n_tokens", "n_removed", "removed_frac"], ("clean_md5",))
+    + " UNION ALL "
+    + _melt_sql(SPAN_ADMIT_ORACLE, "span_admit", "doc_id",
+                ["n_spans", "n_known_spans", "known_frac", "admit"])
+    + " UNION ALL "
+    + _melt_sql(BLOOM_ORACLE, "bloom", "doc_id",
+                ["n_shingles", "n_contaminated", "contam_frac",
+                 "is_contaminated"])
+    + " UNION ALL "
+    + _melt_sql(PACK_BINS_ORACLE, "bins", "doc_id",
+                ["n_tokens", "bin_id", "bin_fill", "bin_n_docs"])
+    + " UNION ALL "
+    + _melt_sql(BPE_IDS_ORACLE, "bpe_ids", "doc_id",
+                ["n_pieces"], ("ids_checksum",))
     + ") ORDER BY section, row_key, metric"
 )
 
@@ -3144,6 +3478,7 @@ SUITE_SECTIONS: dict = {
         "wau": _temporal_section("rolling_active_users", window_days=7),
         "retention": _temporal_section("retention_cohorts",
                                        max_offset_days=7),
+        "session": _temporal_section("sessionize", gap_minutes=30),
     },
     "dq_suite": {
         "pk": dq_pk_orders,
@@ -3165,6 +3500,11 @@ SUITE_SECTIONS: dict = {
         "domains": domain_profile_gate,
         "cdc": cdc_profile,
         "entities": entity_profile,
+        "span_removal": span_removal_check,
+        "span_admit": span_admission_check,
+        "bloom": bloom_check,
+        "bins": pack_bins_check,
+        "bpe_ids": bpe_ids_check,
     },
     "sampling_quantize_suite": {
         "mixture": domain_mixture,
