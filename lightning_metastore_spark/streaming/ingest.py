@@ -9,6 +9,7 @@ as parquet under ``index_dir``:
 
     index_dir/shingles/batch=<id>/    (doc_id, shingle)
     index_dir/signatures/batch=<id>/  (doc_id, mh_0..mh_63)
+    index_dir/spans/batch=<id>/       (gh, occ) — 5-token-window index
 
 Each micro-batch is deduped in three steps, all DataFrame programs:
   1. exact intra-batch dedup (normalized-text hash, keep min id),
@@ -48,10 +49,15 @@ _NUM_HASHES = 64
 _SEED = 42
 
 
+_SPAN_K = 5
+
+
 def _artifacts(docs: DataFrame, id_col: str, text_col: str):
     sh = dedup.shingles(docs, text_col=text_col, id_col=id_col)
     sig = dedup.minhash_signatures(sh, _NUM_HASHES, id_col, _SEED)
-    return sh, sig
+    spans = dedup.span_index(docs, k=_SPAN_K, text_col=text_col,
+                             id_col=id_col)
+    return sh, sig, spans
 
 
 def build_dedup_index(docs: DataFrame, index_dir: str,
@@ -59,28 +65,57 @@ def build_dedup_index(docs: DataFrame, index_dir: str,
                       text_col: str = "text") -> None:
     """Bootstrap the corpus index from an existing (already deduped)
     corpus. Call once; the streaming sink extends it per batch."""
-    sh, sig = _artifacts(docs, id_col, text_col)
+    sh, sig, spans = _artifacts(docs, id_col, text_col)
     sh.write.mode("overwrite").parquet(
         os.path.join(index_dir, "shingles", "batch=init"))
     sig.write.mode("overwrite").parquet(
         os.path.join(index_dir, "signatures", "batch=init"))
+    spans.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "spans", "batch=init"))
+
+
+def _before_batch(df: DataFrame, batch_id) -> DataFrame:
+    """Restrict an index read to partitions a batch's ORIGINAL run could
+    have seen: the bootstrap/compacted partitions plus numeric batch ids
+    STRICTLY BELOW its own. Micro-batch ids are monotonically
+    increasing, so in normal operation this filter is a no-op; on a
+    replay it restores the original index view exactly — the right
+    contract for the span rejector, whose known-span FRACTION (unlike
+    the near-dup relation) could otherwise drift upward as later
+    batches commit spans that overlap without being near-dups."""
+    if batch_id is None:
+        return df
+    b = F.col("batch").cast("string")
+    return df.filter((~b.rlike("^[0-9]+$"))
+                     | (b.cast("long") < F.lit(int(batch_id))))
 
 
 def dedup_batch_against_index(spark: SparkSession, batch: DataFrame,
                               index_dir: str, threshold: float = 0.5,
                               id_col: str = "doc_id",
                               text_col: str = "text",
-                              exclude_batch=None) -> DataFrame:
+                              exclude_batch=None,
+                              max_span_frac: float | None = None) -> DataFrame:
     """The per-batch admission decision (pure batch DataFrame program —
     also the test twin of the streaming sink): returns the NOVEL subset
-    of ``batch`` after exact intra-batch, near-dup intra-batch, and
-    batch-vs-corpus rejection.
+    of ``batch`` after exact intra-batch, near-dup intra-batch,
+    batch-vs-corpus near-dup rejection and (when ``max_span_frac`` is
+    set) span-recycling rejection — a doc is ALSO rejected when more
+    than that fraction of its 5-token windows already exist in the
+    corpus span index (dedup.span_batch_against_index: a mostly-
+    recycled page that is not NEAR-dup to any single corpus doc —
+    e.g. stitched from many — still gets caught). The span probe is
+    broadcast-only: O(batch) against the (gh, occ) index, the corpus
+    itself untouched.
 
     ``exclude_batch``: index partition to IGNORE — a REPLAYED batch
     (foreachBatch is at-least-once) finds its own artifacts already in
     the index and would reject itself, replacing its output with an
     empty directory; excluding its own partition makes the replay
-    reproduce the original decision exactly."""
+    reproduce the original decision exactly. The span index applies
+    the STRONGER strictly-before-me visibility rule (``_before_batch``)
+    because span fractions are frequency-like, not an equivalence-like
+    relation — see _before_batch's docstring."""
     # 1. exact intra-batch: keep the smallest id per normalized text
     exact = dedup.exact_dedup(batch, text_col, id_col)
     b = batch.join(exact.select(id_col), id_col)
@@ -108,8 +143,21 @@ def dedup_batch_against_index(spark: SparkSession, batch: DataFrame,
         corpus_sig.select(id_col, *[f"mh_{i}" for i in range(_NUM_HASHES)]),
         threshold, _NUM_HASHES, id_col=id_col, text_col=text_col,
         seed=_SEED)
-    return b.join(hits.select(F.col("batch_id").alias(id_col)).distinct(),
-                  id_col, "left_anti")
+    b = b.join(hits.select(F.col("batch_id").alias(id_col)).distinct(),
+               id_col, "left_anti")
+
+    # 4. span recycling vs corpus: reject docs whose k-token windows are
+    # mostly already-indexed (opt-in; see docstring)
+    span_root = os.path.join(index_dir, "spans")
+    if max_span_frac is not None and os.path.isdir(span_root):
+        span_idx = _before_batch(spark.read.parquet(span_root),
+                                 exclude_batch)
+        admit = dedup.span_batch_against_index(
+            b, span_idx.groupBy("gh").agg(F.sum("occ").alias("occ")),
+            k=_SPAN_K, max_dup_frac=max_span_frac,
+            text_col=text_col, id_col=id_col)
+        b = b.join(admit.filter(F.col("admit")).select(id_col), id_col)
+    return b
 
 
 def compact_dedup_index(spark: SparkSession, index_dir: str) -> None:
@@ -124,9 +172,15 @@ def compact_dedup_index(spark: SparkSession, index_dir: str) -> None:
     write-aside + rename."""
     import shutil
 
-    for art in ("shingles", "signatures"):
+    for art in ("shingles", "signatures", "spans"):
         root = os.path.join(index_dir, art)
+        if not os.path.isdir(root):   # index bootstrapped pre-spans
+            continue
         df = spark.read.parquet(root).drop("batch")
+        if art == "spans":
+            # occurrence counts are additive across batch partitions —
+            # compaction must re-aggregate, not merely concatenate
+            df = df.groupBy("gh").agg(F.sum("occ").alias("occ"))
         tmp = os.path.join(index_dir, f"_{art}_compacting")
         # materialize the merged artifact BEFORE touching the source dirs
         df.write.mode("overwrite").parquet(
@@ -138,7 +192,8 @@ def compact_dedup_index(spark: SparkSession, index_dir: str) -> None:
 def ingest_micro_batch(spark: SparkSession, batch_df: DataFrame,
                        batch_id: int, index_dir: str, out_dir: str,
                        threshold: float = 0.5, id_col: str = "doc_id",
-                       text_col: str = "text") -> None:
+                       text_col: str = "text",
+                       max_span_frac: float | None = None) -> None:
     """The sink's per-batch body (module-level so tests can drive the
     REAL production path with explicit batch ids and replay order):
     admit the batch against the index excluding its own partition,
@@ -153,35 +208,41 @@ def ingest_micro_batch(spark: SparkSession, batch_df: DataFrame,
     decisions exactly (test_ingest pins this)."""
     novel = dedup_batch_against_index(
         spark, batch_df, index_dir, threshold, id_col, text_col,
-        exclude_batch=batch_id)
-    # cut the triple-branch plan once: novel feeds docs-out AND both
-    # artifact writes; each write would otherwise recompute the
-    # whole dedup pipeline (3x the batch cost)
+        exclude_batch=batch_id, max_span_frac=max_span_frac)
+    # cut the triple-branch plan once: novel feeds docs-out AND every
+    # artifact write; each write would otherwise recompute the
+    # whole dedup pipeline (4x the batch cost)
     novel = novel.localCheckpoint(eager=True)
     novel.write.mode("overwrite").parquet(
         os.path.join(out_dir, f"batch={batch_id}"))
-    sh, sig = _artifacts(novel, id_col, text_col)
+    sh, sig, spans = _artifacts(novel, id_col, text_col)
     sh.write.mode("overwrite").parquet(
         os.path.join(index_dir, "shingles", f"batch={batch_id}"))
     sig.write.mode("overwrite").parquet(
         os.path.join(index_dir, "signatures", f"batch={batch_id}"))
+    spans.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "spans", f"batch={batch_id}"))
 
 
 def start_dedup_ingest_sink(stream_docs: DataFrame, index_dir: str,
                             out_dir: str, checkpoint: str,
                             threshold: float = 0.5,
                             id_col: str = "doc_id",
-                            text_col: str = "text"):
+                            text_col: str = "text",
+                            max_span_frac: float | None = None):
     """Start the ingestion sink over a streaming docs DataFrame.
     Returns the StreamingQuery handle; the caller owns stop().
 
     ``build_dedup_index`` must have run for ``index_dir`` first (the
-    index read requires at least the bootstrap batch)."""
+    index read requires at least the bootstrap batch).
+    ``max_span_frac`` (optional) additionally rejects docs whose
+    k-token windows are more than that fraction already-indexed — the
+    exact-substring recycling rejector."""
     spark = stream_docs.sparkSession
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         ingest_micro_batch(spark, batch_df, batch_id, index_dir, out_dir,
-                           threshold, id_col, text_col)
+                           threshold, id_col, text_col, max_span_frac)
 
     return (stream_docs.writeStream
             .foreachBatch(_ingest)

@@ -216,3 +216,35 @@ def test_api_run_pipeline_bad_option_clean_400(server):
     assert e.value.code == 400
     body = e.value.read().decode()
     assert "declared options" in body and "top_v" in body
+
+
+def test_api_pipeline_options_sweep_every_op(server):
+    """Option-coercion contract for the WHOLE RUN PIPELINE surface over
+    REST: for every op returned by LIST PIPELINE OPS, a bogus OPTIONS
+    key must come back as a clean 400 whose body names the op's
+    declared option names (signature-validated before execution) —
+    never a raw 500. Ops that require a second TABLE option fail the
+    table-requirement check first; their 400 names those instead."""
+    status, ops = _post_q(server, "LIST PIPELINE OPS")
+    assert status == 200 and len(ops) >= 60
+
+    for row in ops:
+        op = row["op"]
+        declared = [p.split(" ")[0]
+                    for p in row["options"].split(", ") if p]
+        req = urllib.request.Request(
+            f"http://{server.host}:{server.port}/api/q",
+            data=json.dumps({
+                "query": f"RUN PIPELINE {op} ON "
+                         "lightning.datasource.file.tpch.documents "
+                         "OPTIONS(not_an_option 'x')"}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 400, op
+        body = e.value.read().decode()
+        if "requires table option" in body:
+            continue    # two-table op: the earlier typed check fired
+        assert "declared options" in body, (op, body[:200])
+        for name in declared:
+            assert name in body, (op, name, body[:300])

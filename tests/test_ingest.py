@@ -116,7 +116,8 @@ def test_compact_dedup_index_preserves_decisions(spark, tmp_path):
     ingest.build_dedup_index(_mkdocs(spark, [(1, BASE)]), idx)
     # simulate two admitted batches
     for bid, rows in ((0, [(10, OTHER)]), (1, [(20, THIRD)])):
-        sh, sig = ingest._artifacts(_mkdocs(spark, rows), "doc_id", "text")
+        sh, sig, spans = ingest._artifacts(
+            _mkdocs(spark, rows), "doc_id", "text")
         sh.write.parquet(os.path.join(idx, "shingles", f"batch={bid}"))
         sig.write.parquet(os.path.join(idx, "signatures", f"batch={bid}"))
     probe = _mkdocs(spark, [
@@ -145,7 +146,7 @@ def test_replayed_batch_reproduces_decision(spark, tmp_path):
     novel = ingest.dedup_batch_against_index(spark, batch, idx,
                                              exclude_batch=7)
     # simulate the sink having written batch 7's artifacts already
-    sh, sig = ingest._artifacts(batch, "doc_id", "text")
+    sh, sig, _spans = ingest._artifacts(batch, "doc_id", "text")
     sh.write.mode("overwrite").parquet(
         os.path.join(idx, "shingles", "batch=7"))
     sig.write.mode("overwrite").parquet(
@@ -209,3 +210,69 @@ def test_interleaved_replay_reproduces_decisions(spark, tmp_path):
                          (31, "entirely fresh text about nothing seen")])
     ingest.ingest_micro_batch(spark, b7, 7, idx, out)
     assert out_ids(7) == [31]
+
+
+def test_span_rejector_catches_stitched_doc_across_restart(spark, tmp_path):
+    """The third incremental rejector: a doc STITCHED from halves of two
+    already-admitted docs is near-dup to NEITHER (Jaccard < threshold —
+    the LSH path admits it) but recycles > max_span_frac of its 5-token
+    windows, so the span index rejects it. The rejection must hold
+    across a checkpoint RESTART (span partitions persist and later
+    batches read them), and a REPLAY of an earlier batch after later
+    commits must reproduce its original decisions (the strictly-
+    before-me span visibility rule)."""
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    ingest.build_dedup_index(_mkdocs(spark, [(1, BASE)]), idx)
+
+    stitched = " ".join(OTHER.split()[:8] + BASE.split()[:10])
+    # premise check: WITHOUT the span rejector the stitched doc is
+    # admitted (not near-dup to any single corpus/indexed doc) ...
+    pre_idx = str(tmp_path / "pre_idx")
+    ingest.build_dedup_index(_mkdocs(spark, [(1, BASE), (2, OTHER)]),
+                             pre_idx)
+    probe = _mkdocs(spark, [(90, stitched)])
+    assert ingest.dedup_batch_against_index(
+        spark, probe, pre_idx).count() == 1
+    # ... and WITH it the doc is rejected
+    assert ingest.dedup_batch_against_index(
+        spark, probe, pre_idx, max_span_frac=0.5).count() == 0
+
+    def drain():
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = ingest.start_dedup_ingest_sink(stream, idx, out, ckpt,
+                                           max_span_frac=0.5)
+        q.processAllAvailable()
+        q.stop()
+
+    _write_file(src + "/f1.parquet", [(10, OTHER)])
+    now = time.time()
+    os.utime(src + "/f1.parquet", (now - 20, now - 20))
+    drain()     # batch 0: admits 10; its spans land at spans/batch=0
+
+    _write_file(src + "/f2.parquet", [(20, stitched), (21, THIRD)])
+    os.utime(src + "/f2.parquet", (now - 10, now - 10))
+    drain()     # RESTART from checkpoint; batch 1 sees batch 0's spans
+    admitted = sorted(r.doc_id for r in
+                      spark.read.parquet(out).select("doc_id").collect())
+    assert admitted == [10, 21], admitted
+
+    # replay batch 1 after the fact (at-least-once): decisions stable
+    ingest.ingest_micro_batch(
+        spark, _mkdocs(spark, [(20, stitched), (21, THIRD)]), 1, idx, out,
+        max_span_frac=0.5)
+    assert sorted(r.doc_id for r in spark.read.parquet(out)
+                  .select("doc_id").collect()) == [10, 21]
+
+    # a third batch recycling THIRD + BASE halves is rejected too, and
+    # compaction (occ re-aggregation) preserves the decision
+    stitched2 = " ".join(THIRD.split()[:8] + BASE.split()[10:])
+    probe2 = _mkdocs(spark, [(30, stitched2)])
+    before = ingest.dedup_batch_against_index(
+        spark, probe2, idx, max_span_frac=0.5).count()
+    ingest.compact_dedup_index(spark, idx)
+    after = ingest.dedup_batch_against_index(
+        spark, probe2, idx, max_span_frac=0.5).count()
+    assert before == after == 0
