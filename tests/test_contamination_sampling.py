@@ -212,3 +212,33 @@ def test_bloom_positions_python_jvm_agree(spark):
             .collect()}
         for s in strs:
             assert got[s] == _bloom_positions(s, k, n_bits), (s, n_bits, k)
+
+
+def test_bloom_build_exact_at_8mb_filter(spark):
+    """The distributed bit_or build must produce the EXACT bitmap at a
+    large (8 MB, n_bits=2^26) filter: every expected bit set, no other
+    bit set, driver receiving only word rows (never p partial bitmaps).
+    Expected bits are recomputed in pure Python from the distinct gram
+    set via _bloom_positions — the engine-portable reference."""
+    import numpy as np
+
+    from lightning_metastore_spark.operators.contamination import (
+        _bloom_positions, build_ngram_bloom)
+    from lightning_metastore_spark.operators.dedup import shingles
+
+    bench = spark.createDataFrame(
+        [(i, f"gram {i} alpha {i * 7} beta {i * 13} gamma {i % 11}")
+         for i in range(300)], ["doc_id", "text"])
+    n_bits, k = 1 << 26, 4
+    bloom = build_ngram_bloom(bench.repartition(13), n=3,
+                              n_bits=n_bits, k=k)
+    grams = {r["shingle"] for r in
+             shingles(bench, 3).select("shingle").distinct().collect()}
+    want = np.zeros(n_bits // 8, dtype=np.uint8)
+    for s in grams:
+        for p in _bloom_positions(s, k, n_bits):
+            want[p >> 3] |= np.uint8(1 << (p & 7))
+    got = np.frombuffer(bloom["bits"], dtype=np.uint8)
+    assert bloom["n_grams"] == len(grams)
+    assert len(bloom["bits"]) == n_bits // 8
+    assert np.array_equal(got, want)
