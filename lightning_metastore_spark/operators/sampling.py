@@ -145,3 +145,131 @@ def quantile_normalize(df: DataFrame, value_col: str,
     return df.select(
         F.col(id_col), F.col(group_col), F.col(value_col),
         F.round(F.percent_rank().over(w), 9).alias("pct_rank"))
+
+
+def temperature_resample(docs: DataFrame, tau: float = 0.5,
+                         target_frac: float = 0.6,
+                         group_col: str = "lang", id_col: str = "doc_id",
+                         salt: str = "temp") -> DataFrame:
+    """Temperature-smoothed mixture resampling — the multilingual
+    pre-training standard (XLM/mT5 exponentiated smoothing): group g's
+    target share is proportional to ``share_g^tau``, flattening the
+    head and up-weighting the tail as tau -> 0 (tau=1 keeps natural
+    proportions; tau=0 is uniform). Returns
+    (doc_id, <group_col>, keep_rate, kept) exactly like
+    ``mixture_resample`` — same hash-thinned deterministic keep rule —
+    but with the weight vector DERIVED from corpus counts instead of
+    supplied.
+
+    Cross-engine determinism contract: the smoothed weight is frozen
+    into integer space as ``s_g = round(n_g^tau * 1e9)`` and every
+    later step (normalization, rate, threshold) is fixed-order IEEE
+    arithmetic on exact integers, so any engine reproduces the same
+    keep decisions bit-for-bit. At tau=0.5 the power is computed as
+    SQRT — IEEE-correctly-rounded everywhere, making even the
+    exponentiation itself engine-exact (the gate pins this path);
+    other tau values rely on the 1e-9 rounding to absorb pow() ulp
+    differences.
+
+    Scale: one tiny per-group count aggregate (groups = dozens)
+    broadcast back onto a map-only corpus scan — identical shape to
+    ``mixture_resample``.
+    """
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_g"))
+    pw = F.sqrt(F.col("n_g")) if tau == 0.5 \
+        else F.pow(F.col("n_g"), F.lit(float(tau)))
+    sg = F.round(pw * F.lit(1e9)).cast("long")
+    weights = counts.withColumn("s_g", sg)
+    tot = weights.agg(F.sum("s_g").alias("s_total"),
+                      F.sum("n_g").alias("n_total"))
+    # fixed evaluation order (mirrored by the DuckDB oracle):
+    # t1 = s_g / s_total; t2 = target_frac * t1; t3 = t2 * N; rate = t3 / n_g
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(target_frac)) * (F.col("s_g") / F.col("s_total"))
+        * F.col("n_total") / F.col("n_g"))
+    threshold = F.lpad(F.lower(F.hex(F.floor(rate * F.lit(_HASH_SPACE))
+                                     .cast("long"))), 8, "0")
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        1, 8)
+    kept = F.when(rate >= 1.0, F.lit(True)).otherwise(h < threshold)
+    return (docs.join(F.broadcast(weights), group_col)
+            .crossJoin(F.broadcast(tot))
+            .select(F.col(id_col), F.col(group_col),
+                    F.round(rate, 6).alias("keep_rate"),
+                    kept.alias("kept")))
+
+
+def budget_select(docs: DataFrame, budget_tokens: int,
+                  score_col: str, n_blocks: int = 64,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Token-budget corpus selection — the step that turns per-doc
+    quality scores into an actual training set: take documents in
+    (score DESC, id) order while the running token total fits
+    ``budget_tokens``. Returns
+    (doc_id, score, n_tokens, cum_tokens, selected) for EVERY doc,
+    selected = cum_tokens <= budget (prefix-truncation selection: the
+    first doc that overflows the budget ends the take — the standard
+    data-mixing form; knapsack-style backfilling is deliberately NOT
+    done, it destroys the score ordering's meaning).
+
+    Scale design: a naive ``SUM() OVER (ORDER BY score)`` window is a
+    SINGLE partition — the whole corpus through one task. This is the
+    same two-phase distributed prefix sum as packing.packed_offsets,
+    but over a VALUE ordering instead of an id ordering: exact
+    percentile boundaries carve the score axis into ``n_blocks``
+    score-disjoint blocks (all ties share a block, so block order is
+    consistent with the global (score DESC, id) order), per-block token
+    sums prefix on the driver (a blocks-sized list), and the final
+    cumulative total is an intra-block window (partitioned — parallel)
+    plus the block's base. Identical to the single-partition window at
+    any block count; two tiny driver actions (boundaries, block sums).
+    """
+    base = docs.select(
+        F.col(id_col),
+        F.col(score_col).cast("double").alias("score"),
+        F.size(F.regexp_extract_all(
+            F.coalesce(F.col(text_col), F.lit("")), F.lit(r"(\S+)"), 1))
+        .cast("long").alias("n_tokens"))
+
+    qs = ", ".join(str(i / n_blocks) for i in range(1, n_blocks))
+    bounds = base.agg(
+        F.expr(f"percentile(score, array({qs}))").alias("bs")).first()["bs"]
+    cuts = sorted({float(b) for b in (bounds or [])})
+    # block = number of boundaries strictly above the score: monotone
+    # DECREASING in score (top scores -> block 0), equal scores share a
+    # block, so blocks partition the (score DESC, id) order
+    if cuts:
+        exprs = [F.when(F.col("score") < F.lit(c), 1).otherwise(0)
+                 for c in cuts]
+        block = exprs[0]
+        for e in exprs[1:]:
+            block = block + e
+    else:
+        block = F.lit(0)
+    blocked = base.withColumn("block", block)
+
+    sums = {int(r["block"]): int(r["s"]) for r in
+            blocked.groupBy("block")
+            .agg(F.sum("n_tokens").alias("s")).collect()}
+    running, bases = 0, {}
+    for b in sorted(sums):
+        bases[b] = running
+        running += sums[b]
+    base_map = F.create_map(*[F.lit(x) for b in bases
+                              for x in (b, bases[b])])
+
+    from pyspark.sql.window import Window as W
+
+    w = (W.partitionBy("block")
+         .orderBy(F.desc("score"), F.col(id_col))
+         .rowsBetween(W.unboundedPreceding, 0))
+    cum = (F.coalesce(base_map[F.col("block")], F.lit(0))
+           + F.sum("n_tokens").over(w)).cast("long")
+    return (blocked
+            .withColumn("cum_tokens", cum)
+            .select(id_col, "score", "n_tokens", "cum_tokens",
+                    (F.col("cum_tokens") <= F.lit(int(budget_tokens)))
+                    .alias("selected")))

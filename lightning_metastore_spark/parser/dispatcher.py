@@ -1032,8 +1032,8 @@ class RunPipeline(Command):
                 min_quality=min_quality, **kw))
 
         from lightning_metastore_spark.operators import (
-            bpe, chunking, graph, layout, packing, quantization, sampling,
-            skyline as skyline_mod, temporal, unigram_lm)
+            bpe, chunking, graph, layout, packing, quantization, retrieval,
+            sampling, skyline as skyline_mod, temporal, unigram_lm)
         from lightning_metastore_spark.operators.heavy_hitters import (
             heavy_hitters)
 
@@ -1304,6 +1304,18 @@ class RunPipeline(Command):
             "quantile_normalize": (
                 sampling.quantile_normalize,
                 {"value_col": str, "group_col": str}),
+            "temperature_resample": (
+                sampling.temperature_resample,
+                {"tau": float, "target_frac": float, "group_col": str}),
+            "budget_select": (
+                sampling.budget_select,
+                {"budget_tokens": int, "score_col": str,
+                 "n_blocks": int}),
+            "rrf_fuse": (
+                lambda df, other, query_col=None, k0=60:
+                retrieval.rrf_fuse([df, other], query_col=query_col,
+                                   k0=k0),
+                {"other": "TABLE", "query_col": str, "k0": int}),
             "mixture_resample": (
                 lambda df, weights, target_frac=0.6, group_col="lang":
                 sampling.mixture_resample(
