@@ -119,13 +119,16 @@ def build_ngram_bloom(benchmark: DataFrame, n: int = 3,
     Python re-tokenization to drift) maps each gram to its k bit
     positions inside codegen, then ONE distributed ``bit_or``
     aggregation keyed on the 64-bit word index ORs every bit in place —
-    the driver collects at most n_bits/64 (word, bits) rows, i.e.
+    the driver receives at most n_bits/64 (word, bits) rows, i.e.
     EXACTLY one bitmap's worth regardless of partition count (at
     n_bits = 2^33 for billions of grams that is 1 GiB once, never
     p x 1 GiB; there is no per-partition partial-bitmap round trip).
-    At 100 TB the benchmark side is what grows; the filter stays
-    fixed-size by construction. Pass ``sh_bench`` (a persisted shingle
-    relation) to skip the tokenize/explode pass.
+    Assembly is Arrow (``toPandas`` on the two-primitive-column word
+    relation) into a single numpy scatter — no per-word Python Row
+    objects, so driver cost is the bitmap itself plus one int64 column
+    pass, not 10-50x it. At 100 TB the benchmark side is what grows;
+    the filter stays fixed-size by construction. Pass ``sh_bench`` (a
+    persisted shingle relation) to skip the tokenize/explode pass.
     """
     import numpy as np
 
@@ -137,19 +140,21 @@ def build_ngram_bloom(benchmark: DataFrame, n: int = 3,
 
     pos = sh_b.select(F.explode(
         _bloom_position_cols(F.col("shingle"), k, n_bits)).alias("p"))
-    rows = (pos.select(
-                F.shiftright(F.col("p"), 6).alias("w"),
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 63 AS INT))")
-                .alias("m"))
-            .groupBy("w")
-            .agg(F.expr("bit_or(m)").alias("word"),
-                 F.count(F.lit(1)).alias("cnt"))
-            .collect())
-    words = np.zeros(max(1, n_bits // 64), dtype=np.uint64)
-    n_pos = 0
-    for r in rows:
-        words[int(r["w"])] = np.uint64(int(r["word"]) & (2**64 - 1))
-        n_pos += int(r["cnt"])
+    pdf = (pos.select(
+               F.shiftright(F.col("p"), 6).alias("w"),
+               F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 63 AS INT))")
+               .alias("m"))
+           .groupBy("w")
+           .agg(F.expr("bit_or(m)").alias("word"),
+                F.count(F.lit(1)).alias("cnt"))
+           .toPandas())
+    # ceil-sized so any multiple-of-8 n_bits is legal (the tail word is
+    # truncated back off by the byte slice below)
+    words = np.zeros((n_bits + 63) // 64, dtype=np.uint64)
+    if len(pdf):
+        words[pdf["w"].to_numpy(dtype=np.int64)] = \
+            pdf["word"].to_numpy(dtype=np.int64).view(np.uint64)
+    n_pos = int(pdf["cnt"].sum()) if len(pdf) else 0
     # every gram contributes exactly k position rows (duplicates kept)
     return {"bits": words.astype("<u8").tobytes()[:n_bits // 8],
             "n_bits": n_bits, "k": k, "n": n, "n_grams": n_pos // k}

@@ -167,9 +167,10 @@ def temperature_resample(docs: DataFrame, tau: float = 0.5,
     arithmetic on exact integers, so any engine reproduces the same
     keep decisions bit-for-bit. At tau=0.5 the power is computed as
     SQRT — IEEE-correctly-rounded everywhere, making even the
-    exponentiation itself engine-exact (the gate pins this path);
-    other tau values rely on the 1e-9 rounding to absorb pow() ulp
-    differences.
+    exponentiation itself engine-exact (the ``temperature`` section of
+    the ``sampling_quantize_suite`` gate pins this path against a
+    DuckDB twin that mirrors the evaluation order below); other tau
+    values rely on the 1e-9 rounding to absorb pow() ulp differences.
 
     Scale: one tiny per-group count aggregate (groups = dozens)
     broadcast back onto a map-only corpus scan — identical shape to
@@ -209,25 +210,36 @@ def budget_select(docs: DataFrame, budget_tokens: int,
     quality scores into an actual training set: take documents in
     (score DESC, id) order while the running token total fits
     ``budget_tokens``. Returns
-    (doc_id, score, n_tokens, cum_tokens, selected) for EVERY doc,
-    selected = cum_tokens <= budget (prefix-truncation selection: the
-    first doc that overflows the budget ends the take — the standard
-    data-mixing form; knapsack-style backfilling is deliberately NOT
-    done, it destroys the score ordering's meaning).
+    (doc_id, score, n_tokens, cum_tokens, selected) for every doc WITH
+    a non-NULL score (NULL scores are dropped — they cannot be placed
+    in the score order; filter or impute upstream if they must
+    participate), selected = cum_tokens <= budget (prefix-truncation
+    selection: the first doc that overflows the budget ends the take —
+    the standard data-mixing form; knapsack-style backfilling is
+    deliberately NOT done, it destroys the score ordering's meaning).
 
     Scale design: a naive ``SUM() OVER (ORDER BY score)`` window is a
     SINGLE partition — the whole corpus through one task. This is the
     same two-phase distributed prefix sum as packing.packed_offsets,
-    but over a VALUE ordering instead of an id ordering: exact
-    percentile boundaries carve the score axis into ``n_blocks``
-    score-disjoint blocks (all ties share a block, so block order is
-    consistent with the global (score DESC, id) order), per-block token
-    sums prefix on the driver (a blocks-sized list), and the final
-    cumulative total is an intra-block window (partitioned — parallel)
-    plus the block's base. Identical to the single-partition window at
-    any block count; two tiny driver actions (boundaries, block sums).
+    but over a VALUE ordering instead of an id ordering: APPROXIMATE
+    percentile boundaries carve the score axis into <= ``n_blocks``
+    score-disjoint blocks, per-block token sums prefix on the driver
+    (a blocks-sized list), and the final cumulative total is an
+    intra-block window (partitioned — parallel) plus the block's base.
+
+    Approximate cuts do NOT approximate the result: block assignment
+    uses strict comparisons against whatever cut values come back, so
+    ANY cut set yields score-disjoint blocks whose concatenation in
+    block order is exactly the global (score DESC, id) order (ties
+    always share a block), and the per-block sums and intra-block
+    window are exact — so ``cum_tokens`` equals the single-partition
+    window bit-for-bit regardless of cut placement or partitioning.
+    Approximation only moves block-size balance. ``approx_percentile``
+    matters at scale: exact ``percentile`` buffers every value in one
+    aggregation task — the one memory-unbounded step this operator
+    exists to avoid. Two tiny driver actions (boundaries, block sums).
     """
-    base = docs.select(
+    base = docs.filter(F.col(score_col).isNotNull()).select(
         F.col(id_col),
         F.col(score_col).cast("double").alias("score"),
         F.size(F.regexp_extract_all(
@@ -236,7 +248,8 @@ def budget_select(docs: DataFrame, budget_tokens: int,
 
     qs = ", ".join(str(i / n_blocks) for i in range(1, n_blocks))
     bounds = base.agg(
-        F.expr(f"percentile(score, array({qs}))").alias("bs")).first()["bs"]
+        F.expr(f"approx_percentile(score, array({qs}), 10000)")
+        .alias("bs")).first()["bs"]
     cuts = sorted({float(b) for b in (bounds or [])})
     # block = number of boundaries strictly above the score: monotone
     # DECREASING in score (top scores -> block 0), equal scores share a
