@@ -64,3 +64,52 @@ def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
             .withColumn("rrf_score", score)
             .withColumn("fused_rank",
                         F.row_number().over(wf).cast("long")))
+
+
+def hybrid_search(docs: DataFrame, emb: DataFrame, query_terms: tuple,
+                  query_vec_id: int, k: int = 10, k0: int = 60,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  vec_id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """End-to-end hybrid retrieval: BM25 lexical top-k + dense cosine
+    top-k (query-by-example: the vector of ``query_vec_id``), fused by
+    ``rrf_fuse``. Returns the fused table
+    (doc_id, rank_0 [lexical], rank_1 [dense], rrf_score, fused_rank)
+    ordered by fused_rank — the serving-side read over a curated corpus.
+
+    Doc identity: the dense side's ``vec_id_col`` is the document id
+    (per-document embeddings, the layout of the embeddings table); the
+    query-example row itself is excluded from both candidate lists so
+    the query never outranks its own results.
+
+    100 TB shape: the lexical candidates come from corpus-scale BM25
+    (functions/text.py — map-filtered token stream, broadcast df
+    relation) cut to k via orderBy+limit, which Spark plans as a
+    distributed TakeOrderedAndProject (each partition surfaces its k
+    best, the driver merges k — no global sort, no single-partition
+    window). The dense side is exact brute-force cosine here
+    (operators/similarity.py — broadcast 1-row query, corpus never
+    shuffles); swap in ``ivf_topk`` behind the same (id, score) shape
+    when the cell index is built. Fusion then runs on two k-row lists —
+    the global rrf windows are k-bounded, not corpus-bounded.
+    """
+    from lightning_metastore_spark.functions.text import bm25_scores
+    from lightning_metastore_spark.operators.similarity import (
+        brute_force_topk)
+
+    lex = bm25_scores(docs, tuple(query_terms), text_col=text_col,
+                      id_col=id_col)
+    lex_topk = (lex.filter((F.col("score") > 0)
+                           & (F.col(id_col) != F.lit(int(query_vec_id))))
+                .orderBy(F.desc("score"), F.col(id_col))
+                .limit(int(k))
+                .select(F.col(id_col).alias("doc_id"), "score"))
+    dense = brute_force_topk(
+        emb, emb.filter(F.col(vec_id_col) == F.lit(int(query_vec_id))),
+        k=int(k), id_col=vec_id_col, vec_col=vec_col,
+        query_id_col=vec_id_col)
+    dense_topk = dense.select(F.col("neighbor_id").alias("doc_id"),
+                              F.col("cosine").alias("score"))
+    return (rrf_fuse([lex_topk, dense_topk], id_col="doc_id",
+                     score_col="score", k0=k0)
+            .orderBy("fused_rank"))

@@ -1316,6 +1316,12 @@ class RunPipeline(Command):
                 retrieval.rrf_fuse([df, other], query_col=query_col,
                                    k0=k0),
                 {"other": "TABLE", "query_col": str, "k0": int}),
+            "hybrid_search": (
+                lambda df, emb, query_terms, query_vec_id, k=10, k0=60:
+                retrieval.hybrid_search(df, emb, query_terms,
+                                        query_vec_id, k=k, k0=k0),
+                {"emb": "TABLE", "query_terms": _csv,
+                 "query_vec_id": int, "k": int, "k0": int}),
             "mixture_resample": (
                 lambda df, weights, target_frac=0.6, group_col="lang":
                 sampling.mixture_resample(

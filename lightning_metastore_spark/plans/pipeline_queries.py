@@ -3273,6 +3273,88 @@ ORDER BY vec_id
 """
 
 
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed (tau=0.5) language-mixture resampling
+    (operators/sampling.py::temperature_resample): the weight vector is
+    DERIVED from corpus counts via the integer-frozen sqrt path, so the
+    keep decisions are engine-exact — the DuckDB twin re-derives the
+    same smoothed weights with the same fixed evaluation order."""
+    from lightning_metastore_spark.operators.sampling import (
+        temperature_resample)
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (temperature_resample(t["documents"], tau=0.5, target_frac=0.6)
+            .orderBy("doc_id"))
+
+
+TEMPERATURE_MIXTURE_ORACLE = r"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY 1
+), weights AS (
+  SELECT lang, n_g,
+         CAST(round(sqrt(CAST(n_g AS DOUBLE)) * 1e9) AS BIGINT) AS s_g
+  FROM counts
+), tot AS (
+  SELECT SUM(s_g) AS s_total, SUM(n_g) AS n_total FROM weights
+), rated AS (
+  SELECT d.doc_id, d.lang,
+         LEAST(CAST(1.0 AS DOUBLE),
+               CAST(0.6 AS DOUBLE)
+               * (CAST(s_g AS DOUBLE) / CAST(s_total AS DOUBLE))
+               * CAST(n_total AS DOUBLE) / CAST(n_g AS DOUBLE)) AS rate
+  FROM documents d JOIN weights USING (lang) CROSS JOIN tot
+)
+SELECT doc_id, lang, ROUND(rate, 6) AS keep_rate,
+       CASE WHEN rate >= 1.0 THEN TRUE
+            ELSE substring(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < lpad(lower(to_hex(CAST(floor(rate * 4294967296.0)
+                                          AS BIGINT))), 8, '0') END AS kept
+FROM rated ORDER BY doc_id
+"""
+
+
+def budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget prefix selection (operators/sampling.py::
+    budget_select): docs taken in (score DESC, id) order until the
+    running token total exceeds the budget. The score is an md5-derived
+    integer-valued uniform so both engines order identically; the twin
+    is the SINGLE-PARTITION window the operator's blocked prefix sum
+    must equal bit-for-bit at any block count or partitioning."""
+    from lightning_metastore_spark.operators.sampling import budget_select
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    scored = t["documents"].withColumn(
+        "score_u",
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("bsel:"), F.col("doc_id").cast("string"))),
+            1, 8), 16, 10).cast("double"))
+    return (budget_select(scored, budget_tokens=25000, score_col="score_u",
+                          n_blocks=7)
+            .orderBy("doc_id"))
+
+
+BUDGET_SELECTION_ORACLE = (r"""
+WITH scored AS (
+  SELECT doc_id, CAST({HEX8} AS DOUBLE) AS score,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '(\S+)', 1))
+              AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, text,
+               md5('bsel:' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents)
+), cum AS (
+  SELECT doc_id, score, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           ORDER BY score DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, score, n_tokens, cum_tokens,
+       cum_tokens <= 25000 AS selected
+FROM cum ORDER BY doc_id
+""").replace("{HEX8}", _hexint_sql("h", 8))
+
+
 def sampling_quantize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling, exact-n stratified sampling, int8
     embedding quantization, JL random projection, SemDeDup-style
@@ -3295,6 +3377,10 @@ def sampling_quantize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
               ["n_chars", "pct_rank"], ("lang",)),
         _melt(embedding_outliers(spark, sf_dir), "outliers", "vec_id",
               ["norm", "rz", "is_outlier"]),
+        _melt(temperature_mixture(spark, sf_dir), "temperature", "doc_id",
+              ["keep_rate", "kept"], ("lang",)),
+        _melt(budget_selection(spark, sf_dir), "budget", "doc_id",
+              ["score", "n_tokens", "cum_tokens", "selected"]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3327,6 +3413,12 @@ SAMPLING_QUANTIZE_SUITE_ORACLE = (
     + " UNION ALL "
     + _melt_sql(EMBEDDING_OUTLIERS_ORACLE, "outliers", "vec_id",
                 ["norm", "rz", "is_outlier"])
+    + " UNION ALL "
+    + _melt_sql(TEMPERATURE_MIXTURE_ORACLE, "temperature", "doc_id",
+                ["keep_rate", "kept"], ("lang",))
+    + " UNION ALL "
+    + _melt_sql(BUDGET_SELECTION_ORACLE, "budget", "doc_id",
+                ["score", "n_tokens", "cum_tokens", "selected"])
     + ") ORDER BY section, row_key, metric"
 )
 
@@ -3515,5 +3607,7 @@ SUITE_SECTIONS: dict = {
         "weighted": weighted_sample,
         "qnorm": quantile_normalize_gate,
         "outliers": embedding_outliers,
+        "temperature": temperature_mixture,
+        "budget": budget_selection,
     },
 }

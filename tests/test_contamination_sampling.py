@@ -242,3 +242,131 @@ def test_bloom_build_exact_at_8mb_filter(spark):
     assert bloom["n_grams"] == len(grams)
     assert len(bloom["bits"]) == n_bits // 8
     assert np.array_equal(got, want)
+
+
+def test_bloom_build_supports_non_word_aligned_n_bits(spark):
+    """Any multiple-of-8 n_bits is legal (the ceil-sized word array +
+    byte truncation): n_bits=1032 must build, size to 129 bytes, and
+    probe without IndexError."""
+    from lightning_metastore_spark.operators.contamination import (
+        bloom_contamination, build_ngram_bloom)
+
+    docs, bench = _bloom_fixture(spark)
+    bloom = build_ngram_bloom(bench, n=3, n_bits=1032, k=2)
+    assert len(bloom["bits"]) == 129 and bloom["n_grams"] == 9
+    out = bloom_contamination(docs, bloom).collect()
+    assert len(out) == docs.count()
+    flagged = {r.doc_id for r in out if r.is_contaminated}
+    assert {100, 101} <= flagged   # no false negatives, any n_bits
+
+
+# --- temperature resampling + token-budget selection -----------------------
+
+def test_temperature_resample_tau1_is_natural(spark):
+    """tau=1 keeps natural proportions: every group's rate is exactly
+    target_frac (share_g * N / n_g == 1), so keep_rate == target_frac
+    everywhere after the 6dp round."""
+    from lightning_metastore_spark.operators.sampling import (
+        temperature_resample)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = temperature_resample(docs, tau=1.0, target_frac=0.6).collect()
+    assert len(rows) == docs.count()
+    assert all(r.keep_rate == 0.6 for r in rows)
+
+
+def test_temperature_resample_tau05_matches_python_twin(spark):
+    """tau=0.5 replays the integer-frozen sqrt path bit-for-bit in pure
+    Python (hashlib md5, same fixed IEEE evaluation order) — the same
+    determinism contract the sampling_quantize_suite 'temperature' gate
+    pins against DuckDB."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from lightning_metastore_spark.operators.sampling import (
+        temperature_resample)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    n = Counter(langs.values())
+    s = {g: int(round(math.sqrt(ng) * 1e9)) for g, ng in n.items()}
+    s_total, n_total = sum(s.values()), sum(n.values())
+    rate = {g: min(1.0, 0.6 * (s[g] / s_total) * n_total / n[g]) for g in n}
+
+    def kept(doc_id, g):
+        r = rate[g]
+        if r >= 1.0:
+            return True
+        thr = format(math.floor(r * 4294967296.0), "08x")
+        return hashlib.md5(f"temp:{doc_id}".encode()).hexdigest()[:8] < thr
+
+    out = temperature_resample(docs, tau=0.5, target_frac=0.6).collect()
+    assert len(out) == len(langs)
+    for r in out:
+        g = langs[r.doc_id]
+        assert r.keep_rate == round(rate[g], 6), (r.doc_id, g)
+        assert bool(r.kept) == kept(r.doc_id, g), (r.doc_id, g)
+
+
+def test_temperature_resample_flattens_toward_tail(spark):
+    """Smoothing up-weights minority groups: the tail group's keep rate
+    strictly exceeds the head group's at tau=0.5, and tau=0 gives both
+    groups equal target shares (uniform)."""
+    from lightning_metastore_spark.operators.sampling import (
+        temperature_resample)
+
+    rows = [(i, "en") for i in range(90)] + [(1000 + i, "fr")
+                                             for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    by_lang = {}
+    for r in temperature_resample(docs, tau=0.5, target_frac=0.5).collect():
+        by_lang[r.lang] = r.keep_rate
+    assert by_lang["fr"] > by_lang["en"]
+    # tau -> 0: uniform shares; fr (10 docs) gets 0.5 * 0.5 * 100 / 10,
+    # capped at 1.0
+    caps = {r.lang: r.keep_rate for r in
+            temperature_resample(docs, tau=0.0, target_frac=0.5).collect()}
+    assert caps["fr"] == 1.0
+
+
+def test_budget_select_equals_single_window_twin(spark):
+    """The blocked prefix sum equals the naive single-partition window
+    bit-for-bit: same cum_tokens and selection at any block count and
+    any input partitioning (approx cuts only move block balance)."""
+    from lightning_metastore_spark.operators.sampling import budget_select
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = {r.doc_id: (r.text or "", int(r.n_chars)) for r in docs.collect()}
+    order = sorted(texts, key=lambda d: (-texts[d][1], d))
+    want, cum = {}, 0
+    for d in order:
+        nt = len(texts[d][0].split())
+        cum += nt
+        want[d] = (nt, cum, cum <= 25000)
+
+    outs = [budget_select(df, budget_tokens=25000, score_col="n_chars",
+                          n_blocks=nb).collect()
+            for df, nb in ((docs, 2), (docs.repartition(13), 5),
+                           (docs.repartition(1), 64))]
+    for rows in outs:
+        assert len(rows) == len(texts)
+        for r in rows:
+            nt, cm, sel = want[r.doc_id]
+            assert (r.n_tokens, r.cum_tokens, bool(r.selected)) == \
+                (nt, cm, sel), r.doc_id
+
+
+def test_budget_select_null_scores_dropped(spark):
+    """NULL scores cannot be placed in the score order — the documented
+    contract drops them; non-null rows are unaffected."""
+    from lightning_metastore_spark.operators.sampling import budget_select
+
+    docs = spark.createDataFrame(
+        [(1, 5.0, "a b c"), (2, None, "d e"), (3, 1.0, "f")],
+        "doc_id long, q double, text string")
+    rows = {r.doc_id: r for r in
+            budget_select(docs, budget_tokens=3, score_col="q").collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1].cum_tokens == 3 and bool(rows[1].selected)
+    assert rows[3].cum_tokens == 4 and not bool(rows[3].selected)

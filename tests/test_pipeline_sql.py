@@ -23,6 +23,7 @@ from tests.conftest import SF_DIR  # noqa: E402
 NS = "lightning.datasource.file.pipe"
 DOCS, EVENTS, EMB, EDGES = (f"{NS}.docs", f"{NS}.events",
                             f"{NS}.emb", f"{NS}.edges")
+RANKA, RANKB = f"{NS}.ranka", f"{NS}.rankb"
 
 
 @pytest.fixture(scope="module")
@@ -45,6 +46,15 @@ def env(spark, tmp_path_factory):
         "id AS src", "(id + 1) % 30 AS dst").union(
         spark.range(30).selectExpr("id AS src", "(id + 2) % 30 AS dst"))
     edges.write.parquet(str(ds / "edges"))
+    # two overlapping candidate lists for the fusion ops
+    ranka = spark.createDataFrame(
+        [(i, float((i * 37) % 11)) for i in range(20)],
+        "doc_id long, score double")
+    rankb = spark.createDataFrame(
+        [(i, float((i * 17) % 7)) for i in range(5, 25)],
+        "doc_id long, score double")
+    ranka.write.parquet(str(ds / "ranka"))
+    rankb.write.parquet(str(ds / "rankb"))
 
     ctx = LightningContext(spark, warehouse=str(root / "model"))
     ctx.sql("CREATE NAMESPACE lightning.datasource.file")
@@ -61,6 +71,8 @@ def env(spark, tmp_path_factory):
     e.events = spark.read.parquet(str(ds / "events"))
     e.emb = spark.read.parquet(str(ds / "emb"))
     e.edges = spark.read.parquet(str(ds / "edges"))
+    e.ranka = spark.read.parquet(str(ds / "ranka"))
+    e.rankb = spark.read.parquet(str(ds / "rankb"))
     return e
 
 
@@ -72,8 +84,8 @@ def _rows(df):
 def _cases():
     from lightning_metastore_spark.functions import text as tf
     from lightning_metastore_spark.operators import (
-        chunking, cleaning, dedup, graph, packing, quantization, sampling,
-        skyline, temporal)
+        chunking, cleaning, dedup, graph, packing, quantization, retrieval,
+        sampling, skyline, temporal)
     from lightning_metastore_spark.operators.heavy_hitters import (
         heavy_hitters)
 
@@ -216,6 +228,24 @@ def _cases():
         ("norm_outliers",
          f"norm_outliers ON {EMB} OPTIONS(k '2.0', exact 'true')",
          lambda e: quantization.norm_outliers(e.emb, k=2.0, exact=True)),
+        ("temperature_resample",
+         f"temperature_resample ON {DOCS} "
+         "OPTIONS(tau '0.5', target_frac '0.5', group_col 'lang')",
+         lambda e: sampling.temperature_resample(e.docs, tau=0.5,
+                                                 target_frac=0.5)),
+        ("budget_select",
+         f"budget_select ON {DOCS} "
+         "OPTIONS(budget_tokens '1500', score_col 'n_chars')",
+         lambda e: sampling.budget_select(e.docs, 1500,
+                                          score_col="n_chars")),
+        ("rrf_fuse",
+         f"rrf_fuse ON {RANKA} OPTIONS(other '{RANKB}', k0 '60')",
+         lambda e: retrieval.rrf_fuse([e.ranka, e.rankb], k0=60)),
+        ("hybrid_search",
+         f"hybrid_search ON {DOCS} OPTIONS(emb '{EMB}', "
+         "query_terms 'spark,merge', query_vec_id '3', k '5')",
+         lambda e: retrieval.hybrid_search(e.docs, e.emb,
+                                           ("spark", "merge"), 3, k=5)),
     ]
 
 
