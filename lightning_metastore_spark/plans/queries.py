@@ -132,9 +132,15 @@ ORDER BY l_returnflag, l_linestatus
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> fact join -> top-k.
 
-    customer is ~1/40 of lineitem rows: broadcast it so the fact side
-    never shuffles for that join. Top-k via orderBy+limit (Spark plans
-    TakeOrderedAndProject — no full sort materialization).
+    Broadcast policy: customer SCALES WITH THE FACTS (~1/40 of
+    lineitem rows — ~2.5 TB at the 100 TB target, far past Spark's
+    8 GB / 512M-row BroadcastExchange hard limit), so it carries NO
+    broadcast hint: AQE's size check decides — it still broadcasts at
+    gate/bench scale and falls back to a shuffled join at scale
+    instead of failing the job. Only fixed-cardinality dims
+    (region=5, nation=25 rows) get explicit hints in this module.
+    Top-k via orderBy+limit (Spark plans TakeOrderedAndProject — no
+    full sort materialization).
     """
     t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
     cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
@@ -143,7 +149,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum(_REV_SPARK()) / 10000.0).alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -170,9 +176,14 @@ def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table snowflake join + group (the reference's
     'revenue query', lightning-commands.md:112-128).
 
-    region/nation/supplier/customer are tiny dims — all broadcast; the
-    only shuffle is lineitem<->orders (fact-fact) plus the final
-    25-group agg. This is the plan shape that survives 100 TB.
+    Broadcast policy: region (5 rows) and nation (25 rows) are FIXED
+    cardinality at any scale factor — explicit hints. supplier and
+    customer scale with the facts (sf x 10k / sf x 150k rows; TBs at
+    the 100 TB target, past the 8 GB BroadcastExchange hard limit),
+    so their joins carry NO hint — AQE's size check still broadcasts
+    them at gate/bench scale and degrades to shuffled joins at scale
+    instead of dying. The unavoidable shuffle is lineitem<->orders
+    (fact-fact) plus the final 25-group agg.
     """
     t = load_tables(spark, sf_dir,
                     ("region", "nation", "customer", "supplier", "orders", "lineitem"))
@@ -188,8 +199,8 @@ def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"]
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), (orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey)
               & (cust.c_nationkey == supp.s_nationkey))
     )
     return (
@@ -900,9 +911,11 @@ ORDER BY o_orderpriority
 
 
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape: nation-pair trade volume by year. Both nation
-    dims broadcast; the supplier and customer lookups stay broadcast
-    joins on the fact rows."""
+    """TPC-H Q7 shape: nation-pair trade volume by year. The two
+    nation dims (fixed 25 rows) broadcast explicitly; supplier and
+    customer scale with the facts, so their joins carry no hint — AQE
+    decides (broadcast at small sf, shuffled join past the 8 GB
+    BroadcastExchange limit; see q3's policy note)."""
     t = load_tables(spark, sf_dir,
                     ("nation", "customer", "supplier", "orders", "lineitem"))
     n1 = t["nation"].select(F.col("n_nationkey").alias("s_nk"),
@@ -911,8 +924,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("n_name").alias("cust_nation"))
     pair = (t["lineitem"]
             .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-            .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+            .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
             .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
             .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
             .filter(((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
@@ -942,11 +955,13 @@ ORDER BY supp_nation, cust_nation, l_year
 
 
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    nation (fixed 25 rows) broadcasts explicitly; customer scales with
+    the facts — no hint, AQE decides (see q3's policy note)."""
     t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
     li = t["lineitem"].filter(F.col("l_returnflag") == "R")
     return (li.join(t["orders"], li.l_orderkey == t["orders"].o_orderkey)
-            .join(F.broadcast(t["customer"]),
+            .join(t["customer"],
                   F.col("o_custkey") == F.col("c_custkey"))
             .join(F.broadcast(t["nation"]),
                   F.col("c_nationkey") == F.col("n_nationkey"))

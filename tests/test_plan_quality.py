@@ -13,6 +13,7 @@ from lightning_metastore_spark.plans.queries import (  # noqa: E402
     q1_pricing_summary,
     q3_shipping_priority,
     q5_local_supplier_revenue,
+    q7_volume_shipping,
     q10_returned_items,
 )
 
@@ -23,6 +24,14 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _hint_lines(df) -> list[str]:
+    """Join-hint lines surviving into the optimized logical plan —
+    each is a forced strategy that OVERRIDES AQE's size check."""
+    return [ln.strip() for ln in
+            df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+            if "Hint=(strategy=broadcast" in ln]
+
+
 def test_q1_filter_pushdown_and_partial_agg(spark):
     plan = _plan(q1_pricing_summary(spark, SF_DIR))
     assert "PushedFilters" in plan and "l_shipdate" in plan
@@ -31,18 +40,44 @@ def test_q1_filter_pushdown_and_partial_agg(spark):
     assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
 
 
-def test_q3_broadcasts_dim_and_topk(spark):
-    plan = _plan(q3_shipping_priority(spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan
+def test_q3_aqe_decides_customer_join_and_topk(spark):
+    """Broadcast policy: customer scales with the facts (2.5 TB at the
+    100 TB target — past the 8 GB BroadcastExchange hard limit), so q3
+    must NOT force-broadcast it: zero hints survive to the optimized
+    plan, and AQE's size check (not a pin) picks broadcast at this
+    scale. A forced hint here is a job-killing regression at scale."""
+    df = q3_shipping_priority(spark, SF_DIR)
+    assert _hint_lines(df) == []           # nothing forced
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan     # size-based choice at gate sf
     assert "EqualTo(c_mktsegment,BUILDING)" in plan  # pushed to scan
     assert "TakeOrderedAndProject" in plan  # top-k, no global sort
 
 
-def test_q5_all_dims_broadcast(spark):
-    plan = _plan(q5_local_supplier_revenue(spark, SF_DIR))
-    # snowflake dims resolve to broadcast joins; no SortMergeJoin needed
-    assert plan.count("BroadcastHashJoin") >= 3
+def test_q5_hints_only_on_fixed_dims(spark):
+    """Only the fixed-cardinality dims (region=5, nation=25 rows) may
+    carry explicit broadcast hints; supplier/customer joins must be
+    AQE-decided (they still broadcast at this scale by size)."""
+    df = q5_local_supplier_revenue(spark, SF_DIR)
+    hints = _hint_lines(df)
+    assert len(hints) == 2
+    assert any("r_regionkey" in h for h in hints)   # region into nation
+    assert any("n_nationkey" in h for h in hints)   # nation into supplier
+    assert not any("c_custkey" in h or "s_suppkey" in h for h in hints)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3     # size-based at gate sf
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q7_q10_no_forced_fact_proportional_broadcasts(spark):
+    """q7: hints only on the two 25-row nation dims; q10: only on
+    nation. customer/supplier joins are AQE-decided everywhere."""
+    q7 = q7_volume_shipping(spark, SF_DIR)
+    h7 = _hint_lines(q7)
+    assert len(h7) == 2 and all("s_nk" in h or "c_nk" in h for h in h7)
+    q10 = q10_returned_items(spark, SF_DIR)
+    h10 = _hint_lines(q10)
+    assert len(h10) == 1 and "n_nationkey" in h10[0]
 
 
 def test_q10_returnflag_pushdown(spark):
