@@ -1,6 +1,10 @@
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. The FINAL
+stdout line is a compact JSON headline {"metric", "value" (total sec),
+"unit", "sf", "runs", "queries" (first-run sec per query),
+"catalog_overhead" ratio} sized to survive the driver's tail window;
+the full detail (queries_min, suite_sections, overhead run lists) is
+written to BENCH_DETAIL.json next to this file.
 
 Each query is timed to full materialization (collect). Session startup is
 excluded — the metric is query execution, matching how the reference (a
@@ -173,7 +177,14 @@ def main() -> None:
     except Exception:
         pass
 
-    out = {
+    # Two-tier output (r10 verdict protocol note): the driver keeps only
+    # the LAST 2000 chars of stdout, so the FINAL line is a compact
+    # headline (total + per-query first-run timings + overhead ratio,
+    # minified — ~1.5k chars at the 50-entry registry) that parses
+    # whole, while the full round-over-round detail (queries_min,
+    # suite_sections, overhead run lists) goes to BENCH_DETAIL.json in
+    # the repo root for the judge to read.
+    detail = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
@@ -184,8 +195,27 @@ def main() -> None:
         "sf": sf,
     }
     if overhead:
-        out["catalog_overhead"] = overhead
-    print(json.dumps(out))
+        detail["catalog_overhead"] = overhead
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    compact = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "runs": n_runs,
+        "queries": timings,
+        "detail": "BENCH_DETAIL.json",
+    }
+    if overhead:
+        compact["catalog_overhead"] = {
+            "ratio": overhead["ratio"],
+            "routed": overhead["catalog_routed_sec"],
+            "direct": overhead["direct_spark_sec"]}
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
