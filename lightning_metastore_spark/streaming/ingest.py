@@ -11,7 +11,11 @@ as parquet under ``index_dir``:
     index_dir/signatures/batch=<id>/  (doc_id, mh_0..mh_63)
     index_dir/spans/batch=<id>/       (gh, occ) — 5-token-window index
 
-Each micro-batch is deduped in three steps, all DataFrame programs:
+Each micro-batch is admitted through up to five steps, all DataFrame
+programs:
+  0. (opt-in) benchmark decontamination against a STATIC Bloom
+     artifact (map-only vectorized bitmap probe — eval-set text never
+     enters the corpus; zero false negatives),
   1. exact intra-batch dedup (normalized-text hash, keep min id),
   2. near-dup intra-batch dedup (MinHash LSH pairs -> connected
      components -> keep min id per cluster — proper clustering, so a
@@ -95,7 +99,9 @@ def dedup_batch_against_index(spark: SparkSession, batch: DataFrame,
                               id_col: str = "doc_id",
                               text_col: str = "text",
                               exclude_batch=None,
-                              max_span_frac: float | None = None) -> DataFrame:
+                              max_span_frac: float | None = None,
+                              bloom_path: str | None = None,
+                              bloom_threshold: float = 0.5) -> DataFrame:
     """The per-batch admission decision (pure batch DataFrame program —
     also the test twin of the streaming sink): returns the NOVEL subset
     of ``batch`` after exact intra-batch, near-dup intra-batch,
@@ -115,7 +121,33 @@ def dedup_batch_against_index(spark: SparkSession, batch: DataFrame,
     reproduce the original decision exactly. The span index applies
     the STRONGER strictly-before-me visibility rule (``_before_batch``)
     because span fractions are frequency-like, not an equivalence-like
-    relation — see _before_batch's docstring."""
+    relation — see _before_batch's docstring.
+
+    ``bloom_path`` (opt-in): reject docs whose word-n-gram overlap with
+    a saved benchmark Bloom artifact (operators/contamination.py —
+    ``build_ngram_bloom`` + ``save_ngram_bloom``) reaches
+    ``bloom_threshold`` — decontamination AT ingestion, so eval-set
+    text never enters the corpus in the first place. Unlike the other
+    three rejectors the artifact is STATIC (it does not grow with the
+    corpus), so the decision is a pure function of the doc text and
+    needs no batch-visibility rule: replays are trivially stable. Zero
+    false negatives by construction (a truly contaminated doc can
+    never be admitted); over-rejection is bounded by the filter's FP
+    rate."""
+    # 0. benchmark decontamination: a map-only vectorized bitmap probe
+    # — the cheapest rejector runs FIRST so the heavier LSH/CC steps
+    # see a smaller batch
+    if bloom_path is not None:
+        from lightning_metastore_spark.operators.contamination import (
+            bloom_contamination, load_ngram_bloom)
+
+        bloom = load_ngram_bloom(spark, bloom_path)
+        flags = bloom_contamination(batch, bloom,
+                                    flag_threshold=bloom_threshold,
+                                    text_col=text_col, id_col=id_col)
+        batch = batch.join(
+            flags.filter(~F.col("is_contaminated")).select(id_col), id_col)
+
     # 1. exact intra-batch: keep the smallest id per normalized text
     exact = dedup.exact_dedup(batch, text_col, id_col)
     b = batch.join(exact.select(id_col), id_col)
@@ -193,7 +225,9 @@ def ingest_micro_batch(spark: SparkSession, batch_df: DataFrame,
                        batch_id: int, index_dir: str, out_dir: str,
                        threshold: float = 0.5, id_col: str = "doc_id",
                        text_col: str = "text",
-                       max_span_frac: float | None = None) -> None:
+                       max_span_frac: float | None = None,
+                       bloom_path: str | None = None,
+                       bloom_threshold: float = 0.5) -> None:
     """The sink's per-batch body (module-level so tests can drive the
     REAL production path with explicit batch ids and replay order):
     admit the batch against the index excluding its own partition,
@@ -208,7 +242,8 @@ def ingest_micro_batch(spark: SparkSession, batch_df: DataFrame,
     decisions exactly (test_ingest pins this)."""
     novel = dedup_batch_against_index(
         spark, batch_df, index_dir, threshold, id_col, text_col,
-        exclude_batch=batch_id, max_span_frac=max_span_frac)
+        exclude_batch=batch_id, max_span_frac=max_span_frac,
+        bloom_path=bloom_path, bloom_threshold=bloom_threshold)
     # cut the triple-branch plan once: novel feeds docs-out AND every
     # artifact write; each write would otherwise recompute the
     # whole dedup pipeline (4x the batch cost)
@@ -229,7 +264,9 @@ def start_dedup_ingest_sink(stream_docs: DataFrame, index_dir: str,
                             threshold: float = 0.5,
                             id_col: str = "doc_id",
                             text_col: str = "text",
-                            max_span_frac: float | None = None):
+                            max_span_frac: float | None = None,
+                            bloom_path: str | None = None,
+                            bloom_threshold: float = 0.5):
     """Start the ingestion sink over a streaming docs DataFrame.
     Returns the StreamingQuery handle; the caller owns stop().
 
@@ -237,12 +274,15 @@ def start_dedup_ingest_sink(stream_docs: DataFrame, index_dir: str,
     index read requires at least the bootstrap batch).
     ``max_span_frac`` (optional) additionally rejects docs whose
     k-token windows are more than that fraction already-indexed — the
-    exact-substring recycling rejector."""
+    exact-substring recycling rejector. ``bloom_path`` (optional)
+    rejects benchmark-contaminated docs against a saved Bloom artifact
+    — the fourth, static rejector (see dedup_batch_against_index)."""
     spark = stream_docs.sparkSession
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         ingest_micro_batch(spark, batch_df, batch_id, index_dir, out_dir,
-                           threshold, id_col, text_col, max_span_frac)
+                           threshold, id_col, text_col, max_span_frac,
+                           bloom_path, bloom_threshold)
 
     return (stream_docs.writeStream
             .foreachBatch(_ingest)

@@ -276,3 +276,69 @@ def test_span_rejector_catches_stitched_doc_across_restart(spark, tmp_path):
     after = ingest.dedup_batch_against_index(
         spark, probe2, idx, max_span_frac=0.5).count()
     assert before == after == 0
+
+
+def test_bloom_rejector_decontaminates_at_ingest(spark, tmp_path):
+    """The fourth, STATIC rejector: a doc carrying benchmark text is
+    rejected by the Bloom artifact even though it is novel to the
+    corpus index (no near-dup, no recycled spans); clean docs pass.
+    Streaming restart and an at-least-once replay reproduce the same
+    decisions (the artifact never changes, so replays are trivially
+    stable)."""
+    from lightning_metastore_spark.operators.contamination import (
+        build_ngram_bloom, save_ngram_bloom)
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    ingest.build_dedup_index(_mkdocs(spark, [(1, BASE)]), idx)
+
+    bench_text = ("held out benchmark question about the capital of "
+                  "france answered in one sentence exactly")
+    bloom_path = str(tmp_path / "bloom")
+    save_ngram_bloom(
+        spark,
+        build_ngram_bloom(_mkdocs(spark, [(900, bench_text)]), n=3,
+                          n_bits=1 << 16, k=4),
+        bloom_path)
+    contaminated = "a new crawl page repeating " + bench_text
+
+    # premise: WITHOUT the bloom option the contaminated doc is novel
+    # (admitted); WITH it, rejected
+    probe = _mkdocs(spark, [(50, contaminated)])
+    assert ingest.dedup_batch_against_index(spark, probe, idx).count() == 1
+    assert ingest.dedup_batch_against_index(
+        spark, probe, idx, bloom_path=bloom_path).count() == 0
+
+    def drain():
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = ingest.start_dedup_ingest_sink(stream, idx, out, ckpt,
+                                           bloom_path=bloom_path)
+        q.processAllAvailable()
+        q.stop()
+
+    _write_file(src + "/f1.parquet", [(10, OTHER), (11, contaminated)])
+    now = time.time()
+    os.utime(src + "/f1.parquet", (now - 20, now - 20))
+    drain()     # batch 0: admits only the clean doc
+
+    _write_file(src + "/f2.parquet", [(20, contaminated), (21, THIRD)])
+    os.utime(src + "/f2.parquet", (now - 10, now - 10))
+    drain()     # RESTART from checkpoint; bloom still rejects
+    admitted = sorted(r.doc_id for r in
+                      spark.read.parquet(out).select("doc_id").collect())
+    assert admitted == [10, 21], admitted
+
+    # at-least-once replay of batch 1: decisions reproduce exactly
+    ingest.ingest_micro_batch(
+        spark, _mkdocs(spark, [(20, contaminated), (21, THIRD)]), 1,
+        idx, out, bloom_path=bloom_path)
+    assert sorted(r.doc_id for r in spark.read.parquet(out)
+                  .select("doc_id").collect()) == [10, 21]
+
+    # the rejector composes with the others: an exact dup of an
+    # admitted doc AND a contaminated doc in one batch -> both rejected
+    both = _mkdocs(spark, [(30, OTHER), (31, contaminated)])
+    assert ingest.dedup_batch_against_index(
+        spark, both, idx, bloom_path=bloom_path).count() == 0
