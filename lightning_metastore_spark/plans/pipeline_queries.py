@@ -3358,8 +3358,10 @@ FROM cum ORDER BY doc_id
 def sampling_quantize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling, exact-n stratified sampling, int8
     embedding quantization, JL random projection, SemDeDup-style
-    semantic dedup, weighted sampling and per-group quantile
-    normalization in one melted tagged-union slot."""
+    semantic dedup, weighted sampling, per-group quantile
+    normalization, norm-outlier screening, temperature-smoothed
+    resampling and token-budget prefix selection in one melted
+    tagged-union slot."""
     parts = [
         _melt(domain_mixture(spark, sf_dir), "mixture", "doc_id",
               ["keep_rate", "kept"], ("lang",)),
@@ -3495,7 +3497,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   SAMPLING_QUANTIZE_SUITE_ORACLE,
                   "mixture resample + stratified/weighted sample + int8 "
                   "quantize + JL projection + semantic dedup + quantile "
-                  "normalization + norm-outlier screen (melted tagged "
+                  "normalization + norm-outlier screen + temperature "
+                  "resample + token-budget selection (melted tagged "
                   "union)"),
     ]
 }

@@ -646,3 +646,89 @@ def test_span_admission_matches_bruteforce(corpus_texts, batch_texts, k):
         known = sum(1 for w in ws if w in corpus_grams)
         r = out[100 + i]
         assert (r.n_spans, r.n_known_spans) == (len(ws), known), (i, t)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 200),
+                          st.sampled_from(["en", "de", "fr", "zh"])),
+                min_size=1, max_size=24, unique_by=lambda x: x[0]),
+       st.sampled_from([0.0, 0.5, 1.0, 2.0]),
+       st.floats(0.1, 1.0))
+def test_temperature_resample_invariants(rows, tau, target_frac):
+    """Rates in [0,1]; expected kept mass sum(rate_g * n_g) never
+    exceeds target_frac * N (the cap only loses mass); at tau=1 every
+    rate equals target_frac; decisions consistent with rates."""
+    from lightning_metastore_spark.operators.sampling import (
+        temperature_resample)
+
+    spark = _spark()
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = temperature_resample(df, tau=tau, target_frac=target_frac).collect()
+    assert len(out) == len(rows)
+    n = Counter(lang for _, lang in rows)
+    mass = sum(r.keep_rate for r in out)
+    assert mass <= target_frac * len(rows) + 1e-6 * len(rows)
+    for r in out:
+        assert 0.0 <= r.keep_rate <= 1.0
+        if tau == 1.0:
+            assert abs(r.keep_rate - round(target_frac, 6)) <= 1e-6
+        if r.keep_rate == 1.0:
+            assert r.kept
+        if r.keep_rate == 0.0:
+            assert not r.kept
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 300), st.integers(-5, 5), DOC),
+                min_size=1, max_size=16, unique_by=lambda x: x[0]),
+       st.integers(1, 40), st.integers(2, 6))
+def test_budget_select_matches_single_window(rows, budget, n_blocks):
+    """Randomized twin of the scale-shape contract: cum_tokens always
+    equals the naive global (score DESC, id) cumulative sum — heavy
+    score ties included — and selection is the prefix rule."""
+    from lightning_metastore_spark.operators.sampling import budget_select
+
+    spark = _spark()
+    df = spark.createDataFrame(rows, ["doc_id", "score", "text"])
+    out = {r.doc_id: r for r in
+           budget_select(df, budget_tokens=budget, score_col="score",
+                         n_blocks=n_blocks).collect()}
+    cum = 0
+    for doc_id, _, text in sorted(rows, key=lambda t: (-t[1], t[0])):
+        cum += len(text.split())
+        r = out[doc_id]
+        assert r.cum_tokens == cum
+        assert bool(r.selected) == (cum <= budget)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.lists(st.tuples(st.integers(0, 30),
+                                   st.integers(0, 9).map(float)),
+                         min_size=1, max_size=8,
+                         unique_by=lambda x: x[0]),
+                min_size=1, max_size=3),
+       st.integers(1, 80))
+def test_rrf_fuse_matches_bruteforce(lists, k0):
+    """Randomized RRF twin: ranks, reciprocal-rank sums and the fused
+    order all match a Python model for any number of lists with
+    arbitrary overlap and score ties."""
+    from lightning_metastore_spark.operators.retrieval import rrf_fuse
+
+    spark = _spark()
+    dfs = [spark.createDataFrame(rows, "doc_id long, score double")
+           for rows in lists]
+    got = {r.doc_id: r for r in rrf_fuse(dfs, k0=k0).collect()}
+    ranks = []
+    for rows in lists:
+        order = sorted(rows, key=lambda t: (-t[1], t[0]))
+        ranks.append({d: i + 1 for i, (d, _) in enumerate(order)})
+    docs = sorted({d for rk in ranks for d in rk})
+    score = {d: round(sum(1.0 / (k0 + rk[d]) for rk in ranks if d in rk), 9)
+             for d in docs}
+    fused = sorted(docs, key=lambda d: (-score[d], d))
+    assert set(got) == set(docs)
+    for pos, d in enumerate(fused, 1):
+        assert got[d].fused_rank == pos
+        assert got[d].rrf_score == score[d]
+        for i, rk in enumerate(ranks):
+            assert got[d][f"rank_{i}"] == rk.get(d)
