@@ -366,3 +366,34 @@ def test_span_admission_broadcasts_batch_not_corpus(spark):
     # the index side is probed by a broadcast of batch hashes — the
     # index never sort-merge-joins (which would shuffle it)
     assert "SortMergeJoin" not in plan
+
+
+def test_budget_select_window_is_partitioned(spark):
+    """budget_select's cumulative window must be partitioned on the
+    block key (a single-partition ORDER BY score window would push the
+    whole corpus through one task — the exact shape the blocked prefix
+    sum exists to avoid), and the token count must be map-only."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from lightning_metastore_spark.operators.sampling import budget_select
+
+    plan = _plan(budget_select(docs, budget_tokens=10000,
+                               score_col="n_chars", n_blocks=8))
+    assert "Window" in plan
+    assert "hashpartitioning(block" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_temperature_resample_is_broadcast_only(spark):
+    """The corpus scan must stay map-only: the per-group weight table
+    and the scalar totals reach it as broadcasts — no shuffle of the
+    docs for the join, no SortMergeJoin anywhere."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from lightning_metastore_spark.operators.sampling import (
+        temperature_resample)
+
+    plan = _plan(temperature_resample(docs, tau=0.5))
+    assert plan.count("BroadcastExchange") >= 2   # weights + totals
+    assert "SortMergeJoin" not in plan
+    # the only lang-keyed exchange feeds the counts AGGREGATE and is
+    # map-side combined first (group rows shuffle, never the corpus)
+    assert "partial_count" in plan
