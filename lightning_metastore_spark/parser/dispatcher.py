@@ -1155,6 +1155,16 @@ class RunPipeline(Command):
             return cont.bloom_contamination(
                 df, bloom, flag_threshold=flag_threshold)
 
+        def ingest_admit(df, index_dir, threshold=0.5, max_span_frac=None,
+                         bloom_path=None, bloom_threshold=0.5):
+            """Admit a batch against a persisted dedup index (OPTIONS(index_dir)) — the backfill twin of the streaming ingest sink."""
+            from lightning_metastore_spark.streaming.ingest import (
+                dedup_batch_against_index)
+            return dedup_batch_against_index(
+                df.sparkSession, df, index_dir, threshold=threshold,
+                max_span_frac=max_span_frac, bloom_path=bloom_path,
+                bloom_threshold=bloom_threshold)
+
         return {
             "exact_dedup": (dedup.exact_dedup, {}),
             "near_dup_pairs": (dedup.minhash_lsh_pairs,
@@ -1223,6 +1233,11 @@ class RunPipeline(Command):
             "bloom_decontaminate": (bloom_decontaminate,
                                     {"load": str,
                                      "flag_threshold": float}),
+            "ingest_admit": (ingest_admit,
+                             {"index_dir": str, "threshold": float,
+                              "max_span_frac": float,
+                              "bloom_path": str,
+                              "bloom_threshold": float}),
             # ---- dedup (beyond minhash): simhash, spans, semantic ----
             "simhash_pairs": (dedup.simhash_pairs,
                               {"hamming_max": int,

@@ -467,3 +467,40 @@ def test_span_index_build_and_admit_sql(env, spark, tmp_path_factory):
     assert _rows(got) == _rows(want)
     # a batch checked against its own corpus index is fully known
     assert all(r.known_frac == 1.0 for r in got.collect())
+
+
+def test_ingest_admit_sql_equals_streaming_twin(env, spark,
+                                                tmp_path_factory):
+    """The full streaming admission decision (exact + LSH-CC + index
+    rejection + span + bloom rejectors) as a SQL backfill op: RUN
+    PIPELINE ingest_admit equals the Python dedup_batch_against_index
+    on the same index/artifact, and the bloom option actually rejects."""
+    from lightning_metastore_spark.operators.contamination import (
+        build_ngram_bloom, save_ngram_bloom)
+    from lightning_metastore_spark.streaming import ingest
+
+    root = tmp_path_factory.mktemp("ingest_admit")
+    idx = str(root / "idx")
+    corpus = env.docs.filter("doc_id < 20")
+    ingest.build_dedup_index(corpus, idx)
+    bench = env.docs.filter("doc_id >= 35")
+    bloom_path = str(root / "bloom")
+    save_ngram_bloom(spark, build_ngram_bloom(bench, n=3, n_bits=1 << 16),
+                     bloom_path)
+
+    batch = env.docs.filter("doc_id >= 20")   # overlaps bench, not corpus
+    got = env.ctx.sql(
+        f"RUN PIPELINE ingest_admit ON {DOCS} "
+        f"OPTIONS(index_dir '{idx}', threshold '0.5', "
+        f"max_span_frac '0.9', bloom_path '{bloom_path}', "
+        "bloom_threshold '0.5')")
+    # the SQL op sees the whole DOCS table; mirror that on the Python side
+    want = ingest.dedup_batch_against_index(
+        spark, env.docs, idx, threshold=0.5, max_span_frac=0.9,
+        bloom_path=bloom_path, bloom_threshold=0.5)
+    assert _rows(got) == _rows(want) and got.count() > 0
+    # bloom docs (the benchmark rows themselves) must be rejected
+    admitted = {r.doc_id for r in got.collect()}
+    assert not admitted & {r.doc_id for r in bench.collect()}
+    # and docs already in the corpus index must be rejected too
+    assert not admitted & {r.doc_id for r in corpus.collect()}
