@@ -70,7 +70,9 @@ def hybrid_search(docs: DataFrame, emb: DataFrame, query_terms: tuple,
                   query_vec_id: int, k: int = 10, k0: int = 60,
                   text_col: str = "text", id_col: str = "doc_id",
                   vec_id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
+                  vec_col: str = "embedding",
+                  dense: str = "brute", n_cells: int = 16,
+                  n_probe: int = 4) -> DataFrame:
     """End-to-end hybrid retrieval: BM25 lexical top-k + dense cosine
     top-k (query-by-example: the vector of ``query_vec_id``), fused by
     ``rrf_fuse``. Returns the fused table
@@ -87,15 +89,19 @@ def hybrid_search(docs: DataFrame, emb: DataFrame, query_terms: tuple,
     relation) cut to k via orderBy+limit, which Spark plans as a
     distributed TakeOrderedAndProject (each partition surfaces its k
     best, the driver merges k — no global sort, no single-partition
-    window). The dense side is exact brute-force cosine here
+    window). The dense side defaults to exact brute-force cosine
     (operators/similarity.py — broadcast 1-row query, corpus never
-    shuffles); swap in ``ivf_topk`` behind the same (id, score) shape
-    when the cell index is built. Fusion then runs on two k-row lists —
-    the global rrf windows are k-bounded, not corpus-bounded.
+    shuffles); ``dense="ivf"`` switches to the IVF cell-probed path
+    (``n_cells`` k-means centroids fit on a hash-sample, ``n_probe``
+    cells scanned per query) — the serving shape at billions of
+    vectors, where the cell equi-join prunes the scan to probed cells
+    and a persisted ``assign_cells`` index makes queries index-free.
+    Fusion then runs on two k-row lists — the global rrf windows are
+    k-bounded, not corpus-bounded.
     """
     from lightning_metastore_spark.functions.text import bm25_scores
     from lightning_metastore_spark.operators.similarity import (
-        brute_force_topk)
+        brute_force_topk, ivf_topk, kmeans_centroids)
 
     lex = bm25_scores(docs, tuple(query_terms), text_col=text_col,
                       id_col=id_col)
@@ -104,12 +110,21 @@ def hybrid_search(docs: DataFrame, emb: DataFrame, query_terms: tuple,
                 .orderBy(F.desc("score"), F.col(id_col))
                 .limit(int(k))
                 .select(F.col(id_col).alias("doc_id"), "score"))
-    dense = brute_force_topk(
-        emb, emb.filter(F.col(vec_id_col) == F.lit(int(query_vec_id))),
-        k=int(k), id_col=vec_id_col, vec_col=vec_col,
-        query_id_col=vec_id_col)
-    dense_topk = dense.select(F.col("neighbor_id").alias("doc_id"),
-                              F.col("cosine").alias("score"))
+    qdf = emb.filter(F.col(vec_id_col) == F.lit(int(query_vec_id)))
+    if dense == "brute":
+        dense_df = brute_force_topk(emb, qdf, k=int(k), id_col=vec_id_col,
+                                    vec_col=vec_col,
+                                    query_id_col=vec_id_col)
+    elif dense == "ivf":
+        cents = kmeans_centroids(emb, k=int(n_cells), id_col=vec_id_col,
+                                 vec_col=vec_col)
+        dense_df = ivf_topk(emb, qdf, cents, k=int(k),
+                            nprobe=int(n_probe), id_col=vec_id_col,
+                            vec_col=vec_col)
+    else:
+        raise ValueError(f"dense must be 'brute' or 'ivf', got {dense!r}")
+    dense_topk = dense_df.select(F.col("neighbor_id").alias("doc_id"),
+                                 F.col("cosine").alias("score"))
     return (rrf_fuse([lex_topk, dense_topk], id_col="doc_id",
                      score_col="score", k0=k0)
             .orderBy("fused_rank"))

@@ -1332,11 +1332,15 @@ class RunPipeline(Command):
                                    k0=k0),
                 {"other": "TABLE", "query_col": str, "k0": int}),
             "hybrid_search": (
-                lambda df, emb, query_terms, query_vec_id, k=10, k0=60:
+                lambda df, emb, query_terms, query_vec_id, k=10, k0=60,
+                dense="brute", n_cells=16, n_probe=4:
                 retrieval.hybrid_search(df, emb, query_terms,
-                                        query_vec_id, k=k, k0=k0),
+                                        query_vec_id, k=k, k0=k0,
+                                        dense=dense, n_cells=n_cells,
+                                        n_probe=n_probe),
                 {"emb": "TABLE", "query_terms": _csv,
-                 "query_vec_id": int, "k": int, "k0": int}),
+                 "query_vec_id": int, "k": int, "k0": int,
+                 "dense": str, "n_cells": int, "n_probe": int}),
             "mixture_resample": (
                 lambda df, weights, target_frac=0.6, group_col="lang":
                 sampling.mixture_resample(

@@ -133,3 +133,47 @@ def test_hybrid_search_lexical_topk_is_distributed(spark):
     plan = hybrid_search(docs, emb, ("spark",), query_vec_id=5, k=5) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hybrid_search_ivf_backend(spark):
+    """dense='ivf' swaps the exact dense ranker for the cell-probed
+    path: output equals the explicit kmeans+ivf_topk+rrf composition
+    (both deterministic), and at full probe coverage (n_probe ==
+    n_cells) IVF degenerates to brute force, so the two backends agree
+    exactly."""
+    from pyspark.sql import functions as F2
+
+    from lightning_metastore_spark.operators.similarity import (
+        ivf_topk, kmeans_centroids)
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter(F2.col("doc_id") < 40))
+    emb = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+           .filter(F2.col("vec_id") < 40))
+    terms, qid, k = ("spark", "merge"), 3, 6
+
+    got = hybrid_search(docs, emb, terms, query_vec_id=qid, k=k,
+                        dense="ivf", n_cells=4, n_probe=2).collect()
+    cents = kmeans_centroids(emb, k=4)
+    dense = ivf_topk(emb, emb.filter(F2.col("vec_id") == qid), cents,
+                     k=k, nprobe=2)
+    from lightning_metastore_spark.functions.text import bm25_scores
+    lex = (bm25_scores(docs, terms)
+           .filter((F2.col("score") > 0) & (F2.col("doc_id") != qid))
+           .orderBy(F2.desc("score"), "doc_id").limit(k)
+           .select("doc_id", "score"))
+    want = rrf_fuse(
+        [lex, dense.select(F2.col("neighbor_id").alias("doc_id"),
+                           F2.col("cosine").alias("score"))]).collect()
+    assert sorted(map(repr, got)) == sorted(map(repr, want))
+
+    # full probe coverage == brute force
+    full = hybrid_search(docs, emb, terms, query_vec_id=qid, k=k,
+                         dense="ivf", n_cells=4, n_probe=4).collect()
+    brute = hybrid_search(docs, emb, terms, query_vec_id=qid, k=k).collect()
+    assert sorted(map(repr, full)) == sorted(map(repr, brute))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        hybrid_search(docs, emb, terms, query_vec_id=qid, dense="hnsw")
