@@ -14,6 +14,7 @@ regroup.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -89,3 +90,61 @@ def dedup_lines_within_doc(docs: DataFrame, text_col: str = "text",
         F.array_join("_kept", line_sep).alias(text_col),
         "n_lines",
         F.size("_kept").cast("long").alias("n_kept"))
+
+
+def normalize_text(docs: DataFrame, form: str = "NFC",
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Canonical text normalization — the step BEFORE any dedup key or
+    tokenizer sees the corpus: Unicode normalization (``form`` in
+    NFC/NFKC/NFD/NFKD), control-character stripping and whitespace
+    canonicalization, so byte-different renderings of the same text
+    ("e\\u0301" vs "\\u00e9", NBSP vs space, stray C0 controls from bad
+    decodes) stop defeating exact dedup and inflating vocab. Returns
+    (doc_id, text_norm, n_chars_before, n_chars_after, changed).
+
+    Order of operations (fixed, engine-reproducible): (1) Unicode
+    normalize, (2) strip C0/C1 controls except tab/newline/CR
+    ([\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]), (3) collapse every
+    whitespace run (incl. NBSP u00a0 — NFKC folds it, NFC does not, so
+    it is handled explicitly) to one space, (4) trim. After step 2 the
+    remaining whitespace is [\\t\\n\\r u00a0 space] — a class Java and
+    RE2 regex engines agree on, which keeps the result reproducible
+    outside Spark (the pytest twin cross-checks DuckDB's
+    nfc_normalize + regexp pipeline character-for-character).
+
+    100 TB shape: the Unicode step is an Arrow-batched pandas UDF
+    (stdlib unicodedata — no JVM NFC builtin exists); steps 2-4 are
+    JVM regexp expressions fused into the same projection. Map-only,
+    zero shuffle, at any corpus size. Case is deliberately preserved
+    (lowercasing is a dedup-key concern, not a normalization concern —
+    exact_dedup already lowers its key).
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf("string")
+    def _uninorm(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: unicodedata.normalize(form, t)
+                     if t is not None else None)
+
+    stripped = F.regexp_replace(
+        _uninorm(F.col(text_col)),
+        "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    collapsed = F.trim(F.regexp_replace(
+        stripped, "[\\s\\u00a0]+", " "))
+    return (docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("_orig"),
+        collapsed.alias("text_norm"))
+        .select(F.col(id_col), "text_norm",
+                F.coalesce(F.length("_orig"), F.lit(0))
+                .cast("long").alias("n_chars_before"),
+                F.coalesce(F.length("text_norm"), F.lit(0))
+                .cast("long").alias("n_chars_after"),
+                (~F.col("text_norm").eqNullSafe(F.col("_orig")))
+                .alias("changed")))

@@ -1255,6 +1255,7 @@ class RunPipeline(Command):
             "semdedup": (dedup.semantic_dedup,
                          {"n_planes": int, "threshold": float}),
             "dedup_lines": (cleaning.dedup_lines_within_doc, {}),
+            "normalize_text": (cleaning.normalize_text, {"form": str}),
             # ---- graph over a pairs/edges table ----
             "pagerank": (graph.pagerank,
                          {"src": str, "dst": str, "n_iter": int,

@@ -97,3 +97,87 @@ def test_dedup_lines_within_doc_matches_naive(spark):
                 seen.add(k)
                 keep.append(ln)
         assert got[doc_id] == ("\n".join(keep), len(lines), len(keep)), doc_id
+
+
+def test_normalize_text_unicode_and_whitespace(spark):
+    """NFC composes combining sequences; NFKC additionally folds
+    ligatures/NBSP; controls stripped; whitespace runs collapse;
+    NULL text passes through with changed=False."""
+    from lightning_metastore_spark.operators.cleaning import normalize_text
+
+    rows = [
+        (1, "café"),            # e + combining acute -> é
+        (2, "ﬁle  with nbsp"),   # fi-ligature + NBSP
+        (3, "ok\x00\x07 text\x0b here"),   # C0 controls
+        (4, "  already clean  "),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    nfc = {r.doc_id: r for r in normalize_text(docs, form="NFC").collect()}
+    assert nfc[1].text_norm == "café" and nfc[1].changed
+    assert nfc[1].n_chars_before == 5 and nfc[1].n_chars_after == 4
+    # NFC does NOT fold the ligature; NBSP still collapses to a space
+    assert nfc[2].text_norm == "ﬁle with nbsp"
+    assert nfc[3].text_norm == "ok text here" and nfc[3].changed
+    assert nfc[4].text_norm == "already clean" and nfc[4].changed
+    assert nfc[5].text_norm is None and not nfc[5].changed
+    assert nfc[5].n_chars_before == 0 and nfc[5].n_chars_after == 0
+
+    nfkc = {r.doc_id: r for r in
+            normalize_text(docs, form="NFKC").collect()}
+    assert nfkc[2].text_norm == "file with nbsp"   # ligature folded
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        normalize_text(docs, form="NFX")
+
+
+def test_normalize_text_matches_duckdb_pipeline(spark):
+    """Character-for-character engine cross-check: the same fixed
+    pipeline (nfc_normalize -> control strip -> whitespace collapse ->
+    trim) in DuckDB produces identical output — normalization is an
+    engine-portable corpus contract, not a Spark detail."""
+    import duckdb
+
+    from lightning_metastore_spark.operators.cleaning import normalize_text
+
+    rows = [(1, "café dürer"),
+            (2, "Å Å angstrom"),      # ring + Å sign -> same NFC
+            (3, "tabs\tand\r\nnewlines nbsp  runs"),
+            (4, "ctrl\x01\x02\x7fhere"),
+            (5, "plain ascii")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text_norm
+           for r in normalize_text(docs, form="NFC").collect()}
+
+    con = duckdb.connect()
+    for doc_id, text in rows:
+        want = con.execute(r"""
+            SELECT trim(regexp_replace(
+                     regexp_replace(nfc_normalize(?),
+                       '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                     '[\s\x{00a0}]+', ' ', 'g'))""", [text]).fetchone()[0]
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+
+def test_normalize_text_feeds_exact_dedup(spark):
+    """The point of normalization: byte-different renderings of the
+    same text become one dedup group after normalize_text."""
+    from pyspark.sql import functions as F
+
+    from lightning_metastore_spark.operators.cleaning import normalize_text
+    from lightning_metastore_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "café noir"), (2, "café  noir"),
+         (3, "espresso bar")],
+        "doc_id long, text string")
+    norm = normalize_text(docs).select("doc_id",
+                                       F.col("text_norm").alias("text"))
+    kept = {r.doc_id: r.dup_count for r in exact_dedup(norm).collect()}
+    assert kept == {1: 2, 3: 1}
+    # without normalization they stay distinct
+    raw = {r.doc_id: r.dup_count for r in exact_dedup(docs).collect()}
+    assert len(raw) == 3

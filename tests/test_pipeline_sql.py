@@ -105,6 +105,9 @@ def _cases():
         ("dedup_lines",
          f"dedup_lines ON {DOCS}",
          lambda e: cleaning.dedup_lines_within_doc(e.docs)),
+        ("normalize_text",
+         f"normalize_text ON {DOCS} OPTIONS(form 'NFKC')",
+         lambda e: cleaning.normalize_text(e.docs, form="NFKC")),
         ("pagerank",
          f"pagerank ON {EDGES} OPTIONS(n_iter '3', damping '0.85')",
          lambda e: graph.pagerank(e.edges, n_iter=3, damping=0.85)),
