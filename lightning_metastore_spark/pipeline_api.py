@@ -31,11 +31,17 @@ Tokenizing:   build_vocab, encode_token_stats, chunk_documents,
               apply_bpe_merges, bpe_vocab + encode_bpe_ids,
               train_unigram_lm, apply_unigram_lm,
               save/load artifacts for both tokenizers
-Cleaning:     remove_boilerplate_lines, dedup_lines_within_doc
+Cleaning:     remove_boilerplate_lines, dedup_lines_within_doc,
+              normalize_text (Unicode NFC/NFKC + control/whitespace
+              canonicalization)
 Hygiene:      contamination_overlap, build_ngram_bloom / bloom_contamination
-Sampling:     mixture_resample, stratified_fixed_n,
+Sampling:     mixture_resample, temperature_resample (XLM/mT5
+              tau-smoothing), stratified_fixed_n,
               weighted_sample_n (A-ES, without replacement),
-              quantile_normalize (per-group percentile rank)
+              quantile_normalize (per-group percentile rank),
+              budget_select (token-budget prefix selection)
+Retrieval:    rrf_fuse (Reciprocal Rank Fusion),
+              hybrid_search (BM25 + dense cosine, brute or IVF)
 Skyline:      skyline, skyline_per_group (Pareto-optimal sets)
 Frequency:    heavy_hitters (space-saving sketch -> exact verify)
 Packing:      packed_offsets, greedy_pack_bins
@@ -101,6 +107,7 @@ from lightning_metastore_spark.operators.chunking import (  # noqa: F401
 )
 from lightning_metastore_spark.operators.cleaning import (  # noqa: F401
     dedup_lines_within_doc,
+    normalize_text,
     remove_boilerplate_lines,
 )
 from lightning_metastore_spark.operators.contamination import (  # noqa: F401
@@ -156,10 +163,16 @@ from lightning_metastore_spark.operators.quantization import (  # noqa: F401
     random_project,
     scalar_quantize_stats,
 )
+from lightning_metastore_spark.operators.retrieval import (  # noqa: F401
+    hybrid_search,
+    rrf_fuse,
+)
 from lightning_metastore_spark.operators.sampling import (  # noqa: F401
+    budget_select,
     mixture_resample,
     quantile_normalize,
     stratified_fixed_n,
+    temperature_resample,
     weighted_sample_n,
 )
 from lightning_metastore_spark.sources.multimodal import (  # noqa: F401
