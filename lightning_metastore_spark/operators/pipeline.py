@@ -51,6 +51,9 @@ class CurationConfig:
     contam_ngram: int = 3
     min_classifier_score: float | None = None  # linear-classifier floor
     min_avg_logprob: float | None = None       # unigram LM perplexity floor
+    normalize_form: str | None = None          # Unicode canonicalization
+    #   (NFC/NFKC/NFD/NFKD) BEFORE every other stage — byte-different
+    #   renderings of the same text then share dedup keys
 
 
 def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
@@ -69,10 +72,22 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
     corpus unigram LM (functions/text.py::unigram_logprob);
     ``benchmark`` + ``cfg.max_contam_frac`` rejects documents whose
     n-gram overlap with the benchmark exceeds the bound
-    (operators/contamination.py — broadcast membership join). Every
+    (operators/contamination.py — broadcast membership join);
+    ``cfg.normalize_form`` canonicalizes the text
+    (cleaning.normalize_text — map-only) BEFORE every other stage, so
+    Unicode-variant duplicates collapse in the exact and near-dup
+    steps and the returned ``text`` is the normalized form. Every
     optional stage is a LEFT join with a coalesced neutral default, so
     output row count is invariant to which stages are enabled."""
     cfg = cfg or CurationConfig()
+
+    if cfg.normalize_form is not None:
+        from lightning_metastore_spark.operators.cleaning import (
+            normalize_text)
+
+        docs = (normalize_text(docs, form=cfg.normalize_form,
+                               text_col=text_col, id_col=id_col)
+                .select(F.col(id_col), F.col("text_norm").alias(text_col)))
 
     # `cleaned` (itself ~2 shuffles deep) feeds five branches below
     # (quality, lang, fingerprint, near-dup survivors, final join) —

@@ -1191,6 +1191,7 @@ class RunPipeline(Command):
                         "max_dup_span_frac": float, "dup_span_k": int,
                         "min_classifier_score": float,
                         "min_avg_logprob": float,
+                        "normalize_form": str,
                         "near_dup_threshold": float}),
             # two-table ops: the second side is another lightning
             # table, resolved via the TABLE option coercion

@@ -168,3 +168,30 @@ def test_curation_dup_span_stage(spark):
         min_quality=0.0, boilerplate_max_df=10, use_minhash=False,
         near_dup_threshold=0.95)).collect()
     assert "dup_spans" not in {r.drop_reason for r in base}
+
+
+def test_curate_normalize_stage_collapses_unicode_variants(spark):
+    """normalize_form='NFC': a decomposed-Unicode rendering of an
+    existing doc becomes an exact duplicate (dropped with the dedup
+    reason), the surviving text is the normalized form, and row count
+    stays invariant to the stage being on."""
+    from lightning_metastore_spark.operators.pipeline import (
+        CurationConfig, curate_corpus)
+
+    docs = spark.createDataFrame(
+        [(1, "quality café document with several words here"),
+         (2, "quality café document with several words here"),
+         (3, "another quite different document about query engines")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in curate_corpus(
+        docs, CurationConfig(min_quality=0.0,
+                             allowed_langs=("en", "und"),
+                             normalize_form="NFC")).collect()}
+    assert len(out) == 3                       # row-count invariance
+    assert out[1].keep and not out[2].keep     # NFC made 2 a dup of 1
+    assert "café" in out[2].text          # text IS normalized
+    # without normalization both survive (byte-different)
+    raw = {r.doc_id: r for r in curate_corpus(
+        docs, CurationConfig(min_quality=0.0,
+                             allowed_langs=("en", "und"))).collect()}
+    assert raw[1].keep and raw[2].keep
