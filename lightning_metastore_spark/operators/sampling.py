@@ -286,3 +286,55 @@ def budget_select(docs: DataFrame, budget_tokens: int,
             .select(id_col, "score", "n_tokens", "cum_tokens",
                     (F.col("cum_tokens") <= F.lit(int(budget_tokens)))
                     .alias("selected")))
+
+
+def epoch_schedule(docs: DataFrame, tau: float = 0.5,
+                   target_frac: float = 1.0,
+                   group_col: str = "lang",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-group epoch plan for UP-sampled mixtures — the half of the
+    mixture story ``temperature_resample`` deliberately caps away: when
+    a group's temperature-smoothed target exceeds its size, training
+    repeats it for whole epochs plus one hash-thinned partial pass
+    (the Llama/GPT "epochs per dataset" table). Returns one row per
+    group: (group, n_g, target_docs, n_epochs, residual_rate) where
+    ``target_g = target_frac * share_tau_g * N``,
+    ``n_epochs = floor(target_g / n_g)`` full passes and
+    ``residual_rate = target_g / n_g - n_epochs`` is the keep rate for
+    the final partial pass (feed it to the same md5-threshold rule as
+    ``mixture_resample``; a down-sampled group is simply n_epochs=0 +
+    residual). target_docs is the rounded per-group document count.
+
+    The smoothed share uses the SAME integer-frozen math as
+    ``temperature_resample`` (s_g = round(n_g^tau * 1e9), sqrt at
+    tau=0.5), so the two operators describe one consistent mixture and
+    both are engine-exact.
+
+    Scale: one tiny per-group count aggregate + one scalar total —
+    output is group-cardinality (dozens of rows), broadcast-sized by
+    construction. The schedule is a PLAN; materializing repeats is the
+    training loader's job (a corpus-side union per epoch would just
+    multiply storage).
+    """
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_g"))
+    pw = F.sqrt(F.col("n_g")) if tau == 0.5 \
+        else F.pow(F.col("n_g"), F.lit(float(tau)))
+    weights = counts.withColumn(
+        "s_g", F.round(pw * F.lit(1e9)).cast("long"))
+    tot = weights.agg(F.sum("s_g").alias("s_total"),
+                      F.sum("n_g").alias("n_total"))
+    target = (F.lit(float(target_frac))
+              * (F.col("s_g") / F.col("s_total")) * F.col("n_total"))
+    # decompose the 9dp-ROUNDED per-doc factor: an integer-frozen share
+    # can land at (k - 1ulp), which must mean k full epochs + residual
+    # 0, never (k-1) epochs + residual 1.0 — rounding first makes the
+    # boundary engine-stable (the module's 9dp discipline)
+    per_doc = F.round(target / F.col("n_g"), 9)
+    return (weights.crossJoin(F.broadcast(tot))
+            .select(F.col(group_col),
+                    F.col("n_g").cast("long").alias("n_g"),
+                    F.round(target).cast("long").alias("target_docs"),
+                    F.floor(per_doc).cast("long").alias("n_epochs"),
+                    F.round(per_doc - F.floor(per_doc), 9)
+                    .alias("residual_rate"))
+            .orderBy(group_col))

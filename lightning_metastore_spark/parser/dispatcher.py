@@ -1324,6 +1324,9 @@ class RunPipeline(Command):
             "temperature_resample": (
                 sampling.temperature_resample,
                 {"tau": float, "target_frac": float, "group_col": str}),
+            "epoch_schedule": (
+                sampling.epoch_schedule,
+                {"tau": float, "target_frac": float, "group_col": str}),
             "budget_select": (
                 sampling.budget_select,
                 {"budget_tokens": int, "score_col": str,

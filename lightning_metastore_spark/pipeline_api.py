@@ -36,7 +36,8 @@ Cleaning:     remove_boilerplate_lines, dedup_lines_within_doc,
               canonicalization)
 Hygiene:      contamination_overlap, build_ngram_bloom / bloom_contamination
 Sampling:     mixture_resample, temperature_resample (XLM/mT5
-              tau-smoothing), stratified_fixed_n,
+              tau-smoothing), epoch_schedule (per-group epochs +
+              residual for up-sampled mixtures), stratified_fixed_n,
               weighted_sample_n (A-ES, without replacement),
               quantile_normalize (per-group percentile rank),
               budget_select (token-budget prefix selection)
@@ -169,6 +170,7 @@ from lightning_metastore_spark.operators.retrieval import (  # noqa: F401
 )
 from lightning_metastore_spark.operators.sampling import (  # noqa: F401
     budget_select,
+    epoch_schedule,
     mixture_resample,
     quantile_normalize,
     stratified_fixed_n,

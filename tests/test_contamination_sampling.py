@@ -370,3 +370,49 @@ def test_budget_select_null_scores_dropped(spark):
     assert set(rows) == {1, 3}
     assert rows[1].cum_tokens == 3 and bool(rows[1].selected)
     assert rows[3].cum_tokens == 4 and not bool(rows[3].selected)
+
+
+def test_epoch_schedule_matches_python_twin_and_temperature(spark):
+    """epoch_schedule replays the integer-frozen share math in Python
+    (epochs = floor(target/n), residual in [0,1)) and decomposes the
+    SAME per-doc factor temperature_resample caps: where epochs == 0
+    the residual equals the resample keep_rate; an up-sampled group
+    shows epochs >= 1 exactly where the resample rate saturated at 1."""
+    import math
+    from collections import Counter
+
+    from lightning_metastore_spark.operators.sampling import (
+        epoch_schedule, temperature_resample)
+
+    rows = [(i, "en") for i in range(90)] + [(1000 + i, "fr")
+                                             for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    tau, tf = 0.5, 1.2
+
+    sched = {r.lang: r for r in
+             epoch_schedule(docs, tau=tau, target_frac=tf).collect()}
+    n = Counter(lang for _, lang in rows)
+    s = {g: int(round(math.sqrt(ng) * 1e9)) for g, ng in n.items()}
+    st, nt = sum(s.values()), sum(n.values())
+    for g, ng in n.items():
+        target = tf * (s[g] / st) * nt
+        per_doc = round(target / ng, 9)     # the operator's 9dp boundary
+        r = sched[g]
+        assert r.n_g == ng
+        assert r.target_docs == int(round(target))
+        assert r.n_epochs == math.floor(per_doc)
+        assert abs(r.residual_rate - (per_doc - math.floor(per_doc))) < 1e-9
+        assert 0.0 <= r.residual_rate < 1.0
+
+    # decomposition vs the capped resample at the same (tau, target):
+    # tf=0.8 puts en below one pass (epochs 0, residual == the resample
+    # keep_rate) and fr above it (epochs >= 1 exactly where the
+    # resample rate saturated at 1)
+    sched2 = {r.lang: r for r in
+              epoch_schedule(docs, tau=tau, target_frac=0.8).collect()}
+    rates = {r.lang: r.keep_rate for r in
+             temperature_resample(docs, tau=tau, target_frac=0.8)
+             .select("lang", "keep_rate").distinct().collect()}
+    assert sched2["fr"].n_epochs >= 1 and rates["fr"] == 1.0  # up-sampled
+    assert sched2["en"].n_epochs == 0                         # down-sampled
+    assert abs(sched2["en"].residual_rate - rates["en"]) < 1e-6

@@ -241,6 +241,11 @@ def _cases():
          "OPTIONS(budget_tokens '1500', score_col 'n_chars')",
          lambda e: sampling.budget_select(e.docs, 1500,
                                           score_col="n_chars")),
+        ("epoch_schedule",
+         f"epoch_schedule ON {DOCS} "
+         "OPTIONS(tau '0.5', target_frac '1.5', group_col 'lang')",
+         lambda e: sampling.epoch_schedule(e.docs, tau=0.5,
+                                           target_frac=1.5)),
         ("rrf_fuse",
          f"rrf_fuse ON {RANKA} OPTIONS(other '{RANKB}', k0 '60')",
          lambda e: retrieval.rrf_fuse([e.ranka, e.rankb], k0=60)),
