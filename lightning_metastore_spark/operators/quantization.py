@@ -282,3 +282,171 @@ def apply_pca(emb: DataFrame, components, mean,
     schema = f"{id_col} long, " + ", ".join(f"y{j} double"
                                             for j in range(k))
     return base.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (FAISS PQ): m subspace codebooks, 1-byte codes
+# ---------------------------------------------------------------------------
+
+
+def pq_train(emb: DataFrame, m: int = 8, k: int = 16, iters: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             sample_fraction: float | None = None,
+             max_sample: int = 200_000):
+    """Train product-quantization codebooks: a (m, k, d/m) float64
+    array — m subspace k-means fits, the FAISS PQ recipe. PQ codes cut
+    an embedding column to m bytes/vector (d x 4 bytes -> m), the
+    standard memory layout for billion-vector ANN serving (IVF-PQ).
+
+    Same scale/determinism shape as similarity.kmeans_centroids: the
+    fit runs driver-side on the ``max_sample`` smallest-md5(id) rows
+    (pre-thin a huge corpus with ``sample_fraction`` — one distributed
+    filter), init is the first k sample rows per subspace, Lloyd
+    updates use squared-L2 argmin with numpy's first-minimum tie break
+    (PQ quantizes RESIDUAL geometry, so L2 — not cosine — is the
+    right metric), empty cells keep their centroid. No RNG anywhere:
+    retraining on the same corpus reproduces the same codebooks
+    bit-for-bit. d must divide by m.
+    """
+    import numpy as np
+
+    df = emb.select(F.col(id_col).alias("_id"),
+                    F.col(vec_col).cast("array<double>").alias("_v"))
+    if sample_fraction is not None:
+        df = df.filter(F.abs(F.hash(F.col("_id"))) % 10_000
+                       < int(sample_fraction * 10_000))
+    rows = (df.withColumn("_h", F.md5(F.col("_id").cast("string")))
+            .orderBy("_h").limit(max_sample).select("_v").collect())
+    x = np.array([r._v for r in rows], dtype=np.float64)
+    if len(x) == 0:
+        raise ValueError("pq_train: the sampled corpus is empty")
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    dsub = d // m
+    k_eff = min(k, len(x))
+    books = np.zeros((m, k_eff, dsub), dtype=np.float64)
+    for j in range(m):
+        xs = x[:, j * dsub:(j + 1) * dsub]
+        cents = xs[:k_eff].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cell = d2.argmin(axis=1)
+            for c in range(k_eff):
+                members = xs[cell == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(emb: DataFrame, codebooks,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode vectors to PQ codes: (vec_id, codes array<int>) with
+    codes[j] = argmin_c ||x_sub_j - codebook[j][c]||² (first-minimum
+    tie break — deterministic on any engine/partitioning).
+
+    Map-only: the (m, k, d/m) codebook rides the closure (KBs);
+    per Arrow batch one vectorized numpy distance + argmin per
+    subspace. NULL / wrong-width vectors encode to NULL.
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = B.shape
+    d = m * dsub
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for rid, v in zip(pdf[id_col], pdf["v"]):
+                if v is None or len(v) != d:
+                    out.append((int(rid), None))
+                    continue
+                xs = np.asarray(v, dtype=np.float64).reshape(m, dsub)
+                codes = [int(((B[j] - xs[j]) ** 2).sum(axis=1).argmin())
+                         for j in range(m)]
+                out.append((int(rid), codes))
+            yield pd.DataFrame(out, columns=[id_col, "codes"])
+
+    base = emb.select(F.col(id_col),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    return base.mapInPandas(run, schema=f"{id_col} long, codes array<int>")
+
+
+def pq_topk(codes_df: DataFrame, codebooks, query_vec, topk: int = 5,
+            id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes:
+    (rk, neighbor_id, adc_dist) — the k nearest by approximate squared
+    L2, ties by id. The query stays UN-quantized: per subspace a k-row
+    lookup table of ||q_sub - centroid||² is built once (m x k floats,
+    driver-side), and a vector's distance is m table gathers + a sum —
+    no decode, no float vector column touched.
+
+    100 TB shape: the lookup table rides the closure; scoring is one
+    vectorized numpy gather per Arrow batch over the CODES column
+    (m bytes/vector, 32x narrower than fp32 d=64); selection is a
+    distributed TakeOrdered. Distances round to 9dp (engine-stable
+    ordering, the cosine discipline).
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = B.shape
+    q = np.asarray(query_vec, dtype=np.float64).reshape(m, dsub)
+    tables = ((B - q[:, None, :]) ** 2).sum(axis=2)   # (m, k)
+
+    def run(batches):
+        for pdf in batches:
+            ids, dists = [], []
+            for rid, codes in zip(pdf[id_col], pdf["codes"]):
+                if codes is None:
+                    continue
+                c = np.asarray(codes, dtype=np.int64)
+                ids.append(int(rid))
+                dists.append(float(tables[np.arange(m), c].sum()))
+            yield pd.DataFrame({id_col: ids, "adc_dist": dists})
+
+    scored = codes_df.mapInPandas(run,
+                                  schema=f"{id_col} long, adc_dist double")
+    from pyspark.sql.window import Window as W
+
+    ranked = (scored
+              .withColumn("adc_dist", F.round("adc_dist", 9))
+              .orderBy(F.asc("adc_dist"), F.asc(id_col))
+              .limit(int(topk))
+              .withColumn("rk", F.row_number().over(
+                  W.orderBy(F.asc("adc_dist"), F.asc(id_col)))))
+    return ranked.select("rk", F.col(id_col).alias("neighbor_id"),
+                         "adc_dist")
+
+
+def save_pq_codebooks(spark, codebooks, path: str) -> None:
+    """Persist PQ codebooks as a parquet artifact (one row per
+    (subspace, centroid): engine-portable, versionable next to the
+    corpus like the tokenizer/bloom artifacts)."""
+    import numpy as np
+
+    B = np.asarray(codebooks, dtype=np.float64)
+    rows = [(j, c, [float(v) for v in B[j, c]])
+            for j in range(B.shape[0]) for c in range(B.shape[1])]
+    spark.createDataFrame(
+        rows, "subspace long, centroid_id long, vec array<double>") \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_pq_codebooks(spark, path: str):
+    """Reload a saved PQ codebook artifact as the (m, k, d/m) array."""
+    import numpy as np
+
+    rows = spark.read.parquet(path).collect()
+    m = 1 + max(r.subspace for r in rows)
+    k = 1 + max(r.centroid_id for r in rows)
+    dsub = len(rows[0].vec)
+    B = np.zeros((m, k, dsub), dtype=np.float64)
+    for r in rows:
+        B[r.subspace, r.centroid_id] = r.vec
+    return B

@@ -1155,6 +1155,34 @@ class RunPipeline(Command):
             return cont.bloom_contamination(
                 df, bloom, flag_threshold=flag_threshold)
 
+        # ---- product quantization: train/encode/serve via artifacts ----
+        def pq_train_op(df, save, m=8, k=16, iters=4):
+            """Train PQ codebooks on the embedding table; OPTIONS(save '...') persists the artifact."""
+            B = quantization.pq_train(df, m=m, k=k, iters=iters)
+            quantization.save_pq_codebooks(df.sparkSession, B, save)
+            return df.sparkSession.createDataFrame(
+                [(save, int(B.shape[0]), int(B.shape[1]),
+                  int(B.shape[2]))],
+                "path string, m long, k long, dsub long")
+
+        def pq_encode_op(df, load):
+            """Encode vectors to PQ codes with a saved codebook artifact (OPTIONS(load '...'))."""
+            B = quantization.load_pq_codebooks(df.sparkSession, load)
+            return quantization.pq_encode(df, B)
+
+        def pq_topk_op(df, load, query_vec_id, topk=5):
+            """ADC top-k over PQ codes; the query is the UN-quantized vector of OPTIONS(query_vec_id)."""
+            B = quantization.load_pq_codebooks(df.sparkSession, load)
+            from pyspark.sql import functions as FF
+            q = df.filter(FF.col("vec_id") == int(query_vec_id)) \
+                .select("embedding").first()
+            if q is None:
+                raise ValueError(f"no vector with vec_id={query_vec_id}")
+            codes = quantization.pq_encode(
+                df.filter(FF.col("vec_id") != int(query_vec_id)), B)
+            return quantization.pq_topk(codes, B, q["embedding"],
+                                        topk=topk)
+
         def ingest_admit(df, index_dir, threshold=0.5, max_span_frac=None,
                          bloom_path=None, bloom_threshold=0.5):
             """Admit a batch against a persisted dedup index (OPTIONS(index_dir)) — the backfill twin of the streaming ingest sink."""
@@ -1368,6 +1396,11 @@ class RunPipeline(Command):
             "random_project": (quantization.random_project, {"k": int}),
             "norm_outliers": (quantization.norm_outliers,
                               {"k": float, "exact": _bool}),
+            "pq_train": (pq_train_op,
+                         {"save": str, "m": int, "k": int, "iters": int}),
+            "pq_encode": (pq_encode_op, {"load": str}),
+            "pq_topk": (pq_topk_op,
+                        {"load": str, "query_vec_id": int, "topk": int}),
             # ---- layout maintenance (writes to OPTIONS(path)) ----
             "compact": (compact,
                         {"path": str, "out_path": str, "target_mb": int}),

@@ -48,7 +48,10 @@ Frequency:    heavy_hitters (space-saving sketch -> exact verify)
 Packing:      packed_offsets, greedy_pack_bins
 Embeddings:   scalar_quantize_stats, random_project,
               norm_outliers (robust norm screen),
-              power_iteration_pca + apply_pca (distributed top-k PCA)
+              power_iteration_pca + apply_pca (distributed top-k PCA),
+              pq_train / pq_encode / pq_topk + save/load codebooks
+              (FAISS-style product quantization: m-byte codes, ADC
+              lookup-table serving)
 Temporal:     asof_join, range_join, hypertable_rollup,
               gap_filled_hourly, lttb_downsample, rolling_zscore,
               funnel_counts, sessionize, rolling_active_users
@@ -159,9 +162,14 @@ from lightning_metastore_spark.operators.pipeline import (  # noqa: F401
 )
 from lightning_metastore_spark.operators.quantization import (  # noqa: F401
     apply_pca,
+    load_pq_codebooks,
     norm_outliers,
     power_iteration_pca,
+    pq_encode,
+    pq_topk,
+    pq_train,
     random_project,
+    save_pq_codebooks,
     scalar_quantize_stats,
 )
 from lightning_metastore_spark.operators.retrieval import (  # noqa: F401

@@ -512,3 +512,31 @@ def test_ingest_admit_sql_equals_streaming_twin(env, spark,
     assert not admitted & {r.doc_id for r in bench.collect()}
     # and docs already in the corpus index must be rejected too
     assert not admitted & {r.doc_id for r in corpus.collect()}
+
+
+def test_pq_train_encode_topk_roundtrip_sql(env, spark, tmp_path_factory):
+    """Product quantization over SQL: train persists the codebook
+    artifact, encode/topk reload it; both equal the Python API on the
+    same data, and the ADC ranking excludes the query example."""
+    from lightning_metastore_spark.operators import quantization
+
+    path = str(tmp_path_factory.mktemp("pq_sql") / "books")
+    stats = env.ctx.sql(
+        f"RUN PIPELINE pq_train ON {EMB} "
+        f"OPTIONS(save '{path}', m '8', k '8', iters '2')").collect()
+    assert stats[0].m == 8 and stats[0].k == 8 and stats[0].dsub == 8
+
+    B = quantization.load_pq_codebooks(spark, path)
+    got = _rows(env.ctx.sql(
+        f"RUN PIPELINE pq_encode ON {EMB} OPTIONS(load '{path}')"))
+    assert got == _rows(quantization.pq_encode(env.emb, B))
+
+    topk = env.ctx.sql(
+        f"RUN PIPELINE pq_topk ON {EMB} "
+        f"OPTIONS(load '{path}', query_vec_id '3', topk '5')").collect()
+    assert len(topk) == 5 and all(r.neighbor_id != 3 for r in topk)
+    q = env.emb.filter("vec_id = 3").first()["embedding"]
+    want = quantization.pq_topk(
+        quantization.pq_encode(env.emb.filter("vec_id != 3"), B), B, q,
+        topk=5).collect()
+    assert sorted(map(repr, topk)) == sorted(map(repr, want))

@@ -195,3 +195,88 @@ def test_power_iteration_pca_ignores_ragged_vectors(spark):
     V1, mean1 = power_iteration_pca(emb.union(ragged), k=2, n_iter=10)
     assert np.allclose(V0, V1)
     assert np.allclose(mean0, mean1)
+
+
+# --- product quantization ---------------------------------------------------
+
+def test_pq_exact_when_codebook_covers_sample(spark):
+    """With k >= sample size every point is its own centroid: encoding
+    reconstructs exactly, ADC distance equals the true squared L2, and
+    pq_topk equals the numpy brute-force ranking."""
+    import numpy as np
+
+    from lightning_metastore_spark.operators.quantization import (
+        pq_encode, pq_topk, pq_train)
+
+    rows = [(i, [float((i * 7 + j * 3) % 5) for j in range(8)])
+            for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    B = pq_train(emb, m=4, k=16, iters=2)
+    assert B.shape == (4, 10, 2)     # k_eff = sample size
+
+    codes = pq_encode(emb, B)
+    q = np.array(rows[3][1])
+    got = pq_topk(codes, B, q, topk=5).collect()
+
+    X = np.array([v for _, v in rows])
+    d2 = ((X - q) ** 2).sum(axis=1)
+    want = sorted(range(10), key=lambda i: (round(float(d2[i]), 9), i))[:5]
+    assert [r.neighbor_id for r in got] == want
+    assert [r.rk for r in got] == [1, 2, 3, 4, 5]
+    for r in got:
+        assert abs(r.adc_dist - d2[r.neighbor_id]) < 1e-9
+
+
+def test_pq_recall_and_determinism_on_corpus(spark):
+    """Real embeddings (500 x 64): PQ at m=8, k=64 (8 bytes/vector,
+    32x narrower than fp32) puts the true L2 nearest neighbor inside
+    the ADC top-10 for most probes (measured 4/5 on this deterministic
+    corpus; k=16 gives 1/5 and k=256 gives 5/5 — the standard
+    quality/width dial); encoding is invariant to input
+    partitioning."""
+    import numpy as np
+
+    from lightning_metastore_spark.operators.quantization import (
+        load_pq_codebooks, pq_encode, pq_topk, pq_train,
+        save_pq_codebooks)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    B = pq_train(emb, m=8, k=64, iters=4)
+    codes = pq_encode(emb, B)
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    hits = 0
+    for qid in (1, 7, 42, 99, 200):
+        q = vecs[qid]
+        true_nn = min((i for i in vecs if i != qid),
+                      key=lambda i: ((vecs[i] - q) ** 2).sum())
+        adc = [r.neighbor_id for r in pq_topk(codes, B, q, topk=11).collect()
+               if r.neighbor_id != qid][:10]
+        hits += true_nn in adc
+    assert hits >= 3, hits
+
+    a = sorted(map(repr, codes.collect()))
+    b = sorted(map(repr, pq_encode(emb.repartition(13), B).collect()))
+    assert a == b
+
+
+def test_pq_artifact_roundtrip_and_nulls(spark, tmp_path):
+    import numpy as np
+
+    from lightning_metastore_spark.operators.quantization import (
+        load_pq_codebooks, pq_encode, pq_train, save_pq_codebooks)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .limit(50)
+    B = pq_train(emb, m=8, k=8, iters=2)
+    path = str(tmp_path / "pq")
+    save_pq_codebooks(spark, B, path)
+    B2 = load_pq_codebooks(spark, path)
+    assert np.array_equal(B, B2)
+
+    bad = spark.createDataFrame(
+        [(900, None), (901, [1.0, 2.0])],
+        "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.codes for r in pq_encode(bad, B).collect()}
+    assert out[900] is None and out[901] is None
