@@ -450,3 +450,49 @@ def load_pq_codebooks(spark, path: str):
     for r in rows:
         B[r.subspace, r.centroid_id] = r.vec
     return B
+
+
+def ivf_pq_topk(emb: DataFrame, centroids: DataFrame, codebooks,
+                query_vec, topk: int = 5, nprobe: int = 3,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                index: DataFrame | None = None,
+                codes: DataFrame | None = None) -> DataFrame:
+    """IVF-PQ serving: probe the ``nprobe`` nearest coarse cells
+    (similarity.assign_cells index), then rank ONLY their members by
+    PQ asymmetric distance — the full FAISS IVF-PQ layout, where the
+    cell equi-join prunes the scan and the m-byte codes bound its
+    memory. Returns (rk, neighbor_id, adc_dist).
+
+    Pass prebuilt ``index`` (assign_cells output) and ``codes``
+    (pq_encode output) for the serving path — both are
+    persist-once/query-many artifacts; without them, one broadcast
+    assignment pass + one map-only encode run inline. Cell choice uses
+    the same cosine argmax as ivf_topk; candidate scoring is the
+    pq_topk lookup-table gather restricted to probed cells. At 100 TB:
+    store codes partitioned by cell so the probe equi-join prunes
+    unread partitions at the scan.
+    """
+    import numpy as np
+
+    from lightning_metastore_spark.operators.similarity import assign_cells
+
+    if index is None:
+        index = assign_cells(emb, centroids, id_col, vec_col)
+    if codes is None:
+        codes = pq_encode(emb, codebooks, id_col, vec_col)
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    cents = {r["centroid_id"]: np.asarray(r[vec_col], dtype=np.float64)
+             for r in centroids.collect()}
+    qn = np.linalg.norm(q) or 1.0
+
+    def _cos(c):
+        n = np.linalg.norm(c) or 1.0
+        return float(q @ c / (qn * n))
+    probed = sorted(cents, key=lambda i: (-round(_cos(cents[i]), 9), i))
+    probed = [int(c) for c in probed[:int(nprobe)]]
+
+    members = (index.filter(F.col("cell").isin(probed))
+               .select(F.col(id_col)))
+    return pq_topk(codes.join(members, id_col), codebooks, query_vec,
+                   topk=topk, id_col=id_col)

@@ -51,7 +51,7 @@ Embeddings:   scalar_quantize_stats, random_project,
               power_iteration_pca + apply_pca (distributed top-k PCA),
               pq_train / pq_encode / pq_topk + save/load codebooks
               (FAISS-style product quantization: m-byte codes, ADC
-              lookup-table serving)
+              lookup-table serving), ivf_pq_topk (cell-pruned IVF-PQ)
 Temporal:     asof_join, range_join, hypertable_rollup,
               gap_filled_hourly, lttb_downsample, rolling_zscore,
               funnel_counts, sessionize, rolling_active_users
@@ -162,6 +162,7 @@ from lightning_metastore_spark.operators.pipeline import (  # noqa: F401
 )
 from lightning_metastore_spark.operators.quantization import (  # noqa: F401
     apply_pca,
+    ivf_pq_topk,
     load_pq_codebooks,
     norm_outliers,
     power_iteration_pca,

@@ -280,3 +280,32 @@ def test_pq_artifact_roundtrip_and_nulls(spark, tmp_path):
         "vec_id long, embedding array<double>")
     out = {r.vec_id: r.codes for r in pq_encode(bad, B).collect()}
     assert out[900] is None and out[901] is None
+
+
+def test_ivf_pq_composes_and_degenerates_to_pq(spark):
+    """IVF-PQ: at full probe coverage (nprobe == n_cells) the result
+    equals plain pq_topk over everything; at nprobe=1 the candidates
+    are exactly the probed cell's members (ADC order within them)."""
+    from lightning_metastore_spark.operators.quantization import (
+        ivf_pq_topk, pq_encode, pq_topk, pq_train)
+    from lightning_metastore_spark.operators.similarity import (
+        assign_cells, kmeans_centroids)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .limit(120)
+    cents = kmeans_centroids(emb, k=4)
+    B = pq_train(emb, m=8, k=32, iters=3)
+    q = emb.filter("vec_id = 7").first()["embedding"]
+
+    full = ivf_pq_topk(emb, cents, B, q, topk=5, nprobe=4).collect()
+    plain = pq_topk(pq_encode(emb, B), B, q, topk=5).collect()
+    assert sorted(map(repr, full)) == sorted(map(repr, plain))
+
+    index = assign_cells(emb, cents)
+    codes = pq_encode(emb, B)
+    one = ivf_pq_topk(emb, cents, B, q, topk=5, nprobe=1,
+                      index=index, codes=codes).collect()
+    # every hit comes from one cell, and that cell contains the query
+    cells = {r.vec_id: r.cell for r in index.collect()}
+    hit_cells = {cells[r.neighbor_id] for r in one}
+    assert len(hit_cells) == 1 and cells[7] in hit_cells
