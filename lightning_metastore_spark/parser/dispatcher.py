@@ -1183,6 +1183,19 @@ class RunPipeline(Command):
             return quantization.pq_topk(codes, B, q["embedding"],
                                         topk=topk)
 
+        def ivf_pq_topk_op(df, load, centroids, query_vec_id, topk=5,
+                           nprobe=3):
+            """Cell-pruned IVF-PQ top-k: coarse centroids from OPTIONS(centroids 'table'), PQ codebooks from OPTIONS(load)."""
+            B = quantization.load_pq_codebooks(df.sparkSession, load)
+            from pyspark.sql import functions as FF
+            q = df.filter(FF.col("vec_id") == int(query_vec_id)) \
+                .select("embedding").first()
+            if q is None:
+                raise ValueError(f"no vector with vec_id={query_vec_id}")
+            return quantization.ivf_pq_topk(
+                df.filter(FF.col("vec_id") != int(query_vec_id)),
+                centroids, B, q["embedding"], topk=topk, nprobe=nprobe)
+
         def ingest_admit(df, index_dir, threshold=0.5, max_span_frac=None,
                          bloom_path=None, bloom_threshold=0.5):
             """Admit a batch against a persisted dedup index (OPTIONS(index_dir)) — the backfill twin of the streaming ingest sink."""
@@ -1401,6 +1414,10 @@ class RunPipeline(Command):
             "pq_encode": (pq_encode_op, {"load": str}),
             "pq_topk": (pq_topk_op,
                         {"load": str, "query_vec_id": int, "topk": int}),
+            "ivf_pq_topk": (ivf_pq_topk_op,
+                            {"load": str, "centroids": "TABLE",
+                             "query_vec_id": int, "topk": int,
+                             "nprobe": int}),
             # ---- layout maintenance (writes to OPTIONS(path)) ----
             "compact": (compact,
                         {"path": str, "out_path": str, "target_mb": int}),

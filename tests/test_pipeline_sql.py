@@ -540,3 +540,16 @@ def test_pq_train_encode_topk_roundtrip_sql(env, spark, tmp_path_factory):
         quantization.pq_encode(env.emb.filter("vec_id != 3"), B), B, q,
         topk=5).collect()
     assert sorted(map(repr, topk)) == sorted(map(repr, want))
+
+    # IVF-PQ over SQL: coarse centroids as a registered table, full
+    # probe coverage == plain pq_topk
+    from lightning_metastore_spark.operators.similarity import (
+        kmeans_centroids)
+
+    cents = kmeans_centroids(env.emb, k=3)
+    cents.write.mode("overwrite").parquet(str(env.root / "ds" / "cents"))
+    ivf = env.ctx.sql(
+        f"RUN PIPELINE ivf_pq_topk ON {EMB} "
+        f"OPTIONS(load '{path}', centroids '{NS}.cents', "
+        "query_vec_id '3', topk '5', nprobe '3')").collect()
+    assert sorted(map(repr, ivf)) == sorted(map(repr, want))
