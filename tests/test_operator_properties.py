@@ -732,3 +732,32 @@ def test_rrf_fuse_matches_bruteforce(lists, k0):
         assert got[d].rrf_score == score[d]
         for i, rk in enumerate(ranks):
             assert got[d][f"rank_{i}"] == rk.get(d)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=8))
+def test_normalize_text_matches_python_model(texts):
+    """Randomized twin over arbitrary Unicode (controls, NBSP, astral
+    chars, exotic whitespace): NFC + control strip + Java-\\s-semantics
+    collapse ([\\t\\n\\r space NBSP] after the strip — NOT Python's
+    wider \\s) + space trim, modeled exactly in Python."""
+    import re
+    import unicodedata
+
+    from lightning_metastore_spark.operators.cleaning import normalize_text
+
+    spark = _spark()
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in normalize_text(df, form="NFC").collect()}
+
+    ctrl = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+    ws = re.compile("[\t\n\r  ]+")
+    for i, t in rows:
+        want = ws.sub(" ", ctrl.sub("", unicodedata.normalize("NFC", t)))
+        want = want.strip(" ")
+        r = got[i]
+        assert r.text_norm == want, (repr(t), repr(r.text_norm), repr(want))
+        assert r.n_chars_before == len(t)
+        assert r.n_chars_after == len(want)
+        assert bool(r.changed) == (want != t)
