@@ -240,3 +240,43 @@ def load_ngram_bloom(spark, path: str) -> dict:
     return {"bits": bytes(r["bits"]), "n_bits": int(r["n_bits"]),
             "k": int(r["k"]), "n": int(r["n"]),
             "n_grams": int(r["n_grams"])}
+
+
+def contamination_report(train: DataFrame, benchmark: DataFrame,
+                         n: int = 3, max_grams: int = 20,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         sh_train: DataFrame | None = None,
+                         sh_bench: DataFrame | None = None) -> DataFrame:
+    """Span-level contamination ATTRIBUTION — the audit view behind
+    ``contamination_overlap``'s counts: for each training doc, WHICH
+    benchmark n-grams hit, as (doc_id, gram_rank, shingle) with at
+    most ``max_grams`` grams per doc (rank by shingle text, ascending —
+    deterministic on any engine). A decontamination review needs the
+    actual overlapping text to judge false positives (famous quotes,
+    boilerplate legalese) against true eval leakage; counts alone
+    cannot distinguish them.
+
+    100 TB shape: same plan as the overlap counter — the benchmark's
+    DISTINCT gram set broadcasts against the training shingle stream
+    (the corpus never shuffles for it) — plus one per-doc window
+    bounded by the doc's OWN hit count, cut to max_grams. Output is
+    hits-bounded, never corpus-bounded.
+    """
+    from pyspark.sql.window import Window as W
+
+    from lightning_metastore_spark.operators.dedup import shingles
+
+    sh_t = sh_train if sh_train is not None \
+        else shingles(train, n, text_col, id_col)
+    sh_b = sh_bench if sh_bench is not None \
+        else shingles(benchmark, n, text_col, id_col)
+    bench_set = sh_b.select("shingle").distinct()
+    hits = sh_t.join(F.broadcast(bench_set), "shingle") \
+        .select(id_col, "shingle").distinct()
+    w = W.partitionBy(id_col).orderBy(F.asc("shingle"))
+    return (hits.withColumn("gram_rank",
+                            F.row_number().over(w).cast("long"))
+            .filter(F.col("gram_rank") <= int(max_grams))
+            .select(id_col, "gram_rank", "shingle")
+            .orderBy(id_col, "gram_rank"))

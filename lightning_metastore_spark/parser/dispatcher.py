@@ -1254,6 +1254,14 @@ class RunPipeline(Command):
                 .contamination_overlap(df, bench, n=n,
                                        flag_threshold=flag_threshold),
                 {"bench": "TABLE", "n": int, "flag_threshold": float}),
+            "contamination_report": (
+                lambda df, bench, n=3, max_grams=20:
+                __import__("lightning_metastore_spark.operators."
+                           "contamination",
+                           fromlist=["contamination_report"])
+                .contamination_report(df, bench, n=n,
+                                      max_grams=max_grams),
+                {"bench": "TABLE", "n": int, "max_grams": int}),
             "range_join": (
                 lambda df, right, left_val, right_val, lo, hi, by="":
                 __import__("lightning_metastore_spark.operators.temporal",

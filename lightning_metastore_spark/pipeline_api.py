@@ -34,7 +34,9 @@ Tokenizing:   build_vocab, encode_token_stats, chunk_documents,
 Cleaning:     remove_boilerplate_lines, dedup_lines_within_doc,
               normalize_text (Unicode NFC/NFKC + control/whitespace
               canonicalization)
-Hygiene:      contamination_overlap, build_ngram_bloom / bloom_contamination
+Hygiene:      contamination_overlap + contamination_report (which
+              grams hit — the audit view), build_ngram_bloom /
+              bloom_contamination
 Sampling:     mixture_resample, temperature_resample (XLM/mT5
               tau-smoothing), epoch_schedule (per-group epochs +
               residual for up-sampled mixtures), stratified_fixed_n,
@@ -119,6 +121,7 @@ from lightning_metastore_spark.operators.contamination import (  # noqa: F401
     bloom_fp_rate,
     build_ngram_bloom,
     contamination_overlap,
+    contamination_report,
     load_ngram_bloom,
     save_ngram_bloom,
 )

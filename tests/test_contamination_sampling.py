@@ -416,3 +416,37 @@ def test_epoch_schedule_matches_python_twin_and_temperature(spark):
     assert sched2["fr"].n_epochs >= 1 and rates["fr"] == 1.0  # up-sampled
     assert sched2["en"].n_epochs == 0                         # down-sampled
     assert abs(sched2["en"].residual_rate - rates["en"]) < 1e-6
+
+
+def test_contamination_report_attributes_exact_grams(spark):
+    """The report returns exactly the overlapping n-grams (Python-set
+    twin), deterministically ranked, capped per doc, and consistent
+    with contamination_overlap's counts."""
+    from lightning_metastore_spark.operators.contamination import (
+        contamination_overlap, contamination_report)
+
+    train = spark.createDataFrame([
+        (1, "the quick brown fox jumps high"),
+        (2, "totally different words here now"),
+    ], ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox runs away")], ["doc_id", "text"])
+
+    rep = contamination_report(train, bench, n=3).collect()
+
+    def grams(t, n=3):
+        w = t.lower().split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)} \
+            if len(w) >= n else {" ".join(w)}
+
+    want = sorted(grams(train.collect()[0].text) & grams(bench.collect()[0].text))
+    got1 = [(r.gram_rank, r.shingle) for r in rep if r.doc_id == 1]
+    assert got1 == list(enumerate(want, 1))
+    assert not [r for r in rep if r.doc_id == 2]     # clean doc absent
+
+    counts = {r.doc_id: r.n_contaminated for r in
+              contamination_overlap(train, bench, n=3).collect()}
+    assert counts[1] == len(got1)
+
+    capped = contamination_report(train, bench, n=3, max_grams=1).collect()
+    assert [(r.doc_id, r.gram_rank) for r in capped] == [(1, 1)]

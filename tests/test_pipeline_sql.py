@@ -553,3 +553,17 @@ def test_pq_train_encode_topk_roundtrip_sql(env, spark, tmp_path_factory):
         f"OPTIONS(load '{path}', centroids '{NS}.cents', "
         "query_vec_id '3', topk '5', nprobe '3')").collect()
     assert sorted(map(repr, ivf)) == sorted(map(repr, want))
+
+
+def test_contamination_report_sql(env):
+    """Span-level contamination attribution through SQL equals the
+    Python API (two-table TABLE option, self-check: docs vs their own
+    first rows as the 'benchmark')."""
+    from lightning_metastore_spark.operators.contamination import (
+        contamination_report)
+
+    got = env.ctx.sql(
+        f"RUN PIPELINE contamination_report ON {DOCS} "
+        f"OPTIONS(bench '{DOCS}', n '4', max_grams '3')")
+    want = contamination_report(env.docs, env.docs, n=4, max_grams=3)
+    assert _rows(got) == _rows(want) and got.count() > 0
