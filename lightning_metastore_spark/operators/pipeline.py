@@ -209,3 +209,59 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
     return out.select(id_col, text_col, "quality_score", "pred_lang",
                       "cluster_id", "split", keep.alias("keep"),
                       reason.alias("drop_reason"))
+
+
+def corpus_report(docs: DataFrame, top_langs: int = 10,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Dataset-card summary — the one-page corpus profile every
+    training-data release documents: (metric, value_num, value_str)
+    rows covering size (docs/tokens/chars), token-length distribution
+    (mean + approx p50/p95), exact-duplicate rate, mean quality score,
+    and the language mix (one ``lang:<code>`` row per predicted
+    language with its doc share, top ``top_langs``).
+
+    Composes the existing operators (token_counts, quality_features,
+    lang_id, exact_dedup) — no new scan semantics; every number is
+    re-derivable from those gate-verified components. Scale: four
+    single-pass scans, each ending in a scalar or group-cardinality
+    aggregate (langs = dozens); percentiles use approx_percentile
+    (mergeable sketch — exact percentile would buffer every value in
+    one task). Output is ~a dozen rows — driver-sized by construction.
+    """
+    tc = text_fns.token_counts(docs, text_col, id_col)
+    size = tc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("double").alias("total_tokens"),
+        F.sum("n_chars").cast("double").alias("total_chars"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.expr("approx_percentile(n_tokens, 0.5)").cast("double")
+        .alias("p50_tokens"),
+        F.expr("approx_percentile(n_tokens, 0.95)").cast("double")
+        .alias("p95_tokens")).first()
+    n_docs = int(size["n_docs"])
+
+    n_unique = text_fns.fingerprint(docs, text_col, id_col) \
+        .select("fp").distinct().count()
+    qual = text_fns.quality_features(docs, text_col, id_col) \
+        .agg(F.round(F.avg("quality_score"), 6).alias("avg_q")).first()
+    langs = (text_fns.lang_id(docs, text_col, id_col)
+             .groupBy("pred_lang").agg(F.count(F.lit(1)).alias("n"))
+             .orderBy(F.desc("n"), "pred_lang").limit(int(top_langs))
+             .collect())
+
+    rows = [
+        ("n_docs", float(n_docs), None),
+        ("total_tokens", float(size["total_tokens"] or 0), None),
+        ("total_chars", float(size["total_chars"] or 0), None),
+        ("avg_tokens", float(size["avg_tokens"] or 0), None),
+        ("p50_tokens", float(size["p50_tokens"] or 0), None),
+        ("p95_tokens", float(size["p95_tokens"] or 0), None),
+        ("n_unique_texts", float(n_unique), None),
+        ("exact_dup_frac",
+         round(1.0 - n_unique / n_docs, 6) if n_docs else 0.0, None),
+        ("avg_quality_score", float(qual["avg_q"] or 0), None),
+    ] + [(f"lang:{r['pred_lang']}", round(r["n"] / n_docs, 6),
+          r["pred_lang"]) for r in langs]
+    return docs.sparkSession.createDataFrame(
+        rows, "metric string, value_num double, value_str string")

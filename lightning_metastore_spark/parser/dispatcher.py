@@ -1031,6 +1031,12 @@ class RunPipeline(Command):
             return curate_corpus(df, CurationConfig(
                 min_quality=min_quality, **kw))
 
+        def corpus_report_op(df, top_langs=10):
+            """Dataset-card summary: size/token/dup/quality/language-mix metrics, one row per metric."""
+            from lightning_metastore_spark.operators.pipeline import (
+                corpus_report)
+            return corpus_report(df, top_langs=top_langs)
+
         from lightning_metastore_spark.operators import (
             bpe, chunking, graph, layout, packing, quantization, retrieval,
             sampling, skyline as skyline_mod, temporal, unigram_lm)
@@ -1226,6 +1232,7 @@ class RunPipeline(Command):
                                      .alias("clean")), {}),
             "boilerplate": (cleaning.remove_boilerplate_lines,
                             {"max_df": int}),
+            "corpus_report": (corpus_report_op, {"top_langs": int}),
             "curate": (curate,
                        {"min_quality": float,
                         "max_dup_2gram_frac": float,

@@ -68,7 +68,8 @@ Multimodal:   image_dhash, dhash_neardup_pairs (perceptual image
 Layout:       write_range_clustered, write_zorder_clustered,
               file_column_ranges, write_training_shards,
               compact_parquet (small-file maintenance)
-Composed:     curate_corpus, CurationConfig
+Composed:     curate_corpus, CurationConfig,
+              corpus_report (dataset-card summary)
 Streaming:    lightning_metastore_spark.streaming.events (windowed
               aggregation, stateful sessionizer, stateful funnel,
               stateful rolling z-score, stateful heavy hitters,
@@ -161,6 +162,7 @@ from lightning_metastore_spark.operators.packing import (  # noqa: F401
 )
 from lightning_metastore_spark.operators.pipeline import (  # noqa: F401
     CurationConfig,
+    corpus_report,
     curate_corpus,
 )
 from lightning_metastore_spark.operators.quantization import (  # noqa: F401

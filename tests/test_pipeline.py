@@ -195,3 +195,43 @@ def test_curate_normalize_stage_collapses_unicode_variants(spark):
         docs, CurationConfig(min_quality=0.0,
                              allowed_langs=("en", "und"))).collect()}
     assert raw[1].keep and raw[2].keep
+
+
+def test_corpus_report_matches_python_twin(spark):
+    """The dataset-card summary equals a from-scratch Python model on a
+    crafted corpus (size, token stats, exact-dup rate, quality mean,
+    language shares), and runs on the driver documents table."""
+    from lightning_metastore_spark.functions.text import (
+        lang_id, quality_features)
+    from lightning_metastore_spark.operators.pipeline import corpus_report
+
+    rows = [
+        (1, "the quick brown fox and the lazy dog run the field"),
+        (2, "the quick brown fox and the lazy dog run the field"),  # dup
+        (3, "der schnelle braune fuchs und der faule hund laufen"),
+        (4, "one two three"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = {r.metric: r for r in corpus_report(docs).collect()}
+
+    toks = [len(t.split()) for _, t in rows]
+    assert rep["n_docs"].value_num == 4.0
+    assert rep["total_tokens"].value_num == float(sum(toks))
+    assert rep["avg_tokens"].value_num == round(sum(toks) / 4, 6)
+    assert rep["n_unique_texts"].value_num == 3.0
+    assert rep["exact_dup_frac"].value_num == 0.25
+    q = [r.quality_score for r in quality_features(docs).collect()]
+    assert abs(rep["avg_quality_score"].value_num
+               - round(sum(q) / len(q), 6)) < 1e-6
+    langs = {}
+    for r in lang_id(docs).collect():
+        langs[r.pred_lang] = langs.get(r.pred_lang, 0) + 1
+    for lg, n in langs.items():
+        assert rep[f"lang:{lg}"].value_num == round(n / 4, 6)
+        assert rep[f"lang:{lg}"].value_str == lg
+
+    big = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = corpus_report(big).collect()
+    assert {r.metric for r in out} >= {"n_docs", "p50_tokens",
+                                       "p95_tokens", "exact_dup_frac"}
+    assert {r.metric: r.value_num for r in out}["n_docs"] == 500.0

@@ -567,3 +567,12 @@ def test_contamination_report_sql(env):
         f"OPTIONS(bench '{DOCS}', n '4', max_grams '3')")
     want = contamination_report(env.docs, env.docs, n=4, max_grams=3)
     assert _rows(got) == _rows(want) and got.count() > 0
+
+
+def test_corpus_report_sql(env):
+    from lightning_metastore_spark.operators.pipeline import corpus_report
+
+    got = env.ctx.sql(f"RUN PIPELINE corpus_report ON {DOCS} "
+                      "OPTIONS(top_langs '3')")
+    want = corpus_report(env.docs, top_langs=3)
+    assert _rows(got) == _rows(want) and got.count() >= 9
