@@ -265,3 +265,45 @@ def corpus_report(docs: DataFrame, top_langs: int = 10,
           r["pred_lang"]) for r in langs]
     return docs.sparkSession.createDataFrame(
         rows, "metric string, value_num double, value_str string")
+
+
+def corpus_diff(old: DataFrame, new: DataFrame,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Snapshot-to-snapshot corpus diff — the dataset-versioning audit
+    a recurring crawl/curation run publishes alongside each release:
+    one row per doc id in EITHER snapshot with
+    (doc_id, status, old_fp, new_fp, token_delta) where status is
+    ``added`` (id only in new), ``removed`` (id only in old),
+    ``changed`` (both, text md5 differs) or ``unchanged``, and
+    token_delta = new-side tokens − old-side tokens (whitespace tokens,
+    the module's `\\S+` convention; a missing side counts 0).
+
+    100 TB shape: each side is projected to (id, md5 fp, token count)
+    BEFORE the join, so the full-outer shuffle carries ~50-byte rows —
+    two orders of magnitude below the text itself — keyed on the unique
+    doc id (no skew by construction; both sides are corpus-scale, so
+    neither is broadcast and AQE plans a plain shuffle join). Status is
+    a map-side expression after the join. A per-status rollup is one
+    further `groupBy("status")` away and deliberately not fused in —
+    the row-level table is the reusable artifact.
+    """
+    def prep(df: DataFrame, side: str):
+        return df.select(
+            F.col(id_col),
+            F.md5(F.coalesce(F.col(text_col), F.lit("")))
+            .alias(f"{side}_fp"),
+            F.size(F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")),
+                F.lit(r"(\S+)"), 1)).cast("long").alias(f"{side}_tokens"))
+
+    j = prep(old, "old").join(prep(new, "new"), id_col, "full_outer")
+    status = (F.when(F.col("old_fp").isNull(), "added")
+              .when(F.col("new_fp").isNull(), "removed")
+              .when(F.col("old_fp") == F.col("new_fp"), "unchanged")
+              .otherwise("changed"))
+    return j.select(
+        F.col(id_col), status.alias("status"),
+        F.col("old_fp"), F.col("new_fp"),
+        (F.coalesce(F.col("new_tokens"), F.lit(0))
+         - F.coalesce(F.col("old_tokens"), F.lit(0))).alias("token_delta"))

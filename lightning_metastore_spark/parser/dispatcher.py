@@ -1313,6 +1313,18 @@ class RunPipeline(Command):
                          {"n_planes": int, "threshold": float}),
             "dedup_lines": (cleaning.dedup_lines_within_doc, {}),
             "normalize_text": (cleaning.normalize_text, {"form": str}),
+            "html_extract": (
+                lambda df, text_col="text", id_col="doc_id":
+                __import__("lightning_metastore_spark.functions.html",
+                           fromlist=["html_extract"])
+                .html_extract(df, text_col=text_col, id_col=id_col),
+                {"text_col": str, "id_col": str}),
+            "corpus_diff": (
+                lambda df, old:
+                __import__("lightning_metastore_spark.operators.pipeline",
+                           fromlist=["corpus_diff"])
+                .corpus_diff(old, df),
+                {"old": "TABLE"}),
             # ---- graph over a pairs/edges table ----
             "pagerank": (graph.pagerank,
                          {"src": str, "dst": str, "n_iter": int,

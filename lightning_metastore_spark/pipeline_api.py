@@ -33,7 +33,8 @@ Tokenizing:   build_vocab, encode_token_stats, chunk_documents,
               save/load artifacts for both tokenizers
 Cleaning:     remove_boilerplate_lines, dedup_lines_within_doc,
               normalize_text (Unicode NFC/NFKC + control/whitespace
-              canonicalization)
+              canonicalization), html_extract + html_title (HTML ->
+              text with link-density boilerplate features)
 Hygiene:      contamination_overlap + contamination_report (which
               grams hit — the audit view), build_ngram_bloom /
               bloom_contamination
@@ -69,7 +70,8 @@ Layout:       write_range_clustered, write_zorder_clustered,
               file_column_ranges, write_training_shards,
               compact_parquet (small-file maintenance)
 Composed:     curate_corpus, CurationConfig,
-              corpus_report (dataset-card summary)
+              corpus_report (dataset-card summary),
+              corpus_diff (snapshot-to-snapshot versioning audit)
 Streaming:    lightning_metastore_spark.streaming.events (windowed
               aggregation, stateful sessionizer, stateful funnel,
               stateful rolling z-score, stateful heavy hitters,
@@ -100,6 +102,10 @@ from lightning_metastore_spark.functions.text import (  # noqa: F401
     tfidf_top_terms,
     token_counts,
     unigram_logprob,
+)
+from lightning_metastore_spark.functions.html import (  # noqa: F401
+    html_extract,
+    html_title,
 )
 from lightning_metastore_spark.operators.bpe import (  # noqa: F401
     apply_bpe_merges,
@@ -162,6 +168,7 @@ from lightning_metastore_spark.operators.packing import (  # noqa: F401
 )
 from lightning_metastore_spark.operators.pipeline import (  # noqa: F401
     CurationConfig,
+    corpus_diff,
     corpus_report,
     curate_corpus,
 )

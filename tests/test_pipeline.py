@@ -235,3 +235,49 @@ def test_corpus_report_matches_python_twin(spark):
     assert {r.metric for r in out} >= {"n_docs", "p50_tokens",
                                        "p95_tokens", "exact_dup_frac"}
     assert {r.metric: r.value_num for r in out}["n_docs"] == 500.0
+
+
+def test_corpus_diff_matches_python_twin(spark):
+    """Row-level snapshot diff equals a dict-based Python model on a
+    crafted pair, and the self-diff of a real table is all-unchanged."""
+    import hashlib
+
+    from lightning_metastore_spark.operators.pipeline import corpus_diff
+
+    old_rows = {1: "a b c", 2: "x y", 3: "keep me", 5: None}
+    new_rows = {2: "x y z w", 3: "keep me", 4: "brand new", 5: ""}
+    old = spark.createDataFrame(sorted(old_rows.items()),
+                                "doc_id long, text string")
+    new = spark.createDataFrame(sorted(new_rows.items()),
+                                "doc_id long, text string")
+    got = {r.doc_id: r for r in corpus_diff(old, new).collect()}
+
+    def fp(t):
+        return hashlib.md5((t or "").encode()).hexdigest()
+
+    def ntok(t):
+        return len((t or "").split())
+
+    for i in sorted(set(old_rows) | set(new_rows)):
+        r = got[i]
+        if i not in old_rows:
+            exp = "added"
+        elif i not in new_rows:
+            exp = "removed"
+        elif fp(old_rows[i]) == fp(new_rows[i]):
+            exp = "unchanged"
+        else:
+            exp = "changed"
+        assert r.status == exp, (i, r.status, exp)
+        assert r.old_fp == (fp(old_rows[i]) if i in old_rows else None)
+        assert r.new_fp == (fp(new_rows[i]) if i in new_rows else None)
+        assert r.token_delta == (ntok(new_rows.get(i))
+                                 - ntok(old_rows.get(i)))
+    # NULL text fingerprints like empty text (doc 5: None -> "")
+    assert got[5].status == "unchanged"
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    self_diff = corpus_diff(docs, docs)
+    assert self_diff.filter("status <> 'unchanged'").count() == 0
+    assert self_diff.count() == docs.count()

@@ -24,6 +24,7 @@ NS = "lightning.datasource.file.pipe"
 DOCS, EVENTS, EMB, EDGES = (f"{NS}.docs", f"{NS}.events",
                             f"{NS}.emb", f"{NS}.edges")
 RANKA, RANKB = f"{NS}.ranka", f"{NS}.rankb"
+DOCS2 = f"{NS}.docs2"
 
 
 @pytest.fixture(scope="module")
@@ -55,6 +56,15 @@ def env(spark, tmp_path_factory):
         "doc_id long, score double")
     ranka.write.parquet(str(ds / "ranka"))
     rankb.write.parquet(str(ds / "rankb"))
+    # a second corpus snapshot for the diff op: some ids dropped, some
+    # texts edited, one id added
+    docs2 = docs.selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 3 = 0 THEN concat(text, ' v2') "
+        "ELSE text END AS text").filter("doc_id % 5 <> 0").union(
+        spark.createDataFrame([(100000, "brand new doc")],
+                              "doc_id long, text string"))
+    docs2.write.parquet(str(ds / "docs2"))
 
     ctx = LightningContext(spark, warehouse=str(root / "model"))
     ctx.sql("CREATE NAMESPACE lightning.datasource.file")
@@ -73,6 +83,7 @@ def env(spark, tmp_path_factory):
     e.edges = spark.read.parquet(str(ds / "edges"))
     e.ranka = spark.read.parquet(str(ds / "ranka"))
     e.rankb = spark.read.parquet(str(ds / "rankb"))
+    e.docs2 = spark.read.parquet(str(ds / "docs2"))
     return e
 
 
@@ -254,6 +265,16 @@ def _cases():
          "query_terms 'spark,merge', query_vec_id '3', k '5')",
          lambda e: retrieval.hybrid_search(e.docs, e.emb,
                                            ("spark", "merge"), 3, k=5)),
+        ("html_extract",
+         f"html_extract ON {DOCS}",
+         lambda e: __import__(
+             "lightning_metastore_spark.functions.html",
+             fromlist=["html_extract"]).html_extract(e.docs)),
+        ("corpus_diff",
+         f"corpus_diff ON {DOCS2} OPTIONS(old '{DOCS}')",
+         lambda e: __import__(
+             "lightning_metastore_spark.operators.pipeline",
+             fromlist=["corpus_diff"]).corpus_diff(e.docs, e.docs2)),
     ]
 
 
