@@ -369,12 +369,18 @@ def classifier_weights(spark, n_buckets: int = CLASSIFIER_BUCKETS):
 
 def classifier_score(docs: DataFrame, n_buckets: int = CLASSIFIER_BUCKETS,
                      text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     weights: DataFrame | None = None) -> DataFrame:
     """(doc_id, n_terms, score) — linear text classifier inference as a
     DataFrame program (the fastText quality-classifier shape used to
     filter pretraining corpora): tokens hash into ``n_buckets`` feature
     buckets, the weight table broadcasts onto the token stream, and the
     document score is sigmoid(mean bucket weight).
+
+    ``weights`` may supply a TRAINED (bucket, m) table — e.g. from
+    ``operators.classifier.train_logreg_classifier``, which uses the
+    identical token hashing — in place of the deterministic stand-in
+    from ``classifier_weights``.
 
     100 TB shape: map-only expression per token + ONE broadcast join
     (the model is KBs) + one per-doc aggregation — no shuffle beyond
@@ -387,7 +393,8 @@ def classifier_score(docs: DataFrame, n_buckets: int = CLASSIFIER_BUCKETS,
                        .alias("token"))
     bucket = (F.conv(F.substring(F.md5("token"), 1, 3), 16, 10)
               .cast("long") % n_buckets)
-    w = classifier_weights(spark, n_buckets)
+    w = (weights.select("bucket", "m") if weights is not None
+         else classifier_weights(spark, n_buckets))
     agg = (toks.select(F.col(id_col), bucket.alias("bucket"))
            .join(F.broadcast(w), "bucket")
            .groupBy(id_col)

@@ -1202,6 +1202,28 @@ class RunPipeline(Command):
                 df.filter(FF.col("vec_id") != int(query_vec_id)),
                 centroids, B, q["embedding"], topk=topk, nprobe=nprobe)
 
+        # ---- quality classifier: train writes an artifact, apply
+        # ---- scores with it (same hashing as classifier_score) ----
+        def classifier_train(df, label_col, iters=8, lr=1.0,
+                             n_buckets=4096, save=None):
+            """Train integer-milli-unit logreg weights on OPTIONS(label_col); OPTIONS(save '...') persists the artifact."""
+            from lightning_metastore_spark.operators import (
+                classifier as clf)
+            w = clf.train_logreg_classifier(
+                df, label_col, iters=iters, lr=lr, n_buckets=n_buckets)
+            if save:
+                clf.save_classifier_weights(df.sparkSession, w, save)
+            return w
+
+        def classifier_apply(df, load, n_buckets=4096):
+            """Score docs with a trained weight artifact (OPTIONS(load '...'))."""
+            from lightning_metastore_spark.functions import text as tfn
+            from lightning_metastore_spark.operators import (
+                classifier as clf)
+            w = clf.load_classifier_weights(df.sparkSession, load)
+            return tfn.classifier_score(df, n_buckets=n_buckets,
+                                        weights=w)
+
         def ingest_admit(df, index_dir, threshold=0.5, max_span_frac=None,
                          bloom_path=None, bloom_threshold=0.5):
             """Admit a batch against a persisted dedup index (OPTIONS(index_dir)) — the backfill twin of the streaming ingest sink."""
@@ -1377,6 +1399,12 @@ class RunPipeline(Command):
             "bigram_logprob": (tf.bigram_logprob, {"lam": float}),
             "classifier_score": (tf.classifier_score,
                                  {"n_buckets": int}),
+            "classifier_train": (classifier_train,
+                                 {"label_col": str, "iters": int,
+                                  "lr": float, "n_buckets": int,
+                                  "save": str}),
+            "classifier_apply": (classifier_apply,
+                                 {"load": str, "n_buckets": int}),
             # ---- sampling / packing / chunking ----
             "stratified_sample": (sampling.stratified_fixed_n,
                                   {"n_per_group": int, "group_col": str}),

@@ -23,7 +23,9 @@ Similarity:   brute_force_topk, ivf_topk, kmeans_centroids,
               refresh_topk (incremental, base never rescanned)
 Text quality: token_counts, quality_features, lang_id, redact_pii,
               tfidf_top_terms, unigram_logprob, bigram_logprob,
-              classifier_score, fingerprint, repetition_features,
+              classifier_score (+ train_logreg_classifier — exact
+              distributed GD training with save/load artifacts),
+              fingerprint, repetition_features,
               bm25_scores, phrase_search, zipf_fit,
               encoding_anomalies, entity_counts, domain_profile
 Tokenizing:   build_vocab, encode_token_stats, chunk_documents,
@@ -106,6 +108,11 @@ from lightning_metastore_spark.functions.text import (  # noqa: F401
 from lightning_metastore_spark.functions.html import (  # noqa: F401
     html_extract,
     html_title,
+)
+from lightning_metastore_spark.operators.classifier import (  # noqa: F401
+    load_classifier_weights,
+    save_classifier_weights,
+    train_logreg_classifier,
 )
 from lightning_metastore_spark.operators.bpe import (  # noqa: F401
     apply_bpe_merges,

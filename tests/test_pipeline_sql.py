@@ -25,6 +25,7 @@ DOCS, EVENTS, EMB, EDGES = (f"{NS}.docs", f"{NS}.events",
                             f"{NS}.emb", f"{NS}.edges")
 RANKA, RANKB = f"{NS}.ranka", f"{NS}.rankb"
 DOCS2 = f"{NS}.docs2"
+DOCSL = f"{NS}.docsl"
 
 
 @pytest.fixture(scope="module")
@@ -65,6 +66,10 @@ def env(spark, tmp_path_factory):
         spark.createDataFrame([(100000, "brand new doc")],
                               "doc_id long, text string"))
     docs2.write.parquet(str(ds / "docs2"))
+    # a labeled snapshot for classifier training
+    docs.selectExpr("doc_id", "text",
+                    "CAST(doc_id % 2 AS INT) AS label") \
+        .write.parquet(str(ds / "docsl"))
 
     ctx = LightningContext(spark, warehouse=str(root / "model"))
     ctx.sql("CREATE NAMESPACE lightning.datasource.file")
@@ -84,6 +89,7 @@ def env(spark, tmp_path_factory):
     e.ranka = spark.read.parquet(str(ds / "ranka"))
     e.rankb = spark.read.parquet(str(ds / "rankb"))
     e.docs2 = spark.read.parquet(str(ds / "docs2"))
+    e.docsl = spark.read.parquet(str(ds / "docsl"))
     return e
 
 
@@ -597,3 +603,27 @@ def test_corpus_report_sql(env):
                       "OPTIONS(top_langs '3')")
     want = corpus_report(env.docs, top_langs=3)
     assert _rows(got) == _rows(want) and got.count() >= 9
+
+
+def test_classifier_train_apply_roundtrip_sql(env):
+    """classifier_train persists a weight artifact via OPTIONS(save);
+    classifier_apply loads it and equals classifier_score with the
+    trained table."""
+    from lightning_metastore_spark.functions.text import classifier_score
+    from lightning_metastore_spark.operators import classifier as clf
+
+    p = str(env.root / "clf_artifact")
+    out = env.ctx.sql(
+        f"RUN PIPELINE classifier_train ON {DOCSL} "
+        f"OPTIONS(label_col 'label', iters '2', lr '1.0', "
+        f"n_buckets '64', save '{p}')")
+    want = clf.train_logreg_classifier(env.docsl, "label", iters=2,
+                                       lr=1.0, n_buckets=64)
+    assert _rows(out) == _rows(want) and out.count() == 64
+
+    applied = env.ctx.sql(
+        f"RUN PIPELINE classifier_apply ON {DOCSL} "
+        f"OPTIONS(load '{p}', n_buckets '64')")
+    assert _rows(applied) == _rows(
+        classifier_score(env.docsl, n_buckets=64, weights=want))
+    assert applied.count() > 0
