@@ -338,3 +338,89 @@ def epoch_schedule(docs: DataFrame, tau: float = 0.5,
                     F.round(per_doc - F.floor(per_doc), 9)
                     .alias("residual_rate"))
             .orderBy(group_col))
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, n: int,
+                n_buckets: int = 4096, text_col: str = "text",
+                id_col: str = "doc_id", salt: str = "dsir") -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): pick the ``n`` raw-corpus documents whose hashed-unigram
+    language-model likelihood ratio says they look most like a small
+    TARGET corpus, by Gumbel-top-k over the per-doc importance weight.
+    Returns (doc_id, log_weight, sample_rank) for the winners, where
+    log_weight = Σ_tokens [ln p_target(bucket) − ln p_raw(bucket)]
+    under add-1-smoothed bucket unigram models (9dp, frozen — below).
+
+    The method in its published form samples WITHOUT replacement with
+    probability ∝ w(x); Gumbel-top-k (key = log w + Gumbel noise) is
+    the standard exact implementation, and the noise here is the
+    module's deterministic md5 hash-uniform, so selection is
+    reproducible across runs, engines and layouts.
+
+    Determinism contract: bucket counts are exact integer aggregates;
+    the (n_buckets)-row log-ratio table is computed ONCE driver-side
+    and frozen to integer 1e-9 units (the transcendental ln happens on
+    dozens-of-KB of counts, not per token); each doc's log-weight is
+    then an exact int64 sum of those integers. The Gumbel key adds
+    -ln(-ln(u)) JVM-side and is rounded to 9dp with an id tiebreak
+    before ranking (the cosine discipline — ulp differences in ln are
+    absorbed except on measure-zero boundaries).
+
+    100 TB shape: two single-pass token-count aggregates whose outputs
+    are n_buckets rows (the raw side shares the corpus scan), ONE
+    broadcast join of the KB-sized ratio table onto the raw token
+    stream, one id-key aggregation for log-weights, and a distributed
+    TakeOrdered for the top n — no global sort, nothing driver-side
+    scales with the corpus. The target corpus is small by definition
+    (it is the thing you can curate by hand).
+    """
+    import math
+
+    def counts(df: DataFrame):
+        toks = df.select(
+            F.explode(F.split(F.lower(F.coalesce(F.col(text_col),
+                                                 F.lit(""))), r"\s+"))
+            .alias("token"))
+        b = (F.conv(F.substring(F.md5("token"), 1, 3), 16, 10)
+             .cast("long") % n_buckets)
+        return {int(r["bucket"]): int(r["c"]) for r in
+                toks.select(b.alias("bucket"))
+                .groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+                .collect()}
+
+    ct, cr = counts(target), counts(raw)
+    nt, nr = sum(ct.values()) + n_buckets, sum(cr.values()) + n_buckets
+    ratio = [(j, round((math.log((ct.get(j, 0) + 1) / nt)
+                        - math.log((cr.get(j, 0) + 1) / nr)) * 1e9))
+             for j in range(n_buckets)]
+    spark = raw.sparkSession
+    lr = spark.createDataFrame(ratio, "bucket long, lr long")
+
+    toks = raw.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.coalesce(F.col(text_col),
+                                             F.lit(""))), r"\s+"))
+        .alias("token"))
+    bucket = (F.conv(F.substring(F.md5("token"), 1, 3), 16, 10)
+              .cast("long") % n_buckets)
+    lw = (toks.select(F.col(id_col), bucket.alias("bucket"))
+          .join(F.broadcast(lr), "bucket")
+          .groupBy(id_col)
+          .agg(F.sum("lr").alias("lw_int")))
+
+    u = ((F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        1, 8), 16, 10).cast("double") + 1.0) / (_HASH_SPACE + 1.0))
+    gumbel = -F.log(-F.log(u))
+    key = F.round(F.col("lw_int") * F.lit(1e-9) + gumbel, 9)
+    ranked = (lw.select(F.col(id_col),
+                        F.round(F.col("lw_int") * F.lit(1e-9), 9)
+                        .alias("log_weight"),
+                        key.alias("_k"))
+              .orderBy(F.desc("_k"), F.asc(id_col))
+              .limit(int(n)))
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy(F.desc("_k"), F.asc(id_col))
+    return (ranked.withColumn("sample_rank", F.row_number().over(w))
+            .select(id_col, "log_weight", "sample_rank"))

@@ -1427,6 +1427,11 @@ class RunPipeline(Command):
                 sampling.budget_select,
                 {"budget_tokens": int, "score_col": str,
                  "n_blocks": int}),
+            "dsir_select": (
+                lambda df, target, n=100, n_buckets=4096:
+                sampling.dsir_select(df, target, n=n,
+                                     n_buckets=n_buckets),
+                {"target": "TABLE", "n": int, "n_buckets": int}),
             "rrf_fuse": (
                 lambda df, other, query_col=None, k0=60:
                 retrieval.rrf_fuse([df, other], query_col=query_col,

@@ -45,7 +45,9 @@ Sampling:     mixture_resample, temperature_resample (XLM/mT5
               residual for up-sampled mixtures), stratified_fixed_n,
               weighted_sample_n (A-ES, without replacement),
               quantile_normalize (per-group percentile rank),
-              budget_select (token-budget prefix selection)
+              budget_select (token-budget prefix selection),
+              dsir_select (DSIR importance resampling toward a
+              target corpus, deterministic Gumbel-top-k)
 Retrieval:    rrf_fuse (Reciprocal Rank Fusion),
               hybrid_search (BM25 + dense cosine, brute or IVF)
 Skyline:      skyline, skyline_per_group (Pareto-optimal sets)
@@ -198,6 +200,7 @@ from lightning_metastore_spark.operators.retrieval import (  # noqa: F401
 )
 from lightning_metastore_spark.operators.sampling import (  # noqa: F401
     budget_select,
+    dsir_select,
     epoch_schedule,
     mixture_resample,
     quantile_normalize,

@@ -450,3 +450,70 @@ def test_contamination_report_attributes_exact_grams(spark):
 
     capped = contamination_report(train, bench, n=3, max_grams=1).collect()
     assert [(r.doc_id, r.gram_rank) for r in capped] == [(1, 1)]
+
+
+def test_dsir_select_matches_python_twin(spark):
+    """DSIR importance resampling replays bit-for-bit in pure Python
+    (same hashing, same integer-frozen log-ratio table, same Gumbel
+    key), and prefers target-like raw docs."""
+    import hashlib
+    import math
+    import re
+
+    from lightning_metastore_spark.operators.sampling import dsir_select
+
+    target_rows = [(100 + i, "spark query plan shuffle join optimizer")
+                   for i in range(5)]
+    raw_rows = ([(i, "spark plan join shuffle stage %d" % (i % 3))
+                 for i in range(10)]
+                + [(20 + i, "cooking recipes garden flowers %d" % (i % 3))
+                   for i in range(10)])
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+
+    B, N = 64, 8
+    got = dsir_select(raw, target, n=N, n_buckets=B).collect()
+
+    def buckets(text):
+        return [int(hashlib.md5(t.encode()).hexdigest()[:3], 16) % B
+                for t in re.split(r"\s+", text.lower())]
+
+    ct, cr = {}, {}
+    for _, t in target_rows:
+        for b in buckets(t):
+            ct[b] = ct.get(b, 0) + 1
+    for _, t in raw_rows:
+        for b in buckets(t):
+            cr[b] = cr.get(b, 0) + 1
+    nt = sum(ct.values()) + B
+    nr = sum(cr.values()) + B
+    lr = {j: round((math.log((ct.get(j, 0) + 1) / nt)
+                    - math.log((cr.get(j, 0) + 1) / nr)) * 1e9)
+          for j in range(B)}
+
+    keys = []
+    for d, t in raw_rows:
+        lw = sum(lr[b] for b in buckets(t))
+        u = ((int(hashlib.md5(f"dsir:{d}".encode()).hexdigest()[:8], 16)
+              + 1.0) / 4294967297.0)
+        g = -math.log(-math.log(u))
+        keys.append((round(lw * 1e-9 + g, 9), -d, d, round(lw * 1e-9, 9)))
+    keys.sort(reverse=True)
+    want = [(d, lwr, i + 1) for i, (_, _, d, lwr) in enumerate(keys[:N])]
+    assert sorted((r.doc_id, r.log_weight, r.sample_rank) for r in got) \
+        == sorted(want)
+    # the importance weights favor target-like docs
+    picked = {r.doc_id for r in got}
+    assert len([d for d in picked if d < 20]) > len(picked) / 2
+
+
+def test_dsir_select_partition_invariant(spark):
+    from lightning_metastore_spark.operators.sampling import dsir_select
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(120)
+    target = docs.filter("doc_id % 10 = 0")
+    a = dsir_select(docs, target, n=15, n_buckets=128).collect()
+    b = dsir_select(docs.repartition(11), target.repartition(3),
+                    n=15, n_buckets=128).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) == 15

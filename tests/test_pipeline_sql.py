@@ -271,6 +271,11 @@ def _cases():
          "query_terms 'spark,merge', query_vec_id '3', k '5')",
          lambda e: retrieval.hybrid_search(e.docs, e.emb,
                                            ("spark", "merge"), 3, k=5)),
+        ("dsir_select",
+         f"dsir_select ON {DOCS} OPTIONS(target '{DOCS2}', n '10', "
+         "n_buckets '128')",
+         lambda e: sampling.dsir_select(e.docs, e.docs2, n=10,
+                                        n_buckets=128)),
         ("html_extract",
          f"html_extract ON {DOCS}",
          lambda e: __import__(
