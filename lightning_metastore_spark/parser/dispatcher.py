@@ -1202,6 +1202,23 @@ class RunPipeline(Command):
                 df.filter(FF.col("vec_id") != int(query_vec_id)),
                 centroids, B, q["embedding"], topk=topk, nprobe=nprobe)
 
+        # ---- reference-LM perplexity filter (CCNet pattern):
+        # ---- train on the REFERENCE table, score any corpus ----
+        def lm_train(df, save, text_col="text"):
+            """Fit a bigram LM on the reference table; counts persist under OPTIONS(save) as distributed parquet."""
+            from lightning_metastore_spark.operators import lm_filter
+            stats = lm_filter.train_bigram_lm(df, save,
+                                              text_col=text_col)
+            return df.sparkSession.createDataFrame(
+                [(save, stats["n_total"], stats["vocab"])],
+                "path string, n_total long, vocab long")
+
+        def lm_score(df, load, lam=0.7, text_col="text"):
+            """Score docs under a saved reference LM (OPTIONS(load)); threshold avg_logprob downstream."""
+            from lightning_metastore_spark.operators import lm_filter
+            return lm_filter.score_with_bigram_lm(df, load, lam=lam,
+                                                  text_col=text_col)
+
         # ---- quality classifier: train writes an artifact, apply
         # ---- scores with it (same hashing as classifier_score) ----
         def classifier_train(df, label_col, iters=8, lr=1.0,
@@ -1399,6 +1416,9 @@ class RunPipeline(Command):
             "bigram_logprob": (tf.bigram_logprob, {"lam": float}),
             "classifier_score": (tf.classifier_score,
                                  {"n_buckets": int}),
+            "lm_train": (lm_train, {"save": str, "text_col": str}),
+            "lm_score": (lm_score,
+                         {"load": str, "lam": float, "text_col": str}),
             "classifier_train": (classifier_train,
                                  {"label_col": str, "iters": int,
                                   "lr": float, "n_buckets": int,

@@ -39,7 +39,9 @@ Cleaning:     remove_boilerplate_lines, dedup_lines_within_doc,
               text with link-density boilerplate features)
 Hygiene:      contamination_overlap + contamination_report (which
               grams hit — the audit view), build_ngram_bloom /
-              bloom_contamination
+              bloom_contamination,
+              train_bigram_lm + score_with_bigram_lm (CCNet-style
+              reference-corpus perplexity filter, parquet artifacts)
 Sampling:     mixture_resample, temperature_resample (XLM/mT5
               tau-smoothing), epoch_schedule (per-group epochs +
               residual for up-sampled mixtures), stratified_fixed_n,
@@ -115,6 +117,10 @@ from lightning_metastore_spark.operators.classifier import (  # noqa: F401
     load_classifier_weights,
     save_classifier_weights,
     train_logreg_classifier,
+)
+from lightning_metastore_spark.operators.lm_filter import (  # noqa: F401
+    score_with_bigram_lm,
+    train_bigram_lm,
 )
 from lightning_metastore_spark.operators.bpe import (  # noqa: F401
     apply_bpe_merges,

@@ -632,3 +632,21 @@ def test_classifier_train_apply_roundtrip_sql(env):
     assert _rows(applied) == _rows(
         classifier_score(env.docsl, n_buckets=64, weights=want))
     assert applied.count() > 0
+
+
+def test_lm_train_score_roundtrip_sql(env):
+    """lm_train persists the reference-LM counts via OPTIONS(save);
+    lm_score loads them and equals the Python API."""
+    from lightning_metastore_spark.operators import lm_filter
+
+    p = str(env.root / "lm_artifact")
+    out = env.ctx.sql(f"RUN PIPELINE lm_train ON {DOCS2} "
+                      f"OPTIONS(save '{p}')")
+    row = out.first()
+    assert row.path == p and row.n_total > 0 and row.vocab > 0
+
+    scored = env.ctx.sql(f"RUN PIPELINE lm_score ON {DOCS} "
+                         f"OPTIONS(load '{p}', lam '0.7')")
+    assert _rows(scored) == _rows(
+        lm_filter.score_with_bigram_lm(env.docs, p, lam=0.7))
+    assert scored.count() > 0
