@@ -307,3 +307,95 @@ def corpus_diff(old: DataFrame, new: DataFrame,
         F.col("old_fp"), F.col("new_fp"),
         (F.coalesce(F.col("new_tokens"), F.lit(0))
          - F.coalesce(F.col("old_tokens"), F.lit(0))).alias("token_delta"))
+
+
+def corpus_drift(old: DataFrame, new: DataFrame, top_k: int = 10,
+                 text_col: str = "text") -> DataFrame:
+    """Distribution-shift audit between two corpus snapshots — the
+    companion to ``corpus_diff`` (that one tracks WHICH docs changed;
+    this one tracks whether the LANGUAGE changed): token-frequency
+    divergences plus the most-drifted tokens. Output is one row per
+    metric (metric, value_num, value_str):
+
+    - ``js_divergence``, ``kl_old_new``, ``kl_new_old`` (nats) and
+      ``l1_distance`` over add-1-smoothed unigram distributions on the
+      UNION vocabulary (p_t=(c_old+1)/(N_old+V), same for q — every
+      token has mass on both sides, so the KLs are finite);
+    - ``vocab_old`` / ``vocab_new`` / ``vocab_union`` sizes;
+    - ``drift:<token>`` rows for the ``top_k`` tokens by |q_t − p_t|,
+      value_num = q_t − p_t (positive = more frequent in new).
+
+    Determinism: counts are exact integer aggregates; each divergence
+    term is one left-associated double expression frozen to
+    DECIMAL(28,15) before the sum, so the totals are
+    partition-order-independent; drift top-k is a TakeOrdered with a
+    token tiebreak on 9dp-rounded deltas.
+
+    100 TB shape: two single-pass token-count aggregations whose
+    outputs are VOCABULARY-sized, one full-outer join of those two
+    count tables on the token key (vocab << corpus; this is the only
+    shuffle beyond the counts), one scalar aggregate for the metric
+    sums, and a TakeOrdered for the drifted tokens. Driver traffic:
+    a handful of scalars + top_k rows.
+    """
+    def counts(df: DataFrame, side: str) -> DataFrame:
+        return (df.select(F.explode(F.split(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            r"\s+")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(f"c_{side}")))
+
+    spark = old.sparkSession
+    co, cn = counts(old, "old"), counts(new, "new")
+    j = (co.join(cn, "token", "full_outer")
+         .select("token",
+                 F.coalesce("c_old", F.lit(0)).alias("c_old"),
+                 F.coalesce("c_new", F.lit(0)).alias("c_new")))
+    j = j.persist()
+    try:
+        tot = j.agg(
+            F.sum("c_old").alias("n_old"), F.sum("c_new").alias("n_new"),
+            F.sum(F.when(F.col("c_old") > 0, 1).otherwise(0)).alias("v_old"),
+            F.sum(F.when(F.col("c_new") > 0, 1).otherwise(0)).alias("v_new"),
+            F.count(F.lit(1)).alias("v_union")).first()
+        n_old, n_new = int(tot["n_old"] or 0), int(tot["n_new"] or 0)
+        v = int(tot["v_union"])
+        do, dn = float(n_old + v), float(n_new + v)
+
+        p = (F.col("c_old") + F.lit(1.0)) / F.lit(do)
+        q = (F.col("c_new") + F.lit(1.0)) / F.lit(dn)
+        m = (p + q) / F.lit(2.0)
+
+        def frz(col):
+            return col.cast("decimal(28,15)")
+
+        sums = j.agg(
+            F.sum(frz(p * F.log(p / q))).alias("kl_pq"),
+            F.sum(frz(q * F.log(q / p))).alias("kl_qp"),
+            F.sum(frz(p * F.log(p / m))).alias("js_p"),
+            F.sum(frz(q * F.log(q / m))).alias("js_q"),
+            F.sum(frz(F.abs(q - p))).alias("l1")).first()
+        kl_pq = round(float(sums["kl_pq"]), 9)
+        kl_qp = round(float(sums["kl_qp"]), 9)
+        js = round(0.5 * float(sums["js_p"]) + 0.5 * float(sums["js_q"]), 9)
+        l1 = round(float(sums["l1"]), 9)
+
+        delta = F.round(q - p, 9)
+        top = (j.select("token", delta.alias("delta"))
+               .orderBy(F.abs(F.col("delta")).desc(), F.col("token"))
+               .limit(int(top_k)).collect())
+    finally:
+        j.unpersist()
+
+    rows = [
+        ("js_divergence", js, None),
+        ("kl_old_new", kl_pq, None),
+        ("kl_new_old", kl_qp, None),
+        ("l1_distance", l1, None),
+        ("vocab_old", float(tot["v_old"]), None),
+        ("vocab_new", float(tot["v_new"]), None),
+        ("vocab_union", float(v), None),
+    ] + [(f"drift:{r['token']}", float(r["delta"]), r["token"])
+         for r in top]
+    return spark.createDataFrame(
+        rows, "metric string, value_num double, value_str string")

@@ -1364,6 +1364,12 @@ class RunPipeline(Command):
                            fromlist=["corpus_diff"])
                 .corpus_diff(old, df),
                 {"old": "TABLE"}),
+            "corpus_drift": (
+                lambda df, old, top_k=10:
+                __import__("lightning_metastore_spark.operators.pipeline",
+                           fromlist=["corpus_drift"])
+                .corpus_drift(old, df, top_k=top_k),
+                {"old": "TABLE", "top_k": int}),
             # ---- graph over a pairs/edges table ----
             "pagerank": (graph.pagerank,
                          {"src": str, "dst": str, "n_iter": int,

@@ -77,7 +77,9 @@ Layout:       write_range_clustered, write_zorder_clustered,
               compact_parquet (small-file maintenance)
 Composed:     curate_corpus, CurationConfig,
               corpus_report (dataset-card summary),
-              corpus_diff (snapshot-to-snapshot versioning audit)
+              corpus_diff (snapshot-to-snapshot versioning audit),
+              corpus_drift (token-distribution JS/KL/L1 divergence
+              between snapshots + most-drifted tokens)
 Streaming:    lightning_metastore_spark.streaming.events (windowed
               aggregation, stateful sessionizer, stateful funnel,
               stateful rolling z-score, stateful heavy hitters,
@@ -184,6 +186,7 @@ from lightning_metastore_spark.operators.packing import (  # noqa: F401
 from lightning_metastore_spark.operators.pipeline import (  # noqa: F401
     CurationConfig,
     corpus_diff,
+    corpus_drift,
     corpus_report,
     curate_corpus,
 )

@@ -281,3 +281,69 @@ def test_corpus_diff_matches_python_twin(spark):
     self_diff = corpus_diff(docs, docs)
     assert self_diff.filter("status <> 'unchanged'").count() == 0
     assert self_diff.count() == docs.count()
+
+
+def test_corpus_drift_matches_python_twin(spark):
+    """Divergence metrics equal a pure-Python model with identical
+    IEEE term order + decimal freezing; self-drift is exactly zero."""
+    import math
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from lightning_metastore_spark.operators.pipeline import corpus_drift
+
+    old_rows = [(1, "the cat sat on the mat"), (2, "dogs chase the cat"),
+                (3, "birds fly high")]
+    new_rows = [(1, "the cat sat on the mat"), (2, "robots chase the cat"),
+                (4, "robots compute fast robots")]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    got = {r.metric: r for r in corpus_drift(old, new, top_k=5).collect()}
+
+    def cnt(rows):
+        c = {}
+        for _, t in rows:
+            for w in re.split(r"\s+", t.lower()):
+                c[w] = c.get(w, 0) + 1
+        return c
+
+    co, cn = cnt(old_rows), cnt(new_rows)
+    vocab = sorted(set(co) | set(cn))
+    v = len(vocab)
+    do, dn = float(sum(co.values()) + v), float(sum(cn.values()) + v)
+
+    def frz(x):
+        return Decimal(repr(x)).quantize(Decimal("1e-15"),
+                                         rounding=ROUND_HALF_UP)
+
+    kl_pq = kl_qp = js_p = js_q = l1 = Decimal(0)
+    deltas = {}
+    for t in vocab:
+        p = (co.get(t, 0) + 1.0) / do
+        q = (cn.get(t, 0) + 1.0) / dn
+        m = (p + q) / 2.0
+        kl_pq += frz(p * math.log(p / q))
+        kl_qp += frz(q * math.log(q / p))
+        js_p += frz(p * math.log(p / m))
+        js_q += frz(q * math.log(q / m))
+        l1 += frz(abs(q - p))
+        deltas[t] = round(q - p, 9)
+
+    assert got["kl_old_new"].value_num == round(float(kl_pq), 9)
+    assert got["kl_new_old"].value_num == round(float(kl_qp), 9)
+    assert got["js_divergence"].value_num == round(
+        0.5 * float(js_p) + 0.5 * float(js_q), 9)
+    assert got["l1_distance"].value_num == round(float(l1), 9)
+    assert got["vocab_old"].value_num == float(len(co))
+    assert got["vocab_new"].value_num == float(len(cn))
+    assert got["vocab_union"].value_num == float(v)
+    top = sorted(deltas.items(),
+                 key=lambda kv: (-abs(kv[1]), kv[0]))[:5]
+    for tok, d in top:
+        assert got[f"drift:{tok}"].value_num == d
+        assert got[f"drift:{tok}"].value_str == tok
+    assert got["js_divergence"].value_num > 0
+
+    zero = {r.metric: r.value_num
+            for r in corpus_drift(old, old, top_k=2).collect()}
+    assert zero["js_divergence"] == 0.0 and zero["l1_distance"] == 0.0

@@ -286,6 +286,12 @@ def _cases():
          lambda e: __import__(
              "lightning_metastore_spark.operators.pipeline",
              fromlist=["corpus_diff"]).corpus_diff(e.docs, e.docs2)),
+        ("corpus_drift",
+         f"corpus_drift ON {DOCS2} OPTIONS(old '{DOCS}', top_k '5')",
+         lambda e: __import__(
+             "lightning_metastore_spark.operators.pipeline",
+             fromlist=["corpus_drift"]).corpus_drift(e.docs, e.docs2,
+                                                     top_k=5)),
     ]
 
 

@@ -397,3 +397,50 @@ def test_temperature_resample_is_broadcast_only(spark):
     # the only lang-keyed exchange feeds the counts AGGREGATE and is
     # map-side combined first (group rows shuffle, never the corpus)
     assert "partial_count" in plan
+
+
+def test_dsir_scoring_broadcasts_ratio_table(spark):
+    """DSIR's scoring pass must broadcast the KB-sized log-ratio table
+    onto the token stream (never shuffle the corpus on the bucket key)
+    and select via TakeOrdered, not a global sort."""
+    from lightning_metastore_spark.operators.sampling import dsir_select
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    target = docs.filter("doc_id % 10 = 0")
+    plan = _plan(dsir_select(docs, target, n=10, n_buckets=64))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lm_score_broadcasts_unigrams_joins_bigrams_on_key(spark,
+                                                          tmp_path):
+    """lm_score must broadcast only the vocabulary-sized unigram table;
+    the corpus-sized bigram counts join on the bigram key (a shuffle
+    join is CORRECT there — broadcasting it would die at web scale)."""
+    from lightning_metastore_spark.operators.lm_filter import (
+        score_with_bigram_lm, train_bigram_lm)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(80)
+    p = str(tmp_path / "lm_plan")
+    train_bigram_lm(docs.filter("doc_id % 3 = 0"), p)
+    plan = _plan(score_with_bigram_lm(docs, p))
+    assert "BroadcastHashJoin" in plan      # the two unigram sides
+    assert "partial_" in plan               # map-side combine on doc agg
+
+
+def test_html_extract_and_corpus_diff_shapes(spark):
+    """html_extract stays a single map-only projection; corpus_diff's
+    full-outer join must shuffle only the (id, fp, count) projection —
+    the text column cannot appear in any Exchange."""
+    from lightning_metastore_spark.functions.html import html_extract
+    from lightning_metastore_spark.operators.pipeline import corpus_diff
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    plan = _plan(html_extract(docs))
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+    dplan = _plan(corpus_diff(docs, docs))
+    for ln in dplan.splitlines():
+        if "Exchange" in ln:
+            assert "text" not in ln, ln
