@@ -54,6 +54,16 @@ class CurationConfig:
     normalize_form: str | None = None          # Unicode canonicalization
     #   (NFC/NFKC/NFD/NFKD) BEFORE every other stage — byte-different
     #   renderings of the same text then share dedup keys
+    html_input: bool = False                   # input is raw HTML: run
+    #   functions/html.html_extract FIRST (title/blocks stripped, the
+    #   flattened body becomes `text`); link_density is kept for the
+    #   reject below
+    max_link_density: float | None = None      # drop navigation/chrome
+    #   pages (requires html_input=True)
+    ref_lm_path: str | None = None             # saved reference-LM
+    #   artifact (operators/lm_filter.train_bigram_lm)
+    min_ref_logprob: float | None = None       # reference-perplexity
+    #   floor under that artifact (CCNet-style keep rule)
 
 
 def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
@@ -76,10 +86,25 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
     ``cfg.normalize_form`` canonicalizes the text
     (cleaning.normalize_text — map-only) BEFORE every other stage, so
     Unicode-variant duplicates collapse in the exact and near-dup
-    steps and the returned ``text`` is the normalized form. Every
-    optional stage is a LEFT join with a coalesced neutral default, so
-    output row count is invariant to which stages are enabled."""
+    steps and the returned ``text`` is the normalized form;
+    ``cfg.html_input`` runs functions/html.html_extract FIRST (the
+    flattened body becomes ``text``) and ``cfg.max_link_density``
+    rejects navigation/chrome pages from its link-density feature;
+    ``cfg.ref_lm_path`` + ``cfg.min_ref_logprob`` reject docs unlike a
+    trusted REFERENCE corpus under a saved bigram-LM artifact
+    (operators/lm_filter — the CCNet keep rule). Every optional stage
+    is a LEFT join with a coalesced neutral default, so output row
+    count is invariant to which stages are enabled."""
     cfg = cfg or CurationConfig()
+
+    link_density = None
+    if cfg.html_input:
+        from lightning_metastore_spark.functions.html import html_extract
+
+        ext = html_extract(docs, text_col=text_col, id_col=id_col)
+        link_density = ext.select(id_col, "link_density")
+        docs = ext.select(F.col(id_col),
+                          F.col("clean_text").alias(text_col))
 
     if cfg.normalize_form is not None:
         from lightning_metastore_spark.operators.cleaning import (
@@ -181,6 +206,23 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
         out = out.join(lm, id_col, "left")
         lm_ok = (F.coalesce("avg_logprob", F.lit(0.0))
                  >= cfg.min_avg_logprob)
+    ld_ok = F.lit(True)
+    if cfg.max_link_density is not None and link_density is not None:
+        out = out.join(link_density, id_col, "left")
+        ld_ok = (F.coalesce("link_density", F.lit(0.0))
+                 <= cfg.max_link_density)
+    ref_ok = F.lit(True)
+    if cfg.ref_lm_path is not None and cfg.min_ref_logprob is not None:
+        from lightning_metastore_spark.operators.lm_filter import (
+            score_with_bigram_lm)
+        ref = score_with_bigram_lm(cleaned, cfg.ref_lm_path,
+                                   text_col=text_col, id_col=id_col) \
+            .select(id_col, F.col("avg_logprob").alias("ref_logprob"))
+        out = out.join(ref, id_col, "left")
+        # <2-token docs have no score; neutral default keeps row count
+        # invariant to enabled stages
+        ref_ok = (F.coalesce("ref_logprob", F.lit(0.0))
+                  >= cfg.min_ref_logprob)
     contam_ok = F.lit(True)
     if benchmark is not None and cfg.max_contam_frac is not None:
         from lightning_metastore_spark.operators.contamination import (
@@ -195,7 +237,8 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
     keep = (F.col("exact_survivor") & F.col("cluster_survivor")
             & (F.col("quality_score") >= cfg.min_quality)
             & F.col("pred_lang").isin(*cfg.allowed_langs)
-            & rep_ok & span_ok & clf_ok & lm_ok & contam_ok)
+            & rep_ok & span_ok & clf_ok & lm_ok & ld_ok & ref_ok
+            & contam_ok)
     reason = (F.when(~F.col("exact_survivor"), "exact_duplicate")
               .when(~F.col("cluster_survivor"), "near_duplicate")
               .when(F.col("quality_score") < cfg.min_quality, "low_quality")
@@ -204,6 +247,8 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
               .when(~span_ok, "dup_spans")
               .when(~clf_ok, "low_classifier_score")
               .when(~lm_ok, "high_perplexity")
+              .when(~ld_ok, "link_heavy")
+              .when(~ref_ok, "ref_perplexity")
               .when(~contam_ok, "contaminated")
               .otherwise(None))
     return out.select(id_col, text_col, "quality_score", "pred_lang",

@@ -1279,6 +1279,10 @@ class RunPipeline(Command):
                         "min_classifier_score": float,
                         "min_avg_logprob": float,
                         "normalize_form": str,
+                        "html_input": _bool,
+                        "max_link_density": float,
+                        "ref_lm_path": str,
+                        "min_ref_logprob": float,
                         "near_dup_threshold": float}),
             # two-table ops: the second side is another lightning
             # table, resolved via the TABLE option coercion

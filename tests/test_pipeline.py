@@ -347,3 +347,51 @@ def test_corpus_drift_matches_python_twin(spark):
     zero = {r.metric: r.value_num
             for r in corpus_drift(old, old, top_k=2).collect()}
     assert zero["js_divergence"] == 0.0 and zero["l1_distance"] == 0.0
+
+
+def test_curate_corpus_html_and_ref_lm_stages(spark, tmp_path):
+    """html_input extracts body text + rejects link-heavy chrome pages
+    as 'link_heavy'; ref_lm_path rejects reference-unlike docs as
+    'ref_perplexity'; row count stays invariant to enabled stages."""
+    from lightning_metastore_spark.operators.lm_filter import (
+        train_bigram_lm)
+
+    body = ("<html><head><title>t</title></head><body><p>%s</p>"
+            "<a href='/'>home</a></body></html>")
+    nav = ("<html><body>" + "".join(
+        f"<a href='/{i}'>section link number {i}</a>" for i in range(12))
+        + "<p>ok</p></body></html>")
+    rows = ([(i, body % f"the quick brown fox tells story number {i} "
+              f"with plenty of distinct prose words {i * 17}")
+             for i in range(8)]
+            + [(100, nav)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    ref = spark.createDataFrame(
+        [(i, f"the quick brown fox tells story number {i}")
+         for i in range(5)], "doc_id long, text string")
+    lm_path = str(tmp_path / "curate_ref_lm")
+    train_bigram_lm(ref, lm_path)
+
+    base = curate_corpus(docs, CurationConfig(
+        min_quality=0.0, html_input=True))
+    out = curate_corpus(docs, CurationConfig(
+        min_quality=0.0, html_input=True, max_link_density=0.5,
+        ref_lm_path=lm_path, min_ref_logprob=-4.0))
+    got = {r.doc_id: r for r in out.collect()}
+    assert out.count() == base.count() == len(rows)
+
+    # the nav page is extracted (tags gone) and rejected for link mass
+    assert got[100].drop_reason == "link_heavy"
+    assert "<a" not in got[100].text and "ok" in got[100].text
+    # prose pages: extracted body text, no html reason
+    kept_reasons = {got[i].drop_reason for i in range(8)}
+    assert "link_heavy" not in kept_reasons
+    # a junk doc added to the same flow fails the reference floor
+    docs2 = docs.union(spark.createDataFrame(
+        [(200, body % ("zxq vbnm qwerty " * 8))],
+        "doc_id long, text string"))
+    out2 = {r.doc_id: r for r in curate_corpus(docs2, CurationConfig(
+        min_quality=0.0, html_input=True,
+        ref_lm_path=lm_path, min_ref_logprob=-4.0)).collect()}
+    assert out2[200].drop_reason == "ref_perplexity"
