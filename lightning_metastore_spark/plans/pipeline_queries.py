@@ -3000,17 +3000,68 @@ FROM documents d LEFT JOIN ck USING (doc_id) ORDER BY doc_id
 """
 
 
+def corpus_diff_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot versioning diff (operators/pipeline.py::corpus_diff):
+    the 'new' snapshot is DERIVED deterministically from the documents
+    table (ids %7==0 dropped, texts of ids %3==0 edited, ids %11==0
+    re-added under id+1000000), so every status arm — added / removed /
+    changed / unchanged — appears and the whole diff (md5 fps included)
+    re-derives in plain SQL."""
+    from lightning_metastore_spark.operators.pipeline import corpus_diff
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    new = (docs.filter(F.col("doc_id") % 7 != 0)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 3 == 0,
+                          F.concat(F.col("text"), F.lit(" v2")))
+                   .otherwise(F.col("text")).alias("text"))
+           .unionByName(
+               docs.filter(F.col("doc_id") % 11 == 0)
+               .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       "text")))
+    return corpus_diff(docs, new).orderBy("doc_id")
+
+
+CORPUS_DIFF_ORACLE = r"""
+WITH newt AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0
+), o AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS old_fp,
+         len(regexp_extract_all(COALESCE(text, ''), '\S+')) AS old_tokens
+  FROM documents
+), n AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS new_fp,
+         len(regexp_extract_all(COALESCE(text, ''), '\S+')) AS new_tokens
+  FROM newt
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.old_fp IS NULL THEN 'added'
+            WHEN n.new_fp IS NULL THEN 'removed'
+            WHEN o.old_fp = n.new_fp THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       o.old_fp, n.new_fp,
+       COALESCE(n.new_tokens, 0) - COALESCE(o.old_tokens, 0) AS token_delta
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+ORDER BY doc_id
+"""
+
+
 def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nineteen document-profiling operators in one melted tagged-union
+    """Twenty document-profiling operators in one melted tagged-union
     slot (50-slot registry discipline): Gopher repetition filters, the
     token-length histogram, sequence packing, the contamination check,
     cross-document exact-substring duplication + its EXCISION + the
     incremental span-index admission, Bloom-filter decontamination,
     sliding-window chunking, tokenizer (vocab-id) application + BPE id
     encoding, FFD bin packing, skyline, heavy hitters, the Zipf fit,
-    encoding-anomaly triage, CDC chunk dedup, entity census and the
-    per-domain curation profile. Every cell of every component is
-    still hash-verified."""
+    encoding-anomaly triage, CDC chunk dedup, entity census, the
+    per-domain curation profile and the snapshot versioning diff.
+    Every cell of every component is still hash-verified."""
     parts = [
         _melt(text_repetition(spark, sf_dir), "repetition", "doc_id",
               ["n_words", "n_distinct_words", "distinct_word_ratio",
@@ -3061,6 +3112,8 @@ def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
               ["n_tokens", "bin_id", "bin_fill", "bin_n_docs"]),
         _melt(bpe_ids_check(spark, sf_dir), "bpe_ids", "doc_id",
               ["n_pieces"], ("ids_checksum",)),
+        _melt(corpus_diff_check(spark, sf_dir), "diff", "doc_id",
+              ["token_delta"], ("status", "old_fp", "new_fp")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3137,6 +3190,9 @@ CORPUS_PROFILE_SUITE_ORACLE = (
     + " UNION ALL "
     + _melt_sql(BPE_IDS_ORACLE, "bpe_ids", "doc_id",
                 ["n_pieces"], ("ids_checksum",))
+    + " UNION ALL "
+    + _melt_sql(CORPUS_DIFF_ORACLE, "diff", "doc_id",
+                ["token_delta"], ("status", "old_fp", "new_fp"))
     + ") ORDER BY section, row_key, metric"
 )
 
@@ -3600,6 +3656,7 @@ SUITE_SECTIONS: dict = {
         "bloom": bloom_check,
         "bins": pack_bins_check,
         "bpe_ids": bpe_ids_check,
+        "diff": corpus_diff_check,
     },
     "sampling_quantize_suite": {
         "mixture": domain_mixture,
