@@ -92,7 +92,19 @@ def score_with_bigram_lm(docs: DataFrame, path: str, lam: float = 0.7,
     c1 = spark.read.parquet(f"{path}/uni")
     c2 = spark.read.parquet(f"{path}/bi")
     meta = spark.read.parquet(f"{path}/meta").first()
-    n_total, vocab = int(meta["n_total"]), int(meta["vocab"])
+    return score_with_counts(docs, c1, c2, int(meta["n_total"]),
+                             int(meta["vocab"]), lam=lam,
+                             text_col=text_col, id_col=id_col)
+
+
+def score_with_counts(docs: DataFrame, c1: DataFrame, c2: DataFrame,
+                      n_total: int, vocab: int, lam: float = 0.7,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Score against IN-MEMORY reference count relations (the loaded
+    halves of a saved artifact, or counts built inline — e.g. the gate
+    twin derives its reference from the corpus itself). Same plan and
+    smoothing contract as ``score_with_bigram_lm``."""
     denom = float(n_total + vocab + 1)
 
     big = _bigrams(_tokens(docs, text_col, id_col), id_col)

@@ -771,7 +771,9 @@ def text_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity proxy), 'bigram' = interpolated bigram LM mean log-prob
     (the KenLM-style CCNet filter shape), 'classifier' = linear
     (fastText-shaped) quality classifier inference via a broadcast
-    hashed-feature weight table. Columns: (section, doc_id, n_terms,
+    hashed-feature weight table, 'ref_lm' = the EXTERNAL-reference
+    variant (operators/lm_filter — add-1 OOV backoff, reference =
+    the doc_id%4==0 quarter). Columns: (section, doc_id, n_terms,
     score)."""
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
@@ -794,9 +796,33 @@ def text_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.lit("phrase").alias("section"), "doc_id",
                   F.col("n_hits").alias("n_terms"),
                   F.col("first_pos").cast("double").alias("score")))
+    ref = (_ref_lm_scores(docs)
+           .select(F.lit("ref_lm").alias("section"), "doc_id",
+                   "n_terms", F.col("avg_logprob").alias("score")))
     return (uni.unionByName(big).unionByName(clf).unionByName(bm)
-            .unionByName(ph)
+            .unionByName(ph).unionByName(ref)
             .orderBy("section", "doc_id"))
+
+
+def _ref_lm_scores(docs: DataFrame) -> DataFrame:
+    """'ref_lm' = EXTERNAL-reference LM filtering (the full CCNet
+    shape, operators/lm_filter.py): the reference corpus is the
+    deterministic doc_id%4==0 quarter of the table; every doc scores
+    against ITS counts with the add-1 OOV backoff — docs outside the
+    reference exercise the unseen-bigram/unseen-token arms the
+    corpus-internal 'bigram' section never hits."""
+    from lightning_metastore_spark.operators import lm_filter
+
+    ref = docs.filter(F.col("doc_id") % 4 == 0)
+    toks = lm_filter._tokens(ref, "text", "doc_id")
+    c1 = (toks.select(F.explode("t").alias("token"))
+          .groupBy("token").agg(F.count(F.lit(1)).alias("c1")))
+    c2 = (lm_filter._bigrams(toks, "doc_id")
+          .groupBy("prev", "next").agg(F.count(F.lit(1)).alias("c2")))
+    stats = c1.agg(F.sum("c1").alias("n"),
+                   F.count(F.lit(1)).alias("v")).first()
+    return lm_filter.score_with_counts(
+        docs, c1, c2, int(stats["n"] or 0), int(stats["v"]), lam=0.7)
 
 
 # DuckDB int value of the first k hex chars of an md5 string
@@ -833,6 +859,19 @@ big AS (
   SELECT doc_id,
          ({HEX4W} % 2000 - 1000) AS m
   FROM (SELECT doc_id, md5('w:' || CAST(bucket AS VARCHAR)) AS hw FROM wtok)
+), rtoksarr AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+  FROM documents WHERE doc_id % 4 = 0
+), rc1 AS (
+  SELECT token, COUNT(*) AS c1
+  FROM (SELECT unnest(t) AS token FROM rtoksarr) GROUP BY 1
+), rstats AS (SELECT SUM(c1) AS n_total, COUNT(*) AS v FROM rc1),
+rc2 AS (
+  SELECT prev, next, COUNT(*) AS c2
+  FROM (SELECT t[i] AS prev, t[i+1] AS next
+        FROM rtoksarr, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        WHERE len(t) >= 2)
+  GROUP BY 1, 2
 )
 SELECT * FROM (
   SELECT 'unigram' AS section, doc_id, CAST(SUM(tf) AS BIGINT) AS n_terms,
@@ -894,6 +933,20 @@ SELECT * FROM (
     CROSS JOIN bstats
     GROUP BY btf.doc_id
   ) b USING (doc_id)
+UNION ALL
+SELECT 'ref_lm', btf.doc_id, CAST(SUM(btf.tf) AS BIGINT),
+       ROUND(CAST(SUM(CAST(btf.tf * LN(
+           CASE WHEN rc2.c2 IS NOT NULL AND cp.c1 IS NOT NULL
+                THEN 0.7 * rc2.c2 / cp.c1 ELSE 0.0 END
+           + (1.0 - 0.7) * (COALESCE(cn.c1, 0) + 1.0)
+             / CAST(rstats.n_total + rstats.v + 1 AS DOUBLE)
+         ) AS DECIMAL(28,15))) AS DOUBLE) / SUM(btf.tf), 9)
+FROM btf
+LEFT JOIN rc2 USING (prev, next)
+LEFT JOIN rc1 cp ON cp.token = btf.prev
+LEFT JOIN rc1 cn ON cn.token = btf.next
+CROSS JOIN rstats
+GROUP BY btf.doc_id
 UNION ALL
 SELECT 'phrase', doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
        CAST(MIN(p0) AS DOUBLE) AS score
@@ -3051,8 +3104,99 @@ ORDER BY doc_id
 """
 
 
+def html_extract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML extraction gate (functions/html.py::html_extract): every
+    document is WRAPPED in deterministic quote-free markup — title with
+    an ``&amp;`` entity, a <style> head block, a comment hiding a fake
+    anchor, two real anchors carrying ``&nbsp;`` and a numeric entity —
+    so title extraction, head/comment stripping, the single-pass entity
+    contract and link-density all execute on every row. clean text is
+    md5'd (the span_removal convention) so the full extraction
+    hash-verifies, not just the counts. The DuckDB twin replays the
+    identical regexp chain under RE2, using a chr(1) sentinel for
+    ``&amp;`` in place of Java's negative lookahead."""
+    from lightning_metastore_spark.functions.html import html_extract
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = F.col("doc_id").cast("string")
+    wrapped = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc &amp; "), d,
+            F.lit("</title><style>p{x}</style></head><body><p>"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("</p><!-- hidden <a>ghost</a> --><a href=/d/"), d,
+            F.lit(">open&nbsp;doc "), d,
+            F.lit("</a><a>next &#66; end</a></body></html>"),
+        ).alias("text"))
+    return (html_extract(wrapped)
+            .select("doc_id", "title",
+                    F.md5("clean_text").alias("clean_md5"),
+                    "n_chars", "n_links", "link_density")
+            .orderBy("doc_id"))
+
+
+def _html_flat_sql(expr: str) -> str:
+    """DuckDB twin of functions/html._flatten: tags -> space, the
+    single-pass entity contract (chr(1) sentinel replaces the Java
+    lookahead), whitespace collapse + trim."""
+    x = f"regexp_replace({expr}, '(?s)<[^>]*>', ' ', 'g')"
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "''"), ("&#39;", "''"), ("&#34;", '"'),
+                    ("&nbsp;", " ")):
+        x = f"replace({x}, '{ent}', '{ch}')"
+    x = f"replace({x}, '&amp;', chr(1))"
+    x = f"regexp_replace({x}, '&#?[a-zA-Z0-9]{{1,8}};', ' ', 'g')"
+    x = f"replace({x}, chr(1), '&')"
+    return f"trim(regexp_replace({x}, '\\s+', ' ', 'g'))"
+
+
+HTML_EXTRACT_ORACLE = r"""
+WITH wrapped AS (
+  SELECT doc_id,
+         '<html><head><title>Doc &amp; ' || CAST(doc_id AS VARCHAR) ||
+         '</title><style>p{x}</style></head><body><p>' ||
+         COALESCE(text, '') ||
+         '</p><!-- hidden <a>ghost</a> --><a href=/d/' ||
+         CAST(doc_id AS VARCHAR) || '>open&nbsp;doc ' ||
+         CAST(doc_id AS VARCHAR) ||
+         '</a><a>next &#66; end</a></body></html>' AS src
+  FROM documents
+), stripped AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(src,
+           '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+           '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+           '(?s)<!--.*?-->', ' ', 'g') AS s
+  FROM wrapped
+), body AS (
+  SELECT doc_id, s,
+         regexp_replace(s, '(?is)<head\b[^>]*>.*?</head>', ' ', 'g') AS b
+  FROM stripped
+), fields AS (
+  SELECT doc_id,
+         {FLAT_TITLE} AS title,
+         {FLAT_BODY} AS clean_text,
+         regexp_extract_all(b, '(?is)<a\b[^>]*>(.*?)</a>', 1) AS anchors
+  FROM body
+)
+SELECT doc_id, title, md5(clean_text) AS clean_md5,
+       CAST(length(clean_text) AS BIGINT) AS n_chars,
+       CAST(len(anchors) AS BIGINT) AS n_links,
+       ROUND(COALESCE(list_sum(list_transform(anchors,
+               x -> length({FLAT_X}))), 0)
+             / GREATEST(1, length(clean_text)), 6) AS link_density
+FROM fields
+ORDER BY doc_id
+""".replace(
+    "{FLAT_TITLE}",
+    _html_flat_sql("regexp_extract(s, '(?is)<title\\b[^>]*>(.*?)</title>', 1)")
+).replace("{FLAT_BODY}", _html_flat_sql("b")).replace(
+    "{FLAT_X}", _html_flat_sql("x"))
+
+
 def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Twenty document-profiling operators in one melted tagged-union
+    """Twenty-one document-profiling operators in one melted tagged-union
     slot (50-slot registry discipline): Gopher repetition filters, the
     token-length histogram, sequence packing, the contamination check,
     cross-document exact-substring duplication + its EXCISION + the
@@ -3060,8 +3204,9 @@ def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliding-window chunking, tokenizer (vocab-id) application + BPE id
     encoding, FFD bin packing, skyline, heavy hitters, the Zipf fit,
     encoding-anomaly triage, CDC chunk dedup, entity census, the
-    per-domain curation profile and the snapshot versioning diff.
-    Every cell of every component is still hash-verified."""
+    per-domain curation profile, the snapshot versioning diff and the
+    HTML extraction. Every cell of every component is still
+    hash-verified."""
     parts = [
         _melt(text_repetition(spark, sf_dir), "repetition", "doc_id",
               ["n_words", "n_distinct_words", "distinct_word_ratio",
@@ -3114,6 +3259,9 @@ def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
               ["n_pieces"], ("ids_checksum",)),
         _melt(corpus_diff_check(spark, sf_dir), "diff", "doc_id",
               ["token_delta"], ("status", "old_fp", "new_fp")),
+        _melt(html_extract_check(spark, sf_dir), "html", "doc_id",
+              ["n_chars", "n_links", "link_density"],
+              ("title", "clean_md5")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3193,6 +3341,10 @@ CORPUS_PROFILE_SUITE_ORACLE = (
     + " UNION ALL "
     + _melt_sql(CORPUS_DIFF_ORACLE, "diff", "doc_id",
                 ["token_delta"], ("status", "old_fp", "new_fp"))
+    + " UNION ALL "
+    + _melt_sql(HTML_EXTRACT_ORACLE, "html", "doc_id",
+                ["n_chars", "n_links", "link_density"],
+                ("title", "clean_md5"))
     + ") ORDER BY section, row_key, metric"
 )
 
@@ -3615,6 +3767,7 @@ SUITE_SECTIONS: dict = {
         "classifier": _lm_section(text_fns.classifier_score),
         "bm25": _lm_section(text_fns.bm25_scores),
         "phrase": _lm_phrase,
+        "ref_lm": _lm_section(_ref_lm_scores),
     },
     "temporal_rollup": {
         "rollup": _temporal_section("hypertable_rollup", ts_col="ts",
@@ -3657,6 +3810,7 @@ SUITE_SECTIONS: dict = {
         "bins": pack_bins_check,
         "bpe_ids": bpe_ids_check,
         "diff": corpus_diff_check,
+        "html": html_extract_check,
     },
     "sampling_quantize_suite": {
         "mixture": domain_mixture,
