@@ -3563,13 +3563,78 @@ FROM cum ORDER BY doc_id
 """).replace("{HEX8}", _hexint_sql("h", 8))
 
 
+def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampled top-n (operators/sampling.py::
+    dsir_select): the target corpus is the deterministic doc_id%4==0
+    quarter of the table, so raw docs OUTSIDE it exercise the
+    likelihood-ratio arms. Log-ratios are integer-frozen (1e-9 units)
+    making per-doc log-weights exact int64 sums; the md5-Gumbel key
+    is rounded to 9dp with an id tiebreak so the top-n ranking is
+    engine-exact — the DuckDB twin re-derives bucket counts, the
+    ratio table, Gumbel keys and ranks."""
+    from lightning_metastore_spark.operators.sampling import dsir_select
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    return (dsir_select(docs, docs.filter(F.col("doc_id") % 4 == 0),
+                        n=60, n_buckets=64)
+            .orderBy("doc_id"))
+
+
+DSIR_SELECTION_ORACLE = (r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(coalesce(text, '')), '\s+'))
+           AS token
+  FROM documents
+), bt AS (
+  SELECT doc_id, ({HEX3} % 64) AS bucket
+  FROM (SELECT doc_id, md5(token) AS h FROM toks)
+), ct AS (
+  SELECT bucket, COUNT(*) AS c FROM bt WHERE doc_id % 4 = 0 GROUP BY 1
+), cr AS (
+  SELECT bucket, COUNT(*) AS c FROM bt GROUP BY 1
+), nt AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM ct) + 64 AS v),
+nr AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM cr) + 64 AS v),
+lr AS (
+  SELECT g.b AS bucket,
+         CAST(round((LN((COALESCE(ct.c, 0) + 1.0) / CAST(nt.v AS DOUBLE))
+                     - LN((COALESCE(cr.c, 0) + 1.0)
+                          / CAST(nr.v AS DOUBLE))) * 1e9)
+              AS BIGINT) AS lr
+  FROM generate_series(0, 63) AS g(b)
+  LEFT JOIN ct ON ct.bucket = g.b
+  LEFT JOIN cr ON cr.bucket = g.b
+  CROSS JOIN nt CROSS JOIN nr
+), lw AS (
+  SELECT bt.doc_id, SUM(lr.lr) AS lw_int
+  FROM bt JOIN lr USING (bucket) GROUP BY 1
+), keyed AS (
+  SELECT doc_id, ROUND(lw_int * 1e-9, 9) AS log_weight,
+         ROUND(lw_int * 1e-9
+               + (- LN(- LN((CAST({HEX8} AS DOUBLE) + 1.0)
+                            / 4294967297.0))), 9) AS k
+  FROM (SELECT doc_id, lw_int,
+               md5('dsir:' || CAST(doc_id AS VARCHAR)) AS hh
+        FROM lw)
+)
+SELECT doc_id, log_weight, sample_rank FROM (
+  SELECT doc_id, log_weight,
+         CAST(ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS BIGINT)
+           AS sample_rank
+  FROM keyed
+) WHERE sample_rank <= 60 ORDER BY doc_id
+""").replace("{HEX3}", _hexint_sql("h", 3)).replace(
+    "{HEX8}", _hexint_sql("hh", 8))
+
+
 def sampling_quantize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling, exact-n stratified sampling, int8
     embedding quantization, JL random projection, SemDeDup-style
     semantic dedup, weighted sampling, per-group quantile
     normalization, norm-outlier screening, temperature-smoothed
-    resampling and token-budget prefix selection in one melted
-    tagged-union slot."""
+    resampling, token-budget prefix selection and DSIR importance
+    resampling in one melted tagged-union slot."""
     parts = [
         _melt(domain_mixture(spark, sf_dir), "mixture", "doc_id",
               ["keep_rate", "kept"], ("lang",)),
@@ -3591,6 +3656,8 @@ def sampling_quantize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
               ["keep_rate", "kept"], ("lang",)),
         _melt(budget_selection(spark, sf_dir), "budget", "doc_id",
               ["score", "n_tokens", "cum_tokens", "selected"]),
+        _melt(dsir_selection(spark, sf_dir), "dsir", "doc_id",
+              ["log_weight", "sample_rank"]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3629,6 +3696,9 @@ SAMPLING_QUANTIZE_SUITE_ORACLE = (
     + " UNION ALL "
     + _melt_sql(BUDGET_SELECTION_ORACLE, "budget", "doc_id",
                 ["score", "n_tokens", "cum_tokens", "selected"])
+    + " UNION ALL "
+    + _melt_sql(DSIR_SELECTION_ORACLE, "dsir", "doc_id",
+                ["log_weight", "sample_rank"])
     + ") ORDER BY section, row_key, metric"
 )
 
@@ -3823,5 +3893,6 @@ SUITE_SECTIONS: dict = {
         "outliers": embedding_outliers,
         "temperature": temperature_mixture,
         "budget": budget_selection,
+        "dsir": dsir_selection,
     },
 }
