@@ -3104,6 +3104,103 @@ ORDER BY doc_id
 """
 
 
+def corpus_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift gate (operators/pipeline.py::corpus_drift): old =
+    the documents table, new = the SAME derived snapshot the diff gate
+    uses, so the two versioning audits describe one consistent pair.
+    The metric table has no numeric key of its own; both engines
+    assign row_key = rank of the metric name, which is unique by
+    construction (scalar metrics + 'drift:<token>' rows)."""
+    from lightning_metastore_spark.operators.pipeline import corpus_drift
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    new = (docs.filter(F.col("doc_id") % 7 != 0)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 3 == 0,
+                          F.concat(F.col("text"), F.lit(" v2")))
+                   .otherwise(F.col("text")).alias("text"))
+           .unionByName(
+               docs.filter(F.col("doc_id") % 11 == 0)
+               .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       "text")))
+    out = corpus_drift(docs, new, top_k=10)
+    from pyspark.sql.window import Window as W
+
+    return (out.withColumn("mid", F.row_number().over(W.orderBy("metric")))
+            .select("mid", "metric", "value_num", "value_str")
+            .orderBy("mid"))
+
+
+CORPUS_DRIFT_ORACLE = r"""
+WITH newt AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0
+), oc AS (
+  SELECT token, COUNT(*) AS c_old FROM (
+    SELECT unnest(string_split_regex(lower(coalesce(text, '')), '\s+'))
+      AS token FROM documents) GROUP BY 1
+), nc AS (
+  SELECT token, COUNT(*) AS c_new FROM (
+    SELECT unnest(string_split_regex(lower(coalesce(text, '')), '\s+'))
+      AS token FROM newt) GROUP BY 1
+), j AS (
+  SELECT COALESCE(oc.token, nc.token) AS token,
+         COALESCE(c_old, 0) AS c_old, COALESCE(c_new, 0) AS c_new
+  FROM oc FULL OUTER JOIN nc ON oc.token = nc.token
+), tot AS (
+  SELECT SUM(c_old) AS n_old, SUM(c_new) AS n_new,
+         SUM(CASE WHEN c_old > 0 THEN 1 ELSE 0 END) AS v_old,
+         SUM(CASE WHEN c_new > 0 THEN 1 ELSE 0 END) AS v_new,
+         COUNT(*) AS v
+  FROM j
+), pq AS (
+  SELECT token,
+         (c_old + 1.0) / CAST(n_old + v AS DOUBLE) AS p,
+         (c_new + 1.0) / CAST(n_new + v AS DOUBLE) AS q
+  FROM j CROSS JOIN tot
+), sums AS (
+  SELECT
+    ROUND(CAST(SUM(CAST(p * LN(p / q) AS DECIMAL(28,15))) AS DOUBLE), 9)
+      AS kl_pq,
+    ROUND(CAST(SUM(CAST(q * LN(q / p) AS DECIMAL(28,15))) AS DOUBLE), 9)
+      AS kl_qp,
+    ROUND(0.5 * CAST(SUM(CAST(p * LN(p / ((p + q) / 2.0))
+                              AS DECIMAL(28,15))) AS DOUBLE)
+          + 0.5 * CAST(SUM(CAST(q * LN(q / ((p + q) / 2.0))
+                                AS DECIMAL(28,15))) AS DOUBLE), 9) AS js,
+    ROUND(CAST(SUM(CAST(ABS(q - p) AS DECIMAL(28,15))) AS DOUBLE), 9)
+      AS l1
+  FROM pq
+), drift AS (
+  SELECT 'drift:' || token AS metric, delta AS value_num,
+         token AS value_str
+  FROM (
+    SELECT token, ROUND(q - p, 9) AS delta,
+           ROW_NUMBER() OVER (ORDER BY ABS(ROUND(q - p, 9)) DESC, token)
+             AS rk
+    FROM pq
+  ) WHERE rk <= 10
+), rows_ AS (
+  SELECT 'js_divergence' AS metric, js AS value_num,
+         CAST(NULL AS VARCHAR) AS value_str FROM sums
+  UNION ALL SELECT 'kl_old_new', kl_pq, NULL FROM sums
+  UNION ALL SELECT 'kl_new_old', kl_qp, NULL FROM sums
+  UNION ALL SELECT 'l1_distance', l1, NULL FROM sums
+  UNION ALL SELECT 'vocab_old', CAST(v_old AS DOUBLE), NULL FROM tot
+  UNION ALL SELECT 'vocab_new', CAST(v_new AS DOUBLE), NULL FROM tot
+  UNION ALL SELECT 'vocab_union', CAST(v AS DOUBLE), NULL FROM tot
+  UNION ALL SELECT metric, value_num, value_str FROM drift
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY metric) AS BIGINT) AS mid,
+       metric, value_num, value_str
+FROM rows_ ORDER BY mid
+"""
+
+
 def html_extract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML extraction gate (functions/html.py::html_extract): every
     document is WRAPPED in deterministic quote-free markup — title with
@@ -3196,7 +3293,7 @@ ORDER BY doc_id
 
 
 def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Twenty-one document-profiling operators in one melted tagged-union
+    """Twenty-two document-profiling operators in one melted tagged-union
     slot (50-slot registry discipline): Gopher repetition filters, the
     token-length histogram, sequence packing, the contamination check,
     cross-document exact-substring duplication + its EXCISION + the
@@ -3204,8 +3301,8 @@ def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliding-window chunking, tokenizer (vocab-id) application + BPE id
     encoding, FFD bin packing, skyline, heavy hitters, the Zipf fit,
     encoding-anomaly triage, CDC chunk dedup, entity census, the
-    per-domain curation profile, the snapshot versioning diff and the
-    HTML extraction. Every cell of every component is still
+    per-domain curation profile, the snapshot versioning diff + drift
+    and the HTML extraction. Every cell of every component is still
     hash-verified."""
     parts = [
         _melt(text_repetition(spark, sf_dir), "repetition", "doc_id",
@@ -3262,6 +3359,8 @@ def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _melt(html_extract_check(spark, sf_dir), "html", "doc_id",
               ["n_chars", "n_links", "link_density"],
               ("title", "clean_md5")),
+        _melt(corpus_drift_check(spark, sf_dir), "drift", "mid",
+              ["value_num"], ("metric", "value_str")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3345,6 +3444,9 @@ CORPUS_PROFILE_SUITE_ORACLE = (
     + _melt_sql(HTML_EXTRACT_ORACLE, "html", "doc_id",
                 ["n_chars", "n_links", "link_density"],
                 ("title", "clean_md5"))
+    + " UNION ALL "
+    + _melt_sql(CORPUS_DRIFT_ORACLE, "drift", "mid",
+                ["value_num"], ("metric", "value_str"))
     + ") ORDER BY section, row_key, metric"
 )
 
@@ -3881,6 +3983,7 @@ SUITE_SECTIONS: dict = {
         "bpe_ids": bpe_ids_check,
         "diff": corpus_diff_check,
         "html": html_extract_check,
+        "drift": corpus_drift_check,
     },
     "sampling_quantize_suite": {
         "mixture": domain_mixture,
