@@ -866,6 +866,80 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
             edges.unpersist()
 
 
+def dedup_keep(docs: DataFrame, pairs: DataFrame | None = None,
+               method: str = "minhash", threshold: float = 0.7,
+               score_col: str | None = None, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """End-to-end near-dup dedup: cluster the pair graph, pick ONE
+    canonical representative per cluster, return the filtered corpus.
+
+    The existing surface stops at clusters (``connected_components``)
+    and leaves the keep rule to the caller; this is the keep rule as a
+    first-class operator. Representative per cluster:
+
+    - default: the MINIMUM id. ``connected_components`` labels every
+      cluster with its minimum reachable id, so this path is a
+      zero-extra-shuffle filter ``id == cluster_id``.
+    - ``score_col``: the highest-scoring doc (ties -> smallest id),
+      via one max-of-struct aggregation per cluster — keep the best
+      copy rather than the first. Requires a NUMERIC id (the
+      smallest-id tie-break rides the struct max as ``-id``).
+
+    ``pairs`` is any verified pair relation (doc_id_a, doc_id_b, ...);
+    when omitted it is generated here by ``method``:
+    'minhash' (minhash_lsh_pairs at ``threshold``), 'simhash'
+    (simhash_pairs), or 'exact' (exact duplicate groups only).
+
+    Output: every original doc column of the kept docs, plus
+    cluster_id and cluster_size (1 for docs with no duplicate).
+
+    Scale: pair generation dominates (its own bucketed-LSH design);
+    the keep step adds one aggregation keyed on cluster_id plus one
+    id-keyed join back to the corpus — both shuffle-on-key, never
+    all-pairs, and the struct max combines map-side.
+    """
+    if pairs is None:
+        if method == "minhash":
+            pairs = minhash_lsh_pairs(docs, threshold=threshold,
+                                      text_col=text_col, id_col=id_col)
+        elif method == "simhash":
+            pairs = simhash_pairs(docs, text_col=text_col, id_col=id_col)
+        elif method == "exact":
+            # star pairs (group min, member): a join, not a
+            # collect_list — a pathologically hot duplicate group
+            # never materializes as one array
+            sh_key = F.md5(F.lower(F.regexp_replace(
+                F.trim(F.col(text_col)), r"\s+", " ")))
+            keyed = docs.select(F.col(id_col), sh_key.alias("k"))
+            mins = keyed.groupBy("k").agg(
+                F.min(id_col).alias("doc_id_a"))
+            pairs = (keyed.join(mins, "k")
+                     .filter(F.col(id_col) != F.col("doc_id_a"))
+                     .select("doc_id_a", F.col(id_col).alias("doc_id_b")))
+        else:
+            raise ValueError(f"unknown dedup method: {method!r}")
+
+    cc = connected_components(pairs, docs.select(id_col), id_col=id_col)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+
+    if score_col is None:
+        reps = cc.filter(F.col(id_col) == F.col("cluster_id"))
+    else:
+        scored = cc.join(docs.select(id_col, score_col), id_col)
+        # field-wise struct max: highest score, then smallest id
+        best = scored.groupBy("cluster_id").agg(
+            F.max(F.struct(F.col(score_col).alias("s"),
+                           (-F.col(id_col)).alias("neg_id"))).alias("b"))
+        reps = best.select("cluster_id",
+                           (-F.col("b.neg_id")).cast("long")
+                           .alias(id_col))
+
+    keep = reps.join(sizes, "cluster_id")
+    return docs.join(keep.select(id_col, "cluster_id", "cluster_size"),
+                     id_col)
+
+
 # ---------------------------------------------------------------------------
 # Embedding cosine near-dup (brute-force baseline; scale path = similarity.py)
 # ---------------------------------------------------------------------------

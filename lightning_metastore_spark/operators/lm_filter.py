@@ -97,6 +97,52 @@ def score_with_bigram_lm(docs: DataFrame, path: str, lam: float = 0.7,
                              text_col=text_col, id_col=id_col)
 
 
+def perplexity_buckets(scored: DataFrame,
+                       cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+                       score_col: str = "avg_logprob",
+                       group_col: str = "lang",
+                       id_col: str = "doc_id") -> DataFrame:
+    """CCNet head/middle/tail bucketing of a reference-LM-scored corpus.
+
+    CCNet splits each language's crawl into three perplexity buckets —
+    "head" (most Wikipedia-like), "middle", "tail" — and downstream
+    recipes sample them at different rates. Input is any scored
+    relation (e.g. ``score_with_bigram_lm`` output joined back to its
+    group column); within each group docs are ranked by ``score_col``
+    DESC (higher avg_logprob = lower perplexity = more reference-like)
+    with ``id_col`` as the tie-break, and the top ``cuts[0]`` fraction
+    is head, up to ``cuts[1]`` middle, the rest tail.
+
+    Cross-engine determinism: the rank fraction is PERCENT_RANK over
+    (group ORDER BY score DESC, id ASC) — exact integer-ratio
+    arithmetic ((rank-1)/(n-1)), identical in any engine — rounded to
+    9dp, and the cut comparison is strict ``<`` against cut values
+    that callers should write as the same float expression in every
+    engine (the default thirds are ``1.0/3.0`` / ``2.0/3.0``). A
+    single-doc group has percent_rank 0 and buckets as head.
+
+    Scale: ONE shuffle on the group key (the ``quantile_normalize``
+    window shape); each window partition is a single group, so skew
+    follows group sizes — sub-split ultra-hot groups upstream if one
+    language dominates the corpus.
+    """
+    from pyspark.sql.window import Window as W
+
+    lo, hi = float(cuts[0]), float(cuts[1])
+    if not (0.0 < lo < hi <= 1.0):
+        raise ValueError(f"cuts must satisfy 0 < head < middle <= 1, got {cuts}")
+    w = (W.partitionBy(group_col)
+         .orderBy(F.desc(score_col), F.asc(id_col)))
+    pr = F.round(F.percent_rank().over(w), 9)
+    out = scored.select(
+        F.col(id_col), F.col(group_col), F.col(score_col),
+        pr.alias("rank_frac"))
+    bucket = (F.when(F.col("rank_frac") < F.lit(lo), F.lit("head"))
+              .when(F.col("rank_frac") < F.lit(hi), F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    return out.withColumn("bucket", bucket)
+
+
 def score_with_counts(docs: DataFrame, c1: DataFrame, c2: DataFrame,
                       n_total: int, vocab: int, lam: float = 0.7,
                       text_col: str = "text",

@@ -1232,6 +1232,15 @@ class RunPipeline(Command):
                 clf.save_classifier_weights(df.sparkSession, w, save)
             return w
 
+        def perplexity_buckets_op(df, head=1.0 / 3.0, middle=2.0 / 3.0,
+                                  score_col="avg_logprob",
+                                  group_col="lang"):
+            """CCNet head/middle/tail bucketing of a scored relation (run lm_score + join the group column first)."""
+            from lightning_metastore_spark.operators import lm_filter
+            return lm_filter.perplexity_buckets(
+                df, cuts=(head, middle), score_col=score_col,
+                group_col=group_col)
+
         def classifier_apply(df, load, n_buckets=4096):
             """Score docs with a trained weight artifact (OPTIONS(load '...'))."""
             from lightning_metastore_spark.functions import text as tfn
@@ -1354,6 +1363,9 @@ class RunPipeline(Command):
                 {"index": "TABLE", "k": int, "max_dup_frac": float}),
             "semdedup": (dedup.semantic_dedup,
                          {"n_planes": int, "threshold": float}),
+            "dedup_keep": (dedup.dedup_keep,
+                           {"method": str, "threshold": float,
+                            "score_col": str}),
             "dedup_lines": (cleaning.dedup_lines_within_doc, {}),
             "normalize_text": (cleaning.normalize_text, {"form": str}),
             "html_extract": (
@@ -1429,6 +1441,10 @@ class RunPipeline(Command):
             "lm_train": (lm_train, {"save": str, "text_col": str}),
             "lm_score": (lm_score,
                          {"load": str, "lam": float, "text_col": str}),
+            "perplexity_buckets": (
+                perplexity_buckets_op,
+                {"head": float, "middle": float, "score_col": str,
+                 "group_col": str}),
             "classifier_train": (classifier_train,
                                  {"label_col": str, "iters": int,
                                   "lr": float, "n_buckets": int,

@@ -16,7 +16,9 @@ Dedup:        exact_dedup, jaccard_pairs, minhash_lsh_pairs,
               minhash_band_buckets, semantic_dedup,
               semantic_dedup_kmeans, cdc_chunks + cdc_dup_stats
               (content-defined chunk dedup), span_index +
-              span_batch_against_index (incremental exact-substring)
+              span_batch_against_index (incremental exact-substring),
+              dedup_keep (cluster -> canonical representative ->
+              filtered corpus, min-id or best-score keep rule)
 Similarity:   brute_force_topk, ivf_topk, kmeans_centroids,
               assign_cells, save_ivf_index / load_ivf_index
               (cell-partitioned serving artifact),
@@ -41,7 +43,8 @@ Hygiene:      contamination_overlap + contamination_report (which
               grams hit — the audit view), build_ngram_bloom /
               bloom_contamination,
               train_bigram_lm + score_with_bigram_lm (CCNet-style
-              reference-corpus perplexity filter, parquet artifacts)
+              reference-corpus perplexity filter, parquet artifacts),
+              perplexity_buckets (CCNet head/middle/tail per group)
 Sampling:     mixture_resample, temperature_resample (XLM/mT5
               tau-smoothing), epoch_schedule (per-group epochs +
               residual for up-sampled mixtures), stratified_fixed_n,
@@ -121,6 +124,7 @@ from lightning_metastore_spark.operators.classifier import (  # noqa: F401
     train_logreg_classifier,
 )
 from lightning_metastore_spark.operators.lm_filter import (  # noqa: F401
+    perplexity_buckets,
     score_with_bigram_lm,
     train_bigram_lm,
 )
@@ -154,6 +158,7 @@ from lightning_metastore_spark.operators.dedup import (  # noqa: F401
     cdc_dup_stats,
     connected_components,
     corpus_dup_spans,
+    dedup_keep,
     remove_dup_spans,
     span_batch_against_index,
     span_index,

@@ -438,3 +438,96 @@ def test_cdc_incremental_index_admission(spark):
     assert out[101].known_frac < 0.2 and out[101].admit
     # the corpus index never grew — operator is read-only on it
     assert index.count() == cdc_chunk_index(corpus).count()
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep (cluster -> canonical representative -> filtered corpus)
+# ---------------------------------------------------------------------------
+
+def _uf_keep(pairs, all_ids, scores=None):
+    """Python union-find twin of dedup_keep's keep rule."""
+    parent = {i: i for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters = {}
+    for i in all_ids:
+        clusters.setdefault(find(i), []).append(i)
+    kept = {}
+    for root, members in clusters.items():
+        cid = min(members)
+        if scores is None:
+            rep = cid
+        else:
+            rep = max(members, key=lambda m: (scores[m], -m))
+        kept[rep] = (cid, len(members))
+    return kept
+
+
+def test_dedup_keep_explicit_pairs_min_id(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 7)],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_id_a long, doc_id_b long")
+    out = dedup.dedup_keep(docs, pairs=pairs)
+    got = {r.doc_id: (r.cluster_id, r.cluster_size)
+           for r in out.collect()}
+    assert got == {1: (1, 3), 4: (4, 1), 5: (5, 2)}
+    # original columns survive
+    assert set(out.columns) == {"doc_id", "text", "cluster_id",
+                                "cluster_size"}
+
+
+def test_dedup_keep_score_col_keeps_best_with_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", 0.1), (2, "b", 0.9), (3, "c", 0.9),
+         (4, "d", 0.5), (5, "e", 0.2), (6, "f", 0.2)],
+        "doc_id long, text string, q double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_id_a long, doc_id_b long")
+    out = dedup.dedup_keep(docs, pairs=pairs, score_col="q")
+    got = {r.doc_id: (r.cluster_id, r.cluster_size)
+           for r in out.collect()}
+    # cluster {1,2,3}: 2 and 3 tie at 0.9 -> smaller id 2 wins;
+    # {5,6}: tie at 0.2 -> 5; singleton 4 kept
+    assert got == {2: (1, 3), 4: (4, 1), 5: (5, 2)}
+
+
+def test_dedup_keep_exact_method(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other"),
+         (4, " HELLO WORLD ")],
+        "doc_id long, text string")
+    out = dedup.dedup_keep(docs, method="exact")
+    got = {r.doc_id: r.cluster_size for r in out.collect()}
+    assert got == {1: 3, 3: 1}
+
+
+def test_dedup_keep_minhash_equals_union_find_twin(spark):
+    docs = _docs(spark).limit(200).cache()
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    pair_rows = [(r.doc_id_a, r.doc_id_b) for r in pairs.collect()]
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    want = _uf_keep(pair_rows, ids)
+    out = dedup.dedup_keep(docs, method="minhash", threshold=0.5)
+    got = {r.doc_id: (r.cluster_id, r.cluster_size)
+           for r in out.collect()}
+    assert got == want
+    docs.unpersist()
+
+
+def test_dedup_keep_rejects_unknown_method(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        dedup.dedup_keep(docs, method="fuzzy")

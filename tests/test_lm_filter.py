@@ -108,3 +108,91 @@ def test_lm_filter_cast_decimal_truncation_edge(spark, tmp_path):
            for r in score_with_bigram_lm(raw, p, lam=0.7).collect()}
     want = twin_scores(REF, [(50, "the the the the")], 0.7)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# perplexity_buckets (CCNet head/middle/tail)
+# ---------------------------------------------------------------------------
+
+def _twin_buckets(rows, cuts=(1.0 / 3.0, 2.0 / 3.0)):
+    """Pure-Python replay: percent_rank over (group ORDER BY score
+    DESC, id ASC), HALF_UP 9dp (Spark F.round), strict-< cuts."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP
+
+    lo, hi = cuts
+    groups = defaultdict(list)
+    for d, g, s in rows:
+        groups[g].append((d, s))
+    out = {}
+    for g, ds in groups.items():
+        order = sorted(ds, key=lambda x: (-x[1], x[0]))
+        n = len(order)
+        for i, (d, s) in enumerate(order):
+            pr = 0.0 if n == 1 else i / (n - 1)
+            pr = float(Decimal(repr(pr)).quantize(Decimal("1e-9"),
+                                                  rounding=ROUND_HALF_UP))
+            bucket = ("head" if pr < lo
+                      else "middle" if pr < hi else "tail")
+            out[d] = (g, s, pr, bucket)
+    return out
+
+
+def test_perplexity_buckets_matches_twin_with_ties(spark):
+    from lightning_metastore_spark.operators.lm_filter import (
+        perplexity_buckets)
+
+    rows = [
+        # 7-doc group with a score tie straddling the head boundary
+        (1, "en", -2.0), (2, "en", -2.5), (3, "en", -2.5),
+        (4, "en", -3.0), (5, "en", -3.5), (6, "en", -4.0),
+        (7, "en", -9.0),
+        # single-doc group: percent_rank 0 -> head
+        (8, "fr", -5.0),
+        # two-doc group: 0 -> head, 1 -> tail
+        (9, "de", -1.0), (10, "de", -8.0),
+    ]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, lang string, avg_logprob double")
+    got = {r.doc_id: (r.lang, r.avg_logprob, r.rank_frac, r.bucket)
+           for r in perplexity_buckets(scored).collect()}
+    assert got == _twin_buckets(rows)
+    assert got[8][3] == "head"
+
+
+def test_perplexity_buckets_real_docs_partition_invariant(spark, tmp_path):
+    from lightning_metastore_spark.operators.lm_filter import (
+        perplexity_buckets)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(120)
+    ref = docs.filter("doc_id % 4 = 0")
+    p = str(tmp_path / "lm_bkt")
+    train_bigram_lm(ref, p)
+    scored = (score_with_bigram_lm(docs, p)
+              .join(docs.select("doc_id", "lang"), "doc_id"))
+    a = sorted(map(tuple, perplexity_buckets(scored).collect()))
+    b = sorted(map(tuple,
+                   perplexity_buckets(scored.repartition(13)).collect()))
+    assert a == b and len(a) > 0
+    # per-group thirds: each group's head count is within 1 of n//3
+    from collections import Counter
+    per = Counter((g, bkt) for _, g, _, _, bkt in a)
+    tot = Counter(g for _, g, _, _, bkt in a)
+    for g, n in tot.items():
+        if n >= 3:
+            assert abs(per[(g, "head")] - n / 3.0) <= 1.0
+
+
+def test_perplexity_buckets_rejects_bad_cuts(spark):
+    import pytest as _pytest
+
+    from lightning_metastore_spark.operators.lm_filter import (
+        perplexity_buckets)
+
+    scored = spark.createDataFrame(
+        [(1, "en", -1.0)], "doc_id long, lang string, avg_logprob double")
+    with _pytest.raises(ValueError):
+        perplexity_buckets(scored, cuts=(0.5, 0.4))
+    with _pytest.raises(ValueError):
+        perplexity_buckets(scored, cuts=(0.0, 0.5))

@@ -292,6 +292,18 @@ def _cases():
              "lightning_metastore_spark.operators.pipeline",
              fromlist=["corpus_drift"]).corpus_drift(e.docs, e.docs2,
                                                      top_k=5)),
+        ("dedup_keep",
+         f"dedup_keep ON {DOCS} "
+         "OPTIONS(method 'minhash', threshold '0.5')",
+         lambda e: dedup.dedup_keep(e.docs, method="minhash",
+                                    threshold=0.5)),
+        ("perplexity_buckets",
+         f"perplexity_buckets ON {DOCS} "
+         "OPTIONS(score_col 'n_chars', group_col 'lang')",
+         lambda e: __import__(
+             "lightning_metastore_spark.operators.lm_filter",
+             fromlist=["perplexity_buckets"]).perplexity_buckets(
+                 e.docs, score_col="n_chars", group_col="lang")),
     ]
 
 
