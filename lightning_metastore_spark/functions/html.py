@@ -122,3 +122,77 @@ def html_extract(docs: DataFrame, text_col: str = "text",
         n_chars.alias("n_chars"),
         F.size(anchors).cast("long").alias("n_links"),
         density.alias("link_density"))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (the crawl-frontier keep rule)
+# ---------------------------------------------------------------------------
+
+# RFC 3986 appendix-B split, fragment group never read (dropped)
+_URL_PARTS = r"^(?:([^:/?#]+):)?(?://([^/?#]*))?([^?#]*)(?:\?([^#]*))?"
+# exact-match tracking params removed alongside the utm_* prefix family
+_TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "mc_eid", "igshid",
+                    "ref", "ref_src", "spm")
+
+
+def url_canonical_expr(col: Column) -> Column:
+    """Canonical form of a URL column, pure JVM expression.
+
+    Documented rules (the common crawl-dedup canonicalizer, not full
+    RFC normalization): trim; drop the #fragment; lowercase scheme and
+    authority (never path/query); strip the scheme-default port
+    (http:80 / https:443); drop tracking query params (``utm_*``
+    prefix + the ``_TRACKING_PARAMS`` exact set, matched on the
+    lowercased key); byte-sort surviving ``k=v`` params (equal keys
+    then sort by value — deterministic); drop a bare-root ``/`` path
+    when no query survives. Opaque/relative URLs degrade gracefully:
+    absent parts extract as '' and are omitted from the rebuild
+    (``file:///p`` loses its empty-authority ``//`` — acceptable for a
+    dedup key, not for refetching).
+
+    100 TB shape: map-only codegen'd projection — regexp splits +
+    higher-order array filter/sort, no Python, no shuffle.
+    """
+    u = F.trim(col)
+    scheme = F.lower(F.regexp_extract(u, _URL_PARTS, 1))
+    auth = F.lower(F.regexp_extract(u, _URL_PARTS, 2))
+    path = F.regexp_extract(u, _URL_PARTS, 3)
+    query = F.regexp_extract(u, _URL_PARTS, 4)
+    auth = (F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
+            .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
+            .otherwise(auth))
+    track = F.array(*[F.lit(t) for t in _TRACKING_PARAMS])
+
+    def _keep(p):
+        key = F.lower(F.split(p, "=").getItem(0))
+        return ((p != "") & ~key.startswith("utm_")
+                & ~F.array_contains(track, key))
+
+    q = F.array_join(F.array_sort(F.filter(F.split(query, "&"), _keep)),
+                     "&")
+    path = F.when((path == "/") & (q == ""), F.lit("")).otherwise(path)
+    return F.concat(
+        F.when(scheme != "", F.concat(scheme, F.lit(":"))).otherwise(F.lit("")),
+        F.when(auth != "", F.concat(F.lit("//"), auth)).otherwise(F.lit("")),
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")))
+
+
+def url_canonicalize(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """All input columns + ``canonical_url`` (see url_canonical_expr)."""
+    return docs.withColumn("canonical_url",
+                           url_canonical_expr(F.col(url_col)))
+
+
+def url_dedup(docs: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """URL-level dedup: (id, canonical_url, dup_count), keeping the
+    smallest id per canonical URL — the ``exact_dedup`` shape keyed on
+    the canonical form instead of the text hash. One hash-aggregation
+    shuffle on the canonical URL."""
+    canon = url_canonical_expr(F.col(url_col))
+    return (docs.select(F.col(id_col), canon.alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("dup_count"))
+            .select(id_col, "canonical_url", "dup_count"))

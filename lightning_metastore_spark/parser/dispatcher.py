@@ -1374,6 +1374,18 @@ class RunPipeline(Command):
                            fromlist=["html_extract"])
                 .html_extract(df, text_col=text_col, id_col=id_col),
                 {"text_col": str, "id_col": str}),
+            "url_canonicalize": (
+                lambda df, url_col="url":
+                __import__("lightning_metastore_spark.functions.html",
+                           fromlist=["url_canonicalize"])
+                .url_canonicalize(df, url_col=url_col),
+                {"url_col": str}),
+            "url_dedup": (
+                lambda df, url_col="url", id_col="doc_id":
+                __import__("lightning_metastore_spark.functions.html",
+                           fromlist=["url_dedup"])
+                .url_dedup(df, url_col=url_col, id_col=id_col),
+                {"url_col": str, "id_col": str}),
             "corpus_diff": (
                 lambda df, old:
                 __import__("lightning_metastore_spark.operators.pipeline",

@@ -38,7 +38,9 @@ Tokenizing:   build_vocab, encode_token_stats, chunk_documents,
 Cleaning:     remove_boilerplate_lines, dedup_lines_within_doc,
               normalize_text (Unicode NFC/NFKC + control/whitespace
               canonicalization), html_extract + html_title (HTML ->
-              text with link-density boilerplate features)
+              text with link-density boilerplate features),
+              url_canonicalize + url_dedup (crawl-frontier URL
+              canonical form + smallest-id URL-level dedup)
 Hygiene:      contamination_overlap + contamination_report (which
               grams hit — the audit view), build_ngram_bloom /
               bloom_contamination,
@@ -117,6 +119,8 @@ from lightning_metastore_spark.functions.text import (  # noqa: F401
 from lightning_metastore_spark.functions.html import (  # noqa: F401
     html_extract,
     html_title,
+    url_canonicalize,
+    url_dedup,
 )
 from lightning_metastore_spark.operators.classifier import (  # noqa: F401
     load_classifier_weights,

@@ -122,3 +122,84 @@ def test_html_extract_plan_is_map_only(spark):
     plan = html_extract(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + url_dedup
+# ---------------------------------------------------------------------------
+
+def _twin_canon(u: str) -> str:
+    import re as _re
+    u = u.strip()
+    m = _re.match(r"^(?:([^:/?#]+):)?(?://([^/?#]*))?([^?#]*)(?:\?([^#]*))?",
+                  u)
+    scheme = (m.group(1) or "").lower()
+    auth = (m.group(2) or "").lower()
+    path = m.group(3) or ""
+    query = m.group(4) or ""
+    if scheme == "http":
+        auth = _re.sub(r":80$", "", auth)
+    elif scheme == "https":
+        auth = _re.sub(r":443$", "", auth)
+    track = {"fbclid", "gclid", "msclkid", "mc_eid", "igshid",
+             "ref", "ref_src", "spm"}
+
+    def keep(p):
+        k = p.split("=")[0].lower()
+        return p != "" and not k.startswith("utm_") and k not in track
+
+    q = "&".join(sorted(p for p in query.split("&") if keep(p)))
+    if path == "/" and q == "":
+        path = ""
+    return ((scheme + ":" if scheme else "")
+            + ("//" + auth if auth else "")
+            + path + ("?" + q if q else ""))
+
+
+URLS = [
+    "HTTPS://Example.COM:443/Path/?b=2&utm_source=x&a=1#frag",
+    "http://a.com/",
+    "http://a.com/?utm_campaign=1",
+    "http://a.com:80/x",
+    "http://a.com:8080/x",
+    "https://b.org/p?gclid=abc&z=9&z=1&ref=tw",
+    "/relative/path?z=1",
+    "example.com/no-scheme",
+    "  http://trim.me/x  ",
+    "ftp://Files.Example.com:21/a/b",
+    "http://q.com/x?a=1&a=0&A=2",        # key case + equal-key sort
+    "http://e.com/x?",                     # empty query
+    "mailto:someone@example.com",
+]
+
+
+def test_url_canonicalize_matches_python_twin(spark):
+    from lightning_metastore_spark.functions.html import url_canonicalize
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(URLS)], "doc_id long, url string")
+    got = {r.doc_id: r.canonical_url
+           for r in url_canonicalize(df).collect()}
+    want = {i: _twin_canon(u) for i, u in enumerate(URLS)}
+    assert got == want
+    # spot-check the headline rules
+    assert got[0] == "https://example.com/Path/?a=1&b=2"
+    assert got[1] == "http://a.com"
+    assert got[2] == "http://a.com"
+    assert got[3] == "http://a.com/x"
+    assert got[4] == "http://a.com:8080/x"
+
+
+def test_url_dedup_keeps_min_id_per_canonical(spark):
+    from lightning_metastore_spark.functions.html import url_dedup
+
+    rows = [
+        (1, "http://a.com/x?utm_source=nl"),
+        (2, "HTTP://A.com:80/x"),
+        (3, "http://a.com/x#top"),
+        (4, "http://a.com/y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.canonical_url: (r.doc_id, r.dup_count)
+           for r in url_dedup(df).collect()}
+    assert got == {"http://a.com/x": (1, 3), "http://a.com/y": (4, 1)}

@@ -292,6 +292,18 @@ def _cases():
              "lightning_metastore_spark.operators.pipeline",
              fromlist=["corpus_drift"]).corpus_drift(e.docs, e.docs2,
                                                      top_k=5)),
+        ("url_canonicalize",
+         f"url_canonicalize ON {DOCS} OPTIONS(url_col 'source')",
+         lambda e: __import__(
+             "lightning_metastore_spark.functions.html",
+             fromlist=["url_canonicalize"]).url_canonicalize(
+                 e.docs, url_col="source")),
+        ("url_dedup",
+         f"url_dedup ON {DOCS} OPTIONS(url_col 'source')",
+         lambda e: __import__(
+             "lightning_metastore_spark.functions.html",
+             fromlist=["url_dedup"]).url_dedup(e.docs,
+                                               url_col="source")),
         ("dedup_keep",
          f"dedup_keep ON {DOCS} "
          "OPTIONS(method 'minhash', threshold '0.5')",
