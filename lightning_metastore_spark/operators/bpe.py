@@ -411,3 +411,46 @@ def encode_bpe_ids(docs: DataFrame, merges: list[tuple[str, str, int]],
     return base.mapInPandas(
         run, schema=f"{id_col} long, n_pieces long, ids array<int>, "
                     "ids_checksum long")
+
+
+def tokenizer_fertility(docs: DataFrame, merges: list[tuple[str, str, int]],
+                        group_col: str = "lang", text_col: str = "text",
+                        id_col: str = "doc_id",
+                        lowercase: bool = True) -> DataFrame:
+    """Per-group tokenizer quality profile — the fertility audit run
+    before committing to a tokenizer for a multilingual corpus:
+    (group, n_docs, n_words, n_tokens, n_chars, fertility, compression)
+    where fertility = BPE tokens per whitespace word (lower = the
+    tokenizer fits the group; >> 1 flags under-served languages) and
+    compression = characters per BPE token.
+
+    All group sums are exact int64 (partition-invariant); the two
+    ratios are computed once from the totals and rounded to 9dp. The
+    char count is taken on the same lowercased text the segmenter
+    sees, so chars == sum of segmented word lengths exactly.
+
+    Scale: one Arrow-batched segmentation pass (the ``apply_bpe_merges``
+    shape — the merge list rides in the closure), one id-keyed join to
+    recover the group column, one tiny per-group aggregate (groups =
+    dozens). Nothing driver-side scales with the corpus.
+    """
+    per_doc = apply_bpe_merges(docs, merges, text_col=text_col,
+                               id_col=id_col, lowercase=lowercase)
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    side = docs.select(
+        F.col(id_col), F.col(group_col),
+        F.length(F.regexp_replace(text, r"\s+", "")).alias("wc"))
+    j = per_doc.join(side, id_col)
+    agg = j.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_bpe_tokens").cast("long").alias("n_tokens"),
+        F.sum("wc").cast("long").alias("n_chars"))
+    return agg.select(
+        group_col, "n_docs", "n_words", "n_tokens", "n_chars",
+        F.when(F.col("n_words") > 0,
+               F.round(F.col("n_tokens") / F.col("n_words"), 9))
+        .otherwise(F.lit(0.0)).alias("fertility"),
+        F.when(F.col("n_tokens") > 0,
+               F.round(F.col("n_chars") / F.col("n_tokens"), 9))
+        .otherwise(F.lit(0.0)).alias("compression"))

@@ -1418,6 +1418,14 @@ class RunPipeline(Command):
                     df, bpe.load_bpe_merges(df.sparkSession, load),
                     text_col=text_col, id_col=id_col),
                 {"load": str}),
+            "bpe_fertility": (
+                lambda df, load, group_col="lang", text_col="text",
+                id_col="doc_id":
+                bpe.tokenizer_fertility(
+                    df, bpe.load_bpe_merges(df.sparkSession, load),
+                    group_col=group_col, text_col=text_col,
+                    id_col=id_col),
+                {"load": str, "group_col": str, "text_col": str}),
             "unigram_train": (unigram_train,
                               {"vocab_size": int, "em_iters": int,
                                "save": str}),

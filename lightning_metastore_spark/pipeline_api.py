@@ -34,7 +34,9 @@ Tokenizing:   build_vocab, encode_token_stats, chunk_documents,
               learn_bpe_merges (batch_m frequency-batched),
               apply_bpe_merges, bpe_vocab + encode_bpe_ids,
               train_unigram_lm, apply_unigram_lm,
-              save/load artifacts for both tokenizers
+              save/load artifacts for both tokenizers,
+              tokenizer_fertility (per-language tokens/word +
+              chars/token audit of a trained tokenizer)
 Cleaning:     remove_boilerplate_lines, dedup_lines_within_doc,
               normalize_text (Unicode NFC/NFKC + control/whitespace
               canonicalization), html_extract + html_title (HTML ->
@@ -139,6 +141,7 @@ from lightning_metastore_spark.operators.bpe import (  # noqa: F401
     learn_bpe_merges,
     load_bpe_merges,
     save_bpe_merges,
+    tokenizer_fertility,
 )
 from lightning_metastore_spark.operators.chunking import (  # noqa: F401
     chunk_documents,

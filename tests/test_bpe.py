@@ -256,3 +256,67 @@ def test_encode_bpe_ids_matches_naive(spark):
     d3 = spark.createDataFrame([(1, "low ☃")], "doc_id long, text string")
     r3 = encode_bpe_ids(d3, merges, vocab=vocab).collect()[0]
     assert 0 in list(r3.ids)
+
+
+def _segment_len(word, rules):
+    syms = list(word)
+    for l, r in rules:
+        merged, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                merged.append(l + r)
+                i += 2
+            else:
+                merged.append(syms[i])
+                i += 1
+        syms = merged
+    return len(syms)
+
+
+def test_tokenizer_fertility_matches_python_twin(spark):
+    from lightning_metastore_spark.operators.bpe import (
+        tokenizer_fertility)
+
+    rows = [
+        (1, "en", "the theme thesis the"),
+        (2, "en", "other theory the"),
+        (3, "de", "zehn zebra zentrum"),
+        (4, "de", ""),                       # empty doc still counted
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, "
+                                       "text string")
+    texts = [t for _, _, t in rows]
+    merges = [("t", "h"), ("th", "e")]
+    rules = merges
+    got = {r.lang: (r.n_docs, r.n_words, r.n_tokens, r.n_chars,
+                    r.fertility, r.compression)
+           for r in tokenizer_fertility(
+               docs, [(l, r, 9) for l, r in merges]).collect()}
+
+    want = {}
+    groups = {}
+    for _, g, t in rows:
+        groups.setdefault(g, []).append(t)
+    for g, ts in groups.items():
+        words = [w for t in ts for w in t.lower().split()]
+        n_tok = sum(_segment_len(w, rules) for w in words)
+        n_chars = sum(len(w) for w in words)
+        fert = round(n_tok / len(words), 9) if words else 0.0
+        comp = round(n_chars / n_tok, 9) if n_tok else 0.0
+        want[g] = (len(ts), len(words), n_tok, n_chars, fert, comp)
+    assert got == want
+    # the merges target English 'the' -> en fertility < de fertility
+    assert got["en"][4] < got["de"][4]
+
+
+def test_tokenizer_fertility_partition_invariant_real_docs(spark):
+    from lightning_metastore_spark.operators.bpe import (
+        learn_bpe_merges, tokenizer_fertility)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(60)
+    merges = learn_bpe_merges(docs, n_merges=6)
+    a = sorted(map(tuple, tokenizer_fertility(docs, merges).collect()))
+    b = sorted(map(tuple, tokenizer_fertility(
+        docs.repartition(13), merges).collect()))
+    assert a == b and len(a) > 0

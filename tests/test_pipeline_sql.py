@@ -355,6 +355,11 @@ def test_tokenizer_train_apply_roundtrip_sql(env):
                           f"OPTIONS(load '{bp}')")
     assert _rows(applied) == _rows(bpe.apply_bpe_merges(env.docs, want))
 
+    fert = env.ctx.sql(f"RUN PIPELINE bpe_fertility ON {DOCS} "
+                       f"OPTIONS(load '{bp}', group_col 'lang')")
+    assert _rows(fert) == _rows(
+        bpe.tokenizer_fertility(env.docs, want, group_col="lang"))
+
     up = str(env.root / "uni_artifact")
     outu = env.ctx.sql(f"RUN PIPELINE unigram_train ON {DOCS} "
                        f"OPTIONS(vocab_size '32', em_iters '1', "
