@@ -796,11 +796,22 @@ def text_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.lit("phrase").alias("section"), "doc_id",
                   F.col("n_hits").alias("n_terms"),
                   F.col("first_pos").cast("double").alias("score")))
-    ref = (_ref_lm_scores(docs)
+    ref_scored = _ref_lm_scores(docs)
+    ref = (ref_scored
            .select(F.lit("ref_lm").alias("section"), "doc_id",
                    "n_terms", F.col("avg_logprob").alias("score")))
+    # 'ppl_buckets' = the CCNet head/middle/tail split of the ref-LM
+    # scores per language: n_terms plays the bucket ordinal
+    # (head=0/middle=1/tail=2), score plays the 9dp percent-rank —
+    # both hash-verified, so the bucket ASSIGNMENT is bit-checked
+    ppl = (_ppl_bucket_scores(docs, ref_scored)
+           .select(F.lit("ppl_buckets").alias("section"), "doc_id",
+                   F.when(F.col("bucket") == "head", 0)
+                   .when(F.col("bucket") == "middle", 1)
+                   .otherwise(2).cast("long").alias("n_terms"),
+                   F.col("rank_frac").alias("score")))
     return (uni.unionByName(big).unionByName(clf).unionByName(bm)
-            .unionByName(ph).unionByName(ref)
+            .unionByName(ph).unionByName(ref).unionByName(ppl)
             .orderBy("section", "doc_id"))
 
 
@@ -823,6 +834,21 @@ def _ref_lm_scores(docs: DataFrame) -> DataFrame:
                    F.count(F.lit(1)).alias("v")).first()
     return lm_filter.score_with_counts(
         docs, c1, c2, int(stats["n"] or 0), int(stats["v"]), lam=0.7)
+
+
+def _ppl_bucket_scores(docs: DataFrame,
+                       ref_scored: DataFrame | None = None) -> DataFrame:
+    """'ppl_buckets' = lm_filter.perplexity_buckets over the ref_lm
+    section's scores joined back to the language column — the CCNet
+    head/middle/tail split the sampling recipes key on."""
+    from lightning_metastore_spark.operators.lm_filter import (
+        perplexity_buckets)
+
+    if ref_scored is None:
+        ref_scored = _ref_lm_scores(docs)
+    return perplexity_buckets(
+        ref_scored.join(docs.select("doc_id", "lang"), "doc_id"),
+        score_col="avg_logprob", group_col="lang")
 
 
 # DuckDB int value of the first k hex chars of an md5 string
@@ -872,6 +898,20 @@ rc2 AS (
         FROM rtoksarr, unnest(generate_series(1, len(t) - 1)) AS g(i)
         WHERE len(t) >= 2)
   GROUP BY 1, 2
+), refsc AS (
+  SELECT btf.doc_id, CAST(SUM(btf.tf) AS BIGINT) AS n_terms,
+         ROUND(CAST(SUM(CAST(btf.tf * LN(
+             CASE WHEN rc2.c2 IS NOT NULL AND cp.c1 IS NOT NULL
+                  THEN 0.7 * rc2.c2 / cp.c1 ELSE 0.0 END
+             + (1.0 - 0.7) * (COALESCE(cn.c1, 0) + 1.0)
+               / CAST(rstats.n_total + rstats.v + 1 AS DOUBLE)
+           ) AS DECIMAL(28,15))) AS DOUBLE) / SUM(btf.tf), 9) AS alp
+  FROM btf
+  LEFT JOIN rc2 USING (prev, next)
+  LEFT JOIN rc1 cp ON cp.token = btf.prev
+  LEFT JOIN rc1 cn ON cn.token = btf.next
+  CROSS JOIN rstats
+  GROUP BY btf.doc_id
 )
 SELECT * FROM (
   SELECT 'unigram' AS section, doc_id, CAST(SUM(tf) AS BIGINT) AS n_terms,
@@ -934,19 +974,19 @@ SELECT * FROM (
     GROUP BY btf.doc_id
   ) b USING (doc_id)
 UNION ALL
-SELECT 'ref_lm', btf.doc_id, CAST(SUM(btf.tf) AS BIGINT),
-       ROUND(CAST(SUM(CAST(btf.tf * LN(
-           CASE WHEN rc2.c2 IS NOT NULL AND cp.c1 IS NOT NULL
-                THEN 0.7 * rc2.c2 / cp.c1 ELSE 0.0 END
-           + (1.0 - 0.7) * (COALESCE(cn.c1, 0) + 1.0)
-             / CAST(rstats.n_total + rstats.v + 1 AS DOUBLE)
-         ) AS DECIMAL(28,15))) AS DOUBLE) / SUM(btf.tf), 9)
-FROM btf
-LEFT JOIN rc2 USING (prev, next)
-LEFT JOIN rc1 cp ON cp.token = btf.prev
-LEFT JOIN rc1 cn ON cn.token = btf.next
-CROSS JOIN rstats
-GROUP BY btf.doc_id
+SELECT 'ref_lm', doc_id, n_terms, alp FROM refsc
+UNION ALL
+SELECT 'ppl_buckets', doc_id,
+       CAST(CASE WHEN rf < (1.0 / 3.0) THEN 0
+                 WHEN rf < (2.0 / 3.0) THEN 1 ELSE 2 END AS BIGINT),
+       rf
+FROM (
+  SELECT s.doc_id,
+         ROUND(percent_rank() OVER (
+           PARTITION BY d.lang
+           ORDER BY s.alp DESC, s.doc_id ASC), 9) AS rf
+  FROM refsc s JOIN documents d USING (doc_id)
+)
 UNION ALL
 SELECT 'phrase', doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
        CAST(MIN(p0) AS DOUBLE) AS score
@@ -3940,6 +3980,7 @@ SUITE_SECTIONS: dict = {
         "bm25": _lm_section(text_fns.bm25_scores),
         "phrase": _lm_phrase,
         "ref_lm": _lm_section(_ref_lm_scores),
+        "ppl_buckets": _lm_section(_ppl_bucket_scores),
     },
     "temporal_rollup": {
         "rollup": _temporal_section("hypertable_rollup", ts_col="ts",
