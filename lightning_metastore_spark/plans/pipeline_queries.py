@@ -3332,9 +3332,111 @@ ORDER BY doc_id
     "{FLAT_X}", _html_flat_sql("x"))
 
 
+def url_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup gate
+    (functions/html.url_canonical_expr / url_dedup): every document
+    gets a deterministic synthetic URL whose rule mix is chosen by
+    doc_id%4 — uppercase scheme/host with the scheme-default port,
+    utm_*/gclid/ref tracking params, unsorted duplicate-key params, a
+    #fragment, a kept non-default port, and a bare-root path — and
+    doc_id%16 picks the host so canonical collisions exist by
+    construction. Per doc: the canonical form (value-checked string),
+    the group's smallest id and its dup_count from url_dedup — so
+    both the string surgery and the dedup grouping hash-verify
+    against a DuckDB twin replaying the identical RFC split, port
+    strip, param filter/sort and rebuild."""
+    from lightning_metastore_spark.functions.html import (
+        url_canonical_expr, url_dedup)
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    k = (F.col("doc_id") % 16).cast("string")
+    host = F.concat(F.lit("Example"), k, F.lit(".COM"))
+    m = F.col("doc_id") % 4
+    url = (F.when(m == 0, F.concat(
+               F.lit("HTTP://"), host, F.lit(":80/p/"), k,
+               F.lit("?utm_source=x&b=2&a=1#f")))
+           .when(m == 1, F.concat(
+               F.lit("https://"), host, F.lit(":443/p/"), k,
+               F.lit("?gclid=g&z=1")))
+           .when(m == 2, F.concat(
+               F.lit("HTTPS://"), host, F.lit("/p/"), k,
+               F.lit("?z=9&z=1&ref=tw")))
+           .otherwise(F.concat(
+               F.lit("http://"), host, F.lit(":8080/?utm_x=1"))))
+    urls = t["documents"].select("doc_id", url.alias("url"))
+    canon = urls.select(
+        "doc_id", url_canonical_expr(F.col("url")).alias("canonical_url"))
+    grp = (url_dedup(urls)
+           .select(F.col("doc_id").alias("keep_id"), "canonical_url",
+                   "dup_count"))
+    return (canon.join(grp, "canonical_url")
+            .select("doc_id", "canonical_url", "keep_id", "dup_count")
+            .orderBy("doc_id"))
+
+
+_URL_RX = r"^(?:([^:/?#]+):)?(?://([^/?#]*))?([^?#]*)(?:\?([^#]*))?"
+
+URL_DEDUP_ORACLE = r"""
+WITH u AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN 'HTTP://Example' || CAST(doc_id % 16 AS VARCHAR)
+                || '.COM:80/p/' || CAST(doc_id % 16 AS VARCHAR)
+                || '?utm_source=x&b=2&a=1#f'
+           WHEN 1 THEN 'https://Example' || CAST(doc_id % 16 AS VARCHAR)
+                || '.COM:443/p/' || CAST(doc_id % 16 AS VARCHAR)
+                || '?gclid=g&z=1'
+           WHEN 2 THEN 'HTTPS://Example' || CAST(doc_id % 16 AS VARCHAR)
+                || '.COM/p/' || CAST(doc_id % 16 AS VARCHAR)
+                || '?z=9&z=1&ref=tw'
+           ELSE 'http://Example' || CAST(doc_id % 16 AS VARCHAR)
+                || '.COM:8080/?utm_x=1'
+         END AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '{RX}', 1)) AS scheme,
+         lower(regexp_extract(url, '{RX}', 2)) AS auth0,
+         regexp_extract(url, '{RX}', 3) AS path0,
+         regexp_extract(url, '{RX}', 4) AS query0
+  FROM u
+), canon0 AS (
+  SELECT doc_id, scheme,
+         CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+              ELSE auth0 END AS auth,
+         path0,
+         COALESCE(
+           array_to_string(list_sort(list_filter(string_split(query0, '&'),
+             p -> p <> ''
+               AND NOT starts_with(lower(string_split(p, '=')[1]), 'utm_')
+               AND NOT list_contains(
+                     ['fbclid','gclid','msclkid','mc_eid','igshid',
+                      'ref','ref_src','spm'],
+                     lower(string_split(p, '=')[1])))), '&'),
+           '') AS q
+  FROM parts
+), canon AS (
+  SELECT doc_id,
+         (CASE WHEN scheme <> '' THEN scheme || ':' ELSE '' END)
+         || (CASE WHEN auth <> '' THEN '//' || auth ELSE '' END)
+         || (CASE WHEN path0 = '/' AND q = '' THEN '' ELSE path0 END)
+         || (CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS canonical_url
+  FROM canon0
+), grp AS (
+  SELECT canonical_url, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+  FROM canon GROUP BY 1
+)
+SELECT c.doc_id, c.canonical_url, g.keep_id, g.dup_count
+FROM canon c JOIN grp g USING (canonical_url)
+ORDER BY doc_id
+""".replace("{RX}", _URL_RX)
+
+
 def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Twenty-two document-profiling operators in one melted tagged-union
-    slot (50-slot registry discipline): Gopher repetition filters, the
+    """Twenty-three document-profiling operators in one melted
+    tagged-union slot (50-slot registry discipline): Gopher repetition
+    filters, the
     token-length histogram, sequence packing, the contamination check,
     cross-document exact-substring duplication + its EXCISION + the
     incremental span-index admission, Bloom-filter decontamination,
@@ -3342,7 +3444,8 @@ def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding, FFD bin packing, skyline, heavy hitters, the Zipf fit,
     encoding-anomaly triage, CDC chunk dedup, entity census, the
     per-domain curation profile, the snapshot versioning diff + drift
-    and the HTML extraction. Every cell of every component is still
+    the HTML extraction and the URL canonicalization + URL-level
+    dedup. Every cell of every component is still
     hash-verified."""
     parts = [
         _melt(text_repetition(spark, sf_dir), "repetition", "doc_id",
@@ -3401,6 +3504,8 @@ def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
               ("title", "clean_md5")),
         _melt(corpus_drift_check(spark, sf_dir), "drift", "mid",
               ["value_num"], ("metric", "value_str")),
+        _melt(url_dedup_check(spark, sf_dir), "urls", "doc_id",
+              ["keep_id", "dup_count"], ("canonical_url",)),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3487,6 +3592,9 @@ CORPUS_PROFILE_SUITE_ORACLE = (
     + " UNION ALL "
     + _melt_sql(CORPUS_DRIFT_ORACLE, "drift", "mid",
                 ["value_num"], ("metric", "value_str"))
+    + " UNION ALL "
+    + _melt_sql(URL_DEDUP_ORACLE, "urls", "doc_id",
+                ["keep_id", "dup_count"], ("canonical_url",))
     + ") ORDER BY section, row_key, metric"
 )
 
@@ -4025,6 +4133,7 @@ SUITE_SECTIONS: dict = {
         "diff": corpus_diff_check,
         "html": html_extract_check,
         "drift": corpus_drift_check,
+        "urls": url_dedup_check,
     },
     "sampling_quantize_suite": {
         "mixture": domain_mixture,
