@@ -64,6 +64,10 @@ class CurationConfig:
     #   artifact (operators/lm_filter.train_bigram_lm)
     min_ref_logprob: float | None = None       # reference-perplexity
     #   floor under that artifact (CCNet-style keep rule)
+    url_col: str | None = None                 # C4-style URL-level
+    #   dedup FIRST: smallest id per canonical URL survives
+    #   (functions/html.url_canonical_expr); NULL URLs always survive
+    #   (no URL evidence is not duplicate evidence)
 
 
 def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
@@ -92,10 +96,32 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
     rejects navigation/chrome pages from its link-density feature;
     ``cfg.ref_lm_path`` + ``cfg.min_ref_logprob`` reject docs unlike a
     trusted REFERENCE corpus under a saved bigram-LM artifact
-    (operators/lm_filter — the CCNet keep rule). Every optional stage
+    (operators/lm_filter — the CCNet keep rule);
+    ``cfg.url_col`` rejects all but the smallest-id doc per canonical
+    URL (functions/html.url_canonical_expr — the C4 order, URL dedup
+    before every content stage; NULL URLs always survive). Every
+    optional stage
     is a LEFT join with a coalesced neutral default, so output row
     count is invariant to which stages are enabled."""
     cfg = cfg or CurationConfig()
+
+    url_rel = None
+    if cfg.url_col is not None:
+        # URL-level dedup evidence comes from the INPUT relation (the
+        # URL column is not carried through the text stages); the
+        # canonical-URL group min is the survivor — the C4 pipeline
+        # order, where URL dedup precedes every content-based stage
+        from lightning_metastore_spark.functions.html import (
+            url_canonical_expr)
+
+        cu = docs.select(
+            F.col(id_col),
+            url_canonical_expr(F.col(cfg.url_col)).alias("__cu"))
+        nn = cu.filter(F.col("__cu").isNotNull())
+        umin = nn.groupBy("__cu").agg(F.min(id_col).alias("__umin"))
+        url_rel = (nn.join(umin, "__cu")
+                   .select(id_col, (F.col(id_col) == F.col("__umin"))
+                           .alias("url_survivor")))
 
     link_density = None
     if cfg.html_input:
@@ -167,6 +193,12 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
                        F.coalesce("cluster_survivor", F.lit(False)))
            .withColumn("split", split))
 
+    url_ok = F.lit(True)
+    if url_rel is not None:
+        # LEFT join + TRUE default: a NULL-URL doc has no evidence row
+        # and must survive this stage (row count stays invariant)
+        out = out.join(url_rel, id_col, "left")
+        url_ok = F.coalesce("url_survivor", F.lit(True))
     rep_ok = F.lit(True)
     if cfg.max_dup_2gram_frac is not None:
         # LEFT join + coalesce (like the contamination stage below): a
@@ -234,12 +266,13 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
         contam_ok = (F.coalesce("contam_frac", F.lit(0.0))
                      <= cfg.max_contam_frac)
 
-    keep = (F.col("exact_survivor") & F.col("cluster_survivor")
+    keep = (url_ok & F.col("exact_survivor") & F.col("cluster_survivor")
             & (F.col("quality_score") >= cfg.min_quality)
             & F.col("pred_lang").isin(*cfg.allowed_langs)
             & rep_ok & span_ok & clf_ok & lm_ok & ld_ok & ref_ok
             & contam_ok)
-    reason = (F.when(~F.col("exact_survivor"), "exact_duplicate")
+    reason = (F.when(~url_ok, "url_duplicate")
+              .when(~F.col("exact_survivor"), "exact_duplicate")
               .when(~F.col("cluster_survivor"), "near_duplicate")
               .when(F.col("quality_score") < cfg.min_quality, "low_quality")
               .when(~F.col("pred_lang").isin(*cfg.allowed_langs), "language")

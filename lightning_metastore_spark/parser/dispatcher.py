@@ -1292,6 +1292,7 @@ class RunPipeline(Command):
                         "max_link_density": float,
                         "ref_lm_path": str,
                         "min_ref_logprob": float,
+                        "url_col": str,
                         "near_dup_threshold": float}),
             # two-table ops: the second side is another lightning
             # table, resolved via the TABLE option coercion

@@ -395,3 +395,38 @@ def test_curate_corpus_html_and_ref_lm_stages(spark, tmp_path):
         min_quality=0.0, html_input=True,
         ref_lm_path=lm_path, min_ref_logprob=-4.0)).collect()}
     assert out2[200].drop_reason == "ref_perplexity"
+
+
+def test_curate_corpus_url_dedup_stage(spark):
+    """url_col rejects all but the smallest id per canonical URL as
+    'url_duplicate' BEFORE content stages; NULL URLs always survive;
+    row count stays invariant to the stage being enabled."""
+    rows = [
+        (1, "completely distinct prose about rivers and boats number one",
+         "http://a.com/x?utm_source=nl"),
+        (2, "a second unrelated document discussing mountain weather",
+         "HTTP://A.com:80/x"),                  # same canonical as 1
+        (3, "third text on the economics of medieval spice trading",
+         "http://a.com/x#top"),                 # same canonical as 1
+        (4, "fourth piece describing deep sea exploration vessels",
+         "http://a.com/y"),
+        (5, "fifth entry about the history of mechanical clocks", None),
+        (6, "sixth note cataloguing varieties of alpine wildflowers",
+         None),                                  # NULL: no dedup vs 5
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "url string")
+    base = curate_corpus(docs, CurationConfig(min_quality=0.0,
+                                              allowed_langs=("und", "en")))
+    out = curate_corpus(docs, CurationConfig(min_quality=0.0,
+                                             allowed_langs=("und", "en"),
+                                             url_col="url"))
+    assert out.count() == base.count() == len(rows)
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[2].drop_reason == "url_duplicate"
+    assert got[3].drop_reason == "url_duplicate"
+    assert not got[2].keep and not got[3].keep
+    # group min, the distinct-url doc and both NULL-url docs survive
+    for i in (1, 4, 5, 6):
+        assert got[i].drop_reason != "url_duplicate", i
+        assert got[i].keep, i
