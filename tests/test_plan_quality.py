@@ -444,3 +444,41 @@ def test_html_extract_and_corpus_diff_shapes(spark):
     for ln in dplan.splitlines():
         if "Exchange" in ln:
             assert "text" not in ln, ln
+
+
+def test_url_canonicalize_is_map_only(spark):
+    """URL canonicalization composes with scans: no Exchange, no
+    Python in the plan; url_dedup adds exactly the one canonical-key
+    hash aggregation (partial+final => Exchanges only on the key)."""
+    from lightning_metastore_spark.functions.html import (
+        url_canonicalize, url_dedup)
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter("doc_id < 50")          # limit() would inject its
+            .withColumnRenamed("source", "url"))  # own SinglePartition
+    plan = _plan(url_canonicalize(docs))
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+    dplan = _plan(url_dedup(docs))
+    assert "BatchEvalPython" not in dplan
+    for ln in dplan.splitlines():
+        if "Exchange" in ln:
+            assert "canonical_url" in ln, ln
+
+
+def test_perplexity_buckets_single_group_shuffle(spark):
+    """The bucket window shuffles ONCE on the group key — no extra
+    global sort, no Python."""
+    from lightning_metastore_spark.operators.lm_filter import (
+        perplexity_buckets)
+
+    scored = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+              .filter("doc_id < 80")
+              .selectExpr("doc_id", "lang",
+                          "CAST(n_chars AS DOUBLE) AS avg_logprob"))
+    plan = _plan(perplexity_buckets(scored))
+    assert "BatchEvalPython" not in plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln
+                 and "Reused" not in ln]
+    assert len(exchanges) == 1, exchanges
+    assert "lang" in exchanges[0]
