@@ -84,6 +84,43 @@ def mixture_resample(docs: DataFrame, weights: dict[str, float],
                     kept.alias("kept")))
 
 
+def bucket_resample(bucketed: DataFrame,
+                    rates: dict[str, float] | None = None,
+                    bucket_col: str = "bucket", id_col: str = "doc_id",
+                    salt: str = "bkt") -> DataFrame:
+    """Per-bucket deterministic thinning — the terminal step of the
+    CCNet recipe: score against a reference LM
+    (``lm_filter.score_with_bigram_lm``), split per language into
+    head/middle/tail (``lm_filter.perplexity_buckets``), then keep
+    each bucket at its own rate (CCNet keeps all of head, some of
+    middle, little of tail). ``rates`` defaults to
+    {'head': 1.0, 'middle': 0.5, 'tail': 0.1}; buckets absent from it
+    get rate 0 (dropped).
+
+    Output: every input column + (keep_rate, kept). The keep decision
+    is ``mixture_resample``'s engine-exact rule — the first 8 md5 hex
+    chars of "<salt>:<id>" compared as zero-padded hex against
+    ``rate * 2^32`` — so any engine reproduces it bit-for-bit.
+
+    Scale: MAP-ONLY — the rate map is a compile-time literal, no
+    aggregate, no shuffle; composes with the one group-key shuffle of
+    ``perplexity_buckets`` upstream.
+    """
+    if rates is None:
+        rates = {"head": 1.0, "middle": 0.5, "tail": 0.1}
+    rmap = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])
+    rate = F.coalesce(rmap[F.col(bucket_col)], F.lit(0.0))
+    threshold = F.lpad(F.lower(F.hex(F.floor(rate * F.lit(_HASH_SPACE))
+                                     .cast("long"))), 8, "0")
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        1, 8)
+    kept = F.when(rate >= 1.0, F.lit(True)).otherwise(h < threshold)
+    return (bucketed
+            .withColumn("keep_rate", F.round(rate, 6))
+            .withColumn("kept", kept))
+
+
 def weighted_sample_n(docs: DataFrame, n: int, weight_col: str,
                       id_col: str = "doc_id",
                       salt: str = "wsample") -> DataFrame:

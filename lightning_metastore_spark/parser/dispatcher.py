@@ -1241,6 +1241,15 @@ class RunPipeline(Command):
                 df, cuts=(head, middle), score_col=score_col,
                 group_col=group_col)
 
+        def ccnet_sample_op(df, head=1.0, middle=0.5, tail=0.1,
+                            score_col="avg_logprob", group_col="lang"):
+            """The full CCNet terminal step: per-group head/middle/tail buckets, then per-bucket deterministic thinning."""
+            from lightning_metastore_spark.operators import lm_filter
+            b = lm_filter.perplexity_buckets(
+                df, score_col=score_col, group_col=group_col)
+            return sampling.bucket_resample(
+                b, {"head": head, "middle": middle, "tail": tail})
+
         def classifier_apply(df, load, n_buckets=4096):
             """Score docs with a trained weight artifact (OPTIONS(load '...'))."""
             from lightning_metastore_spark.functions import text as tfn
@@ -1466,6 +1475,18 @@ class RunPipeline(Command):
                 perplexity_buckets_op,
                 {"head": float, "middle": float, "score_col": str,
                  "group_col": str}),
+            "bucket_resample": (
+                lambda df, rates=None, bucket_col="bucket":
+                sampling.bucket_resample(
+                    df,
+                    dict((kv.split(":")[0], float(kv.split(":")[1]))
+                         for kv in rates) if rates else None,
+                    bucket_col=bucket_col),
+                {"rates": _csv, "bucket_col": str}),
+            "ccnet_sample": (
+                ccnet_sample_op,
+                {"head": float, "middle": float, "tail": float,
+                 "score_col": str, "group_col": str}),
             "classifier_train": (classifier_train,
                                  {"label_col": str, "iters": int,
                                   "lr": float, "n_buckets": int,

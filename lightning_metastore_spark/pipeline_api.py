@@ -56,7 +56,9 @@ Sampling:     mixture_resample, temperature_resample (XLM/mT5
               quantile_normalize (per-group percentile rank),
               budget_select (token-budget prefix selection),
               dsir_select (DSIR importance resampling toward a
-              target corpus, deterministic Gumbel-top-k)
+              target corpus, deterministic Gumbel-top-k),
+              bucket_resample (per-bucket deterministic thinning —
+              the CCNet head/middle/tail terminal step)
 Retrieval:    rrf_fuse (Reciprocal Rank Fusion),
               hybrid_search (BM25 + dense cosine, brute or IVF)
 Skyline:      skyline, skyline_per_group (Pareto-optimal sets)
@@ -220,6 +222,7 @@ from lightning_metastore_spark.operators.retrieval import (  # noqa: F401
     rrf_fuse,
 )
 from lightning_metastore_spark.operators.sampling import (  # noqa: F401
+    bucket_resample,
     budget_select,
     dsir_select,
     epoch_schedule,

@@ -517,3 +517,57 @@ def test_dsir_select_partition_invariant(spark):
     b = dsir_select(docs.repartition(11), target.repartition(3),
                     n=15, n_buckets=128).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) == 15
+
+
+def test_bucket_resample_matches_md5_twin(spark):
+    """Per-bucket thinning: bit-exact vs a Python replay of the hex
+    keep rule; rate-1.0 buckets keep everything, unmapped buckets
+    drop everything."""
+    import hashlib
+
+    from lightning_metastore_spark.operators.sampling import (
+        bucket_resample)
+
+    rows = [(i, ["head", "middle", "tail", "junk"][i % 4])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, bucket string")
+    rates = {"head": 1.0, "middle": 0.5, "tail": 0.1}
+    got = {r.doc_id: (r.keep_rate, r.kept)
+           for r in bucket_resample(df, rates).collect()}
+
+    want = {}
+    for i, b in rows:
+        rate = rates.get(b, 0.0)
+        if rate >= 1.0:
+            kept = True
+        else:
+            h = hashlib.md5(f"bkt:{i}".encode()).hexdigest()[:8]
+            kept = h < format(int(rate * 4294967296.0), "08x")
+        want[i] = (round(rate, 6), kept)
+    assert got == want
+    assert all(got[i][1] for i, b in rows if b == "head")
+    assert not any(got[i][1] for i, b in rows if b == "junk")
+
+
+def test_bucket_resample_composes_with_perplexity_buckets(spark):
+    """The CCNet terminal flow: buckets -> thinning; head survives
+    whole, tail is decimated; rerun identical (pure id function)."""
+    from lightning_metastore_spark.operators.lm_filter import (
+        perplexity_buckets)
+    from lightning_metastore_spark.operators.sampling import (
+        bucket_resample)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .selectExpr("doc_id", "lang",
+                        "CAST(n_chars AS DOUBLE) AS avg_logprob"))
+    out = bucket_resample(perplexity_buckets(docs))
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    by = {}
+    for r in rows:
+        by.setdefault(r.bucket, []).append(r)
+    assert all(r.kept for r in by["head"])
+    tail_frac = sum(r.kept for r in by["tail"]) / len(by["tail"])
+    assert tail_frac < 0.35
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, out.collect()))

@@ -316,6 +316,21 @@ def _cases():
              "lightning_metastore_spark.operators.lm_filter",
              fromlist=["perplexity_buckets"]).perplexity_buckets(
                  e.docs, score_col="n_chars", group_col="lang")),
+        ("bucket_resample",
+         f"bucket_resample ON {DOCS} "
+         "OPTIONS(rates 'en:1.0,de:0.4', bucket_col 'lang')",
+         lambda e: sampling.bucket_resample(
+             e.docs, {"en": 1.0, "de": 0.4}, bucket_col="lang")),
+        ("ccnet_sample",
+         f"ccnet_sample ON {DOCS} "
+         "OPTIONS(score_col 'n_chars', group_col 'lang', "
+         "middle '0.6', tail '0.2')",
+         lambda e: sampling.bucket_resample(
+             __import__(
+                 "lightning_metastore_spark.operators.lm_filter",
+                 fromlist=["perplexity_buckets"]).perplexity_buckets(
+                     e.docs, score_col="n_chars", group_col="lang"),
+             {"head": 1.0, "middle": 0.6, "tail": 0.2})),
     ]
 
 
