@@ -3878,13 +3878,64 @@ SELECT doc_id, log_weight, sample_rank FROM (
     "{HEX8}", _hexint_sql("hh", 8))
 
 
+def ccnet_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'ccnet' = the CCNet terminal flow
+    (lm_filter.perplexity_buckets + sampling.bucket_resample): per-lang
+    head/middle/tail buckets over a deterministic proxy score (n_chars
+    as double — keeps this section independent of the LM sections'
+    cost) thinned at 1.0/0.5/0.1. The bucket assignment, the 9dp rank,
+    the per-bucket rate AND every md5-hex keep decision hash-verify
+    against the DuckDB replay."""
+    from lightning_metastore_spark.operators.lm_filter import (
+        perplexity_buckets)
+    from lightning_metastore_spark.operators.sampling import (
+        bucket_resample)
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    scored = t["documents"].selectExpr(
+        "doc_id", "lang", "CAST(n_chars AS DOUBLE) AS score")
+    out = bucket_resample(
+        perplexity_buckets(scored, score_col="score", group_col="lang"))
+    return out.select("doc_id", "lang", "bucket", "rank_frac",
+                      "keep_rate", "kept").orderBy("doc_id")
+
+
+CCNET_BUCKET_ORACLE = r"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROUND(percent_rank() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id ASC), 9) AS rf
+  FROM documents
+), b AS (
+  SELECT doc_id, lang, rf,
+         CASE WHEN rf < (1.0 / 3.0) THEN 'head'
+              WHEN rf < (2.0 / 3.0) THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM ranked
+)
+SELECT doc_id, lang, bucket, rf AS rank_frac,
+       ROUND(CASE bucket WHEN 'head' THEN 1.0
+                         WHEN 'middle' THEN 0.5 ELSE 0.1 END, 6)
+         AS keep_rate,
+       CASE WHEN bucket = 'head' THEN TRUE
+            ELSE substring(md5('bkt:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < lpad(lower(hex(CAST(floor(
+                     (CASE bucket WHEN 'middle' THEN 0.5 ELSE 0.1 END)
+                     * 4294967296.0) AS BIGINT))), 8, '0')
+       END AS kept
+FROM b ORDER BY doc_id
+"""
+
+
 def sampling_quantize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling, exact-n stratified sampling, int8
     embedding quantization, JL random projection, SemDeDup-style
     semantic dedup, weighted sampling, per-group quantile
     normalization, norm-outlier screening, temperature-smoothed
-    resampling, token-budget prefix selection and DSIR importance
-    resampling in one melted tagged-union slot."""
+    resampling, token-budget prefix selection, DSIR importance
+    resampling and the CCNet bucket-thinning terminal step in one
+    melted tagged-union slot."""
     parts = [
         _melt(domain_mixture(spark, sf_dir), "mixture", "doc_id",
               ["keep_rate", "kept"], ("lang",)),
@@ -3908,6 +3959,8 @@ def sampling_quantize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
               ["score", "n_tokens", "cum_tokens", "selected"]),
         _melt(dsir_selection(spark, sf_dir), "dsir", "doc_id",
               ["log_weight", "sample_rank"]),
+        _melt(ccnet_bucket_sample(spark, sf_dir), "ccnet", "doc_id",
+              ["rank_frac", "keep_rate", "kept"], ("lang", "bucket")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3949,6 +4002,9 @@ SAMPLING_QUANTIZE_SUITE_ORACLE = (
     + " UNION ALL "
     + _melt_sql(DSIR_SELECTION_ORACLE, "dsir", "doc_id",
                 ["log_weight", "sample_rank"])
+    + " UNION ALL "
+    + _melt_sql(CCNET_BUCKET_ORACLE, "ccnet", "doc_id",
+                ["rank_frac", "keep_rate", "kept"], ("lang", "bucket"))
     + ") ORDER BY section, row_key, metric"
 )
 
@@ -4147,5 +4203,6 @@ SUITE_SECTIONS: dict = {
         "temperature": temperature_mixture,
         "budget": budget_selection,
         "dsir": dsir_selection,
+        "ccnet": ccnet_bucket_sample,
     },
 }
