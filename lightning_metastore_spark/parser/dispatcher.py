@@ -1260,14 +1260,17 @@ class RunPipeline(Command):
                                         weights=w)
 
         def ingest_admit(df, index_dir, threshold=0.5, max_span_frac=None,
-                         bloom_path=None, bloom_threshold=0.5):
+                         bloom_path=None, bloom_threshold=0.5,
+                         ref_lm_path=None, min_ref_logprob=None):
             """Admit a batch against a persisted dedup index (OPTIONS(index_dir)) — the backfill twin of the streaming ingest sink."""
             from lightning_metastore_spark.streaming.ingest import (
                 dedup_batch_against_index)
             return dedup_batch_against_index(
                 df.sparkSession, df, index_dir, threshold=threshold,
                 max_span_frac=max_span_frac, bloom_path=bloom_path,
-                bloom_threshold=bloom_threshold)
+                bloom_threshold=bloom_threshold,
+                ref_lm_path=ref_lm_path,
+                min_ref_logprob=min_ref_logprob)
 
         return {
             "exact_dedup": (dedup.exact_dedup, {}),
@@ -1356,7 +1359,9 @@ class RunPipeline(Command):
                              {"index_dir": str, "threshold": float,
                               "max_span_frac": float,
                               "bloom_path": str,
-                              "bloom_threshold": float}),
+                              "bloom_threshold": float,
+                              "ref_lm_path": str,
+                              "min_ref_logprob": float}),
             # ---- dedup (beyond minhash): simhash, spans, semantic ----
             "simhash_pairs": (dedup.simhash_pairs,
                               {"hamming_max": int,

@@ -11,11 +11,13 @@ as parquet under ``index_dir``:
     index_dir/signatures/batch=<id>/  (doc_id, mh_0..mh_63)
     index_dir/spans/batch=<id>/       (gh, occ) — 5-token-window index
 
-Each micro-batch is admitted through up to five steps, all DataFrame
+Each micro-batch is admitted through up to six steps, all DataFrame
 programs:
   0. (opt-in) benchmark decontamination against a STATIC Bloom
      artifact (map-only vectorized bitmap probe — eval-set text never
-     enters the corpus; zero false negatives),
+     enters the corpus; zero false negatives), and/or a STATIC
+     reference-LM quality floor (the CCNet keep rule — junk never
+     enters either),
   1. exact intra-batch dedup (normalized-text hash, keep min id),
   2. near-dup intra-batch dedup (MinHash LSH pairs -> connected
      components -> keep min id per cluster — proper clustering, so a
@@ -101,7 +103,9 @@ def dedup_batch_against_index(spark: SparkSession, batch: DataFrame,
                               exclude_batch=None,
                               max_span_frac: float | None = None,
                               bloom_path: str | None = None,
-                              bloom_threshold: float = 0.5) -> DataFrame:
+                              bloom_threshold: float = 0.5,
+                              ref_lm_path: str | None = None,
+                              min_ref_logprob: float | None = None) -> DataFrame:
     """The per-batch admission decision (pure batch DataFrame program —
     also the test twin of the streaming sink): returns the NOVEL subset
     of ``batch`` after exact intra-batch, near-dup intra-batch,
@@ -133,7 +137,17 @@ def dedup_batch_against_index(spark: SparkSession, batch: DataFrame,
     needs no batch-visibility rule: replays are trivially stable. Zero
     false negatives by construction (a truly contaminated doc can
     never be admitted); over-rejection is bounded by the filter's FP
-    rate."""
+    rate.
+
+    ``ref_lm_path`` + ``min_ref_logprob`` (opt-in): the CCNet quality
+    floor AT ingestion — reject docs scoring below the floor under a
+    saved reference bigram-LM artifact (operators/lm_filter), so junk
+    never enters the corpus. Like the Bloom rejector the artifact is
+    STATIC: the decision is a pure function of the doc text, needs no
+    batch-visibility rule, and replays are trivially stable. Docs with
+    no score (<2 tokens) are ADMITTED by this stage — absence of LM
+    evidence is not junk evidence (the same neutral-default contract
+    as curate_corpus's ref stage)."""
     # 0. benchmark decontamination: a map-only vectorized bitmap probe
     # — the cheapest rejector runs FIRST so the heavier LSH/CC steps
     # see a smaller batch
@@ -147,6 +161,19 @@ def dedup_batch_against_index(spark: SparkSession, batch: DataFrame,
                                     text_col=text_col, id_col=id_col)
         batch = batch.join(
             flags.filter(~F.col("is_contaminated")).select(id_col), id_col)
+
+    # 0b. reference-LM quality floor: one batch-sized bigram pass
+    # against the static artifact — scored-below-floor docs leave
+    # before the heavier LSH/CC steps (left-anti keeps no-score docs)
+    if ref_lm_path is not None and min_ref_logprob is not None:
+        from lightning_metastore_spark.operators.lm_filter import (
+            score_with_bigram_lm)
+
+        junk = (score_with_bigram_lm(batch, ref_lm_path,
+                                     text_col=text_col, id_col=id_col)
+                .filter(F.col("avg_logprob") < F.lit(float(min_ref_logprob)))
+                .select(id_col))
+        batch = batch.join(junk, id_col, "left_anti")
 
     # 1. exact intra-batch: keep the smallest id per normalized text
     exact = dedup.exact_dedup(batch, text_col, id_col)
@@ -227,7 +254,9 @@ def ingest_micro_batch(spark: SparkSession, batch_df: DataFrame,
                        text_col: str = "text",
                        max_span_frac: float | None = None,
                        bloom_path: str | None = None,
-                       bloom_threshold: float = 0.5) -> None:
+                       bloom_threshold: float = 0.5,
+                       ref_lm_path: str | None = None,
+                       min_ref_logprob: float | None = None) -> None:
     """The sink's per-batch body (module-level so tests can drive the
     REAL production path with explicit batch ids and replay order):
     admit the batch against the index excluding its own partition,
@@ -243,7 +272,8 @@ def ingest_micro_batch(spark: SparkSession, batch_df: DataFrame,
     novel = dedup_batch_against_index(
         spark, batch_df, index_dir, threshold, id_col, text_col,
         exclude_batch=batch_id, max_span_frac=max_span_frac,
-        bloom_path=bloom_path, bloom_threshold=bloom_threshold)
+        bloom_path=bloom_path, bloom_threshold=bloom_threshold,
+        ref_lm_path=ref_lm_path, min_ref_logprob=min_ref_logprob)
     # cut the triple-branch plan once: novel feeds docs-out AND every
     # artifact write; each write would otherwise recompute the
     # whole dedup pipeline (4x the batch cost)
@@ -266,7 +296,9 @@ def start_dedup_ingest_sink(stream_docs: DataFrame, index_dir: str,
                             text_col: str = "text",
                             max_span_frac: float | None = None,
                             bloom_path: str | None = None,
-                            bloom_threshold: float = 0.5):
+                            bloom_threshold: float = 0.5,
+                            ref_lm_path: str | None = None,
+                            min_ref_logprob: float | None = None):
     """Start the ingestion sink over a streaming docs DataFrame.
     Returns the StreamingQuery handle; the caller owns stop().
 
@@ -276,13 +308,17 @@ def start_dedup_ingest_sink(stream_docs: DataFrame, index_dir: str,
     k-token windows are more than that fraction already-indexed — the
     exact-substring recycling rejector. ``bloom_path`` (optional)
     rejects benchmark-contaminated docs against a saved Bloom artifact
-    — the fourth, static rejector (see dedup_batch_against_index)."""
+    — the fourth, static rejector. ``ref_lm_path`` +
+    ``min_ref_logprob`` (optional) reject below-floor docs under a
+    saved reference-LM artifact — the fifth, also static rejector
+    (see dedup_batch_against_index)."""
     spark = stream_docs.sparkSession
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         ingest_micro_batch(spark, batch_df, batch_id, index_dir, out_dir,
                            threshold, id_col, text_col, max_span_frac,
-                           bloom_path, bloom_threshold)
+                           bloom_path, bloom_threshold,
+                           ref_lm_path, min_ref_logprob)
 
     return (stream_docs.writeStream
             .foreachBatch(_ingest)

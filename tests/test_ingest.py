@@ -342,3 +342,54 @@ def test_bloom_rejector_decontaminates_at_ingest(spark, tmp_path):
     both = _mkdocs(spark, [(30, OTHER), (31, contaminated)])
     assert ingest.dedup_batch_against_index(
         spark, both, idx, bloom_path=bloom_path).count() == 0
+
+
+def test_ref_lm_floor_rejects_junk_at_ingest(spark, tmp_path):
+    """The fifth, STATIC rejector: a junk doc scoring below the
+    reference-LM floor is rejected even though it is novel to the
+    index; reference-like prose passes; a <2-token doc has no score
+    and is NOT rejected by this stage; the decision is a pure function
+    of the text, so a replayed micro-batch reproduces it exactly and
+    it composes with the dedup rejectors."""
+    from lightning_metastore_spark.operators.lm_filter import (
+        score_with_bigram_lm, train_bigram_lm)
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    ingest.build_dedup_index(_mkdocs(spark, [(1, BASE)]), idx)
+
+    ref = _mkdocs(spark, [(i, OTHER) for i in range(3)]
+                  + [(9, THIRD)])
+    lm_path = str(tmp_path / "ref_lm")
+    train_bigram_lm(ref, lm_path)
+
+    junk = "zxq vbnm qwerty asdf zxcv plok mnbv wert yuio hjkl"
+    prose = THIRD + " with a fresh continuation sentence attached"
+    floor = -4.0
+    # premise: the junk text really scores below the floor, prose above
+    scores = {r.doc_id: r.avg_logprob for r in score_with_bigram_lm(
+        _mkdocs(spark, [(50, junk), (51, prose)]), lm_path).collect()}
+    assert scores[50] < floor < scores[51], scores
+
+    batch = _mkdocs(spark, [(50, junk), (51, prose), (52, "one")])
+    # without the floor: everything is novel -> all admitted
+    assert ingest.dedup_batch_against_index(
+        spark, batch, idx).count() == 3
+    got = sorted(r.doc_id for r in ingest.dedup_batch_against_index(
+        spark, batch, idx, ref_lm_path=lm_path,
+        min_ref_logprob=floor).collect())
+    assert got == [51, 52], got
+
+    # replay stability through the real micro-batch body
+    ingest.ingest_micro_batch(spark, batch, 7, idx, out,
+                              ref_lm_path=lm_path, min_ref_logprob=floor)
+    first = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    ingest.ingest_micro_batch(spark, batch, 7, idx, out,
+                              ref_lm_path=lm_path, min_ref_logprob=floor)
+    assert sorted(r.doc_id for r in
+                  spark.read.parquet(out).collect()) == first == [51, 52]
+
+    # composes: junk + a near-dup of an admitted doc in one batch
+    both = _mkdocs(spark, [(60, junk), (61, prose + " minor edit")])
+    assert ingest.dedup_batch_against_index(
+        spark, both, idx, ref_lm_path=lm_path,
+        min_ref_logprob=floor).count() == 0

@@ -595,6 +595,22 @@ def test_ingest_admit_sql_equals_streaming_twin(env, spark,
     # and docs already in the corpus index must be rejected too
     assert not admitted & {r.doc_id for r in corpus.collect()}
 
+    # the fifth (reference-LM floor) rejector over SQL: same equality
+    # contract; a permissive floor must not change the decision set
+    from lightning_metastore_spark.operators.lm_filter import (
+        train_bigram_lm)
+
+    lm_path = str(root / "ref_lm")
+    train_bigram_lm(corpus, lm_path)
+    got2 = env.ctx.sql(
+        f"RUN PIPELINE ingest_admit ON {DOCS} "
+        f"OPTIONS(index_dir '{idx}', ref_lm_path '{lm_path}', "
+        "min_ref_logprob '-50.0')")
+    want2 = ingest.dedup_batch_against_index(
+        spark, env.docs, idx, ref_lm_path=lm_path,
+        min_ref_logprob=-50.0)
+    assert _rows(got2) == _rows(want2) and got2.count() > 0
+
 
 def test_pq_train_encode_topk_roundtrip_sql(env, spark, tmp_path_factory):
     """Product quantization over SQL: train persists the codebook
