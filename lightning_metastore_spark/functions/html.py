@@ -189,9 +189,13 @@ def url_dedup(docs: DataFrame, url_col: str = "url",
     """URL-level dedup: (id, canonical_url, dup_count), keeping the
     smallest id per canonical URL — the ``exact_dedup`` shape keyed on
     the canonical form instead of the text hash. One hash-aggregation
-    shuffle on the canonical URL."""
+    shuffle on the canonical URL. Rows with a NULL URL are EXCLUDED —
+    absent URLs are not duplicate evidence, and grouping them would
+    collapse every URL-less doc into one bogus cluster (the same
+    contract as curate_corpus's url stage)."""
     canon = url_canonical_expr(F.col(url_col))
     return (docs.select(F.col(id_col), canon.alias("canonical_url"))
+            .filter(F.col("canonical_url").isNotNull())
             .groupBy("canonical_url")
             .agg(F.min(id_col).alias(id_col),
                  F.count(F.lit(1)).alias("dup_count"))

@@ -198,6 +198,8 @@ def test_url_dedup_keeps_min_id_per_canonical(spark):
         (2, "HTTP://A.com:80/x"),
         (3, "http://a.com/x#top"),
         (4, "http://a.com/y"),
+        (5, None),                 # NULL url: excluded, never grouped
+        (6, None),
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     got = {r.canonical_url: (r.doc_id, r.dup_count)
