@@ -885,8 +885,10 @@ def dedup_keep(docs: DataFrame, pairs: DataFrame | None = None,
       copy rather than the first. Requires a NUMERIC id (the
       smallest-id tie-break rides the struct max as ``-id``).
 
-    ``pairs`` is any verified pair relation (doc_id_a, doc_id_b, ...);
-    when omitted it is generated here by ``method``:
+    ``pairs`` is any verified pair relation (doc_id_a, doc_id_b, ...)
+    over ids present in ``docs`` — a pair endpoint missing from the
+    corpus would become a cluster label no doc carries; when omitted
+    it is generated here by ``method``:
     'minhash' (minhash_lsh_pairs at ``threshold``), 'simhash'
     (simhash_pairs), or 'exact' (exact duplicate groups only).
 

@@ -119,7 +119,9 @@ def perplexity_buckets(scored: DataFrame,
     9dp, and the cut comparison is strict ``<`` against cut values
     that callers should write as the same float expression in every
     engine (the default thirds are ``1.0/3.0`` / ``2.0/3.0``). A
-    single-doc group has percent_rank 0 and buckets as head.
+    single-doc group has percent_rank 0 and buckets as head; NULL
+    scores order last within their group (Spark's DESC default) and
+    land in tail.
 
     Scale: ONE shuffle on the group key (the ``quantile_normalize``
     window shape); each window partition is a single group, so skew
