@@ -10,6 +10,8 @@ as parquet under ``index_dir``:
     index_dir/shingles/batch=<id>/    (doc_id, shingle)
     index_dir/signatures/batch=<id>/  (doc_id, mh_0..mh_63)
     index_dir/spans/batch=<id>/       (gh, occ) — 5-token-window index
+    index_dir/urls/batch=<id>/        (doc_id, canonical_url) —
+                                      crawl-frontier visited set (opt-in)
 
 Each micro-batch is admitted through up to six steps, all DataFrame
 programs:
@@ -17,7 +19,9 @@ programs:
      artifact (map-only vectorized bitmap probe — eval-set text never
      enters the corpus; zero false negatives), and/or a STATIC
      reference-LM quality floor (the CCNet keep rule — junk never
-     enters either),
+     enters either), and/or crawl-frontier URL rejection against the
+     index's growing visited set (canonical form, smallest id wins —
+     a re-crawled page never reaches the text rejectors),
   1. exact intra-batch dedup (normalized-text hash, keep min id),
   2. near-dup intra-batch dedup (MinHash LSH pairs -> connected
      components -> keep min id per cluster — proper clustering, so a
@@ -58,26 +62,44 @@ _SEED = 42
 _SPAN_K = 5
 
 
-def _artifacts(docs: DataFrame, id_col: str, text_col: str):
+def _artifacts(docs: DataFrame, id_col: str, text_col: str,
+               url_col: str | None = None):
     sh = dedup.shingles(docs, text_col=text_col, id_col=id_col)
     sig = dedup.minhash_signatures(sh, _NUM_HASHES, id_col, _SEED)
     spans = dedup.span_index(docs, k=_SPAN_K, text_col=text_col,
                              id_col=id_col)
-    return sh, sig, spans
+    urls = _url_artifact(docs, id_col, url_col) if url_col else None
+    return sh, sig, spans, urls
+
+
+def _url_artifact(docs: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """(id, canonical_url) for the admitted docs that HAVE a URL — the
+    crawl-frontier visited set (functions/html.url_canonical_expr)."""
+    from lightning_metastore_spark.functions.html import (
+        url_canonical_expr)
+
+    return (docs.select(
+        F.col(id_col),
+        url_canonical_expr(F.col(url_col)).alias("canonical_url"))
+        .filter(F.col("canonical_url").isNotNull()))
 
 
 def build_dedup_index(docs: DataFrame, index_dir: str,
                       id_col: str = "doc_id",
-                      text_col: str = "text") -> None:
+                      text_col: str = "text",
+                      url_col: str | None = None) -> None:
     """Bootstrap the corpus index from an existing (already deduped)
     corpus. Call once; the streaming sink extends it per batch."""
-    sh, sig, spans = _artifacts(docs, id_col, text_col)
+    sh, sig, spans, urls = _artifacts(docs, id_col, text_col, url_col)
     sh.write.mode("overwrite").parquet(
         os.path.join(index_dir, "shingles", "batch=init"))
     sig.write.mode("overwrite").parquet(
         os.path.join(index_dir, "signatures", "batch=init"))
     spans.write.mode("overwrite").parquet(
         os.path.join(index_dir, "spans", "batch=init"))
+    if urls is not None:
+        urls.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "urls", "batch=init"))
 
 
 def _before_batch(df: DataFrame, batch_id) -> DataFrame:
@@ -105,7 +127,8 @@ def dedup_batch_against_index(spark: SparkSession, batch: DataFrame,
                               bloom_path: str | None = None,
                               bloom_threshold: float = 0.5,
                               ref_lm_path: str | None = None,
-                              min_ref_logprob: float | None = None) -> DataFrame:
+                              min_ref_logprob: float | None = None,
+                              url_col: str | None = None) -> DataFrame:
     """The per-batch admission decision (pure batch DataFrame program —
     also the test twin of the streaming sink): returns the NOVEL subset
     of ``batch`` after exact intra-batch, near-dup intra-batch,
@@ -147,7 +170,17 @@ def dedup_batch_against_index(spark: SparkSession, batch: DataFrame,
     batch-visibility rule, and replays are trivially stable. Docs with
     no score (<2 tokens) are ADMITTED by this stage — absence of LM
     evidence is not junk evidence (the same neutral-default contract
-    as curate_corpus's ref stage)."""
+    as curate_corpus's ref stage).
+
+    ``url_col`` (opt-in): crawl-frontier URL rejection — the batch is
+    deduped on the canonical URL form (functions/html, smallest id
+    wins intra-batch) and docs whose canonical URL is already in the
+    index's visited set are rejected BEFORE any text is shingled (a
+    re-crawled page with edited chrome never reaches the text
+    rejectors). URL-presence is an equivalence-like relation, so the
+    ``exclude_batch`` visibility rule suffices (the span-style
+    strictly-before rule is not needed); NULL-URL docs pass — no URL
+    evidence is not duplicate evidence."""
     # 0. benchmark decontamination: a map-only vectorized bitmap probe
     # — the cheapest rejector runs FIRST so the heavier LSH/CC steps
     # see a smaller batch
@@ -174,6 +207,34 @@ def dedup_batch_against_index(spark: SparkSession, batch: DataFrame,
                 .filter(F.col("avg_logprob") < F.lit(float(min_ref_logprob)))
                 .select(id_col))
         batch = batch.join(junk, id_col, "left_anti")
+
+    # 0c. crawl-frontier URL rejection: canonical-key dedup before any
+    # text work — the cheapest growing-index rejector
+    if url_col is not None:
+        from lightning_metastore_spark.functions.html import (
+            url_canonical_expr)
+
+        cu = batch.select(
+            F.col(id_col),
+            url_canonical_expr(F.col(url_col)).alias("__cu"))
+        nn = cu.filter(F.col("__cu").isNotNull())
+        # intra-batch: smallest id per canonical URL survives
+        umin = nn.groupBy("__cu").agg(F.min(id_col).alias("__umin"))
+        losers = (nn.join(umin, "__cu")
+                  .filter(F.col(id_col) != F.col("__umin"))
+                  .select(id_col))
+        batch = batch.join(losers, id_col, "left_anti")
+        # batch-vs-corpus: reject already-visited canonical URLs
+        url_root = os.path.join(index_dir, "urls")
+        if os.path.isdir(url_root):
+            visited = spark.read.parquet(url_root)
+            if exclude_batch is not None:
+                visited = visited.filter(
+                    F.col("batch") != F.lit(str(exclude_batch)))
+            hit = (nn.join(visited.select(
+                       F.col("canonical_url").alias("__cu")), "__cu")
+                   .select(id_col).distinct())
+            batch = batch.join(hit, id_col, "left_anti")
 
     # 1. exact intra-batch: keep the smallest id per normalized text
     exact = dedup.exact_dedup(batch, text_col, id_col)
@@ -231,7 +292,7 @@ def compact_dedup_index(spark: SparkSession, index_dir: str) -> None:
     write-aside + rename."""
     import shutil
 
-    for art in ("shingles", "signatures", "spans"):
+    for art in ("shingles", "signatures", "spans", "urls"):
         root = os.path.join(index_dir, art)
         if not os.path.isdir(root):   # index bootstrapped pre-spans
             continue
@@ -256,7 +317,8 @@ def ingest_micro_batch(spark: SparkSession, batch_df: DataFrame,
                        bloom_path: str | None = None,
                        bloom_threshold: float = 0.5,
                        ref_lm_path: str | None = None,
-                       min_ref_logprob: float | None = None) -> None:
+                       min_ref_logprob: float | None = None,
+                       url_col: str | None = None) -> None:
     """The sink's per-batch body (module-level so tests can drive the
     REAL production path with explicit batch ids and replay order):
     admit the batch against the index excluding its own partition,
@@ -273,20 +335,24 @@ def ingest_micro_batch(spark: SparkSession, batch_df: DataFrame,
         spark, batch_df, index_dir, threshold, id_col, text_col,
         exclude_batch=batch_id, max_span_frac=max_span_frac,
         bloom_path=bloom_path, bloom_threshold=bloom_threshold,
-        ref_lm_path=ref_lm_path, min_ref_logprob=min_ref_logprob)
+        ref_lm_path=ref_lm_path, min_ref_logprob=min_ref_logprob,
+        url_col=url_col)
     # cut the triple-branch plan once: novel feeds docs-out AND every
     # artifact write; each write would otherwise recompute the
     # whole dedup pipeline (4x the batch cost)
     novel = novel.localCheckpoint(eager=True)
     novel.write.mode("overwrite").parquet(
         os.path.join(out_dir, f"batch={batch_id}"))
-    sh, sig, spans = _artifacts(novel, id_col, text_col)
+    sh, sig, spans, urls = _artifacts(novel, id_col, text_col, url_col)
     sh.write.mode("overwrite").parquet(
         os.path.join(index_dir, "shingles", f"batch={batch_id}"))
     sig.write.mode("overwrite").parquet(
         os.path.join(index_dir, "signatures", f"batch={batch_id}"))
     spans.write.mode("overwrite").parquet(
         os.path.join(index_dir, "spans", f"batch={batch_id}"))
+    if urls is not None:
+        urls.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "urls", f"batch={batch_id}"))
 
 
 def start_dedup_ingest_sink(stream_docs: DataFrame, index_dir: str,
@@ -298,7 +364,8 @@ def start_dedup_ingest_sink(stream_docs: DataFrame, index_dir: str,
                             bloom_path: str | None = None,
                             bloom_threshold: float = 0.5,
                             ref_lm_path: str | None = None,
-                            min_ref_logprob: float | None = None):
+                            min_ref_logprob: float | None = None,
+                            url_col: str | None = None):
     """Start the ingestion sink over a streaming docs DataFrame.
     Returns the StreamingQuery handle; the caller owns stop().
 
@@ -318,7 +385,7 @@ def start_dedup_ingest_sink(stream_docs: DataFrame, index_dir: str,
         ingest_micro_batch(spark, batch_df, batch_id, index_dir, out_dir,
                            threshold, id_col, text_col, max_span_frac,
                            bloom_path, bloom_threshold,
-                           ref_lm_path, min_ref_logprob)
+                           ref_lm_path, min_ref_logprob, url_col)
 
     return (stream_docs.writeStream
             .foreachBatch(_ingest)

@@ -116,7 +116,7 @@ def test_compact_dedup_index_preserves_decisions(spark, tmp_path):
     ingest.build_dedup_index(_mkdocs(spark, [(1, BASE)]), idx)
     # simulate two admitted batches
     for bid, rows in ((0, [(10, OTHER)]), (1, [(20, THIRD)])):
-        sh, sig, spans = ingest._artifacts(
+        sh, sig, spans, _urls = ingest._artifacts(
             _mkdocs(spark, rows), "doc_id", "text")
         sh.write.parquet(os.path.join(idx, "shingles", f"batch={bid}"))
         sig.write.parquet(os.path.join(idx, "signatures", f"batch={bid}"))
@@ -146,7 +146,7 @@ def test_replayed_batch_reproduces_decision(spark, tmp_path):
     novel = ingest.dedup_batch_against_index(spark, batch, idx,
                                              exclude_batch=7)
     # simulate the sink having written batch 7's artifacts already
-    sh, sig, _spans = ingest._artifacts(batch, "doc_id", "text")
+    sh, sig, _spans, _urls = ingest._artifacts(batch, "doc_id", "text")
     sh.write.mode("overwrite").parquet(
         os.path.join(idx, "shingles", "batch=7"))
     sig.write.mode("overwrite").parquet(
@@ -393,3 +393,56 @@ def test_ref_lm_floor_rejects_junk_at_ingest(spark, tmp_path):
     assert ingest.dedup_batch_against_index(
         spark, both, idx, ref_lm_path=lm_path,
         min_ref_logprob=floor).count() == 0
+
+
+def test_url_frontier_rejector(spark, tmp_path):
+    """The crawl-frontier rejector: a re-crawled page (same canonical
+    URL, edited text — NOT a near-dup) is rejected against the
+    index's visited set; intra-batch URL dups keep the smallest id;
+    NULL-URL docs pass this stage; decisions survive restart AND an
+    at-least-once replay through the real micro-batch body; the
+    visited set grows with admitted batches and compaction preserves
+    decisions."""
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, url string")
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    ingest.build_dedup_index(
+        mk([(1, BASE, "https://Site.COM:443/a?utm_x=1")]), idx,
+        url_col="url")
+
+    # same canonical URL as the bootstrap doc, totally different text
+    recrawl = mk([(10, OTHER, "https://site.com/a")])
+    assert ingest.dedup_batch_against_index(
+        spark, recrawl, idx).count() == 1          # without: novel
+    assert ingest.dedup_batch_against_index(
+        spark, recrawl, idx, url_col="url").count() == 0
+
+    batch = mk([
+        (20, OTHER, "http://b.org/x?b=2&a=1"),     # novel URL -> admit
+        (21, THIRD, "http://b.org/x?a=1&b=2#f"),   # same canonical -> lose
+        (22, THIRD + " two", None),                # NULL URL -> pass
+    ])
+    got = sorted(r.doc_id for r in ingest.dedup_batch_against_index(
+        spark, batch, idx, url_col="url").collect())
+    assert got == [20, 22], got
+
+    # the real micro-batch body: admitted urls extend the visited set
+    ingest.ingest_micro_batch(spark, batch, 0, idx, out, url_col="url")
+    later = mk([(30, "entirely new prose about something else here",
+                 "HTTP://B.ORG:80/x?a=1&b=2")])
+    assert ingest.dedup_batch_against_index(
+        spark, later, idx, url_col="url").count() == 0
+
+    # replay of batch 0 reproduces its decisions exactly
+    ingest.ingest_micro_batch(spark, batch, 0, idx, out, url_col="url")
+    assert sorted(r.doc_id for r in
+                  spark.read.parquet(out).collect()) == [20, 22]
+
+    # compaction keeps the visited set effective
+    ingest.compact_dedup_index(spark, idx)
+    assert ingest.dedup_batch_against_index(
+        spark, later, idx, url_col="url").count() == 0
+    assert ingest.dedup_batch_against_index(
+        spark, recrawl, idx, url_col="url").count() == 0

@@ -611,6 +611,16 @@ def test_ingest_admit_sql_equals_streaming_twin(env, spark,
         min_ref_logprob=-50.0)
     assert _rows(got2) == _rows(want2) and got2.count() > 0
 
+    # the sixth (crawl-frontier URL) rejector over SQL: source plays
+    # the url column — colliding values dedup to the smallest id
+    got3 = env.ctx.sql(
+        f"RUN PIPELINE ingest_admit ON {DOCS} "
+        f"OPTIONS(index_dir '{idx}', url_col 'source')")
+    want3 = ingest.dedup_batch_against_index(
+        spark, env.docs, idx, url_col="source")
+    assert _rows(got3) == _rows(want3) and got3.count() > 0
+    assert got3.count() < got2.count()   # url collisions rejected docs
+
 
 def test_pq_train_encode_topk_roundtrip_sql(env, spark, tmp_path_factory):
     """Product quantization over SQL: train persists the codebook
