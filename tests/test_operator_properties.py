@@ -761,3 +761,80 @@ def test_normalize_text_matches_python_model(texts):
         assert r.n_chars_before == len(t)
         assert r.n_chars_after == len(want)
         assert bool(r.changed) == (want != t)
+
+
+URL_SCHEME = st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp", ""])
+URL_HOST = st.sampled_from(["A.com", "example.ORG", "x.Y.z"])
+URL_PORT = st.sampled_from(["", ":80", ":443", ":8080"])
+URL_PATH = st.sampled_from(["", "/", "/p", "/p/Q/"])
+URL_PARAM = st.sampled_from(["a=1", "b=2", "utm_x=9", "gclid=g", "z",
+                             "A=3", "ref=t", ""])
+URL_FRAG = st.sampled_from(["", "#f", "#sec/2?x=1"])
+
+
+@st.composite
+def _url(draw):
+    scheme = draw(URL_SCHEME)
+    q = "&".join(draw(st.lists(URL_PARAM, max_size=4)))
+    return ((scheme + "://" if scheme else "") + draw(URL_HOST)
+            + draw(URL_PORT) + draw(URL_PATH)
+            + ("?" + q if q else "") + draw(URL_FRAG))
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_url(), min_size=1, max_size=12))
+def test_url_canonicalize_matches_twin_randomized(urls):
+    from tests.test_html import _twin_canon
+
+    from lightning_metastore_spark.functions.html import url_canonicalize
+
+    spark = _spark()
+    df = spark.createDataFrame(list(enumerate(urls)),
+                               "doc_id long, url string")
+    got = {r.doc_id: r.canonical_url for r in url_canonicalize(df).collect()}
+    assert got == {i: _twin_canon(u) for i, u in enumerate(urls)}
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 500),
+                          st.sampled_from(["head", "middle", "tail", "x"])),
+                min_size=1, max_size=20, unique_by=lambda x: x[0]),
+       st.floats(0.0, 1.0), st.floats(0.0, 1.0))
+def test_bucket_resample_matches_twin_randomized(rows, r_mid, r_tail):
+    import hashlib
+
+    from lightning_metastore_spark.operators.sampling import bucket_resample
+
+    spark = _spark()
+    df = spark.createDataFrame(rows, "doc_id long, bucket string")
+    rates = {"head": 1.0, "middle": r_mid, "tail": r_tail}
+    got = {r.doc_id: (r.keep_rate, r.kept)
+           for r in bucket_resample(df, rates).collect()}
+    for i, b in rows:
+        rate = rates.get(b, 0.0)
+        if rate >= 1.0:
+            kept = True
+        else:
+            h = hashlib.md5(f"bkt:{i}".encode()).hexdigest()[:8]
+            kept = h < format(int(rate * 4294967296.0), "08x")
+        assert got[i] == (round(rate, 6), kept), (i, b, rate)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 300),
+                          st.sampled_from(["en", "de"]),
+                          st.integers(-5, 5)),
+                min_size=1, max_size=16, unique_by=lambda x: x[0]))
+def test_perplexity_buckets_matches_twin_randomized(rows):
+    from tests.test_lm_filter import _twin_buckets
+
+    from lightning_metastore_spark.operators.lm_filter import (
+        perplexity_buckets)
+
+    spark = _spark()
+    scored = spark.createDataFrame(
+        [(d, g, float(s)) for d, g, s in rows],
+        "doc_id long, lang string, avg_logprob double")
+    got = {r.doc_id: (r.lang, r.avg_logprob, r.rank_frac, r.bucket)
+           for r in perplexity_buckets(scored).collect()}
+    assert got == _twin_buckets([(d, g, float(s)) for d, g, s in rows])
