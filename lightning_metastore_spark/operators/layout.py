@@ -211,3 +211,45 @@ def compact_parquet(spark, path: str, out_path: str,
     return {"n_input_files": n_files,
             "input_mb": round(total / 1024 / 1024, 3),
             "n_output_files": n_out}
+
+
+def table_stats(df: DataFrame, columns: list[str] | None = None,
+                exact: bool = False) -> DataFrame:
+    """ANALYZE-style per-column statistics — the metastore catalog
+    relation every cost-based decision reads: one row per column with
+    (col_id, col_name, n_rows, n_nulls, ndv, min_val, max_val), min/max
+    rendered as strings AFTER the native-type min/max (so numeric
+    columns order numerically, and one schema serves every type).
+
+    ``exact=False`` (the 100 TB default) uses approx_count_distinct —
+    a single-pass mergeable HLL sketch, so the whole relation costs
+    ONE scan with a scalar aggregate per column and no shuffle wider
+    than the final single-row merge. ``exact=True`` swaps in
+    count(DISTINCT) — Spark plans one Expand over the scan (cost
+    grows with column count); it exists for oracle verification and
+    small dimension tables, not for fact-scale runs.
+
+    The aggregate row lands on the driver as ONE row of scalars and
+    is re-emitted as the stats relation — driver-sized by
+    construction at any corpus size.
+    """
+    from pyspark.sql import functions as F
+
+    cols = columns or df.columns
+    ndv = F.count_distinct if exact else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .alias(f"__nn_{c}"),
+            ndv(F.col(c)).alias(f"__d_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    row = df.agg(*aggs).first()
+    out = [(i, c, int(row["__n"]), int(row[f"__nn_{c}"]),
+            int(row[f"__d_{c}"]), row[f"__mn_{c}"], row[f"__mx_{c}"])
+           for i, c in enumerate(cols)]
+    return df.sparkSession.createDataFrame(
+        out, "col_id long, col_name string, n_rows long, n_nulls long, "
+             "ndv long, min_val string, max_val string")

@@ -1582,6 +1582,13 @@ class RunPipeline(Command):
                               {"path": str, "cols": _csv, "n_files": int}),
             "shard_export": (shard_export,
                              {"path": str, "n_shards": int, "seed": str}),
+            "table_stats": (
+                lambda df, columns=None, exact=False:
+                __import__("lightning_metastore_spark.operators.layout",
+                           fromlist=["table_stats"])
+                .table_stats(df, columns=list(columns) if columns
+                             else None, exact=exact),
+                {"columns": _csv, "exact": _bool}),
         }
 
     def run(self, ctx) -> DataFrame:

@@ -83,7 +83,8 @@ Multimodal:   image_dhash, dhash_neardup_pairs (perceptual image
               decode/feature/resize live in sources.multimodal
 Layout:       write_range_clustered, write_zorder_clustered,
               file_column_ranges, write_training_shards,
-              compact_parquet (small-file maintenance)
+              compact_parquet (small-file maintenance),
+              table_stats (ANALYZE-style per-column catalog stats)
 Composed:     curate_corpus, CurationConfig,
               corpus_report (dataset-card summary),
               corpus_diff (snapshot-to-snapshot versioning audit),
@@ -189,6 +190,7 @@ from lightning_metastore_spark.operators.heavy_hitters import (  # noqa: F401
 from lightning_metastore_spark.operators.layout import (  # noqa: F401
     compact_parquet,
     file_column_ranges,
+    table_stats,
     write_range_clustered,
     write_training_shards,
     write_zorder_clustered,

@@ -3433,8 +3433,30 @@ ORDER BY doc_id
 """.replace("{RX}", _URL_RX)
 
 
+def table_stats_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'stats' = ANALYZE-style per-column catalog statistics
+    (operators/layout.table_stats, exact mode so the oracle can
+    re-derive every value): one row per documents column with row /
+    null / exact-NDV counts and string-rendered min/max — the whole
+    relation bit-checked, including the full min/max text strings."""
+    from lightning_metastore_spark.operators.layout import table_stats
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return table_stats(t["documents"], exact=True).orderBy("col_id")
+
+
+_TS_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+TABLE_STATS_ORACLE = "SELECT * FROM (" + " UNION ALL ".join(
+    f"SELECT {i} AS col_id, '{c}' AS col_name, COUNT(*) AS n_rows, "
+    f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+    f"COUNT(DISTINCT {c}) AS ndv, CAST(MIN({c}) AS VARCHAR) AS min_val, "
+    f"CAST(MAX({c}) AS VARCHAR) AS max_val FROM documents"
+    for i, c in enumerate(_TS_COLS)) + ") ORDER BY col_id"
+
+
 def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Twenty-three document-profiling operators in one melted
+    """Twenty-four document-profiling operators in one melted
     tagged-union slot (50-slot registry discipline): Gopher repetition
     filters, the
     token-length histogram, sequence packing, the contamination check,
@@ -3444,8 +3466,9 @@ def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding, FFD bin packing, skyline, heavy hitters, the Zipf fit,
     encoding-anomaly triage, CDC chunk dedup, entity census, the
     per-domain curation profile, the snapshot versioning diff + drift
-    the HTML extraction and the URL canonicalization + URL-level
-    dedup. Every cell of every component is still
+    the HTML extraction, the URL canonicalization + URL-level dedup
+    and the ANALYZE-style table statistics. Every cell of every
+    component is still
     hash-verified."""
     parts = [
         _melt(text_repetition(spark, sf_dir), "repetition", "doc_id",
@@ -3506,6 +3529,9 @@ def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
               ["value_num"], ("metric", "value_str")),
         _melt(url_dedup_check(spark, sf_dir), "urls", "doc_id",
               ["keep_id", "dup_count"], ("canonical_url",)),
+        _melt(table_stats_check(spark, sf_dir), "stats", "col_id",
+              ["n_rows", "n_nulls", "ndv"],
+              ("col_name", "min_val", "max_val")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3595,6 +3621,10 @@ CORPUS_PROFILE_SUITE_ORACLE = (
     + " UNION ALL "
     + _melt_sql(URL_DEDUP_ORACLE, "urls", "doc_id",
                 ["keep_id", "dup_count"], ("canonical_url",))
+    + " UNION ALL "
+    + _melt_sql(TABLE_STATS_ORACLE, "stats", "col_id",
+                ["n_rows", "n_nulls", "ndv"],
+                ("col_name", "min_val", "max_val"))
     + ") ORDER BY section, row_key, metric"
 )
 
@@ -4190,6 +4220,7 @@ SUITE_SECTIONS: dict = {
         "html": html_extract_check,
         "drift": corpus_drift_check,
         "urls": url_dedup_check,
+        "stats": table_stats_check,
     },
     "sampling_quantize_suite": {
         "mixture": domain_mixture,

@@ -145,3 +145,38 @@ def test_compact_parquet_empty_listing_raises(spark, tmp_path):
     empty.mkdir()
     with pytest.raises(ValueError, match="no .parquet files"):
         compact_parquet(spark, str(empty), str(tmp_path / "out"))
+
+
+def test_table_stats_matches_python_twin(spark):
+    """Exact mode equals a brute-force Python model (counts, nulls,
+    NDV, string-rendered min/max); approx mode agrees on everything
+    but NDV, where the sketch must be within 5% on this cardinality."""
+    from lightning_metastore_spark.operators.layout import table_stats
+
+    rows = [(1, "b", None), (2, "a", 1.5), (3, "a", -2.0),
+            (4, None, 1.5), (5, "c", None), (6, "a", 0.0)]
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    got = {r.col_name: (r.n_rows, r.n_nulls, r.ndv, r.min_val, r.max_val)
+           for r in table_stats(df, exact=True).collect()}
+
+    def twin(vals):
+        nn = [v for v in vals if v is not None]
+        return (len(vals), len(vals) - len(nn), len(set(nn)),
+                min(str(v) for v in nn) if nn else None,
+                max(str(v) for v in nn) if nn else None)
+
+    assert got["id"] == twin([r[0] for r in rows])
+    assert got["s"] == twin([r[1] for r in rows])
+    # doubles render via Spark's cast; compare numerics, not strings
+    n, nn, ndv, mn, mx = got["v"]
+    assert (n, nn, ndv) == (6, 2, 3)
+    assert float(mn) == -2.0 and float(mx) == 1.5
+
+    ax = {r.col_name: r for r in table_stats(df).collect()}
+    for c in ("id", "s", "v"):
+        assert (ax[c].n_rows, ax[c].n_nulls) == (got[c][0], got[c][1])
+        assert abs(ax[c].ndv - got[c][2]) <= max(1, 0.05 * got[c][2])
+    # column subset + ordering contract
+    sub = table_stats(df, columns=["v", "id"], exact=True).collect()
+    assert [r.col_name for r in sorted(sub, key=lambda r: r.col_id)] \
+        == ["v", "id"]

@@ -316,6 +316,11 @@ def _cases():
              "lightning_metastore_spark.operators.lm_filter",
              fromlist=["perplexity_buckets"]).perplexity_buckets(
                  e.docs, score_col="n_chars", group_col="lang")),
+        ("table_stats",
+         f"table_stats ON {DOCS} OPTIONS(exact 'true')",
+         lambda e: __import__(
+             "lightning_metastore_spark.operators.layout",
+             fromlist=["table_stats"]).table_stats(e.docs, exact=True)),
         ("bucket_resample",
          f"bucket_resample ON {DOCS} "
          "OPTIONS(rates 'en:1.0,de:0.4', bucket_col 'lang')",
