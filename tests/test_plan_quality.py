@@ -482,3 +482,23 @@ def test_perplexity_buckets_single_group_shuffle(spark):
                  and "Reused" not in ln]
     assert len(exchanges) == 1, exchanges
     assert "lang" in exchanges[0]
+
+
+def test_table_stats_approx_has_no_expand(spark):
+    """The documented claim: approx mode is one scan with mergeable
+    HLL sketches (no Expand operator); exact mode pays the Expand.
+    Probed on the pre-aggregation plan the operator builds."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cols = ["lang", "source"]
+
+    def agg_plan(exact):
+        ndv = F.count_distinct if exact else F.approx_count_distinct
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for c in cols:
+            aggs.append(ndv(F.col(c)).alias(f"d_{c}"))
+        return _plan(docs.agg(*aggs))
+
+    assert "Expand" not in agg_plan(exact=False)
+    assert "Expand" in agg_plan(exact=True)
