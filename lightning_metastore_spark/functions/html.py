@@ -98,7 +98,11 @@ def html_extract(docs: DataFrame, text_col: str = "text",
     ``<a>`` pairs; ``link_density`` is flattened-anchor-text chars over
     ``max(1, n_chars)``, rounded to 6dp — the navigation/footer
     detector (content pages sit well under ~0.3, chrome near 1.0).
-    Plain non-HTML text passes through unchanged with zero links.
+    Plain text without angle brackets passes through unchanged with
+    zero links; per the module's regular-approximation contract, any
+    ``<...>`` span in non-HTML input (e.g. ``a<b we have f(x)>0``) is
+    stripped as if it were a tag — run this stage only on inputs that
+    ARE markup (the ``html_input`` flag exists for exactly that).
 
     100 TB shape: one map-only projection, no joins, no shuffle, no
     Python — filters downstream of it (e.g. link_density < x) stay
@@ -200,3 +204,21 @@ def url_dedup(docs: DataFrame, url_col: str = "url",
             .agg(F.min(id_col).alias(id_col),
                  F.count(F.lit(1)).alias("dup_count"))
             .select(id_col, "canonical_url", "dup_count"))
+
+
+def url_survivors(docs: DataFrame, url_col: str = "url",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, url_survivor) for every doc that HAS a URL: True for the
+    smallest id per canonical form, False for the rest. The ONE
+    implementation of the crawl keep rule — curate_corpus's URL stage
+    and the streaming ingest frontier rejector both consume this, so
+    batch curation and streaming admission can never drift. NULL-URL
+    docs have no row (no URL evidence — callers default them to
+    survivor)."""
+    cu = docs.select(F.col(id_col),
+                     url_canonical_expr(F.col(url_col)).alias("__cu"))
+    nn = cu.filter(F.col("__cu").isNotNull())
+    umin = nn.groupBy("__cu").agg(F.min(id_col).alias("__umin"))
+    return (nn.join(umin, "__cu")
+            .select(id_col, (F.col(id_col) == F.col("__umin"))
+                    .alias("url_survivor")))

@@ -106,12 +106,14 @@ def normalize_text(docs: DataFrame, form: str = "NFC",
     Order of operations (fixed, engine-reproducible): (1) Unicode
     normalize, (2) strip C0/C1 controls except tab/newline/CR
     ([\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]), (3) collapse every
-    whitespace run (incl. NBSP u00a0 — NFKC folds it, NFC does not, so
-    it is handled explicitly) to one space, (4) trim. After step 2 the
-    remaining whitespace is [\\t\\n\\r u00a0 space] — a class Java and
-    RE2 regex engines agree on, which keeps the result reproducible
-    outside Spark (the pytest twin cross-checks DuckDB's
-    nfc_normalize + regexp pipeline character-for-character).
+    whitespace run to one space — Java's \\s is ASCII-only, so the
+    Unicode space set (NBSP u00a0, ogham u1680, the u2000-u200a em/en
+    family, line/para separators u2028/u2029, narrow-NBSP u202f,
+    math-space u205f, ideographic u3000 — the ones NFKC folds but NFC
+    preserves) is enumerated explicitly, (4) trim. The class is one
+    Java and RE2 agree on, which keeps the result reproducible outside
+    Spark (the pytest twin cross-checks DuckDB's nfc_normalize +
+    regexp pipeline character-for-character).
 
     100 TB shape: the Unicode step is an Arrow-batched pandas UDF
     (stdlib unicodedata — no JVM NFC builtin exists); steps 2-4 are
@@ -136,7 +138,9 @@ def normalize_text(docs: DataFrame, form: str = "NFC",
         _uninorm(F.col(text_col)),
         "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
     collapsed = F.trim(F.regexp_replace(
-        stripped, "[\\s\\u00a0]+", " "))
+        stripped,
+        "[\\s\\u00a0\\u1680\\u2000-\\u200a\\u2028\\u2029"
+        "\\u202f\\u205f\\u3000]+", " "))
     return (docs.select(
         F.col(id_col),
         F.col(text_col).alias("_orig"),

@@ -104,24 +104,24 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
     is a LEFT join with a coalesced neutral default, so output row
     count is invariant to which stages are enabled."""
     cfg = cfg or CurationConfig()
+    if cfg.max_link_density is not None and not cfg.html_input:
+        raise ValueError("max_link_density requires html_input=True "
+                         "(link_density comes from html_extract)")
+    if (cfg.ref_lm_path is None) != (cfg.min_ref_logprob is None):
+        raise ValueError("ref_lm_path and min_ref_logprob must be set "
+                         "together (one without the other would "
+                         "silently skip the reference-LM stage)")
 
     url_rel = None
     if cfg.url_col is not None:
         # URL-level dedup evidence comes from the INPUT relation (the
         # URL column is not carried through the text stages); the
-        # canonical-URL group min is the survivor — the C4 pipeline
-        # order, where URL dedup precedes every content-based stage
+        # canonical-URL group min is the survivor — the one shared
+        # implementation of the keep rule (functions/html)
         from lightning_metastore_spark.functions.html import (
-            url_canonical_expr)
+            url_survivors)
 
-        cu = docs.select(
-            F.col(id_col),
-            url_canonical_expr(F.col(cfg.url_col)).alias("__cu"))
-        nn = cu.filter(F.col("__cu").isNotNull())
-        umin = nn.groupBy("__cu").agg(F.min(id_col).alias("__umin"))
-        url_rel = (nn.join(umin, "__cu")
-                   .select(id_col, (F.col(id_col) == F.col("__umin"))
-                           .alias("url_survivor")))
+        url_rel = url_survivors(docs, cfg.url_col, id_col)
 
     link_density = None
     if cfg.html_input:
@@ -157,14 +157,24 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
         .select(id_col, "quality_score")
     lang = text_fns.lang_id(cleaned, text_col, id_col)
 
-    # exact dedup: smallest id per normalized fingerprint survives
-    fp = text_fns.fingerprint(cleaned, text_col, id_col)
+    # exact dedup: smallest id per normalized fingerprint survives.
+    # The C4 SEQUENCING contract: URL losers are excluded from the
+    # dedup EVIDENCE (not just flagged), so a url-duplicate doc cannot
+    # also knock out the sole other copy of its text — without this, a
+    # text could vanish entirely (its url-loser copy wins exact dedup,
+    # then itself gets dropped as url_duplicate).
+    dedup_input = cleaned
+    if url_rel is not None:
+        dedup_input = cleaned.join(
+            url_rel.filter(~F.col("url_survivor")).select(id_col),
+            id_col, "left_anti")
+    fp = text_fns.fingerprint(dedup_input, text_col, id_col)
     fp_keep = (fp.groupBy("fp").agg(F.min(id_col).alias("__keep_id")))
     exact_kept = fp.join(fp_keep, "fp").withColumn(
         "exact_survivor", F.col(id_col) == F.col("__keep_id"))
 
     # near-dup clusters over the exact survivors; keep longest per cluster
-    survivors = (cleaned.join(
+    survivors = (dedup_input.join(
         exact_kept.filter("exact_survivor").select(id_col), id_col))
     pair_fn = dedup.minhash_lsh_pairs if cfg.use_minhash else dedup.jaccard_pairs
     pairs = pair_fn(survivors, cfg.near_dup_threshold,
@@ -186,11 +196,16 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
     out = (cleaned
            .join(quality, id_col)
            .join(lang, id_col)
-           .join(exact_kept.select(id_col, "exact_survivor"), id_col)
+           .join(exact_kept.select(id_col, "exact_survivor"), id_col,
+                 "left")
            .join(best, id_col, "left")
            .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
            .withColumn("cluster_survivor",
                        F.coalesce("cluster_survivor", F.lit(False)))
+           # url losers carry no dedup evidence (excluded above): their
+           # flags default non-firing so url_duplicate is the reason
+           .withColumn("exact_survivor",
+                       F.coalesce("exact_survivor", F.lit(True)))
            .withColumn("split", split))
 
     url_ok = F.lit(True)

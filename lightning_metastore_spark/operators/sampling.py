@@ -403,12 +403,15 @@ def dsir_select(raw: DataFrame, target: DataFrame, n: int,
     before ranking (the cosine discipline — ulp differences in ln are
     absorbed except on measure-zero boundaries).
 
-    100 TB shape: two single-pass token-count aggregates whose outputs
-    are n_buckets rows (the raw side shares the corpus scan), ONE
-    broadcast join of the KB-sized ratio table onto the raw token
-    stream, one id-key aggregation for log-weights, and a distributed
-    TakeOrdered for the top n — no global sort, nothing driver-side
-    scales with the corpus. The target corpus is small by definition
+    100 TB shape: two token-count aggregates whose outputs are
+    n_buckets rows — the raw-side counts are an eager action (the
+    ratio table must exist before the scoring plan), so the raw
+    corpus IS scanned twice (count pass + scoring pass; persist the
+    tokenized relation upstream to pay the second scan from cache
+    when that matters) — then ONE broadcast join of the KB-sized
+    ratio table onto the raw token stream, one id-key aggregation for
+    log-weights, and a distributed TakeOrdered for the top n — no
+    global sort, nothing driver-side scales with the corpus. The target corpus is small by definition
     (it is the thing you can curate by hand).
     """
     import math

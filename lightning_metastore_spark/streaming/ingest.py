@@ -181,7 +181,40 @@ def dedup_batch_against_index(spark: SparkSession, batch: DataFrame,
     ``exclude_batch`` visibility rule suffices (the span-style
     strictly-before rule is not needed); NULL-URL docs pass — no URL
     evidence is not duplicate evidence."""
-    # 0. benchmark decontamination: a map-only vectorized bitmap probe
+    if (ref_lm_path is None) != (min_ref_logprob is None):
+        raise ValueError("ref_lm_path and min_ref_logprob must be set "
+                         "together (one without the other would "
+                         "silently skip the reference-LM rejector)")
+
+    # 0. crawl-frontier URL rejection FIRST: a one-column string
+    # canonicalization — a re-crawled page never reaches the n-gram /
+    # LM / shingle passes (the module contract)
+    if url_col is not None:
+        from lightning_metastore_spark.functions.html import (
+            url_canonical_expr, url_survivors)
+
+        # intra-batch: smallest id per canonical URL survives (the one
+        # shared keep-rule implementation, functions/html)
+        losers = (url_survivors(batch, url_col, id_col)
+                  .filter(~F.col("url_survivor")).select(id_col))
+        batch = batch.join(losers, id_col, "left_anti")
+        # batch-vs-corpus: reject already-visited canonical URLs
+        url_root = os.path.join(index_dir, "urls")
+        if os.path.isdir(url_root):
+            visited = spark.read.parquet(url_root)
+            if exclude_batch is not None:
+                visited = visited.filter(
+                    F.col("batch") != F.lit(str(exclude_batch)))
+            nn = (batch.select(
+                      F.col(id_col),
+                      url_canonical_expr(F.col(url_col)).alias("__cu"))
+                  .filter(F.col("__cu").isNotNull()))
+            hit = (nn.join(visited.select(
+                       F.col("canonical_url").alias("__cu")), "__cu")
+                   .select(id_col).distinct())
+            batch = batch.join(hit, id_col, "left_anti")
+
+    # 0b. benchmark decontamination: a map-only vectorized bitmap probe
     # — the cheapest rejector runs FIRST so the heavier LSH/CC steps
     # see a smaller batch
     if bloom_path is not None:
@@ -195,7 +228,7 @@ def dedup_batch_against_index(spark: SparkSession, batch: DataFrame,
         batch = batch.join(
             flags.filter(~F.col("is_contaminated")).select(id_col), id_col)
 
-    # 0b. reference-LM quality floor: one batch-sized bigram pass
+    # 0c. reference-LM quality floor: one batch-sized bigram pass
     # against the static artifact — scored-below-floor docs leave
     # before the heavier LSH/CC steps (left-anti keeps no-score docs)
     if ref_lm_path is not None and min_ref_logprob is not None:
@@ -207,34 +240,6 @@ def dedup_batch_against_index(spark: SparkSession, batch: DataFrame,
                 .filter(F.col("avg_logprob") < F.lit(float(min_ref_logprob)))
                 .select(id_col))
         batch = batch.join(junk, id_col, "left_anti")
-
-    # 0c. crawl-frontier URL rejection: canonical-key dedup before any
-    # text work — the cheapest growing-index rejector
-    if url_col is not None:
-        from lightning_metastore_spark.functions.html import (
-            url_canonical_expr)
-
-        cu = batch.select(
-            F.col(id_col),
-            url_canonical_expr(F.col(url_col)).alias("__cu"))
-        nn = cu.filter(F.col("__cu").isNotNull())
-        # intra-batch: smallest id per canonical URL survives
-        umin = nn.groupBy("__cu").agg(F.min(id_col).alias("__umin"))
-        losers = (nn.join(umin, "__cu")
-                  .filter(F.col(id_col) != F.col("__umin"))
-                  .select(id_col))
-        batch = batch.join(losers, id_col, "left_anti")
-        # batch-vs-corpus: reject already-visited canonical URLs
-        url_root = os.path.join(index_dir, "urls")
-        if os.path.isdir(url_root):
-            visited = spark.read.parquet(url_root)
-            if exclude_batch is not None:
-                visited = visited.filter(
-                    F.col("batch") != F.lit(str(exclude_batch)))
-            hit = (nn.join(visited.select(
-                       F.col("canonical_url").alias("__cu")), "__cu")
-                   .select(id_col).distinct())
-            batch = batch.join(hit, id_col, "left_anti")
 
     # 1. exact intra-batch: keep the smallest id per normalized text
     exact = dedup.exact_dedup(batch, text_col, id_col)

@@ -158,7 +158,7 @@ def test_normalize_text_matches_duckdb_pipeline(spark):
             SELECT trim(regexp_replace(
                      regexp_replace(nfc_normalize(?),
                        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
-                     '[\s\x{00a0}]+', ' ', 'g'))""", [text]).fetchone()[0]
+                     '[\s\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+', ' ', 'g'))""", [text]).fetchone()[0]
         assert got[doc_id] == want, (doc_id, got[doc_id], want)
 
 
@@ -181,3 +181,18 @@ def test_normalize_text_feeds_exact_dedup(spark):
     # without normalization they stay distinct
     raw = {r.doc_id: r.dup_count for r in exact_dedup(docs).collect()}
     assert len(raw) == 3
+
+
+def test_normalize_text_collapses_unicode_spaces_under_nfc(spark):
+    """NFC preserves em/ideographic/para spaces; the explicit collapse
+    class must still fold them, so visually identical renderings share
+    dedup keys (the operator's whole purpose)."""
+    from lightning_metastore_spark.operators.cleaning import (
+        normalize_text)
+
+    rows = [(1, "a b"), (2, "a\u2003b"), (3, "a\u3000 b"),
+            (4, "a\u2028b"), (5, "a\u202f\u205fb")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text_norm
+           for r in normalize_text(df, form="NFC").collect()}
+    assert got == {i: "a b" for i in range(1, 6)}

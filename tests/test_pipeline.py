@@ -430,3 +430,39 @@ def test_curate_corpus_url_dedup_stage(spark):
     for i in (1, 4, 5, 6):
         assert got[i].drop_reason != "url_duplicate", i
         assert got[i].keep, i
+
+
+def test_curate_corpus_url_dedup_is_sequenced_before_content_dedup(spark):
+    """The C4 SEQUENCING contract (not just an AND-ed flag): a
+    url-duplicate doc must not knock out the sole other copy of its
+    text in exact dedup — doc2 loses on URL to doc1, doc3 carries the
+    same TEXT as doc2 under a distinct URL and must survive."""
+    rows = [
+        (1, "first text about rivers and navigable boats in europe",
+         "http://a.com/x"),
+        (2, "a shared body of text that appears under two urls",
+         "HTTP://A.com:80/x"),          # url-dup of 1, text B
+        (3, "a shared body of text that appears under two urls",
+         "http://b.org/y"),             # text B again, distinct url
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "url string")
+    got = {r.doc_id: r for r in curate_corpus(
+        docs, CurationConfig(min_quality=0.0,
+                             allowed_langs=("und", "en"),
+                             url_col="url")).collect()}
+    assert got[2].drop_reason == "url_duplicate"
+    assert got[1].keep and got[3].keep, \
+        {i: (r.keep, r.drop_reason) for i, r in got.items()}
+
+
+def test_curate_corpus_rejects_inconsistent_optional_configs(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        curate_corpus(docs, CurationConfig(max_link_density=0.5))
+    with _pytest.raises(ValueError):
+        curate_corpus(docs, CurationConfig(ref_lm_path="/tmp/nope"))
+    with _pytest.raises(ValueError):
+        curate_corpus(docs, CurationConfig(min_ref_logprob=-3.0))
