@@ -1,21 +1,24 @@
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. The FINAL
 stdout line is a compact JSON headline {"metric", "value" (total sec),
-"unit", "sf", "runs", "queries" (first-run sec per query),
+"unit", "sf", "runs", "queries" (min-of-n sec per query),
 "catalog_overhead" ratio} sized to survive the driver's tail window;
-the full detail (queries_min, suite_sections, overhead run lists) is
-written to BENCH_DETAIL.json next to this file.
+the full detail (first-run queries, queries_min, suite_sections,
+overhead run lists) is written to BENCH_DETAIL.json next to this file.
 
 Each query is timed to full materialization (collect). Session startup is
 excluded — the metric is query execution, matching how the reference (a
 Spark plugin) would be measured on a warm session.
 
-Runs every query $SPARK_GRAFT_BENCH_RUNS times (default 3): "queries"
-holds the FIRST run's sample (round-over-round comparable — same
-protocol as earlier rounds), "queries_min" the per-query minimum across
-runs, so a >20% swing can be adjudicated noise-vs-regression from one
-bench file (min stable => noise; min moved => real). "value" stays the
-first-run total.
+Runs every query $SPARK_GRAFT_BENCH_RUNS times (default 3). PROTOCOL
+CHANGE (round 12, r11 verdict "What's wrong" #2): the headline
+"value" and compact "queries" are now the MIN across runs — first
+runs carry JIT/warm-up noise that inflated apparent cross-round
+regressions up to 2x (e.g. r11 dedup_neardup 13.02 first vs 6.25
+min), so min-of-n is the steady-state number the driver should
+compare. BENCH_DETAIL.json keeps BOTH series: "queries" (first run,
+comparable to rounds <= 11 headlines) and "queries_min" (comparable
+to round >= 12 headlines); see PLANS.md "Bench headline protocol".
 
 "suite_sections" makes the melted tagged-union suites attributable:
 after the suite runs (shared _cached_df artifacts warm), every member
@@ -81,7 +84,8 @@ def main() -> None:
             elif prev is None:
                 timings_min[name] = t
 
-    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    total = round(sum(v for v in timings_min.values() if v >= 0), 3)
+    total_first = round(sum(v for v in timings.values() if v >= 0), 3)
 
     # Per-section attribution for the melted suites: time each member
     # standalone AFTER the suite runs above, so the session-scoped
@@ -187,6 +191,7 @@ def main() -> None:
     detail = {
         "metric": "total_query_seconds",
         "value": total,
+        "value_first_run": total_first,
         "unit": "sec",
         "queries": timings,
         "queries_min": timings_min,
@@ -207,7 +212,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "runs": n_runs,
-        "queries": timings,
+        "queries": timings_min,
         "detail": "BENCH_DETAIL.json",
     }
     if overhead:
