@@ -104,13 +104,17 @@ def normalize_text(docs: DataFrame, form: str = "NFC",
     (doc_id, text_norm, n_chars_before, n_chars_after, changed).
 
     Order of operations (fixed, engine-reproducible): (1) Unicode
-    normalize, (2) strip C0/C1 controls except tab/newline/CR
-    ([\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]), (3) collapse every
+    normalize, (2) strip C0/C1 controls + DEL except tab/newline/CR
+    and NEL ([\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\u0080-\\u0084
+    \\u0086-\\u009F] — C1 controls, e.g. from bad CP1252 decodes,
+    are deleted like their C0 twins; NEL u0085 is a LINE separator
+    and collapses to a space in step 3 instead, matching how
+    tab/newline/CR are kept then collapsed), (3) collapse every
     whitespace run to one space — Java's \\s is ASCII-only, so the
-    Unicode space set (NBSP u00a0, ogham u1680, the u2000-u200a em/en
-    family, line/para separators u2028/u2029, narrow-NBSP u202f,
-    math-space u205f, ideographic u3000 — the ones NFKC folds but NFC
-    preserves) is enumerated explicitly, (4) trim. The class is one
+    Unicode space set (NEL u0085, NBSP u00a0, ogham u1680, the
+    u2000-u200a em/en family, line/para separators u2028/u2029,
+    narrow-NBSP u202f, math-space u205f, ideographic u3000 — the ones
+    NFKC folds but NFC preserves) is enumerated explicitly, (4) trim. The class is one
     Java and RE2 agree on, which keeps the result reproducible outside
     Spark (the pytest twin cross-checks DuckDB's nfc_normalize +
     regexp pipeline character-for-character).
@@ -136,10 +140,11 @@ def normalize_text(docs: DataFrame, form: str = "NFC",
 
     stripped = F.regexp_replace(
         _uninorm(F.col(text_col)),
-        "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+        "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f"
+        "\\u0080-\\u0084\\u0086-\\u009f]", "")
     collapsed = F.trim(F.regexp_replace(
         stripped,
-        "[\\s\\u00a0\\u1680\\u2000-\\u200a\\u2028\\u2029"
+        "[\\s\\u0085\\u00a0\\u1680\\u2000-\\u200a\\u2028\\u2029"
         "\\u202f\\u205f\\u3000]+", " "))
     return (docs.select(
         F.col(id_col),

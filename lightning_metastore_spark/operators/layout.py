@@ -240,8 +240,10 @@ def table_stats(df: DataFrame, columns: list[str] | None = None,
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-            .alias(f"__nn_{c}"),
+            # coalesce: F.sum over ZERO rows is NULL — an empty table
+            # (e.g. just-created) must yield n_nulls=0, not a TypeError
+            F.coalesce(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)),
+                       F.lit(0)).alias(f"__nn_{c}"),
             ndv(F.col(c)).alias(f"__d_{c}"),
             F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
             F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),

@@ -315,12 +315,23 @@ def pq_train(emb: DataFrame, m: int = 8, k: int = 16, iters: int = 4,
     if sample_fraction is not None:
         df = df.filter(F.abs(F.hash(F.col("_id"))) % 10_000
                        < int(sample_fraction * 10_000))
-    rows = (df.withColumn("_h", F.md5(F.col("_id").cast("string")))
-            .orderBy("_h").limit(max_sample).select("_v").collect())
-    x = np.array([r._v for r in rows], dtype=np.float64)
-    if len(x) == 0:
+    # NULL vectors are dropped distributed-side (pq_encode encodes
+    # them to NULL; training just skips them); a WRONG-WIDTH vector
+    # raises a named error instead of numpy's opaque ragged-array one
+    rows = (df.filter(F.col("_v").isNotNull())
+            .withColumn("_h", F.md5(F.col("_id").cast("string")))
+            .orderBy("_h").limit(max_sample)
+            .select("_id", "_v").collect())
+    if len(rows) == 0:
         raise ValueError("pq_train: the sampled corpus is empty")
-    d = x.shape[1]
+    d = len(rows[0]._v)
+    for r in rows:
+        if len(r._v) != d:
+            raise ValueError(
+                f"pq_train: vector width mismatch — {id_col}="
+                f"{rows[0]._id} has dim {d} but {id_col}={r._id} has "
+                f"dim {len(r._v)}")
+    x = np.array([r._v for r in rows], dtype=np.float64)
     if d % m:
         raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
     dsub = d // m

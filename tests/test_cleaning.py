@@ -111,6 +111,7 @@ def test_normalize_text_unicode_and_whitespace(spark):
         (3, "ok\x00\x07 text\x0b here"),   # C0 controls
         (4, "  already clean  "),
         (5, None),
+        (6, "a\x85b\x92c"),     # NEL -> space; C1 PU2 stripped
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
@@ -123,6 +124,7 @@ def test_normalize_text_unicode_and_whitespace(spark):
     assert nfc[4].text_norm == "already clean" and nfc[4].changed
     assert nfc[5].text_norm is None and not nfc[5].changed
     assert nfc[5].n_chars_before == 0 and nfc[5].n_chars_after == 0
+    assert nfc[6].text_norm == "a bc" and nfc[6].changed
 
     nfkc = {r.doc_id: r for r in
             normalize_text(docs, form="NFKC").collect()}
@@ -147,7 +149,9 @@ def test_normalize_text_matches_duckdb_pipeline(spark):
             (2, "Å Å angstrom"),      # ring + Å sign -> same NFC
             (3, "tabs\tand\r\nnewlines nbsp  runs"),
             (4, "ctrl\x01\x02\x7fhere"),
-            (5, "plain ascii")]
+            (5, "plain ascii"),
+            # C1 controls strip; NEL (u0085) collapses to a space
+            (6, "c1\x80\x9fctrls\x85nel")]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.text_norm
            for r in normalize_text(docs, form="NFC").collect()}
@@ -157,8 +161,8 @@ def test_normalize_text_matches_duckdb_pipeline(spark):
         want = con.execute(r"""
             SELECT trim(regexp_replace(
                      regexp_replace(nfc_normalize(?),
-                       '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
-                     '[\s\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+', ' ', 'g'))""", [text]).fetchone()[0]
+                       '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x{0080}-\x{0084}\x{0086}-\x{009f}]', '', 'g'),
+                     '[\s\x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+', ' ', 'g'))""", [text]).fetchone()[0]
         assert got[doc_id] == want, (doc_id, got[doc_id], want)
 
 

@@ -180,3 +180,19 @@ def test_table_stats_matches_python_twin(spark):
     sub = table_stats(df, columns=["v", "id"], exact=True).collect()
     assert [r.col_name for r in sorted(sub, key=lambda r: r.col_id)] \
         == ["v", "id"]
+
+
+def test_table_stats_empty_table(spark):
+    """ANALYZE over a just-created (zero-row) table must yield
+    n_rows=0 / n_nulls=0 / ndv=0 with NULL min/max — not a TypeError
+    from summing zero rows (r11 ADVICE)."""
+    from lightning_metastore_spark.operators.layout import table_stats
+
+    df = spark.createDataFrame([], "id long, s string")
+    for exact in (False, True):
+        got = {r.col_name: r for r in table_stats(df, exact=exact).collect()}
+        assert set(got) == {"id", "s"}
+        for c in ("id", "s"):
+            r = got[c]
+            assert (r.n_rows, r.n_nulls, r.ndv) == (0, 0, 0)
+            assert r.min_val is None and r.max_val is None

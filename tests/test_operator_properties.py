@@ -751,8 +751,9 @@ def test_normalize_text_matches_python_model(texts):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r for r in normalize_text(df, form="NFC").collect()}
 
-    ctrl = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
-    ws = re.compile("[\t\n\r  ]+")
+    ctrl = re.compile("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f"
+                      "\\u0080-\\u0084\\u0086-\\u009f]")
+    ws = re.compile("[\\t\\n\\r \\x85 ]+")
     for i, t in rows:
         want = ws.sub(" ", ctrl.sub("", unicodedata.normalize("NFC", t)))
         want = want.strip(" ")

@@ -282,6 +282,34 @@ def test_pq_artifact_roundtrip_and_nulls(spark, tmp_path):
     assert out[900] is None and out[901] is None
 
 
+def test_pq_train_skips_nulls_and_names_ragged_vectors(spark):
+    """r11 ADVICE: NULL embeddings must not poison the training sample
+    (pq_encode already NULL-passes them), and a wrong-width vector
+    raises a ValueError naming the offending id — not numpy's opaque
+    ragged-array error."""
+    import numpy as np
+    import pytest
+
+    from lightning_metastore_spark.operators.quantization import pq_train
+
+    ok = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, None), (3, [0.0, 1.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    B = pq_train(ok, m=2, k=2, iters=1)
+    assert np.isfinite(B).all()           # NULL row silently skipped
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="width mismatch.*vec_id"):
+        pq_train(ragged, m=2, k=2, iters=1)
+
+    allnull = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        pq_train(allnull, m=2, k=2, iters=1)
+
+
 def test_ivf_pq_composes_and_degenerates_to_pq(spark):
     """IVF-PQ: at full probe coverage (nprobe == n_cells) the result
     equals plain pq_topk over everything; at nprobe=1 the candidates
