@@ -61,7 +61,9 @@ class CurationConfig:
     max_link_density: float | None = None      # drop navigation/chrome
     #   pages (requires html_input=True)
     ref_lm_path: str | None = None             # saved reference-LM
-    #   artifact (operators/lm_filter.train_bigram_lm)
+    #   artifact (lm_filter.train_bigram_lm OR train_kn_lm — layout
+    #   auto-detected, so a KenLM-style order-n retrain slots in
+    #   without a pipeline change)
     min_ref_logprob: float | None = None       # reference-perplexity
     #   floor under that artifact (CCNet-style keep rule)
     url_col: str | None = None                 # C4-style URL-level
@@ -95,7 +97,8 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
     flattened body becomes ``text``) and ``cfg.max_link_density``
     rejects navigation/chrome pages from its link-density feature;
     ``cfg.ref_lm_path`` + ``cfg.min_ref_logprob`` reject docs unlike a
-    trusted REFERENCE corpus under a saved bigram-LM artifact
+    trusted REFERENCE corpus under a saved reference-LM artifact
+    (bigram or order-n Kneser-Ney, layout auto-detected)
     (operators/lm_filter — the CCNet keep rule);
     ``cfg.url_col`` rejects all but the smallest-id doc per canonical
     URL (functions/html.url_canonical_expr — the C4 order, URL dedup
@@ -261,9 +264,9 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
     ref_ok = F.lit(True)
     if cfg.ref_lm_path is not None and cfg.min_ref_logprob is not None:
         from lightning_metastore_spark.operators.lm_filter import (
-            score_with_bigram_lm)
-        ref = score_with_bigram_lm(cleaned, cfg.ref_lm_path,
-                                   text_col=text_col, id_col=id_col) \
+            score_with_reference_lm)
+        ref = score_with_reference_lm(cleaned, cfg.ref_lm_path,
+                                      text_col=text_col, id_col=id_col) \
             .select(id_col, F.col("avg_logprob").alias("ref_logprob"))
         out = out.join(ref, id_col, "left")
         # <2-token docs have no score; neutral default keeps row count

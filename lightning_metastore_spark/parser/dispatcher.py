@@ -1214,10 +1214,23 @@ class RunPipeline(Command):
                 "path string, n_total long, vocab long")
 
         def lm_score(df, load, lam=0.7, text_col="text"):
-            """Score docs under a saved reference LM (OPTIONS(load)); threshold avg_logprob downstream."""
+            """Score docs under a saved reference LM (OPTIONS(load)) — bigram or Kneser-Ney artifact, layout auto-detected; threshold avg_logprob downstream."""
             from lightning_metastore_spark.operators import lm_filter
-            return lm_filter.score_with_bigram_lm(df, load, lam=lam,
-                                                  text_col=text_col)
+            return lm_filter.score_with_reference_lm(
+                df, load, lam=lam, text_col=text_col)
+
+        def kn_lm_train(df, save, order=3, min_count=1, discount=0.75,
+                        text_col="text"):
+            """Fit an order-n Kneser-Ney LM (the KenLM/CCNet family) on the reference table; counts persist under OPTIONS(save) as distributed parquet."""
+            from lightning_metastore_spark.operators import lm_filter
+            stats = lm_filter.train_kn_lm(
+                df, save, order=order, min_count=min_count,
+                discount=discount, text_col=text_col)
+            return df.sparkSession.createDataFrame(
+                [(save, stats["order"], stats["vocab"],
+                  stats["u_types"], stats["t_total"])],
+                "path string, order long, vocab long, u_types long, "
+                "t_total long")
 
         # ---- quality classifier: train writes an artifact, apply
         # ---- scores with it (same hashing as classifier_score) ----
@@ -1476,6 +1489,10 @@ class RunPipeline(Command):
             "classifier_score": (tf.classifier_score,
                                  {"n_buckets": int}),
             "lm_train": (lm_train, {"save": str, "text_col": str}),
+            "kn_lm_train": (kn_lm_train,
+                            {"save": str, "order": int,
+                             "min_count": int, "discount": float,
+                             "text_col": str}),
             "lm_score": (lm_score,
                          {"load": str, "lam": float, "text_col": str}),
             "perplexity_buckets": (

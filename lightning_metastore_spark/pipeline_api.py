@@ -48,6 +48,9 @@ Hygiene:      contamination_overlap + contamination_report (which
               bloom_contamination,
               train_bigram_lm + score_with_bigram_lm (CCNet-style
               reference-corpus perplexity filter, parquet artifacts),
+              train_kn_lm + score_with_kn_lm (order-n Kneser-Ney,
+              the KenLM family) + score_with_reference_lm (either
+              artifact, layout auto-detected),
               perplexity_buckets (CCNet head/middle/tail per group)
 Sampling:     mixture_resample, temperature_resample (XLM/mT5
               tau-smoothing), epoch_schedule (per-group epochs +
@@ -135,7 +138,10 @@ from lightning_metastore_spark.operators.classifier import (  # noqa: F401
 from lightning_metastore_spark.operators.lm_filter import (  # noqa: F401
     perplexity_buckets,
     score_with_bigram_lm,
+    score_with_kn_lm,
+    score_with_reference_lm,
     train_bigram_lm,
+    train_kn_lm,
 )
 from lightning_metastore_spark.operators.bpe import (  # noqa: F401
     apply_bpe_merges,

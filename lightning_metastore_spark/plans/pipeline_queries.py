@@ -773,8 +773,9 @@ def text_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fastText-shaped) quality classifier inference via a broadcast
     hashed-feature weight table, 'ref_lm' = the EXTERNAL-reference
     variant (operators/lm_filter — add-1 OOV backoff, reference =
-    the doc_id%4==0 quarter). Columns: (section, doc_id, n_terms,
-    score)."""
+    the doc_id%4==0 quarter), 'kn_lm' = the same reference under the
+    order-3 interpolated Kneser-Ney model (the KenLM/CCNet family).
+    Columns: (section, doc_id, n_terms, score)."""
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
     uni = (text_fns.unigram_logprob(docs)
@@ -800,6 +801,12 @@ def text_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = (ref_scored
            .select(F.lit("ref_lm").alias("section"), "doc_id",
                    "n_terms", F.col("avg_logprob").alias("score")))
+    # 'kn_lm' = the same external reference under the order-3
+    # interpolated Kneser-Ney model (the KenLM/CCNet family) — the
+    # oracle re-derives the chained continuation counts in SQL
+    kn = (_kn_ref_scores(docs)
+          .select(F.lit("kn_lm").alias("section"), "doc_id",
+                  "n_terms", F.col("avg_logprob").alias("score")))
     # 'ppl_buckets' = the CCNet head/middle/tail split of the ref-LM
     # scores per language: n_terms plays the bucket ordinal
     # (head=0/middle=1/tail=2), score plays the 9dp percent-rank —
@@ -811,7 +818,8 @@ def text_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .otherwise(2).cast("long").alias("n_terms"),
                    F.col("rank_frac").alias("score")))
     return (uni.unionByName(big).unionByName(clf).unionByName(bm)
-            .unionByName(ph).unionByName(ref).unionByName(ppl)
+            .unionByName(ph).unionByName(ref).unionByName(kn)
+            .unionByName(ppl)
             .orderBy("section", "doc_id"))
 
 
@@ -834,6 +842,38 @@ def _ref_lm_scores(docs: DataFrame) -> DataFrame:
                    F.count(F.lit(1)).alias("v")).first()
     return lm_filter.score_with_counts(
         docs, c1, c2, int(stats["n"] or 0), int(stats["v"]), lam=0.7)
+
+
+def _kn_ref_scores(docs: DataFrame) -> DataFrame:
+    """'kn_lm' = order-3 interpolated Kneser-Ney scoring under the
+    SAME doc_id%4==0 reference quarter (the operators/lm_filter
+    train_kn_lm contract: chained continuation counts, fixed D=0.75,
+    uniform 1/(V+1) OOV floor) — the published CCNet filter's model
+    family. Counts are built inline exactly as the trainer derives
+    them; the DuckDB twin re-derives the same chain and replays the
+    identical left-associated backoff expression."""
+    from lightning_metastore_spark.operators import lm_filter
+
+    ref = docs.filter(F.col("doc_id") % 4 == 0)
+    toks = lm_filter._tokens(ref, "text", "doc_id")
+    o3 = (lm_filter._ngrams(toks, "doc_id", 3)
+          .groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c")))
+    o2 = (o3.groupBy(F.col("w2").alias("w1"), F.col("w3").alias("w2"))
+          .agg(F.count(F.lit(1)).alias("c")))
+    o1 = (o2.groupBy(F.col("w2").alias("w1"))
+          .agg(F.count(F.lit(1)).alias("c")))
+    ctx2 = o3.groupBy("w1", "w2").agg(F.sum("c").alias("s"),
+                                      F.count(F.lit(1)).alias("f"))
+    ctx1 = o2.groupBy("w1").agg(F.sum("c").alias("s"),
+                                F.count(F.lit(1)).alias("f"))
+    vocab = int(toks.select(F.explode("t").alias("tok"))
+                .agg(F.count_distinct("tok").alias("v")).first()["v"] or 0)
+    st = o1.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("t"),
+                F.count(F.lit(1)).alias("u")).first()
+    return lm_filter.score_with_kn_tables(
+        docs, {"o1": o1, "o2": o2, "o3": o3, "ctx1": ctx1, "ctx2": ctx2},
+        order=3, discount=0.75, vocab=vocab,
+        u_types=int(st["u"]), t_total=int(st["t"]))
 
 
 def _ppl_bucket_scores(docs: DataFrame,
@@ -912,6 +952,63 @@ rc2 AS (
   LEFT JOIN rc1 cn ON cn.token = btf.next
   CROSS JOIN rstats
   GROUP BY btf.doc_id
+), kt3 AS (
+  SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3, COUNT(*) AS c
+  FROM rtoksarr, unnest(generate_series(1, len(t) - 2)) AS g(i)
+  WHERE len(t) >= 3 GROUP BY 1, 2, 3
+), kt2 AS (
+  SELECT w2 AS w1, w3 AS w2, COUNT(*) AS c FROM kt3 GROUP BY 1, 2
+), kt1 AS (
+  SELECT w2 AS w1, COUNT(*) AS c FROM kt2 GROUP BY 1
+), kx2 AS (
+  SELECT w1, w2, SUM(c) AS s, COUNT(*) AS f FROM kt3 GROUP BY 1, 2
+), kx1 AS (
+  SELECT w1, SUM(c) AS s, COUNT(*) AS f FROM kt2 GROUP BY 1
+), kst AS (
+  SELECT CAST((SELECT SUM(c) FROM kt1) AS BIGINT) AS t,
+         CAST((SELECT COUNT(*) FROM kt1) AS BIGINT) AS u,
+         (SELECT v FROM rstats) AS v
+), dt3 AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3,
+         COUNT(*) AS tf
+  FROM toksarr, unnest(generate_series(1, len(t) - 2)) AS g(i)
+  WHERE len(t) >= 3 GROUP BY 1, 2, 3, 4
+), knp AS (
+  SELECT doc_id, tf,
+         CASE WHEN s2 IS NOT NULL THEN
+           GREATEST(COALESCE(c3, 0) - CAST(0.75 AS DOUBLE),
+                    CAST(0.0 AS DOUBLE)) / s2
+           + CAST(0.75 AS DOUBLE) * f2 / s2 * p2
+         ELSE p2 END AS p3
+  FROM (
+    SELECT *, CASE WHEN s1 IS NOT NULL THEN
+          GREATEST(COALESCE(kc2, 0) - CAST(0.75 AS DOUBLE),
+                   CAST(0.0 AS DOUBLE)) / s1
+          + CAST(0.75 AS DOUBLE) * f1 / s1 * p1
+        ELSE p1 END AS p2
+    FROM (
+      SELECT dt3.doc_id, dt3.tf,
+             l3.c AS c3, x2.s AS s2, x2.f AS f2,
+             l2.c AS kc2, x1.s AS s1, x1.f AS f1,
+             GREATEST(COALESCE(l1.c, 0) - CAST(0.75 AS DOUBLE),
+                      CAST(0.0 AS DOUBLE)) / kst.t
+             + CAST(0.75 AS DOUBLE) * kst.u / kst.t
+               / (kst.v + CAST(1.0 AS DOUBLE)) AS p1
+      FROM dt3
+      LEFT JOIN kt3 l3 ON l3.w1 = dt3.w1 AND l3.w2 = dt3.w2
+                      AND l3.w3 = dt3.w3
+      LEFT JOIN kx2 x2 ON x2.w1 = dt3.w1 AND x2.w2 = dt3.w2
+      LEFT JOIN kt2 l2 ON l2.w1 = dt3.w2 AND l2.w2 = dt3.w3
+      LEFT JOIN kx1 x1 ON x1.w1 = dt3.w2
+      LEFT JOIN kt1 l1 ON l1.w1 = dt3.w3
+      CROSS JOIN kst
+    )
+  )
+), knsc AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_terms,
+         ROUND(CAST(SUM(CAST(tf * LN(p3) AS DECIMAL(28,15))) AS DOUBLE)
+               / SUM(tf), 9) AS alp
+  FROM knp GROUP BY doc_id
 )
 SELECT * FROM (
   SELECT 'unigram' AS section, doc_id, CAST(SUM(tf) AS BIGINT) AS n_terms,
@@ -975,6 +1072,8 @@ SELECT * FROM (
   ) b USING (doc_id)
 UNION ALL
 SELECT 'ref_lm', doc_id, n_terms, alp FROM refsc
+UNION ALL
+SELECT 'kn_lm', doc_id, n_terms, alp FROM knsc
 UNION ALL
 SELECT 'ppl_buckets', doc_id,
        CAST(CASE WHEN rf < (1.0 / 3.0) THEN 0
@@ -4174,6 +4273,7 @@ SUITE_SECTIONS: dict = {
         "bm25": _lm_section(text_fns.bm25_scores),
         "phrase": _lm_phrase,
         "ref_lm": _lm_section(_ref_lm_scores),
+        "kn_lm": _lm_section(_kn_ref_scores),
         "ppl_buckets": _lm_section(_ppl_bucket_scores),
     },
     "temporal_rollup": {

@@ -164,7 +164,8 @@ def dedup_batch_against_index(spark: SparkSession, batch: DataFrame,
 
     ``ref_lm_path`` + ``min_ref_logprob`` (opt-in): the CCNet quality
     floor AT ingestion — reject docs scoring below the floor under a
-    saved reference bigram-LM artifact (operators/lm_filter), so junk
+    saved reference-LM artifact (operators/lm_filter — bigram or
+    order-n Kneser-Ney, layout auto-detected), so junk
     never enters the corpus. Like the Bloom rejector the artifact is
     STATIC: the decision is a pure function of the doc text, needs no
     batch-visibility rule, and replays are trivially stable. Docs with
@@ -233,10 +234,10 @@ def dedup_batch_against_index(spark: SparkSession, batch: DataFrame,
     # before the heavier LSH/CC steps (left-anti keeps no-score docs)
     if ref_lm_path is not None and min_ref_logprob is not None:
         from lightning_metastore_spark.operators.lm_filter import (
-            score_with_bigram_lm)
+            score_with_reference_lm)
 
-        junk = (score_with_bigram_lm(batch, ref_lm_path,
-                                     text_col=text_col, id_col=id_col)
+        junk = (score_with_reference_lm(batch, ref_lm_path,
+                                        text_col=text_col, id_col=id_col)
                 .filter(F.col("avg_logprob") < F.lit(float(min_ref_logprob)))
                 .select(id_col))
         batch = batch.join(junk, id_col, "left_anti")

@@ -395,6 +395,34 @@ def test_ref_lm_floor_rejects_junk_at_ingest(spark, tmp_path):
         min_ref_logprob=floor).count() == 0
 
 
+def test_ref_lm_rejector_accepts_kn_artifact(spark, tmp_path):
+    """Batch curation and streaming ingest share one reference-LM
+    loader: pointing ref_lm_path at an order-n Kneser-Ney artifact
+    (instead of the bigram one) changes NOTHING about the rejector
+    wiring — junk is still floored out, prose admitted."""
+    from lightning_metastore_spark.operators.lm_filter import (
+        score_with_kn_lm, train_kn_lm)
+
+    idx = str(tmp_path / "idx_kn")
+    ingest.build_dedup_index(_mkdocs(spark, [(1, BASE)]), idx)
+    ref = _mkdocs(spark, [(i, OTHER) for i in range(3)] + [(9, THIRD)])
+    lm_path = str(tmp_path / "kn_lm")
+    train_kn_lm(ref, lm_path, order=3)
+
+    junk = "zxq vbnm qwerty asdf zxcv plok mnbv wert yuio hjkl"
+    prose = THIRD + " with a fresh continuation sentence attached"
+    scores = {r.doc_id: r.avg_logprob for r in score_with_kn_lm(
+        _mkdocs(spark, [(50, junk), (51, prose)]), lm_path).collect()}
+    floor = (scores[50] + scores[51]) / 2.0
+    assert scores[50] < floor < scores[51], scores
+
+    batch = _mkdocs(spark, [(50, junk), (51, prose)])
+    got = sorted(r.doc_id for r in ingest.dedup_batch_against_index(
+        spark, batch, idx, ref_lm_path=lm_path,
+        min_ref_logprob=floor).collect())
+    assert got == [51], got
+
+
 def test_url_frontier_rejector(spark, tmp_path):
     """The crawl-frontier rejector: a re-crawled page (same canonical
     URL, edited text — NOT a near-dup) is rejected against the

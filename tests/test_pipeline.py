@@ -397,6 +397,38 @@ def test_curate_corpus_html_and_ref_lm_stages(spark, tmp_path):
     assert out2[200].drop_reason == "ref_perplexity"
 
 
+def test_curate_corpus_accepts_kn_artifact_unchanged(spark, tmp_path):
+    """The r11 verdict contract: swapping the reference-LM family
+    (bigram -> order-n Kneser-Ney) is a RETRAIN, not a pipeline
+    change — the same ref_lm_path option consumes the KN artifact,
+    and the keep decision still floors on avg_logprob."""
+    from lightning_metastore_spark.operators.lm_filter import (
+        score_with_kn_lm, train_kn_lm)
+
+    rows = ([(i, f"the quick brown fox tells story number {i} "
+              f"with plenty of distinct prose words {i * 17}")
+             for i in range(6)]
+            + [(200, "zxq vbnm qwerty asdf zxcv plok mnbv wert")])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = spark.createDataFrame(
+        [(i, f"the quick brown fox tells story number {i}")
+         for i in range(5)], "doc_id long, text string")
+    lm_path = str(tmp_path / "curate_kn_lm")
+    train_kn_lm(ref, lm_path, order=3)
+
+    scores = {r.doc_id: r.avg_logprob
+              for r in score_with_kn_lm(docs, lm_path).collect()}
+    floor = (scores[200] + min(scores[i] for i in range(6))) / 2.0
+    assert scores[200] < floor < min(scores[i] for i in range(6))
+
+    out = {r.doc_id: r for r in curate_corpus(docs, CurationConfig(
+        min_quality=0.0, ref_lm_path=lm_path,
+        min_ref_logprob=floor)).collect()}
+    assert len(out) == len(rows)
+    assert out[200].drop_reason == "ref_perplexity"
+    assert all(out[i].drop_reason != "ref_perplexity" for i in range(6))
+
+
 def test_curate_corpus_url_dedup_stage(spark):
     """url_col rejects all but the smallest id per canonical URL as
     'url_duplicate' BEFORE content stages; NULL URLs always survive;

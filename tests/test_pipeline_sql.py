@@ -731,3 +731,24 @@ def test_lm_train_score_roundtrip_sql(env):
     assert _rows(scored) == _rows(
         lm_filter.score_with_bigram_lm(env.docs, p, lam=0.7))
     assert scored.count() > 0
+
+
+def test_kn_lm_train_score_roundtrip_sql(env):
+    """kn_lm_train persists the order-n Kneser-Ney artifact via
+    OPTIONS(save); the SAME lm_score op auto-detects the layout and
+    equals the Python API — one SQL surface for both LM families."""
+    from lightning_metastore_spark.operators import lm_filter
+
+    p = str(env.root / "kn_artifact")
+    out = env.ctx.sql(f"RUN PIPELINE kn_lm_train ON {DOCS2} "
+                      f"OPTIONS(save '{p}', order '3', min_count '1', "
+                      f"discount '0.75')")
+    row = out.first()
+    assert row.path == p and row.order == 3
+    assert row.vocab > 0 and row.u_types > 0 and row.t_total > 0
+
+    scored = env.ctx.sql(f"RUN PIPELINE lm_score ON {DOCS} "
+                         f"OPTIONS(load '{p}')")
+    assert _rows(scored) == _rows(
+        lm_filter.score_with_kn_lm(env.docs, p))
+    assert scored.count() > 0

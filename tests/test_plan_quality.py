@@ -429,6 +429,43 @@ def test_lm_score_broadcasts_unigrams_joins_bigrams_on_key(spark,
     assert "partial_" in plan               # map-side combine on doc agg
 
 
+def test_lm_score_shares_one_unigram_broadcast(spark, tmp_path):
+    """r11 watch item #1: the prev-side and next-side unigram joins
+    must share ONE BroadcastExchange (the second side is a
+    ReusedExchange), not broadcast the vocabulary twice. Pinned on the
+    EXECUTED plan — AQE reuses the materialized broadcast stage."""
+    from lightning_metastore_spark.operators.lm_filter import (
+        score_with_bigram_lm, train_bigram_lm)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(80)
+    p = str(tmp_path / "lm_reuse")
+    train_bigram_lm(docs.filter("doc_id % 3 = 0"), p)
+    df = score_with_bigram_lm(docs, p)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+
+
+def test_kn_score_broadcasts_only_vocab_sized_tables(spark, tmp_path):
+    """KN scoring joins the top-order and middle-order count tables on
+    their n-gram keys (shuffle-join is CORRECT there at web scale — no
+    forced broadcast hints), while the two vocabulary-sized relations
+    (continuation unigrams o1, bigram contexts ctx1) are hinted
+    broadcast. Pin: exactly 2 broadcast hints survive to the optimized
+    plan, and the doc aggregate keeps map-side combine."""
+    from lightning_metastore_spark.operators.lm_filter import (
+        score_with_kn_lm, train_kn_lm)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(80)
+    p = str(tmp_path / "kn_plan")
+    train_kn_lm(docs.filter("doc_id % 3 = 0"), p, order=3)
+    df = score_with_kn_lm(docs, p)
+    assert len(_hint_lines(df)) == 2
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+
+
 def test_html_extract_and_corpus_diff_shapes(spark):
     """html_extract stays a single map-only projection; corpus_diff's
     full-outer join must shuffle only the (id, fp, count) projection —
