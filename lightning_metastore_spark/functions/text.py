@@ -367,10 +367,90 @@ def classifier_weights(spark, n_buckets: int = CLASSIFIER_BUCKETS):
          - 1000).alias("m"))
 
 
+CLASSIFIER_NGRAM_SEP = "\x01"
+
+
+def classifier_feature_stream(docs: DataFrame,
+                              n_buckets: int = CLASSIFIER_BUCKETS,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              word_ngrams: int = 1,
+                              null_text_as_empty: bool = False) -> DataFrame:
+    """(id, bucket) hashed feature stream — THE single hashing
+    contract shared by training (operators/classifier._features) and
+    inference (classifier_score), so trained weights always serve the
+    inference path unchanged: md5 first 3 hex of the lowercased
+    whitespace token, mod n_buckets.
+
+    ``word_ngrams`` >= 2 adds hashed word n-gram features into the
+    SAME bucket space — fastText's defining trick (wordNgrams=2 is
+    its quality-classifier default; unigram buckets alone under-fit
+    short docs where word order carries the signal). An n-gram's hash
+    token is the member words joined on \\x01 (a char the whitespace
+    tokenizer can never emit inside a token), so "a b" can't collide
+    with the single token "ab" by construction.
+
+    ``null_text_as_empty`` preserves the two call sites' historical
+    NULL contracts: training coalesces NULL text to "" (the doc keeps
+    its label and contributes one ''-token feature); inference drops
+    NULL-text docs (no tokens, no score row).
+    """
+    base = (F.coalesce(F.col(text_col), F.lit(""))
+            if null_text_as_empty else F.col(text_col))
+    toks = docs.select(F.col(id_col),
+                       F.split(F.lower(base), r"\s+").alias("t"))
+    streams = [toks.select(F.col(id_col), F.explode("t").alias("token"))]
+    for g in range(2, int(word_ngrams) + 1):
+        parts = ", ".join(f"t[i-2+{j}]" for j in range(1, g + 1))
+        grams = (toks.withColumn("m", F.size("t") - (g - 1))
+                 .filter(F.col("m") >= 1)
+                 .select(F.col(id_col), F.explode(F.expr(
+                     f"transform(sequence(1, m), "
+                     f"i -> concat_ws('{CLASSIFIER_NGRAM_SEP}', {parts}))"))
+                     .alias("token")))
+        streams.append(grams)
+    out = streams[0]
+    for s in streams[1:]:
+        out = out.unionByName(s)
+    bucket = (F.conv(F.substring(F.md5("token"), 1, 3), 16, 10)
+              .cast("long") % int(n_buckets))
+    return out.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def _validate_weight_meta(weights: DataFrame, n_buckets: int,
+                          word_ngrams: int) -> DataFrame:
+    """Versioned-artifact check: v2 weight tables carry constant
+    n_buckets/word_ngrams columns (save_classifier_weights); a
+    mismatch with the caller's parameters would silently drop
+    out-of-range buckets through the inner join and skew every score,
+    so it raises instead. v1 tables (bucket, m only) pass through —
+    old artifacts keep loading."""
+    row = None
+    if "n_buckets" in weights.columns or "word_ngrams" in weights.columns:
+        row = weights.select(
+            *[c for c in ("n_buckets", "word_ngrams")
+              if c in weights.columns]).first()
+    if row is not None:
+        saved_b = int(row["n_buckets"]) if "n_buckets" in weights.columns \
+            else None
+        saved_g = int(row["word_ngrams"]) \
+            if "word_ngrams" in weights.columns else None
+        if saved_b is not None and saved_b != int(n_buckets):
+            raise ValueError(
+                f"classifier weights were trained with n_buckets="
+                f"{saved_b} but n_buckets={n_buckets} was requested")
+        if saved_g is not None and saved_g != int(word_ngrams):
+            raise ValueError(
+                f"classifier weights were trained with word_ngrams="
+                f"{saved_g} but word_ngrams={word_ngrams} was requested")
+    return weights.select("bucket", "m")
+
+
 def classifier_score(docs: DataFrame, n_buckets: int = CLASSIFIER_BUCKETS,
                      text_col: str = "text",
                      id_col: str = "doc_id",
-                     weights: DataFrame | None = None) -> DataFrame:
+                     weights: DataFrame | None = None,
+                     word_ngrams: int = 1) -> DataFrame:
     """(doc_id, n_terms, score) — linear text classifier inference as a
     DataFrame program (the fastText quality-classifier shape used to
     filter pretraining corpora): tokens hash into ``n_buckets`` feature
@@ -379,8 +459,12 @@ def classifier_score(docs: DataFrame, n_buckets: int = CLASSIFIER_BUCKETS,
 
     ``weights`` may supply a TRAINED (bucket, m) table — e.g. from
     ``operators.classifier.train_logreg_classifier``, which uses the
-    identical token hashing — in place of the deterministic stand-in
-    from ``classifier_weights``.
+    identical token hashing (``classifier_feature_stream``) — in place
+    of the deterministic stand-in from ``classifier_weights``. A
+    versioned artifact carrying n_buckets/word_ngrams metadata is
+    validated against the parameters here (mismatch raises).
+    ``word_ngrams`` >= 2 adds fastText-style hashed word-bigram (and
+    higher) features; n_terms then counts ALL features, not tokens.
 
     100 TB shape: map-only expression per token + ONE broadcast join
     (the model is KBs) + one per-doc aggregation — no shuffle beyond
@@ -388,14 +472,13 @@ def classifier_score(docs: DataFrame, n_buckets: int = CLASSIFIER_BUCKETS,
     per-doc sum is exact in DECIMAL and partition-order-stable.
     """
     spark = docs.sparkSession
-    toks = docs.select(F.col(id_col),
-                       F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
-                       .alias("token"))
-    bucket = (F.conv(F.substring(F.md5("token"), 1, 3), 16, 10)
-              .cast("long") % n_buckets)
-    w = (weights.select("bucket", "m") if weights is not None
+    w = (_validate_weight_meta(weights, n_buckets, word_ngrams)
+         if weights is not None
          else classifier_weights(spark, n_buckets))
-    agg = (toks.select(F.col(id_col), bucket.alias("bucket"))
+    feats = classifier_feature_stream(
+        docs, n_buckets, text_col=text_col, id_col=id_col,
+        word_ngrams=word_ngrams, null_text_as_empty=False)
+    agg = (feats
            .join(F.broadcast(w), "bucket")
            .groupBy(id_col)
            .agg(F.count(F.lit(1)).alias("n"),

@@ -46,24 +46,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from lightning_metastore_spark.functions.text import CLASSIFIER_BUCKETS
+from lightning_metastore_spark.functions.text import (
+    CLASSIFIER_BUCKETS,
+    classifier_feature_stream,
+)
 
 
 def _features(docs: DataFrame, n_buckets: int, text_col: str,
-              id_col: str) -> DataFrame:
-    """(id, bucket, tf) hashed bag-of-tokens — IDENTICAL hashing to
-    classifier_score (md5 first 3 hex of the lowercased whitespace
-    token, mod n_buckets) so trained weights serve that inference
-    path unchanged."""
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.coalesce(F.col(text_col),
-                                             F.lit(""))), r"\s+"))
-        .alias("token"))
-    bucket = (F.conv(F.substring(F.md5("token"), 1, 3), 16, 10)
-              .cast("long") % n_buckets)
-    return (toks.select(F.col(id_col), bucket.alias("bucket"))
-            .groupBy(id_col, "bucket")
+              id_col: str, word_ngrams: int = 1) -> DataFrame:
+    """(id, bucket, tf) hashed bag-of-features — built on the SAME
+    ``classifier_feature_stream`` classifier_score uses (md5 first 3
+    hex mod n_buckets; word_ngrams adds fastText-style hashed word
+    n-grams into the same bucket space), so trained weights serve that
+    inference path unchanged."""
+    feats = classifier_feature_stream(
+        docs, n_buckets, text_col=text_col, id_col=id_col,
+        word_ngrams=word_ngrams, null_text_as_empty=True)
+    return (feats.groupBy(id_col, "bucket")
             .agg(F.count(F.lit(1)).alias("tf")))
 
 
@@ -71,7 +70,8 @@ def train_logreg_classifier(docs: DataFrame, label_col: str,
                             iters: int = 8, lr: float = 1.0,
                             n_buckets: int = CLASSIFIER_BUCKETS,
                             text_col: str = "text",
-                            id_col: str = "doc_id") -> DataFrame:
+                            id_col: str = "doc_id",
+                            word_ngrams: int = 1) -> DataFrame:
     """Train integer-milli-unit logistic-regression weights:
     (bucket, m) with one row per bucket 0..n_buckets-1.
 
@@ -86,6 +86,11 @@ def train_logreg_classifier(docs: DataFrame, label_col: str,
     and keeping the step integer-exact is worth more than shrinkage
     (clip inputs upstream if a bucket explodes).
 
+    ``word_ngrams`` >= 2 trains over fastText-style hashed word-bigram
+    (and higher) features in the same bucket space — inference MUST
+    pass the same word_ngrams (the shared-hashing contract; the saved
+    artifact records it and classifier_score validates).
+
     Every distributed reduction is exact (int64 / DECIMAL on frozen
     9dp/12dp factors — see the module docstring), so the returned
     table is bit-identical at any partition count; the pytest twin
@@ -96,7 +101,7 @@ def train_logreg_classifier(docs: DataFrame, label_col: str,
         F.col(label_col).cast("double").alias("y"))
     feats = _features(
         docs.filter(F.col(label_col).isNotNull()),
-        n_buckets, text_col, id_col)
+        n_buckets, text_col, id_col, word_ngrams=word_ngrams)
     # one id-key shuffle, reused by every iteration's margin agg + join
     feats = feats.repartition(F.col(id_col)).persist()
     nd = feats.groupBy(id_col).agg(F.sum("tf").alias("n_d"))
@@ -138,9 +143,21 @@ def train_logreg_classifier(docs: DataFrame, label_col: str,
         "bucket long, m long")
 
 
-def save_classifier_weights(spark, weights: DataFrame, path: str) -> None:
-    """Persist a trained weight table as a single-file parquet artifact."""
-    weights.coalesce(1).write.mode("overwrite").parquet(path)
+def save_classifier_weights(spark, weights: DataFrame, path: str,
+                            n_buckets: int | None = None,
+                            word_ngrams: int | None = None) -> None:
+    """Persist a trained weight table as a single-file parquet
+    artifact. When given, ``n_buckets``/``word_ngrams`` are stored as
+    constant metadata columns (schema v2) — classifier_score validates
+    them against its parameters at inference time, so a mismatched
+    n_buckets can never silently drop buckets through the inner join
+    (r11 ADVICE). v1 artifacts (bucket, m only) keep loading."""
+    out = weights.select("bucket", "m")
+    if n_buckets is not None:
+        out = out.withColumn("n_buckets", F.lit(int(n_buckets)))
+    if word_ngrams is not None:
+        out = out.withColumn("word_ngrams", F.lit(int(word_ngrams)))
+    out.coalesce(1).write.mode("overwrite").parquet(path)
 
 
 def load_classifier_weights(spark, path: str) -> DataFrame:

@@ -1235,14 +1235,17 @@ class RunPipeline(Command):
         # ---- quality classifier: train writes an artifact, apply
         # ---- scores with it (same hashing as classifier_score) ----
         def classifier_train(df, label_col, iters=8, lr=1.0,
-                             n_buckets=4096, save=None):
-            """Train integer-milli-unit logreg weights on OPTIONS(label_col); OPTIONS(save '...') persists the artifact."""
+                             n_buckets=4096, save=None, word_ngrams=1):
+            """Train integer-milli-unit logreg weights on OPTIONS(label_col); OPTIONS(word_ngrams '2') adds fastText-style hashed word-bigram features; OPTIONS(save '...') persists the versioned artifact."""
             from lightning_metastore_spark.operators import (
                 classifier as clf)
             w = clf.train_logreg_classifier(
-                df, label_col, iters=iters, lr=lr, n_buckets=n_buckets)
+                df, label_col, iters=iters, lr=lr, n_buckets=n_buckets,
+                word_ngrams=word_ngrams)
             if save:
-                clf.save_classifier_weights(df.sparkSession, w, save)
+                clf.save_classifier_weights(
+                    df.sparkSession, w, save, n_buckets=n_buckets,
+                    word_ngrams=word_ngrams)
             return w
 
         def perplexity_buckets_op(df, head=1.0 / 3.0, middle=2.0 / 3.0,
@@ -1263,14 +1266,15 @@ class RunPipeline(Command):
             return sampling.bucket_resample(
                 b, {"head": head, "middle": middle, "tail": tail})
 
-        def classifier_apply(df, load, n_buckets=4096):
-            """Score docs with a trained weight artifact (OPTIONS(load '...'))."""
+        def classifier_apply(df, load, n_buckets=4096, word_ngrams=1):
+            """Score docs with a trained weight artifact (OPTIONS(load '...')); a versioned artifact validates n_buckets/word_ngrams."""
             from lightning_metastore_spark.functions import text as tfn
             from lightning_metastore_spark.operators import (
                 classifier as clf)
             w = clf.load_classifier_weights(df.sparkSession, load)
             return tfn.classifier_score(df, n_buckets=n_buckets,
-                                        weights=w)
+                                        weights=w,
+                                        word_ngrams=word_ngrams)
 
         def ingest_admit(df, index_dir, threshold=0.5, max_span_frac=None,
                          bloom_path=None, bloom_threshold=0.5,
@@ -1487,7 +1491,8 @@ class RunPipeline(Command):
             "unigram_logprob": (tf.unigram_logprob, {}),
             "bigram_logprob": (tf.bigram_logprob, {"lam": float}),
             "classifier_score": (tf.classifier_score,
-                                 {"n_buckets": int}),
+                                 {"n_buckets": int,
+                                  "word_ngrams": int}),
             "lm_train": (lm_train, {"save": str, "text_col": str}),
             "kn_lm_train": (kn_lm_train,
                             {"save": str, "order": int,
@@ -1514,9 +1519,10 @@ class RunPipeline(Command):
             "classifier_train": (classifier_train,
                                  {"label_col": str, "iters": int,
                                   "lr": float, "n_buckets": int,
-                                  "save": str}),
+                                  "save": str, "word_ngrams": int}),
             "classifier_apply": (classifier_apply,
-                                 {"load": str, "n_buckets": int}),
+                                 {"load": str, "n_buckets": int,
+                                  "word_ngrams": int}),
             # ---- sampling / packing / chunking ----
             "stratified_sample": (sampling.stratified_fixed_n,
                                   {"n_per_group": int, "group_col": str}),

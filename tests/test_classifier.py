@@ -36,16 +36,21 @@ def _spark_round(x: float, n: int = 0) -> float:
     return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 
-def twin_train(rows, n_buckets, iters, lr):
-    """Pure-Python replay of train_logreg_classifier: same hashing,
-    same frozen 9dp / integer-1e-12 factors, same weight steps."""
+def twin_train(rows, n_buckets, iters, lr, word_ngrams=1):
+    """Pure-Python replay of train_logreg_classifier: same hashing
+    (incl. the \\x01-joined word-n-gram tokens), same frozen
+    9dp / integer-1e-12 factors, same weight steps."""
     feats, nd, ys = {}, {}, {}
     for doc_id, text, y in rows:
         if y is None:
             continue
         toks = re.split(r"\s+", (text or "").lower())
+        hash_toks = list(toks)
+        for g in range(2, word_ngrams + 1):
+            hash_toks += ["\x01".join(toks[i:i + g])
+                          for i in range(len(toks) - g + 1)]
         tf = {}
-        for t in toks:
+        for t in hash_toks:
             b = _bucket(t, n_buckets)
             tf[b] = tf.get(b, 0) + 1
         feats[doc_id] = tf
@@ -154,3 +159,75 @@ def test_weights_artifact_roundtrip(spark, tmp_path):
     s2 = {r.doc_id: r.score for r in
           classifier_score(docs, n_buckets=32, weights=w).collect()}
     assert s1 == s2
+
+
+def test_word_bigram_features_match_twin_and_serve_inference(spark):
+    """fastText parity: word_ngrams=2 trains over hashed word-bigram
+    features in the same bucket space, bit-matching the twin; the
+    trained table serves classifier_score(word_ngrams=2) and the
+    bigram signal separates docs that unigrams alone cannot."""
+    docs = spark.createDataFrame(ROWS, "doc_id long, text string, label int")
+    got = {r.bucket: r.m for r in
+           train_logreg_classifier(docs, "label", iters=4, lr=2.0,
+                                   n_buckets=64, word_ngrams=2).collect()}
+    want = twin_train(ROWS, 64, 4, 2.0, word_ngrams=2)
+    assert [got[j] for j in range(64)] == want
+    assert want != twin_train(ROWS, 64, 4, 2.0)   # bigrams changed it
+
+    # word-ORDER signal: same unigrams, opposite labels by order
+    rows = []
+    for i in range(40):
+        if i % 2:
+            rows.append((i, "good value fast service good value", 1))
+        else:
+            rows.append((i, "value good service fast value good", 0))
+    d = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    w2 = train_logreg_classifier(d, "label", iters=6, lr=2.0,
+                                 n_buckets=256, word_ngrams=2)
+    from lightning_metastore_spark.functions.text import classifier_score
+
+    s2 = {r.doc_id: r.score
+          for r in classifier_score(d, n_buckets=256, weights=w2,
+                                    word_ngrams=2).collect()}
+    pos = [s2[i] for i in range(40) if i % 2]
+    neg = [s2[i] for i in range(40) if not i % 2]
+    assert min(pos) > max(neg)        # bigrams separate order-flips
+    # unigram-only model cannot: identical features for both classes
+    w1 = train_logreg_classifier(d, "label", iters=6, lr=2.0,
+                                 n_buckets=256)
+    s1 = {r.doc_id: r.score
+          for r in classifier_score(d, n_buckets=256, weights=w1).collect()}
+    assert len({round(v, 9) for v in s1.values()}) == 1
+
+
+def test_versioned_artifact_validates_and_v1_still_loads(spark, tmp_path):
+    """r11 ADVICE: the saved artifact records n_buckets/word_ngrams;
+    loading it with mismatched parameters raises instead of silently
+    skewing scores; a v1 artifact (bucket, m only) keeps loading."""
+    import pytest
+
+    from lightning_metastore_spark.functions.text import classifier_score
+
+    docs = spark.createDataFrame(ROWS, "doc_id long, text string, label int")
+    w = train_logreg_classifier(docs, "label", iters=2, n_buckets=32,
+                                word_ngrams=2)
+    p = str(tmp_path / "clf_v2")
+    save_classifier_weights(spark, w, p, n_buckets=32, word_ngrams=2)
+    back = load_classifier_weights(spark, p)
+    assert {"bucket", "m", "n_buckets", "word_ngrams"} <= set(back.columns)
+
+    ok = classifier_score(docs, n_buckets=32, weights=back, word_ngrams=2)
+    assert ok.count() > 0
+    with pytest.raises(ValueError, match="n_buckets=32"):
+        classifier_score(docs, n_buckets=64, weights=back,
+                         word_ngrams=2).collect()
+    with pytest.raises(ValueError, match="word_ngrams=2"):
+        classifier_score(docs, n_buckets=32, weights=back).collect()
+
+    # v1 layout: no metadata columns -> no validation, still serves
+    p1 = str(tmp_path / "clf_v1")
+    save_classifier_weights(spark, w, p1)
+    back1 = load_classifier_weights(spark, p1)
+    assert set(back1.columns) == {"bucket", "m"}
+    assert classifier_score(docs, n_buckets=32, weights=back1,
+                            word_ngrams=2).count() > 0
