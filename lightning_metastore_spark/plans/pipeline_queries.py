@@ -774,8 +774,10 @@ def text_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed-feature weight table, 'ref_lm' = the EXTERNAL-reference
     variant (operators/lm_filter — add-1 OOV backoff, reference =
     the doc_id%4==0 quarter), 'kn_lm' = the same reference under the
-    order-3 interpolated Kneser-Ney model (the KenLM/CCNet family).
-    Columns: (section, doc_id, n_terms, score)."""
+    order-3 interpolated Kneser-Ney model (the KenLM/CCNet family),
+    'clf_train' = the distributed classifier TRAINING loop (2 GD
+    iterations, word_ngrams=2 features, all 64 integer weights
+    bit-checked). Columns: (section, doc_id, n_terms, score)."""
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
     uni = (text_fns.unigram_logprob(docs)
@@ -807,6 +809,15 @@ def text_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     kn = (_kn_ref_scores(docs)
           .select(F.lit("kn_lm").alias("section"), "doc_id",
                   "n_terms", F.col("avg_logprob").alias("score")))
+    # 'clf_train' = distributed classifier TRAINING gate: doc_id plays
+    # the bucket, n_terms the integer milli-unit weight (bit-checked),
+    # score the float weight — the DuckDB twin replays both GD
+    # iterations from the module's integer-freezing contract
+    clt = (_clf_train_weights(docs)
+           .select(F.lit("clf_train").alias("section"),
+                   F.col("bucket").alias("doc_id"),
+                   F.col("m").cast("long").alias("n_terms"),
+                   (F.col("m") / F.lit(1000.0)).alias("score")))
     # 'ppl_buckets' = the CCNet head/middle/tail split of the ref-LM
     # scores per language: n_terms plays the bucket ordinal
     # (head=0/middle=1/tail=2), score plays the 9dp percent-rank —
@@ -819,7 +830,7 @@ def text_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("rank_frac").alias("score")))
     return (uni.unionByName(big).unionByName(clf).unionByName(bm)
             .unionByName(ph).unionByName(ref).unionByName(kn)
-            .unionByName(ppl)
+            .unionByName(clt).unionByName(ppl)
             .orderBy("section", "doc_id"))
 
 
@@ -874,6 +885,24 @@ def _kn_ref_scores(docs: DataFrame) -> DataFrame:
         docs, {"o1": o1, "o2": o2, "o3": o3, "ctx1": ctx1, "ctx2": ctx2},
         order=3, discount=0.75, vocab=vocab,
         u_types=int(st["u"]), t_total=int(st["t"]))
+
+
+def _clf_train_weights(docs: DataFrame) -> DataFrame:
+    """'clf_train' = operators/classifier.train_logreg_classifier
+    gated end to end: 2 full-batch GD iterations at lr=1.0 over
+    word_ngrams=2 hashed features (n_buckets=64), label = doc_id % 2.
+    The integer-freezing contract (9dp error, integer 1e-12 gradient
+    units, banker's-rounded driver steps = DuckDB round_even) makes
+    the whole training loop — feature hashing incl. the \\x01-joined
+    word bigrams, margins, sigmoid, frozen gradients, both weight
+    steps — bit-replayable in SQL; all 64 integer weights are
+    hash-verified."""
+    from lightning_metastore_spark.operators.classifier import (
+        train_logreg_classifier)
+
+    labeled = docs.withColumn("label", (F.col("doc_id") % 2).cast("int"))
+    return train_logreg_classifier(labeled, "label", iters=2, lr=1.0,
+                                   n_buckets=64, word_ngrams=2)
 
 
 def _ppl_bucket_scores(docs: DataFrame,
@@ -1009,6 +1038,62 @@ rc2 AS (
          ROUND(CAST(SUM(CAST(tf * LN(p3) AS DECIMAL(28,15))) AS DOUBLE)
                / SUM(tf), 9) AS alp
   FROM knp GROUP BY doc_id
+), cfeat AS (
+  SELECT doc_id, bucket, COUNT(*) AS tf FROM (
+    SELECT doc_id, ({HEXC3} % 64) AS bucket FROM (
+      SELECT doc_id, md5(tok) AS hc FROM (
+        SELECT doc_id, unnest(t) AS tok FROM toksarr
+        UNION ALL
+        SELECT doc_id, t[i] || chr(1) || t[i+1] AS tok
+        FROM toksarr, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        WHERE len(t) >= 2
+      )
+    )
+  ) GROUP BY 1, 2
+), cnd AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_d FROM cfeat GROUP BY 1
+), cy AS (
+  SELECT doc_id, CAST(doc_id % 2 AS DOUBLE) AS y FROM documents
+), cb AS (
+  SELECT unnest(generate_series(0, 63)) AS bucket
+), cg1 AS (
+  SELECT f.bucket,
+         CAST(SUM(CAST(e.f1 AS DECIMAL(38,0)) * f.tf) AS BIGINT) AS g
+  FROM cfeat f JOIN (
+    SELECT n.doc_id,
+           CAST(ROUND(CAST(ROUND(ROUND(0.5 - y.y, 9) * 1e9, 0)
+                           AS BIGINT) * 1000.0 / n.n_d, 0)
+                AS BIGINT) AS f1
+    FROM cnd n JOIN cy y USING (doc_id)
+  ) e USING (doc_id)
+  GROUP BY 1
+), cw1 AS (
+  SELECT cb.bucket,
+         0 - CAST(round_even(1.0 * (COALESCE(g.g, 0) * 1e-12) * 1000.0,
+                             0) AS BIGINT) AS m
+  FROM cb LEFT JOIN cg1 g USING (bucket)
+), cp2 AS (
+  SELECT s.doc_id,
+         1.0 / (1.0 + EXP(-(CAST(s.s AS DOUBLE) / 1000.0 / n.n_d))) AS p
+  FROM (SELECT f.doc_id, SUM(w.m * f.tf) AS s
+        FROM cfeat f JOIN cw1 w USING (bucket) GROUP BY 1) s
+  JOIN cnd n USING (doc_id)
+), cg2 AS (
+  SELECT f.bucket,
+         CAST(SUM(CAST(e.f2 AS DECIMAL(38,0)) * f.tf) AS BIGINT) AS g
+  FROM cfeat f JOIN (
+    SELECT p.doc_id,
+           CAST(ROUND(CAST(ROUND(ROUND(p.p - y.y, 9) * 1e9, 0)
+                           AS BIGINT) * 1000.0 / n.n_d, 0)
+                AS BIGINT) AS f2
+    FROM cp2 p JOIN cy y USING (doc_id) JOIN cnd n USING (doc_id)
+  ) e USING (doc_id)
+  GROUP BY 1
+), cw2 AS (
+  SELECT w.bucket,
+         w.m - CAST(round_even(1.0 * (COALESCE(g.g, 0) * 1e-12)
+                               * 1000.0, 0) AS BIGINT) AS m
+  FROM cw1 w LEFT JOIN cg2 g USING (bucket)
 )
 SELECT * FROM (
   SELECT 'unigram' AS section, doc_id, CAST(SUM(tf) AS BIGINT) AS n_terms,
@@ -1075,6 +1160,8 @@ SELECT 'ref_lm', doc_id, n_terms, alp FROM refsc
 UNION ALL
 SELECT 'kn_lm', doc_id, n_terms, alp FROM knsc
 UNION ALL
+SELECT 'clf_train', bucket, m, m / 1000.0 FROM cw2
+UNION ALL
 SELECT 'ppl_buckets', doc_id,
        CAST(CASE WHEN rf < (1.0 / 3.0) THEN 0
                  WHEN rf < (2.0 / 3.0) THEN 1 ELSE 2 END AS BIGINT),
@@ -1103,7 +1190,8 @@ FROM (
 GROUP BY doc_id
 ) ORDER BY section, doc_id
 """.replace("{HEX3}", _hexint_sql("h", 3)).replace(
-    "{HEX4W}", _hexint_sql("hw", 4))
+    "{HEX4W}", _hexint_sql("hw", 4)).replace(
+    "{HEXC3}", _hexint_sql("hc", 3))
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3192,6 +3280,52 @@ FROM documents d LEFT JOIN ck USING (doc_id) ORDER BY doc_id
 """
 
 
+def fertility_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'fertility' = operators/bpe.tokenizer_fertility at merges=[]
+    (the deterministic character-level segmenter the bpe_ids section
+    already pins) grouped by lang: exact int64 per-group doc/word/
+    token/char sums plus the 9dp fertility (tokens per word — at
+    merges=[] the mean word length) and compression ratios — the
+    whole segment->join->aggregate path is hash-verified. Merge
+    APPLICATION stays pytest-twinned (test_bpe), same division of
+    labor as bpe_ids_check."""
+    from pyspark.sql.window import Window as W
+
+    from lightning_metastore_spark.operators.bpe import (
+        tokenizer_fertility)
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    out = tokenizer_fertility(t["documents"], merges=[],
+                              group_col="lang")
+    w = W.orderBy("lang")
+    return (out.withColumn("lang_id", F.row_number().over(w))
+            .select("lang_id", "lang", "n_docs", "n_words", "n_tokens",
+                    "n_chars", "fertility", "compression")
+            .orderBy("lang_id"))
+
+
+FERTILITY_ORACLE = r"""
+WITH f AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(regexp_extract_all(lower(text), '\S+')))
+              AS BIGINT) AS n_words,
+         CAST(SUM(length(regexp_replace(lower(text), '\s+', '', 'g')))
+              AS BIGINT) AS n_tokens,
+         CAST(SUM(length(regexp_replace(lower(text), '\s+', '', 'g')))
+              AS BIGINT) AS n_chars
+  FROM documents GROUP BY lang
+)
+SELECT ROW_NUMBER() OVER (ORDER BY lang) AS lang_id, lang,
+       n_docs, n_words, n_tokens, n_chars,
+       CASE WHEN n_words > 0 THEN ROUND(n_tokens / n_words, 9)
+            ELSE 0.0 END AS fertility,
+       CASE WHEN n_tokens > 0 THEN ROUND(n_chars / n_tokens, 9)
+            ELSE 0.0 END AS compression
+FROM f ORDER BY lang_id
+"""
+
+
 def corpus_diff_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot versioning diff (operators/pipeline.py::corpus_diff):
     the 'new' snapshot is DERIVED deterministically from the documents
@@ -3555,7 +3689,7 @@ TABLE_STATS_ORACLE = "SELECT * FROM (" + " UNION ALL ".join(
 
 
 def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Twenty-four document-profiling operators in one melted
+    """Twenty-five document-profiling operators in one melted
     tagged-union slot (50-slot registry discipline): Gopher repetition
     filters, the
     token-length histogram, sequence packing, the contamination check,
@@ -3565,8 +3699,9 @@ def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding, FFD bin packing, skyline, heavy hitters, the Zipf fit,
     encoding-anomaly triage, CDC chunk dedup, entity census, the
     per-domain curation profile, the snapshot versioning diff + drift
-    the HTML extraction, the URL canonicalization + URL-level dedup
-    and the ANALYZE-style table statistics. Every cell of every
+    the HTML extraction, the URL canonicalization + URL-level dedup,
+    the ANALYZE-style table statistics and the per-language tokenizer
+    fertility audit. Every cell of every
     component is still
     hash-verified."""
     parts = [
@@ -3619,6 +3754,9 @@ def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
               ["n_tokens", "bin_id", "bin_fill", "bin_n_docs"]),
         _melt(bpe_ids_check(spark, sf_dir), "bpe_ids", "doc_id",
               ["n_pieces"], ("ids_checksum",)),
+        _melt(fertility_check(spark, sf_dir), "fertility", "lang_id",
+              ["n_docs", "n_words", "n_tokens", "n_chars", "fertility",
+               "compression"], ("lang",)),
         _melt(corpus_diff_check(spark, sf_dir), "diff", "doc_id",
               ["token_delta"], ("status", "old_fp", "new_fp")),
         _melt(html_extract_check(spark, sf_dir), "html", "doc_id",
@@ -3707,6 +3845,10 @@ CORPUS_PROFILE_SUITE_ORACLE = (
     + " UNION ALL "
     + _melt_sql(BPE_IDS_ORACLE, "bpe_ids", "doc_id",
                 ["n_pieces"], ("ids_checksum",))
+    + " UNION ALL "
+    + _melt_sql(FERTILITY_ORACLE, "fertility", "lang_id",
+                ["n_docs", "n_words", "n_tokens", "n_chars", "fertility",
+                 "compression"], ("lang",))
     + " UNION ALL "
     + _melt_sql(CORPUS_DIFF_ORACLE, "diff", "doc_id",
                 ["token_delta"], ("status", "old_fp", "new_fp"))
@@ -4274,6 +4416,7 @@ SUITE_SECTIONS: dict = {
         "phrase": _lm_phrase,
         "ref_lm": _lm_section(_ref_lm_scores),
         "kn_lm": _lm_section(_kn_ref_scores),
+        "clf_train": _lm_section(_clf_train_weights),
         "ppl_buckets": _lm_section(_ppl_bucket_scores),
     },
     "temporal_rollup": {
@@ -4316,6 +4459,7 @@ SUITE_SECTIONS: dict = {
         "bloom": bloom_check,
         "bins": pack_bins_check,
         "bpe_ids": bpe_ids_check,
+        "fertility": fertility_check,
         "diff": corpus_diff_check,
         "html": html_extract_check,
         "drift": corpus_drift_check,
