@@ -70,6 +70,16 @@ class CurationConfig:
     #   dedup FIRST: smallest id per canonical URL survives
     #   (functions/html.url_canonical_expr); NULL URLs always survive
     #   (no URL evidence is not duplicate evidence)
+    ccnet_bucket_rates: dict | None = None     # the CCNet TERMINAL
+    #   step in one config: reference-LM scores (ref_lm_path) split
+    #   into per-pred_lang head/middle/tail perplexity buckets
+    #   (lm_filter.perplexity_buckets, default thirds), then each
+    #   bucket thinned at its own deterministic rate
+    #   (sampling.bucket_resample md5 keep rule), e.g.
+    #   {"head": 1.0, "middle": 0.5, "tail": 0.1}. Docs with no LM
+    #   score (< order tokens) have no bucket and survive the stage
+    #   (no LM evidence is not thin evidence). Requires ref_lm_path;
+    #   composes with (or replaces) the min_ref_logprob floor.
 
 
 def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
@@ -102,7 +112,11 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
     (operators/lm_filter — the CCNet keep rule);
     ``cfg.url_col`` rejects all but the smallest-id doc per canonical
     URL (functions/html.url_canonical_expr — the C4 order, URL dedup
-    before every content stage; NULL URLs always survive). Every
+    before every content stage; NULL URLs always survive);
+    ``cfg.ccnet_bucket_rates`` runs the FULL CCNet terminal recipe in
+    one config — the same reference-LM scores split into per-pred_lang
+    head/middle/tail buckets, each thinned at its own deterministic
+    rate (reason ``ccnet_thinned``; unscored docs survive). Every
     optional stage
     is a LEFT join with a coalesced neutral default, so output row
     count is invariant to which stages are enabled."""
@@ -110,10 +124,17 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
     if cfg.max_link_density is not None and not cfg.html_input:
         raise ValueError("max_link_density requires html_input=True "
                          "(link_density comes from html_extract)")
-    if (cfg.ref_lm_path is None) != (cfg.min_ref_logprob is None):
-        raise ValueError("ref_lm_path and min_ref_logprob must be set "
-                         "together (one without the other would "
-                         "silently skip the reference-LM stage)")
+    if cfg.min_ref_logprob is not None and cfg.ref_lm_path is None:
+        raise ValueError("min_ref_logprob requires ref_lm_path (there "
+                         "is no reference LM to score against)")
+    if cfg.ccnet_bucket_rates is not None and cfg.ref_lm_path is None:
+        raise ValueError("ccnet_bucket_rates requires ref_lm_path "
+                         "(buckets come from the reference-LM scores)")
+    if (cfg.ref_lm_path is not None and cfg.min_ref_logprob is None
+            and cfg.ccnet_bucket_rates is None):
+        raise ValueError("ref_lm_path without min_ref_logprob or "
+                         "ccnet_bucket_rates would silently skip the "
+                         "reference-LM stage")
 
     url_rel = None
     if cfg.url_col is not None:
@@ -262,17 +283,36 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
         ld_ok = (F.coalesce("link_density", F.lit(0.0))
                  <= cfg.max_link_density)
     ref_ok = F.lit(True)
-    if cfg.ref_lm_path is not None and cfg.min_ref_logprob is not None:
+    ccnet_ok = F.lit(True)
+    if cfg.ref_lm_path is not None:
         from lightning_metastore_spark.operators.lm_filter import (
             score_with_reference_lm)
         ref = score_with_reference_lm(cleaned, cfg.ref_lm_path,
                                       text_col=text_col, id_col=id_col) \
             .select(id_col, F.col("avg_logprob").alias("ref_logprob"))
         out = out.join(ref, id_col, "left")
-        # <2-token docs have no score; neutral default keeps row count
-        # invariant to enabled stages
-        ref_ok = (F.coalesce("ref_logprob", F.lit(0.0))
-                  >= cfg.min_ref_logprob)
+        if cfg.min_ref_logprob is not None:
+            # <2-token docs have no score; neutral default keeps row
+            # count invariant to enabled stages
+            ref_ok = (F.coalesce("ref_logprob", F.lit(0.0))
+                      >= cfg.min_ref_logprob)
+        if cfg.ccnet_bucket_rates is not None:
+            # the CCNet terminal flow: per-pred_lang head/middle/tail
+            # over the SAME ref scores, then per-bucket md5 thinning —
+            # ONE group-key window + a map-only keep rule
+            from lightning_metastore_spark.operators import sampling
+            from lightning_metastore_spark.operators.lm_filter import (
+                perplexity_buckets)
+
+            scored_g = ref.join(lang.select(id_col, "pred_lang"), id_col)
+            b = perplexity_buckets(scored_g, score_col="ref_logprob",
+                                   group_col="pred_lang", id_col=id_col)
+            cc = (sampling.bucket_resample(
+                b, dict(cfg.ccnet_bucket_rates), id_col=id_col)
+                .select(id_col, F.col("kept").alias("__ccnet_kept")))
+            out = out.join(cc, id_col, "left")
+            # unscored docs have no bucket row: survive (neutral)
+            ccnet_ok = F.coalesce("__ccnet_kept", F.lit(True))
     contam_ok = F.lit(True)
     if benchmark is not None and cfg.max_contam_frac is not None:
         from lightning_metastore_spark.operators.contamination import (
@@ -288,7 +328,7 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
             & (F.col("quality_score") >= cfg.min_quality)
             & F.col("pred_lang").isin(*cfg.allowed_langs)
             & rep_ok & span_ok & clf_ok & lm_ok & ld_ok & ref_ok
-            & contam_ok)
+            & ccnet_ok & contam_ok)
     reason = (F.when(~url_ok, "url_duplicate")
               .when(~F.col("exact_survivor"), "exact_duplicate")
               .when(~F.col("cluster_survivor"), "near_duplicate")
@@ -300,6 +340,7 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
               .when(~lm_ok, "high_perplexity")
               .when(~ld_ok, "link_heavy")
               .when(~ref_ok, "ref_perplexity")
+              .when(~ccnet_ok, "ccnet_thinned")
               .when(~contam_ok, "contaminated")
               .otherwise(None))
     return out.select(id_col, text_col, "quality_score", "pred_lang",

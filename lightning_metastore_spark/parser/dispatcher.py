@@ -1054,6 +1054,19 @@ class RunPipeline(Command):
             raise ValueError(f"not a boolean: {v!r}")
         _bool.__name__ = "bool"
 
+        def _rate_map(v: str) -> dict:
+            out = {}
+            for kv in v.split(","):
+                kv = kv.strip()
+                if not kv:
+                    continue
+                k, _, r = kv.partition(":")
+                out[k.strip()] = float(r)
+            if not out:
+                raise ValueError("empty rate map")
+            return out
+        _rate_map.__name__ = "rate_map"
+
         def _csv(v: str) -> tuple:
             items = tuple(s.strip() for s in v.split(",") if s.strip())
             if not items:
@@ -1323,6 +1336,7 @@ class RunPipeline(Command):
                         "ref_lm_path": str,
                         "min_ref_logprob": float,
                         "url_col": str,
+                        "ccnet_bucket_rates": _rate_map,
                         "near_dup_threshold": float}),
             # two-table ops: the second side is another lightning
             # table, resolved via the TABLE option coercion

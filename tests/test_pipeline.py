@@ -429,6 +429,64 @@ def test_curate_corpus_accepts_kn_artifact_unchanged(spark, tmp_path):
     assert all(out[i].drop_reason != "ref_perplexity" for i in range(6))
 
 
+def test_curate_corpus_ccnet_bucket_stage(spark, tmp_path):
+    """The full CCNet terminal recipe as ONE curate config: reference-LM
+    score -> per-pred_lang head/middle/tail buckets -> per-bucket
+    deterministic thinning. The stage's keep decisions bit-match the
+    composable ops run by hand; row count stays invariant; unscored
+    docs survive; misconfiguration raises."""
+    import pytest
+
+    from lightning_metastore_spark.operators import sampling
+    from lightning_metastore_spark.operators.lm_filter import (
+        perplexity_buckets, score_with_reference_lm, train_kn_lm)
+
+    rows = [(i, f"the quick brown fox tells story number {i} "
+             f"with plenty of distinct prose words {i * 17}")
+            for i in range(24)] + [(100, "one")]   # unscored short doc
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = spark.createDataFrame(
+        [(i, f"the quick brown fox tells story number {i}")
+         for i in range(5)], "doc_id long, text string")
+    lm_path = str(tmp_path / "ccnet_kn")
+    train_kn_lm(ref, lm_path, order=2)
+
+    rates = {"head": 1.0, "middle": 0.5, "tail": 0.0}
+    cfg = CurationConfig(min_quality=0.0, ref_lm_path=lm_path,
+                         use_minhash=False, near_dup_threshold=0.99,
+                         ccnet_bucket_rates=rates)
+    out = {r.doc_id: r for r in curate_corpus(docs, cfg).collect()}
+    assert len(out) == len(rows)                 # row-count invariant
+    assert out[100].drop_reason != "ccnet_thinned"   # unscored doc
+
+    # replay by hand with the composable ops on the same cleaned text
+    from pyspark.sql import functions as F
+
+    from lightning_metastore_spark.functions.text import lang_id
+
+    scored = (score_with_reference_lm(docs, lm_path)
+              .select("doc_id", F.col("avg_logprob").alias("ref_logprob"))
+              .join(lang_id(docs).select("doc_id", "pred_lang"), "doc_id"))
+    b = perplexity_buckets(scored, score_col="ref_logprob",
+                           group_col="pred_lang")
+    want = {r.doc_id: bool(r.kept)
+            for r in sampling.bucket_resample(b, rates).collect()}
+    assert any(not k for k in want.values())     # tail really thins
+    for d, kept in want.items():
+        if not kept:
+            assert out[d].drop_reason == "ccnet_thinned", d
+            assert not out[d].keep
+        else:
+            assert out[d].drop_reason != "ccnet_thinned", d
+
+    with pytest.raises(ValueError, match="ccnet_bucket_rates requires"):
+        curate_corpus(docs, CurationConfig(ccnet_bucket_rates=rates))
+    with pytest.raises(ValueError, match="silently skip"):
+        curate_corpus(docs, CurationConfig(ref_lm_path=lm_path))
+    with pytest.raises(ValueError, match="min_ref_logprob requires"):
+        curate_corpus(docs, CurationConfig(min_ref_logprob=-3.0))
+
+
 def test_curate_corpus_url_dedup_stage(spark):
     """url_col rejects all but the smallest id per canonical URL as
     'url_duplicate' BEFORE content stages; NULL URLs always survive;

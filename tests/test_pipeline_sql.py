@@ -518,6 +518,26 @@ def test_curate_optional_stage_options_coerce(env):
     assert _rows(got) == _rows(want)
 
 
+def test_curate_ccnet_rates_option_sql(env):
+    """The rate-map OPTION parses 'bucket:rate' pairs into the typed
+    dict CurationConfig expects; the SQL path equals the Python API."""
+    from lightning_metastore_spark.operators.lm_filter import train_kn_lm
+    from lightning_metastore_spark.operators.pipeline import (
+        CurationConfig, curate_corpus)
+
+    p = str(env.root / "ccnet_sql_lm")
+    train_kn_lm(env.docs2, p, order=2)
+    got = env.ctx.sql(
+        f"RUN PIPELINE curate ON {DOCS} "
+        f"OPTIONS(min_quality '0.0', ref_lm_path '{p}', "
+        "ccnet_bucket_rates 'head:1.0,middle:0.5,tail:0.1')")
+    want = curate_corpus(env.docs, CurationConfig(
+        min_quality=0.0, ref_lm_path=p,
+        ccnet_bucket_rates={"head": 1.0, "middle": 0.5, "tail": 0.1}))
+    assert _rows(got) == _rows(want)
+    assert got.filter("drop_reason = 'ccnet_thinned'").count() > 0
+
+
 def test_two_table_range_join_and_ann_sql(env, spark, tmp_path_factory):
     """The remaining two-table ops through SQL: range_join (self-range
     on events.value) and ann_topk (corpus vs a registered query
