@@ -227,7 +227,7 @@ def _ngrams(toks: DataFrame, id_col: str, n: int) -> DataFrame:
 
 
 def train_kn_lm(ref: DataFrame, path: str, order: int = 3,
-                min_count: int = 1, discount: float = 0.75,
+                min_count: int = 1, discount: float | str = 0.75,
                 text_col: str = "text", id_col: str = "doc_id") -> dict:
     """Fit an interpolated Kneser-Ney LM of the given ``order`` on the
     reference corpus and persist it under ``path`` as distributed
@@ -257,10 +257,16 @@ def train_kn_lm(ref: DataFrame, path: str, order: int = 3,
       continuation-unigram types, V = the RAW reference vocabulary
       (distinct tokens). The uniform 1/(V+1) floor keeps p > 0 for
       OOV tokens so every doc scores (KenLM reserves <unk> mass the
-      same way). Count-of-count discount estimation is deliberately
-      omitted — D is a parameter, and a FIXED D is what makes the
-      per-term expression one left-associated double chain that any
-      engine reproduces bit-for-bit.
+      same way). ``discount="auto"`` estimates D from the top-order
+      count-of-counts exactly as Ney/KenLM do — D = n1/(n1 + 2*n2)
+      where n1/n2 are the numbers of top-order n-grams seen once/
+      twice (falling back to 0.75 when either is 0, e.g. a tiny or
+      fully-duplicated reference). The estimate is two integers
+      pushed through one fixed float expression, so it is as
+      deterministic as a literal; whichever way D is obtained it is
+      FROZEN into the artifact meta, which is what keeps the per-term
+      expression one left-associated double chain that any engine
+      reproduces bit-for-bit.
 
     Scale: every table is a keyed count aggregation written straight
     to parquet — the n-gram relation NEVER lands on the driver (at web
@@ -274,7 +280,11 @@ def train_kn_lm(ref: DataFrame, path: str, order: int = 3,
     n = int(order)
     if n < 2:
         raise ValueError(f"order must be >= 2, got {order}")
-    if not (0.0 < float(discount) < 1.0):
+    auto_discount = isinstance(discount, str)
+    if auto_discount and discount != "auto":
+        raise ValueError(f"discount must be a float or 'auto', "
+                         f"got {discount!r}")
+    if not auto_discount and not (0.0 < float(discount) < 1.0):
         raise ValueError(f"discount must be in (0, 1), got {discount}")
     spark = ref.sparkSession
     toks = _tokens(ref, text_col, id_col)
@@ -285,6 +295,19 @@ def train_kn_lm(ref: DataFrame, path: str, order: int = 3,
     if int(min_count) > 1:
         top = top.filter(F.col("c") >= int(min_count))
     top.write.mode("overwrite").parquet(f"{path}/o{n}")
+    if auto_discount:
+        # Ney absolute-discount estimate from the top-order
+        # count-of-counts (KenLM's default): D = n1 / (n1 + 2*n2) —
+        # two integers through one fixed float expression
+        cc = (spark.read.parquet(f"{path}/o{n}")
+              .agg(F.coalesce(F.sum(F.when(F.col("c") == 1, 1)
+                                    .otherwise(0)), F.lit(0)).alias("n1"),
+                   F.coalesce(F.sum(F.when(F.col("c") == 2, 1)
+                                    .otherwise(0)), F.lit(0)).alias("n2"))
+              .first())
+        n1, n2 = int(cc["n1"]), int(cc["n2"])
+        discount = (n1 / (n1 + 2.0 * n2)
+                    if n1 > 0 and n2 > 0 else 0.75)
 
     # chained continuation counts: level k = the level-(k+1) table
     # grouped by its LAST k words (keys are unique, so COUNT(*) is

@@ -1054,6 +1054,10 @@ class RunPipeline(Command):
             raise ValueError(f"not a boolean: {v!r}")
         _bool.__name__ = "bool"
 
+        def _discount(v: str):
+            return "auto" if v.strip().lower() == "auto" else float(v)
+        _discount.__name__ = "float_or_auto"
+
         def _rate_map(v: str) -> dict:
             out = {}
             for kv in v.split(","):
@@ -1234,6 +1238,7 @@ class RunPipeline(Command):
 
         def kn_lm_train(df, save, order=3, min_count=1, discount=0.75,
                         text_col="text"):
+            # (discount arrives as float or the literal 'auto')
             """Fit an order-n Kneser-Ney LM (the KenLM/CCNet family) on the reference table; counts persist under OPTIONS(save) as distributed parquet."""
             from lightning_metastore_spark.operators import lm_filter
             stats = lm_filter.train_kn_lm(
@@ -1510,7 +1515,7 @@ class RunPipeline(Command):
             "lm_train": (lm_train, {"save": str, "text_col": str}),
             "kn_lm_train": (kn_lm_train,
                             {"save": str, "order": int,
-                             "min_count": int, "discount": float,
+                             "min_count": int, "discount": _discount,
                              "text_col": str}),
             "lm_score": (lm_score,
                          {"load": str, "lam": float, "text_col": str}),

@@ -433,3 +433,50 @@ def test_bigram_lm_min_count_and_vocab_prune(spark, tmp_path):
                                               rounding=ROUND_HALF_UP)
             cnt += f
         assert got[d] == (cnt, round(float(s) / cnt, 9)), d
+
+
+def test_kn_lm_auto_discount(spark, tmp_path):
+    """discount='auto' estimates D = n1/(n1 + 2*n2) from the top-order
+    count-of-counts (the Ney/KenLM default), freezes it into meta, and
+    scores bit-identically to passing the same D explicitly; a
+    reference whose count-of-counts degenerate falls back to 0.75."""
+    from lightning_metastore_spark.operators.lm_filter import (
+        score_with_kn_lm, train_kn_lm)
+
+    ref = spark.createDataFrame(REF, "doc_id long, text string")
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    p = str(tmp_path / "kn_auto")
+    train_kn_lm(ref, p, order=2, discount="auto")
+
+    # replicate the estimate from the same counts
+    toks = {d: re.split(r"\s+", t.lower()) for d, t in REF}
+    top = {}
+    for ts in toks.values():
+        for a, b in zip(ts, ts[1:]):
+            top[(a, b)] = top.get((a, b), 0) + 1
+    n1 = sum(1 for c in top.values() if c == 1)
+    n2 = sum(1 for c in top.values() if c == 2)
+    want_d = n1 / (n1 + 2.0 * n2)
+    meta = spark.read.parquet(f"{p}/meta").first()
+    assert meta["discount"] == want_d and 0.0 < want_d < 1.0
+
+    got = {r.doc_id: (r.n_terms, r.avg_logprob)
+           for r in score_with_kn_lm(raw, p).collect()}
+    assert got == kn_twin(REF, RAW, order=2, D=want_d)
+    # explicit-D artifact scores identically
+    pe = str(tmp_path / "kn_explicit")
+    train_kn_lm(ref, pe, order=2, discount=want_d)
+    gote = {r.doc_id: (r.n_terms, r.avg_logprob)
+            for r in score_with_kn_lm(raw, pe).collect()}
+    assert gote == got
+
+    # degenerate count-of-counts (every bigram unique: n2=0) -> 0.75
+    uniq = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string")
+    pu = str(tmp_path / "kn_degenerate")
+    train_kn_lm(uniq, pu, order=2, discount="auto")
+    assert spark.read.parquet(f"{pu}/meta").first()["discount"] == 0.75
+
+    import pytest
+    with pytest.raises(ValueError, match="float or 'auto'"):
+        train_kn_lm(ref, str(tmp_path / "x"), discount="automatic")
