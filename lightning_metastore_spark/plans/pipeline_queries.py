@@ -4322,9 +4322,11 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "language ID + normalized md5 fingerprint"),
         QuerySpec("text_lm_suite", text_lm_suite,
                   TEXT_LM_SUITE_ORACLE,
-                  "unigram + interpolated-bigram LM log-prob + linear "
-                  "classifier inference + BM25 scoring + positional "
-                  "phrase search (melted tagged union)"),
+                  "unigram + interpolated-bigram + external-reference "
+                  "+ order-3 Kneser-Ney LM log-prob + CCNet perplexity "
+                  "buckets + linear classifier inference AND training "
+                  "+ BM25 scoring + positional phrase search (melted "
+                  "tagged union)"),
         QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_ORACLE,
                   "binary-column metadata + mapInPandas decode (hash-checked)"),
         QuerySpec("temporal_asof_join", temporal_asof_join,
@@ -4345,9 +4347,11 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("corpus_profile_suite", corpus_profile_suite,
                   CORPUS_PROFILE_SUITE_ORACLE,
                   "repetition + histogram + packing + contamination + "
-                  "chunking + tokenizer ids + skyline + heavy hitters + "
-                  "Zipf fit + encoding triage + domain profile + CDC "
-                  "chunk dedup + entity census (melted tagged union)"),
+                  "chunking + tokenizer ids/fertility + skyline + heavy "
+                  "hitters + Zipf fit + encoding triage + domain profile "
+                  "+ CDC chunk dedup + entity census + span ops + bloom "
+                  "+ diff/drift + html/urls + table stats (melted "
+                  "tagged union)"),
         QuerySpec("sampling_quantize_suite", sampling_quantize_suite,
                   SAMPLING_QUANTIZE_SUITE_ORACLE,
                   "mixture resample + stratified/weighted sample + int8 "
