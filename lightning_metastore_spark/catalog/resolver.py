@@ -19,6 +19,7 @@ we add cycle detection, which the reference lacks (documented divergence).
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 from typing import Optional
 
@@ -32,6 +33,17 @@ from lightning_metastore_spark.model.metastore import (
 
 _CHAIN = re.compile(
     r"\blightning\.(?:datasource|metastore)(?:\.[A-Za-z_][A-Za-z0-9_\-]*)+",
+    re.IGNORECASE,
+)
+# `FROM lightning.datasource.x.y VERSION AS OF 3` / `TIMESTAMP AS OF
+# '2024-01-01'` — the reference's Iceberg time-travel surface
+# (`RegisterIcebergDataSourceTestSuite.scala:178-184`), also honored for
+# Delta. Only datasource chains: time travel over metastore snapshots
+# is meaningless.
+_TIME_TRAVEL = re.compile(
+    r"(?P<chain>\blightning\.datasource(?:\.[A-Za-z_][A-Za-z0-9_\-]*)+)"
+    r"\s+(?:FOR\s+)?(?P<kind>VERSION|SYSTEM_VERSION|TIMESTAMP|SYSTEM_TIME)"
+    r"\s+AS\s+OF\s+(?P<val>'(?:[^']|'')*'|\d+)",
     re.IGNORECASE,
 )
 # Split SQL into quoted and unquoted segments so rewrites never touch
@@ -67,12 +79,42 @@ class ResolutionError(Exception):
     pass
 
 
+def _path_fingerprint(path: str) -> Optional[tuple]:
+    """Cheap freshness token for a file-table path: root stat plus one
+    scandir level (name, mtime, size). Spark's own writers always touch
+    the root (_SUCCESS / new part files), so any in-session write
+    invalidates; like Spark's relation cache, an EXTERNAL writer that
+    mutates only a nested partition dir needs a fresh registration (or a
+    changed option) to bust the entry. Capped at 4096 entries so the
+    fingerprint never costs more than the schema inference it saves."""
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return (st.st_mtime_ns, st.st_size)
+        entries = []
+        with os.scandir(path) as it:
+            for e in it:
+                s = e.stat()
+                entries.append((e.name, s.st_mtime_ns, s.st_size))
+                if len(entries) >= 4096:
+                    break
+        return (st.st_mtime_ns, tuple(sorted(entries)))
+    except OSError:
+        return None
+
+
 class Resolver:
     def __init__(self, spark, metastore, current_user: Optional[str] = None):
         self.spark = spark
         self.metastore = metastore
         # identity for @AccessControl enforcement; None disables checks
         self.current_user = current_user
+        # (datasource identity, residual) -> (path fingerprint, DataFrame).
+        # Repeat queries against the same file table skip the
+        # spark.read schema-inference/listing round (~80 ms driver-side
+        # per table at sf0.1 — the whole catalog_overhead delta); a
+        # DataFrame is an immutable logical plan, so reuse is safe.
+        self._file_df_cache: dict = {}
 
     # -- public -------------------------------------------------------------
 
@@ -140,6 +182,7 @@ class Resolver:
 
     def resolve_sql(self, sql: str, _stack: frozenset = frozenset()) -> str:
         """Rewrite every lightning.* table reference to a temp-view name."""
+        sql = self._rewrite_time_travel(sql)
         parts = _QUOTED.split(sql)
         for i, part in enumerate(parts):
             if i % 2 == 1:  # quoted segment — leave untouched
@@ -160,6 +203,36 @@ class Resolver:
         raise ResolutionError(f"unknown lightning root: {path[0]}")
 
     # -- chain rewriting ----------------------------------------------------
+
+    def _rewrite_time_travel(self, sql: str) -> str:
+        """Replace `<datasource chain> [FOR] VERSION|TIMESTAMP AS OF v`
+        with a temp view over the time-travelled load. Runs before the
+        quoted-split pass because a TIMESTAMP literal is itself a quoted
+        region; matches inside string literals are skipped by quote
+        parity."""
+        def repl(m: re.Match) -> str:
+            if sql[:m.start()].count("'") % 2 == 1:
+                return m.group(0)  # inside a string literal
+            path = m.group("chain").split(".")[1:]
+            kind = m.group("kind").upper()
+            raw = m.group("val")
+            if raw.startswith("'"):
+                value = raw[1:-1].replace("''", "'")
+            else:
+                value = int(raw)
+            if kind in ("VERSION", "SYSTEM_VERSION"):
+                tt = ("version", value)
+            else:
+                tt = ("timestamp", str(value))
+            df = self._load_datasource_table(path[1:], tt=tt)
+            digest = hashlib.md5(
+                (".".join(p.lower() for p in path)
+                 + f"|{kind}|{value}").encode()).hexdigest()[:12]
+            view = f"l_{path[-1].lower()}_tt_{digest}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        return _TIME_TRAVEL.sub(repl, sql)
 
     def _rewrite_chain(self, chain: str, _stack: frozenset) -> str:
         """A matched chain may include trailing column projections
@@ -205,13 +278,49 @@ class Resolver:
 
     # -- datasource root ----------------------------------------------------
 
-    def _load_datasource_table(self, rest: list[str]) -> DataFrame:
+    def _load_datasource_table(self, rest: list[str],
+                               tt: Optional[tuple] = None) -> DataFrame:
         hit = self.metastore.find_parent_datasource(rest)
         if hit is None:
             raise ResolutionError(
                 f"no datasource found along lightning.datasource.{'.'.join(rest)}")
         ds, residual = hit
-        return load_catalog_unit(ds).load_table(self.spark, residual)
+        unit = load_catalog_unit(ds)
+        if tt is None:
+            if ds.is_file:
+                key = (ds.name, tuple(ds.namespace), tuple(residual),
+                       tuple(sorted(ds.options.items())))
+                try:
+                    path = unit._resolve_path(residual)
+                except Exception:
+                    path = None
+                if path is not None:
+                    fp = _path_fingerprint(path)
+                    cached = self._file_df_cache.get(key)
+                    if fp is not None and cached is not None \
+                            and cached[0] == fp:
+                        return cached[1]
+                    df = unit.load_table(self.spark, residual)
+                    if fp is not None:
+                        if len(self._file_df_cache) >= 256:
+                            self._file_df_cache.pop(
+                                next(iter(self._file_df_cache)))
+                        self._file_df_cache[key] = (fp, df)
+                    return df
+            return unit.load_table(self.spark, residual)
+        from lightning_metastore_spark.catalog.units import (
+            DeltaCatalogUnit,
+            IcebergCatalogUnit,
+        )
+        if not isinstance(unit, (DeltaCatalogUnit, IcebergCatalogUnit)):
+            raise ResolutionError(
+                f"{ds.source_type} datasource "
+                f"lightning.datasource.{'.'.join(rest)} does not support "
+                "time travel (VERSION/TIMESTAMP AS OF)")
+        kind, value = tt
+        kwargs = ({"version_as_of": value} if kind == "version"
+                  else {"timestamp_as_of": value})
+        return unit.load_table(self.spark, residual, **kwargs)
 
     # -- metastore root -----------------------------------------------------
 

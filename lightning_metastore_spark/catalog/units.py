@@ -102,7 +102,18 @@ class FileCatalogUnit(CatalogUnit):
             f"{'.'.join([self.ds.name] + residual)}")
 
     def load_table(self, spark: SparkSession, residual: list[str]) -> DataFrame:
-        return self._reader(spark).load(self._resolve_path(residual))
+        path = self._resolve_path(residual)
+        if self.fmt == "avro":
+            try:
+                df = self._reader(spark).load(path)
+                df.schema  # force analysis so a missing module surfaces here
+                return df
+            except Exception as e:  # noqa: BLE001 — fall back on no-jar only
+                if "AVRO" not in str(e).upper():
+                    raise
+                from lightning_metastore_spark.sources.avro_table import read_avro
+                return read_avro(spark, path)
+        return self._reader(spark).load(path)
 
     def list_tables(self, spark: SparkSession, residual: list[str]) -> list[str]:
         base = os.path.join(self.path, *residual) if residual else self.path
@@ -137,6 +148,16 @@ class FileCatalogUnit(CatalogUnit):
         opts = {k: v for k, v in self.ds.options.items() if k != "path"}
         if self.fmt == "csv" and "header" not in opts:
             opts["header"] = "true"
+        if self.fmt == "avro":
+            try:
+                df.write.format(self.fmt).options(**opts).mode(mode).save(path)
+                return
+            except Exception as e:  # noqa: BLE001 — fall back on no-jar only
+                if "AVRO" not in str(e).upper():
+                    raise
+                from lightning_metastore_spark.sources.avro_table import write_avro
+                write_avro(df, path, mode=mode)
+                return
         df.write.format(self.fmt).options(**opts).mode(mode).save(path)
 
 
@@ -265,14 +286,49 @@ class JDBCCatalogUnit(CatalogUnit):
         return '"' + name.replace('"', '""') + '"'
 
 
+def _is_missing_source_error(e: Exception) -> bool:
+    """True when Spark failed because the format's jar isn't on the
+    session (vs a real user error that must propagate)."""
+    msg = str(e).upper()
+    return ("DATA_SOURCE_NOT_FOUND" in msg or "FAILED TO FIND" in msg
+            or "CATALOG_NOT_FOUND" in msg
+            or "CANNOT BE INSTANTIATED" in msg)
+
+
 class DeltaCatalogUnit(CatalogUnit):
     """Delta: path-per-table directory layout (`AbstractDeltaCatalogUnit.
-    scala:29-79` — list tables = list dirs). Requires delta-spark on the
-    session; absence raises at load time, not registration."""
+    scala:29-79` — list tables = list dirs). delta-spark is used when the
+    session carries it; otherwise the offline `_delta_log` replay reader
+    (`sources/delta_reader.py`, the public Delta PROTOCOL) serves reads,
+    time travel, `.history`, and unpartitioned writes — the jar is
+    unobtainable in this container (PARITY.md env table)."""
 
-    def load_table(self, spark: SparkSession, residual: list[str]) -> DataFrame:
-        path = os.path.join(self.ds.options["path"], *residual)
-        return spark.read.format("delta").load(path)
+    def load_table(self, spark: SparkSession, residual: list[str],
+                   version_as_of=None, timestamp_as_of=None) -> DataFrame:
+        from lightning_metastore_spark.sources import delta_reader as dr
+        base = self.ds.options["path"]
+        path = os.path.join(base, *residual)
+        if (residual and residual[-1].lower() == "history"
+                and not os.path.isdir(os.path.join(path, "_delta_log"))):
+            parent = os.path.join(base, *residual[:-1])
+            if os.path.isdir(os.path.join(parent, "_delta_log")):
+                return dr.delta_history(spark, parent)
+        try:
+            reader = spark.read.format("delta")
+            if version_as_of is not None:
+                reader = reader.option("versionAsOf", int(version_as_of))
+            if timestamp_as_of is not None:
+                reader = reader.option("timestampAsOf", timestamp_as_of)
+            df = reader.load(path)
+            df.schema  # force analysis so a missing jar surfaces here
+            return df
+        except Exception as e:  # noqa: BLE001 — offline only on no-jar
+            if not _is_missing_source_error(e):
+                raise
+            return dr.read_delta(
+                spark, path,
+                None if version_as_of is None else int(version_as_of),
+                timestamp_as_of)
 
     def list_tables(self, spark: SparkSession, residual: list[str]) -> list[str]:
         base = os.path.join(self.ds.options["path"], *residual)
@@ -284,24 +340,101 @@ class DeltaCatalogUnit(CatalogUnit):
     def write_table(self, df: DataFrame, residual: list[str],
                     mode: str = "append") -> None:
         path = os.path.join(self.ds.options["path"], *residual)
-        df.write.format("delta").mode(mode).save(path)
+        try:
+            df.write.format("delta").mode(mode).save(path)
+        except Exception as e:  # noqa: BLE001 — offline only on no-jar
+            if not _is_missing_source_error(e):
+                raise
+            from lightning_metastore_spark.sources.delta_reader import write_delta
+            write_delta(df, path, mode=mode)
 
 
 class IcebergCatalogUnit(CatalogUnit):
-    """Iceberg via a mounted Spark catalog (the reference delegates to
-    Iceberg's SparkCatalog per version, `AbstractIcebergCatalogUnit.
-    scala:28-66`); time travel via VERSION AS OF passes through SQL."""
+    """Iceberg via a mounted Spark catalog when the runtime jar exists
+    (the reference delegates to Iceberg's SparkCatalog per version,
+    `AbstractIcebergCatalogUnit.scala:28-66`); without it, a hadoop-type
+    warehouse (`warehouse`/`path` option — the layout the reference's
+    REGISTER ICEBERG test uses) is served by the offline spec reader
+    (`sources/iceberg_reader.py`): snapshot scan, VERSION AS OF /
+    TIMESTAMP AS OF, v2 deletes, and the `.history` metadata table.
+    Writes require the real runtime and raise a clear error offline."""
 
     def _catalog(self) -> str:
         return self.ds.options.get("catalog", self.ds.name)
 
-    def load_table(self, spark: SparkSession, residual: list[str]) -> DataFrame:
-        return spark.table(".".join([self._catalog()] + residual))
+    def _warehouse(self) -> Optional[str]:
+        return self.ds.options.get("warehouse") or self.ds.options.get("path")
+
+    def _mounted(self, spark: SparkSession) -> bool:
+        """True when a real Spark catalog (the Iceberg runtime) is
+        registered under this unit's catalog name."""
+        try:
+            return any(c.name == self._catalog()
+                       for c in spark.catalog.listCatalogs())
+        except Exception:  # noqa: BLE001 — treat probe failure as absent
+            return False
+
+    def load_table(self, spark: SparkSession, residual: list[str],
+                   version_as_of=None, timestamp_as_of=None) -> DataFrame:
+        from lightning_metastore_spark.sources import iceberg_reader as ir
+        if self._mounted(spark):
+            name = ".".join([self._catalog()] + residual)
+            if version_as_of is not None:
+                return spark.sql(
+                    f"SELECT * FROM {name} VERSION AS OF {int(version_as_of)}")
+            if timestamp_as_of is not None:
+                return spark.sql(f"SELECT * FROM {name} "
+                                 f"TIMESTAMP AS OF '{timestamp_as_of}'")
+            return spark.table(name)
+        wh = self._warehouse()
+        if wh is None:
+            raise CatalogUnitError(
+                f"iceberg datasource {self.ds.name}: no Spark catalog "
+                f"'{self._catalog()}' mounted and no warehouse/path "
+                "option for the offline reader")
+        path = os.path.join(wh, *residual)
+        if (residual and residual[-1].lower() == "history"
+                and not os.path.isdir(os.path.join(path, "metadata"))):
+            parent = os.path.join(wh, *residual[:-1])
+            if os.path.isdir(os.path.join(parent, "metadata")):
+                return ir.iceberg_history(spark, parent)
+        if not os.path.isdir(os.path.join(path, "metadata")):
+            raise CatalogUnitError(f"no Iceberg table at {path}")
+        ts_ms = None
+        if timestamp_as_of is not None:
+            import datetime as dt
+            ts_ms = int(dt.datetime.fromisoformat(
+                str(timestamp_as_of)).timestamp() * 1000)
+        return ir.read_iceberg(
+            spark, path,
+            snapshot_id=None if version_as_of is None else int(version_as_of),
+            as_of_timestamp=ts_ms)
 
     def list_tables(self, spark: SparkSession, residual: list[str]) -> list[str]:
-        rows = spark.sql(
-            f"SHOW TABLES IN {'.'.join([self._catalog()] + residual)}").collect()
-        return sorted(r.tableName for r in rows)
+        if self._mounted(spark):
+            rows = spark.sql(
+                f"SHOW TABLES IN "
+                f"{'.'.join([self._catalog()] + residual)}").collect()
+            return sorted(r.tableName for r in rows)
+        wh = self._warehouse()
+        if wh is None:
+            return []
+        from lightning_metastore_spark.sources.iceberg_reader import (
+            list_iceberg_tables,
+        )
+        return list_iceberg_tables(os.path.join(wh, *residual))
+
+    def list_namespaces(self, spark: SparkSession, residual: list[str]) -> list[str]:
+        wh = self._warehouse()
+        if wh is None:
+            return []
+        base = os.path.join(wh, *residual)
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            e for e in os.listdir(base)
+            if os.path.isdir(os.path.join(base, e))
+            and not os.path.isdir(os.path.join(base, e, "metadata")))
 
 
 def load_catalog_unit(ds: DataSource) -> CatalogUnit:

@@ -1,0 +1,606 @@
+"""Pure-stdlib Apache Avro object-container codec (reader AND writer).
+
+The container ships no spark-avro module for this Scala line (the one
+`pytest` skip) and no network to fetch one, so the reference's Avro file
+tables (`FileCatalogUnit.scala:61-73`) and — more importantly — Apache
+Iceberg's manifest-list/manifest files (always Avro, per the public
+Iceberg table spec) would be permanently unreadable. This module
+implements the public Avro 1.11 specification directly on `struct` +
+`zlib`, the same approach as `sources/codecs.py` takes for PDF/PNG/GIF:
+
+- object container file: `Obj\\x01` magic, file-metadata map
+  (`avro.schema` JSON + `avro.codec`), 16-byte sync marker, then data
+  blocks of (object count, byte size, payload, sync marker);
+- binary encoding: zigzag varints for int/long, IEEE LE float/double,
+  length-prefixed bytes/string, records as field concatenation,
+  block-encoded arrays/maps (negative block counts carry a byte size),
+  union index + value, enum index, fixed-width fixed;
+- codecs: `null` and `deflate` (raw DEFLATE, wbits=-15);
+- logical types: decimal (bytes/fixed), date, time-millis/micros,
+  timestamp-millis/micros, uuid — decoded to Python date/datetime/
+  Decimal/str so rows feed `spark.createDataFrame` directly;
+- named-type references (record/enum/fixed seen once, referenced by
+  name later) and recursive schemas via a lazily-resolved name env.
+
+Everything is value-level Python: the DECODE hot path runs executor-side
+(one task per file — see `sources/avro_table.py` for the Spark fan-out),
+and the WRITE path exists so tests can fabricate spec-conformant
+fixtures (including Iceberg manifests) without any Avro library.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import io
+import json
+import os
+import struct
+import zlib
+from decimal import Decimal
+from typing import Any, BinaryIO, Iterator, Optional
+
+MAGIC = b"Obj\x01"
+SYNC_SIZE = 16
+
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double",
+               "bytes", "string"}
+
+
+class AvroError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# schema handling
+# ---------------------------------------------------------------------------
+
+def _schema_type(schema: Any) -> str:
+    """The type tag of a (possibly shorthand) schema node."""
+    if isinstance(schema, str):
+        return schema
+    if isinstance(schema, list):
+        return "union"
+    if isinstance(schema, dict):
+        return schema["type"]
+    raise AvroError(f"malformed schema node: {schema!r}")
+
+
+def _full_name(schema: dict) -> str:
+    name = schema["name"]
+    ns = schema.get("namespace")
+    if "." in name or not ns:
+        return name
+    return f"{ns}.{name}"
+
+
+def _collect_names(schema: Any, env: dict) -> None:
+    """Register every named type (record/enum/fixed) so later string
+    references resolve; walks nested fields/items/values/branches."""
+    if isinstance(schema, list):
+        for b in schema:
+            _collect_names(b, env)
+        return
+    if not isinstance(schema, dict):
+        return
+    t = schema["type"]
+    if t in ("record", "error", "enum", "fixed"):
+        env[_full_name(schema)] = schema
+        # short name too — files in the wild reference either form
+        env.setdefault(schema["name"], schema)
+    if t in ("record", "error"):
+        for f in schema.get("fields", []):
+            _collect_names(f["type"], env)
+    elif t == "array":
+        _collect_names(schema["items"], env)
+    elif t == "map":
+        _collect_names(schema["values"], env)
+    elif t == "union":
+        for b in schema.get("branches", []):  # non-standard, defensive
+            _collect_names(b, env)
+
+
+def _resolve(schema: Any, env: dict) -> Any:
+    """Resolve a string schema node: primitive stays a string, a named
+    reference becomes its definition."""
+    if isinstance(schema, str) and schema not in _PRIMITIVES:
+        try:
+            return env[schema]
+        except KeyError:
+            raise AvroError(f"unresolved named type: {schema}")
+    if isinstance(schema, dict) and schema["type"] not in (
+            "record", "error", "enum", "fixed", "array", "map", "union"):
+        # e.g. {"type": "long", "logicalType": "timestamp-micros"}
+        return schema
+    return schema
+
+
+# ---------------------------------------------------------------------------
+# binary decoder
+# ---------------------------------------------------------------------------
+
+class _Decoder:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, data: bytes):
+        self.buf = data
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        b = self.buf[self.pos:self.pos + n]
+        if len(b) != n:
+            raise AvroError("truncated Avro data")
+        self.pos += n
+        return b
+
+    def read_long(self) -> int:
+        """Zigzag varint (int and long share the wire format)."""
+        shift = 0
+        acc = 0
+        buf, pos = self.buf, self.pos
+        while True:
+            try:
+                b = buf[pos]
+            except IndexError:
+                raise AvroError("truncated varint")
+            pos += 1
+            acc |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+        self.pos = pos
+        return (acc >> 1) ^ -(acc & 1)
+
+    def read_bytes(self) -> bytes:
+        return self.read(self.read_long())
+
+
+def _decode_value(dec: _Decoder, schema: Any, env: dict) -> Any:
+    schema = _resolve(schema, env)
+    t = _schema_type(schema)
+    if t == "null":
+        return None
+    if t == "boolean":
+        return dec.read(1) != b"\x00"
+    if t in ("int", "long"):
+        v = dec.read_long()
+        return _logical_int(v, schema)
+    if t == "float":
+        return struct.unpack("<f", dec.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", dec.read(8))[0]
+    if t == "bytes":
+        return _logical_bytes(dec.read_bytes(), schema)
+    if t == "string":
+        s = dec.read_bytes().decode("utf-8")
+        return s
+    if t in ("record", "error"):
+        return {f["name"]: _decode_value(dec, f["type"], env)
+                for f in schema["fields"]}
+    if t == "enum":
+        return schema["symbols"][dec.read_long()]
+    if t == "array":
+        out = []
+        while True:
+            n = dec.read_long()
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                dec.read_long()  # byte size of the block — skippable hint
+            for _ in range(n):
+                out.append(_decode_value(dec, schema["items"], env))
+    if t == "map":
+        out = {}
+        while True:
+            n = dec.read_long()
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                dec.read_long()
+            for _ in range(n):
+                k = dec.read_bytes().decode("utf-8")
+                out[k] = _decode_value(dec, schema["values"], env)
+    if t == "union":
+        return _decode_value(dec, schema[dec.read_long()], env)
+    if t == "fixed":
+        return _logical_bytes(dec.read(schema["size"]), schema)
+    raise AvroError(f"unsupported Avro type: {t}")
+
+
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_EPOCH_DT = _dt.datetime(1970, 1, 1)
+
+
+def _logical_int(v: int, schema: Any) -> Any:
+    lt = schema.get("logicalType") if isinstance(schema, dict) else None
+    if lt is None:
+        return v
+    if lt == "date":
+        return _EPOCH_DATE + _dt.timedelta(days=v)
+    if lt == "timestamp-millis":
+        return _EPOCH_DT + _dt.timedelta(milliseconds=v)
+    if lt == "timestamp-micros":
+        return _EPOCH_DT + _dt.timedelta(microseconds=v)
+    # time-millis/time-micros and unknown logicals pass through as ints
+    return v
+
+
+def _logical_bytes(b: bytes, schema: Any) -> Any:
+    lt = schema.get("logicalType") if isinstance(schema, dict) else None
+    if lt == "decimal":
+        scale = schema.get("scale", 0)
+        unscaled = int.from_bytes(b, "big", signed=True)
+        return Decimal(unscaled).scaleb(-scale)
+    return b
+
+
+# ---------------------------------------------------------------------------
+# binary encoder
+# ---------------------------------------------------------------------------
+
+def _zigzag(v: int) -> int:
+    return (v << 1) if v >= 0 else ((-v) << 1) - 1
+
+
+def _encode_long_raw(v: int) -> bytes:
+    n = _zigzag(v)
+    buf = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            buf.append(b | 0x80)
+        else:
+            buf.append(b)
+            break
+    return bytes(buf)
+
+
+def _encode_value(out: io.BytesIO, value: Any, schema: Any, env: dict) -> None:
+    schema = _resolve(schema, env)
+    t = _schema_type(schema)
+    if t == "null":
+        return
+    if t == "boolean":
+        out.write(b"\x01" if value else b"\x00")
+        return
+    if t in ("int", "long"):
+        out.write(_encode_long_raw(_unlogical_int(value, schema)))
+        return
+    if t == "float":
+        out.write(struct.pack("<f", value))
+        return
+    if t == "double":
+        out.write(struct.pack("<d", value))
+        return
+    if t == "bytes":
+        b = _unlogical_bytes(value, schema)
+        out.write(_encode_long_raw(len(b)))
+        out.write(b)
+        return
+    if t == "string":
+        b = value.encode("utf-8")
+        out.write(_encode_long_raw(len(b)))
+        out.write(b)
+        return
+    if t in ("record", "error"):
+        for f in schema["fields"]:
+            _encode_value(out, value.get(f["name"]), f["type"], env)
+        return
+    if t == "enum":
+        out.write(_encode_long_raw(schema["symbols"].index(value)))
+        return
+    if t == "array":
+        if value:
+            out.write(_encode_long_raw(len(value)))
+            for item in value:
+                _encode_value(out, item, schema["items"], env)
+        out.write(_encode_long_raw(0))
+        return
+    if t == "map":
+        if value:
+            out.write(_encode_long_raw(len(value)))
+            for k, v in value.items():
+                kb = k.encode("utf-8")
+                out.write(_encode_long_raw(len(kb)))
+                out.write(kb)
+                _encode_value(out, v, schema["values"], env)
+        out.write(_encode_long_raw(0))
+        return
+    if t == "union":
+        idx = _pick_branch(value, schema, env)
+        out.write(_encode_long_raw(idx))
+        _encode_value(out, value, schema[idx], env)
+        return
+    if t == "fixed":
+        b = _unlogical_bytes(value, schema)
+        if len(b) != schema["size"]:
+            raise AvroError(f"fixed size mismatch: {len(b)} != {schema['size']}")
+        out.write(b)
+        return
+    raise AvroError(f"unsupported Avro type: {t}")
+
+
+def _unlogical_int(v: Any, schema: Any) -> int:
+    if isinstance(v, _dt.datetime):
+        lt = schema.get("logicalType") if isinstance(schema, dict) else None
+        delta = v - _EPOCH_DT
+        us = (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
+        return us // 1000 if lt == "timestamp-millis" else us
+    if isinstance(v, _dt.date):
+        return (v - _EPOCH_DATE).days
+    return int(v)
+
+
+def _unlogical_bytes(v: Any, schema: Any) -> bytes:
+    if isinstance(v, Decimal):
+        scale = schema.get("scale", 0) if isinstance(schema, dict) else 0
+        unscaled = int(v.scaleb(scale))
+        length = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(length, "big", signed=True)
+    return bytes(v)
+
+
+def _pick_branch(value: Any, union: list, env: dict) -> int:
+    """First union branch whose type matches the Python value."""
+    for i, branch in enumerate(union):
+        b = _resolve(branch, env)
+        t = _schema_type(b)
+        if value is None and t == "null":
+            return i
+        if value is None:
+            continue
+        if t == "boolean" and isinstance(value, bool):
+            return i
+        if t in ("int", "long") and isinstance(value, (int, _dt.date,
+                                                       _dt.datetime)) \
+                and not isinstance(value, bool):
+            return i
+        if t in ("float", "double") and isinstance(value, float):
+            return i
+        if t == "string" and isinstance(value, str):
+            return i
+        if t in ("bytes", "fixed") and isinstance(value, (bytes, bytearray,
+                                                          Decimal)):
+            return i
+        if t in ("record", "error", "map") and isinstance(value, dict):
+            return i
+        if t == "array" and isinstance(value, list):
+            return i
+        if t == "enum" and isinstance(value, str):
+            return i
+    raise AvroError(f"no union branch for {type(value).__name__}")
+
+
+# ---------------------------------------------------------------------------
+# container file reader / writer
+# ---------------------------------------------------------------------------
+
+def read_header(fh: BinaryIO) -> tuple[Any, str, bytes, dict]:
+    """Parse the container header; returns (schema, codec, sync, env)."""
+    if fh.read(4) != MAGIC:
+        raise AvroError("not an Avro object container file")
+    meta: dict[str, bytes] = {}
+    # file metadata is an Avro map<bytes>
+    data = fh.read()  # header is tiny relative to blocks; re-seek below
+    dec = _Decoder(data)
+    while True:
+        n = dec.read_long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            dec.read_long()
+        for _ in range(n):
+            k = dec.read_bytes().decode("utf-8")
+            meta[k] = dec.read_bytes()
+    sync = dec.read(SYNC_SIZE)
+    fh.seek(4 + dec.pos, os.SEEK_SET)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    env: dict = {}
+    _collect_names(schema, env)
+    return schema, codec, sync, env
+
+
+def iter_records(path: str) -> Iterator[dict]:
+    """Stream records from an Avro container file."""
+    with open(path, "rb") as fh:
+        schema, codec, sync, env = read_header(fh)
+        if codec not in ("null", "deflate"):
+            raise AvroError(f"unsupported Avro codec: {codec}")
+        while True:
+            head = fh.read(1)
+            if not head:
+                return
+            # re-assemble the varint we just started
+            buf = bytearray(head)
+            while buf[-1] & 0x80:
+                buf += fh.read(1)
+            count_dec = _Decoder(bytes(buf))
+            count = count_dec.read_long()
+            size_buf = bytearray(fh.read(1))
+            while size_buf[-1] & 0x80:
+                size_buf += fh.read(1)
+            size = _Decoder(bytes(size_buf)).read_long()
+            payload = fh.read(size)
+            if len(payload) != size:
+                raise AvroError("truncated Avro block")
+            if codec == "deflate":
+                payload = zlib.decompressobj(-15).decompress(payload)
+            block_sync = fh.read(SYNC_SIZE)
+            if block_sync != sync:
+                raise AvroError("sync marker mismatch (corrupt block)")
+            dec = _Decoder(payload)
+            for _ in range(count):
+                yield _decode_value(dec, schema, env)
+
+
+def read_records(path: str) -> list[dict]:
+    return list(iter_records(path))
+
+
+def read_schema(path: str) -> Any:
+    with open(path, "rb") as fh:
+        schema, _, _, _ = read_header(fh)
+    return schema
+
+
+def write_container(path: str, schema: Any, records: list,
+                    codec: str = "deflate",
+                    block_records: int = 4096) -> None:
+    """Write a spec-conformant Avro object container file."""
+    if codec not in ("null", "deflate"):
+        raise AvroError(f"unsupported Avro codec: {codec}")
+    env: dict = {}
+    _collect_names(schema, env)
+    # deterministic sync marker derived from path+schema so identical
+    # writes are byte-identical (no RNG — see repo determinism contract)
+    import hashlib
+    sync = hashlib.md5(
+        (path + json.dumps(schema, sort_keys=True)).encode()).digest()
+    with open(path, "wb") as fh:
+        fh.write(MAGIC)
+        meta = {"avro.schema": json.dumps(schema).encode("utf-8"),
+                "avro.codec": codec.encode("utf-8")}
+        out = io.BytesIO()
+        out.write(_encode_long_raw(len(meta)))
+        for k, v in meta.items():
+            kb = k.encode("utf-8")
+            out.write(_encode_long_raw(len(kb)))
+            out.write(kb)
+            out.write(_encode_long_raw(len(v)))
+            out.write(v)
+        out.write(_encode_long_raw(0))
+        fh.write(out.getvalue())
+        fh.write(sync)
+        for start in range(0, len(records), block_records):
+            chunk = records[start:start + block_records]
+            body = io.BytesIO()
+            for rec in chunk:
+                _encode_value(body, rec, schema, env)
+            payload = body.getvalue()
+            if codec == "deflate":
+                co = zlib.compressobj(9, zlib.DEFLATED, -15)
+                payload = co.compress(payload) + co.flush()
+            fh.write(_encode_long_raw(len(chunk)))
+            fh.write(_encode_long_raw(len(payload)))
+            fh.write(payload)
+            fh.write(sync)
+        if not records:
+            # zero-block files are legal; nothing further to write
+            pass
+
+
+# ---------------------------------------------------------------------------
+# Avro schema -> Spark schema
+# ---------------------------------------------------------------------------
+
+def to_spark_type(schema: Any, env: Optional[dict] = None):
+    """Translate an Avro schema node to a pyspark DataType, matching the
+    public spark-avro mapping (union[null,X] -> nullable X; enum ->
+    string; fixed/bytes -> binary; decimal/date/timestamp logicals)."""
+    from pyspark.sql import types as T
+    if env is None:
+        env = {}
+        _collect_names(schema, env)
+    schema = _resolve(schema, env)
+    t = _schema_type(schema)
+    lt = schema.get("logicalType") if isinstance(schema, dict) else None
+    if t == "union":
+        branches = [b for b in schema if _schema_type(_resolve(b, env)) != "null"]
+        if len(branches) != 1:
+            raise AvroError("only union[null, X] is supported for tables")
+        return to_spark_type(branches[0], env)
+    if t == "null":
+        return T.NullType()
+    if t == "boolean":
+        return T.BooleanType()
+    if t == "int":
+        return T.DateType() if lt == "date" else T.IntegerType()
+    if t == "long":
+        if lt in ("timestamp-millis", "timestamp-micros"):
+            return T.TimestampType()
+        return T.LongType()
+    if t == "float":
+        return T.FloatType()
+    if t == "double":
+        return T.DoubleType()
+    if t in ("bytes", "fixed"):
+        if lt == "decimal":
+            return T.DecimalType(schema.get("precision", 10),
+                                 schema.get("scale", 0))
+        return T.BinaryType()
+    if t in ("string", "enum"):
+        return T.StringType()
+    if t in ("record", "error"):
+        return T.StructType([
+            T.StructField(f["name"], to_spark_type(f["type"], env),
+                          nullable=_nullable(f["type"], env))
+            for f in schema["fields"]])
+    if t == "array":
+        return T.ArrayType(to_spark_type(schema["items"], env),
+                           containsNull=_nullable(schema["items"], env))
+    if t == "map":
+        return T.MapType(T.StringType(),
+                         to_spark_type(schema["values"], env),
+                         valueContainsNull=_nullable(schema["values"], env))
+    raise AvroError(f"unsupported Avro type for Spark: {t}")
+
+
+def _nullable(schema: Any, env: dict) -> bool:
+    schema = _resolve(schema, env)
+    if _schema_type(schema) == "union":
+        return any(_schema_type(_resolve(b, env)) == "null" for b in schema)
+    return _schema_type(schema) == "null"
+
+
+def from_spark_schema(spark_schema) -> dict:
+    """Spark StructType -> Avro record schema (for the write fallback)."""
+    from pyspark.sql import types as T
+
+    def conv(dt, name="item"):
+        if isinstance(dt, T.BooleanType):
+            return "boolean"
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+            return "int"
+        if isinstance(dt, T.LongType):
+            return "long"
+        if isinstance(dt, T.FloatType):
+            return "float"
+        if isinstance(dt, T.DoubleType):
+            return "double"
+        if isinstance(dt, T.StringType):
+            return "string"
+        if isinstance(dt, T.BinaryType):
+            return "bytes"
+        if isinstance(dt, T.DateType):
+            return {"type": "int", "logicalType": "date"}
+        if isinstance(dt, T.TimestampType):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, T.DecimalType):
+            return {"type": "bytes", "logicalType": "decimal",
+                    "precision": dt.precision, "scale": dt.scale}
+        if isinstance(dt, T.ArrayType):
+            items = conv(dt.elementType, name)
+            if dt.containsNull:
+                items = ["null", items]
+            return {"type": "array", "items": items}
+        if isinstance(dt, T.MapType):
+            values = conv(dt.valueType, name)
+            if dt.valueContainsNull:
+                values = ["null", values]
+            return {"type": "map", "values": values}
+        if isinstance(dt, T.StructType):
+            return {"type": "record", "name": f"r_{name}",
+                    "fields": [
+                        {"name": f.name,
+                         "type": (["null", conv(f.dataType, f.name)]
+                                  if f.nullable else conv(f.dataType, f.name))}
+                        for f in dt.fields]}
+        raise AvroError(f"unsupported Spark type for Avro: {dt}")
+
+    rec = conv(spark_schema, "root")
+    rec["name"] = "topLevelRecord"
+    return rec

@@ -1,0 +1,107 @@
+"""Distributed Avro table read/write on the pure-Python codec.
+
+The image ships no spark-avro module for this Scala line (the single
+skipped test), so the reference's Avro file tables
+(`FileCatalogUnit.scala:61-73`) would be registration-only. This module
+is the no-jar fallback the catalog unit drops to when
+`spark.read.format("avro")` raises: schema from the first file's
+container header (driver, header-only), then ONE task per data file
+decodes executor-side and `createDataFrame` applies the translated
+Spark schema. Writes mirror Spark's own file sinks: a directory of
+`part-NNNNN.avro` files written per-partition from the executors plus
+`_SUCCESS`, so round-trips stay directory-compatible with spark-avro.
+
+Scale shape: parallelism is file-granular (Avro blocks are
+sync-marker-delimited and could be split finer, but the fallback favors
+simplicity — a 100 TB Avro zone arrives as many files, which is already
+full-width). The decode is row-at-a-time Python and honestly the slow
+path; it exists so the surface WORKS without the jar, and upgrades to
+the JVM reader the moment one is present.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lightning_metastore_spark.sources import avro_codec as ac
+
+
+def _data_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    if os.path.isdir(path):
+        out = []
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                if f.endswith(".avro") and not f.startswith((".", "_")):
+                    out.append(os.path.join(root, f))
+        return sorted(out)
+    raise ac.AvroError(f"no Avro data at {path}")
+
+
+def spark_can_read_avro(spark: SparkSession) -> bool:
+    """True when a usable spark-avro module is on the session."""
+    try:
+        spark.read.format("avro").schema("x int").load(
+            "/nonexistent-avro-probe")
+        return True
+    except Exception as e:  # noqa: BLE001 — classify by message
+        msg = str(e).upper()
+        # missing-module errors name AVRO/FAILED_TO_FIND; a PATH error
+        # means the format itself resolved fine
+        return "AVRO" not in msg or "PATH" in msg
+
+
+def read_avro(spark: SparkSession, path: str,
+              schema: Optional[object] = None) -> DataFrame:
+    """Read an Avro file or directory without spark-avro."""
+    files = _data_files(path)
+    if not files:
+        raise ac.AvroError(f"no .avro part files under {path}")
+    avro_schema = ac.read_schema(files[0])
+    spark_schema = schema or ac.to_spark_type(avro_schema)
+    sc = spark.sparkContext
+    rdd = sc.parallelize(files, len(files)).flatMap(ac.iter_records)
+    # dict records + explicit schema: Spark's own converter handles
+    # Decimal / date / datetime / nested dict-structs / maps exactly
+    return spark.createDataFrame(rdd, spark_schema)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "append",
+               codec: str = "deflate") -> None:
+    """Write a DataFrame as a directory of Avro part files (no jar)."""
+    if mode not in ("append", "overwrite", "error", "errorifexists"):
+        raise ac.AvroError(f"unsupported save mode: {mode}")
+    exists = os.path.exists(path)
+    if exists and mode in ("error", "errorifexists"):
+        raise ac.AvroError(f"path already exists: {path}")
+    if exists and os.path.isfile(path):
+        raise ac.AvroError(
+            f"{path} is a single Avro file; the no-jar writer produces "
+            "directories — write to a new path")
+    if exists and mode == "overwrite":
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    avro_schema = ac.from_spark_schema(df.schema)
+    # unique prefix per write so 'append' never collides with existing
+    # part files (mirrors Spark's per-job UUID in file names)
+    import hashlib
+    salt = hashlib.md5(repr(sorted(os.listdir(path))).encode()).hexdigest()[:8]
+
+    def _write_partition(rows_iter):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        rows = [r.asDict(recursive=True) for r in rows_iter]
+        if not rows and pid != 0:
+            return
+        ac.write_container(
+            os.path.join(path, f"part-{pid:05d}-{salt}.avro"),
+            avro_schema, rows, codec=codec)
+
+    df.foreachPartition(_write_partition)
+    with open(os.path.join(path, "_SUCCESS"), "w"):
+        pass

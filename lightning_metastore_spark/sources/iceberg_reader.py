@@ -1,0 +1,289 @@
+"""Offline Apache Iceberg reader: metadata.json -> manifest list ->
+manifests -> parquet scan, without the iceberg-spark runtime jar.
+
+The reference's flagship lakehouse scenario is the Iceberg catalog unit
+(`AbstractIcebergCatalogUnit.scala:28-66`; time-travel test
+`RegisterIcebergDataSourceTestSuite.scala:151-184`), permanently
+un-executable here because the runtime jar is unobtainable (no network;
+re-verified each round in PARITY.md). This module implements the public
+Iceberg table spec (iceberg.apache.org/spec, format v1 and v2) for the
+READ path:
+
+- resolve the current `vN.metadata.json` via `version-hint.text` or the
+  highest-numbered file in `metadata/`;
+- pick a snapshot: current, `snapshot_id=`, or `as_of_timestamp=` via
+  the snapshot log — the reference's VERSION AS OF / TIMESTAMP AS OF;
+- read the snapshot's manifest list and manifests with the pure-Python
+  Avro codec (`sources/avro_codec.py` — manifests are spec-mandated
+  Avro), driver-side: these are planning metadata, KBs-to-MBs at 100 TB,
+  the same files every Iceberg planner materializes;
+- translate the Iceberg schema JSON to a Spark StructType (field-id
+  table kept for diagnostics; resolution is by name, Spark's parquet
+  reader null-fills columns missing from older data files);
+- scan live data files (manifest-entry status != DELETED) with Spark's
+  parquet reader — pushdown/pruning stay Catalyst's;
+- apply v2 **position deletes** Spark-natively: the delete files'
+  (file_path, pos) pairs anti-join the scan on
+  `_metadata.file_path` / `_metadata.row_index` — no Python in the row
+  path; **equality deletes** anti-join on the delete files' columns.
+
+Identity-partition source columns are stored in Iceberg data files (the
+spec writes full rows), so no partition-value injection is needed —
+unlike Delta (`sources/delta_reader.py`).
+
+Write path intentionally stays with the real runtime (a spec-complete
+committing writer is jar territory); the unit raises a clear error.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lightning_metastore_spark.sources import avro_codec as ac
+
+
+class IcebergError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# metadata resolution
+# ---------------------------------------------------------------------------
+
+def latest_metadata_path(table_path: str) -> str:
+    md = os.path.join(table_path, "metadata")
+    if not os.path.isdir(md):
+        raise IcebergError(f"not an Iceberg table (no metadata/): {table_path}")
+    hint = os.path.join(md, "version-hint.text")
+    if os.path.exists(hint):
+        v = open(hint).read().strip()
+        cand = os.path.join(md, f"v{v}.metadata.json")
+        if os.path.exists(cand):
+            return cand
+    versioned = []
+    for f in os.listdir(md):
+        m = re.fullmatch(r"v(\d+)\.metadata\.json", f)
+        if m:
+            versioned.append((int(m.group(1)), f))
+    if versioned:
+        return os.path.join(md, max(versioned)[1])
+    any_md = sorted(f for f in os.listdir(md) if f.endswith(".metadata.json"))
+    if any_md:
+        return os.path.join(md, any_md[-1])
+    raise IcebergError(f"no metadata.json under {md}")
+
+
+def load_metadata(table_path: str) -> dict:
+    with open(latest_metadata_path(table_path)) as fh:
+        return json.load(fh)
+
+
+def current_schema(meta: dict) -> dict:
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        for s in meta["schemas"]:
+            if s.get("schema-id") == sid:
+                return s
+        return meta["schemas"][-1]
+    return meta["schema"]  # format v1
+
+
+def select_snapshot(meta: dict, snapshot_id: Optional[int] = None,
+                    as_of_timestamp: Optional[int] = None) -> dict:
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if not snaps:
+        raise IcebergError("table has no snapshots")
+    if as_of_timestamp is not None:
+        log = meta.get("snapshot-log", [])
+        eligible = [e for e in log if e["timestamp-ms"] <= as_of_timestamp]
+        if not eligible:
+            raise IcebergError(
+                f"no snapshot at or before timestamp {as_of_timestamp}")
+        snapshot_id = eligible[-1]["snapshot-id"]
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+    if snapshot_id not in snaps:
+        raise IcebergError(f"snapshot {snapshot_id} not found "
+                           f"(have {sorted(snaps)})")
+    return snaps[snapshot_id]
+
+
+# ---------------------------------------------------------------------------
+# Iceberg schema JSON -> Spark
+# ---------------------------------------------------------------------------
+
+_PRIM = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampNTZType(),
+    "timestamptz": T.TimestampType(),
+    "string": T.StringType(),
+    "uuid": T.StringType(),
+    "binary": T.BinaryType(),
+    "time": T.LongType(),  # micros since midnight; Spark has no TimeType
+}
+
+
+def to_spark_type(itype: Any) -> T.DataType:
+    if isinstance(itype, str):
+        if itype in _PRIM:
+            return _PRIM[itype]
+        m = re.fullmatch(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)", itype)
+        if m:
+            return T.DecimalType(int(m.group(1)), int(m.group(2)))
+        m = re.fullmatch(r"fixed\[(\d+)\]", itype)
+        if m:
+            return T.BinaryType()
+        raise IcebergError(f"unsupported Iceberg type: {itype}")
+    t = itype["type"]
+    if t == "struct":
+        return T.StructType([
+            T.StructField(f["name"], to_spark_type(f["type"]),
+                          nullable=not f.get("required", False))
+            for f in itype["fields"]])
+    if t == "list":
+        return T.ArrayType(to_spark_type(itype["element"]),
+                           containsNull=not itype.get("element-required",
+                                                      False))
+    if t == "map":
+        return T.MapType(to_spark_type(itype["key"]),
+                         to_spark_type(itype["value"]),
+                         valueContainsNull=not itype.get("value-required",
+                                                         False))
+    raise IcebergError(f"unsupported Iceberg type node: {itype}")
+
+
+def spark_schema(meta: dict) -> T.StructType:
+    return to_spark_type(current_schema(meta))  # top level is a struct
+
+
+# ---------------------------------------------------------------------------
+# manifest walking
+# ---------------------------------------------------------------------------
+
+_STATUS_DELETED = 2
+_CONTENT_DATA = 0
+_CONTENT_POSITION_DELETES = 1
+_CONTENT_EQUALITY_DELETES = 2
+
+
+def _local(p: str) -> str:
+    """file:///x, file:/x, and /x all mean /x on this filesystem."""
+    return re.sub(r"^file:/+", "/", p)
+
+
+def snapshot_files(table_path: str, snapshot: dict
+                   ) -> tuple[list[str], list[str], list[str]]:
+    """(data_files, position_delete_files, equality_delete_files) of a
+    snapshot, all local parquet paths."""
+    mlist = _local(snapshot["manifest-list"])
+    data, pos_del, eq_del = [], [], []
+    for mrec in ac.iter_records(mlist):
+        mpath = _local(mrec["manifest_path"])
+        for entry in ac.iter_records(mpath):
+            if entry.get("status") == _STATUS_DELETED:
+                continue
+            df_rec = entry["data_file"]
+            content = df_rec.get("content", _CONTENT_DATA) or _CONTENT_DATA
+            fpath = _local(df_rec["file_path"])
+            fmt = str(df_rec.get("file_format", "PARQUET")).upper()
+            if fmt != "PARQUET":
+                raise IcebergError(
+                    f"only PARQUET data files supported offline, got {fmt}")
+            if content == _CONTENT_DATA:
+                data.append(fpath)
+            elif content == _CONTENT_POSITION_DELETES:
+                pos_del.append(fpath)
+            elif content == _CONTENT_EQUALITY_DELETES:
+                eq_del.append(fpath)
+    return sorted(set(data)), sorted(set(pos_del)), sorted(set(eq_del))
+
+
+# ---------------------------------------------------------------------------
+# the read
+# ---------------------------------------------------------------------------
+
+def read_iceberg(spark: SparkSession, table_path: str,
+                 snapshot_id: Optional[int] = None,
+                 as_of_timestamp: Optional[int] = None) -> DataFrame:
+    meta = load_metadata(table_path)
+    snap = select_snapshot(meta, snapshot_id, as_of_timestamp)
+    schema = spark_schema(meta)
+    data, pos_del, eq_del = snapshot_files(table_path, snap)
+    if not data:
+        return spark.createDataFrame([], schema)
+    df = spark.read.schema(schema).parquet(*data)
+    if pos_del:
+        tagged = df.withColumns({
+            "__ice_file": F.regexp_replace(F.col("_metadata.file_path"),
+                                           r"^file:/+", "/"),
+            "__ice_pos": F.col("_metadata.row_index"),
+        })
+        dels = (spark.read.parquet(*pos_del)
+                .select(F.regexp_replace(F.col("file_path"),
+                                         r"^file:/+", "/").alias("__ice_file"),
+                        F.col("pos").cast("long").alias("__ice_pos"))
+                .dropDuplicates(["__ice_file", "__ice_pos"]))
+        df = (tagged.join(F.broadcast(dels) if len(pos_del) <= 64 else dels,
+                          ["__ice_file", "__ice_pos"], "left_anti")
+              .drop("__ice_file", "__ice_pos"))
+    for dpath in eq_del:
+        dels = spark.read.parquet(dpath)
+        key_cols = dels.columns
+        df = df.join(F.broadcast(dels.dropDuplicates()), key_cols, "left_anti")
+    return df.select(*[f.name for f in schema.fields])
+
+
+def iceberg_history(spark: SparkSession, table_path: str) -> DataFrame:
+    """The Iceberg `history` metadata table (made_current_at,
+    snapshot_id, parent_id, is_current_ancestor) — what the reference's
+    time-travel test reads to pick a snapshot id
+    (`RegisterIcebergDataSourceTestSuite.scala:174-184`)."""
+    import datetime as dt
+    meta = load_metadata(table_path)
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    # current ancestry = walk parent links from the current snapshot
+    ancestors = set()
+    cur = meta.get("current-snapshot-id")
+    while cur in snaps:
+        ancestors.add(cur)
+        cur = snaps[cur].get("parent-snapshot-id")
+    rows = []
+    log = meta.get("snapshot-log") or [
+        {"timestamp-ms": s["timestamp-ms"], "snapshot-id": sid}
+        for sid, s in sorted(snaps.items())]
+    for e in log:
+        sid = e["snapshot-id"]
+        rows.append((
+            dt.datetime.fromtimestamp(e["timestamp-ms"] / 1000.0),
+            sid,
+            snaps.get(sid, {}).get("parent-snapshot-id"),
+            sid in ancestors,
+        ))
+    schema = T.StructType([
+        T.StructField("made_current_at", T.TimestampType(), True),
+        T.StructField("snapshot_id", T.LongType(), False),
+        T.StructField("parent_id", T.LongType(), True),
+        T.StructField("is_current_ancestor", T.BooleanType(), False),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def list_iceberg_tables(base_path: str) -> list[str]:
+    """Directories under base_path that carry Iceberg metadata."""
+    if not os.path.isdir(base_path):
+        return []
+    return sorted(
+        e for e in os.listdir(base_path)
+        if os.path.isdir(os.path.join(base_path, e, "metadata")))

@@ -1,0 +1,487 @@
+"""Offline lakehouse surface: pure-Python Avro codec, Delta `_delta_log`
+replay, Iceberg metadata/manifest reads — the §2 rows that were
+env-blocked (no spark-avro/delta/iceberg jars, PARITY.md env table).
+
+The Iceberg fixtures are built from the PUBLIC table spec
+(iceberg.apache.org/spec) with the repo's own Avro writer — the same
+files a real Iceberg writer produces for a hadoop-type warehouse, which
+is exactly the layout the reference's REGISTER ICEBERG test mounts
+(`RegisterIcebergDataSourceTestSuite.scala:186-199`); its time-travel
+scenario (`:151-184`) is replayed against the offline reader.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+from decimal import Decimal
+
+import pytest
+
+from lightning_metastore_spark.context import LightningContext
+from lightning_metastore_spark.sources import avro_codec as ac
+from lightning_metastore_spark.sources.delta_reader import (
+    DeltaLogError,
+    delta_history,
+    read_delta,
+    resolve_snapshot,
+    write_checkpoint,
+    write_delta,
+)
+from lightning_metastore_spark.sources.iceberg_reader import (
+    iceberg_history,
+    list_iceberg_tables,
+    read_iceberg,
+)
+
+
+# ---------------------------------------------------------------------------
+# Avro codec
+# ---------------------------------------------------------------------------
+
+FULL_SCHEMA = {
+    "type": "record", "name": "t", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "price", "type": {"type": "bytes", "logicalType": "decimal",
+                                   "precision": 10, "scale": 2}},
+        {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "props", "type": {"type": "map", "values": "long"}},
+        {"name": "kind", "type": {"type": "enum", "name": "k",
+                                  "symbols": ["A", "B"]}},
+        {"name": "raw", "type": "bytes"},
+        {"name": "fx", "type": {"type": "fixed", "name": "f4", "size": 4}},
+        {"name": "f", "type": "float"},
+        {"name": "d", "type": "double"},
+        {"name": "ok", "type": "boolean"},
+        {"name": "nested", "type": ["null", {
+            "type": "record", "name": "sub",
+            "fields": [{"name": "x", "type": "int"}]}]},
+    ]}
+
+FULL_ROWS = [
+    {"id": 1, "name": "alpha", "price": Decimal("12.34"),
+     "day": dt.date(2020, 5, 17),
+     "ts": dt.datetime(2021, 1, 2, 3, 4, 5, 123456),
+     "tags": ["a", "b"], "props": {"x": 9}, "kind": "B",
+     "raw": b"\x00\xff", "fx": b"abcd", "f": 1.5, "d": 2.25, "ok": True,
+     "nested": {"x": -7}},
+    {"id": -99999999999, "name": None, "price": Decimal("-0.05"),
+     "day": dt.date(1969, 12, 31), "ts": dt.datetime(1970, 1, 1),
+     "tags": [], "props": {}, "kind": "A", "raw": b"", "fx": b"\x00" * 4,
+     "f": -2.0, "d": -1e300, "ok": False, "nested": None},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_avro_codec_round_trip(tmp_path, codec):
+    p = str(tmp_path / "t.avro")
+    ac.write_container(p, FULL_SCHEMA, FULL_ROWS, codec=codec)
+    assert ac.read_records(p) == FULL_ROWS
+    assert ac.read_schema(p) == FULL_SCHEMA
+
+
+def test_avro_codec_multi_block_and_empty(tmp_path):
+    p = str(tmp_path / "m.avro")
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "i", "type": "long"}]}
+    rows = [{"i": i} for i in range(10_000)]
+    ac.write_container(p, schema, rows, block_records=257)
+    assert ac.read_records(p) == rows
+    p0 = str(tmp_path / "e.avro")
+    ac.write_container(p0, schema, [])
+    assert ac.read_records(p0) == []
+    assert ac.read_schema(p0) == schema
+
+
+def test_avro_spark_schema_translation():
+    st = ac.to_spark_type(FULL_SCHEMA)
+    assert st.simpleString() == (
+        "struct<id:bigint,name:string,price:decimal(10,2),day:date,"
+        "ts:timestamp,tags:array<string>,props:map<string,bigint>,"
+        "kind:string,raw:binary,fx:binary,f:float,d:double,ok:boolean,"
+        "nested:struct<x:int>>")
+
+
+def test_avro_table_round_trip_via_spark(spark, tmp_path):
+    from lightning_metastore_spark.sources.avro_table import (
+        read_avro,
+        write_avro,
+    )
+    df = spark.range(0, 100).selectExpr(
+        "id", "CAST(id AS STRING) AS s", "id * 1.5 AS d",
+        "id % 2 = 0 AS b", "ARRAY(id, id + 1) AS arr")
+    path = str(tmp_path / "tbl.avro")
+    write_avro(df.repartition(4), path, mode="error")
+    back = read_avro(spark, path)
+    assert back.schema == df.schema
+    key = lambda d: d["id"]  # noqa: E731
+    assert sorted((r.asDict() for r in back.collect()), key=key) == \
+        sorted((r.asDict() for r in df.collect()), key=key)
+    # append doubles the rows; overwrite resets
+    write_avro(df, path, mode="append")
+    assert read_avro(spark, path).count() == 200
+    write_avro(df, path, mode="overwrite")
+    assert read_avro(spark, path).count() == 100
+
+
+# ---------------------------------------------------------------------------
+# Delta
+# ---------------------------------------------------------------------------
+
+def _delta_df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id", "CAST(id AS STRING) AS s", "id * 2 AS v")
+
+
+def test_delta_create_append_overwrite_time_travel(spark, tmp_path):
+    path = str(tmp_path / "dtab")
+    write_delta(_delta_df(spark, 0, 10), path, mode="error")       # v0
+    write_delta(_delta_df(spark, 10, 15), path, mode="append")     # v1
+    write_delta(_delta_df(spark, 100, 103), path, mode="overwrite")  # v2
+    assert sorted(r.id for r in read_delta(spark, path).collect()) == \
+        [100, 101, 102]
+    assert sorted(r.id for r in
+                  read_delta(spark, path, version_as_of=1).collect()) == \
+        list(range(15))
+    assert sorted(r.id for r in
+                  read_delta(spark, path, version_as_of=0).collect()) == \
+        list(range(10))
+    hist = delta_history(spark, path).collect()
+    assert [r.version for r in hist] == [2, 1, 0]
+    assert all(r.operation == "WRITE" for r in hist)
+    # timestamp travel: the bound at v1's commit time sees v1
+    t1 = hist[1].timestamp.isoformat()
+    assert sorted(r.id for r in read_delta(
+        spark, path, timestamp_as_of=t1).collect()) == list(range(15))
+    with pytest.raises(DeltaLogError):
+        read_delta(spark, path, version_as_of=9)
+    with pytest.raises(DeltaLogError):
+        write_delta(_delta_df(spark, 0, 1), path, mode="error")
+
+
+def test_delta_checkpoint_replay(spark, tmp_path):
+    path = str(tmp_path / "ctab")
+    write_delta(_delta_df(spark, 0, 5), path, mode="error")
+    write_delta(_delta_df(spark, 5, 8), path, mode="append")
+    v = write_checkpoint(spark, path)
+    assert v == 1
+    write_delta(_delta_df(spark, 8, 9), path, mode="append")
+    snap = resolve_snapshot(spark, path)
+    assert snap.version == 2
+    assert sorted(r.id for r in read_delta(spark, path).collect()) == \
+        list(range(9))
+    # travel BEHIND the checkpoint still works (full JSON log retained)
+    assert read_delta(spark, path, version_as_of=0).count() == 5
+
+
+def test_delta_partitioned_fixture(spark, tmp_path):
+    """A hand-crafted partitioned table (partition values live ONLY in
+    the log, per the Delta PROTOCOL) — partition columns are injected
+    with the metaData schema's types."""
+    from pyspark.sql import types as T
+    path = tmp_path / "ptab"
+    path.mkdir()
+    data_schema = T.StructType([T.StructField("id", T.LongType())])
+    full = T.StructType([T.StructField("id", T.LongType()),
+                         T.StructField("p", T.IntegerType())])
+    files = {}
+    for p, ids in ((1, [1, 2]), (2, [3])):
+        sub = str(path / f"stage{p}")
+        spark.createDataFrame([(i,) for i in ids], data_schema) \
+            .coalesce(1).write.parquet(sub)
+        part = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
+        os.rename(os.path.join(sub, part), str(path / f"part-{p}.parquet"))
+        files[f"part-{p}.parquet"] = {"p": str(p)}
+    log = path / "_delta_log"
+    log.mkdir()
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "x", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": full.json(),
+                      "partitionColumns": ["p"], "configuration": {},
+                      "createdTime": 0}},
+    ] + [{"add": {"path": rel, "partitionValues": pv, "size": 1,
+                  "modificationTime": 0, "dataChange": True}}
+         for rel, pv in files.items()]
+    with open(log / f"{0:020d}.json", "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    out = read_delta(spark, str(path))
+    assert out.schema == full
+    assert sorted((r.id, r.p) for r in out.collect()) == \
+        [(1, 1), (2, 1), (3, 2)]
+
+
+def test_delta_catalog_unit_sql_time_travel(spark, tmp_path):
+    """REGISTER DELTA + VERSION AS OF / .history through the SQL
+    surface — the dispatcher path the reference exercises for Iceberg
+    (`RegisterIcebergDataSourceTestSuite.scala:178-184`)."""
+    base = tmp_path / "lake"
+    base.mkdir()
+    write_delta(_delta_df(spark, 0, 4), str(base / "events"), mode="error")
+    write_delta(_delta_df(spark, 4, 6), str(base / "events"), mode="append")
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.delta")
+    ctx.sql(f"REGISTER DELTA DATASOURCE lake OPTIONS(path '{base}') "
+            "NAMESPACE lightning.datasource.delta")
+    assert ctx.sql(
+        "SELECT count(*) AS n FROM lightning.datasource.delta.lake.events"
+    ).collect()[0].n == 6
+    assert ctx.sql(
+        "SELECT count(*) AS n FROM lightning.datasource.delta.lake.events "
+        "VERSION AS OF 0").collect()[0].n == 4
+    hist = ctx.sql(
+        "SELECT version, operation FROM "
+        "lightning.datasource.delta.lake.events.history "
+        "ORDER BY version").collect()
+    assert [r.version for r in hist] == [0, 1]
+    # INSERT INTO routes through the offline writer
+    ctx.sql("INSERT INTO lightning.datasource.delta.lake.events "
+            "SELECT 99 AS id, 'x' AS s, 198 AS v")
+    assert ctx.sql(
+        "SELECT count(*) AS n FROM lightning.datasource.delta.lake.events"
+    ).collect()[0].n == 7
+    tables = ctx.sql(
+        "SHOW TABLES IN lightning.datasource.delta.lake").collect()
+    assert [t.tableName if hasattr(t, "tableName") else t[0]
+            for t in tables] == ["events"]
+
+
+def test_time_travel_rejected_for_plain_files(spark, tmp_path):
+    src = tmp_path / "files"
+    src.mkdir()
+    spark.range(3).write.parquet(str(src / "t.parquet"))
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.file")
+    ctx.sql(f"REGISTER PARQUET DATASOURCE f OPTIONS(path '{src}') "
+            "NAMESPACE lightning.datasource.file")
+    with pytest.raises(Exception, match="does not support time travel"):
+        ctx.sql("SELECT * FROM lightning.datasource.file.f.t "
+                "VERSION AS OF 1").collect()
+
+
+# ---------------------------------------------------------------------------
+# Iceberg fixtures (spec-conformant, built with the repo's Avro writer)
+# ---------------------------------------------------------------------------
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ]}
+
+MANIFEST_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2", "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+            ]}},
+    ]}
+
+ICE_SCHEMA_JSON = {
+    "type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "vendor_id", "required": True, "type": "long"},
+        {"id": 2, "name": "trip_id", "required": True, "type": "long"},
+        {"id": 3, "name": "trip_distance", "required": False,
+         "type": "float"},
+        {"id": 4, "name": "fare_amount", "required": False,
+         "type": "double"},
+        {"id": 5, "name": "store_and_fwd_flag", "required": False,
+         "type": "string"},
+    ]}
+
+TAXIS = [(1, 1000371, 1.8, 15.32, "N"), (2, 1000372, 2.5, 22.15, "N"),
+         (2, 1000373, 0.9, 9.01, "N"), (1, 1000374, 8.4, 42.13, "Y")]
+
+
+def _write_parquet_file(spark, rows, schema_ddl, dest_dir, name):
+    sub = os.path.join(dest_dir, f".stage-{name}")
+    spark.createDataFrame(rows, schema_ddl).coalesce(1) \
+        .write.parquet(sub)
+    part = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
+    final = os.path.join(dest_dir, name)
+    os.rename(os.path.join(sub, part), final)
+    import shutil
+    shutil.rmtree(sub, ignore_errors=True)
+    return final
+
+
+def _manifest(mdir, name, entries):
+    p = os.path.join(mdir, name)
+    ac.write_container(p, MANIFEST_SCHEMA, entries)
+    return p
+
+
+def _manifest_list(mdir, name, manifest_paths):
+    p = os.path.join(mdir, name)
+    ac.write_container(p, MANIFEST_LIST_SCHEMA, [
+        {"manifest_path": mp, "manifest_length": os.path.getsize(mp),
+         "partition_spec_id": 0, "content": 0, "added_snapshot_id": 1}
+        for mp in manifest_paths])
+    return p
+
+
+def _data_entry(fpath, n, content=0):
+    return {"status": 1, "snapshot_id": 1,
+            "data_file": {"content": content, "file_path": fpath,
+                          "file_format": "PARQUET", "record_count": n,
+                          "file_size_in_bytes": os.path.getsize(fpath)}}
+
+
+@pytest.fixture()
+def iceberg_table(spark, tmp_path):
+    """Two-snapshot taxis table: snapshot 1 = first two rows, snapshot 2
+    appends the rest; snapshot 2 is current."""
+    tdir = str(tmp_path / "wh" / "nyc" / "taxis")
+    ddir = os.path.join(tdir, "data")
+    mdir = os.path.join(tdir, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+    ddl = ("vendor_id long, trip_id long, trip_distance float, "
+           "fare_amount double, store_and_fwd_flag string")
+    f1 = _write_parquet_file(spark, TAXIS[:2], ddl, ddir, "d1.parquet")
+    f2 = _write_parquet_file(spark, TAXIS[2:], ddl, ddir, "d2.parquet")
+    m1 = _manifest(mdir, "m1.avro", [_data_entry(f1, 2)])
+    m2 = _manifest(mdir, "m2.avro", [_data_entry(f2, 2)])
+    ml1 = _manifest_list(mdir, "snap-1.avro", [m1])
+    ml2 = _manifest_list(mdir, "snap-2.avro", [m1, m2])
+    meta = {
+        "format-version": 2, "table-uuid": "0" * 32, "location": tdir,
+        "last-sequence-number": 2, "last-updated-ms": 2_000,
+        "last-column-id": 5, "current-schema-id": 0,
+        "schemas": [ICE_SCHEMA_JSON], "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 2,
+        "snapshots": [
+            {"snapshot-id": 1, "timestamp-ms": 1_000, "manifest-list": ml1,
+             "summary": {"operation": "append"}},
+            {"snapshot-id": 2, "parent-snapshot-id": 1,
+             "timestamp-ms": 2_000, "manifest-list": ml2,
+             "summary": {"operation": "append"}},
+        ],
+        "snapshot-log": [{"timestamp-ms": 1_000, "snapshot-id": 1},
+                         {"timestamp-ms": 2_000, "snapshot-id": 2}],
+    }
+    with open(os.path.join(mdir, "v2.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write("2")
+    return tdir
+
+
+def test_iceberg_read_and_time_travel(spark, iceberg_table):
+    cur = read_iceberg(spark, iceberg_table)
+    assert cur.schema.simpleString() == (
+        "struct<vendor_id:bigint,trip_id:bigint,trip_distance:float,"
+        "fare_amount:double,store_and_fwd_flag:string>")
+    assert sorted(r.trip_id for r in cur.collect()) == \
+        [1000371, 1000372, 1000373, 1000374]
+    old = read_iceberg(spark, iceberg_table, snapshot_id=1)
+    assert sorted(r.trip_id for r in old.collect()) == [1000371, 1000372]
+    by_ts = read_iceberg(spark, iceberg_table, as_of_timestamp=1_500)
+    assert by_ts.count() == 2
+    hist = iceberg_history(spark, iceberg_table).collect()
+    assert [r.snapshot_id for r in hist] == [1, 2]
+    assert all(r.is_current_ancestor for r in hist)
+    assert hist[1].parent_id == 1
+
+
+def test_iceberg_position_deletes(spark, iceberg_table, tmp_path):
+    """v2 position deletes anti-join on _metadata.file_path/row_index."""
+    tdir = iceberg_table
+    ddir = os.path.join(tdir, "data")
+    mdir = os.path.join(tdir, "metadata")
+    d1 = os.path.join(ddir, "d1.parquet")
+    # delete row 0 of d1 (trip 1000371)
+    del_f = _write_parquet_file(
+        spark, [(d1, 0)], "file_path string, pos long", ddir, "del1.parquet")
+    m3 = _manifest(mdir, "m3.avro", [_data_entry(del_f, 1, content=1)])
+    with open(os.path.join(mdir, "v2.metadata.json")) as fh:
+        meta = json.load(fh)
+    ml3 = _manifest_list(mdir, "snap-3.avro", [
+        os.path.join(mdir, "m1.avro"), os.path.join(mdir, "m2.avro"), m3])
+    meta["snapshots"].append(
+        {"snapshot-id": 3, "parent-snapshot-id": 2, "timestamp-ms": 3_000,
+         "manifest-list": ml3, "summary": {"operation": "delete"}})
+    meta["snapshot-log"].append({"timestamp-ms": 3_000, "snapshot-id": 3})
+    meta["current-snapshot-id"] = 3
+    with open(os.path.join(mdir, "v3.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write("3")
+    out = read_iceberg(spark, tdir)
+    assert sorted(r.trip_id for r in out.collect()) == \
+        [1000372, 1000373, 1000374]
+    # the pre-delete snapshot still sees all four
+    assert read_iceberg(spark, tdir, snapshot_id=2).count() == 4
+
+
+def test_iceberg_equality_deletes(spark, iceberg_table):
+    tdir = iceberg_table
+    ddir = os.path.join(tdir, "data")
+    mdir = os.path.join(tdir, "metadata")
+    del_f = _write_parquet_file(
+        spark, [(2,)], "vendor_id long", ddir, "eqdel.parquet")
+    m4 = _manifest(mdir, "m4.avro", [_data_entry(del_f, 1, content=2)])
+    with open(os.path.join(mdir, "v2.metadata.json")) as fh:
+        meta = json.load(fh)
+    ml4 = _manifest_list(mdir, "snap-4.avro", [
+        os.path.join(mdir, "m1.avro"), os.path.join(mdir, "m2.avro"), m4])
+    meta["snapshots"].append(
+        {"snapshot-id": 4, "parent-snapshot-id": 2, "timestamp-ms": 4_000,
+         "manifest-list": ml4, "summary": {"operation": "delete"}})
+    meta["current-snapshot-id"] = 4
+    with open(os.path.join(mdir, "v4.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write("4")
+    out = read_iceberg(spark, tdir)
+    assert sorted(r.vendor_id for r in out.collect()) == [1, 1]
+
+
+def test_iceberg_catalog_unit_sql(spark, iceberg_table, tmp_path):
+    """The reference's time-travel scenario end-to-end over SQL:
+    history -> pick snapshot id -> VERSION AS OF
+    (`RegisterIcebergDataSourceTestSuite.scala:151-184`)."""
+    wh = os.path.dirname(os.path.dirname(iceberg_table))  # .../wh
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model2"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.iceberg")
+    ctx.sql(f"REGISTER ICEBERG DATASOURCE wh OPTIONS(warehouse '{wh}') "
+            "NAMESPACE lightning.datasource.iceberg")
+    rows = ctx.sql(
+        "SELECT * FROM lightning.datasource.iceberg.wh.nyc.taxis "
+        "ORDER BY trip_id").collect()
+    assert [(r.vendor_id, r.trip_id, r.store_and_fwd_flag) for r in rows] \
+        == [(1, 1000371, "N"), (2, 1000372, "N"),
+            (2, 1000373, "N"), (1, 1000374, "Y")]
+    hist = ctx.sql(
+        "SELECT * FROM lightning.datasource.iceberg.wh.nyc.taxis.history "
+        "ORDER BY made_current_at").collect()
+    first_snapshot = hist[0].snapshot_id
+    old = ctx.sql(
+        f"SELECT count(*) AS n FROM "
+        f"lightning.datasource.iceberg.wh.nyc.taxis "
+        f"VERSION AS OF {first_snapshot}").collect()
+    assert old[0].n == 2
+    tables = ctx.sql(
+        "SHOW TABLES IN lightning.datasource.iceberg.wh.nyc").collect()
+    assert [t[max(0, len(t) - 2)] if not hasattr(t, "tableName")
+            else t.tableName for t in tables] == ["taxis"]
+    assert list_iceberg_tables(os.path.join(wh, "nyc")) == ["taxis"]
