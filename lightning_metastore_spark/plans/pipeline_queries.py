@@ -52,30 +52,65 @@ def _ctx(spark, sf_dir: str):
 
 def catalog_federated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's doc revenue query shape (lightning-commands.md:
-    112-128) run over lightning.* names end-to-end."""
+    112-128) run over lightning.* names end-to-end — and, since r12,
+    truly FEDERATED: a Delta table is created and versioned through the
+    DELTA catalog unit (the offline `_delta_log` writer when no jar is
+    on the session, `sources/delta_reader.py`), then parquet-backed
+    lineitem/orders join against BOTH the current Delta snapshot and
+    `VERSION AS OF 0`, so the offline Delta write path, log replay AND
+    the resolver's time-travel rewrite are all hash-verified against
+    the DuckDB oracle."""
+    import tempfile
+
     ctx = _ctx(spark, sf_dir)
-    return ctx.sql("""
-        SELECT o_orderpriority,
+    lake = tempfile.mkdtemp(prefix="lightning-delta-gate-")
+    ctx.sql("CREATE NAMESPACE IF NOT EXISTS lightning.datasource.delta")
+    ctx.sql(f"REGISTER OR REPLACE DELTA DATASOURCE dlake "
+            f"OPTIONS(path '{lake}') NAMESPACE lightning.datasource.delta")
+    # version 0: urgent+high priorities; version 1: adds medium
+    ctx.sql("""INSERT INTO lightning.datasource.delta.dlake.prio
+        SELECT DISTINCT o_orderpriority AS prio
+        FROM lightning.datasource.file.tpch.orders
+        WHERE o_orderpriority < '3'""")
+    ctx.sql("""INSERT INTO lightning.datasource.delta.dlake.prio
+        SELECT DISTINCT o_orderpriority AS prio
+        FROM lightning.datasource.file.tpch.orders
+        WHERE o_orderpriority >= '3' AND o_orderpriority < '4'""")
+    rev = """
+        SELECT '{arm}' AS arm, o_orderpriority,
                CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
                         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE)
                  / 10000 AS revenue,
                COUNT(*) AS n_items
         FROM lightning.datasource.file.tpch.lineitem
         JOIN lightning.datasource.file.tpch.orders ON l_orderkey = o_orderkey
+        JOIN lightning.datasource.delta.dlake.prio {tt} p
+          ON o_orderpriority = p.prio
         GROUP BY o_orderpriority
-        ORDER BY o_orderpriority
-    """)
+    """
+    return ctx.sql(
+        rev.format(arm="current", tt="")
+        + " UNION ALL "
+        + rev.format(arm="v0", tt="VERSION AS OF 0")
+        + " ORDER BY arm, o_orderpriority")
 
 
 CATALOG_FEDERATED_ORACLE = """
-SELECT o_orderpriority,
-       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE)
-         / 10000 AS revenue,
-       COUNT(*) AS n_items
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority
+WITH rev AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE)
+           / 10000 AS revenue,
+         COUNT(*) AS n_items
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_orderpriority
+)
+SELECT 'current' AS arm, o_orderpriority, revenue, n_items
+FROM rev WHERE o_orderpriority < '4'
+UNION ALL
+SELECT 'v0' AS arm, o_orderpriority, revenue, n_items
+FROM rev WHERE o_orderpriority < '3'
+ORDER BY arm, o_orderpriority
 """
 
 
@@ -4284,7 +4319,9 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     s.name: s for s in [
         QuerySpec("catalog_federated_revenue", catalog_federated_revenue,
                   CATALOG_FEDERATED_ORACLE,
-                  "full catalog stack: REGISTER -> resolver -> spark.sql"),
+                  "full catalog stack + parquet x Delta federation: "
+                  "REGISTER -> offline Delta write/versioning -> "
+                  "resolver time-travel rewrite -> spark.sql"),
         QuerySpec("catalog_usl_view", catalog_usl_view, CATALOG_USL_ORACLE,
                   "USL compile/activate/query (governed view)"),
         QuerySpec("catalog_dq_run", catalog_dq_run, CATALOG_DQ_ORACLE,
