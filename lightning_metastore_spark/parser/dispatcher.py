@@ -456,8 +456,12 @@ class MergeInto(Command):
     the upsert as one full-outer join: matched rows apply UPDATE/DELETE,
     target-only rows pass through, source-only rows INSERT. The result
     is localCheckpointed to break lineage, then overwrites the target —
-    a single shuffle on the join condition. (On Iceberg/Delta units the
-    engine-native MERGE would be used instead.)
+    a single shuffle on the join condition. The same rewrite serves
+    DELTA units: the offline writer turns the overwrite into a new log
+    version (removes + adds), so MERGE INTO a Delta table is
+    time-travelable (test_lakehouse::test_merge_into_delta). Iceberg
+    stays read-only offline; with the runtime mounted its native MERGE
+    applies.
     """
     target: list[str]
     target_alias: str

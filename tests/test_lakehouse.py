@@ -485,3 +485,69 @@ def test_iceberg_catalog_unit_sql(spark, iceberg_table, tmp_path):
     assert [t[max(0, len(t) - 2)] if not hasattr(t, "tableName")
             else t.tableName for t in tables] == ["taxis"]
     assert list_iceberg_tables(os.path.join(wh, "nyc")) == ["taxis"]
+
+
+def test_merge_into_delta(spark, tmp_path):
+    """MERGE INTO a Delta table offline: the full-outer rewrite's
+    overwrite becomes a new log version, so the pre-merge state stays
+    time-travelable — the reference's etl_in_iceberg_lakehouse.md
+    scenario shape on the Delta unit."""
+    base = tmp_path / "mlake"
+    base.mkdir()
+    write_delta(
+        spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)],
+                              "id long, name string, amount double"),
+        str(base / "accounts"), mode="error")
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.delta")
+    ctx.sql(f"REGISTER DELTA DATASOURCE lake OPTIONS(path '{base}') "
+            "NAMESPACE lightning.datasource.delta")
+    spark.createDataFrame([(2, "b2", 99.0), (4, "d", 40.0)],
+                          "id long, name string, amount double"
+                          ).createOrReplaceTempView("dl_updates")
+    out = ctx.sql("""
+        MERGE INTO lightning.datasource.delta.lake.accounts AS t
+        USING (SELECT * FROM dl_updates) AS s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET name = s.name, amount = s.amount
+        WHEN NOT MATCHED THEN INSERT *
+    """).collect()
+    assert out[0].n_rows == 3
+    rows = {r.id: (r.name, r.amount) for r in ctx.sql(
+        "SELECT * FROM lightning.datasource.delta.lake.accounts").collect()}
+    assert rows == {1: ("a", 10.0), 2: ("b2", 99.0), 4: ("d", 40.0)}
+    # the merge is one new version; v0 still shows the pre-merge state
+    pre = {r.id: r.name for r in ctx.sql(
+        "SELECT * FROM lightning.datasource.delta.lake.accounts "
+        "VERSION AS OF 0").collect()}
+    assert pre == {1: "a", 2: "b"}
+    hist = delta_history(spark, str(base / "accounts")).collect()
+    assert [r.version for r in hist] == [1, 0]
+
+
+def test_register_catalog_over_lakehouse(spark, iceberg_table, tmp_path):
+    """REGISTER CATALOG walks Delta and Iceberg datasources with the
+    offline units: schemas snapshot into the metastore and the
+    registered names resolve (`RegisterCatalogSpec.scala:31-91`)."""
+    base = tmp_path / "rlake"
+    base.mkdir()
+    write_delta(_delta_df(spark, 0, 7), str(base / "ev"), mode="error")
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.delta")
+    ctx.sql(f"REGISTER DELTA DATASOURCE lake OPTIONS(path '{base}') "
+            "NAMESPACE lightning.datasource.delta")
+    ctx.sql("CREATE NAMESPACE IF NOT EXISTS lightning.metastore.snap")
+    ctx.sql("REGISTER CATALOG dcat SOURCE lightning.datasource.delta.lake "
+            "NAMESPACE lightning.metastore.snap")
+    assert ctx.sql(
+        "SELECT count(*) AS n FROM lightning.metastore.snap.dcat.ev"
+    ).collect()[0].n == 7
+    wh = os.path.dirname(os.path.dirname(iceberg_table))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.iceberg")
+    ctx.sql(f"REGISTER ICEBERG DATASOURCE wh OPTIONS(warehouse '{wh}') "
+            "NAMESPACE lightning.datasource.iceberg")
+    ctx.sql("REGISTER CATALOG icat SOURCE lightning.datasource.iceberg.wh "
+            "NAMESPACE lightning.metastore.snap")
+    assert ctx.sql(
+        "SELECT count(*) AS n FROM lightning.metastore.snap.icat.nyc.taxis"
+    ).collect()[0].n == 4
