@@ -539,3 +539,26 @@ def test_table_stats_approx_has_no_expand(spark):
 
     assert "Expand" not in agg_plan(exact=False)
     assert "Expand" in agg_plan(exact=True)
+
+
+def test_offline_delta_and_iceberg_preserve_pushdown(spark, tmp_path):
+    """The offline lakehouse readers end in plain Spark parquet scans,
+    so predicate pushdown and column pruning must reach the files —
+    at 100 TB the log/manifest layer is planning metadata only."""
+    from lightning_metastore_spark.sources.delta_reader import (
+        read_delta,
+        write_delta,
+    )
+
+    dpath = str(tmp_path / "dtab")
+    write_delta(
+        spark.range(100).selectExpr("id", "CAST(id AS STRING) AS s",
+                                    "id * 2 AS v"),
+        dpath, mode="error")
+    plan = _plan(read_delta(spark, dpath)
+                 .filter("id = 7").select("id", "v"))
+    assert "EqualTo(id,7)" in plan                   # pushed to parquet
+    assert "ReadSchema: struct<id:bigint,v:bigint>" in plan  # pruned
+    # the position-delete anti-join path stays JVM-native: no Python
+    # eval nodes anywhere in the offline read plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
