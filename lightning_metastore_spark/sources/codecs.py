@@ -18,8 +18,8 @@ here directly on the byte formats with only `zlib` + `struct`:
 - Thumbnails: real decode for PNG (all 5 scanline filters, color types
   0/2/3/4/6 at bit depth 8), GIF (LZW, interlace), BMP (16/24/32-bit
   uncompressed) -> aspect-fit nearest-neighbor resize -> PNG encode.
-  JPEG *decode* (Huffman+IDCT) stays out of scope; JPEG thumbnails
-  require Pillow and return None here.
+  JPEG decode is REAL too: baseline (Huffman+IDCT) and progressive
+  (SOF2 multi-scan successive approximation, T.81 Annex G).
 - EXIF: JPEG APP1 / PNG eXIf chunk -> TIFF IFD walk (IFD0 + Exif + GPS
   sub-IFDs) with the common tag-name table.
 - Video: RIFF/AVI `avih` header and Matroska EBML (TimecodeScale,
@@ -601,11 +601,11 @@ def bmp_decode(data: bytes) -> tuple[int, int, list[bytes]]:
 # JPEG — baseline (SOF0/SOF1) Huffman decoder
 # ---------------------------------------------------------------------------
 #
-# Closes the one previously Pillow-only gap: real JPEG pixel decode for
-# thumbnails (Thumbnailator parity, UnstructuredData.scala:195-202) and
-# the multimodal feature path. Baseline sequential + extended sequential
-# only; progressive (SOF2) raises — Pillow upgrades that path when
-# importable. Entropy decoding is bit-serial Python (fine at thumbnail
+# Real JPEG pixel decode for thumbnails (Thumbnailator parity,
+# UnstructuredData.scala:195-202) and the multimodal feature path.
+# Baseline + extended sequential here; progressive (SOF2) dispatches to
+# _jpeg_decode_progressive below (r12 — no Pillow dependency left).
+# Entropy decoding is bit-serial Python (fine at thumbnail
 # scale); dequant + IDCT + upsample + color transform are vectorized
 # numpy over ALL blocks at once, so the heavy math is C-speed.
 
@@ -720,8 +720,7 @@ def jpeg_decode(data: bytes) -> tuple[int, int, list[bytes]]:
                               "tq": tq})
             frame = (w, h, comps)
         elif marker == 0xC2:
-            raise ValueError("jpeg: progressive (SOF2) not supported "
-                             "without Pillow")
+            return _jpeg_decode_progressive(data)
         elif marker == 0xC4:  # DHT (possibly several tables)
             j = 0
             while j < len(seg):
@@ -858,6 +857,322 @@ def jpeg_decode(data: bytes) -> tuple[int, int, list[bytes]]:
 
 
 # ---------------------------------------------------------------------------
+# JPEG — progressive (SOF2)
+# ---------------------------------------------------------------------------
+#
+# Progressive JPEGs build each block's 64 DCT coefficients across
+# MULTIPLE scans: DC first (point-transformed by Al) then DC
+# refinements, and per-component AC spectral bands (Ss..Se) first +
+# refinements with shared EOB runs (ITU T.81 Annex G; the algorithms
+# below mirror the public libjpeg jdphuff.c semantics, the de-facto
+# conformance reference). Coefficients accumulate in per-component
+# block arrays; dequant + IDCT + upsample reuse the same vectorized
+# numpy math as the baseline path. This closes the last Pillow-only
+# image-decode gap (reference path UnstructuredData.scala:195-202).
+
+def _entropy_segments(data: bytes, i: int) -> tuple[list[bytes], int]:
+    """De-stuffed, restart-split entropy segments starting at i;
+    returns (segments, index of the terminating marker's 0xFF)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    n = len(data)
+    j = i
+    while j < n:
+        b = data[j]
+        if b == 0xFF and j + 1 < n:
+            m = data[j + 1]
+            if m == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= m <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            break
+        cur.append(b)
+        j += 1
+    segments.append(bytes(cur))
+    return segments, j
+
+
+def _jpeg_decode_progressive(data: bytes) -> tuple[int, int, list[bytes]]:
+    import numpy as np
+
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    dri = 0
+    coef: dict[int, "np.ndarray"] = {}   # comp id -> (nby, nbx, 64) ints
+    true_blocks: dict[int, tuple[int, int]] = {}
+    mcux = mcuy = hmax = vmax = 0
+    comps: list[dict] = []
+
+    i = 2
+    n = len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        ln = struct.unpack(">H", data[i + 2:i + 4])[0]
+        seg = data[i + 4:i + 2 + ln]
+        if marker == 0xDB:
+            j = 0
+            while j < len(seg):
+                prec, tid = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if prec:
+                    vals = struct.unpack(">64H", seg[j:j + 128])
+                    j += 128
+                else:
+                    vals = seg[j:j + 64]
+                    j += 64
+                q = np.zeros(64, dtype=np.float64)
+                for z, v in enumerate(vals):
+                    q[_ZIGZAG[z]] = v
+                qt[tid] = q.reshape(8, 8)
+        elif marker == 0xC2:
+            _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            frame = (w, h, comps)
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                nby, nbx = mcuy * c["v"], mcux * c["h"]
+                coef[c["id"]] = np.zeros((nby, nbx, 64), dtype=np.int32)
+                cw = (w * c["h"] + hmax - 1) // hmax   # comp samples
+                ch = (h * c["v"] + vmax - 1) // vmax
+                true_blocks[c["id"]] = ((ch + 7) // 8, (cw + 7) // 8)
+        elif marker == 0xC4:
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                counts = seg[j + 1:j + 17]
+                nvals = sum(counts)
+                huff[(tc, th)] = _huff_table(
+                    counts, seg[j + 17:j + 17 + nvals])
+                j += 17 + nvals
+        elif marker == 0xDD:
+            dri = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF2")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c:3 + 2 * c]
+                scan.append({"id": cid, "dc": tt >> 4, "ac": tt & 15})
+            ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            segments, j = _entropy_segments(data, i + 2 + ln)
+            _progressive_scan(coef, true_blocks, comps, scan, huff,
+                              segments, dri, ss, se, ah, al,
+                              mcux, mcuy)
+            i = j
+            continue
+        i += 2 + ln
+    if frame is None:
+        raise ValueError("jpeg: missing SOF2")
+    w, h, comps = frame
+
+    # dequant + IDCT (same math as baseline), raster block order
+    xs = np.arange(8)
+    us = np.arange(8)
+    C = np.cos((2 * xs[None, :] + 1) * us[:, None] * np.pi / 16) * 0.5
+    C[0, :] *= 1 / np.sqrt(2)
+    full = {}
+    for c in comps:
+        arr = coef[c["id"]].astype(np.float64)            # (nby, nbx, 64)
+        nby, nbx = arr.shape[:2]
+        # coefficients were stored at natural positions (via _ZIGZAG at
+        # write time, like the baseline path), so reshape directly
+        blocks = arr.reshape(-1, 8, 8) * qt[c["tq"]][None, :, :]
+        pix = np.einsum("ux,nuv,vy->nxy", C, blocks, C) + 128.0
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        for bi in range(pix.shape[0]):
+            by, bx = divmod(bi, nbx)
+            plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix[bi]
+        if c["h"] != hmax or c["v"] != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                              hmax // c["h"], axis=1)
+        full[c["id"]] = plane[:h, :w]
+    if len(comps) == 1:
+        y = np.clip(full[comps[0]["id"]], 0, 255)
+        rgb = np.stack([y, y, y], axis=-1)
+    else:
+        y, cb, cr = (full[comps[k]["id"]] for k in range(3))
+        r_ = y + 1.402 * (cr - 128.0)
+        g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b_ = y + 1.772 * (cb - 128.0)
+        rgb = np.clip(np.stack([r_, g_, b_], axis=-1), 0, 255)
+    arr = rgb.astype(np.uint8)
+    return w, h, [arr[row].tobytes() for row in range(h)]
+
+
+def _progressive_scan(coef, true_blocks, comps, scan, huff, segments,
+                      dri, ss, se, ah, al, mcux, mcuy) -> None:
+    """Apply ONE progressive scan's entropy data to the coefficient
+    arrays (T.81 G.2; EOB-run and refinement semantics per libjpeg
+    jdphuff.c)."""
+    by_id = {c["id"]: c for c in comps}
+    if ss == 0 and se != 0:
+        # T.81 G.1.1.1.1: a progressive DC scan must have Se=0 — this is
+        # a baseline stream mislabeled SOF2 (or corruption), not a scan
+        raise ValueError("jpeg: malformed progressive scan (Ss=0, Se!=0)")
+    if ss == 0:
+        # ---- DC scan (interleaved over MCUs, or single component) ----
+        if len(scan) > 1:
+            units = []   # (comp id, by, bx) in MCU order
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for sc in scan:
+                    c = by_id[sc["id"]]
+                    for k in range(c["h"] * c["v"]):
+                        byy, bxx = divmod(k, c["h"])
+                        units.append((sc["id"],
+                                      my * c["v"] + byy,
+                                      mx * c["h"] + bxx))
+            per_seg = dri * sum(by_id[s["id"]]["h"] * by_id[s["id"]]["v"]
+                                for s in scan) if dri else len(units)
+        else:
+            cid = scan[0]["id"]
+            nby, nbx = true_blocks[cid]
+            units = [(cid, by, bx)
+                     for by in range(nby) for bx in range(nbx)]
+            per_seg = dri if dri else len(units)
+        dc_tbl = {sc["id"]: huff.get((0, sc["dc"])) for sc in scan}
+        u = 0
+        for seg_bytes in segments:
+            if u >= len(units):
+                break
+            r = _BitReader(seg_bytes)
+            pred = {sc["id"]: 0 for sc in scan}
+            end = min(u + per_seg, len(units))
+            try:
+                while u < end:
+                    cid, by, bx = units[u]
+                    block = coef[cid][by, bx]
+                    if ah == 0:
+                        s = _huff_decode(r, dc_tbl[cid])
+                        diff = _receive_extend(r, s)
+                        pred[cid] += diff
+                        block[0] = pred[cid] << al
+                    else:
+                        if r.bit():
+                            block[0] |= (1 << al)
+                    u += 1
+            except EOFError:
+                break
+    else:
+        # ---- AC scan (always a single component, block raster) ----
+        cid = scan[0]["id"]
+        nby, nbx = true_blocks[cid]
+        units = [(by, bx) for by in range(nby) for bx in range(nbx)]
+        per_seg = dri if dri else len(units)
+        ac_tbl = huff[(1, scan[0]["ac"])]
+        u = 0
+        for seg_bytes in segments:
+            if u >= len(units):
+                break
+            r = _BitReader(seg_bytes)
+            eobrun = 0
+            end = min(u + per_seg, len(units))
+            try:
+                while u < end:
+                    by, bx = units[u]
+                    block = coef[cid][by, bx]
+                    if ah == 0:
+                        eobrun = _ac_first(r, block, ac_tbl,
+                                           ss, se, al, eobrun)
+                    else:
+                        eobrun = _ac_refine(r, block, ac_tbl,
+                                            ss, se, al, eobrun)
+                    u += 1
+            except EOFError:
+                break
+
+
+def _ac_first(r, block, ac_tbl, ss, se, al, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(r, ac_tbl)
+        rr, s = rs >> 4, rs & 15
+        if s == 0:
+            if rr < 15:
+                eobrun = (1 << rr) - 1
+                if rr:
+                    eobrun += r.bits(rr)
+                break
+            k += 16
+            continue
+        k += rr
+        if k > se:
+            break
+        block[_ZIGZAG[k]] = _receive_extend(r, s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(r, block, ac_tbl, ss, se, al, eobrun) -> int:
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(r, ac_tbl)
+            rr, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if rr < 15:
+                    eobrun = 1 << rr
+                    if rr:
+                        eobrun += r.bits(rr)
+                    break
+                # rr == 15: skip 16 zero-history coefficients
+            else:
+                val = p1 if r.bit() else m1
+            while k <= se:
+                z = _ZIGZAG[k]
+                cur = int(block[z])
+                if cur != 0:
+                    if r.bit() and (cur & p1) == 0:
+                        block[z] = cur + (p1 if cur >= 0 else m1)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if val and k <= se:
+                block[_ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = _ZIGZAG[k]
+            cur = int(block[z])
+            if cur != 0:
+                if r.bit() and (cur & p1) == 0:
+                    block[z] = cur + (p1 if cur >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+# ---------------------------------------------------------------------------
 
 def resize_nearest(width: int, height: int, rows: list[bytes],
                    new_w: int, new_h: int) -> list[bytes]:
@@ -871,8 +1186,8 @@ def resize_nearest(width: int, height: int, rows: list[bytes],
 
 def thumbnail_png(data: bytes, box_w: int, box_h: int) -> Optional[bytes]:
     """Aspect-fit thumbnail (PIL.thumbnail semantics: fit within box,
-    never upscale) re-encoded as PNG. None only for formats without a
-    decoder here (progressive JPEG) — Pillow upgrades those."""
+    never upscale) re-encoded as PNG. None only for byte streams no
+    decoder accepts (corrupt/unknown formats)."""
     try:
         if data[:8] == _PNG_MAGIC:
             w, h, rows = png_decode(data)

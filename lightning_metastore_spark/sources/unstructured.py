@@ -19,10 +19,10 @@ PySpark mapping:
   filters, mirroring the reference's filter-before-extract ordering.
 - extraction is REAL without external libs (sources/codecs.py, pure
   zlib+struct+numpy): FlateDecode PDF text incl. CID fonts via
-  ToUnicode CMaps, PNG/GIF/BMP/baseline-JPEG thumbnails, EXIF IFD
-  walk, MP4/MOV + AVI + MKV duration/dims. Pillow/pypdf upgrade the
-  paths when importable (progressive JPEG is the remaining
-  Pillow-only decode).
+  ToUnicode CMaps, PNG/GIF/BMP/JPEG (baseline AND progressive)
+  thumbnails, EXIF IFD walk, MP4/MOV + AVI + MKV duration/dims.
+  Pillow/pypdf still upgrade the paths when importable, but no decode
+  is Pillow-only anymore (progressive JPEG closed in r12).
 - the generic `UNSTRUCTURED` modality mirrors the reference's binary
   fallback (`UnstructuredFileFormat.scala`): any file, metadata columns
   only, `bincontent` content table.
@@ -163,8 +163,8 @@ def pdf_text(data: bytes, max_chars: int) -> str:
 
 def image_thumbnail(data: bytes, w: int, h: int) -> Optional[bytes]:
     """Aspect-fit thumbnail (parity: Thumbnailator,
-    UnstructuredData.scala:195-202). Pillow when importable (covers
-    progressive JPEG); else the pure-stdlib PNG/GIF/BMP/baseline-JPEG
+    UnstructuredData.scala:195-202). Pillow when importable; else the
+    pure-stdlib PNG/GIF/BMP/JPEG (baseline + progressive)
     decode->resize->PNG path."""
     try:
         from PIL import Image  # type: ignore
