@@ -1315,6 +1315,39 @@ def exif_tags(data: bytes) -> dict:
 # AVI (RIFF) and MKV (EBML) metadata
 # ---------------------------------------------------------------------------
 
+def avi_mjpeg_frames(data: bytes) -> list[tuple[int, float, bytes]]:
+    """(frame_index, timestamp_seconds, jpeg_bytes) for every MJPEG
+    video frame in an AVI container — Motion-JPEG stores each frame as
+    a complete JPEG inside `..dc`/`..db` chunks of the `movi` LIST, so
+    demux needs only the RIFF walk and every frame feeds
+    `jpeg_decode` (which handles baseline AND progressive). Returns []
+    when the payload is not AVI or carries no JPEG frames (e.g. H.264,
+    which genuinely needs ffmpeg)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return []
+    us_per_frame = [None]
+    frames: list[bytes] = []
+
+    def walk(off: int, end: int) -> None:
+        while off + 8 <= end:
+            fourcc = data[off:off + 4]
+            size = struct.unpack("<I", data[off + 4:off + 8])[0]
+            body = off + 8
+            body_end = min(end, body + size)
+            if fourcc == b"LIST":
+                walk(body + 4, body_end)
+            elif fourcc == b"avih" and size >= 4:
+                us_per_frame[0] = struct.unpack("<I", data[body:body + 4])[0]
+            elif (fourcc[2:4] in (b"dc", b"db")
+                  and data[body:body + 2] == b"\xff\xd8"):
+                frames.append(data[body:body_end])
+            off = body + size + (size & 1)   # chunks are word-aligned
+
+    walk(12, len(data))
+    spf = (us_per_frame[0] or 40_000) / 1e6   # default 25 fps
+    return [(i, round(i * spf, 6), f) for i, f in enumerate(frames)]
+
+
 def avi_metadata(data: bytes) -> dict:
     """Main AVI header (`avih`): duration from µs-per-frame × frames,
     dimensions from dwWidth/dwHeight."""

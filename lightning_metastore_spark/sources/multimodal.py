@@ -179,20 +179,42 @@ def sample_video_frames(df: DataFrame, n_frames: int = 4,
                         id_col: str = "id", content_col: str = "content",
                         decode_stub: bool = True) -> DataFrame:
     """binary video payload -> n sampled frames (one output row per
-    frame): the fan-out step of a video-training pipeline. The Spark
-    plumbing — per-row fan-out inside mapInPandas, frame schema, batch
-    memory shape — is real; actual frame extraction needs ffmpeg
-    (absent here), so decode_stub=False raises NotImplementedError at
-    the decode call site where ffmpeg slots in. Stub frames are
-    digest-seeded deterministic bytes with evenly-spaced pseudo
-    timestamps derived from payload length."""
+    frame): the fan-out step of a video-training pipeline.
+
+    REAL for Motion-JPEG AVI payloads (since r12): the RIFF demux
+    (`codecs.avi_mjpeg_frames`) yields one complete JPEG per frame plus
+    its timestamp from the `avih` frame rate; n evenly-spaced frames
+    (first and last included) are emitted with the JPEG bytes as the
+    frame payload — decodable downstream by `resize_images`/
+    `image_dhash` via the repo's own JPEG decoder. Inter-frame codecs
+    (H.264/VP9/...) genuinely need ffmpeg: decode_stub=True emits
+    digest-seeded deterministic stub frames with pseudo timestamps,
+    decode_stub=False raises NotImplementedError at the call site
+    where ffmpeg slots in."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lightning_metastore_spark.sources.codecs import avi_mjpeg_frames
+
         cols = ["id", "frame_idx", "frame_ts", "frame"]
         for pdf in batches:
             rows = []
             for rid, raw in zip(pdf[id_col], pdf[content_col]):
                 data = bytes(raw)
+                real = avi_mjpeg_frames(data)
+                if real:
+                    total = len(real)
+                    if n_frames >= total:
+                        picks = list(range(total))
+                    else:
+                        picks = sorted({
+                            round(i * (total - 1) / (n_frames - 1))
+                            for i in range(n_frames)}) if n_frames > 1 \
+                            else [0]
+                    for idx in picks:
+                        fi, ts, jb = real[idx]
+                        rows.append({"id": int(rid), "frame_idx": fi,
+                                     "frame_ts": ts, "frame": jb})
+                    continue
                 if not decode_stub:
                     raise NotImplementedError(
                         "video frame extraction requires ffmpeg — not in "

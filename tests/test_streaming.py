@@ -567,3 +567,67 @@ def test_stateful_heavy_hitters_eviction_bounds(spark, tmp_path):
     # bounds hold for EVERY emitted item
     for it, (est, err) in final.items():
         assert est - err <= truth.get(it, 0) <= est, it
+
+
+def test_multimodal_mjpeg_avi_real_frames(spark):
+    """Motion-JPEG AVI payloads demux to REAL frames (no ffmpeg): each
+    emitted frame is a complete JPEG the repo's own decoder opens, with
+    timestamps from the avih frame rate and even first-to-last
+    sampling."""
+    import struct as st
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tests")
+    from test_codecs import _BW, _enc_ac_first, _extend_bits, _flat_huff, \
+        _jpeg_file
+
+    from lightning_metastore_spark.sources import codecs
+    from lightning_metastore_spark.sources import multimodal as mm
+
+    def mini_jpeg(dc):
+        dc_counts, dc_values, enc_dc = _flat_huff(list(range(12)))
+        ac_counts, ac_values, enc_ac = _flat_huff([0x00, 0x11, 0xF0])
+        blk = [dc] + [0] * 63
+        bw = _BW()
+        s, extra = _extend_bits(dc)
+        code, ln = enc_dc[s]
+        bw.bits(code, ln)
+        bw.bits(extra, s)
+        _enc_ac_first(bw, enc_ac, blk, 1, 63, 0)
+        return _jpeg_file(8, 8, 1, 0xC0, [4] * 64,
+                          [(dc_counts, dc_values, 0x00),
+                           (ac_counts, ac_values, 0x10)],
+                          [([(1, 0, 0)], 0, 63, 0, 0, bw.flush())])
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + st.pack("<I", len(body)) + body + pad
+
+    frames = [mini_jpeg(dc) for dc in (3, 9, 15, 21, 27, 33)]
+    avih = chunk(b"avih", st.pack("<I", 100_000) + b"\x00" * 52)
+    hdrl = chunk(b"LIST", b"hdrl" + avih)
+    movi = chunk(b"LIST", b"movi"
+                 + b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + st.pack("<I", len(body)) + body
+
+    demuxed = codecs.avi_mjpeg_frames(avi)
+    assert [i for i, _, _ in demuxed] == list(range(6))
+    assert [t for _, t, _ in demuxed] == [0.0, 0.1, 0.2, 0.3, 0.4, 0.5]
+
+    df = spark.createDataFrame([(7, bytearray(avi))], "id long, content binary")
+    out = sorted(mm.sample_video_frames(df, n_frames=3).collect(),
+                 key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in out] == [0, 2, 5]   # first/mid/last
+    assert [r.frame_ts for r in out] == [0.0, 0.2, 0.5]
+    pixels = set()
+    for r in out:
+        w, h, rows = codecs.jpeg_decode(bytes(r.frame))
+        assert (w, h) == (8, 8)
+        pixels.add(rows[0])
+    assert len(pixels) == 3                          # distinct real frames
+    # asking for more frames than exist returns them all, real path
+    assert mm.sample_video_frames(df, n_frames=10).count() == 6
+    # and MJPEG-AVI works even under decode_stub=False (no ffmpeg needed)
+    assert mm.sample_video_frames(df, n_frames=2,
+                                  decode_stub=False).count() == 2
