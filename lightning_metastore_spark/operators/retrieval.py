@@ -128,3 +128,64 @@ def hybrid_search(docs: DataFrame, emb: DataFrame, query_terms: tuple,
     return (rrf_fuse([lex_topk, dense_topk], id_col="doc_id",
                      score_col="score", k0=k0)
             .orderBy("fused_rank"))
+
+
+def mine_hard_negatives(emb: DataFrame, pairs: DataFrame, k: int = 5,
+                        margin: float = 0.0,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        query_col: str = "query_id",
+                        pos_col: str = "positive_id") -> DataFrame:
+    """Denoised hard-negative mining for contrastive retriever training
+    (the DPR/RocketQA recipe): for each supervised (query, positive)
+    pair, the k corpus vectors most cosine-similar to the query that
+    are neither the query nor its positive, keeping only candidates
+    scoring at least ``margin`` BELOW the positive's own score — the
+    published denoising rule that drops likely-unlabeled-positives
+    (false negatives) from the training batch.
+
+    Returns (query_id, rk, negative_id, cosine, pos_cosine), rk 1..k by
+    descending cosine with id tie-breaks.
+
+    Scale shape: identical to ``brute_force_topk`` — the supervision
+    set (pairs ⋈ embeddings, one row per pair with both vectors) is
+    broadcast, so the corpus NEVER shuffles; the pos-exclusion and the
+    margin test are free predicates on the scored stream, and only
+    k-bounded (query, negative, score) tuples reach the ranking
+    shuffle. Swap the scoring join for ``ivf_topk`` candidates when the
+    supervision set outgrows the broadcast wall.
+    """
+    from lightning_metastore_spark.operators.similarity import (
+        _dot,
+        _with_norm,
+    )
+
+    c = _with_norm(emb, id_col, vec_col, "negative_id")
+    q = _with_norm(emb, id_col, vec_col, "q")
+    p = _with_norm(emb, id_col, vec_col, "p")
+    qp = (pairs
+          .select(F.col(query_col).alias("q"), F.col(pos_col).alias("p"))
+          .join(q, "q").join(p, "p")
+          .withColumn("pos_cosine",
+                      F.round(_dot("q_v", "p_v")
+                              / (F.col("q_norm") * F.col("p_norm")), 9))
+          .select(F.col("q").alias("query_id"),
+                  F.col("p").alias("positive_id"),
+                  F.col("q_v").alias("query_v"),
+                  F.col("q_norm").alias("query_norm"),
+                  "pos_cosine"))
+    scored = (
+        c.join(F.broadcast(qp),
+               (F.col("negative_id") != F.col("query_id"))
+               & (F.col("negative_id") != F.col("positive_id")))
+        .withColumn("cosine",
+                    F.round(_dot("query_v", "negative_id_v")
+                            / (F.col("query_norm")
+                               * F.col("negative_id_norm")), 9))
+        .filter(F.col("cosine") <= F.col("pos_cosine") - F.lit(margin)))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                          F.asc("negative_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "rk", "negative_id", "cosine", "pos_cosine")
+            .orderBy("query_id", "rk"))

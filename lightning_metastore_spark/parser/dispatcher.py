@@ -1578,6 +1578,19 @@ class RunPipeline(Command):
                 retrieval.rrf_fuse([df, other], query_col=query_col,
                                    k0=k0),
                 {"other": "TABLE", "query_col": str, "k0": int}),
+            "mine_hard_negatives": (
+                lambda df, pairs, k=5, margin=0.0, id_col="vec_id",
+                vec_col="embedding", query_col="query_id",
+                pos_col="positive_id":
+                retrieval.mine_hard_negatives(df, pairs, k=k,
+                                              margin=margin,
+                                              id_col=id_col,
+                                              vec_col=vec_col,
+                                              query_col=query_col,
+                                              pos_col=pos_col),
+                {"pairs": "TABLE", "k": int, "margin": float,
+                 "id_col": str, "vec_col": str, "query_col": str,
+                 "pos_col": str}),
             "hybrid_search": (
                 lambda df, emb, query_terms, query_vec_id, k=10, k0=60,
                 dense="brute", n_cells=16, n_probe=4:

@@ -63,7 +63,9 @@ Sampling:     mixture_resample, temperature_resample (XLM/mT5
               bucket_resample (per-bucket deterministic thinning —
               the CCNet head/middle/tail terminal step)
 Retrieval:    rrf_fuse (Reciprocal Rank Fusion),
-              hybrid_search (BM25 + dense cosine, brute or IVF)
+              hybrid_search (BM25 + dense cosine, brute or IVF),
+              mine_hard_negatives (denoised DPR/RocketQA-style
+              hard negatives for contrastive retriever training)
 Skyline:      skyline, skyline_per_group (Pareto-optimal sets)
 Frequency:    heavy_hitters (space-saving sketch -> exact verify)
 Packing:      packed_offsets, greedy_pack_bins
@@ -227,6 +229,7 @@ from lightning_metastore_spark.operators.quantization import (  # noqa: F401
 )
 from lightning_metastore_spark.operators.retrieval import (  # noqa: F401
     hybrid_search,
+    mine_hard_negatives,
     rrf_fuse,
 )
 from lightning_metastore_spark.operators.sampling import (  # noqa: F401

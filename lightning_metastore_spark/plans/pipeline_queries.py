@@ -676,38 +676,100 @@ FROM embeddings WHERE vec_id % 50 = 0 ORDER BY query_id
 """
 
 
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denoised hard-negative mining gate arm
+    (`operators/retrieval.mine_hard_negatives`): the supervision pairs
+    are deterministic in-suite — each query's rank-1 brute-force
+    neighbor plays the labeled positive — then the top-3 negatives at
+    margin 0.02 below the positive's score are hash-verified."""
+    from lightning_metastore_spark.operators.retrieval import (
+        mine_hard_negatives,
+    )
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    pos = (similarity.brute_force_topk(emb, queries, k=1)
+           .select("query_id",
+                   F.col("neighbor_id").alias("positive_id")))
+    return mine_hard_negatives(emb, pos, k=3, margin=0.02)
+
+
 def ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both ANN paths in one tagged-union slot (50-slot registry
-    discipline): the exact brute-force top-k rows and the IVF recall
-    verdicts, schema-aligned with NULLs on the columns the other method
-    doesn't produce. Each method keeps its full per-row hash check."""
+    """The ANN paths in one tagged-union slot (50-slot registry
+    discipline): exact brute-force top-k rows, IVF recall verdicts, and
+    denoised hard-negative mining, schema-aligned with NULLs on the
+    columns the other methods don't produce. Each method keeps its full
+    per-row hash check."""
     brute = (ann_brute_force_topk(spark, sf_dir)
              .select(F.lit("brute").alias("method"), "query_id",
                      F.col("rk").cast("long").alias("rk"),
                      F.col("neighbor_id").cast("long").alias("neighbor_id"),
                      "cosine",
+                     F.lit(None).cast("double").alias("pos_cosine"),
                      F.lit(None).cast("boolean").alias("recall_ok"),
                      F.lit(None).cast("boolean").alias("mean_recall_ok")))
+    hardneg = (ann_hard_negatives(spark, sf_dir)
+               .select(F.lit("hardneg").alias("method"), "query_id",
+                       F.col("rk").cast("long").alias("rk"),
+                       F.col("negative_id").cast("long").alias("neighbor_id"),
+                       "cosine", "pos_cosine",
+                       F.lit(None).cast("boolean").alias("recall_ok"),
+                       F.lit(None).cast("boolean").alias("mean_recall_ok")))
     ivf = (ann_ivf_topk(spark, sf_dir)
            .select(F.lit("ivf").alias("method"), "query_id",
                    F.lit(None).cast("long").alias("rk"),
                    F.lit(None).cast("long").alias("neighbor_id"),
                    F.lit(None).cast("double").alias("cosine"),
+                   F.lit(None).cast("double").alias("pos_cosine"),
                    "recall_ok", "mean_recall_ok"))
-    return (brute.unionByName(ivf)
+    return (brute.unionByName(hardneg).unionByName(ivf)
             .orderBy("method", "query_id", "rk"))
 
 
 ANN_SUITE_ORACLE = (
-    "SELECT 'brute' AS method, query_id, CAST(rk AS BIGINT) AS rk, "
-    "CAST(neighbor_id AS BIGINT) AS neighbor_id, cosine, "
-    "CAST(NULL AS BOOLEAN) AS recall_ok, "
-    "CAST(NULL AS BOOLEAN) AS mean_recall_ok "
-    "FROM (" + ANN_BRUTE_ORACLE + ") "
-    "UNION ALL "
-    "SELECT 'ivf', query_id, NULL, NULL, CAST(NULL AS DOUBLE), "
-    "recall_ok, mean_recall_ok FROM (" + ANN_IVF_ORACLE + ") "
-    "ORDER BY method, query_id, rk"
+    """
+WITH q AS (SELECT * FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 9) AS cosine
+  FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+),
+pos AS (
+  SELECT query_id, neighbor_id AS positive_id, cosine AS pos_cosine
+  FROM ranked WHERE rk = 1
+),
+hn AS (
+  SELECT s.query_id, s.neighbor_id, s.cosine, p.pos_cosine,
+         ROW_NUMBER() OVER (PARTITION BY s.query_id
+                            ORDER BY s.cosine DESC, s.neighbor_id) AS rk
+  FROM scored s JOIN pos p ON s.query_id = p.query_id
+  WHERE s.neighbor_id <> p.positive_id
+    AND s.cosine <= p.pos_cosine - CAST(0.02 AS DOUBLE)
+)
+SELECT 'brute' AS method, query_id, CAST(rk AS BIGINT) AS rk,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id, cosine,
+       CAST(NULL AS DOUBLE) AS pos_cosine,
+       CAST(NULL AS BOOLEAN) AS recall_ok,
+       CAST(NULL AS BOOLEAN) AS mean_recall_ok
+FROM ranked WHERE rk <= 5
+UNION ALL
+SELECT 'hardneg', query_id, CAST(rk AS BIGINT),
+       CAST(neighbor_id AS BIGINT), cosine, pos_cosine, NULL, NULL
+FROM hn WHERE rk <= 3
+UNION ALL
+SELECT 'ivf', query_id, NULL, NULL, CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), recall_ok, mean_recall_ok
+FROM (""" + ANN_IVF_ORACLE + """)
+ORDER BY method, query_id, rk
+"""
 )
 
 
@@ -4352,7 +4414,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
         QuerySpec("text_tfidf_top_terms", text_tfidf_top_terms, TFIDF_ORACLE,
                   "top-k TF-IDF terms per document"),
         QuerySpec("ann_topk_suite", ann_topk_suite, ANN_SUITE_ORACLE,
-                  "brute-force top-k + IVF recall verdicts (tagged union)"),
+                  "brute-force top-k + IVF recall verdicts + denoised hard-negative mining (tagged union)"),
         QuerySpec("text_quality", text_quality, TEXT_QUALITY_ORACLE,
                   "quality features + composite score + BPE-ish tokens"),
         QuerySpec("text_lang_id", text_lang_id, LANG_ID_ORACLE,
@@ -4448,6 +4510,7 @@ SUITE_SECTIONS: dict = {
     "ann_topk_suite": {
         "brute": ann_brute_force_topk,
         "ivf": ann_ivf_topk,
+        "hardneg": ann_hard_negatives,
     },
     "text_lm_suite": {
         "unigram": _lm_section(text_fns.unigram_logprob),

@@ -559,6 +559,26 @@ def test_two_table_range_join_and_ann_sql(env, spark, tmp_path_factory):
     wanta = brute_force_topk(env.emb, env.emb, k=3)
     assert _rows(gota) == _rows(wanta)
 
+    # hard-negative mining: pairs = the rank-1 neighbors, SINKed as a
+    # table, then consumed via the pairs/pos_col options
+    from lightning_metastore_spark.operators.retrieval import (
+        mine_hard_negatives)
+    out_dir = tmp_path_factory.mktemp("hn_pairs_ds")
+    env.ctx.sql(f"REGISTER PARQUET DATASOURCE hnp "
+                f"OPTIONS(path '{out_dir}') "
+                "NAMESPACE lightning.datasource.file")
+    env.ctx.sql(f"RUN PIPELINE ann_topk ON {EMB} "
+                f"OPTIONS(queries '{EMB}', k '1') "
+                "SINK lightning.datasource.file.hnp.pairs")
+    goth = env.ctx.sql(
+        f"RUN PIPELINE mine_hard_negatives ON {EMB} "
+        "OPTIONS(pairs 'lightning.datasource.file.hnp.pairs', "
+        "pos_col 'neighbor_id', k '3', margin '0.02')")
+    pairs = brute_force_topk(env.emb, env.emb, k=1)
+    wanth = mine_hard_negatives(env.emb, pairs, k=3, margin=0.02,
+                                pos_col="neighbor_id")
+    assert _rows(goth) == _rows(wanth) and goth.count() > 0
+
 
 def test_span_index_build_and_admit_sql(env, spark, tmp_path_factory):
     """Incremental exact-substring dedup through SQL: span_index SINKs

@@ -177,3 +177,45 @@ def test_hybrid_search_ivf_backend(spark):
 
     with pytest.raises(ValueError):
         hybrid_search(docs, emb, terms, query_vec_id=qid, dense="hnsw")
+
+
+def test_mine_hard_negatives_matches_numpy_twin(spark):
+    """Independent numpy re-derivation: per pair, rank all non-query
+    non-positive vectors by cosine, drop those above pos_cosine -
+    margin, take 3 — must equal the Spark result bit-for-bit on the
+    round-9 scores."""
+    import numpy as np
+
+    from lightning_metastore_spark.operators.retrieval import (
+        mine_hard_negatives,
+    )
+
+    rng = [((i * 2654435761) % 97) / 97.0 for i in range(200)]
+    vecs = {vid: [rng[(vid * 8 + j) % 200] - 0.5 for j in range(8)]
+            for vid in range(40)}
+    emb = spark.createDataFrame(
+        [(vid, v) for vid, v in vecs.items()],
+        "vec_id long, embedding array<double>")
+    pairs = spark.createDataFrame(
+        [(0, 7), (5, 11), (13, 2)], "query_id long, positive_id long")
+    got = [(r.query_id, r.rk, r.negative_id, r.cosine, r.pos_cosine)
+           for r in mine_hard_negatives(emb, pairs, k=3,
+                                        margin=0.05).collect()]
+
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 9)
+
+    want = []
+    for q, p in [(0, 7), (5, 11), (13, 2)]:
+        pc = cos(vecs[q], vecs[p])
+        cands = sorted(
+            ((-cos(vecs[q], vecs[n]), n) for n in vecs
+             if n not in (q, p) and cos(vecs[q], vecs[n]) <= pc - 0.05))
+        for rk, (negc, n) in enumerate(cands[:3], 1):
+            want.append((q, rk, n, -negc, pc))
+    want.sort()
+    assert got == want and len(got) == 9
+    # positives and the query itself never appear as negatives
+    assert all(n not in (q, {0: 7, 5: 11, 13: 2}[q])
+               for q, _, n, _, _ in got)
