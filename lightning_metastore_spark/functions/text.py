@@ -92,6 +92,81 @@ def quality_features(docs: DataFrame, text_col: str = "text",
     )
 
 
+# the eight Gopher quality-rule stop words (Rae et al. 2021, App. A1.1)
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_rules(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         min_words: int = 50, max_words: int = 100_000,
+                         min_mean_word_len: float = 3.0,
+                         max_mean_word_len: float = 10.0,
+                         max_symbol_ratio: float = 0.1,
+                         max_bullet_frac: float = 0.9,
+                         max_ellipsis_frac: float = 0.3,
+                         min_alpha_frac: float = 0.8,
+                         min_stop_words: int = 2) -> DataFrame:
+    """The Gopher document quality rules (Rae et al. 2021, Appendix
+    A1.1) as pure JVM column expressions — the published filter set
+    that, with the C4 URL rule and the Gopher repetition filters
+    (`repetition_features`), completes the standard web-corpus recipe
+    stack (FineWeb = C4 + Gopher subsets):
+
+    1. word count in [min_words, max_words]
+    2. mean word length in [3, 10] characters
+    3. symbol-to-word ratio (# / ellipsis) < 0.1
+    4. < 90% of lines starting with a bullet character
+    5. < 30% of lines ending with an ellipsis
+    6. > 80% of words containing an alphabetic character
+    7. >= 2 distinct Gopher stop words present
+
+    Returns per-doc signals (ratios rounded to 6dp; the keep decision
+    is computed on the UNROUNDED values — all integer-ratio doubles,
+    so engine-portable exactly) plus the composite ``gopher_keep``.
+    Map-only: one scan, zero shuffles, whole-stage-codegen throughout.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))  # NULL doc = empty doc
+    t = F.lower(raw)
+    words = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    n_words = F.size(words)
+    nw = F.greatest(n_words, F.lit(1))
+    sum_len = F.aggregate(words, F.lit(0),
+                          lambda acc, x: acc + F.length(x))
+    mean_word_len = sum_len / nw
+    n_symbols = F.size(F.regexp_extract_all(
+        raw, F.lit(r"(#|\.\.\.|…)"), 1))
+    symbol_ratio = n_symbols / nw
+    lines = F.split(raw, r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.size(F.filter(
+        lines, lambda x: x.rlike(r"^\s*[•‣▪\-\*]"))) / n_lines
+    ellipsis_frac = F.size(F.filter(
+        lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))) / n_lines
+    alpha_frac = F.size(F.filter(
+        words, lambda x: x.rlike("[a-z]"))) / nw
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(words), stop_arr))
+    keep = ((n_words >= min_words) & (n_words <= max_words)
+            & (mean_word_len >= min_mean_word_len)
+            & (mean_word_len <= max_mean_word_len)
+            & (symbol_ratio < max_symbol_ratio)
+            & (bullet_frac < max_bullet_frac)
+            & (ellipsis_frac < max_ellipsis_frac)
+            & (alpha_frac > min_alpha_frac)
+            & (n_stop >= min_stop_words))
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        n_stop.alias("n_stop_present"),
+        keep.alias("gopher_keep"),
+    )
+
+
 def lang_id(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """(doc_id, pred_lang) — marker-token + CJK-script heuristic.

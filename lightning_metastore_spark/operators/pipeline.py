@@ -45,6 +45,11 @@ class CurationConfig:
     val_frac_hex: str = "e6"         # (~0.1 more)
     # optional stages (None = off, keeping the gate oracle's shape):
     max_dup_2gram_frac: float | None = None   # Gopher repetition reject
+    use_gopher_rules: bool = False             # the Gopher document
+    #   quality rules (Rae et al. App. A1.1) at published thresholds:
+    #   word-count bounds, mean word length, symbol ratio, bullet/
+    #   ellipsis line fractions, alpha-word fraction, stop-word
+    #   presence (functions/text.gopher_quality_rules, map-only)
     max_dup_span_frac: float | None = None    # exact-substring dup reject
     dup_span_k: int = 5
     max_contam_frac: float | None = None      # benchmark decontamination
@@ -260,6 +265,18 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
         out = out.join(spans, id_col, "left")
         span_ok = (F.coalesce("dup_span_frac", F.lit(0.0))
                    <= cfg.max_dup_span_frac)
+    gopher_ok = F.lit(True)
+    if cfg.use_gopher_rules:
+        # the Gopher document quality rules (Rae et al. App. A1.1) at
+        # their published thresholds; map-only select over cleaned, so
+        # every doc has a row, but the LEFT join keeps the row-count
+        # invariance pattern anyway. A NULL/empty doc fails the
+        # word-count bound and is rejected — unlike the neutral-default
+        # stages, "too short" IS the Gopher verdict for it.
+        gop = text_fns.gopher_quality_rules(cleaned, text_col, id_col) \
+            .select(id_col, "gopher_keep")
+        out = out.join(gop, id_col, "left")
+        gopher_ok = F.coalesce("gopher_keep", F.lit(False))
     clf_ok = F.lit(True)
     if cfg.min_classifier_score is not None:
         clf = text_fns.classifier_score(cleaned, text_col=text_col,
@@ -327,7 +344,7 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
     keep = (url_ok & F.col("exact_survivor") & F.col("cluster_survivor")
             & (F.col("quality_score") >= cfg.min_quality)
             & F.col("pred_lang").isin(*cfg.allowed_langs)
-            & rep_ok & span_ok & clf_ok & lm_ok & ld_ok & ref_ok
+            & rep_ok & gopher_ok & span_ok & clf_ok & lm_ok & ld_ok & ref_ok
             & ccnet_ok & contam_ok)
     reason = (F.when(~url_ok, "url_duplicate")
               .when(~F.col("exact_survivor"), "exact_duplicate")
@@ -335,6 +352,7 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
               .when(F.col("quality_score") < cfg.min_quality, "low_quality")
               .when(~F.col("pred_lang").isin(*cfg.allowed_langs), "language")
               .when(~rep_ok, "repetitive")
+              .when(~gopher_ok, "gopher_rules")
               .when(~span_ok, "dup_spans")
               .when(~clf_ok, "low_classifier_score")
               .when(~lm_ok, "high_perplexity")

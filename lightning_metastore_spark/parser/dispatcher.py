@@ -1322,6 +1322,15 @@ class RunPipeline(Command):
             "quality": (tf.quality_features, {}),
             "lang_id": (tf.lang_id, {}),
             "repetition": (tf.repetition_features, {}),
+            "gopher_rules": (tf.gopher_quality_rules,
+                             {"min_words": int, "max_words": int,
+                              "min_mean_word_len": float,
+                              "max_mean_word_len": float,
+                              "max_symbol_ratio": float,
+                              "max_bullet_frac": float,
+                              "max_ellipsis_frac": float,
+                              "min_alpha_frac": float,
+                              "min_stop_words": int}),
             "entities": (tf.entity_counts, {}),
             "encoding": (tf.encoding_anomalies, {}),
             "zipf": (tf.zipf_fit, {"top_v": int}),
@@ -1336,6 +1345,7 @@ class RunPipeline(Command):
             "curate": (curate,
                        {"min_quality": float,
                         "max_dup_2gram_frac": float,
+                        "use_gopher_rules": _bool,
                         "max_dup_span_frac": float, "dup_span_k": int,
                         "min_classifier_score": float,
                         "min_avg_logprob": float,

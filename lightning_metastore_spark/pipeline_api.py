@@ -28,6 +28,8 @@ Text quality: token_counts, quality_features, lang_id, redact_pii,
               classifier_score (+ train_logreg_classifier — exact
               distributed GD training with save/load artifacts),
               fingerprint, repetition_features,
+              gopher_quality_rules (the Gopher App. A1.1 document
+              filter set at published thresholds),
               bm25_scores, phrase_search, zipf_fit,
               encoding_anomalies, entity_counts, domain_profile
 Tokenizing:   build_vocab, encode_token_stats, chunk_documents,
@@ -118,6 +120,7 @@ from lightning_metastore_spark.functions.text import (  # noqa: F401
     classifier_score,
     encode_token_stats,
     fingerprint,
+    gopher_quality_rules,
     lang_id,
     quality_features,
     redact_pii,

@@ -2337,6 +2337,62 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.repetition_features(t["documents"]).orderBy("doc_id")
 
 
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher document quality rules (Rae et al. 2021 App. A1.1) —
+    word-count bounds, mean word length, symbol ratio, bullet/ellipsis
+    line fractions, alphabetic-word fraction, stop-word presence and
+    the composite keep (functions/text.py::gopher_quality_rules)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text_fns.gopher_quality_rules(t["documents"]).orderBy("doc_id")
+
+
+TEXT_GOPHER_ORACLE = r"""
+WITH g AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(COALESCE(text, '')), '\s+'),
+                     x -> x <> '') AS words,
+         string_split(COALESCE(text, ''), chr(10)) AS lines,
+         len(regexp_extract_all(COALESCE(text, ''), '(#|\.\.\.|…)', 1))
+           AS n_symbols
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         GREATEST(len(words), 1) AS nw,
+         COALESCE(list_sum(list_transform(words, x -> length(x))), 0)
+           AS sum_len,
+         n_symbols,
+         GREATEST(len(lines), 1) AS n_lines,
+         len(list_filter(lines,
+             x -> regexp_matches(x, '^\s*[•‣▪\-\*]'))) AS n_bullet,
+         len(list_filter(lines,
+             x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS n_ellipsis,
+         len(list_filter(words,
+             x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         len(list_intersect(list_distinct(words),
+             ['the','be','to','of','and','that','have','with'])) AS n_stop
+  FROM g
+)
+SELECT doc_id,
+       CAST(n_words AS INT) AS n_words,
+       ROUND(sum_len / nw, 6) AS mean_word_len,
+       ROUND(n_symbols / nw, 6) AS symbol_word_ratio,
+       ROUND(n_bullet / n_lines, 6) AS bullet_line_frac,
+       ROUND(n_ellipsis / n_lines, 6) AS ellipsis_line_frac,
+       ROUND(n_alpha / nw, 6) AS alpha_word_frac,
+       CAST(n_stop AS INT) AS n_stop_present,
+       (n_words >= 50 AND n_words <= 100000
+        AND sum_len / nw >= CAST(3.0 AS DOUBLE)
+        AND sum_len / nw <= CAST(10.0 AS DOUBLE)
+        AND n_symbols / nw < CAST(0.1 AS DOUBLE)
+        AND n_bullet / n_lines < CAST(0.9 AS DOUBLE)
+        AND n_ellipsis / n_lines < CAST(0.3 AS DOUBLE)
+        AND n_alpha / nw > CAST(0.8 AS DOUBLE)
+        AND n_stop >= 2) AS gopher_keep
+FROM s ORDER BY doc_id
+"""
+
+
 TEXT_REPETITION_ORACLE = r"""
 WITH toks AS (
   SELECT doc_id, LENGTH(text) AS n_chars,
@@ -3806,6 +3862,10 @@ def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
               ["n_words", "n_distinct_words", "distinct_word_ratio",
                "dup_word_char_frac", "top_2gram_char_frac",
                "dup_2gram_char_frac", "word_entropy", "is_repetitive"]),
+        _melt(text_gopher_rules(spark, sf_dir), "gopher", "doc_id",
+              ["n_words", "mean_word_len", "symbol_word_ratio",
+               "bullet_line_frac", "ellipsis_line_frac",
+               "alpha_word_frac", "n_stop_present", "gopher_keep"]),
         _melt(token_histogram(spark, sf_dir), "histogram", "bucket_lo",
               ["n_docs", "min_tokens", "max_tokens", "avg_tokens",
                "sum_chars"]),
@@ -3879,6 +3939,11 @@ CORPUS_PROFILE_SUITE_ORACLE = (
                 ["n_words", "n_distinct_words", "distinct_word_ratio",
                  "dup_word_char_frac", "top_2gram_char_frac",
                  "dup_2gram_char_frac", "word_entropy", "is_repetitive"])
+    + " UNION ALL "
+    + _melt_sql(TEXT_GOPHER_ORACLE, "gopher", "doc_id",
+                ["n_words", "mean_word_len", "symbol_word_ratio",
+                 "bullet_line_frac", "ellipsis_line_frac",
+                 "alpha_word_frac", "n_stop_present", "gopher_keep"])
     + " UNION ALL "
     + _melt_sql(TOKEN_HISTOGRAM_ORACLE, "histogram", "bucket_lo",
                 ["n_docs", "min_tokens", "max_tokens", "avg_tokens",
@@ -4445,7 +4510,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "PK + FK + custom DQ checks (tagged union)"),
         QuerySpec("corpus_profile_suite", corpus_profile_suite,
                   CORPUS_PROFILE_SUITE_ORACLE,
-                  "repetition + histogram + packing + contamination + "
+                  "Gopher repetition + quality rules + histogram + "
+                  "packing + contamination + "
                   "chunking + tokenizer ids/fertility + skyline + heavy "
                   "hitters + Zipf fit + encoding triage + domain profile "
                   "+ CDC chunk dedup + entity census + span ops + bloom "
@@ -4545,6 +4611,7 @@ SUITE_SECTIONS: dict = {
     },
     "corpus_profile_suite": {
         "repetition": text_repetition,
+        "gopher": text_gopher_rules,
         "histogram": token_histogram,
         "pack": sequence_pack,
         "contamination": contamination_check,

@@ -248,6 +248,9 @@ def _cases():
         ("norm_outliers",
          f"norm_outliers ON {EMB} OPTIONS(k '2.0', exact 'true')",
          lambda e: quantization.norm_outliers(e.emb, k=2.0, exact=True)),
+        ("gopher_rules",
+         f"gopher_rules ON {DOCS} OPTIONS(min_words '10')",
+         lambda e: tf.gopher_quality_rules(e.docs, min_words=10)),
         ("temperature_resample",
          f"temperature_resample ON {DOCS} "
          "OPTIONS(tau '0.5', target_frac '0.5', group_col 'lang')",

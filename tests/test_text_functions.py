@@ -283,3 +283,95 @@ def test_entity_counts_exact_spans(spark):
     assert not bool(out[2].any_entity)
     assert out[3].n_urls == 0 and out[3].n_dates == 0
     assert out[3].n_numbers > 0  # the slashed date's digit runs count
+
+
+def test_gopher_quality_rules_twin(spark):
+    """Hand-built docs exercising every Gopher rule, verified against
+    an independent Python re-derivation of the published thresholds."""
+    import re
+
+    from lightning_metastore_spark.functions.text import (
+        gopher_quality_rules,
+    )
+
+    good = ("the quick brown fox jumps with great energy and that "
+            "steady pace shows just how much these animals have to "
+            "offer when they run through the quiet forest and keep "
+            "moving along the winding path toward the distant hills "
+            "while birds watch from tall branches above the meadow "
+            "and the evening light settles over every quiet field")
+    docs = spark.createDataFrame(
+        [(1, good),                                  # passes everything
+         (2, "too short to pass the word count rule"),
+         (3, "- " + "\n- ".join(["the item of and that"] * 20)),  # bullets
+         (4, good.replace(" and ", " ### and ### ")),  # symbol ratio
+         (5, " ".join(["12345 67890"] * 40)),          # no alpha, no stops
+         (6, None),
+         (7, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_quality_rules(docs).collect()}
+
+    def twin(text):
+        text = text or ""
+        words = [w for w in re.split(r"\s+", text.lower()) if w]
+        nw = max(len(words), 1)
+        lines = text.split("\n")
+        nl = max(len(lines), 1)
+        mean_len = sum(len(w) for w in words) / nw
+        symbols = len(re.findall(r"#|\.\.\.|…", text))
+        bullets = sum(1 for l in lines if re.match(r"^\s*[•‣▪\-\*]", l))
+        ellip = sum(1 for l in lines if re.search(r"(\.\.\.|…)\s*$", l))
+        alpha = sum(1 for w in words if re.search(r"[a-z]", w))
+        stops = len({"the", "be", "to", "of", "and", "that", "have",
+                     "with"} & set(words))
+        keep = (50 <= len(words) <= 100_000 and 3 <= mean_len <= 10
+                and symbols / nw < 0.1 and bullets / nl < 0.9
+                and ellip / nl < 0.3 and alpha / nw > 0.8 and stops >= 2)
+        return (len(words), round(mean_len, 6), round(symbols / nw, 6),
+                round(bullets / nl, 6), round(ellip / nl, 6),
+                round(alpha / nw, 6), stops, keep)
+
+    for doc_id, text in [(1, good), (2, "too short to pass the word "
+                                     "count rule"),
+                         (3, "- " + "\n- ".join(["the item of and that"]
+                                                * 20)),
+                         (4, good.replace(" and ", " ### and ### ")),
+                         (5, " ".join(["12345 67890"] * 40)),
+                         (6, None), (7, "")]:
+        r = got[doc_id]
+        assert (r.n_words, r.mean_word_len, r.symbol_word_ratio,
+                r.bullet_line_frac, r.ellipsis_line_frac,
+                r.alpha_word_frac, r.n_stop_present,
+                r.gopher_keep) == twin(text), doc_id
+    assert got[1].gopher_keep and not any(
+        got[i].gopher_keep for i in (2, 3, 4, 5, 6, 7))
+
+
+def test_curate_gopher_stage(spark):
+    """use_gopher_rules rejects with reason gopher_rules; row count
+    stays invariant and the default config is unaffected."""
+    from lightning_metastore_spark.operators.pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    long_good = ("the steady rhythm of these long sentences keeps the "
+                 "word count well above fifty and that gives the rule "
+                 "set something real to measure with plenty of common "
+                 "stop words spread through the text so the presence "
+                 "test passes while every other ratio stays in range "
+                 "and the final line carries the count past the floor")
+    docs = spark.createDataFrame(
+        [(1, long_good), (2, "way too short for gopher")],
+        "doc_id long, text string")
+    base = curate_corpus(docs, CurationConfig(min_quality=0.0,
+                                              boilerplate_max_df=10,
+                                              use_minhash=False))
+    assert base.count() == 2 and all(r.keep for r in base.collect())
+    out = {r.doc_id: r for r in curate_corpus(
+        docs, CurationConfig(min_quality=0.0, boilerplate_max_df=10,
+                             use_minhash=False,
+                             use_gopher_rules=True)).collect()}
+    assert len(out) == 2
+    assert out[1].keep and out[1].drop_reason is None
+    assert not out[2].keep and out[2].drop_reason == "gopher_rules"
