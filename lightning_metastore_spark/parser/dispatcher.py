@@ -1301,7 +1301,7 @@ class RunPipeline(Command):
         def ingest_admit(df, index_dir, threshold=0.5, max_span_frac=None,
                          bloom_path=None, bloom_threshold=0.5,
                          ref_lm_path=None, min_ref_logprob=None,
-                         url_col=None):
+                         url_col=None, use_gopher_rules=False):
             """Admit a batch against a persisted dedup index (OPTIONS(index_dir)) — the backfill twin of the streaming ingest sink."""
             from lightning_metastore_spark.streaming.ingest import (
                 dedup_batch_against_index)
@@ -1310,7 +1310,8 @@ class RunPipeline(Command):
                 max_span_frac=max_span_frac, bloom_path=bloom_path,
                 bloom_threshold=bloom_threshold,
                 ref_lm_path=ref_lm_path,
-                min_ref_logprob=min_ref_logprob, url_col=url_col)
+                min_ref_logprob=min_ref_logprob, url_col=url_col,
+                use_gopher_rules=use_gopher_rules)
 
         return {
             "exact_dedup": (dedup.exact_dedup, {}),
@@ -1413,7 +1414,8 @@ class RunPipeline(Command):
                               "bloom_threshold": float,
                               "ref_lm_path": str,
                               "min_ref_logprob": float,
-                              "url_col": str}),
+                              "url_col": str,
+                              "use_gopher_rules": _bool}),
             # ---- dedup (beyond minhash): simhash, spans, semantic ----
             "simhash_pairs": (dedup.simhash_pairs,
                               {"hamming_max": int,

@@ -128,7 +128,8 @@ def dedup_batch_against_index(spark: SparkSession, batch: DataFrame,
                               bloom_threshold: float = 0.5,
                               ref_lm_path: str | None = None,
                               min_ref_logprob: float | None = None,
-                              url_col: str | None = None) -> DataFrame:
+                              url_col: str | None = None,
+                              use_gopher_rules: bool = False) -> DataFrame:
     """The per-batch admission decision (pure batch DataFrame program —
     also the test twin of the streaming sink): returns the NOVEL subset
     of ``batch`` after exact intra-batch, near-dup intra-batch,
@@ -181,7 +182,15 @@ def dedup_batch_against_index(spark: SparkSession, batch: DataFrame,
     rejectors). URL-presence is an equivalence-like relation, so the
     ``exclude_batch`` visibility rule suffices (the span-style
     strictly-before rule is not needed); NULL-URL docs pass — no URL
-    evidence is not duplicate evidence."""
+    evidence is not duplicate evidence.
+
+    ``use_gopher_rules`` (opt-in): the Gopher document quality rules
+    (functions/text.gopher_quality_rules, published thresholds) as the
+    CHEAPEST text rejector — pure whole-stage-codegen expressions with
+    no artifact at all, sequenced right after URL rejection so
+    rule-failing pages never reach the bitmap/LM/shingle passes.
+    Stateless and static like the Bloom/LM rejectors: replays are
+    trivially stable."""
     if (ref_lm_path is None) != (min_ref_logprob is None):
         raise ValueError("ref_lm_path and min_ref_logprob must be set "
                          "together (one without the other would "
@@ -214,6 +223,17 @@ def dedup_batch_against_index(spark: SparkSession, batch: DataFrame,
                        F.col("canonical_url").alias("__cu")), "__cu")
                    .select(id_col).distinct())
             batch = batch.join(hit, id_col, "left_anti")
+
+    # 0a. Gopher quality rules: pure codegen expressions, zero state —
+    # the cheapest text rejector runs before anything that builds
+    # n-grams or probes an artifact
+    if use_gopher_rules:
+        from lightning_metastore_spark.functions.text import (
+            gopher_quality_rules)
+
+        bad = (gopher_quality_rules(batch, text_col, id_col)
+               .filter(~F.col("gopher_keep")).select(id_col))
+        batch = batch.join(bad, id_col, "left_anti")
 
     # 0b. benchmark decontamination: a map-only vectorized bitmap probe
     # — the cheapest rejector runs FIRST so the heavier LSH/CC steps
@@ -324,7 +344,8 @@ def ingest_micro_batch(spark: SparkSession, batch_df: DataFrame,
                        bloom_threshold: float = 0.5,
                        ref_lm_path: str | None = None,
                        min_ref_logprob: float | None = None,
-                       url_col: str | None = None) -> None:
+                       url_col: str | None = None,
+                       use_gopher_rules: bool = False) -> None:
     """The sink's per-batch body (module-level so tests can drive the
     REAL production path with explicit batch ids and replay order):
     admit the batch against the index excluding its own partition,
@@ -342,7 +363,7 @@ def ingest_micro_batch(spark: SparkSession, batch_df: DataFrame,
         exclude_batch=batch_id, max_span_frac=max_span_frac,
         bloom_path=bloom_path, bloom_threshold=bloom_threshold,
         ref_lm_path=ref_lm_path, min_ref_logprob=min_ref_logprob,
-        url_col=url_col)
+        url_col=url_col, use_gopher_rules=use_gopher_rules)
     # cut the triple-branch plan once: novel feeds docs-out AND every
     # artifact write; each write would otherwise recompute the
     # whole dedup pipeline (4x the batch cost)
@@ -371,7 +392,8 @@ def start_dedup_ingest_sink(stream_docs: DataFrame, index_dir: str,
                             bloom_threshold: float = 0.5,
                             ref_lm_path: str | None = None,
                             min_ref_logprob: float | None = None,
-                            url_col: str | None = None):
+                            url_col: str | None = None,
+                            use_gopher_rules: bool = False):
     """Start the ingestion sink over a streaming docs DataFrame.
     Returns the StreamingQuery handle; the caller owns stop().
 
@@ -383,7 +405,9 @@ def start_dedup_ingest_sink(stream_docs: DataFrame, index_dir: str,
     rejects benchmark-contaminated docs against a saved Bloom artifact
     — the fourth, static rejector. ``ref_lm_path`` +
     ``min_ref_logprob`` (optional) reject below-floor docs under a
-    saved reference-LM artifact — the fifth, also static rejector
+    saved reference-LM artifact — the fifth, also static rejector.
+    ``use_gopher_rules`` (optional) rejects pages failing the Gopher
+    document quality rules — the sixth rejector, stateless codegen
     (see dedup_batch_against_index)."""
     spark = stream_docs.sparkSession
 
@@ -391,7 +415,8 @@ def start_dedup_ingest_sink(stream_docs: DataFrame, index_dir: str,
         ingest_micro_batch(spark, batch_df, batch_id, index_dir, out_dir,
                            threshold, id_col, text_col, max_span_frac,
                            bloom_path, bloom_threshold,
-                           ref_lm_path, min_ref_logprob, url_col)
+                           ref_lm_path, min_ref_logprob, url_col,
+                           use_gopher_rules)
 
     return (stream_docs.writeStream
             .foreachBatch(_ingest)

@@ -474,3 +474,39 @@ def test_url_frontier_rejector(spark, tmp_path):
         spark, later, idx, url_col="url").count() == 0
     assert ingest.dedup_batch_against_index(
         spark, recrawl, idx, url_col="url").count() == 0
+
+
+def test_gopher_rejector_at_ingest(spark, tmp_path):
+    """The sixth (stateless) rejector: pages failing the Gopher
+    document quality rules are rejected before any artifact probe;
+    passing pages flow through; composes with the URL rejector in the
+    documented order (URL losers never reach the gopher stage)."""
+    long_good = ("the steady rhythm of these long sentences keeps the "
+                 "word count well above fifty and that gives the rule "
+                 "set something real to measure with plenty of common "
+                 "stop words spread through the text so the presence "
+                 "test passes while every other ratio stays in range "
+                 "and the final line carries the count past the floor")
+    idx = str(tmp_path / "idx")
+    ingest.build_dedup_index(
+        spark.createDataFrame([(1, "bootstrap document body " * 20)],
+                              "doc_id long, text string"), idx)
+    batch = spark.createDataFrame(
+        [(10, long_good), (11, "far too short to pass gopher")],
+        "doc_id long, text string")
+    assert sorted(r.doc_id for r in ingest.dedup_batch_against_index(
+        spark, batch, idx).collect()) == [10, 11]     # without: both
+    got = [r.doc_id for r in ingest.dedup_batch_against_index(
+        spark, batch, idx, use_gopher_rules=True).collect()]
+    assert got == [10]
+    # composed with the URL rejector: the URL loser (same canonical
+    # URL, larger id) is gone even though its text passes gopher
+    batch2 = spark.createDataFrame(
+        [(20, long_good, "http://a.com/x"),
+         (21, long_good + " extra tail words", "http://a.com/x?#frag"),
+         (22, "short junk", "http://b.com/y")],
+        "doc_id long, text string, url string")
+    got2 = [r.doc_id for r in ingest.dedup_batch_against_index(
+        spark, batch2, idx, url_col="url",
+        use_gopher_rules=True).collect()]
+    assert got2 == [20]

@@ -556,3 +556,35 @@ def test_curate_corpus_rejects_inconsistent_optional_configs(spark):
         curate_corpus(docs, CurationConfig(ref_lm_path="/tmp/nope"))
     with _pytest.raises(ValueError):
         curate_corpus(docs, CurationConfig(min_ref_logprob=-3.0))
+
+
+def test_fineweb_style_recipe_one_config(spark):
+    """The FineWeb-shaped recipe — C4 URL-level dedup + the Gopher
+    quality rules + Gopher repetition + minhash near-dup — as ONE
+    curate_corpus config, each reject attributed to its published
+    rule."""
+    long_good = ("the steady rhythm of these long sentences keeps the "
+                 "word count well above fifty and that gives the rule "
+                 "set something real to measure with plenty of common "
+                 "stop words spread through the text so the presence "
+                 "test passes while every other ratio stays in range "
+                 "and the final line carries the count past the floor")
+    docs = spark.createDataFrame(
+        [(1, long_good, "http://a.com/x"),
+         (2, long_good + " tiny tail change", "http://a.com/x?#frag"),
+         (3, "way too short for the gopher rules", "http://b.com/y"),
+         (4, " ".join(["the of and that"] * 40), "http://c.com/z"),
+         (5, long_good.replace("steady", "gentle"), "http://d.com/w")],
+        "doc_id long, text string, url string")
+    cfg = CurationConfig(min_quality=0.0, boilerplate_max_df=10,
+                         use_minhash=False, near_dup_threshold=0.5,
+                         url_col="url", use_gopher_rules=True,
+                         max_dup_2gram_frac=0.5)
+    out = {r.doc_id: r for r in curate_corpus(docs, cfg).collect()}
+    assert len(out) == 5                       # row-count invariant
+    assert out[1].keep and out[1].drop_reason is None
+    assert out[2].drop_reason == "url_duplicate"   # C4 rule, first
+    assert out[3].drop_reason == "gopher_rules"    # Gopher quality
+    assert out[4].drop_reason in ("repetitive", "gopher_rules")
+    assert not out[5].keep                     # near-dup of doc 1
+    assert out[5].drop_reason == "near_duplicate"
