@@ -1340,6 +1340,23 @@ class RunPipeline(Command):
                            df.select(F.col(id_col),
                                      tf.redact_pii(F.col(text_col))
                                      .alias("clean")), {}),
+            # ---- multimodal binary columns (sources/multimodal.py) ----
+            "as_binary": (
+                lambda df:
+                __import__("lightning_metastore_spark.sources.multimodal",
+                           fromlist=["documents_as_binary"])
+                .documents_as_binary(df), {}),
+            "video_frames": (
+                lambda df, n_frames=4:
+                __import__("lightning_metastore_spark.sources.multimodal",
+                           fromlist=["sample_video_frames"])
+                .sample_video_frames(df, n_frames=n_frames),
+                {"n_frames": int}),
+            "image_dhash": (
+                lambda df:
+                __import__("lightning_metastore_spark.sources.multimodal",
+                           fromlist=["image_dhash"])
+                .image_dhash(df), {}),
             "boilerplate": (cleaning.remove_boilerplate_lines,
                             {"max_df": int}),
             "corpus_report": (corpus_report_op, {"top_langs": int}),

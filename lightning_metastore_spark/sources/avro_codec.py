@@ -441,6 +441,57 @@ def read_records(path: str) -> list[dict]:
     return list(iter_records(path))
 
 
+def iter_records_range(path: str, start: int, end: int) -> Iterator[dict]:
+    """Stream the records of every block whose payload STARTS in
+    [start, end) — the Avro split contract (the container's 16-byte
+    sync markers delimit blocks, so a byte-range reader seeks to
+    `start`, scans for the next sync, and owns every block that begins
+    before `end`; the task owning the preceding range finishes any
+    block that straddles the boundary). Ranges covering a whole file
+    MUST start at 0 so the header block is anchored."""
+    with open(path, "rb") as fh:
+        schema, codec, sync, env = read_header(fh)
+        if codec not in ("null", "deflate"):
+            raise AvroError(f"unsupported Avro codec: {codec}")
+        data_start = fh.tell()
+        if start > data_start:
+            # seek and scan for the first sync at/after `start`; blocks
+            # begin immediately after a sync marker
+            fh.seek(max(start - SYNC_SIZE, data_start), os.SEEK_SET)
+            window = fh.read(end - fh.tell() + SYNC_SIZE
+                             if end >= fh.tell() else SYNC_SIZE)
+            hit = window.find(sync)
+            if hit < 0:
+                return  # no block starts in this range
+            fh.seek(max(start - SYNC_SIZE, data_start) + hit + SYNC_SIZE,
+                    os.SEEK_SET)
+        while True:
+            block_at = fh.tell()
+            if block_at >= end:
+                return
+            head = fh.read(1)
+            if not head:
+                return
+            buf = bytearray(head)
+            while buf[-1] & 0x80:
+                buf += fh.read(1)
+            count = _Decoder(bytes(buf)).read_long()
+            size_buf = bytearray(fh.read(1))
+            while size_buf[-1] & 0x80:
+                size_buf += fh.read(1)
+            size = _Decoder(bytes(size_buf)).read_long()
+            payload = fh.read(size)
+            if len(payload) != size:
+                raise AvroError("truncated Avro block")
+            if codec == "deflate":
+                payload = zlib.decompressobj(-15).decompress(payload)
+            if fh.read(SYNC_SIZE) != sync:
+                raise AvroError("sync marker mismatch (corrupt block)")
+            dec = _Decoder(payload)
+            for _ in range(count):
+                yield _decode_value(dec, schema, env)
+
+
 def read_schema(path: str) -> Any:
     with open(path, "rb") as fh:
         schema, _, _, _ = read_header(fh)

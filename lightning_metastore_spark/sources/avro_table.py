@@ -57,15 +57,41 @@ def spark_can_read_avro(spark: SparkSession) -> bool:
 
 
 def read_avro(spark: SparkSession, path: str,
-              schema: Optional[object] = None) -> DataFrame:
-    """Read an Avro file or directory without spark-avro."""
+              schema: Optional[object] = None,
+              split_bytes: Optional[int] = None) -> DataFrame:
+    """Read an Avro file or directory without spark-avro.
+
+    Parallelism is sync-marker splits, the same contract the JVM Avro
+    input format uses: each file is cut into byte ranges of
+    ``split_bytes`` (default: `spark.sql.files.maxPartitionBytes`) and
+    a task owns every block whose payload starts inside its range
+    (`avro_codec.iter_records_range`), so one giant file still fans
+    out across the cluster."""
     files = _data_files(path)
     if not files:
         raise ac.AvroError(f"no .avro part files under {path}")
     avro_schema = ac.read_schema(files[0])
     spark_schema = schema or ac.to_spark_type(avro_schema)
+    if split_bytes is None:
+        try:
+            raw = spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                 "134217728")
+            split_bytes = int("".join(c for c in str(raw) if c.isdigit())
+                              or 134217728)
+        except Exception:  # noqa: BLE001 — conf probe only
+            split_bytes = 128 * 1024 * 1024
+    splits: list[tuple[str, int, int]] = []
+    for f in files:
+        size = os.path.getsize(f)
+        lo = 0
+        while lo < size:
+            splits.append((f, lo, min(lo + split_bytes, size)))
+            lo += split_bytes
+        if size == 0:
+            splits.append((f, 0, 0))
     sc = spark.sparkContext
-    rdd = sc.parallelize(files, len(files)).flatMap(ac.iter_records)
+    rdd = (sc.parallelize(splits, len(splits))
+           .flatMap(lambda s: ac.iter_records_range(s[0], s[1], s[2])))
     # dict records + explicit schema: Spark's own converter handles
     # Decimal / date / datetime / nested dict-structs / maps exactly
     return spark.createDataFrame(rdd, spark_schema)

@@ -551,3 +551,29 @@ def test_register_catalog_over_lakehouse(spark, iceberg_table, tmp_path):
     assert ctx.sql(
         "SELECT count(*) AS n FROM lightning.metastore.snap.icat.nyc.taxis"
     ).collect()[0].n == 4
+
+
+def test_avro_split_reads(spark, tmp_path):
+    """Sync-marker byte-range splits: every (split count) decomposition
+    of a multi-block file yields exactly the file's records once, and
+    the Spark reader at a tiny split_bytes returns the full table."""
+    import os as _os
+
+    from lightning_metastore_spark.sources.avro_table import read_avro
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "i", "type": "long"}]}
+    rows = [{"i": i} for i in range(20_000)]
+    p = str(tmp_path / "big.avro")
+    ac.write_container(p, schema, rows, block_records=331)
+    size = _os.path.getsize(p)
+    for nsplits in (1, 3, 8):
+        step = (size + nsplits - 1) // nsplits
+        got = []
+        for lo in range(0, size, step):
+            got.extend(r["i"] for r in ac.iter_records_range(
+                p, lo, min(lo + step, size)))
+        assert got == list(range(20_000)), nsplits
+    df = read_avro(spark, p, split_bytes=7_000)
+    assert df.count() == 20_000
+    assert df.agg({"i": "sum"}).collect()[0][0] == sum(range(20_000))

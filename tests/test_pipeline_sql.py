@@ -795,3 +795,31 @@ def test_kn_lm_train_score_roundtrip_sql(env):
     assert _rows(scored) == _rows(
         lm_filter.score_with_kn_lm(env.docs, p))
     assert scored.count() > 0
+
+
+def test_multimodal_ops_sql(env, spark, tmp_path_factory):
+    """The multimodal plumbing over SQL: as_binary adapts documents to
+    (id, content) binary rows; video_frames fans out deterministic
+    frames (the stub path on non-AVI payloads); image_dhash emits one
+    64-bit perceptual hash per row — each equal to its Python twin."""
+    from lightning_metastore_spark.sources import multimodal as mm
+
+    out_dir = tmp_path_factory.mktemp("mm_bin_ds")
+    env.ctx.sql(f"REGISTER PARQUET DATASOURCE mmb "
+                f"OPTIONS(path '{out_dir}') "
+                "NAMESPACE lightning.datasource.file")
+    env.ctx.sql(f"RUN PIPELINE as_binary ON {DOCS} "
+                "SINK lightning.datasource.file.mmb.bin")
+    bint = "lightning.datasource.file.mmb.bin"
+    want_bin = mm.documents_as_binary(env.docs)
+    got_bin = env.ctx.sql(f"SELECT * FROM {bint}")
+    assert _rows(got_bin) == _rows(want_bin)
+
+    got_f = env.ctx.sql(f"RUN PIPELINE video_frames ON {bint} "
+                        "OPTIONS(n_frames '2')")
+    want_f = mm.sample_video_frames(want_bin, n_frames=2)
+    assert _rows(got_f) == _rows(want_f) and got_f.count() > 0
+
+    got_h = env.ctx.sql(f"RUN PIPELINE image_dhash ON {bint}")
+    want_h = mm.image_dhash(want_bin)
+    assert _rows(got_h) == _rows(want_h)
