@@ -109,8 +109,15 @@ class FileCatalogUnit(CatalogUnit):
                 df.schema  # force analysis so a missing module surfaces here
                 return df
             except Exception as e:  # noqa: BLE001 — fall back on no-jar only
-                if "AVRO" not in str(e).upper():
+                if not _is_missing_source_error(e):
                     raise
+                extra = {k for k in self.ds.options if k != "path"}
+                if extra:
+                    raise CatalogUnitError(
+                        f"avro datasource {self.ds.name}: no spark-avro "
+                        f"module on the session and the no-jar fallback "
+                        f"does not interpret reader options {sorted(extra)}"
+                    ) from e
                 from lightning_metastore_spark.sources.avro_table import read_avro
                 return read_avro(spark, path)
         return self._reader(spark).load(path)
@@ -153,8 +160,14 @@ class FileCatalogUnit(CatalogUnit):
                 df.write.format(self.fmt).options(**opts).mode(mode).save(path)
                 return
             except Exception as e:  # noqa: BLE001 — fall back on no-jar only
-                if "AVRO" not in str(e).upper():
+                if not _is_missing_source_error(e):
                     raise
+                if opts:
+                    raise CatalogUnitError(
+                        f"avro datasource {self.ds.name}: no spark-avro "
+                        f"module on the session and the no-jar fallback "
+                        f"does not interpret writer options "
+                        f"{sorted(opts)}") from e
                 from lightning_metastore_spark.sources.avro_table import write_avro
                 write_avro(df, path, mode=mode)
                 return
@@ -366,10 +379,22 @@ class IcebergCatalogUnit(CatalogUnit):
         return self.ds.options.get("warehouse") or self.ds.options.get("path")
 
     def _mounted(self, spark: SparkSession) -> bool:
-        """True when a real Spark catalog (the Iceberg runtime) is
-        registered under this unit's catalog name."""
+        """True when a real Spark catalog (the Iceberg runtime) serves
+        this unit's catalog name. listCatalogs() only reports
+        ALREADY-INSTANTIATED catalogs, so the conf key
+        `spark.sql.catalog.<name>` is checked too — a configured
+        catalog instantiates lazily on first spark.table() access and
+        must not be shadowed by the offline reader (and if its jar is
+        genuinely missing, the instantiation error is the right thing
+        to surface)."""
+        name = self._catalog()
         try:
-            return any(c.name == self._catalog()
+            if spark.conf.get(f"spark.sql.catalog.{name}", None):
+                return True
+        except Exception:  # noqa: BLE001 — conf probe only
+            pass
+        try:
+            return any(c.name == name
                        for c in spark.catalog.listCatalogs())
         except Exception:  # noqa: BLE001 — treat probe failure as absent
             return False

@@ -209,7 +209,7 @@ def _decode_value(dec: _Decoder, schema: Any, env: dict) -> Any:
 
 
 _EPOCH_DATE = _dt.date(1970, 1, 1)
-_EPOCH_DT = _dt.datetime(1970, 1, 1)
+_EPOCH_UTC = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
 
 
 def _logical_int(v: int, schema: Any) -> Any:
@@ -219,9 +219,9 @@ def _logical_int(v: int, schema: Any) -> Any:
     if lt == "date":
         return _EPOCH_DATE + _dt.timedelta(days=v)
     if lt == "timestamp-millis":
-        return _EPOCH_DT + _dt.timedelta(milliseconds=v)
+        return _EPOCH_UTC + _dt.timedelta(milliseconds=v)
     if lt == "timestamp-micros":
-        return _EPOCH_DT + _dt.timedelta(microseconds=v)
+        return _EPOCH_UTC + _dt.timedelta(microseconds=v)
     # time-millis/time-micros and unknown logicals pass through as ints
     return v
 
@@ -325,7 +325,13 @@ def _encode_value(out: io.BytesIO, value: Any, schema: Any, env: dict) -> None:
 def _unlogical_int(v: Any, schema: Any) -> int:
     if isinstance(v, _dt.datetime):
         lt = schema.get("logicalType") if isinstance(schema, dict) else None
-        delta = v - _EPOCH_DT
+        # Avro timestamps are UTC instants (spec + spark-avro parity).
+        # Naive datetimes are interpreted in the LOCAL timezone — which
+        # is what Spark's collect() hands back under the default
+        # session timezone, so round-trips through the writer agree
+        # with the JVM reader.
+        aware = v if v.tzinfo is not None else v.astimezone()
+        delta = aware - _EPOCH_UTC
         us = (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
         return us // 1000 if lt == "timestamp-millis" else us
     if isinstance(v, _dt.date):
@@ -377,25 +383,48 @@ def _pick_branch(value: Any, union: list, env: dict) -> int:
 # container file reader / writer
 # ---------------------------------------------------------------------------
 
+def _read_stream_long(fh: BinaryIO, first: bytes) -> int:
+    """Zigzag varint from a stream, given its already-read first byte;
+    raises AvroError (never loops) when the stream truncates mid-varint."""
+    buf = bytearray(first)
+    while buf[-1] & 0x80:
+        nxt = fh.read(1)
+        if not nxt:
+            raise AvroError("truncated varint at end of Avro file")
+        buf += nxt
+    return _Decoder(bytes(buf)).read_long()
+
+
 def read_header(fh: BinaryIO) -> tuple[Any, str, bytes, dict]:
     """Parse the container header; returns (schema, codec, sync, env)."""
     if fh.read(4) != MAGIC:
         raise AvroError("not an Avro object container file")
     meta: dict[str, bytes] = {}
-    # file metadata is an Avro map<bytes>
-    data = fh.read()  # header is tiny relative to blocks; re-seek below
-    dec = _Decoder(data)
+    # file metadata is an Avro map<bytes>; read incrementally (64 KiB
+    # chunks, doubling on demand) — NEVER the whole file, which may be
+    # gigabytes and is re-opened once per byte-range split task
+    data = fh.read(64 * 1024)
     while True:
-        n = dec.read_long()
-        if n == 0:
+        dec = _Decoder(data)
+        try:
+            meta.clear()
+            while True:
+                n = dec.read_long()
+                if n == 0:
+                    break
+                if n < 0:
+                    n = -n
+                    dec.read_long()
+                for _ in range(n):
+                    k = dec.read_bytes().decode("utf-8")
+                    meta[k] = dec.read_bytes()
+            sync = dec.read(SYNC_SIZE)
             break
-        if n < 0:
-            n = -n
-            dec.read_long()
-        for _ in range(n):
-            k = dec.read_bytes().decode("utf-8")
-            meta[k] = dec.read_bytes()
-    sync = dec.read(SYNC_SIZE)
+        except AvroError:
+            more = fh.read(len(data))
+            if not more:
+                raise AvroError("truncated Avro header")
+            data += more
     fh.seek(4 + dec.pos, os.SEEK_SET)
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode("utf-8")
@@ -414,16 +443,11 @@ def iter_records(path: str) -> Iterator[dict]:
             head = fh.read(1)
             if not head:
                 return
-            # re-assemble the varint we just started
-            buf = bytearray(head)
-            while buf[-1] & 0x80:
-                buf += fh.read(1)
-            count_dec = _Decoder(bytes(buf))
-            count = count_dec.read_long()
-            size_buf = bytearray(fh.read(1))
-            while size_buf[-1] & 0x80:
-                size_buf += fh.read(1)
-            size = _Decoder(bytes(size_buf)).read_long()
+            count = _read_stream_long(fh, head)
+            size_head = fh.read(1)
+            if not size_head:
+                raise AvroError("truncated Avro block header")
+            size = _read_stream_long(fh, size_head)
             payload = fh.read(size)
             if len(payload) != size:
                 raise AvroError("truncated Avro block")
@@ -472,14 +496,11 @@ def iter_records_range(path: str, start: int, end: int) -> Iterator[dict]:
             head = fh.read(1)
             if not head:
                 return
-            buf = bytearray(head)
-            while buf[-1] & 0x80:
-                buf += fh.read(1)
-            count = _Decoder(bytes(buf)).read_long()
-            size_buf = bytearray(fh.read(1))
-            while size_buf[-1] & 0x80:
-                size_buf += fh.read(1)
-            size = _Decoder(bytes(size_buf)).read_long()
+            count = _read_stream_long(fh, head)
+            size_head = fh.read(1)
+            if not size_head:
+                raise AvroError("truncated Avro block header")
+            size = _read_stream_long(fh, size_head)
             payload = fh.read(size)
             if len(payload) != size:
                 raise AvroError("truncated Avro block")

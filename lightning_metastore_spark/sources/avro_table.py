@@ -5,18 +5,20 @@ skipped test), so the reference's Avro file tables
 (`FileCatalogUnit.scala:61-73`) would be registration-only. This module
 is the no-jar fallback the catalog unit drops to when
 `spark.read.format("avro")` raises: schema from the first file's
-container header (driver, header-only), then ONE task per data file
-decodes executor-side and `createDataFrame` applies the translated
-Spark schema. Writes mirror Spark's own file sinks: a directory of
-`part-NNNNN.avro` files written per-partition from the executors plus
-`_SUCCESS`, so round-trips stay directory-compatible with spark-avro.
+container header (driver, header-only), then tasks decode byte-range
+SPLITS executor-side (sync-marker anchored, the JVM input format's
+contract — one giant file still fans out) and `createDataFrame`
+applies the translated Spark schema. Writes mirror Spark's own file
+sinks: a directory of `part-NNNNN.avro` files written per-partition
+from the executors plus `_SUCCESS`, so round-trips stay
+directory-compatible with spark-avro.
 
-Scale shape: parallelism is file-granular (Avro blocks are
-sync-marker-delimited and could be split finer, but the fallback favors
-simplicity — a 100 TB Avro zone arrives as many files, which is already
-full-width). The decode is row-at-a-time Python and honestly the slow
-path; it exists so the surface WORKS without the jar, and upgrades to
-the JVM reader the moment one is present.
+The decode is row-at-a-time Python and honestly the slow path; it
+exists so the surface WORKS without the jar, and upgrades to the JVM
+reader the moment one is present. Reader/writer OPTIONS beyond the
+path are not interpreted here — the catalog unit refuses the fallback
+when avro-specific options were registered, rather than silently
+ignoring them.
 """
 
 from __future__ import annotations
@@ -30,6 +32,19 @@ from pyspark.sql import DataFrame, SparkSession
 from lightning_metastore_spark.sources import avro_codec as ac
 
 
+_SIZE_SUFFIX = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
+                "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+
+
+def _parse_size_bytes(raw: str) -> int:
+    """Spark size-conf strings: '134217728', '128m', '1g', '512MB'."""
+    import re
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", raw)
+    if not m or m.group(2).lower() not in _SIZE_SUFFIX:
+        return 128 * 1024 * 1024
+    return int(m.group(1)) * _SIZE_SUFFIX[m.group(2).lower()]
+
+
 def _data_files(path: str) -> list[str]:
     if os.path.isfile(path):
         return [path]
@@ -41,19 +56,6 @@ def _data_files(path: str) -> list[str]:
                     out.append(os.path.join(root, f))
         return sorted(out)
     raise ac.AvroError(f"no Avro data at {path}")
-
-
-def spark_can_read_avro(spark: SparkSession) -> bool:
-    """True when a usable spark-avro module is on the session."""
-    try:
-        spark.read.format("avro").schema("x int").load(
-            "/nonexistent-avro-probe")
-        return True
-    except Exception as e:  # noqa: BLE001 — classify by message
-        msg = str(e).upper()
-        # missing-module errors name AVRO/FAILED_TO_FIND; a PATH error
-        # means the format itself resolved fine
-        return "AVRO" not in msg or "PATH" in msg
 
 
 def read_avro(spark: SparkSession, path: str,
@@ -76,10 +78,12 @@ def read_avro(spark: SparkSession, path: str,
         try:
             raw = spark.conf.get("spark.sql.files.maxPartitionBytes",
                                  "134217728")
-            split_bytes = int("".join(c for c in str(raw) if c.isdigit())
-                              or 134217728)
+            # sanity floor on the conf-derived value only: a mis-parsed
+            # conf must never explode into millions of splits
+            split_bytes = max(_parse_size_bytes(str(raw)), 1024 * 1024)
         except Exception:  # noqa: BLE001 — conf probe only
             split_bytes = 128 * 1024 * 1024
+    split_bytes = max(int(split_bytes), 1)
     splits: list[tuple[str, int, int]] = []
     for f in files:
         size = os.path.getsize(f)

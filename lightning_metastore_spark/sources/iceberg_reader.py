@@ -184,16 +184,24 @@ def _local(p: str) -> str:
 
 
 def snapshot_files(table_path: str, snapshot: dict
-                   ) -> tuple[list[str], list[str], list[str]]:
-    """(data_files, position_delete_files, equality_delete_files) of a
-    snapshot, all local parquet paths."""
+                   ) -> tuple[list[tuple], list[str], list[tuple]]:
+    """Snapshot contents as (data, position_deletes, equality_deletes):
+    data = [(path, data_sequence_number)], position_deletes = [path],
+    equality_deletes = [(path, sequence_number, equality_ids)]. The
+    sequence number comes from the manifest entry, inherited from the
+    manifest-list record when the entry omits it (the v2 inheritance
+    rule); absent everywhere (v1) it is None."""
     mlist = _local(snapshot["manifest-list"])
-    data, pos_del, eq_del = [], [], []
+    data, pos_del, eq_del = {}, set(), {}
     for mrec in ac.iter_records(mlist):
         mpath = _local(mrec["manifest_path"])
+        m_seq = mrec.get("sequence_number")
         for entry in ac.iter_records(mpath):
             if entry.get("status") == _STATUS_DELETED:
                 continue
+            seq = entry.get("sequence_number")
+            if seq is None:
+                seq = m_seq
             df_rec = entry["data_file"]
             content = df_rec.get("content", _CONTENT_DATA) or _CONTENT_DATA
             fpath = _local(df_rec["file_path"])
@@ -202,12 +210,14 @@ def snapshot_files(table_path: str, snapshot: dict
                 raise IcebergError(
                     f"only PARQUET data files supported offline, got {fmt}")
             if content == _CONTENT_DATA:
-                data.append(fpath)
+                data[fpath] = seq
             elif content == _CONTENT_POSITION_DELETES:
-                pos_del.append(fpath)
+                pos_del.add(fpath)
             elif content == _CONTENT_EQUALITY_DELETES:
-                eq_del.append(fpath)
-    return sorted(set(data)), sorted(set(pos_del)), sorted(set(eq_del))
+                eq_del[fpath] = (seq, list(df_rec.get("equality_ids")
+                                           or []))
+    return (sorted(data.items()), sorted(pos_del),
+            sorted((p, s, ids) for p, (s, ids) in eq_del.items()))
 
 
 # ---------------------------------------------------------------------------
@@ -223,7 +233,7 @@ def read_iceberg(spark: SparkSession, table_path: str,
     data, pos_del, eq_del = snapshot_files(table_path, snap)
     if not data:
         return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(*data)
+    df = spark.read.schema(schema).parquet(*[p for p, _ in data])
     if pos_del:
         tagged = df.withColumns({
             "__ice_file": F.regexp_replace(F.col("_metadata.file_path"),
@@ -238,10 +248,39 @@ def read_iceberg(spark: SparkSession, table_path: str,
         df = (tagged.join(F.broadcast(dels) if len(pos_del) <= 64 else dels,
                           ["__ice_file", "__ice_pos"], "left_anti")
               .drop("__ice_file", "__ice_pos"))
-    for dpath in eq_del:
-        dels = spark.read.parquet(dpath)
-        key_cols = dels.columns
-        df = df.join(F.broadcast(dels.dropDuplicates()), key_cols, "left_anti")
+    if eq_del:
+        # v2 equality deletes: a delete applies only to rows from data
+        # files with a STRICTLY OLDER data sequence number, matching on
+        # the entry's equality_ids columns (null-safe, per spec). Data
+        # file seq numbers ride a broadcast (path, seq) relation onto
+        # the scan's _metadata.file_path; a delete with no sequence
+        # number (v1-style fixture) applies unconditionally.
+        field_names = {f["id"]: f["name"]
+                       for f in current_schema(meta)["fields"]}
+        seq_df = spark.createDataFrame(
+            [(p, s) for p, s in data],
+            T.StructType([T.StructField("__ice_file", T.StringType()),
+                          T.StructField("__ice_seq", T.LongType())]))
+        df = (df.withColumn(
+                  "__ice_file",
+                  F.regexp_replace(F.col("_metadata.file_path"),
+                                   r"^file:/+", "/"))
+              .join(F.broadcast(seq_df), "__ice_file", "left"))
+        for dpath, dseq, eq_ids in eq_del:
+            dels = spark.read.parquet(dpath)
+            keys = ([field_names[i] for i in eq_ids if i in field_names]
+                    or dels.columns)
+            d = (dels.select(*[F.col(k).alias(f"__d_{k}") for k in keys])
+                 .dropDuplicates())
+            cond = None
+            for k in keys:
+                c = df[k].eqNullSafe(F.col(f"__d_{k}"))
+                cond = c if cond is None else (cond & c)
+            if dseq is not None:
+                cond = cond & (F.coalesce(F.col("__ice_seq"), F.lit(0))
+                               < F.lit(int(dseq)))
+            df = df.join(F.broadcast(d), cond, "left_anti")
+        df = df.drop("__ice_file", "__ice_seq")
     return df.select(*[f.name for f in schema.fields])
 
 

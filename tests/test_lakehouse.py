@@ -66,12 +66,14 @@ FULL_SCHEMA = {
 FULL_ROWS = [
     {"id": 1, "name": "alpha", "price": Decimal("12.34"),
      "day": dt.date(2020, 5, 17),
-     "ts": dt.datetime(2021, 1, 2, 3, 4, 5, 123456),
+     "ts": dt.datetime(2021, 1, 2, 3, 4, 5, 123456,
+                       tzinfo=dt.timezone.utc),
      "tags": ["a", "b"], "props": {"x": 9}, "kind": "B",
      "raw": b"\x00\xff", "fx": b"abcd", "f": 1.5, "d": 2.25, "ok": True,
      "nested": {"x": -7}},
     {"id": -99999999999, "name": None, "price": Decimal("-0.05"),
-     "day": dt.date(1969, 12, 31), "ts": dt.datetime(1970, 1, 1),
+     "day": dt.date(1969, 12, 31),
+     "ts": dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc),
      "tags": [], "props": {}, "kind": "A", "raw": b"", "fx": b"\x00" * 4,
      "f": -2.0, "d": -1e300, "ok": False, "nested": None},
 ]
@@ -276,6 +278,7 @@ MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
         {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": ["null", "long"]},
         {"name": "added_snapshot_id", "type": "long"},
     ]}
 
@@ -290,6 +293,8 @@ MANIFEST_SCHEMA = {
                 {"name": "file_format", "type": "string"},
                 {"name": "record_count", "type": "long"},
                 {"name": "file_size_in_bytes", "type": "long"},
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int"}]},
             ]}},
     ]}
 
@@ -327,20 +332,23 @@ def _manifest(mdir, name, entries):
     return p
 
 
-def _manifest_list(mdir, name, manifest_paths):
+def _manifest_list(mdir, name, manifest_paths, seqs=None):
     p = os.path.join(mdir, name)
+    seqs = seqs or [None] * len(manifest_paths)
     ac.write_container(p, MANIFEST_LIST_SCHEMA, [
         {"manifest_path": mp, "manifest_length": os.path.getsize(mp),
-         "partition_spec_id": 0, "content": 0, "added_snapshot_id": 1}
-        for mp in manifest_paths])
+         "partition_spec_id": 0, "content": 0, "sequence_number": sq,
+         "added_snapshot_id": 1}
+        for mp, sq in zip(manifest_paths, seqs)])
     return p
 
 
-def _data_entry(fpath, n, content=0):
+def _data_entry(fpath, n, content=0, equality_ids=None):
     return {"status": 1, "snapshot_id": 1,
             "data_file": {"content": content, "file_path": fpath,
                           "file_format": "PARQUET", "record_count": n,
-                          "file_size_in_bytes": os.path.getsize(fpath)}}
+                          "file_size_in_bytes": os.path.getsize(fpath),
+                          "equality_ids": equality_ids}}
 
 
 @pytest.fixture()
@@ -434,16 +442,29 @@ def test_iceberg_position_deletes(spark, iceberg_table, tmp_path):
 
 
 def test_iceberg_equality_deletes(spark, iceberg_table):
+    """Sequence-number scoping (the v2 rule): the delete (seq 4,
+    equality_ids=[vendor_id]) removes vendor-2 rows from OLDER data
+    files only; a vendor-2 row re-inserted at seq 5 survives."""
     tdir = iceberg_table
     ddir = os.path.join(tdir, "data")
     mdir = os.path.join(tdir, "metadata")
     del_f = _write_parquet_file(
         spark, [(2,)], "vendor_id long", ddir, "eqdel.parquet")
-    m4 = _manifest(mdir, "m4.avro", [_data_entry(del_f, 1, content=2)])
+    m4 = _manifest(mdir, "m4.avro",
+                   [_data_entry(del_f, 1, content=2, equality_ids=[1])])
+    f3 = _write_parquet_file(
+        spark, [(2, 1000399, 1.0, 5.0, "N")],
+        "vendor_id long, trip_id long, trip_distance float, "
+        "fare_amount double, store_and_fwd_flag string",
+        ddir, "d3.parquet")
+    m5 = _manifest(mdir, "m5.avro", [_data_entry(f3, 1)])
     with open(os.path.join(mdir, "v2.metadata.json")) as fh:
         meta = json.load(fh)
-    ml4 = _manifest_list(mdir, "snap-4.avro", [
-        os.path.join(mdir, "m1.avro"), os.path.join(mdir, "m2.avro"), m4])
+    ml4 = _manifest_list(
+        mdir, "snap-4.avro",
+        [os.path.join(mdir, "m1.avro"), os.path.join(mdir, "m2.avro"),
+         m4, m5],
+        seqs=[1, 2, 4, 5])
     meta["snapshots"].append(
         {"snapshot-id": 4, "parent-snapshot-id": 2, "timestamp-ms": 4_000,
          "manifest-list": ml4, "summary": {"operation": "delete"}})
@@ -453,7 +474,9 @@ def test_iceberg_equality_deletes(spark, iceberg_table):
     with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
         fh.write("4")
     out = read_iceberg(spark, tdir)
-    assert sorted(r.vendor_id for r in out.collect()) == [1, 1]
+    # vendor-2 rows at seq 1/2 deleted; the seq-5 re-insert survives
+    assert sorted((r.vendor_id, r.trip_id) for r in out.collect()) == \
+        [(1, 1000371), (1, 1000374), (2, 1000399)]
 
 
 def test_iceberg_catalog_unit_sql(spark, iceberg_table, tmp_path):
@@ -577,3 +600,27 @@ def test_avro_split_reads(spark, tmp_path):
     df = read_avro(spark, p, split_bytes=7_000)
     assert df.count() == 20_000
     assert df.agg({"i": "sum"}).collect()[0][0] == sum(range(20_000))
+
+
+def test_avro_truncated_file_raises(tmp_path):
+    """A file truncated mid-varint or mid-block raises AvroError —
+    never an infinite loop or a silent partial read."""
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "i", "type": "long"}]}
+    p = str(tmp_path / "t.avro")
+    ac.write_container(p, schema, [{"i": i} for i in range(1000)],
+                       block_records=100, codec="null")
+    data = open(p, "rb").read()
+    for cut in (len(data) - 1, len(data) - 9, len(data) // 2):
+        q = str(tmp_path / f"cut{cut}.avro")
+        with open(q, "wb") as fh:
+            fh.write(data[:cut])
+        with pytest.raises(ac.AvroError):
+            list(ac.iter_records(q))
+    # the exact hang shape: EOF in the middle of a block-count varint
+    # (trailing byte with the continuation bit set)
+    q = str(tmp_path / "midvarint.avro")
+    with open(q, "wb") as fh:
+        fh.write(data + b"\x85")
+    with pytest.raises(ac.AvroError):
+        list(ac.iter_records(q))
