@@ -469,3 +469,26 @@ def test_run_pipeline_asof_join(ctx, spark):
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
     assert out.count() == events.count()
     assert any(c.endswith("_asof") for c in out.columns)
+
+
+def test_resolver_file_cache_sees_writes(spark, tmp_path):
+    """The resolver's file-DataFrame cache (r12 catalog_overhead fix)
+    must never serve stale data: any write that touches the table path
+    changes the freshness fingerprint and forces a re-resolve."""
+    from lightning_metastore_spark.context import LightningContext
+
+    src = tmp_path / "lake"
+    src.mkdir()
+    spark.range(5).write.parquet(str(src / "t.parquet"))
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.file")
+    ctx.sql(f"REGISTER PARQUET DATASOURCE c OPTIONS(path '{src}') "
+            "NAMESPACE lightning.datasource.file")
+    q = "SELECT count(*) AS n FROM lightning.datasource.file.c.t"
+    assert ctx.sql(q).collect()[0].n == 5
+    assert ctx.sql(q).collect()[0].n == 5       # cache-hit path
+    spark.range(3).write.mode("append").parquet(str(src / "t.parquet"))
+    assert ctx.sql(q).collect()[0].n == 8       # fingerprint busts it
+    # INSERT INTO through the command layer also invalidates
+    ctx.sql("INSERT INTO lightning.datasource.file.c.t SELECT 99 AS id")
+    assert ctx.sql(q).collect()[0].n == 9
