@@ -435,6 +435,26 @@ class IcebergCatalogUnit(CatalogUnit):
             snapshot_id=None if version_as_of is None else int(version_as_of),
             as_of_timestamp=ts_ms)
 
+    def write_table(self, df: DataFrame, residual: list[str],
+                    mode: str = "append") -> None:
+        if self._mounted(spark := df.sparkSession):
+            name = ".".join([self._catalog()] + residual)
+            if mode == "overwrite":
+                df.writeTo(name).overwritePartitions()
+            else:
+                df.writeTo(name).append()
+            return
+        wh = self._warehouse()
+        if wh is None:
+            raise CatalogUnitError(
+                f"iceberg datasource {self.ds.name}: writes need either "
+                "a mounted Iceberg catalog or a warehouse/path option "
+                "for the offline writer")
+        from lightning_metastore_spark.sources.iceberg_writer import (
+            write_iceberg,
+        )
+        write_iceberg(df, os.path.join(wh, *residual), mode=mode)
+
     def list_tables(self, spark: SparkSession, residual: list[str]) -> list[str]:
         if self._mounted(spark):
             rows = spark.sql(
