@@ -459,9 +459,10 @@ class MergeInto(Command):
     a single shuffle on the join condition. The same rewrite serves
     DELTA units: the offline writer turns the overwrite into a new log
     version (removes + adds), so MERGE INTO a Delta table is
-    time-travelable (test_lakehouse::test_merge_into_delta). Iceberg
-    stays read-only offline; with the runtime mounted its native MERGE
-    applies.
+    time-travelable (test_lakehouse::test_merge_into_delta) — and
+    ICEBERG units likewise (offline overwrite snapshot,
+    test_lakehouse::test_merge_into_iceberg). With the runtime mounted
+    the engine-native MERGE applies instead.
     """
     target: list[str]
     target_alias: str

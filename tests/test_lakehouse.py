@@ -672,3 +672,48 @@ def test_iceberg_offline_writes_end_to_end(spark, tmp_path):
     assert ctx.sql(
         f"SELECT count(*) AS n FROM {t} "
         f"VERSION AS OF {hist2[0].snapshot_id}").collect()[0].n == 1
+
+
+def test_merge_into_iceberg(spark, tmp_path):
+    """MERGE INTO an Iceberg table offline: the full-outer rewrite's
+    overwrite lands as a new snapshot, so the pre-merge snapshot stays
+    time-travelable — the reference's etl_in_iceberg_lakehouse.md
+    scenario shape, zero jars."""
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        write_iceberg,
+    )
+
+    wh = tmp_path / "whm"
+    (wh / "db").mkdir(parents=True)
+    tdir = str(wh / "db" / "accounts")
+    write_iceberg(
+        spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)],
+                              "id long, name string, amount double"),
+        tdir, mode="error")
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.iceberg")
+    ctx.sql(f"REGISTER ICEBERG DATASOURCE whm OPTIONS(warehouse '{wh}') "
+            "NAMESPACE lightning.datasource.iceberg")
+    spark.createDataFrame([(2, "b2", 99.0), (4, "d", 40.0)],
+                          "id long, name string, amount double"
+                          ).createOrReplaceTempView("ice_updates")
+    out = ctx.sql("""
+        MERGE INTO lightning.datasource.iceberg.whm.db.accounts AS t
+        USING (SELECT * FROM ice_updates) AS s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET name = s.name, amount = s.amount
+        WHEN NOT MATCHED THEN INSERT *
+    """).collect()
+    assert out[0].n_rows == 3
+    rows = {r.id: r.name for r in ctx.sql(
+        "SELECT * FROM lightning.datasource.iceberg.whm.db.accounts"
+    ).collect()}
+    assert rows == {1: "a", 2: "b2", 4: "d"}
+    hist = ctx.sql(
+        "SELECT * FROM lightning.datasource.iceberg.whm.db.accounts"
+        ".history ORDER BY made_current_at").collect()
+    assert len(hist) == 2
+    pre = ctx.sql(
+        f"SELECT * FROM lightning.datasource.iceberg.whm.db.accounts "
+        f"VERSION AS OF {hist[0].snapshot_id}").collect()
+    assert {r.id: r.name for r in pre} == {1: "a", 2: "b"}
