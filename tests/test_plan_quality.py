@@ -562,3 +562,28 @@ def test_offline_delta_and_iceberg_preserve_pushdown(spark, tmp_path):
     # the position-delete anti-join path stays JVM-native: no Python
     # eval nodes anywhere in the offline read plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mine_hard_negatives_broadcasts_pairs_only(spark):
+    """The supervision relation (pairs ⋈ both embedding sides) must
+    reach the scoring join as a broadcast; the corpus side must carry
+    no exchange before that join — at 100 TB only the k-bounded scored
+    tuples may shuffle (for the ranking window)."""
+    from pyspark.sql import functions as F2
+
+    from lightning_metastore_spark.operators.retrieval import (
+        mine_hard_negatives,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pairs = (emb.filter("vec_id % 50 = 0")
+             .select(F2.col("vec_id").alias("query_id"),
+                     (F2.col("vec_id") + 1).alias("positive_id")))
+    plan = _plan(mine_hard_negatives(emb, pairs, k=3, margin=0.02))
+    assert "BroadcastExchange" in plan
+    # exactly one shuffle: the ranking window's hashpartitioning on
+    # query_id — nothing repartitions the corpus scan itself
+    import re
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert shuffles and all(s.startswith("query_id") for s in shuffles), \
+        shuffles
