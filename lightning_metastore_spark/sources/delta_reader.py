@@ -27,8 +27,9 @@ WRITE — single-writer commits (the repo runs one driver): parquet part
         files written via Spark into the table dir, then one
         `NNNNNNNNNNNNNNNNNNNN.json` committed atomically (tmp +
         `os.rename`). `overwrite` emits `remove` for every live file.
-        Unpartitioned writes only (matches the reference's
-        `df.write.format("delta").save` usage).
+        `partition_by` lays data out Hive-style with per-file
+        `partitionValues` in the log (the PROTOCOL's partitioned
+        shape); appends inherit the table's partitioning.
 
 A usable delta-spark on the session always wins — the catalog unit only
 drops here when `format("delta")` raises a missing-source error.
@@ -254,8 +255,16 @@ def _write_commit(path: str, version: int, actions: list[dict]) -> None:
     os.rename(tmp, final)
 
 
-def write_delta(df: DataFrame, path: str, mode: str = "append") -> None:
-    """Create/append/overwrite an unpartitioned Delta table offline."""
+def write_delta(df: DataFrame, path: str, mode: str = "append",
+                partition_by: Optional[list[str]] = None) -> None:
+    """Create/append/overwrite a Delta table offline.
+
+    ``partition_by`` (create time only) lays data out Hive-style
+    (`col=value/` directories via Spark's own partitioned writer) and
+    records per-file ``partitionValues`` in the log, per the PROTOCOL —
+    partition columns are NOT stored in the data files, and the reader
+    injects them back. Appends/overwrites to a partitioned table reuse
+    the table's recorded partition columns automatically."""
     if mode not in ("append", "overwrite", "error", "errorifexists"):
         raise DeltaLogError(f"unsupported save mode: {mode}")
     spark = df.sparkSession
@@ -267,6 +276,11 @@ def write_delta(df: DataFrame, path: str, mode: str = "append") -> None:
     snap = None
     if exists:
         snap = resolve_snapshot(spark, path)
+        if partition_by and list(partition_by) != snap.partition_columns:
+            raise DeltaLogError(
+                f"partition_by {list(partition_by)} does not match the "
+                f"table's partition columns {snap.partition_columns}")
+        partition_by = snap.partition_columns
         if mode == "append":
             # INSERT semantics: align by position and cast to the table
             # schema (Spark's own InsertIntoStatement behavior); a
@@ -278,18 +292,36 @@ def write_delta(df: DataFrame, path: str, mode: str = "append") -> None:
             df = df.select(*[
                 F.col(c).cast(f.dataType).alias(f.name)
                 for c, f in zip(df.columns, snap.schema.fields)])
+    partition_by = list(partition_by or [])
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise DeltaLogError(f"partition_by columns not in data: {missing}")
 
     # stage the parquet part files via Spark's own writer, then move
-    # them into the table root under their staged names
+    # them into the table root under their staged (relative) names
     staging = os.path.join(path, f".staging-{now_ms}")
-    df.write.mode("overwrite").parquet(staging)
-    moved: list[tuple[str, int]] = []
-    for f in sorted(os.listdir(staging)):
-        if f.endswith(".parquet") and not f.startswith((".", "_")):
-            src = os.path.join(staging, f)
-            dst = os.path.join(path, f)
-            os.rename(src, dst)
-            moved.append((f, os.path.getsize(dst)))
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staging)
+    moved: list[tuple[str, int, dict]] = []     # (rel path, size, pv)
+    from urllib.parse import unquote
+    for root, _dirs, files in os.walk(staging):
+        rel_dir = os.path.relpath(root, staging)
+        pv = {}
+        if rel_dir != ".":
+            for seg in rel_dir.split(os.sep):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    pv[k] = (None if v == "__HIVE_DEFAULT_PARTITION__"
+                             else unquote(v))
+        for f in sorted(files):
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                rel = f if rel_dir == "." else os.path.join(rel_dir, f)
+                dst = os.path.join(path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(root, f), dst)
+                moved.append((rel, os.path.getsize(dst), pv))
     import shutil
     shutil.rmtree(staging, ignore_errors=True)
 
@@ -307,7 +339,7 @@ def write_delta(df: DataFrame, path: str, mode: str = "append") -> None:
             "id": table_id,
             "format": {"provider": "parquet", "options": {}},
             "schemaString": df.schema.json(),
-            "partitionColumns": [],
+            "partitionColumns": partition_by,
             "configuration": {},
             "createdTime": now_ms}})
     else:
@@ -317,9 +349,9 @@ def write_delta(df: DataFrame, path: str, mode: str = "append") -> None:
                 actions.append({"remove": {"path": rel,
                                            "deletionTimestamp": now_ms,
                                            "dataChange": True}})
-    for rel, size in moved:
-        actions.append({"add": {"path": rel,
-                                "partitionValues": {},
+    for rel, size, pv in moved:
+        actions.append({"add": {"path": rel.replace(os.sep, "/"),
+                                "partitionValues": pv,
                                 "size": size,
                                 "modificationTime": now_ms,
                                 "dataChange": True}})

@@ -717,3 +717,34 @@ def test_merge_into_iceberg(spark, tmp_path):
         f"SELECT * FROM lightning.datasource.iceberg.whm.db.accounts "
         f"VERSION AS OF {hist[0].snapshot_id}").collect()
     assert {r.id: r.name for r in pre} == {1: "a", 2: "b"}
+
+
+def test_delta_partitioned_writes_round_trip(spark, tmp_path):
+    """partition_by writes: Hive-style layout, partitionValues in the
+    log, partition columns injected back on read (they are NOT in the
+    data files per the PROTOCOL); appends inherit the table's
+    partitioning; time travel spans the partitioned history."""
+    from pyspark.sql import functions as F2
+
+    path = str(tmp_path / "ptw")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "a", 20)],
+        "id long, cat string, bucket int")
+    write_delta(df, path, mode="error", partition_by=["cat", "bucket"])
+    back = read_delta(spark, path)
+    assert sorted((r.id, r.cat, r.bucket) for r in back.collect()) == \
+        [(1, "a", 10), (2, "b", 10), (3, "a", 20)]
+    # the data files really omit the partition columns
+    import glob
+    part = glob.glob(os.path.join(path, "cat=*", "bucket=*", "*.parquet"))
+    assert part and spark.read.parquet(part[0]).columns == ["id"]
+    # append inherits partitioning; mismatched partition_by raises
+    write_delta(spark.createDataFrame([(4, "c", 30)],
+                                      "id long, cat string, bucket int"),
+                path, mode="append")
+    assert read_delta(spark, path).count() == 4
+    with pytest.raises(DeltaLogError, match="partition"):
+        write_delta(df, path, mode="append", partition_by=["cat"])
+    # partition filter prunes via the injected column; v0 stays intact
+    assert read_delta(spark, path).filter(F2.col("cat") == "a").count() == 2
+    assert read_delta(spark, path, version_as_of=0).count() == 3
