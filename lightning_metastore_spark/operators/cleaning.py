@@ -157,3 +157,50 @@ def normalize_text(docs: DataFrame, form: str = "NFC",
                 .cast("long").alias("n_chars_after"),
                 (~F.col("text_norm").eqNullSafe(F.col("_orig")))
                 .alias("changed")))
+
+
+def c4_line_clean(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  min_line_words: int = 5,
+                  min_sentences: int = 3) -> DataFrame:
+    """C4's line- and page-level cleaning rules (Raffel et al. 2020
+    §2.2 — the published recipe this repo already carries the URL rule
+    of, `functions/html.url_survivors`):
+
+    line kept iff it ends in a terminal punctuation mark (. ! ? or a
+    closing quote), has at least ``min_line_words`` words, and does not
+    mention 'javascript' (case-insensitive); page kept
+    (``c4_keep``) iff the RETAINED text has at least ``min_sentences``
+    sentences (terminal-punctuation count — the paper's rough sentence
+    notion), the original page contains no 'lorem ipsum' and no curly
+    brace (the code-page signal).
+
+    Returns (doc_id, text = kept lines joined by newline, n_lines,
+    n_lines_kept, n_sentences, c4_keep). Map-only whole-stage-codegen
+    expressions — one scan, zero shuffles, like the Gopher rules.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(raw, r"\n")
+
+    def _line_ok(x):
+        trimmed = F.trim(x)
+        words = F.filter(F.split(trimmed, r"\s+"), lambda w: w != "")
+        return (trimmed.rlike(r'[.!?"]$')
+                & (F.size(words) >= F.lit(min_line_words))
+                & ~F.lower(x).contains("javascript"))
+
+    kept = F.filter(lines, _line_ok)
+    text_kept = F.array_join(kept, "\n")
+    n_sentences = F.size(F.regexp_extract_all(text_kept,
+                                              F.lit(r"([.!?])"), 1))
+    keep = ((n_sentences >= F.lit(min_sentences))
+            & ~F.lower(raw).contains("lorem ipsum")
+            & ~raw.contains("{"))
+    return docs.select(
+        F.col(id_col),
+        text_kept.alias(text_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_lines_kept"),
+        n_sentences.alias("n_sentences"),
+        keep.alias("c4_keep"),
+    )

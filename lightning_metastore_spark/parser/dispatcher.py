@@ -1360,6 +1360,8 @@ class RunPipeline(Command):
                 .image_dhash(df), {}),
             "boilerplate": (cleaning.remove_boilerplate_lines,
                             {"max_df": int}),
+            "c4_clean": (cleaning.c4_line_clean,
+                         {"min_line_words": int, "min_sentences": int}),
             "corpus_report": (corpus_report_op, {"top_langs": int}),
             "curate": (curate,
                        {"min_quality": float,

@@ -40,6 +40,8 @@ Tokenizing:   build_vocab, encode_token_stats, chunk_documents,
               tokenizer_fertility (per-language tokens/word +
               chars/token audit of a trained tokenizer)
 Cleaning:     remove_boilerplate_lines, dedup_lines_within_doc,
+              c4_line_clean (C4's line/page cleaning rules at the
+              published thresholds — Raffel et al. 2020 §2.2),
               normalize_text (Unicode NFC/NFKC + control/whitespace
               canonicalization), html_extract + html_title (HTML ->
               text with link-density boilerplate features),
@@ -161,6 +163,7 @@ from lightning_metastore_spark.operators.chunking import (  # noqa: F401
     chunk_documents,
 )
 from lightning_metastore_spark.operators.cleaning import (  # noqa: F401
+    c4_line_clean,
     dedup_lines_within_doc,
     normalize_text,
     remove_boilerplate_lines,

@@ -2337,6 +2337,49 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.repetition_features(t["documents"]).orderBy("doc_id")
 
 
+def text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line/page cleaning (Raffel et al. 2020 §2.2 —
+    operators/cleaning.c4_line_clean): kept-line text md5 plus the
+    line/sentence counts and the page keep decision."""
+    from lightning_metastore_spark.operators.cleaning import c4_line_clean
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    out = c4_line_clean(t["documents"], min_line_words=3)
+    return (out.select(
+        "doc_id", "n_lines", "n_lines_kept", "n_sentences", "c4_keep",
+        F.md5(F.col("text")).alias("clean_md5"))
+        .orderBy("doc_id"))
+
+
+TEXT_C4_ORACLE = r"""
+WITH g AS (
+  SELECT doc_id,
+         string_split(COALESCE(text, ''), chr(10)) AS lines,
+         list_filter(string_split(COALESCE(text, ''), chr(10)),
+             x -> regexp_matches(trim(x), '[.!?"]$')
+                  AND len(list_filter(string_split_regex(trim(x), '\s+'),
+                          w -> w <> '')) >= 3
+                  AND NOT contains(lower(x), 'javascript')) AS kept,
+         contains(lower(COALESCE(text, '')), 'lorem ipsum') AS lorem,
+         contains(COALESCE(text, ''), '{') AS brace
+  FROM documents
+), s AS (
+  SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_lines_kept,
+         COALESCE(array_to_string(kept, chr(10)), '') AS text_kept,
+         lorem, brace
+  FROM g
+)
+SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+       CAST(n_lines_kept AS INT) AS n_lines_kept,
+       CAST(len(regexp_extract_all(text_kept, '([.!?])', 1)) AS INT)
+         AS n_sentences,
+       (len(regexp_extract_all(text_kept, '([.!?])', 1)) >= 3
+        AND NOT lorem AND NOT brace) AS c4_keep,
+       md5(text_kept) AS clean_md5
+FROM s ORDER BY doc_id
+"""
+
+
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher document quality rules (Rae et al. 2021 App. A1.1) —
     word-count bounds, mean word length, symbol ratio, bullet/ellipsis
@@ -3866,6 +3909,9 @@ def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
               ["n_words", "mean_word_len", "symbol_word_ratio",
                "bullet_line_frac", "ellipsis_line_frac",
                "alpha_word_frac", "n_stop_present", "gopher_keep"]),
+        _melt(text_c4_clean(spark, sf_dir), "c4", "doc_id",
+              ["n_lines", "n_lines_kept", "n_sentences", "c4_keep"],
+              ("clean_md5",)),
         _melt(token_histogram(spark, sf_dir), "histogram", "bucket_lo",
               ["n_docs", "min_tokens", "max_tokens", "avg_tokens",
                "sum_chars"]),
@@ -3944,6 +3990,10 @@ CORPUS_PROFILE_SUITE_ORACLE = (
                 ["n_words", "mean_word_len", "symbol_word_ratio",
                  "bullet_line_frac", "ellipsis_line_frac",
                  "alpha_word_frac", "n_stop_present", "gopher_keep"])
+    + " UNION ALL "
+    + _melt_sql(TEXT_C4_ORACLE, "c4", "doc_id",
+                ["n_lines", "n_lines_kept", "n_sentences", "c4_keep"],
+                ("clean_md5",))
     + " UNION ALL "
     + _melt_sql(TOKEN_HISTOGRAM_ORACLE, "histogram", "bucket_lo",
                 ["n_docs", "min_tokens", "max_tokens", "avg_tokens",
@@ -4510,7 +4560,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "PK + FK + custom DQ checks (tagged union)"),
         QuerySpec("corpus_profile_suite", corpus_profile_suite,
                   CORPUS_PROFILE_SUITE_ORACLE,
-                  "Gopher repetition + quality rules + histogram + "
+                  "Gopher repetition + quality rules + C4 line/page rules + histogram + "
                   "packing + contamination + "
                   "chunking + tokenizer ids/fertility + skyline + heavy "
                   "hitters + Zipf fit + encoding triage + domain profile "
@@ -4612,6 +4662,7 @@ SUITE_SECTIONS: dict = {
     "corpus_profile_suite": {
         "repetition": text_repetition,
         "gopher": text_gopher_rules,
+        "c4": text_c4_clean,
         "histogram": token_histogram,
         "pack": sequence_pack,
         "contamination": contamination_check,

@@ -200,3 +200,66 @@ def test_normalize_text_collapses_unicode_spaces_under_nfc(spark):
     got = {r.doc_id: r.text_norm
            for r in normalize_text(df, form="NFC").collect()}
     assert got == {i: "a b" for i in range(1, 6)}
+
+
+def test_c4_line_clean_twin(spark):
+    """Independent Python re-derivation of the C4 line/page rules on
+    docs exercising every rule: terminal punctuation, line word floor,
+    javascript lines, sentence floor, lorem ipsum, curly braces."""
+    import re
+
+    from lightning_metastore_spark.operators.cleaning import c4_line_clean
+
+    docs = spark.createDataFrame(
+        [(1, "This line ends with a period and has words.\n"
+             "short line.\n"
+             "no terminal punctuation here at all\n"
+             "Please enable javascript to view this page.\n"
+             "Another proper sentence ends right here!\n"
+             "And a third full sentence closes the page?"),
+         (2, "Only one proper sentence lives on this page."),
+         (3, "A page with lorem ipsum filler text inside it. "
+             "Second sentence here. Third sentence too."),
+         (4, "A code page { return 42; } with braces. "
+             "Second sentence. Third sentence."),
+         (5, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_line_clean(docs).collect()}
+
+    def twin(text):
+        text = text or ""
+        lines = text.split("\n")
+        kept = [x for x in lines
+                if re.search(r'[.!?"]$', x.strip())
+                and len([w for w in re.split(r"\s+", x.strip()) if w]) >= 5
+                and "javascript" not in x.lower()]
+        tk = "\n".join(kept)
+        n_sent = len(re.findall(r"[.!?]", tk))
+        keep = (n_sent >= 3 and "lorem ipsum" not in text.lower()
+                and "{" not in text)
+        return (tk, len(lines), len(kept), n_sent, keep)
+
+    texts = {1: "This line ends with a period and has words.\n"
+                "short line.\n"
+                "no terminal punctuation here at all\n"
+                "Please enable javascript to view this page.\n"
+                "Another proper sentence ends right here!\n"
+                "And a third full sentence closes the page?",
+             2: "Only one proper sentence lives on this page.",
+             3: "A page with lorem ipsum filler text inside it. "
+                "Second sentence here. Third sentence too.",
+             4: "A code page { return 42; } with braces. "
+                "Second sentence. Third sentence.",
+             5: None}
+    for doc_id, text in texts.items():
+        r = got[doc_id]
+        assert (r.text, r.n_lines, r.n_lines_kept, r.n_sentences,
+                r.c4_keep) == twin(text), doc_id
+    assert got[1].c4_keep                       # 3 kept sentences
+    assert not got[2].c4_keep                   # sentence floor
+    assert not got[3].c4_keep                   # lorem ipsum
+    assert not got[4].c4_keep                   # curly brace
+    assert not got[5].c4_keep                   # NULL = empty page
+    # the javascript and unterminated lines are gone from doc 1
+    assert "javascript" not in got[1].text
+    assert "no terminal punctuation" not in got[1].text

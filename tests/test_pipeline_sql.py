@@ -122,6 +122,9 @@ def _cases():
         ("dedup_lines",
          f"dedup_lines ON {DOCS}",
          lambda e: cleaning.dedup_lines_within_doc(e.docs)),
+        ("c4_clean",
+         f"c4_clean ON {DOCS} OPTIONS(min_line_words '3')",
+         lambda e: cleaning.c4_line_clean(e.docs, min_line_words=3)),
         ("normalize_text",
          f"normalize_text ON {DOCS} OPTIONS(form 'NFKC')",
          lambda e: cleaning.normalize_text(e.docs, form="NFKC")),
