@@ -201,6 +201,19 @@ def read_delta(spark: SparkSession, path: str,
     if not snap.partition_columns:
         return _with_partitions([os.path.join(path, p)
                                  for p, _ in snap.files], {})
+    # Hive-layout fast path: when every live file's path encodes every
+    # partition column as `col=value/` segments (the layout our own
+    # writer produces), ONE scan with basePath lets Spark's native
+    # partition discovery supply the partition columns — no per-tuple
+    # union, and partition pruning pushes into the scan. Tables whose
+    # partition values live only in the log fall back to the grouped
+    # union (planner-side work proportional to partitions, not rows).
+    if all(all(f"{c}=" in rel for c in snap.partition_columns)
+           for rel, _ in snap.files):
+        return (spark.read.schema(snap.schema)
+                .option("basePath", path)
+                .parquet(*[os.path.join(path, p) for p, _ in snap.files])
+                .select(*[f.name for f in snap.schema.fields]))
     groups: dict[tuple, tuple[dict, list[str]]] = {}
     for rel, pv in snap.files:
         key = tuple(sorted(pv.items()))

@@ -748,3 +748,24 @@ def test_delta_partitioned_writes_round_trip(spark, tmp_path):
     # partition filter prunes via the injected column; v0 stays intact
     assert read_delta(spark, path).filter(F2.col("cat") == "a").count() == 2
     assert read_delta(spark, path, version_as_of=0).count() == 3
+
+
+def test_delta_partitioned_hive_fast_path_plan(spark, tmp_path):
+    """Hive-layout partitioned Delta tables read as ONE scan (native
+    partition discovery, no per-partition Union) and a partition
+    filter prunes at the source."""
+    path = str(tmp_path / "hfp")
+    write_delta(
+        spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b") for i in range(20)],
+            "id long, cat string"),
+        path, mode="error", partition_by=["cat"])
+    df = read_delta(spark, path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    assert sorted((r.id, r.cat) for r in df.collect()) == \
+        [(i, "a" if i % 2 == 0 else "b") for i in range(20)]
+    pruned = df.filter("cat = 'a'")
+    pplan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in pplan and "cat" in pplan
+    assert pruned.count() == 10
