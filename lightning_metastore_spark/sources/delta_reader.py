@@ -17,6 +17,11 @@ READ  — snapshot state = latest checkpoint parquet (read with Spark's
         unioned by name. Time travel: `version_as_of` replays to that
         commit; `timestamp_as_of` picks the last commit whose
         commitInfo timestamp (file mtime fallback) <= the bound.
+        Protocol actions are validated per the spec's evolution rules:
+        tables demanding minReaderVersion > 1, unsupported
+        readerFeatures, deletion vectors on live files, or column
+        mapping raise `DeltaLogError` instead of silently returning
+        wrong rows.
 READ SCALE — commit JSONs are bounded by the checkpoint interval
         (10 by default in real writers) and the checkpoint `add` column
         collect is (path, partitionValues) only — the same file-list
@@ -29,7 +34,9 @@ WRITE — single-writer commits (the repo runs one driver): parquet part
         `os.rename`). `overwrite` emits `remove` for every live file.
         `partition_by` lays data out Hive-style with per-file
         `partitionValues` in the log (the PROTOCOL's partitioned
-        shape); appends inherit the table's partitioning.
+        shape); appends inherit the table's partitioning. Every
+        CHECKPOINT_INTERVAL commits the log is compacted into a
+        checkpoint parquet + `_last_checkpoint`.
 
 A usable delta-spark on the session always wins — the catalog unit only
 drops here when `format("delta")` raises a missing-source error.
@@ -42,6 +49,8 @@ import os
 import time
 from typing import Optional
 
+from urllib.parse import unquote
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -49,6 +58,42 @@ from pyspark.sql import types as T
 
 class DeltaLogError(Exception):
     pass
+
+
+# Reader features this module actually implements. The PROTOCOL requires
+# readers to REJECT tables demanding capabilities they lack — silently
+# ignoring `protocol` actions would return deleted rows (deletion
+# vectors) or misread columns (column mapping). minReaderVersion 2 means
+# "column mapping capable" (unsupported here); version 3 carries an
+# explicit `readerFeatures` list, every entry of which must be
+# supported. `timestampNtz` is listed because Spark's parquet reader
+# handles TIMESTAMP_NTZ natively — nothing for this module to do.
+_SUPPORTED_READER_FEATURES = frozenset({"timestampNtz"})
+
+# write_delta compacts the log into a checkpoint every N commits (the
+# PROTOCOL's scale mechanism; real writers default to 10)
+CHECKPOINT_INTERVAL = 10
+
+
+def _check_protocol(protocol: Optional[dict], path: str) -> None:
+    """Reject tables whose protocol demands unsupported reader
+    capabilities (Delta PROTOCOL.md, "Protocol Evolution")."""
+    if not protocol:
+        return
+    mrv = int(protocol.get("minReaderVersion") or 1)
+    feats = list(protocol.get("readerFeatures") or [])
+    unsupported = [f for f in feats if f not in _SUPPORTED_READER_FEATURES]
+    if mrv >= 3:
+        if unsupported:
+            raise DeltaLogError(
+                f"Delta table {path} requires unsupported reader "
+                f"features {unsupported}; this offline reader supports "
+                f"{sorted(_SUPPORTED_READER_FEATURES)} only")
+    elif mrv > 1:
+        raise DeltaLogError(
+            f"Delta table {path} requires minReaderVersion {mrv} "
+            f"(column mapping capability); this offline reader supports "
+            f"version 1 tables only")
 
 
 def _log_dir(path: str) -> str:
@@ -135,24 +180,47 @@ def resolve_snapshot(spark: SparkSession, path: str,
 
     live: dict[str, dict] = {}
     meta = None
+    protocol: Optional[dict] = None
+    dv_files: set[str] = set()  # live adds carrying a deletionVector
     ckpt = _checkpoint_at(path, target)
     replay_from = 0
     if ckpt is not None:
         ckpt_version, ckpt_path = ckpt
         replay_from = ckpt_version + 1
         cp = spark.read.parquet(ckpt_path)
-        adds = (cp.where(F.col("add").isNotNull())
-                  .select(F.col("add.path").alias("path"),
-                          F.col("add.partitionValues").alias("pv"))
-                  .collect())
+        add_fields = {f.name for f in cp.schema["add"].dataType.fields}
+        sel = [F.col("add.path").alias("path"),
+               F.col("add.partitionValues").alias("pv")]
+        if "deletionVector" in add_fields:
+            sel.append(F.col("add.deletionVector").isNotNull().alias("dv"))
+        adds = cp.where(F.col("add").isNotNull()).select(*sel).collect()
         for r in adds:
-            live[r["path"]] = dict(r["pv"] or {})
+            rd = r.asDict()
+            live[rd["path"]] = dict(rd["pv"] or {})
+            if rd.get("dv"):
+                dv_files.add(rd["path"])
+        meta_fields = {f.name for f in cp.schema["metaData"].dataType.fields}
+        msel = ["metaData.schemaString", "metaData.partitionColumns"]
+        if "configuration" in meta_fields:
+            msel.append("metaData.configuration")
         metas = (cp.where(F.col("metaData").isNotNull())
-                   .select("metaData.schemaString",
-                           "metaData.partitionColumns").collect())
+                   .select(*msel).collect())
         if metas:
-            meta = {"schemaString": metas[0]["schemaString"],
-                    "partitionColumns": list(metas[0]["partitionColumns"] or [])}
+            md = metas[0].asDict()
+            meta = {"schemaString": md["schemaString"],
+                    "partitionColumns": list(md["partitionColumns"] or []),
+                    "configuration": dict(md.get("configuration") or {})}
+        if "protocol" in cp.columns:
+            pf = {f.name for f in cp.schema["protocol"].dataType.fields}
+            psel = [F.col("protocol.minReaderVersion").alias("mrv")]
+            if "readerFeatures" in pf:
+                psel.append(F.col("protocol.readerFeatures").alias("rf"))
+            protos = (cp.where(F.col("protocol").isNotNull())
+                        .select(*psel).collect())
+            if protos:
+                pr = protos[0].asDict()
+                protocol = {"minReaderVersion": pr["mrv"],
+                            "readerFeatures": list(pr.get("rf") or [])}
     for v, p in commits:
         if v < replay_from or v > target:
             continue
@@ -164,15 +232,37 @@ def resolve_snapshot(spark: SparkSession, path: str,
                 if "add" in act:
                     a = act["add"]
                     live[a["path"]] = dict(a.get("partitionValues") or {})
+                    if a.get("deletionVector") is not None:
+                        dv_files.add(a["path"])
+                    else:
+                        dv_files.discard(a["path"])
                 elif "remove" in act:
                     live.pop(act["remove"]["path"], None)
+                    dv_files.discard(act["remove"]["path"])
                 elif "metaData" in act:
                     m = act["metaData"]
                     meta = {"schemaString": m["schemaString"],
                             "partitionColumns": list(
-                                m.get("partitionColumns") or [])}
+                                m.get("partitionColumns") or []),
+                            "configuration": dict(
+                                m.get("configuration") or {})}
+                elif "protocol" in act:
+                    protocol = act["protocol"]
     if meta is None:
         raise DeltaLogError(f"no metaData action found in {path}")
+    _check_protocol(protocol, path)
+    live_dv = dv_files & set(live)
+    if live_dv:
+        raise DeltaLogError(
+            f"Delta table {path} has data files with deletion vectors "
+            f"({sorted(live_dv)[:3]}…); reading them without applying "
+            f"the vectors would return deleted rows")
+    cm_mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none")
+    if cm_mode not in ("", "none"):
+        raise DeltaLogError(
+            f"Delta table {path} uses column mapping mode '{cm_mode}', "
+            f"which this offline reader does not support")
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     return DeltaSnapshot(target, schema, meta["partitionColumns"],
                          sorted(live.items()))
@@ -203,13 +293,28 @@ def read_delta(spark: SparkSession, path: str,
                                  for p, _ in snap.files], {})
     # Hive-layout fast path: when every live file's path encodes every
     # partition column as `col=value/` segments (the layout our own
-    # writer produces), ONE scan with basePath lets Spark's native
+    # writer produces) AND the encoded value agrees with the log's
+    # partitionValues, ONE scan with basePath lets Spark's native
     # partition discovery supply the partition columns — no per-tuple
     # union, and partition pruning pushes into the scan. Tables whose
-    # partition values live only in the log fall back to the grouped
-    # union (planner-side work proportional to partitions, not rows).
-    if all(all(f"{c}=" in rel for c in snap.partition_columns)
-           for rel, _ in snap.files):
+    # partition values live only in the log (or disagree with the path)
+    # fall back to the grouped union (planner-side work proportional to
+    # partitions, not rows). The check is per path SEGMENT, not a
+    # substring test — a column named `r` must not match a `year=…`
+    # directory.
+    def _hive_segment_ok(rel: str, col: str, logged) -> bool:
+        segs = rel.replace(os.sep, "/").split("/")[:-1]
+        matches = [s for s in segs if s.startswith(col + "=")]
+        if len(matches) != 1:
+            return False
+        raw = matches[0][len(col) + 1:]
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            return logged is None
+        return logged is not None and unquote(raw) == str(logged)
+
+    if all(_hive_segment_ok(rel, c, pv.get(c))
+           for rel, pv in snap.files
+           for c in snap.partition_columns):
         return (spark.read.schema(snap.schema)
                 .option("basePath", path)
                 .parquet(*[os.path.join(path, p) for p, _ in snap.files])
@@ -230,6 +335,7 @@ def delta_history(spark: SparkSession, path: str) -> DataFrame:
     operation) — the reference exposes table history as a `.history`
     suffix table; newest first like delta-spark."""
     rows = []
+    protocol = None
     for v, p in reversed(_commit_files(path)):
         op = None
         with open(p) as fh:
@@ -237,12 +343,16 @@ def delta_history(spark: SparkSession, path: str) -> DataFrame:
                 if not line.strip():
                     continue
                 act = json.loads(line)
-                if "commitInfo" in act:
+                if "commitInfo" in act and op is None:
                     op = act["commitInfo"].get("operation")
-                    break
+                elif "protocol" in act and protocol is None:
+                    # newest-first walk: the first protocol seen is the
+                    # latest; reject unsupported tables here too
+                    protocol = act["protocol"]
         import datetime as dt
         ts = dt.datetime.fromtimestamp(_commit_timestamp(p) / 1000.0)
         rows.append((v, ts, op))
+    _check_protocol(protocol, path)
     schema = T.StructType([
         T.StructField("version", T.LongType(), False),
         T.StructField("timestamp", T.TimestampType(), True),
@@ -294,17 +404,20 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
                 f"partition_by {list(partition_by)} does not match the "
                 f"table's partition columns {snap.partition_columns}")
         partition_by = snap.partition_columns
-        if mode == "append":
-            # INSERT semantics: align by position and cast to the table
-            # schema (Spark's own InsertIntoStatement behavior); a
-            # width mismatch is the real user error
-            if len(df.columns) != len(snap.schema.fields):
-                raise DeltaLogError(
-                    f"append width mismatch: {len(df.columns)} columns "
-                    f"vs table's {len(snap.schema.fields)}")
-            df = df.select(*[
-                F.col(c).cast(f.dataType).alias(f.name)
-                for c, f in zip(df.columns, snap.schema.fields)])
+        # INSERT semantics for append AND overwrite: align by position
+        # and cast to the table schema (Spark's own InsertIntoStatement
+        # behavior). Overwrite must align too — the data files it
+        # commits are described by the log's existing schemaString, and
+        # mismatched columns would be silently null-filled on read
+        # (delta-spark rejects this without overwriteSchema). A width
+        # mismatch is the real user error either way.
+        if len(df.columns) != len(snap.schema.fields):
+            raise DeltaLogError(
+                f"{mode} width mismatch: {len(df.columns)} columns "
+                f"vs table's {len(snap.schema.fields)}")
+        df = df.select(*[
+            F.col(c).cast(f.dataType).alias(f.name)
+            for c, f in zip(df.columns, snap.schema.fields)])
     partition_by = list(partition_by or [])
     missing = [c for c in partition_by if c not in df.columns]
     if missing:
@@ -318,7 +431,6 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         w = w.partitionBy(*partition_by)
     w.parquet(staging)
     moved: list[tuple[str, int, dict]] = []     # (rel path, size, pv)
-    from urllib.parse import unquote
     for root, _dirs, files in os.walk(staging):
         rel_dir = os.path.relpath(root, staging)
         pv = {}
@@ -369,6 +481,11 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
                                 "modificationTime": now_ms,
                                 "dataChange": True}})
     _write_commit(path, version, actions)
+    # the PROTOCOL's scale mechanism: compact the log every N commits so
+    # long-lived tables replay O(interval) JSON from the checkpoint
+    # horizon instead of O(commits) from version 0
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        write_checkpoint(spark, path)
 
 
 def write_checkpoint(spark: SparkSession, path: str) -> int:

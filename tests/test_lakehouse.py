@@ -220,6 +220,187 @@ def test_delta_partitioned_fixture(spark, tmp_path):
         [(1, 1), (2, 1), (3, 2)]
 
 
+def _append_commit(path, version, actions):
+    with open(os.path.join(path, "_delta_log",
+                           f"{version:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def test_delta_protocol_gating(spark, tmp_path):
+    """The PROTOCOL's evolution rules: tables demanding reader
+    capabilities this module lacks must RAISE, never silently return
+    wrong rows (deletion vectors would resurface deleted rows; column
+    mapping would misread columns)."""
+    # (a) minReaderVersion 2 = column mapping capability -> raise;
+    # time travel to BEFORE the protocol upgrade still reads
+    p = str(tmp_path / "p2")
+    write_delta(_delta_df(spark, 0, 3), p, mode="error")
+    _append_commit(p, 1, [{"protocol": {"minReaderVersion": 2,
+                                        "minWriterVersion": 5}}])
+    with pytest.raises(DeltaLogError, match="minReaderVersion 2"):
+        read_delta(spark, p)
+    with pytest.raises(DeltaLogError, match="minReaderVersion 2"):
+        delta_history(spark, p)
+    assert read_delta(spark, p, version_as_of=0).count() == 3
+
+    # (b) v3 readerFeatures: an unsupported feature raises; a
+    # supported-only list (timestampNtz — Spark reads TIMESTAMP_NTZ
+    # parquet natively) keeps reading
+    p3 = str(tmp_path / "p3")
+    write_delta(_delta_df(spark, 0, 3), p3, mode="error")
+    _append_commit(p3, 1, [{"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["timestampNtz"],
+        "writerFeatures": ["timestampNtz"]}}])
+    assert read_delta(spark, p3).count() == 3
+    _append_commit(p3, 2, [{"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"]}}])
+    with pytest.raises(DeltaLogError, match="deletionVectors"):
+        read_delta(spark, p3)
+
+    # (c) a live add carrying a deletionVector raises even without a
+    # protocol upgrade; once the file is removed the table reads again
+    pdv = str(tmp_path / "pdv")
+    write_delta(_delta_df(spark, 0, 3), pdv, mode="error")
+    dv = {"storageType": "u", "pathOrInlineDv": "x", "offset": 1,
+          "sizeInBytes": 40, "cardinality": 2}
+    _append_commit(pdv, 1, [{"add": {
+        "path": "ghost.parquet", "partitionValues": {}, "size": 1,
+        "modificationTime": 0, "dataChange": True,
+        "deletionVector": dv}}])
+    with pytest.raises(DeltaLogError, match="deletion vector"):
+        read_delta(spark, pdv)
+    _append_commit(pdv, 2, [{"remove": {"path": "ghost.parquet",
+                                        "deletionTimestamp": 0,
+                                        "dataChange": True}}])
+    assert read_delta(spark, pdv).count() == 3
+
+    # (d) column mapping announced via table configuration raises
+    pcm = str(tmp_path / "pcm")
+    write_delta(_delta_df(spark, 0, 3), pcm, mode="error")
+    snap = resolve_snapshot(spark, pcm)
+    _append_commit(pcm, 1, [{"metaData": {
+        "id": "x", "format": {"provider": "parquet", "options": {}},
+        "schemaString": snap.schema.json(), "partitionColumns": [],
+        "configuration": {"delta.columnMapping.mode": "name"},
+        "createdTime": 0}}])
+    with pytest.raises(DeltaLogError, match="column mapping"):
+        read_delta(spark, pcm)
+
+
+def test_delta_overwrite_aligns_schema(spark, tmp_path):
+    """Overwrite on an existing table aligns by position and casts to
+    the table schema (like append) — data files must match the log's
+    schemaString, or reads silently null-fill; width mismatch raises."""
+    path = str(tmp_path / "ovr")
+    write_delta(_delta_df(spark, 0, 3), path, mode="error")
+    write_delta(spark.createDataFrame([(7, 8, 9)], "a int, b int, c int"),
+                path, mode="overwrite")
+    back = read_delta(spark, path)
+    assert back.columns == ["id", "s", "v"]
+    assert [(r.id, r.s, r.v) for r in back.collect()] == [(7, "8", 9)]
+    with pytest.raises(DeltaLogError, match="width mismatch"):
+        write_delta(spark.createDataFrame([(1,)], "a int"),
+                    path, mode="overwrite")
+
+
+def test_delta_hive_lookalike_paths_use_log_values(spark, tmp_path):
+    """The one-scan fast path tests path SEGMENTS, not substrings: a
+    table partitioned on column `r` whose externally-written paths
+    contain `year=2024/` must fall back to log-valued injection ('r='
+    is a substring of 'year='), and a path segment whose value
+    disagrees with the log must yield the LOG's value."""
+    from pyspark.sql import types as T
+
+    path = tmp_path / "lk"
+    (path / "year=2024").mkdir(parents=True)
+    data_schema = T.StructType([T.StructField("id", T.LongType())])
+    full = T.StructType([T.StructField("id", T.LongType()),
+                         T.StructField("r", T.IntegerType())])
+    sub = str(path / "stage")
+    spark.createDataFrame([(1,), (2,)], data_schema).coalesce(1) \
+        .write.parquet(sub)
+    part = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
+    os.rename(os.path.join(sub, part),
+              str(path / "year=2024" / "part-0.parquet"))
+    log = path / "_delta_log"
+    log.mkdir()
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "x",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": full.json(),
+                      "partitionColumns": ["r"], "configuration": {},
+                      "createdTime": 0}},
+        {"add": {"path": "year=2024/part-0.parquet",
+                 "partitionValues": {"r": "5"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(log / f"{0:020d}.json", "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    out = read_delta(spark, str(path))
+    assert sorted((x.id, x.r) for x in out.collect()) == [(1, 5), (2, 5)]
+
+    # value disagreement: path says cat=a, log says cat=b -> log wins
+    path2 = tmp_path / "lk2"
+    (path2 / "cat=a").mkdir(parents=True)
+    full2 = T.StructType([T.StructField("id", T.LongType()),
+                          T.StructField("cat", T.StringType())])
+    sub2 = str(path2 / "stage")
+    spark.createDataFrame([(3,)], data_schema).coalesce(1) \
+        .write.parquet(sub2)
+    part2 = next(f for f in os.listdir(sub2) if f.endswith(".parquet"))
+    os.rename(os.path.join(sub2, part2),
+              str(path2 / "cat=a" / "part-0.parquet"))
+    log2 = path2 / "_delta_log"
+    log2.mkdir()
+    actions2 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "y",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": full2.json(),
+                      "partitionColumns": ["cat"], "configuration": {},
+                      "createdTime": 0}},
+        {"add": {"path": "cat=a/part-0.parquet",
+                 "partitionValues": {"cat": "b"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(log2 / f"{0:020d}.json", "w") as fh:
+        for a in actions2:
+            fh.write(json.dumps(a) + "\n")
+    assert [(x.id, x.cat) for x in read_delta(spark, str(path2)).collect()] \
+        == [(3, "b")]
+
+
+def test_delta_auto_checkpoint_and_log_cleanup(spark, tmp_path):
+    """write_delta compacts the log into a checkpoint every 10 commits
+    (+ `_last_checkpoint`); after the protocol's log cleanup deletes
+    commits behind the horizon, replay starts from the checkpoint."""
+    path = str(tmp_path / "ac")
+    write_delta(_delta_df(spark, 0, 1), path, mode="error")
+    for i in range(1, 11):
+        write_delta(_delta_df(spark, i, i + 1), path, mode="append")
+    log = os.path.join(path, "_delta_log")
+    assert os.path.exists(os.path.join(log,
+                                       f"{10:020d}.checkpoint.parquet"))
+    with open(os.path.join(log, "_last_checkpoint")) as fh:
+        assert json.load(fh)["version"] == 10
+    assert read_delta(spark, path).count() == 11
+    for v in range(10):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    assert sorted(r.id for r in read_delta(spark, path).collect()) == \
+        list(range(11))
+    with pytest.raises(DeltaLogError, match="does not exist"):
+        read_delta(spark, path, version_as_of=5)
+    # appends keep working from the checkpointed state
+    write_delta(_delta_df(spark, 11, 12), path, mode="append")
+    assert read_delta(spark, path).count() == 12
+
+
 def test_delta_catalog_unit_sql_time_travel(spark, tmp_path):
     """REGISTER DELTA + VERSION AS OF / .history through the SQL
     surface — the dispatcher path the reference exercises for Iceberg
