@@ -208,11 +208,24 @@ class Resolver:
         """Replace `<datasource chain> [FOR] VERSION|TIMESTAMP AS OF v`
         with a temp view over the time-travelled load. Runs before the
         quoted-split pass because a TIMESTAMP literal is itself a quoted
-        region; matches inside string literals are skipped by quote
-        parity."""
+        region — so instead of splitting, the _QUOTED tokenization is
+        used to compute the UNQUOTED character ranges, and a match is
+        rewritten only when its chain starts in one: chains inside
+        single-quoted strings, double-quoted strings, and backtick
+        identifiers are all left untouched (same protection every other
+        chain rewrite gets), while the match's own trailing timestamp
+        literal may still span into a quoted region."""
+        unquoted: list[tuple[int, int]] = []
+        pos = 0
+        for i, part in enumerate(_QUOTED.split(sql)):
+            if i % 2 == 0:
+                unquoted.append((pos, pos + len(part)))
+            pos += len(part)
+
         def repl(m: re.Match) -> str:
-            if sql[:m.start()].count("'") % 2 == 1:
-                return m.group(0)  # inside a string literal
+            s = m.start("chain")
+            if not any(lo <= s < hi for lo, hi in unquoted):
+                return m.group(0)  # inside a quoted region
             path = m.group("chain").split(".")[1:]
             kind = m.group("kind").upper()
             raw = m.group("val")

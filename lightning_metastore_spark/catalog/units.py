@@ -408,8 +408,12 @@ class IcebergCatalogUnit(CatalogUnit):
                 return spark.sql(
                     f"SELECT * FROM {name} VERSION AS OF {int(version_as_of)}")
             if timestamp_as_of is not None:
+                # escape quotes before embedding as a SQL literal — the
+                # value arrives from user SQL via the resolver's
+                # ''-unescape and could carry a quote
+                ts = str(timestamp_as_of).replace("'", "''")
                 return spark.sql(f"SELECT * FROM {name} "
-                                 f"TIMESTAMP AS OF '{timestamp_as_of}'")
+                                 f"TIMESTAMP AS OF '{ts}'")
             return spark.table(name)
         wh = self._warehouse()
         if wh is None:

@@ -150,8 +150,10 @@ def mine_hard_negatives(emb: DataFrame, pairs: DataFrame, k: int = 5,
     Scale shape: identical to ``brute_force_topk`` — the supervision
     set (pairs ⋈ embeddings, one row per pair with both vectors) is
     broadcast, so the corpus NEVER shuffles; the pos-exclusion and the
-    margin test are free predicates on the scored stream, and only
-    k-bounded (query, negative, score) tuples reach the ranking
+    margin test are free predicates on the scored stream. Every
+    margin-passing candidate (worst case corpus × pairs rows) then
+    shuffles on query_id for the ranking window that truncates to k —
+    the standard brute-force shape; tighten ``margin`` to thin the
     shuffle. Swap the scoring join for ``ivf_topk`` candidates when the
     supervision set outgrows the broadcast wall.
     """

@@ -68,7 +68,9 @@ def read_avro(spark: SparkSession, path: str,
     ``split_bytes`` (default: `spark.sql.files.maxPartitionBytes`) and
     a task owns every block whose payload starts inside its range
     (`avro_codec.iter_records_range`), so one giant file still fans
-    out across the cluster."""
+    out across the cluster. Tasks open `path` directly, so executors
+    must see the same filesystem as the driver (local mode or a shared
+    POSIX mount) — the same constraint `write_avro` enforces."""
     files = _data_files(path)
     if not files:
         raise ac.AvroError(f"no .avro part files under {path}")
@@ -103,9 +105,24 @@ def read_avro(spark: SparkSession, path: str,
 
 def write_avro(df: DataFrame, path: str, mode: str = "append",
                codec: str = "deflate") -> None:
-    """Write a DataFrame as a directory of Avro part files (no jar)."""
+    """Write a DataFrame as a directory of Avro part files (no jar).
+
+    Part files are written from inside `foreachPartition` against
+    `path` as seen by EACH EXECUTOR, so the write is only correct when
+    executors share the driver's filesystem — local mode, or a shared
+    POSIX mount (NFS/Lustre). On a plain multi-node cluster the parts
+    would land on executor-local disks while `_SUCCESS` advertised a
+    complete directory, so non-local, non-shared setups are refused;
+    clusters with real distributed storage have the spark-avro jar and
+    never reach this fallback."""
     if mode not in ("append", "overwrite", "error", "errorifexists"):
         raise ac.AvroError(f"unsupported save mode: {mode}")
+    master = df.sparkSession.sparkContext.master or ""
+    if not master.startswith("local"):
+        raise ac.AvroError(
+            f"the no-jar Avro writer requires a filesystem shared "
+            f"between driver and executors and refuses master "
+            f"'{master}'; install spark-avro for cluster writes")
     exists = os.path.exists(path)
     if exists and mode in ("error", "errorifexists"):
         raise ac.AvroError(f"path already exists: {path}")

@@ -20,11 +20,19 @@ the Delta unit's story (`sources/delta_reader.py`). Each commit:
   semantics: the repo runs one driver; a real multi-writer needs the
   runtime's atomic catalog swap).
 
-Unpartitioned writes only (spec-id 0) — identity-partition source
-columns live in the data files anyway, which is all the offline reader
-needs. Schema is translated from the DataFrame with field ids assigned
-1..n at create; appends align by position and cast to the table schema
-(Spark INSERT semantics, same as the Delta writer).
+Partitioning: `partition_by` at create time writes an IDENTITY
+partition spec into metadata.json, lays data files out per-partition
+(full rows — identity source columns stay IN the files, per the spec,
+so parquet min/max stats make every partition-column filter a
+file-skipping predicate), and stamps each manifest entry with the
+spec's `partition` tuple plus per-manifest-list field summaries
+(contains_null / lower_bound / upper_bound in the spec's single-value
+binary serialization) — the metadata a real planner prunes on.
+Appends/overwrites inherit the table's partitioning; non-identity
+transforms in an external table's spec are refused. Schema is
+translated from the DataFrame with field ids assigned 1..n at create;
+appends align by position and cast to the table schema (Spark INSERT
+semantics, same as the Delta writer).
 """
 
 from __future__ import annotations
@@ -70,6 +78,13 @@ MANIFEST_LIST_SCHEMA = {
         {"name": "content", "type": "int"},
         {"name": "sequence_number", "type": ["null", "long"]},
         {"name": "added_snapshot_id", "type": "long"},
+        {"name": "partitions", "type": ["null", {
+            "type": "array", "items": {
+                "type": "record", "name": "r508", "fields": [
+                    {"name": "contains_null", "type": "boolean"},
+                    {"name": "lower_bound", "type": ["null", "bytes"]},
+                    {"name": "upper_bound", "type": ["null", "bytes"]},
+                ]}}]},
     ]}
 
 _ICE_PRIM = {
@@ -78,6 +93,77 @@ _ICE_PRIM = {
     "date": "date", "timestamp": "timestamptz",
     "timestamp_ntz": "timestamp", "binary": "binary",
 }
+
+# Spark type -> Avro type for the manifest `partition` record; only
+# path-round-trippable types are allowed as identity partition sources
+_PART_AVRO = {
+    "integer": "int", "long": "long", "string": "string",
+    "boolean": "boolean",
+    "date": {"type": "int", "logicalType": "date"},
+}
+
+
+def _parse_partition_value(raw, type_name: str):
+    """Hive path segment value -> typed partition value."""
+    if raw is None:
+        return None
+    if type_name in ("integer", "long"):
+        return int(raw)
+    if type_name == "boolean":
+        return str(raw).lower() == "true"
+    if type_name == "date":
+        import datetime as dt
+        return dt.date.fromisoformat(raw)
+    return raw
+
+
+def _single_value_bytes(v, type_name: str) -> bytes:
+    """The spec's Appendix-D single-value binary serialization, for
+    manifest-list field summaries (lower/upper bounds)."""
+    import struct
+    if type_name == "integer":
+        return struct.pack("<i", v)
+    if type_name == "long":
+        return struct.pack("<q", v)
+    if type_name == "boolean":
+        return b"\x01" if v else b"\x00"
+    if type_name == "date":
+        import datetime as dt
+        return struct.pack("<i", (v - dt.date(1970, 1, 1)).days)
+    return str(v).encode("utf-8")
+
+
+def _manifest_schema_for(partition_by: list[str], spark_types: dict):
+    """MANIFEST_SCHEMA plus a typed `partition` record (spec field
+    name) when the table is partitioned."""
+    if not partition_by:
+        return MANIFEST_SCHEMA
+    import copy
+    schema = copy.deepcopy(MANIFEST_SCHEMA)
+    part_rec = {"type": "record", "name": "r102", "fields": [
+        {"name": c,
+         "type": ["null", _PART_AVRO[spark_types[c].typeName()]]}
+        for c in partition_by]}
+    df_fields = schema["fields"][-1]["type"]["fields"]
+    df_fields.insert(3, {"name": "partition", "type": part_rec})
+    return schema
+
+
+def _field_summaries(entries: list[dict], partition_by: list[str],
+                     spark_types: dict) -> list[dict]:
+    """Per-manifest partition field summaries for the manifest list
+    (contains_null + single-value-serialized lower/upper bounds)."""
+    out = []
+    for c in partition_by:
+        tn = spark_types[c].typeName()
+        vals = [e["data_file"]["partition"].get(c) for e in entries]
+        nn = [v for v in vals if v is not None]
+        out.append({
+            "contains_null": any(v is None for v in vals),
+            "lower_bound": _single_value_bytes(min(nn), tn) if nn else None,
+            "upper_bound": _single_value_bytes(max(nn), tn) if nn else None,
+        })
+    return out
 
 
 def _iceberg_schema_json(spark_schema) -> dict:
@@ -98,8 +184,12 @@ def _iceberg_schema_json(spark_schema) -> dict:
 
 
 def write_iceberg(df: DataFrame, table_path: str,
-                  mode: str = "append") -> None:
-    """Create/append/overwrite an unpartitioned Iceberg table offline."""
+                  mode: str = "append",
+                  partition_by: Optional[list[str]] = None) -> None:
+    """Create/append/overwrite an Iceberg table offline.
+
+    ``partition_by`` (create time only) records an identity-transform
+    partition spec; appends/overwrites inherit the table's spec."""
     if mode not in ("append", "overwrite", "error", "errorifexists"):
         raise ir.IcebergError(f"unsupported save mode: {mode}")
     spark = df.sparkSession
@@ -123,6 +213,22 @@ def write_iceberg(df: DataFrame, table_path: str,
         df = df.select(*[
             F.col(c).cast(f.dataType).alias(f.name)
             for c, f in zip(df.columns, table_schema.fields)])
+        # inherit the table's partition spec (identity transforms only)
+        spec = next((s for s in meta.get("partition-specs", [])
+                     if s.get("spec-id") == meta.get("default-spec-id", 0)),
+                    {"fields": []})
+        non_identity = [f["name"] for f in spec.get("fields", [])
+                        if f.get("transform") not in (None, "identity")]
+        if non_identity:
+            raise ir.IcebergError(
+                f"offline writes support identity partition transforms "
+                f"only; table has {non_identity}")
+        table_parts = [f["name"] for f in spec.get("fields", [])]
+        if partition_by and list(partition_by) != table_parts:
+            raise ir.IcebergError(
+                f"partition_by {list(partition_by)} does not match the "
+                f"table's partition spec {table_parts}")
+        partition_by = table_parts
         seq = int(meta.get("last-sequence-number", 0)) + 1
         snap_id = max((s["snapshot-id"] for s in meta.get("snapshots", [])),
                       default=0) + 1
@@ -131,6 +237,23 @@ def write_iceberg(df: DataFrame, table_path: str,
             int(f[1:].split(".")[0]) for f in os.listdir(mdir)
             if f.startswith("v") and f.endswith(".metadata.json"))
     else:
+        partition_by = list(partition_by or [])
+        schema_json = _iceberg_schema_json(df.schema)
+        name_to_id = {f["name"]: f["id"] for f in schema_json["fields"]}
+        spark_types_all = {f.name: f.dataType for f in df.schema.fields}
+        spec_fields = []
+        for i, c in enumerate(partition_by):
+            if c not in name_to_id:
+                raise ir.IcebergError(
+                    f"partition_by column not in data: {c}")
+            if spark_types_all[c].typeName() not in _PART_AVRO:
+                raise ir.IcebergError(
+                    f"unsupported identity partition type for {c}: "
+                    f"{spark_types_all[c].typeName()} (supported: "
+                    f"{sorted(_PART_AVRO)})")
+            spec_fields.append({"name": c, "transform": "identity",
+                                "source-id": name_to_id[c],
+                                "field-id": 1000 + i})
         meta = {
             "format-version": 2,
             "table-uuid": "00000000-0000-0000-0000-000000000000",
@@ -139,10 +262,10 @@ def write_iceberg(df: DataFrame, table_path: str,
             "last-updated-ms": now_ms,
             "last-column-id": len(df.columns),
             "current-schema-id": 0,
-            "schemas": [_iceberg_schema_json(df.schema)],
+            "schemas": [schema_json],
             "default-spec-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
-            "last-partition-id": 999,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": 999 + len(spec_fields),
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "snapshots": [],
@@ -152,17 +275,54 @@ def write_iceberg(df: DataFrame, table_path: str,
         os.makedirs(ddir, exist_ok=True)
         seq, snap_id, parent, version = 1, 1, None, 1
 
-    # stage data files via Spark's writer, move under data/
+    spark_types = {f.name: f.dataType for f in df.schema.fields}
+    missing = [c for c in partition_by if c not in spark_types]
+    if missing:
+        raise ir.IcebergError(f"partition_by columns not in data: {missing}")
+
+    # stage data files via Spark's writer, move under data/. Partitioned
+    # tables lay out via SHADOW copies of the partition columns so the
+    # originals stay IN the data files (the spec stores full rows —
+    # identity source columns must be readable, and their constant
+    # per-file parquet min/max stats are what makes partition filters
+    # file-skipping predicates)
     staging = os.path.join(table_path, f".staging-{now_ms}")
-    df.write.mode("overwrite").parquet(staging)
-    data_files: list[str] = []
+    shadow = [f"__ice_p_{c}" for c in partition_by]
+    stage_df = df
+    for c, s in zip(partition_by, shadow):
+        stage_df = stage_df.withColumn(s, F.col(c))
+    w = stage_df.write.mode("overwrite")
+    if shadow:
+        w = w.partitionBy(*shadow)
+    w.parquet(staging)
+    from urllib.parse import unquote
+    data_files: list[tuple[str, dict]] = []   # (dst path, partition tuple)
     i = 0
-    for f in sorted(os.listdir(staging)):
-        if f.endswith(".parquet") and not f.startswith((".", "_")):
-            dst = os.path.join(ddir, f"{seq:05d}-{i:05d}.parquet")
-            os.rename(os.path.join(staging, f), dst)
-            data_files.append(dst)
-            i += 1
+    for root, _dirs, fnames in sorted(os.walk(staging)):
+        rel_dir = os.path.relpath(root, staging)
+        pv: dict = {}
+        if rel_dir != ".":
+            for seg in rel_dir.split(os.sep):
+                if "=" not in seg:
+                    continue
+                k, v = seg.split("=", 1)
+                c = k[len("__ice_p_"):] if k.startswith("__ice_p_") else k
+                raw = (None if v == "__HIVE_DEFAULT_PARTITION__"
+                       else unquote(v))
+                pv[c] = _parse_partition_value(
+                    raw, spark_types[c].typeName())
+        part_dir = ddir
+        if pv:
+            segs = [f"{c}={'null' if pv[c] is None else pv[c]}"
+                    for c in partition_by]
+            part_dir = os.path.join(ddir, *segs)
+            os.makedirs(part_dir, exist_ok=True)
+        for f in sorted(fnames):
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                dst = os.path.join(part_dir, f"{seq:05d}-{i:05d}.parquet")
+                os.rename(os.path.join(root, f), dst)
+                data_files.append((dst, pv))
+                i += 1
     shutil.rmtree(staging, ignore_errors=True)
 
     def _num_rows(p: str) -> int:
@@ -176,26 +336,36 @@ def write_iceberg(df: DataFrame, table_path: str,
             return 0
 
     manifest = os.path.join(mdir, f"m-{snap_id}.avro")
-    ac.write_container(manifest, MANIFEST_SCHEMA, [
-        {"status": 1, "snapshot_id": snap_id, "sequence_number": seq,
-         "data_file": {"content": 0, "file_path": p,
-                       "file_format": "PARQUET",
-                       "record_count": _num_rows(p),
-                       "file_size_in_bytes": os.path.getsize(p),
-                       "equality_ids": None}}
-        for p in data_files])
+    entries = []
+    for p, pv in data_files:
+        data_file = {"content": 0, "file_path": p,
+                     "file_format": "PARQUET",
+                     "record_count": _num_rows(p),
+                     "file_size_in_bytes": os.path.getsize(p),
+                     "equality_ids": None}
+        if partition_by:
+            data_file["partition"] = {c: pv.get(c) for c in partition_by}
+        entries.append({"status": 1, "snapshot_id": snap_id,
+                        "sequence_number": seq, "data_file": data_file})
+    ac.write_container(manifest,
+                       _manifest_schema_for(partition_by, spark_types),
+                       entries)
 
     carried: list[dict] = []
     if exists and mode == "append" and parent is not None:
         prev = next(s for s in meta["snapshots"]
                     if s["snapshot-id"] == parent)
         carried = list(ac.iter_records(ir._local(prev["manifest-list"])))
+        for rec in carried:  # pre-summary lists lack the field
+            rec.setdefault("partitions", None)
     mlist = os.path.join(mdir, f"snap-{snap_id}.avro")
+    summaries = (_field_summaries(entries, partition_by, spark_types)
+                 if partition_by else None)
     ac.write_container(mlist, MANIFEST_LIST_SCHEMA, carried + [
         {"manifest_path": manifest,
          "manifest_length": os.path.getsize(manifest),
          "partition_spec_id": 0, "content": 0, "sequence_number": seq,
-         "added_snapshot_id": snap_id}])
+         "added_snapshot_id": snap_id, "partitions": summaries}])
 
     snap = {"snapshot-id": snap_id, "timestamp-ms": now_ms,
             "sequence-number": seq, "manifest-list": mlist,

@@ -436,6 +436,33 @@ def test_delta_catalog_unit_sql_time_travel(spark, tmp_path):
             for t in tables] == ["events"]
 
 
+def test_time_travel_rewrite_skips_quoted_regions(spark, tmp_path):
+    """A datasource chain + VERSION/TIMESTAMP AS OF inside a
+    double-quoted string literal or a backtick-quoted identifier must
+    come through VERBATIM (no rewrite, no eager load), while a real
+    chain in the same statement still time-travels."""
+    base = tmp_path / "qlake"
+    base.mkdir()
+    write_delta(_delta_df(spark, 0, 4), str(base / "ev"), mode="error")
+    write_delta(_delta_df(spark, 4, 6), str(base / "ev"), mode="append")
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.delta")
+    ctx.sql(f"REGISTER DELTA DATASOURCE q OPTIONS(path '{base}') "
+            "NAMESPACE lightning.datasource.delta")
+    out = ctx.sql(
+        'SELECT "lightning.datasource.delta.q.ev VERSION AS OF 99" AS '
+        "tag, count(*) AS n FROM "
+        "lightning.datasource.delta.q.ev VERSION AS OF 0 "
+        "GROUP BY tag").collect()
+    assert out[0].tag == "lightning.datasource.delta.q.ev VERSION AS OF 99"
+    assert out[0].n == 4
+    out2 = ctx.sql(
+        "SELECT count(*) AS "
+        "`lightning.datasource.delta.q.ev TIMESTAMP AS OF 'x'` "
+        "FROM lightning.datasource.delta.q.ev").collect()
+    assert out2[0][0] == 6
+
+
 def test_time_travel_rejected_for_plain_files(spark, tmp_path):
     src = tmp_path / "files"
     src.mkdir()
@@ -853,6 +880,126 @@ def test_iceberg_offline_writes_end_to_end(spark, tmp_path):
     assert ctx.sql(
         f"SELECT count(*) AS n FROM {t} "
         f"VERSION AS OF {hist2[0].snapshot_id}").collect()[0].n == 1
+
+
+def test_iceberg_partitioned_writes(spark, tmp_path):
+    """Identity-partitioned offline Iceberg writes: the partition spec
+    lands in metadata.json, each manifest entry carries the typed
+    `partition` tuple, the manifest list carries field summaries with
+    single-value-serialized bounds, appends inherit the spec, VERSION
+    AS OF spans the partitioned history, and a partition filter is a
+    pushed file-skipping predicate (identity source columns stay IN
+    the data files with constant per-file min/max stats)."""
+    import struct
+
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        write_iceberg,
+    )
+
+    tdir = str(tmp_path / "wh" / "db" / "sales")
+    df = spark.createDataFrame(
+        [(1, "us", 10.0), (2, "us", 20.0), (3, "eu", 30.0)],
+        "id long, region string, amount double")
+    write_iceberg(df, tdir, mode="error", partition_by=["region"])
+
+    meta = ir.load_metadata(tdir)
+    spec = meta["partition-specs"][0]
+    assert spec["fields"] == [{"name": "region", "transform": "identity",
+                               "source-id": 2, "field-id": 1000}]
+    snap = ir.select_snapshot(meta)
+    mlist = list(ac.iter_records(ir._local(snap["manifest-list"])))
+    assert len(mlist) == 1
+    summ = mlist[0]["partitions"]
+    assert summ == [{"contains_null": False, "lower_bound": b"eu",
+                     "upper_bound": b"us"}]
+    entries = list(ac.iter_records(ir._local(mlist[0]["manifest_path"])))
+    assert sorted({e["data_file"]["partition"]["region"]
+                   for e in entries}) == ["eu", "us"]
+
+    back = read_iceberg(spark, tdir)
+    assert sorted((r.id, r.region) for r in back.collect()) == \
+        [(1, "us"), (2, "us"), (3, "eu")]
+    # partition filter reaches the parquet scan as a pushed predicate
+    pruned = back.filter("region = 'eu'")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "region" in plan
+    assert [r.id for r in pruned.collect()] == [3]
+
+    # append inherits the spec; mismatched partition_by raises;
+    # VERSION AS OF still sees the first snapshot
+    write_iceberg(spark.createDataFrame([(4, "ap", 40.0)],
+                                        "id long, region string, "
+                                        "amount double"), tdir,
+                  mode="append")
+    assert read_iceberg(spark, tdir).count() == 4
+    with pytest.raises(ir.IcebergError, match="partition"):
+        write_iceberg(df, tdir, mode="append", partition_by=["id"])
+    assert read_iceberg(spark, tdir, snapshot_id=1).count() == 3
+
+    # int partition bounds use little-endian single-value serialization
+    t2 = str(tmp_path / "wh" / "db" / "byday")
+    write_iceberg(spark.createDataFrame([(1, 20240101), (2, 20240205)],
+                                        "id long, day int"),
+                  t2, mode="error", partition_by=["day"])
+    meta2 = ir.load_metadata(t2)
+    ml2 = list(ac.iter_records(
+        ir._local(ir.select_snapshot(meta2)["manifest-list"])))
+    s2 = ml2[0]["partitions"][0]
+    assert struct.unpack("<i", s2["lower_bound"])[0] == 20240101
+    assert struct.unpack("<i", s2["upper_bound"])[0] == 20240205
+
+
+def test_merge_into_partitioned_iceberg_sql(spark, tmp_path):
+    """MERGE INTO + VERSION AS OF over a PARTITIONED offline Iceberg
+    table through the SQL surface — the reference's partitioned
+    lakehouse ETL shape (`doc/doc/etl_in_iceberg_lakehouse.md`)."""
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        write_iceberg,
+    )
+
+    wh = tmp_path / "whp"
+    (wh / "db").mkdir(parents=True)
+    tdir = str(wh / "db" / "orders")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, "us", 10.0), (2, "eu", 20.0)],
+            "id long, region string, amount double"),
+        tdir, mode="error", partition_by=["region"])
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.iceberg")
+    ctx.sql(f"REGISTER ICEBERG DATASOURCE whp OPTIONS(warehouse '{wh}') "
+            "NAMESPACE lightning.datasource.iceberg")
+    spark.createDataFrame([(2, "eu", 99.0), (3, "ap", 30.0)],
+                          "id long, region string, amount double"
+                          ).createOrReplaceTempView("pice_updates")
+    out = ctx.sql("""
+        MERGE INTO lightning.datasource.iceberg.whp.db.orders AS t
+        USING (SELECT * FROM pice_updates) AS s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET amount = s.amount
+        WHEN NOT MATCHED THEN INSERT *
+    """).collect()
+    assert out[0].n_rows == 3
+    rows = {r.id: (r.region, r.amount) for r in ctx.sql(
+        "SELECT * FROM lightning.datasource.iceberg.whp.db.orders"
+    ).collect()}
+    assert rows == {1: ("us", 10.0), 2: ("eu", 99.0), 3: ("ap", 30.0)}
+    hist = ctx.sql(
+        "SELECT * FROM lightning.datasource.iceberg.whp.db.orders.history "
+        "ORDER BY made_current_at").collect()
+    pre = ctx.sql(
+        f"SELECT * FROM lightning.datasource.iceberg.whp.db.orders "
+        f"VERSION AS OF {hist[0].snapshot_id}").collect()
+    assert {r.id: r.amount for r in pre} == {1: 10.0, 2: 20.0}
+    # the merge kept the partition spec: new files carry typed tuples
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+    meta = ir.load_metadata(tdir)
+    ml = list(ac.iter_records(
+        ir._local(ir.select_snapshot(meta)["manifest-list"])))
+    ent = list(ac.iter_records(ir._local(ml[-1]["manifest_path"])))
+    assert {e["data_file"]["partition"]["region"] for e in ent} == \
+        {"us", "eu", "ap"}
 
 
 def test_merge_into_iceberg(spark, tmp_path):
