@@ -5,6 +5,9 @@ stdout line is a compact JSON headline {"metric", "value" (total sec),
 "catalog_overhead" ratio} sized to survive the driver's tail window;
 the full detail (first-run queries, queries_min, suite_sections,
 overhead run lists) is written to BENCH_DETAIL.json next to this file.
+"sentinel_sec" (round 13+) is a fixed vanilla-Spark aggregation over
+lineitem touching zero repo code — normalize cross-round deltas by the
+sentinel ratio before reading any as a regression.
 
 Each query is timed to full materialization (collect). Session startup is
 excluded — the metric is query execution, matching how the reference (a
@@ -64,6 +67,27 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+    # Ambient-drift sentinel (round-13 protocol, r12 verdict #3): a
+    # FIXED vanilla-Spark query that touches ZERO repo code, reported as
+    # "sentinel_sec" (min-of-n, warmed once untimed). Cross-round
+    # comparisons should normalize by the sentinel ratio before calling
+    # anything a regression — r11→r12 showed ~13% machine drift that
+    # previously had to be inferred from catalog_overhead's direct side.
+    sentinel_sql = f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               SUM(l_quantity) AS sum_qty, AVG(l_extendedprice) AS avg_px
+        FROM parquet.`{os.path.join(sf_dir, "lineitem.parquet")}`
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""
+    spark.sql(sentinel_sql).collect()
+    sentinel = None
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        spark.sql(sentinel_sql).collect()
+        t = round(time.perf_counter() - t0, 3)
+        if sentinel is None or t < sentinel:
+            sentinel = t
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     for run in range(n_runs):
@@ -196,6 +220,7 @@ def main() -> None:
         "queries": timings,
         "queries_min": timings_min,
         "suite_sections": suite_sections,
+        "sentinel_sec": sentinel,
         "runs": n_runs,
         "sf": sf,
     }
@@ -212,6 +237,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "runs": n_runs,
+        "sentinel_sec": sentinel,
         "queries": timings_min,
         "detail": "BENCH_DETAIL.json",
     }

@@ -59,7 +59,11 @@ def catalog_federated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem/orders join against BOTH the current Delta snapshot and
     `VERSION AS OF 0`, so the offline Delta write path, log replay AND
     the resolver's time-travel rewrite are all hash-verified against
-    the DuckDB oracle."""
+    the DuckDB oracle. Since r13 an ICEBERG twin of the same shape runs
+    in the same gate (r12 verdict #4): INSERT INTO creates/appends an
+    Iceberg table through the offline writer's real manifests
+    (`sources/iceberg_writer.py`), and `VERSION AS OF 1` (the offline
+    writer's deterministic first snapshot id) time-travels it."""
     import tempfile
 
     ctx = _ctx(spark, sf_dir)
@@ -67,15 +71,27 @@ def catalog_federated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx.sql("CREATE NAMESPACE IF NOT EXISTS lightning.datasource.delta")
     ctx.sql(f"REGISTER OR REPLACE DELTA DATASOURCE dlake "
             f"OPTIONS(path '{lake}') NAMESPACE lightning.datasource.delta")
-    # version 0: urgent+high priorities; version 1: adds medium
-    ctx.sql("""INSERT INTO lightning.datasource.delta.dlake.prio
+    wh = tempfile.mkdtemp(prefix="lightning-ice-gate-")
+    ctx.sql("CREATE NAMESPACE IF NOT EXISTS lightning.datasource.iceberg")
+    ctx.sql(f"REGISTER OR REPLACE ICEBERG DATASOURCE ilake "
+            f"OPTIONS(warehouse '{wh}') "
+            f"NAMESPACE lightning.datasource.iceberg")
+    # version 0 / snapshot 1: urgent+high priorities; the next commit
+    # adds medium — the same two-commit history written through BOTH
+    # lakehouse units
+    ins_lo = """INSERT INTO {tbl}
         SELECT DISTINCT o_orderpriority AS prio
         FROM lightning.datasource.file.tpch.orders
-        WHERE o_orderpriority < '3'""")
-    ctx.sql("""INSERT INTO lightning.datasource.delta.dlake.prio
+        WHERE o_orderpriority < '3'"""
+    ins_hi = """INSERT INTO {tbl}
         SELECT DISTINCT o_orderpriority AS prio
         FROM lightning.datasource.file.tpch.orders
-        WHERE o_orderpriority >= '3' AND o_orderpriority < '4'""")
+        WHERE o_orderpriority >= '3' AND o_orderpriority < '4'"""
+    dtbl = "lightning.datasource.delta.dlake.prio"
+    itbl = "lightning.datasource.iceberg.ilake.gate.prio"
+    for tbl in (dtbl, itbl):
+        ctx.sql(ins_lo.format(tbl=tbl))
+        ctx.sql(ins_hi.format(tbl=tbl))
     rev = """
         SELECT '{arm}' AS arm, o_orderpriority,
                CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
@@ -84,15 +100,16 @@ def catalog_federated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_items
         FROM lightning.datasource.file.tpch.lineitem
         JOIN lightning.datasource.file.tpch.orders ON l_orderkey = o_orderkey
-        JOIN lightning.datasource.delta.dlake.prio {tt} p
+        JOIN {tbl} {tt} p
           ON o_orderpriority = p.prio
         GROUP BY o_orderpriority
     """
-    return ctx.sql(
-        rev.format(arm="current", tt="")
-        + " UNION ALL "
-        + rev.format(arm="v0", tt="VERSION AS OF 0")
-        + " ORDER BY arm, o_orderpriority")
+    return ctx.sql(" UNION ALL ".join([
+        rev.format(arm="current", tbl=dtbl, tt=""),
+        rev.format(arm="v0", tbl=dtbl, tt="VERSION AS OF 0"),
+        rev.format(arm="ice_current", tbl=itbl, tt=""),
+        rev.format(arm="ice_v0", tbl=itbl, tt="VERSION AS OF 1"),
+    ]) + " ORDER BY arm, o_orderpriority")
 
 
 CATALOG_FEDERATED_ORACLE = """
@@ -109,6 +126,12 @@ SELECT 'current' AS arm, o_orderpriority, revenue, n_items
 FROM rev WHERE o_orderpriority < '4'
 UNION ALL
 SELECT 'v0' AS arm, o_orderpriority, revenue, n_items
+FROM rev WHERE o_orderpriority < '3'
+UNION ALL
+SELECT 'ice_current' AS arm, o_orderpriority, revenue, n_items
+FROM rev WHERE o_orderpriority < '4'
+UNION ALL
+SELECT 'ice_v0' AS arm, o_orderpriority, revenue, n_items
 FROM rev WHERE o_orderpriority < '3'
 ORDER BY arm, o_orderpriority
 """
@@ -874,7 +897,9 @@ def text_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-3 interpolated Kneser-Ney model (the KenLM/CCNet family),
     'clf_train' = the distributed classifier TRAINING loop (2 GD
     iterations, word_ngrams=2 features, all 64 integer weights
-    bit-checked). Columns: (section, doc_id, n_terms, score)."""
+    bit-checked), 'kn_ccnet' = the CCNet terminal flow consuming a
+    SAVED KN artifact through the family-sniffing loader.
+    Columns: (section, doc_id, n_terms, score)."""
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
     uni = (text_fns.unigram_logprob(docs)
@@ -925,9 +950,24 @@ def text_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .when(F.col("bucket") == "middle", 1)
                    .otherwise(2).cast("long").alias("n_terms"),
                    F.col("rank_frac").alias("score")))
+    # 'kn_ccnet' (r12 verdict #7) = the composed CCNet terminal flow
+    # under a SAVED Kneser-Ney artifact: train_kn_lm persists it,
+    # score_with_reference_lm sniffs the family from meta and routes to
+    # the order-n scorer, perplexity_buckets + bucket_resample thin at
+    # head 1.0 / middle 0.5 / tail 0.1. n_terms encodes bucket ordinal
+    # * 2 + kept, score the 9dp rank — bucket, rank AND every md5 keep
+    # decision hash-verify under the artifact path.
+    knc = (_kn_ccnet_flow(docs)
+           .select(F.lit("kn_ccnet").alias("section"), "doc_id",
+                   (F.when(F.col("bucket") == "head", 0)
+                    .when(F.col("bucket") == "middle", 2)
+                    .otherwise(4)
+                    + F.col("kept").cast("int")).cast("long")
+                   .alias("n_terms"),
+                   F.col("rank_frac").alias("score")))
     return (uni.unionByName(big).unionByName(clf).unionByName(bm)
             .unionByName(ph).unionByName(ref).unionByName(kn)
-            .unionByName(clt).unionByName(ppl)
+            .unionByName(clt).unionByName(ppl).unionByName(knc)
             .orderBy("section", "doc_id"))
 
 
@@ -1000,6 +1040,35 @@ def _clf_train_weights(docs: DataFrame) -> DataFrame:
     labeled = docs.withColumn("label", (F.col("doc_id") % 2).cast("int"))
     return train_logreg_classifier(labeled, "label", iters=2, lr=1.0,
                                    n_buckets=64, word_ngrams=2)
+
+
+def _kn_ccnet_flow(docs: DataFrame) -> DataFrame:
+    """'kn_ccnet' = the CCNet terminal recipe consuming a SAVED order-3
+    Kneser-Ney ARTIFACT (r12 verdict #7): ``train_kn_lm`` persists the
+    distributed parquet relations, ``score_with_reference_lm`` sniffs
+    the family from the meta schema and routes to ``score_with_kn_lm``,
+    then ``perplexity_buckets`` + ``bucket_resample`` split and thin —
+    the exact component chain curate_corpus's ``ccnet_bucket_rates``
+    stage composes (operators/pipeline.py), here oracle-verified under
+    the artifact path rather than inline counts. discount=0.75 /
+    min_count=1 make the artifact tables identical to the kn_lm
+    section's inline derivation, so the DuckDB twin reuses the same
+    knsc chain."""
+    import tempfile
+
+    from lightning_metastore_spark.operators import lm_filter
+    from lightning_metastore_spark.operators.sampling import (
+        bucket_resample,
+    )
+
+    path = tempfile.mkdtemp(prefix="lightning-knlm-gate-") + "/model"
+    ref = docs.filter(F.col("doc_id") % 4 == 0)
+    lm_filter.train_kn_lm(ref, path, order=3, discount=0.75)
+    scored = lm_filter.score_with_reference_lm(docs, path)
+    b = lm_filter.perplexity_buckets(
+        scored.join(docs.select("doc_id", "lang"), "doc_id"),
+        score_col="avg_logprob", group_col="lang")
+    return bucket_resample(b)
 
 
 def _ppl_bucket_scores(docs: DataFrame,
@@ -1269,6 +1338,24 @@ FROM (
            PARTITION BY d.lang
            ORDER BY s.alp DESC, s.doc_id ASC), 9) AS rf
   FROM refsc s JOIN documents d USING (doc_id)
+)
+UNION ALL
+SELECT 'kn_ccnet', doc_id,
+       CAST(CASE WHEN rf < (1.0 / 3.0) THEN 0
+                 WHEN rf < (2.0 / 3.0) THEN 2 ELSE 4 END
+            + CASE WHEN rf < (1.0 / 3.0) THEN 1
+                   WHEN substring(md5('bkt:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                        < lpad(lower(hex(CAST(floor(
+                            (CASE WHEN rf < (2.0 / 3.0) THEN 0.5 ELSE 0.1 END)
+                            * 4294967296.0) AS BIGINT))), 8, '0')
+                   THEN 1 ELSE 0 END AS BIGINT),
+       rf
+FROM (
+  SELECT s.doc_id,
+         ROUND(percent_rank() OVER (
+           PARTITION BY d.lang
+           ORDER BY s.alp DESC, s.doc_id ASC), 9) AS rf
+  FROM knsc s JOIN documents d USING (doc_id)
 )
 UNION ALL
 SELECT 'phrase', doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
@@ -4496,9 +4583,10 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     s.name: s for s in [
         QuerySpec("catalog_federated_revenue", catalog_federated_revenue,
                   CATALOG_FEDERATED_ORACLE,
-                  "full catalog stack + parquet x Delta federation: "
-                  "REGISTER -> offline Delta write/versioning -> "
-                  "resolver time-travel rewrite -> spark.sql"),
+                  "full catalog stack + parquet x Delta x Iceberg "
+                  "federation: REGISTER -> offline Delta AND Iceberg "
+                  "write/versioning -> resolver time-travel rewrite "
+                  "-> spark.sql"),
         QuerySpec("catalog_usl_view", catalog_usl_view, CATALOG_USL_ORACLE,
                   "USL compile/activate/query (governed view)"),
         QuerySpec("catalog_dq_run", catalog_dq_run, CATALOG_DQ_ORACLE,
@@ -4538,7 +4626,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   TEXT_LM_SUITE_ORACLE,
                   "unigram + interpolated-bigram + external-reference "
                   "+ order-3 Kneser-Ney LM log-prob + CCNet perplexity "
-                  "buckets + linear classifier inference AND training "
+                  "buckets + the CCNet terminal flow under a SAVED KN "
+                  "artifact + linear classifier inference AND training "
                   "+ BM25 scoring + positional phrase search (melted "
                   "tagged union)"),
         QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_ORACLE,
@@ -4638,6 +4727,7 @@ SUITE_SECTIONS: dict = {
         "kn_lm": _lm_section(_kn_ref_scores),
         "clf_train": _lm_section(_clf_train_weights),
         "ppl_buckets": _lm_section(_ppl_bucket_scores),
+        "kn_ccnet": _lm_section(_kn_ccnet_flow),
     },
     "temporal_rollup": {
         "rollup": _temporal_section("hypertable_rollup", ts_col="ts",
