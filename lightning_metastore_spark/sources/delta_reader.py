@@ -18,10 +18,13 @@ READ  — snapshot state = latest checkpoint parquet (read with Spark's
         commit; `timestamp_as_of` picks the last commit whose
         commitInfo timestamp (file mtime fallback) <= the bound.
         Protocol actions are validated per the spec's evolution rules:
-        tables demanding minReaderVersion > 1, unsupported
-        readerFeatures, deletion vectors on live files, or column
-        mapping raise `DeltaLogError` instead of silently returning
-        wrong rows.
+        tables demanding minReaderVersion 2, unsupported
+        readerFeatures, or column mapping raise `DeltaLogError`
+        instead of silently returning wrong rows. DELETION VECTORS are
+        APPLIED, not rejected: descriptors ride the snapshot, decode
+        executor-side (`sources/delta_dv.py` — Z85 + RoaringBitmapArray
+        portable format, CRC-checked) and anti-join the scan on
+        `_metadata.file_path`/`row_index`.
 READ SCALE — commit JSONs are bounded by the checkpoint interval
         (10 by default in real writers) and the checkpoint `add` column
         collect is (path, partitionValues) only — the same file-list
@@ -67,8 +70,12 @@ class DeltaLogError(Exception):
 # "column mapping capable" (unsupported here); version 3 carries an
 # explicit `readerFeatures` list, every entry of which must be
 # supported. `timestampNtz` is listed because Spark's parquet reader
-# handles TIMESTAMP_NTZ natively — nothing for this module to do.
-_SUPPORTED_READER_FEATURES = frozenset({"timestampNtz"})
+# handles TIMESTAMP_NTZ natively; `deletionVectors` because this module
+# decodes and APPLIES them (`sources/delta_dv.py` — the public
+# RoaringBitmapArray portable format, anti-joined on
+# `_metadata.file_path`/`row_index` like the Iceberg position-delete
+# path).
+_SUPPORTED_READER_FEATURES = frozenset({"timestampNtz", "deletionVectors"})
 
 # write_delta compacts the log into a checkpoint every N commits (the
 # PROTOCOL's scale mechanism; real writers default to 10)
@@ -113,17 +120,43 @@ def _commit_files(path: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
-def _checkpoint_at(path: str, max_version: Optional[int]) -> Optional[tuple[int, str]]:
-    """Latest single-file checkpoint parquet at version <= max_version."""
+_MULTIPART_CKPT = None  # compiled lazily below
+
+
+def _checkpoint_at(path: str,
+                   max_version: Optional[int]
+                   ) -> Optional[tuple[int, list[str]]]:
+    """Latest complete checkpoint at version <= max_version, as
+    (version, part files). Handles both classic single-file
+    `N.checkpoint.parquet` and multi-part
+    `N.checkpoint.<part>.<parts>.parquet` (the format real writers
+    emit for large tables); an incomplete multi-part set (a writer
+    died mid-checkpoint) is skipped — the JSON log replays instead.
+    V2 UUID-named checkpoints are not recognized and also fall back
+    to full JSON replay, which stays correct whenever the commits
+    exist."""
+    import re as _re
+    global _MULTIPART_CKPT
+    if _MULTIPART_CKPT is None:
+        _MULTIPART_CKPT = _re.compile(
+            r"^(\d{20})\.checkpoint(?:\.(\d+)\.(\d+))?\.parquet$")
     d = _log_dir(path)
-    best = None
+    groups: dict[tuple[int, Optional[int]], list[str]] = {}
     for f in os.listdir(d):
-        if f.endswith(".checkpoint.parquet"):
-            v = int(f.split(".")[0])
-            if max_version is not None and v > max_version:
-                continue
-            if best is None or v > best[0]:
-                best = (v, os.path.join(d, f))
+        m = _MULTIPART_CKPT.match(f)
+        if not m:
+            continue
+        v = int(m.group(1))
+        if max_version is not None and v > max_version:
+            continue
+        n_parts = int(m.group(3)) if m.group(3) else None
+        groups.setdefault((v, n_parts), []).append(os.path.join(d, f))
+    best: Optional[tuple[int, list[str]]] = None
+    for (v, n_parts), files in groups.items():
+        if n_parts is not None and len(files) != n_parts:
+            continue  # incomplete multi-part set
+        if best is None or v > best[0]:
+            best = (v, sorted(files))
     return best
 
 
@@ -132,11 +165,13 @@ class DeltaSnapshot:
 
     def __init__(self, version: int, schema: T.StructType,
                  partition_columns: list[str],
-                 files: list[tuple[str, dict]]):
+                 files: list[tuple[str, dict]],
+                 dv: Optional[dict] = None):
         self.version = version
         self.schema = schema
         self.partition_columns = partition_columns
         self.files = files  # (relative path, partitionValues)
+        self.dv = dv or {}  # relative path -> deletionVector descriptor
 
 
 def _commit_timestamp(version_path: str) -> int:
@@ -157,7 +192,8 @@ def resolve_snapshot(spark: SparkSession, path: str,
                      version_as_of: Optional[int] = None,
                      timestamp_as_of: Optional[str] = None) -> DeltaSnapshot:
     commits = _commit_files(path)
-    if not commits:
+    ckpt_any = _checkpoint_at(path, None)
+    if not commits and ckpt_any is None:
         raise DeltaLogError(f"empty _delta_log at {path}")
     if timestamp_as_of is not None:
         import datetime as dt
@@ -168,37 +204,42 @@ def resolve_snapshot(spark: SparkSession, path: str,
             raise DeltaLogError(
                 f"no Delta version at or before {timestamp_as_of}")
         version_as_of = max(eligible)
-    latest = commits[-1][0]
+    # after log cleanup the table may be checkpoint-only: the latest
+    # version is then the checkpoint's, and a checkpointed version
+    # counts as existing even when its JSON commit is gone
+    latest = commits[-1][0] if commits else -1
+    if ckpt_any is not None:
+        latest = max(latest, ckpt_any[0])
     target = latest if version_as_of is None else version_as_of
-    if target > latest or not any(v == target for v, _ in commits):
-        # version must exist (protocol: contiguous versions from 0 or
-        # from the checkpoint horizon)
+    if target != latest:
         available = {v for v, _ in commits}
-        if target not in available:
+        ckpt_t = _checkpoint_at(path, target)
+        if target not in available and not (
+                ckpt_t is not None and ckpt_t[0] == target):
             raise DeltaLogError(f"Delta version {target} does not exist "
                                 f"(latest is {latest})")
 
     live: dict[str, dict] = {}
     meta = None
     protocol: Optional[dict] = None
-    dv_files: set[str] = set()  # live adds carrying a deletionVector
+    dv_desc: dict[str, dict] = {}  # live adds carrying a deletionVector
     ckpt = _checkpoint_at(path, target)
     replay_from = 0
     if ckpt is not None:
-        ckpt_version, ckpt_path = ckpt
+        ckpt_version, ckpt_paths = ckpt
         replay_from = ckpt_version + 1
-        cp = spark.read.parquet(ckpt_path)
+        cp = spark.read.parquet(*ckpt_paths)
         add_fields = {f.name for f in cp.schema["add"].dataType.fields}
         sel = [F.col("add.path").alias("path"),
                F.col("add.partitionValues").alias("pv")]
         if "deletionVector" in add_fields:
-            sel.append(F.col("add.deletionVector").isNotNull().alias("dv"))
+            sel.append(F.col("add.deletionVector").alias("dv"))
         adds = cp.where(F.col("add").isNotNull()).select(*sel).collect()
         for r in adds:
             rd = r.asDict()
             live[rd["path"]] = dict(rd["pv"] or {})
-            if rd.get("dv"):
-                dv_files.add(rd["path"])
+            if rd.get("dv") is not None:
+                dv_desc[rd["path"]] = rd["dv"].asDict()
         meta_fields = {f.name for f in cp.schema["metaData"].dataType.fields}
         msel = ["metaData.schemaString", "metaData.partitionColumns"]
         if "configuration" in meta_fields:
@@ -213,14 +254,19 @@ def resolve_snapshot(spark: SparkSession, path: str,
         if "protocol" in cp.columns:
             pf = {f.name for f in cp.schema["protocol"].dataType.fields}
             psel = [F.col("protocol.minReaderVersion").alias("mrv")]
-            if "readerFeatures" in pf:
-                psel.append(F.col("protocol.readerFeatures").alias("rf"))
+            for fld, alias in (("minWriterVersion", "mwv"),
+                               ("readerFeatures", "rf"),
+                               ("writerFeatures", "wf")):
+                if fld in pf:
+                    psel.append(F.col(f"protocol.{fld}").alias(alias))
             protos = (cp.where(F.col("protocol").isNotNull())
                         .select(*psel).collect())
             if protos:
                 pr = protos[0].asDict()
                 protocol = {"minReaderVersion": pr["mrv"],
-                            "readerFeatures": list(pr.get("rf") or [])}
+                            "minWriterVersion": pr.get("mwv"),
+                            "readerFeatures": list(pr.get("rf") or []),
+                            "writerFeatures": list(pr.get("wf") or [])}
     for v, p in commits:
         if v < replay_from or v > target:
             continue
@@ -233,12 +279,12 @@ def resolve_snapshot(spark: SparkSession, path: str,
                     a = act["add"]
                     live[a["path"]] = dict(a.get("partitionValues") or {})
                     if a.get("deletionVector") is not None:
-                        dv_files.add(a["path"])
+                        dv_desc[a["path"]] = dict(a["deletionVector"])
                     else:
-                        dv_files.discard(a["path"])
+                        dv_desc.pop(a["path"], None)
                 elif "remove" in act:
                     live.pop(act["remove"]["path"], None)
-                    dv_files.discard(act["remove"]["path"])
+                    dv_desc.pop(act["remove"]["path"], None)
                 elif "metaData" in act:
                     m = act["metaData"]
                     meta = {"schemaString": m["schemaString"],
@@ -251,12 +297,6 @@ def resolve_snapshot(spark: SparkSession, path: str,
     if meta is None:
         raise DeltaLogError(f"no metaData action found in {path}")
     _check_protocol(protocol, path)
-    live_dv = dv_files & set(live)
-    if live_dv:
-        raise DeltaLogError(
-            f"Delta table {path} has data files with deletion vectors "
-            f"({sorted(live_dv)[:3]}…); reading them without applying "
-            f"the vectors would return deleted rows")
     cm_mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none")
     if cm_mode not in ("", "none"):
@@ -264,8 +304,11 @@ def resolve_snapshot(spark: SparkSession, path: str,
             f"Delta table {path} uses column mapping mode '{cm_mode}', "
             f"which this offline reader does not support")
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    return DeltaSnapshot(target, schema, meta["partitionColumns"],
-                         sorted(live.items()))
+    snap = DeltaSnapshot(target, schema, meta["partitionColumns"],
+                         sorted(live.items()),
+                         {p: d for p, d in dv_desc.items() if p in live})
+    snap.protocol = protocol  # carried into checkpoints verbatim
+    return snap
 
 
 def read_delta(spark: SparkSession, path: str,
@@ -279,8 +322,30 @@ def read_delta(spark: SparkSession, path: str,
     if not snap.files:
         return spark.createDataFrame([], snap.schema)
 
+    # deletion vectors: decode executor-side (sources/delta_dv.py) and
+    # drop exactly the marked row indexes via an anti-join on the
+    # scan's _metadata columns — the Iceberg position-delete shape
+    deleted = None
+    if snap.dv:
+        from lightning_metastore_spark.sources import delta_dv
+        deleted = delta_dv.deleted_rows_df(spark, path, snap.dv)
+        if len(snap.dv) <= 64:
+            deleted = F.broadcast(deleted)
+
+    def _apply_dv(df: DataFrame) -> DataFrame:
+        if deleted is None:
+            return df
+        tagged = df.withColumns({
+            "__dv_file": F.regexp_replace(F.col("_metadata.file_path"),
+                                          r"^file:/+", "/"),
+            "__dv_pos": F.col("_metadata.row_index"),
+        })
+        return (tagged.join(deleted, ["__dv_file", "__dv_pos"],
+                            "left_anti")
+                .drop("__dv_file", "__dv_pos"))
+
     def _with_partitions(paths: list[str], pv: dict) -> DataFrame:
-        df = spark.read.schema(data_schema).parquet(*paths)
+        df = _apply_dv(spark.read.schema(data_schema).parquet(*paths))
         for c in snap.partition_columns:
             raw = pv.get(c)
             col = (F.lit(None) if raw is None else F.lit(raw)).cast(
@@ -315,9 +380,10 @@ def read_delta(spark: SparkSession, path: str,
     if all(_hive_segment_ok(rel, c, pv.get(c))
            for rel, pv in snap.files
            for c in snap.partition_columns):
-        return (spark.read.schema(snap.schema)
-                .option("basePath", path)
-                .parquet(*[os.path.join(path, p) for p, _ in snap.files])
+        return (_apply_dv(spark.read.schema(snap.schema)
+                          .option("basePath", path)
+                          .parquet(*[os.path.join(path, p)
+                                     for p, _ in snap.files]))
                 .select(*[f.name for f in snap.schema.fields]))
     groups: dict[tuple, tuple[dict, list[str]]] = {}
     for rel, pv in snap.files:
@@ -391,7 +457,9 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
     if mode not in ("append", "overwrite", "error", "errorifexists"):
         raise DeltaLogError(f"unsupported save mode: {mode}")
     spark = df.sparkSession
-    exists = os.path.isdir(_log_dir(path)) and bool(_commit_files(path))
+    exists = os.path.isdir(_log_dir(path)) and (
+        bool(_commit_files(path))
+        or _checkpoint_at(path, None) is not None)
     if exists and mode in ("error", "errorifexists"):
         raise DeltaLogError(f"Delta table already exists: {path}")
     now_ms = int(time.time() * 1000)
@@ -493,6 +561,13 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     parquet + `_last_checkpoint`, so long logs replay from a compacted
     state (the protocol's scale mechanism)."""
     snap = resolve_snapshot(spark, path)
+    dv_type = T.StructType([
+        T.StructField("storageType", T.StringType()),
+        T.StructField("pathOrInlineDv", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("sizeInBytes", T.IntegerType()),
+        T.StructField("cardinality", T.LongType()),
+    ])
     add_type = T.StructType([
         T.StructField("path", T.StringType()),
         T.StructField("partitionValues",
@@ -500,6 +575,7 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
         T.StructField("size", T.LongType()),
         T.StructField("modificationTime", T.LongType()),
         T.StructField("dataChange", T.BooleanType()),
+        T.StructField("deletionVector", dv_type),
     ])
     meta_type = T.StructType([
         T.StructField("id", T.StringType()),
@@ -516,12 +592,23 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     proto_type = T.StructType([
         T.StructField("minReaderVersion", T.IntegerType()),
         T.StructField("minWriterVersion", T.IntegerType()),
+        T.StructField("readerFeatures", T.ArrayType(T.StringType())),
+        T.StructField("writerFeatures", T.ArrayType(T.StringType())),
     ])
     ckpt_schema = T.StructType([
         T.StructField("add", add_type),
         T.StructField("metaData", meta_type),
         T.StructField("protocol", proto_type),
     ])
+    proto = getattr(snap, "protocol", None) or {}
+    proto_row = {
+        "minReaderVersion": int(proto.get("minReaderVersion") or 1),
+        "minWriterVersion": int(proto.get("minWriterVersion") or 2),
+        "readerFeatures": (list(proto["readerFeatures"])
+                           if proto.get("readerFeatures") else None),
+        "writerFeatures": (list(proto["writerFeatures"])
+                           if proto.get("writerFeatures") else None),
+    }
     rows: list[tuple] = [
         (None,
          {"id": "ckpt", "format": {"provider": "parquet", "options": {}},
@@ -529,11 +616,22 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
           "partitionColumns": snap.partition_columns,
           "configuration": {}, "createdTime": 0},
          None),
-        (None, None, {"minReaderVersion": 1, "minWriterVersion": 2}),
+        (None, None, proto_row),
     ]
     for rel, pv in snap.files:
+        dv = snap.dv.get(rel)
+        if dv is not None:
+            dv = {"storageType": dv.get("storageType"),
+                  "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                  "offset": (None if dv.get("offset") is None
+                             else int(dv["offset"])),
+                  "sizeInBytes": (None if dv.get("sizeInBytes") is None
+                                  else int(dv["sizeInBytes"])),
+                  "cardinality": (None if dv.get("cardinality") is None
+                                  else int(dv["cardinality"]))}
         rows.append(({"path": rel, "partitionValues": pv, "size": 0,
-                      "modificationTime": 0, "dataChange": False},
+                      "modificationTime": 0, "dataChange": False,
+                      "deletionVector": dv},
                      None, None))
     cp = spark.createDataFrame(rows, ckpt_schema).coalesce(1)
     d = _log_dir(path)

@@ -82,7 +82,17 @@ def latest_metadata_path(table_path: str) -> str:
 
 def load_metadata(table_path: str) -> dict:
     with open(latest_metadata_path(table_path)) as fh:
-        return json.load(fh)
+        meta = json.load(fh)
+    # format v3 adds deletion vectors and row lineage; reading such a
+    # table as if it were v2 could silently return deleted rows — the
+    # PUFFIN file-format raise would catch most cases incidentally, but
+    # the spec-correct behavior is to refuse the table up front
+    fv = int(meta.get("format-version", 1))
+    if fv > 2:
+        raise IcebergError(
+            f"Iceberg format-version {fv} is not supported by the "
+            f"offline reader (v1/v2 only): {table_path}")
+    return meta
 
 
 def current_schema(meta: dict) -> dict:

@@ -244,39 +244,22 @@ def test_delta_protocol_gating(spark, tmp_path):
         delta_history(spark, p)
     assert read_delta(spark, p, version_as_of=0).count() == 3
 
-    # (b) v3 readerFeatures: an unsupported feature raises; a
-    # supported-only list (timestampNtz — Spark reads TIMESTAMP_NTZ
-    # parquet natively) keeps reading
+    # (b) v3 readerFeatures: an unsupported feature raises; supported
+    # lists (timestampNtz — native parquet; deletionVectors — APPLIED
+    # since r13) keep reading
     p3 = str(tmp_path / "p3")
     write_delta(_delta_df(spark, 0, 3), p3, mode="error")
     _append_commit(p3, 1, [{"protocol": {
         "minReaderVersion": 3, "minWriterVersion": 7,
-        "readerFeatures": ["timestampNtz"],
-        "writerFeatures": ["timestampNtz"]}}])
+        "readerFeatures": ["timestampNtz", "deletionVectors"],
+        "writerFeatures": ["timestampNtz", "deletionVectors"]}}])
     assert read_delta(spark, p3).count() == 3
     _append_commit(p3, 2, [{"protocol": {
         "minReaderVersion": 3, "minWriterVersion": 7,
-        "readerFeatures": ["deletionVectors"],
-        "writerFeatures": ["deletionVectors"]}}])
-    with pytest.raises(DeltaLogError, match="deletionVectors"):
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["v2Checkpoint"]}}])
+    with pytest.raises(DeltaLogError, match="v2Checkpoint"):
         read_delta(spark, p3)
-
-    # (c) a live add carrying a deletionVector raises even without a
-    # protocol upgrade; once the file is removed the table reads again
-    pdv = str(tmp_path / "pdv")
-    write_delta(_delta_df(spark, 0, 3), pdv, mode="error")
-    dv = {"storageType": "u", "pathOrInlineDv": "x", "offset": 1,
-          "sizeInBytes": 40, "cardinality": 2}
-    _append_commit(pdv, 1, [{"add": {
-        "path": "ghost.parquet", "partitionValues": {}, "size": 1,
-        "modificationTime": 0, "dataChange": True,
-        "deletionVector": dv}}])
-    with pytest.raises(DeltaLogError, match="deletion vector"):
-        read_delta(spark, pdv)
-    _append_commit(pdv, 2, [{"remove": {"path": "ghost.parquet",
-                                        "deletionTimestamp": 0,
-                                        "dataChange": True}}])
-    assert read_delta(spark, pdv).count() == 3
 
     # (d) column mapping announced via table configuration raises
     pcm = str(tmp_path / "pcm")
@@ -289,6 +272,189 @@ def test_delta_protocol_gating(spark, tmp_path):
         "createdTime": 0}}])
     with pytest.raises(DeltaLogError, match="column mapping"):
         read_delta(spark, pcm)
+
+
+def _ser_roaring32(vals):
+    import struct
+    from collections import defaultdict
+
+    conts = defaultdict(list)
+    for v in sorted(set(vals)):
+        conts[v >> 16].append(v & 0xFFFF)
+    keys = sorted(conts)
+    n = len(keys)
+    out = struct.pack("<I", 12346) + struct.pack("<I", n)
+    for k in keys:
+        out += struct.pack("<HH", k, len(conts[k]) - 1)
+    header_len = 4 + 4 + 4 * n + 4 * n
+    offs, bodies, pos = [], [], header_len
+    for k in keys:
+        vs = conts[k]
+        if len(vs) > 4096:
+            words = [0] * 1024
+            for v in vs:
+                words[v // 64] |= 1 << (v % 64)
+            body = struct.pack("<1024Q", *words)
+        else:
+            body = struct.pack(f"<{len(vs)}H", *vs)
+        offs.append(pos)
+        pos += len(body)
+        bodies.append(body)
+    return (out + b"".join(struct.pack("<I", o) for o in offs)
+            + b"".join(bodies))
+
+
+def _ser_dv(rows):
+    import struct
+    from collections import defaultdict
+
+    highs = defaultdict(list)
+    for r in sorted(set(rows)):
+        highs[r >> 32].append(r & 0xFFFFFFFF)
+    out = struct.pack("<i", 1681511377) + struct.pack("<q", len(highs))
+    for h in sorted(highs):
+        out += struct.pack("<I", h) + _ser_roaring32(highs[h])
+    return out
+
+
+def _write_dv_file(fpath, data):
+    import struct
+    import zlib
+
+    with open(fpath, "wb") as fh:
+        fh.write(b"\x01")
+        fh.write(struct.pack(">i", len(data)))
+        fh.write(data)
+        fh.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+    return 1
+
+
+_Z85_ALPHABET = ("0123456789abcdefghijklmnopqrstuvwxyz"
+                 "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#")
+
+
+def _z85_encode(b):
+    if len(b) % 4:
+        b += b"\x00" * (4 - len(b) % 4)
+    out = []
+    for i in range(0, len(b), 4):
+        v = int.from_bytes(b[i:i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            chunk.append(_Z85_ALPHABET[v % 85])
+            v //= 85
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def test_dv_codec_units():
+    """The deletion-vector codec against spec anchors: the canonical
+    ZeroMQ Z85 test vector, a HAND-BUILT RoaringBitmap byte string
+    (independent of the test encoder), run containers (cookie 12347),
+    and a bitmap-container round trip."""
+    import struct
+
+    from lightning_metastore_spark.sources import delta_dv as dv
+
+    # the Z85 spec's canonical vector: "HelloWorld" <-> these 8 bytes
+    assert dv.z85_decode("HelloWorld") == bytes(
+        [0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert _z85_encode(bytes(
+        [0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])) == "HelloWorld"
+
+    # hand-built bytes: magic, 1 bitmap, key 0; roaring32 cookie 12346,
+    # 1 container (key 0, card 3), offset header, array values 1,3,10
+    hand = (struct.pack("<i", 1681511377) + struct.pack("<q", 1)
+            + struct.pack("<I", 0)
+            + struct.pack("<I", 12346) + struct.pack("<I", 1)
+            + struct.pack("<HH", 0, 2)
+            + struct.pack("<I", 16)
+            + struct.pack("<3H", 1, 3, 10))
+    assert dv.decode_bitmap(hand) == [1, 3, 10]
+
+    # run container via cookie 12347: count-1 in the upper 16 bits,
+    # run bitset 0x01, (start=5, length=3) -> {5,6,7,8}
+    run = (struct.pack("<i", 1681511377) + struct.pack("<q", 1)
+           + struct.pack("<I", 0)
+           + struct.pack("<I", 12347 | (0 << 16)) + b"\x01"
+           + struct.pack("<HH", 0, 3)
+           + struct.pack("<H", 1) + struct.pack("<HH", 5, 3))
+    assert dv.decode_bitmap(run) == [5, 6, 7, 8]
+
+    # bitmap container (card > 4096) + a second high-32 key
+    big = list(range(0, 10000, 2)) + [(7 << 32) | 42]
+    assert dv.decode_bitmap(_ser_dv(big)) == sorted(big)
+
+    with pytest.raises(dv.DeletionVectorError):
+        dv.decode_bitmap(b"\x00" * 16)
+    with pytest.raises(dv.DeletionVectorError):
+        dv.z85_decode("abc")
+
+
+def test_delta_deletion_vectors_applied(spark, tmp_path):
+    """An external table with deletion vectors READS CORRECTLY: the
+    marked row indexes disappear, time travel to before the DV sees
+    all rows, and a checkpoint carries the descriptor (compaction must
+    never resurrect deleted rows). Covers file-based ('u', Z85 UUID
+    name derivation) and inline ('i') storage."""
+    import uuid as _uuid
+
+    path = str(tmp_path / "dvt")
+    df = spark.createDataFrame([(10,), (11,), (12,), (13,)],
+                               "id long").coalesce(1)
+    write_delta(df, path, mode="error")
+    snap = resolve_snapshot(spark, path)
+    assert len(snap.files) == 1
+    rel = snap.files[0][0]
+
+    # file-based DV marking row indexes 0 and 2 (ids 10 and 12)
+    u = _uuid.uuid4()
+    data = _ser_dv([0, 2])
+    _write_dv_file(os.path.join(path, f"deletion_vector_{u}.bin"), data)
+    desc = {"storageType": "u", "pathOrInlineDv": _z85_encode(u.bytes),
+            "offset": 1, "sizeInBytes": len(data), "cardinality": 2}
+    _append_commit(path, 1, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"remove": {"path": rel, "deletionTimestamp": 0,
+                    "dataChange": False}},
+        {"add": {"path": rel, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": False,
+                 "deletionVector": desc}},
+    ])
+    assert sorted(r.id for r in read_delta(spark, path).collect()) == \
+        [11, 13]
+    assert sorted(r.id for r in
+                  read_delta(spark, path, version_as_of=0).collect()) == \
+        [10, 11, 12, 13]
+    assert [r.version for r in delta_history(spark, path).collect()] == \
+        [1, 0]
+
+    # checkpoint compaction carries the descriptor
+    write_checkpoint(spark, path)
+    log = os.path.join(path, "_delta_log")
+    for v in range(2):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    assert sorted(r.id for r in read_delta(spark, path).collect()) == \
+        [11, 13]
+
+    # inline DV ('i'): data rides the descriptor itself
+    p2 = str(tmp_path / "dvi")
+    write_delta(spark.createDataFrame([(1,), (2,), (3,)], "id long")
+                .coalesce(1), p2, mode="error")
+    rel2 = resolve_snapshot(spark, p2).files[0][0]
+    data2 = _ser_dv([1])
+    desc2 = {"storageType": "i", "pathOrInlineDv": _z85_encode(data2),
+             "sizeInBytes": len(data2), "cardinality": 1}
+    _append_commit(p2, 1, [
+        {"remove": {"path": rel2, "deletionTimestamp": 0,
+                    "dataChange": False}},
+        {"add": {"path": rel2, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": False,
+                 "deletionVector": desc2}},
+    ])
+    assert sorted(r.id for r in read_delta(spark, p2).collect()) == [1, 3]
 
 
 def test_delta_overwrite_aligns_schema(spark, tmp_path):
@@ -399,6 +565,62 @@ def test_delta_auto_checkpoint_and_log_cleanup(spark, tmp_path):
     # appends keep working from the checkpointed state
     write_delta(_delta_df(spark, 11, 12), path, mode="append")
     assert read_delta(spark, path).count() == 12
+
+
+def test_delta_multipart_checkpoint(spark, tmp_path):
+    """Real writers split large checkpoints into
+    `N.checkpoint.<part>.<parts>.parquet` part files — the reader
+    unions a COMPLETE set; an incomplete set (writer died mid-write)
+    is skipped and the JSON log replays instead."""
+    path = str(tmp_path / "mp")
+    write_delta(_delta_df(spark, 0, 6), path, mode="error")
+    write_delta(_delta_df(spark, 6, 9), path, mode="append")
+    write_checkpoint(spark, path)
+    log = os.path.join(path, "_delta_log")
+    single = os.path.join(log, f"{1:020d}.checkpoint.parquet")
+    # split the single-file checkpoint into a 2-part set: part 1 =
+    # everything but adds, part 2 = the adds
+    from pyspark.sql import functions as F2
+    cp = spark.read.parquet(single)
+    p1 = os.path.join(log, f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet")
+    p2 = os.path.join(log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
+    for dst, part in ((p1, cp.where(F2.col("add").isNull())),
+                      (p2, cp.where(F2.col("add").isNotNull()))):
+        stage = dst + ".stage"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        f = next(x for x in os.listdir(stage) if x.endswith(".parquet"))
+        os.replace(os.path.join(stage, f), dst)
+        import shutil
+        shutil.rmtree(stage, ignore_errors=True)
+    os.remove(single)
+    # commits 0/1 removed: replay MUST come from the multi-part set
+    for v in range(2):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    write_delta(_delta_df(spark, 9, 10), path, mode="append")
+    assert sorted(r.id for r in read_delta(spark, path).collect()) == \
+        list(range(10))
+    # incomplete set: drop one part -> no usable checkpoint -> the
+    # (now truncated) JSON log cannot prove version 2 exists
+    os.remove(p2)
+    with pytest.raises(DeltaLogError):
+        read_delta(spark, path, version_as_of=1)
+
+
+def test_iceberg_format_v3_rejected(spark, iceberg_table):
+    """format-version 3 (deletion vectors / row lineage) must raise up
+    front rather than risk reading deleted rows as live."""
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+
+    mdir = os.path.join(iceberg_table, "metadata")
+    with open(os.path.join(mdir, "v2.metadata.json")) as fh:
+        meta = json.load(fh)
+    meta["format-version"] = 3
+    with open(os.path.join(mdir, "v3.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write("3")
+    with pytest.raises(ir.IcebergError, match="format-version 3"):
+        read_iceberg(spark, iceberg_table)
 
 
 def test_delta_catalog_unit_sql_time_travel(spark, tmp_path):
