@@ -74,8 +74,11 @@ class DeltaLogError(Exception):
 # decodes and APPLIES them (`sources/delta_dv.py` — the public
 # RoaringBitmapArray portable format, anti-joined on
 # `_metadata.file_path`/`row_index` like the Iceberg position-delete
-# path).
-_SUPPORTED_READER_FEATURES = frozenset({"timestampNtz", "deletionVectors"})
+# path); `columnMapping` because NAME-mode mapping is implemented
+# (scan by physicalName, alias back to the logical schema) — id mode
+# and nested mapped columns still raise.
+_SUPPORTED_READER_FEATURES = frozenset(
+    {"timestampNtz", "deletionVectors", "columnMapping"})
 
 # write_delta compacts the log into a checkpoint every N commits (the
 # PROTOCOL's scale mechanism; real writers default to 10)
@@ -90,17 +93,21 @@ def _check_protocol(protocol: Optional[dict], path: str) -> None:
     mrv = int(protocol.get("minReaderVersion") or 1)
     feats = list(protocol.get("readerFeatures") or [])
     unsupported = [f for f in feats if f not in _SUPPORTED_READER_FEATURES]
-    if mrv >= 3:
+    if mrv == 3:
         if unsupported:
             raise DeltaLogError(
                 f"Delta table {path} requires unsupported reader "
                 f"features {unsupported}; this offline reader supports "
                 f"{sorted(_SUPPORTED_READER_FEATURES)} only")
-    elif mrv > 1:
+    elif mrv > 3:
+        # a FUTURE protocol version carries requirements this reader
+        # cannot even enumerate — must reject
         raise DeltaLogError(
-            f"Delta table {path} requires minReaderVersion {mrv} "
-            f"(column mapping capability); this offline reader supports "
-            f"version 1 tables only")
+            f"Delta table {path} requires minReaderVersion {mrv}, "
+            f"which this offline reader does not support")
+    # minReaderVersion 2 == column mapping capability, which NAME-mode
+    # support satisfies; the mode check in resolve_snapshot rejects id
+    # mode explicitly
 
 
 def _log_dir(path: str) -> str:
@@ -299,15 +306,38 @@ def resolve_snapshot(spark: SparkSession, path: str,
     _check_protocol(protocol, path)
     cm_mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none")
-    if cm_mode not in ("", "none"):
+    if cm_mode not in ("", "none", "name"):
         raise DeltaLogError(
-            f"Delta table {path} uses column mapping mode '{cm_mode}', "
-            f"which this offline reader does not support")
+            f"Delta table {path} uses column mapping mode '{cm_mode}'; "
+            f"this offline reader supports 'name' mode only")
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    snap = DeltaSnapshot(target, schema, meta["partitionColumns"],
+    physical: Optional[dict] = None
+    if cm_mode == "name":
+        # NAME mode: parquet columns carry the physicalName from each
+        # field's columnMapping metadata; scan physical, alias logical.
+        # Nested mapped columns rename fields all the way down — out of
+        # scope here, so complex types are refused rather than misread.
+        physical = {}
+        for f in schema.fields:
+            if not isinstance(f.dataType, (T.AtomicType,)):
+                raise DeltaLogError(
+                    f"column mapping with nested/complex column "
+                    f"{f.name} is not supported by the offline reader")
+            physical[f.name] = (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name)
+    part_cols = list(meta["partitionColumns"] or [])
+    if physical:
+        # the log may record partition columns under either name form;
+        # normalize to LOGICAL (add.partitionValues keys stay physical
+        # and are looked up both ways at read time)
+        rev = {p: l for l, p in physical.items()}
+        part_cols = [rev.get(c, c) for c in part_cols]
+    snap = DeltaSnapshot(target, schema, part_cols,
                          sorted(live.items()),
                          {p: d for p, d in dv_desc.items() if p in live})
     snap.protocol = protocol  # carried into checkpoints verbatim
+    snap.physical = physical  # logical -> physicalName (name mode)
+    snap.configuration = dict(meta.get("configuration") or {})
     return snap
 
 
@@ -318,7 +348,16 @@ def read_delta(spark: SparkSession, path: str,
     field_by_name = {f.name: f for f in snap.schema.fields}
     data_fields = [f for f in snap.schema.fields
                    if f.name not in snap.partition_columns]
-    data_schema = T.StructType(data_fields)
+    phys = getattr(snap, "physical", None)
+
+    def _pname(c: str) -> str:
+        return phys[c] if phys else c
+
+    # scan under the PHYSICAL names (identical to logical without
+    # column mapping), alias back to logical right after the scan
+    data_schema = T.StructType([
+        T.StructField(_pname(f.name), f.dataType, f.nullable)
+        for f in data_fields])
     if not snap.files:
         return spark.createDataFrame([], snap.schema)
 
@@ -346,8 +385,13 @@ def read_delta(spark: SparkSession, path: str,
 
     def _with_partitions(paths: list[str], pv: dict) -> DataFrame:
         df = _apply_dv(spark.read.schema(data_schema).parquet(*paths))
+        if phys:
+            df = df.select(*[F.col(_pname(f.name)).alias(f.name)
+                             for f in data_fields])
         for c in snap.partition_columns:
-            raw = pv.get(c)
+            # partitionValues keys are physical under column mapping;
+            # look up both name forms
+            raw = pv.get(_pname(c), pv.get(c))
             col = (F.lit(None) if raw is None else F.lit(raw)).cast(
                 field_by_name[c].dataType)
             df = df.withColumn(c, col)
@@ -377,9 +421,9 @@ def read_delta(spark: SparkSession, path: str,
             return logged is None
         return logged is not None and unquote(raw) == str(logged)
 
-    if all(_hive_segment_ok(rel, c, pv.get(c))
-           for rel, pv in snap.files
-           for c in snap.partition_columns):
+    if phys is None and all(_hive_segment_ok(rel, c, pv.get(c))
+                            for rel, pv in snap.files
+                            for c in snap.partition_columns):
         return (_apply_dv(spark.read.schema(snap.schema)
                           .option("basePath", path)
                           .parquet(*[os.path.join(path, p)
@@ -467,6 +511,10 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
     snap = None
     if exists:
         snap = resolve_snapshot(spark, path)
+        if getattr(snap, "physical", None):
+            raise DeltaLogError(
+                f"offline writes to column-mapped tables are not "
+                f"supported: {path}")
         if partition_by and list(partition_by) != snap.partition_columns:
             raise DeltaLogError(
                 f"partition_by {list(partition_by)} does not match the "
@@ -614,7 +662,8 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
          {"id": "ckpt", "format": {"provider": "parquet", "options": {}},
           "schemaString": snap.schema.json(),
           "partitionColumns": snap.partition_columns,
-          "configuration": {}, "createdTime": 0},
+          "configuration": getattr(snap, "configuration", None) or {},
+          "createdTime": 0},
          None),
         (None, None, proto_row),
     ]

@@ -232,17 +232,24 @@ def test_delta_protocol_gating(spark, tmp_path):
     capabilities this module lacks must RAISE, never silently return
     wrong rows (deletion vectors would resurface deleted rows; column
     mapping would misread columns)."""
-    # (a) minReaderVersion 2 = column mapping capability -> raise;
-    # time travel to BEFORE the protocol upgrade still reads
+    # (a) minReaderVersion 2 = column mapping capability, which NAME
+    # mode satisfies since r13 -> reads; an unknown future version
+    # still raises (history too); time travel to BEFORE the upgrade
+    # always reads
     p = str(tmp_path / "p2")
     write_delta(_delta_df(spark, 0, 3), p, mode="error")
     _append_commit(p, 1, [{"protocol": {"minReaderVersion": 2,
                                         "minWriterVersion": 5}}])
-    with pytest.raises(DeltaLogError, match="minReaderVersion 2"):
-        read_delta(spark, p)
-    with pytest.raises(DeltaLogError, match="minReaderVersion 2"):
-        delta_history(spark, p)
-    assert read_delta(spark, p, version_as_of=0).count() == 3
+    assert read_delta(spark, p).count() == 3
+    p4 = str(tmp_path / "p4")
+    write_delta(_delta_df(spark, 0, 3), p4, mode="error")
+    _append_commit(p4, 1, [{"protocol": {"minReaderVersion": 4,
+                                         "minWriterVersion": 9}}])
+    with pytest.raises(DeltaLogError, match="minReaderVersion 4"):
+        read_delta(spark, p4)
+    with pytest.raises(DeltaLogError, match="minReaderVersion 4"):
+        delta_history(spark, p4)
+    assert read_delta(spark, p4, version_as_of=0).count() == 3
 
     # (b) v3 readerFeatures: an unsupported feature raises; supported
     # lists (timestampNtz — native parquet; deletionVectors — APPLIED
@@ -261,14 +268,15 @@ def test_delta_protocol_gating(spark, tmp_path):
     with pytest.raises(DeltaLogError, match="v2Checkpoint"):
         read_delta(spark, p3)
 
-    # (d) column mapping announced via table configuration raises
+    # (d) column mapping mode 'id' raises (name mode is implemented —
+    # see test_delta_column_mapping_name_mode)
     pcm = str(tmp_path / "pcm")
     write_delta(_delta_df(spark, 0, 3), pcm, mode="error")
     snap = resolve_snapshot(spark, pcm)
     _append_commit(pcm, 1, [{"metaData": {
         "id": "x", "format": {"provider": "parquet", "options": {}},
         "schemaString": snap.schema.json(), "partitionColumns": [],
-        "configuration": {"delta.columnMapping.mode": "name"},
+        "configuration": {"delta.columnMapping.mode": "id"},
         "createdTime": 0}}])
     with pytest.raises(DeltaLogError, match="column mapping"):
         read_delta(spark, pcm)
@@ -455,6 +463,74 @@ def test_delta_deletion_vectors_applied(spark, tmp_path):
                  "deletionVector": desc2}},
     ])
     assert sorted(r.id for r in read_delta(spark, p2).collect()) == [1, 3]
+
+
+def test_delta_column_mapping_name_mode(spark, tmp_path):
+    """NAME-mode column mapping (minReaderVersion 2): parquet files
+    carry physicalName columns, the reader scans physical and aliases
+    back to the logical schema; partitionValues keyed by physical name
+    resolve; checkpoint compaction preserves the mapping metadata AND
+    the table configuration; offline WRITES to mapped tables are
+    refused (we would emit logically-named files)."""
+    from pyspark.sql import types as T
+
+    path = tmp_path / "cmt"
+    path.mkdir()
+    pdata = T.StructType([T.StructField("col-aaa", T.LongType()),
+                          T.StructField("col-bbb", T.StringType())])
+    sub = str(path / "stage")
+    spark.createDataFrame([(1, "x"), (2, "y")], pdata).coalesce(1) \
+        .write.parquet(sub)
+    part = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
+    os.rename(os.path.join(sub, part), str(path / "part-0.parquet"))
+    schema_string = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-aaa"}},
+        {"name": "name", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-bbb"}},
+        {"name": "p", "type": "integer", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-ppp"}},
+    ]})
+    log = path / "_delta_log"
+    log.mkdir()
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "cm",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema_string,
+                      "partitionColumns": ["col-ppp"],
+                      "configuration": {
+                          "delta.columnMapping.mode": "name",
+                          "delta.columnMapping.maxColumnId": "3"},
+                      "createdTime": 0}},
+        {"add": {"path": "part-0.parquet",
+                 "partitionValues": {"col-ppp": "7"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(log / f"{0:020d}.json", "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+    out = read_delta(spark, str(path))
+    assert out.columns == ["id", "name", "p"]
+    assert sorted((r.id, r.name, r.p) for r in out.collect()) == \
+        [(1, "x", 7), (2, "y", 7)]
+
+    with pytest.raises(DeltaLogError, match="column-mapped"):
+        write_delta(spark.createDataFrame([(3, "z", 1)],
+                                          "id long, name string, p int"),
+                    str(path), mode="append")
+
+    # checkpoint keeps the mapping (schemaString metadata) AND the
+    # configuration, so a compacted log still reads logically
+    write_checkpoint(spark, str(path))
+    os.remove(log / f"{0:020d}.json")
+    out2 = read_delta(spark, str(path))
+    assert sorted((r.id, r.name, r.p) for r in out2.collect()) == \
+        [(1, "x", 7), (2, "y", 7)]
 
 
 def test_delta_overwrite_aligns_schema(spark, tmp_path):
