@@ -422,11 +422,14 @@ class IcebergCatalogUnit(CatalogUnit):
                 f"'{self._catalog()}' mounted and no warehouse/path "
                 "option for the offline reader")
         path = os.path.join(wh, *residual)
-        if (residual and residual[-1].lower() == "history"
+        _meta_tables = {"history": ir.iceberg_history,
+                        "snapshots": ir.iceberg_snapshots,
+                        "files": ir.iceberg_files}
+        if (residual and residual[-1].lower() in _meta_tables
                 and not os.path.isdir(os.path.join(path, "metadata"))):
             parent = os.path.join(wh, *residual[:-1])
             if os.path.isdir(os.path.join(parent, "metadata")):
-                return ir.iceberg_history(spark, parent)
+                return _meta_tables[residual[-1].lower()](spark, parent)
         if not os.path.isdir(os.path.join(path, "metadata")):
             raise CatalogUnitError(f"no Iceberg table at {path}")
         ts_ms = None

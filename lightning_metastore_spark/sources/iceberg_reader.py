@@ -329,6 +329,66 @@ def iceberg_history(spark: SparkSession, table_path: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def iceberg_snapshots(spark: SparkSession, table_path: str) -> DataFrame:
+    """The Iceberg `snapshots` metadata table (committed_at,
+    snapshot_id, parent_id, operation, manifest_list, summary) — the
+    runtime's companion to `history` for audit queries."""
+    import datetime as dt
+    meta = load_metadata(table_path)
+    rows = []
+    for s in meta.get("snapshots", []):
+        summary = {k: str(v) for k, v in (s.get("summary") or {}).items()}
+        rows.append((
+            dt.datetime.fromtimestamp(s["timestamp-ms"] / 1000.0),
+            int(s["snapshot-id"]),
+            (None if s.get("parent-snapshot-id") is None
+             else int(s["parent-snapshot-id"])),
+            summary.get("operation"),
+            s.get("manifest-list"),
+            summary,
+        ))
+    schema = T.StructType([
+        T.StructField("committed_at", T.TimestampType(), True),
+        T.StructField("snapshot_id", T.LongType(), False),
+        T.StructField("parent_id", T.LongType(), True),
+        T.StructField("operation", T.StringType(), True),
+        T.StructField("manifest_list", T.StringType(), True),
+        T.StructField("summary",
+                      T.MapType(T.StringType(), T.StringType()), True),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def iceberg_files(spark: SparkSession, table_path: str,
+                  snapshot_id: Optional[int] = None) -> DataFrame:
+    """The Iceberg `files` metadata table (the planner-visible subset:
+    content, file_path, file_format, record_count, file_size_in_bytes)
+    for the current — or a named — snapshot."""
+    meta = load_metadata(table_path)
+    snap = select_snapshot(meta, snapshot_id)
+    rows = []
+    for mrec in ac.iter_records(_local(snap["manifest-list"])):
+        for entry in ac.iter_records(_local(mrec["manifest_path"])):
+            if entry.get("status") == _STATUS_DELETED:
+                continue
+            d = entry["data_file"]
+            rows.append((
+                int(d.get("content", _CONTENT_DATA) or _CONTENT_DATA),
+                d["file_path"],
+                str(d.get("file_format", "PARQUET")),
+                int(d.get("record_count") or 0),
+                int(d.get("file_size_in_bytes") or 0),
+            ))
+    schema = T.StructType([
+        T.StructField("content", T.IntegerType(), False),
+        T.StructField("file_path", T.StringType(), False),
+        T.StructField("file_format", T.StringType(), True),
+        T.StructField("record_count", T.LongType(), True),
+        T.StructField("file_size_in_bytes", T.LongType(), True),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
 def list_iceberg_tables(base_path: str) -> list[str]:
     """Directories under base_path that carry Iceberg metadata."""
     if not os.path.isdir(base_path):

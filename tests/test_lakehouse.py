@@ -1016,6 +1016,30 @@ def test_iceberg_catalog_unit_sql(spark, iceberg_table, tmp_path):
     assert list_iceberg_tables(os.path.join(wh, "nyc")) == ["taxis"]
 
 
+def test_iceberg_metadata_tables_sql(spark, iceberg_table, tmp_path):
+    """`.snapshots` and `.files` metadata tables over SQL — the
+    runtime's audit companions to `.history`."""
+    wh = os.path.dirname(os.path.dirname(iceberg_table))
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "modelmt"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.iceberg")
+    ctx.sql(f"REGISTER ICEBERG DATASOURCE wmt OPTIONS(warehouse '{wh}') "
+            "NAMESPACE lightning.datasource.iceberg")
+    snaps = ctx.sql(
+        "SELECT snapshot_id, parent_id, operation FROM "
+        "lightning.datasource.iceberg.wmt.nyc.taxis.snapshots "
+        "ORDER BY snapshot_id").collect()
+    assert [(r.snapshot_id, r.parent_id, r.operation) for r in snaps] == \
+        [(1, None, "append"), (2, 1, "append")]
+    files = ctx.sql(
+        "SELECT file_path, record_count FROM "
+        "lightning.datasource.iceberg.wmt.nyc.taxis.files "
+        "ORDER BY file_path").collect()
+    assert len(files) == 2
+    assert all(r.record_count == 2 for r in files)
+    assert {os.path.basename(r.file_path) for r in files} == \
+        {"d1.parquet", "d2.parquet"}
+
+
 def test_merge_into_delta(spark, tmp_path):
     """MERGE INTO a Delta table offline: the full-outer rewrite's
     overwrite becomes a new log version, so the pre-merge state stays
