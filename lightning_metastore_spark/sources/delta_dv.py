@@ -230,6 +230,19 @@ def deleted_rows_df(spark, table_path: str,
     items = [(os.path.abspath(os.path.join(abs_table, rel)), dict(desc))
              for rel, desc in sorted(dv_by_file.items())]
 
+    # Executor Python workers may not have this repo on their
+    # sys.path (it is a source tree, not an installed package) —
+    # register this module for pickle-BY-VALUE so the decode closure
+    # ships self-contained instead of by module reference.
+    try:
+        import sys
+
+        from pyspark import cloudpickle
+        cloudpickle.register_pickle_by_value(
+            sys.modules[__name__])
+    except Exception:  # noqa: BLE001 — best-effort; by-ref still
+        pass           # works when the repo is importable remotely
+
     def _expand(item):
         fpath, desc = item
         return [(fpath, int(pos)) for pos in read_dv(desc, abs_table)]

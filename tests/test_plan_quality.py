@@ -563,6 +563,58 @@ def test_offline_delta_and_iceberg_preserve_pushdown(spark, tmp_path):
     # eval nodes anywhere in the offline read plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
+    # deletion vectors: the row path stays a broadcast LEFT ANTI join
+    # on _metadata (decode happens in the small descriptor-side RDD,
+    # never per data row) and pushdown still reaches the parquet scan
+    import json as _json
+    import os as _os
+    import struct as _struct
+    import uuid as _uuid
+    import zlib as _zlib
+
+    from lightning_metastore_spark.sources.delta_reader import (
+        resolve_snapshot,
+    )
+
+    rel = resolve_snapshot(spark, dpath).files[0][0]
+    data = (_struct.pack("<i", 1681511377) + _struct.pack("<q", 1)
+            + _struct.pack("<I", 0)
+            + _struct.pack("<I", 12346) + _struct.pack("<I", 1)
+            + _struct.pack("<HH", 0, 0) + _struct.pack("<I", 16)
+            + _struct.pack("<H", 0))  # row index 0 of the first file
+    u = _uuid.uuid4()
+    with open(_os.path.join(dpath, f"deletion_vector_{u}.bin"),
+              "wb") as fh:
+        fh.write(b"\x01" + _struct.pack(">i", len(data)) + data
+                 + _struct.pack(">I", _zlib.crc32(data) & 0xFFFFFFFF))
+    _Z85 = ("0123456789abcdefghijklmnopqrstuvwxyz"
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#")
+    enc = []
+    b = u.bytes
+    for i in range(0, 16, 4):
+        v = int.from_bytes(b[i:i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            chunk.append(_Z85[v % 85])
+            v //= 85
+        enc.extend(reversed(chunk))
+    desc = {"storageType": "u", "pathOrInlineDv": "".join(enc),
+            "offset": 1, "sizeInBytes": len(data), "cardinality": 1}
+    with open(_os.path.join(dpath, "_delta_log",
+                            f"{1:020d}.json"), "w") as fh:
+        fh.write(_json.dumps({"add": {
+            "path": rel, "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": False,
+            "deletionVector": desc}}) + "\n")
+    dv_df = read_delta(spark, dpath).filter("id > 50")
+    dv_plan = _plan(dv_df)
+    assert "LeftAnti" in dv_plan
+    assert "BroadcastHashJoin" in dv_plan or "BroadcastNestedLoop" \
+        not in dv_plan and "LeftAnti" in dv_plan
+    assert "GreaterThan(id,50)" in dv_plan           # pushdown survives
+    assert dv_df.count() == 49                       # deleted row is <= 50
+    assert read_delta(spark, dpath).count() == 99    # one row deleted
+
 
 def test_mine_hard_negatives_broadcasts_pairs_only(spark):
     """The supervision relation (pairs ⋈ both embedding sides) must
