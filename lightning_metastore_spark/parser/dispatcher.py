@@ -65,6 +65,8 @@ _LIGHTNING_HEADS = (
     re.compile(r"^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?[\w.`\-]+\s*\(.*\)\s*"
                r"NAMESPACE\s+LIGHTNING\.", re.I | re.S),
     re.compile(r"^MERGE\s+INTO\s+LIGHTNING\.", re.I),
+    re.compile(r"^OPTIMIZE\s+LIGHTNING\.", re.I),
+    re.compile(r"^VACUUM\s+LIGHTNING\.", re.I),
 )
 
 
@@ -398,6 +400,77 @@ class InsertInto(Command):
         load_catalog_unit(ds).write_table(
             df, residual, mode="overwrite" if self.overwrite else "append")
         return self._df(ctx, [(".".join(self.path),)], "inserted string")
+
+
+def _delta_table_path(ctx, path: list[str], what: str) -> str:
+    """Resolve a lightning.datasource.delta.* path to the table dir;
+    maintenance commands are Delta-only (Iceberg compaction is the
+    runtime's rewrite_data_files territory)."""
+    from lightning_metastore_spark.catalog.units import DeltaCatalogUnit
+    from lightning_metastore_spark.catalog.units import load_catalog_unit
+
+    rest = _require_root(path, DATASOURCE_ROOT, what)
+    hit = ctx.metastore.find_parent_datasource(rest)
+    if hit is None:
+        raise CommandParseError(
+            f"no datasource at lightning.{'.'.join(path)}")
+    ds, residual = hit
+    unit = load_catalog_unit(ds)
+    if not isinstance(unit, DeltaCatalogUnit):
+        raise CommandParseError(
+            f"{what} supports Delta tables only; "
+            f"lightning.{'.'.join(path)} is a {ds.source_type} source")
+    import os as _os
+    return _os.path.join(ds.options["path"], *residual)
+
+
+@dataclass
+class OptimizeTable(Command):
+    """`OPTIMIZE lightning.datasource.delta.<ds>.<table> [TARGET SIZE
+    n]` — bin-packing compaction of small files into ~n-byte ones as a
+    dataChange=false commit (delta-spark's OPTIMIZE surface; the
+    reference has no maintenance commands, its docs defer to the
+    runtimes). The 100 TB rationale lives in
+    `sources/delta_reader.optimize_delta`."""
+    path: list[str]
+    target_bytes: Optional[int] = None
+
+    def run(self, ctx) -> DataFrame:
+        from lightning_metastore_spark.sources.delta_reader import (
+            optimize_delta,
+        )
+
+        tpath = _delta_table_path(ctx, self.path, "OPTIMIZE")
+        kwargs = {}
+        if self.target_bytes is not None:
+            kwargs["target_file_bytes"] = int(self.target_bytes)
+        stats = optimize_delta(ctx.spark, tpath, **kwargs)
+        return self._df(
+            ctx, [(stats["files_removed"], stats["files_added"],
+                   stats["bytes_compacted"])],
+            "files_removed long, files_added long, bytes_compacted long")
+
+
+@dataclass
+class VacuumTable(Command):
+    """`VACUUM lightning.datasource.delta.<ds>.<table> [RETAIN n HOURS]
+    [DRY RUN]` — delete data/DV files unreferenced by the current
+    snapshot and older than the retention window (delta-spark's VACUUM
+    surface; default 168 h so recent-version readers drain first)."""
+    path: list[str]
+    retention_hours: float = 168.0
+    dry_run: bool = False
+
+    def run(self, ctx) -> DataFrame:
+        from lightning_metastore_spark.sources.delta_reader import (
+            vacuum_delta,
+        )
+
+        tpath = _delta_table_path(ctx, self.path, "VACUUM")
+        doomed = vacuum_delta(ctx.spark, tpath,
+                              retention_hours=self.retention_hours,
+                              dry_run=self.dry_run)
+        return self._df(ctx, [(p,) for p in doomed], "path string")
 
 
 @dataclass
@@ -1902,6 +1975,13 @@ def _parse_assignments(s: str) -> dict[str, str]:
     return out
 
 
+_R_OPTIMIZE = re.compile(
+    r"^OPTIMIZE\s+(?P<path>[\w.\-]+)"
+    r"(?:\s+TARGET\s+SIZE\s+(?P<sz>\d+))?\s*$", re.I)
+_R_VACUUM = re.compile(
+    r"^VACUUM\s+(?P<path>[\w.\-]+)"
+    r"(?:\s+RETAIN\s+(?P<h>[\d.]+)\s+HOURS)?"
+    r"(?:\s+(?P<dry>DRY\s+RUN))?\s*$", re.I)
 _R_MERGE_HEAD = re.compile(
     r"^MERGE\s+INTO\s+(?P<target>[\w.\-]+)"
     r"(?:\s+(?:AS\s+)?(?P<ta>(?!USING\b)\w+))?\s+USING\s+",
@@ -1969,6 +2049,18 @@ def parse_command(sql: str) -> Command:
 
     if _R_MERGE_HEAD.match(text):
         return _parse_merge(text)
+    m = _R_OPTIMIZE.match(text)
+    if m:
+        return OptimizeTable(
+            path=_split_path(m.group("path")),
+            target_bytes=int(m.group("sz")) if m.group("sz") else None)
+    m = _R_VACUUM.match(text)
+    if m:
+        return VacuumTable(
+            path=_split_path(m.group("path")),
+            retention_hours=(float(m.group("h"))
+                             if m.group("h") else 168.0),
+            dry_run=bool(m.group("dry")))
     m = _R_UPDATE_TAGS.match(text)
     if m:
         return UpdateFileTags(path=_split_path(m.group("path")),

@@ -604,6 +604,142 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         write_checkpoint(spark, path)
 
 
+def optimize_delta(spark: SparkSession, path: str,
+                   target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+    """OPTIMIZE-style bin-packing compaction: rewrite each partition's
+    small files into ~``target_file_bytes`` ones, committed as ONE new
+    version whose add/remove actions carry ``dataChange: false`` — the
+    table's LOGICAL content is identical at every version, only the
+    physical layout changes (the Delta OPTIMIZE contract). The
+    small-file problem is THE dominant lakehouse maintenance cost at
+    100 TB: a streaming ingest writing every few minutes produces
+    thousands of KB-sized files per partition whose per-file open/
+    footer overhead dwarfs the scan.
+
+    Only partitions with 2+ files below the target are rewritten;
+    files carrying deletion vectors are left alone (compacting them
+    would require rewriting survivor rows — the runtime's PURGE);
+    column-mapped tables are refused like every offline write.
+    Returns {"files_removed", "files_added", "bytes_compacted"}.
+    """
+    snap = resolve_snapshot(spark, path)
+    if getattr(snap, "physical", None):
+        raise DeltaLogError(
+            f"offline OPTIMIZE of column-mapped tables is not "
+            f"supported: {path}")
+    now_ms = int(time.time() * 1000)
+    data_fields = [f for f in snap.schema.fields
+                   if f.name not in snap.partition_columns]
+    data_schema = T.StructType(data_fields)
+
+    groups: dict[tuple, tuple[dict, list[str]]] = {}
+    for rel, pv in snap.files:
+        if rel in snap.dv:
+            continue  # DV'd files need row rewriting — runtime territory
+        size = os.path.getsize(os.path.join(path, rel))
+        if size >= int(target_file_bytes):
+            continue
+        key = tuple(sorted(pv.items()))
+        groups.setdefault(key, (pv, []))[1].append(rel)
+
+    from urllib.parse import quote
+    actions: list[dict] = [
+        {"commitInfo": {"timestamp": now_ms, "operation": "OPTIMIZE",
+                        "operationParameters": {}}}]
+    removed = added = bytes_compacted = 0
+    staging = os.path.join(path, f".optimize-{now_ms}")
+    i = 0
+    for pv, rels in groups.values():
+        if len(rels) < 2:
+            continue
+        total = sum(os.path.getsize(os.path.join(path, r)) for r in rels)
+        n_out = max(1, -(-total // int(target_file_bytes)))
+        part_dir = ""
+        if snap.partition_columns:
+            segs = []
+            for c in snap.partition_columns:
+                v = pv.get(c)
+                segs.append(f"{c}=__HIVE_DEFAULT_PARTITION__" if v is None
+                            else f"{c}={quote(str(v), safe='')}")
+            part_dir = os.path.join(*segs)
+        stage = os.path.join(staging, str(i))
+        (spark.read.schema(data_schema)
+         .parquet(*[os.path.join(path, r) for r in rels])
+         .coalesce(int(n_out)).write.mode("overwrite").parquet(stage))
+        for f in sorted(os.listdir(stage)):
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                rel_new = os.path.join(part_dir, f"opt-{now_ms}-{i}-{f}") \
+                    if part_dir else f"opt-{now_ms}-{i}-{f}"
+                dst = os.path.join(path, rel_new)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(stage, f), dst)
+                actions.append({"add": {
+                    "path": rel_new.replace(os.sep, "/"),
+                    "partitionValues": pv,
+                    "size": os.path.getsize(dst),
+                    "modificationTime": now_ms,
+                    "dataChange": False}})
+                added += 1
+        for r in rels:
+            actions.append({"remove": {"path": r,
+                                       "deletionTimestamp": now_ms,
+                                       "dataChange": False}})
+            removed += 1
+        bytes_compacted += total
+        i += 1
+    import shutil
+    shutil.rmtree(staging, ignore_errors=True)
+    if removed:
+        _write_commit(path, snap.version + 1, actions)
+    return {"files_removed": removed, "files_added": added,
+            "bytes_compacted": bytes_compacted}
+
+
+def vacuum_delta(spark: SparkSession, path: str,
+                 retention_hours: float = 168.0,
+                 dry_run: bool = False) -> list[str]:
+    """VACUUM: delete data files (and DV files) under the table that
+    the CURRENT snapshot no longer references and whose modification
+    time is older than the retention window — the Delta contract. Time
+    travel to versions whose files are vacuumed stops working, which
+    is exactly why the default retention is 7 days: concurrent readers
+    of recent versions must drain first. Returns the deleted (or, with
+    ``dry_run``, the would-be-deleted) relative paths."""
+    snap = resolve_snapshot(spark, path)
+    keep: set[str] = {rel for rel, _ in snap.files}
+    from lightning_metastore_spark.sources import delta_dv
+    for desc in snap.dv.values():
+        if desc.get("storageType") == "u":
+            keep.add(delta_dv.dv_relative_path(
+                desc.get("pathOrInlineDv") or ""))
+    horizon = time.time() - float(retention_hours) * 3600.0
+    doomed: list[str] = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs
+                   if d != "_delta_log" and not d.startswith(".")]
+        for f in files:
+            if f.startswith((".", "_")):
+                continue
+            if not (f.endswith(".parquet") or f.endswith(".bin")):
+                continue
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, path).replace(os.sep, "/")
+            if rel in keep:
+                continue
+            if os.path.getmtime(full) > horizon:
+                continue
+            doomed.append(rel)
+    if not dry_run:
+        for rel in doomed:
+            os.remove(os.path.join(path, rel))
+        # prune now-empty partition directories
+        for root, dirs, files in os.walk(path, topdown=False):
+            if root != path and not os.listdir(root) \
+                    and "_delta_log" not in root:
+                os.rmdir(root)
+    return sorted(doomed)
+
+
 def write_checkpoint(spark: SparkSession, path: str) -> int:
     """Materialize the current snapshot as a single-file checkpoint
     parquet + `_last_checkpoint`, so long logs replay from a compacted

@@ -699,6 +699,102 @@ def test_iceberg_format_v3_rejected(spark, iceberg_table):
         read_iceberg(spark, iceberg_table)
 
 
+def test_delta_optimize_and_vacuum(spark, tmp_path):
+    """OPTIMIZE bin-packing: many small files -> few, committed with
+    dataChange=false so every version's logical content is unchanged
+    and pre-optimize versions stay time-travelable; VACUUM then
+    deletes the unreferenced old files past the retention window
+    (after which time travel to them correctly stops resolving
+    data)."""
+    from lightning_metastore_spark.sources.delta_reader import (
+        optimize_delta,
+        vacuum_delta,
+    )
+
+    path = str(tmp_path / "opt")
+    write_delta(spark.range(0, 50).selectExpr("id", "id * 2 AS v")
+                .repartition(8), path, mode="error")
+    write_delta(spark.range(50, 100).selectExpr("id", "id * 2 AS v")
+                .repartition(8), path, mode="append")
+    before = len(resolve_snapshot(spark, path).files)
+    assert before >= 16
+    stats = optimize_delta(spark, path)
+    assert stats["files_removed"] == before and stats["files_added"] < before
+    snap = resolve_snapshot(spark, path)
+    assert len(snap.files) == stats["files_added"]
+    assert sorted(r.id for r in read_delta(spark, path).collect()) == \
+        list(range(100))
+    # logical content unchanged at EVERY version; the optimize commit
+    # is visible in history
+    assert read_delta(spark, path, version_as_of=1).count() == 100
+    hist = delta_history(spark, path).collect()
+    assert hist[0].operation == "OPTIMIZE"
+
+    # vacuum (dry run first), retention 0 for the test
+    doomed = vacuum_delta(spark, path, retention_hours=0, dry_run=True)
+    assert len(doomed) == before
+    assert vacuum_delta(spark, path, retention_hours=0) == doomed
+    assert read_delta(spark, path).count() == 100       # current intact
+    with pytest.raises(Exception):                       # old files gone
+        read_delta(spark, path, version_as_of=1).collect()
+
+    # partitioned: compaction keeps Hive layout + per-partition tuples
+    p2 = str(tmp_path / "optp")
+    write_delta(spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(40)],
+        "id long, cat string").repartition(6), p2, mode="error",
+        partition_by=["cat"])
+    n0 = len(resolve_snapshot(spark, p2).files)
+    stats2 = optimize_delta(spark, p2)
+    assert stats2["files_removed"] == n0
+    assert stats2["files_added"] == 2                    # one per cat
+    back = read_delta(spark, p2)
+    assert back.filter("cat = 'a'").count() == 20
+    assert sorted(r.id for r in back.collect()) == list(range(40))
+    # the one-scan fast path still applies post-optimize
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    # idempotent: nothing left to compact
+    assert optimize_delta(spark, p2)["files_removed"] == 0
+
+
+def test_delta_optimize_vacuum_sql(spark, tmp_path):
+    """OPTIMIZE / VACUUM over the SQL dialect (delta-spark's
+    maintenance syntax subset): compaction stats come back as a row,
+    VACUUM DRY RUN lists without deleting, RETAIN 0 HOURS deletes, and
+    a non-Delta source is refused."""
+    base = tmp_path / "mnt"
+    base.mkdir()
+    write_delta(_delta_df(spark, 0, 30).repartition(6),
+                str(base / "ev"), mode="error")
+    write_delta(_delta_df(spark, 30, 60).repartition(6),
+                str(base / "ev"), mode="append")
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.delta")
+    ctx.sql(f"REGISTER DELTA DATASOURCE m OPTIONS(path '{base}') "
+            "NAMESPACE lightning.datasource.delta")
+    t = "lightning.datasource.delta.m.ev"
+    stats = ctx.sql(f"OPTIMIZE {t}").collect()[0]
+    assert stats.files_removed >= 12 and stats.files_added >= 1
+    assert ctx.sql(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 60
+    dry = ctx.sql(f"VACUUM {t} RETAIN 0 HOURS DRY RUN").collect()
+    assert len(dry) == stats.files_removed
+    gone = ctx.sql(f"VACUUM {t} RETAIN 0 HOURS").collect()
+    assert len(gone) == len(dry)
+    assert ctx.sql(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 60
+    # default retention keeps everything young
+    assert ctx.sql(f"VACUUM {t}").collect() == []
+    # non-Delta sources are refused
+    src = tmp_path / "files"
+    src.mkdir()
+    spark.range(3).write.parquet(str(src / "p.parquet"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.file")
+    ctx.sql(f"REGISTER PARQUET DATASOURCE f OPTIONS(path '{src}') "
+            "NAMESPACE lightning.datasource.file")
+    with pytest.raises(Exception, match="Delta tables only"):
+        ctx.sql("OPTIMIZE lightning.datasource.file.f.p")
+
+
 def test_delta_catalog_unit_sql_time_travel(spark, tmp_path):
     """REGISTER DELTA + VERSION AS OF / .history through the SQL
     surface — the dispatcher path the reference exercises for Iceberg
