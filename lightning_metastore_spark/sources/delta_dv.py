@@ -120,6 +120,8 @@ def _read_roaring32(data: bytes, pos: int) -> tuple[list[int], int]:
                 raise DeletionVectorError("truncated run container")
             n_runs, = struct.unpack_from("<H", data, pos)
             pos += 2
+            if pos + 4 * n_runs > len(data):
+                raise DeletionVectorError("truncated run container")
             for _ in range(n_runs):
                 start, length = struct.unpack_from("<HH", data, pos)
                 pos += 4
@@ -220,14 +222,37 @@ def read_dv(descriptor: dict, table_path: str) -> list[int]:
     return decode_bitmap(data)
 
 
+# java.net.URI path-component quoting (what Spark's _metadata.file_path
+# carries after the scheme): US-ASCII chars outside this set are
+# percent-encoded; '+' and non-ASCII stay raw. Mirrored here so the
+# deleted-row relation joins the scan even when the table path carries
+# spaces/%/# (verified empirically against Spark's own file_path).
+_URI_PATH_LEGAL = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    "_-!.~'()*,;:$&+=/@")
+
+
+def uri_path_encode(p: str) -> str:
+    out = []
+    for ch in p:
+        if ch in _URI_PATH_LEGAL or ord(ch) >= 0x80:
+            out.append(ch)
+        else:
+            out.append("".join(f"%{b:02X}" for b in ch.encode("utf-8")))
+    return "".join(out)
+
+
 def deleted_rows_df(spark, table_path: str,
                     dv_by_file: dict[str, dict]):
     """(__dv_file, __dv_pos) DataFrame of deleted rows for the live
     files of a snapshot — decoded EXECUTOR-side (one task per
     descriptor; DV files are opened where the task runs, the shared-
-    filesystem contract of every no-jar fallback here)."""
+    filesystem contract of every no-jar fallback here). File keys are
+    URI-path-encoded to match `_metadata.file_path`."""
     abs_table = os.path.abspath(table_path)
-    items = [(os.path.abspath(os.path.join(abs_table, rel)), dict(desc))
+    items = [(uri_path_encode(
+                  os.path.abspath(os.path.join(abs_table, rel))),
+              dict(desc))
              for rel, desc in sorted(dv_by_file.items())]
 
     # Executor Python workers may not have this repo on their

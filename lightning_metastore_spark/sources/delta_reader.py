@@ -207,6 +207,12 @@ def resolve_snapshot(spark: SparkSession, path: str,
         bound = dt.datetime.fromisoformat(timestamp_as_of)
         bound_ms = int(bound.timestamp() * 1000)
         eligible = [v for v, p in commits if _commit_timestamp(p) <= bound_ms]
+        if not eligible and ckpt_any is not None:
+            # checkpoint-only log (commits cleaned): the checkpoint
+            # file's mtime stands in for its version's commit time
+            ck_ms = int(os.path.getmtime(ckpt_any[1][0]) * 1000)
+            if ck_ms <= bound_ms:
+                eligible = [ckpt_any[0]]
         if not eligible:
             raise DeltaLogError(
                 f"no Delta version at or before {timestamp_as_of}")
@@ -363,12 +369,22 @@ def read_delta(spark: SparkSession, path: str,
 
     # deletion vectors: decode executor-side (sources/delta_dv.py) and
     # drop exactly the marked row indexes via an anti-join on the
-    # scan's _metadata columns — the Iceberg position-delete shape
+    # scan's _metadata columns — the Iceberg position-delete shape.
+    # Broadcast is gated on the descriptors' TOTAL cardinality (the
+    # deleted-ROW count, known without decoding), not the descriptor
+    # count — one huge DELETE must shuffle-join, not ship to every
+    # executor. Persisted because the grouped-union path references
+    # the relation once per partition group.
     deleted = None
     if snap.dv:
         from lightning_metastore_spark.sources import delta_dv
         deleted = delta_dv.deleted_rows_df(spark, path, snap.dv)
-        if len(snap.dv) <= 64:
+        if len(snap.dv) > 1 or snap.partition_columns:
+            deleted = deleted.persist()
+        cards = [d.get("cardinality") for d in snap.dv.values()]
+        total = (sum(int(c) for c in cards)
+                 if all(c is not None for c in cards) else None)
+        if total is not None and total <= 2_000_000:
             deleted = F.broadcast(deleted)
 
     def _apply_dv(df: DataFrame) -> DataFrame:
@@ -450,11 +466,16 @@ def delta_history(spark: SparkSession, path: str) -> DataFrame:
         op = None
         with open(p) as fh:
             for line in fh:
-                if not line.strip():
+                # cheap substring pre-filter: add/remove lines dominate
+                # big commits and need no JSON parse here, keeping
+                # .history O(commits), not O(log bytes)
+                if '"commitInfo"' not in line and '"protocol"' not in line:
                     continue
                 act = json.loads(line)
                 if "commitInfo" in act and op is None:
                     op = act["commitInfo"].get("operation")
+                    if protocol is not None:
+                        break  # newest protocol already captured
                 elif "protocol" in act and protocol is None:
                     # newest-first walk: the first protocol seen is the
                     # latest; reject unsupported tables here too
@@ -708,10 +729,20 @@ def vacuum_delta(spark: SparkSession, path: str,
     snap = resolve_snapshot(spark, path)
     keep: set[str] = {rel for rel, _ in snap.files}
     from lightning_metastore_spark.sources import delta_dv
+    abs_table = os.path.abspath(path)
     for desc in snap.dv.values():
-        if desc.get("storageType") == "u":
+        st = desc.get("storageType")
+        if st == "u":
             keep.add(delta_dv.dv_relative_path(
                 desc.get("pathOrInlineDv") or ""))
+        elif st == "p":
+            # an absolute-path DV may still live under the table dir —
+            # deleting it would permanently resurrect deleted rows
+            rel = os.path.relpath(
+                os.path.abspath(desc.get("pathOrInlineDv") or ""),
+                abs_table)
+            if not rel.startswith(".."):
+                keep.add(rel.replace(os.sep, "/"))
     horizon = time.time() - float(retention_hours) * 3600.0
     doomed: list[str] = []
     for root, dirs, files in os.walk(path):

@@ -229,6 +229,16 @@ def write_iceberg(df: DataFrame, table_path: str,
                 f"partition_by {list(partition_by)} does not match the "
                 f"table's partition spec {table_parts}")
         partition_by = table_parts
+        # validate inherited partition types BEFORE any file moves — an
+        # external table may partition on a type this writer cannot
+        # round-trip through path segments / manifest tuples
+        for c in partition_by:
+            tn = {f.name: f.dataType for f in table_schema.fields}.get(c)
+            if tn is None or tn.typeName() not in _PART_AVRO:
+                raise ir.IcebergError(
+                    f"unsupported identity partition type for {c}: "
+                    f"{None if tn is None else tn.typeName()} "
+                    f"(supported: {sorted(_PART_AVRO)})")
         seq = int(meta.get("last-sequence-number", 0)) + 1
         snap_id = max((s["snapshot-id"] for s in meta.get("snapshots", [])),
                       default=0) + 1

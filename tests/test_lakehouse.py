@@ -397,6 +397,14 @@ def test_dv_codec_units():
         dv.decode_bitmap(b"\x00" * 16)
     with pytest.raises(dv.DeletionVectorError):
         dv.z85_decode("abc")
+    # truncated mid-run-container raises the module error, not
+    # struct.error
+    with pytest.raises(dv.DeletionVectorError):
+        dv.decode_bitmap(run[:-2])
+    # java.net.URI path quoting: space/%/# encode, '+' and non-ASCII
+    # stay raw (what Spark's _metadata.file_path carries)
+    assert dv.uri_path_encode("/a b/p%c/d#e/f+g/café") == \
+        "/a%20b/p%25c/d%23e/f+g/café"
 
 
 def test_delta_deletion_vectors_applied(spark, tmp_path):
@@ -531,6 +539,61 @@ def test_delta_column_mapping_name_mode(spark, tmp_path):
     out2 = read_delta(spark, str(path))
     assert sorted((r.id, r.name, r.p) for r in out2.collect()) == \
         [(1, "x", 7), (2, "y", 7)]
+
+
+def test_delta_dv_special_char_paths_and_vacuum_protection(spark,
+                                                           tmp_path):
+    """A table path with a space and '%' still applies deletion
+    vectors (the deleted-row relation must match Spark's URI-encoded
+    _metadata.file_path), and VACUUM protects an absolute-path ('p')
+    DV file living under the table directory — deleting it would
+    permanently resurrect deleted rows."""
+    from lightning_metastore_spark.sources.delta_reader import (
+        vacuum_delta,
+    )
+
+    root = tmp_path / "dv lake%x"
+    root.mkdir()
+    path = str(root / "t")
+    write_delta(spark.createDataFrame([(10,), (11,), (12,)], "id long")
+                .coalesce(1), path, mode="error")
+    rel = resolve_snapshot(spark, path).files[0][0]
+    data = _ser_dv([0])
+    dvf = os.path.join(path, "dv", "abs_dv.bin")
+    os.makedirs(os.path.dirname(dvf))
+    _write_dv_file(dvf, data)
+    desc = {"storageType": "p", "pathOrInlineDv": dvf, "offset": 1,
+            "sizeInBytes": len(data), "cardinality": 1}
+    _append_commit(path, 1, [
+        {"remove": {"path": rel, "deletionTimestamp": 0,
+                    "dataChange": False}},
+        {"add": {"path": rel, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": False,
+                 "deletionVector": desc}},
+    ])
+    assert sorted(r.id for r in read_delta(spark, path).collect()) == \
+        [11, 12]
+    # vacuum at zero retention: the live data file AND its DV survive
+    assert vacuum_delta(spark, path, retention_hours=0) == []
+    assert os.path.exists(dvf)
+    assert sorted(r.id for r in read_delta(spark, path).collect()) == \
+        [11, 12]
+
+
+def test_delta_timestamp_travel_checkpoint_only(spark, tmp_path):
+    """After log cleanup leaves a checkpoint-only table, timestamp
+    time travel still resolves the checkpointed snapshot (checkpoint
+    mtime stands in for its commit time); a bound before it raises."""
+    path = str(tmp_path / "tso")
+    write_delta(_delta_df(spark, 0, 4), path, mode="error")
+    write_checkpoint(spark, path)
+    log = os.path.join(path, "_delta_log")
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    import datetime as dt
+    future = (dt.datetime.now() + dt.timedelta(days=1)).isoformat()
+    assert read_delta(spark, path, timestamp_as_of=future).count() == 4
+    with pytest.raises(DeltaLogError, match="no Delta version"):
+        read_delta(spark, path, timestamp_as_of="2000-01-01T00:00:00")
 
 
 def test_delta_overwrite_aligns_schema(spark, tmp_path):
