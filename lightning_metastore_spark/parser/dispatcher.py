@@ -67,6 +67,7 @@ _LIGHTNING_HEADS = (
     re.compile(r"^MERGE\s+INTO\s+LIGHTNING\.", re.I),
     re.compile(r"^OPTIMIZE\s+LIGHTNING\.", re.I),
     re.compile(r"^VACUUM\s+LIGHTNING\.", re.I),
+    re.compile(r"^DELETE\s+FROM\s+LIGHTNING\.", re.I),
 )
 
 
@@ -422,6 +423,44 @@ def _delta_table_path(ctx, path: list[str], what: str) -> str:
             f"lightning.{'.'.join(path)} is a {ds.source_type} source")
     import os as _os
     return _os.path.join(ds.options["path"], *residual)
+
+
+@dataclass
+class DeleteFrom(Command):
+    """`DELETE FROM lightning.datasource.<...>.<table> [WHERE cond]` —
+    rewrite-based row deletion through the owning unit's write path:
+    survivors are materialized (lineage break, same as INSERT
+    OVERWRITE) and committed as an overwrite. On versioned units
+    (Delta/Iceberg) that is one NEW version, so the pre-delete state
+    stays time-travelable; the runtimes' file-granular or
+    deletion-vector DELETE is their optimization of the same
+    semantics. The reference throws on DELETE — this is beyond-parity
+    surface like MERGE INTO."""
+    path: list[str]
+    where: Optional[str] = None
+
+    def run(self, ctx) -> DataFrame:
+        from lightning_metastore_spark.catalog.units import (
+            load_catalog_unit,
+        )
+
+        rest = _require_root(self.path, DATASOURCE_ROOT, "DELETE target")
+        hit = ctx.metastore.find_parent_datasource(rest)
+        if hit is None:
+            raise CommandParseError(
+                f"no datasource at lightning.{'.'.join(self.path)}")
+        ds, residual = hit
+        unit = load_catalog_unit(ds)
+        df = unit.load_table(ctx.spark, residual)
+        before = df.count()
+        survivors = (df.filter(f"NOT ({self.where})") if self.where
+                     else df.filter("false"))
+        # materialize BEFORE the overwrite: the survivors' lineage
+        # reads the same files the overwrite replaces
+        survivors = survivors.localCheckpoint(eager=True)
+        n_kept = survivors.count()
+        unit.write_table(survivors, residual, mode="overwrite")
+        return self._df(ctx, [(before - n_kept,)], "n_deleted long")
 
 
 @dataclass
@@ -1975,6 +2014,9 @@ def _parse_assignments(s: str) -> dict[str, str]:
     return out
 
 
+_R_DELETE = re.compile(
+    r"^DELETE\s+FROM\s+(?P<path>[\w.\-]+)"
+    r"(?:\s+WHERE\s+(?P<w>.+))?\s*$", re.I | re.S)
 _R_OPTIMIZE = re.compile(
     r"^OPTIMIZE\s+(?P<path>[\w.\-]+)"
     r"(?:\s+TARGET\s+SIZE\s+(?P<sz>\d+))?\s*$", re.I)
@@ -2049,6 +2091,11 @@ def parse_command(sql: str) -> Command:
 
     if _R_MERGE_HEAD.match(text):
         return _parse_merge(text)
+    m = _R_DELETE.match(text)
+    if m:
+        return DeleteFrom(path=_split_path(m.group("path")),
+                          where=(m.group("w").strip()
+                                 if m.group("w") else None))
     m = _R_OPTIMIZE.match(text)
     if m:
         return OptimizeTable(

@@ -821,6 +821,52 @@ def test_delta_optimize_and_vacuum(spark, tmp_path):
     assert optimize_delta(spark, p2)["files_removed"] == 0
 
 
+def test_delete_from_sql(spark, tmp_path):
+    """DELETE FROM over the SQL dialect (the reference throws on
+    DELETE): rewrite-based through each unit's write path. On Delta
+    and Iceberg the delete is a NEW version, so the pre-delete state
+    stays time-travelable; WHERE-less DELETE empties the table."""
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        write_iceberg,
+    )
+
+    base = tmp_path / "dl"
+    base.mkdir()
+    write_delta(_delta_df(spark, 0, 10), str(base / "ev"), mode="error")
+    wh = tmp_path / "dlwh"
+    (wh / "db").mkdir(parents=True)
+    write_iceberg(spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, amount double"),
+        str(wh / "db" / "acc"), mode="error")
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.delta")
+    ctx.sql(f"REGISTER DELTA DATASOURCE d OPTIONS(path '{base}') "
+            "NAMESPACE lightning.datasource.delta")
+    ctx.sql("CREATE NAMESPACE lightning.datasource.iceberg")
+    ctx.sql(f"REGISTER ICEBERG DATASOURCE w OPTIONS(warehouse '{wh}') "
+            "NAMESPACE lightning.datasource.iceberg")
+
+    out = ctx.sql("DELETE FROM lightning.datasource.delta.d.ev "
+                  "WHERE id % 2 = 0").collect()
+    assert out[0].n_deleted == 5
+    t = "lightning.datasource.delta.d.ev"
+    assert sorted(r.id for r in ctx.sql(f"SELECT id FROM {t}").collect()) \
+        == [1, 3, 5, 7, 9]
+    assert ctx.sql(f"SELECT count(*) AS n FROM {t} VERSION AS OF 0"
+                   ).collect()[0].n == 10
+
+    it = "lightning.datasource.iceberg.w.db.acc"
+    assert ctx.sql(f"DELETE FROM {it} WHERE amount > 15"
+                   ).collect()[0].n_deleted == 2
+    assert [r.id for r in ctx.sql(f"SELECT id FROM {it}").collect()] == [1]
+    assert ctx.sql(f"SELECT count(*) AS n FROM {it} VERSION AS OF 1"
+                   ).collect()[0].n == 3
+
+    # WHERE-less DELETE empties; row count stays queryable
+    assert ctx.sql(f"DELETE FROM {t}").collect()[0].n_deleted == 5
+    assert ctx.sql(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 0
+
+
 def test_delta_optimize_vacuum_sql(spark, tmp_path):
     """OPTIMIZE / VACUUM over the SQL dialect (delta-spark's
     maintenance syntax subset): compaction stats come back as a row,
