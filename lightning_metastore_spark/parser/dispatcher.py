@@ -453,8 +453,11 @@ class DeleteFrom(Command):
         unit = load_catalog_unit(ds)
         df = unit.load_table(ctx.spark, residual)
         before = df.count()
-        survivors = (df.filter(f"NOT ({self.where})") if self.where
-                     else df.filter("false"))
+        # SQL DELETE removes only rows where the predicate is TRUE —
+        # a NULL predicate keeps the row, so survivors are NOT(TRUE),
+        # not NOT(pred) (which would drop NULL-predicate rows)
+        survivors = (df.filter(f"NOT coalesce(({self.where}), false)")
+                     if self.where else df.filter("false"))
         # materialize BEFORE the overwrite: the survivors' lineage
         # reads the same files the overwrite replaces
         survivors = survivors.localCheckpoint(eager=True)

@@ -1072,7 +1072,16 @@ def _kn_ccnet_flow(docs: DataFrame) -> DataFrame:
 
     spark = docs.sparkSession
     try:
-        src_key = tuple(sorted(docs.inputFiles()))
+        # key on input files AND the docs plan (exprIds stripped, so
+        # identical pipelines hit) — the trained model depends on the
+        # ROWS, and the same files read through a different transform
+        # must not share an artifact
+        import hashlib
+        import re as _re
+        plan = _re.sub(r"#\d+", "#", str(
+            docs._jdf.queryExecution().analyzed().toString()))
+        src_key = (tuple(sorted(docs.inputFiles())),
+                   hashlib.md5(plan.encode()).hexdigest())
     except Exception:  # noqa: BLE001 — in-memory docs: never cache
         src_key = None
     key = (spark.sparkContext.applicationId, src_key)

@@ -38,6 +38,7 @@ position-delete path (`sources/iceberg_reader.py`).
 from __future__ import annotations
 
 import os
+import re
 import struct
 import zlib
 
@@ -196,7 +197,8 @@ def read_dv(descriptor: dict, table_path: str) -> list[int]:
     if st == "u":
         fpath = os.path.join(table_path, dv_relative_path(payload))
     elif st == "p":
-        fpath = payload
+        # delta-spark may store a scheme-qualified URI (shallow clones)
+        fpath = re.sub(r"^file:/+", "/", payload)
     else:
         raise DeletionVectorError(f"unknown DV storageType {st!r}")
     offset = descriptor.get("offset")

@@ -130,12 +130,9 @@ def _commit_files(path: str) -> list[tuple[int, str]]:
 _MULTIPART_CKPT = None  # compiled lazily below
 
 
-def _checkpoint_at(path: str,
-                   max_version: Optional[int]
-                   ) -> Optional[tuple[int, list[str]]]:
-    """Latest complete checkpoint at version <= max_version, as
-    (version, part files). Handles both classic single-file
-    `N.checkpoint.parquet` and multi-part
+def _complete_checkpoints(path: str) -> dict[int, list[str]]:
+    """Every COMPLETE checkpoint as {version: part files}. Handles
+    both classic single-file `N.checkpoint.parquet` and multi-part
     `N.checkpoint.<part>.<parts>.parquet` (the format real writers
     emit for large tables); an incomplete multi-part set (a writer
     died mid-checkpoint) is skipped — the JSON log replays instead.
@@ -154,16 +151,27 @@ def _checkpoint_at(path: str,
         if not m:
             continue
         v = int(m.group(1))
-        if max_version is not None and v > max_version:
-            continue
         n_parts = int(m.group(3)) if m.group(3) else None
         groups.setdefault((v, n_parts), []).append(os.path.join(d, f))
-    best: Optional[tuple[int, list[str]]] = None
+    out: dict[int, list[str]] = {}
     for (v, n_parts), files in groups.items():
         if n_parts is not None and len(files) != n_parts:
             continue  # incomplete multi-part set
+        if v not in out or n_parts is None:
+            out[v] = sorted(files)
+    return out
+
+
+def _checkpoint_at(path: str,
+                   max_version: Optional[int]
+                   ) -> Optional[tuple[int, list[str]]]:
+    """Latest complete checkpoint at version <= max_version."""
+    best: Optional[tuple[int, list[str]]] = None
+    for v, files in _complete_checkpoints(path).items():
+        if max_version is not None and v > max_version:
+            continue
         if best is None or v > best[0]:
-            best = (v, sorted(files))
+            best = (v, files)
     return best
 
 
@@ -207,12 +215,16 @@ def resolve_snapshot(spark: SparkSession, path: str,
         bound = dt.datetime.fromisoformat(timestamp_as_of)
         bound_ms = int(bound.timestamp() * 1000)
         eligible = [v for v, p in commits if _commit_timestamp(p) <= bound_ms]
-        if not eligible and ckpt_any is not None:
-            # checkpoint-only log (commits cleaned): the checkpoint
-            # file's mtime stands in for its version's commit time
-            ck_ms = int(os.path.getmtime(ckpt_any[1][0]) * 1000)
-            if ck_ms <= bound_ms:
-                eligible = [ckpt_any[0]]
+        # versions whose JSON commits were cleaned are reachable only
+        # through their checkpoints: EVERY retained complete
+        # checkpoint's mtime stands in for its version's commit time
+        # (a commit's real timestamp always wins when it exists)
+        have_commit = {v for v, _ in commits}
+        for v, files in _complete_checkpoints(path).items():
+            if v in have_commit:
+                continue
+            if int(os.path.getmtime(files[0]) * 1000) <= bound_ms:
+                eligible.append(v)
         if not eligible:
             raise DeltaLogError(
                 f"no Delta version at or before {timestamp_as_of}")
@@ -347,6 +359,20 @@ def resolve_snapshot(spark: SparkSession, path: str,
     return snap
 
 
+def _hive_segment_ok(rel: str, col: str, logged) -> bool:
+    """True when `rel` carries exactly one `col=value` path SEGMENT
+    (not a substring — a column named `r` must not match `year=…`)
+    whose value agrees with the log's partitionValues entry."""
+    segs = rel.replace(os.sep, "/").split("/")[:-1]
+    matches = [s for s in segs if s.startswith(col + "=")]
+    if len(matches) != 1:
+        return False
+    raw = matches[0][len(col) + 1:]
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return logged is None
+    return logged is not None and unquote(raw) == str(logged)
+
+
 def read_delta(spark: SparkSession, path: str,
                version_as_of: Optional[int] = None,
                timestamp_as_of: Optional[str] = None) -> DataFrame:
@@ -367,20 +393,33 @@ def read_delta(spark: SparkSession, path: str,
     if not snap.files:
         return spark.createDataFrame([], snap.schema)
 
+    # Hive-layout fast-path eligibility (see the comment at the branch
+    # below) — decided up front because the DV materialization policy
+    # depends on how many scans will reference the deleted relation
+    use_fast = (snap.partition_columns
+                and phys is None
+                and all(_hive_segment_ok(rel, c, pv.get(c))
+                        for rel, pv in snap.files
+                        for c in snap.partition_columns))
+    n_groups = len({tuple(sorted(pv.items())) for _, pv in snap.files})
+
     # deletion vectors: decode executor-side (sources/delta_dv.py) and
     # drop exactly the marked row indexes via an anti-join on the
     # scan's _metadata columns — the Iceberg position-delete shape.
     # Broadcast is gated on the descriptors' TOTAL cardinality (the
     # deleted-ROW count, known without decoding), not the descriptor
     # count — one huge DELETE must shuffle-join, not ship to every
-    # executor. Persisted because the grouped-union path references
-    # the relation once per partition group.
+    # executor. When the grouped-union path will reference the
+    # relation once per partition group, it is materialized ONCE via
+    # localCheckpoint (ContextCleaner releases the blocks when the
+    # DataFrame is GC'd; persist() would pin a CacheManager entry for
+    # the session's lifetime).
     deleted = None
     if snap.dv:
         from lightning_metastore_spark.sources import delta_dv
         deleted = delta_dv.deleted_rows_df(spark, path, snap.dv)
-        if len(snap.dv) > 1 or snap.partition_columns:
-            deleted = deleted.persist()
+        if snap.partition_columns and not use_fast and n_groups > 1:
+            deleted = deleted.localCheckpoint(eager=True)
         cards = [d.get("cardinality") for d in snap.dv.values()]
         total = (sum(int(c) for c in cards)
                  if all(c is not None for c in cards) else None)
@@ -424,22 +463,8 @@ def read_delta(spark: SparkSession, path: str,
     # union, and partition pruning pushes into the scan. Tables whose
     # partition values live only in the log (or disagree with the path)
     # fall back to the grouped union (planner-side work proportional to
-    # partitions, not rows). The check is per path SEGMENT, not a
-    # substring test — a column named `r` must not match a `year=…`
-    # directory.
-    def _hive_segment_ok(rel: str, col: str, logged) -> bool:
-        segs = rel.replace(os.sep, "/").split("/")[:-1]
-        matches = [s for s in segs if s.startswith(col + "=")]
-        if len(matches) != 1:
-            return False
-        raw = matches[0][len(col) + 1:]
-        if raw == "__HIVE_DEFAULT_PARTITION__":
-            return logged is None
-        return logged is not None and unquote(raw) == str(logged)
-
-    if phys is None and all(_hive_segment_ok(rel, c, pv.get(c))
-                            for rel, pv in snap.files
-                            for c in snap.partition_columns):
+    # partitions, not rows).
+    if use_fast:
         return (_apply_dv(spark.read.schema(snap.schema)
                           .option("basePath", path)
                           .parquet(*[os.path.join(path, p)
@@ -464,24 +489,31 @@ def delta_history(spark: SparkSession, path: str) -> DataFrame:
     protocol = None
     for v, p in reversed(_commit_files(path)):
         op = None
+        ts_ms = None
         with open(p) as fh:
             for line in fh:
                 # cheap substring pre-filter: add/remove lines dominate
                 # big commits and need no JSON parse here, keeping
-                # .history O(commits), not O(log bytes)
+                # .history O(commits), not O(log bytes); the timestamp
+                # is captured from the SAME commitInfo line, never by
+                # a second full-file pass
                 if '"commitInfo"' not in line and '"protocol"' not in line:
                     continue
                 act = json.loads(line)
                 if "commitInfo" in act and op is None:
                     op = act["commitInfo"].get("operation")
+                    if "timestamp" in act["commitInfo"]:
+                        ts_ms = int(act["commitInfo"]["timestamp"])
                     if protocol is not None:
                         break  # newest protocol already captured
                 elif "protocol" in act and protocol is None:
                     # newest-first walk: the first protocol seen is the
                     # latest; reject unsupported tables here too
                     protocol = act["protocol"]
+        if ts_ms is None:
+            ts_ms = int(os.path.getmtime(p) * 1000)
         import datetime as dt
-        ts = dt.datetime.fromtimestamp(_commit_timestamp(p) / 1000.0)
+        ts = dt.datetime.fromtimestamp(ts_ms / 1000.0)
         rows.append((v, ts, op))
     _check_protocol(protocol, path)
     schema = T.StructType([
@@ -737,10 +769,14 @@ def vacuum_delta(spark: SparkSession, path: str,
                 desc.get("pathOrInlineDv") or ""))
         elif st == "p":
             # an absolute-path DV may still live under the table dir —
-            # deleting it would permanently resurrect deleted rows
-            rel = os.path.relpath(
-                os.path.abspath(desc.get("pathOrInlineDv") or ""),
-                abs_table)
+            # deleting it would permanently resurrect deleted rows.
+            # Strip a file: scheme first (delta-spark may store a URI);
+            # os.path.abspath on "file:/…" would yield a cwd-relative
+            # junk path and silently drop the protection.
+            import re as _re
+            p_raw = _re.sub(r"^file:/+", "/",
+                            desc.get("pathOrInlineDv") or "")
+            rel = os.path.relpath(os.path.abspath(p_raw), abs_table)
             if not rel.startswith(".."):
                 keep.add(rel.replace(os.sep, "/"))
     horizon = time.time() - float(retention_hours) * 3600.0

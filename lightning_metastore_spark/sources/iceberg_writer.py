@@ -232,8 +232,9 @@ def write_iceberg(df: DataFrame, table_path: str,
         # validate inherited partition types BEFORE any file moves — an
         # external table may partition on a type this writer cannot
         # round-trip through path segments / manifest tuples
+        types_by_name = {f.name: f.dataType for f in table_schema.fields}
         for c in partition_by:
-            tn = {f.name: f.dataType for f in table_schema.fields}.get(c)
+            tn = types_by_name.get(c)
             if tn is None or tn.typeName() not in _PART_AVRO:
                 raise ir.IcebergError(
                     f"unsupported identity partition type for {c}: "

@@ -562,8 +562,9 @@ def test_delta_dv_special_char_paths_and_vacuum_protection(spark,
     dvf = os.path.join(path, "dv", "abs_dv.bin")
     os.makedirs(os.path.dirname(dvf))
     _write_dv_file(dvf, data)
-    desc = {"storageType": "p", "pathOrInlineDv": dvf, "offset": 1,
-            "sizeInBytes": len(data), "cardinality": 1}
+    # scheme-qualified URI, the form delta-spark stores for 'p'
+    desc = {"storageType": "p", "pathOrInlineDv": f"file:{dvf}",
+            "offset": 1, "sizeInBytes": len(data), "cardinality": 1}
     _append_commit(path, 1, [
         {"remove": {"path": rel, "deletionTimestamp": 0,
                     "dataChange": False}},
@@ -856,9 +857,14 @@ def test_delete_from_sql(spark, tmp_path):
                    ).collect()[0].n == 10
 
     it = "lightning.datasource.iceberg.w.db.acc"
+    # SQL DELETE removes only TRUE-predicate rows: id 4's NULL amount
+    # makes `amount > 15` NULL, so it must SURVIVE
+    ctx.sql(f"INSERT INTO {it} SELECT 4 AS id, "
+            "CAST(NULL AS DOUBLE) AS amount")
     assert ctx.sql(f"DELETE FROM {it} WHERE amount > 15"
                    ).collect()[0].n_deleted == 2
-    assert [r.id for r in ctx.sql(f"SELECT id FROM {it}").collect()] == [1]
+    assert sorted(r.id for r in
+                  ctx.sql(f"SELECT id FROM {it}").collect()) == [1, 4]
     assert ctx.sql(f"SELECT count(*) AS n FROM {it} VERSION AS OF 1"
                    ).collect()[0].n == 3
 
