@@ -428,19 +428,23 @@ def _delta_table_path(ctx, path: list[str], what: str) -> str:
 @dataclass
 class DeleteFrom(Command):
     """`DELETE FROM lightning.datasource.<...>.<table> [WHERE cond]` —
-    rewrite-based row deletion through the owning unit's write path:
-    survivors are materialized (lineage break, same as INSERT
-    OVERWRITE) and committed as an overwrite. On versioned units
-    (Delta/Iceberg) that is one NEW version, so the pre-delete state
-    stays time-travelable; the runtimes' file-granular or
-    deletion-vector DELETE is their optimization of the same
-    semantics. The reference throws on DELETE — this is beyond-parity
-    surface like MERGE INTO."""
+    row deletion with SQL semantics (only TRUE-predicate rows go; NULL
+    keeps the row). On Delta and Iceberg targets the delete is
+    FILE-GRANULAR: one filtered scan finds the files containing
+    matching rows, only THOSE files' survivors are rewritten, and the
+    commit carries untouched files over verbatim — delta-spark's
+    pre-deletion-vector strategy, so a 10-row delete on a 100 TB table
+    rewrites one file, not the table. File/JDBC units (no transaction
+    log) keep the whole-table rewrite. On versioned units the delete
+    is one NEW version, so the pre-delete state stays time-travelable.
+    The reference throws on DELETE — this is beyond-parity surface
+    like MERGE INTO."""
     path: list[str]
     where: Optional[str] = None
 
     def run(self, ctx) -> DataFrame:
         from lightning_metastore_spark.catalog.units import (
+            DeltaCatalogUnit,
             load_catalog_unit,
         )
 
@@ -451,6 +455,27 @@ class DeleteFrom(Command):
                 f"no datasource at lightning.{'.'.join(self.path)}")
         ds, residual = hit
         unit = load_catalog_unit(ds)
+        if isinstance(unit, DeltaCatalogUnit):
+            from lightning_metastore_spark.sources.delta_reader import (
+                delete_where,
+            )
+            import os as _os
+            tpath = _os.path.join(ds.options["path"], *residual)
+            n = delete_where(ctx.spark, tpath, self.where)
+            return self._df(ctx, [(n,)], "n_deleted long")
+        from lightning_metastore_spark.catalog.units import (
+            IcebergCatalogUnit,
+        )
+        if isinstance(unit, IcebergCatalogUnit) \
+                and not unit._mounted(ctx.spark) \
+                and unit._warehouse() is not None:
+            from lightning_metastore_spark.sources.iceberg_writer import (
+                delete_where_iceberg,
+            )
+            import os as _os
+            tpath = _os.path.join(unit._warehouse(), *residual)
+            n = delete_where_iceberg(ctx.spark, tpath, self.where)
+            return self._df(ctx, [(n,)], "n_deleted long")
         df = unit.load_table(ctx.spark, residual)
         before = df.count()
         # SQL DELETE removes only rows where the predicate is TRUE —
@@ -496,12 +521,15 @@ class OptimizeTable(Command):
 @dataclass
 class VacuumTable(Command):
     """`VACUUM lightning.datasource.delta.<ds>.<table> [RETAIN n HOURS]
-    [DRY RUN]` — delete data/DV files unreferenced by the current
-    snapshot and older than the retention window (delta-spark's VACUUM
-    surface; default 168 h so recent-version readers drain first)."""
+    [FORCE] [DRY RUN]` — delete data/DV files unreferenced by the
+    current snapshot and older than the retention window (delta-spark's
+    VACUUM surface; default 168 h so recent-version readers drain
+    first; retention below the 168 h floor requires FORCE, mirroring
+    delta-spark's retentionDurationCheck)."""
     path: list[str]
     retention_hours: float = 168.0
     dry_run: bool = False
+    force: bool = False
 
     def run(self, ctx) -> DataFrame:
         from lightning_metastore_spark.sources.delta_reader import (
@@ -511,7 +539,7 @@ class VacuumTable(Command):
         tpath = _delta_table_path(ctx, self.path, "VACUUM")
         doomed = vacuum_delta(ctx.spark, tpath,
                               retention_hours=self.retention_hours,
-                              dry_run=self.dry_run)
+                              dry_run=self.dry_run, force=self.force)
         return self._df(ctx, [(p,) for p in doomed], "path string")
 
 
@@ -2026,6 +2054,7 @@ _R_OPTIMIZE = re.compile(
 _R_VACUUM = re.compile(
     r"^VACUUM\s+(?P<path>[\w.\-]+)"
     r"(?:\s+RETAIN\s+(?P<h>[\d.]+)\s+HOURS)?"
+    r"(?:\s+(?P<force>FORCE))?"
     r"(?:\s+(?P<dry>DRY\s+RUN))?\s*$", re.I)
 _R_MERGE_HEAD = re.compile(
     r"^MERGE\s+INTO\s+(?P<target>[\w.\-]+)"
@@ -2110,7 +2139,8 @@ def parse_command(sql: str) -> Command:
             path=_split_path(m.group("path")),
             retention_hours=(float(m.group("h"))
                              if m.group("h") else 168.0),
-            dry_run=bool(m.group("dry")))
+            dry_run=bool(m.group("dry")),
+            force=bool(m.group("force")))
     m = _R_UPDATE_TAGS.match(text)
     if m:
         return UpdateFileTags(path=_split_path(m.group("path")),

@@ -80,9 +80,31 @@ class DeltaLogError(Exception):
 _SUPPORTED_READER_FEATURES = frozenset(
     {"timestampNtz", "deletionVectors", "columnMapping"})
 
+# Writer features this module's write paths can honor. The PROTOCOL's
+# "Writer Requirements" mirror the reader rule: a writer must REJECT
+# tables demanding capabilities it lacks — committing anyway could
+# violate appendOnly, skip CHECK constraints, or omit mandated CDC
+# files. `appendOnly` is supported because it is ENFORCED (commits with
+# dataChange=true removes are refused on appendOnly tables);
+# `invariants` because defined invariants are detected and the write
+# refused rather than silently unchecked; `timestampNtz` because
+# Spark's parquet writer emits TIMESTAMP_NTZ natively;
+# `deletionVectors` because rewrites here never resurrect DV-deleted
+# rows (OPTIMIZE skips DV'd files, DELETE re-applies the DV to
+# survivors); `vacuumProtocolCheck` because vacuum_delta performs this
+# very check before deleting anything.
+_SUPPORTED_WRITER_FEATURES = frozenset(
+    {"appendOnly", "invariants", "timestampNtz", "deletionVectors",
+     "vacuumProtocolCheck"})
+
 # write_delta compacts the log into a checkpoint every N commits (the
 # PROTOCOL's scale mechanism; real writers default to 10)
 CHECKPOINT_INTERVAL = 10
+
+# delta-spark refuses VACUUM retention below 7 days unless
+# retentionDurationCheck is explicitly disabled: short retention
+# silently breaks time travel and in-flight readers of recent versions
+MIN_VACUUM_RETENTION_HOURS = 168.0
 
 
 def _check_protocol(protocol: Optional[dict], path: str) -> None:
@@ -108,6 +130,50 @@ def _check_protocol(protocol: Optional[dict], path: str) -> None:
     # minReaderVersion 2 == column mapping capability, which NAME-mode
     # support satisfies; the mode check in resolve_snapshot rejects id
     # mode explicitly
+
+
+def _check_writer_protocol(snap: "DeltaSnapshot", path: str, *,
+                           data_change_removes: bool = False,
+                           adds_data: bool = False) -> None:
+    """Reject write/maintenance operations the table's protocol forbids
+    (Delta PROTOCOL.md "Writer Requirements" — the writer-side mirror
+    of `_check_protocol`). Legacy minWriterVersion semantics: 2 adds
+    appendOnly + column invariants (both handled below), 3 CHECK
+    constraints, 4 CDF + generated columns, 5 column mapping,
+    6 identity columns — none of 3..6 are enforced by this offline
+    writer, so commits to such tables must be refused, not silently
+    spec-violating. Version 7 carries an explicit `writerFeatures`
+    list checked against `_SUPPORTED_WRITER_FEATURES`."""
+    proto = getattr(snap, "protocol", None) or {}
+    mwv = int(proto.get("minWriterVersion") or 1)
+    feats = set(proto.get("writerFeatures") or [])
+    if mwv == 7:
+        unsupported = sorted(feats - _SUPPORTED_WRITER_FEATURES)
+        if unsupported:
+            raise DeltaLogError(
+                f"Delta table {path} requires unsupported writer "
+                f"features {unsupported}; this offline writer supports "
+                f"{sorted(_SUPPORTED_WRITER_FEATURES)} only")
+    elif mwv > 2:
+        raise DeltaLogError(
+            f"Delta table {path} requires minWriterVersion {mwv} "
+            f"(CHECK constraints / CDF / column mapping / identity "
+            f"columns), which this offline writer does not enforce — "
+            f"refusing to commit")
+    conf = getattr(snap, "configuration", None) or {}
+    if data_change_removes and str(
+            conf.get("delta.appendOnly", "")).lower() == "true":
+        raise DeltaLogError(
+            f"Delta table {path} is append-only (delta.appendOnly): "
+            f"operations that remove data are not allowed")
+    if adds_data:
+        bad = [f.name for f in snap.schema.fields
+               if (f.metadata or {}).get("delta.invariants")]
+        if bad:
+            raise DeltaLogError(
+                f"Delta table {path} defines column invariants on "
+                f"{bad}; this offline writer does not evaluate "
+                f"invariants — refusing to commit unchecked data")
 
 
 def _log_dir(path: str) -> str:
@@ -359,6 +425,23 @@ def resolve_snapshot(spark: SparkSession, path: str,
     return snap
 
 
+def _resolve_rel(path: str, rel: str) -> str:
+    """On-disk relative path for a logged add.path. The spec mandates
+    add.path be URL-encoded (RFC 2396), so external writers log
+    `a%20b.parquet` for a file named `a b.parquet`; this repo's own
+    writer logs the literal disk name (whose partition-value segments
+    Spark's writer already percent-encodes). Raw-first resolution
+    serves both: our own logs always hit raw; spec-encoded logs miss
+    raw and hit the unquoted form. A miss on both returns raw so the
+    caller errors loudly instead of scanning a wrong file."""
+    if os.path.exists(os.path.join(path, rel)):
+        return rel
+    dec = unquote(rel)
+    if dec != rel and os.path.exists(os.path.join(path, dec)):
+        return dec
+    return rel
+
+
 def _hive_segment_ok(rel: str, col: str, logged) -> bool:
     """True when `rel` carries exactly one `col=value` path SEGMENT
     (not a substring — a column named `r` must not match `year=…`)
@@ -377,6 +460,30 @@ def read_delta(spark: SparkSession, path: str,
                version_as_of: Optional[int] = None,
                timestamp_as_of: Optional[str] = None) -> DataFrame:
     snap = resolve_snapshot(spark, path, version_as_of, timestamp_as_of)
+    return _snapshot_scan(spark, path, snap)
+
+
+def _snapshot_scan(spark: SparkSession, path: str, snap: DeltaSnapshot,
+                   file_tag: Optional[str] = None,
+                   file_subset: Optional[set] = None) -> DataFrame:
+    """DataFrame over a resolved snapshot. ``file_tag`` appends a
+    column carrying each row's normalized source-file path (the DV
+    join's normalization — `file:` scheme stripped), which the
+    file-granular DELETE uses to find touched files. ``file_subset``
+    restricts the scan to the given logged add.path values (the
+    DELETE survivor-rewrite pass)."""
+    files = snap.files
+    dv = snap.dv
+    if file_subset is not None:
+        files = [(rel, pv) for rel, pv in files if rel in file_subset]
+        dv = {rel: d for rel, d in dv.items() if rel in file_subset}
+    # resolve logged add.path values to on-disk names ONCE (spec:
+    # add.path is URL-encoded; our own writer logs literal names) —
+    # O(files) driver-side stats, the same planning-cost class as the
+    # log replay itself. DV descriptor keys must follow the SAME
+    # resolution so the anti-join matches the scan's _metadata paths.
+    resolved = [(_resolve_rel(path, rel), pv) for rel, pv in files]
+    dv_resolved = {_resolve_rel(path, rel): d for rel, d in dv.items()}
     field_by_name = {f.name: f for f in snap.schema.fields}
     data_fields = [f for f in snap.schema.fields
                    if f.name not in snap.partition_columns]
@@ -390,8 +497,13 @@ def read_delta(spark: SparkSession, path: str,
     data_schema = T.StructType([
         T.StructField(_pname(f.name), f.dataType, f.nullable)
         for f in data_fields])
-    if not snap.files:
-        return spark.createDataFrame([], snap.schema)
+    out_cols = [f.name for f in snap.schema.fields] + (
+        [file_tag] if file_tag else [])
+    if not files:
+        df = spark.createDataFrame([], snap.schema)
+        if file_tag:
+            df = df.withColumn(file_tag, F.lit(None).cast("string"))
+        return df
 
     # Hive-layout fast-path eligibility (see the comment at the branch
     # below) — decided up front because the DV materialization policy
@@ -399,9 +511,9 @@ def read_delta(spark: SparkSession, path: str,
     use_fast = (snap.partition_columns
                 and phys is None
                 and all(_hive_segment_ok(rel, c, pv.get(c))
-                        for rel, pv in snap.files
+                        for rel, pv in resolved
                         for c in snap.partition_columns))
-    n_groups = len({tuple(sorted(pv.items())) for _, pv in snap.files})
+    n_groups = len({tuple(sorted(pv.items())) for _, pv in resolved})
 
     # deletion vectors: decode executor-side (sources/delta_dv.py) and
     # drop exactly the marked row indexes via an anti-join on the
@@ -415,18 +527,24 @@ def read_delta(spark: SparkSession, path: str,
     # DataFrame is GC'd; persist() would pin a CacheManager entry for
     # the session's lifetime).
     deleted = None
-    if snap.dv:
+    if dv_resolved:
         from lightning_metastore_spark.sources import delta_dv
-        deleted = delta_dv.deleted_rows_df(spark, path, snap.dv)
+        deleted = delta_dv.deleted_rows_df(spark, path, dv_resolved)
         if snap.partition_columns and not use_fast and n_groups > 1:
             deleted = deleted.localCheckpoint(eager=True)
-        cards = [d.get("cardinality") for d in snap.dv.values()]
+        cards = [d.get("cardinality") for d in dv_resolved.values()]
         total = (sum(int(c) for c in cards)
                  if all(c is not None for c in cards) else None)
         if total is not None and total <= 2_000_000:
             deleted = F.broadcast(deleted)
 
     def _apply_dv(df: DataFrame) -> DataFrame:
+        # the file tag rides the SAME normalized _metadata path the DV
+        # join keys on, so it is computed here, right off the scan
+        if file_tag:
+            df = df.withColumn(
+                file_tag, F.regexp_replace(F.col("_metadata.file_path"),
+                                           r"^file:/+", "/"))
         if deleted is None:
             return df
         tagged = df.withColumns({
@@ -441,8 +559,11 @@ def read_delta(spark: SparkSession, path: str,
     def _with_partitions(paths: list[str], pv: dict) -> DataFrame:
         df = _apply_dv(spark.read.schema(data_schema).parquet(*paths))
         if phys:
-            df = df.select(*[F.col(_pname(f.name)).alias(f.name)
-                             for f in data_fields])
+            keep = [F.col(_pname(f.name)).alias(f.name)
+                    for f in data_fields]
+            if file_tag:
+                keep.append(F.col(file_tag))
+            df = df.select(*keep)
         for c in snap.partition_columns:
             # partitionValues keys are physical under column mapping;
             # look up both name forms
@@ -450,11 +571,11 @@ def read_delta(spark: SparkSession, path: str,
             col = (F.lit(None) if raw is None else F.lit(raw)).cast(
                 field_by_name[c].dataType)
             df = df.withColumn(c, col)
-        return df.select(*[f.name for f in snap.schema.fields])
+        return df.select(*out_cols)
 
     if not snap.partition_columns:
         return _with_partitions([os.path.join(path, p)
-                                 for p, _ in snap.files], {})
+                                 for p, _ in resolved], {})
     # Hive-layout fast path: when every live file's path encodes every
     # partition column as `col=value/` segments (the layout our own
     # writer produces) AND the encoded value agrees with the log's
@@ -468,10 +589,10 @@ def read_delta(spark: SparkSession, path: str,
         return (_apply_dv(spark.read.schema(snap.schema)
                           .option("basePath", path)
                           .parquet(*[os.path.join(path, p)
-                                     for p, _ in snap.files]))
-                .select(*[f.name for f in snap.schema.fields]))
+                                     for p, _ in resolved]))
+                .select(*out_cols))
     groups: dict[tuple, tuple[dict, list[str]]] = {}
-    for rel, pv in snap.files:
+    for rel, pv in resolved:
         key = tuple(sorted(pv.items()))
         groups.setdefault(key, (pv, []))[1].append(os.path.join(path, rel))
     dfs = [_with_partitions(paths, pv) for pv, paths in groups.values()]
@@ -541,6 +662,43 @@ def _write_commit(path: str, version: int, actions: list[dict]) -> None:
     os.rename(tmp, final)
 
 
+def _stage_files(df: DataFrame, path: str, staging: str,
+                 partition_by: Optional[list[str]] = None
+                 ) -> list[tuple[str, int, dict]]:
+    """Write ``df`` via Spark's own (optionally partitioned) parquet
+    writer into ``staging``, then move the part files into the table
+    root under their staged relative names. Returns
+    (relative path, size, partitionValues) per moved file — partition
+    values parsed back from the Hive-style directory segments Spark's
+    writer emitted, so the log records exactly what the path encodes.
+    Partition columns are NOT stored in the data files (partitionBy
+    strips them), per the PROTOCOL."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staging)
+    moved: list[tuple[str, int, dict]] = []     # (rel path, size, pv)
+    for root, _dirs, files in os.walk(staging):
+        rel_dir = os.path.relpath(root, staging)
+        pv = {}
+        if rel_dir != ".":
+            for seg in rel_dir.split(os.sep):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    pv[k] = (None if v == "__HIVE_DEFAULT_PARTITION__"
+                             else unquote(v))
+        for f in sorted(files):
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                rel = f if rel_dir == "." else os.path.join(rel_dir, f)
+                dst = os.path.join(path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(root, f), dst)
+                moved.append((rel, os.path.getsize(dst), pv))
+    import shutil
+    shutil.rmtree(staging, ignore_errors=True)
+    return moved
+
+
 def write_delta(df: DataFrame, path: str, mode: str = "append",
                 partition_by: Optional[list[str]] = None) -> None:
     """Create/append/overwrite a Delta table offline.
@@ -568,6 +726,9 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
             raise DeltaLogError(
                 f"offline writes to column-mapped tables are not "
                 f"supported: {path}")
+        _check_writer_protocol(
+            snap, path,
+            data_change_removes=(mode == "overwrite"), adds_data=True)
         if partition_by and list(partition_by) != snap.partition_columns:
             raise DeltaLogError(
                 f"partition_by {list(partition_by)} does not match the "
@@ -594,30 +755,9 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
 
     # stage the parquet part files via Spark's own writer, then move
     # them into the table root under their staged (relative) names
-    staging = os.path.join(path, f".staging-{now_ms}")
-    w = df.write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(staging)
-    moved: list[tuple[str, int, dict]] = []     # (rel path, size, pv)
-    for root, _dirs, files in os.walk(staging):
-        rel_dir = os.path.relpath(root, staging)
-        pv = {}
-        if rel_dir != ".":
-            for seg in rel_dir.split(os.sep):
-                if "=" in seg:
-                    k, v = seg.split("=", 1)
-                    pv[k] = (None if v == "__HIVE_DEFAULT_PARTITION__"
-                             else unquote(v))
-        for f in sorted(files):
-            if f.endswith(".parquet") and not f.startswith((".", "_")):
-                rel = f if rel_dir == "." else os.path.join(rel_dir, f)
-                dst = os.path.join(path, rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.rename(os.path.join(root, f), dst)
-                moved.append((rel, os.path.getsize(dst), pv))
-    import shutil
-    shutil.rmtree(staging, ignore_errors=True)
+    moved = _stage_files(df, path,
+                         os.path.join(path, f".staging-{now_ms}"),
+                         partition_by)
 
     actions: list[dict] = [
         {"commitInfo": {"timestamp": now_ms,
@@ -657,6 +797,98 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         write_checkpoint(spark, path)
 
 
+def delete_where(spark: SparkSession, path: str,
+                 predicate: Optional[str]) -> int:
+    """File-granular DELETE FROM — delta-spark's pre-deletion-vector
+    strategy, NOT a whole-table rewrite:
+
+    1. ONE filtered scan computes, per source file, how many rows match
+       the predicate (TRUE only — a NULL predicate keeps the row). The
+       collect is bounded by the number of TOUCHED files (planning-
+       scale metadata, like the file list itself) and the same pass
+       yields the exact ``n_deleted`` — no separate full-table count.
+    2. Only touched files' SURVIVORS are rewritten (deletion vectors
+       re-applied first, so DV-deleted rows never resurrect); untouched
+       add actions carry over verbatim. At 100 TB, deleting 10 rows
+       rewrites one file, not the table, and nothing is materialized
+       driver- or executor-side beyond the staged survivor files.
+    3. The commit removes exactly the touched files (their DV
+       descriptors die with them) and adds the survivor files, all
+       ``dataChange: true``; the pre-delete version stays
+       time-travelable.
+
+    A WHERE-less DELETE removes every live file with NO rewrite (one
+    scan only to report the deleted-row count). Returns ``n_deleted``.
+    """
+    snap = resolve_snapshot(spark, path)
+    if getattr(snap, "physical", None):
+        raise DeltaLogError(
+            f"offline DELETE on column-mapped tables is not "
+            f"supported: {path}")
+    _check_writer_protocol(snap, path, data_change_removes=True)
+    now_ms = int(time.time() * 1000)
+    if not snap.files:
+        return 0
+    if predicate is None:
+        n = _snapshot_scan(spark, path, snap).count()
+        actions: list[dict] = [
+            {"commitInfo": {"timestamp": now_ms, "operation": "DELETE",
+                            "operationParameters": {"predicate": None}}}]
+        for rel, _pv in snap.files:
+            actions.append({"remove": {"path": rel,
+                                       "deletionTimestamp": now_ms,
+                                       "dataChange": True}})
+        _write_commit(path, snap.version + 1, actions)
+        return int(n)
+
+    tagged = _snapshot_scan(spark, path, snap, file_tag="__delta_file")
+    hits = (tagged.filter(f"coalesce(({predicate}), false)")
+            .groupBy("__delta_file").count().collect())
+    if not hits:
+        return 0
+    # map the scan's normalized file paths back to logged add.path
+    # entries (same normalization chain the DV anti-join uses)
+    from lightning_metastore_spark.sources import delta_dv
+    by_key: dict[str, str] = {}
+    for rel, _pv in snap.files:
+        disk = _resolve_rel(path, rel)
+        key = delta_dv.uri_path_encode(
+            os.path.abspath(os.path.join(path, disk)))
+        by_key[key] = rel
+    touched: set[str] = set()
+    n_deleted = 0
+    for r in hits:
+        rel = by_key.get(r["__delta_file"])
+        if rel is None:
+            raise DeltaLogError(
+                f"DELETE matched rows in unrecognized source file "
+                f"{r['__delta_file']!r} — refusing to commit")
+        touched.add(rel)
+        n_deleted += int(r["count"])
+    # survivors of the touched files only; partition columns ride along
+    # for the predicate, then the partitioned stage strips them again
+    survivors = (_snapshot_scan(spark, path, snap, file_subset=touched)
+                 .filter(f"NOT coalesce(({predicate}), false)"))
+    moved = _stage_files(survivors, path,
+                         os.path.join(path, f".delete-{now_ms}"),
+                         snap.partition_columns)
+    actions = [
+        {"commitInfo": {"timestamp": now_ms, "operation": "DELETE",
+                        "operationParameters": {"predicate": predicate}}}]
+    for rel in sorted(touched):
+        actions.append({"remove": {"path": rel,
+                                   "deletionTimestamp": now_ms,
+                                   "dataChange": True}})
+    for rel, size, pv in moved:
+        actions.append({"add": {"path": rel.replace(os.sep, "/"),
+                                "partitionValues": pv,
+                                "size": size,
+                                "modificationTime": now_ms,
+                                "dataChange": True}})
+    _write_commit(path, snap.version + 1, actions)
+    return n_deleted
+
+
 def optimize_delta(spark: SparkSession, path: str,
                    target_file_bytes: int = 128 * 1024 * 1024) -> dict:
     """OPTIMIZE-style bin-packing compaction: rewrite each partition's
@@ -680,6 +912,9 @@ def optimize_delta(spark: SparkSession, path: str,
         raise DeltaLogError(
             f"offline OPTIMIZE of column-mapped tables is not "
             f"supported: {path}")
+    # OPTIMIZE's removes carry dataChange=false, so it is legal on
+    # appendOnly tables (the spec constrains dataChange=true removes)
+    _check_writer_protocol(snap, path)
     now_ms = int(time.time() * 1000)
     data_fields = [f for f in snap.schema.fields
                    if f.name not in snap.partition_columns]
@@ -750,23 +985,50 @@ def optimize_delta(spark: SparkSession, path: str,
 
 def vacuum_delta(spark: SparkSession, path: str,
                  retention_hours: float = 168.0,
-                 dry_run: bool = False) -> list[str]:
+                 dry_run: bool = False,
+                 force: bool = False) -> list[str]:
     """VACUUM: delete data files (and DV files) under the table that
     the CURRENT snapshot no longer references and whose modification
     time is older than the retention window — the Delta contract. Time
     travel to versions whose files are vacuumed stops working, which
     is exactly why the default retention is 7 days: concurrent readers
-    of recent versions must drain first. Returns the deleted (or, with
-    ``dry_run``, the would-be-deleted) relative paths."""
+    of recent versions must drain first — and why retention below
+    ``MIN_VACUUM_RETENTION_HOURS`` is refused unless ``force`` is set
+    (delta-spark's retentionDurationCheck). Returns the deleted (or,
+    with ``dry_run``, the would-be-deleted) relative paths.
+
+    Safety: add.path is URL-encoded per the spec (RFC 2396), so the
+    keep-set carries BOTH the raw and the unquoted form of every live
+    path, and the vacuum ABORTS before deleting anything if any live
+    file cannot be found on disk — that mismatch is the signature of
+    an encoding disagreement, where proceeding would delete live data
+    irrecoverably."""
+    if float(retention_hours) < MIN_VACUUM_RETENTION_HOURS and not force:
+        raise DeltaLogError(
+            f"VACUUM retention {retention_hours}h is below the "
+            f"{MIN_VACUUM_RETENTION_HOURS:.0f}h safety floor — recent "
+            f"versions' readers and time travel would break silently; "
+            f"pass force=True (SQL: FORCE) to override")
     snap = resolve_snapshot(spark, path)
-    keep: set[str] = {rel for rel, _ in snap.files}
+    _check_writer_protocol(snap, path)
+    # every live add, in both its logged (possibly URL-encoded) and
+    # decoded on-disk form; at least one form must exist on disk
+    live_forms: list[set[str]] = []
+    keep: set[str] = set()
+    for rel, _ in snap.files:
+        forms = {rel, unquote(rel)}
+        live_forms.append(forms)
+        keep |= forms
     from lightning_metastore_spark.sources import delta_dv
     abs_table = os.path.abspath(path)
     for desc in snap.dv.values():
         st = desc.get("storageType")
         if st == "u":
-            keep.add(delta_dv.dv_relative_path(
-                desc.get("pathOrInlineDv") or ""))
+            dv_rel = delta_dv.dv_relative_path(
+                desc.get("pathOrInlineDv") or "")
+            forms = {dv_rel, unquote(dv_rel)}
+            live_forms.append(forms)
+            keep |= forms
         elif st == "p":
             # an absolute-path DV may still live under the table dir —
             # deleting it would permanently resurrect deleted rows.
@@ -778,7 +1040,22 @@ def vacuum_delta(spark: SparkSession, path: str,
                             desc.get("pathOrInlineDv") or "")
             rel = os.path.relpath(os.path.abspath(p_raw), abs_table)
             if not rel.startswith(".."):
-                keep.add(rel.replace(os.sep, "/"))
+                rel = rel.replace(os.sep, "/")
+                forms = {rel, unquote(rel)}
+                live_forms.append(forms)
+                keep |= forms
+    # abort-before-delete safety net: every live file must resolve on
+    # disk under SOME form; a miss means our path decoding disagrees
+    # with the writer's and the walk below would misclassify live data
+    # as orphaned
+    missing = [sorted(forms)[0] for forms in live_forms
+               if not any(os.path.exists(os.path.join(path, f))
+                          for f in forms)]
+    if missing:
+        raise DeltaLogError(
+            f"VACUUM aborted: {len(missing)} live file(s) not found on "
+            f"disk (first: {missing[0]!r}) — path-encoding mismatch or "
+            f"corrupt table; deleting would risk live data")
     horizon = time.time() - float(retention_hours) * 3600.0
     doomed: list[str] = []
     for root, dirs, files in os.walk(path):

@@ -236,14 +236,31 @@ def snapshot_files(table_path: str, snapshot: dict
 
 def read_iceberg(spark: SparkSession, table_path: str,
                  snapshot_id: Optional[int] = None,
-                 as_of_timestamp: Optional[int] = None) -> DataFrame:
+                 as_of_timestamp: Optional[int] = None,
+                 file_tag: Optional[str] = None,
+                 file_subset: Optional[set] = None) -> DataFrame:
+    """Snapshot scan. ``file_tag`` appends a column with each row's
+    normalized source-file path (`file:` scheme stripped — the
+    position-delete join's normalization), used by the file-granular
+    DELETE; ``file_subset`` restricts the scan to the given local data
+    file paths (the DELETE survivor-rewrite pass — position/equality
+    deletes still apply)."""
     meta = load_metadata(table_path)
     snap = select_snapshot(meta, snapshot_id, as_of_timestamp)
     schema = spark_schema(meta)
     data, pos_del, eq_del = snapshot_files(table_path, snap)
+    if file_subset is not None:
+        data = [(p, s) for p, s in data if p in file_subset]
     if not data:
-        return spark.createDataFrame([], schema)
+        df = spark.createDataFrame([], schema)
+        if file_tag:
+            df = df.withColumn(file_tag, F.lit(None).cast("string"))
+        return df
     df = spark.read.schema(schema).parquet(*[p for p, _ in data])
+    if file_tag:
+        df = df.withColumn(
+            file_tag, F.regexp_replace(F.col("_metadata.file_path"),
+                                       r"^file:/+", "/"))
     if pos_del:
         tagged = df.withColumns({
             "__ice_file": F.regexp_replace(F.col("_metadata.file_path"),
@@ -291,7 +308,9 @@ def read_iceberg(spark: SparkSession, table_path: str,
                                < F.lit(int(dseq)))
             df = df.join(F.broadcast(d), cond, "left_anti")
         df = df.drop("__ice_file", "__ice_seq")
-    return df.select(*[f.name for f in schema.fields])
+    out_cols = [f.name for f in schema.fields] + (
+        [file_tag] if file_tag else [])
+    return df.select(*out_cols)
 
 
 def iceberg_history(spark: SparkSession, table_path: str) -> DataFrame:

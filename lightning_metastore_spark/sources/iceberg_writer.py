@@ -183,6 +183,70 @@ def _iceberg_schema_json(spark_schema) -> dict:
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
+def _stage_data_files(df: DataFrame, table_path: str, ddir: str,
+                      partition_by: list[str], spark_types: dict,
+                      seq: int, now_ms: int) -> list[tuple[str, dict]]:
+    """Stage data files via Spark's writer, move under data/; returns
+    (dst path, partition tuple). Partitioned tables lay out via SHADOW
+    copies of the partition columns so the originals stay IN the data
+    files (the spec stores full rows — identity source columns must be
+    readable, and their constant per-file parquet min/max stats are
+    what makes partition filters file-skipping predicates). Partition
+    directory values are percent-encoded (quote safe='') so a value
+    containing '/', '=', or '%' cannot corrupt or nest the layout —
+    manifests record the real paths either way."""
+    staging = os.path.join(table_path, f".staging-{now_ms}")
+    shadow = [f"__ice_p_{c}" for c in partition_by]
+    stage_df = df
+    for c, s in zip(partition_by, shadow):
+        stage_df = stage_df.withColumn(s, F.col(c))
+    w = stage_df.write.mode("overwrite")
+    if shadow:
+        w = w.partitionBy(*shadow)
+    w.parquet(staging)
+    from urllib.parse import quote, unquote
+    data_files: list[tuple[str, dict]] = []   # (dst path, partition tuple)
+    i = 0
+    for root, _dirs, fnames in sorted(os.walk(staging)):
+        rel_dir = os.path.relpath(root, staging)
+        pv: dict = {}
+        if rel_dir != ".":
+            for seg in rel_dir.split(os.sep):
+                if "=" not in seg:
+                    continue
+                k, v = seg.split("=", 1)
+                c = k[len("__ice_p_"):] if k.startswith("__ice_p_") else k
+                raw = (None if v == "__HIVE_DEFAULT_PARTITION__"
+                       else unquote(v))
+                pv[c] = _parse_partition_value(
+                    raw, spark_types[c].typeName())
+        part_dir = ddir
+        if pv:
+            segs = [f"{c}={'null' if pv[c] is None else quote(str(pv[c]), safe='')}"
+                    for c in partition_by]
+            part_dir = os.path.join(ddir, *segs)
+            os.makedirs(part_dir, exist_ok=True)
+        for f in sorted(fnames):
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                dst = os.path.join(part_dir, f"{seq:05d}-{i:05d}.parquet")
+                os.rename(os.path.join(root, f), dst)
+                data_files.append((dst, pv))
+                i += 1
+    shutil.rmtree(staging, ignore_errors=True)
+    return data_files
+
+
+def _parquet_num_rows(p: str) -> int:
+    """Real record counts from the parquet footer (a real runtime
+    reading our table uses them for planning); pyarrow footer reads
+    are metadata-only."""
+    try:
+        import pyarrow.parquet as pq
+        return int(pq.ParquetFile(p).metadata.num_rows)
+    except Exception:  # noqa: BLE001 — counts are advisory
+        return 0
+
+
 def write_iceberg(df: DataFrame, table_path: str,
                   mode: str = "append",
                   partition_by: Optional[list[str]] = None) -> None:
@@ -291,67 +355,15 @@ def write_iceberg(df: DataFrame, table_path: str,
     if missing:
         raise ir.IcebergError(f"partition_by columns not in data: {missing}")
 
-    # stage data files via Spark's writer, move under data/. Partitioned
-    # tables lay out via SHADOW copies of the partition columns so the
-    # originals stay IN the data files (the spec stores full rows —
-    # identity source columns must be readable, and their constant
-    # per-file parquet min/max stats are what makes partition filters
-    # file-skipping predicates)
-    staging = os.path.join(table_path, f".staging-{now_ms}")
-    shadow = [f"__ice_p_{c}" for c in partition_by]
-    stage_df = df
-    for c, s in zip(partition_by, shadow):
-        stage_df = stage_df.withColumn(s, F.col(c))
-    w = stage_df.write.mode("overwrite")
-    if shadow:
-        w = w.partitionBy(*shadow)
-    w.parquet(staging)
-    from urllib.parse import unquote
-    data_files: list[tuple[str, dict]] = []   # (dst path, partition tuple)
-    i = 0
-    for root, _dirs, fnames in sorted(os.walk(staging)):
-        rel_dir = os.path.relpath(root, staging)
-        pv: dict = {}
-        if rel_dir != ".":
-            for seg in rel_dir.split(os.sep):
-                if "=" not in seg:
-                    continue
-                k, v = seg.split("=", 1)
-                c = k[len("__ice_p_"):] if k.startswith("__ice_p_") else k
-                raw = (None if v == "__HIVE_DEFAULT_PARTITION__"
-                       else unquote(v))
-                pv[c] = _parse_partition_value(
-                    raw, spark_types[c].typeName())
-        part_dir = ddir
-        if pv:
-            segs = [f"{c}={'null' if pv[c] is None else pv[c]}"
-                    for c in partition_by]
-            part_dir = os.path.join(ddir, *segs)
-            os.makedirs(part_dir, exist_ok=True)
-        for f in sorted(fnames):
-            if f.endswith(".parquet") and not f.startswith((".", "_")):
-                dst = os.path.join(part_dir, f"{seq:05d}-{i:05d}.parquet")
-                os.rename(os.path.join(root, f), dst)
-                data_files.append((dst, pv))
-                i += 1
-    shutil.rmtree(staging, ignore_errors=True)
-
-    def _num_rows(p: str) -> int:
-        # real record counts from the parquet footer (a real runtime
-        # reading our table uses them for planning); pyarrow footer
-        # reads are metadata-only
-        try:
-            import pyarrow.parquet as pq
-            return int(pq.ParquetFile(p).metadata.num_rows)
-        except Exception:  # noqa: BLE001 — counts are advisory
-            return 0
+    data_files = _stage_data_files(df, table_path, ddir, partition_by,
+                                   spark_types, seq, now_ms)
 
     manifest = os.path.join(mdir, f"m-{snap_id}.avro")
     entries = []
     for p, pv in data_files:
         data_file = {"content": 0, "file_path": p,
                      "file_format": "PARQUET",
-                     "record_count": _num_rows(p),
+                     "record_count": _parquet_num_rows(p),
                      "file_size_in_bytes": os.path.getsize(p),
                      "equality_ids": None}
         if partition_by:
@@ -378,11 +390,19 @@ def write_iceberg(df: DataFrame, table_path: str,
          "partition_spec_id": 0, "content": 0, "sequence_number": seq,
          "added_snapshot_id": snap_id, "partitions": summaries}])
 
+    _commit_snapshot(meta, mdir, snap_id, parent, seq, now_ms, mlist,
+                     "append" if mode == "append" or not exists
+                     else "overwrite", version)
+
+
+def _commit_snapshot(meta: dict, mdir: str, snap_id: int,
+                     parent: Optional[int], seq: int, now_ms: int,
+                     mlist: str, operation: str, version: int) -> None:
+    """Append the snapshot + snapshot-log entry and atomically write
+    v{N}.metadata.json + version-hint.text (single-writer semantics)."""
     snap = {"snapshot-id": snap_id, "timestamp-ms": now_ms,
             "sequence-number": seq, "manifest-list": mlist,
-            "summary": {"operation":
-                        "append" if mode == "append" or not exists
-                        else "overwrite"}}
+            "summary": {"operation": operation}}
     if parent is not None:
         snap["parent-snapshot-id"] = parent
     meta["snapshots"] = list(meta.get("snapshots", [])) + [snap]
@@ -401,3 +421,169 @@ def write_iceberg(df: DataFrame, table_path: str,
     os.rename(tmp, final)
     with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
+
+
+def delete_where_iceberg(spark: SparkSession, table_path: str,
+                         predicate: Optional[str]) -> int:
+    """File-granular DELETE FROM on an offline Iceberg table — the
+    spec's copy-on-write delete, NOT a whole-table rewrite:
+
+    1. ONE filtered scan (position/equality deletes applied) counts
+       matching rows per source data file; the collect is bounded by
+       the number of TOUCHED files.
+    2. Manifests containing NO touched file carry over to the new
+       manifest list VERBATIM (no manifest rewrite, no data movement);
+       manifests with touched entries are rewritten WITHOUT them, the
+       remaining entries keeping their original data sequence numbers
+       (pinned explicitly, so v2 equality-delete scoping still sees the
+       old sequence). Only touched files' SURVIVOR rows are rewritten
+       into new data files under the new sequence number.
+    3. The new snapshot's summary operation is "delete"; every older
+       snapshot stays time-travelable.
+
+    A WHERE-less DELETE writes an empty manifest list (one scan only to
+    report the count). Returns ``n_deleted``.
+    """
+    meta = ir.load_metadata(table_path)
+    try:
+        snap = ir.select_snapshot(meta)
+    except ir.IcebergError:
+        return 0  # no snapshots yet — nothing to delete
+    mdir = os.path.join(table_path, "metadata")
+    ddir = os.path.join(table_path, "data")
+    table_schema = ir.spark_schema(meta)
+    spark_types = {f.name: f.dataType for f in table_schema.fields}
+    spec = next((s for s in meta.get("partition-specs", [])
+                 if s.get("spec-id") == meta.get("default-spec-id", 0)),
+                {"fields": []})
+    non_identity = [f["name"] for f in spec.get("fields", [])
+                    if f.get("transform") not in (None, "identity")]
+    if non_identity:
+        raise ir.IcebergError(
+            f"offline DELETE supports identity partition transforms "
+            f"only; table has {non_identity}")
+    partition_by = [f["name"] for f in spec.get("fields", [])]
+    now_ms = int(time.time() * 1000)
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snap_id = max((s["snapshot-id"] for s in meta.get("snapshots", [])),
+                  default=0) + 1
+    parent = meta.get("current-snapshot-id")
+    version = 1 + max(
+        int(f[1:].split(".")[0]) for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".metadata.json"))
+    mschema = _manifest_schema_for(partition_by, spark_types)
+
+    if predicate is None:
+        n = ir.read_iceberg(spark, table_path).count()
+        if n == 0 and not ir.snapshot_files(table_path, snap)[0]:
+            return 0
+        mlist = os.path.join(mdir, f"snap-{snap_id}.avro")
+        ac.write_container(mlist, MANIFEST_LIST_SCHEMA, [])
+        _commit_snapshot(meta, mdir, snap_id, parent, seq, now_ms,
+                         mlist, "delete", version)
+        return int(n)
+
+    tagged = ir.read_iceberg(spark, table_path, file_tag="__ice_src")
+    hits = (tagged.filter(f"coalesce(({predicate}), false)")
+            .groupBy("__ice_src").count().collect())
+    if not hits:
+        return 0
+    # map the scan's normalized (URI-encoded) paths back to the
+    # manifests' stored file paths
+    from lightning_metastore_spark.sources.delta_dv import uri_path_encode
+    data, _pos, _eq = ir.snapshot_files(table_path, snap)
+    by_key = {uri_path_encode(p): p for p, _s in data}
+    touched: set[str] = set()
+    n_deleted = 0
+    for r in hits:
+        p = by_key.get(r["__ice_src"])
+        if p is None:
+            raise ir.IcebergError(
+                f"DELETE matched rows in unrecognized data file "
+                f"{r['__ice_src']!r} — refusing to commit")
+        touched.add(p)
+        n_deleted += int(r["count"])
+
+    survivors = (ir.read_iceberg(spark, table_path, file_subset=touched)
+                 .filter(f"NOT coalesce(({predicate}), false)"))
+    data_files = _stage_data_files(survivors, table_path, ddir,
+                                   partition_by, spark_types, seq, now_ms)
+
+    def _norm_entry(e: dict, m_seq) -> dict:
+        d = e["data_file"]
+        out_df = {"content": int(d.get("content") or 0),
+                  "file_path": d["file_path"],
+                  "file_format": d.get("file_format", "PARQUET"),
+                  "record_count": int(d.get("record_count") or 0),
+                  "file_size_in_bytes": int(
+                      d.get("file_size_in_bytes") or 0),
+                  "equality_ids": d.get("equality_ids")}
+        if partition_by:
+            out_df["partition"] = (d.get("partition")
+                                   or {c: None for c in partition_by})
+        s = e.get("sequence_number")
+        return {"status": 0,  # EXISTING
+                "snapshot_id": e.get("snapshot_id"),
+                "sequence_number": m_seq if s is None else s,
+                "data_file": out_df}
+
+    carried: list[dict] = []
+    rw = 0
+    for mrec in ac.iter_records(ir._local(snap["manifest-list"])):
+        mpath = ir._local(mrec["manifest_path"])
+        entries = [e for e in ac.iter_records(mpath)
+                   if e.get("status") != 2]
+        kept = [e for e in entries
+                if int(e["data_file"].get("content") or 0) != 0
+                or ir._local(e["data_file"]["file_path"]) not in touched]
+        if len(kept) == len(entries):
+            rec = dict(mrec)  # untouched manifest: carried VERBATIM
+            rec.setdefault("partitions", None)
+            carried.append(rec)
+            continue
+        if not kept:
+            continue  # every entry was touched — manifest disappears
+        m_seq = mrec.get("sequence_number")
+        norm = [_norm_entry(e, m_seq) for e in kept]
+        new_mpath = os.path.join(mdir, f"m-{snap_id}-rw{rw}.avro")
+        rw += 1
+        ac.write_container(new_mpath, mschema, norm)
+        carried.append({
+            "manifest_path": new_mpath,
+            "manifest_length": os.path.getsize(new_mpath),
+            "partition_spec_id": mrec.get("partition_spec_id", 0) or 0,
+            "content": int(mrec.get("content") or 0),
+            "sequence_number": m_seq,
+            "added_snapshot_id": mrec.get("added_snapshot_id", snap_id),
+            "partitions": mrec.get("partitions")})
+
+    recs = carried
+    if data_files:
+        manifest = os.path.join(mdir, f"m-{snap_id}.avro")
+        entries = []
+        for p, pv in data_files:
+            data_file = {"content": 0, "file_path": p,
+                         "file_format": "PARQUET",
+                         "record_count": _parquet_num_rows(p),
+                         "file_size_in_bytes": os.path.getsize(p),
+                         "equality_ids": None}
+            if partition_by:
+                data_file["partition"] = {c: pv.get(c)
+                                          for c in partition_by}
+            entries.append({"status": 1, "snapshot_id": snap_id,
+                            "sequence_number": seq,
+                            "data_file": data_file})
+        ac.write_container(manifest, mschema, entries)
+        summaries = (_field_summaries(entries, partition_by, spark_types)
+                     if partition_by else None)
+        recs = carried + [
+            {"manifest_path": manifest,
+             "manifest_length": os.path.getsize(manifest),
+             "partition_spec_id": 0, "content": 0,
+             "sequence_number": seq, "added_snapshot_id": snap_id,
+             "partitions": summaries}]
+    mlist = os.path.join(mdir, f"snap-{snap_id}.avro")
+    ac.write_container(mlist, MANIFEST_LIST_SCHEMA, recs)
+    _commit_snapshot(meta, mdir, snap_id, parent, seq, now_ms, mlist,
+                     "delete", version)
+    return n_deleted

@@ -575,7 +575,8 @@ def test_delta_dv_special_char_paths_and_vacuum_protection(spark,
     assert sorted(r.id for r in read_delta(spark, path).collect()) == \
         [11, 12]
     # vacuum at zero retention: the live data file AND its DV survive
-    assert vacuum_delta(spark, path, retention_hours=0) == []
+    assert vacuum_delta(spark, path, retention_hours=0,
+                        force=True) == []
     assert os.path.exists(dvf)
     assert sorted(r.id for r in read_delta(spark, path).collect()) == \
         [11, 12]
@@ -795,9 +796,11 @@ def test_delta_optimize_and_vacuum(spark, tmp_path):
     assert hist[0].operation == "OPTIMIZE"
 
     # vacuum (dry run first), retention 0 for the test
-    doomed = vacuum_delta(spark, path, retention_hours=0, dry_run=True)
+    doomed = vacuum_delta(spark, path, retention_hours=0, dry_run=True,
+                          force=True)
     assert len(doomed) == before
-    assert vacuum_delta(spark, path, retention_hours=0) == doomed
+    assert vacuum_delta(spark, path, retention_hours=0,
+                        force=True) == doomed
     assert read_delta(spark, path).count() == 100       # current intact
     with pytest.raises(Exception):                       # old files gone
         read_delta(spark, path, version_as_of=1).collect()
@@ -876,7 +879,8 @@ def test_delete_from_sql(spark, tmp_path):
 def test_delta_optimize_vacuum_sql(spark, tmp_path):
     """OPTIMIZE / VACUUM over the SQL dialect (delta-spark's
     maintenance syntax subset): compaction stats come back as a row,
-    VACUUM DRY RUN lists without deleting, RETAIN 0 HOURS deletes, and
+    VACUUM DRY RUN lists without deleting, RETAIN 0 HOURS needs FORCE
+    (delta-spark's retentionDurationCheck), and
     a non-Delta source is refused."""
     base = tmp_path / "mnt"
     base.mkdir()
@@ -892,9 +896,11 @@ def test_delta_optimize_vacuum_sql(spark, tmp_path):
     stats = ctx.sql(f"OPTIMIZE {t}").collect()[0]
     assert stats.files_removed >= 12 and stats.files_added >= 1
     assert ctx.sql(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 60
-    dry = ctx.sql(f"VACUUM {t} RETAIN 0 HOURS DRY RUN").collect()
+    with pytest.raises(Exception, match="safety floor"):
+        ctx.sql(f"VACUUM {t} RETAIN 0 HOURS DRY RUN")
+    dry = ctx.sql(f"VACUUM {t} RETAIN 0 HOURS FORCE DRY RUN").collect()
     assert len(dry) == stats.files_removed
-    gone = ctx.sql(f"VACUUM {t} RETAIN 0 HOURS").collect()
+    gone = ctx.sql(f"VACUUM {t} RETAIN 0 HOURS FORCE").collect()
     assert len(gone) == len(dry)
     assert ctx.sql(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 60
     # default retention keeps everything young
@@ -1630,3 +1636,334 @@ def test_delta_partitioned_hive_fast_path_plan(spark, tmp_path):
     pplan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in pplan and "cat" in pplan
     assert pruned.count() == 10
+
+
+# ---------------------------------------------------------------------------
+# round 14: file-granular DELETE, writer protocol gating, VACUUM safety
+# ---------------------------------------------------------------------------
+
+def _live_rels(spark, path):
+    return {rel for rel, _ in resolve_snapshot(spark, path).files}
+
+
+def test_delta_delete_is_file_granular(spark, tmp_path):
+    """A selective DELETE rewrites ONLY the files containing matching
+    rows: untouched add actions carry over verbatim (same rel path),
+    n_deleted is exact, and the pre-delete version stays
+    time-travelable."""
+    from lightning_metastore_spark.sources.delta_reader import delete_where
+
+    path = str(tmp_path / "fg")
+    # ONE file per partition; only the cat='a' file contains matches
+    write_delta(spark.createDataFrame(
+        [(i, "a" if i < 10 else "b") for i in range(20)],
+        "id long, cat string").coalesce(1),
+        path, mode="error", partition_by=["cat"])
+    before = _live_rels(spark, path)
+    touched_before = {r for r in before if "cat=a" in r}
+    untouched_before = before - touched_before
+    assert len(touched_before) == 1 and len(untouched_before) == 1
+
+    n = delete_where(spark, path, "cat = 'a' AND id < 3")
+    assert n == 3
+    after = _live_rels(spark, path)
+    # every cat=b file survives UNTOUCHED (identical logged path)
+    assert untouched_before <= after
+    # every cat=a file was rewritten (original adds gone)
+    assert not (touched_before & after)
+    assert sorted(r.id for r in read_delta(spark, path).collect()) == \
+        list(range(3, 20))
+    # pre-delete version intact
+    assert read_delta(spark, path, version_as_of=0).count() == 20
+    hist = delta_history(spark, path).collect()
+    assert hist[0].operation == "DELETE"
+
+    # no-match predicate: zero rewrites, no new version
+    v = resolve_snapshot(spark, path).version
+    assert delete_where(spark, path, "id > 1000") == 0
+    assert resolve_snapshot(spark, path).version == v
+    assert _live_rels(spark, path) == after
+
+    # NULL predicate keeps the row (SQL semantics)
+    p2 = str(tmp_path / "fgnull")
+    write_delta(spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "id long, amt double"),
+        p2, mode="error")
+    assert delete_where(spark, p2, "amt > 15") == 1
+    assert sorted(r.id for r in read_delta(spark, p2).collect()) == [1, 2]
+
+    # WHERE-less DELETE: removes every file with NO rewrite (no adds)
+    assert delete_where(spark, p2, None) == 2
+    assert read_delta(spark, p2).count() == 0
+    assert _live_rels(spark, p2) == set()
+    # and the log's DELETE commit carries zero add actions
+    snapv = resolve_snapshot(spark, p2).version
+    with open(os.path.join(p2, "_delta_log", f"{snapv:020d}.json")) as fh:
+        acts = [json.loads(line) for line in fh if line.strip()]
+    assert not any("add" in a for a in acts)
+    assert sum(1 for a in acts if "remove" in a) >= 1
+
+
+def test_delta_delete_applies_deletion_vectors(spark, tmp_path):
+    """DELETE on a table whose touched file carries a deletion vector:
+    survivors are DV-applied first, so DV-deleted rows never
+    resurrect, and the touched file's DV descriptor dies with it."""
+    from lightning_metastore_spark.sources import delta_dv
+    from lightning_metastore_spark.sources.delta_reader import delete_where
+    from lightning_metastore_spark.sources.delta_reader import _write_commit
+
+    path = str(tmp_path / "fgdv")
+    write_delta(spark.range(0, 10).selectExpr("id").coalesce(1),
+                path, mode="error")
+    snap = resolve_snapshot(spark, path)
+    assert len(snap.files) == 1
+    rel = snap.files[0][0]
+    # inline DV marking rows 0 and 1 deleted (fabricated portable bitmap)
+    import struct
+    bm = struct.pack("<iq", 1681511377, 1)          # magic, one bitmap
+    bm += struct.pack("<I", 0)                       # high key 0
+    bm += struct.pack("<I", 12346) + struct.pack("<I", 1)  # cookie, n=1
+    bm += struct.pack("<HH", 0, 1)                   # key 0, card 2
+    bm += struct.pack("<I", 0)                       # offset (unused)
+    bm += struct.pack("<HH", 0, 1)                   # values 0,1
+    pad = (-len(bm)) % 4
+    enc = _z85_encode(bm + b"\x00" * pad)
+    _write_commit(path, snap.version + 1, [
+        {"commitInfo": {"timestamp": 1, "operation": "DELETE"}},
+        {"add": {"path": rel, "partitionValues": {}, "size": 1,
+                 "modificationTime": 1, "dataChange": True,
+                 "deletionVector": {"storageType": "i",
+                                    "pathOrInlineDv": enc,
+                                    "sizeInBytes": len(bm),
+                                    "cardinality": 2}}}])
+    assert sorted(r.id for r in read_delta(spark, path).collect()) == \
+        list(range(2, 10))
+    # delete id >= 8: survivors of the (single, DV'd) file = 2..7
+    n = delete_where(spark, path, "id >= 8")
+    assert n == 2
+    snap2 = resolve_snapshot(spark, path)
+    assert snap2.dv == {}          # descriptor died with the file
+    assert sorted(r.id for r in read_delta(spark, path).collect()) == \
+        [2, 3, 4, 5, 6, 7]
+
+
+def test_delta_writer_protocol_gating(spark, tmp_path):
+    """Writer-side protocol mirror of the reader gate: tables demanding
+    unsupported writer features / versions refuse offline commits;
+    appendOnly refuses data-removing commits but allows appends and
+    OPTIMIZE (dataChange=false removes); defined column invariants
+    refuse unchecked data."""
+    from lightning_metastore_spark.sources.delta_reader import (
+        _write_commit,
+        delete_where,
+        optimize_delta,
+        vacuum_delta,
+    )
+
+    # writerFeatures outside the supported set
+    path = str(tmp_path / "wf")
+    write_delta(_delta_df(spark, 0, 5), path, mode="error")
+    v = resolve_snapshot(spark, path).version
+    _write_commit(path, v + 1, [{"protocol": {
+        "minReaderVersion": 1, "minWriterVersion": 7,
+        "writerFeatures": ["changeDataFeed"]}}])
+    with pytest.raises(DeltaLogError, match="writer features"):
+        write_delta(_delta_df(spark, 5, 6), path, mode="append")
+    with pytest.raises(DeltaLogError, match="writer features"):
+        optimize_delta(spark, path)
+    with pytest.raises(DeltaLogError, match="writer features"):
+        vacuum_delta(spark, path, retention_hours=0, force=True)
+    with pytest.raises(DeltaLogError, match="writer features"):
+        delete_where(spark, path, "id = 1")
+    # reads still fine (reader features unaffected)
+    assert read_delta(spark, path).count() == 5
+
+    # legacy minWriterVersion > 2 (e.g. CHECK constraints)
+    p2 = str(tmp_path / "mwv")
+    write_delta(_delta_df(spark, 0, 3), p2, mode="error")
+    _write_commit(p2, 1, [{"protocol": {"minReaderVersion": 1,
+                                        "minWriterVersion": 3}}])
+    with pytest.raises(DeltaLogError, match="minWriterVersion 3"):
+        write_delta(_delta_df(spark, 3, 4), p2, mode="append")
+
+    # appendOnly: appends + OPTIMIZE ok, overwrite/DELETE refused
+    p3 = str(tmp_path / "ao")
+    write_delta(_delta_df(spark, 0, 5).repartition(4), p3, mode="error")
+    meta = {"id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": _delta_df(spark, 0, 1).schema.json(),
+            "partitionColumns": [],
+            "configuration": {"delta.appendOnly": "true"},
+            "createdTime": 1}
+    _write_commit(p3, 1, [{"metaData": meta}])
+    write_delta(_delta_df(spark, 5, 7).repartition(4), p3, mode="append")
+    assert read_delta(spark, p3).count() == 7
+    with pytest.raises(DeltaLogError, match="append-only"):
+        write_delta(_delta_df(spark, 0, 1), p3, mode="overwrite")
+    with pytest.raises(DeltaLogError, match="append-only"):
+        delete_where(spark, p3, "id = 1")
+    assert optimize_delta(spark, p3)["files_removed"] > 0
+
+    # defined column invariants refuse new unchecked data
+    p4 = str(tmp_path / "inv")
+    write_delta(_delta_df(spark, 0, 3), p4, mode="error")
+    import pyspark.sql.types as T2
+    sch = T2.StructType([
+        T2.StructField("id", T2.LongType(), True,
+                       {"delta.invariants":
+                        '{"expression":{"expression":"id > 0"}}'}),
+        T2.StructField("s", T2.StringType(), True),
+        T2.StructField("v", T2.LongType(), True)])
+    meta4 = {"id": "y", "format": {"provider": "parquet", "options": {}},
+             "schemaString": sch.json(), "partitionColumns": [],
+             "configuration": {}, "createdTime": 1}
+    _write_commit(p4, 1, [{"metaData": meta4}])
+    with pytest.raises(DeltaLogError, match="invariants"):
+        write_delta(_delta_df(spark, 3, 4), p4, mode="append")
+
+
+def test_delta_vacuum_url_encoded_paths_and_abort(spark, tmp_path):
+    """The spec mandates add.path be URL-encoded: a live file logged as
+    `a%20b.parquet` but stored as `a b.parquet` must be KEPT by vacuum
+    (and read correctly); a live file missing on disk under every form
+    ABORTS the vacuum before anything is deleted."""
+    from lightning_metastore_spark.sources.delta_reader import (
+        _write_commit,
+        vacuum_delta,
+    )
+
+    path = str(tmp_path / "venc")
+    write_delta(spark.range(0, 4).selectExpr("id").coalesce(1),
+                path, mode="error")
+    snap = resolve_snapshot(spark, path)
+    old_rel = snap.files[0][0]
+    # rename the data file to a space-bearing name and re-log it
+    # URL-encoded (what a spec-compliant external writer does)
+    os.rename(os.path.join(path, old_rel),
+              os.path.join(path, "part a.parquet"))
+    _write_commit(path, snap.version + 1, [
+        {"commitInfo": {"timestamp": 1, "operation": "WRITE"}},
+        {"remove": {"path": old_rel, "deletionTimestamp": 1,
+                    "dataChange": False}},
+        {"add": {"path": "part%20a.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 1, "dataChange": False}}])
+    # the read resolves the encoded path to the on-disk name
+    assert read_delta(spark, path).count() == 4
+    # make everything old so retention can't save the live file
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            os.utime(p, (1, 1))
+    kept = vacuum_delta(spark, path, retention_hours=0, force=True)
+    assert kept == []                      # nothing falsely orphaned
+    assert read_delta(spark, path).count() == 4
+
+    # a live add with NO on-disk form aborts before deleting
+    snap2 = resolve_snapshot(spark, path)
+    _write_commit(path, snap2.version + 1, [
+        {"commitInfo": {"timestamp": 2, "operation": "WRITE"}},
+        {"add": {"path": "ghost.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 2, "dataChange": True}}])
+    with pytest.raises(DeltaLogError, match="aborted"):
+        vacuum_delta(spark, path, retention_hours=0, force=True)
+    assert os.path.exists(os.path.join(path, "part a.parquet"))
+
+
+def test_delta_vacuum_retention_floor(spark, tmp_path):
+    """Retention below 168 h is refused without force (delta-spark's
+    retentionDurationCheck)."""
+    from lightning_metastore_spark.sources.delta_reader import vacuum_delta
+
+    path = str(tmp_path / "vfloor")
+    write_delta(_delta_df(spark, 0, 3), path, mode="error")
+    with pytest.raises(DeltaLogError, match="safety floor"):
+        vacuum_delta(spark, path, retention_hours=24)
+    assert vacuum_delta(spark, path, retention_hours=24, force=True) == []
+    assert vacuum_delta(spark, path) == []   # default 168 needs no force
+
+
+def test_iceberg_delete_is_file_granular(spark, tmp_path):
+    """Selective DELETE on an offline Iceberg table: untouched
+    manifests carry over VERBATIM (same manifest_path in the new
+    manifest list), only touched data files are rewritten, and older
+    snapshots stay time-travelable."""
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        delete_where_iceberg,
+        write_iceberg,
+    )
+
+    wh = tmp_path / "fgw"
+    (wh / "db").mkdir(parents=True)
+    tp = str(wh / "db" / "t")
+    write_iceberg(spark.range(0, 10).selectExpr("id").coalesce(1),
+                  tp, mode="error")                       # seq 1
+    write_iceberg(spark.range(10, 20).selectExpr("id").coalesce(1),
+                  tp, mode="append")                      # seq 2
+    meta = ir.load_metadata(tp)
+    snap1 = ir.select_snapshot(meta)
+    before = {p for p, _ in ir.snapshot_files(tp, snap1)[0]}
+    assert len(before) == 2
+    mlist_before = {r["manifest_path"] for r in ac.iter_records(
+        ir._local(snap1["manifest-list"]))}
+
+    n = delete_where_iceberg(spark, tp, "id < 3")
+    assert n == 3
+    meta2 = ir.load_metadata(tp)
+    snap2 = ir.select_snapshot(meta2)
+    after = {p for p, _ in ir.snapshot_files(tp, snap2)[0]}
+    touched = {p for p in before if os.path.basename(p).startswith("00001-")}
+    untouched = before - touched
+    assert len(touched) == 1 and len(untouched) == 1
+    assert untouched <= after            # untouched file still live
+    assert not (touched & after)         # touched file replaced
+    mlist_after = {r["manifest_path"] for r in ac.iter_records(
+        ir._local(snap2["manifest-list"]))}
+    # the untouched file's manifest record carried over verbatim
+    assert mlist_before & mlist_after
+    assert sorted(r.id for r in read_iceberg(spark, tp).collect()) == \
+        list(range(3, 20))
+    # older snapshots intact
+    assert read_iceberg(
+        spark, tp, snapshot_id=snap1["snapshot-id"]).count() == 20
+    assert meta2["snapshots"][-1]["summary"]["operation"] == "delete"
+
+    # no-match: no new snapshot
+    v = meta2["current-snapshot-id"]
+    assert delete_where_iceberg(spark, tp, "id > 999") == 0
+    assert ir.load_metadata(tp)["current-snapshot-id"] == v
+
+    # WHERE-less: empty manifest list, one-scan count, time travel works
+    assert delete_where_iceberg(spark, tp, None) == 17
+    assert read_iceberg(spark, tp).count() == 0
+    assert read_iceberg(
+        spark, tp, snapshot_id=snap2["snapshot-id"]).count() == 17
+
+
+def test_iceberg_delete_partitioned_and_pos_deletes(spark, tmp_path):
+    """DELETE over a PARTITIONED offline Iceberg table keeps partition
+    layout and manifest partition tuples; position deletes on touched
+    files never resurrect."""
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        delete_where_iceberg,
+        write_iceberg,
+    )
+
+    wh = tmp_path / "fgp"
+    (wh / "db").mkdir(parents=True)
+    tp = str(wh / "db" / "p")
+    write_iceberg(spark.createDataFrame(
+        [(i, "a" if i < 10 else "b") for i in range(20)],
+        "id long, cat string").coalesce(1),
+        tp, mode="error", partition_by=["cat"])
+    n = delete_where_iceberg(spark, tp, "cat = 'a' AND id < 4")
+    assert n == 4
+    back = read_iceberg(spark, tp)
+    assert sorted(r.id for r in back.collect()) == list(range(4, 20))
+    assert back.filter("cat = 'b'").count() == 10
+    # new manifest entries keep typed partition tuples
+    meta = ir.load_metadata(tp)
+    snap = ir.select_snapshot(meta)
+    for mrec in ac.iter_records(ir._local(snap["manifest-list"])):
+        for e in ac.iter_records(ir._local(mrec["manifest_path"])):
+            assert e["data_file"]["partition"]["cat"] in ("a", "b")
