@@ -113,7 +113,12 @@ def _read_roaring32(data: bytes, pos: int) -> tuple[list[int], int]:
         header.append((key, card_m1 + 1))
     if has_offsets:
         pos += 4 * n  # containers follow sequentially; offsets unused
-    vals: list[int] = []
+    # values come back as (start, count) RUNS, never exploded Python
+    # lists: a run container marking ~100M contiguous deleted rows is
+    # O(runs) here (the explosion happens JVM-side via sequence());
+    # array/bitmap containers emit singleton runs, bounded by the
+    # container cardinality (<= 65536)
+    runs: list[tuple[int, int]] = []
     for i, (key, card) in enumerate(header):
         base = key << 16
         if has_run(i):
@@ -126,12 +131,12 @@ def _read_roaring32(data: bytes, pos: int) -> tuple[list[int], int]:
             for _ in range(n_runs):
                 start, length = struct.unpack_from("<HH", data, pos)
                 pos += 4
-                vals.extend(range(base + start, base + start + length + 1))
+                runs.append((base + start, length + 1))
         elif card <= _ARRAY_MAX_CARD:
             end = pos + 2 * card
             if end > len(data):
                 raise DeletionVectorError("truncated array container")
-            vals.extend(base + v
+            runs.extend((base + v, 1)
                         for v in struct.unpack_from(f"<{card}H", data, pos))
             pos = end
         else:
@@ -143,13 +148,15 @@ def _read_roaring32(data: bytes, pos: int) -> tuple[list[int], int]:
             for wi, w in enumerate(words):
                 while w:
                     b = (w & -w).bit_length() - 1
-                    vals.append(base + wi * 64 + b)
+                    runs.append((base + wi * 64 + b, 1))
                     w &= w - 1
-    return vals, pos
+    return runs, pos
 
 
-def decode_bitmap(data: bytes) -> list[int]:
-    """RoaringBitmapArray portable bytes -> sorted 64-bit row indexes."""
+def decode_bitmap_runs(data: bytes) -> list[tuple[int, int]]:
+    """RoaringBitmapArray portable bytes -> sorted (start, count) runs
+    of 64-bit row indexes. Run containers stay runs (O(runs) memory,
+    not O(cardinality)); scattered values are singleton runs."""
     if len(data) < 12:
         raise DeletionVectorError("deletion vector too short")
     magic, = struct.unpack_from("<i", data, 0)
@@ -158,15 +165,22 @@ def decode_bitmap(data: bytes) -> list[int]:
             f"bad RoaringBitmapArray magic {magic} (expected {_MAGIC})")
     n_bitmaps, = struct.unpack_from("<q", data, 4)
     pos = 12
-    rows: list[int] = []
+    out: list[tuple[int, int]] = []
     for _ in range(n_bitmaps):
         if pos + 4 > len(data):
             raise DeletionVectorError("truncated bitmap array (key)")
         high, = struct.unpack_from("<I", data, pos)
         pos += 4
-        vals, pos = _read_roaring32(data, pos)
-        rows.extend((high << 32) | v for v in vals)
-    return sorted(rows)
+        runs, pos = _read_roaring32(data, pos)
+        out.extend(((high << 32) | s, c) for s, c in runs)
+    return sorted(out)
+
+
+def decode_bitmap(data: bytes) -> list[int]:
+    """RoaringBitmapArray portable bytes -> sorted 64-bit row indexes
+    (exploded; prefer `decode_bitmap_runs` for anything large)."""
+    return [v for s, c in decode_bitmap_runs(data)
+            for v in range(s, s + c)]
 
 
 def dv_relative_path(path_or_inline: str) -> str:
@@ -183,9 +197,11 @@ def dv_relative_path(path_or_inline: str) -> str:
     return os.path.join(prefix, name) if prefix else name
 
 
-def read_dv(descriptor: dict, table_path: str) -> list[int]:
-    """Decode one DV descriptor into its deleted row indexes,
-    validating the size prefix and the CRC-32 (both spec-mandated)."""
+def read_dv_runs(descriptor: dict, table_path: str
+                 ) -> list[tuple[int, int]]:
+    """Decode one DV descriptor into (start, count) runs of deleted
+    row indexes, validating the size prefix and the CRC-32 (both
+    spec-mandated). Memory is O(runs), never O(deleted rows)."""
     st = descriptor.get("storageType")
     payload = descriptor.get("pathOrInlineDv") or ""
     size = descriptor.get("sizeInBytes")
@@ -193,7 +209,7 @@ def read_dv(descriptor: dict, table_path: str) -> list[int]:
         data = z85_decode(payload)
         if size is not None:
             data = data[:int(size)]  # Z85 pads to 4-byte groups
-        return decode_bitmap(data)
+        return decode_bitmap_runs(data)
     if st == "u":
         fpath = os.path.join(table_path, dv_relative_path(payload))
     elif st == "p":
@@ -221,7 +237,14 @@ def read_dv(descriptor: dict, table_path: str) -> list[int]:
             expected, = struct.unpack(">I", crc_raw)
             if zlib.crc32(data) & 0xFFFFFFFF != expected:
                 raise DeletionVectorError(f"DV checksum mismatch in {fpath}")
-    return decode_bitmap(data)
+    return decode_bitmap_runs(data)
+
+
+def read_dv(descriptor: dict, table_path: str) -> list[int]:
+    """Exploded row indexes of one DV descriptor (prefer
+    `read_dv_runs` for anything large)."""
+    return [v for s, c in read_dv_runs(descriptor, table_path)
+            for v in range(s, s + c)]
 
 
 # java.net.URI path-component quoting (what Spark's _metadata.file_path
@@ -244,13 +267,23 @@ def uri_path_encode(p: str) -> str:
     return "".join(out)
 
 
+# a run longer than this is split before the JVM-side sequence()
+# expansion, bounding each exploded array row to 64k longs (~512 KB)
+_RUN_CHUNK = 65536
+
+
 def deleted_rows_df(spark, table_path: str,
                     dv_by_file: dict[str, dict]):
     """(__dv_file, __dv_pos) DataFrame of deleted rows for the live
     files of a snapshot — decoded EXECUTOR-side (one task per
     descriptor; DV files are opened where the task runs, the shared-
     filesystem contract of every no-jar fallback here). File keys are
-    URI-path-encoded to match `_metadata.file_path`."""
+    URI-path-encoded to match `_metadata.file_path`.
+
+    Decoding yields (start, count) RUNS, chunked to ``_RUN_CHUNK``, and
+    the per-row expansion happens JVM-side via sequence()/explode — a
+    DV marking 100M contiguous rows costs O(runs) Python memory, never
+    a 100M-element Python list in one task."""
     abs_table = os.path.abspath(table_path)
     items = [(uri_path_encode(
                   os.path.abspath(os.path.join(abs_table, rel))),
@@ -272,8 +305,21 @@ def deleted_rows_df(spark, table_path: str,
 
     def _expand(item):
         fpath, desc = item
-        return [(fpath, int(pos)) for pos in read_dv(desc, abs_table)]
+        for start, count in read_dv_runs(desc, abs_table):
+            while count > _RUN_CHUNK:
+                yield (fpath, start, _RUN_CHUNK)
+                start += _RUN_CHUNK
+                count -= _RUN_CHUNK
+            yield (fpath, start, count)
 
+    from pyspark.sql import functions as F
     sc = spark.sparkContext
     rdd = sc.parallelize(items, max(1, len(items))).flatMap(_expand)
-    return spark.createDataFrame(rdd, "__dv_file string, __dv_pos long")
+    runs = spark.createDataFrame(
+        rdd, "__dv_file string, __dv_start long, __dv_n long")
+    return runs.select(
+        "__dv_file",
+        F.explode(F.sequence(
+            F.col("__dv_start"),
+            F.col("__dv_start") + F.col("__dv_n") - F.lit(1)
+        )).alias("__dv_pos"))

@@ -535,8 +535,18 @@ def _snapshot_scan(spark: SparkSession, path: str, snap: DeltaSnapshot,
         cards = [d.get("cardinality") for d in dv_resolved.values()]
         total = (sum(int(c) for c in cards)
                  if all(c is not None for c in cards) else None)
+        # gate the broadcast in BYTES, not just rows: every broadcast
+        # row carries the full absolute file-path string, so 2M rows of
+        # 200-char paths is ~400 MB shipped to every executor. Estimate
+        # rows x (avg path length + 8 bytes for the position) and
+        # require both the row cap and a 64 MiB byte cap.
         if total is not None and total <= 2_000_000:
-            deleted = F.broadcast(deleted)
+            klens = [len(delta_dv.uri_path_encode(
+                os.path.abspath(os.path.join(path, rel))))
+                for rel in dv_resolved]
+            avg_len = sum(klens) / max(1, len(klens))
+            if total * (avg_len + 8) <= 64 * 1024 * 1024:
+                deleted = F.broadcast(deleted)
 
     def _apply_dv(df: DataFrame) -> DataFrame:
         # the file tag rides the SAME normalized _metadata path the DV

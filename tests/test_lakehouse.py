@@ -1967,3 +1967,44 @@ def test_iceberg_delete_partitioned_and_pos_deletes(spark, tmp_path):
     for mrec in ac.iter_records(ir._local(snap["manifest-list"])):
         for e in ac.iter_records(ir._local(mrec["manifest_path"])):
             assert e["data_file"]["partition"]["cat"] in ("a", "b")
+
+
+def test_dv_run_container_decodes_as_runs(spark, tmp_path):
+    """A run-container DV marking 10M contiguous rows decodes to
+    O(containers) Python RUN tuples — never a 10M-element Python list;
+    the expansion to row indexes happens JVM-side (sequence/explode)
+    after createDataFrame."""
+    import struct
+
+    from pyspark.sql import functions as F2
+
+    from lightning_metastore_spark.sources import delta_dv as dv
+
+    total = 10_000_000
+    full, rem = divmod(total, 65536)           # 152 full + 40448
+    n = full + (1 if rem else 0)
+    cards = [65536] * full + ([rem] if rem else [])
+    # cookie 12347: container count packed in the cookie, run bitset
+    bm = struct.pack("<I", 12347 | ((n - 1) << 16))
+    bm += b"\xff" * ((n + 7) // 8)             # every container is a run
+    for k, card in enumerate(cards):
+        bm += struct.pack("<HH", k, card - 1)
+    bm += b"\x00" * (4 * n)                    # offsets (n >= 4)
+    for card in cards:
+        bm += struct.pack("<H", 1)             # one run per container
+        bm += struct.pack("<HH", 0, card - 1)
+    data = (struct.pack("<iq", 1681511377, 1)  # magic + one 32-bit map
+            + struct.pack("<I", 0) + bm)       # high key 0
+
+    runs = dv.decode_bitmap_runs(data)
+    assert len(runs) == n                      # O(containers), not O(rows)
+    assert sum(c for _, c in runs) == total
+    assert runs[0] == (0, 65536)
+    assert runs[-1] == ((n - 1) * 65536, rem)
+
+    desc = {"storageType": "i", "pathOrInlineDv": _z85_encode(data),
+            "sizeInBytes": len(data), "cardinality": total}
+    df = dv.deleted_rows_df(spark, str(tmp_path), {"x.parquet": desc})
+    row = df.agg(F2.count("*").alias("n"), F2.min("__dv_pos").alias("lo"),
+                 F2.max("__dv_pos").alias("hi")).collect()[0]
+    assert (row.n, row.lo, row.hi) == (total, 0, total - 1)
