@@ -212,6 +212,31 @@ def main() -> None:
     # whole, while the full round-over-round detail (queries_min,
     # suite_sections, overhead run lists) goes to BENCH_DETAIL.json in
     # the repo root for the judge to read.
+    # Sentinel-normalized series (r13 verdict #7): queries_norm =
+    # queries_min / sentinel_sec, the machine-drift-free number. If the
+    # PREVIOUS round's BENCH_DETAIL.json is still on disk (it is — the
+    # repo commits it), its normalized column is carried as
+    # queries_norm_prev so the judge diffs normalized values directly
+    # without reconstructing the prior round's sentinel.
+    def _norm(mins: dict, sent) -> dict:
+        if not sent or sent <= 0:
+            return {}
+        return {q: round(v / sent, 3) for q, v in mins.items() if v >= 0}
+
+    queries_norm = _norm(timings_min, sentinel)
+    queries_norm_prev = None
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path) as f:
+            prev = json.load(f)
+        if prev.get("sf") == sf:     # cross-sf norms are not comparable
+            queries_norm_prev = (prev.get("queries_norm")
+                                 or _norm(prev.get("queries_min") or {},
+                                          prev.get("sentinel_sec")))
+    except Exception:
+        pass
+
     detail = {
         "metric": "total_query_seconds",
         "value": total,
@@ -219,15 +244,16 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_min": timings_min,
+        "queries_norm": queries_norm,
         "suite_sections": suite_sections,
         "sentinel_sec": sentinel,
         "runs": n_runs,
         "sf": sf,
     }
+    if queries_norm_prev:
+        detail["queries_norm_prev"] = queries_norm_prev
     if overhead:
         detail["catalog_overhead"] = overhead
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 

@@ -1083,6 +1083,10 @@ def _kn_ccnet_flow(docs: DataFrame) -> DataFrame:
         src_key = (tuple(sorted(docs.inputFiles())),
                    hashlib.md5(plan.encode()).hexdigest())
     except Exception:  # noqa: BLE001 — in-memory docs: never cache
+        # _jdf.queryExecution() is PRIVATE Spark API: if a Spark
+        # upgrade removes/renames it this degrades to retrain-per-call
+        # (src_key None -> no cache entry), never to a wrong shared
+        # artifact
         src_key = None
     key = (spark.sparkContext.applicationId, src_key)
     path = _kn_artifact_cache.get(key) if src_key else None

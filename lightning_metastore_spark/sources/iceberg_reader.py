@@ -378,13 +378,149 @@ def iceberg_snapshots(spark: SparkSession, table_path: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def decode_single_value(b: Optional[bytes], itype) -> Any:
+    """Inverse of the spec's Appendix-D single-value serialization
+    (manifest lower/upper bounds). Unknown/complex types decode to
+    None — a reader must treat an undecodable bound as unknowable."""
+    import struct
+    if b is None or not isinstance(itype, str):
+        return None
+    try:
+        if itype == "int":
+            return struct.unpack("<i", b)[0]
+        if itype == "long":
+            return struct.unpack("<q", b)[0]
+        if itype == "float":
+            return struct.unpack("<f", b)[0]
+        if itype == "double":
+            return struct.unpack("<d", b)[0]
+        if itype == "boolean":
+            return b != b"\x00"
+        if itype == "date":
+            import datetime as dt
+            return (dt.date(1970, 1, 1)
+                    + dt.timedelta(days=struct.unpack("<i", b)[0]))
+        if itype in ("timestamp", "timestamptz"):
+            import datetime as dt
+            return (dt.datetime(1970, 1, 1)
+                    + dt.timedelta(microseconds=struct.unpack("<q",
+                                                              b)[0]))
+        if itype == "string":
+            return b.decode("utf-8")
+        if itype == "binary":
+            return bytes(b)
+        m = re.fullmatch(r"decimal\(\s*\d+\s*,\s*(\d+)\s*\)", itype)
+        if m:
+            import decimal
+            unscaled = int.from_bytes(b, "big", signed=True)
+            return decimal.Decimal(unscaled).scaleb(-int(m.group(1)))
+    except Exception:  # noqa: BLE001 — malformed bound = unknowable
+        return None
+    return None
+
+
+def _bounds_map(d: dict, key: str) -> dict:
+    """{field id: raw bytes} from a manifest entry's bound field (the
+    avro array-of-kv-records encoding of an int-keyed map)."""
+    out = {}
+    for kv in d.get(key) or []:
+        if kv.get("value") is not None:
+            out[int(kv["key"])] = bytes(kv["value"])
+    return out
+
+
+def prune_data_files(table_path: str, col: str, op: str, value,
+                     snapshot_id: Optional[int] = None
+                     ) -> tuple[list[str], list[str]]:
+    """Manifest-bounds file pruning: (candidates, skipped) LOCAL data
+    file paths for a simple `col <op> literal` predicate, using each
+    entry's Appendix-D lower/upper bounds — no parquet footer is
+    opened. Sound by construction: a file is skipped ONLY when its
+    bounds prove no row can match; missing/undecodable bounds keep the
+    file. This is the planning-time half of predicate pushdown at
+    100 TB — the scan half (row-group skipping) still happens inside
+    parquet for the kept files."""
+    if op not in ("=", "<", "<=", ">", ">="):
+        raise IcebergError(f"unsupported prune operator: {op}")
+    meta = load_metadata(table_path)
+    snap = select_snapshot(meta, snapshot_id)
+    fields = current_schema(meta)["fields"]
+    fld = next((f for f in fields if f["name"] == col), None)
+    if fld is None:
+        raise IcebergError(f"unknown column for pruning: {col}")
+    fid, itype = fld["id"], fld.get("type")
+    # coerce the literal through the column's Iceberg type so the
+    # comparison is type-correct (e.g. '2024-01-02' vs date bounds)
+    if isinstance(itype, str):
+        import datetime as dt
+        if itype in ("int", "long") and not isinstance(value, bool):
+            value = int(value)
+        elif itype in ("float", "double"):
+            value = float(value)
+        elif itype == "date" and isinstance(value, str):
+            value = dt.date.fromisoformat(value)
+        elif (itype in ("timestamp", "timestamptz")
+              and isinstance(value, str)):
+            value = dt.datetime.fromisoformat(value)
+    keep: list[str] = []
+    skipped: list[str] = []
+    for mrec in ac.iter_records(_local(snap["manifest-list"])):
+        for entry in ac.iter_records(_local(mrec["manifest_path"])):
+            if entry.get("status") == _STATUS_DELETED:
+                continue
+            d = entry["data_file"]
+            if int(d.get("content", _CONTENT_DATA)
+                   or _CONTENT_DATA) != _CONTENT_DATA:
+                continue  # delete files are never pruned
+            p = _local(d["file_path"])
+            lo = decode_single_value(
+                _bounds_map(d, "lower_bounds").get(fid), itype)
+            hi = decode_single_value(
+                _bounds_map(d, "upper_bounds").get(fid), itype)
+            if lo is None or hi is None:
+                keep.append(p)           # unknowable -> conservative
+                continue
+            try:
+                ok = {"=": lambda: lo <= value <= hi,
+                      "<": lambda: lo < value,
+                      "<=": lambda: lo <= value,
+                      ">": lambda: hi > value,
+                      ">=": lambda: hi >= value}[op]()
+            except TypeError:
+                ok = True                # incomparable -> conservative
+            (keep if ok else skipped).append(p)
+    return sorted(set(keep)), sorted(set(skipped) - set(keep))
+
+
 def iceberg_files(spark: SparkSession, table_path: str,
                   snapshot_id: Optional[int] = None) -> DataFrame:
     """The Iceberg `files` metadata table (the planner-visible subset:
-    content, file_path, file_format, record_count, file_size_in_bytes)
-    for the current — or a named — snapshot."""
+    content, file_path, file_format, record_count, file_size_in_bytes,
+    per-column value/null counts, and bounds rendered per column name
+    — the spec's readable_metrics idea) for the current — or a named —
+    snapshot."""
     meta = load_metadata(table_path)
     snap = select_snapshot(meta, snapshot_id)
+    by_id = {f["id"]: (f["name"], f.get("type"))
+             for f in current_schema(meta)["fields"]}
+
+    def _counts(d: dict, key: str) -> Optional[dict]:
+        kvs = d.get(key)
+        if kvs is None:
+            return None
+        return {int(kv["key"]): int(kv["value"]) for kv in kvs
+                if kv.get("value") is not None}
+
+    def _readable(d: dict, key: str) -> Optional[dict]:
+        raw = _bounds_map(d, key)
+        if not raw:
+            return None
+        out = {}
+        for fid, b in raw.items():
+            name, itype = by_id.get(fid, (str(fid), None))
+            v = decode_single_value(b, itype)
+            out[name] = None if v is None else str(v)
+        return out
     rows = []
     for mrec in ac.iter_records(_local(snap["manifest-list"])):
         for entry in ac.iter_records(_local(mrec["manifest_path"])):
@@ -397,6 +533,10 @@ def iceberg_files(spark: SparkSession, table_path: str,
                 str(d.get("file_format", "PARQUET")),
                 int(d.get("record_count") or 0),
                 int(d.get("file_size_in_bytes") or 0),
+                _counts(d, "value_counts"),
+                _counts(d, "null_value_counts"),
+                _readable(d, "lower_bounds"),
+                _readable(d, "upper_bounds"),
             ))
     schema = T.StructType([
         T.StructField("content", T.IntegerType(), False),
@@ -404,6 +544,14 @@ def iceberg_files(spark: SparkSession, table_path: str,
         T.StructField("file_format", T.StringType(), True),
         T.StructField("record_count", T.LongType(), True),
         T.StructField("file_size_in_bytes", T.LongType(), True),
+        T.StructField("value_counts",
+                      T.MapType(T.IntegerType(), T.LongType()), True),
+        T.StructField("null_value_counts",
+                      T.MapType(T.IntegerType(), T.LongType()), True),
+        T.StructField("readable_lower_bounds",
+                      T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("readable_upper_bounds",
+                      T.MapType(T.StringType(), T.StringType()), True),
     ])
     return spark.createDataFrame(rows, schema)
 

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 from typing import Optional
@@ -53,6 +54,16 @@ from lightning_metastore_spark.sources import iceberg_reader as ir
 # the subset of the spec's fields the planner path needs, under the
 # spec's field names (the reader decodes ANY conforming writer schema,
 # so richer files from real runtimes still read fine)
+def _kv_map(rec_name: str, value_type: str) -> list:
+    """Iceberg's manifest metric maps are int-keyed, so the spec
+    serializes them as Avro ARRAYS of key/value records with
+    logicalType map (Avro's native map type has string keys only)."""
+    return ["null", {"type": "array", "logicalType": "map", "items": {
+        "type": "record", "name": rec_name, "fields": [
+            {"name": "key", "type": "int"},
+            {"name": "value", "type": value_type}]}}]
+
+
 MANIFEST_SCHEMA = {
     "type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int"},
@@ -65,6 +76,18 @@ MANIFEST_SCHEMA = {
                 {"name": "file_format", "type": "string"},
                 {"name": "record_count", "type": "long"},
                 {"name": "file_size_in_bytes", "type": "long"},
+                # per-column metrics (field id keyed) — what a real
+                # planner min/max-prunes data files on without opening
+                # a single parquet footer; bounds use the spec's
+                # Appendix-D single-value binary serialization
+                {"name": "value_counts",
+                 "type": _kv_map("k119_v120", "long")},
+                {"name": "null_value_counts",
+                 "type": _kv_map("k121_v122", "long")},
+                {"name": "lower_bounds",
+                 "type": _kv_map("k126_v127", "bytes")},
+                {"name": "upper_bounds",
+                 "type": _kv_map("k129_v130", "bytes")},
                 {"name": "equality_ids",
                  "type": ["null", {"type": "array", "items": "int"}]},
             ]}},
@@ -131,6 +154,122 @@ def _single_value_bytes(v, type_name: str) -> bytes:
         import datetime as dt
         return struct.pack("<i", (v - dt.date(1970, 1, 1)).days)
     return str(v).encode("utf-8")
+
+
+def _ice_single_value_bytes(v, itype) -> bytes:
+    """Appendix-D single-value binary serialization for manifest
+    lower/upper bounds, keyed by the ICEBERG type string."""
+    import struct
+    if not isinstance(itype, str):
+        raise ir.IcebergError(f"no bound serialization for {itype}")
+    if itype == "int":
+        return struct.pack("<i", int(v))
+    if itype == "long":
+        return struct.pack("<q", int(v))
+    if itype == "float":
+        return struct.pack("<f", float(v))
+    if itype == "double":
+        return struct.pack("<d", float(v))
+    if itype == "boolean":
+        return b"\x01" if v else b"\x00"
+    if itype == "date":
+        import datetime as dt
+        days = v if isinstance(v, int) else (v - dt.date(1970, 1, 1)).days
+        return struct.pack("<i", days)
+    if itype in ("timestamp", "timestamptz"):
+        import datetime as dt
+        if isinstance(v, dt.datetime):
+            epoch = dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            td = v - epoch
+            micros = ((td.days * 86400 + td.seconds) * 1_000_000
+                      + td.microseconds)
+        else:
+            micros = int(v)
+        return struct.pack("<q", micros)
+    if itype == "string":
+        return str(v).encode("utf-8")
+    if itype == "binary":
+        return bytes(v)
+    if itype.startswith("decimal"):
+        import decimal
+        scale = int(itype.rstrip(") ").split(",")[1])
+        unscaled = (int(decimal.Decimal(v).scaleb(scale))
+                    if not isinstance(v, int) else v)
+        n = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(n, "big", signed=True)
+    raise ir.IcebergError(f"no bound serialization for {itype}")
+
+
+def _parquet_column_stats(p: str, field_ids: dict, field_types: dict
+                          ) -> dict:
+    """Per-column manifest metrics from the parquet footer —
+    value_counts / null_value_counts / lower_bounds / upper_bounds
+    (spec "Manifests"). Footer reads are metadata-only; a real runtime
+    consuming our table prunes files on these without opening any
+    parquet. Columns whose stats are absent (or whose type lacks a
+    bound serialization) simply omit their entry — readers treat a
+    missing bound as unknowable, which is always sound."""
+    try:
+        import pyarrow.parquet as pq
+        md = pq.ParquetFile(p).metadata
+    except Exception:  # noqa: BLE001 — metrics are advisory
+        return {"value_counts": None, "null_value_counts": None,
+                "lower_bounds": None, "upper_bounds": None}
+    vals: dict = {}
+    nulls: dict = {}
+    mins: dict = {}
+    maxs: dict = {}
+    no_bounds: set = set()
+    for rg in range(md.num_row_groups):
+        rgm = md.row_group(rg)
+        for j in range(rgm.num_columns):
+            col = rgm.column(j)
+            fid = field_ids.get(col.path_in_schema)
+            if fid is None:
+                continue  # nested leaf / unknown column
+            vals[fid] = vals.get(fid, 0) + int(col.num_values)
+            st = col.statistics
+            if st is not None and st.null_count is not None:
+                nulls[fid] = nulls.get(fid, 0) + int(st.null_count)
+            if st is not None and st.has_min_max:
+                mn, mx = st.min, st.max
+                mins[fid] = mn if fid not in mins else min(mins[fid], mn)
+                maxs[fid] = mx if fid not in maxs else max(maxs[fid], mx)
+            else:
+                no_bounds.add(fid)
+
+    def _ser(d: dict):
+        out = []
+        for fid in sorted(d):
+            if fid in no_bounds:
+                continue
+            try:
+                out.append({"key": fid, "value": _ice_single_value_bytes(
+                    d[fid], field_types.get(fid))})
+            except Exception:  # noqa: BLE001 — skip unserializable
+                continue
+        return out or None
+
+    return {
+        "value_counts": ([{"key": k, "value": v}
+                          for k, v in sorted(vals.items())] or None),
+        "null_value_counts": ([{"key": k, "value": v}
+                               for k, v in sorted(nulls.items())]
+                              or None),
+        "lower_bounds": _ser(mins),
+        "upper_bounds": _ser(maxs),
+    }
+
+
+def _current_schema_fields(meta: dict) -> tuple[dict, dict]:
+    """(name -> field id, field id -> iceberg type) for the table's
+    current schema."""
+    sch = next((s for s in meta.get("schemas", [])
+                if s.get("schema-id") == meta.get("current-schema-id", 0)),
+               (meta.get("schemas") or [{}])[0])
+    fields = sch.get("fields", [])
+    return ({f["name"]: f["id"] for f in fields},
+            {f["id"]: f.get("type") for f in fields})
 
 
 def _manifest_schema_for(partition_by: list[str], spark_types: dict):
@@ -359,6 +498,7 @@ def write_iceberg(df: DataFrame, table_path: str,
                                    spark_types, seq, now_ms)
 
     manifest = os.path.join(mdir, f"m-{snap_id}.avro")
+    field_ids, field_types = _current_schema_fields(meta)
     entries = []
     for p, pv in data_files:
         data_file = {"content": 0, "file_path": p,
@@ -366,6 +506,7 @@ def write_iceberg(df: DataFrame, table_path: str,
                      "record_count": _parquet_num_rows(p),
                      "file_size_in_bytes": os.path.getsize(p),
                      "equality_ids": None}
+        data_file.update(_parquet_column_stats(p, field_ids, field_types))
         if partition_by:
             data_file["partition"] = {c: pv.get(c) for c in partition_by}
         entries.append({"status": 1, "snapshot_id": snap_id,
@@ -421,6 +562,13 @@ def _commit_snapshot(meta: dict, mdir: str, snap_id: int,
     os.rename(tmp, final)
     with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
+
+
+# `col <op> literal` — the shape manifest-bounds pruning understands;
+# literals are a number or a single-quoted string
+_SIMPLE_PRED = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|=|<|>)\s*"
+    r"(?:(-?\d+(?:\.\d+)?)|'([^']*)')\s*$")
 
 
 def delete_where_iceberg(spark: SparkSession, table_path: str,
@@ -483,7 +631,26 @@ def delete_where_iceberg(spark: SparkSession, table_path: str,
                          mlist, "delete", version)
         return int(n)
 
-    tagged = ir.read_iceberg(spark, table_path, file_tag="__ice_src")
+    # manifest-bounds pruning for simple `col <op> literal` predicates:
+    # the touched-file scan reads ONLY files whose bounds admit a match
+    # (sound — skipped files provably contain no matching row), so a
+    # selective DELETE on a clustered column opens a fraction of the
+    # table. Non-simple predicates scan everything, as before.
+    prune_subset = None
+    m = _SIMPLE_PRED.match(predicate)
+    if m:
+        lit = (m.group(4) if m.group(4) is not None
+               else (float(m.group(3)) if "." in m.group(3)
+                     else int(m.group(3))))
+        try:
+            cands, skipped = ir.prune_data_files(
+                table_path, m.group(1), m.group(2), lit)
+            if skipped:
+                prune_subset = set(cands)
+        except ir.IcebergError:
+            pass  # unknown column / operator -> no pruning
+    tagged = ir.read_iceberg(spark, table_path, file_tag="__ice_src",
+                             file_subset=prune_subset)
     hits = (tagged.filter(f"coalesce(({predicate}), false)")
             .groupBy("__ice_src").count().collect())
     if not hits:
@@ -517,6 +684,12 @@ def delete_where_iceberg(spark: SparkSession, table_path: str,
                   "record_count": int(d.get("record_count") or 0),
                   "file_size_in_bytes": int(
                       d.get("file_size_in_bytes") or 0),
+                  # carry metrics through the rewrite — losing bounds
+                  # would silently disable file pruning on survivors
+                  "value_counts": d.get("value_counts"),
+                  "null_value_counts": d.get("null_value_counts"),
+                  "lower_bounds": d.get("lower_bounds"),
+                  "upper_bounds": d.get("upper_bounds"),
                   "equality_ids": d.get("equality_ids")}
         if partition_by:
             out_df["partition"] = (d.get("partition")
@@ -560,6 +733,7 @@ def delete_where_iceberg(spark: SparkSession, table_path: str,
     recs = carried
     if data_files:
         manifest = os.path.join(mdir, f"m-{snap_id}.avro")
+        field_ids, field_types = _current_schema_fields(meta)
         entries = []
         for p, pv in data_files:
             data_file = {"content": 0, "file_path": p,
@@ -567,6 +741,8 @@ def delete_where_iceberg(spark: SparkSession, table_path: str,
                          "record_count": _parquet_num_rows(p),
                          "file_size_in_bytes": os.path.getsize(p),
                          "equality_ids": None}
+            data_file.update(_parquet_column_stats(p, field_ids,
+                                                   field_types))
             if partition_by:
                 data_file["partition"] = {c: pv.get(c)
                                           for c in partition_by}
