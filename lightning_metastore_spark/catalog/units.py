@@ -321,11 +321,31 @@ class DeltaCatalogUnit(CatalogUnit):
         from lightning_metastore_spark.sources import delta_reader as dr
         base = self.ds.options["path"]
         path = os.path.join(base, *residual)
-        if (residual and residual[-1].lower() == "history"
+        if (residual and residual[-1].lower() in ("history", "changes")
                 and not os.path.isdir(os.path.join(path, "_delta_log"))):
             parent = os.path.join(base, *residual[:-1])
             if os.path.isdir(os.path.join(parent, "_delta_log")):
-                return dr.delta_history(spark, parent)
+                if residual[-1].lower() == "history":
+                    return dr.delta_history(spark, parent)
+                # `.changes` = Change Data Feed; VERSION AS OF n sets
+                # the STARTING version (delta-spark's startingVersion),
+                # TIMESTAMP AS OF the starting timestamp
+                start = 0
+                if version_as_of is not None:
+                    start = int(version_as_of)
+                elif timestamp_as_of is not None:
+                    import datetime as dt
+                    bound_ms = int(dt.datetime.fromisoformat(
+                        str(timestamp_as_of)).timestamp() * 1000)
+                    vs = [v for v, p in dr._commit_files(parent)
+                          if dr._commit_timestamp(p) >= bound_ms]
+                    if not vs:
+                        raise CatalogUnitError(
+                            f"no Delta commits at or after "
+                            f"{timestamp_as_of}")
+                    start = min(vs)
+                return dr.table_changes(spark, parent,
+                                        starting_version=start)
         try:
             reader = spark.read.format("delta")
             if version_as_of is not None:
@@ -424,7 +444,8 @@ class IcebergCatalogUnit(CatalogUnit):
         path = os.path.join(wh, *residual)
         _meta_tables = {"history": ir.iceberg_history,
                         "snapshots": ir.iceberg_snapshots,
-                        "files": ir.iceberg_files}
+                        "files": ir.iceberg_files,
+                        "partitions": ir.iceberg_partitions}
         if (residual and residual[-1].lower() in _meta_tables
                 and not os.path.isdir(os.path.join(path, "metadata"))):
             parent = os.path.join(wh, *residual[:-1])

@@ -137,6 +137,59 @@ ORDER BY arm, o_orderpriority
 """
 
 
+def catalog_cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Change Data Feed end-to-end through the catalog: a
+    CDF-enabled table gets two commits through the offline writer
+    (`sources/delta_reader.py write_delta`), then the `.changes`
+    suffix table (delta-spark's `table_changes`) streams the per-commit
+    row changes over the SQL surface — the incremental-consumption
+    primitive that lets a 100 TB downstream read only changed rows
+    instead of diffing snapshots. The oracle replays the same two
+    insert sets with literal change metadata; `_commit_timestamp` is
+    wall-clock and stays out of the gate."""
+    import os
+    import tempfile
+
+    from lightning_metastore_spark.sources import delta_reader as dr
+
+    ctx = _ctx(spark, sf_dir)
+    lake = tempfile.mkdtemp(prefix="lightning-cdf-gate-")
+    path = os.path.join(lake, "prio")
+    lo = ctx.sql("""SELECT DISTINCT o_orderpriority AS prio
+        FROM lightning.datasource.file.tpch.orders
+        WHERE o_orderpriority < '3'""")
+    hi = ctx.sql("""SELECT DISTINCT o_orderpriority AS prio
+        FROM lightning.datasource.file.tpch.orders
+        WHERE o_orderpriority >= '3' AND o_orderpriority < '4'""")
+    dr.write_delta(lo, path, mode="error",
+                   configuration={"delta.enableChangeDataFeed": "true"})
+    dr.write_delta(hi, path, mode="append")
+    ctx.sql("CREATE NAMESPACE IF NOT EXISTS lightning.datasource.delta")
+    ctx.sql(f"REGISTER OR REPLACE DELTA DATASOURCE cdflake "
+            f"OPTIONS(path '{lake}') "
+            f"NAMESPACE lightning.datasource.delta")
+    return ctx.sql("""
+        SELECT prio, _change_type AS change_type,
+               _commit_version AS commit_version
+        FROM lightning.datasource.delta.cdflake.prio.changes
+        ORDER BY commit_version, prio
+    """)
+
+
+CATALOG_CDF_ORACLE = """
+SELECT prio, 'insert' AS change_type,
+       CAST(0 AS BIGINT) AS commit_version
+FROM (SELECT DISTINCT o_orderpriority AS prio FROM orders
+      WHERE o_orderpriority < '3')
+UNION ALL
+SELECT prio, 'insert' AS change_type,
+       CAST(1 AS BIGINT) AS commit_version
+FROM (SELECT DISTINCT o_orderpriority AS prio FROM orders
+      WHERE o_orderpriority >= '3' AND o_orderpriority < '4')
+ORDER BY commit_version, prio
+"""
+
+
 def catalog_usl_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """USL compile -> activate -> query: the governed-view path
     (CompileUSLSpec / ActivateUSLTableSpec / USLTableScan)."""
@@ -4619,6 +4672,10 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "federation: REGISTER -> offline Delta AND Iceberg "
                   "write/versioning -> resolver time-travel rewrite "
                   "-> spark.sql"),
+        QuerySpec("catalog_cdf_changes", catalog_cdf_changes,
+                  CATALOG_CDF_ORACLE,
+                  "Delta Change Data Feed: offline CDF-enabled writes "
+                  "-> .changes suffix table over SQL"),
         QuerySpec("catalog_usl_view", catalog_usl_view, CATALOG_USL_ORACLE,
                   "USL compile/activate/query (governed view)"),
         QuerySpec("catalog_dq_run", catalog_dq_run, CATALOG_DQ_ORACLE,

@@ -556,6 +556,44 @@ def iceberg_files(spark: SparkSession, table_path: str,
     return spark.createDataFrame(rows, schema)
 
 
+def iceberg_partitions(spark: SparkSession, table_path: str,
+                       snapshot_id: Optional[int] = None) -> DataFrame:
+    """The Iceberg `partitions` metadata table (the planner-visible
+    subset: partition tuple rendered per column, record_count,
+    file_count, total_data_file_size_in_bytes) — the skew/size audit
+    surface: at 100 TB the FIRST question about a slow scan is "which
+    partitions are fat", answered here from manifests alone."""
+    meta = load_metadata(table_path)
+    snap = select_snapshot(meta, snapshot_id)
+    agg: dict = {}
+    for mrec in ac.iter_records(_local(snap["manifest-list"])):
+        for entry in ac.iter_records(_local(mrec["manifest_path"])):
+            if entry.get("status") == _STATUS_DELETED:
+                continue
+            d = entry["data_file"]
+            if int(d.get("content", _CONTENT_DATA)
+                   or _CONTENT_DATA) != _CONTENT_DATA:
+                continue
+            pv = d.get("partition") or {}
+            key = tuple(sorted((k, None if v is None else str(v))
+                               for k, v in pv.items()))
+            cur = agg.setdefault(key, [0, 0, 0])
+            cur[0] += int(d.get("record_count") or 0)
+            cur[1] += 1
+            cur[2] += int(d.get("file_size_in_bytes") or 0)
+    rows = [(dict(k) or None, rc, fc, sz)
+            for k, (rc, fc, sz) in sorted(agg.items())]
+    schema = T.StructType([
+        T.StructField("partition",
+                      T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("record_count", T.LongType(), False),
+        T.StructField("file_count", T.IntegerType(), False),
+        T.StructField("total_data_file_size_in_bytes",
+                      T.LongType(), False),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
 def list_iceberg_tables(base_path: str) -> list[str]:
     """Directories under base_path that carry Iceberg metadata."""
     if not os.path.isdir(base_path):

@@ -1634,6 +1634,153 @@ def test_iceberg_metadata_tables_sql(spark, iceberg_table, tmp_path):
         {"d1.parquet", "d2.parquet"}
 
 
+def test_delta_change_data_feed(spark, tmp_path):
+    """Change Data Feed read (`table_changes`): cdc actions are the
+    complete per-commit change set when present (co-committed
+    add/remove ignored); commits without cdc derive inserts from
+    dataChange adds and deletes from dataChange removes; disabled CDF
+    / cleaned logs / DV commits raise instead of under-reporting
+    changes."""
+    from lightning_metastore_spark.sources.delta_reader import (
+        table_changes,
+    )
+
+    path = str(tmp_path / "cdf")
+    write_delta(_delta_df(spark, 0, 4), path, mode="error")      # v0
+    with pytest.raises(DeltaLogError, match="enableChangeDataFeed"):
+        table_changes(spark, path)
+    snap0 = resolve_snapshot(spark, path)
+    _append_commit(path, 1, [{"metaData": {                      # v1
+        "id": "cdf", "format": {"provider": "parquet", "options": {}},
+        "schemaString": snap0.schema.json(), "partitionColumns": [],
+        "configuration": {"delta.enableChangeDataFeed": "true"},
+        "createdTime": 0}}])
+    write_delta(_delta_df(spark, 4, 6), path, mode="append")     # v2
+
+    ch = table_changes(spark, path).collect()
+    assert {r._change_type for r in ch} == {"insert"}
+    assert sorted(r.id for r in ch) == list(range(6))
+    assert {r._commit_version for r in ch} == {0, 2}
+    assert all(r._commit_timestamp is not None for r in ch)
+    # bounded range
+    ch2 = table_changes(spark, path, starting_version=2)
+    assert sorted(r.id for r in ch2.collect()) == [4, 5]
+
+    # v3: a cdc commit — updates described ONLY by the cdc file; the
+    # co-committed add/remove must be ignored for CDF purposes
+    cdir = os.path.join(path, "_change_data")
+    os.makedirs(cdir, exist_ok=True)
+    stage = os.path.join(str(tmp_path), "cdcstage")
+    (spark.createDataFrame(
+        [(0, "0", 0, "update_preimage"), (0, "0", 99, "update_postimage")],
+        "id long, s string, v long, _change_type string")
+     .coalesce(1).write.mode("overwrite").parquet(stage))
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.replace(os.path.join(stage, part),
+               os.path.join(cdir, "cdc-0.parquet"))
+    some_add = resolve_snapshot(spark, path).files[0][0]
+    _append_commit(path, 3, [
+        {"commitInfo": {"timestamp": 1700000000000,
+                        "operation": "UPDATE"}},
+        {"cdc": {"path": "_change_data/cdc-0.parquet",
+                 "partitionValues": {}, "size": 1, "dataChange": False}},
+        {"remove": {"path": some_add, "deletionTimestamp": 0,
+                    "dataChange": True}},
+        {"add": {"path": some_add, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    ch3 = table_changes(spark, path, starting_version=3).collect()
+    assert sorted(r._change_type for r in ch3) == \
+        ["update_postimage", "update_preimage"]
+    assert {r._commit_version for r in ch3} == {3}
+
+    # v4: a remove-only commit derives deletes by re-reading the
+    # still-present removed file
+    snap = resolve_snapshot(spark, path)
+    rel, n_in_file = next(
+        (r, n) for r, _pv in snap.files
+        for n in [spark.read.parquet(os.path.join(path, r)).count()]
+        if n > 0)
+    _append_commit(path, 4, [
+        {"remove": {"path": rel, "deletionTimestamp": 0,
+                    "dataChange": True}}])
+    ch4 = table_changes(spark, path, starting_version=4).collect()
+    assert len(ch4) == n_in_file
+    assert {r._change_type for r in ch4} == {"delete"}
+
+    # cleaned log in range -> raise, never a silent gap
+    os.remove(os.path.join(path, "_delta_log", f"{0:020d}.json"))
+    with pytest.raises(DeltaLogError, match="log cleaned"):
+        table_changes(spark, path)
+    assert len(table_changes(spark, path,
+                             starting_version=2).collect()) > 0
+
+
+def test_delta_changes_sql_surface(spark, tmp_path):
+    """`.changes` through the SQL catalog surface: full feed, and
+    VERSION AS OF as the starting version (delta-spark's
+    startingVersion)."""
+    base = tmp_path / "cdflake"
+    base.mkdir()
+    path = str(base / "ev")
+    write_delta(_delta_df(spark, 0, 3), path, mode="error")
+    snap0 = resolve_snapshot(spark, path)
+    _append_commit(path, 1, [{"metaData": {
+        "id": "cdf2", "format": {"provider": "parquet", "options": {}},
+        "schemaString": snap0.schema.json(), "partitionColumns": [],
+        "configuration": {"delta.enableChangeDataFeed": "true"},
+        "createdTime": 0}}])
+    write_delta(_delta_df(spark, 3, 5), path, mode="append")
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.delta")
+    ctx.sql(f"REGISTER DELTA DATASOURCE lake OPTIONS(path '{base}') "
+            "NAMESPACE lightning.datasource.delta")
+    rows = ctx.sql(
+        "SELECT id, _change_type, _commit_version FROM "
+        "lightning.datasource.delta.lake.ev.changes "
+        "ORDER BY _commit_version, id").collect()
+    assert [(r.id, r._change_type) for r in rows] == \
+        [(i, "insert") for i in range(5)]
+    tail = ctx.sql(
+        "SELECT id FROM lightning.datasource.delta.lake.ev.changes "
+        "VERSION AS OF 2 ORDER BY id").collect()
+    assert [r.id for r in tail] == [3, 4]
+
+
+def test_iceberg_partitions_metadata_table(spark, tmp_path):
+    """`.partitions` metadata table: per-partition record/file counts
+    and bytes aggregated from manifests alone."""
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        write_iceberg,
+    )
+
+    wh = tmp_path / "pwh"
+    (wh / "db").mkdir(parents=True)
+    path = str(wh / "db" / "t")
+    write_iceberg(spark.createDataFrame(
+        [(i, "a" if i % 3 == 0 else "b") for i in range(30)],
+        "id long, cat string"), path, mode="error",
+        partition_by=["cat"])
+    parts = {tuple(sorted((r.partition or {}).items())): r
+             for r in ir.iceberg_partitions(spark, path).collect()}
+    assert parts[(("cat", "a"),)].record_count == 10
+    assert parts[(("cat", "b"),)].record_count == 20
+    assert all(r.file_count >= 1 for r in parts.values())
+    assert all(r.total_data_file_size_in_bytes > 0
+               for r in parts.values())
+    # SQL surface
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "modelp"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.iceberg")
+    ctx.sql(f"REGISTER ICEBERG DATASOURCE pw OPTIONS(warehouse '{wh}') "
+            "NAMESPACE lightning.datasource.iceberg")
+    rows = ctx.sql(
+        "SELECT partition, record_count FROM "
+        "lightning.datasource.iceberg.pw.db.t.partitions "
+        "ORDER BY record_count").collect()
+    assert [r.record_count for r in rows] == [10, 20]
+
+
 def test_merge_into_delta(spark, tmp_path):
     """MERGE INTO a Delta table offline: the full-outer rewrite's
     overwrite becomes a new log version, so the pre-merge state stays
