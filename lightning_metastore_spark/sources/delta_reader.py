@@ -334,6 +334,7 @@ def resolve_snapshot(spark: SparkSession, path: str,
     meta = None
     protocol: Optional[dict] = None
     dv_desc: dict[str, dict] = {}  # live adds carrying a deletionVector
+    txns: dict[str, int] = {}      # SetTransaction: appId -> version
     ckpt = _checkpoint_at(path, target)
     replay_from = 0
     if ckpt is not None:
@@ -407,6 +408,10 @@ def resolve_snapshot(spark: SparkSession, path: str,
                             "minWriterVersion": pr.get("mwv"),
                             "readerFeatures": list(pr.get("rf") or []),
                             "writerFeatures": list(pr.get("wf") or [])}
+        if "txn" in cp.columns:
+            for r in (cp.where(F.col("txn").isNotNull())
+                        .select("txn.appId", "txn.version").collect()):
+                txns[r["appId"]] = int(r["version"])
     for v, p in commits:
         if v < replay_from or v > target:
             continue
@@ -425,6 +430,8 @@ def resolve_snapshot(spark: SparkSession, path: str,
                 elif "remove" in act:
                     live.pop(act["remove"]["path"], None)
                     dv_desc.pop(act["remove"]["path"], None)
+                elif "txn" in act:
+                    txns[act["txn"]["appId"]] = int(act["txn"]["version"])
                 elif "metaData" in act:
                     m = act["metaData"]
                     meta = {"schemaString": m["schemaString"],
@@ -468,6 +475,7 @@ def resolve_snapshot(spark: SparkSession, path: str,
     snap.protocol = protocol  # carried into checkpoints verbatim
     snap.physical = physical  # logical -> physicalName (name/id mode)
     snap.cm_mode = cm_mode if cm_mode in ("name", "id") else None
+    snap.txns = txns          # latest SetTransaction version per appId
     snap.configuration = dict(meta.get("configuration") or {})
     return snap
 
@@ -969,9 +977,23 @@ def _stage_files(df: DataFrame, path: str, staging: str,
     return moved
 
 
+def last_txn_version(spark: SparkSession, path: str,
+                     app_id: str) -> Optional[int]:
+    """Latest SetTransaction version committed for ``app_id`` (the
+    PROTOCOL's idempotent-writer mechanism), or None for an unknown
+    app / not-yet-a-table path. O(log replay) driver-side metadata."""
+    try:
+        snap = resolve_snapshot(spark, path)
+    except DeltaLogError:
+        return None
+    v = (getattr(snap, "txns", None) or {}).get(app_id)
+    return None if v is None else int(v)
+
+
 def write_delta(df: DataFrame, path: str, mode: str = "append",
                 partition_by: Optional[list[str]] = None,
-                configuration: Optional[dict] = None) -> None:
+                configuration: Optional[dict] = None,
+                txn: Optional[tuple] = None) -> None:
     """Create/append/overwrite a Delta table offline.
 
     ``partition_by`` (create time only) lays data out Hive-style
@@ -983,7 +1005,13 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
     ``configuration`` (create time only) seeds the table's metaData
     configuration — e.g. `delta.enableChangeDataFeed` for
     `table_changes`; writer-gated keys (appendOnly etc.) are honored
-    by subsequent commits the same as on external tables."""
+    by subsequent commits the same as on external tables.
+    ``txn`` = (appId, version) commits a SetTransaction action with
+    the write — the PROTOCOL's idempotent-writer handshake: a
+    streaming sink records its (appId, batchId) so a replayed batch
+    can detect it already committed (`last_txn_version`). The version
+    must be monotonically increasing per appId; a stale version
+    raises instead of silently double-writing."""
     if mode not in ("append", "overwrite", "error", "errorifexists"):
         raise DeltaLogError(f"unsupported save mode: {mode}")
     spark = df.sparkSession
@@ -997,6 +1025,13 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
     snap = None
     if exists:
         snap = resolve_snapshot(spark, path)
+        if txn is not None:
+            prev = (getattr(snap, "txns", None) or {}).get(str(txn[0]))
+            if prev is not None and int(txn[1]) <= int(prev):
+                raise DeltaLogError(
+                    f"stale transaction version {txn[1]} for appId "
+                    f"{txn[0]!r} (latest is {prev}) — the batch already "
+                    f"committed; replaying it would duplicate rows")
         if getattr(snap, "physical", None):
             raise DeltaLogError(
                 f"offline writes to column-mapped tables are not "
@@ -1058,6 +1093,10 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
                 actions.append({"remove": {"path": rel,
                                            "deletionTimestamp": now_ms,
                                            "dataChange": True}})
+    if txn is not None:
+        actions.append({"txn": {"appId": str(txn[0]),
+                                "version": int(txn[1]),
+                                "lastUpdated": now_ms}})
     for rel, size, pv in moved:
         actions.append({"add": {"path": rel.replace(os.sep, "/"),
                                 "partitionValues": pv,
@@ -1422,10 +1461,15 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
         T.StructField("readerFeatures", T.ArrayType(T.StringType())),
         T.StructField("writerFeatures", T.ArrayType(T.StringType())),
     ])
+    txn_type = T.StructType([
+        T.StructField("appId", T.StringType()),
+        T.StructField("version", T.LongType()),
+    ])
     ckpt_schema = T.StructType([
         T.StructField("add", add_type),
         T.StructField("metaData", meta_type),
         T.StructField("protocol", proto_type),
+        T.StructField("txn", txn_type),
     ])
     proto = getattr(snap, "protocol", None) or {}
     proto_row = {
@@ -1443,9 +1487,16 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
           "partitionColumns": snap.partition_columns,
           "configuration": getattr(snap, "configuration", None) or {},
           "createdTime": 0},
-         None),
-        (None, None, proto_row),
+         None, None),
+        (None, None, proto_row, None),
     ]
+    # latest SetTransaction per appId MUST ride checkpoints (spec) —
+    # dropping them would let a replayed streaming batch double-commit
+    # after log cleanup
+    for app_id, v in sorted(
+            (getattr(snap, "txns", None) or {}).items()):
+        rows.append((None, None, None,
+                     {"appId": app_id, "version": int(v)}))
     for rel, pv in snap.files:
         dv = snap.dv.get(rel)
         if dv is not None:
@@ -1460,7 +1511,7 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
         rows.append(({"path": rel, "partitionValues": pv, "size": 0,
                       "modificationTime": 0, "dataChange": False,
                       "deletionVector": dv},
-                     None, None))
+                     None, None, None))
     cp = spark.createDataFrame(rows, ckpt_schema).coalesce(1)
     d = _log_dir(path)
     staging = os.path.join(d, ".ckpt-staging")

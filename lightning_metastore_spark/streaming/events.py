@@ -200,6 +200,38 @@ def start_idempotent_parquet_sink(stream_df: DataFrame, path: str,
             .start())
 
 
+def start_exactly_once_delta_sink(stream_df: DataFrame, path: str,
+                                  checkpoint: str,
+                                  app_id: str = "lightning-stream"):
+    """Exactly-once DELTA sink via the protocol's SetTransaction
+    handshake — the mechanism real Delta streaming sinks use instead
+    of per-batch directory tricks. Each micro-batch appends through
+    the offline writer with txn=(app_id, batch_id); a replayed batch
+    (foreachBatch is at-least-once) finds its batch id already
+    recorded in the log (`last_txn_version`) and SKIPS the commit, so
+    rows never duplicate, and the guard survives log compaction
+    because checkpoints carry the latest txn per appId. At 100 TB
+    this is how continuous ingest lands in the lakehouse without a
+    dedup pass: idempotent commits + the stream checkpoint's offset
+    tracking give end-to-end exactly-once.
+
+    Returns the StreamingQuery handle; the caller owns stop()."""
+    from lightning_metastore_spark.sources import delta_reader as dr
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        last = dr.last_txn_version(spark, path, app_id)
+        if last is not None and last >= int(batch_id):
+            return  # replay of an already-committed batch
+        dr.write_delta(batch_df, path, mode="append",
+                       txn=(app_id, int(batch_id)))
+
+    return (stream_df.writeStream
+            .foreachBatch(_write_batch)
+            .option("checkpointLocation", checkpoint)
+            .start())
+
+
 def start_memory_stream(stream_df: DataFrame, query_name: str,
                         output_mode: str = "update"):
     """Start (without draining) a memory-sink query; returns the handle.

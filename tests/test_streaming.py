@@ -189,6 +189,56 @@ def test_idempotent_parquet_sink_exactly_once(spark, events_dir, tmp_path):
     assert ids == expected
 
 
+def test_exactly_once_delta_sink(spark, events_dir, tmp_path):
+    """SetTransaction-guarded Delta sink: drain then RESTART from the
+    same checkpoint (no duplicates); a stale-batch replay is refused
+    by the txn guard; and the guard survives checkpoint compaction +
+    log cleanup — the spec requires the latest txn per appId to ride
+    checkpoints."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from lightning_metastore_spark.sources import delta_reader as dr
+
+    out = str(tmp_path / "dsink")
+    ckpt = str(tmp_path / "dckpt")
+
+    def drain():
+        stream = sev.read_event_stream(spark, events_dir)
+        q = sev.start_exactly_once_delta_sink(
+            stream.select("event_id", "ts", "user_id"), out, ckpt,
+            app_id="app1")
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    expected = load_tables(spark, SF_DIR, ("events",))["events"].count()
+    assert dr.read_delta(spark, out).count() == expected
+    drain()   # restart on the same checkpoint: nothing new, no dups
+    assert dr.read_delta(spark, out).count() == expected
+    assert dr.read_delta(spark, out).select("event_id") \
+        .distinct().count() == expected
+
+    last = dr.last_txn_version(spark, out, "app1")
+    assert last is not None and last >= 0
+    assert dr.last_txn_version(spark, out, "unknown-app") is None
+
+    # a replayed (stale) batch id must refuse to double-commit
+    df1 = dr.read_delta(spark, out).limit(1)
+    with _pytest.raises(dr.DeltaLogError, match="stale transaction"):
+        dr.write_delta(df1, out, mode="append", txn=("app1", last))
+
+    # txn guard survives checkpoint compaction + log cleanup
+    dr.write_checkpoint(spark, out)
+    log = _os.path.join(out, "_delta_log")
+    for f in _os.listdir(log):
+        if f.endswith(".json"):
+            _os.remove(_os.path.join(log, f))
+    assert dr.last_txn_version(spark, out, "app1") == last
+    assert dr.read_delta(spark, out).count() == expected
+
+
 def test_multimodal_resize_real_and_stub(spark):
     from lightning_metastore_spark.sources import codecs, multimodal as mm
     from tests.test_codecs import gradient_rows
