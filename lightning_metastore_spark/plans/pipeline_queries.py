@@ -92,6 +92,41 @@ def catalog_federated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     for tbl in (dtbl, itbl):
         ctx.sql(ins_lo.format(tbl=tbl))
         ctx.sql(ins_hi.format(tbl=tbl))
+    # r14: a Change Data Feed arm in the same gate — a CDF-enabled
+    # twin of the prio table takes the same two commits through the
+    # offline writer, and the `.changes` suffix table replays them as
+    # row-level inserts; change type + commit version are encoded in
+    # the arm name so the one hashed result verifies the feed.
+    # `_commit_timestamp` is wall-clock and stays out of the gate.
+    import os
+    import tempfile as _tf
+
+    from lightning_metastore_spark.sources import delta_reader as _dr
+
+    cdf_lake = _tf.mkdtemp(prefix="lightning-cdf-gate-")
+    cdf_path = os.path.join(cdf_lake, "prio")
+    _dr.write_delta(
+        ctx.sql("""SELECT DISTINCT o_orderpriority AS prio
+            FROM lightning.datasource.file.tpch.orders
+            WHERE o_orderpriority < '3'"""),
+        cdf_path, mode="error",
+        configuration={"delta.enableChangeDataFeed": "true"})
+    _dr.write_delta(
+        ctx.sql("""SELECT DISTINCT o_orderpriority AS prio
+            FROM lightning.datasource.file.tpch.orders
+            WHERE o_orderpriority >= '3' AND o_orderpriority < '4'"""),
+        cdf_path, mode="append")
+    ctx.sql(f"REGISTER OR REPLACE DELTA DATASOURCE cdflake "
+            f"OPTIONS(path '{cdf_lake}') "
+            f"NAMESPACE lightning.datasource.delta")
+    cdf_sql = """
+        SELECT 'cdf_' || _change_type || '_'
+                 || CAST(_commit_version AS STRING) AS arm,
+               prio AS o_orderpriority,
+               CAST(0 AS DOUBLE) AS revenue,
+               CAST(1 AS BIGINT) AS n_items
+        FROM lightning.datasource.delta.cdflake.prio.changes
+    """
     rev = """
         SELECT '{arm}' AS arm, o_orderpriority,
                CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
@@ -109,6 +144,7 @@ def catalog_federated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.format(arm="v0", tbl=dtbl, tt="VERSION AS OF 0"),
         rev.format(arm="ice_current", tbl=itbl, tt=""),
         rev.format(arm="ice_v0", tbl=itbl, tt="VERSION AS OF 1"),
+        cdf_sql,
     ]) + " ORDER BY arm, o_orderpriority")
 
 
@@ -133,60 +169,17 @@ FROM rev WHERE o_orderpriority < '4'
 UNION ALL
 SELECT 'ice_v0' AS arm, o_orderpriority, revenue, n_items
 FROM rev WHERE o_orderpriority < '3'
-ORDER BY arm, o_orderpriority
-"""
-
-
-def catalog_cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Delta Change Data Feed end-to-end through the catalog: a
-    CDF-enabled table gets two commits through the offline writer
-    (`sources/delta_reader.py write_delta`), then the `.changes`
-    suffix table (delta-spark's `table_changes`) streams the per-commit
-    row changes over the SQL surface — the incremental-consumption
-    primitive that lets a 100 TB downstream read only changed rows
-    instead of diffing snapshots. The oracle replays the same two
-    insert sets with literal change metadata; `_commit_timestamp` is
-    wall-clock and stays out of the gate."""
-    import os
-    import tempfile
-
-    from lightning_metastore_spark.sources import delta_reader as dr
-
-    ctx = _ctx(spark, sf_dir)
-    lake = tempfile.mkdtemp(prefix="lightning-cdf-gate-")
-    path = os.path.join(lake, "prio")
-    lo = ctx.sql("""SELECT DISTINCT o_orderpriority AS prio
-        FROM lightning.datasource.file.tpch.orders
-        WHERE o_orderpriority < '3'""")
-    hi = ctx.sql("""SELECT DISTINCT o_orderpriority AS prio
-        FROM lightning.datasource.file.tpch.orders
-        WHERE o_orderpriority >= '3' AND o_orderpriority < '4'""")
-    dr.write_delta(lo, path, mode="error",
-                   configuration={"delta.enableChangeDataFeed": "true"})
-    dr.write_delta(hi, path, mode="append")
-    ctx.sql("CREATE NAMESPACE IF NOT EXISTS lightning.datasource.delta")
-    ctx.sql(f"REGISTER OR REPLACE DELTA DATASOURCE cdflake "
-            f"OPTIONS(path '{lake}') "
-            f"NAMESPACE lightning.datasource.delta")
-    return ctx.sql("""
-        SELECT prio, _change_type AS change_type,
-               _commit_version AS commit_version
-        FROM lightning.datasource.delta.cdflake.prio.changes
-        ORDER BY commit_version, prio
-    """)
-
-
-CATALOG_CDF_ORACLE = """
-SELECT prio, 'insert' AS change_type,
-       CAST(0 AS BIGINT) AS commit_version
-FROM (SELECT DISTINCT o_orderpriority AS prio FROM orders
+UNION ALL
+SELECT 'cdf_insert_0' AS arm, o_orderpriority,
+       CAST(0 AS DOUBLE) AS revenue, CAST(1 AS BIGINT) AS n_items
+FROM (SELECT DISTINCT o_orderpriority FROM orders
       WHERE o_orderpriority < '3')
 UNION ALL
-SELECT prio, 'insert' AS change_type,
-       CAST(1 AS BIGINT) AS commit_version
-FROM (SELECT DISTINCT o_orderpriority AS prio FROM orders
+SELECT 'cdf_insert_1' AS arm, o_orderpriority,
+       CAST(0 AS DOUBLE) AS revenue, CAST(1 AS BIGINT) AS n_items
+FROM (SELECT DISTINCT o_orderpriority FROM orders
       WHERE o_orderpriority >= '3' AND o_orderpriority < '4')
-ORDER BY commit_version, prio
+ORDER BY arm, o_orderpriority
 """
 
 
@@ -4672,10 +4665,6 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "federation: REGISTER -> offline Delta AND Iceberg "
                   "write/versioning -> resolver time-travel rewrite "
                   "-> spark.sql"),
-        QuerySpec("catalog_cdf_changes", catalog_cdf_changes,
-                  CATALOG_CDF_ORACLE,
-                  "Delta Change Data Feed: offline CDF-enabled writes "
-                  "-> .changes suffix table over SQL"),
         QuerySpec("catalog_usl_view", catalog_usl_view, CATALOG_USL_ORACLE,
                   "USL compile/activate/query (governed view)"),
         QuerySpec("catalog_dq_run", catalog_dq_run, CATALOG_DQ_ORACLE,

@@ -30,9 +30,12 @@ spec's `partition` tuple plus per-manifest-list field summaries
 binary serialization) — the metadata a real planner prunes on.
 Appends/overwrites inherit the table's partitioning; non-identity
 transforms in an external table's spec are refused. Schema is
-translated from the DataFrame with field ids assigned 1..n at create;
-appends align by position and cast to the table schema (Spark INSERT
-semantics, same as the Delta writer).
+translated from the DataFrame recursively (structs/lists/maps
+included) with top-level field ids 1..n and nested ids following, the
+fresh-catalog assignment; appends align by position and cast to the
+table schema (Spark INSERT semantics, same as the Delta writer).
+Per-column manifest metrics cover top-level primitive leaves; nested
+leaves carry no bounds, which readers must treat as unknowable.
 """
 
 from __future__ import annotations
@@ -306,20 +309,52 @@ def _field_summaries(entries: list[dict], partition_by: list[str],
 
 
 def _iceberg_schema_json(spark_schema) -> dict:
-    fields = []
-    for i, f in enumerate(spark_schema.fields, start=1):
-        tn = f.dataType.typeName()
+    """Spark schema -> Iceberg schema JSON with spec-unique field ids
+    assigned depth-first (top-level fields first, then nested — the
+    id layout real catalogs produce for a fresh table). Nested
+    structs, lists, and maps translate recursively; the reader's
+    `to_spark_type` is the exact inverse."""
+    from pyspark.sql import types as T
+
+    counter = {"next": len(spark_schema.fields) + 1}
+
+    def _alloc() -> int:
+        i = counter["next"]
+        counter["next"] += 1
+        return i
+
+    def _type(dt):
+        tn = dt.typeName()
         if tn in _ICE_PRIM:
-            itype = _ICE_PRIM[tn]
-        elif tn == "decimal":
-            itype = f"decimal({f.dataType.precision}, {f.dataType.scale})"
-        else:
-            raise ir.IcebergError(
-                f"offline Iceberg writes support flat primitive schemas; "
-                f"column {f.name} has type {tn}")
-        fields.append({"id": i, "name": f.name,
-                       "required": not f.nullable, "type": itype})
-    return {"type": "struct", "schema-id": 0, "fields": fields}
+            return _ICE_PRIM[tn]
+        if tn == "decimal":
+            return f"decimal({dt.precision}, {dt.scale})"
+        if isinstance(dt, T.StructType):
+            return {"type": "struct", "fields": [
+                {"id": _alloc(), "name": f.name,
+                 "required": not f.nullable, "type": _type(f.dataType)}
+                for f in dt.fields]}
+        if isinstance(dt, T.ArrayType):
+            return {"type": "list", "element-id": _alloc(),
+                    "element": _type(dt.elementType),
+                    "element-required": not dt.containsNull}
+        if isinstance(dt, T.MapType):
+            return {"type": "map", "key-id": _alloc(),
+                    "key": _type(dt.keyType), "value-id": _alloc(),
+                    "value": _type(dt.valueType),
+                    "value-required": not dt.valueContainsNull}
+        raise ir.IcebergError(
+            f"offline Iceberg writes cannot translate type {tn}")
+
+    fields = [{"id": i, "name": f.name, "required": not f.nullable}
+              for i, f in enumerate(spark_schema.fields, start=1)]
+    # two passes so TOP-LEVEL ids stay 1..n (the manifest-metrics field
+    # ids) and nested ids follow, like a fresh catalog assignment
+    for f, out in zip(spark_schema.fields, fields):
+        out["type"] = _type(f.dataType)
+    schema = {"type": "struct", "schema-id": 0, "fields": fields}
+    schema["last-column-id"] = counter["next"] - 1
+    return schema
 
 
 def _stage_data_files(df: DataFrame, table_path: str, ddir: str,
@@ -453,6 +488,7 @@ def write_iceberg(df: DataFrame, table_path: str,
     else:
         partition_by = list(partition_by or [])
         schema_json = _iceberg_schema_json(df.schema)
+        last_col_id = schema_json.pop("last-column-id")
         name_to_id = {f["name"]: f["id"] for f in schema_json["fields"]}
         spark_types_all = {f.name: f.dataType for f in df.schema.fields}
         spec_fields = []
@@ -474,7 +510,7 @@ def write_iceberg(df: DataFrame, table_path: str,
             "location": table_path,
             "last-sequence-number": 0,
             "last-updated-ms": now_ms,
-            "last-column-id": len(df.columns),
+            "last-column-id": last_col_id,
             "current-schema-id": 0,
             "schemas": [schema_json],
             "default-spec-id": 0,

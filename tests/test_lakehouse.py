@@ -1074,6 +1074,66 @@ def test_iceberg_column_bounds_and_pruning(spark, tmp_path):
     assert (spark.read.parquet(*c4).where("id = 6").count()) == 1
 
 
+def test_iceberg_nested_schema_write_roundtrip(spark, tmp_path):
+    """Offline Iceberg CTAS of NESTED data: struct / array-of-struct /
+    map columns translate to spec schema JSON recursively (unique
+    field ids, last-column-id covers nested), read back exactly via
+    the reader's inverse translation, append + time travel work, and
+    top-level primitive metrics still prune."""
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "nested")
+    df = spark.createDataFrame(
+        [(1, (10, "a"), [(100, "x")], {"k1": 1}),
+         (2, (20, "b"), [(200, "y"), (201, "z")], {"k2": 2})],
+        "id long, s struct<x:long,y:string>, "
+        "tags array<struct<z:long,w:string>>, m map<string,int>")
+    write_iceberg(df, path, mode="error")
+
+    meta = ir.load_metadata(path)
+    sch = meta["schemas"][0]
+    ids: list[int] = []
+
+    def _walk(t):
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                for f in t["fields"]:
+                    ids.append(f["id"])
+                    _walk(f["type"])
+            elif t.get("type") == "list":
+                ids.append(t["element-id"])
+                _walk(t["element"])
+            elif t.get("type") == "map":
+                ids.append(t["key-id"])
+                ids.append(t["value-id"])
+                _walk(t["key"])
+                _walk(t["value"])
+    _walk(sch)
+    assert len(ids) == len(set(ids))                 # spec-unique ids
+    assert meta["last-column-id"] == max(ids)
+    assert [f["id"] for f in sch["fields"]] == [1, 2, 3, 4]
+
+    back = ir.read_iceberg(spark, path)
+    assert back.schema == df.schema
+    rows = sorted((r.id, r.s.x, r.s.y, [(t.z, t.w) for t in r.tags],
+                   dict(r.m)) for r in back.collect())
+    assert rows == [(1, 10, "a", [(100, "x")], {"k1": 1}),
+                    (2, 20, "b", [(200, "y"), (201, "z")], {"k2": 2})]
+
+    write_iceberg(spark.createDataFrame(
+        [(3, (30, "c"), [], {})], df.schema), path, mode="append")
+    assert ir.read_iceberg(spark, path).count() == 3
+    assert ir.read_iceberg(spark, path, snapshot_id=1).count() == 2
+
+    # top-level primitive metrics still present; id prunes
+    c, s = ir.prune_data_files(path, "id", "=", 3)
+    assert s and len(c) >= 1
+    assert (spark.read.parquet(*c).where("id = 3").count()) == 1
+
+
 def test_iceberg_format_v3_rejected(spark, iceberg_table):
     """format-version 3 (deletion vectors / row lineage) must raise up
     front rather than risk reading deleted rows as live."""
