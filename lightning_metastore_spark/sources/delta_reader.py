@@ -385,13 +385,16 @@ def resolve_snapshot(spark: SparkSession, path: str,
         msel = ["metaData.schemaString", "metaData.partitionColumns"]
         if "configuration" in meta_fields:
             msel.append("metaData.configuration")
+        if "id" in meta_fields:
+            msel.append("metaData.id")
         metas = (cp.where(F.col("metaData").isNotNull())
                    .select(*msel).collect())
         if metas:
             md = metas[0].asDict()
             meta = {"schemaString": md["schemaString"],
                     "partitionColumns": list(md["partitionColumns"] or []),
-                    "configuration": dict(md.get("configuration") or {})}
+                    "configuration": dict(md.get("configuration") or {}),
+                    "id": md.get("id")}
         if "protocol" in cp.columns:
             pf = {f.name for f in cp.schema["protocol"].dataType.fields}
             psel = [F.col("protocol.minReaderVersion").alias("mrv")]
@@ -438,7 +441,8 @@ def resolve_snapshot(spark: SparkSession, path: str,
                             "partitionColumns": list(
                                 m.get("partitionColumns") or []),
                             "configuration": dict(
-                                m.get("configuration") or {})}
+                                m.get("configuration") or {}),
+                            "id": m.get("id")}
                 elif "protocol" in act:
                     protocol = act["protocol"]
     if meta is None:
@@ -476,6 +480,7 @@ def resolve_snapshot(spark: SparkSession, path: str,
     snap.physical = physical  # logical -> physicalName (name/id mode)
     snap.cm_mode = cm_mode if cm_mode in ("name", "id") else None
     snap.txns = txns          # latest SetTransaction version per appId
+    snap.meta_id = meta.get("id")  # table id, stable across evolution
     snap.configuration = dict(meta.get("configuration") or {})
     return snap
 
@@ -993,7 +998,8 @@ def last_txn_version(spark: SparkSession, path: str,
 def write_delta(df: DataFrame, path: str, mode: str = "append",
                 partition_by: Optional[list[str]] = None,
                 configuration: Optional[dict] = None,
-                txn: Optional[tuple] = None) -> None:
+                txn: Optional[tuple] = None,
+                merge_schema: bool = False) -> None:
     """Create/append/overwrite a Delta table offline.
 
     ``partition_by`` (create time only) lays data out Hive-style
@@ -1011,7 +1017,14 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
     streaming sink records its (appId, batchId) so a replayed batch
     can detect it already committed (`last_txn_version`). The version
     must be monotonically increasing per appId; a stale version
-    raises instead of silently double-writing."""
+    raises instead of silently double-writing.
+    ``merge_schema`` (delta-spark's mergeSchema): align by NAME, let
+    NEW columns extend the table schema via a metaData action in the
+    same commit — old files null-fill the new columns at read (the
+    parquet scan's missing-column contract), the df null-fills table
+    columns it lacks, and pre-evolution versions keep their own
+    schema under time travel. Same-name columns cast to the table's
+    type; partition columns cannot be dropped."""
     if mode not in ("append", "overwrite", "error", "errorifexists"):
         raise DeltaLogError(f"unsupported save mode: {mode}")
     spark = df.sparkSession
@@ -1023,6 +1036,7 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
     now_ms = int(time.time() * 1000)
 
     snap = None
+    evolved = False
     if exists:
         snap = resolve_snapshot(spark, path)
         if txn is not None:
@@ -1044,20 +1058,41 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
                 f"partition_by {list(partition_by)} does not match the "
                 f"table's partition columns {snap.partition_columns}")
         partition_by = snap.partition_columns
-        # INSERT semantics for append AND overwrite: align by position
-        # and cast to the table schema (Spark's own InsertIntoStatement
-        # behavior). Overwrite must align too — the data files it
-        # commits are described by the log's existing schemaString, and
-        # mismatched columns would be silently null-filled on read
-        # (delta-spark rejects this without overwriteSchema). A width
-        # mismatch is the real user error either way.
-        if len(df.columns) != len(snap.schema.fields):
-            raise DeltaLogError(
-                f"{mode} width mismatch: {len(df.columns)} columns "
-                f"vs table's {len(snap.schema.fields)}")
-        df = df.select(*[
-            F.col(c).cast(f.dataType).alias(f.name)
-            for c, f in zip(df.columns, snap.schema.fields)])
+        if merge_schema:
+            # mergeSchema: align by NAME; new df columns extend the
+            # table schema (committed as a metaData action below),
+            # missing table columns null-fill
+            by_name = {f.name: f for f in snap.schema.fields}
+            new_fields = [
+                T.StructField(c, df.schema[c].dataType, True)
+                for c in df.columns if c not in by_name]
+            evolved_schema = T.StructType(
+                list(snap.schema.fields) + new_fields)
+            df = df.select(*[
+                (F.col(f.name).cast(f.dataType)
+                 if f.name in df.columns
+                 else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in evolved_schema.fields])
+            if new_fields:
+                snap.schema = evolved_schema
+                evolved = True
+        else:
+            # INSERT semantics for append AND overwrite: align by
+            # position and cast to the table schema (Spark's own
+            # InsertIntoStatement behavior). Overwrite must align too
+            # — the data files it commits are described by the log's
+            # existing schemaString, and mismatched columns would be
+            # silently null-filled on read (delta-spark rejects this
+            # without overwriteSchema). A width mismatch is the real
+            # user error either way.
+            if len(df.columns) != len(snap.schema.fields):
+                raise DeltaLogError(
+                    f"{mode} width mismatch: {len(df.columns)} columns "
+                    f"vs table's {len(snap.schema.fields)} (pass "
+                    f"merge_schema=True to evolve)")
+            df = df.select(*[
+                F.col(c).cast(f.dataType).alias(f.name)
+                for c, f in zip(df.columns, snap.schema.fields)])
     partition_by = list(partition_by or [])
     missing = [c for c in partition_by if c not in df.columns]
     if missing:
@@ -1088,6 +1123,21 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
             "createdTime": now_ms}})
     else:
         version = snap.version + 1
+        if evolved:
+            import hashlib
+
+            # schema evolution rides the SAME commit as the data it
+            # admits — the spec's metaData-replaces-metaData rule;
+            # table id and configuration stay stable
+            actions.append({"metaData": {
+                "id": (getattr(snap, "meta_id", None)
+                       or hashlib.md5(path.encode()).hexdigest()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.schema.json(),
+                "partitionColumns": snap.partition_columns,
+                "configuration": getattr(snap, "configuration", None)
+                or {},
+                "createdTime": now_ms}})
         if mode == "overwrite":
             for rel, _pv in snap.files:
                 actions.append({"remove": {"path": rel,
@@ -1482,7 +1532,8 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     }
     rows: list[tuple] = [
         (None,
-         {"id": "ckpt", "format": {"provider": "parquet", "options": {}},
+         {"id": getattr(snap, "meta_id", None) or "ckpt",
+          "format": {"provider": "parquet", "options": {}},
           "schemaString": snap.schema.json(),
           "partitionColumns": snap.partition_columns,
           "configuration": getattr(snap, "configuration", None) or {},

@@ -1134,6 +1134,41 @@ def test_iceberg_nested_schema_write_roundtrip(spark, tmp_path):
     assert (spark.read.parquet(*c).where("id = 3").count()) == 1
 
 
+def test_iceberg_incremental_scan(spark, tmp_path):
+    """Incremental append scan (the Delta CDF twin): rows added after
+    a snapshot, tagged per snapshot; bounded ranges; non-append
+    snapshots in range raise instead of mis-deriving changes."""
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        delete_where_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "inc")
+    for lo, hi, mode in ((0, 3, "error"), (3, 5, "append"),
+                         (5, 6, "append")):
+        write_iceberg(spark.range(lo, hi).selectExpr("id"), path, mode)
+
+    inc = ir.iceberg_incremental(spark, path, 1).collect()
+    assert sorted((r.id, r._snapshot_id) for r in inc) == \
+        [(3, 2), (4, 2), (5, 3)]
+    inc12 = ir.iceberg_incremental(spark, path, 1, 2).collect()
+    assert sorted(r.id for r in inc12) == [3, 4]
+    assert ir.iceberg_incremental(spark, path, 3).collect() == []
+
+    with pytest.raises(ir.IcebergError, match="unknown from_snapshot"):
+        ir.iceberg_incremental(spark, path, 99)
+
+    # a delete snapshot inside the range is not derivable from appends
+    assert delete_where_iceberg(spark, path, "id = 4") == 1
+    with pytest.raises(ir.IcebergError, match="'delete'"):
+        ir.iceberg_incremental(spark, path, 1)
+    # but the append-only prefix still reads
+    assert sorted(r.id for r in
+                  ir.iceberg_incremental(spark, path, 1, 3).collect()) \
+        == [3, 4, 5]
+
+
 def test_iceberg_format_v3_rejected(spark, iceberg_table):
     """format-version 3 (deletion vectors / row lineage) must raise up
     front rather than risk reading deleted rows as live."""
@@ -1692,6 +1727,50 @@ def test_iceberg_metadata_tables_sql(spark, iceberg_table, tmp_path):
     assert all(r.record_count == 2 for r in files)
     assert {os.path.basename(r.file_path) for r in files} == \
         {"d1.parquet", "d2.parquet"}
+
+
+def test_delta_merge_schema_evolution(spark, tmp_path):
+    """mergeSchema append: new columns extend the table schema in the
+    SAME commit as the data; old files null-fill the new column, the
+    evolving df null-fills columns it lacks, pre-evolution versions
+    keep their own schema under time travel, and the evolved schema
+    survives checkpoint compaction. Without merge_schema a width
+    mismatch still raises."""
+    path = str(tmp_path / "evo")
+    write_delta(spark.createDataFrame([(1, "a"), (2, "b")],
+                                      "id long, name string"),
+                path, mode="error")
+    with pytest.raises(DeltaLogError, match="width mismatch"):
+        write_delta(spark.createDataFrame([(3, "c", 1.5)],
+                                          "id long, name string, "
+                                          "score double"),
+                    path, mode="append")
+    write_delta(spark.createDataFrame([(3, "c", 1.5)],
+                                      "id long, name string, "
+                                      "score double"),
+                path, mode="append", merge_schema=True)
+    out = read_delta(spark, path)
+    assert out.columns == ["id", "name", "score"]
+    rows = sorted((r.id, r.name, r.score) for r in out.collect())
+    assert rows == [(1, "a", None), (2, "b", None), (3, "c", 1.5)]
+    # pre-evolution version keeps the 2-column schema
+    v0 = read_delta(spark, path, version_as_of=0)
+    assert v0.columns == ["id", "name"]
+    assert v0.count() == 2
+    # a by-name append missing 'name' null-fills it
+    write_delta(spark.createDataFrame([(4, 2.5)], "id long, score double"),
+                path, mode="append", merge_schema=True)
+    r4 = read_delta(spark, path).where("id = 4").collect()[0]
+    assert (r4.name, r4.score) == (None, 2.5)
+    # evolution survives checkpoint compaction + log cleanup
+    write_checkpoint(spark, path)
+    log = os.path.join(path, "_delta_log")
+    for f in os.listdir(log):
+        if f.endswith(".json"):
+            os.remove(os.path.join(log, f))
+    out2 = read_delta(spark, path)
+    assert out2.columns == ["id", "name", "score"]
+    assert out2.count() == 4
 
 
 def test_delta_change_data_feed(spark, tmp_path):
