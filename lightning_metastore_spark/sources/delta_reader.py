@@ -175,6 +175,18 @@ def _check_writer_protocol(snap: "DeltaSnapshot", path: str, *,
         raise DeltaLogError(
             f"Delta table {path} is append-only (delta.appendOnly): "
             f"operations that remove data are not allowed")
+    if data_change_removes and str(
+            conf.get("delta.enableChangeDataFeed", "")).lower() == "true":
+        # the spec's CDF writer requirement: delete/overwrite commits
+        # on a CDF table must write cdc files; this offline writer
+        # does not emit them, and a derived feed over our remove+add
+        # commits would double-count survivor rows (or be unreadable
+        # on partitioned tables) — refuse rather than corrupt the feed
+        raise DeltaLogError(
+            f"Delta table {path} has Change Data Feed enabled: "
+            f"delete/overwrite requires cdc file emission, which this "
+            f"offline writer does not support (appends are fine — "
+            f"they derive as inserts)")
     if adds_data:
         bad = [f.name for f in snap.schema.fields
                if (f.metadata or {}).get("delta.invariants")]
@@ -387,6 +399,8 @@ def resolve_snapshot(spark: SparkSession, path: str,
             msel.append("metaData.configuration")
         if "id" in meta_fields:
             msel.append("metaData.id")
+        if "createdTime" in meta_fields:
+            msel.append("metaData.createdTime")
         metas = (cp.where(F.col("metaData").isNotNull())
                    .select(*msel).collect())
         if metas:
@@ -394,7 +408,8 @@ def resolve_snapshot(spark: SparkSession, path: str,
             meta = {"schemaString": md["schemaString"],
                     "partitionColumns": list(md["partitionColumns"] or []),
                     "configuration": dict(md.get("configuration") or {}),
-                    "id": md.get("id")}
+                    "id": md.get("id"),
+                    "createdTime": md.get("createdTime")}
         if "protocol" in cp.columns:
             pf = {f.name for f in cp.schema["protocol"].dataType.fields}
             psel = [F.col("protocol.minReaderVersion").alias("mrv")]
@@ -442,7 +457,8 @@ def resolve_snapshot(spark: SparkSession, path: str,
                                 m.get("partitionColumns") or []),
                             "configuration": dict(
                                 m.get("configuration") or {}),
-                            "id": m.get("id")}
+                            "id": m.get("id"),
+                            "createdTime": m.get("createdTime")}
                 elif "protocol" in act:
                     protocol = act["protocol"]
     if meta is None:
@@ -481,6 +497,7 @@ def resolve_snapshot(spark: SparkSession, path: str,
     snap.cm_mode = cm_mode if cm_mode in ("name", "id") else None
     snap.txns = txns          # latest SetTransaction version per appId
     snap.meta_id = meta.get("id")  # table id, stable across evolution
+    snap.created_time = meta.get("createdTime")
     snap.configuration = dict(meta.get("configuration") or {})
     return snap
 
@@ -860,9 +877,32 @@ def table_changes(spark: SparkSession, path: str,
                             .cast("timestamp"))
                 .select(*out_cols))
 
+    # Deletion-vector awareness: a remove of a DV-carrying file must
+    # NOT derive deletes from the file's full physical rows — the
+    # DV-dead rows were never live, and a consumer applying such a
+    # feed would delete rows that don't exist in its replica. DVs are
+    # only possible when the protocol enables them; when they are, the
+    # per-path DV state is tracked across the range (seeded from the
+    # snapshot just before `start`) so the pre-commit state decides.
+    proto = getattr(snap, "protocol", None) or {}
+    dv_possible = "deletionVectors" in (proto.get("readerFeatures")
+                                        or [])
+    dv_state: dict = {}
+    if dv_possible and start > 0:
+        try:
+            dv_state = dict(
+                resolve_snapshot(spark, path,
+                                 version_as_of=start - 1).dv)
+        except DeltaLogError as e:
+            raise DeltaLogError(
+                f"cannot establish deletion-vector state before "
+                f"version {start} (needed to derive change data "
+                f"soundly): {e}") from e
+
     chunks: list[DataFrame] = []
     for v in range(start, end + 1):
         cdc, adds, removes = [], [], []
+        state_ops: list[tuple[str, dict]] = []
         with open(commits[v]) as fh:
             for line in fh:
                 if not line.strip():
@@ -870,10 +910,26 @@ def table_changes(spark: SparkSession, path: str,
                 act = json.loads(line)
                 if "cdc" in act:
                     cdc.append(act["cdc"])
-                elif "add" in act and act["add"].get("dataChange"):
-                    adds.append(act["add"])
-                elif "remove" in act and act["remove"].get("dataChange"):
-                    removes.append(act["remove"])
+                elif "add" in act:
+                    state_ops.append(("add", act["add"]))
+                    if act["add"].get("dataChange"):
+                        adds.append(act["add"])
+                elif "remove" in act:
+                    state_ops.append(("remove", act["remove"]))
+                    if act["remove"].get("dataChange"):
+                        removes.append(act["remove"])
+
+        def _apply_state() -> None:
+            if not dv_possible:
+                return
+            for kind, a in state_ops:
+                if kind == "add":
+                    if a.get("deletionVector") is not None:
+                        dv_state[a["path"]] = dict(a["deletionVector"])
+                    else:
+                        dv_state.pop(a["path"], None)
+                else:
+                    dv_state.pop(a["path"], None)
         ts_ms = _commit_timestamp(commits[v])
 
         def _grouped(actions):
@@ -895,11 +951,21 @@ def table_changes(spark: SparkSession, path: str,
             for pv, files in _grouped(cdc):
                 chunks.append(_chunk(files, pv, cdc_schema, None, v,
                                      ts_ms))
+            _apply_state()
             continue
         if any(a.get("deletionVector") is not None for a in adds):
             raise DeltaLogError(
                 f"version {v} changes a deletion vector without cdc "
                 f"actions; its row-level changes cannot be derived")
+        dv_removed = [a["path"] for a in removes
+                      if a.get("deletionVector") is not None
+                      or a["path"] in dv_state]
+        if dv_removed:
+            raise DeltaLogError(
+                f"version {v} removes DV-carrying files {dv_removed} "
+                f"without cdc actions; deriving deletes from their "
+                f"full physical rows would report never-live rows as "
+                f"deleted")
         for pv, files in _grouped(adds):
             chunks.append(_chunk(files, pv, data_schema, "insert", v,
                                  ts_ms))
@@ -914,6 +980,7 @@ def table_changes(spark: SparkSession, path: str,
         for pv, files in _grouped(removes):
             chunks.append(_chunk(files, pv, data_schema, "delete", v,
                                  ts_ms))
+        _apply_state()
 
     if not chunks:
         empty = T.StructType(
@@ -1137,7 +1204,10 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
                 "partitionColumns": snap.partition_columns,
                 "configuration": getattr(snap, "configuration", None)
                 or {},
-                "createdTime": now_ms}})
+                # createdTime is the TABLE-creation timestamp and must
+                # survive metaData replacement, like id
+                "createdTime": (getattr(snap, "created_time", None)
+                                or now_ms)}})
         if mode == "overwrite":
             for rel, _pv in snap.files:
                 actions.append({"remove": {"path": rel,
@@ -1398,7 +1468,22 @@ def vacuum_delta(spark: SparkSession, path: str,
             f"versions' readers and time travel would break silently; "
             f"pass force=True (SQL: FORCE) to override")
     snap = resolve_snapshot(spark, path)
-    _check_writer_protocol(snap, path)
+    # VACUUM commits NOTHING to the log, so the legacy
+    # minWriterVersion 3-6 gate (CHECK constraints / CDF / column
+    # mapping enforcement) does not apply — delta-spark vacuums such
+    # tables too. What DOES apply is vacuumProtocolCheck: on a
+    # version-7 protocol every writerFeature must be understood, or
+    # we could delete files a feature still references.
+    proto = getattr(snap, "protocol", None) or {}
+    if int(proto.get("minWriterVersion") or 1) == 7:
+        unsupported = sorted(
+            set(proto.get("writerFeatures") or [])
+            - _SUPPORTED_WRITER_FEATURES)
+        if unsupported:
+            raise DeltaLogError(
+                f"Delta table {path} requires unsupported writer "
+                f"features {unsupported}; refusing to VACUUM — an "
+                f"ununderstood feature may still reference files")
     # every live add, in both its logged (possibly URL-encoded) and
     # decoded on-disk form; at least one form must exist on disk
     live_forms: list[set[str]] = []
@@ -1537,7 +1622,7 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
           "schemaString": snap.schema.json(),
           "partitionColumns": snap.partition_columns,
           "configuration": getattr(snap, "configuration", None) or {},
-          "createdTime": 0},
+          "createdTime": getattr(snap, "created_time", None) or 0},
          None, None),
         (None, None, proto_row, None),
     ]

@@ -450,18 +450,30 @@ def prune_data_files(table_path: str, col: str, op: str, value,
         raise IcebergError(f"unknown column for pruning: {col}")
     fid, itype = fld["id"], fld.get("type")
     # coerce the literal through the column's Iceberg type so the
-    # comparison is type-correct (e.g. '2024-01-02' vs date bounds)
-    if isinstance(itype, str):
-        import datetime as dt
-        if itype in ("int", "long") and not isinstance(value, bool):
-            value = int(value)
-        elif itype in ("float", "double"):
-            value = float(value)
-        elif itype == "date" and isinstance(value, str):
-            value = dt.date.fromisoformat(value)
-        elif (itype in ("timestamp", "timestamptz")
-              and isinstance(value, str)):
-            value = dt.datetime.fromisoformat(value)
+    # comparison is type-correct (e.g. '2024-01-02' vs date bounds).
+    # A fractional literal against an int column must NOT truncate —
+    # `col < 3.5` with int()-truncation to 3 would unsoundly skip a
+    # file whose bounds are exactly [3, 3]; Python compares int bounds
+    # with float literals correctly, so keep the fraction. An
+    # uncoercible literal raises IcebergError so callers (the DELETE
+    # path) fall back to the unpruned scan instead of crashing.
+    try:
+        if isinstance(itype, str):
+            import datetime as dt
+            if itype in ("int", "long") and not isinstance(value, bool):
+                v = float(value)
+                value = int(v) if v.is_integer() else v
+            elif itype in ("float", "double"):
+                value = float(value)
+            elif itype == "date" and isinstance(value, str):
+                value = dt.date.fromisoformat(value)
+            elif (itype in ("timestamp", "timestamptz")
+                  and isinstance(value, str)):
+                value = dt.datetime.fromisoformat(value)
+    except (ValueError, TypeError) as e:
+        raise IcebergError(
+            f"cannot coerce literal {value!r} to {itype} for "
+            f"pruning") from e
     keep: list[str] = []
     skipped: list[str] = []
     for mrec in ac.iter_records(_local(snap["manifest-list"])):

@@ -223,6 +223,7 @@ def _parquet_column_stats(p: str, field_ids: dict, field_types: dict
     mins: dict = {}
     maxs: dict = {}
     no_bounds: set = set()
+    no_nulls: set = set()   # any row group missing null stats -> omit
     for rg in range(md.num_row_groups):
         rgm = md.row_group(rg)
         for j in range(rgm.num_columns):
@@ -234,6 +235,10 @@ def _parquet_column_stats(p: str, field_ids: dict, field_types: dict
             st = col.statistics
             if st is not None and st.null_count is not None:
                 nulls[fid] = nulls.get(fid, 0) + int(st.null_count)
+            else:
+                # a partial null count UNDERCOUNTS — a planner would
+                # unsoundly prune IS NULL on it; omit the column
+                no_nulls.add(fid)
             if st is not None and st.has_min_max:
                 mn, mx = st.min, st.max
                 mins[fid] = mn if fid not in mins else min(mins[fid], mn)
@@ -257,8 +262,8 @@ def _parquet_column_stats(p: str, field_ids: dict, field_types: dict
         "value_counts": ([{"key": k, "value": v}
                           for k, v in sorted(vals.items())] or None),
         "null_value_counts": ([{"key": k, "value": v}
-                               for k, v in sorted(nulls.items())]
-                              or None),
+                               for k, v in sorted(nulls.items())
+                               if k not in no_nulls] or None),
         "lower_bounds": _ser(mins),
         "upper_bounds": _ser(maxs),
     }

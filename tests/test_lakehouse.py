@@ -1060,6 +1060,17 @@ def test_iceberg_column_bounds_and_pruning(spark, tmp_path):
     assert len(c3) == 1
     with pytest.raises(ir.IcebergError, match="unknown column"):
         ir.prune_data_files(path, "nope", "=", 1)
+    # fractional literal against a long column must NOT truncate:
+    # id < 24.5 must keep the file whose bounds include id=24
+    cf, _sf = ir.prune_data_files(path, "id", "<", 24.5)
+    assert any(spark.read.parquet(f).where("id = 24").count() == 1
+               for f in cf)
+    # an uncoercible literal raises IcebergError (the DELETE path
+    # catches it and falls back to the unpruned scan; what Spark then
+    # does with the predicate — ANSI cast error or rows — is Spark's
+    # contract, not pruning's)
+    with pytest.raises(ir.IcebergError, match="coerce"):
+        ir.prune_data_files(path, "id", "=", "abc")
 
     # ---- DELETE with a simple predicate prunes its touched-file scan
     # and the survivor rewrite keeps bounds (carried or recomputed)
@@ -1072,6 +1083,10 @@ def test_iceberg_column_bounds_and_pruning(spark, tmp_path):
     c4, s4 = ir.prune_data_files(path, "id", "=", 6)
     assert len(c4) == 1
     assert (spark.read.parquet(*c4).where("id = 6").count()) == 1
+    # fractional DELETE literal goes through the non-truncating
+    # coercion and deletes the right rows
+    assert delete_where_iceberg(spark, path, "id > 97.5") == 2
+    assert ir.read_iceberg(spark, path).count() == 97
 
 
 def test_iceberg_nested_schema_write_roundtrip(spark, tmp_path):
@@ -1771,6 +1786,84 @@ def test_delta_merge_schema_evolution(spark, tmp_path):
     out2 = read_delta(spark, path)
     assert out2.columns == ["id", "name", "score"]
     assert out2.count() == 4
+
+
+def test_review_fixes_round14(spark, tmp_path):
+    """Pins for the round-14 review findings: (a) VACUUM works on
+    legacy minWriterVersion 3-6 tables (it commits nothing) but still
+    refuses v7 protocols with ununderstood writer features; (b) CDF
+    tables refuse offline delete/overwrite (no cdc emission — a
+    derived feed would double-count survivors); (c) table_changes
+    refuses deriving deletes from a DV-carrying file's full physical
+    rows; (d) schema evolution preserves the table's createdTime."""
+    from lightning_metastore_spark.sources.delta_reader import (
+        delete_where,
+        table_changes,
+        vacuum_delta,
+    )
+
+    # (a) legacy writer protocol does not block VACUUM
+    p = str(tmp_path / "vleg")
+    write_delta(_delta_df(spark, 0, 4), p, mode="error")
+    write_delta(_delta_df(spark, 100, 102), p, mode="overwrite")
+    _append_commit(p, 2, [{"protocol": {"minReaderVersion": 1,
+                                        "minWriterVersion": 5}}])
+    gone = vacuum_delta(spark, p, retention_hours=0, force=True)
+    assert gone and read_delta(spark, p).count() == 2
+    _append_commit(p, 3, [{"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["timestampNtz"],
+        "writerFeatures": ["futureFeature"]}}])
+    with pytest.raises(DeltaLogError, match="refusing to VACUUM"):
+        vacuum_delta(spark, p, retention_hours=0, force=True)
+
+    # (b) CDF-enabled table: append fine, delete/overwrite refused
+    pc = str(tmp_path / "vcdf")
+    write_delta(_delta_df(spark, 0, 3), pc, mode="error",
+                configuration={"delta.enableChangeDataFeed": "true"})
+    write_delta(_delta_df(spark, 3, 5), pc, mode="append")
+    with pytest.raises(DeltaLogError, match="cdc file emission"):
+        delete_where(spark, pc, "id = 1")
+    with pytest.raises(DeltaLogError, match="cdc file emission"):
+        write_delta(_delta_df(spark, 9, 10), pc, mode="overwrite")
+
+    # (c) removing a DV-carrying file cannot derive deletes
+    rel, _n = next((r, n) for r, _pv in
+                   resolve_snapshot(spark, pc).files
+                   for n in [spark.read.parquet(
+                       os.path.join(pc, r)).count()] if n > 0)
+    dv_data = _ser_dv([0])
+    desc = {"storageType": "i", "pathOrInlineDv": _z85_encode(dv_data),
+            "sizeInBytes": len(dv_data), "cardinality": 1}
+    _append_commit(pc, 2, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"remove": {"path": rel, "deletionTimestamp": 0,
+                    "dataChange": False}},
+        {"add": {"path": rel, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": False,
+                 "deletionVector": desc}},
+    ])
+    _append_commit(pc, 3, [
+        {"remove": {"path": rel, "deletionTimestamp": 0,
+                    "dataChange": True}}])
+    with pytest.raises(DeltaLogError, match="DV-carrying"):
+        table_changes(spark, pc, starting_version=3)
+
+    # (d) evolution preserves createdTime
+    pe = str(tmp_path / "vevo")
+    write_delta(spark.createDataFrame([(1,)], "id long"), pe,
+                mode="error")
+    with open(os.path.join(pe, "_delta_log", f"{0:020d}.json")) as fh:
+        created = next(json.loads(ln)["metaData"]["createdTime"]
+                       for ln in fh if '"metaData"' in ln)
+    write_delta(spark.createDataFrame([(2, "x")], "id long, s string"),
+                pe, mode="append", merge_schema=True)
+    with open(os.path.join(pe, "_delta_log", f"{1:020d}.json")) as fh:
+        evolved_ct = next(json.loads(ln)["metaData"]["createdTime"]
+                          for ln in fh if '"metaData"' in ln)
+    assert evolved_ct == created
 
 
 def test_delta_change_data_feed(spark, tmp_path):
