@@ -1977,6 +1977,16 @@ def test_delta_changes_sql_surface(spark, tmp_path):
         "SELECT id FROM lightning.datasource.delta.lake.ev.changes "
         "VERSION AS OF 2 ORDER BY id").collect()
     assert [r.id for r in tail] == [3, 4]
+    # TIMESTAMP AS OF on .changes = starting timestamp: the epoch
+    # covers every commit; a far-future bound has no commits and raises
+    allt = ctx.sql(
+        "SELECT id FROM lightning.datasource.delta.lake.ev.changes "
+        "TIMESTAMP AS OF '1970-01-01T00:00:00' ORDER BY id").collect()
+    assert [r.id for r in allt] == [0, 1, 2, 3, 4]
+    with pytest.raises(Exception, match="no Delta commits"):
+        ctx.sql("SELECT id FROM "
+                "lightning.datasource.delta.lake.ev.changes "
+                "TIMESTAMP AS OF '2999-01-01T00:00:00'").collect()
 
 
 def test_iceberg_partitions_metadata_table(spark, tmp_path):
