@@ -288,14 +288,19 @@ class DeltaSnapshot:
 
 
 def _commit_timestamp(version_path: str) -> int:
-    """Millis timestamp of a commit: commitInfo.timestamp when present,
-    else file mtime (the protocol's stated fallback)."""
+    """Millis timestamp of a commit. Preference order per the
+    PROTOCOL: commitInfo.inCommitTimestamp (the In-Commit Timestamps
+    feature — monotonic, file-clock-independent, REQUIRED to be used
+    when present), then commitInfo.timestamp, then file mtime (the
+    protocol's stated fallback)."""
     with open(version_path) as fh:
         for line in fh:
             if not line.strip():
                 continue
             act = json.loads(line)
             ci = act.get("commitInfo")
+            if ci and "inCommitTimestamp" in ci:
+                return int(ci["inCommitTimestamp"])
             if ci and "timestamp" in ci:
                 return int(ci["timestamp"])
     return int(os.path.getmtime(version_path) * 1000)
@@ -779,7 +784,9 @@ def delta_history(spark: SparkSession, path: str) -> DataFrame:
                 act = json.loads(line)
                 if "commitInfo" in act and op is None:
                     op = act["commitInfo"].get("operation")
-                    if "timestamp" in act["commitInfo"]:
+                    if "inCommitTimestamp" in act["commitInfo"]:
+                        ts_ms = int(act["commitInfo"]["inCommitTimestamp"])
+                    elif "timestamp" in act["commitInfo"]:
                         ts_ms = int(act["commitInfo"]["timestamp"])
                     if protocol is not None:
                         break  # newest protocol already captured

@@ -193,14 +193,17 @@ def _local(p: str) -> str:
     return re.sub(r"^file:/+", "/", p)
 
 
-def snapshot_files(table_path: str, snapshot: dict
+def snapshot_files(table_path: str, snapshot: dict,
+                   with_partitions: bool = False
                    ) -> tuple[list[tuple], list[str], list[tuple]]:
     """Snapshot contents as (data, position_deletes, equality_deletes):
-    data = [(path, data_sequence_number)], position_deletes = [path],
-    equality_deletes = [(path, sequence_number, equality_ids)]. The
-    sequence number comes from the manifest entry, inherited from the
-    manifest-list record when the entry omits it (the v2 inheritance
-    rule); absent everywhere (v1) it is None."""
+    data = [(path, data_sequence_number)] — or
+    [(path, seq, partition_dict)] with ``with_partitions`` —
+    position_deletes = [path], equality_deletes = [(path,
+    sequence_number, equality_ids)]. The sequence number comes from
+    the manifest entry, inherited from the manifest-list record when
+    the entry omits it (the v2 inheritance rule); absent everywhere
+    (v1) it is None."""
     mlist = _local(snapshot["manifest-list"])
     data, pos_del, eq_del = {}, set(), {}
     for mrec in ac.iter_records(mlist):
@@ -220,13 +223,17 @@ def snapshot_files(table_path: str, snapshot: dict
                 raise IcebergError(
                     f"only PARQUET data files supported offline, got {fmt}")
             if content == _CONTENT_DATA:
-                data[fpath] = seq
+                data[fpath] = (seq, dict(df_rec.get("partition") or {}))
             elif content == _CONTENT_POSITION_DELETES:
                 pos_del.add(fpath)
             elif content == _CONTENT_EQUALITY_DELETES:
                 eq_del[fpath] = (seq, list(df_rec.get("equality_ids")
                                            or []))
-    return (sorted(data.items()), sorted(pos_del),
+    if with_partitions:
+        data_out = sorted((p, s, pv) for p, (s, pv) in data.items())
+    else:
+        data_out = sorted((p, s) for p, (s, _pv) in data.items())
+    return (data_out, sorted(pos_del),
             sorted((p, s, ids) for p, (s, ids) in eq_del.items()))
 
 
@@ -248,51 +255,109 @@ def read_iceberg(spark: SparkSession, table_path: str,
     meta = load_metadata(table_path)
     snap = select_snapshot(meta, snapshot_id, as_of_timestamp)
     schema = spark_schema(meta)
-    data, pos_del, eq_del = snapshot_files(table_path, snap)
+    data, pos_del, eq_del = snapshot_files(table_path, snap,
+                                           with_partitions=True)
     if file_subset is not None:
-        data = [(p, s) for p, s in data if p in file_subset]
+        data = [t for t in data if t[0] in file_subset]
     if not data:
         df = spark.createDataFrame([], schema)
         if file_tag:
             df = df.withColumn(file_tag, F.lit(None).cast("string"))
         return df
-    df = spark.read.schema(schema).parquet(*[p for p, _ in data])
+
+    # Identity-partition constant injection: the spec normally stores
+    # identity source columns IN the data files (what this repo's
+    # writer does — their constant parquet min/max stats make
+    # partition filters file-skipping predicates). But Hive-MIGRATED
+    # tables (add_files) register files WITHOUT those columns; real
+    # readers constant-ize the values from the manifest partition
+    # tuple. One footer sniff decides the path: present -> the single
+    # scan stands; absent -> per-partition-group scans with a reduced
+    # schema + metadata constants (partition predicates then fold to
+    # plan-time constants per group — pruning without touching a
+    # footer).
+    spec = next((s for s in meta.get("partition-specs", [])
+                 if s.get("spec-id") == meta.get("default-spec-id", 0)),
+                {"fields": []})
+    by_id = {f["id"]: f["name"]
+             for f in current_schema(meta)["fields"]}
+    ident = [by_id[f["source-id"]] for f in spec.get("fields", [])
+             if f.get("transform") == "identity"
+             and f.get("source-id") in by_id]
+    missing_idents: list[str] = []
+    if ident:
+        try:
+            import pyarrow.parquet as pq
+            present = set(pq.ParquetFile(
+                data[0][0]).schema_arrow.names)
+            missing_idents = [c for c in ident if c not in present]
+        except Exception:  # noqa: BLE001 — sniff failure: assume stored
+            missing_idents = []
+
+    # scan-level pseudo-columns must be derived INSIDE each scan
+    # branch (referencing _metadata above a union does not resolve),
+    # so both paths materialize them up front when any consumer needs
+    # them
+    need_meta = bool(file_tag or pos_del or eq_del)
+    meta_cols = {
+        "__ice_file": F.regexp_replace(F.col("_metadata.file_path"),
+                                       r"^file:/+", "/"),
+        "__ice_pos": F.col("_metadata.row_index"),
+    }
+    if missing_idents:
+        field_by_name = {f.name: f for f in schema.fields}
+        red = T.StructType([f for f in schema.fields
+                            if f.name not in missing_idents])
+        groups: dict[tuple, tuple[dict, list[str]]] = {}
+        for p, _s, pv in data:
+            key = tuple(sorted((k, pv.get(k)) for k in missing_idents))
+            groups.setdefault(key, (dict(key), []))[1].append(p)
+        keep = [f.name for f in schema.fields] + (
+            list(meta_cols) if need_meta else [])
+        parts = []
+        for pv, paths in groups.values():
+            d = spark.read.schema(red).parquet(*paths)
+            if need_meta:
+                d = d.withColumns(meta_cols)
+            for c in missing_idents:
+                v = pv.get(c)
+                d = d.withColumn(c, (F.lit(None) if v is None
+                                     else F.lit(v)).cast(
+                    field_by_name[c].dataType))
+            parts.append(d.select(*keep))
+        df = parts[0]
+        for d in parts[1:]:
+            df = df.unionByName(d)
+    else:
+        df = spark.read.schema(schema).parquet(
+            *[p for p, _s, _pv in data])
+        if need_meta:
+            df = df.withColumns(meta_cols)
+
     if file_tag:
-        df = df.withColumn(
-            file_tag, F.regexp_replace(F.col("_metadata.file_path"),
-                                       r"^file:/+", "/"))
+        df = df.withColumn(file_tag, F.col("__ice_file"))
     if pos_del:
-        tagged = df.withColumns({
-            "__ice_file": F.regexp_replace(F.col("_metadata.file_path"),
-                                           r"^file:/+", "/"),
-            "__ice_pos": F.col("_metadata.row_index"),
-        })
         dels = (spark.read.parquet(*pos_del)
                 .select(F.regexp_replace(F.col("file_path"),
                                          r"^file:/+", "/").alias("__ice_file"),
                         F.col("pos").cast("long").alias("__ice_pos"))
                 .dropDuplicates(["__ice_file", "__ice_pos"]))
-        df = (tagged.join(F.broadcast(dels) if len(pos_del) <= 64 else dels,
-                          ["__ice_file", "__ice_pos"], "left_anti")
-              .drop("__ice_file", "__ice_pos"))
+        df = df.join(F.broadcast(dels) if len(pos_del) <= 64 else dels,
+                     ["__ice_file", "__ice_pos"], "left_anti")
     if eq_del:
         # v2 equality deletes: a delete applies only to rows from data
         # files with a STRICTLY OLDER data sequence number, matching on
         # the entry's equality_ids columns (null-safe, per spec). Data
         # file seq numbers ride a broadcast (path, seq) relation onto
-        # the scan's _metadata.file_path; a delete with no sequence
-        # number (v1-style fixture) applies unconditionally.
+        # the scan's __ice_file; a delete with no sequence number
+        # (v1-style fixture) applies unconditionally.
         field_names = {f["id"]: f["name"]
                        for f in current_schema(meta)["fields"]}
         seq_df = spark.createDataFrame(
-            [(p, s) for p, s in data],
+            [(p, s) for p, s, _pv in data],
             T.StructType([T.StructField("__ice_file", T.StringType()),
                           T.StructField("__ice_seq", T.LongType())]))
-        df = (df.withColumn(
-                  "__ice_file",
-                  F.regexp_replace(F.col("_metadata.file_path"),
-                                   r"^file:/+", "/"))
-              .join(F.broadcast(seq_df), "__ice_file", "left"))
+        df = df.join(F.broadcast(seq_df), "__ice_file", "left")
         for dpath, dseq, eq_ids in eq_del:
             dels = spark.read.parquet(dpath)
             keys = ([field_names[i] for i in eq_ids if i in field_names]
@@ -307,7 +372,7 @@ def read_iceberg(spark: SparkSession, table_path: str,
                 cond = cond & (F.coalesce(F.col("__ice_seq"), F.lit(0))
                                < F.lit(int(dseq)))
             df = df.join(F.broadcast(d), cond, "left_anti")
-        df = df.drop("__ice_file", "__ice_seq")
+        df = df.drop("__ice_seq")
     out_cols = [f.name for f in schema.fields] + (
         [file_tag] if file_tag else [])
     return df.select(*out_cols)

@@ -605,6 +605,147 @@ def _commit_snapshot(meta: dict, mdir: str, snap_id: int,
         fh.write(str(version))
 
 
+def delta_to_iceberg(spark: SparkSession, delta_path: str) -> int:
+    """UniForm-style metadata translation: generate Iceberg metadata
+    over a Delta table's CURRENT snapshot, referencing the SAME
+    parquet data files — zero data movement, so Iceberg tooling can
+    read the Delta table in place (delta-spark's Universal Format
+    idea, offline). Re-running after new Delta commits appends a NEW
+    Iceberg snapshot that REPLACES table contents (the overwrite
+    manifest-list shape), so the Iceberg side accumulates its own
+    time-travelable history of sync points. Returns the Iceberg
+    snapshot id written.
+
+    Delta stores partition columns only in the log, never in the data
+    files — exactly the Hive-migrated shape the reader's
+    identity-partition constant injection handles, so partitioned
+    tables translate cleanly. Refused: column-mapped tables (physical
+    parquet names), tables with live deletion vectors (an Iceberg
+    reader would resurface deleted rows), non-path-round-trippable
+    partition types, and schema changes on resync unless the schema
+    is flat (nested field ids would shift across translations)."""
+    from lightning_metastore_spark.sources import delta_reader as dr
+
+    snap = dr.resolve_snapshot(spark, delta_path)
+    if getattr(snap, "physical", None):
+        raise ir.IcebergError(
+            f"cannot translate column-mapped Delta table {delta_path}: "
+            f"parquet columns carry physical names Iceberg field ids "
+            f"would misresolve")
+    if snap.dv:
+        raise ir.IcebergError(
+            f"cannot translate {delta_path}: live deletion vectors — "
+            f"an Iceberg reader of these files would resurface "
+            f"deleted rows (run OPTIMIZE/rewrite first)")
+    spark_types = {f.name: f.dataType for f in snap.schema.fields}
+    for c in snap.partition_columns:
+        if spark_types[c].typeName() not in _PART_AVRO:
+            raise ir.IcebergError(
+                f"unsupported identity partition type for {c}: "
+                f"{spark_types[c].typeName()}")
+    mdir = os.path.join(delta_path, "metadata")
+    exists = os.path.isdir(mdir) and any(
+        f.endswith(".metadata.json") for f in os.listdir(mdir))
+    now_ms = int(time.time() * 1000)
+    schema_json = _iceberg_schema_json(snap.schema)
+    last_col_id = schema_json.pop("last-column-id")
+    if exists:
+        meta = ir.load_metadata(delta_path)
+        cur_schema = next(
+            (s for s in meta.get("schemas", [])
+             if s.get("schema-id") == meta.get("current-schema-id", 0)),
+            None)
+        if cur_schema is not None and (
+                cur_schema.get("fields") != schema_json["fields"]):
+            flat = all(isinstance(f["type"], str)
+                       for f in schema_json["fields"])
+            if not flat:
+                raise ir.IcebergError(
+                    f"Delta schema of {delta_path} changed since the "
+                    f"last translation and contains nested types — "
+                    f"nested field ids are not stable across "
+                    f"translations; refusing to resync")
+            new_id = int(cur_schema.get("schema-id", 0)) + 1
+            schema_json["schema-id"] = new_id
+            meta["schemas"] = list(meta.get("schemas", [])) + [
+                schema_json]
+            meta["current-schema-id"] = new_id
+            meta["last-column-id"] = max(
+                int(meta.get("last-column-id", 0)), last_col_id)
+        seq = int(meta.get("last-sequence-number", 0)) + 1
+        snap_id = max((s["snapshot-id"]
+                       for s in meta.get("snapshots", [])),
+                      default=0) + 1
+        parent = meta.get("current-snapshot-id")
+        version = 1 + max(
+            int(f[1:].split(".")[0]) for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".metadata.json"))
+    else:
+        name_to_id = {f["name"]: f["id"]
+                      for f in schema_json["fields"]}
+        spec_fields = [
+            {"name": c, "transform": "identity",
+             "source-id": name_to_id[c], "field-id": 1000 + i}
+            for i, c in enumerate(snap.partition_columns)]
+        meta = {
+            "format-version": 2,
+            "table-uuid": "00000000-0000-0000-0000-00000000d21b",
+            "location": delta_path,
+            "last-sequence-number": 0,
+            "last-updated-ms": now_ms,
+            "last-column-id": last_col_id,
+            "current-schema-id": 0,
+            "schemas": [schema_json],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": 999 + len(spec_fields),
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "snapshots": [],
+            "snapshot-log": [],
+        }
+        os.makedirs(mdir, exist_ok=True)
+        seq, snap_id, parent, version = 1, 1, None, 1
+
+    field_ids, field_types = _current_schema_fields(meta)
+    partition_by = list(snap.partition_columns)
+    entries = []
+    for rel, pv in snap.files:
+        p = os.path.join(delta_path, dr._resolve_rel(delta_path, rel))
+        data_file = {"content": 0, "file_path": p,
+                     "file_format": "PARQUET",
+                     "record_count": _parquet_num_rows(p),
+                     "file_size_in_bytes": os.path.getsize(p),
+                     "equality_ids": None}
+        data_file.update(_parquet_column_stats(p, field_ids,
+                                               field_types))
+        if partition_by:
+            # Delta logs partitionValues as STRINGS; type through the
+            # column's Spark type like the path-segment parser
+            data_file["partition"] = {
+                c: _parse_partition_value(
+                    pv.get(c), spark_types[c].typeName())
+                for c in partition_by}
+        entries.append({"status": 1, "snapshot_id": snap_id,
+                        "sequence_number": seq, "data_file": data_file})
+    manifest = os.path.join(mdir, f"m-{snap_id}.avro")
+    ac.write_container(manifest,
+                       _manifest_schema_for(partition_by, spark_types),
+                       entries)
+    mlist = os.path.join(mdir, f"snap-{snap_id}.avro")
+    summaries = (_field_summaries(entries, partition_by, spark_types)
+                 if partition_by and entries else None)
+    ac.write_container(mlist, MANIFEST_LIST_SCHEMA, [
+        {"manifest_path": manifest,
+         "manifest_length": os.path.getsize(manifest),
+         "partition_spec_id": 0, "content": 0, "sequence_number": seq,
+         "added_snapshot_id": snap_id, "partitions": summaries}]
+        if entries else [])
+    _commit_snapshot(meta, mdir, snap_id, parent, seq, now_ms, mlist,
+                     "append" if not exists else "overwrite", version)
+    return snap_id
+
+
 # `col <op> literal` — the shape manifest-bounds pruning understands;
 # literals are a number or a single-quoted string
 _SIMPLE_PRED = re.compile(

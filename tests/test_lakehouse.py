@@ -1184,6 +1184,110 @@ def test_iceberg_incremental_scan(spark, tmp_path):
         == [3, 4, 5]
 
 
+def test_iceberg_identity_partition_constant_injection(spark,
+                                                      tmp_path):
+    """Hive-MIGRATED tables (add_files) register data files WITHOUT
+    the identity partition source columns; real readers constant-ize
+    the values from the manifest partition tuple. Fabricated by
+    stripping the partition column out of every data file of a
+    written table: the reader must detect the absence (one footer
+    sniff) and inject the metadata constants — values, filters, and
+    the file-tagged scan all stay correct."""
+    import pyarrow.parquet as pq
+
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "mig")
+    write_iceberg(spark.createDataFrame(
+        [(i, "a" if i % 3 == 0 else "b", i * 1.5) for i in range(30)],
+        "id long, cat string, v double"), path, mode="error",
+        partition_by=["cat"])
+    baseline = sorted((r.id, r.cat, r.v) for r in
+                      ir.read_iceberg(spark, path).collect())
+
+    ddir = os.path.join(path, "data")
+    stripped = 0
+    for root, _dirs, files in os.walk(ddir):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                tbl = pq.read_table(p)
+                pq.write_table(tbl.drop_columns(["cat"]), p)
+                stripped += 1
+    assert stripped >= 2
+
+    out = ir.read_iceberg(spark, path)
+    assert sorted((r.id, r.cat, r.v) for r in out.collect()) == baseline
+    assert out.where("cat = 'a'").count() == 10
+    assert out.where("cat = 'b'").select("id").count() == 20
+    # the file-tagged path (DELETE's scan) works through the grouped
+    # union too
+    tagged = ir.read_iceberg(spark, path, file_tag="__src")
+    assert tagged.where("cat = 'a'").select("__src").distinct() \
+        .count() >= 1
+
+
+def test_delta_to_iceberg_uniform(spark, tmp_path):
+    """UniForm-style translation: Iceberg metadata generated over a
+    Delta table's data files in place — the Iceberg read equals the
+    Delta read (partitioned too, via identity-constant injection since
+    Delta never stores partition columns in files), a resync after a
+    new Delta commit appends an Iceberg snapshot (previous sync stays
+    time-travelable), and DV-carrying tables are refused."""
+    from lightning_metastore_spark.sources import delta_reader as dr
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        delta_to_iceberg,
+    )
+
+    path = str(tmp_path / "uni")
+    write_delta(spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", i * 1.5) for i in range(20)],
+        "id long, cat string, v double"), path, mode="error",
+        partition_by=["cat"])
+    sid1 = delta_to_iceberg(spark, path)
+    d_rows = sorted((r.id, r.cat, r.v) for r in
+                    dr.read_delta(spark, path).collect())
+    i_rows = sorted((r.id, r.cat, r.v) for r in
+                    ir.read_iceberg(spark, path).collect())
+    assert d_rows == i_rows and len(i_rows) == 20
+    assert ir.read_iceberg(spark, path).where("cat = 'a'").count() == 10
+
+    # resync after a Delta append: new snapshot, old one still reads
+    write_delta(spark.createDataFrame([(100, "a", 0.5)],
+                                      "id long, cat string, v double"),
+                path, mode="append")
+    sid2 = delta_to_iceberg(spark, path)
+    assert sid2 == sid1 + 1
+    assert ir.read_iceberg(spark, path).count() == 21
+    assert ir.read_iceberg(spark, path, snapshot_id=sid1).count() == 20
+    # manifests carry per-column metrics for the shared files
+    files = ir.iceberg_files(spark, path).collect()
+    assert all(r.value_counts for r in files)
+
+    # DV-carrying tables refuse translation
+    p2 = str(tmp_path / "unidv")
+    write_delta(spark.createDataFrame([(1,), (2,), (3,)], "id long")
+                .coalesce(1), p2, mode="error")
+    rel = resolve_snapshot(spark, p2).files[0][0]
+    data = _ser_dv([0])
+    desc = {"storageType": "i", "pathOrInlineDv": _z85_encode(data),
+            "sizeInBytes": len(data), "cardinality": 1}
+    _append_commit(p2, 1, [
+        {"remove": {"path": rel, "deletionTimestamp": 0,
+                    "dataChange": False}},
+        {"add": {"path": rel, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": False,
+                 "deletionVector": desc}},
+    ])
+    from lightning_metastore_spark.sources import iceberg_reader as ir2
+    with pytest.raises(ir2.IcebergError, match="deletion vectors"):
+        delta_to_iceberg(spark, p2)
+
+
 def test_iceberg_format_v3_rejected(spark, iceberg_table):
     """format-version 3 (deletion vectors / row lineage) must raise up
     front rather than risk reading deleted rows as live."""
