@@ -658,6 +658,10 @@ def _snapshot_scan(spark: SparkSession, path: str, snap: DeltaSnapshot,
     # depends on how many scans will reference the deleted relation
     use_fast = (snap.partition_columns
                 and phys is None
+                # absolute add.path (shallow clones / converted
+                # tables) can point OUTSIDE the table root, where
+                # basePath-relative partition discovery cannot apply
+                and not any(os.path.isabs(rel) for rel, _ in resolved)
                 and all(_hive_segment_ok(rel, c, pv.get(c))
                         for rel, pv in resolved
                         for c in snap.partition_columns))
@@ -1054,6 +1058,71 @@ def _stage_files(df: DataFrame, path: str, staging: str,
     import shutil
     shutil.rmtree(staging, ignore_errors=True)
     return moved
+
+
+def clone_delta(spark: SparkSession, src: str, dst: str) -> int:
+    """SHALLOW CLONE (delta-spark parity): create a new Delta table at
+    ``dst`` whose add actions reference ``src``'s CURRENT data files
+    by ABSOLUTE path (the spec allows absolute add.path) — zero data
+    movement, so a 100 TB table clones in one metadata commit. The
+    clone then evolves independently: appends/deletes on the clone
+    never touch the source's files or log (a DELETE rewrites only the
+    touched source files INTO the clone's directory). Source deletion
+    vectors are carried on the cloned adds; column-mapped sources are
+    refused like every offline write. Returns the number of files
+    referenced. VACUUM on the source can break the clone — the same
+    caveat delta-spark documents."""
+    snap = resolve_snapshot(spark, src)
+    if getattr(snap, "physical", None):
+        raise DeltaLogError(
+            f"offline CLONE of column-mapped tables is not supported: "
+            f"{src}")
+    if os.path.isdir(_log_dir(dst)) and (
+            _commit_files(dst) or _checkpoint_at(dst, None)):
+        raise DeltaLogError(f"CLONE target already exists: {dst}")
+    os.makedirs(dst, exist_ok=True)
+    now_ms = int(time.time() * 1000)
+    import hashlib
+    actions: list[dict] = [
+        {"commitInfo": {"timestamp": now_ms, "operation": "CLONE",
+                        "operationParameters": {"source": src}}},
+        {"protocol": dict(getattr(snap, "protocol", None)
+                          or {"minReaderVersion": 1,
+                              "minWriterVersion": 2})},
+        {"metaData": {
+            "id": hashlib.md5(dst.encode()).hexdigest(),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": snap.schema.json(),
+            "partitionColumns": snap.partition_columns,
+            "configuration": getattr(snap, "configuration", None)
+            or {},
+            "createdTime": now_ms}},
+    ]
+    for rel, pv in snap.files:
+        ap = os.path.abspath(
+            os.path.join(src, _resolve_rel(src, rel)))
+        add = {"path": ap, "partitionValues": pv,
+               "size": os.path.getsize(ap),
+               "modificationTime": now_ms, "dataChange": True}
+        dv = snap.dv.get(rel)
+        if dv is not None:
+            dv = dict(dv)
+            if dv.get("storageType") == "u":
+                # relative-UUID DV files resolve against the TABLE
+                # root; the clone's root is different, so pin the DV
+                # to its absolute on-disk path
+                from lightning_metastore_spark.sources import delta_dv
+                dv_abs = os.path.abspath(os.path.join(
+                    src, delta_dv.dv_relative_path(
+                        dv["pathOrInlineDv"])))
+                dv = {"storageType": "p", "pathOrInlineDv": dv_abs,
+                      "offset": dv.get("offset"),
+                      "sizeInBytes": dv.get("sizeInBytes"),
+                      "cardinality": dv.get("cardinality")}
+            add["deletionVector"] = dv
+        actions.append({"add": add})
+    _write_commit(dst, 0, actions)
+    return len(snap.files)
 
 
 def last_txn_version(spark: SparkSession, path: str,

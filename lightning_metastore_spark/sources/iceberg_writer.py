@@ -746,6 +746,99 @@ def delta_to_iceberg(spark: SparkSession, delta_path: str) -> int:
     return snap_id
 
 
+def iceberg_to_delta(spark: SparkSession, table_path: str) -> int:
+    """Reverse UniForm: write a Delta log over an Iceberg table's
+    CURRENT snapshot in place — absolute add.path entries referencing
+    the same parquet files, partition values from the manifest tuples
+    — so Delta tooling reads the Iceberg table with zero data
+    movement. Re-running after new Iceberg commits appends a Delta
+    version that replaces table contents (remove+add overwrite shape),
+    so sync points stay time-travelable on the Delta side. Returns the
+    Delta version written. Refused: snapshots carrying position or
+    equality delete files (a Delta reader would resurface deleted
+    rows) and non-identity partition transforms."""
+    from lightning_metastore_spark.sources import delta_reader as dr
+
+    meta = ir.load_metadata(table_path)
+    snap = ir.select_snapshot(meta)
+    data, pos_del, eq_del = ir.snapshot_files(table_path, snap,
+                                              with_partitions=True)
+    if pos_del or eq_del:
+        raise ir.IcebergError(
+            f"cannot translate {table_path}: snapshot carries "
+            f"position/equality delete files — a Delta reader of the "
+            f"data files would resurface deleted rows")
+    spec = next((s for s in meta.get("partition-specs", [])
+                 if s.get("spec-id") == meta.get("default-spec-id", 0)),
+                {"fields": []})
+    non_identity = [f["name"] for f in spec.get("fields", [])
+                    if f.get("transform") not in (None, "identity")]
+    if non_identity:
+        raise ir.IcebergError(
+            f"cannot translate {table_path}: non-identity partition "
+            f"transforms {non_identity} have no Delta equivalent")
+    partition_by = [f["name"] for f in spec.get("fields", [])]
+    schema = ir.spark_schema(meta)
+    now_ms = int(time.time() * 1000)
+
+    def _pv_str(v):
+        return None if v is None else str(v)
+
+    adds = []
+    for p, _s, pv in data:
+        ap = os.path.abspath(p)
+        adds.append({"path": ap,
+                     "partitionValues": {c: _pv_str(pv.get(c))
+                                         for c in partition_by},
+                     "size": os.path.getsize(ap),
+                     "modificationTime": now_ms, "dataChange": True})
+
+    log_exists = os.path.isdir(
+        os.path.join(table_path, "_delta_log")) and bool(
+        dr._commit_files(table_path))
+    actions: list[dict] = [
+        {"commitInfo": {"timestamp": now_ms, "operation": "CONVERT",
+                        "operationParameters": {
+                            "source": "iceberg",
+                            "snapshotId": str(snap["snapshot-id"])}}}]
+    if not log_exists:
+        import hashlib
+        actions.append({"protocol": {"minReaderVersion": 1,
+                                     "minWriterVersion": 2}})
+        actions.append({"metaData": {
+            "id": hashlib.md5(table_path.encode()).hexdigest(),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema.json(),
+            "partitionColumns": partition_by,
+            "configuration": {},
+            "createdTime": now_ms}})
+        version = 0
+    else:
+        prev = dr.resolve_snapshot(spark, table_path)
+        version = prev.version + 1
+        if prev.schema.json() != schema.json():
+            actions.append({"metaData": {
+                "id": getattr(prev, "meta_id", None) or "conv",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": partition_by,
+                "configuration": getattr(prev, "configuration", None)
+                or {},
+                "createdTime": (getattr(prev, "created_time", None)
+                                or now_ms)}})
+        new_paths = {a["path"] for a in adds}
+        for rel, _pv in prev.files:
+            if rel not in new_paths:
+                actions.append({"remove": {
+                    "path": rel, "deletionTimestamp": now_ms,
+                    "dataChange": True}})
+        prev_paths = {rel for rel, _ in prev.files}
+        adds = [a for a in adds if a["path"] not in prev_paths]
+    actions.extend({"add": a} for a in adds)
+    dr._write_commit(table_path, version, actions)
+    return version
+
+
 # `col <op> literal` — the shape manifest-bounds pruning understands;
 # literals are a number or a single-quoted string
 _SIMPLE_PRED = re.compile(

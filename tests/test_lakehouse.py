@@ -1288,6 +1288,112 @@ def test_delta_to_iceberg_uniform(spark, tmp_path):
         delta_to_iceberg(spark, p2)
 
 
+def test_delta_shallow_clone(spark, tmp_path):
+    """SHALLOW CLONE: one metadata commit referencing the source's
+    files absolutely — zero movement; the clone evolves independently
+    (appends/deletes never touch the source); file-based deletion
+    vectors are carried (re-pinned to absolute 'p' descriptors so they
+    resolve from the clone's root)."""
+    import uuid as _uuid
+
+    from lightning_metastore_spark.sources.delta_reader import (
+        clone_delta,
+        delete_where,
+    )
+
+    src = str(tmp_path / "csrc")
+    write_delta(spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(10)],
+        "id long, cat string"), src, mode="error",
+        partition_by=["cat"])
+    # file-based DV on one source file: ids of row index 0 drop
+    rel, n0 = next((r, n) for r, _pv in
+                   resolve_snapshot(spark, src).files
+                   for n in [spark.read.parquet(
+                       os.path.join(src, r)).count()] if n > 0)
+    u = _uuid.uuid4()
+    dv_data = _ser_dv([0])
+    _write_dv_file(os.path.join(src, f"deletion_vector_{u}.bin"),
+                   dv_data)
+    desc = {"storageType": "u", "pathOrInlineDv": _z85_encode(u.bytes),
+            "offset": 1, "sizeInBytes": len(dv_data), "cardinality": 1}
+    pv = dict(resolve_snapshot(spark, src).files and
+              [p for p in resolve_snapshot(spark, src).files
+               if p[0] == rel][0][1])
+    _append_commit(src, 1, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"remove": {"path": rel, "deletionTimestamp": 0,
+                    "dataChange": False}},
+        {"add": {"path": rel, "partitionValues": pv, "size": 1,
+                 "modificationTime": 0, "dataChange": False,
+                 "deletionVector": desc}},
+    ])
+    src_rows = sorted((r.id, r.cat) for r in
+                      read_delta(spark, src).collect())
+    assert len(src_rows) == 9
+
+    dst = str(tmp_path / "cdst")
+    n_files = clone_delta(spark, src, dst)
+    assert n_files == len(resolve_snapshot(spark, src).files)
+    assert sorted((r.id, r.cat) for r in
+                  read_delta(spark, dst).collect()) == src_rows
+
+    # the clone evolves independently of the source
+    src_disk = sorted(str(p) for p in __import__("pathlib").Path(
+        src).rglob("*.parquet"))
+    write_delta(spark.createDataFrame([(100, "a")],
+                                      "id long, cat string"),
+                dst, mode="append")
+    assert delete_where(spark, dst, "id = 3") == 1
+    assert read_delta(spark, dst).count() == 9  # 9 + 1 - 1
+    assert read_delta(spark, src).count() == 9  # source untouched
+    assert sorted(str(p) for p in __import__("pathlib").Path(
+        src).rglob("*.parquet")) == src_disk
+    # clone's v0 still equals the source snapshot
+    assert sorted((r.id, r.cat) for r in
+                  read_delta(spark, dst, version_as_of=0).collect()) \
+        == src_rows
+
+
+def test_iceberg_to_delta_uniform(spark, tmp_path):
+    """Reverse UniForm: a Delta log over an Iceberg table's current
+    snapshot in place — Delta read equals Iceberg read (partitioned:
+    partition values ride partitionValues; files keep the identity
+    columns, which the reduced-schema scan simply ignores); a resync
+    after an Iceberg append lands as a new Delta version with the
+    prior sync point time-travelable."""
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        iceberg_to_delta,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "revuni")
+    write_iceberg(spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", i * 2.0) for i in range(12)],
+        "id long, cat string, v double"), path, mode="error",
+        partition_by=["cat"])
+    v0 = iceberg_to_delta(spark, path)
+    assert v0 == 0
+    i_rows = sorted((r.id, r.cat, r.v) for r in
+                    ir.read_iceberg(spark, path).collect())
+    d_rows = sorted((r.id, r.cat, r.v) for r in
+                    read_delta(spark, path).collect())
+    assert d_rows == i_rows and len(d_rows) == 12
+    assert read_delta(spark, path).where("cat = 'b'").count() == 6
+
+    write_iceberg(spark.createDataFrame([(50, "a", 9.0)],
+                                        "id long, cat string, "
+                                        "v double"),
+                  path, mode="append")
+    v1 = iceberg_to_delta(spark, path)
+    assert v1 == 1
+    assert read_delta(spark, path).count() == 13
+    assert read_delta(spark, path, version_as_of=0).count() == 12
+
+
 def test_iceberg_format_v3_rejected(spark, iceberg_table):
     """format-version 3 (deletion vectors / row lineage) must raise up
     front rather than risk reading deleted rows as live."""
