@@ -1060,6 +1060,22 @@ def _stage_files(df: DataFrame, path: str, staging: str,
     return moved
 
 
+def _meta_action(meta_id: str, schema_string: str,
+                 partition_columns: list, configuration: Optional[dict],
+                 created_time: int) -> dict:
+    """The one metaData-action shape every writer path commits —
+    create, mergeSchema evolution, CLONE, and the Iceberg->Delta
+    translation all route here so the format/config/createdTime
+    contract cannot drift between them."""
+    return {"metaData": {
+        "id": meta_id,
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_string,
+        "partitionColumns": list(partition_columns),
+        "configuration": dict(configuration or {}),
+        "createdTime": created_time}}
+
+
 def clone_delta(spark: SparkSession, src: str, dst: str) -> int:
     """SHALLOW CLONE (delta-spark parity): create a new Delta table at
     ``dst`` whose add actions reference ``src``'s CURRENT data files
@@ -1089,14 +1105,9 @@ def clone_delta(spark: SparkSession, src: str, dst: str) -> int:
         {"protocol": dict(getattr(snap, "protocol", None)
                           or {"minReaderVersion": 1,
                               "minWriterVersion": 2})},
-        {"metaData": {
-            "id": hashlib.md5(dst.encode()).hexdigest(),
-            "format": {"provider": "parquet", "options": {}},
-            "schemaString": snap.schema.json(),
-            "partitionColumns": snap.partition_columns,
-            "configuration": getattr(snap, "configuration", None)
-            or {},
-            "createdTime": now_ms}},
+        _meta_action(hashlib.md5(dst.encode()).hexdigest(),
+                     snap.schema.json(), snap.partition_columns,
+                     getattr(snap, "configuration", None), now_ms),
     ]
     for rel, pv in snap.files:
         ap = os.path.abspath(
@@ -1257,13 +1268,9 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         table_id = hashlib.md5(path.encode()).hexdigest()
         actions.append({"protocol": {"minReaderVersion": 1,
                                      "minWriterVersion": 2}})
-        actions.append({"metaData": {
-            "id": table_id,
-            "format": {"provider": "parquet", "options": {}},
-            "schemaString": df.schema.json(),
-            "partitionColumns": partition_by,
-            "configuration": dict(configuration or {}),
-            "createdTime": now_ms}})
+        actions.append(_meta_action(table_id, df.schema.json(),
+                                    partition_by, configuration,
+                                    now_ms))
     else:
         version = snap.version + 1
         if evolved:
@@ -1272,18 +1279,14 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
             # schema evolution rides the SAME commit as the data it
             # admits — the spec's metaData-replaces-metaData rule;
             # table id and configuration stay stable
-            actions.append({"metaData": {
-                "id": (getattr(snap, "meta_id", None)
-                       or hashlib.md5(path.encode()).hexdigest()),
-                "format": {"provider": "parquet", "options": {}},
-                "schemaString": snap.schema.json(),
-                "partitionColumns": snap.partition_columns,
-                "configuration": getattr(snap, "configuration", None)
-                or {},
-                # createdTime is the TABLE-creation timestamp and must
-                # survive metaData replacement, like id
-                "createdTime": (getattr(snap, "created_time", None)
-                                or now_ms)}})
+            # createdTime is the TABLE-creation timestamp and must
+            # survive metaData replacement, like id
+            actions.append(_meta_action(
+                getattr(snap, "meta_id", None)
+                or hashlib.md5(path.encode()).hexdigest(),
+                snap.schema.json(), snap.partition_columns,
+                getattr(snap, "configuration", None),
+                getattr(snap, "created_time", None) or now_ms))
         if mode == "overwrite":
             for rel, _pv in snap.files:
                 actions.append({"remove": {"path": rel,
@@ -1551,7 +1554,8 @@ def vacuum_delta(spark: SparkSession, path: str,
     # version-7 protocol every writerFeature must be understood, or
     # we could delete files a feature still references.
     proto = getattr(snap, "protocol", None) or {}
-    if int(proto.get("minWriterVersion") or 1) == 7:
+    mwv = int(proto.get("minWriterVersion") or 1)
+    if mwv == 7:
         unsupported = sorted(
             set(proto.get("writerFeatures") or [])
             - _SUPPORTED_WRITER_FEATURES)
@@ -1560,12 +1564,34 @@ def vacuum_delta(spark: SparkSession, path: str,
                 f"Delta table {path} requires unsupported writer "
                 f"features {unsupported}; refusing to VACUUM — an "
                 f"ununderstood feature may still reference files")
+    elif mwv > 7:
+        # a FUTURE protocol version may carry file-referencing
+        # semantics this code cannot even enumerate
+        raise DeltaLogError(
+            f"Delta table {path} requires minWriterVersion {mwv}, "
+            f"which this VACUUM does not understand — refusing")
     # every live add, in both its logged (possibly URL-encoded) and
-    # decoded on-disk form; at least one form must exist on disk
+    # decoded on-disk form; at least one form must exist on disk.
+    # ABSOLUTE add.path entries (shallow clones / converted tables)
+    # normalize to table-root-relative when they point inside the
+    # table — the walk below compares RELATIVE forms, and missing
+    # this would delete LIVE data
+    abs_table_root = os.path.abspath(path)
+
+    def _forms(rel: str) -> set[str]:
+        out = {rel, unquote(rel)}
+        for r in (rel, unquote(rel)):
+            if os.path.isabs(r):
+                rp = os.path.relpath(os.path.abspath(r),
+                                     abs_table_root)
+                if not rp.startswith(".."):
+                    out.add(rp.replace(os.sep, "/"))
+        return out
+
     live_forms: list[set[str]] = []
     keep: set[str] = set()
     for rel, _ in snap.files:
-        forms = {rel, unquote(rel)}
+        forms = _forms(rel)
         live_forms.append(forms)
         keep |= forms
     from lightning_metastore_spark.sources import delta_dv

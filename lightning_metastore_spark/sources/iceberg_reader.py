@@ -198,7 +198,8 @@ def snapshot_files(table_path: str, snapshot: dict,
                    ) -> tuple[list[tuple], list[str], list[tuple]]:
     """Snapshot contents as (data, position_deletes, equality_deletes):
     data = [(path, data_sequence_number)] — or
-    [(path, seq, partition_dict)] with ``with_partitions`` —
+    [(path, seq, partition_dict, stats_field_ids)] with
+    ``with_partitions`` —
     position_deletes = [path], equality_deletes = [(path,
     sequence_number, equality_ids)]. The sequence number comes from
     the manifest entry, inherited from the manifest-list record when
@@ -223,16 +224,24 @@ def snapshot_files(table_path: str, snapshot: dict,
                 raise IcebergError(
                     f"only PARQUET data files supported offline, got {fmt}")
             if content == _CONTENT_DATA:
-                data[fpath] = (seq, dict(df_rec.get("partition") or {}))
+                # field ids the manifest PROVES are physically in the
+                # file (value_counts/bounds come from its footer) —
+                # the identity-partition injection decision reads this
+                stat_fids = {int(kv["key"])
+                             for key in ("value_counts", "lower_bounds")
+                             for kv in (df_rec.get(key) or [])}
+                data[fpath] = (seq, dict(df_rec.get("partition") or {}),
+                               stat_fids)
             elif content == _CONTENT_POSITION_DELETES:
                 pos_del.add(fpath)
             elif content == _CONTENT_EQUALITY_DELETES:
                 eq_del[fpath] = (seq, list(df_rec.get("equality_ids")
                                            or []))
     if with_partitions:
-        data_out = sorted((p, s, pv) for p, (s, pv) in data.items())
+        data_out = sorted((p, s, pv, fids)
+                          for p, (s, pv, fids) in data.items())
     else:
-        data_out = sorted((p, s) for p, (s, _pv) in data.items())
+        data_out = sorted((p, s) for p, (s, _pv, _f) in data.items())
     return (data_out, sorted(pos_del),
             sorted((p, s, ids) for p, (s, ids) in eq_del.items()))
 
@@ -271,28 +280,21 @@ def read_iceberg(spark: SparkSession, table_path: str,
     # partition filters file-skipping predicates). But Hive-MIGRATED
     # tables (add_files) register files WITHOUT those columns; real
     # readers constant-ize the values from the manifest partition
-    # tuple. One footer sniff decides the path: present -> the single
-    # scan stands; absent -> per-partition-group scans with a reduced
-    # schema + metadata constants (partition predicates then fold to
-    # plan-time constants per group — pruning without touching a
-    # footer).
+    # tuple. The decision is PER FILE from manifest metadata alone
+    # (no footer I/O): a file whose value_counts/bounds carry the
+    # identity column's field id provably stores it — keep the
+    # stored-column scan (file-skipping stats, plan-pinned); a file
+    # without that proof gets the constants injected, which is always
+    # semantically correct for identity transforms.
     spec = next((s for s in meta.get("partition-specs", [])
                  if s.get("spec-id") == meta.get("default-spec-id", 0)),
                 {"fields": []})
     by_id = {f["id"]: f["name"]
              for f in current_schema(meta)["fields"]}
-    ident = [by_id[f["source-id"]] for f in spec.get("fields", [])
-             if f.get("transform") == "identity"
-             and f.get("source-id") in by_id]
-    missing_idents: list[str] = []
-    if ident:
-        try:
-            import pyarrow.parquet as pq
-            present = set(pq.ParquetFile(
-                data[0][0]).schema_arrow.names)
-            missing_idents = [c for c in ident if c not in present]
-        except Exception:  # noqa: BLE001 — sniff failure: assume stored
-            missing_idents = []
+    ident_pairs = [(by_id[f["source-id"]], int(f["source-id"]))
+                   for f in spec.get("fields", [])
+                   if f.get("transform") == "identity"
+                   and f.get("source-id") in by_id]
 
     # scan-level pseudo-columns must be derived INSIDE each scan
     # branch (referencing _metadata above a union does not resolve),
@@ -304,22 +306,36 @@ def read_iceberg(spark: SparkSession, table_path: str,
                                        r"^file:/+", "/"),
         "__ice_pos": F.col("_metadata.row_index"),
     }
-    if missing_idents:
+    stored_paths: list[str] = []
+    groups: dict[tuple, tuple[tuple, dict, list[str]]] = {}
+    for p, _s, pv, fids in data:
+        missing = tuple(c for c, fid in ident_pairs
+                        if fid not in fids)
+        if not missing:
+            stored_paths.append(p)
+        else:
+            key = (missing, tuple(sorted((c, pv.get(c))
+                                         for c in missing)))
+            groups.setdefault(
+                key, (missing, {c: pv.get(c) for c in missing},
+                      []))[2].append(p)
+    if groups:
         field_by_name = {f.name: f for f in schema.fields}
-        red = T.StructType([f for f in schema.fields
-                            if f.name not in missing_idents])
-        groups: dict[tuple, tuple[dict, list[str]]] = {}
-        for p, _s, pv in data:
-            key = tuple(sorted((k, pv.get(k)) for k in missing_idents))
-            groups.setdefault(key, (dict(key), []))[1].append(p)
         keep = [f.name for f in schema.fields] + (
             list(meta_cols) if need_meta else [])
         parts = []
-        for pv, paths in groups.values():
+        if stored_paths:
+            d = spark.read.schema(schema).parquet(*stored_paths)
+            if need_meta:
+                d = d.withColumns(meta_cols)
+            parts.append(d.select(*keep))
+        for missing, pv, paths in groups.values():
+            red = T.StructType([f for f in schema.fields
+                                if f.name not in missing])
             d = spark.read.schema(red).parquet(*paths)
             if need_meta:
                 d = d.withColumns(meta_cols)
-            for c in missing_idents:
+            for c in missing:
                 v = pv.get(c)
                 d = d.withColumn(c, (F.lit(None) if v is None
                                      else F.lit(v)).cast(
@@ -330,7 +346,7 @@ def read_iceberg(spark: SparkSession, table_path: str,
             df = df.unionByName(d)
     else:
         df = spark.read.schema(schema).parquet(
-            *[p for p, _s, _pv in data])
+            *[p for p, _s, _pv, _f in data])
         if need_meta:
             df = df.withColumns(meta_cols)
 
@@ -354,7 +370,7 @@ def read_iceberg(spark: SparkSession, table_path: str,
         field_names = {f["id"]: f["name"]
                        for f in current_schema(meta)["fields"]}
         seq_df = spark.createDataFrame(
-            [(p, s) for p, s, _pv in data],
+            [(p, s) for p, s, _pv, _f in data],
             T.StructType([T.StructField("__ice_file", T.StringType()),
                           T.StructField("__ice_seq", T.LongType())]))
         df = df.join(F.broadcast(seq_df), "__ice_file", "left")
@@ -526,8 +542,13 @@ def prune_data_files(table_path: str, col: str, op: str, value,
         if isinstance(itype, str):
             import datetime as dt
             if itype in ("int", "long") and not isinstance(value, bool):
-                v = float(value)
-                value = int(v) if v.is_integer() else v
+                if not isinstance(value, int):
+                    # keep a fractional literal fractional — int()
+                    # truncation would unsoundly skip boundary files —
+                    # but never round-trip an exact int through float
+                    # (ints above 2^53 would corrupt)
+                    v = float(value)
+                    value = int(v) if v.is_integer() else v
             elif itype in ("float", "double"):
                 value = float(value)
             elif itype == "date" and isinstance(value, str):
@@ -633,6 +654,59 @@ def iceberg_files(spark: SparkSession, table_path: str,
     return spark.createDataFrame(rows, schema)
 
 
+def _scan_with_identity_injection(spark: SparkSession, meta: dict,
+                                  schema: T.StructType,
+                                  files: list[tuple]) -> DataFrame:
+    """Scan ``files`` = [(path, partition_dict, stats_field_ids)]
+    honoring the identity-partition rule read_iceberg applies: files
+    whose manifest stats prove an identity source column is stored
+    scan as-is; the rest get the manifest constants injected."""
+    spec = next((s for s in meta.get("partition-specs", [])
+                 if s.get("spec-id") == meta.get("default-spec-id", 0)),
+                {"fields": []})
+    by_id = {f["id"]: f["name"]
+             for f in current_schema(meta)["fields"]}
+    ident_pairs = [(by_id[f["source-id"]], int(f["source-id"]))
+                   for f in spec.get("fields", [])
+                   if f.get("transform") == "identity"
+                   and f.get("source-id") in by_id]
+    stored: list[str] = []
+    groups: dict[tuple, tuple[tuple, dict, list[str]]] = {}
+    for p, pv, fids in files:
+        missing = tuple(c for c, fid in ident_pairs
+                        if fid not in fids)
+        if not missing:
+            stored.append(p)
+        else:
+            key = (missing, tuple(sorted((c, pv.get(c))
+                                         for c in missing)))
+            groups.setdefault(
+                key, (missing, {c: pv.get(c) for c in missing},
+                      []))[2].append(p)
+    if not groups:
+        return spark.read.schema(schema).parquet(*stored)
+    field_by_name = {f.name: f for f in schema.fields}
+    out_cols = [f.name for f in schema.fields]
+    parts = []
+    if stored:
+        parts.append(spark.read.schema(schema).parquet(*stored)
+                     .select(*out_cols))
+    for missing, pv, paths in groups.values():
+        red = T.StructType([f for f in schema.fields
+                            if f.name not in missing])
+        d = spark.read.schema(red).parquet(*paths)
+        for c in missing:
+            v = pv.get(c)
+            d = d.withColumn(c, (F.lit(None) if v is None
+                                 else F.lit(v)).cast(
+                field_by_name[c].dataType))
+        parts.append(d.select(*out_cols))
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 def iceberg_incremental(spark: SparkSession, table_path: str,
                         from_snapshot_id: int,
                         to_snapshot_id: Optional[int] = None
@@ -686,7 +760,7 @@ def iceberg_incremental(spark: SparkSession, table_path: str,
                 f"of {op} snapshots are not derivable from added "
                 f"files")
         sid = int(s["snapshot-id"])
-        added: list[str] = []
+        added: dict[str, tuple[dict, set]] = {}
         for mrec in ac.iter_records(_local(s["manifest-list"])):
             if mrec.get("added_snapshot_id") not in (None, sid):
                 continue  # manifest carried over from an ancestor
@@ -695,13 +769,25 @@ def iceberg_incremental(spark: SparkSession, table_path: str,
                         and (entry.get("snapshot_id") in (None, sid))):
                     d = entry["data_file"]
                     if int(d.get("content", _CONTENT_DATA)
-                           or _CONTENT_DATA) == _CONTENT_DATA:
-                        added.append(_local(d["file_path"]))
+                           or _CONTENT_DATA) != _CONTENT_DATA:
+                        continue
+                    fmt = str(d.get("file_format", "PARQUET")).upper()
+                    if fmt != "PARQUET":
+                        raise IcebergError(
+                            f"only PARQUET data files supported "
+                            f"offline, got {fmt}")
+                    fids = {int(kv["key"])
+                            for key in ("value_counts", "lower_bounds")
+                            for kv in (d.get(key) or [])}
+                    added[_local(d["file_path"])] = (
+                        dict(d.get("partition") or {}), fids)
         if not added:
             continue
+        part = _scan_with_identity_injection(
+            spark, meta, schema,
+            [(p, pv, fids) for p, (pv, fids) in sorted(added.items())])
         chunks.append(
-            spark.read.schema(schema).parquet(*sorted(set(added)))
-            .withColumn("_snapshot_id", F.lit(sid).cast("long")))
+            part.withColumn("_snapshot_id", F.lit(sid).cast("long")))
     if not chunks:
         return spark.createDataFrame([], out_schema)
     out = chunks[0]

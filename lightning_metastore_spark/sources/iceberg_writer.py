@@ -665,6 +665,22 @@ def delta_to_iceberg(spark: SparkSession, delta_path: str) -> int:
                     f"last translation and contains nested types — "
                     f"nested field ids are not stable across "
                     f"translations; refusing to resync")
+            # ids are assigned positionally, so only APPEND-ONLY
+            # evolution keeps them stable — a dropped/reordered/
+            # retyped column would shift ids and mis-key every
+            # existing manifest's stats (and the spec's source-id)
+            old_f = cur_schema.get("fields", [])
+            new_f = schema_json["fields"]
+            prefix_ok = len(new_f) >= len(old_f) and all(
+                nf["name"] == of["name"] and nf["id"] == of["id"]
+                and nf["type"] == of["type"]
+                for of, nf in zip(old_f, new_f))
+            if not prefix_ok:
+                raise ir.IcebergError(
+                    f"Delta schema of {delta_path} changed in a "
+                    f"non-append-only way since the last translation "
+                    f"— positional field ids would shift and mis-key "
+                    f"existing manifests; refusing to resync")
             new_id = int(cur_schema.get("schema-id", 0)) + 1
             schema_json["schema-id"] = new_id
             meta["schemas"] = list(meta.get("schemas", [])) + [
@@ -777,6 +793,18 @@ def iceberg_to_delta(spark: SparkSession, table_path: str) -> int:
         raise ir.IcebergError(
             f"cannot translate {table_path}: non-identity partition "
             f"transforms {non_identity} have no Delta equivalent")
+    # a snapshot whose manifests were written under a DIFFERENT spec
+    # carries partition tuples that do not key by the default spec's
+    # columns — translating them would emit wrong/NULL partitionValues
+    default_spec_id = int(meta.get("default-spec-id", 0))
+    for mrec in ac.iter_records(ir._local(snap["manifest-list"])):
+        sid = mrec.get("partition_spec_id")
+        if sid is not None and int(sid) != default_spec_id:
+            raise ir.IcebergError(
+                f"cannot translate {table_path}: snapshot contains "
+                f"manifests under partition spec {sid} (default is "
+                f"{default_spec_id}) — partition-spec evolution has "
+                f"no faithful Delta partitionValues mapping")
     partition_by = [f["name"] for f in spec.get("fields", [])]
     schema = ir.spark_schema(meta)
     now_ms = int(time.time() * 1000)
@@ -785,7 +813,7 @@ def iceberg_to_delta(spark: SparkSession, table_path: str) -> int:
         return None if v is None else str(v)
 
     adds = []
-    for p, _s, pv in data:
+    for p, _s, pv, _fids in data:
         ap = os.path.abspath(p)
         adds.append({"path": ap,
                      "partitionValues": {c: _pv_str(pv.get(c))
@@ -805,27 +833,20 @@ def iceberg_to_delta(spark: SparkSession, table_path: str) -> int:
         import hashlib
         actions.append({"protocol": {"minReaderVersion": 1,
                                      "minWriterVersion": 2}})
-        actions.append({"metaData": {
-            "id": hashlib.md5(table_path.encode()).hexdigest(),
-            "format": {"provider": "parquet", "options": {}},
-            "schemaString": schema.json(),
-            "partitionColumns": partition_by,
-            "configuration": {},
-            "createdTime": now_ms}})
+        actions.append(dr._meta_action(
+            hashlib.md5(table_path.encode()).hexdigest(),
+            schema.json(), partition_by, {}, now_ms))
         version = 0
     else:
         prev = dr.resolve_snapshot(spark, table_path)
         version = prev.version + 1
-        if prev.schema.json() != schema.json():
-            actions.append({"metaData": {
-                "id": getattr(prev, "meta_id", None) or "conv",
-                "format": {"provider": "parquet", "options": {}},
-                "schemaString": schema.json(),
-                "partitionColumns": partition_by,
-                "configuration": getattr(prev, "configuration", None)
-                or {},
-                "createdTime": (getattr(prev, "created_time", None)
-                                or now_ms)}})
+        if (prev.schema.json() != schema.json()
+                or list(prev.partition_columns) != list(partition_by)):
+            actions.append(dr._meta_action(
+                getattr(prev, "meta_id", None) or "conv",
+                schema.json(), partition_by,
+                getattr(prev, "configuration", None),
+                getattr(prev, "created_time", None) or now_ms))
         new_paths = {a["path"] for a in adds}
         for rel, _pv in prev.files:
             if rel not in new_paths:

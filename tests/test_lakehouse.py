@@ -1184,17 +1184,63 @@ def test_iceberg_incremental_scan(spark, tmp_path):
         == [3, 4, 5]
 
 
+def _strip_identity_column(path: str, col: str) -> int:
+    """Turn a written Iceberg table into the Hive-MIGRATED shape:
+    drop ``col`` from every data file AND from the manifests' per-
+    column stats (a real add_files import records stats from the
+    actual footers, so a migrated file never claims stats for a
+    column it does not store)."""
+    import pyarrow.parquet as pq
+
+    from lightning_metastore_spark.sources import avro_codec as ac
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        _manifest_schema_for,
+    )
+
+    stripped = 0
+    for root, _dirs, files in os.walk(os.path.join(path, "data")):
+        for f in files:
+            if f.endswith(".parquet"):
+                fp = os.path.join(root, f)
+                pq.write_table(pq.read_table(fp).drop_columns([col]),
+                               fp)
+                stripped += 1
+    meta = ir.load_metadata(path)
+    snap = ir.select_snapshot(meta)
+    fid = next(f["id"] for f in ir.current_schema(meta)["fields"]
+               if f["name"] == col)
+    spark_types = {f.name: f.dataType
+                   for f in ir.spark_schema(meta).fields}
+    spec = meta["partition-specs"][0]
+    part_cols = [f["name"] for f in spec.get("fields", [])]
+    mschema = _manifest_schema_for(part_cols, spark_types)
+    for mrec in ac.iter_records(ir._local(snap["manifest-list"])):
+        mpath = ir._local(mrec["manifest_path"])
+        entries = list(ac.iter_records(mpath))
+        for e in entries:
+            d = e["data_file"]
+            for key in ("value_counts", "null_value_counts",
+                        "lower_bounds", "upper_bounds"):
+                if d.get(key):
+                    d[key] = [kv for kv in d[key]
+                              if int(kv["key"]) != fid] or None
+                else:
+                    d.setdefault(key, None)
+            d.setdefault("equality_ids", None)
+        ac.write_container(mpath, mschema, entries)
+    return stripped
+
+
 def test_iceberg_identity_partition_constant_injection(spark,
                                                       tmp_path):
     """Hive-MIGRATED tables (add_files) register data files WITHOUT
     the identity partition source columns; real readers constant-ize
     the values from the manifest partition tuple. Fabricated by
-    stripping the partition column out of every data file of a
-    written table: the reader must detect the absence (one footer
-    sniff) and inject the metadata constants — values, filters, and
-    the file-tagged scan all stay correct."""
-    import pyarrow.parquet as pq
-
+    stripping the partition column out of every data file AND its
+    manifest stats: the reader must detect the absence (per-file, from
+    the manifests' value_counts) and inject the metadata constants —
+    values, filters, and the file-tagged scan all stay correct."""
     from lightning_metastore_spark.sources import iceberg_reader as ir
     from lightning_metastore_spark.sources.iceberg_writer import (
         write_iceberg,
@@ -1208,16 +1254,7 @@ def test_iceberg_identity_partition_constant_injection(spark,
     baseline = sorted((r.id, r.cat, r.v) for r in
                       ir.read_iceberg(spark, path).collect())
 
-    ddir = os.path.join(path, "data")
-    stripped = 0
-    for root, _dirs, files in os.walk(ddir):
-        for f in files:
-            if f.endswith(".parquet"):
-                p = os.path.join(root, f)
-                tbl = pq.read_table(p)
-                pq.write_table(tbl.drop_columns(["cat"]), p)
-                stripped += 1
-    assert stripped >= 2
+    assert _strip_identity_column(path, "cat") >= 2
 
     out = ir.read_iceberg(spark, path)
     assert sorted((r.id, r.cat, r.v) for r in out.collect()) == baseline
@@ -1392,6 +1429,98 @@ def test_iceberg_to_delta_uniform(spark, tmp_path):
     assert v1 == 1
     assert read_delta(spark, path).count() == 13
     assert read_delta(spark, path, version_as_of=0).count() == 12
+
+
+def test_review_fixes_round14_second_pass(spark, tmp_path):
+    """Pins for the second review pass: (a) VACUUM on a table whose
+    add.path entries are ABSOLUTE (Iceberg->Delta conversion) must not
+    delete live data; (b) VACUUM refuses future minWriterVersion > 7;
+    (c) manifest-bounds pruning keeps exact int literals above 2^53;
+    (d) a MIXED table (migrated files without the identity column +
+    written files with it) reads correct partition values per file;
+    (e) delta_to_iceberg refuses non-append-only resyncs (positional
+    ids would shift) but allows append-only evolution."""
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+    from lightning_metastore_spark.sources.delta_reader import (
+        vacuum_delta,
+    )
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        delta_to_iceberg,
+        iceberg_to_delta,
+        write_iceberg,
+    )
+
+    # (a) converted table: every live file referenced absolutely
+    path = str(tmp_path / "vconv")
+    write_iceberg(spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(10)],
+        "id long, cat string"), path, mode="error",
+        partition_by=["cat"])
+    iceberg_to_delta(spark, path)
+    assert read_delta(spark, path).count() == 10
+    doomed = vacuum_delta(spark, path, retention_hours=0, force=True)
+    assert doomed == []                      # nothing live deleted
+    assert read_delta(spark, path).count() == 10
+    assert ir.read_iceberg(spark, path).count() == 10
+
+    # (b) future writer protocol refuses VACUUM
+    _append_commit(path, 1, [{"protocol": {"minReaderVersion": 1,
+                                           "minWriterVersion": 8}}])
+    with pytest.raises(DeltaLogError, match="minWriterVersion 8"):
+        vacuum_delta(spark, path, retention_hours=0, force=True)
+
+    # (c) exact int literal above 2^53 must not round through float
+    big = 9007199254740993                   # 2^53 + 1
+    p2 = str(tmp_path / "big")
+    write_iceberg(spark.createDataFrame([(big,), (1,)], "id long")
+                  .repartitionByRange(2, "id"), p2, mode="error")
+    cands, _sk = ir.prune_data_files(p2, "id", "=", big)
+    assert any(spark.read.parquet(c).where(f"id = {big}").count() == 1
+               for c in cands)
+
+    # (d) MIXED table: migrated (column-absent) files + a normally
+    # written (column-present) append — the injection decision is per
+    # FILE from manifest stats, so both kinds return correct values
+    p3 = str(tmp_path / "mix")
+    write_iceberg(spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(8)],
+        "id long, cat string"), p3, mode="error", partition_by=["cat"])
+    _strip_identity_column(p3, "cat")
+    write_iceberg(spark.createDataFrame([(100, "a")],
+                                        "id long, cat string"),
+                  p3, mode="append")
+    out = ir.read_iceberg(spark, p3)
+    rows = sorted((r.id, r.cat) for r in out.collect())
+    assert rows == sorted(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(8)]
+        + [(100, "a")])
+    assert out.where("cat = 'a'").count() == 5
+    assert out.where("id = 100").collect()[0].cat == "a"
+
+    # (e) delta_to_iceberg: append-only evolution resyncs; reorder
+    # refuses
+    p4 = str(tmp_path / "evo2")
+    write_delta(spark.createDataFrame([(1, "x")], "id long, s string"),
+                p4, mode="error")
+    delta_to_iceberg(spark, p4)
+    write_delta(spark.createDataFrame([(2, "y", 5.0)],
+                                      "id long, s string, v double"),
+                p4, mode="append", merge_schema=True)
+    sid = delta_to_iceberg(spark, p4)        # append-only: ok
+    assert ir.read_iceberg(spark, p4).count() == 2
+    # fabricate a REORDERED schema metaData -> resync must refuse
+    snap = resolve_snapshot(spark, p4)
+    import pyspark.sql.types as T2
+    reordered = T2.StructType([snap.schema.fields[2],
+                               snap.schema.fields[0],
+                               snap.schema.fields[1]])
+    _append_commit(p4, snap.version + 1, [{"metaData": {
+        "id": "evo2", "format": {"provider": "parquet", "options": {}},
+        "schemaString": reordered.json(), "partitionColumns": [],
+        "configuration": {}, "createdTime": 0}}])
+    with pytest.raises(ir.IcebergError, match="non-append-only"):
+        delta_to_iceberg(spark, p4)
+    assert sid >= 1
 
 
 def test_iceberg_format_v3_rejected(spark, iceberg_table):
