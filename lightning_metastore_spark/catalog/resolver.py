@@ -79,6 +79,103 @@ class ResolutionError(Exception):
     pass
 
 
+# `[qualifier.]col <op> literal` — the conjunct shape lakehouse file
+# skipping understands; literals are a number, a [DATE-prefixed]
+# single-quoted string
+_SIMPLE_CONJ = re.compile(
+    r"^\s*((?:[A-Za-z_][\w\-]*\.)*)([A-Za-z_][\w]*)\s*(<=|>=|=|<|>)\s*"
+    r"(?:(-?\d+(?:\.\d+)?)|(?:DATE\s+)?'((?:[^']|'')*)')\s*$",
+    re.IGNORECASE,
+)
+_PRUNE_TAIL = re.compile(
+    r"\b(GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|WINDOW|UNION|EXCEPT|"
+    r"INTERSECT|DISTRIBUTE\s+BY|CLUSTER\s+BY|SORT\s+BY)\b",
+    re.IGNORECASE,
+)
+
+
+def _mask_quoted(sql: str) -> str:
+    """Quoted regions blanked (same length), so keyword/structure
+    regexes never match inside literals while offsets stay aligned
+    with the original text."""
+    parts = _QUOTED.split(sql)
+    return "".join(p if i % 2 == 0 else " " * len(p)
+                   for i, p in enumerate(parts))
+
+
+def extract_prune_conjuncts(sql: str
+                            ) -> Optional[tuple[str, list[tuple]]]:
+    """(table chain, [(col, op, literal), ...]) when the statement is
+    a SINGLE-select, single-table query over ONE lightning datasource
+    chain whose WHERE is a top-level AND of conjuncts — the shape
+    whose simple `col op literal` members can be handed to the Delta/
+    Iceberg units as PLANNING hints (stats/manifest-bounds file
+    skipping). Every guard errs toward None: subqueries, joins, set
+    ops, multiple chains, or an unparseable FROM all disable
+    extraction, and non-simple conjuncts (OR-groups, NOT, IN, LIKE,
+    functions) are individually ignored — always sound, because a
+    top-level AND conjunct independently bounds the matching rows and
+    the full WHERE still executes on the kept files."""
+    masked = _mask_quoted(sql)
+    if len(re.findall(r"\bSELECT\b", masked, re.I)) != 1:
+        return None  # subquery / set operation
+    if re.search(r"\bJOIN\b", masked, re.I):
+        return None
+    chains = _CHAIN.findall(masked)
+    if len(chains) != 1:
+        return None
+    m_from = re.search(r"\bFROM\b", masked, re.I)
+    m_where = re.search(r"\bWHERE\b", masked, re.I)
+    if not m_from or not m_where or m_where.start() < m_from.end():
+        return None
+    chain = chains[0]
+    # FROM clause must be exactly `<chain> [AS] [alias]`
+    from_clause = masked[m_from.end():m_where.start()].strip()
+    m_alias = re.fullmatch(
+        re.escape(chain) + r"(?:\s+(?:AS\s+)?([A-Za-z_][\w]*))?",
+        from_clause, re.IGNORECASE)
+    if not m_alias:
+        return None
+    ok_quals = {chain.lower(), chain.split(".")[-1].lower()}
+    if m_alias.group(1):
+        ok_quals.add(m_alias.group(1).lower())
+    m_tail = _PRUNE_TAIL.search(masked, m_where.end())
+    end = m_tail.start() if m_tail else len(sql)
+    where_sql = sql[m_where.end():end]
+    where_masked = masked[m_where.end():end]
+    # split on top-level ANDs (paren depth 0 in the masked text)
+    pieces: list[str] = []
+    depth = 0
+    start = 0
+    for m in re.finditer(r"[()]|\bAND\b", where_masked, re.I):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            pieces.append(where_sql[start:m.start()])
+            start = m.end()
+    pieces.append(where_sql[start:])
+    conjuncts: list[tuple] = []
+    for piece in pieces:
+        m = _SIMPLE_CONJ.match(piece)
+        if not m:
+            continue
+        qual = m.group(1).rstrip(".")
+        if qual and qual.lower() not in ok_quals:
+            continue  # unknown qualifier — not provably this table
+        if m.group(4) is not None:
+            lit = (float(m.group(4)) if "." in m.group(4)
+                   else int(m.group(4)))
+        else:
+            lit = m.group(5).replace("''", "'")
+        conjuncts.append((m.group(2), m.group(3), lit))
+    if not conjuncts:
+        return None
+    return chain, conjuncts
+
+
 def _path_fingerprint(path: str) -> Optional[tuple]:
     """Cheap freshness token for a file-table path: root stat plus one
     scandir level (name, mtime, size). Spark's own writers always touch
@@ -181,23 +278,33 @@ class Resolver:
         return self.spark.read.format("jdbc").options(**opts).load()
 
     def resolve_sql(self, sql: str, _stack: frozenset = frozenset()) -> str:
-        """Rewrite every lightning.* table reference to a temp-view name."""
+        """Rewrite every lightning.* table reference to a temp-view
+        name. Single-table SELECTs with simple WHERE conjuncts hand
+        those conjuncts to the Delta/Iceberg units as PLANNING hints —
+        stats/manifest-bounds file skipping (`extract_prune_conjuncts`
+        documents the soundness guards); Catalyst still applies the
+        full predicate to the kept files."""
         sql = self._rewrite_time_travel(sql)
+        prune_hit = extract_prune_conjuncts(sql)
         parts = _QUOTED.split(sql)
         for i, part in enumerate(parts):
             if i % 2 == 1:  # quoted segment — leave untouched
                 continue
             parts[i] = _CHAIN.sub(
-                lambda m: self._rewrite_chain(m.group(0), _stack), part)
+                lambda m: self._rewrite_chain(m.group(0), _stack,
+                                              prune_hit), part)
         return "".join(parts)
 
     def load_table(self, path: list[str],
-                   _stack: frozenset = frozenset()) -> DataFrame:
+                   _stack: frozenset = frozenset(),
+                   prune: Optional[list[tuple]] = None) -> DataFrame:
         """Resolve a full path (['datasource'|'metastore', ...]) to a
-        DataFrame. Raises ResolutionError when nothing matches."""
+        DataFrame. Raises ResolutionError when nothing matches.
+        ``prune`` (datasource root only) carries simple WHERE
+        conjuncts down to lakehouse units for file skipping."""
         root = path[0].lower()
         if root == DATASOURCE_ROOT:
-            return self._load_datasource_table(path[1:])
+            return self._load_datasource_table(path[1:], prune=prune)
         if root == METASTORE_ROOT:
             return self._load_metastore_table(path[1:], _stack)
         raise ResolutionError(f"unknown lightning root: {path[0]}")
@@ -247,16 +354,25 @@ class Resolver:
 
         return _TIME_TRAVEL.sub(repl, sql)
 
-    def _rewrite_chain(self, chain: str, _stack: frozenset) -> str:
+    def _rewrite_chain(self, chain: str, _stack: frozenset,
+                       prune_hit: Optional[tuple] = None) -> str:
         """A matched chain may include trailing column projections
         (`lightning.datasource.f.t.orders.o_orderkey`): resolve the
-        longest prefix that names a table, keep the rest."""
+        longest prefix that names a table, keep the rest. When the
+        chain is the query's single pruned FROM target, the conjuncts
+        ride into the load as planning hints (and the view name gets
+        its own digest so unpruned registrations are never clobbered
+        for other callers)."""
+        prune = (prune_hit[1] if prune_hit and prune_hit[0] == chain
+                 else None)
         parts = chain.split(".")[1:]  # drop leading 'lightning'
         last_err: Optional[Exception] = None
         for cut in range(len(parts), 1, -1):
             prefix = parts[:cut]
             try:
-                df = self.load_table(prefix, _stack)
+                df = self.load_table(prefix, _stack,
+                                     prune=prune if cut == len(parts)
+                                     else None)
             except Exception as e:  # try a shorter prefix
                 # keep the LONGEST-prefix error — it names the actual
                 # failure (e.g. "not activated"), not a fallback miss
@@ -279,6 +395,10 @@ class Resolver:
                         f"lightning.{'.'.join(prefix)}")
                 continue
             view = self._view_name(prefix)
+            if prune and cut == len(parts):
+                digest = hashlib.md5(
+                    repr(prune).encode()).hexdigest()[:8]
+                view = f"{view}_pr_{digest}"
             df.createOrReplaceTempView(view)
             return ".".join([view] + rest)
         raise ResolutionError(
@@ -292,13 +412,23 @@ class Resolver:
     # -- datasource root ----------------------------------------------------
 
     def _load_datasource_table(self, rest: list[str],
-                               tt: Optional[tuple] = None) -> DataFrame:
+                               tt: Optional[tuple] = None,
+                               prune: Optional[list[tuple]] = None
+                               ) -> DataFrame:
         hit = self.metastore.find_parent_datasource(rest)
         if hit is None:
             raise ResolutionError(
                 f"no datasource found along lightning.datasource.{'.'.join(rest)}")
         ds, residual = hit
         unit = load_catalog_unit(ds)
+        if prune is not None and tt is None:
+            from lightning_metastore_spark.catalog.units import (
+                DeltaCatalogUnit,
+                IcebergCatalogUnit,
+            )
+            if isinstance(unit, (DeltaCatalogUnit, IcebergCatalogUnit)):
+                return unit.load_table(self.spark, residual,
+                                       prune=prune)
         if tt is None:
             if ds.is_file:
                 key = (ds.name, tuple(ds.namespace), tuple(residual),

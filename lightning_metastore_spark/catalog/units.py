@@ -317,7 +317,8 @@ class DeltaCatalogUnit(CatalogUnit):
     unobtainable in this container (PARITY.md env table)."""
 
     def load_table(self, spark: SparkSession, residual: list[str],
-                   version_as_of=None, timestamp_as_of=None) -> DataFrame:
+                   version_as_of=None, timestamp_as_of=None,
+                   prune=None) -> DataFrame:
         from lightning_metastore_spark.sources import delta_reader as dr
         base = self.ds.options["path"]
         path = os.path.join(base, *residual)
@@ -334,9 +335,9 @@ class DeltaCatalogUnit(CatalogUnit):
                 if version_as_of is not None:
                     start = int(version_as_of)
                 elif timestamp_as_of is not None:
-                    import datetime as dt
-                    bound_ms = int(dt.datetime.fromisoformat(
-                        str(timestamp_as_of)).timestamp() * 1000)
+                    # interpreted in the Spark session timezone, same
+                    # as the time-travel reader path (r14 ADVICE)
+                    bound_ms = dr.ts_literal_ms(spark, timestamp_as_of)
                     vs = [v for v, p in dr._commit_files(parent)
                           if dr._commit_timestamp(p) >= bound_ms]
                     if not vs:
@@ -361,7 +362,7 @@ class DeltaCatalogUnit(CatalogUnit):
             return dr.read_delta(
                 spark, path,
                 None if version_as_of is None else int(version_as_of),
-                timestamp_as_of)
+                timestamp_as_of, prune=prune)
 
     def list_tables(self, spark: SparkSession, residual: list[str]) -> list[str]:
         base = os.path.join(self.ds.options["path"], *residual)
@@ -420,7 +421,8 @@ class IcebergCatalogUnit(CatalogUnit):
             return False
 
     def load_table(self, spark: SparkSession, residual: list[str],
-                   version_as_of=None, timestamp_as_of=None) -> DataFrame:
+                   version_as_of=None, timestamp_as_of=None,
+                   prune=None) -> DataFrame:
         from lightning_metastore_spark.sources import iceberg_reader as ir
         if self._mounted(spark):
             name = ".".join([self._catalog()] + residual)
@@ -455,13 +457,14 @@ class IcebergCatalogUnit(CatalogUnit):
             raise CatalogUnitError(f"no Iceberg table at {path}")
         ts_ms = None
         if timestamp_as_of is not None:
-            import datetime as dt
-            ts_ms = int(dt.datetime.fromisoformat(
-                str(timestamp_as_of)).timestamp() * 1000)
+            from lightning_metastore_spark.sources.delta_reader import (
+                ts_literal_ms,
+            )
+            ts_ms = ts_literal_ms(spark, str(timestamp_as_of))
         return ir.read_iceberg(
             spark, path,
             snapshot_id=None if version_as_of is None else int(version_as_of),
-            as_of_timestamp=ts_ms)
+            as_of_timestamp=ts_ms, prune=prune)
 
     def write_table(self, df: DataFrame, residual: list[str],
                     mode: str = "append") -> None:

@@ -67,6 +67,8 @@ _LIGHTNING_HEADS = (
     re.compile(r"^MERGE\s+INTO\s+LIGHTNING\.", re.I),
     re.compile(r"^OPTIMIZE\s+LIGHTNING\.", re.I),
     re.compile(r"^VACUUM\s+LIGHTNING\.", re.I),
+    re.compile(r"^EXPIRE\s+SNAPSHOTS\s+LIGHTNING\.", re.I),
+    re.compile(r"^REMOVE\s+ORPHAN\s+FILES\s+LIGHTNING\.", re.I),
     re.compile(r"^DELETE\s+FROM\s+LIGHTNING\.", re.I),
 )
 
@@ -403,6 +405,34 @@ class InsertInto(Command):
         return self._df(ctx, [(".".join(self.path),)], "inserted string")
 
 
+def _iceberg_table_path(ctx, path: list[str], what: str) -> str:
+    """Resolve a lightning.datasource.iceberg.* path to the offline
+    warehouse table dir (Iceberg maintenance commands; a MOUNTED
+    catalog's tables are maintained by the runtime's own procedures)."""
+    from lightning_metastore_spark.catalog.units import (
+        IcebergCatalogUnit,
+        load_catalog_unit,
+    )
+
+    rest = _require_root(path, DATASOURCE_ROOT, what)
+    hit = ctx.metastore.find_parent_datasource(rest)
+    if hit is None:
+        raise CommandParseError(
+            f"no datasource at lightning.{'.'.join(path)}")
+    ds, residual = hit
+    unit = load_catalog_unit(ds)
+    if not isinstance(unit, IcebergCatalogUnit):
+        raise CommandParseError(
+            f"{what} supports Iceberg tables only; "
+            f"lightning.{'.'.join(path)} is a {ds.source_type} source")
+    if unit._mounted(ctx.spark) or unit._warehouse() is None:
+        raise CommandParseError(
+            f"{what} maintains offline warehouse tables; a mounted "
+            f"Iceberg catalog's tables use the runtime's procedures")
+    import os as _os
+    return _os.path.join(unit._warehouse(), *residual)
+
+
 def _delta_table_path(ctx, path: list[str], what: str) -> str:
     """Resolve a lightning.datasource.delta.* path to the table dir;
     maintenance commands are Delta-only (Iceberg compaction is the
@@ -540,6 +570,64 @@ class VacuumTable(Command):
         doomed = vacuum_delta(ctx.spark, tpath,
                               retention_hours=self.retention_hours,
                               dry_run=self.dry_run, force=self.force)
+        return self._df(ctx, [(p,) for p in doomed], "path string")
+
+
+@dataclass
+class ExpireSnapshots(Command):
+    """`EXPIRE SNAPSHOTS lightning.datasource.iceberg.<ds>.<table>
+    [OLDER THAN n HOURS] [RETAIN LAST n] [DRY RUN]` — Iceberg's
+    expire_snapshots maintenance procedure (the Iceberg twin of
+    Delta's VACUUM; scale rationale and safety rails in
+    `sources/iceberg_writer.expire_snapshots`)."""
+    path: list[str]
+    older_than_hours: Optional[float] = None
+    retain_last: int = 1
+    dry_run: bool = False
+
+    def run(self, ctx) -> DataFrame:
+        import time as _time
+
+        from lightning_metastore_spark.sources.iceberg_writer import (
+            expire_snapshots,
+        )
+
+        tpath = _iceberg_table_path(ctx, self.path, "EXPIRE SNAPSHOTS")
+        older_ms = None
+        if self.older_than_hours is not None:
+            older_ms = int((_time.time()
+                            - self.older_than_hours * 3600.0) * 1000)
+        out = expire_snapshots(ctx.spark, tpath, older_than_ms=older_ms,
+                               retain_last=self.retain_last,
+                               dry_run=self.dry_run)
+        return self._df(
+            ctx, [(len(out["expired_snapshot_ids"]),
+                   len(out["deleted_files"]))],
+            "snapshots_expired long, files_deleted long")
+
+
+@dataclass
+class RemoveOrphanFiles(Command):
+    """`REMOVE ORPHAN FILES lightning.datasource.iceberg.<ds>.<table>
+    [RETAIN n HOURS] [FORCE] [DRY RUN]` — Iceberg's
+    remove_orphan_files procedure (72 h floor unless FORCE, matching
+    the runtime's in-flight-writer protection)."""
+    path: list[str]
+    retention_hours: float = 72.0
+    dry_run: bool = False
+    force: bool = False
+
+    def run(self, ctx) -> DataFrame:
+        from lightning_metastore_spark.sources.iceberg_writer import (
+            remove_orphan_files,
+        )
+
+        tpath = _iceberg_table_path(ctx, self.path,
+                                    "REMOVE ORPHAN FILES")
+        doomed = remove_orphan_files(ctx.spark, tpath,
+                                     retention_hours=self.retention_hours,
+                                     dry_run=self.dry_run,
+                                     force=self.force)
         return self._df(ctx, [(p,) for p in doomed], "path string")
 
 
@@ -2056,6 +2144,16 @@ _R_VACUUM = re.compile(
     r"(?:\s+RETAIN\s+(?P<h>[\d.]+)\s+HOURS)?"
     r"(?:\s+(?P<force>FORCE))?"
     r"(?:\s+(?P<dry>DRY\s+RUN))?\s*$", re.I)
+_R_EXPIRE = re.compile(
+    r"^EXPIRE\s+SNAPSHOTS\s+(?P<path>[\w.\-]+)"
+    r"(?:\s+OLDER\s+THAN\s+(?P<h>[\d.]+)\s+HOURS)?"
+    r"(?:\s+RETAIN\s+LAST\s+(?P<n>\d+))?"
+    r"(?:\s+(?P<dry>DRY\s+RUN))?\s*$", re.I)
+_R_ORPHANS = re.compile(
+    r"^REMOVE\s+ORPHAN\s+FILES\s+(?P<path>[\w.\-]+)"
+    r"(?:\s+RETAIN\s+(?P<h>[\d.]+)\s+HOURS)?"
+    r"(?:\s+(?P<force>FORCE))?"
+    r"(?:\s+(?P<dry>DRY\s+RUN))?\s*$", re.I)
 _R_MERGE_HEAD = re.compile(
     r"^MERGE\s+INTO\s+(?P<target>[\w.\-]+)"
     r"(?:\s+(?:AS\s+)?(?P<ta>(?!USING\b)\w+))?\s+USING\s+",
@@ -2139,6 +2237,22 @@ def parse_command(sql: str) -> Command:
             path=_split_path(m.group("path")),
             retention_hours=(float(m.group("h"))
                              if m.group("h") else 168.0),
+            dry_run=bool(m.group("dry")),
+            force=bool(m.group("force")))
+    m = _R_EXPIRE.match(text)
+    if m:
+        return ExpireSnapshots(
+            path=_split_path(m.group("path")),
+            older_than_hours=(float(m.group("h"))
+                              if m.group("h") else None),
+            retain_last=int(m.group("n")) if m.group("n") else 1,
+            dry_run=bool(m.group("dry")))
+    m = _R_ORPHANS.match(text)
+    if m:
+        return RemoveOrphanFiles(
+            path=_split_path(m.group("path")),
+            retention_hours=(float(m.group("h"))
+                             if m.group("h") else 72.0),
             dry_run=bool(m.group("dry")),
             force=bool(m.group("force")))
     m = _R_UPDATE_TAGS.match(text)

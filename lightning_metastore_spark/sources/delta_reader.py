@@ -78,9 +78,10 @@ class DeltaLogError(Exception):
 # path); `columnMapping` because BOTH modes are implemented: NAME mode
 # scans under recursively-renamed physical schemas and casts back to
 # the logical one (struct casts rename fields positionally); ID mode
-# reads with `parquet.field.id` metadata on every mapped field and
-# Spark's field-id matching (`spark.sql.parquet.fieldId.read.enabled`),
-# so physical parquet names are irrelevant — the spec's intent.
+# resolves every mapped field BY ID against each data file's own
+# footer field-id map (driver-side pyarrow metadata reads), so
+# physical parquet names are irrelevant — the spec's intent — without
+# flipping the session-global `spark.sql.parquet.fieldId.read.enabled`.
 _SUPPORTED_READER_FEATURES = frozenset(
     {"timestampNtz", "deletionVectors", "columnMapping"})
 
@@ -96,10 +97,19 @@ _SUPPORTED_READER_FEATURES = frozenset(
 # `deletionVectors` because rewrites here never resurrect DV-deleted
 # rows (OPTIMIZE skips DV'd files, DELETE re-applies the DV to
 # survivors); `vacuumProtocolCheck` because vacuum_delta performs this
-# very check before deleting anything.
+# very check before deleting anything; `changeDataFeed` because the
+# writer HONORS the CDF contract: DELETE commits the deleted rows as
+# cdc actions (`_change_data/` parquet), appends/overwrites derive
+# exactly from their dataChange add/remove actions, and the
+# non-derivable shapes (removing DV-carrying files without cdc) are
+# refused rather than committed; `columnMapping` because appends/
+# overwrites to mapped tables write the PHYSICAL column names plus
+# `parquet.field.id` footer metadata on every mapped field (both the
+# spec's modes resolve such files), with mergeSchema refused (new
+# columns would need freshly-allocated mapping ids).
 _SUPPORTED_WRITER_FEATURES = frozenset(
     {"appendOnly", "invariants", "timestampNtz", "deletionVectors",
-     "vacuumProtocolCheck"})
+     "vacuumProtocolCheck", "changeDataFeed", "columnMapping"})
 
 # write_delta compacts the log into a checkpoint every N commits (the
 # PROTOCOL's scale mechanism; real writers default to 10)
@@ -143,7 +153,8 @@ def _check_protocol(protocol: Optional[dict], path: str) -> None:
 
 def _check_writer_protocol(snap: "DeltaSnapshot", path: str, *,
                            data_change_removes: bool = False,
-                           adds_data: bool = False) -> None:
+                           adds_data: bool = False,
+                           emits_cdc: bool = False) -> None:
     """Reject write/maintenance operations the table's protocol forbids
     (Delta PROTOCOL.md "Writer Requirements" — the writer-side mirror
     of `_check_protocol`). Legacy minWriterVersion semantics: 2 adds
@@ -156,6 +167,7 @@ def _check_writer_protocol(snap: "DeltaSnapshot", path: str, *,
     proto = getattr(snap, "protocol", None) or {}
     mwv = int(proto.get("minWriterVersion") or 1)
     feats = set(proto.get("writerFeatures") or [])
+    conf = getattr(snap, "configuration", None) or {}
     if mwv == 7:
         unsupported = sorted(feats - _SUPPORTED_WRITER_FEATURES)
         if unsupported:
@@ -163,30 +175,53 @@ def _check_writer_protocol(snap: "DeltaSnapshot", path: str, *,
                 f"Delta table {path} requires unsupported writer "
                 f"features {unsupported}; this offline writer supports "
                 f"{sorted(_SUPPORTED_WRITER_FEATURES)} only")
-    elif mwv > 2:
+    elif mwv > 6:
         raise DeltaLogError(
-            f"Delta table {path} requires minWriterVersion {mwv} "
-            f"(CHECK constraints / CDF / column mapping / identity "
-            f"columns), which this offline writer does not enforce — "
+            f"Delta table {path} requires minWriterVersion {mwv}, "
+            f"which this offline writer does not understand — "
             f"refusing to commit")
-    conf = getattr(snap, "configuration", None) or {}
+    elif mwv > 2:
+        # legacy versions 3-6 add CHECK constraints, CDF + generated
+        # columns, column mapping, identity columns — cumulatively.
+        # CDF and column mapping are HONORED by this writer (cdc
+        # emission / physical-name+field-id writes); the rest are
+        # refused only when THIS table actually uses them, which is
+        # detectable from the metadata the capability stores in.
+        constraints = sorted(k for k in conf
+                             if k.startswith("delta.constraints."))
+        generated = [f.name for f in snap.schema.fields
+                     if (f.metadata or {}).get(
+                         "delta.generationExpression") is not None]
+        identity = [f.name for f in snap.schema.fields
+                    if any(k.startswith("delta.identity.")
+                           for k in (f.metadata or {}))]
+        if constraints or generated or identity:
+            raise DeltaLogError(
+                f"Delta table {path} (minWriterVersion {mwv}) uses "
+                f"capabilities this offline writer does not enforce — "
+                f"CHECK constraints {constraints}, generated columns "
+                f"{generated}, identity columns {identity} — refusing "
+                f"to commit unchecked data")
     if data_change_removes and str(
             conf.get("delta.appendOnly", "")).lower() == "true":
         raise DeltaLogError(
             f"Delta table {path} is append-only (delta.appendOnly): "
             f"operations that remove data are not allowed")
-    if data_change_removes and str(
-            conf.get("delta.enableChangeDataFeed", "")).lower() == "true":
-        # the spec's CDF writer requirement: delete/overwrite commits
-        # on a CDF table must write cdc files; this offline writer
-        # does not emit them, and a derived feed over our remove+add
-        # commits would double-count survivor rows (or be unreadable
-        # on partitioned tables) — refuse rather than corrupt the feed
+    if (data_change_removes and not emits_cdc
+            and getattr(snap, "dv", None) and str(
+            conf.get("delta.enableChangeDataFeed", "")).lower()
+            == "true"):
+        # CDF writer requirement, DV edge: a dataChange remove of a
+        # DV-carrying file is only consumable with cdc actions that
+        # describe it; whole-file removes (overwrite / WHERE-less
+        # DELETE) emit none, and the reader correctly refuses such a
+        # range — so refuse the WRITE instead of poisoning the feed.
+        # (Predicated DELETE is fine: it emits cdc for the commit.)
         raise DeltaLogError(
-            f"Delta table {path} has Change Data Feed enabled: "
-            f"delete/overwrite requires cdc file emission, which this "
-            f"offline writer does not support (appends are fine — "
-            f"they derive as inserts)")
+            f"Delta table {path} has Change Data Feed enabled and "
+            f"live deletion vectors: removing DV-carrying files "
+            f"without cdc emission would make the feed unreadable — "
+            f"rewrite the DV'd files first (DELETE with a predicate)")
     if adds_data:
         bad = [f.name for f in snap.schema.fields
                if (f.metadata or {}).get("delta.invariants")]
@@ -279,12 +314,39 @@ class DeltaSnapshot:
     def __init__(self, version: int, schema: T.StructType,
                  partition_columns: list[str],
                  files: list[tuple[str, dict]],
-                 dv: Optional[dict] = None):
+                 dv: Optional[dict] = None,
+                 stats: Optional[dict] = None):
         self.version = version
         self.schema = schema
         self.partition_columns = partition_columns
         self.files = files  # (relative path, partitionValues)
         self.dv = dv or {}  # relative path -> deletionVector descriptor
+        self.stats = stats or {}  # relative path -> add.stats JSON str
+
+
+def ts_literal_ms(spark: SparkSession, literal: str) -> int:
+    """Epoch millis for a TIMESTAMP AS OF literal. A timezone-less
+    literal is interpreted in the SPARK SESSION timezone
+    (`spark.sql.session.timeZone`) — how Spark itself resolves
+    TIMESTAMP AS OF — not via naive `datetime.timestamp()`, which
+    would use the machine-local zone and silently shift the selected
+    version whenever the two differ. Literals carrying an explicit
+    offset/zone keep it."""
+    import datetime as dt
+    bound = dt.datetime.fromisoformat(str(literal))
+    if bound.tzinfo is None:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        m = re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{1,2}):?(\d{2})",
+                         str(tz or ""))
+        if m:
+            off = dt.timedelta(hours=int(m.group(2)),
+                               minutes=int(m.group(3)))
+            tzinfo = dt.timezone(-off if m.group(1) == "-" else off)
+        else:
+            from zoneinfo import ZoneInfo
+            tzinfo = ZoneInfo(str(tz))
+        bound = bound.replace(tzinfo=tzinfo)
+    return int(bound.timestamp() * 1000)
 
 
 def _commit_timestamp(version_path: str) -> int:
@@ -314,9 +376,7 @@ def resolve_snapshot(spark: SparkSession, path: str,
     if not commits and ckpt_any is None:
         raise DeltaLogError(f"empty _delta_log at {path}")
     if timestamp_as_of is not None:
-        import datetime as dt
-        bound = dt.datetime.fromisoformat(timestamp_as_of)
-        bound_ms = int(bound.timestamp() * 1000)
+        bound_ms = ts_literal_ms(spark, timestamp_as_of)
         eligible = [v for v, p in commits if _commit_timestamp(p) <= bound_ms]
         # versions whose JSON commits were cleaned are reachable only
         # through their checkpoints: EVERY retained complete
@@ -351,6 +411,7 @@ def resolve_snapshot(spark: SparkSession, path: str,
     meta = None
     protocol: Optional[dict] = None
     dv_desc: dict[str, dict] = {}  # live adds carrying a deletionVector
+    stats_map: dict[str, str] = {}  # add.stats JSON per live file
     txns: dict[str, int] = {}      # SetTransaction: appId -> version
     ckpt = _checkpoint_at(path, target)
     replay_from = 0
@@ -366,12 +427,16 @@ def resolve_snapshot(spark: SparkSession, path: str,
                    F.col("add.partitionValues").alias("pv")]
             if "deletionVector" in add_fields:
                 sel.append(F.col("add.deletionVector").alias("dv"))
+            if "stats" in add_fields:
+                sel.append(F.col("add.stats").alias("st"))
             for r in (df.where(F.col("add").isNotNull())
                         .select(*sel).collect()):
                 rd = r.asDict()
                 live[rd["path"]] = dict(rd["pv"] or {})
                 if rd.get("dv") is not None:
                     dv_desc[rd["path"]] = rd["dv"].asDict()
+                if rd.get("st"):
+                    stats_map[rd["path"]] = rd["st"]
 
         if "add" in cp.columns:
             _collect_adds(cp)
@@ -450,9 +515,14 @@ def resolve_snapshot(spark: SparkSession, path: str,
                         dv_desc[a["path"]] = dict(a["deletionVector"])
                     else:
                         dv_desc.pop(a["path"], None)
+                    if a.get("stats"):
+                        stats_map[a["path"]] = a["stats"]
+                    else:
+                        stats_map.pop(a["path"], None)
                 elif "remove" in act:
                     live.pop(act["remove"]["path"], None)
                     dv_desc.pop(act["remove"]["path"], None)
+                    stats_map.pop(act["remove"]["path"], None)
                 elif "txn" in act:
                     txns[act["txn"]["appId"]] = int(act["txn"]["version"])
                 elif "metaData" in act:
@@ -496,7 +566,9 @@ def resolve_snapshot(spark: SparkSession, path: str,
         part_cols = [rev.get(c, c) for c in part_cols]
     snap = DeltaSnapshot(target, schema, part_cols,
                          sorted(live.items()),
-                         {p: d for p, d in dv_desc.items() if p in live})
+                         {p: d for p, d in dv_desc.items() if p in live},
+                         {p: s for p, s in stats_map.items()
+                          if p in live})
     snap.protocol = protocol  # carried into checkpoints verbatim
     snap.physical = physical  # logical -> physicalName (name/id mode)
     snap.cm_mode = cm_mode if cm_mode in ("name", "id") else None
@@ -530,31 +602,394 @@ def _cm_physical_datatype(dt: T.DataType) -> T.DataType:
     return dt
 
 
-def _cm_fieldid_field(f: T.StructField) -> T.StructField:
-    """ID-mode column mapping: translate each field's
-    `delta.columnMapping.id` into the `parquet.field.id` metadata key
-    Spark's parquet reader matches on (recursively, so nested struct
-    fields resolve by id too). Field names stay LOGICAL — with id
-    matching enabled the output carries the requested (logical) names
-    regardless of the files' physical column names."""
+def _cm_write_field(f: T.StructField) -> T.StructField:
+    """Column-mapped WRITE schema for one field: the physicalName as
+    the stored column name plus `parquet.field.id` metadata from the
+    mapping id (recursively), so Spark's parquet writer emits field
+    ids on every mapped column (`spark.sql.parquet.fieldId.write.
+    enabled` defaults true) — id-mode readers resolve the new files
+    by id, name-mode readers by the physical name."""
     md = f.metadata or {}
     out_md = ({"parquet.field.id": int(md["delta.columnMapping.id"])}
               if "delta.columnMapping.id" in md else None)
-    return T.StructField(f.name, _cm_fieldid_datatype(f.dataType),
-                         f.nullable, out_md)
+    return T.StructField(
+        md.get("delta.columnMapping.physicalName", f.name),
+        _cm_write_datatype(f.dataType), f.nullable, out_md)
 
 
-def _cm_fieldid_datatype(dt: T.DataType) -> T.DataType:
+def _cm_write_datatype(dt: T.DataType) -> T.DataType:
     if isinstance(dt, T.StructType):
-        return T.StructType([_cm_fieldid_field(f) for f in dt.fields])
+        return T.StructType([_cm_write_field(f) for f in dt.fields])
     if isinstance(dt, T.ArrayType):
-        return T.ArrayType(_cm_fieldid_datatype(dt.elementType),
+        return T.ArrayType(_cm_write_datatype(dt.elementType),
                            dt.containsNull)
     if isinstance(dt, T.MapType):
-        return T.MapType(_cm_fieldid_datatype(dt.keyType),
-                         _cm_fieldid_datatype(dt.valueType),
+        return T.MapType(_cm_write_datatype(dt.keyType),
+                         _cm_write_datatype(dt.valueType),
                          dt.valueContainsNull)
     return dt
+
+
+def _file_field_id_names(full_path: str) -> dict[int, str]:
+    """{parquet field id: column name as stored in THIS file}, read
+    from the file's footer (pyarrow metadata-only read, recursive over
+    nested struct/list/map fields). The planning input for ID-mode
+    column mapping: ids are table-unique, so one flat map resolves
+    every nesting level."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    out: dict[int, str] = {}
+
+    def walk(field) -> None:
+        md = field.metadata or {}
+        fid = md.get(b"PARQUET:field_id")
+        if fid is not None:
+            out[int(fid)] = field.name
+        t = field.type
+        if pa.types.is_struct(t):
+            for i in range(t.num_fields):
+                walk(t.field(i))
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            walk(t.value_field)
+        elif pa.types.is_map(t):
+            walk(t.key_field)
+            walk(t.item_field)
+
+    for f in pq.ParquetFile(full_path).schema_arrow:
+        walk(f)
+    return out
+
+
+def _cm_id_name(f: T.StructField, idmap: dict, footer_names: set,
+                path: str) -> str:
+    """ID-mode scan name for one mapped field: the name the FILE
+    stores the field's id under. An id absent from the file (schema
+    evolution — the file predates the column) falls back to the
+    schema's physicalName, which Spark's parquet reader null-fills;
+    a fallback that COLLIDES with a name the file binds to a
+    different id would silently read the wrong column, so it
+    raises instead."""
+    md = f.metadata or {}
+    if "delta.columnMapping.id" in md:
+        fid = int(md["delta.columnMapping.id"])
+        if fid in idmap:
+            return idmap[fid]
+        fallback = md.get("delta.columnMapping.physicalName", f.name)
+        if fallback in footer_names:
+            raise DeltaLogError(
+                f"Delta table {path}: id-mode field id {fid} is absent "
+                f"from a data file whose footer binds the fallback "
+                f"name {fallback!r} to a different id — reading by "
+                f"name would return the wrong column")
+        return fallback
+    return f.name
+
+
+def _cm_id_datatype(dt: T.DataType, idmap: dict, footer_names: set,
+                    path: str) -> T.DataType:
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(_cm_id_name(f, idmap, footer_names, path),
+                          _cm_id_datatype(f.dataType, idmap,
+                                          footer_names, path),
+                          f.nullable)
+            for f in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_cm_id_datatype(dt.elementType, idmap,
+                                           footer_names, path),
+                           dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_cm_id_datatype(dt.keyType, idmap,
+                                         footer_names, path),
+                         _cm_id_datatype(dt.valueType, idmap,
+                                         footer_names, path),
+                         dt.valueContainsNull)
+    return dt
+
+
+_INTEGRAL_RANK = {"byte": 1, "short": 2, "integer": 3, "long": 4}
+
+
+def _can_upcast(src: T.DataType, dst: T.DataType) -> bool:
+    """Loss-less cast compatibility for mergeSchema (Spark's
+    Cast.canUpCast shape): identical types, integral widening,
+    float->double, integrals up to int -> double exactly, NullType ->
+    anything, and recursive struct/array/map. Anything else (string ->
+    int, long -> int, double -> float, ...) is a NARROWING change —
+    delta-spark's mergeSchema rejects it, and silently cast()ing would
+    disguise data loss (all-NULL columns) as successful evolution."""
+    if src == dst:
+        return True
+    if isinstance(src, T.NullType):
+        return True
+    s, d = src.typeName(), dst.typeName()
+    if s in _INTEGRAL_RANK and d in _INTEGRAL_RANK:
+        return _INTEGRAL_RANK[s] <= _INTEGRAL_RANK[d]
+    if s == "float" and d == "double":
+        return True
+    if s in ("byte", "short", "integer", "float") and d == "double":
+        return True
+    if d == "decimal" and s in _INTEGRAL_RANK:
+        # an integral fits a decimal whose integer digits cover it
+        digits = {"byte": 3, "short": 5, "integer": 10, "long": 19}[s]
+        return dst.precision - dst.scale >= digits
+    if isinstance(src, T.StructType) and isinstance(dst, T.StructType):
+        dst_by_name = {f.name: f for f in dst.fields}
+        return all(f.name in dst_by_name
+                   and _can_upcast(f.dataType,
+                                   dst_by_name[f.name].dataType)
+                   for f in src.fields)
+    if isinstance(src, T.ArrayType) and isinstance(dst, T.ArrayType):
+        return _can_upcast(src.elementType, dst.elementType)
+    if isinstance(src, T.MapType) and isinstance(dst, T.MapType):
+        return (_can_upcast(src.keyType, dst.keyType)
+                and _can_upcast(src.valueType, dst.valueType))
+    return False
+
+
+def _stats_json_value(v):
+    """Parquet-footer stat -> Delta add.stats JSON value (delta-spark's
+    conventions: numbers/bools as JSON scalars, dates ISO, timestamps
+    UTC ISO with Z). Returns None for values with no sound JSON bound
+    (binary, decimals, over-long or inexact strings)."""
+    import datetime as dt
+    if isinstance(v, bool) or type(v) in (int, float):
+        return v
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+            return v.isoformat(timespec="milliseconds") + "Z"
+        return v.isoformat(timespec="milliseconds")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, str) and len(v) <= 64:
+        return v
+    return None
+
+
+def _parquet_stats_json(full_path: str) -> Optional[str]:
+    """Delta `add.stats` JSON (numRecords / minValues / maxValues /
+    nullCount, top-level primitive columns) from the parquet footer —
+    a metadata-only pyarrow read, the write-side half of stats-based
+    file skipping. Omissions are always sound: a reader treats a
+    missing bound as unknowable. String bounds ride only when the
+    footer marks them exact (a truncated max is NOT an upper bound)."""
+    try:
+        import pyarrow.parquet as pq
+        md = pq.ParquetFile(full_path).metadata
+    except Exception:  # noqa: BLE001 — stats are advisory
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    no_min: set = set()
+    no_max: set = set()
+    no_nulls: set = set()
+    for rg in range(md.num_row_groups):
+        rgm = md.row_group(rg)
+        for j in range(rgm.num_columns):
+            col = rgm.column(j)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested leaf — top-level stats only
+            st = col.statistics
+            if st is not None and st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + int(st.null_count)
+            else:
+                no_nulls.add(name)  # partial count would UNDERCOUNT
+            if st is None or not st.has_min_max:
+                no_min.add(name)
+                no_max.add(name)
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, (str, bytes)):
+                # truncated string stats: min stays a valid lower
+                # bound only when exact-marked or short; a truncated
+                # max is NOT an upper bound
+                if getattr(st, "is_min_value_exact", None) is False:
+                    no_min.add(name)
+                if getattr(st, "is_max_value_exact", None) is False:
+                    no_max.add(name)
+            jn = _stats_json_value(mn)
+            jx = _stats_json_value(mx)
+            if jn is None:
+                no_min.add(name)
+            elif name not in no_min:
+                mins[name] = jn if name not in mins else min(mins[name],
+                                                             jn)
+            if jx is None:
+                no_max.add(name)
+            elif name not in no_max:
+                maxs[name] = jx if name not in maxs else max(maxs[name],
+                                                             jx)
+    out = {"numRecords": int(md.num_rows),
+           "minValues": {k: v for k, v in sorted(mins.items())
+                         if k not in no_min},
+           "maxValues": {k: v for k, v in sorted(maxs.items())
+                         if k not in no_max},
+           "nullCount": {k: v for k, v in sorted(nulls.items())
+                         if k not in no_nulls}}
+    return json.dumps(out, separators=(",", ":"))
+
+
+# column types stats-based pruning compares on. TIMESTAMP is excluded:
+# a timezone-less SQL literal is session-tz while stats are UTC — a
+# zone mismatch would make skipping unsound.
+_PRUNABLE = {"byte", "short", "integer", "long", "float", "double",
+             "boolean", "string", "date"}
+
+
+def _prune_cmp_value(raw, dt_type: T.DataType):
+    """A stats JSON value / logged partitionValues string -> the
+    comparable Python value for pruning, or None (unknowable)."""
+    import datetime as dt
+    if raw is None:
+        return None
+    tn = dt_type.typeName()
+    if tn in ("byte", "short", "integer", "long"):
+        return int(raw)
+    if tn in ("float", "double"):
+        return float(raw)
+    if tn == "boolean":
+        return (raw if isinstance(raw, bool)
+                else str(raw).lower() == "true")
+    if tn == "string":
+        return str(raw)
+    if tn == "date":
+        return dt.date.fromisoformat(str(raw))
+    return None
+
+
+def _prune_literal(value, dt_type: T.DataType):
+    """SQL literal -> comparable value through the COLUMN's type, or
+    None when pruning on this (column type, literal) is not sound.
+    A fractional literal against an integral column keeps its
+    fraction — int() truncation would unsoundly skip boundary files —
+    and exact big ints never round-trip through float."""
+    import datetime as dt
+    tn = dt_type.typeName()
+    if tn not in _PRUNABLE:
+        return None
+    try:
+        if tn in ("byte", "short", "integer", "long"):
+            if isinstance(value, bool) or isinstance(value, str):
+                return None
+            if isinstance(value, int):
+                return value
+            v = float(value)
+            return int(v) if v.is_integer() else v
+        if tn in ("float", "double"):
+            return float(value)
+        if tn == "boolean":
+            return None  # =true/false literals don't parse here
+        if tn == "string":
+            return str(value) if isinstance(value, str) else None
+        if tn == "date":
+            return (dt.date.fromisoformat(value)
+                    if isinstance(value, str) else None)
+    except (ValueError, TypeError):
+        return None
+    return None
+
+
+def _bounds_admit(op: str, lo, hi, v) -> bool:
+    """Can a row with value in [lo, hi] satisfy `col <op> v`? Missing
+    bounds are unknowable -> True (conservative)."""
+    try:
+        if op == "=":
+            return ((lo is None or lo <= v)
+                    and (hi is None or v <= hi))
+        if op == "<":
+            return lo is None or lo < v
+        if op == "<=":
+            return lo is None or lo <= v
+        if op == ">":
+            return hi is None or hi > v
+        if op == ">=":
+            return hi is None or hi >= v
+    except TypeError:
+        return True  # incomparable -> conservative
+    return True
+
+
+def prune_snapshot_files(snap: DeltaSnapshot,
+                         prune: list[tuple]) -> Optional[set]:
+    """Stats-based file skipping: the set of live add.path values that
+    can contain rows matching ALL of the simple ``(col, op, literal)``
+    conjuncts — or None when nothing can be skipped. Sound by
+    construction: a file is dropped only when its logged
+    partitionValues or add.stats (numRecords/minValues/maxValues/
+    nullCount) PROVE no row matches; missing/unparseable stats keep
+    the file. Planning-side work O(files) — at 100 TB this is the
+    difference between opening every live footer and opening the few
+    files a selective predicate touches."""
+    if getattr(snap, "physical", None):
+        return None  # mapped tables key stats by physical name
+    field_by = {f.name.lower(): f for f in snap.schema.fields}
+    usable = []
+    for col, op, lit in prune:
+        if op not in ("=", "<", "<=", ">", ">="):
+            continue
+        f = field_by.get(str(col).lower())
+        if f is None:
+            continue
+        v = _prune_literal(lit, f.dataType)
+        if v is not None:
+            usable.append((f.name, op, v, f.dataType))
+    if not usable:
+        return None
+    part_set = set(snap.partition_columns)
+    keep: set = set()
+    skipped = False
+    for rel, pv in snap.files:
+        parsed = None
+        admit = True
+        for name, op, v, dtp in usable:
+            if name in part_set:
+                raw = pv.get(name)
+                if raw is None:
+                    # every row's value is NULL -> predicate never TRUE
+                    admit = False
+                    break
+                try:
+                    b = _prune_cmp_value(raw, dtp)
+                except (ValueError, TypeError):
+                    continue
+                if b is not None and not _bounds_admit(op, b, b, v):
+                    admit = False
+                    break
+                continue
+            if parsed is None:
+                raw_json = snap.stats.get(rel)
+                if not raw_json:
+                    parsed = {}
+                else:
+                    try:
+                        parsed = json.loads(raw_json)
+                    except ValueError:
+                        parsed = {}
+            if not parsed:
+                continue
+            nc = (parsed.get("nullCount") or {}).get(name)
+            nr = parsed.get("numRecords")
+            if nc is not None and nr is not None and nc == nr and nr > 0:
+                admit = False  # all-NULL column: predicate never TRUE
+                break
+            try:
+                lo = _prune_cmp_value(
+                    (parsed.get("minValues") or {}).get(name), dtp)
+                hi = _prune_cmp_value(
+                    (parsed.get("maxValues") or {}).get(name), dtp)
+            except (ValueError, TypeError):
+                continue
+            if not _bounds_admit(op, lo, hi, v):
+                admit = False
+                break
+        if admit:
+            keep.add(rel)
+        else:
+            skipped = True
+    return keep if skipped else None
 
 
 def _resolve_rel(path: str, rel: str) -> str:
@@ -590,9 +1025,17 @@ def _hive_segment_ok(rel: str, col: str, logged) -> bool:
 
 def read_delta(spark: SparkSession, path: str,
                version_as_of: Optional[int] = None,
-               timestamp_as_of: Optional[str] = None) -> DataFrame:
+               timestamp_as_of: Optional[str] = None,
+               prune: Optional[list[tuple]] = None) -> DataFrame:
+    """Snapshot scan. ``prune`` = [(col, op, literal), ...] simple
+    top-level conjuncts of the consumer's WHERE clause; files whose
+    logged partitionValues/add.stats prove no match are skipped at
+    PLANNING time (`prune_snapshot_files`). The conjuncts are advisory
+    — the caller still applies its full predicate — so passing them
+    never changes results, only the file list."""
     snap = resolve_snapshot(spark, path, version_as_of, timestamp_as_of)
-    return _snapshot_scan(spark, path, snap)
+    subset = prune_snapshot_files(snap, prune) if prune else None
+    return _snapshot_scan(spark, path, snap, file_subset=subset)
 
 
 def _snapshot_scan(spark: SparkSession, path: str, snap: DeltaSnapshot,
@@ -625,17 +1068,29 @@ def _snapshot_scan(spark: SparkSession, path: str, snap: DeltaSnapshot,
     def _pname(c: str) -> str:
         return phys[c] if phys else c
 
+    # ID mode resolves columns BY FIELD ID, per the spec — but without
+    # the session-conf flip (r14 ADVICE): Spark's field-id matching is
+    # a SESSION toggle (no per-read option exists — probed
+    # empirically on 4.1), and flipping it inside a scan builder would
+    # leak id-based matching into unrelated parquet reads whose user
+    # schemas carry field-id metadata. Instead each file's FOOTER
+    # supplies its own field-id -> stored-name map (driver-side
+    # metadata reads, O(files) — the same planning class as the log
+    # replay), files sharing a naming group into one scan under those
+    # names, and the name-mode cast machinery renames back to logical.
+    sig_of: dict[str, tuple] = {}     # full path -> sorted idmap items
     if cm_mode == "id":
-        # ID mode: scan under LOGICAL names with parquet.field.id
-        # metadata; Spark's field-id matching resolves each column by
-        # id regardless of the files' physical names (and errors on
-        # files lacking ids, which the spec forbids for id-mode
-        # tables). The conf is a session toggle read at scan build;
-        # it is inert for schemas without field-id metadata, so
-        # leaving it on cannot change other reads.
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        data_schema = T.StructType(
-            [_cm_fieldid_field(f) for f in data_fields])
+        data_schema = None            # built per naming group below
+        for rel, _pv in resolved:
+            full = os.path.join(path, rel)
+            m = _file_field_id_names(full)
+            if not m:
+                raise DeltaLogError(
+                    f"Delta table {path} uses id-mode column mapping "
+                    f"but data file {rel!r} carries no parquet field "
+                    f"ids (the spec requires them) — refusing to "
+                    f"match by name")
+            sig_of[full] = tuple(sorted(m.items()))
     else:
         # NAME mode (or no mapping): scan under the PHYSICAL names at
         # every nesting level (identical to logical without column
@@ -644,6 +1099,18 @@ def _snapshot_scan(spark: SparkSession, path: str, snap: DeltaSnapshot,
         data_schema = T.StructType([
             T.StructField(_pname(f.name),
                           _cm_physical_datatype(f.dataType), f.nullable)
+            for f in data_fields])
+
+    def _scan_schema(sig: Optional[tuple]) -> T.StructType:
+        if sig is None:
+            return data_schema
+        idmap = dict(sig)
+        names = set(idmap.values())
+        return T.StructType([
+            T.StructField(_cm_id_name(f, idmap, names, path),
+                          _cm_id_datatype(f.dataType, idmap, names,
+                                          path),
+                          f.nullable)
             for f in data_fields])
     out_cols = [f.name for f in snap.schema.fields] + (
         [file_tag] if file_tag else [])
@@ -718,14 +1185,18 @@ def _snapshot_scan(spark: SparkSession, path: str, snap: DeltaSnapshot,
                             "left_anti")
                 .drop("__dv_file", "__dv_pos"))
 
-    def _with_partitions(paths: list[str], pv: dict) -> DataFrame:
-        df = _apply_dv(spark.read.schema(data_schema).parquet(*paths))
-        if phys and cm_mode != "id":
-            # id-mode scans already carry logical names end-to-end;
-            # name mode casts physical -> logical (renaming nested
-            # struct fields — cast matches struct fields by position)
-            keep = [F.col(_pname(f.name)).cast(f.dataType).alias(f.name)
-                    for f in data_fields]
+    def _with_partitions(paths: list[str], pv: dict,
+                         sig: Optional[tuple] = None) -> DataFrame:
+        schema = _scan_schema(sig)
+        df = _apply_dv(spark.read.schema(schema).parquet(*paths))
+        if phys:
+            # cast the physically-named scan back to logical — both
+            # modes: name mode via the schema's physicalName metadata,
+            # id mode via the file group's footer names. Renaming
+            # nested struct fields rides the cast (struct casts match
+            # fields by position).
+            keep = [F.col(sf.name).cast(f.dataType).alias(f.name)
+                    for sf, f in zip(schema.fields, data_fields)]
             if file_tag:
                 keep.append(F.col(file_tag))
             df = df.select(*keep)
@@ -739,6 +1210,17 @@ def _snapshot_scan(spark: SparkSession, path: str, snap: DeltaSnapshot,
         return df.select(*out_cols)
 
     if not snap.partition_columns:
+        if cm_mode == "id":
+            bysig: dict[tuple, list[str]] = {}
+            for rel, _pv in resolved:
+                full = os.path.join(path, rel)
+                bysig.setdefault(sig_of[full], []).append(full)
+            dfs = [_with_partitions(paths, {}, sig)
+                   for sig, paths in bysig.items()]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            return out
         return _with_partitions([os.path.join(path, p)
                                  for p, _ in resolved], {})
     # Hive-layout fast path: when every live file's path encodes every
@@ -756,11 +1238,14 @@ def _snapshot_scan(spark: SparkSession, path: str, snap: DeltaSnapshot,
                           .parquet(*[os.path.join(path, p)
                                      for p, _ in resolved]))
                 .select(*out_cols))
-    groups: dict[tuple, tuple[dict, list[str]]] = {}
+    groups: dict[tuple, tuple[dict, Optional[tuple], list[str]]] = {}
     for rel, pv in resolved:
-        key = tuple(sorted(pv.items()))
-        groups.setdefault(key, (pv, []))[1].append(os.path.join(path, rel))
-    dfs = [_with_partitions(paths, pv) for pv, paths in groups.values()]
+        full = os.path.join(path, rel)
+        sig = sig_of.get(full) if cm_mode == "id" else None
+        key = (tuple(sorted(pv.items())), sig)
+        groups.setdefault(key, (pv, sig, []))[2].append(full)
+    dfs = [_with_partitions(paths, pv, sig)
+           for pv, sig, paths in groups.values()]
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
@@ -1029,16 +1514,19 @@ def _stage_files(df: DataFrame, path: str, staging: str,
     """Write ``df`` via Spark's own (optionally partitioned) parquet
     writer into ``staging``, then move the part files into the table
     root under their staged relative names. Returns
-    (relative path, size, partitionValues) per moved file — partition
-    values parsed back from the Hive-style directory segments Spark's
-    writer emitted, so the log records exactly what the path encodes.
-    Partition columns are NOT stored in the data files (partitionBy
-    strips them), per the PROTOCOL."""
+    (relative path, size, partitionValues, stats JSON) per moved file
+    — partition values parsed back from the Hive-style directory
+    segments Spark's writer emitted, so the log records exactly what
+    the path encodes; stats from each file's own footer
+    (`_parquet_stats_json` — what makes later selective reads
+    file-skip instead of opening every footer). Partition columns are
+    NOT stored in the data files (partitionBy strips them), per the
+    PROTOCOL."""
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(staging)
-    moved: list[tuple[str, int, dict]] = []     # (rel path, size, pv)
+    moved: list[tuple] = []     # (rel path, size, pv, stats)
     for root, _dirs, files in os.walk(staging):
         rel_dir = os.path.relpath(root, staging)
         pv = {}
@@ -1054,7 +1542,8 @@ def _stage_files(df: DataFrame, path: str, staging: str,
                 dst = os.path.join(path, rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.rename(os.path.join(root, f), dst)
-                moved.append((rel, os.path.getsize(dst), pv))
+                moved.append((rel, os.path.getsize(dst), pv,
+                              _parquet_stats_json(dst)))
     import shutil
     shutil.rmtree(staging, ignore_errors=True)
     return moved
@@ -1200,10 +1689,11 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
                     f"stale transaction version {txn[1]} for appId "
                     f"{txn[0]!r} (latest is {prev}) — the batch already "
                     f"committed; replaying it would duplicate rows")
-        if getattr(snap, "physical", None):
+        if getattr(snap, "physical", None) and merge_schema:
             raise DeltaLogError(
-                f"offline writes to column-mapped tables are not "
-                f"supported: {path}")
+                f"mergeSchema on column-mapped tables is not supported "
+                f"offline: new columns need freshly-allocated mapping "
+                f"ids ({path})")
         _check_writer_protocol(
             snap, path,
             data_change_removes=(mode == "overwrite"), adds_data=True)
@@ -1215,8 +1705,30 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         if merge_schema:
             # mergeSchema: align by NAME; new df columns extend the
             # table schema (committed as a metaData action below),
-            # missing table columns null-fill
+            # missing table columns null-fill. Same-name columns must
+            # be UPCAST-compatible (delta-spark rejects narrowing —
+            # a silent cast would disguise data loss as evolution),
+            # and partition columns must be PRESENT: null-filling one
+            # would dump every row into the default partition.
             by_name = {f.name: f for f in snap.schema.fields}
+            bad = [(c, df.schema[c].dataType.simpleString(),
+                    by_name[c].dataType.simpleString())
+                   for c in df.columns
+                   if c in by_name and not _can_upcast(
+                       df.schema[c].dataType, by_name[c].dataType)]
+            if bad:
+                raise DeltaLogError(
+                    f"mergeSchema cannot change column types "
+                    f"incompatibly: "
+                    f"{[(c, f'{s} -> {d}') for c, s, d in bad]} — "
+                    f"only loss-less widenings are allowed")
+            miss_p = [c for c in snap.partition_columns
+                      if c not in df.columns]
+            if miss_p:
+                raise DeltaLogError(
+                    f"mergeSchema append is missing partition "
+                    f"columns {miss_p}; null-filling a partition "
+                    f"column would silently misplace every row")
             new_fields = [
                 T.StructField(c, df.schema[c].dataType, True)
                 for c in df.columns if c not in by_name]
@@ -1247,6 +1759,22 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
             df = df.select(*[
                 F.col(c).cast(f.dataType).alias(f.name)
                 for c, f in zip(df.columns, snap.schema.fields)])
+        if getattr(snap, "physical", None):
+            # column-mapped table: the parquet files store PHYSICAL
+            # names at every nesting level with parquet.field.id on
+            # each mapped field (Spark's writer emits footer field ids
+            # from schema metadata; DataFrame.to() carries nested
+            # metadata through) — readable under both mapping modes.
+            # Hive layout + log partitionValues key by physical name,
+            # like external mapped writers.
+            phys_fields = [_cm_write_field(f)
+                           for f in snap.schema.fields]
+            df = df.select(*[
+                F.col(f.name).cast(pf.dataType).alias(pf.name)
+                for f, pf in zip(snap.schema.fields, phys_fields)])
+            df = df.to(T.StructType(phys_fields))
+            partition_by = [snap.physical.get(c, c)
+                            for c in snap.partition_columns]
     partition_by = list(partition_by or [])
     missing = [c for c in partition_by if c not in df.columns]
     if missing:
@@ -1266,8 +1794,19 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
     if not exists:
         import hashlib
         table_id = hashlib.md5(path.encode()).hexdigest()
-        actions.append({"protocol": {"minReaderVersion": 1,
-                                     "minWriterVersion": 2}})
+        if str((configuration or {}).get(
+                "delta.enableChangeDataFeed", "")).lower() == "true":
+            # the spec's CDF writer gate: enabling the property
+            # requires minWriterVersion 4+ (or the changeDataFeed
+            # writer feature on v7) so external writers are
+            # protocol-bound to emit cdc files — a (1,2) protocol
+            # would let them corrupt the feed silently (r14 ADVICE)
+            actions.append({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 7,
+                "writerFeatures": ["changeDataFeed"]}})
+        else:
+            actions.append({"protocol": {"minReaderVersion": 1,
+                                         "minWriterVersion": 2}})
         actions.append(_meta_action(table_id, df.schema.json(),
                                     partition_by, configuration,
                                     now_ms))
@@ -1296,12 +1835,15 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         actions.append({"txn": {"appId": str(txn[0]),
                                 "version": int(txn[1]),
                                 "lastUpdated": now_ms}})
-    for rel, size, pv in moved:
-        actions.append({"add": {"path": rel.replace(os.sep, "/"),
-                                "partitionValues": pv,
-                                "size": size,
-                                "modificationTime": now_ms,
-                                "dataChange": True}})
+    for rel, size, pv, stats in moved:
+        add = {"path": rel.replace(os.sep, "/"),
+               "partitionValues": pv,
+               "size": size,
+               "modificationTime": now_ms,
+               "dataChange": True}
+        if stats:
+            add["stats"] = stats
+        actions.append({"add": add})
     _write_commit(path, version, actions)
     # the PROTOCOL's scale mechanism: compact the log every N commits so
     # long-lived tables replay O(interval) JSON from the checkpoint
@@ -1332,13 +1874,24 @@ def delete_where(spark: SparkSession, path: str,
 
     A WHERE-less DELETE removes every live file with NO rewrite (one
     scan only to report the deleted-row count). Returns ``n_deleted``.
+
+    Change Data Feed: on CDF-enabled tables a predicated DELETE also
+    writes the deleted rows as cdc parquet under `_change_data/` and
+    commits them as `cdc` actions — the spec's writer requirement,
+    and the only sound feed for this commit shape (deriving from the
+    remove+add actions would report every survivor row as
+    delete+insert). WHERE-less DELETEs emit no cdc: whole-file
+    dataChange removes derive exactly.
     """
     snap = resolve_snapshot(spark, path)
     if getattr(snap, "physical", None):
         raise DeltaLogError(
             f"offline DELETE on column-mapped tables is not "
             f"supported: {path}")
-    _check_writer_protocol(snap, path, data_change_removes=True)
+    _check_writer_protocol(snap, path, data_change_removes=True,
+                           emits_cdc=predicate is not None)
+    cdf_enabled = str((getattr(snap, "configuration", None) or {}).get(
+        "delta.enableChangeDataFeed", "")).lower() == "true"
     now_ms = int(time.time() * 1000)
     if not snap.files:
         return 0
@@ -1385,19 +1938,39 @@ def delete_where(spark: SparkSession, path: str,
     moved = _stage_files(survivors, path,
                          os.path.join(path, f".delete-{now_ms}"),
                          snap.partition_columns)
+    cdc_actions: list[dict] = []
+    if cdf_enabled:
+        deleted_rows = (
+            _snapshot_scan(spark, path, snap, file_subset=touched)
+            .filter(f"coalesce(({predicate}), false)")
+            .withColumn("_change_type", F.lit("delete")))
+        cmoved = _stage_files(deleted_rows,
+                              os.path.join(path, "_change_data"),
+                              os.path.join(path, f".cdc-{now_ms}"),
+                              snap.partition_columns)
+        for rel, size, pv, _st in cmoved:
+            cdc_actions.append({"cdc": {
+                "path": "/".join(["_change_data",
+                                  rel.replace(os.sep, "/")]),
+                "partitionValues": pv, "size": size,
+                "dataChange": False}})
     actions = [
         {"commitInfo": {"timestamp": now_ms, "operation": "DELETE",
                         "operationParameters": {"predicate": predicate}}}]
+    actions.extend(cdc_actions)
     for rel in sorted(touched):
         actions.append({"remove": {"path": rel,
                                    "deletionTimestamp": now_ms,
                                    "dataChange": True}})
-    for rel, size, pv in moved:
-        actions.append({"add": {"path": rel.replace(os.sep, "/"),
-                                "partitionValues": pv,
-                                "size": size,
-                                "modificationTime": now_ms,
-                                "dataChange": True}})
+    for rel, size, pv, stats in moved:
+        add = {"path": rel.replace(os.sep, "/"),
+               "partitionValues": pv,
+               "size": size,
+               "modificationTime": now_ms,
+               "dataChange": True}
+        if stats:
+            add["stats"] = stats
+        actions.append({"add": add})
     _write_commit(path, snap.version + 1, actions)
     return n_deleted
 
@@ -1486,12 +2059,15 @@ def optimize_delta(spark: SparkSession, path: str,
                 dst = os.path.join(path, rel_new)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.rename(os.path.join(stage, f), dst)
-                acts.append({"add": {
-                    "path": rel_new.replace(os.sep, "/"),
-                    "partitionValues": pv,
-                    "size": os.path.getsize(dst),
-                    "modificationTime": now_ms,
-                    "dataChange": False}})
+                add = {"path": rel_new.replace(os.sep, "/"),
+                       "partitionValues": pv,
+                       "size": os.path.getsize(dst),
+                       "modificationTime": now_ms,
+                       "dataChange": False}
+                st = _parquet_stats_json(dst)
+                if st:
+                    add["stats"] = st
+                acts.append({"add": add})
                 n_add += 1
         for r in rels:
             acts.append({"remove": {"path": r,
@@ -1679,6 +2255,9 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
         T.StructField("modificationTime", T.LongType()),
         T.StructField("dataChange", T.BooleanType()),
         T.StructField("deletionVector", dv_type),
+        # add.stats must SURVIVE compaction — dropping it here would
+        # silently disable file skipping after every checkpoint
+        T.StructField("stats", T.StringType()),
     ])
     meta_type = T.StructType([
         T.StructField("id", T.StringType()),
@@ -1748,7 +2327,8 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
                                   else int(dv["cardinality"]))}
         rows.append(({"path": rel, "partitionValues": pv, "size": 0,
                       "modificationTime": 0, "dataChange": False,
-                      "deletionVector": dv},
+                      "deletionVector": dv,
+                      "stats": snap.stats.get(rel)},
                      None, None, None))
     cp = spark.createDataFrame(rows, ckpt_schema).coalesce(1)
     d = _log_dir(path)

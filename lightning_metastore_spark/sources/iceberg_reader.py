@@ -250,22 +250,79 @@ def snapshot_files(table_path: str, snapshot: dict,
 # the read
 # ---------------------------------------------------------------------------
 
+def _identity_groups(meta: dict, files: list[tuple]
+                     ) -> tuple[list[str], list[tuple]]:
+    """Partition the data files of a scan by the identity-injection
+    rule: ``files`` = [(path, partition_dict, stats_field_ids)] ->
+    (stored_paths, groups) where groups = [(missing_schema_cols,
+    {schema_col: value}, paths)]. A file whose manifest stats
+    (value_counts/bounds) carry an identity source column's field id
+    provably stores the column — it scans as-is; files without that
+    proof (Hive-migrated `add_files` imports) get the manifest
+    partition constants injected.
+
+    The manifest `partition` record is keyed by the PARTITION-SPEC
+    FIELD's name (`f["name"]` of the spec field), which diverges from
+    the schema column name when the source column was renamed after
+    the spec was created — exactly the migrated tables this targets —
+    so the value lookup uses the spec field name while the output
+    column is emitted under the schema name resolved via source-id."""
+    spec = next((s for s in meta.get("partition-specs", [])
+                 if s.get("spec-id") == meta.get("default-spec-id", 0)),
+                {"fields": []})
+    by_id = {f["id"]: f["name"]
+             for f in current_schema(meta)["fields"]}
+    # (schema column name, source field id, spec field name)
+    ident = [(by_id[f["source-id"]], int(f["source-id"]), f["name"])
+             for f in spec.get("fields", [])
+             if f.get("transform") == "identity"
+             and f.get("source-id") in by_id]
+    stored: list[str] = []
+    groups: dict[tuple, tuple[list, dict, list[str]]] = {}
+    for p, pv, fids in files:
+        missing = [(c, spec_name) for c, fid, spec_name in ident
+                   if fid not in fids]
+        if not missing:
+            stored.append(p)
+        else:
+            vals = {c: pv.get(spec_name) for c, spec_name in missing}
+            key = tuple(sorted(vals.items()))
+            groups.setdefault(
+                key, ([c for c, _ in missing], vals, []))[2].append(p)
+    return stored, list(groups.values())
+
+
 def read_iceberg(spark: SparkSession, table_path: str,
                  snapshot_id: Optional[int] = None,
                  as_of_timestamp: Optional[int] = None,
                  file_tag: Optional[str] = None,
-                 file_subset: Optional[set] = None) -> DataFrame:
+                 file_subset: Optional[set] = None,
+                 prune: Optional[list[tuple]] = None) -> DataFrame:
     """Snapshot scan. ``file_tag`` appends a column with each row's
     normalized source-file path (`file:` scheme stripped — the
     position-delete join's normalization), used by the file-granular
     DELETE; ``file_subset`` restricts the scan to the given local data
     file paths (the DELETE survivor-rewrite pass — position/equality
-    deletes still apply)."""
+    deletes still apply). ``prune`` = [(col, op, literal), ...] simple
+    top-level conjuncts of the consumer's WHERE clause: data files
+    whose manifest Appendix-D bounds prove no match are dropped from
+    the scan at PLANNING time (`prune_data_files` — sound, advisory;
+    the caller still applies its full predicate)."""
     meta = load_metadata(table_path)
     snap = select_snapshot(meta, snapshot_id, as_of_timestamp)
     schema = spark_schema(meta)
     data, pos_del, eq_del = snapshot_files(table_path, snap,
                                            with_partitions=True)
+    for col, op, lit in prune or []:
+        try:
+            cands, skipped = prune_data_files(
+                table_path, col, op, lit,
+                snapshot_id=snap["snapshot-id"])
+        except IcebergError:
+            continue  # unknown column/op/literal -> no pruning
+        if skipped:
+            cset = set(cands)
+            data = [t for t in data if t[0] in cset]
     if file_subset is not None:
         data = [t for t in data if t[0] in file_subset]
     if not data:
@@ -281,20 +338,9 @@ def read_iceberg(spark: SparkSession, table_path: str,
     # tables (add_files) register files WITHOUT those columns; real
     # readers constant-ize the values from the manifest partition
     # tuple. The decision is PER FILE from manifest metadata alone
-    # (no footer I/O): a file whose value_counts/bounds carry the
-    # identity column's field id provably stores it — keep the
-    # stored-column scan (file-skipping stats, plan-pinned); a file
-    # without that proof gets the constants injected, which is always
-    # semantically correct for identity transforms.
-    spec = next((s for s in meta.get("partition-specs", [])
-                 if s.get("spec-id") == meta.get("default-spec-id", 0)),
-                {"fields": []})
-    by_id = {f["id"]: f["name"]
-             for f in current_schema(meta)["fields"]}
-    ident_pairs = [(by_id[f["source-id"]], int(f["source-id"]))
-                   for f in spec.get("fields", [])
-                   if f.get("transform") == "identity"
-                   and f.get("source-id") in by_id]
+    # (no footer I/O) — see `_identity_groups`.
+    stored_paths, groups = _identity_groups(
+        meta, [(p, pv, fids) for p, _s, pv, fids in data])
 
     # scan-level pseudo-columns must be derived INSIDE each scan
     # branch (referencing _metadata above a union does not resolve),
@@ -306,19 +352,6 @@ def read_iceberg(spark: SparkSession, table_path: str,
                                        r"^file:/+", "/"),
         "__ice_pos": F.col("_metadata.row_index"),
     }
-    stored_paths: list[str] = []
-    groups: dict[tuple, tuple[tuple, dict, list[str]]] = {}
-    for p, _s, pv, fids in data:
-        missing = tuple(c for c, fid in ident_pairs
-                        if fid not in fids)
-        if not missing:
-            stored_paths.append(p)
-        else:
-            key = (missing, tuple(sorted((c, pv.get(c))
-                                         for c in missing)))
-            groups.setdefault(
-                key, (missing, {c: pv.get(c) for c in missing},
-                      []))[2].append(p)
     if groups:
         field_by_name = {f.name: f for f in schema.fields}
         keep = [f.name for f in schema.fields] + (
@@ -329,7 +362,7 @@ def read_iceberg(spark: SparkSession, table_path: str,
             if need_meta:
                 d = d.withColumns(meta_cols)
             parts.append(d.select(*keep))
-        for missing, pv, paths in groups.values():
+        for missing, pv, paths in groups:
             red = T.StructType([f for f in schema.fields
                                 if f.name not in missing])
             d = spark.read.schema(red).parquet(*paths)
@@ -660,29 +693,9 @@ def _scan_with_identity_injection(spark: SparkSession, meta: dict,
     """Scan ``files`` = [(path, partition_dict, stats_field_ids)]
     honoring the identity-partition rule read_iceberg applies: files
     whose manifest stats prove an identity source column is stored
-    scan as-is; the rest get the manifest constants injected."""
-    spec = next((s for s in meta.get("partition-specs", [])
-                 if s.get("spec-id") == meta.get("default-spec-id", 0)),
-                {"fields": []})
-    by_id = {f["id"]: f["name"]
-             for f in current_schema(meta)["fields"]}
-    ident_pairs = [(by_id[f["source-id"]], int(f["source-id"]))
-                   for f in spec.get("fields", [])
-                   if f.get("transform") == "identity"
-                   and f.get("source-id") in by_id]
-    stored: list[str] = []
-    groups: dict[tuple, tuple[tuple, dict, list[str]]] = {}
-    for p, pv, fids in files:
-        missing = tuple(c for c, fid in ident_pairs
-                        if fid not in fids)
-        if not missing:
-            stored.append(p)
-        else:
-            key = (missing, tuple(sorted((c, pv.get(c))
-                                         for c in missing)))
-            groups.setdefault(
-                key, (missing, {c: pv.get(c) for c in missing},
-                      []))[2].append(p)
+    scan as-is; the rest get the manifest constants injected (keyed
+    by the SPEC FIELD name — see `_identity_groups`)."""
+    stored, groups = _identity_groups(meta, files)
     if not groups:
         return spark.read.schema(schema).parquet(*stored)
     field_by_name = {f.name: f for f in schema.fields}
@@ -691,7 +704,7 @@ def _scan_with_identity_injection(spark: SparkSession, meta: dict,
     if stored:
         parts.append(spark.read.schema(schema).parquet(*stored)
                      .select(*out_cols))
-    for missing, pv, paths in groups.values():
+    for missing, pv, paths in groups:
         red = T.StructType([f for f in schema.fields
                             if f.name not in missing])
         d = spark.read.schema(red).parquet(*paths)

@@ -860,6 +860,177 @@ def iceberg_to_delta(spark: SparkSession, table_path: str) -> int:
     return version
 
 
+# runtime parity: Iceberg's remove_orphan_files defaults to a 3-day
+# horizon so in-flight writers' files are never swept mid-commit
+MIN_ORPHAN_RETENTION_HOURS = 72.0
+
+
+def _snapshot_reachable_files(table_path: str, meta: dict,
+                              snapshots: list[dict]
+                              ) -> tuple[set, set]:
+    """(metadata files, data/delete files) referenced by the given
+    snapshots — manifest lists + manifests on the metadata side, every
+    manifest entry's file_path (ANY status: a DELETED entry still
+    names a file another retained snapshot may hold live) on the data
+    side. Local absolute paths."""
+    meta_files: set = set()
+    data_files: set = set()
+    for s in snapshots:
+        mlist = ir._local(s["manifest-list"])
+        meta_files.add(os.path.abspath(mlist))
+        for mrec in ac.iter_records(mlist):
+            mpath = ir._local(mrec["manifest_path"])
+            meta_files.add(os.path.abspath(mpath))
+            for entry in ac.iter_records(mpath):
+                data_files.add(os.path.abspath(
+                    ir._local(entry["data_file"]["file_path"])))
+    return meta_files, data_files
+
+
+def expire_snapshots(spark: SparkSession, table_path: str,
+                     older_than_ms: Optional[int] = None,
+                     retain_last: int = 1,
+                     dry_run: bool = False) -> dict:
+    """Iceberg's `expire_snapshots` maintenance twin (the runtime's
+    ExpireSnapshots action; Delta has VACUUM, Iceberg tables here had
+    nothing — r14 verdict "What's missing" #3): drop snapshots older
+    than ``older_than_ms`` from the table metadata — always retaining
+    the current snapshot, its ancestry's newest ``retain_last``
+    entries, and EVERY snapshot newer than the horizon — then delete
+    the manifest lists, manifests, and data files reachable ONLY from
+    the expired snapshots. Time travel to an expired snapshot raises;
+    current reads are untouched. At 100 TB this bounds the unbounded
+    metadata+orphan growth every long-lived append stream produces.
+
+    Safety rails (the VACUUM contract): the keep-set is computed from
+    ALL retained snapshots' manifests; the walk ABORTS before deleting
+    anything if a retained snapshot references a missing file (the
+    signature of a path-resolution disagreement, where proceeding
+    could drop live data); ``dry_run`` lists without deleting.
+    Returns {"expired_snapshot_ids", "deleted_files"}."""
+    meta = ir.load_metadata(table_path)
+    snaps = sorted(meta.get("snapshots", []),
+                   key=lambda s: s["timestamp-ms"])
+    if not snaps:
+        return {"expired_snapshot_ids": [], "deleted_files": []}
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    cur = meta.get("current-snapshot-id")
+    # current-branch ancestry, newest first
+    ancestry: list[int] = []
+    walk = cur
+    while walk in by_id:
+        ancestry.append(walk)
+        walk = by_id[walk].get("parent-snapshot-id")
+    keep_ids = set(ancestry[:max(1, int(retain_last))])
+    horizon = (int(older_than_ms) if older_than_ms is not None
+               else int(time.time() * 1000))
+    for s in snaps:
+        if s["timestamp-ms"] > horizon:
+            keep_ids.add(s["snapshot-id"])
+    if cur in by_id:
+        keep_ids.add(cur)
+    expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+    if not expired:
+        return {"expired_snapshot_ids": [], "deleted_files": []}
+    retained = [s for s in snaps if s["snapshot-id"] in keep_ids]
+
+    keep_meta, keep_data = _snapshot_reachable_files(
+        table_path, meta, retained)
+    # abort-before-delete: every retained-snapshot file must exist
+    missing = [p for p in sorted(keep_meta | keep_data)
+               if not os.path.exists(p)]
+    if missing:
+        raise ir.IcebergError(
+            f"expire_snapshots aborted: retained snapshots reference "
+            f"{len(missing)} missing file(s) (first: {missing[0]!r}) "
+            f"— corrupt table or path mismatch; deleting could drop "
+            f"live data")
+    exp_meta, exp_data = _snapshot_reachable_files(
+        table_path, meta, expired)
+    doomed = sorted((exp_meta - keep_meta) | (exp_data - keep_data))
+    doomed = [p for p in doomed if os.path.exists(p)]
+
+    if dry_run:
+        return {"expired_snapshot_ids":
+                [s["snapshot-id"] for s in expired],
+                "deleted_files": doomed}
+
+    expired_ids = {s["snapshot-id"] for s in expired}
+    meta["snapshots"] = [s for s in snaps
+                         if s["snapshot-id"] not in expired_ids]
+    meta["snapshot-log"] = [e for e in meta.get("snapshot-log", [])
+                            if e["snapshot-id"] not in expired_ids]
+    # retained snapshots whose parent expired lose the dangling link
+    for s in meta["snapshots"]:
+        if s.get("parent-snapshot-id") in expired_ids:
+            s.pop("parent-snapshot-id", None)
+    mdir = os.path.join(table_path, "metadata")
+    version = 1 + max(
+        int(f[1:].split(".")[0]) for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".metadata.json"))
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    tmp = os.path.join(mdir, f".v{version}.metadata.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.rename(tmp, os.path.join(mdir, f"v{version}.metadata.json"))
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    # delete expired-only files AFTER the metadata no longer names them
+    for p in doomed:
+        os.remove(p)
+    return {"expired_snapshot_ids": sorted(expired_ids),
+            "deleted_files": doomed}
+
+
+def remove_orphan_files(spark: SparkSession, table_path: str,
+                        retention_hours: float = MIN_ORPHAN_RETENTION_HOURS,
+                        dry_run: bool = False,
+                        force: bool = False) -> list[str]:
+    """Iceberg's `remove_orphan_files` twin: delete files under the
+    table's data/ tree referenced by NO snapshot (failed-write litter,
+    killed compactions) and older than the retention window — the
+    runtime's 3-day default, below which ``force`` is required: an
+    in-flight writer's staged files look orphaned until its commit
+    lands. Metadata/ is never touched (expire_snapshots owns it).
+    Same abort rail as VACUUM: if any referenced file is missing on
+    disk, the path-resolution premise is broken and nothing is
+    deleted. Returns deleted (or would-be, with ``dry_run``) paths."""
+    if float(retention_hours) < MIN_ORPHAN_RETENTION_HOURS and not force:
+        raise ir.IcebergError(
+            f"remove_orphan_files retention {retention_hours}h is "
+            f"below the {MIN_ORPHAN_RETENTION_HOURS:.0f}h safety "
+            f"floor — in-flight writers' staged files would be swept; "
+            f"pass force=True (SQL: FORCE) to override")
+    meta = ir.load_metadata(table_path)
+    _meta_files, referenced = _snapshot_reachable_files(
+        table_path, meta, meta.get("snapshots", []))
+    missing = [p for p in sorted(referenced) if not os.path.exists(p)]
+    if missing:
+        raise ir.IcebergError(
+            f"remove_orphan_files aborted: snapshots reference "
+            f"{len(missing)} missing file(s) (first: {missing[0]!r}) "
+            f"— path mismatch; deleting would risk live data")
+    horizon = time.time() - float(retention_hours) * 3600.0
+    doomed: list[str] = []
+    ddir = os.path.join(table_path, "data")
+    for root, dirs, files in os.walk(ddir):
+        dirs[:] = [d for d in dirs if not d.startswith(".")]
+        for f in files:
+            if f.startswith((".", "_")):
+                continue
+            full = os.path.abspath(os.path.join(root, f))
+            if full in referenced:
+                continue
+            if os.path.getmtime(full) > horizon:
+                continue
+            doomed.append(full)
+    doomed.sort()
+    if not dry_run:
+        for p in doomed:
+            os.remove(p)
+    return doomed
+
+
 # `col <op> literal` — the shape manifest-bounds pruning understands;
 # literals are a number or a single-quoted string
 _SIMPLE_PRED = re.compile(

@@ -232,6 +232,54 @@ def start_exactly_once_delta_sink(stream_df: DataFrame, path: str,
             .start())
 
 
+def consume_table_changes(spark: SparkSession, src_path: str,
+                          sink_path: str,
+                          app_id: str = "lightning-cdf-consumer") -> int:
+    """One exactly-once Change-Data-Feed consumption step: read the
+    source Delta table's feed (`delta_reader.table_changes`) from the
+    version AFTER the last one this consumer committed, append the
+    change rows to the sink Delta table, and record the consumed
+    high-water mark as a SetTransaction on the SINK in the SAME commit
+    — so a crash/replay at any point either finds the mark (skips) or
+    re-runs the whole step atomically. The downstream half of the CDF
+    story: at 100 TB a replica stays current by consuming only the
+    commits it missed, never diffing snapshots. Returns the number of
+    source commits consumed (0 = already current)."""
+    from lightning_metastore_spark.sources import delta_reader as dr
+
+    last = dr.last_txn_version(spark, sink_path, app_id)
+    src = dr.resolve_snapshot(spark, src_path)
+    start = 0 if last is None else int(last) + 1
+    if start > src.version:
+        return 0
+    changes = dr.table_changes(spark, src_path, starting_version=start,
+                               ending_version=src.version)
+    dr.write_delta(changes, sink_path, mode="append",
+                   txn=(app_id, src.version))
+    return src.version - start + 1
+
+
+def start_cdf_pump(spark: SparkSession, src_path: str, sink_path: str,
+                   checkpoint: str,
+                   app_id: str = "lightning-cdf-consumer",
+                   interval: str = "1 second"):
+    """Continuous CDF consumption: a rate-source micro-batch tick
+    drives `consume_table_changes` on every trigger. Exactly-once
+    rides the SINK's SetTransaction (not the tick stream's
+    checkpoint), so restarts, replays, and even concurrent pumps with
+    the same app_id never duplicate a commit's changes. Returns the
+    StreamingQuery handle; the caller owns stop()."""
+    tick = (spark.readStream.format("rate")
+            .option("rowsPerSecond", 1).load())
+
+    def _pump(_batch_df: DataFrame, _batch_id: int) -> None:
+        consume_table_changes(spark, src_path, sink_path, app_id)
+
+    return (tick.writeStream.foreachBatch(_pump)
+            .trigger(processingTime=interval)
+            .option("checkpointLocation", checkpoint).start())
+
+
 def start_memory_stream(stream_df: DataFrame, query_name: str,
                         output_mode: str = "update"):
     """Start (without draining) a memory-sink query; returns the handle.

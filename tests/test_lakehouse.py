@@ -528,18 +528,39 @@ def test_delta_column_mapping_name_mode(spark, tmp_path):
     assert sorted((r.id, r.name, r.p) for r in out.collect()) == \
         [(1, "x", 7), (2, "y", 7)]
 
-    with pytest.raises(DeltaLogError, match="column-mapped"):
-        write_delta(spark.createDataFrame([(3, "z", 1)],
-                                          "id long, name string, p int"),
-                    str(path), mode="append")
+    # r15: appends to mapped tables WRITE physical names — the new
+    # file stores col-aaa/col-bbb, lands in a col-ppp=... partition
+    # dir, logs physical-keyed partitionValues, and reads back under
+    # logical names
+    write_delta(spark.createDataFrame([(3, "z", 1)],
+                                      "id long, name string, p int"),
+                str(path), mode="append")
+    out_a = read_delta(spark, str(path))
+    assert sorted((r.id, r.name, r.p) for r in out_a.collect()) == \
+        [(1, "x", 7), (2, "y", 7), (3, "z", 1)]
+    with open(log / f"{1:020d}.json") as fh:
+        add = next(json.loads(ln)["add"] for ln in fh
+                   if '"add"' in ln)
+    assert add["partitionValues"] == {"col-ppp": "1"}
+    import pyarrow.parquet as _pq
+    new_file = os.path.join(str(path), add["path"])
+    assert _pq.ParquetFile(new_file).schema_arrow.names == \
+        ["col-aaa", "col-bbb"]
+    # mergeSchema stays refused (new columns need fresh mapping ids)
+    with pytest.raises(DeltaLogError, match="mapping ids"):
+        write_delta(spark.createDataFrame(
+            [(4, "w", 2, 0.5)],
+            "id long, name string, p int, extra double"),
+            str(path), mode="append", merge_schema=True)
 
     # checkpoint keeps the mapping (schemaString metadata) AND the
     # configuration, so a compacted log still reads logically
     write_checkpoint(spark, str(path))
     os.remove(log / f"{0:020d}.json")
+    os.remove(log / f"{1:020d}.json")
     out2 = read_delta(spark, str(path))
     assert sorted((r.id, r.name, r.p) for r in out2.collect()) == \
-        [(1, "x", 7), (2, "y", 7)]
+        [(1, "x", 7), (2, "y", 7), (3, "z", 1)]
 
 
 def test_delta_column_mapping_nested_name_mode(spark, tmp_path):
@@ -632,10 +653,13 @@ def test_delta_column_mapping_nested_name_mode(spark, tmp_path):
 def test_delta_column_mapping_id_mode(spark, tmp_path):
     """ID-mode column mapping (the other half of the spec): data files
     carry `parquet.field.id` on every column and the reader resolves
-    columns BY ID via Spark's field-id matching
-    (spark.sql.parquet.fieldId.read.enabled) — physical names never
-    enter the plan. Covers nested struct fields and physical-name
-    partition values; offline writes stay refused."""
+    columns BY ID against each file's own footer field-id map —
+    WITHOUT flipping the session-global
+    spark.sql.parquet.fieldId.read.enabled (r14 ADVICE: the toggle
+    would leak id-based matching into unrelated parquet reads). Covers
+    nested struct fields, physical-name partition values, a file whose
+    STORED names differ from the schema's physicalName metadata (the
+    by-id contract), and files lacking ids (refused)."""
     from pyspark.sql import types as T
 
     path = tmp_path / "cmi"
@@ -703,11 +727,79 @@ def test_delta_column_mapping_id_mode(spark, tmp_path):
     assert out.schema["s"].dataType.fieldNames() == ["x", "y"]
     rows = sorted((r.id, r.s.x, r.s.y, r.p) for r in out.collect())
     assert rows == [(1, 10, "a", 7), (2, 20, "b", 7)]
+    # the read must NOT have flipped the session-global field-id conf
+    assert spark.conf.get("spark.sql.parquet.fieldId.read.enabled",
+                          "false") == "false"
 
-    with pytest.raises(DeltaLogError, match="column-mapped"):
-        write_delta(
-            spark.createDataFrame([(3,)], "id long"), str(path),
-            mode="append")
+    # a second file whose STORED names differ from the physicalName
+    # metadata — by-id resolution must still find every column
+    p2 = T.StructType([
+        T.StructField("other-name", T.LongType(), True,
+                      {"parquet.field.id": 1}),
+        T.StructField("other-struct", T.StructType([
+            T.StructField("ox", T.LongType(), True,
+                          {"parquet.field.id": 3}),
+            T.StructField("oy", T.StringType(), True,
+                          {"parquet.field.id": 4}),
+        ]), True, {"parquet.field.id": 2}),
+    ])
+    sub2 = str(path / "stage2")
+    spark.createDataFrame([(9, (90, "z"))], p2).coalesce(1) \
+        .write.parquet(sub2)
+    part2 = next(f for f in os.listdir(sub2) if f.endswith(".parquet"))
+    os.rename(os.path.join(sub2, part2), str(path / "part-1.parquet"))
+    _append_commit(str(path), 1, [
+        {"add": {"path": "part-1.parquet",
+                 "partitionValues": {"col-ppp": "8"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}}])
+    rows2 = sorted((r.id, r.s.x, r.s.y, r.p)
+                   for r in read_delta(spark, str(path)).collect())
+    assert rows2 == [(1, 10, "a", 7), (2, 20, "b", 7), (9, 90, "z", 8)]
+
+    # a file WITHOUT parquet field ids violates the id-mode spec
+    spark.createDataFrame([(5, (50, "q"))],
+                          "id long, s struct<x:long,y:string>") \
+        .coalesce(1).write.parquet(sub2 + "b")
+    part3 = next(f for f in os.listdir(sub2 + "b")
+                 if f.endswith(".parquet"))
+    os.rename(os.path.join(sub2 + "b", part3),
+              str(path / "part-2.parquet"))
+    _append_commit(str(path), 2, [
+        {"add": {"path": "part-2.parquet",
+                 "partitionValues": {"col-ppp": "9"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}}])
+    with pytest.raises(DeltaLogError, match="no parquet field ids"):
+        read_delta(spark, str(path)).collect()
+    # drop the id-less file again so the table stays readable
+    _append_commit(str(path), 3, [
+        {"remove": {"path": "part-2.parquet", "deletionTimestamp": 0,
+                    "dataChange": True}}])
+
+    # r15: id-mode APPEND writes physical names + parquet field ids on
+    # every mapped field (nested included), so both id- and name-mode
+    # readers resolve the new file
+    write_delta(spark.createDataFrame(
+        [(3, (30, "c"), 9)],
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("s", T.StructType([
+                T.StructField("x", T.LongType()),
+                T.StructField("y", T.StringType())])),
+            T.StructField("p", T.IntegerType())])),
+        str(path), mode="append")
+    rows3 = sorted((r.id, r.s.x, r.s.y, r.p)
+                   for r in read_delta(spark, str(path)).collect())
+    assert rows3 == [(1, 10, "a", 7), (2, 20, "b", 7), (3, 30, "c", 9),
+                     (9, 90, "z", 8)]
+    with open(log / f"{4:020d}.json") as fh:
+        add = next(json.loads(ln)["add"] for ln in fh if '"add"' in ln)
+    assert add["partitionValues"] == {"col-ppp": "9"}
+    from lightning_metastore_spark.sources.delta_reader import (
+        _file_field_id_names,
+    )
+    ids = _file_field_id_names(os.path.join(str(path), add["path"]))
+    assert ids == {1: "col-aaa", 2: "col-sss", 3: "col-xxx",
+                   4: "col-yyy"}
 
 
 def test_delta_dv_special_char_paths_and_vacuum_protection(spark,
@@ -1265,6 +1357,56 @@ def test_iceberg_identity_partition_constant_injection(spark,
     tagged = ir.read_iceberg(spark, path, file_tag="__src")
     assert tagged.where("cat = 'a'").select("__src").distinct() \
         .count() >= 1
+
+
+def test_iceberg_identity_injection_renamed_source_column(spark,
+                                                          tmp_path):
+    """The manifest `partition` record is keyed by the PARTITION-SPEC
+    FIELD's name, not the schema column name — they diverge when the
+    source column was RENAMED after the spec was created (the exact
+    Hive-migrated shape constant injection targets). The injection
+    must look the value up under the spec field name and emit it under
+    the current schema name; keying by schema name would silently
+    inject NULL for every row (r14 ADVICE)."""
+    import json as _json
+
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "ren")
+    write_iceberg(spark.createDataFrame(
+        [(i, "a" if i % 3 == 0 else "b", i * 1.5) for i in range(30)],
+        "id long, cat string, v double"), path, mode="error",
+        partition_by=["cat"])
+    assert _strip_identity_column(path, "cat") >= 1
+    # rename the SCHEMA column cat -> category (same field id); the
+    # partition-spec field keeps its original name "cat", which is
+    # what the manifest partition records are keyed by
+    mpath = ir.latest_metadata_path(path)
+    with open(mpath) as fh:
+        meta = _json.load(fh)
+    for sch in meta["schemas"]:
+        for f in sch["fields"]:
+            if f["name"] == "cat":
+                f["name"] = "category"
+    assert [f["name"] for f in
+            meta["partition-specs"][0]["fields"]] == ["cat"]
+    with open(mpath, "w") as fh:
+        _json.dump(meta, fh)
+
+    out = ir.read_iceberg(spark, path)
+    assert out.columns == ["id", "category", "v"]
+    rows = out.collect()
+    # every row carries the injected constant — NO NULLs
+    assert all(r.category in ("a", "b") for r in rows)
+    assert out.where("category = 'a'").count() == 10
+    assert out.where("category = 'b'").count() == 20
+    # the incremental-scan twin uses the same grouping helper
+    snaps = [s["snapshot-id"] for s in meta["snapshots"]]
+    inc = ir.iceberg_incremental(spark, path, from_snapshot_id=snaps[-1])
+    assert inc.count() == 0  # nothing after the only snapshot
 
 
 def test_delta_to_iceberg_uniform(spark, tmp_path):
@@ -2127,6 +2269,73 @@ def test_delta_merge_schema_evolution(spark, tmp_path):
     assert out2.count() == 4
 
 
+def test_delta_merge_schema_rejects_narrowing(spark, tmp_path):
+    """mergeSchema guards (r14 ADVICE): an incompatible same-name type
+    change (string -> long would cast to all-NULL — data loss disguised
+    as evolution) raises; loss-less widenings (int -> long) pass; a df
+    omitting a PARTITION column raises instead of silently null-filling
+    every row into the default partition."""
+    path = str(tmp_path / "nar")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, name string"),
+                path, mode="error")
+    with pytest.raises(DeltaLogError, match="incompatibly"):
+        write_delta(spark.createDataFrame([("x", "b", 1.0)],
+                                          "id string, name string, "
+                                          "v double"),
+                    path, mode="append", merge_schema=True)
+    # widening int -> long is loss-less and allowed
+    write_delta(spark.createDataFrame([(2, "b", 1.5)],
+                                      "id int, name string, v double"),
+                path, mode="append", merge_schema=True)
+    rows = sorted((r.id, r.name, r.v)
+                  for r in read_delta(spark, path).collect())
+    assert rows == [(1, "a", None), (2, "b", 1.5)]
+
+    pp = str(tmp_path / "narp")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, cat string"),
+                pp, mode="error", partition_by=["cat"])
+    with pytest.raises(DeltaLogError, match="partition"):
+        write_delta(spark.createDataFrame([(2, 9.0)],
+                                          "id long, extra double"),
+                    pp, mode="append", merge_schema=True)
+
+
+def test_delta_timestamp_literal_session_timezone(spark, tmp_path):
+    """TIMESTAMP AS OF literals are interpreted in the SPARK SESSION
+    timezone (r14 ADVICE) — naive datetime.timestamp() would use the
+    machine-local zone and shift the selected version. Pinned with
+    fixed epochs: 2024-01-01T00:00:00 Tokyo = 2023-12-31T15:00:00Z."""
+    from lightning_metastore_spark.sources.delta_reader import (
+        ts_literal_ms,
+    )
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        assert ts_literal_ms(spark, "2024-01-01T00:00:00") \
+            == 1704034800000
+        # an explicit offset on the literal always wins
+        assert ts_literal_ms(spark, "2024-01-01T00:00:00+00:00") \
+            == 1704067200000
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        assert ts_literal_ms(spark, "2024-01-01T00:00:00") \
+            == 1704067200000
+        # offset-style session zones parse too
+        spark.conf.set("spark.sql.session.timeZone", "+05:30")
+        assert ts_literal_ms(spark, "2024-01-01T00:00:00") \
+            == 1704067200000 - int(5.5 * 3600 * 1000)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+    # end-to-end: a literal BEFORE the first commit (in session-tz
+    # terms) has no version to serve
+    path = str(tmp_path / "tz")
+    write_delta(spark.createDataFrame([(1,)], "id long"), path,
+                mode="error")
+    with pytest.raises(DeltaLogError, match="no Delta version"):
+        read_delta(spark, path, timestamp_as_of="2000-01-01T00:00:00")
+
+
 def test_review_fixes_round14(spark, tmp_path):
     """Pins for the round-14 review findings: (a) VACUUM works on
     legacy minWriterVersion 3-6 tables (it commits nothing) but still
@@ -2156,15 +2365,29 @@ def test_review_fixes_round14(spark, tmp_path):
     with pytest.raises(DeltaLogError, match="refusing to VACUUM"):
         vacuum_delta(spark, p, retention_hours=0, force=True)
 
-    # (b) CDF-enabled table: append fine, delete/overwrite refused
+    # (b -> r15) CDF-enabled table: the CREATE protocol gates external
+    # writers (v7 + changeDataFeed feature, r14 ADVICE); predicated
+    # DELETE emits cdc actions the feed replays exactly; overwrite
+    # derives exactly from its dataChange actions
     pc = str(tmp_path / "vcdf")
     write_delta(_delta_df(spark, 0, 3), pc, mode="error",
                 configuration={"delta.enableChangeDataFeed": "true"})
-    write_delta(_delta_df(spark, 3, 5), pc, mode="append")
-    with pytest.raises(DeltaLogError, match="cdc file emission"):
-        delete_where(spark, pc, "id = 1")
-    with pytest.raises(DeltaLogError, match="cdc file emission"):
-        write_delta(_delta_df(spark, 9, 10), pc, mode="overwrite")
+    with open(os.path.join(pc, "_delta_log", f"{0:020d}.json")) as fh:
+        proto = next(json.loads(ln)["protocol"] for ln in fh
+                     if '"protocol"' in ln)
+    assert proto["minWriterVersion"] == 7
+    assert "changeDataFeed" in proto["writerFeatures"]
+    write_delta(_delta_df(spark, 3, 5), pc, mode="append")      # v1
+    assert delete_where(spark, pc, "id = 1") == 1               # v2
+    feed = table_changes(spark, pc, starting_version=2,
+                         ending_version=2).collect()
+    assert [(r.id, r._change_type) for r in feed] == [(1, "delete")]
+    assert os.path.isdir(os.path.join(pc, "_change_data"))
+    write_delta(_delta_df(spark, 9, 10), pc, mode="overwrite")  # v3
+    assert ({(r.id, r._change_type) for r in
+             table_changes(spark, pc, starting_version=3).collect()}
+            == {(0, "delete"), (2, "delete"), (3, "delete"),
+                (4, "delete"), (9, "insert")})
 
     # (c) removing a DV-carrying file cannot derive deletes
     rel, _n = next((r, n) for r, _pv in
@@ -2174,7 +2397,7 @@ def test_review_fixes_round14(spark, tmp_path):
     dv_data = _ser_dv([0])
     desc = {"storageType": "i", "pathOrInlineDv": _z85_encode(dv_data),
             "sizeInBytes": len(dv_data), "cardinality": 1}
-    _append_commit(pc, 2, [
+    _append_commit(pc, 4, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
                       "readerFeatures": ["deletionVectors"],
                       "writerFeatures": ["deletionVectors"]}},
@@ -2184,11 +2407,15 @@ def test_review_fixes_round14(spark, tmp_path):
                  "modificationTime": 0, "dataChange": False,
                  "deletionVector": desc}},
     ])
-    _append_commit(pc, 3, [
+    # the WRITER refuses the non-derivable shape up front: whole-file
+    # removes of LIVE DV-carrying files on a CDF table emit no cdc
+    with pytest.raises(DeltaLogError, match="deletion vectors"):
+        delete_where(spark, pc, None)
+    _append_commit(pc, 5, [
         {"remove": {"path": rel, "deletionTimestamp": 0,
                     "dataChange": True}}])
     with pytest.raises(DeltaLogError, match="DV-carrying"):
-        table_changes(spark, pc, starting_version=3)
+        table_changes(spark, pc, starting_version=5)
 
     # (d) evolution preserves createdTime
     pe = str(tmp_path / "vevo")
@@ -3113,3 +3340,346 @@ def test_dv_run_container_decodes_as_runs(spark, tmp_path):
     row = df.agg(F2.count("*").alias("n"), F2.min("__dv_pos").alias("lo"),
                  F2.max("__dv_pos").alias("hi")).collect()[0]
     assert (row.n, row.lo, row.hi) == (total, 0, total - 1)
+
+
+# ---------------------------------------------------------------------------
+# stats-based file skipping (round 15)
+# ---------------------------------------------------------------------------
+
+def test_delta_stats_file_skipping(spark, tmp_path):
+    """write_delta emits `add.stats` (numRecords / minValues /
+    maxValues / nullCount from each staged file's footer) and
+    read_delta(prune=...) plans only the files whose stats admit a
+    match — the r14 verdict's #1 gap: at 100 TB a selective read must
+    not open every live footer. Stats survive checkpoint compaction;
+    a stats-less external log keeps every file; results always equal
+    the unpruned read."""
+    from lightning_metastore_spark.sources.delta_reader import (
+        prune_snapshot_files,
+    )
+
+    path = str(tmp_path / "sk")
+    for lo in (0, 10, 20, 30):
+        write_delta(_delta_df(spark, lo, lo + 10).coalesce(1), path,
+                    mode="append")
+    full = read_delta(spark, path)
+    assert len(full.inputFiles()) == 4
+
+    pruned = read_delta(spark, path, prune=[("id", ">=", 35)])
+    assert len(pruned.inputFiles()) == 1
+    assert sorted(r.id for r in pruned.where("id >= 35").collect()) \
+        == [35, 36, 37, 38, 39]
+    # equality + conjunction
+    assert len(read_delta(spark, path,
+                          prune=[("id", "=", 5)]).inputFiles()) == 1
+    assert len(read_delta(spark, path,
+                          prune=[("id", ">=", 8),
+                                 ("id", "<", 12)]).inputFiles()) == 2
+    # string stats prune too (s = CAST(id AS STRING); bounds are
+    # LEXICOGRAPHIC, so '15' falls inside file 0's ['0','9'] as well
+    # as file 1's ['10','19'] — 2 kept files is the sound answer)
+    assert len(read_delta(spark, path,
+                          prune=[("s", "=", "15")]).inputFiles()) == 2
+    # a predicate no file admits plans an EMPTY scan
+    assert read_delta(spark, path,
+                      prune=[("id", ">", 1000)]).count() == 0
+    # fractional literal against the integral column must not skip
+    # the boundary file
+    assert len(read_delta(spark, path,
+                          prune=[("id", "<", 0.5)]).inputFiles()) == 1
+
+    # stats survive checkpoint compaction + log cleanup
+    write_checkpoint(spark, path)
+    log = os.path.join(path, "_delta_log")
+    for f in os.listdir(log):
+        if f.endswith(".json"):
+            os.remove(os.path.join(log, f))
+    assert len(read_delta(spark, path,
+                          prune=[("id", ">=", 35)]).inputFiles()) == 1
+
+    # stats-less external log: nothing can be skipped, all files read
+    snap = resolve_snapshot(spark, path)
+    assert prune_snapshot_files(snap, [("id", ">=", 35)]) is not None
+    snap.stats = {}
+    assert prune_snapshot_files(snap, [("id", ">=", 35)]) is None
+
+
+def test_delta_partition_value_skipping(spark, tmp_path):
+    """Partition-column conjuncts prune from the LOG's partitionValues
+    (no stats needed) — including NULL partitions, which no comparison
+    predicate can match."""
+    path = str(tmp_path / "skp")
+    write_delta(spark.createDataFrame(
+        [(i, "a" if i < 10 else ("b" if i < 20 else None), float(i))
+         for i in range(30)], "id long, cat string, v double"),
+        path, mode="error", partition_by=["cat"])
+    full = read_delta(spark, path)
+    n_all = len(full.inputFiles())
+    pruned = read_delta(spark, path, prune=[("cat", "=", "a")])
+    assert 0 < len(pruned.inputFiles()) < n_all
+    assert pruned.where("cat = 'a'").count() == 10
+    # data-column stats still apply within partitions
+    both = read_delta(spark, path, prune=[("cat", "=", "b"),
+                                          ("id", ">=", 25)])
+    assert both.count() == 0  # id>=25 rows live in the NULL partition
+
+
+def test_iceberg_stats_file_skipping(spark, tmp_path):
+    """read_iceberg(prune=...) consumes the manifests' Appendix-D
+    bounds (prune_data_files) so selective READS file-skip — r14 only
+    DELETE used the pruning machinery."""
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "isk")
+    for lo in (0, 10, 20, 30):
+        write_iceberg(_delta_df(spark, lo, lo + 10).coalesce(1), path,
+                      mode="append" if lo else "error")
+    full = ir.read_iceberg(spark, path)
+    assert len(full.inputFiles()) == 4
+    pruned = ir.read_iceberg(spark, path, prune=[("id", ">=", 35)])
+    assert len(pruned.inputFiles()) == 1
+    assert sorted(r.id for r in pruned.where("id >= 35").collect()) \
+        == [35, 36, 37, 38, 39]
+    assert len(ir.read_iceberg(
+        spark, path, prune=[("id", ">=", 8),
+                            ("id", "<", 12)]).inputFiles()) == 2
+    # unknown column / op: conjunct ignored, full scan
+    assert len(ir.read_iceberg(
+        spark, path, prune=[("nope", "=", 1)]).inputFiles()) == 4
+
+
+def test_resolver_prune_wiring(spark, tmp_path):
+    """End-to-end SQL: a single-table SELECT's simple WHERE conjuncts
+    reach the lakehouse units as planning hints — the catalog-routed
+    query scans ONE file of a 4-file table on BOTH formats — while
+    joins/subqueries/ORs stay unpruned and results are unchanged."""
+    from lightning_metastore_spark.catalog.resolver import (
+        extract_prune_conjuncts,
+    )
+    from lightning_metastore_spark.context import LightningContext
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        write_iceberg,
+    )
+
+    base = tmp_path / "prw"
+    base.mkdir()
+    for lo in (0, 10, 20, 30):
+        write_delta(_delta_df(spark, lo, lo + 10).coalesce(1),
+                    str(base / "ev"), mode="append")
+    wh = tmp_path / "prwh"
+    wh.mkdir()
+    for lo in (0, 10, 20, 30):
+        write_iceberg(_delta_df(spark, lo, lo + 10).coalesce(1),
+                      str(wh / "acc"),
+                      mode="append" if lo else "error")
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.delta")
+    ctx.sql(f"REGISTER DELTA DATASOURCE d OPTIONS(path '{base}') "
+            "NAMESPACE lightning.datasource.delta")
+    ctx.sql("CREATE NAMESPACE lightning.datasource.iceberg")
+    ctx.sql(f"REGISTER ICEBERG DATASOURCE w OPTIONS(warehouse '{wh}') "
+            "NAMESPACE lightning.datasource.iceberg")
+
+    t = "lightning.datasource.delta.d.ev"
+    df = ctx.sql(f"SELECT id, v FROM {t} WHERE id >= 35 AND s <> 'x'")
+    assert len(df.inputFiles()) == 1
+    assert sorted(r.id for r in df.collect()) == [35, 36, 37, 38, 39]
+
+    it = "lightning.datasource.iceberg.w.acc"
+    dfi = ctx.sql(f"SELECT id FROM {it} WHERE id = 7")
+    assert len(dfi.inputFiles()) == 1
+    assert [r.id for r in dfi.collect()] == [7]
+
+    # alias-qualified conjuncts prune; OR disables the OR'd conjunct
+    dfa = ctx.sql(f"SELECT t.id FROM {t} t WHERE t.id >= 35")
+    assert len(dfa.inputFiles()) == 1
+    dfo = ctx.sql(f"SELECT id FROM {t} WHERE id >= 35 OR id < 2")
+    assert len(dfo.inputFiles()) == 4
+    assert sorted(r.id for r in dfo.collect()) \
+        == [0, 1, 35, 36, 37, 38, 39]
+
+    # extraction guards: joins and subqueries disable pruning
+    assert extract_prune_conjuncts(
+        f"SELECT * FROM {t} a JOIN {t} b ON a.id = b.id "
+        f"WHERE a.id = 1") is None
+    assert extract_prune_conjuncts(
+        f"SELECT * FROM {t} WHERE id IN (SELECT id FROM {t})") is None
+    assert extract_prune_conjuncts(
+        f"SELECT * FROM {t} WHERE id = 1 OR id = 2") is None
+    got = extract_prune_conjuncts(
+        f"SELECT * FROM {t} WHERE id >= 3 AND (v = 1 OR v = 2) "
+        f"AND s = 'a''b'")
+    assert got is not None
+    assert got[1] == [("id", ">=", 3), ("s", "=", "a'b")]
+
+
+# ---------------------------------------------------------------------------
+# Iceberg maintenance: expire_snapshots / remove_orphan_files (round 15)
+# ---------------------------------------------------------------------------
+
+def test_iceberg_expire_snapshots(spark, tmp_path):
+    """expire_snapshots: expired snapshots leave the metadata (time
+    travel to them raises), current reads are untouched, files
+    reachable ONLY from expired snapshots are deleted (append
+    lineages share data files — only the old manifest lists go;
+    overwrite lineages free the replaced data), dry run deletes
+    nothing, and a retained snapshot referencing a missing file
+    ABORTS the whole operation (the data-loss pin)."""
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        expire_snapshots,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "exp")
+    for lo in (0, 10, 20):
+        write_iceberg(_delta_df(spark, lo, lo + 10).coalesce(1), path,
+                      mode="append" if lo else "error")
+    meta = ir.load_metadata(path)
+    sids = [s["snapshot-id"] for s in meta["snapshots"]]
+    assert ir.read_iceberg(spark, path, snapshot_id=sids[0]).count() == 10
+
+    # dry run: reports, deletes nothing
+    out = expire_snapshots(spark, path, retain_last=1, dry_run=True)
+    assert out["expired_snapshot_ids"] == sorted(sids[:2])
+    assert all(os.path.exists(p) for p in out["deleted_files"])
+
+    out = expire_snapshots(spark, path, retain_last=1)
+    assert out["expired_snapshot_ids"] == sorted(sids[:2])
+    # append lineage: data files are shared with the retained
+    # snapshot — only the expired manifest LISTS are deletable
+    assert all("snap-" in os.path.basename(p) or "m-" in
+               os.path.basename(p) for p in out["deleted_files"])
+    assert ir.read_iceberg(spark, path).count() == 30  # current intact
+    with pytest.raises(Exception, match="not found"):
+        ir.read_iceberg(spark, path, snapshot_id=sids[0])
+    # idempotent: nothing left to expire
+    assert expire_snapshots(spark, path,
+                            retain_last=1)["expired_snapshot_ids"] == []
+
+    # overwrite lineage: the replaced snapshot's DATA files are freed
+    p2 = str(tmp_path / "expo")
+    write_iceberg(_delta_df(spark, 0, 10).coalesce(1), p2, mode="error")
+    old_files = [t[0] for t in ir.snapshot_files(
+        p2, ir.select_snapshot(ir.load_metadata(p2)))[0]]
+    write_iceberg(_delta_df(spark, 50, 55).coalesce(1), p2,
+                  mode="overwrite")
+    out2 = expire_snapshots(spark, p2, retain_last=1)
+    assert len(out2["expired_snapshot_ids"]) == 1
+    assert all(not os.path.exists(p) for p in old_files)
+    assert sorted(r.id for r in
+                  ir.read_iceberg(spark, p2).collect()) == list(
+        range(50, 55))
+
+    # data-loss pin: a retained snapshot's file goes missing -> abort
+    p3 = str(tmp_path / "expa")
+    write_iceberg(_delta_df(spark, 0, 5).coalesce(1), p3, mode="error")
+    write_iceberg(_delta_df(spark, 5, 9).coalesce(1), p3, mode="append")
+    live = [t[0] for t in ir.snapshot_files(
+        p3, ir.select_snapshot(ir.load_metadata(p3)))[0]]
+    os.remove(live[0])
+    with pytest.raises(ir.IcebergError, match="aborted"):
+        expire_snapshots(spark, p3, retain_last=1)
+
+
+def test_iceberg_remove_orphan_files(spark, tmp_path):
+    """remove_orphan_files: unreferenced data files older than the
+    retention window go; referenced files and FRESH orphans stay;
+    retention below the 72 h floor needs force; a missing referenced
+    file aborts before anything is deleted."""
+    import time as _time
+
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        remove_orphan_files,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "orph")
+    write_iceberg(_delta_df(spark, 0, 10).coalesce(1), path,
+                  mode="error")
+    ddir = os.path.join(path, "data")
+    old_orphan = os.path.join(ddir, "failed-write.parquet")
+    fresh_orphan = os.path.join(ddir, "inflight.parquet")
+    for p in (old_orphan, fresh_orphan):
+        spark.range(3).coalesce(1).write.mode("overwrite") \
+            .parquet(p + ".d")
+        part = next(f for f in os.listdir(p + ".d")
+                    if f.endswith(".parquet"))
+        os.rename(os.path.join(p + ".d", part), p)
+    stale = _time.time() - 80 * 3600
+    os.utime(old_orphan, (stale, stale))
+
+    with pytest.raises(ir.IcebergError, match="safety floor"):
+        remove_orphan_files(spark, path, retention_hours=0)
+
+    gone = remove_orphan_files(spark, path)  # default 72 h window
+    assert gone == [os.path.abspath(old_orphan)]
+    assert not os.path.exists(old_orphan)
+    assert os.path.exists(fresh_orphan)          # within retention
+    assert ir.read_iceberg(spark, path).count() == 10
+
+    # force sweeps the fresh orphan too (dry run first)
+    dry = remove_orphan_files(spark, path, retention_hours=0,
+                              force=True, dry_run=True)
+    assert dry == [os.path.abspath(fresh_orphan)]
+    assert os.path.exists(fresh_orphan)
+    remove_orphan_files(spark, path, retention_hours=0, force=True)
+    assert not os.path.exists(fresh_orphan)
+    assert ir.read_iceberg(spark, path).count() == 10
+
+    # abort rail: a REFERENCED file missing on disk stops everything
+    live = [t[0] for t in ir.snapshot_files(
+        path, ir.select_snapshot(ir.load_metadata(path)))[0]]
+    os.remove(live[0])
+    with pytest.raises(ir.IcebergError, match="aborted"):
+        remove_orphan_files(spark, path, retention_hours=0, force=True)
+
+
+def test_iceberg_maintenance_sql(spark, tmp_path):
+    """EXPIRE SNAPSHOTS / REMOVE ORPHAN FILES over the SQL dialect
+    (parallel to Delta's OPTIMIZE/VACUUM surface); non-Iceberg
+    sources are refused."""
+    from lightning_metastore_spark.context import LightningContext
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        write_iceberg,
+    )
+
+    wh = tmp_path / "mwh"
+    wh.mkdir()
+    t = str(wh / "acc")
+    for lo in (0, 10, 20):
+        write_iceberg(_delta_df(spark, lo, lo + 10).coalesce(1), t,
+                      mode="append" if lo else "error")
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.iceberg")
+    ctx.sql(f"REGISTER ICEBERG DATASOURCE w OPTIONS(warehouse '{wh}') "
+            "NAMESPACE lightning.datasource.iceberg")
+    it = "lightning.datasource.iceberg.w.acc"
+
+    row = ctx.sql(f"EXPIRE SNAPSHOTS {it} RETAIN LAST 2 DRY RUN"
+                  ).collect()[0]
+    assert row.snapshots_expired == 1
+    assert len(ir.load_metadata(t)["snapshots"]) == 3  # dry run
+    row = ctx.sql(f"EXPIRE SNAPSHOTS {it} RETAIN LAST 2").collect()[0]
+    assert row.snapshots_expired == 1
+    assert len(ir.load_metadata(t)["snapshots"]) == 2
+    assert ctx.sql(f"SELECT count(*) AS n FROM {it}").collect()[0].n \
+        == 30
+
+    assert ctx.sql(f"REMOVE ORPHAN FILES {it} RETAIN 0 HOURS FORCE"
+                   ).collect() == []
+
+    # non-Iceberg target refused
+    base = tmp_path / "dl"
+    base.mkdir()
+    write_delta(_delta_df(spark, 0, 5), str(base / "ev"), mode="error")
+    ctx.sql("CREATE NAMESPACE lightning.datasource.delta")
+    ctx.sql(f"REGISTER DELTA DATASOURCE d OPTIONS(path '{base}') "
+            "NAMESPACE lightning.datasource.delta")
+    with pytest.raises(Exception, match="Iceberg tables only"):
+        ctx.sql("EXPIRE SNAPSHOTS lightning.datasource.delta.d.ev")

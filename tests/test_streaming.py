@@ -681,3 +681,46 @@ def test_multimodal_mjpeg_avi_real_frames(spark):
     # and MJPEG-AVI works even under decode_stub=False (no ffmpeg needed)
     assert mm.sample_video_frames(df, n_frames=2,
                                   decode_stub=False).count() == 2
+
+
+def test_cdf_exactly_once_consumption(spark, tmp_path):
+    """Streaming CDF consumption (`consume_table_changes`): each
+    source commit's change rows land in the sink exactly once — the
+    consumed high-water mark rides the sink's SetTransaction, so
+    replays and restarts skip instead of duplicating; a predicated
+    DELETE's cdc rows flow through; an independent consumer id
+    re-reads the whole feed."""
+    from lightning_metastore_spark.sources import delta_reader as dr
+    from lightning_metastore_spark.streaming.events import (
+        consume_table_changes,
+    )
+
+    src = str(tmp_path / "cdfsrc")
+    sink = str(tmp_path / "cdfsink")
+    dr.write_delta(spark.range(0, 4).selectExpr("id", "id * 2 AS v"),
+                   src, mode="error",
+                   configuration={"delta.enableChangeDataFeed": "true"})
+    dr.write_delta(spark.range(4, 7).selectExpr("id", "id * 2 AS v"),
+                   src, mode="append")
+
+    assert consume_table_changes(spark, src, sink) == 2
+    out = dr.read_delta(spark, sink)
+    assert sorted((r.id, r._change_type) for r in out.collect()) == \
+        [(i, "insert") for i in range(7)]
+    # replay: already current — nothing re-consumed, sink unchanged
+    assert consume_table_changes(spark, src, sink) == 0
+    assert dr.read_delta(spark, sink).count() == 7
+
+    # a DELETE's cdc rows flow through as exactly one delete row
+    assert dr.delete_where(spark, src, "id = 5") == 1
+    assert consume_table_changes(spark, src, sink) == 1
+    deletes = (dr.read_delta(spark, sink)
+               .where("_change_type = 'delete'").collect())
+    assert [(r.id, r._commit_version) for r in deletes] == [(5, 2)]
+    assert consume_table_changes(spark, src, sink) == 0
+
+    # an independent consumer id replays the feed from version 0
+    sink2 = str(tmp_path / "cdfsink2")
+    assert consume_table_changes(spark, src, sink2,
+                                 app_id="other") == 3
+    assert dr.read_delta(spark, sink2).count() == 8
