@@ -5,9 +5,22 @@ stdout line is a compact JSON headline {"metric", "value" (total sec),
 "catalog_overhead" ratio} sized to survive the driver's tail window;
 the full detail (first-run queries, queries_min, suite_sections,
 overhead run lists) is written to BENCH_DETAIL.json next to this file.
-"sentinel_sec" (round 13+) is a fixed vanilla-Spark aggregation over
-lineitem touching zero repo code — normalize cross-round deltas by the
-sentinel ratio before reading any as a regression.
+SENTINEL BATTERY (round 15 protocol, r14 verdict "What's wrong" #1):
+the r13-14 single JVM sentinel measurably failed to capture ambient
+drift — the r14 driver read +17% over r13 while the sentinel moved
+-9%, and the judge's same-machine A/B proved the code delta was
+~2.7%. A 0.4 s JVM-only probe cannot normalize a 110 s suite whose
+members drift with PYTHON-worker/Arrow and SHUFFLE pressure the JVM
+path does not share. This bench therefore times THREE fixed probes
+touching zero repo code — "jvm" (scan+agg, whole-stage codegen),
+"python" (pandas-UDF over Arrow, Python-worker fork + page cache),
+"shuffle" (wide exchange + high-cardinality agg) — each scaled to
+>=1.5 s, INTERLEAVED with the suite (before the query loop, after
+it, after the sections; min-of-3 per class). "sentinels" carries the
+battery; "sentinel_sec" stays = the jvm probe for cross-round
+continuity; "queries_norm" divides each query by ITS class's probe
+(SENTINEL_CLASS below; r14 and earlier norms are jvm-keyed — see
+PLANS.md "Bench sentinel battery").
 
 Each query is timed to full materialization (collect). Session startup is
 excluded — the metric is query execution, matching how the reference (a
@@ -48,6 +61,36 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Which drift probe normalizes which query (default: "jvm"). First-cut
+# classification by each suite's dominant execution path — "python"
+# for pandas-UDF / Arrow / driver-side-fit members, "shuffle" for
+# wide-exchange joins/aggs; refine when BENCH_DETAIL's per-class norms
+# show a member tracking a different probe (PLANS.md "Bench sentinel
+# battery").
+SENTINEL_CLASS = {
+    "q_pandas_udf": "python",
+    "text_lm_suite": "python",
+    "corpus_profile_suite": "python",
+    "dedup_neardup_suite": "python",
+    "sampling_quantize_suite": "python",
+    "ann_topk_suite": "python",
+    "dedup_embedding": "python",
+    "curation_pipeline": "python",
+    "multimodal_meta": "python",
+    "q3_shipping_priority": "shuffle",
+    "q5_local_supplier_revenue": "shuffle",
+    "q7_volume_shipping": "shuffle",
+    "q10_returned_items": "shuffle",
+    "q_left_join_counts": "shuffle",
+    "q_top_supplier_per_nation": "shuffle",
+    "q_semi_anti_customers": "shuffle",
+    "q_events_sessionize": "shuffle",
+    "temporal_rollup": "shuffle",
+    "temporal_asof_join": "shuffle",
+    "dedup_exact": "shuffle",
+    "dedup_cluster_suite": "shuffle",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -68,26 +111,56 @@ def main() -> None:
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
-    # Ambient-drift sentinel (round-13 protocol, r12 verdict #3): a
-    # FIXED vanilla-Spark query that touches ZERO repo code, reported as
-    # "sentinel_sec" (min-of-n, warmed once untimed). Cross-round
-    # comparisons should normalize by the sentinel ratio before calling
-    # anything a regression — r11→r12 showed ~13% machine drift that
-    # previously had to be inferred from catalog_overhead's direct side.
-    sentinel_sql = f"""
-        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-               SUM(l_quantity) AS sum_qty, AVG(l_extendedprice) AS avg_px
+    # --- sentinel battery (see module docstring) ---------------------
+    sentinel_jvm_sql = f"""
+        SELECT l_returnflag, l_linestatus, r, COUNT(*) AS n,
+               SUM(l_quantity) AS sum_qty, AVG(l_extendedprice) AS avg_px,
+               SUM(l_extendedprice * l_discount) AS disc,
+               STDDEV(l_tax) AS sd_tax,
+               MIN(l_shipdate) AS lo, MAX(l_shipdate) AS hi
         FROM parquet.`{os.path.join(sf_dir, "lineitem.parquet")}`
-        GROUP BY l_returnflag, l_linestatus
-        ORDER BY l_returnflag, l_linestatus"""
-    spark.sql(sentinel_sql).collect()
-    sentinel = None
-    for _ in range(n_runs):
+        LATERAL VIEW explode(sequence(1, 8)) t AS r
+        GROUP BY l_returnflag, l_linestatus, r
+        ORDER BY l_returnflag, l_linestatus, r"""
+
+    def _sentinel_python(spark):
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def _probe(v):
+            return (v * 1.0000001 + 0.5).pow(1.5)
+
+        return (spark.range(36_000_000)
+                .select((F.col("id") % 9973).cast("double").alias("x"))
+                .select(_probe(F.col("x")).alias("y"))
+                .agg(F.sum("y"), F.avg("y")))
+
+    def _sentinel_shuffle(spark):
+        from pyspark.sql import functions as F
+        return (spark.range(30_000_000)
+                .select(((F.col("id") * 2654435761) % 8_000_000)
+                        .alias("k"), F.col("id").alias("v"))
+                .groupBy("k").agg(F.sum("v").alias("s"),
+                                  F.count("*").alias("c"))
+                .agg(F.count("*"), F.sum("s"), F.max("c")))
+
+    def _battery_pass() -> dict[str, float]:
+        out = {}
         t0 = time.perf_counter()
-        spark.sql(sentinel_sql).collect()
-        t = round(time.perf_counter() - t0, 3)
-        if sentinel is None or t < sentinel:
-            sentinel = t
+        spark.sql(sentinel_jvm_sql).collect()
+        out["jvm"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _sentinel_python(spark).collect()
+        out["python"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _sentinel_shuffle(spark).collect()
+        out["shuffle"] = round(time.perf_counter() - t0, 3)
+        return out
+
+    _battery_pass()                      # warm all three probes untimed
+    battery_runs: list[dict] = [_battery_pass()]   # pass 1: before suite
+
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     for run in range(n_runs):
@@ -107,6 +180,8 @@ def main() -> None:
                 timings_min[name] = t
             elif prev is None:
                 timings_min[name] = t
+
+    battery_runs.append(_battery_pass())     # pass 2: after query loop
 
     total = round(sum(v for v in timings_min.values() if v >= 0), 3)
     total_first = round(sum(v for v in timings.values() if v >= 0), 3)
@@ -139,6 +214,11 @@ def main() -> None:
             suite_sections[suite] = out_s
     except Exception as e:
         print(f"bench error in suite sections: {e}", file=sys.stderr)
+
+    battery_runs.append(_battery_pass())     # pass 3: after sections
+    sentinels = {cls: min(b[cls] for b in battery_runs)
+                 for cls in ("jvm", "python", "shuffle")}
+    sentinel = sentinels["jvm"]              # r13/r14 continuity
 
     # Overhead check: the catalog-routed revenue query vs the identical
     # query issued directly against the parquet views. The delta is the
@@ -212,18 +292,24 @@ def main() -> None:
     # whole, while the full round-over-round detail (queries_min,
     # suite_sections, overhead run lists) goes to BENCH_DETAIL.json in
     # the repo root for the judge to read.
-    # Sentinel-normalized series (r13 verdict #7): queries_norm =
-    # queries_min / sentinel_sec, the machine-drift-free number. If the
-    # PREVIOUS round's BENCH_DETAIL.json is still on disk (it is — the
-    # repo commits it), its normalized column is carried as
+    # Sentinel-normalized series: queries_norm = queries_min / the
+    # query's CLASS probe (r15 battery — r14 and earlier norms were
+    # all jvm-keyed; cross-round class-keyed diffs start at r15). If
+    # the PREVIOUS round's BENCH_DETAIL.json is still on disk (it is —
+    # the repo commits it), its normalized column is carried as
     # queries_norm_prev so the judge diffs normalized values directly
-    # without reconstructing the prior round's sentinel.
-    def _norm(mins: dict, sent) -> dict:
-        if not sent or sent <= 0:
-            return {}
-        return {q: round(v / sent, 3) for q, v in mins.items() if v >= 0}
+    # without reconstructing the prior round's sentinels.
+    def _norm(mins: dict, sents: dict) -> dict:
+        out = {}
+        for q, v in mins.items():
+            if v < 0:
+                continue
+            s = sents.get(SENTINEL_CLASS.get(q, "jvm"))
+            if s and s > 0:
+                out[q] = round(v / s, 3)
+        return out
 
-    queries_norm = _norm(timings_min, sentinel)
+    queries_norm = _norm(timings_min, sentinels)
     queries_norm_prev = None
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
@@ -231,9 +317,13 @@ def main() -> None:
         with open(detail_path) as f:
             prev = json.load(f)
         if prev.get("sf") == sf:     # cross-sf norms are not comparable
-            queries_norm_prev = (prev.get("queries_norm")
-                                 or _norm(prev.get("queries_min") or {},
-                                          prev.get("sentinel_sec")))
+            queries_norm_prev = prev.get("queries_norm")
+            if not queries_norm_prev and prev.get("sentinel_sec"):
+                ps = {"jvm": prev["sentinel_sec"],
+                      "python": prev["sentinel_sec"],
+                      "shuffle": prev["sentinel_sec"]}
+                queries_norm_prev = _norm(prev.get("queries_min") or {},
+                                          ps)
     except Exception:
         pass
 
@@ -247,6 +337,10 @@ def main() -> None:
         "queries_norm": queries_norm,
         "suite_sections": suite_sections,
         "sentinel_sec": sentinel,
+        "sentinels": sentinels,
+        "sentinel_runs": battery_runs,
+        "sentinel_class": {q: SENTINEL_CLASS.get(q, "jvm")
+                           for q in timings_min},
         "runs": n_runs,
         "sf": sf,
     }
@@ -264,6 +358,7 @@ def main() -> None:
         "sf": sf,
         "runs": n_runs,
         "sentinel_sec": sentinel,
+        "sentinels": sentinels,
         "queries": timings_min,
         "detail": "BENCH_DETAIL.json",
     }

@@ -524,23 +524,36 @@ class DeleteFrom(Command):
 @dataclass
 class OptimizeTable(Command):
     """`OPTIMIZE lightning.datasource.delta.<ds>.<table> [TARGET SIZE
-    n]` — bin-packing compaction of small files into ~n-byte ones as a
+    n] [ZORDER BY (col, ...)]` — bin-packing compaction of small files
+    into ~n-byte ones (or, with ZORDER BY, a full Morton-order
+    re-clustering that shrinks every clustered column's per-file
+    min/max so stats-based skipping bites on all of them) as a
     dataChange=false commit (delta-spark's OPTIMIZE surface; the
     reference has no maintenance commands, its docs defer to the
     runtimes). The 100 TB rationale lives in
-    `sources/delta_reader.optimize_delta`."""
+    `sources/delta_reader.optimize_delta` / `zorder_delta`."""
     path: list[str]
     target_bytes: Optional[int] = None
+    zorder_by: Optional[list[str]] = None
 
     def run(self, ctx) -> DataFrame:
         from lightning_metastore_spark.sources.delta_reader import (
             optimize_delta,
+            zorder_delta,
         )
 
         tpath = _delta_table_path(ctx, self.path, "OPTIMIZE")
         kwargs = {}
         if self.target_bytes is not None:
             kwargs["target_file_bytes"] = int(self.target_bytes)
+        if self.zorder_by:
+            stats = zorder_delta(ctx.spark, tpath, self.zorder_by,
+                                 **kwargs)
+            return self._df(
+                ctx, [(stats["files_removed"], stats["files_added"],
+                       stats["bytes_rewritten"])],
+                "files_removed long, files_added long, "
+                "bytes_rewritten long")
         stats = optimize_delta(ctx.spark, tpath, **kwargs)
         return self._df(
             ctx, [(stats["files_removed"], stats["files_added"],
@@ -838,9 +851,12 @@ class CreateTableSpecCommand(Command):
 
 @dataclass
 class UpdateFileTags(Command):
-    """`UPDATE lightning.datasource.<...>.<ds> SET tag = value [, ...]
-    [WHERE <predicate>]` — rewrites the `.tag` JSON sidecars of an
-    unstructured datasource's files.
+    """`UPDATE lightning.datasource.<...> SET col = expr [, ...]
+    [WHERE <predicate>]` — dispatched by unit type: Delta/Iceberg
+    targets get ROW-LEVEL file-granular UPDATE (copy-on-write; every
+    RHS evaluates against the OLD row; CDF tables emit
+    update_preimage/postimage cdc); unstructured datasources rewrite
+    the `.tag` JSON sidecars of matching files.
 
     The reference left this UNFINISHED (logical plan exists but the
     parser hook is commented out — `UpdateLightningTableTag.scala:28-66`,
@@ -871,9 +887,36 @@ class UpdateFileTags(Command):
                 f"no datasource at lightning.{'.'.join(self.path)}")
         ds, residual = hit
         unit = load_catalog_unit(ds)
+        # Delta/Iceberg targets get ROW-LEVEL UPDATE (file-granular
+        # copy-on-write, CDF update_pre/postimage on CDF tables) —
+        # the DML triad's third member next to DELETE FROM and MERGE
+        from lightning_metastore_spark.catalog.units import (
+            DeltaCatalogUnit,
+            IcebergCatalogUnit,
+        )
+        if isinstance(unit, DeltaCatalogUnit):
+            from lightning_metastore_spark.sources.delta_reader import (
+                update_where,
+            )
+            tpath = _os.path.join(ds.options["path"], *residual)
+            n = update_where(ctx.spark, tpath, self.assignments,
+                             self.where)
+            return self._df(ctx, [(n,)], "n_updated long")
+        if isinstance(unit, IcebergCatalogUnit) \
+                and not unit._mounted(ctx.spark) \
+                and unit._warehouse() is not None:
+            from lightning_metastore_spark.sources.iceberg_writer import (
+                update_where_iceberg,
+            )
+            tpath = _os.path.join(unit._warehouse(), *residual)
+            n = update_where_iceberg(ctx.spark, tpath,
+                                     self.assignments, self.where)
+            return self._df(ctx, [(n,)], "n_updated long")
         if not isinstance(unit, UnstructuredCatalogUnit):
             raise CommandParseError(
-                "UPDATE ... SET tags applies to unstructured datasources only")
+                "UPDATE ... SET supports Delta/Iceberg tables "
+                "(row-level) and unstructured datasources (tag "
+                "sidecars) only")
         if not ds.tag_schema:
             raise CommandParseError(
                 f"datasource {ds.name} declares no TAG schema")
@@ -2138,7 +2181,8 @@ _R_DELETE = re.compile(
     r"(?:\s+WHERE\s+(?P<w>.+))?\s*$", re.I | re.S)
 _R_OPTIMIZE = re.compile(
     r"^OPTIMIZE\s+(?P<path>[\w.\-]+)"
-    r"(?:\s+TARGET\s+SIZE\s+(?P<sz>\d+))?\s*$", re.I)
+    r"(?:\s+TARGET\s+SIZE\s+(?P<sz>\d+))?"
+    r"(?:\s+ZORDER\s+BY\s*\((?P<zcols>[^)]+)\))?\s*$", re.I)
 _R_VACUUM = re.compile(
     r"^VACUUM\s+(?P<path>[\w.\-]+)"
     r"(?:\s+RETAIN\s+(?P<h>[\d.]+)\s+HOURS)?"
@@ -2230,7 +2274,9 @@ def parse_command(sql: str) -> Command:
     if m:
         return OptimizeTable(
             path=_split_path(m.group("path")),
-            target_bytes=int(m.group("sz")) if m.group("sz") else None)
+            target_bytes=int(m.group("sz")) if m.group("sz") else None,
+            zorder_by=([c.strip() for c in m.group("zcols").split(",")]
+                       if m.group("zcols") else None))
     m = _R_VACUUM.match(text)
     if m:
         return VacuumTable(

@@ -183,6 +183,81 @@ ORDER BY arm, o_orderpriority
 """
 
 
+def lakehouse_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-based file skipping, gate-verified end-to-end (r14
+    verdict task 1): two value-disjoint appends per format (Delta —
+    whose writer emits `add.stats` — and Iceberg — whose manifests
+    carry Appendix-D bounds), then ONE routed single-table SELECT
+    whose WHERE conjunct the resolver hands to the unit as a planning
+    hint. The gate hash-verifies BOTH the relational answer AND a
+    `pruned_ok` verdict column asserting the plan scanned strictly
+    fewer files than the table holds — so a silently-disabled pruning
+    path fails the gate even though results would still match."""
+    import os
+    import tempfile
+
+    from lightning_metastore_spark.sources.delta_reader import (
+        write_delta,
+    )
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        write_iceberg,
+    )
+
+    ctx = _ctx(spark, sf_dir)
+    # value-disjoint halves at FIXED literals valid at every sf (the
+    # testdata's o_orderkey is dense from 0, >=1500 rows at sf0.001)
+    halves = [
+        ctx.sql("""SELECT o_orderkey, o_totalprice
+            FROM lightning.datasource.file.tpch.orders
+            WHERE o_orderkey < 750""").coalesce(1),
+        ctx.sql("""SELECT o_orderkey, o_totalprice
+            FROM lightning.datasource.file.tpch.orders
+            WHERE o_orderkey >= 750""").coalesce(1),
+    ]
+    lake = tempfile.mkdtemp(prefix="lightning-prune-gate-")
+    wh = tempfile.mkdtemp(prefix="lightning-prune-ice-gate-")
+    for i, h in enumerate(halves):
+        write_delta(h, os.path.join(lake, "ords"),
+                    mode="error" if i == 0 else "append")
+        write_iceberg(h, os.path.join(wh, "ords"),
+                      mode="error" if i == 0 else "append")
+    ctx.sql("CREATE NAMESPACE IF NOT EXISTS lightning.datasource.delta")
+    ctx.sql(f"REGISTER OR REPLACE DELTA DATASOURCE plake "
+            f"OPTIONS(path '{lake}') NAMESPACE lightning.datasource.delta")
+    ctx.sql("CREATE NAMESPACE IF NOT EXISTS lightning.datasource.iceberg")
+    ctx.sql(f"REGISTER OR REPLACE ICEBERG DATASOURCE pwh "
+            f"OPTIONS(warehouse '{wh}') "
+            f"NAMESPACE lightning.datasource.iceberg")
+    q = """SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100 AS total
+           FROM {t} WHERE o_orderkey < 500"""
+    arms = []
+    for arm, tbl in (("delta", "lightning.datasource.delta.plake.ords"),
+                     ("iceberg",
+                      "lightning.datasource.iceberg.pwh.ords")):
+        df = ctx.sql(q.format(t=tbl))
+        pruned_ok = len(df.inputFiles()) < 2   # 2 live files per table
+        arms.append(df.select(
+            F.lit(arm).alias("arm"), F.col("n"), F.col("total"),
+            F.lit(bool(pruned_ok)).alias("pruned_ok")))
+    return arms[0].unionByName(arms[1]).orderBy("arm")
+
+
+LAKEHOUSE_PRUNED_ORACLE = """
+WITH sel AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+              AS DOUBLE) / 100 AS total
+  FROM orders WHERE o_orderkey < 500
+)
+SELECT 'delta' AS arm, n, total, TRUE AS pruned_ok FROM sel
+UNION ALL
+SELECT 'iceberg' AS arm, n, total, TRUE AS pruned_ok FROM sel
+ORDER BY arm
+"""
+
+
 def catalog_usl_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """USL compile -> activate -> query: the governed-view path
     (CompileUSLSpec / ActivateUSLTableSpec / USLTableScan)."""
@@ -4667,6 +4742,10 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "-> spark.sql"),
         QuerySpec("catalog_usl_view", catalog_usl_view, CATALOG_USL_ORACLE,
                   "USL compile/activate/query (governed view)"),
+        QuerySpec("lakehouse_pruned_scan", lakehouse_pruned_scan,
+                  LAKEHOUSE_PRUNED_ORACLE,
+                  "stats/manifest-bounds file skipping through the "
+                  "resolver, with a pruned_ok plan verdict"),
         QuerySpec("catalog_dq_run", catalog_dq_run, CATALOG_DQ_ORACLE,
                   "RUN DQ command over a USL table"),
         QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE,

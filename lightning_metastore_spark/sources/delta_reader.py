@@ -98,11 +98,12 @@ _SUPPORTED_READER_FEATURES = frozenset(
 # rows (OPTIMIZE skips DV'd files, DELETE re-applies the DV to
 # survivors); `vacuumProtocolCheck` because vacuum_delta performs this
 # very check before deleting anything; `changeDataFeed` because the
-# writer HONORS the CDF contract: DELETE commits the deleted rows as
-# cdc actions (`_change_data/` parquet), appends/overwrites derive
-# exactly from their dataChange add/remove actions, and the
-# non-derivable shapes (removing DV-carrying files without cdc) are
-# refused rather than committed; `columnMapping` because appends/
+# writer HONORS the CDF contract: DELETE/UPDATE commit their row-level
+# changes as cdc actions (`_change_data/` parquet), while appends/
+# overwrites/whole-file removes derive exactly from their dataChange
+# add/remove actions (removed DV-carrying files derive under their
+# pre-commit DV state — `table_changes` applies it); `columnMapping`
+# because appends/
 # overwrites to mapped tables write the PHYSICAL column names plus
 # `parquet.field.id` footer metadata on every mapped field (both the
 # spec's modes resolve such files), with mergeSchema refused (new
@@ -153,8 +154,7 @@ def _check_protocol(protocol: Optional[dict], path: str) -> None:
 
 def _check_writer_protocol(snap: "DeltaSnapshot", path: str, *,
                            data_change_removes: bool = False,
-                           adds_data: bool = False,
-                           emits_cdc: bool = False) -> None:
+                           adds_data: bool = False) -> None:
     """Reject write/maintenance operations the table's protocol forbids
     (Delta PROTOCOL.md "Writer Requirements" — the writer-side mirror
     of `_check_protocol`). Legacy minWriterVersion semantics: 2 adds
@@ -207,21 +207,6 @@ def _check_writer_protocol(snap: "DeltaSnapshot", path: str, *,
         raise DeltaLogError(
             f"Delta table {path} is append-only (delta.appendOnly): "
             f"operations that remove data are not allowed")
-    if (data_change_removes and not emits_cdc
-            and getattr(snap, "dv", None) and str(
-            conf.get("delta.enableChangeDataFeed", "")).lower()
-            == "true"):
-        # CDF writer requirement, DV edge: a dataChange remove of a
-        # DV-carrying file is only consumable with cdc actions that
-        # describe it; whole-file removes (overwrite / WHERE-less
-        # DELETE) emit none, and the reader correctly refuses such a
-        # range — so refuse the WRITE instead of poisoning the feed.
-        # (Predicated DELETE is fine: it emits cdc for the commit.)
-        raise DeltaLogError(
-            f"Delta table {path} has Change Data Feed enabled and "
-            f"live deletion vectors: removing DV-carrying files "
-            f"without cdc emission would make the feed unreadable — "
-            f"rewrite the DV'd files first (DELETE with a predicate)")
     if adds_data:
         bad = [f.name for f in snap.schema.fields
                if (f.metadata or {}).get("delta.invariants")]
@@ -970,9 +955,12 @@ def prune_snapshot_files(snap: DeltaSnapshot,
                         parsed = {}
             if not parsed:
                 continue
-            nc = (parsed.get("nullCount") or {}).get(name)
             nr = parsed.get("numRecords")
-            if nc is not None and nr is not None and nc == nr and nr > 0:
+            if nr is not None and nr == 0:
+                admit = False  # empty file: no row can match anything
+                break
+            nc = (parsed.get("nullCount") or {}).get(name)
+            if nc is not None and nr is not None and nc == nr:
                 admit = False  # all-NULL column: predicate never TRUE
                 break
             try:
@@ -1315,10 +1303,11 @@ def table_changes(spark: SparkSession, path: str,
     update_postimage). A commit without cdc actions derives changes:
     dataChange adds are inserts, dataChange removes are deletes (read
     from the still-present removed file — VACUUM'd ranges are
-    unreadable and raise, as in delta-spark). A commit that changes a
-    file's deletion vector without cdc actions cannot be derived and
-    raises. Appends `_change_type`, `_commit_version`,
-    `_commit_timestamp`.
+    unreadable and raise, as in delta-spark; a removed DV-carrying
+    file derives only its LIVE rows, under its pre-commit deletion
+    vector). A commit that ADDS or changes a deletion vector without
+    cdc actions cannot be derived and raises. Appends `_change_type`,
+    `_commit_version`, `_commit_timestamp`.
 
     Plan shape: one parquet scan per (commit, change kind, partition
     tuple) unioned — planner-side work proportional to the RANGE's
@@ -1356,9 +1345,8 @@ def table_changes(spark: SparkSession, path: str,
                 + ["_change_type", "_commit_version",
                    "_commit_timestamp"])
 
-    def _chunk(files: list[str], pv: dict, schema, ctype, v, ts_ms
-               ) -> DataFrame:
-        df = spark.read.schema(schema).parquet(*files)
+    def _decorate(df: DataFrame, pv: dict, ctype, v, ts_ms
+                  ) -> DataFrame:
         if ctype is not None:
             df = df.withColumn("_change_type", F.lit(ctype))
         for c in snap.partition_columns:
@@ -1372,6 +1360,11 @@ def table_changes(spark: SparkSession, path: str,
                             (F.lit(ts_ms) / F.lit(1000.0))
                             .cast("timestamp"))
                 .select(*out_cols))
+
+    def _chunk(files: list[str], pv: dict, schema, ctype, v, ts_ms
+               ) -> DataFrame:
+        return _decorate(spark.read.schema(schema).parquet(*files),
+                         pv, ctype, v, ts_ms)
 
     # Deletion-vector awareness: a remove of a DV-carrying file must
     # NOT derive deletes from the file's full physical rows — the
@@ -1453,15 +1446,6 @@ def table_changes(spark: SparkSession, path: str,
             raise DeltaLogError(
                 f"version {v} changes a deletion vector without cdc "
                 f"actions; its row-level changes cannot be derived")
-        dv_removed = [a["path"] for a in removes
-                      if a.get("deletionVector") is not None
-                      or a["path"] in dv_state]
-        if dv_removed:
-            raise DeltaLogError(
-                f"version {v} removes DV-carrying files {dv_removed} "
-                f"without cdc actions; deriving deletes from their "
-                f"full physical rows would report never-live rows as "
-                f"deleted")
         for pv, files in _grouped(adds):
             chunks.append(_chunk(files, pv, data_schema, "insert", v,
                                  ts_ms))
@@ -1473,9 +1457,48 @@ def table_changes(spark: SparkSession, path: str,
             raise DeltaLogError(
                 f"version {v} removes files without partitionValues; "
                 f"derived change data would lose partition columns")
-        for pv, files in _grouped(removes):
+        # a removed file that carried a deletion vector derives its
+        # deletes as the file's LIVE rows only — physical rows minus
+        # the DV-marked positions (the spec's derivation: read the
+        # removed file under its pre-commit DV state); deriving from
+        # full physical rows would report never-live rows as deleted.
+        # Descriptor preference: the remove action's own, else the
+        # tracked pre-commit state.
+        dv_of: dict[str, dict] = {}
+        for a in removes:
+            desc = a.get("deletionVector") or dv_state.get(a["path"])
+            if desc is not None:
+                dv_of[a["path"]] = dict(desc)
+        plain = [a for a in removes if a["path"] not in dv_of]
+        for pv, files in _grouped(plain):
             chunks.append(_chunk(files, pv, data_schema, "delete", v,
                                  ts_ms))
+        if dv_of:
+            from lightning_metastore_spark.sources import delta_dv
+            for a in removes:
+                desc = dv_of.get(a["path"])
+                if desc is None:
+                    continue
+                rel = _resolve_rel(path, a["path"])
+                full = os.path.join(path, rel)
+                if not os.path.exists(full):
+                    raise DeltaLogError(
+                        f"change data for version {v} requires "
+                        f"{a['path']}, which is gone (vacuumed?)")
+                dels = delta_dv.deleted_rows_df(spark, path,
+                                                {rel: desc})
+                live = (spark.read.schema(data_schema).parquet(full)
+                        .withColumns({
+                            "__dv_file": F.regexp_replace(
+                                F.col("_metadata.file_path"),
+                                r"^file:/+", "/"),
+                            "__dv_pos": F.col("_metadata.row_index")})
+                        .join(F.broadcast(dels),
+                              ["__dv_file", "__dv_pos"], "left_anti")
+                        .drop("__dv_file", "__dv_pos"))
+                chunks.append(_decorate(
+                    live, dict(a.get("partitionValues") or {}),
+                    "delete", v, ts_ms))
         _apply_state()
 
     if not chunks:
@@ -1852,6 +1875,13 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         write_checkpoint(spark, path)
 
 
+# `col <op> literal` — the predicate shape DELETE can stats-prune its
+# touched-file scan on (the iceberg_writer._SIMPLE_PRED twin)
+_DELETE_SIMPLE_PRED = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|=|<|>)\s*"
+    r"(?:(-?\d+(?:\.\d+)?)|'([^']*)')\s*$")
+
+
 def delete_where(spark: SparkSession, path: str,
                  predicate: Optional[str]) -> int:
     """File-granular DELETE FROM — delta-spark's pre-deletion-vector
@@ -1888,8 +1918,7 @@ def delete_where(spark: SparkSession, path: str,
         raise DeltaLogError(
             f"offline DELETE on column-mapped tables is not "
             f"supported: {path}")
-    _check_writer_protocol(snap, path, data_change_removes=True,
-                           emits_cdc=predicate is not None)
+    _check_writer_protocol(snap, path, data_change_removes=True)
     cdf_enabled = str((getattr(snap, "configuration", None) or {}).get(
         "delta.enableChangeDataFeed", "")).lower() == "true"
     now_ms = int(time.time() * 1000)
@@ -1907,7 +1936,23 @@ def delete_where(spark: SparkSession, path: str,
         _write_commit(path, snap.version + 1, actions)
         return int(n)
 
-    tagged = _snapshot_scan(spark, path, snap, file_tag="__delta_file")
+    # stats-based pruning of the TOUCHED-FILE scan for simple
+    # `col op literal` predicates (the Iceberg DELETE's manifest-
+    # bounds twin): files whose add.stats/partitionValues prove no
+    # match cannot be touched, so a selective DELETE on a clustered
+    # column opens a fraction of the table. Sound — skipped files
+    # provably contain no matching row; non-simple predicates scan
+    # everything, as before.
+    scan_subset = None
+    mp = _DELETE_SIMPLE_PRED.match(predicate)
+    if mp:
+        lit = (mp.group(4) if mp.group(4) is not None
+               else (float(mp.group(3)) if "." in mp.group(3)
+                     else int(mp.group(3))))
+        scan_subset = prune_snapshot_files(
+            snap, [(mp.group(1), mp.group(2), lit)])
+    tagged = _snapshot_scan(spark, path, snap, file_tag="__delta_file",
+                            file_subset=scan_subset)
     hits = (tagged.filter(f"coalesce(({predicate}), false)")
             .groupBy("__delta_file").count().collect())
     if not hits:
@@ -1973,6 +2018,140 @@ def delete_where(spark: SparkSession, path: str,
         actions.append({"add": add})
     _write_commit(path, snap.version + 1, actions)
     return n_deleted
+
+
+def update_where(spark: SparkSession, path: str,
+                 assignments: dict[str, str],
+                 predicate: Optional[str]) -> int:
+    """File-granular UPDATE ... SET col = expr [WHERE pred] — the DML
+    triad's third member (delta-spark's copy-on-write UPDATE):
+
+    1. ONE filtered scan (stats-pruned for simple predicates, DVs
+       applied) finds the touched files + exact ``n_updated``; the
+       collect is bounded by touched-file count.
+    2. Touched files are rewritten WHOLE — matched rows with every
+       assignment's RHS evaluated against the OLD row (SQL UPDATE
+       semantics: `SET a = b, b = a` swaps) and cast to the column
+       type, unmatched rows verbatim; untouched adds carry over.
+       Updating a PARTITION column is allowed — rewritten rows land
+       in their new Hive directories and the log's partitionValues
+       follow.
+    3. On CDF tables the commit carries cdc actions with the spec's
+       update_preimage/update_postimage rows, so `table_changes`
+       replays the update exactly (the remove+add derivation would
+       report every unmatched row of a touched file as
+       delete+insert).
+
+    Returns ``n_updated``. A WHERE-less UPDATE rewrites every file.
+    """
+    snap = resolve_snapshot(spark, path)
+    if getattr(snap, "physical", None):
+        raise DeltaLogError(
+            f"offline UPDATE on column-mapped tables is not "
+            f"supported: {path}")
+    field_by = {f.name.lower(): f for f in snap.schema.fields}
+    norm_assign: dict[str, str] = {}
+    for col, expr in assignments.items():
+        f = field_by.get(col.lower())
+        if f is None:
+            raise DeltaLogError(
+                f"UPDATE target column {col!r} does not exist in "
+                f"{path} (columns: {[x.name for x in snap.schema]})")
+        norm_assign[f.name] = expr
+    cdf_enabled = str((getattr(snap, "configuration", None) or {}).get(
+        "delta.enableChangeDataFeed", "")).lower() == "true"
+    _check_writer_protocol(snap, path, data_change_removes=True,
+                           adds_data=True)
+    now_ms = int(time.time() * 1000)
+    if not snap.files:
+        return 0
+    cond = (f"coalesce(({predicate}), false)" if predicate is not None
+            else "true")
+
+    scan_subset = None
+    if predicate is not None:
+        mp = _DELETE_SIMPLE_PRED.match(predicate)
+        if mp:
+            lit = (mp.group(4) if mp.group(4) is not None
+                   else (float(mp.group(3)) if "." in mp.group(3)
+                         else int(mp.group(3))))
+            scan_subset = prune_snapshot_files(
+                snap, [(mp.group(1), mp.group(2), lit)])
+    tagged = _snapshot_scan(spark, path, snap, file_tag="__delta_file",
+                            file_subset=scan_subset)
+    hits = (tagged.filter(cond)
+            .groupBy("__delta_file").count().collect())
+    if not hits:
+        return 0
+    from lightning_metastore_spark.sources import delta_dv
+    by_key: dict[str, str] = {}
+    for rel, _pv in snap.files:
+        disk = _resolve_rel(path, rel)
+        by_key[delta_dv.uri_path_encode(
+            os.path.abspath(os.path.join(path, disk)))] = rel
+    touched: set[str] = set()
+    n_updated = 0
+    for r in hits:
+        rel = by_key.get(r["__delta_file"])
+        if rel is None:
+            raise DeltaLogError(
+                f"UPDATE matched rows in unrecognized source file "
+                f"{r['__delta_file']!r} — refusing to commit")
+        touched.add(rel)
+        n_updated += int(r["count"])
+
+    def _applied(df: DataFrame) -> DataFrame:
+        # every RHS evaluates against the OLD row (standard UPDATE
+        # semantics) — one select, not chained withColumns
+        return df.select(*[
+            (F.when(F.expr(cond),
+                    F.expr(norm_assign[f.name]).cast(f.dataType))
+             .otherwise(F.col(f.name)).alias(f.name)
+             if f.name in norm_assign else F.col(f.name))
+            for f in snap.schema.fields])
+
+    rewritten = _applied(
+        _snapshot_scan(spark, path, snap, file_subset=touched))
+    moved = _stage_files(rewritten, path,
+                         os.path.join(path, f".update-{now_ms}"),
+                         snap.partition_columns)
+    cdc_actions: list[dict] = []
+    if cdf_enabled:
+        matched = (_snapshot_scan(spark, path, snap,
+                                  file_subset=touched)
+                   .filter(cond))
+        pre = matched.withColumn("_change_type",
+                                 F.lit("update_preimage"))
+        post = _applied(matched).withColumn(
+            "_change_type", F.lit("update_postimage"))
+        cmoved = _stage_files(pre.unionByName(post),
+                              os.path.join(path, "_change_data"),
+                              os.path.join(path, f".cdc-{now_ms}"),
+                              snap.partition_columns)
+        for rel, size, pv, _st in cmoved:
+            cdc_actions.append({"cdc": {
+                "path": "/".join(["_change_data",
+                                  rel.replace(os.sep, "/")]),
+                "partitionValues": pv, "size": size,
+                "dataChange": False}})
+    actions: list[dict] = [
+        {"commitInfo": {"timestamp": now_ms, "operation": "UPDATE",
+                        "operationParameters": {
+                            "predicate": predicate}}}]
+    actions.extend(cdc_actions)
+    for rel in sorted(touched):
+        actions.append({"remove": {"path": rel,
+                                   "deletionTimestamp": now_ms,
+                                   "dataChange": True}})
+    for rel, size, pv, stats in moved:
+        add = {"path": rel.replace(os.sep, "/"),
+               "partitionValues": pv, "size": size,
+               "modificationTime": now_ms, "dataChange": True}
+        if stats:
+            add["stats"] = stats
+        actions.append({"add": add})
+    _write_commit(path, snap.version + 1, actions)
+    return n_updated
 
 
 def optimize_delta(spark: SparkSession, path: str,
@@ -2094,6 +2273,151 @@ def optimize_delta(spark: SparkSession, path: str,
     return {"files_removed": removed, "files_added": added,
             "bytes_compacted": bytes_compacted,
             "parallelism": pool_workers}
+
+
+def _zvalue_column(df: DataFrame, columns: list[str],
+                   cuts_by_col: dict[str, list]) -> "F.Column":
+    """Morton (Z-order) value: each clustering column maps to an
+    equi-depth 8-bit bucket (count of approx-quantile cuts <= value —
+    a JVM-side `aggregate` over the 255-element broadcast cut array),
+    then the buckets' bits INTERLEAVE so z-locality gives locality in
+    every dimension at once. NULLs bucket to 0 (they cluster
+    together, which is what stats skipping wants)."""
+    buckets = []
+    for c in columns:
+        arr = F.array(*[F.lit(float(x)) for x in cuts_by_col[c]])
+        v = F.col(c).cast("double")
+        b = F.aggregate(
+            arr, F.lit(0),
+            lambda acc, x: acc + F.when(v >= x, 1).otherwise(0))
+        buckets.append(F.coalesce(b, F.lit(0)).cast("long"))
+    k = len(buckets)
+    z = F.lit(0).cast("long")
+    for bit in range(8):
+        for j, b in enumerate(buckets):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(b, bit).bitwiseAND(F.lit(1)),
+                            bit * k + j))
+    return z
+
+
+def zorder_delta(spark: SparkSession, path: str, columns: list[str],
+                 target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+    """OPTIMIZE ... ZORDER BY (cols) — rewrite each partition's data
+    files clustered by the columns' interleaved-bit Morton order, as
+    one dataChange=false commit (logical content identical; only
+    layout changes). The layout HALF of this round's stats-based file
+    skipping: after z-ordering, every clustered column's per-file
+    min/max ranges shrink, so selective predicates on ANY of them
+    skip files — the standard lakehouse recipe for multi-dimensional
+    query patterns at 100 TB (delta-spark's OPTIMIZE ZORDER BY).
+
+    Equi-depth buckets come from per-partition-group approxQuantile
+    (robust to skew); numeric/date/timestamp columns only (strings
+    have no quantile path here); files carrying deletion vectors are
+    left alone like OPTIMIZE. Returns {"files_removed",
+    "files_added", "bytes_rewritten"}."""
+    snap = resolve_snapshot(spark, path)
+    if getattr(snap, "physical", None):
+        raise DeltaLogError(
+            f"offline ZORDER of column-mapped tables is not "
+            f"supported: {path}")
+    _check_writer_protocol(snap, path)
+    field_by = {f.name.lower(): f for f in snap.schema.fields}
+    norm_cols: list[str] = []
+    for c in columns:
+        f = field_by.get(str(c).lower())
+        if f is None:
+            raise DeltaLogError(f"ZORDER column {c!r} does not exist "
+                                f"in {path}")
+        if f.name in snap.partition_columns:
+            raise DeltaLogError(
+                f"ZORDER column {f.name!r} is a partition column — "
+                f"already layout-clustered")
+        if f.dataType.typeName() not in (
+                "byte", "short", "integer", "long", "float", "double",
+                "date", "timestamp", "timestamp_ntz", "decimal"):
+            raise DeltaLogError(
+                f"ZORDER supports numeric/date/timestamp columns; "
+                f"{f.name!r} is {f.dataType.simpleString()}")
+        norm_cols.append(f.name)
+    now_ms = int(time.time() * 1000)
+    data_fields = [f for f in snap.schema.fields
+                   if f.name not in snap.partition_columns]
+    data_schema = T.StructType(data_fields)
+    groups: dict[tuple, tuple[dict, list[str]]] = {}
+    for rel, pv in snap.files:
+        if rel in snap.dv:
+            continue  # DV'd files need row rewriting first
+        key = tuple(sorted(pv.items()))
+        groups.setdefault(key, (pv, []))[1].append(rel)
+
+    from urllib.parse import quote
+    actions: list[dict] = [
+        {"commitInfo": {"timestamp": now_ms, "operation": "OPTIMIZE",
+                        "operationParameters": {
+                            "zOrderBy": list(norm_cols)}}}]
+    removed = added = bytes_rewritten = 0
+    staging = os.path.join(path, f".zorder-{now_ms}")
+    for i, (pv, rels) in enumerate(groups.values()):
+        total = sum(os.path.getsize(os.path.join(path, r))
+                    for r in rels)
+        n_out = max(1, -(-total // int(target_file_bytes)))
+        df = spark.read.schema(data_schema).parquet(
+            *[os.path.join(path, _resolve_rel(path, r)) for r in rels])
+        probs = [j / 256.0 for j in range(1, 256)]
+        cuts = {}
+        for c in norm_cols:
+            q = (df.select(F.col(c).cast("double").alias("__q"))
+                 .na.drop().approxQuantile("__q", probs, 0.01))
+            cuts[c] = q or [0.0]
+        clustered = (df.withColumn("__z",
+                                   _zvalue_column(df, norm_cols, cuts))
+                     .repartitionByRange(int(n_out), "__z")
+                     .sortWithinPartitions("__z")
+                     .select(*[f.name for f in data_fields]))
+        stage = os.path.join(staging, str(i))
+        clustered.write.mode("overwrite").parquet(stage)
+        part_dir = ""
+        if snap.partition_columns:
+            segs = []
+            for c in snap.partition_columns:
+                v = pv.get(c)
+                segs.append(
+                    f"{c}=__HIVE_DEFAULT_PARTITION__" if v is None
+                    else f"{c}={quote(str(v), safe='')}")
+            part_dir = os.path.join(*segs)
+        for fname in sorted(os.listdir(stage)):
+            if fname.endswith(".parquet") and \
+                    not fname.startswith((".", "_")):
+                rel_new = (os.path.join(part_dir,
+                                        f"z-{now_ms}-{i}-{fname}")
+                           if part_dir else f"z-{now_ms}-{i}-{fname}")
+                dst = os.path.join(path, rel_new)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(stage, fname), dst)
+                add = {"path": rel_new.replace(os.sep, "/"),
+                       "partitionValues": pv,
+                       "size": os.path.getsize(dst),
+                       "modificationTime": now_ms,
+                       "dataChange": False}
+                st = _parquet_stats_json(dst)
+                if st:
+                    add["stats"] = st
+                actions.append({"add": add})
+                added += 1
+        for r in rels:
+            actions.append({"remove": {"path": r,
+                                       "deletionTimestamp": now_ms,
+                                       "dataChange": False}})
+            removed += 1
+        bytes_rewritten += total
+    import shutil
+    shutil.rmtree(staging, ignore_errors=True)
+    if removed:
+        _write_commit(path, snap.version + 1, actions)
+    return {"files_removed": removed, "files_added": added,
+            "bytes_rewritten": bytes_rewritten}
 
 
 def vacuum_delta(spark: SparkSession, path: str,

@@ -604,6 +604,10 @@ def prune_data_files(table_path: str, col: str, op: str, value,
                    or _CONTENT_DATA) != _CONTENT_DATA:
                 continue  # delete files are never pruned
             p = _local(d["file_path"])
+            rc = d.get("record_count")
+            if rc is not None and int(rc) == 0:
+                skipped.append(p)        # empty file: nothing matches
+                continue
             lo = decode_single_value(
                 _bounds_map(d, "lower_bounds").get(fid), itype)
             hi = decode_single_value(

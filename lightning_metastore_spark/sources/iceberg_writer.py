@@ -1065,7 +1065,6 @@ def delete_where_iceberg(spark: SparkSession, table_path: str,
     except ir.IcebergError:
         return 0  # no snapshots yet — nothing to delete
     mdir = os.path.join(table_path, "metadata")
-    ddir = os.path.join(table_path, "data")
     table_schema = ir.spark_schema(meta)
     spark_types = {f.name: f.dataType for f in table_schema.fields}
     spec = next((s for s in meta.get("partition-specs", [])
@@ -1086,7 +1085,6 @@ def delete_where_iceberg(spark: SparkSession, table_path: str,
     version = 1 + max(
         int(f[1:].split(".")[0]) for f in os.listdir(mdir)
         if f.startswith("v") and f.endswith(".metadata.json"))
-    mschema = _manifest_schema_for(partition_by, spark_types)
 
     if predicate is None:
         n = ir.read_iceberg(spark, table_path).count()
@@ -1140,7 +1138,28 @@ def delete_where_iceberg(spark: SparkSession, table_path: str,
 
     survivors = (ir.read_iceberg(spark, table_path, file_subset=touched)
                  .filter(f"NOT coalesce(({predicate}), false)"))
-    data_files = _stage_data_files(survivors, table_path, ddir,
+    _commit_touched_rewrite(spark, table_path, meta, snap, touched,
+                            survivors, "delete", partition_by,
+                            spark_types, seq, snap_id, parent, version,
+                            now_ms)
+    return n_deleted
+
+
+def _commit_touched_rewrite(spark: SparkSession, table_path: str,
+                            meta: dict, snap: dict, touched: set,
+                            replacement: DataFrame, operation: str,
+                            partition_by: list[str], spark_types: dict,
+                            seq: int, snap_id: int, parent, version: int,
+                            now_ms: int) -> None:
+    """The copy-on-write commit shared by DELETE and UPDATE: stage
+    ``replacement`` (the touched files' post-op rows), rewrite only
+    the manifests containing touched entries (survivor entries keep
+    their original data sequence numbers), carry untouched manifests
+    over VERBATIM, and commit the new snapshot."""
+    mdir = os.path.join(table_path, "metadata")
+    ddir = os.path.join(table_path, "data")
+    mschema = _manifest_schema_for(partition_by, spark_types)
+    data_files = _stage_data_files(replacement, table_path, ddir,
                                    partition_by, spark_types, seq, now_ms)
 
     def _norm_entry(e: dict, m_seq) -> dict:
@@ -1228,5 +1247,100 @@ def delete_where_iceberg(spark: SparkSession, table_path: str,
     mlist = os.path.join(mdir, f"snap-{snap_id}.avro")
     ac.write_container(mlist, MANIFEST_LIST_SCHEMA, recs)
     _commit_snapshot(meta, mdir, snap_id, parent, seq, now_ms, mlist,
-                     "delete", version)
-    return n_deleted
+                     operation, version)
+
+
+def update_where_iceberg(spark: SparkSession, table_path: str,
+                         assignments: dict, predicate: Optional[str]
+                         ) -> int:
+    """File-granular UPDATE ... SET on an offline Iceberg table — the
+    copy-on-write twin of `delete_where_iceberg`: ONE filtered scan
+    (manifest-bounds-pruned for simple predicates) finds touched
+    files + the exact ``n_updated``; touched files are rewritten
+    WHOLE with every assignment's RHS evaluated against the OLD row
+    (SET a = b, b = a swaps) cast to the column type; untouched
+    manifests carry over verbatim; the new snapshot's operation is
+    "overwrite" (the spec's row-replacement operation)."""
+    meta = ir.load_metadata(table_path)
+    try:
+        snap = ir.select_snapshot(meta)
+    except ir.IcebergError:
+        return 0
+    mdir = os.path.join(table_path, "metadata")
+    table_schema = ir.spark_schema(meta)
+    spark_types = {f.name: f.dataType for f in table_schema.fields}
+    field_by = {f.name.lower(): f for f in table_schema.fields}
+    norm_assign: dict[str, str] = {}
+    for col, expr in assignments.items():
+        f = field_by.get(col.lower())
+        if f is None:
+            raise ir.IcebergError(
+                f"UPDATE target column {col!r} does not exist in "
+                f"{table_path}")
+        norm_assign[f.name] = expr
+    spec = next((s for s in meta.get("partition-specs", [])
+                 if s.get("spec-id") == meta.get("default-spec-id", 0)),
+                {"fields": []})
+    non_identity = [f["name"] for f in spec.get("fields", [])
+                    if f.get("transform") not in (None, "identity")]
+    if non_identity:
+        raise ir.IcebergError(
+            f"offline UPDATE supports identity partition transforms "
+            f"only; table has {non_identity}")
+    partition_by = [f["name"] for f in spec.get("fields", [])]
+    now_ms = int(time.time() * 1000)
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snap_id = max((s["snapshot-id"] for s in meta.get("snapshots", [])),
+                  default=0) + 1
+    parent = meta.get("current-snapshot-id")
+    version = 1 + max(
+        int(f[1:].split(".")[0]) for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".metadata.json"))
+    cond = (f"coalesce(({predicate}), false)" if predicate is not None
+            else "true")
+
+    prune_subset = None
+    if predicate is not None:
+        m = _SIMPLE_PRED.match(predicate)
+        if m:
+            lit = (m.group(4) if m.group(4) is not None
+                   else (float(m.group(3)) if "." in m.group(3)
+                         else int(m.group(3))))
+            try:
+                cands, skipped = ir.prune_data_files(
+                    table_path, m.group(1), m.group(2), lit)
+                if skipped:
+                    prune_subset = set(cands)
+            except ir.IcebergError:
+                pass
+    tagged = ir.read_iceberg(spark, table_path, file_tag="__ice_src",
+                             file_subset=prune_subset)
+    hits = tagged.filter(cond).groupBy("__ice_src").count().collect()
+    if not hits:
+        return 0
+    from lightning_metastore_spark.sources.delta_dv import uri_path_encode
+    data, _pos, _eq = ir.snapshot_files(table_path, snap)
+    by_key = {uri_path_encode(p): p for p, _s in data}
+    touched: set[str] = set()
+    n_updated = 0
+    for r in hits:
+        p = by_key.get(r["__ice_src"])
+        if p is None:
+            raise ir.IcebergError(
+                f"UPDATE matched rows in unrecognized data file "
+                f"{r['__ice_src']!r} — refusing to commit")
+        touched.add(p)
+        n_updated += int(r["count"])
+
+    base = ir.read_iceberg(spark, table_path, file_subset=touched)
+    rewritten = base.select(*[
+        (F.when(F.expr(cond),
+                F.expr(norm_assign[f.name]).cast(f.dataType))
+         .otherwise(F.col(f.name)).alias(f.name)
+         if f.name in norm_assign else F.col(f.name))
+        for f in table_schema.fields])
+    _commit_touched_rewrite(spark, table_path, meta, snap, touched,
+                            rewritten, "overwrite", partition_by,
+                            spark_types, seq, snap_id, parent, version,
+                            now_ms)
+    return n_updated

@@ -2389,7 +2389,11 @@ def test_review_fixes_round14(spark, tmp_path):
             == {(0, "delete"), (2, "delete"), (3, "delete"),
                 (4, "delete"), (9, "insert")})
 
-    # (c) removing a DV-carrying file cannot derive deletes
+    # (c -> r15) removing a DV-carrying file DERIVES its deletes under
+    # the pre-commit DV state (r14 refused): the file's only physical
+    # row is DV-dead, so the derived delete set is EMPTY. A dataChange
+    # ADD that changes a deletion vector without cdc stays
+    # non-derivable and raises.
     rel, _n = next((r, n) for r, _pv in
                    resolve_snapshot(spark, pc).files
                    for n in [spark.read.parquet(
@@ -2400,22 +2404,21 @@ def test_review_fixes_round14(spark, tmp_path):
     _append_commit(pc, 4, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
                       "readerFeatures": ["deletionVectors"],
-                      "writerFeatures": ["deletionVectors"]}},
+                      "writerFeatures": ["deletionVectors",
+                                         "changeDataFeed"]}},
         {"remove": {"path": rel, "deletionTimestamp": 0,
-                    "dataChange": False}},
+                    "dataChange": True}},
         {"add": {"path": rel, "partitionValues": {}, "size": 1,
-                 "modificationTime": 0, "dataChange": False,
+                 "modificationTime": 0, "dataChange": True,
                  "deletionVector": desc}},
     ])
-    # the WRITER refuses the non-derivable shape up front: whole-file
-    # removes of LIVE DV-carrying files on a CDF table emit no cdc
-    with pytest.raises(DeltaLogError, match="deletion vectors"):
-        delete_where(spark, pc, None)
-    _append_commit(pc, 5, [
-        {"remove": {"path": rel, "deletionTimestamp": 0,
-                    "dataChange": True}}])
-    with pytest.raises(DeltaLogError, match="DV-carrying"):
-        table_changes(spark, pc, starting_version=5)
+    with pytest.raises(DeltaLogError, match="deletion vector"):
+        table_changes(spark, pc, starting_version=4, ending_version=4)
+    # WHERE-less DELETE (whole-file removes, no cdc) now commits on a
+    # DV-carrying CDF table — the only row is DV-dead, so n=0 — and
+    # the feed derives the remove as zero delete rows
+    assert delete_where(spark, pc, None) == 0
+    assert table_changes(spark, pc, starting_version=5).count() == 0
 
     # (d) evolution preserves createdTime
     pe = str(tmp_path / "vevo")
@@ -3683,3 +3686,269 @@ def test_iceberg_maintenance_sql(spark, tmp_path):
             "NAMESPACE lightning.datasource.delta")
     with pytest.raises(Exception, match="Iceberg tables only"):
         ctx.sql("EXPIRE SNAPSHOTS lightning.datasource.delta.d.ev")
+
+
+def test_delta_delete_prunes_touched_file_scan(spark, tmp_path):
+    """A simple-predicate DELETE stats-prunes its touched-file scan:
+    only the files whose stats admit matches are opened (the Iceberg
+    DELETE's manifest-bounds twin), and results are unchanged."""
+    from lightning_metastore_spark.sources.delta_reader import (
+        delete_where,
+    )
+
+    path = str(tmp_path / "delsk")
+    for lo in (0, 10, 20, 30):
+        write_delta(_delta_df(spark, lo, lo + 10).coalesce(1), path,
+                    mode="append")
+    assert delete_where(spark, path, "id >= 35") == 5
+    out = read_delta(spark, path)
+    assert out.count() == 35 and out.where("id >= 35").count() == 0
+    # the untouched 3 files carried over verbatim: their add actions
+    # (with stats) survive and still prune reads
+    assert len(read_delta(spark, path,
+                          prune=[("id", "<", 10)]).inputFiles()) == 1
+
+
+# ---------------------------------------------------------------------------
+# row-level UPDATE (round 15)
+# ---------------------------------------------------------------------------
+
+def test_delta_update_where(spark, tmp_path):
+    """File-granular UPDATE: touched files rewritten whole with every
+    RHS evaluated against the OLD row (SET v = id, id = v swaps),
+    untouched adds carry over verbatim, a partition-column update
+    moves rows to their new Hive directory, and the pre-update
+    version stays time-travelable."""
+    from lightning_metastore_spark.sources.delta_reader import (
+        update_where,
+    )
+
+    path = str(tmp_path / "upd")
+    for lo in (0, 10, 20, 30):
+        write_delta(_delta_df(spark, lo, lo + 10).coalesce(1), path,
+                    mode="append")
+    adds_before = {rel for rel, _ in
+                   resolve_snapshot(spark, path).files}
+    # simultaneous-assignment semantics: swap id and v for id >= 35
+    assert update_where(spark, path, {"id": "v", "v": "id"},
+                        "id >= 35") == 5
+    out = read_delta(spark, path)
+    assert out.count() == 40
+    swapped = sorted((r.id, r.v) for r in
+                     out.where("id >= 70").collect())
+    assert swapped == [(2 * i, i) for i in range(35, 40)]
+    # untouched files' adds carried over verbatim (3 of 4 remain)
+    adds_after = {rel for rel, _ in resolve_snapshot(spark, path).files}
+    assert len(adds_before & adds_after) == 3
+    # pre-update version intact
+    assert read_delta(spark, path, version_as_of=3) \
+        .where("id >= 35 AND v = id * 2").count() == 5
+    # unknown column refused
+    with pytest.raises(DeltaLogError, match="does not exist"):
+        update_where(spark, path, {"nope": "1"}, None)
+
+    # partition-column update moves rows across partitions
+    pp = str(tmp_path / "updp")
+    write_delta(spark.createDataFrame(
+        [(i, "a" if i < 5 else "b") for i in range(10)],
+        "id long, cat string"), pp, mode="error", partition_by=["cat"])
+    assert update_where(spark, pp, {"cat": "'c'"}, "id = 0") == 1
+    got = read_delta(spark, pp)
+    assert got.where("cat = 'c'").count() == 1
+    assert got.where("cat = 'a'").count() == 4
+    assert os.path.isdir(os.path.join(pp, "cat=c"))
+
+
+def test_delta_update_cdf_emission(spark, tmp_path):
+    """UPDATE on a CDF table emits update_preimage/update_postimage
+    cdc rows the feed replays exactly — survivors of the touched file
+    do NOT appear in the feed."""
+    from lightning_metastore_spark.sources.delta_reader import (
+        table_changes,
+        update_where,
+    )
+
+    path = str(tmp_path / "updc")
+    write_delta(_delta_df(spark, 0, 6).coalesce(1), path, mode="error",
+                configuration={"delta.enableChangeDataFeed": "true"})
+    assert update_where(spark, path, {"v": "v + 100"}, "id = 2") == 1
+    feed = table_changes(spark, path, starting_version=1).collect()
+    assert sorted((r.id, r.v, r._change_type) for r in feed) == [
+        (2, 4, "update_preimage"), (2, 104, "update_postimage")]
+
+
+def test_update_sql_dispatch(spark, tmp_path):
+    """`UPDATE lightning...<table> SET ...` routes by unit type:
+    Delta and offline Iceberg get row-level updates; the tag-sidecar
+    path for unstructured sources is untouched; other units are
+    refused."""
+    from lightning_metastore_spark.context import LightningContext
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        write_iceberg,
+    )
+
+    base = tmp_path / "updsql"
+    base.mkdir()
+    write_delta(_delta_df(spark, 0, 10), str(base / "ev"), mode="error")
+    wh = tmp_path / "updwh"
+    wh.mkdir()
+    for lo in (0, 10):
+        write_iceberg(_delta_df(spark, lo, lo + 10).coalesce(1),
+                      str(wh / "acc"),
+                      mode="append" if lo else "error")
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.delta")
+    ctx.sql(f"REGISTER DELTA DATASOURCE d OPTIONS(path '{base}') "
+            "NAMESPACE lightning.datasource.delta")
+    ctx.sql("CREATE NAMESPACE lightning.datasource.iceberg")
+    ctx.sql(f"REGISTER ICEBERG DATASOURCE w OPTIONS(warehouse '{wh}') "
+            "NAMESPACE lightning.datasource.iceberg")
+
+    t = "lightning.datasource.delta.d.ev"
+    row = ctx.sql(f"UPDATE {t} SET s = upper(s), v = v * 10 "
+                  f"WHERE id < 3").collect()[0]
+    assert row.n_updated == 3
+    got = {r.id: (r.s, r.v) for r in ctx.sql(
+        f"SELECT id, s, v FROM {t}").collect()}
+    assert got[0] == ("0", 0) and got[2] == ("2", 40)  # v was id*2
+    assert got[5] == ("5", 10)  # untouched
+
+    it = "lightning.datasource.iceberg.w.acc"
+    row = ctx.sql(f"UPDATE {it} SET v = -1 WHERE id >= 15"
+                  ).collect()[0]
+    assert row.n_updated == 5
+    assert ctx.sql(f"SELECT count(*) AS n FROM {it} WHERE v = -1"
+                   ).collect()[0].n == 5
+    # touched-file granularity: only the second file was rewritten
+    meta = ir.load_metadata(str(wh / "acc"))
+    snaps = [s["snapshot-id"] for s in meta["snapshots"]]
+    assert ir.read_iceberg(spark, str(wh / "acc"),
+                           snapshot_id=snaps[-2]) \
+        .where("v = -1").count() == 0
+
+
+def test_iceberg_update_where_swap_and_prune(spark, tmp_path):
+    """Iceberg UPDATE: simultaneous assignments, manifest-bounds
+    pruning of the touched-file scan, NULL-predicate rows untouched,
+    older snapshots intact."""
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        update_where_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "iupd")
+    for lo in (0, 10, 20, 30):
+        write_iceberg(_delta_df(spark, lo, lo + 10).coalesce(1), path,
+                      mode="append" if lo else "error")
+    assert update_where_iceberg(spark, path,
+                                {"id": "v", "v": "id"},
+                                "id >= 35") == 5
+    out = ir.read_iceberg(spark, path)
+    assert out.count() == 40
+    assert sorted((r.id, r.v) for r in
+                  out.where("id >= 70").collect()) == \
+        [(2 * i, i) for i in range(35, 40)]
+    # no-match predicate: nothing committed
+    v_before = ir.load_metadata(path)["current-snapshot-id"]
+    assert update_where_iceberg(spark, path, {"v": "0"},
+                                "id = 99999") == 0
+    assert ir.load_metadata(path)["current-snapshot-id"] == v_before
+
+
+def test_cdf_derives_deletes_under_removed_dv(spark, tmp_path):
+    """A removed DV-carrying file derives exactly its LIVE rows as
+    deletes — physical rows minus the pre-commit DV positions (r15;
+    previously refused)."""
+    from lightning_metastore_spark.sources.delta_reader import (
+        table_changes,
+    )
+
+    path = str(tmp_path / "dvcdf")
+    write_delta(spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")],
+                                      "id long, s string").coalesce(1),
+                path, mode="error",
+                configuration={"delta.enableChangeDataFeed": "true"})
+    rel = resolve_snapshot(spark, path).files[0][0]
+    dv_data = _ser_dv([0])
+    desc = {"storageType": "i", "pathOrInlineDv": _z85_encode(dv_data),
+            "sizeInBytes": len(dv_data), "cardinality": 1}
+    _append_commit(path, 1, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors",
+                                         "changeDataFeed"]}},
+        {"remove": {"path": rel, "deletionTimestamp": 0,
+                    "dataChange": False}},
+        {"add": {"path": rel, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": False,
+                 "deletionVector": desc}},
+    ])
+    _append_commit(path, 2, [
+        {"remove": {"path": rel, "deletionTimestamp": 0,
+                    "dataChange": True}}])
+    feed = table_changes(spark, path, starting_version=2).collect()
+    assert sorted((r.id, r.s, r._change_type) for r in feed) == [
+        (1, "b", "delete"), (2, "c", "delete")]
+
+
+def test_delta_zorder(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: before clustering, a column uncorrelated
+    with the file layout spans EVERY file (no skip possible); after
+    the Morton rewrite both clustered columns' per-file ranges shrink
+    so stats skipping bites on each — with logical content identical
+    at every version (dataChange=false)."""
+    from lightning_metastore_spark.sources.delta_reader import (
+        zorder_delta,
+    )
+
+    path = str(tmp_path / "zo")
+    # a = insertion order, b = reversed — files split by a, so b spans
+    # every file before z-ordering
+    df = spark.createDataFrame(
+        [(i, 4000 - i, f"r{i}") for i in range(4000)],
+        "a long, b long, s string")
+    for lo in (0, 1000, 2000, 3000):
+        write_delta(df.where(f"a >= {lo} AND a < {lo + 1000}")
+                    .coalesce(1), path, mode="append")
+    before = sorted(r.a for r in read_delta(spark, path).collect())
+    stats = zorder_delta(spark, path, ["a", "b"],
+                         target_file_bytes=12 * 1024)
+    assert stats["files_removed"] == 4 and stats["files_added"] >= 2
+    out = read_delta(spark, path)
+    assert sorted(r.a for r in out.collect()) == before  # content same
+    n_files = len(out.inputFiles())
+    assert n_files >= 2
+    # BOTH clustered columns now skip on selective ranges
+    assert len(read_delta(spark, path,
+                          prune=[("a", "<", 200)]).inputFiles()) \
+        < n_files
+    assert len(read_delta(spark, path,
+                          prune=[("b", "<", 200)]).inputFiles()) \
+        < n_files
+    # pre-zorder version unchanged under time travel
+    assert read_delta(spark, path, version_as_of=3).count() == 4000
+    # string columns refused; partition columns refused
+    with pytest.raises(DeltaLogError, match="numeric"):
+        zorder_delta(spark, path, ["s"])
+
+
+def test_delta_zorder_sql(spark, tmp_path):
+    from lightning_metastore_spark.context import LightningContext
+
+    base = tmp_path / "zos"
+    base.mkdir()
+    for lo in (0, 10, 20, 30):
+        write_delta(_delta_df(spark, lo, lo + 10).coalesce(1),
+                    str(base / "ev"), mode="append")
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.delta")
+    ctx.sql(f"REGISTER DELTA DATASOURCE z OPTIONS(path '{base}') "
+            "NAMESPACE lightning.datasource.delta")
+    row = ctx.sql("OPTIMIZE lightning.datasource.delta.z.ev "
+                  "TARGET SIZE 4096 ZORDER BY (v, id)").collect()[0]
+    assert row.files_removed == 4 and row.files_added >= 1
+    assert ctx.sql("SELECT count(*) AS n FROM "
+                   "lightning.datasource.delta.z.ev"
+                   ).collect()[0].n == 40
