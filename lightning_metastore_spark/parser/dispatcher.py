@@ -69,6 +69,7 @@ _LIGHTNING_HEADS = (
     re.compile(r"^VACUUM\s+LIGHTNING\.", re.I),
     re.compile(r"^EXPIRE\s+SNAPSHOTS\s+LIGHTNING\.", re.I),
     re.compile(r"^REMOVE\s+ORPHAN\s+FILES\s+LIGHTNING\.", re.I),
+    re.compile(r"^RESTORE\s+(TABLE\s+)?LIGHTNING\.", re.I),
     re.compile(r"^DELETE\s+FROM\s+LIGHTNING\.", re.I),
 )
 
@@ -642,6 +643,71 @@ class RemoveOrphanFiles(Command):
                                      dry_run=self.dry_run,
                                      force=self.force)
         return self._df(ctx, [(p,) for p in doomed], "path string")
+
+
+@dataclass
+class RestoreTable(Command):
+    """`RESTORE [TABLE] lightning.<...>.<table> [TO] VERSION AS OF n |
+    TIMESTAMP AS OF 'ts'` — time-travel WRITE-BACK in one metadata
+    commit (zero data movement), dispatched by unit type: Delta
+    re-adds/removes files to equal the target version
+    (`delta_reader.restore_delta`, delta-spark's RESTORE); Iceberg
+    points current-snapshot-id back (`iceberg_writer.rollback_iceberg`,
+    the runtime's rollback_to_snapshot). The undone versions stay
+    time-travelable."""
+    path: list[str]
+    version: Optional[int] = None
+    timestamp: Optional[str] = None
+
+    def run(self, ctx) -> DataFrame:
+        from lightning_metastore_spark.catalog.units import (
+            DeltaCatalogUnit,
+            IcebergCatalogUnit,
+            load_catalog_unit,
+        )
+
+        rest = _require_root(self.path, DATASOURCE_ROOT,
+                             "RESTORE target")
+        hit = ctx.metastore.find_parent_datasource(rest)
+        if hit is None:
+            raise CommandParseError(
+                f"no datasource at lightning.{'.'.join(self.path)}")
+        ds, residual = hit
+        unit = load_catalog_unit(ds)
+        import os as _os
+        if isinstance(unit, DeltaCatalogUnit):
+            from lightning_metastore_spark.sources.delta_reader import (
+                restore_delta,
+            )
+            out = restore_delta(
+                ctx.spark, _os.path.join(ds.options["path"], *residual),
+                version_as_of=self.version,
+                timestamp_as_of=self.timestamp)
+            return self._df(
+                ctx, [(out["version"], out["files_added"],
+                       out["files_removed"])],
+                "version long, files_added long, files_removed long")
+        if isinstance(unit, IcebergCatalogUnit) \
+                and not unit._mounted(ctx.spark) \
+                and unit._warehouse() is not None:
+            from lightning_metastore_spark.sources.delta_reader import (
+                ts_literal_ms,
+            )
+            from lightning_metastore_spark.sources.iceberg_writer import (
+                rollback_iceberg,
+            )
+            ts_ms = (None if self.timestamp is None
+                     else ts_literal_ms(ctx.spark, self.timestamp))
+            v = rollback_iceberg(
+                ctx.spark, _os.path.join(unit._warehouse(), *residual),
+                snapshot_id=self.version, as_of_timestamp=ts_ms)
+            return self._df(ctx, [(v, 0, 0)],
+                            "version long, files_added long, "
+                            "files_removed long")
+        raise CommandParseError(
+            f"RESTORE supports Delta and offline Iceberg tables; "
+            f"lightning.{'.'.join(self.path)} is a "
+            f"{ds.source_type} source")
 
 
 @dataclass
@@ -2198,6 +2264,10 @@ _R_ORPHANS = re.compile(
     r"(?:\s+RETAIN\s+(?P<h>[\d.]+)\s+HOURS)?"
     r"(?:\s+(?P<force>FORCE))?"
     r"(?:\s+(?P<dry>DRY\s+RUN))?\s*$", re.I)
+_R_RESTORE = re.compile(
+    r"^RESTORE\s+(?:TABLE\s+)?(?P<path>[\w.\-]+)\s+(?:TO\s+)?"
+    r"(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    r"(?:(?P<v>\d+)|'(?P<ts>(?:[^']|'')*)')\s*$", re.I)
 _R_MERGE_HEAD = re.compile(
     r"^MERGE\s+INTO\s+(?P<target>[\w.\-]+)"
     r"(?:\s+(?:AS\s+)?(?P<ta>(?!USING\b)\w+))?\s+USING\s+",
@@ -2301,6 +2371,13 @@ def parse_command(sql: str) -> Command:
                              if m.group("h") else 72.0),
             dry_run=bool(m.group("dry")),
             force=bool(m.group("force")))
+    m = _R_RESTORE.match(text)
+    if m:
+        return RestoreTable(
+            path=_split_path(m.group("path")),
+            version=int(m.group("v")) if m.group("v") else None,
+            timestamp=(m.group("ts").replace("''", "'")
+                       if m.group("ts") else None))
     m = _R_UPDATE_TAGS.match(text)
     if m:
         return UpdateFileTags(path=_split_path(m.group("path")),

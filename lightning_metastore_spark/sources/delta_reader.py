@@ -108,9 +108,13 @@ _SUPPORTED_READER_FEATURES = frozenset(
 # `parquet.field.id` footer metadata on every mapped field (both the
 # spec's modes resolve such files), with mergeSchema refused (new
 # columns would need freshly-allocated mapping ids).
+# `checkConstraints` and `invariants` because both are EVALUATED on
+# the staged rows of every write/update — a violation aborts before
+# the commit (`_table_checks` + `_enforce_staged_checks`).
 _SUPPORTED_WRITER_FEATURES = frozenset(
     {"appendOnly", "invariants", "timestampNtz", "deletionVectors",
-     "vacuumProtocolCheck", "changeDataFeed", "columnMapping"})
+     "vacuumProtocolCheck", "changeDataFeed", "columnMapping",
+     "checkConstraints"})
 
 # write_delta compacts the log into a checkpoint every N commits (the
 # PROTOCOL's scale mechanism; real writers default to 10)
@@ -183,38 +187,32 @@ def _check_writer_protocol(snap: "DeltaSnapshot", path: str, *,
     elif mwv > 2:
         # legacy versions 3-6 add CHECK constraints, CDF + generated
         # columns, column mapping, identity columns — cumulatively.
-        # CDF and column mapping are HONORED by this writer (cdc
-        # emission / physical-name+field-id writes); the rest are
-        # refused only when THIS table actually uses them, which is
-        # detectable from the metadata the capability stores in.
-        constraints = sorted(k for k in conf
-                             if k.startswith("delta.constraints."))
+        # CHECK constraints, CDF, and column mapping are HONORED by
+        # this writer (post-stage validation / cdc emission /
+        # physical-name+field-id writes); generated and identity
+        # columns are refused only when THIS table actually defines
+        # them, detectable from the schema metadata they live in.
         generated = [f.name for f in snap.schema.fields
                      if (f.metadata or {}).get(
                          "delta.generationExpression") is not None]
         identity = [f.name for f in snap.schema.fields
                     if any(k.startswith("delta.identity.")
                            for k in (f.metadata or {}))]
-        if constraints or generated or identity:
+        if generated or identity:
             raise DeltaLogError(
                 f"Delta table {path} (minWriterVersion {mwv}) uses "
                 f"capabilities this offline writer does not enforce — "
-                f"CHECK constraints {constraints}, generated columns "
-                f"{generated}, identity columns {identity} — refusing "
-                f"to commit unchecked data")
+                f"generated columns {generated}, identity columns "
+                f"{identity} — refusing to commit unchecked data")
     if data_change_removes and str(
             conf.get("delta.appendOnly", "")).lower() == "true":
         raise DeltaLogError(
             f"Delta table {path} is append-only (delta.appendOnly): "
             f"operations that remove data are not allowed")
-    if adds_data:
-        bad = [f.name for f in snap.schema.fields
-               if (f.metadata or {}).get("delta.invariants")]
-        if bad:
-            raise DeltaLogError(
-                f"Delta table {path} defines column invariants on "
-                f"{bad}; this offline writer does not evaluate "
-                f"invariants — refusing to commit unchecked data")
+    # column invariants and CHECK constraints are ENFORCED at write
+    # time (`_table_checks` + the post-stage validation in the write
+    # paths), not refused — the writer-requirement the capability
+    # actually demands
 
 
 def _log_dir(path: str) -> str:
@@ -1531,6 +1529,88 @@ def _write_commit(path: str, version: int, actions: list[dict]) -> None:
     os.rename(tmp, final)
 
 
+def _table_checks(schema: T.StructType,
+                  configuration: Optional[dict]) -> list[tuple]:
+    """(name, SQL expression) for every CHECK constraint
+    (`delta.constraints.*` table properties) and column invariant
+    (`delta.invariants` field metadata — the
+    {"expression":{"expression": ...}} JSON delta-spark writes, raw
+    SQL accepted as a fallback) the table defines."""
+    checks: list[tuple] = []
+    for k, v in sorted((configuration or {}).items()):
+        if k.startswith("delta.constraints.") and v:
+            checks.append((k[len("delta.constraints."):], str(v)))
+    for f in schema.fields:
+        inv = (f.metadata or {}).get("delta.invariants")
+        if not inv:
+            continue
+        expr = None
+        try:
+            expr = json.loads(inv)["expression"]["expression"]
+        except (ValueError, KeyError, TypeError):
+            if isinstance(inv, str) and not inv.lstrip().startswith("{"):
+                expr = inv
+        if not expr:
+            raise DeltaLogError(
+                f"unparseable column invariant on {f.name!r}: {inv!r} "
+                f"— refusing to commit unchecked data")
+        checks.append((f"invariant({f.name})", expr))
+    return checks
+
+
+def _enforce_staged_checks(spark: SparkSession, path: str,
+                           schema: T.StructType,
+                           partition_columns: list[str],
+                           configuration: Optional[dict],
+                           moved: list[tuple]) -> None:
+    """Evaluate the table's CHECK constraints / invariants against the
+    STAGED files (exactly the rows about to be committed — no
+    double-execution of the caller's plan, and deterministic even for
+    non-deterministic sources); a violation deletes the staged files
+    and raises BEFORE any commit. SQL semantics: a check fails only
+    when the expression is FALSE (NULL passes, like CHECK)."""
+    checks = _table_checks(schema, configuration)
+    if not checks or not moved:
+        return
+    field_by = {f.name: f for f in schema.fields}
+    data_fields = [f for f in schema.fields
+                   if f.name not in partition_columns]
+    data_schema = T.StructType(data_fields)
+    groups: dict[tuple, tuple[dict, list[str]]] = {}
+    for rel, _size, pv, _st in moved:
+        key = tuple(sorted(pv.items()))
+        groups.setdefault(key, (pv, []))[1].append(
+            os.path.join(path, rel))
+    parts = []
+    for pv, paths in groups.values():
+        d = spark.read.schema(data_schema).parquet(*paths)
+        for c in partition_columns:
+            raw = pv.get(c)
+            d = d.withColumn(c, (F.lit(None) if raw is None
+                                 else F.lit(raw)).cast(
+                field_by[c].dataType))
+        parts.append(d)
+    df = parts[0]
+    for d in parts[1:]:
+        df = df.unionByName(d)
+    row = df.agg(*[
+        F.sum(F.when(F.expr(e) == F.lit(False), 1).otherwise(0))
+        .alias(f"c{i}")
+        for i, (_n, e) in enumerate(checks)]).collect()[0]
+    bad = [(checks[i][0], checks[i][1], int(row[f"c{i}"] or 0))
+           for i in range(len(checks)) if (row[f"c{i}"] or 0) > 0]
+    if bad:
+        for rel, _size, _pv, _st in moved:
+            try:
+                os.remove(os.path.join(path, rel))
+            except OSError:
+                pass
+        name, expr, n = bad[0]
+        raise DeltaLogError(
+            f"write to {path} violates {name!r} (CHECK ({expr})) on "
+            f"{n} row(s) — nothing was committed")
+
+
 def _stage_files(df: DataFrame, path: str, staging: str,
                  partition_by: Optional[list[str]] = None
                  ) -> list[tuple[str, int, dict]]:
@@ -1803,11 +1883,28 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
     if missing:
         raise DeltaLogError(f"partition_by columns not in data: {missing}")
 
+    # CHECK constraints / invariants: enforced on the STAGED rows
+    # below; column-mapped tables would need the checks translated to
+    # physical names — refuse those rather than skip the checks
+    checks_schema = snap.schema if exists else df.schema
+    checks_conf = (getattr(snap, "configuration", None) if exists
+                   else configuration)
+    if exists and getattr(snap, "physical", None) and _table_checks(
+            checks_schema, checks_conf):
+        raise DeltaLogError(
+            f"Delta table {path} is column-mapped AND defines CHECK "
+            f"constraints/invariants; this offline writer cannot "
+            f"evaluate them under physical names — refusing to "
+            f"commit unchecked data")
+
     # stage the parquet part files via Spark's own writer, then move
     # them into the table root under their staged (relative) names
     moved = _stage_files(df, path,
                          os.path.join(path, f".staging-{now_ms}"),
                          partition_by)
+    if not (exists and getattr(snap, "physical", None)):
+        _enforce_staged_checks(spark, path, checks_schema,
+                               partition_by, checks_conf, moved)
 
     actions: list[dict] = [
         {"commitInfo": {"timestamp": now_ms,
@@ -1817,16 +1914,25 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
     if not exists:
         import hashlib
         table_id = hashlib.md5(path.encode()).hexdigest()
+        # protocol reflects the features the table USES, so external
+        # writers are protocol-gated into honoring them: CDF demands
+        # cdc emission (r14 ADVICE — a (1,2) protocol would let them
+        # corrupt the feed silently); CHECK constraints demand
+        # evaluation
+        feats = []
         if str((configuration or {}).get(
                 "delta.enableChangeDataFeed", "")).lower() == "true":
-            # the spec's CDF writer gate: enabling the property
-            # requires minWriterVersion 4+ (or the changeDataFeed
-            # writer feature on v7) so external writers are
-            # protocol-bound to emit cdc files — a (1,2) protocol
-            # would let them corrupt the feed silently (r14 ADVICE)
+            feats.append("changeDataFeed")
+        if any(k.startswith("delta.constraints.")
+               for k in (configuration or {})):
+            feats.append("checkConstraints")
+        if any((f.metadata or {}).get("delta.invariants")
+               for f in df.schema.fields):
+            feats.append("invariants")
+        if feats:
             actions.append({"protocol": {
                 "minReaderVersion": 1, "minWriterVersion": 7,
-                "writerFeatures": ["changeDataFeed"]}})
+                "writerFeatures": feats}})
         else:
             actions.append({"protocol": {"minReaderVersion": 1,
                                          "minWriterVersion": 2}})
@@ -2115,6 +2221,9 @@ def update_where(spark: SparkSession, path: str,
     moved = _stage_files(rewritten, path,
                          os.path.join(path, f".update-{now_ms}"),
                          snap.partition_columns)
+    _enforce_staged_checks(spark, path, snap.schema,
+                           snap.partition_columns,
+                           getattr(snap, "configuration", None), moved)
     cdc_actions: list[dict] = []
     if cdf_enabled:
         matched = (_snapshot_scan(spark, path, snap,
@@ -2273,6 +2382,85 @@ def optimize_delta(spark: SparkSession, path: str,
     return {"files_removed": removed, "files_added": added,
             "bytes_compacted": bytes_compacted,
             "parallelism": pool_workers}
+
+
+def restore_delta(spark: SparkSession, path: str,
+                  version_as_of: Optional[int] = None,
+                  timestamp_as_of: Optional[str] = None) -> dict:
+    """RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF (delta-spark
+    parity): ONE commit makes the current snapshot's content equal the
+    target version's — removes the files only the current version
+    holds, re-adds the files only the target held (with their
+    partitionValues, stats, and deletion vectors), and restores the
+    target's metaData when schema/partitioning/configuration changed.
+    Zero data movement: at 100 TB a bad pipeline run is undone in one
+    metadata commit, and the bad version itself STAYS time-travelable
+    (the restore is a new version on top, the spec's shape).
+
+    Safety: aborts BEFORE committing if any re-added file is gone
+    from disk (VACUUM past the target — delta-spark fails there too).
+    The CURRENT protocol is kept (restore never downgrades). Returns
+    {"version", "files_added", "files_removed"}."""
+    cur = resolve_snapshot(spark, path)
+    old = resolve_snapshot(spark, path, version_as_of, timestamp_as_of)
+    if old.version == cur.version:
+        return {"version": cur.version, "files_added": 0,
+                "files_removed": 0}
+    _check_writer_protocol(cur, path, data_change_removes=True,
+                           adds_data=True)
+    now_ms = int(time.time() * 1000)
+    cur_files = dict(cur.files)
+    old_files = dict(old.files)
+    # a file live in BOTH versions but under a DIFFERENT deletion-
+    # vector state must be re-added with the TARGET's DV — matching by
+    # path alone would silently keep the wrong row set
+    dv_changed = {r for r in old_files
+                  if r in cur_files and old.dv.get(r) != cur.dv.get(r)}
+    to_add = {r: pv for r, pv in old_files.items()
+              if r not in cur_files or r in dv_changed}
+    to_remove = sorted(r for r in cur_files
+                       if r not in old_files or r in dv_changed)
+    missing = [r for r in sorted(to_add)
+               if not os.path.exists(
+                   os.path.join(path, _resolve_rel(path, r)))]
+    if missing:
+        raise DeltaLogError(
+            f"RESTORE to version {old.version} needs {len(missing)} "
+            f"file(s) that are gone from disk (first: {missing[0]!r}) "
+            f"— vacuumed past the target version")
+    actions: list[dict] = [
+        {"commitInfo": {"timestamp": now_ms, "operation": "RESTORE",
+                        "operationParameters": {
+                            "version": old.version}}}]
+    if (old.schema.json() != cur.schema.json()
+            or old.partition_columns != cur.partition_columns
+            or getattr(old, "configuration", {}) != getattr(
+                cur, "configuration", {})):
+        actions.append(_meta_action(
+            getattr(cur, "meta_id", None) or "restore",
+            old.schema.json(), old.partition_columns,
+            getattr(old, "configuration", None),
+            getattr(cur, "created_time", None) or now_ms))
+    for rel in to_remove:
+        actions.append({"remove": {"path": rel,
+                                   "deletionTimestamp": now_ms,
+                                   "dataChange": True}})
+    for rel in sorted(to_add):
+        add = {"path": rel, "partitionValues": to_add[rel],
+               "size": os.path.getsize(
+                   os.path.join(path, _resolve_rel(path, rel))),
+               "modificationTime": now_ms, "dataChange": True}
+        st = old.stats.get(rel)
+        if st:
+            add["stats"] = st
+        dv = old.dv.get(rel)
+        if dv is not None:
+            add["deletionVector"] = dict(dv)
+        actions.append({"add": add})
+    _write_commit(path, cur.version + 1, actions)
+    return {"version": cur.version + 1,
+            "files_added": len(to_add),
+            "files_removed": len(to_remove)}
 
 
 def _zvalue_column(df: DataFrame, columns: list[str],

@@ -887,6 +887,44 @@ def _snapshot_reachable_files(table_path: str, meta: dict,
     return meta_files, data_files
 
 
+def rollback_iceberg(spark: SparkSession, table_path: str,
+                     snapshot_id: Optional[int] = None,
+                     as_of_timestamp: Optional[int] = None) -> int:
+    """Iceberg's `rollback_to_snapshot` / `set_current_snapshot`
+    procedure — the RESTORE twin: point `current-snapshot-id` back at
+    an existing snapshot in ONE metadata commit (zero data movement;
+    every snapshot, including the rolled-back-from one, stays
+    time-travelable). The target must still be retained (not
+    expired). Returns the new metadata version number."""
+    meta = ir.load_metadata(table_path)
+    snap = ir.select_snapshot(meta, snapshot_id, as_of_timestamp)
+    target = int(snap["snapshot-id"])
+    if target == meta.get("current-snapshot-id"):
+        return max(
+            int(f[1:].split(".")[0])
+            for f in os.listdir(os.path.join(table_path, "metadata"))
+            if f.startswith("v") and f.endswith(".metadata.json"))
+    now_ms = int(time.time() * 1000)
+    mdir = os.path.join(table_path, "metadata")
+    version = 1 + max(
+        int(f[1:].split(".")[0]) for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".metadata.json"))
+    meta["current-snapshot-id"] = target
+    meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": target}]
+    meta["last-updated-ms"] = now_ms
+    tmp = os.path.join(mdir, f".v{version}.metadata.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    final = os.path.join(mdir, f"v{version}.metadata.json")
+    if os.path.exists(final):
+        raise ir.IcebergError(f"concurrent write: {final} exists")
+    os.rename(tmp, final)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return version
+
+
 def expire_snapshots(spark: SparkSession, table_path: str,
                      older_than_ms: Optional[int] = None,
                      retain_last: int = 1,

@@ -3101,7 +3101,7 @@ def test_delta_writer_protocol_gating(spark, tmp_path):
     v = resolve_snapshot(spark, path).version
     _write_commit(path, v + 1, [{"protocol": {
         "minReaderVersion": 1, "minWriterVersion": 7,
-        "writerFeatures": ["changeDataFeed"]}}])
+        "writerFeatures": ["futureFeature"]}}])
     with pytest.raises(DeltaLogError, match="writer features"):
         write_delta(_delta_df(spark, 5, 6), path, mode="append")
     with pytest.raises(DeltaLogError, match="writer features"):
@@ -3113,13 +3113,28 @@ def test_delta_writer_protocol_gating(spark, tmp_path):
     # reads still fine (reader features unaffected)
     assert read_delta(spark, path).count() == 5
 
-    # legacy minWriterVersion > 2 (e.g. CHECK constraints)
+    # legacy minWriterVersion > 2: writable when the table uses no
+    # unenforceable capability (r15 — constraints are now ENFORCED,
+    # CDF emitted, column mapping written); generated/identity
+    # columns still refuse
     p2 = str(tmp_path / "mwv")
     write_delta(_delta_df(spark, 0, 3), p2, mode="error")
     _write_commit(p2, 1, [{"protocol": {"minReaderVersion": 1,
                                         "minWriterVersion": 3}}])
-    with pytest.raises(DeltaLogError, match="minWriterVersion 3"):
-        write_delta(_delta_df(spark, 3, 4), p2, mode="append")
+    write_delta(_delta_df(spark, 3, 4), p2, mode="append")
+    assert read_delta(spark, p2).count() == 4
+    import pyspark.sql.types as T3
+    gsch = T3.StructType([
+        T3.StructField("id", T3.LongType(), True,
+                       {"delta.generationExpression": "v / 2"}),
+        T3.StructField("s", T3.StringType(), True),
+        T3.StructField("v", T3.LongType(), True)])
+    _write_commit(p2, 3, [{"metaData": {
+        "id": "g", "format": {"provider": "parquet", "options": {}},
+        "schemaString": gsch.json(), "partitionColumns": [],
+        "configuration": {}, "createdTime": 1}}])
+    with pytest.raises(DeltaLogError, match="generated columns"):
+        write_delta(_delta_df(spark, 4, 5), p2, mode="append")
 
     # appendOnly: appends + OPTIMIZE ok, overwrite/DELETE refused
     p3 = str(tmp_path / "ao")
@@ -3138,7 +3153,8 @@ def test_delta_writer_protocol_gating(spark, tmp_path):
         delete_where(spark, p3, "id = 1")
     assert optimize_delta(spark, p3)["files_removed"] > 0
 
-    # defined column invariants refuse new unchecked data
+    # defined column invariants are ENFORCED (r15; r14 refused all
+    # writes): a satisfying append commits, a violating one aborts
     p4 = str(tmp_path / "inv")
     write_delta(_delta_df(spark, 0, 3), p4, mode="error")
     import pyspark.sql.types as T2
@@ -3152,8 +3168,10 @@ def test_delta_writer_protocol_gating(spark, tmp_path):
              "schemaString": sch.json(), "partitionColumns": [],
              "configuration": {}, "createdTime": 1}
     _write_commit(p4, 1, [{"metaData": meta4}])
-    with pytest.raises(DeltaLogError, match="invariants"):
-        write_delta(_delta_df(spark, 3, 4), p4, mode="append")
+    write_delta(_delta_df(spark, 3, 4), p4, mode="append")  # 3 > 0 ok
+    assert read_delta(spark, p4).count() == 4
+    with pytest.raises(DeltaLogError, match="invariant"):
+        write_delta(_delta_df(spark, 0, 1), p4, mode="append")
 
 
 def test_delta_vacuum_url_encoded_paths_and_abort(spark, tmp_path):
@@ -3952,3 +3970,195 @@ def test_delta_zorder_sql(spark, tmp_path):
     assert ctx.sql("SELECT count(*) AS n FROM "
                    "lightning.datasource.delta.z.ev"
                    ).collect()[0].n == 40
+
+
+# ---------------------------------------------------------------------------
+# RESTORE / rollback (round 15)
+# ---------------------------------------------------------------------------
+
+def test_delta_restore(spark, tmp_path):
+    """RESTORE TO VERSION AS OF: one metadata commit re-equalizes the
+    current content with the target (removes current-only files,
+    re-adds target-only files with stats/partitionValues), the undone
+    versions stay time-travelable, restoring across a DV-state change
+    re-adds the target's DV, and a vacuumed target aborts."""
+    from lightning_metastore_spark.sources.delta_reader import (
+        restore_delta,
+        vacuum_delta,
+    )
+
+    path = str(tmp_path / "rst")
+    write_delta(_delta_df(spark, 0, 10).coalesce(1), path, mode="error")
+    write_delta(_delta_df(spark, 10, 15).coalesce(1), path,
+                mode="append")                                   # v1
+    write_delta(_delta_df(spark, 100, 103).coalesce(1), path,
+                mode="overwrite")                                # v2
+    out = restore_delta(spark, path, version_as_of=1)
+    assert out["version"] == 3
+    assert sorted(r.id for r in read_delta(spark, path).collect()) \
+        == list(range(15))
+    # the undone version is still travelable; stats survived restore
+    assert read_delta(spark, path, version_as_of=2).count() == 3
+    assert len(read_delta(spark, path,
+                          prune=[("id", ">=", 12)]).inputFiles()) == 1
+    # no-op restore
+    assert restore_delta(spark, path,
+                         version_as_of=3)["files_added"] == 0
+
+    # DV-state change: v5 fabricates a DV on a file live in BOTH
+    # versions; restore to v3 must re-add the DV-less form
+    rel = next(r for r, _ in resolve_snapshot(spark, path).files)
+    dv_data = _ser_dv([0])
+    desc = {"storageType": "i", "pathOrInlineDv": _z85_encode(dv_data),
+            "sizeInBytes": len(dv_data), "cardinality": 1}
+    _append_commit(path, 4, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"remove": {"path": rel, "deletionTimestamp": 0,
+                    "dataChange": False}},
+        {"add": {"path": rel, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": False,
+                 "deletionVector": desc}},
+    ])
+    n_dv = read_delta(spark, path).count()
+    assert n_dv == 14  # one row DV-dead
+    out = restore_delta(spark, path, version_as_of=3)
+    assert out["files_added"] == 1 and out["files_removed"] == 1
+    assert read_delta(spark, path).count() == 15
+
+    # vacuumed-past-target restore aborts
+    p2 = str(tmp_path / "rstv")
+    write_delta(_delta_df(spark, 0, 5).coalesce(1), p2, mode="error")
+    write_delta(_delta_df(spark, 50, 53).coalesce(1), p2,
+                mode="overwrite")
+    vacuum_delta(spark, p2, retention_hours=0, force=True)
+    with pytest.raises(DeltaLogError, match="vacuumed"):
+        restore_delta(spark, p2, version_as_of=0)
+
+
+def test_restore_sql_and_iceberg_rollback(spark, tmp_path):
+    """RESTORE over SQL for both formats: Delta file-diff restore,
+    Iceberg current-snapshot rollback (the rolled-back-from snapshot
+    stays travelable; appends after rollback fork from the target)."""
+    from lightning_metastore_spark.context import LightningContext
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        write_iceberg,
+    )
+
+    base = tmp_path / "rsql"
+    base.mkdir()
+    write_delta(_delta_df(spark, 0, 10), str(base / "ev"), mode="error")
+    write_delta(_delta_df(spark, 100, 103), str(base / "ev"),
+                mode="overwrite")
+    wh = tmp_path / "rwh"
+    wh.mkdir()
+    for lo in (0, 10):
+        write_iceberg(_delta_df(spark, lo, lo + 10).coalesce(1),
+                      str(wh / "acc"),
+                      mode="append" if lo else "error")
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.delta")
+    ctx.sql(f"REGISTER DELTA DATASOURCE d OPTIONS(path '{base}') "
+            "NAMESPACE lightning.datasource.delta")
+    ctx.sql("CREATE NAMESPACE lightning.datasource.iceberg")
+    ctx.sql(f"REGISTER ICEBERG DATASOURCE w OPTIONS(warehouse '{wh}') "
+            "NAMESPACE lightning.datasource.iceberg")
+
+    t = "lightning.datasource.delta.d.ev"
+    row = ctx.sql(f"RESTORE TABLE {t} TO VERSION AS OF 0").collect()[0]
+    assert row.version == 2 and row.files_removed >= 1
+    assert ctx.sql(f"SELECT count(*) AS n FROM {t}").collect()[0].n \
+        == 10
+
+    it = "lightning.datasource.iceberg.w.acc"
+    meta = ir.load_metadata(str(wh / "acc"))
+    first = meta["snapshots"][0]["snapshot-id"]
+    ctx.sql(f"RESTORE {it} VERSION AS OF {first}")
+    assert ctx.sql(f"SELECT count(*) AS n FROM {it}").collect()[0].n \
+        == 10
+    # the rolled-back-from snapshot stays travelable
+    second = meta["snapshots"][1]["snapshot-id"]
+    assert ir.read_iceberg(spark, str(wh / "acc"),
+                           snapshot_id=second).count() == 20
+    # an append after rollback forks from the target
+    ctx.sql(f"INSERT INTO {it} SELECT 999 AS id, 'x' AS s, 0 AS v")
+    assert ctx.sql(f"SELECT count(*) AS n FROM {it}").collect()[0].n \
+        == 11
+
+
+def test_delta_check_constraints_enforced(spark, tmp_path):
+    """CHECK constraints (delta.constraints.*) and column invariants
+    are ENFORCED on the staged rows of every write/update (previously
+    refused outright): violating writes abort with nothing committed
+    (staged files cleaned), NULL passes (SQL CHECK semantics), legacy
+    minWriterVersion-3 tables with satisfied constraints are
+    writable, and UPDATE respects them too."""
+    from pyspark.sql import types as T
+    from lightning_metastore_spark.sources.delta_reader import (
+        update_where,
+    )
+
+    path = str(tmp_path / "chk")
+    write_delta(spark.createDataFrame([(1, 5.0)], "id long, v double"),
+                path, mode="error",
+                configuration={"delta.constraints.v_pos": "v > 0"})
+    # create-protocol gates external writers
+    with open(os.path.join(path, "_delta_log", f"{0:020d}.json")) as fh:
+        proto = next(json.loads(ln)["protocol"] for ln in fh
+                     if '"protocol"' in ln)
+    assert "checkConstraints" in proto["writerFeatures"]
+    # satisfied append + NULL (CHECK passes on NULL)
+    write_delta(spark.createDataFrame([(2, 1.0), (3, None)],
+                                      "id long, v double"),
+                path, mode="append")
+    assert read_delta(spark, path).count() == 3
+    v_before = resolve_snapshot(spark, path).version
+    with pytest.raises(DeltaLogError, match="violates 'v_pos'"):
+        write_delta(spark.createDataFrame([(4, -1.0)],
+                                          "id long, v double"),
+                    path, mode="append")
+    snap = resolve_snapshot(spark, path)
+    assert snap.version == v_before          # nothing committed
+    assert read_delta(spark, path).count() == 3
+    # staged files were cleaned up: every parquet on disk is a live add
+    on_disk = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    assert on_disk == {r for r, _ in snap.files}
+    # UPDATE cannot push rows past a constraint either
+    with pytest.raises(DeltaLogError, match="violates 'v_pos'"):
+        update_where(spark, path, {"v": "-5"}, "id = 1")
+    assert read_delta(spark, path).where("v = 5.0").count() == 1
+
+    # column invariants (delta-spark's JSON metadata form)
+    pi = str(tmp_path / "inv")
+    inv_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("n", T.LongType(), True,
+                      {"delta.invariants":
+                       '{"expression":{"expression":"n < 100"}}'}),
+    ])
+    write_delta(spark.createDataFrame([(1, 5)], inv_schema), pi,
+                mode="error")
+    write_delta(spark.createDataFrame([(2, 99)], inv_schema), pi,
+                mode="append")
+    with pytest.raises(DeltaLogError, match="invariant"):
+        write_delta(spark.createDataFrame([(3, 100)], inv_schema), pi,
+                    mode="append")
+    assert read_delta(spark, pi).count() == 2
+
+    # a legacy minWriterVersion-3 external table with a satisfied
+    # constraint is now writable (r14: refused outright)
+    pl = str(tmp_path / "leg")
+    write_delta(spark.createDataFrame([(1, 2.0)], "id long, v double"),
+                pl, mode="error",
+                configuration={"delta.constraints.v_pos": "v > 0"})
+    _append_commit(pl, 1, [{"protocol": {"minReaderVersion": 1,
+                                         "minWriterVersion": 3}}])
+    write_delta(spark.createDataFrame([(2, 3.0)], "id long, v double"),
+                pl, mode="append")
+    assert read_delta(spark, pl).count() == 2
+    with pytest.raises(DeltaLogError, match="violates"):
+        write_delta(spark.createDataFrame([(9, -9.0)],
+                                          "id long, v double"),
+                    pl, mode="append")
