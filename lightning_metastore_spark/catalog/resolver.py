@@ -143,6 +143,12 @@ def extract_prune_conjuncts(sql: str
     end = m_tail.start() if m_tail else len(sql)
     where_sql = sql[m_where.end():end]
     where_masked = masked[m_where.end():end]
+    # BETWEEN and CASE carry their own AND tokens at paren depth 0, so
+    # the top-level-AND split below could slice through them and hand
+    # a NON-conjunct fragment (`... AND x = 1` of `(v BETWEEN a AND
+    # x) = 1`) to the pruner — bail on the whole WHERE instead
+    if re.search(r"\b(BETWEEN|CASE)\b", where_masked, re.I):
+        return None
     # split on top-level ANDs (paren depth 0 in the masked text)
     pieces: list[str] = []
     depth = 0

@@ -319,11 +319,11 @@ def ts_literal_ms(spark: SparkSession, literal: str) -> int:
     bound = dt.datetime.fromisoformat(str(literal))
     if bound.tzinfo is None:
         tz = spark.conf.get("spark.sql.session.timeZone")
-        m = re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{1,2}):?(\d{2})",
+        m = re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?",
                          str(tz or ""))
         if m:
             off = dt.timedelta(hours=int(m.group(2)),
-                               minutes=int(m.group(3)))
+                               minutes=int(m.group(3) or 0))
             tzinfo = dt.timezone(-off if m.group(1) == "-" else off)
         else:
             from zoneinfo import ZoneInfo
@@ -1485,13 +1485,16 @@ def table_changes(spark: SparkSession, path: str,
                         f"{a['path']}, which is gone (vacuumed?)")
                 dels = delta_dv.deleted_rows_df(spark, path,
                                                 {rel: desc})
+                card = desc.get("cardinality")
+                if card is not None and int(card) <= 2_000_000:
+                    dels = F.broadcast(dels)  # same gate as the scan
                 live = (spark.read.schema(data_schema).parquet(full)
                         .withColumns({
                             "__dv_file": F.regexp_replace(
                                 F.col("_metadata.file_path"),
                                 r"^file:/+", "/"),
                             "__dv_pos": F.col("_metadata.row_index")})
-                        .join(F.broadcast(dels),
+                        .join(dels,
                               ["__dv_file", "__dv_pos"], "left_anti")
                         .drop("__dv_file", "__dv_pos"))
                 chunks.append(_decorate(

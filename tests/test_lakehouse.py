@@ -4162,3 +4162,26 @@ def test_delta_check_constraints_enforced(spark, tmp_path):
         write_delta(spark.createDataFrame([(9, -9.0)],
                                           "id long, v double"),
                     pl, mode="append")
+
+
+def test_prune_extraction_between_case_guard(spark):
+    """BETWEEN/CASE carry their own top-level AND tokens — the
+    conjunct extraction must bail on the whole WHERE rather than hand
+    a sliced fragment to the pruner (soundness pin)."""
+    from lightning_metastore_spark.catalog.resolver import (
+        extract_prune_conjuncts,
+    )
+
+    t = "lightning.datasource.delta.d.ev"
+    assert extract_prune_conjuncts(
+        f"SELECT * FROM {t} WHERE v BETWEEN id AND x = 1") is None
+    assert extract_prune_conjuncts(
+        f"SELECT * FROM {t} WHERE id = 1 AND v BETWEEN 2 AND 3") is None
+    assert extract_prune_conjuncts(
+        f"SELECT * FROM {t} WHERE CASE WHEN a AND b THEN 1 ELSE 0 END "
+        f"= 1 AND id = 2") is None
+    # plain conjuncts still extract
+    got = extract_prune_conjuncts(
+        f"SELECT * FROM {t} WHERE id = 1 AND v >= 2")
+    assert got is not None and got[1] == [("id", "=", 1),
+                                          ("v", ">=", 2)]
