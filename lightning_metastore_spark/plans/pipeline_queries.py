@@ -139,13 +139,79 @@ def catalog_federated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON o_orderpriority = p.prio
         GROUP BY o_orderpriority
     """
-    return ctx.sql(" UNION ALL ".join([
+    base = ctx.sql(" UNION ALL ".join([
         rev.format(arm="current", tbl=dtbl, tt=""),
         rev.format(arm="v0", tbl=dtbl, tt="VERSION AS OF 0"),
         rev.format(arm="ice_current", tbl=itbl, tt=""),
         rev.format(arm="ice_v0", tbl=itbl, tt="VERSION AS OF 1"),
         cdf_sql,
-    ]) + " ORDER BY arm, o_orderpriority")
+    ]))
+
+    # r15 arms, same gate (the driver hard-gates exactly the first 50
+    # registry entries — PLANS.md "Round-14 measured-scope accounting"
+    # — so new verification rides ARMS here, like the r14 CDF arms):
+    #
+    # `pruned_*`: stats/manifest-bounds FILE SKIPPING end-to-end — two
+    # value-disjoint single-file appends per format, one ROUTED
+    # selective SELECT whose WHERE conjunct the resolver hands to the
+    # unit; the arm NAME encodes whether the plan scanned strictly
+    # fewer files than the table holds (`_ok` vs `_full`), so a
+    # silently-disabled pruning path hash-mismatches even though the
+    # relational answer would still be right.
+    #
+    # `dml_*`: the DML triad — file-granular DELETE then UPDATE
+    # through the SQL dialect — against the DuckDB twin of the same
+    # mutations. The customer table keeps these arms light.
+    from lightning_metastore_spark.sources.delta_reader import (
+        write_delta as _wd,
+    )
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        write_iceberg as _wi,
+    )
+
+    halves = [
+        ctx.sql("""SELECT c_custkey, c_acctbal, c_mktsegment
+            FROM lightning.datasource.file.tpch.customer
+            WHERE c_custkey < 75""").coalesce(1),
+        ctx.sql("""SELECT c_custkey, c_acctbal, c_mktsegment
+            FROM lightning.datasource.file.tpch.customer
+            WHERE c_custkey >= 75""").coalesce(1),
+    ]
+    for i, h in enumerate(halves):
+        _wd(h, os.path.join(lake, "cust"),
+            mode="error" if i == 0 else "append")
+        _wi(h, os.path.join(wh, "gate", "cust"),
+            mode="error" if i == 0 else "append")
+    sel = """SELECT COUNT(*) AS n_items,
+                CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                     AS DOUBLE) / 100 AS revenue
+             FROM {t} WHERE c_custkey < 50"""
+    dml_agg = """SELECT COUNT(*) AS n_items,
+                CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                     AS DOUBLE) / 100 AS revenue
+             FROM {t}"""
+    dctbl = "lightning.datasource.delta.dlake.cust"
+    ictbl = "lightning.datasource.iceberg.ilake.gate.cust"
+    arms = []
+    for kind, tbl in (("delta", dctbl), ("iceberg", ictbl)):
+        df = ctx.sql(sel.format(t=tbl))
+        tag = "ok" if len(df.inputFiles()) < 2 else "full"
+        arms.append(df.select(
+            F.lit(f"pruned_{kind}_{tag}").alias("arm"),
+            F.lit("-").alias("o_orderpriority"),
+            F.col("revenue"), F.col("n_items")))
+    for kind, tbl in (("delta", dctbl), ("iceberg", ictbl)):
+        ctx.sql(f"DELETE FROM {tbl} WHERE c_custkey % 7 = 0")
+        ctx.sql(f"UPDATE {tbl} SET c_acctbal = c_acctbal * 2 "
+                f"WHERE c_mktsegment = 'BUILDING'")
+        arms.append(ctx.sql(dml_agg.format(t=tbl)).select(
+            F.lit(f"dml_{kind}").alias("arm"),
+            F.lit("-").alias("o_orderpriority"),
+            F.col("revenue"), F.col("n_items")))
+    out = base.select("arm", "o_orderpriority", "revenue", "n_items")
+    for a in arms:
+        out = out.unionByName(a)
+    return out.orderBy("arm", "o_orderpriority")
 
 
 CATALOG_FEDERATED_ORACLE = """
@@ -179,82 +245,25 @@ SELECT 'cdf_insert_1' AS arm, o_orderpriority,
        CAST(0 AS DOUBLE) AS revenue, CAST(1 AS BIGINT) AS n_items
 FROM (SELECT DISTINCT o_orderpriority FROM orders
       WHERE o_orderpriority >= '3' AND o_orderpriority < '4')
-ORDER BY arm, o_orderpriority
-"""
-
-
-def lakehouse_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stats-based file skipping, gate-verified end-to-end (r14
-    verdict task 1): two value-disjoint appends per format (Delta —
-    whose writer emits `add.stats` — and Iceberg — whose manifests
-    carry Appendix-D bounds), then ONE routed single-table SELECT
-    whose WHERE conjunct the resolver hands to the unit as a planning
-    hint. The gate hash-verifies BOTH the relational answer AND a
-    `pruned_ok` verdict column asserting the plan scanned strictly
-    fewer files than the table holds — so a silently-disabled pruning
-    path fails the gate even though results would still match."""
-    import os
-    import tempfile
-
-    from lightning_metastore_spark.sources.delta_reader import (
-        write_delta,
-    )
-    from lightning_metastore_spark.sources.iceberg_writer import (
-        write_iceberg,
-    )
-
-    ctx = _ctx(spark, sf_dir)
-    # value-disjoint halves at FIXED literals valid at every sf (the
-    # testdata's o_orderkey is dense from 0, >=1500 rows at sf0.001)
-    halves = [
-        ctx.sql("""SELECT o_orderkey, o_totalprice
-            FROM lightning.datasource.file.tpch.orders
-            WHERE o_orderkey < 750""").coalesce(1),
-        ctx.sql("""SELECT o_orderkey, o_totalprice
-            FROM lightning.datasource.file.tpch.orders
-            WHERE o_orderkey >= 750""").coalesce(1),
-    ]
-    lake = tempfile.mkdtemp(prefix="lightning-prune-gate-")
-    wh = tempfile.mkdtemp(prefix="lightning-prune-ice-gate-")
-    for i, h in enumerate(halves):
-        write_delta(h, os.path.join(lake, "ords"),
-                    mode="error" if i == 0 else "append")
-        write_iceberg(h, os.path.join(wh, "ords"),
-                      mode="error" if i == 0 else "append")
-    ctx.sql("CREATE NAMESPACE IF NOT EXISTS lightning.datasource.delta")
-    ctx.sql(f"REGISTER OR REPLACE DELTA DATASOURCE plake "
-            f"OPTIONS(path '{lake}') NAMESPACE lightning.datasource.delta")
-    ctx.sql("CREATE NAMESPACE IF NOT EXISTS lightning.datasource.iceberg")
-    ctx.sql(f"REGISTER OR REPLACE ICEBERG DATASOURCE pwh "
-            f"OPTIONS(warehouse '{wh}') "
-            f"NAMESPACE lightning.datasource.iceberg")
-    q = """SELECT COUNT(*) AS n,
-               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
-                    AS DOUBLE) / 100 AS total
-           FROM {t} WHERE o_orderkey < 500"""
-    arms = []
-    for arm, tbl in (("delta", "lightning.datasource.delta.plake.ords"),
-                     ("iceberg",
-                      "lightning.datasource.iceberg.pwh.ords")):
-        df = ctx.sql(q.format(t=tbl))
-        pruned_ok = len(df.inputFiles()) < 2   # 2 live files per table
-        arms.append(df.select(
-            F.lit(arm).alias("arm"), F.col("n"), F.col("total"),
-            F.lit(bool(pruned_ok)).alias("pruned_ok")))
-    return arms[0].unionByName(arms[1]).orderBy("arm")
-
-
-LAKEHOUSE_PRUNED_ORACLE = """
-WITH sel AS (
-  SELECT COUNT(*) AS n,
-         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
-              AS DOUBLE) / 100 AS total
-  FROM orders WHERE o_orderkey < 500
-)
-SELECT 'delta' AS arm, n, total, TRUE AS pruned_ok FROM sel
 UNION ALL
-SELECT 'iceberg' AS arm, n, total, TRUE AS pruned_ok FROM sel
-ORDER BY arm
+SELECT 'pruned_' || fmt || '_ok' AS arm, '-' AS o_orderpriority,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+         / 100 AS revenue,
+       COUNT(*) AS n_items
+FROM customer, (SELECT UNNEST(['delta', 'iceberg']) AS fmt)
+WHERE c_custkey < 50
+GROUP BY fmt
+UNION ALL
+SELECT 'dml_' || fmt AS arm, '-' AS o_orderpriority,
+       CAST(SUM(CAST(ROUND(b * 100) AS BIGINT)) AS DOUBLE)
+         / 100 AS revenue,
+       COUNT(*) AS n_items
+FROM (SELECT CASE WHEN c_mktsegment = 'BUILDING'
+                  THEN c_acctbal * 2 ELSE c_acctbal END AS b
+      FROM customer WHERE c_custkey % 7 <> 0),
+     (SELECT UNNEST(['delta', 'iceberg']) AS fmt)
+GROUP BY fmt
+ORDER BY arm, o_orderpriority
 """
 
 
@@ -4742,10 +4751,6 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
                   "-> spark.sql"),
         QuerySpec("catalog_usl_view", catalog_usl_view, CATALOG_USL_ORACLE,
                   "USL compile/activate/query (governed view)"),
-        QuerySpec("lakehouse_pruned_scan", lakehouse_pruned_scan,
-                  LAKEHOUSE_PRUNED_ORACLE,
-                  "stats/manifest-bounds file skipping through the "
-                  "resolver, with a pruned_ok plan verdict"),
         QuerySpec("catalog_dq_run", catalog_dq_run, CATALOG_DQ_ORACLE,
                   "RUN DQ command over a USL table"),
         QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE,
