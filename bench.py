@@ -119,7 +119,7 @@ def main() -> None:
                STDDEV(l_tax) AS sd_tax,
                MIN(l_shipdate) AS lo, MAX(l_shipdate) AS hi
         FROM parquet.`{os.path.join(sf_dir, "lineitem.parquet")}`
-        LATERAL VIEW explode(sequence(1, 8)) t AS r
+        LATERAL VIEW explode(sequence(1, 24)) t AS r
         GROUP BY l_returnflag, l_linestatus, r
         ORDER BY l_returnflag, l_linestatus, r"""
 
@@ -131,7 +131,7 @@ def main() -> None:
         def _probe(v):
             return (v * 1.0000001 + 0.5).pow(1.5)
 
-        return (spark.range(36_000_000)
+        return (spark.range(72_000_000)
                 .select((F.col("id") % 9973).cast("double").alias("x"))
                 .select(_probe(F.col("x")).alias("y"))
                 .agg(F.sum("y"), F.avg("y")))

@@ -70,6 +70,7 @@ _LIGHTNING_HEADS = (
     re.compile(r"^EXPIRE\s+SNAPSHOTS\s+LIGHTNING\.", re.I),
     re.compile(r"^REMOVE\s+ORPHAN\s+FILES\s+LIGHTNING\.", re.I),
     re.compile(r"^RESTORE\s+(TABLE\s+)?LIGHTNING\.", re.I),
+    re.compile(r"^ALTER\s+TABLE\s+LIGHTNING\.", re.I),
     re.compile(r"^DELETE\s+FROM\s+LIGHTNING\.", re.I),
 )
 
@@ -643,6 +644,68 @@ class RemoveOrphanFiles(Command):
                                      dry_run=self.dry_run,
                                      force=self.force)
         return self._df(ctx, [(p,) for p in doomed], "path string")
+
+
+@dataclass
+class AlterTable(Command):
+    """`ALTER TABLE lightning.<...>.<table> ADD COLUMNS (c type, ...)
+    | SET TBLPROPERTIES ('k'='v', ...) | ADD CONSTRAINT n CHECK (e)
+    | DROP CONSTRAINT n` — one metadata commit, zero data movement
+    (the delta-spark DDL quartet; Iceberg supports ADD COLUMNS via
+    the spec's fresh-field-id schema evolution)."""
+    path: list[str]
+    add_columns: Optional[list] = None
+    set_properties: Optional[dict] = None
+    add_constraint: Optional[tuple] = None
+    drop_constraint: Optional[str] = None
+
+    def run(self, ctx) -> DataFrame:
+        from lightning_metastore_spark.catalog.units import (
+            DeltaCatalogUnit,
+            IcebergCatalogUnit,
+            load_catalog_unit,
+        )
+
+        rest = _require_root(self.path, DATASOURCE_ROOT, "ALTER target")
+        hit = ctx.metastore.find_parent_datasource(rest)
+        if hit is None:
+            raise CommandParseError(
+                f"no datasource at lightning.{'.'.join(self.path)}")
+        ds, residual = hit
+        unit = load_catalog_unit(ds)
+        import os as _os
+        if isinstance(unit, DeltaCatalogUnit):
+            from lightning_metastore_spark.sources.delta_reader import (
+                alter_delta,
+            )
+            v = alter_delta(
+                ctx.spark,
+                _os.path.join(ds.options["path"], *residual),
+                add_columns=self.add_columns,
+                set_properties=self.set_properties,
+                add_constraint=self.add_constraint,
+                drop_constraint=self.drop_constraint)
+            return self._df(ctx, [(v,)], "version long")
+        if isinstance(unit, IcebergCatalogUnit) \
+                and not unit._mounted(ctx.spark) \
+                and unit._warehouse() is not None:
+            if not self.add_columns or any(
+                    (self.set_properties, self.add_constraint,
+                     self.drop_constraint)):
+                raise CommandParseError(
+                    "offline Iceberg ALTER supports ADD COLUMNS only "
+                    "(properties/constraints are Delta surface)")
+            from lightning_metastore_spark.sources.iceberg_writer import (
+                alter_iceberg_add_columns,
+            )
+            v = alter_iceberg_add_columns(
+                ctx.spark, _os.path.join(unit._warehouse(), *residual),
+                self.add_columns)
+            return self._df(ctx, [(v,)], "version long")
+        raise CommandParseError(
+            f"ALTER TABLE supports Delta and offline Iceberg tables; "
+            f"lightning.{'.'.join(self.path)} is a "
+            f"{ds.source_type} source")
 
 
 @dataclass
@@ -2268,6 +2331,20 @@ _R_RESTORE = re.compile(
     r"^RESTORE\s+(?:TABLE\s+)?(?P<path>[\w.\-]+)\s+(?:TO\s+)?"
     r"(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
     r"(?:(?P<v>\d+)|'(?P<ts>(?:[^']|'')*)')\s*$", re.I)
+_R_ALTER_ADDCON = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<path>[\w.\-]+)\s+ADD\s+CONSTRAINT\s+"
+    r"(?P<name>\w+)\s+CHECK\s*\((?P<expr>.+)\)\s*$", re.I | re.S)
+_R_ALTER_DROPCON = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<path>[\w.\-]+)\s+DROP\s+CONSTRAINT\s+"
+    r"(?P<name>\w+)\s*$", re.I)
+_R_ALTER_ADDCOLS = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<path>[\w.\-]+)\s+ADD\s+COLUMNS?\s*"
+    r"\((?P<cols>.+)\)\s*$", re.I | re.S)
+_R_ALTER_PROPS = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<path>[\w.\-]+)\s+SET\s+TBLPROPERTIES\s*"
+    r"\((?P<props>.+)\)\s*$", re.I | re.S)
+_R_PROP_PAIR = re.compile(
+    r"'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'")
 _R_MERGE_HEAD = re.compile(
     r"^MERGE\s+INTO\s+(?P<target>[\w.\-]+)"
     r"(?:\s+(?:AS\s+)?(?P<ta>(?!USING\b)\w+))?\s+USING\s+",
@@ -2371,6 +2448,39 @@ def parse_command(sql: str) -> Command:
                              if m.group("h") else 72.0),
             dry_run=bool(m.group("dry")),
             force=bool(m.group("force")))
+    m = _R_ALTER_ADDCON.match(text)
+    if m:
+        return AlterTable(path=_split_path(m.group("path")),
+                          add_constraint=(m.group("name"),
+                                          m.group("expr").strip()))
+    m = _R_ALTER_DROPCON.match(text)
+    if m:
+        return AlterTable(path=_split_path(m.group("path")),
+                          drop_constraint=m.group("name"))
+    m = _R_ALTER_ADDCOLS.match(text)
+    if m:
+        from lightning_metastore_spark.parser.create_table import (
+            _split_top_level,
+        )
+        cols = []
+        for item in _split_top_level(m.group("cols")):
+            parts = item.strip().split(None, 1)
+            if len(parts) != 2:
+                raise CommandParseError(
+                    f"bad ADD COLUMNS entry: {item!r} (want "
+                    f"'name type')")
+            cols.append((parts[0], parts[1]))
+        return AlterTable(path=_split_path(m.group("path")),
+                          add_columns=cols)
+    m = _R_ALTER_PROPS.match(text)
+    if m:
+        props = {k.replace("''", "'"): v.replace("''", "'")
+                 for k, v in _R_PROP_PAIR.findall(m.group("props"))}
+        if not props:
+            raise CommandParseError(
+                "SET TBLPROPERTIES needs 'key'='value' pairs")
+        return AlterTable(path=_split_path(m.group("path")),
+                          set_properties=props)
     m = _R_RESTORE.match(text)
     if m:
         return RestoreTable(

@@ -1991,6 +1991,121 @@ _DELETE_SIMPLE_PRED = re.compile(
     r"(?:(-?\d+(?:\.\d+)?)|'([^']*)')\s*$")
 
 
+def alter_delta(spark: SparkSession, path: str,
+                add_columns: Optional[list[tuple]] = None,
+                set_properties: Optional[dict] = None,
+                add_constraint: Optional[tuple] = None,
+                drop_constraint: Optional[str] = None) -> int:
+    """ALTER TABLE for the offline Delta writer — ONE metaData commit
+    per call (zero data movement), the delta-spark DDL quartet:
+
+    - ``add_columns`` = [(name, spark-ddl type string), ...]: extends
+      the schema; old files null-fill the new columns at read (the
+      parquet missing-column contract), pre-evolution versions keep
+      their schema under time travel.
+    - ``set_properties``: merges into metaData.configuration. Keys
+      that GATE writers upgrade the protocol in the SAME commit
+      (enabling CDF without the changeDataFeed writer feature would
+      let external writers corrupt the feed — the r14 ADVICE shape).
+    - ``add_constraint`` = (name, sql expr): validated against the
+      EXISTING rows first (one scan; delta-spark does the same) —
+      a table already violating the constraint refuses it.
+    - ``drop_constraint`` = name.
+
+    Returns the committed version."""
+    snap = resolve_snapshot(spark, path)
+    if getattr(snap, "physical", None) and (add_columns
+                                            or add_constraint):
+        raise DeltaLogError(
+            f"offline ALTER on column-mapped tables supports "
+            f"properties only (new columns/constraints need fresh "
+            f"mapping ids): {path}")
+    _check_writer_protocol(snap, path)
+    now_ms = int(time.time() * 1000)
+    schema = snap.schema
+    conf = dict(getattr(snap, "configuration", None) or {})
+    new_feats: set = set()
+
+    if add_columns:
+        by_name = {f.name.lower() for f in schema.fields}
+        fields = list(schema.fields)
+        for name, ddl in add_columns:
+            if name.lower() in by_name:
+                raise DeltaLogError(
+                    f"column {name!r} already exists in {path}")
+            try:
+                dt = T._parse_datatype_string(ddl)
+            except Exception as e:  # noqa: BLE001 — user DDL error
+                raise DeltaLogError(
+                    f"bad type for ALTER ADD COLUMN {name}: "
+                    f"{ddl!r} ({e})") from e
+            fields.append(T.StructField(name, dt, True))
+            by_name.add(name.lower())
+        schema = T.StructType(fields)
+
+    if set_properties:
+        conf.update({str(k): str(v)
+                     for k, v in set_properties.items()})
+        if str(conf.get("delta.enableChangeDataFeed", "")
+               ).lower() == "true":
+            new_feats.add("changeDataFeed")
+
+    if add_constraint:
+        cname, cexpr = add_constraint
+        key = f"delta.constraints.{cname}"
+        if key in conf:
+            raise DeltaLogError(
+                f"constraint {cname!r} already exists on {path}")
+        # existing rows must already satisfy the constraint
+        n_bad = (_snapshot_scan(spark, path, snap)
+                 .filter(F.expr(str(cexpr)) == F.lit(False)).count())
+        if n_bad:
+            raise DeltaLogError(
+                f"cannot ADD CONSTRAINT {cname!r}: {n_bad} existing "
+                f"row(s) violate CHECK ({cexpr})")
+        conf[key] = str(cexpr)
+        new_feats.add("checkConstraints")
+
+    if drop_constraint:
+        key = f"delta.constraints.{drop_constraint}"
+        if key not in conf:
+            raise DeltaLogError(
+                f"no constraint {drop_constraint!r} on {path}")
+        del conf[key]
+
+    actions: list[dict] = [
+        {"commitInfo": {"timestamp": now_ms,
+                        "operation": "ALTER TABLE",
+                        "operationParameters": {}}}]
+    proto = dict(getattr(snap, "protocol", None)
+                 or {"minReaderVersion": 1, "minWriterVersion": 2})
+    have = set(proto.get("writerFeatures") or [])
+    missing_feats = new_feats - have
+    if missing_feats and int(proto.get("minWriterVersion") or 1) < 7:
+        # upgrade to a v7 features protocol, carrying the legacy
+        # capabilities the old version implied as explicit features
+        legacy = {2: ["appendOnly", "invariants"]}.get(
+            int(proto.get("minWriterVersion") or 1), [])
+        proto = {"minReaderVersion":
+                 int(proto.get("minReaderVersion") or 1),
+                 "minWriterVersion": 7,
+                 "writerFeatures": sorted(set(legacy) | have
+                                          | missing_feats)}
+        if proto["minReaderVersion"] >= 3:
+            proto["readerFeatures"] = list(
+                snap.protocol.get("readerFeatures") or [])
+        actions.append({"protocol": proto})
+    elif missing_feats:
+        proto["writerFeatures"] = sorted(have | missing_feats)
+        actions.append({"protocol": proto})
+    actions.append(_meta_action(
+        getattr(snap, "meta_id", None) or "alter",
+        schema.json(), snap.partition_columns, conf,
+        getattr(snap, "created_time", None) or now_ms))
+    _write_commit(path, snap.version + 1, actions)
+    return snap.version + 1
+
+
 def delete_where(spark: SparkSession, path: str,
                  predicate: Optional[str]) -> int:
     """File-granular DELETE FROM — delta-spark's pre-deletion-vector

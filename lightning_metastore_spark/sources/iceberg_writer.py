@@ -313,14 +313,42 @@ def _field_summaries(entries: list[dict], partition_by: list[str],
     return out
 
 
+def _ice_type(dt, alloc):
+    """Spark DataType -> Iceberg type JSON; nested field/element/key
+    ids drawn from ``alloc`` (a 0-arg callable)."""
+    from pyspark.sql import types as T
+
+    tn = dt.typeName()
+    if tn in _ICE_PRIM:
+        return _ICE_PRIM[tn]
+    if tn == "decimal":
+        return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.StructType):
+        return {"type": "struct", "fields": [
+            {"id": alloc(), "name": f.name,
+             "required": not f.nullable,
+             "type": _ice_type(f.dataType, alloc)}
+            for f in dt.fields]}
+    if isinstance(dt, T.ArrayType):
+        return {"type": "list", "element-id": alloc(),
+                "element": _ice_type(dt.elementType, alloc),
+                "element-required": not dt.containsNull}
+    if isinstance(dt, T.MapType):
+        return {"type": "map", "key-id": alloc(),
+                "key": _ice_type(dt.keyType, alloc),
+                "value-id": alloc(),
+                "value": _ice_type(dt.valueType, alloc),
+                "value-required": not dt.valueContainsNull}
+    raise ir.IcebergError(
+        f"offline Iceberg writes cannot translate type {tn}")
+
+
 def _iceberg_schema_json(spark_schema) -> dict:
     """Spark schema -> Iceberg schema JSON with spec-unique field ids
     assigned depth-first (top-level fields first, then nested — the
     id layout real catalogs produce for a fresh table). Nested
     structs, lists, and maps translate recursively; the reader's
     `to_spark_type` is the exact inverse."""
-    from pyspark.sql import types as T
-
     counter = {"next": len(spark_schema.fields) + 1}
 
     def _alloc() -> int:
@@ -328,38 +356,74 @@ def _iceberg_schema_json(spark_schema) -> dict:
         counter["next"] += 1
         return i
 
-    def _type(dt):
-        tn = dt.typeName()
-        if tn in _ICE_PRIM:
-            return _ICE_PRIM[tn]
-        if tn == "decimal":
-            return f"decimal({dt.precision}, {dt.scale})"
-        if isinstance(dt, T.StructType):
-            return {"type": "struct", "fields": [
-                {"id": _alloc(), "name": f.name,
-                 "required": not f.nullable, "type": _type(f.dataType)}
-                for f in dt.fields]}
-        if isinstance(dt, T.ArrayType):
-            return {"type": "list", "element-id": _alloc(),
-                    "element": _type(dt.elementType),
-                    "element-required": not dt.containsNull}
-        if isinstance(dt, T.MapType):
-            return {"type": "map", "key-id": _alloc(),
-                    "key": _type(dt.keyType), "value-id": _alloc(),
-                    "value": _type(dt.valueType),
-                    "value-required": not dt.valueContainsNull}
-        raise ir.IcebergError(
-            f"offline Iceberg writes cannot translate type {tn}")
-
     fields = [{"id": i, "name": f.name, "required": not f.nullable}
               for i, f in enumerate(spark_schema.fields, start=1)]
     # two passes so TOP-LEVEL ids stay 1..n (the manifest-metrics field
     # ids) and nested ids follow, like a fresh catalog assignment
     for f, out in zip(spark_schema.fields, fields):
-        out["type"] = _type(f.dataType)
+        out["type"] = _ice_type(f.dataType, _alloc)
     schema = {"type": "struct", "schema-id": 0, "fields": fields}
     schema["last-column-id"] = counter["next"] - 1
     return schema
+
+
+def alter_iceberg_add_columns(spark: SparkSession, table_path: str,
+                              add_columns: list[tuple]) -> int:
+    """Iceberg schema evolution (the spec's add-column rule): append
+    each new column with a FRESHLY-allocated field id in a NEW schema
+    (new schema-id, current-schema-id repointed) — ONE metadata
+    version, zero data movement; existing snapshots keep their
+    schemas, old data files null-fill at read (id/name resolution
+    never reuses ids). ``add_columns`` = [(name, spark-ddl type)].
+    Returns the new metadata version."""
+    from pyspark.sql import types as T
+
+    meta = ir.load_metadata(table_path)
+    cur = ir.current_schema(meta)
+    by_name = {f["name"].lower() for f in cur["fields"]}
+    counter = {"next": int(meta.get("last-column-id", 0)) + 1}
+
+    def _alloc() -> int:
+        i = counter["next"]
+        counter["next"] += 1
+        return i
+
+    new_fields = list(cur["fields"])
+    for name, ddl in add_columns:
+        if name.lower() in by_name:
+            raise ir.IcebergError(
+                f"column {name!r} already exists in {table_path}")
+        try:
+            dt = T._parse_datatype_string(ddl)
+        except Exception as e:  # noqa: BLE001 — user DDL error
+            raise ir.IcebergError(
+                f"bad type for ALTER ADD COLUMN {name}: {ddl!r} "
+                f"({e})") from e
+        fid = _alloc()
+        new_fields.append({"id": fid, "name": name, "required": False,
+                           "type": _ice_type(dt, _alloc)})
+        by_name.add(name.lower())
+    new_sid = 1 + max((s.get("schema-id", 0)
+                       for s in meta.get("schemas", [])), default=0)
+    meta["schemas"] = list(meta.get("schemas", [])) + [
+        {"type": "struct", "schema-id": new_sid, "fields": new_fields}]
+    meta["current-schema-id"] = new_sid
+    meta["last-column-id"] = counter["next"] - 1
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    mdir = os.path.join(table_path, "metadata")
+    version = 1 + max(
+        int(f[1:].split(".")[0]) for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".metadata.json"))
+    tmp = os.path.join(mdir, f".v{version}.metadata.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    final = os.path.join(mdir, f"v{version}.metadata.json")
+    if os.path.exists(final):
+        raise ir.IcebergError(f"concurrent write: {final} exists")
+    os.rename(tmp, final)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return version
 
 
 def _stage_data_files(df: DataFrame, table_path: str, ddir: str,

@@ -4185,3 +4185,127 @@ def test_prune_extraction_between_case_guard(spark):
         f"SELECT * FROM {t} WHERE id = 1 AND v >= 2")
     assert got is not None and got[1] == [("id", "=", 1),
                                           ("v", ">=", 2)]
+
+
+# ---------------------------------------------------------------------------
+# ALTER TABLE (round 15)
+# ---------------------------------------------------------------------------
+
+def test_delta_alter_table(spark, tmp_path):
+    """ALTER TABLE quartet: ADD COLUMNS null-fills old files and keeps
+    pre-ALTER versions narrow; ADD CONSTRAINT validates existing rows
+    first and gates subsequent writes; DROP lifts it; SET
+    TBLPROPERTIES enabling CDF upgrades the protocol in the SAME
+    commit so the feed is writer-gated from the start."""
+    from lightning_metastore_spark.sources.delta_reader import (
+        alter_delta,
+        delete_where,
+        table_changes,
+    )
+
+    path = str(tmp_path / "alt")
+    write_delta(spark.createDataFrame([(1, 2.0), (2, -3.0)],
+                                      "id long, v double"),
+                path, mode="error")
+    v = alter_delta(spark, path, add_columns=[("w", "double"),
+                                              ("tag", "string")])
+    assert v == 1
+    out = read_delta(spark, path)
+    assert out.columns == ["id", "v", "w", "tag"]
+    assert out.where("w IS NULL AND tag IS NULL").count() == 2
+    assert read_delta(spark, path, version_as_of=0).columns \
+        == ["id", "v"]
+    write_delta(spark.createDataFrame([(3, 1.0, 9.0, "x")],
+                                      "id long, v double, w double, "
+                                      "tag string"),
+                path, mode="append")
+    assert read_delta(spark, path).count() == 3
+    with pytest.raises(DeltaLogError, match="already exists"):
+        alter_delta(spark, path, add_columns=[("V", "double")])
+
+    # constraint on a VIOLATING table refuses (id=2 has v=-3)
+    with pytest.raises(DeltaLogError, match="existing"):
+        alter_delta(spark, path, add_constraint=("v_pos", "v >= 0"))
+    assert delete_where(spark, path, "v < 0") == 1
+    alter_delta(spark, path, add_constraint=("v_pos", "v >= 0"))
+    with pytest.raises(DeltaLogError, match="violates 'v_pos'"):
+        write_delta(spark.createDataFrame(
+            [(4, -1.0, None, None)],
+            "id long, v double, w double, tag string"),
+            path, mode="append")
+    # the protocol was upgraded to carry the feature
+    snap = resolve_snapshot(spark, path)
+    assert "checkConstraints" in (snap.protocol or {}).get(
+        "writerFeatures", [])
+    alter_delta(spark, path, drop_constraint="v_pos")
+    write_delta(spark.createDataFrame(
+        [(4, -1.0, None, None)],
+        "id long, v double, w double, tag string"),
+        path, mode="append")
+    # rows {1, 3, 4} — id=2 went in the DELETE above
+    assert read_delta(spark, path).count() == 3
+    with pytest.raises(DeltaLogError, match="no constraint"):
+        alter_delta(spark, path, drop_constraint="nope")
+
+    # enable CDF mid-life: protocol gains changeDataFeed; a DELETE
+    # afterwards emits cdc the feed replays
+    alter_delta(spark, path, set_properties={
+        "delta.enableChangeDataFeed": "true"})
+    snap = resolve_snapshot(spark, path)
+    assert "changeDataFeed" in snap.protocol["writerFeatures"]
+    v_del = snap.version + 1
+    assert delete_where(spark, path, "id = 4") == 1
+    feed = table_changes(spark, path, starting_version=v_del).collect()
+    assert [(r.id, r._change_type) for r in feed] == [(4, "delete")]
+
+
+def test_alter_sql_both_formats(spark, tmp_path):
+    from lightning_metastore_spark.context import LightningContext
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        write_iceberg,
+    )
+
+    base = tmp_path / "asql"
+    base.mkdir()
+    write_delta(_delta_df(spark, 0, 5), str(base / "ev"), mode="error")
+    wh = tmp_path / "awh"
+    wh.mkdir()
+    write_iceberg(_delta_df(spark, 0, 5), str(wh / "acc"),
+                  mode="error")
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.delta")
+    ctx.sql(f"REGISTER DELTA DATASOURCE d OPTIONS(path '{base}') "
+            "NAMESPACE lightning.datasource.delta")
+    ctx.sql("CREATE NAMESPACE lightning.datasource.iceberg")
+    ctx.sql(f"REGISTER ICEBERG DATASOURCE w OPTIONS(warehouse '{wh}') "
+            "NAMESPACE lightning.datasource.iceberg")
+
+    t = "lightning.datasource.delta.d.ev"
+    ctx.sql(f"ALTER TABLE {t} ADD COLUMNS (score double)")
+    assert "score" in ctx.sql(f"SELECT * FROM {t}").columns
+    ctx.sql(f"ALTER TABLE {t} ADD CONSTRAINT vcap CHECK (v < 1000)")
+    ctx.sql(f"ALTER TABLE {t} SET TBLPROPERTIES "
+            f"('delta.appendOnly'='true')")
+    with pytest.raises(Exception, match="append-only"):
+        ctx.sql(f"DELETE FROM {t} WHERE id = 1")
+    ctx.sql(f"ALTER TABLE {t} DROP CONSTRAINT vcap")
+
+    it = "lightning.datasource.iceberg.w.acc"
+    ctx.sql(f"ALTER TABLE {it} ADD COLUMNS (score double, "
+            f"tags array<string>)")
+    cols = ctx.sql(f"SELECT * FROM {it}").columns
+    assert cols == ["id", "s", "v", "score", "tags"]
+    assert ctx.sql(f"SELECT count(*) AS n FROM {it} "
+                   f"WHERE score IS NULL").collect()[0].n == 5
+    # fresh ids were allocated past the old last-column-id
+    meta = ir.load_metadata(str(wh / "acc"))
+    ids = [f["id"] for s in meta["schemas"] for f in s["fields"]]
+    assert len(ids) == len(set(ids)) + 3  # 3 shared original columns
+    with pytest.raises(Exception, match="Delta surface"):
+        ctx.sql(f"ALTER TABLE {it} SET TBLPROPERTIES ('a'='b')")
+    # appends under the evolved schema work
+    ctx.sql(f"INSERT INTO {it} SELECT 9 AS id, 'z' AS s, 0 AS v, "
+            f"1.5 AS score, array('t') AS tags")
+    assert ctx.sql(f"SELECT count(*) AS n FROM {it}").collect()[0].n \
+        == 6
