@@ -322,12 +322,19 @@ class DeltaCatalogUnit(CatalogUnit):
         from lightning_metastore_spark.sources import delta_reader as dr
         base = self.ds.options["path"]
         path = os.path.join(base, *residual)
-        if (residual and residual[-1].lower() in ("history", "changes")
+        if (residual
+                and residual[-1].lower() in ("history", "changes",
+                                             "files")
                 and not os.path.isdir(os.path.join(path, "_delta_log"))):
             parent = os.path.join(base, *residual[:-1])
             if os.path.isdir(os.path.join(parent, "_delta_log")):
                 if residual[-1].lower() == "history":
                     return dr.delta_history(spark, parent)
+                if residual[-1].lower() == "files":
+                    return dr.delta_files(
+                        spark, parent,
+                        None if version_as_of is None
+                        else int(version_as_of))
                 # `.changes` = Change Data Feed; VERSION AS OF n sets
                 # the STARTING version (delta-spark's startingVersion),
                 # TIMESTAMP AS OF the starting timestamp

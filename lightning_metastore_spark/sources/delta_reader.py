@@ -1283,6 +1283,55 @@ def delta_history(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def delta_files(spark: SparkSession, path: str,
+                version_as_of: Optional[int] = None) -> DataFrame:
+    """`.files` metadata table — the live add actions rendered per
+    file (path, partitionValues, size, has_dv, numRecords + per-column
+    min/max/nullCount parsed out of add.stats), the Delta twin of the
+    Iceberg `files` table: the zero-data-I/O audit surface for "which
+    files would this predicate skip" and "where did stats go missing"
+    at 100 TB. Planning metadata only — no parquet is opened."""
+    snap = resolve_snapshot(spark, path, version_as_of)
+    rows = []
+    for rel, pv in snap.files:
+        st = snap.stats.get(rel)
+        num = mins = maxs = nulls = None
+        if st:
+            try:
+                parsed = json.loads(st)
+                num = parsed.get("numRecords")
+                mins = {k: str(v) for k, v in
+                        (parsed.get("minValues") or {}).items()}
+                maxs = {k: str(v) for k, v in
+                        (parsed.get("maxValues") or {}).items()}
+                nulls = {k: int(v) for k, v in
+                         (parsed.get("nullCount") or {}).items()}
+            except (ValueError, TypeError):
+                pass
+        size = None
+        disk = os.path.join(path, _resolve_rel(path, rel))
+        if os.path.exists(disk):
+            size = os.path.getsize(disk)
+        rows.append((rel, dict(pv), size, rel in snap.dv,
+                     None if num is None else int(num),
+                     mins, maxs, nulls))
+    schema = T.StructType([
+        T.StructField("path", T.StringType(), False),
+        T.StructField("partitionValues",
+                      T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("size_in_bytes", T.LongType(), True),
+        T.StructField("has_deletion_vector", T.BooleanType(), False),
+        T.StructField("num_records", T.LongType(), True),
+        T.StructField("min_values",
+                      T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("max_values",
+                      T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("null_counts",
+                      T.MapType(T.StringType(), T.LongType()), True),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
 def table_changes(spark: SparkSession, path: str,
                   starting_version: int = 0,
                   ending_version: Optional[int] = None) -> DataFrame:

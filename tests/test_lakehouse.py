@@ -4309,3 +4309,38 @@ def test_alter_sql_both_formats(spark, tmp_path):
             f"1.5 AS score, array('t') AS tags")
     assert ctx.sql(f"SELECT count(*) AS n FROM {it}").collect()[0].n \
         == 6
+
+
+def test_delta_files_metadata_table(spark, tmp_path):
+    """The Delta `.files` metadata table (the Iceberg `files` twin):
+    live adds rendered with partitionValues, sizes, DV flags, and the
+    add.stats columns — zero data I/O, the skip-audit surface."""
+    from lightning_metastore_spark.context import LightningContext
+    from lightning_metastore_spark.sources.delta_reader import (
+        delta_files,
+    )
+
+    base = tmp_path / "dfm"
+    base.mkdir()
+    path = str(base / "ev")
+    for lo in (0, 10):
+        write_delta(_delta_df(spark, lo, lo + 10).coalesce(1), path,
+                    mode="append")
+    rows = delta_files(spark, path).collect()
+    assert len(rows) == 2
+    assert all(r.num_records == 10 and not r.has_deletion_vector
+               and r.size_in_bytes > 0 for r in rows)
+    mins = sorted(int(r.min_values["id"]) for r in rows)
+    maxs = sorted(int(r.max_values["id"]) for r in rows)
+    assert mins == [0, 10] and maxs == [9, 19]
+    assert all(r.null_counts["id"] == 0 for r in rows)
+    # SQL suffix table + time travel
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.delta")
+    ctx.sql(f"REGISTER DELTA DATASOURCE d OPTIONS(path '{base}') "
+            "NAMESPACE lightning.datasource.delta")
+    t = "lightning.datasource.delta.d.ev"
+    assert ctx.sql(f"SELECT count(*) AS n FROM {t}.files"
+                   ).collect()[0].n == 2
+    assert ctx.sql(f"SELECT count(*) AS n FROM {t}.files "
+                   f"VERSION AS OF 0").collect()[0].n == 1
