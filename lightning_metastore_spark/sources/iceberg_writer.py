@@ -446,7 +446,21 @@ def _stage_data_files(df: DataFrame, table_path: str, ddir: str,
     w = stage_df.write.mode("overwrite")
     if shadow:
         w = w.partitionBy(*shadow)
-    w.parquet(staging)
+    # the Iceberg spec REQUIRES int64 micros for timestamps (INT96 is
+    # banned) — and Spark's INT96 default also writes NO usable
+    # min/max stats, which would silently disable timestamp pruning.
+    # Session conf is the only switch Spark exposes; set + restore.
+    sess = df.sparkSession
+    _TS_KEY = "spark.sql.parquet.outputTimestampType"
+    old_ts = sess.conf.get(_TS_KEY, None)
+    sess.conf.set(_TS_KEY, "TIMESTAMP_MICROS")
+    try:
+        w.parquet(staging)
+    finally:
+        if old_ts is None:
+            sess.conf.unset(_TS_KEY)
+        else:
+            sess.conf.set(_TS_KEY, old_ts)
     from urllib.parse import quote, unquote
     data_files: list[tuple[str, dict]] = []   # (dst path, partition tuple)
     i = 0
@@ -927,6 +941,9 @@ def iceberg_to_delta(spark: SparkSession, table_path: str) -> int:
 # runtime parity: Iceberg's remove_orphan_files defaults to a 3-day
 # horizon so in-flight writers' files are never swept mid-commit
 MIN_ORPHAN_RETENTION_HOURS = 72.0
+# Iceberg's history.expire.max-snapshot-age-ms default (5 days) —
+# expire_snapshots' horizon when no OLDER THAN is given
+EXPIRE_MAX_SNAPSHOT_AGE_MS = 5 * 24 * 3600 * 1000
 
 
 def _snapshot_reachable_files(table_path: str, meta: dict,
@@ -1024,8 +1041,14 @@ def expire_snapshots(spark: SparkSession, table_path: str,
         ancestry.append(walk)
         walk = by_id[walk].get("parent-snapshot-id")
     keep_ids = set(ancestry[:max(1, int(retain_last))])
+    # default horizon: now - 5 days, Iceberg's
+    # history.expire.max-snapshot-age-ms default — a bare
+    # `EXPIRE SNAPSHOTS t` must NOT immediately delete every
+    # non-current snapshot's exclusively-reachable data files
+    # (the r15 ADVICE destructive-default edge)
     horizon = (int(older_than_ms) if older_than_ms is not None
-               else int(time.time() * 1000))
+               else int(time.time() * 1000)
+               - EXPIRE_MAX_SNAPSHOT_AGE_MS)
     for s in snaps:
         if s["timestamp-ms"] > horizon:
             keep_ids.add(s["snapshot-id"])
@@ -1211,7 +1234,9 @@ def delete_where_iceberg(spark: SparkSession, table_path: str,
                      else int(m.group(3))))
         try:
             cands, skipped = ir.prune_data_files(
-                table_path, m.group(1), m.group(2), lit)
+                table_path, m.group(1), m.group(2), lit,
+                session_tz=spark.conf.get(
+                    "spark.sql.session.timeZone"))
             if skipped:
                 prune_subset = set(cands)
         except ir.IcebergError:
@@ -1410,7 +1435,9 @@ def update_where_iceberg(spark: SparkSession, table_path: str,
                          else int(m.group(3))))
             try:
                 cands, skipped = ir.prune_data_files(
-                    table_path, m.group(1), m.group(2), lit)
+                    table_path, m.group(1), m.group(2), lit,
+                    session_tz=spark.conf.get(
+                        "spark.sql.session.timeZone"))
                 if skipped:
                     prune_subset = set(cands)
             except ir.IcebergError:
