@@ -825,17 +825,20 @@ class MergeInto(Command):
     WHEN NOT MATCHED THEN INSERT *|(cols) VALUES (exprs)`.
 
     The reference supports MERGE only through Iceberg's extension
-    (doc etl_in_iceberg_lakehouse.md); for plain file tables we express
-    the upsert as one full-outer join: matched rows apply UPDATE/DELETE,
-    target-only rows pass through, source-only rows INSERT. The result
-    is localCheckpointed to break lineage, then overwrites the target —
-    a single shuffle on the join condition. The same rewrite serves
-    DELTA units: the offline writer turns the overwrite into a new log
-    version (removes + adds), so MERGE INTO a Delta table is
-    time-travelable (test_lakehouse::test_merge_into_delta) — and
-    ICEBERG units likewise (offline overwrite snapshot,
-    test_lakehouse::test_merge_into_iceberg). With the runtime mounted
-    the engine-native MERGE applies instead.
+    (doc etl_in_iceberg_lakehouse.md). DELTA and offline ICEBERG
+    targets take the FILE-GRANULAR copy-on-write path
+    (`delta_reader.merge_into_delta` / `iceberg_writer.
+    merge_into_iceberg` — r15 verdict #2): one discovery join finds
+    the touched files + runs the cardinality check, only those files
+    rewrite, inserts append, untouched adds/manifests carry over
+    verbatim, and CDF tables emit exact update_pre/postimage +
+    delete + insert cdc — upserting 10 rows into a 100 TB table
+    rewrites one file, and every pre-merge version stays
+    time-travelable. Plain file tables (no transaction log to edit)
+    keep the full-outer-join rewrite: matched rows apply
+    UPDATE/DELETE, target-only rows pass through, source-only rows
+    INSERT, and the localCheckpointed result overwrites the target.
+    With the runtime mounted the engine-native MERGE applies instead.
     """
     target: list[str]
     target_alias: str
@@ -870,10 +873,6 @@ class MergeInto(Command):
                 f"no datasource at lightning.{'.'.join(self.target)}")
         ds, residual = hit
         unit = load_catalog_unit(ds)
-        t_df = (unit.load_table(ctx.spark, residual)
-                .withColumn("__te", F.lit(1))
-                .withColumn("__tid", F.monotonically_increasing_id())
-                .alias(self.target_alias))
         src = self.source_sql.strip()
         if src.startswith("("):
             src = src[1:-1]
@@ -881,6 +880,50 @@ class MergeInto(Command):
             s_base = ctx.resolver.load_table(_split_path(src))
         else:
             s_base = ctx.spark.sql(ctx.resolver.resolve_sql(src))
+
+        # lakehouse targets: file-granular copy-on-write merge
+        from lightning_metastore_spark.catalog.units import (
+            DeltaCatalogUnit,
+            IcebergCatalogUnit,
+        )
+        import os as _os
+        merge_fn = tpath = None
+        if isinstance(unit, DeltaCatalogUnit):
+            from lightning_metastore_spark.sources.delta_reader import (
+                merge_into_delta,
+            )
+            merge_fn = merge_into_delta
+            tpath = _os.path.join(ds.options["path"], *residual)
+        elif isinstance(unit, IcebergCatalogUnit) \
+                and not unit._mounted(ctx.spark) \
+                and unit._warehouse() is not None:
+            from lightning_metastore_spark.sources.iceberg_writer import (
+                merge_into_iceberg,
+            )
+            merge_fn = merge_into_iceberg
+            tpath = _os.path.join(unit._warehouse(), *residual)
+        if merge_fn is not None:
+            try:
+                out = merge_fn(
+                    ctx.spark, tpath, s_base, self.on_cond,
+                    self.target_alias, self.source_alias,
+                    update_set=self.update_set,
+                    matched_delete=self.matched_delete,
+                    insert_cols=self.insert_cols,
+                    insert_values=self.insert_values,
+                    insert_all=self.insert_all)
+            except Exception as e:
+                # surface lakehouse errors under the command contract
+                raise CommandParseError(str(e)) from e
+            return self._df(ctx,
+                            [(".".join(self.target),
+                              out["total_rows"])],
+                            "merged string, n_rows long")
+
+        t_df = (unit.load_table(ctx.spark, residual)
+                .withColumn("__te", F.lit(1))
+                .withColumn("__tid", F.monotonically_increasing_id())
+                .alias(self.target_alias))
         s_df = s_base.withColumn("__se", F.lit(1)).alias(self.source_alias)
         joined = t_df.join(s_df, F.expr(self.on_cond), "full_outer")
 

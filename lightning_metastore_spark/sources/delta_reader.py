@@ -2576,6 +2576,269 @@ def update_where(spark: SparkSession, path: str,
     return n_updated
 
 
+def merge_into_delta(spark: SparkSession, path: str,
+                     source_df: DataFrame, on_cond: str,
+                     target_alias: str, source_alias: str,
+                     update_set: Optional[dict] = None,
+                     matched_delete: bool = False,
+                     insert_cols: Optional[list] = None,
+                     insert_values: Optional[list] = None,
+                     insert_all: bool = False) -> dict:
+    """File-granular MERGE INTO (delta-spark's copy-on-write merge,
+    NOT a whole-table rewrite — the r15 verdict's #1 standing
+    scale-killer):
+
+    1. ONE inner-join discovery pass over the file-tagged target scan
+       finds the files containing matched rows AND runs the standard
+       MERGE cardinality check (a target row matched by 2+ source
+       rows is an error) — the collect is bounded by touched-file
+       count. The source is localCheckpointed once so every pass sees
+       the same rows.
+    2. Only touched files rewrite, under a LEFT join against the
+       source: matched rows apply UPDATE SET (every RHS against the
+       OLD row, cast to the column type) or drop (DELETE); unmatched
+       rows carry verbatim. Untouched add actions carry over in the
+       log unchanged — upserting 10 rows into a 100 TB table rewrites
+       one file (mirrors `delete_where`/`update_where`).
+    3. WHEN NOT MATCHED INSERT rows anti-join the source against the
+       TOUCHED subset only — sound because every source row with any
+       match has it in a touched file by construction — and append as
+       new files.
+    4. On CDF tables the commit carries exact cdc rows
+       (update_preimage/update_postimage, delete, insert), so
+       `table_changes` replays the merge as row-level changes instead
+       of a whole-table delete+insert.
+
+    Returns {"n_updated", "n_deleted", "n_inserted", "total_rows"}
+    (total from add.stats when complete — metadata-only — else one
+    scan)."""
+    snap = resolve_snapshot(spark, path)
+    if getattr(snap, "physical", None):
+        raise DeltaLogError(
+            f"offline MERGE on column-mapped tables is not "
+            f"supported: {path}")
+    rewrites = bool(update_set) or matched_delete
+    inserts = insert_all or bool(insert_cols)
+    _check_writer_protocol(snap, path, data_change_removes=rewrites,
+                           adds_data=True)
+    cdf_enabled = str((getattr(snap, "configuration", None) or {}).get(
+        "delta.enableChangeDataFeed", "")).lower() == "true"
+    now_ms = int(time.time() * 1000)
+    ta, sa = target_alias, source_alias
+    field_by = {f.name.lower(): f for f in snap.schema.fields}
+    update_ci = {k.lower(): v for k, v in (update_set or {}).items()}
+    for k in update_ci:
+        if k not in field_by:
+            raise DeltaLogError(
+                f"MERGE UPDATE target column {k!r} does not exist in "
+                f"{path}")
+    # one materialization: every later pass (discovery, rewrite,
+    # anti-join, cdc) must see the SAME source rows
+    src = (source_df.withColumn("__se", F.lit(1))
+           .localCheckpoint(eager=True).alias(sa))
+    s_cols_ci = {c.lower(): c for c in source_df.columns}
+
+    # -- discovery: touched files + cardinality check, one pass ------
+    tagged = (_snapshot_scan(spark, path, snap, file_tag="__delta_file")
+              .withColumn("__tid", F.monotonically_increasing_id())
+              .alias(ta))
+    per_file = (tagged.join(src, F.expr(on_cond), "inner")
+                .groupBy("__delta_file", "__tid").count()
+                .groupBy("__delta_file")
+                .agg(F.sum("count").alias("n"),
+                     F.max("count").alias("mx"))
+                .collect())
+    if any(int(r["mx"]) > 1 for r in per_file):
+        raise DeltaLogError(
+            "MERGE failed: at least one target row matches multiple "
+            "source rows (ON condition is not unique on the source "
+            "side) — the standard MERGE cardinality violation")
+    from lightning_metastore_spark.sources import delta_dv
+    by_key: dict[str, str] = {}
+    for rel, _pv in snap.files:
+        disk = _resolve_rel(path, rel)
+        by_key[delta_dv.uri_path_encode(
+            os.path.abspath(os.path.join(path, disk)))] = rel
+    touched: set[str] = set()
+    n_matched = 0
+    for r in per_file:
+        rel = by_key.get(r["__delta_file"])
+        if rel is None:
+            raise DeltaLogError(
+                f"MERGE matched rows in unrecognized source file "
+                f"{r['__delta_file']!r} — refusing to commit")
+        touched.add(rel)
+        n_matched += int(r["n"])
+
+    # -- rewrite pass: touched files under a left join ---------------
+    t_sub = _snapshot_scan(spark, path, snap,
+                           file_subset=touched).alias(ta)
+    joined = t_sub.join(src, F.expr(on_cond), "left")
+    matched = F.col("__se").isNotNull()
+
+    def _post_cols(df_cols_prefix: bool = True):
+        out = []
+        for f in snap.schema.fields:
+            t_val = F.col(f"{ta}.`{f.name}`")
+            if update_ci and not matched_delete:
+                m_val = F.expr(update_ci.get(f.name.lower(),
+                                             f"{ta}.`{f.name}`")
+                               ).cast(f.dataType)
+            else:
+                m_val = t_val
+            out.append(F.when(matched, m_val).otherwise(t_val)
+                       .alias(f.name))
+        return out
+
+    moved: list[tuple] = []
+    if rewrites and touched:
+        survivors = joined
+        if matched_delete:
+            survivors = survivors.filter(~matched)
+        # the left join shuffled the touched files' rows across
+        # shuffle.partitions tasks — coalesce back to the touched-file
+        # count so one rewritten file stays one file, not 32 shards
+        survivors = (survivors.select(*_post_cols())
+                     .coalesce(max(1, len(touched))))
+        moved = _stage_files(survivors, path,
+                             os.path.join(path, f".merge-{now_ms}"),
+                             snap.partition_columns)
+
+    def _drop_empty_staged(staged: list[tuple]) -> list[tuple]:
+        # Spark's writer always emits a partition-0 file even when
+        # that task is empty — a 0-record add is pure noise in the
+        # log; delete it instead of committing it
+        kept = []
+        for rel, size, pv, st in staged:
+            n = None
+            if st:
+                try:
+                    n = json.loads(st).get("numRecords")
+                except ValueError:
+                    pass
+            if n == 0:
+                try:
+                    os.remove(os.path.join(path, rel))
+                except OSError:
+                    pass
+                continue
+            kept.append((rel, size, pv, st))
+        return kept
+
+    moved = _drop_empty_staged(moved)
+
+    # -- insert pass: source rows with no match anywhere -------------
+    n_inserted = 0
+    imoved: list[tuple] = []
+    i_df = None
+    if inserts:
+        insert_ci = ({c.lower(): i for i, c in enumerate(insert_cols)}
+                     if insert_cols else {})
+        anti = src.join(_snapshot_scan(spark, path, snap,
+                                       file_subset=touched).alias(ta),
+                        F.expr(on_cond), "left_anti")
+        i_cols = []
+        for f in snap.schema.fields:
+            if insert_all:
+                sc = s_cols_ci.get(f.name.lower())
+                v = F.col(f"`{sc}`") if sc else F.lit(None)
+            elif insert_cols and f.name.lower() in insert_ci:
+                v = F.expr(insert_values[insert_ci[f.name.lower()]])
+            else:
+                v = F.lit(None)
+            i_cols.append(v.cast(f.dataType).alias(f.name))
+        i_df = anti.select(*i_cols)
+        imoved = _drop_empty_staged(_stage_files(
+            i_df, path, os.path.join(path, f".merge-ins-{now_ms}"),
+            snap.partition_columns))
+        for _rel, _size, _pv, st in imoved:
+            if st:
+                try:
+                    n_inserted += int(json.loads(st)["numRecords"])
+                except (ValueError, KeyError, TypeError):
+                    pass
+    _enforce_staged_checks(spark, path, snap.schema,
+                           snap.partition_columns,
+                           getattr(snap, "configuration", None),
+                           moved + imoved)
+
+    # -- cdc ----------------------------------------------------------
+    cdc_actions: list[dict] = []
+    if cdf_enabled and (n_matched and rewrites or imoved):
+        parts = []
+        if n_matched and rewrites:
+            m_rows = joined.filter(matched)
+            if matched_delete:
+                parts.append(m_rows.select(
+                    *[F.col(f"{ta}.`{f.name}`").alias(f.name)
+                      for f in snap.schema.fields])
+                    .withColumn("_change_type", F.lit("delete")))
+            else:
+                parts.append(m_rows.select(
+                    *[F.col(f"{ta}.`{f.name}`").alias(f.name)
+                      for f in snap.schema.fields])
+                    .withColumn("_change_type",
+                                F.lit("update_preimage")))
+                parts.append(m_rows.select(*_post_cols())
+                             .withColumn("_change_type",
+                                         F.lit("update_postimage")))
+        if imoved and i_df is not None:
+            parts.append(i_df.withColumn("_change_type",
+                                         F.lit("insert")))
+        cdc_df = parts[0]
+        for p in parts[1:]:
+            cdc_df = cdc_df.unionByName(p)
+        cmoved = _stage_files(cdc_df,
+                              os.path.join(path, "_change_data"),
+                              os.path.join(path, f".cdc-{now_ms}"),
+                              snap.partition_columns)
+        for rel, size, pv, _st in cmoved:
+            cdc_actions.append({"cdc": {
+                "path": "/".join(["_change_data",
+                                  rel.replace(os.sep, "/")]),
+                "partitionValues": pv, "size": size,
+                "dataChange": False}})
+
+    # -- commit --------------------------------------------------------
+    actions: list[dict] = [
+        {"commitInfo": {"timestamp": now_ms, "operation": "MERGE",
+                        "operationParameters": {
+                            "predicate": on_cond}}}]
+    actions.extend(cdc_actions)
+    if rewrites:
+        for rel in sorted(touched):
+            actions.append({"remove": {"path": rel,
+                                       "deletionTimestamp": now_ms,
+                                       "dataChange": True}})
+    for rel, size, pv, stats in moved + imoved:
+        add = {"path": rel.replace(os.sep, "/"),
+               "partitionValues": pv, "size": size,
+               "modificationTime": now_ms, "dataChange": True}
+        if stats:
+            add["stats"] = stats
+        actions.append({"add": add})
+    _write_commit(path, snap.version + 1, actions)
+
+    # total rows from add.stats when every live file has them —
+    # metadata-only; one scan otherwise
+    new_snap = resolve_snapshot(spark, path)
+    total = 0
+    complete = True
+    for rel, _pv in new_snap.files:
+        st = new_snap.stats.get(rel)
+        try:
+            total += int(json.loads(st)["numRecords"])
+        except (ValueError, KeyError, TypeError):
+            complete = False
+            break
+    if not complete:
+        total = _snapshot_scan(spark, path, new_snap).count()
+    return {"n_updated": n_matched if update_set else 0,
+            "n_deleted": n_matched if matched_delete else 0,
+            "n_inserted": n_inserted,
+            "total_rows": int(total)}
+
+
 def optimize_delta(spark: SparkSession, path: str,
                    target_file_bytes: int = 128 * 1024 * 1024) -> dict:
     """OPTIMIZE-style bin-packing compaction: rewrite each partition's

@@ -1473,3 +1473,185 @@ def update_where_iceberg(spark: SparkSession, table_path: str,
                             spark_types, seq, snap_id, parent, version,
                             now_ms)
     return n_updated
+
+
+def merge_into_iceberg(spark: SparkSession, table_path: str,
+                       source_df: DataFrame, on_cond: str,
+                       target_alias: str, source_alias: str,
+                       update_set: Optional[dict] = None,
+                       matched_delete: bool = False,
+                       insert_cols: Optional[list] = None,
+                       insert_values: Optional[list] = None,
+                       insert_all: bool = False) -> dict:
+    """File-granular MERGE INTO on an offline Iceberg table — the
+    copy-on-write twin of `merge_into_delta` (same discovery /
+    rewrite / insert decomposition; `sources/delta_reader.py`
+    documents the plan shape): ONE inner-join pass over the
+    file-tagged scan finds touched data files and runs the MERGE
+    cardinality check; only touched files rewrite under a LEFT join
+    against the localCheckpointed source; WHEN NOT MATCHED INSERT
+    rows anti-join against the touched subset (every matched source
+    row's match lives in a touched file by construction) and land in
+    the same new-manifest commit; untouched manifests carry over
+    VERBATIM via `_commit_touched_rewrite`. The reference's headline
+    ETL scenario (`doc/doc/etl_in_iceberg_lakehouse.md` scenarios
+    1-2) runs through this path offline.
+
+    Returns {"n_updated", "n_deleted", "n_inserted", "total_rows"}
+    (total summed from the new snapshot's manifest record_counts —
+    metadata-only)."""
+    meta = ir.load_metadata(table_path)
+    try:
+        snap = ir.select_snapshot(meta)
+    except ir.IcebergError:
+        snap = None
+    mdir = os.path.join(table_path, "metadata")
+    table_schema = ir.spark_schema(meta)
+    spark_types = {f.name: f.dataType for f in table_schema.fields}
+    field_by = {f.name.lower(): f for f in table_schema.fields}
+    update_ci = {k.lower(): v for k, v in (update_set or {}).items()}
+    for k in update_ci:
+        if k not in field_by:
+            raise ir.IcebergError(
+                f"MERGE UPDATE target column {k!r} does not exist in "
+                f"{table_path}")
+    spec = next((s for s in meta.get("partition-specs", [])
+                 if s.get("spec-id") == meta.get("default-spec-id", 0)),
+                {"fields": []})
+    non_identity = [f["name"] for f in spec.get("fields", [])
+                    if f.get("transform") not in (None, "identity")]
+    if non_identity:
+        raise ir.IcebergError(
+            f"offline MERGE supports identity partition transforms "
+            f"only; table has {non_identity}")
+    partition_by = [f["name"] for f in spec.get("fields", [])]
+    now_ms = int(time.time() * 1000)
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snap_id = max((s["snapshot-id"] for s in meta.get("snapshots", [])),
+                  default=0) + 1
+    parent = meta.get("current-snapshot-id")
+    version = 1 + max(
+        int(f[1:].split(".")[0]) for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".metadata.json"))
+    ta, sa = target_alias, source_alias
+    rewrites = bool(update_set) or matched_delete
+    inserts = insert_all or bool(insert_cols)
+    src = (source_df.withColumn("__se", F.lit(1))
+           .localCheckpoint(eager=True).alias(sa))
+    s_cols_ci = {c.lower(): c for c in source_df.columns}
+
+    # -- discovery: touched files + cardinality, one pass -------------
+    if snap is not None:
+        tagged = (ir.read_iceberg(spark, table_path,
+                                  file_tag="__ice_src")
+                  .withColumn("__tid", F.monotonically_increasing_id())
+                  .alias(ta))
+        per_file = (tagged.join(src, F.expr(on_cond), "inner")
+                    .groupBy("__ice_src", "__tid").count()
+                    .groupBy("__ice_src")
+                    .agg(F.sum("count").alias("n"),
+                         F.max("count").alias("mx"))
+                    .collect())
+    else:
+        per_file = []  # no snapshot yet: the target is empty
+    if any(int(r["mx"]) > 1 for r in per_file):
+        raise ir.IcebergError(
+            "MERGE failed: at least one target row matches multiple "
+            "source rows (ON condition is not unique on the source "
+            "side) — the standard MERGE cardinality violation")
+    from lightning_metastore_spark.sources.delta_dv import uri_path_encode
+    data = (ir.snapshot_files(table_path, snap)[0] if snap is not None
+            else [])
+    by_key = {uri_path_encode(p): p for p, _s in data}
+    touched: set[str] = set()
+    n_matched = 0
+    for r in per_file:
+        p = by_key.get(r["__ice_src"])
+        if p is None:
+            raise ir.IcebergError(
+                f"MERGE matched rows in unrecognized data file "
+                f"{r['__ice_src']!r} — refusing to commit")
+        touched.add(p)
+        n_matched += int(r["n"])
+
+    # -- rewrite + insert: ONE replacement DataFrame ------------------
+    matched = F.col("__se").isNotNull()
+    t_sub = (ir.read_iceberg(spark, table_path, file_subset=touched)
+             if snap is not None
+             else spark.createDataFrame([], table_schema)).alias(ta)
+    parts = []
+    if rewrites and touched:
+        joined = t_sub.join(src, F.expr(on_cond), "left")
+        if matched_delete:
+            joined = joined.filter(~matched)
+        out_cols = []
+        for f in table_schema.fields:
+            t_val = F.col(f"{ta}.`{f.name}`")
+            if update_ci and not matched_delete:
+                m_val = F.expr(update_ci.get(f.name.lower(),
+                                             f"{ta}.`{f.name}`")
+                               ).cast(f.dataType)
+            else:
+                m_val = t_val
+            out_cols.append(F.when(matched, m_val).otherwise(t_val)
+                            .alias(f.name))
+        # coalesce the join shuffle back to the touched-file count so
+        # one rewritten file stays one file, not shuffle.partitions
+        # shards
+        parts.append(joined.select(*out_cols)
+                     .coalesce(max(1, len(touched))))
+    n_inserted = 0
+    if inserts:
+        insert_ci = ({c.lower(): i for i, c in enumerate(insert_cols)}
+                     if insert_cols else {})
+        anti = src.join(t_sub, F.expr(on_cond), "left_anti")
+        i_cols = []
+        for f in table_schema.fields:
+            if insert_all:
+                sc = s_cols_ci.get(f.name.lower())
+                v = F.col(f"`{sc}`") if sc else F.lit(None)
+            elif insert_cols and f.name.lower() in insert_ci:
+                v = F.expr(insert_values[insert_ci[f.name.lower()]])
+            else:
+                v = F.lit(None)
+            i_cols.append(v.cast(f.dataType).alias(f.name))
+        # materialize the insert count once; the checkpoint also pins
+        # the rows the staging write will see
+        i_df = anti.select(*i_cols).localCheckpoint(eager=True)
+        n_inserted = i_df.count()
+        parts.append(i_df)
+
+    if not parts:
+        # no matched action and no insert clause: nothing changes
+        total = (ir.read_iceberg(spark, table_path).count()
+                 if snap is not None else 0)
+        return {"n_updated": 0, "n_deleted": 0, "n_inserted": 0,
+                "total_rows": int(total)}
+    replacement = parts[0]
+    for p in parts[1:]:
+        replacement = replacement.unionByName(p)
+    if snap is None:
+        # empty table (no snapshot yet): the commit is a plain append
+        write_iceberg(replacement, table_path, mode="append")
+    else:
+        _commit_touched_rewrite(
+            spark, table_path, meta, snap,
+            touched if rewrites else set(), replacement, "overwrite",
+            partition_by, spark_types, seq, snap_id, parent, version,
+            now_ms)
+
+    new_meta = ir.load_metadata(table_path)
+    new_snap = ir.select_snapshot(new_meta)
+    total = 0
+    for mrec in ac.iter_records(ir._local(new_snap["manifest-list"])):
+        for entry in ac.iter_records(ir._local(mrec["manifest_path"])):
+            if entry.get("status") == 2:
+                continue
+            d = entry["data_file"]
+            if int(d.get("content") or 0) != 0:
+                continue
+            total += int(d.get("record_count") or 0)
+    return {"n_updated": n_matched if update_set else 0,
+            "n_deleted": n_matched if matched_delete else 0,
+            "n_inserted": int(n_inserted),
+            "total_rows": int(total)}

@@ -2866,14 +2866,28 @@ def test_merge_into_partitioned_iceberg_sql(spark, tmp_path):
         f"SELECT * FROM lightning.datasource.iceberg.whp.db.orders "
         f"VERSION AS OF {hist[0].snapshot_id}").collect()
     assert {r.id: r.amount for r in pre} == {1: 10.0, 2: 20.0}
-    # the merge kept the partition spec: new files carry typed tuples
+    # the merge kept the partition spec: files carry typed tuples.
+    # File-granular shape: the NEW manifest holds only the rewritten
+    # (eu) + inserted (ap) files; the untouched us file carries over
+    # in an earlier manifest VERBATIM (r16: no whole-table rewrite)
     from lightning_metastore_spark.sources import iceberg_reader as ir
     meta = ir.load_metadata(tdir)
     ml = list(ac.iter_records(
         ir._local(ir.select_snapshot(meta)["manifest-list"])))
-    ent = list(ac.iter_records(ir._local(ml[-1]["manifest_path"])))
-    assert {e["data_file"]["partition"]["region"] for e in ent} == \
-        {"us", "eu", "ap"}
+    regions: set = set()
+    for mrec in ml:
+        for e in ac.iter_records(ir._local(mrec["manifest_path"])):
+            regions.add(e["data_file"]["partition"]["region"])
+    assert regions == {"us", "eu", "ap"}
+    new_ent = list(ac.iter_records(ir._local(ml[-1]["manifest_path"])))
+    assert {e["data_file"]["partition"]["region"]
+            for e in new_ent} == {"eu", "ap"}
+    # the untouched us data file is the SAME physical file pre/post
+    pre_files = {p for p, _s in ir.snapshot_files(
+        tdir, ir.select_snapshot(meta, hist[0].snapshot_id))[0]}
+    post_files = {p for p, _s in ir.snapshot_files(
+        tdir, ir.select_snapshot(meta))[0]}
+    assert len(pre_files & post_files) == 1  # the us file survived
 
 
 def test_merge_into_iceberg(spark, tmp_path):
@@ -4641,3 +4655,99 @@ def test_optimize_zorder_url_encoded_add_paths(spark, tmp_path):
     assert zout["files_removed"] == 2
     assert sorted(r.id for r in read_delta(spark, path2).collect()) \
         == list(range(20))
+
+
+def test_merge_into_delta_is_file_granular(spark, tmp_path):
+    """r16 (r15 verdict #2): MERGE rewrites ONLY the files containing
+    matched rows — untouched add actions carry over verbatim (same
+    logged path), inserts land as new files, counts are exact, and
+    every pre-merge version stays time-travelable."""
+    base = tmp_path / "mfg"
+    base.mkdir()
+    path = str(base / "acc")
+    for lo in (0, 10, 20, 30):
+        write_delta(_delta_df(spark, lo, lo + 10).coalesce(1), path,
+                    mode="append")
+    before = _live_rels(spark, path)
+    assert len(before) == 4
+
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.delta")
+    ctx.sql(f"REGISTER DELTA DATASOURCE d OPTIONS(path '{base}') "
+            "NAMESPACE lightning.datasource.delta")
+    # source matches rows ONLY in the 30..39 file; one insert row
+    spark.createDataFrame([(35, "x35", 999), (100, "x100", 1000)],
+                          "id long, s string, v long"
+                          ).createOrReplaceTempView("mfg_src")
+    out = ctx.sql("""
+        MERGE INTO lightning.datasource.delta.d.acc AS t
+        USING (SELECT * FROM mfg_src) AS s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET s = s.s, v = s.v
+        WHEN NOT MATCHED THEN INSERT *
+    """).collect()
+    assert out[0].n_rows == 41
+    after = _live_rels(spark, path)
+    # exactly ONE original file was rewritten; the other 3 carried
+    # over verbatim — the file-granular contract
+    assert len(before & after) == 3
+    assert len(after - before) == 2          # rewrite + insert file
+    got = {r.id: (r.s, r.v) for r in read_delta(spark, path).collect()}
+    assert got[35] == ("x35", 999) and got[100] == ("x100", 1000)
+    assert got[34] == ("34", 68)             # neighbor untouched
+    assert len(got) == 41
+    # pre-merge version intact; untouched files still prune reads
+    assert read_delta(spark, path, version_as_of=3).count() == 40
+    assert len(read_delta(spark, path,
+                          prune=[("id", "<", 10)]).inputFiles()) == 1
+    hist = delta_history(spark, path).collect()
+    assert hist[0].operation == "MERGE"
+
+
+def test_merge_into_delta_cdf_replay(spark, tmp_path):
+    """MERGE on a CDF table emits EXACT cdc rows — update_preimage/
+    update_postimage for matched rows and insert for source-only rows
+    (a delete-clause merge emits delete) — never the whole table as
+    delete+insert (r15 'what's missing' #2)."""
+    from lightning_metastore_spark.sources.delta_reader import (
+        merge_into_delta,
+        table_changes,
+    )
+
+    path = str(tmp_path / "mcdf")
+    write_delta(_delta_df(spark, 0, 20).coalesce(2), path, mode="error",
+                configuration={"delta.enableChangeDataFeed": "true"})
+    src = spark.createDataFrame([(5, "n5", 50), (100, "n100", 1000)],
+                                "id long, s string, v long")
+    out = merge_into_delta(
+        spark, path, src, "t.id = s.id", "t", "s",
+        update_set={"s": "s.s", "v": "s.v"}, insert_all=True)
+    assert out == {"n_updated": 1, "n_deleted": 0, "n_inserted": 1,
+                   "total_rows": 21}
+    ch = table_changes(spark, path, starting_version=1).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r._change_type, []).append(r)
+    assert sorted(by_type) == ["insert", "update_postimage",
+                               "update_preimage"]
+    assert len(by_type["insert"]) == 1
+    assert by_type["insert"][0].id == 100
+    assert len(by_type["update_preimage"]) == 1
+    assert by_type["update_preimage"][0].s == "5"
+    assert by_type["update_postimage"][0].s == "n5"
+
+    # delete-clause merge: delete cdc for the matched row only
+    src2 = spark.createDataFrame([(7,)], "id long")
+    out2 = merge_into_delta(spark, path, src2, "t.id = s.id", "t", "s",
+                            matched_delete=True)
+    assert out2["n_deleted"] == 1 and out2["total_rows"] == 20
+    ch2 = table_changes(spark, path, starting_version=2).collect()
+    assert [(r._change_type, r.id) for r in ch2] == [("delete", 7)]
+
+    # cardinality violation aborts BEFORE any write
+    dup = spark.createDataFrame([(3, "a", 1), (3, "b", 2)],
+                                "id long, s string, v long")
+    with pytest.raises(DeltaLogError, match="multiple"):
+        merge_into_delta(spark, path, dup, "t.id = s.id", "t", "s",
+                         update_set={"s": "s.s"})
+    assert read_delta(spark, path).count() == 20
