@@ -104,6 +104,29 @@ _BETWEEN_CONJ = re.compile(
     r"\s*$",
     re.IGNORECASE,
 )
+# `[qualifier.]col IS [NOT] NULL` — nullCount/partitionValues prune
+# these. IS NULL is NOT null-rejecting, so it is credited only in
+# single-relation queries (an outer join's null-extended rows satisfy
+# it — pruning the nullable side would change results).
+_NULL_CONJ = re.compile(
+    r"^\s*((?:[A-Za-z_][\w\-]*\.)*)([A-Za-z_][\w]*)\s+IS\s+"
+    r"(NOT\s+)?NULL\s*$",
+    re.IGNORECASE,
+)
+_LITERAL = (r"(?:-?\d+(?:\.\d+)?|(?:(?:DATE|TIMESTAMP)\s+)?"
+            r"'(?:[^']|'')*')")
+# `[qualifier.]col IN (lit, lit, ...)` — a file admits when ANY
+# member admits; every member must parse or the conjunct is skipped
+# (pruning on a subset would drop files the other members match)
+_IN_CONJ = re.compile(
+    r"^\s*((?:[A-Za-z_][\w\-]*\.)*)([A-Za-z_][\w]*)\s+IN\s*\(\s*"
+    r"(" + _LITERAL + r"(?:\s*,\s*" + _LITERAL + r")*)\s*\)\s*$",
+    re.IGNORECASE,
+)
+_LITERAL_ONE = re.compile(
+    r"(-?\d+(?:\.\d+)?)|(?:(DATE|TIMESTAMP)\s+)?'((?:[^']|'')*)'",
+    re.IGNORECASE,
+)
 _PRUNE_TAIL = re.compile(
     r"\b(GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|WINDOW|UNION|EXCEPT|"
     r"INTERSECT|DISTRIBUTE\s+BY|CLUSTER\s+BY|SORT\s+BY)\b",
@@ -334,6 +357,35 @@ def extract_prune_conjuncts(sql: str
                 conj.append((col, ">=", lo))
             if hi is not None:
                 conj.append((col, "<=", hi))
+            continue
+        mn = _NULL_CONJ.match(piece)
+        if mn:
+            op = "notnull" if mn.group(3) else "isnull"
+            if op == "isnull" and len(rels) != 1:
+                continue  # not null-rejecting — joins unsafe
+            idx = _credit(mn.group(1).rstrip("."))
+            if idx is None:
+                continue
+            out.setdefault(rels[idx][0], []).append(
+                (mn.group(2), op, None))
+            continue
+        mi = _IN_CONJ.match(piece)
+        if mi:
+            idx = _credit(mi.group(1).rstrip("."))
+            if idx is None:
+                continue
+            lits = []
+            ok = True
+            for lm in _LITERAL_ONE.finditer(mi.group(3)):
+                lit = _typed_literal(lm.group(1), lm.group(2),
+                                     lm.group(3))
+                if lit is None:
+                    ok = False
+                    break
+                lits.append(lit)
+            if ok and lits:
+                out.setdefault(rels[idx][0], []).append(
+                    (mi.group(2), "in", tuple(lits)))
     out = {k: v for k, v in out.items() if v}
     return out or None
 

@@ -78,20 +78,25 @@ def catalog_federated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"NAMESPACE lightning.datasource.iceberg")
     # version 0 / snapshot 1: urgent+high priorities; the next commit
     # adds medium — the same two-commit history written through BOTH
-    # lakehouse units
-    ins_lo = """INSERT INTO {tbl}
-        SELECT DISTINCT o_orderpriority AS prio
+    # lakehouse units. The two DISTINCT priority sets are computed
+    # ONCE and localCheckpointed (≤5 rows each) — r15 ran the same
+    # DISTINCT-over-orders subquery six times across the
+    # delta/iceberg/CDF writes (r15 verdict #7).
+    lo_df = ctx.sql("""SELECT DISTINCT o_orderpriority AS prio
         FROM lightning.datasource.file.tpch.orders
-        WHERE o_orderpriority < '3'"""
-    ins_hi = """INSERT INTO {tbl}
-        SELECT DISTINCT o_orderpriority AS prio
+        WHERE o_orderpriority < '3'""").coalesce(1) \
+        .localCheckpoint(eager=True)
+    hi_df = ctx.sql("""SELECT DISTINCT o_orderpriority AS prio
         FROM lightning.datasource.file.tpch.orders
-        WHERE o_orderpriority >= '3' AND o_orderpriority < '4'"""
+        WHERE o_orderpriority >= '3' AND o_orderpriority < '4'""") \
+        .coalesce(1).localCheckpoint(eager=True)
+    lo_df.createOrReplaceTempView("gate_prio_lo")
+    hi_df.createOrReplaceTempView("gate_prio_hi")
     dtbl = "lightning.datasource.delta.dlake.prio"
     itbl = "lightning.datasource.iceberg.ilake.gate.prio"
     for tbl in (dtbl, itbl):
-        ctx.sql(ins_lo.format(tbl=tbl))
-        ctx.sql(ins_hi.format(tbl=tbl))
+        ctx.sql(f"INSERT INTO {tbl} SELECT prio FROM gate_prio_lo")
+        ctx.sql(f"INSERT INTO {tbl} SELECT prio FROM gate_prio_hi")
     # r14: a Change Data Feed arm in the same gate — a CDF-enabled
     # twin of the prio table takes the same two commits through the
     # offline writer, and the `.changes` suffix table replays them as
@@ -106,16 +111,9 @@ def catalog_federated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdf_lake = _tf.mkdtemp(prefix="lightning-cdf-gate-")
     cdf_path = os.path.join(cdf_lake, "prio")
     _dr.write_delta(
-        ctx.sql("""SELECT DISTINCT o_orderpriority AS prio
-            FROM lightning.datasource.file.tpch.orders
-            WHERE o_orderpriority < '3'"""),
-        cdf_path, mode="error",
+        lo_df, cdf_path, mode="error",
         configuration={"delta.enableChangeDataFeed": "true"})
-    _dr.write_delta(
-        ctx.sql("""SELECT DISTINCT o_orderpriority AS prio
-            FROM lightning.datasource.file.tpch.orders
-            WHERE o_orderpriority >= '3' AND o_orderpriority < '4'"""),
-        cdf_path, mode="append")
+    _dr.write_delta(hi_df, cdf_path, mode="append")
     ctx.sql(f"REGISTER OR REPLACE DELTA DATASOURCE cdflake "
             f"OPTIONS(path '{cdf_lake}') "
             f"NAMESPACE lightning.datasource.delta")
@@ -172,10 +170,12 @@ def catalog_federated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves = [
         ctx.sql("""SELECT c_custkey, c_acctbal, c_mktsegment
             FROM lightning.datasource.file.tpch.customer
-            WHERE c_custkey < 75""").coalesce(1),
+            WHERE c_custkey < 75""").coalesce(1)
+        .localCheckpoint(eager=True),
         ctx.sql("""SELECT c_custkey, c_acctbal, c_mktsegment
             FROM lightning.datasource.file.tpch.customer
-            WHERE c_custkey >= 75""").coalesce(1),
+            WHERE c_custkey >= 75""").coalesce(1)
+        .localCheckpoint(eager=True),
     ]
     for i, h in enumerate(halves):
         _wd(h, os.path.join(lake, "cust"),
@@ -200,10 +200,24 @@ def catalog_federated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(f"pruned_{kind}_{tag}").alias("arm"),
             F.lit("-").alias("o_orderpriority"),
             F.col("revenue"), F.col("n_items")))
+    # r16: the triad becomes a quartet — DELETE, UPDATE, then a
+    # file-granular MERGE (matched rows pin to 100.00, source rows the
+    # DELETE removed re-insert at 100.00) — so the upsert path is
+    # hash-verified against the DuckDB twin every driver run.
+    merge_sql = """MERGE INTO {tbl} AS t
+        USING (SELECT c_custkey AS k
+               FROM lightning.datasource.file.tpch.customer
+               WHERE c_custkey < 20) AS s
+        ON t.c_custkey = s.k
+        WHEN MATCHED THEN UPDATE SET c_acctbal = 100.0
+        WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal,
+                                      c_mktsegment)
+             VALUES (s.k, 100.0, 'MERGED')"""
     for kind, tbl in (("delta", dctbl), ("iceberg", ictbl)):
         ctx.sql(f"DELETE FROM {tbl} WHERE c_custkey % 7 = 0")
         ctx.sql(f"UPDATE {tbl} SET c_acctbal = c_acctbal * 2 "
                 f"WHERE c_mktsegment = 'BUILDING'")
+        ctx.sql(merge_sql.format(tbl=tbl))
         arms.append(ctx.sql(dml_agg.format(t=tbl)).select(
             F.lit(f"dml_{kind}").alias("arm"),
             F.lit("-").alias("o_orderpriority"),
@@ -258,9 +272,13 @@ SELECT 'dml_' || fmt AS arm, '-' AS o_orderpriority,
        CAST(SUM(CAST(ROUND(b * 100) AS BIGINT)) AS DOUBLE)
          / 100 AS revenue,
        COUNT(*) AS n_items
-FROM (SELECT CASE WHEN c_mktsegment = 'BUILDING'
+FROM (SELECT CASE WHEN c_custkey < 20 THEN 100.0
+                  WHEN c_mktsegment = 'BUILDING'
                   THEN c_acctbal * 2 ELSE c_acctbal END AS b
-      FROM customer WHERE c_custkey % 7 <> 0),
+      FROM customer WHERE c_custkey % 7 <> 0
+      UNION ALL
+      SELECT 100.0 AS b FROM customer
+      WHERE c_custkey < 20 AND c_custkey % 7 = 0),
      (SELECT UNNEST(['delta', 'iceberg']) AS fmt)
 GROUP BY fmt
 ORDER BY arm, o_orderpriority

@@ -557,7 +557,8 @@ def prune_data_files(table_path: str, col: str, op: str, value,
     file. This is the planning-time half of predicate pushdown at
     100 TB — the scan half (row-group skipping) still happens inside
     parquet for the kept files."""
-    if op not in ("=", "<", "<=", ">", ">="):
+    if op not in ("=", "<", "<=", ">", ">=", "isnull", "notnull",
+                  "in"):
         raise IcebergError(f"unsupported prune operator: {op}")
     meta = load_metadata(table_path)
     snap = select_snapshot(meta, snapshot_id)
@@ -581,50 +582,62 @@ def prune_data_files(table_path: str, col: str, op: str, value,
     # the session zone, so the naive-vs-UTC comparison was the r15
     # judge's confirmed wrong-answer edge #2 (`timestamp` (ntz) stays
     # naive-vs-naive, which is sound as it was).
+    def _coerce_one(value):
+        if not isinstance(itype, str):
+            return value
+        import datetime as dt
+        from lightning_metastore_spark.sources.delta_reader import (
+            _CANON_DATE_RE,
+            _ts_utc_naive,
+        )
+        typed = isinstance(value, dt.date)   # date OR datetime
+        if itype in ("int", "long") and not isinstance(value, bool):
+            if typed or isinstance(value, str):
+                raise ValueError("type mismatch")
+            if not isinstance(value, int):
+                # keep a fractional literal fractional — int()
+                # truncation would unsoundly skip boundary files —
+                # but never round-trip an exact int through float
+                # (ints above 2^53 would corrupt)
+                v = float(value)
+                value = int(v) if v.is_integer() else v
+        elif itype in ("float", "double"):
+            if typed or isinstance(value, str):
+                raise ValueError("type mismatch")
+            value = float(value)
+        elif itype == "date":
+            if isinstance(value, dt.datetime):
+                raise ValueError("timestamp literal vs date column")
+            if isinstance(value, str):
+                if not _CANON_DATE_RE.fullmatch(value.strip()):
+                    raise ValueError("non-canonical date literal")
+                value = dt.date.fromisoformat(value.strip())
+        elif itype in ("timestamp", "timestamptz"):
+            if isinstance(value, dt.date) \
+                    and not isinstance(value, dt.datetime):
+                raise ValueError("date literal vs timestamp column")
+            value = _ts_utc_naive(value, session_tz,
+                                  ntz=(itype == "timestamp"))
+            if value is None:
+                raise ValueError(
+                    "literal/zone not resolvable for timestamp "
+                    "pruning")
+        elif itype == "string":
+            if typed:
+                # `scol = DATE '...'` casts the STRING COLUMN, so
+                # raw string bounds are not comparable
+                raise ValueError("typed literal vs string column")
+        return value
+
     try:
-        if isinstance(itype, str):
-            import datetime as dt
-            from lightning_metastore_spark.sources.delta_reader import (
-                _CANON_DATE_RE,
-                _ts_utc_naive,
-            )
-            typed = isinstance(value, dt.date)   # date OR datetime
-            if itype in ("int", "long") and not isinstance(value, bool):
-                if typed or isinstance(value, str):
-                    raise ValueError("type mismatch")
-                if not isinstance(value, int):
-                    # keep a fractional literal fractional — int()
-                    # truncation would unsoundly skip boundary files —
-                    # but never round-trip an exact int through float
-                    # (ints above 2^53 would corrupt)
-                    v = float(value)
-                    value = int(v) if v.is_integer() else v
-            elif itype in ("float", "double"):
-                if typed or isinstance(value, str):
-                    raise ValueError("type mismatch")
-                value = float(value)
-            elif itype == "date":
-                if isinstance(value, dt.datetime):
-                    raise ValueError("timestamp literal vs date column")
-                if isinstance(value, str):
-                    if not _CANON_DATE_RE.fullmatch(value.strip()):
-                        raise ValueError("non-canonical date literal")
-                    value = dt.date.fromisoformat(value.strip())
-            elif itype in ("timestamp", "timestamptz"):
-                if isinstance(value, dt.date) \
-                        and not isinstance(value, dt.datetime):
-                    raise ValueError("date literal vs timestamp column")
-                value = _ts_utc_naive(value, session_tz,
-                                      ntz=(itype == "timestamp"))
-                if value is None:
-                    raise ValueError(
-                        "literal/zone not resolvable for timestamp "
-                        "pruning")
-            elif itype == "string":
-                if typed:
-                    # `scol = DATE '...'` casts the STRING COLUMN, so
-                    # raw string bounds are not comparable
-                    raise ValueError("typed literal vs string column")
+        if op == "in":
+            members = (value if isinstance(value, (list, tuple))
+                       else [value])
+            if not members:
+                raise ValueError("empty IN list")
+            value = tuple(_coerce_one(m) for m in members)
+        elif op not in ("isnull", "notnull"):
+            value = _coerce_one(value)
     except (ValueError, TypeError) as e:
         raise IcebergError(
             f"cannot coerce literal {value!r} to {itype} for "
@@ -644,6 +657,20 @@ def prune_data_files(table_path: str, col: str, op: str, value,
             if rc is not None and int(rc) == 0:
                 skipped.append(p)        # empty file: nothing matches
                 continue
+            if op in ("isnull", "notnull"):
+                nvc = None
+                for kv in d.get("null_value_counts") or []:
+                    if int(kv.get("key", -1)) == fid \
+                            and kv.get("value") is not None:
+                        nvc = int(kv["value"])
+                if nvc is None:
+                    keep.append(p)       # unknowable -> conservative
+                elif op == "isnull":
+                    (skipped if nvc == 0 else keep).append(p)
+                else:
+                    (skipped if rc is not None and nvc == int(rc)
+                     else keep).append(p)
+                continue
             lo = decode_single_value(
                 _bounds_map(d, "lower_bounds").get(fid), itype)
             hi = decode_single_value(
@@ -652,11 +679,14 @@ def prune_data_files(table_path: str, col: str, op: str, value,
                 keep.append(p)           # unknowable -> conservative
                 continue
             try:
-                ok = {"=": lambda: lo <= value <= hi,
-                      "<": lambda: lo < value,
-                      "<=": lambda: lo <= value,
-                      ">": lambda: hi > value,
-                      ">=": lambda: hi >= value}[op]()
+                if op == "in":
+                    ok = any(lo <= m <= hi for m in value)
+                else:
+                    ok = {"=": lambda: lo <= value <= hi,
+                          "<": lambda: lo < value,
+                          "<=": lambda: lo <= value,
+                          ">": lambda: hi > value,
+                          ">=": lambda: hi >= value}[op]()
             except TypeError:
                 ok = True                # incomparable -> conservative
             (keep if ok else skipped).append(p)

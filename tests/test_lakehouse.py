@@ -4751,3 +4751,264 @@ def test_merge_into_delta_cdf_replay(spark, tmp_path):
         merge_into_delta(spark, path, dup, "t.id = s.id", "t", "s",
                          update_set={"s": "s.s"})
     assert read_delta(spark, path).count() == 20
+
+
+def _mk_mapped_table(spark, path, partitioned=True):
+    """NAME-mode column-mapped table with TWO physical data files
+    (col-aaa/col-bbb storing logical id/name; col-ppp the partition
+    column when partitioned) — the r15 read fixture shape, reused by
+    the r16 mapped-DML tests."""
+    from pyspark.sql import types as T
+
+    os.makedirs(path)
+    pdata = T.StructType([T.StructField("col-aaa", T.LongType()),
+                          T.StructField("col-bbb", T.StringType())])
+    for i, rows in enumerate([[(1, "x"), (2, "y")], [(3, "z")]]):
+        sub = os.path.join(path, f"stage{i}")
+        spark.createDataFrame(rows, pdata).coalesce(1) \
+            .write.parquet(sub)
+        part = next(f for f in os.listdir(sub)
+                    if f.endswith(".parquet"))
+        os.rename(os.path.join(sub, part),
+                  os.path.join(path, f"part-{i}.parquet"))
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-aaa"}},
+        {"name": "name", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-bbb"}},
+    ]
+    pcols = []
+    if partitioned:
+        fields.append(
+            {"name": "p", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName":
+                          "col-ppp"}})
+        pcols = ["col-ppp"]
+    schema_string = json.dumps({"type": "struct", "fields": fields})
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "cmdml",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema_string,
+                      "partitionColumns": pcols,
+                      "configuration": {
+                          "delta.columnMapping.mode": "name",
+                          "delta.columnMapping.maxColumnId": "3"},
+                      "createdTime": 0}},
+        {"add": {"path": "part-0.parquet",
+                 "partitionValues": {"col-ppp": "7"} if partitioned
+                 else {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "part-1.parquet",
+                 "partitionValues": {"col-ppp": "8"} if partitioned
+                 else {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def test_mapped_table_dml(spark, tmp_path):
+    """r16 (r15 'what's missing' #5): DELETE / UPDATE / MERGE /
+    OPTIMIZE / ZORDER work on column-mapped tables — predicates and
+    assignments evaluate under LOGICAL names, rewritten files store
+    PHYSICAL names + field ids, partitionValues stay physical, and
+    untouched files carry over verbatim."""
+    from lightning_metastore_spark.sources.delta_reader import (
+        _file_field_id_names,
+        delete_where,
+        merge_into_delta,
+        update_where,
+    )
+
+    path = str(tmp_path / "cmdml")
+    _mk_mapped_table(spark, path)
+
+    # UPDATE touches only part-0 (id=1 lives there)
+    n = update_where(spark, path, {"name": "upper(name)"}, "id = 1")
+    assert n == 1
+    snap = resolve_snapshot(spark, path)
+    assert "part-1.parquet" in {r for r, _ in snap.files}  # untouched
+    rows = {r.id: (r.name, r.p)
+            for r in read_delta(spark, path).collect()}
+    assert rows == {1: ("X", 7), 2: ("y", 7), 3: ("z", 8)}
+    # the rewritten file stores PHYSICAL names + field ids and its
+    # log entry keys partitionValues physically
+    new_rel = next(r for r, _ in snap.files
+                   if r not in ("part-0.parquet", "part-1.parquet"))
+    idmap = _file_field_id_names(os.path.join(path, new_rel))
+    assert idmap == {1: "col-aaa", 2: "col-bbb"}
+    pv = dict(snap.files)[new_rel]
+    assert pv == {"col-ppp": "7"}
+
+    # DELETE with a logical-name predicate
+    assert delete_where(spark, path, "name = 'z'") == 1
+    assert sorted(r.id for r in read_delta(spark, path).collect()) \
+        == [1, 2]
+
+    # MERGE upsert (update id=2, insert id=9)
+    src = spark.createDataFrame([(2, "merged", 7), (9, "new", 8)],
+                                "id long, name string, p int")
+    out = merge_into_delta(spark, path, src, "t.id = s.id", "t", "s",
+                           update_set={"name": "s.name"},
+                           insert_all=True)
+    assert (out["n_updated"], out["n_inserted"]) == (1, 1)
+    rows = {r.id: (r.name, r.p)
+            for r in read_delta(spark, path).collect()}
+    assert rows == {1: ("X", 7), 2: ("merged", 7), 9: ("new", 8)}
+
+    # OPTIMIZE compacts the (now two) p=7 files; content unchanged
+    from pyspark.sql import types as T2
+
+    from lightning_metastore_spark.sources.delta_reader import (
+        optimize_delta,
+        zorder_delta,
+    )
+    write_delta(spark.createDataFrame(
+        [(4, "w", 7)],
+        T2.StructType([T2.StructField("id", T2.LongType()),
+                       T2.StructField("name", T2.StringType()),
+                       T2.StructField("p", T2.IntegerType())])),
+        path, mode="append")
+    rows[4] = ("w", 7)
+    res = optimize_delta(spark, path)
+    assert res["files_removed"] >= 2
+    rows2 = {r.id: (r.name, r.p)
+             for r in read_delta(spark, path).collect()}
+    assert rows2 == rows
+
+    # ZORDER BY a logical column
+    res = zorder_delta(spark, path, ["id"])
+    assert res["files_removed"] >= 1
+    rows3 = {r.id: (r.name, r.p)
+             for r in read_delta(spark, path).collect()}
+    assert rows3 == rows
+
+    # time travel across all of it still resolves
+    assert read_delta(spark, path, version_as_of=0).count() == 3
+
+
+def test_mapped_table_check_constraints_compose(spark, tmp_path):
+    """CHECK constraints + column mapping compose (r16): ALTER ADD
+    CONSTRAINT validates existing rows, violating appends/updates are
+    refused with nothing committed, passing ones land — all under
+    logical names while the staged files stay physical."""
+    from lightning_metastore_spark.sources.delta_reader import (
+        alter_delta,
+        update_where,
+    )
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "cmchk")
+    _mk_mapped_table(spark, path, partitioned=False)
+    alter_delta(spark, path, add_constraint=("idpos", "id > 0"))
+    with pytest.raises(DeltaLogError, match="cannot ADD CONSTRAINT"):
+        alter_delta(spark, path,
+                    add_constraint=("bad", "id > 100"))
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("name", T.StringType())])
+    # violating append refused, nothing committed
+    v_before = resolve_snapshot(spark, path).version
+    with pytest.raises(DeltaLogError, match="violates"):
+        write_delta(spark.createDataFrame([(-5, "bad")], schema),
+                    path, mode="append")
+    assert resolve_snapshot(spark, path).version == v_before
+    # passing append lands
+    write_delta(spark.createDataFrame([(10, "ok")], schema),
+                path, mode="append")
+    assert read_delta(spark, path).count() == 4
+    # violating UPDATE refused
+    with pytest.raises(DeltaLogError, match="violates"):
+        update_where(spark, path, {"id": "-id"}, "id = 10")
+    assert read_delta(spark, path).where("id = 10").count() == 1
+
+
+def test_prune_null_and_in_conjuncts(spark, tmp_path):
+    """r16: `IS [NOT] NULL` prunes on nullCount/partitionValues and
+    `IN (...)` admits a file when ANY member admits — on both formats,
+    end-to-end through routed SQL, with results identical to the
+    unpruned query."""
+    from lightning_metastore_spark.context import LightningContext
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        write_iceberg,
+    )
+
+    base = tmp_path / "nin"
+    base.mkdir()
+    path = str(base / "ev")
+    # file 0: ids 0..9, s never NULL; file 1: ids 10..19, s ALL NULL
+    write_delta(spark.range(0, 10).selectExpr(
+        "id", "CAST(id AS STRING) AS s").coalesce(1), path,
+        mode="append")
+    write_delta(spark.range(10, 20).selectExpr(
+        "id", "CAST(NULL AS STRING) AS s").coalesce(1), path,
+        mode="append")
+
+    # unit level
+    pruned = read_delta(spark, path, prune=[("s", "isnull", None)])
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.where("s IS NULL").count() == 10
+    pruned = read_delta(spark, path, prune=[("s", "notnull", None)])
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.where("s IS NOT NULL").count() == 10
+    pruned = read_delta(spark, path, prune=[("id", "in", (3, 5))])
+    assert len(pruned.inputFiles()) == 1
+    assert sorted(r.id for r in
+                  pruned.where("id IN (3, 5)").collect()) == [3, 5]
+    # one member in each file: both kept
+    assert len(read_delta(spark, path,
+                          prune=[("id", "in", (3, 15))]
+                          ).inputFiles()) == 2
+
+    # routed SQL
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.delta")
+    ctx.sql(f"REGISTER DELTA DATASOURCE d OPTIONS(path '{base}') "
+            "NAMESPACE lightning.datasource.delta")
+    t = "lightning.datasource.delta.d.ev"
+    df = ctx.sql(f"SELECT id FROM {t} WHERE s IS NULL AND id IN (12, 14)")
+    assert len(df.inputFiles()) == 1
+    assert sorted(r.id for r in df.collect()) == [12, 14]
+
+    # Iceberg twin (null counts ride the manifests)
+    wh = tmp_path / "ninwh"
+    wh.mkdir()
+    ip = str(wh / "acc")
+    write_iceberg(spark.range(0, 10).selectExpr(
+        "id", "CAST(id AS STRING) AS s").coalesce(1), ip, mode="error")
+    write_iceberg(spark.range(10, 20).selectExpr(
+        "id", "CAST(NULL AS STRING) AS s").coalesce(1), ip,
+        mode="append")
+    assert len(ir.read_iceberg(
+        spark, ip, prune=[("s", "isnull", None)]).inputFiles()) == 1
+    assert len(ir.read_iceberg(
+        spark, ip, prune=[("s", "notnull", None)]).inputFiles()) == 1
+    assert len(ir.read_iceberg(
+        spark, ip, prune=[("id", "in", (3, 5))]).inputFiles()) == 1
+    assert len(ir.read_iceberg(
+        spark, ip, prune=[("id", "in", (3, 15))]).inputFiles()) == 2
+    got = ir.read_iceberg(spark, ip,
+                          prune=[("id", "in", (3, 5))])
+    assert sorted(r.id for r in
+                  got.where("id IN (3, 5)").collect()) == [3, 5]
+
+    # NULL-partitioned Delta: IS NULL keeps only the NULL partition
+    pp = str(base / "evp")
+    write_delta(spark.createDataFrame(
+        [(i, "a" if i < 10 else None) for i in range(20)],
+        "id long, cat string"), pp, mode="error",
+        partition_by=["cat"])
+    pruned = read_delta(spark, pp, prune=[("cat", "isnull", None)])
+    assert 0 < len(pruned.inputFiles())
+    assert pruned.where("cat IS NULL").count() == 10
+    assert read_delta(spark, pp,
+                      prune=[("cat", "notnull", None)]
+                      ).where("cat IS NOT NULL").count() == 10
