@@ -323,3 +323,98 @@ def deleted_rows_df(spark, table_path: str,
             F.col("__dv_start"),
             F.col("__dv_start") + F.col("__dv_n") - F.lit(1)
         )).alias("__dv_pos"))
+
+
+# ---------------------------------------------------------------------------
+# encoding — the write-side inverse (offline merge-on-read DELETE)
+# ---------------------------------------------------------------------------
+
+def z85_encode(b: bytes) -> str:
+    """ZeroMQ Z85: 4 bytes -> 5 chars, big-endian base-85 groups."""
+    if len(b) % 4 != 0:
+        raise DeletionVectorError(
+            f"Z85 input length must be a multiple of 4, got {len(b)}")
+    out = []
+    for i in range(0, len(b), 4):
+        v = int.from_bytes(b[i:i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            v, r = divmod(v, 85)
+            chunk.append(_Z85_ALPHABET[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _write_roaring32(values: list[int]) -> bytes:
+    """Sorted, unique uint32 values -> one 32-bit RoaringBitmap in the
+    RoaringFormatSpec portable layout (cookie 12346: no run
+    containers, explicit count + offset header — the simplest valid
+    encoding; array containers <=4096 values, bitmap containers
+    above). Any compliant reader (delta-spark's RoaringBitmapArray
+    included) accepts this subset."""
+    containers: list[tuple[int, list[int]]] = []
+    for v in values:
+        key = v >> 16
+        if not containers or containers[-1][0] != key:
+            containers.append((key, []))
+        containers[-1][1].append(v & 0xFFFF)
+    n = len(containers)
+    header = struct.pack("<II", _SERIAL_COOKIE_NO_RUNCONTAINER, n)
+    desc = b"".join(struct.pack("<HH", key, len(vals) - 1)
+                    for key, vals in containers)
+    # container payloads, then offsets measured from the bitmap start
+    payloads: list[bytes] = []
+    for _key, vals in containers:
+        if len(vals) <= _ARRAY_MAX_CARD:
+            payloads.append(struct.pack(f"<{len(vals)}H", *vals))
+        else:
+            words = [0] * 1024
+            for lo in vals:
+                words[lo >> 6] |= 1 << (lo & 63)
+            payloads.append(struct.pack("<1024Q", *words))
+    base = len(header) + len(desc) + 4 * n
+    offsets = []
+    pos = base
+    for p in payloads:
+        offsets.append(pos)
+        pos += len(p)
+    off = struct.pack(f"<{n}I", *offsets) if n else b""
+    return header + desc + off + b"".join(payloads)
+
+
+def encode_bitmap(rows: list[int]) -> bytes:
+    """Sorted, unique 64-bit row indexes -> RoaringBitmapArray
+    portable bytes (the inverse of `decode_bitmap`)."""
+    groups: list[tuple[int, list[int]]] = []
+    for v in rows:
+        hi = v >> 32
+        if not groups or groups[-1][0] != hi:
+            groups.append((hi, []))
+        groups[-1][1].append(v & 0xFFFFFFFF)
+    out = [struct.pack("<iq", _MAGIC, len(groups))]
+    for hi, vals in groups:
+        out.append(struct.pack("<I", hi))
+        out.append(_write_roaring32(vals))
+    return b"".join(out)
+
+
+def write_dv_file(table_path: str, rows: list[int]) -> dict:
+    """Serialize ``rows`` (sorted, unique 64-bit row indexes) as an
+    on-disk deletion vector under ``table_path`` and return the add
+    action's `deletionVector` descriptor (storageType "u", spec file
+    layout: version byte, 4-byte BE size, bitmap, 4-byte BE CRC-32)."""
+    import uuid as _uuid
+    if not rows:
+        raise DeletionVectorError("empty deletion vector")
+    bm = encode_bitmap(rows)
+    u = _uuid.uuid4()
+    name = f"deletion_vector_{u}.bin"
+    data = (b"\x01" + struct.pack(">i", len(bm)) + bm
+            + struct.pack(">I", zlib.crc32(bm) & 0xFFFFFFFF))
+    with open(os.path.join(table_path, name), "wb") as fh:
+        fh.write(data)
+    return {"storageType": "u",
+            "pathOrInlineDv": z85_encode(u.bytes),
+            "offset": 1,
+            "sizeInBytes": len(bm),
+            "cardinality": len(rows)}

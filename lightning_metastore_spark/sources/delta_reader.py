@@ -1203,13 +1203,15 @@ def read_delta(spark: SparkSession, path: str,
 
 def _snapshot_scan(spark: SparkSession, path: str, snap: DeltaSnapshot,
                    file_tag: Optional[str] = None,
-                   file_subset: Optional[set] = None) -> DataFrame:
+                   file_subset: Optional[set] = None,
+                   pos_tag: Optional[str] = None) -> DataFrame:
     """DataFrame over a resolved snapshot. ``file_tag`` appends a
     column carrying each row's normalized source-file path (the DV
     join's normalization — `file:` scheme stripped), which the
-    file-granular DELETE uses to find touched files. ``file_subset``
-    restricts the scan to the given logged add.path values (the
-    DELETE survivor-rewrite pass)."""
+    file-granular DELETE uses to find touched files; ``pos_tag``
+    appends `_metadata.row_index` (the merge-on-read DELETE's DV
+    row positions). ``file_subset`` restricts the scan to the given
+    logged add.path values (the DELETE survivor-rewrite pass)."""
     files = snap.files
     dv = snap.dv
     if file_subset is not None:
@@ -1275,12 +1277,15 @@ def _snapshot_scan(spark: SparkSession, path: str, snap: DeltaSnapshot,
                                           path),
                           f.nullable)
             for f in data_fields])
-    out_cols = [f.name for f in snap.schema.fields] + (
-        [file_tag] if file_tag else [])
+    out_cols = ([f.name for f in snap.schema.fields]
+                + ([file_tag] if file_tag else [])
+                + ([pos_tag] if pos_tag else []))
     if not files:
         df = spark.createDataFrame([], snap.schema)
         if file_tag:
             df = df.withColumn(file_tag, F.lit(None).cast("string"))
+        if pos_tag:
+            df = df.withColumn(pos_tag, F.lit(None).cast("long"))
         return df
 
     # Hive-layout fast-path eligibility (see the comment at the branch
@@ -1337,6 +1342,8 @@ def _snapshot_scan(spark: SparkSession, path: str, snap: DeltaSnapshot,
             df = df.withColumn(
                 file_tag, F.regexp_replace(F.col("_metadata.file_path"),
                                            r"^file:/+", "/"))
+        if pos_tag:
+            df = df.withColumn(pos_tag, F.col("_metadata.row_index"))
         if deleted is None:
             return df
         tagged = df.withColumns({
@@ -1362,6 +1369,8 @@ def _snapshot_scan(spark: SparkSession, path: str, snap: DeltaSnapshot,
                     for sf, f in zip(schema.fields, data_fields)]
             if file_tag:
                 keep.append(F.col(file_tag))
+            if pos_tag:
+                keep.append(F.col(pos_tag))
             df = df.select(*keep)
         for c in snap.partition_columns:
             # partitionValues keys are physical under column mapping;
@@ -2182,10 +2191,18 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         if any((f.metadata or {}).get("delta.invariants")
                for f in df.schema.fields):
             feats.append("invariants")
+        dv_on = str((configuration or {}).get(
+            "delta.enableDeletionVectors", "")).lower() == "true"
+        if dv_on:
+            feats.append("deletionVectors")
         if feats:
-            actions.append({"protocol": {
-                "minReaderVersion": 1, "minWriterVersion": 7,
-                "writerFeatures": feats}})
+            proto = {"minReaderVersion": 3 if dv_on else 1,
+                     "minWriterVersion": 7,
+                     "writerFeatures": sorted(feats)}
+            if dv_on:
+                # deletionVectors is a READER feature too (mrv 3)
+                proto["readerFeatures"] = ["deletionVectors"]
+            actions.append({"protocol": proto})
         else:
             actions.append({"protocol": {"minReaderVersion": 1,
                                          "minWriterVersion": 2}})
@@ -2239,6 +2256,23 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
 _DELETE_SIMPLE_PRED = re.compile(
     r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|=|<|>)\s*"
     r"(?:(-?\d+(?:\.\d+)?)|'([^']*)')\s*$")
+
+
+# legacy minWriterVersion implications, CUMULATIVE per the
+# table-features spec — shared by every legacy->v7 protocol upgrade
+_LEGACY_WRITER_FEATS = {
+    2: ["appendOnly", "invariants"],
+    3: ["checkConstraints"],
+    4: ["changeDataFeed", "generatedColumns"],
+    5: ["columnMapping"],
+    6: ["identityColumns"],
+}
+_LEGACY_READER_FEATS = {2: ["columnMapping"]}
+
+
+def _legacy_writer_feats(mwv: int) -> list[str]:
+    return [f for v, feats in _LEGACY_WRITER_FEATS.items()
+            if v <= mwv for f in feats]
 
 
 def alter_delta(spark: SparkSession, path: str,
@@ -2298,6 +2332,9 @@ def alter_delta(spark: SparkSession, path: str,
         if str(conf.get("delta.enableChangeDataFeed", "")
                ).lower() == "true":
             new_feats.add("changeDataFeed")
+        if str(conf.get("delta.enableDeletionVectors", "")
+               ).lower() == "true":
+            new_feats.add("deletionVectors")
 
     if add_constraint:
         cname, cexpr = add_constraint
@@ -2337,27 +2374,40 @@ def alter_delta(spark: SparkSession, path: str,
         # (dropping e.g. a mwv=4 table's changeDataFeed on upgrade
         # would let external writers commit cdc-less deletes and
         # corrupt the feed — the r15 ADVICE edge)
-        _LEGACY_WRITER_FEATS = {
-            2: ["appendOnly", "invariants"],
-            3: ["checkConstraints"],
-            4: ["changeDataFeed", "generatedColumns"],
-            5: ["columnMapping"],
-            6: ["identityColumns"],
-        }
         mwv = int(proto.get("minWriterVersion") or 1)
-        legacy = [f for v, feats in _LEGACY_WRITER_FEATS.items()
-                  if v <= mwv for f in feats]
-        proto = {"minReaderVersion":
-                 int(proto.get("minReaderVersion") or 1),
+        legacy = _legacy_writer_feats(mwv)
+        mrv = int(proto.get("minReaderVersion") or 1)
+        rfeats = set(proto.get("readerFeatures") or [])
+        if "deletionVectors" in missing_feats:
+            # deletionVectors is a reader feature: lift to mrv 3 and
+            # carry the legacy reader implications (mrv 2 =
+            # columnMapping) alongside
+            if mrv < 3:
+                rfeats |= {f for v, feats in
+                           _LEGACY_READER_FEATS.items()
+                           if v <= mrv for f in feats}
+                mrv = 3
+            rfeats.add("deletionVectors")
+        proto = {"minReaderVersion": mrv,
                  "minWriterVersion": 7,
                  "writerFeatures": sorted(set(legacy) | have
                                           | missing_feats)}
-        if proto["minReaderVersion"] >= 3:
-            proto["readerFeatures"] = list(
-                snap.protocol.get("readerFeatures") or [])
+        if mrv >= 3:
+            proto["readerFeatures"] = sorted(rfeats)
         actions.append({"protocol": proto})
     elif missing_feats:
+        proto = dict(proto)
         proto["writerFeatures"] = sorted(have | missing_feats)
+        if "deletionVectors" in missing_feats:
+            mrv = int(proto.get("minReaderVersion") or 1)
+            rfeats = set(proto.get("readerFeatures") or [])
+            if mrv < 3:
+                rfeats |= {f for v, feats in
+                           _LEGACY_READER_FEATS.items()
+                           if v <= mrv for f in feats}
+            proto["minReaderVersion"] = 3
+            proto["readerFeatures"] = sorted(rfeats
+                                             | {"deletionVectors"})
         actions.append({"protocol": proto})
     actions.append(_meta_action(
         getattr(snap, "meta_id", None) or "alter",
@@ -2465,6 +2515,34 @@ def delete_where(spark: SparkSession, path: str,
                 f"{r['__delta_file']!r} — refusing to commit")
         touched.add(rel)
         n_deleted += int(r["count"])
+
+    # merge-on-read (deletion-vector) mode: when the table opts in
+    # via delta.enableDeletionVectors, a small predicated DELETE
+    # writes per-file DV bitmaps instead of rewriting files — at
+    # 100 TB, deleting 10 rows from a 1 GB file writes a KB bitmap.
+    # The rewrite path stays the fallback when the total (new +
+    # already-DV'd) deleted rows per commit exceed the driver-side
+    # collect budget, or an existing DV's cardinality is unknown.
+    conf = getattr(snap, "configuration", None) or {}
+    dv_mode = (str(conf.get("delta.enableDeletionVectors", "")
+                   ).lower() == "true")
+    if dv_mode:
+        existing_card = 0
+        for rel in touched:
+            d = snap.dv.get(rel)
+            if d is None:
+                continue
+            if d.get("cardinality") is None:
+                dv_mode = False
+                break
+            existing_card += int(d["cardinality"])
+        if n_deleted + existing_card > DV_DELETE_MAX_ROWS:
+            dv_mode = False
+    if dv_mode:
+        return _dv_delete_commit(spark, path, snap, predicate,
+                                 touched, by_key, n_deleted,
+                                 cdf_enabled, now_ms)
+
     # survivors of the touched files only; partition columns ride along
     # for the predicate, then the partitioned stage strips them again
     survivors = (_snapshot_scan(spark, path, snap, file_subset=touched)
@@ -2512,6 +2590,126 @@ def delete_where(spark: SparkSession, path: str,
                "dataChange": True}
         if stats:
             add["stats"] = stats
+        actions.append({"add": add})
+    _write_commit(path, snap.version + 1, actions)
+    return n_deleted
+
+
+# driver-side collect budget for merge-on-read DELETEs: above this
+# many deleted rows (new + already-DV'd in touched files) the rewrite
+# path is the better plan anyway — the delete is no longer "small"
+DV_DELETE_MAX_ROWS = 1_000_000
+
+
+def _dv_delete_commit(spark: SparkSession, path: str,
+                      snap: DeltaSnapshot, predicate: str,
+                      touched: set, by_key: dict, n_deleted: int,
+                      cdf_enabled: bool, now_ms: int) -> int:
+    """Merge-on-read half of `delete_where`: write one deletion
+    vector per touched file (existing DV rows unioned in — the scan
+    already excludes them, so new positions are disjoint) and commit
+    remove+add pairs that keep every data file in place. The add
+    repeats the file's partitionValues/size/stats with
+    `tightBounds: false` (deleted rows may have carried the min/max —
+    bounds stay valid OUTER bounds, so stats pruning stays sound);
+    the remove carries the file's PRE-COMMIT DV descriptor so CDF
+    range readers track state exactly. Upgrades the protocol to
+    (3, 7) + deletionVectors in the SAME commit when the table
+    enabled DVs by property but predates the feature."""
+    from lightning_metastore_spark.sources import delta_dv
+
+    tagged = _snapshot_scan(spark, path, snap,
+                            file_tag="__delta_file",
+                            pos_tag="__delta_pos",
+                            file_subset=touched)
+    pos_rows = (tagged.filter(f"coalesce(({predicate}), false)")
+                .select("__delta_file", "__delta_pos").collect())
+    pos_by_rel: dict[str, list[int]] = {}
+    for r in pos_rows:
+        rel = by_key.get(r["__delta_file"])
+        if rel is None:
+            raise DeltaLogError(
+                f"DELETE matched rows in unrecognized source file "
+                f"{r['__delta_file']!r} — refusing to commit")
+        pos_by_rel.setdefault(rel, []).append(int(r["__delta_pos"]))
+
+    cdc_actions: list[dict] = []
+    if cdf_enabled:
+        deleted_rows = (
+            _snapshot_scan(spark, path, snap, file_subset=touched)
+            .filter(f"coalesce(({predicate}), false)")
+            .withColumn("_change_type", F.lit("delete")))
+        cmoved = _stage_files(deleted_rows,
+                              os.path.join(path, "_change_data"),
+                              os.path.join(path, f".cdc-{now_ms}"),
+                              snap.partition_columns)
+        for rel, size, pv, _st in cmoved:
+            cdc_actions.append({"cdc": {
+                "path": "/".join(["_change_data",
+                                  rel.replace(os.sep, "/")]),
+                "partitionValues": pv, "size": size,
+                "dataChange": False}})
+
+    actions: list[dict] = [
+        {"commitInfo": {"timestamp": now_ms, "operation": "DELETE",
+                        "operationParameters": {
+                            "predicate": predicate}}}]
+    proto = dict(getattr(snap, "protocol", None)
+                 or {"minReaderVersion": 1, "minWriterVersion": 2})
+    wf = set(proto.get("writerFeatures") or [])
+    rf = set(proto.get("readerFeatures") or [])
+    if "deletionVectors" not in wf or "deletionVectors" not in rf:
+        mrv = int(proto.get("minReaderVersion") or 1)
+        mwv = int(proto.get("minWriterVersion") or 1)
+        legacy_w = (set(_legacy_writer_feats(mwv)) if mwv < 7
+                    else set())
+        legacy_r = (set(f for v, feats in _LEGACY_READER_FEATS.items()
+                        if v <= mrv for f in feats) if mrv < 3
+                    else set())
+        actions.append({"protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(rf | legacy_r
+                                     | {"deletionVectors"}),
+            "writerFeatures": sorted(wf | legacy_w
+                                     | {"deletionVectors"})}})
+    actions.extend(cdc_actions)
+
+    pv_by_rel = dict(snap.files)
+    for rel in sorted(touched):
+        new_pos = pos_by_rel.get(rel) or []
+        old_desc = snap.dv.get(rel)
+        if old_desc is not None:
+            rows = sorted({v for s, c in
+                           delta_dv.read_dv_runs(old_desc, path)
+                           for v in range(s, s + c)}
+                          | set(new_pos))
+        else:
+            rows = sorted(new_pos)
+        if not rows:
+            continue
+        desc = delta_dv.write_dv_file(path, rows)
+        remove = {"path": rel, "deletionTimestamp": now_ms,
+                  "dataChange": True}
+        if old_desc is not None:
+            remove["deletionVector"] = old_desc
+        actions.append({"remove": remove})
+        add = {"path": rel,
+               "partitionValues": pv_by_rel.get(rel) or {},
+               "size": os.path.getsize(
+                   os.path.join(path, _resolve_rel(path, rel))),
+               "modificationTime": now_ms,
+               "dataChange": True,
+               "deletionVector": desc}
+        st = snap.stats.get(rel)
+        if st:
+            try:
+                parsed = json.loads(st)
+                parsed["tightBounds"] = False
+                add["stats"] = json.dumps(parsed,
+                                          separators=(",", ":"))
+            except ValueError:
+                pass
         actions.append({"add": add})
     _write_commit(path, snap.version + 1, actions)
     return n_deleted

@@ -5012,3 +5012,114 @@ def test_prune_null_and_in_conjuncts(spark, tmp_path):
     assert read_delta(spark, pp,
                       prune=[("cat", "notnull", None)]
                       ).where("cat IS NOT NULL").count() == 10
+
+
+def test_delete_writes_deletion_vectors(spark, tmp_path, monkeypatch):
+    """r16 merge-on-read DELETE: with delta.enableDeletionVectors a
+    small predicated DELETE writes per-file DV bitmaps instead of
+    rewriting files — data files stay physically in place, a second
+    delete UNIONs into a fresh DV, stats keep (outer) bounds with
+    tightBounds=false, the protocol carries (3,7)+deletionVectors,
+    pre-delete versions time-travel, checkpoints carry the DV, and
+    over-budget deletes fall back to the rewrite path."""
+    import lightning_metastore_spark.sources.delta_reader as dr
+    from lightning_metastore_spark.sources.delta_reader import (
+        delete_where,
+        write_checkpoint,
+    )
+
+    path = str(tmp_path / "dvd")
+    for lo in (0, 10):
+        write_delta(_delta_df(spark, lo, lo + 10).coalesce(1), path,
+                    mode="append" if lo else "error",
+                    configuration={"delta.enableDeletionVectors":
+                                   "true"})
+    snap0 = resolve_snapshot(spark, path)
+    assert snap0.protocol["minReaderVersion"] == 3
+    assert "deletionVectors" in snap0.protocol["readerFeatures"]
+    files0 = {r for r, _ in snap0.files}
+
+    assert delete_where(spark, path, "id IN (3, 5, 17)") == 3
+    snap1 = resolve_snapshot(spark, path)
+    # same physical data files, now DV-carrying
+    assert {r for r, _ in snap1.files} == files0
+    assert set(snap1.dv) == files0  # both files got a DV
+    assert all(os.path.exists(os.path.join(path, r)) for r in files0)
+    got = sorted(r.id for r in read_delta(spark, path).collect())
+    assert got == [i for i in range(20) if i not in (3, 5, 17)]
+    # stats kept as outer bounds, marked non-tight
+    st = json.loads(next(iter(snap1.stats.values())))
+    assert st["tightBounds"] is False
+    # ...and still prune (outer bounds are valid)
+    assert len(read_delta(spark, path,
+                          prune=[("id", ">=", 15)]).inputFiles()) == 1
+    # time travel to the pre-delete version
+    assert read_delta(spark, path, version_as_of=1).count() == 20
+
+    # second delete on the same file UNIONs into a fresh DV
+    assert delete_where(spark, path, "id = 4") == 1
+    snap2 = resolve_snapshot(spark, path)
+    assert {r for r, _ in snap2.files} == files0
+    got = sorted(r.id for r in read_delta(spark, path).collect())
+    assert got == [i for i in range(20) if i not in (3, 4, 5, 17)]
+    from lightning_metastore_spark.sources import delta_dv
+    # one file's DV holds exactly {3,4,5}, the other's {17}
+    for r in files0:
+        rows = delta_dv.read_dv(snap2.dv[r], path)
+        assert rows in ([3, 4, 5], [7])
+    # checkpoint carries the DVs
+    write_checkpoint(spark, path)
+    log = os.path.join(path, "_delta_log")
+    for f in list(os.listdir(log)):
+        if f.endswith(".json"):
+            os.remove(os.path.join(log, f))
+    got = sorted(r.id for r in read_delta(spark, path).collect())
+    assert got == [i for i in range(20) if i not in (3, 4, 5, 17)]
+
+    # over-budget delete falls back to the rewrite path
+    p2 = str(tmp_path / "dvd2")
+    write_delta(_delta_df(spark, 0, 10).coalesce(1), p2, mode="error",
+                configuration={"delta.enableDeletionVectors": "true"})
+    monkeypatch.setattr(dr, "DV_DELETE_MAX_ROWS", 1)
+    assert delete_where(spark, p2, "id < 3") == 3
+    snapf = resolve_snapshot(spark, p2)
+    assert not snapf.dv                    # rewritten, no DV
+    assert read_delta(spark, p2).count() == 7
+
+
+def test_dv_delete_cdf_and_alter_upgrade(spark, tmp_path):
+    """DV-mode DELETE on a CDF table emits exact delete cdc (the feed
+    never sees survivors); enabling DVs via ALTER on an existing
+    legacy table upgrades the protocol to (3,7) with the cumulative
+    legacy features, and the first DV delete commits bitmaps."""
+    from lightning_metastore_spark.sources.delta_reader import (
+        alter_delta,
+        delete_where,
+        table_changes,
+    )
+
+    path = str(tmp_path / "dvc")
+    write_delta(_delta_df(spark, 0, 10).coalesce(1), path, mode="error",
+                configuration={"delta.enableChangeDataFeed": "true",
+                               "delta.enableDeletionVectors": "true"})
+    assert delete_where(spark, path, "id = 6") == 1
+    snap = resolve_snapshot(spark, path)
+    assert len(snap.dv) == 1               # merge-on-read took effect
+    ch = table_changes(spark, path, starting_version=1).collect()
+    assert [(r._change_type, r.id) for r in ch] == [("delete", 6)]
+
+    # legacy table -> ALTER enables DVs -> protocol upgraded
+    p2 = str(tmp_path / "dva")
+    write_delta(_delta_df(spark, 0, 10).coalesce(1), p2, mode="error")
+    alter_delta(spark, p2, set_properties={
+        "delta.enableDeletionVectors": "true"})
+    snap2 = resolve_snapshot(spark, p2)
+    assert snap2.protocol["minReaderVersion"] == 3
+    assert "deletionVectors" in snap2.protocol["readerFeatures"]
+    assert {"appendOnly", "invariants", "deletionVectors"} <= set(
+        snap2.protocol["writerFeatures"])
+    assert delete_where(spark, p2, "id = 2") == 1
+    snap3 = resolve_snapshot(spark, p2)
+    assert len(snap3.dv) == 1
+    assert sorted(r.id for r in read_delta(spark, p2).collect()) == \
+        [i for i in range(10) if i != 2]
