@@ -297,7 +297,8 @@ def read_iceberg(spark: SparkSession, table_path: str,
                  as_of_timestamp: Optional[int] = None,
                  file_tag: Optional[str] = None,
                  file_subset: Optional[set] = None,
-                 prune: Optional[list[tuple]] = None) -> DataFrame:
+                 prune: Optional[list[tuple]] = None,
+                 pos_tag: Optional[str] = None) -> DataFrame:
     """Snapshot scan. ``file_tag`` appends a column with each row's
     normalized source-file path (`file:` scheme stripped — the
     position-delete join's normalization), used by the file-granular
@@ -331,6 +332,8 @@ def read_iceberg(spark: SparkSession, table_path: str,
         df = spark.createDataFrame([], schema)
         if file_tag:
             df = df.withColumn(file_tag, F.lit(None).cast("string"))
+        if pos_tag:
+            df = df.withColumn(pos_tag, F.lit(None).cast("long"))
         return df
 
     # Identity-partition constant injection: the spec normally stores
@@ -348,7 +351,7 @@ def read_iceberg(spark: SparkSession, table_path: str,
     # branch (referencing _metadata above a union does not resolve),
     # so both paths materialize them up front when any consumer needs
     # them
-    need_meta = bool(file_tag or pos_del or eq_del)
+    need_meta = bool(file_tag or pos_tag or pos_del or eq_del)
     meta_cols = {
         "__ice_file": F.regexp_replace(F.col("_metadata.file_path"),
                                        r"^file:/+", "/"),
@@ -387,6 +390,8 @@ def read_iceberg(spark: SparkSession, table_path: str,
 
     if file_tag:
         df = df.withColumn(file_tag, F.col("__ice_file"))
+    if pos_tag:
+        df = df.withColumn(pos_tag, F.col("__ice_pos"))
     if pos_del:
         dels = (spark.read.parquet(*pos_del)
                 .select(F.regexp_replace(F.col("file_path"),
@@ -424,8 +429,9 @@ def read_iceberg(spark: SparkSession, table_path: str,
                                < F.lit(int(dseq)))
             df = df.join(F.broadcast(d), cond, "left_anti")
         df = df.drop("__ice_seq")
-    out_cols = [f.name for f in schema.fields] + (
-        [file_tag] if file_tag else [])
+    out_cols = ([f.name for f in schema.fields]
+                + ([file_tag] if file_tag else [])
+                + ([pos_tag] if pos_tag else []))
     return df.select(*out_cols)
 
 

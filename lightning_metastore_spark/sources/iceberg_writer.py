@@ -506,11 +506,15 @@ def _parquet_num_rows(p: str) -> int:
 
 def write_iceberg(df: DataFrame, table_path: str,
                   mode: str = "append",
-                  partition_by: Optional[list[str]] = None) -> None:
+                  partition_by: Optional[list[str]] = None,
+                  properties: Optional[dict] = None) -> None:
     """Create/append/overwrite an Iceberg table offline.
 
     ``partition_by`` (create time only) records an identity-transform
-    partition spec; appends/overwrites inherit the table's spec."""
+    partition spec; appends/overwrites inherit the table's spec.
+    ``properties`` (create time only) seeds the table's `properties`
+    map — e.g. `write.delete.mode = merge-on-read` switches DELETE to
+    position-delete files."""
     if mode not in ("append", "overwrite", "error", "errorifexists"):
         raise ir.IcebergError(f"unsupported save mode: {mode}")
     spark = df.sparkSession
@@ -604,6 +608,9 @@ def write_iceberg(df: DataFrame, table_path: str,
             "snapshots": [],
             "snapshot-log": [],
         }
+        if properties:
+            meta["properties"] = {str(k): str(v)
+                                  for k, v in properties.items()}
         os.makedirs(mdir, exist_ok=True)
         os.makedirs(ddir, exist_ok=True)
         seq, snap_id, parent, version = 1, 1, None, 1
@@ -1263,12 +1270,97 @@ def delete_where_iceberg(spark: SparkSession, table_path: str,
         touched.add(p)
         n_deleted += int(r["count"])
 
+    # v2 merge-on-read: when the table opts in via the Iceberg
+    # property `write.delete.mode = merge-on-read`, a predicated
+    # DELETE writes a POSITION-DELETE parquet (spec content=1) in a
+    # delete manifest instead of rewriting files — executor-side end
+    # to end, no driver collect of positions. Unpartitioned specs
+    # only (a partitioned spec would need per-partition delete files
+    # to stay spec-shaped); partitioned tables keep copy-on-write.
+    props = meta.get("properties") or {}
+    if (str(props.get("write.delete.mode", "")).lower()
+            == "merge-on-read" and not partition_by):
+        return _mor_delete_commit(spark, table_path, meta, snap,
+                                  predicate, touched, n_deleted, seq,
+                                  snap_id, parent, version, now_ms)
+
     survivors = (ir.read_iceberg(spark, table_path, file_subset=touched)
                  .filter(f"NOT coalesce(({predicate}), false)"))
     _commit_touched_rewrite(spark, table_path, meta, snap, touched,
                             survivors, "delete", partition_by,
                             spark_types, seq, snap_id, parent, version,
                             now_ms)
+    return n_deleted
+
+
+def _mor_delete_commit(spark: SparkSession, table_path: str,
+                       meta: dict, snap: dict, predicate: str,
+                       touched: set, n_deleted: int, seq: int,
+                       snap_id: int, parent, version: int,
+                       now_ms: int) -> int:
+    """Merge-on-read half of `delete_where_iceberg`: stage one
+    position-delete parquet (file_path carrying spec field id
+    2147483546, pos 2147483545 — matched by the reader's
+    `_metadata.file_path`/`row_index` anti-join) from the filtered
+    touched-file scan, wrap it in a content=1 DELETE manifest, and
+    carry every existing manifest over VERBATIM. Zero data movement:
+    deleting 10 rows from a 100 TB table writes one KB-scale parquet
+    plus planning metadata."""
+    mdir = os.path.join(table_path, "metadata")
+    ddir = os.path.join(table_path, "data")
+    tagged = ir.read_iceberg(spark, table_path, file_tag="__ice_src",
+                             pos_tag="__ice_posn",
+                             file_subset=touched)
+    dels = (tagged.filter(f"coalesce(({predicate}), false)")
+            .select(
+                F.col("__ice_src").alias(
+                    "file_path",
+                    metadata={"parquet.field.id": 2147483546}),
+                F.col("__ice_posn").cast("long").alias(
+                    "pos", metadata={"parquet.field.id": 2147483545}))
+            .coalesce(1))
+    staging = os.path.join(table_path, f".staging-del-{now_ms}")
+    dels.write.mode("overwrite").parquet(staging)
+    import shutil
+    os.makedirs(ddir, exist_ok=True)
+    delete_paths: list[str] = []
+    i = 0
+    for f in sorted(os.listdir(staging)):
+        if f.endswith(".parquet") and not f.startswith((".", "_")):
+            dst = os.path.abspath(
+                os.path.join(ddir, f"delete-{snap_id}-{i}.parquet"))
+            os.rename(os.path.join(staging, f), dst)
+            delete_paths.append(dst)
+            i += 1
+    shutil.rmtree(staging, ignore_errors=True)
+    if not delete_paths:
+        return 0
+
+    mschema = _manifest_schema_for([], {})
+    entries = [{"status": 1, "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "data_file": {"content": 1, "file_path": p,
+                              "file_format": "PARQUET",
+                              "record_count": _parquet_num_rows(p),
+                              "file_size_in_bytes": os.path.getsize(p),
+                              "equality_ids": None}}
+               for p in delete_paths]
+    manifest = os.path.join(mdir, f"m-{snap_id}-del.avro")
+    ac.write_container(manifest, mschema, entries)
+    recs = []
+    for mrec in ac.iter_records(ir._local(snap["manifest-list"])):
+        rec = dict(mrec)
+        rec.setdefault("partitions", None)
+        recs.append(rec)
+    recs.append({"manifest_path": manifest,
+                 "manifest_length": os.path.getsize(manifest),
+                 "partition_spec_id": 0, "content": 1,
+                 "sequence_number": seq,
+                 "added_snapshot_id": snap_id, "partitions": None})
+    mlist = os.path.join(mdir, f"snap-{snap_id}.avro")
+    ac.write_container(mlist, MANIFEST_LIST_SCHEMA, recs)
+    _commit_snapshot(meta, mdir, snap_id, parent, seq, now_ms, mlist,
+                     "delete", version)
     return n_deleted
 
 

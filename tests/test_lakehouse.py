@@ -5123,3 +5123,77 @@ def test_dv_delete_cdf_and_alter_upgrade(spark, tmp_path):
     assert len(snap3.dv) == 1
     assert sorted(r.id for r in read_delta(spark, p2).collect()) == \
         [i for i in range(10) if i != 2]
+
+
+def test_iceberg_merge_on_read_delete(spark, tmp_path):
+    """r16 v2 merge-on-read DELETE: with `write.delete.mode =
+    merge-on-read` a predicated DELETE writes a position-delete
+    parquet in a content=1 DELETE manifest — data files stay
+    physically in place, manifests carry over verbatim, repeat
+    deletes stack, time travel works, and a later copy-on-write
+    UPDATE still applies the deletes."""
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        delete_where_iceberg,
+        update_where_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "mor")
+    write_iceberg(_delta_df(spark, 0, 10).coalesce(1), path,
+                  mode="error",
+                  properties={"write.delete.mode": "merge-on-read"})
+    write_iceberg(_delta_df(spark, 10, 20).coalesce(1), path,
+                  mode="append")
+    meta0 = ir.load_metadata(path)
+    data0 = {p for p, _s in ir.snapshot_files(
+        path, ir.select_snapshot(meta0))[0]}
+
+    assert delete_where_iceberg(spark, path, "id IN (3, 17)") == 2
+    meta1 = ir.load_metadata(path)
+    data1, pos1, _eq = ir.snapshot_files(path,
+                                         ir.select_snapshot(meta1))
+    assert {p for p, _s in data1} == data0      # no data rewrite
+    assert all(os.path.exists(p) for p in data0)
+    assert len(pos1) == 1                        # one delete file
+    got = sorted(r.id for r in ir.read_iceberg(spark, path).collect())
+    assert got == [i for i in range(20) if i not in (3, 17)]
+    # time travel to the pre-delete snapshot
+    sids = [s["snapshot-id"] for s in meta1["snapshots"]]
+    assert ir.read_iceberg(spark, path,
+                           snapshot_id=sids[1]).count() == 20
+
+    # repeat delete stacks a second delete file
+    assert delete_where_iceberg(spark, path, "id = 4") == 1
+    meta2 = ir.load_metadata(path)
+    data2, pos2, _eq = ir.snapshot_files(path,
+                                         ir.select_snapshot(meta2))
+    assert {p for p, _s in data2} == data0
+    assert len(pos2) == 2
+    got = sorted(r.id for r in ir.read_iceberg(spark, path).collect())
+    assert got == [i for i in range(20) if i not in (3, 4, 17)]
+
+    # copy-on-write UPDATE on the MOR table applies the deletes and
+    # rewrites only the touched file
+    n = update_where_iceberg(spark, path, {"v": "v + 1000"}, "id = 6")
+    assert n == 1
+    rows = {r.id: r.v for r in ir.read_iceberg(spark, path).collect()}
+    assert rows[6] == 1012 and 3 not in rows and 17 not in rows
+    # prune on the MOR table still sound (bounds are outer bounds)
+    pruned = ir.read_iceberg(spark, path, prune=[("id", ">=", 15)])
+    assert sorted(r.id for r in
+                  pruned.where("id >= 15").collect()) == \
+        [15, 16, 18, 19]
+
+    # partitioned tables keep the copy-on-write path
+    p2 = str(tmp_path / "morp")
+    write_iceberg(
+        spark.createDataFrame([(1, "a"), (2, "b")],
+                              "id long, cat string"),
+        p2, mode="error", partition_by=["cat"],
+        properties={"write.delete.mode": "merge-on-read"})
+    assert delete_where_iceberg(spark, p2, "id = 1") == 1
+    m = ir.load_metadata(p2)
+    _d, posp, _e = ir.snapshot_files(p2, ir.select_snapshot(m))
+    assert posp == []                            # rewrote instead
+    assert [r.id for r in ir.read_iceberg(spark, p2).collect()] == [2]
