@@ -845,27 +845,34 @@ class MergeInto(Command):
     source_sql: str
     source_alias: str
     on_cond: str
-    update_set: Optional[dict[str, str]] = None   # None = no clause
+    update_set: Optional[dict[str, str]] = None   # legacy single clause
     matched_delete: bool = False
-    insert_cols: Optional[list[str]] = None       # None + insert_all=False = no clause
+    insert_cols: Optional[list[str]] = None
     insert_values: Optional[list[str]] = None
     insert_all: bool = False
+    # ordered clause lists (r16): [(cond|None, "update"|"delete",
+    # sets)] / [(cond|None, cols|None, vals)] — the SQL parser fills
+    # these; the legacy kwargs above normalize into them
+    matched_clauses: Optional[list] = None
+    insert_clauses: Optional[list] = None
 
     def run(self, ctx) -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window as W
 
         from lightning_metastore_spark.catalog.units import load_catalog_unit
+        from lightning_metastore_spark.sources import (
+            merge_clauses as mcl,
+        )
 
-        if self.matched_delete and self.update_set:
-            # Clauses carry no conditions in this grammar, so UPDATE and
-            # DELETE would both claim every matched row — refuse instead
-            # of silently preferring one (ANSI MERGE requires distinct
-            # AND-conditions to disambiguate).
-            raise CommandParseError(
-                "MERGE with both an unconditional WHEN MATCHED UPDATE and "
-                "WHEN MATCHED DELETE is ambiguous — every matched row "
-                "satisfies both clauses; drop one of them")
+        mc, ic = mcl.normalize_clauses(
+            self.update_set, self.matched_delete, self.insert_cols,
+            self.insert_values, self.insert_all,
+            self.matched_clauses, self.insert_clauses)
+        try:
+            mcl.validate_clauses(mc, ic)
+        except mcl.MergeClauseError as e:
+            raise CommandParseError(str(e)) from e
         rest = _require_root(self.target, DATASOURCE_ROOT, "MERGE target")
         hit = ctx.metastore.find_parent_datasource(rest)
         if hit is None:
@@ -907,11 +914,7 @@ class MergeInto(Command):
                 out = merge_fn(
                     ctx.spark, tpath, s_base, self.on_cond,
                     self.target_alias, self.source_alias,
-                    update_set=self.update_set,
-                    matched_delete=self.matched_delete,
-                    insert_cols=self.insert_cols,
-                    insert_values=self.insert_values,
-                    insert_all=self.insert_all)
+                    matched_clauses=mc, insert_clauses=ic)
             except Exception as e:
                 # surface lakehouse errors under the command contract
                 raise CommandParseError(str(e)) from e
@@ -934,34 +937,27 @@ class MergeInto(Command):
         s_only = F.col(f"{ta}.__te").isNull() & F.col(f"{sa}.__se").isNotNull()
 
         target_cols = [c for c in t_df.columns if c not in ("__te", "__tid")]
-        keep = t_only
-        if self.matched_delete:
-            pass  # matched rows dropped
-        else:
-            keep = keep | matched
-        if self.insert_all or self.insert_cols:
-            keep = keep | s_only
+        # ordered-clause semantics shared with the lakehouse paths
+        # (merge_clauses): the first clause whose condition holds
+        # claims the row
+        cidx = mcl.matched_clause_idx(mc, matched)
+        del_idx = sorted(mcl.delete_idxs(mc))
+        is_deleted = (cidx.isin(*del_idx) if del_idx else F.lit(False))
+        iidx = mcl.insert_clause_idx(ic)
+        keep = t_only | (matched & ~is_deleted)
+        if ic:
+            keep = keep | (s_only & (iidx >= 0))
         # column matching is case-insensitive, like Spark's own analyzer
         # (a Derby/Snowflake target reports ID/NAME while the source and
         # SET clauses usually say id/name)
-        s_cols_ci = {c.lower(): c for c in s_base.columns}
-        update_ci = {k.lower(): v for k, v in (self.update_set or {}).items()}
-        insert_ci = ({c.lower(): i for i, c in enumerate(self.insert_cols)}
-                     if self.insert_cols else {})
+        s_cols_q = {c.lower(): f"{sa}.`{c}`" for c in s_base.columns}
+        schema_by = {f.name: f for f in t_df.schema.fields}
         out_cols = []
         for c in target_cols:
+            f = schema_by[c]
             t_val = F.col(f"{ta}.`{c}`")
-            if self.update_set and not self.matched_delete:
-                m_val = F.expr(update_ci.get(c.lower(), f"{ta}.`{c}`"))
-            else:
-                m_val = t_val
-            if self.insert_all:
-                sc = s_cols_ci.get(c.lower())
-                i_val = F.col(f"{sa}.`{sc}`") if sc else F.lit(None)
-            elif self.insert_cols and c.lower() in insert_ci:
-                i_val = F.expr(self.insert_values[insert_ci[c.lower()]])
-            else:
-                i_val = F.lit(None)
+            m_val = mcl.matched_field_value(f, mc, ta, cidx)
+            i_val = mcl.insert_field_value(f, ic, s_cols_q, iidx)
             out_cols.append(
                 F.when(matched, m_val).when(t_only, t_val)
                 .otherwise(i_val).alias(c))
@@ -2393,10 +2389,14 @@ _R_MERGE_HEAD = re.compile(
     r"(?:\s+(?:AS\s+)?(?P<ta>(?!USING\b)\w+))?\s+USING\s+",
     re.I)
 _R_MERGE_UPDATE = re.compile(
-    r"^MATCHED\s+THEN\s+UPDATE\s+SET\s+(?P<sets>.+)$", re.I | re.S)
-_R_MERGE_DELETE = re.compile(r"^MATCHED\s+THEN\s+DELETE\s*$", re.I)
+    r"^MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+UPDATE\s+SET\s+"
+    r"(?P<sets>.+)$", re.I | re.S)
+_R_MERGE_DELETE = re.compile(
+    r"^MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+DELETE\s*$",
+    re.I | re.S)
 _R_MERGE_INSERT = re.compile(
-    r"^NOT\s+MATCHED\s+THEN\s+INSERT\s+(?:(?P<star>\*)|"
+    r"^NOT\s+MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+INSERT\s+"
+    r"(?:(?P<star>\*)|"
     r"\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.*)\))\s*$", re.I | re.S)
 
 
@@ -2426,27 +2426,46 @@ def _parse_merge(text: str) -> "MergeInto":
     cmd = MergeInto(target=_split_path(m.group("target")),
                     target_alias=m.group("ta") or "t",
                     source_sql=source_sql, source_alias=sa, on_cond=cond)
+    # clauses build ORDERED lists: `WHEN MATCHED [AND c] THEN
+    # UPDATE/DELETE`, `WHEN NOT MATCHED [AND c] THEN INSERT` — the
+    # first clause whose condition holds claims the row (ANSI/Delta).
+    # NOTE the WHEN-split means clause conditions cannot contain CASE
+    # WHEN — the reference grammar has the same restriction shape.
+    matched_clauses: list = []
+    insert_clauses: list = []
     for clause in re.split(r"\bWHEN\s+", clauses_text, flags=re.I):
         clause = clause.strip()
         if not clause:
             continue
         cm = _R_MERGE_UPDATE.match(clause)
         if cm:
-            cmd.update_set = _parse_assignments(cm.group("sets"))
+            matched_clauses.append(
+                (cm.group("cond"), "update",
+                 _parse_assignments(cm.group("sets"))))
             continue
-        if _R_MERGE_DELETE.match(clause):
-            cmd.matched_delete = True
+        cm = _R_MERGE_DELETE.match(clause)
+        if cm:
+            matched_clauses.append((cm.group("cond"), "delete", None))
             continue
         cm = _R_MERGE_INSERT.match(clause)
         if cm:
             if cm.group("star"):
-                cmd.insert_all = True
+                insert_clauses.append((cm.group("cond"), None, None))
             else:
-                cmd.insert_cols = [c.strip() for c in cm.group("cols").split(",")]
-                cmd.insert_values = [v.strip() for v in
-                                     _split_top_level(cm.group("vals"))]
+                insert_clauses.append(
+                    (cm.group("cond"),
+                     [c.strip() for c in cm.group("cols").split(",")],
+                     [v.strip() for v in
+                      _split_top_level(cm.group("vals"))]))
             continue
         raise CommandParseError(f"unsupported MERGE clause: WHEN {clause[:60]}")
+    from lightning_metastore_spark.sources import merge_clauses as _mcl
+    try:
+        _mcl.validate_clauses(matched_clauses, insert_clauses)
+    except _mcl.MergeClauseError as e:
+        raise CommandParseError(str(e)) from e
+    cmd.matched_clauses = matched_clauses
+    cmd.insert_clauses = insert_clauses
     return cmd
 
 

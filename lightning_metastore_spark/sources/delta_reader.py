@@ -2868,7 +2868,9 @@ def merge_into_delta(spark: SparkSession, path: str,
                      matched_delete: bool = False,
                      insert_cols: Optional[list] = None,
                      insert_values: Optional[list] = None,
-                     insert_all: bool = False) -> dict:
+                     insert_all: bool = False,
+                     matched_clauses: Optional[list] = None,
+                     insert_clauses: Optional[list] = None) -> dict:
     """File-granular MERGE INTO (delta-spark's copy-on-write merge,
     NOT a whole-table rewrite — the r15 verdict's #1 standing
     scale-killer):
@@ -2897,9 +2899,19 @@ def merge_into_delta(spark: SparkSession, path: str,
     Returns {"n_updated", "n_deleted", "n_inserted", "total_rows"}
     (total from add.stats when complete — metadata-only — else one
     scan)."""
+    from lightning_metastore_spark.sources import merge_clauses as mcl
+
+    mc, ic = mcl.normalize_clauses(update_set, matched_delete,
+                                   insert_cols, insert_values,
+                                   insert_all, matched_clauses,
+                                   insert_clauses)
+    try:
+        mcl.validate_clauses(mc, ic)
+    except mcl.MergeClauseError as e:
+        raise DeltaLogError(str(e)) from e
     snap = resolve_snapshot(spark, path)
-    rewrites = bool(update_set) or matched_delete
-    inserts = insert_all or bool(insert_cols)
+    rewrites = bool(mc)
+    inserts = bool(ic)
     _check_writer_protocol(snap, path, data_change_removes=rewrites,
                            adds_data=True)
     cdf_enabled = str((getattr(snap, "configuration", None) or {}).get(
@@ -2915,27 +2927,37 @@ def merge_into_delta(spark: SparkSession, path: str,
                            for c in snap.partition_columns]
                           if is_mapped else snap.partition_columns)
     field_by = {f.name.lower(): f for f in snap.schema.fields}
-    update_ci = {k.lower(): v for k, v in (update_set or {}).items()}
-    for k in update_ci:
-        if k not in field_by:
-            raise DeltaLogError(
-                f"MERGE UPDATE target column {k!r} does not exist in "
-                f"{path}")
+    for _cond, kind, sets in mc:
+        for k in (sets or {}):
+            if kind == "update" and k.lower() not in field_by:
+                raise DeltaLogError(
+                    f"MERGE UPDATE target column {k!r} does not "
+                    f"exist in {path}")
     # one materialization: every later pass (discovery, rewrite,
     # anti-join, cdc) must see the SAME source rows
     src = (source_df.withColumn("__se", F.lit(1))
            .localCheckpoint(eager=True).alias(sa))
-    s_cols_ci = {c.lower(): c for c in source_df.columns}
+    s_cols_ci = {c.lower(): f"`{c}`" for c in source_df.columns}
 
     # -- discovery: touched files + cardinality check, one pass ------
+    # per (file, target row): the match count (cardinality) and the
+    # FIRST-true clause index; per file: the max count plus per-clause
+    # claimed-row totals. Files where NO clause claims a row leave
+    # their bytes identical and are NOT touched.
     tagged = (_snapshot_scan(spark, path, snap, file_tag="__delta_file")
               .withColumn("__tid", F.monotonically_increasing_id())
               .alias(ta))
-    per_file = (tagged.join(src, F.expr(on_cond), "inner")
-                .groupBy("__delta_file", "__tid").count()
-                .groupBy("__delta_file")
-                .agg(F.sum("count").alias("n"),
-                     F.max("count").alias("mx"))
+    j = (tagged.join(src, F.expr(on_cond), "inner")
+         .withColumn("__cidx",
+                     mcl.matched_clause_idx(mc, F.lit(True))))
+    per_row = (j.groupBy("__delta_file", "__tid")
+               .agg(F.count(F.lit(1)).alias("cnt"),
+                    F.min("__cidx").alias("cidx")))
+    per_file = (per_row.groupBy("__delta_file")
+                .agg(F.max("cnt").alias("mx"),
+                     *[F.sum(F.when(F.col("cidx") == i, 1)
+                             .otherwise(0)).alias(f"c{i}")
+                       for i in range(len(mc))])
                 .collect())
     if any(int(r["mx"]) > 1 for r in per_file):
         raise DeltaLogError(
@@ -2949,41 +2971,41 @@ def merge_into_delta(spark: SparkSession, path: str,
         by_key[delta_dv.uri_path_encode(
             os.path.abspath(os.path.join(path, disk)))] = rel
     touched: set[str] = set()
-    n_matched = 0
+    n_by_clause = [0] * len(mc)
     for r in per_file:
         rel = by_key.get(r["__delta_file"])
         if rel is None:
             raise DeltaLogError(
                 f"MERGE matched rows in unrecognized source file "
                 f"{r['__delta_file']!r} — refusing to commit")
-        touched.add(rel)
-        n_matched += int(r["n"])
+        claimed = sum(int(r[f"c{i}"] or 0) for i in range(len(mc)))
+        if claimed:
+            touched.add(rel)
+        for i in range(len(mc)):
+            n_by_clause[i] += int(r[f"c{i}"] or 0)
+    del_idx = set(mcl.delete_idxs(mc))
+    n_updated = sum(n for i, n in enumerate(n_by_clause)
+                    if i not in del_idx)
+    n_deleted = sum(n for i, n in enumerate(n_by_clause)
+                    if i in del_idx)
 
     # -- rewrite pass: touched files under a left join ---------------
     t_sub = _snapshot_scan(spark, path, snap,
                            file_subset=touched).alias(ta)
-    joined = t_sub.join(src, F.expr(on_cond), "left")
-    matched = F.col("__se").isNotNull()
+    joined = (t_sub.join(src, F.expr(on_cond), "left")
+              .withColumn("__cidx", mcl.matched_clause_idx(
+                  mc, F.col("__se").isNotNull())))
+    cidx = F.col("__cidx")
+    is_deleted = (cidx.isin(*sorted(del_idx)) if del_idx
+                  else F.lit(False))
 
-    def _post_cols(df_cols_prefix: bool = True):
-        out = []
-        for f in snap.schema.fields:
-            t_val = F.col(f"{ta}.`{f.name}`")
-            if update_ci and not matched_delete:
-                m_val = F.expr(update_ci.get(f.name.lower(),
-                                             f"{ta}.`{f.name}`")
-                               ).cast(f.dataType)
-            else:
-                m_val = t_val
-            out.append(F.when(matched, m_val).otherwise(t_val)
-                       .alias(f.name))
-        return out
+    def _post_cols():
+        return [mcl.matched_field_value(f, mc, ta, cidx)
+                .alias(f.name) for f in snap.schema.fields]
 
     moved: list[tuple] = []
     if rewrites and touched:
-        survivors = joined
-        if matched_delete:
-            survivors = survivors.filter(~matched)
+        survivors = joined.filter(~is_deleted)
         # the left join shuffled the touched files' rows across
         # shuffle.partitions tasks — coalesce back to the touched-file
         # count so one rewritten file stays one file, not 32 shards
@@ -3024,22 +3046,15 @@ def merge_into_delta(spark: SparkSession, path: str,
     imoved: list[tuple] = []
     i_df = None
     if inserts:
-        insert_ci = ({c.lower(): i for i, c in enumerate(insert_cols)}
-                     if insert_cols else {})
-        anti = src.join(_snapshot_scan(spark, path, snap,
-                                       file_subset=touched).alias(ta),
-                        F.expr(on_cond), "left_anti")
-        i_cols = []
-        for f in snap.schema.fields:
-            if insert_all:
-                sc = s_cols_ci.get(f.name.lower())
-                v = F.col(f"`{sc}`") if sc else F.lit(None)
-            elif insert_cols and f.name.lower() in insert_ci:
-                v = F.expr(insert_values[insert_ci[f.name.lower()]])
-            else:
-                v = F.lit(None)
-            i_cols.append(v.cast(f.dataType).alias(f.name))
-        i_df = anti.select(*i_cols)
+        anti = (src.join(_snapshot_scan(spark, path, snap,
+                                        file_subset=touched).alias(ta),
+                         F.expr(on_cond), "left_anti")
+                .withColumn("__iidx", mcl.insert_clause_idx(ic))
+                .filter(F.col("__iidx") >= 0))
+        iidx = F.col("__iidx")
+        i_df = anti.select(*[
+            mcl.insert_field_value(f, ic, s_cols_ci, iidx)
+            .alias(f.name) for f in snap.schema.fields])
         stage_i = (_to_physical(i_df, list(snap.schema.fields))
                    if is_mapped else i_df)
         imoved = _drop_empty_staged(_stage_files(
@@ -3057,23 +3072,23 @@ def merge_into_delta(spark: SparkSession, path: str,
                            moved + imoved, mapped=is_mapped)
 
     # -- cdc ----------------------------------------------------------
+    n_claimed = n_updated + n_deleted
     cdc_actions: list[dict] = []
-    if cdf_enabled and (n_matched and rewrites or imoved):
+    if cdf_enabled and (n_claimed and rewrites or imoved):
         parts = []
-        if n_matched and rewrites:
-            m_rows = joined.filter(matched)
-            if matched_delete:
-                parts.append(m_rows.select(
-                    *[F.col(f"{ta}.`{f.name}`").alias(f.name)
-                      for f in snap.schema.fields])
-                    .withColumn("_change_type", F.lit("delete")))
-            else:
-                parts.append(m_rows.select(
-                    *[F.col(f"{ta}.`{f.name}`").alias(f.name)
-                      for f in snap.schema.fields])
-                    .withColumn("_change_type",
-                                F.lit("update_preimage")))
-                parts.append(m_rows.select(*_post_cols())
+        if n_claimed and rewrites:
+            t_cols = [F.col(f"{ta}.`{f.name}`").alias(f.name)
+                      for f in snap.schema.fields]
+            if n_deleted:
+                parts.append(joined.filter(is_deleted).select(*t_cols)
+                             .withColumn("_change_type",
+                                         F.lit("delete")))
+            if n_updated:
+                upd = joined.filter((cidx >= 0) & ~is_deleted)
+                parts.append(upd.select(*t_cols)
+                             .withColumn("_change_type",
+                                         F.lit("update_preimage")))
+                parts.append(upd.select(*_post_cols())
                              .withColumn("_change_type",
                                          F.lit("update_postimage")))
         if imoved and i_df is not None:
@@ -3127,8 +3142,8 @@ def merge_into_delta(spark: SparkSession, path: str,
             break
     if not complete:
         total = _snapshot_scan(spark, path, new_snap).count()
-    return {"n_updated": n_matched if update_set else 0,
-            "n_deleted": n_matched if matched_delete else 0,
+    return {"n_updated": int(n_updated),
+            "n_deleted": int(n_deleted),
             "n_inserted": n_inserted,
             "total_rows": int(total)}
 

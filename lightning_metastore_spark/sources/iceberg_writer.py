@@ -1574,7 +1574,9 @@ def merge_into_iceberg(spark: SparkSession, table_path: str,
                        matched_delete: bool = False,
                        insert_cols: Optional[list] = None,
                        insert_values: Optional[list] = None,
-                       insert_all: bool = False) -> dict:
+                       insert_all: bool = False,
+                       matched_clauses: Optional[list] = None,
+                       insert_clauses: Optional[list] = None) -> dict:
     """File-granular MERGE INTO on an offline Iceberg table — the
     copy-on-write twin of `merge_into_delta` (same discovery /
     rewrite / insert decomposition; `sources/delta_reader.py`
@@ -1592,6 +1594,16 @@ def merge_into_iceberg(spark: SparkSession, table_path: str,
     Returns {"n_updated", "n_deleted", "n_inserted", "total_rows"}
     (total summed from the new snapshot's manifest record_counts —
     metadata-only)."""
+    from lightning_metastore_spark.sources import merge_clauses as mcl
+
+    mc, ic = mcl.normalize_clauses(update_set, matched_delete,
+                                   insert_cols, insert_values,
+                                   insert_all, matched_clauses,
+                                   insert_clauses)
+    try:
+        mcl.validate_clauses(mc, ic)
+    except mcl.MergeClauseError as e:
+        raise ir.IcebergError(str(e)) from e
     meta = ir.load_metadata(table_path)
     try:
         snap = ir.select_snapshot(meta)
@@ -1601,12 +1613,12 @@ def merge_into_iceberg(spark: SparkSession, table_path: str,
     table_schema = ir.spark_schema(meta)
     spark_types = {f.name: f.dataType for f in table_schema.fields}
     field_by = {f.name.lower(): f for f in table_schema.fields}
-    update_ci = {k.lower(): v for k, v in (update_set or {}).items()}
-    for k in update_ci:
-        if k not in field_by:
-            raise ir.IcebergError(
-                f"MERGE UPDATE target column {k!r} does not exist in "
-                f"{table_path}")
+    for _cond, kind, sets in mc:
+        for k in (sets or {}):
+            if kind == "update" and k.lower() not in field_by:
+                raise ir.IcebergError(
+                    f"MERGE UPDATE target column {k!r} does not "
+                    f"exist in {table_path}")
     spec = next((s for s in meta.get("partition-specs", [])
                  if s.get("spec-id") == meta.get("default-spec-id", 0)),
                 {"fields": []})
@@ -1626,11 +1638,11 @@ def merge_into_iceberg(spark: SparkSession, table_path: str,
         int(f[1:].split(".")[0]) for f in os.listdir(mdir)
         if f.startswith("v") and f.endswith(".metadata.json"))
     ta, sa = target_alias, source_alias
-    rewrites = bool(update_set) or matched_delete
-    inserts = insert_all or bool(insert_cols)
+    rewrites = bool(mc)
+    inserts = bool(ic)
     src = (source_df.withColumn("__se", F.lit(1))
            .localCheckpoint(eager=True).alias(sa))
-    s_cols_ci = {c.lower(): c for c in source_df.columns}
+    s_cols_ci = {c.lower(): f"`{c}`" for c in source_df.columns}
 
     # -- discovery: touched files + cardinality, one pass -------------
     if snap is not None:
@@ -1638,11 +1650,17 @@ def merge_into_iceberg(spark: SparkSession, table_path: str,
                                   file_tag="__ice_src")
                   .withColumn("__tid", F.monotonically_increasing_id())
                   .alias(ta))
-        per_file = (tagged.join(src, F.expr(on_cond), "inner")
-                    .groupBy("__ice_src", "__tid").count()
-                    .groupBy("__ice_src")
-                    .agg(F.sum("count").alias("n"),
-                         F.max("count").alias("mx"))
+        j = (tagged.join(src, F.expr(on_cond), "inner")
+             .withColumn("__cidx",
+                         mcl.matched_clause_idx(mc, F.lit(True))))
+        per_row = (j.groupBy("__ice_src", "__tid")
+                   .agg(F.count(F.lit(1)).alias("cnt"),
+                        F.min("__cidx").alias("cidx")))
+        per_file = (per_row.groupBy("__ice_src")
+                    .agg(F.max("cnt").alias("mx"),
+                         *[F.sum(F.when(F.col("cidx") == i, 1)
+                                 .otherwise(0)).alias(f"c{i}")
+                           for i in range(len(mc))])
                     .collect())
     else:
         per_file = []  # no snapshot yet: the target is empty
@@ -1656,60 +1674,55 @@ def merge_into_iceberg(spark: SparkSession, table_path: str,
             else [])
     by_key = {uri_path_encode(p): p for p, _s in data}
     touched: set[str] = set()
-    n_matched = 0
+    n_by_clause = [0] * len(mc)
     for r in per_file:
         p = by_key.get(r["__ice_src"])
         if p is None:
             raise ir.IcebergError(
                 f"MERGE matched rows in unrecognized data file "
                 f"{r['__ice_src']!r} — refusing to commit")
-        touched.add(p)
-        n_matched += int(r["n"])
+        claimed = sum(int(r[f"c{i}"] or 0) for i in range(len(mc)))
+        if claimed:
+            touched.add(p)
+        for i in range(len(mc)):
+            n_by_clause[i] += int(r[f"c{i}"] or 0)
+    del_idx = set(mcl.delete_idxs(mc))
+    n_updated = sum(n for i, n in enumerate(n_by_clause)
+                    if i not in del_idx)
+    n_deleted = sum(n for i, n in enumerate(n_by_clause)
+                    if i in del_idx)
 
     # -- rewrite + insert: ONE replacement DataFrame ------------------
-    matched = F.col("__se").isNotNull()
     t_sub = (ir.read_iceberg(spark, table_path, file_subset=touched)
              if snap is not None
              else spark.createDataFrame([], table_schema)).alias(ta)
     parts = []
     if rewrites and touched:
-        joined = t_sub.join(src, F.expr(on_cond), "left")
-        if matched_delete:
-            joined = joined.filter(~matched)
-        out_cols = []
-        for f in table_schema.fields:
-            t_val = F.col(f"{ta}.`{f.name}`")
-            if update_ci and not matched_delete:
-                m_val = F.expr(update_ci.get(f.name.lower(),
-                                             f"{ta}.`{f.name}`")
-                               ).cast(f.dataType)
-            else:
-                m_val = t_val
-            out_cols.append(F.when(matched, m_val).otherwise(t_val)
-                            .alias(f.name))
+        joined = (t_sub.join(src, F.expr(on_cond), "left")
+                  .withColumn("__cidx", mcl.matched_clause_idx(
+                      mc, F.col("__se").isNotNull())))
+        cidx = F.col("__cidx")
+        is_deleted = (cidx.isin(*sorted(del_idx)) if del_idx
+                      else F.lit(False))
+        out_cols = [mcl.matched_field_value(f, mc, ta, cidx)
+                    .alias(f.name) for f in table_schema.fields]
         # coalesce the join shuffle back to the touched-file count so
         # one rewritten file stays one file, not shuffle.partitions
         # shards
-        parts.append(joined.select(*out_cols)
+        parts.append(joined.filter(~is_deleted).select(*out_cols)
                      .coalesce(max(1, len(touched))))
     n_inserted = 0
     if inserts:
-        insert_ci = ({c.lower(): i for i, c in enumerate(insert_cols)}
-                     if insert_cols else {})
-        anti = src.join(t_sub, F.expr(on_cond), "left_anti")
-        i_cols = []
-        for f in table_schema.fields:
-            if insert_all:
-                sc = s_cols_ci.get(f.name.lower())
-                v = F.col(f"`{sc}`") if sc else F.lit(None)
-            elif insert_cols and f.name.lower() in insert_ci:
-                v = F.expr(insert_values[insert_ci[f.name.lower()]])
-            else:
-                v = F.lit(None)
-            i_cols.append(v.cast(f.dataType).alias(f.name))
+        anti = (src.join(t_sub, F.expr(on_cond), "left_anti")
+                .withColumn("__iidx", mcl.insert_clause_idx(ic))
+                .filter(F.col("__iidx") >= 0))
+        iidx = F.col("__iidx")
         # materialize the insert count once; the checkpoint also pins
         # the rows the staging write will see
-        i_df = anti.select(*i_cols).localCheckpoint(eager=True)
+        i_df = anti.select(*[
+            mcl.insert_field_value(f, ic, s_cols_ci, iidx)
+            .alias(f.name)
+            for f in table_schema.fields]).localCheckpoint(eager=True)
         n_inserted = i_df.count()
         parts.append(i_df)
 
@@ -1743,7 +1756,7 @@ def merge_into_iceberg(spark: SparkSession, table_path: str,
             if int(d.get("content") or 0) != 0:
                 continue
             total += int(d.get("record_count") or 0)
-    return {"n_updated": n_matched if update_set else 0,
-            "n_deleted": n_matched if matched_delete else 0,
+    return {"n_updated": int(n_updated),
+            "n_deleted": int(n_deleted),
             "n_inserted": int(n_inserted),
             "total_rows": int(total)}

@@ -5197,3 +5197,92 @@ def test_iceberg_merge_on_read_delete(spark, tmp_path):
     _d, posp, _e = ir.snapshot_files(p2, ir.select_snapshot(m))
     assert posp == []                            # rewrote instead
     assert [r.id for r in ir.read_iceberg(spark, p2).collect()] == [2]
+
+
+def test_merge_conditional_clauses_lakehouse(spark, tmp_path):
+    """r16 conditional MERGE on lakehouse targets: ordered clause
+    resolution is file-granular (files whose matched rows are claimed
+    by NO clause stay untouched), per-kind counts are exact, and the
+    Iceberg twin agrees."""
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+    from lightning_metastore_spark.sources.delta_reader import (
+        merge_into_delta,
+    )
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        merge_into_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "cmg")
+    for lo in (0, 10, 20):
+        write_delta(_delta_df(spark, lo, lo + 10).coalesce(1), path,
+                    mode="append")
+    before = _live_rels(spark, path)
+    # source matches ids 5 (file 0), 15 (file 1), 25 (file 2):
+    # 5 -> delete (v >= 100 is false... use s.flag), 15 -> update,
+    # 25 matched but claimed by NO clause; 99 inserts, 98 gated out
+    src = spark.createDataFrame(
+        [(5, "del"), (15, "upd"), (25, "none"), (99, "ins"),
+         (98, "skip")], "id long, flag string")
+    out = merge_into_delta(
+        spark, path, src, "t.id = s.id", "t", "s",
+        matched_clauses=[("s.flag = 'del'", "delete", None),
+                         ("s.flag = 'upd'", "update",
+                          {"s": "s.flag"})],
+        insert_clauses=[("s.flag = 'ins'", None, None)])
+    assert out["n_deleted"] == 1 and out["n_updated"] == 1
+    assert out["n_inserted"] == 1
+    assert out["total_rows"] == 30  # -1 deleted +1 inserted
+    after = _live_rels(spark, path)
+    # the 20..29 file had a matched-but-unclaimed row: UNTOUCHED
+    assert len(before & after) == 1
+    rows = {r.id: r.s for r in read_delta(spark, path).collect()}
+    assert 5 not in rows and rows[15] == "upd" and rows[25] == "25"
+    assert rows[99] is None  # INSERT * has no 's' source column match
+
+    # Iceberg twin
+    ip = str(tmp_path / "cmgi")
+    for lo in (0, 10, 20):
+        write_iceberg(_delta_df(spark, lo, lo + 10).coalesce(1), ip,
+                      mode="append" if lo else "error")
+    pre_files = {p for p, _s in ir.snapshot_files(
+        ip, ir.select_snapshot(ir.load_metadata(ip)))[0]}
+    out = merge_into_iceberg(
+        spark, ip, src, "t.id = s.id", "t", "s",
+        matched_clauses=[("s.flag = 'del'", "delete", None),
+                         ("s.flag = 'upd'", "update",
+                          {"s": "s.flag"})],
+        insert_clauses=[("s.flag = 'ins'", None, None)])
+    assert (out["n_deleted"], out["n_updated"],
+            out["n_inserted"], out["total_rows"]) == (1, 1, 1, 30)
+    post_files = {p for p, _s in ir.snapshot_files(
+        ip, ir.select_snapshot(ir.load_metadata(ip)))[0]}
+    assert len(pre_files & post_files) == 1     # unclaimed file kept
+    rows = {r.id: r.s for r in ir.read_iceberg(spark, ip).collect()}
+    assert 5 not in rows and rows[15] == "upd" and rows[25] == "25"
+
+
+def test_merge_conditional_cdf_replay(spark, tmp_path):
+    """Conditional MERGE cdc: delete rows and update pre/post images
+    only for CLAIMED rows; unclaimed matches emit nothing."""
+    from lightning_metastore_spark.sources.delta_reader import (
+        merge_into_delta,
+        table_changes,
+    )
+
+    path = str(tmp_path / "cmgc")
+    write_delta(_delta_df(spark, 0, 10).coalesce(1), path, mode="error",
+                configuration={"delta.enableChangeDataFeed": "true"})
+    src = spark.createDataFrame(
+        [(2, "del"), (4, "upd"), (6, "none")], "id long, flag string")
+    merge_into_delta(
+        spark, path, src, "t.id = s.id", "t", "s",
+        matched_clauses=[("s.flag = 'del'", "delete", None),
+                         ("s.flag = 'upd'", "update",
+                          {"s": "upper(s.flag)"})])
+    ch = table_changes(spark, path, starting_version=1).collect()
+    got = sorted((r._change_type, r.id) for r in ch)
+    assert got == [("delete", 2), ("update_postimage", 4),
+                   ("update_preimage", 4)]
+    post = next(r for r in ch if r._change_type == "update_postimage")
+    assert post.s == "UPD"

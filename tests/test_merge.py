@@ -242,3 +242,53 @@ def test_merge_jdbc_no_staging_litter(derby_ctx, spark):
         derby_ctx.metastore.load_datasource(["rdbms"], "mdb"))
     tables = unit.list_tables(spark, [])
     assert not [t for t in tables if "_stg_" in t.lower()], tables
+
+
+def test_merge_conditional_clauses_file_table(ctx, spark):
+    """r16: ordered conditional clauses on the plain file-table path —
+    WHEN MATCHED AND c THEN UPDATE / WHEN MATCHED THEN DELETE picks
+    the FIRST holding clause per row; NOT MATCHED AND c gates
+    inserts."""
+    spark.createDataFrame(
+        [(1, "u1", 5.0), (2, "u2", 500.0), (9, "new", 1.0),
+         (10, "skip", -1.0)],
+        ["id", "name", "amount"]).createOrReplaceTempView("cond_src")
+    ctx.sql("""
+        MERGE INTO lightning.datasource.file.db.accounts AS t
+        USING (SELECT * FROM cond_src) AS s
+        ON t.id = s.id
+        WHEN MATCHED AND s.amount > 100 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET name = s.name
+        WHEN NOT MATCHED AND s.amount > 0 THEN INSERT *
+    """)
+    rows = _rows(ctx)
+    assert 2 not in rows                       # deleted (500 > 100)
+    assert rows[1][0] == "u1"                  # updated
+    assert rows[9] == ("new", 1.0)             # inserted (amount > 0)
+    assert 10 not in rows                      # insert gated out
+
+
+def test_merge_conditional_clauses_unreachable(ctx, spark):
+    """An unconditional clause before another clause of the same
+    group is rejected at parse time."""
+    from lightning_metastore_spark.parser.dispatcher import (
+        CommandParseError,
+        parse_command,
+    )
+
+    with pytest.raises(CommandParseError, match="unreachable"):
+        parse_command("""
+            MERGE INTO lightning.datasource.file.db.accounts AS t
+            USING (SELECT 1 AS id) AS s
+            ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET name = 'x'
+            WHEN MATCHED AND s.id = 1 THEN DELETE
+        """)
+    with pytest.raises(CommandParseError, match="unreachable"):
+        parse_command("""
+            MERGE INTO lightning.datasource.file.db.accounts AS t
+            USING (SELECT 1 AS id) AS s
+            ON t.id = s.id
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED AND s.id = 1 THEN INSERT *
+        """)
