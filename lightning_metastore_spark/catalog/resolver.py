@@ -92,6 +92,15 @@ _SIMPLE_CONJ = re.compile(
     r"(?:(-?\d+(?:\.\d+)?)|(?:(DATE|TIMESTAMP)\s+)?'((?:[^']|'')*)')\s*$",
     re.IGNORECASE,
 )
+# the reversed spelling `literal <op> col` — the operator flips
+# (`5 < col` == `col > 5`)
+_SIMPLE_CONJ_REV = re.compile(
+    r"^\s*(?:(-?\d+(?:\.\d+)?)|(?:(DATE|TIMESTAMP)\s+)?'((?:[^']|'')*)')"
+    r"\s*(<=|>=|=|<|>)\s*"
+    r"((?:[A-Za-z_][\w\-]*\.)*)([A-Za-z_][\w]*)\s*$",
+    re.IGNORECASE,
+)
+_FLIP_OP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
 # `[qualifier.]col BETWEEN lit AND lit` — reconstituted from the
 # AND-split pieces and rewritten to `>= AND <=` (r15 verdict #3: a
 # BETWEEN used to disable the whole WHERE). NOT BETWEEN never matches
@@ -343,6 +352,18 @@ def extract_prune_conjuncts(sql: str
                 continue
             out.setdefault(rels[idx][0], []).append(
                 (m.group(2), m.group(3), lit))
+            continue
+        mr = _SIMPLE_CONJ_REV.match(piece)
+        if mr:
+            idx = _credit(mr.group(5).rstrip("."))
+            if idx is None:
+                continue
+            lit = _typed_literal(mr.group(1), mr.group(2),
+                                 mr.group(3))
+            if lit is None:
+                continue
+            out.setdefault(rels[idx][0], []).append(
+                (mr.group(6), _FLIP_OP[mr.group(4)], lit))
             continue
         mb = _BETWEEN_CONJ.match(piece)
         if mb:

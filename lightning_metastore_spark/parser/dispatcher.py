@@ -855,6 +855,7 @@ class MergeInto(Command):
     # these; the legacy kwargs above normalize into them
     matched_clauses: Optional[list] = None
     insert_clauses: Optional[list] = None
+    source_clauses: Optional[list] = None
 
     def run(self, ctx) -> DataFrame:
         from pyspark.sql import functions as F
@@ -865,12 +866,13 @@ class MergeInto(Command):
             merge_clauses as mcl,
         )
 
-        mc, ic = mcl.normalize_clauses(
+        mc, ic, sc = mcl.normalize_clauses(
             self.update_set, self.matched_delete, self.insert_cols,
             self.insert_values, self.insert_all,
-            self.matched_clauses, self.insert_clauses)
+            self.matched_clauses, self.insert_clauses,
+            self.source_clauses)
         try:
-            mcl.validate_clauses(mc, ic)
+            mcl.validate_clauses(mc, ic, sc)
         except mcl.MergeClauseError as e:
             raise CommandParseError(str(e)) from e
         rest = _require_root(self.target, DATASOURCE_ROOT, "MERGE target")
@@ -914,7 +916,8 @@ class MergeInto(Command):
                 out = merge_fn(
                     ctx.spark, tpath, s_base, self.on_cond,
                     self.target_alias, self.source_alias,
-                    matched_clauses=mc, insert_clauses=ic)
+                    matched_clauses=mc, insert_clauses=ic,
+                    source_clauses=sc)
             except Exception as e:
                 # surface lakehouse errors under the command contract
                 raise CommandParseError(str(e)) from e
@@ -943,8 +946,12 @@ class MergeInto(Command):
         cidx = mcl.matched_clause_idx(mc, matched)
         del_idx = sorted(mcl.delete_idxs(mc))
         is_deleted = (cidx.isin(*del_idx) if del_idx else F.lit(False))
+        stidx = mcl.matched_clause_idx(sc, t_only)
+        sdel_idx = sorted(mcl.delete_idxs(sc))
+        s_deleted = (stidx.isin(*sdel_idx) if sdel_idx
+                     else F.lit(False))
         iidx = mcl.insert_clause_idx(ic)
-        keep = t_only | (matched & ~is_deleted)
+        keep = (t_only & ~s_deleted) | (matched & ~is_deleted)
         if ic:
             keep = keep | (s_only & (iidx >= 0))
         # column matching is case-insensitive, like Spark's own analyzer
@@ -955,11 +962,11 @@ class MergeInto(Command):
         out_cols = []
         for c in target_cols:
             f = schema_by[c]
-            t_val = F.col(f"{ta}.`{c}`")
             m_val = mcl.matched_field_value(f, mc, ta, cidx)
+            s_val = mcl.matched_field_value(f, sc, ta, stidx)
             i_val = mcl.insert_field_value(f, ic, s_cols_q, iidx)
             out_cols.append(
-                F.when(matched, m_val).when(t_only, t_val)
+                F.when(matched, m_val).when(t_only, s_val)
                 .otherwise(i_val).alias(c))
         # standard MERGE cardinality rule (Delta/ANSI behavior): a target
         # row matched by more than one source row is an error, not a
@@ -2398,6 +2405,14 @@ _R_MERGE_INSERT = re.compile(
     r"^NOT\s+MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+INSERT\s+"
     r"(?:(?P<star>\*)|"
     r"\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.*)\))\s*$", re.I | re.S)
+# delta-spark's extension: clauses claiming TARGET rows with no
+# source match (conditions/SETs reference target columns only)
+_R_MERGE_BYSRC_UPDATE = re.compile(
+    r"^NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(?P<cond>.+?))?"
+    r"\s+THEN\s+UPDATE\s+SET\s+(?P<sets>.+)$", re.I | re.S)
+_R_MERGE_BYSRC_DELETE = re.compile(
+    r"^NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(?P<cond>.+?))?"
+    r"\s+THEN\s+DELETE\s*$", re.I | re.S)
 
 
 def _parse_merge(text: str) -> "MergeInto":
@@ -2433,9 +2448,20 @@ def _parse_merge(text: str) -> "MergeInto":
     # WHEN — the reference grammar has the same restriction shape.
     matched_clauses: list = []
     insert_clauses: list = []
+    source_clauses: list = []
     for clause in re.split(r"\bWHEN\s+", clauses_text, flags=re.I):
         clause = clause.strip()
         if not clause:
+            continue
+        cm = _R_MERGE_BYSRC_UPDATE.match(clause)
+        if cm:
+            source_clauses.append(
+                (cm.group("cond"), "update",
+                 _parse_assignments(cm.group("sets"))))
+            continue
+        cm = _R_MERGE_BYSRC_DELETE.match(clause)
+        if cm:
+            source_clauses.append((cm.group("cond"), "delete", None))
             continue
         cm = _R_MERGE_UPDATE.match(clause)
         if cm:
@@ -2461,11 +2487,13 @@ def _parse_merge(text: str) -> "MergeInto":
         raise CommandParseError(f"unsupported MERGE clause: WHEN {clause[:60]}")
     from lightning_metastore_spark.sources import merge_clauses as _mcl
     try:
-        _mcl.validate_clauses(matched_clauses, insert_clauses)
+        _mcl.validate_clauses(matched_clauses, insert_clauses,
+                              source_clauses)
     except _mcl.MergeClauseError as e:
         raise CommandParseError(str(e)) from e
     cmd.matched_clauses = matched_clauses
     cmd.insert_clauses = insert_clauses
+    cmd.source_clauses = source_clauses
     return cmd
 
 

@@ -2870,7 +2870,8 @@ def merge_into_delta(spark: SparkSession, path: str,
                      insert_values: Optional[list] = None,
                      insert_all: bool = False,
                      matched_clauses: Optional[list] = None,
-                     insert_clauses: Optional[list] = None) -> dict:
+                     insert_clauses: Optional[list] = None,
+                     source_clauses: Optional[list] = None) -> dict:
     """File-granular MERGE INTO (delta-spark's copy-on-write merge,
     NOT a whole-table rewrite — the r15 verdict's #1 standing
     scale-killer):
@@ -2901,16 +2902,16 @@ def merge_into_delta(spark: SparkSession, path: str,
     scan)."""
     from lightning_metastore_spark.sources import merge_clauses as mcl
 
-    mc, ic = mcl.normalize_clauses(update_set, matched_delete,
-                                   insert_cols, insert_values,
-                                   insert_all, matched_clauses,
-                                   insert_clauses)
+    mc, ic, sc = mcl.normalize_clauses(update_set, matched_delete,
+                                       insert_cols, insert_values,
+                                       insert_all, matched_clauses,
+                                       insert_clauses, source_clauses)
     try:
-        mcl.validate_clauses(mc, ic)
+        mcl.validate_clauses(mc, ic, sc)
     except mcl.MergeClauseError as e:
         raise DeltaLogError(str(e)) from e
     snap = resolve_snapshot(spark, path)
-    rewrites = bool(mc)
+    rewrites = bool(mc) or bool(sc)
     inserts = bool(ic)
     _check_writer_protocol(snap, path, data_change_removes=rewrites,
                            adds_data=True)
@@ -2927,7 +2928,7 @@ def merge_into_delta(spark: SparkSession, path: str,
                            for c in snap.partition_columns]
                           if is_mapped else snap.partition_columns)
     field_by = {f.name.lower(): f for f in snap.schema.fields}
-    for _cond, kind, sets in mc:
+    for _cond, kind, sets in mc + sc:
         for k in (sets or {}):
             if kind == "update" and k.lower() not in field_by:
                 raise DeltaLogError(
@@ -2947,17 +2948,29 @@ def merge_into_delta(spark: SparkSession, path: str,
     tagged = (_snapshot_scan(spark, path, snap, file_tag="__delta_file")
               .withColumn("__tid", F.monotonically_increasing_id())
               .alias(ta))
-    j = (tagged.join(src, F.expr(on_cond), "inner")
-         .withColumn("__cidx",
-                     mcl.matched_clause_idx(mc, F.lit(True))))
+    # WHEN NOT MATCHED BY SOURCE needs every target row (unmatched
+    # rows may be claimed) — a LEFT join; without source clauses the
+    # inner join suffices (unmatched rows can't be claimed)
+    join_how = "left" if sc else "inner"
+    m_flag = F.col("__se").isNotNull() if sc else F.lit(True)
+    j = (tagged.join(src, F.expr(on_cond), join_how)
+         .withColumn("__cidx", mcl.matched_clause_idx(mc, m_flag))
+         .withColumn("__scidx",
+                     F.when(~m_flag, mcl.matched_clause_idx(
+                         sc, F.lit(True))).otherwise(F.lit(-1))
+                     if sc else F.lit(-1)))
     per_row = (j.groupBy("__delta_file", "__tid")
-               .agg(F.count(F.lit(1)).alias("cnt"),
-                    F.min("__cidx").alias("cidx")))
+               .agg(F.sum(F.when(m_flag, 1).otherwise(0)).alias("cnt"),
+                    F.min("__cidx").alias("cidx"),
+                    F.min("__scidx").alias("scidx")))
     per_file = (per_row.groupBy("__delta_file")
                 .agg(F.max("cnt").alias("mx"),
                      *[F.sum(F.when(F.col("cidx") == i, 1)
                              .otherwise(0)).alias(f"c{i}")
-                       for i in range(len(mc))])
+                       for i in range(len(mc))],
+                     *[F.sum(F.when(F.col("scidx") == i, 1)
+                             .otherwise(0)).alias(f"s{i}")
+                       for i in range(len(sc))])
                 .collect())
     if any(int(r["mx"]) > 1 for r in per_file):
         raise DeltaLogError(
@@ -2972,35 +2985,58 @@ def merge_into_delta(spark: SparkSession, path: str,
             os.path.abspath(os.path.join(path, disk)))] = rel
     touched: set[str] = set()
     n_by_clause = [0] * len(mc)
+    n_by_src = [0] * len(sc)
     for r in per_file:
         rel = by_key.get(r["__delta_file"])
         if rel is None:
             raise DeltaLogError(
                 f"MERGE matched rows in unrecognized source file "
                 f"{r['__delta_file']!r} — refusing to commit")
-        claimed = sum(int(r[f"c{i}"] or 0) for i in range(len(mc)))
+        claimed = (sum(int(r[f"c{i}"] or 0) for i in range(len(mc)))
+                   + sum(int(r[f"s{i}"] or 0)
+                         for i in range(len(sc))))
         if claimed:
             touched.add(rel)
         for i in range(len(mc)):
             n_by_clause[i] += int(r[f"c{i}"] or 0)
+        for i in range(len(sc)):
+            n_by_src[i] += int(r[f"s{i}"] or 0)
     del_idx = set(mcl.delete_idxs(mc))
-    n_updated = sum(n for i, n in enumerate(n_by_clause)
-                    if i not in del_idx)
-    n_deleted = sum(n for i, n in enumerate(n_by_clause)
-                    if i in del_idx)
+    sdel_idx = set(mcl.delete_idxs(sc))
+    n_updated = (sum(n for i, n in enumerate(n_by_clause)
+                     if i not in del_idx)
+                 + sum(n for i, n in enumerate(n_by_src)
+                       if i not in sdel_idx))
+    n_deleted = (sum(n for i, n in enumerate(n_by_clause)
+                     if i in del_idx)
+                 + sum(n for i, n in enumerate(n_by_src)
+                       if i in sdel_idx))
 
     # -- rewrite pass: touched files under a left join ---------------
     t_sub = _snapshot_scan(spark, path, snap,
                            file_subset=touched).alias(ta)
+    m_col = F.col("__se").isNotNull()
     joined = (t_sub.join(src, F.expr(on_cond), "left")
-              .withColumn("__cidx", mcl.matched_clause_idx(
-                  mc, F.col("__se").isNotNull())))
+              .withColumn("__cidx",
+                          mcl.matched_clause_idx(mc, m_col))
+              .withColumn("__scidx",
+                          F.when(~m_col, mcl.matched_clause_idx(
+                              sc, F.lit(True))).otherwise(F.lit(-1))
+                          if sc else F.lit(-1)))
     cidx = F.col("__cidx")
-    is_deleted = (cidx.isin(*sorted(del_idx)) if del_idx
-                  else F.lit(False))
+    scidx = F.col("__scidx")
+    is_deleted = F.lit(False)
+    if del_idx:
+        is_deleted = is_deleted | cidx.isin(*sorted(del_idx))
+    if sdel_idx:
+        is_deleted = is_deleted | scidx.isin(*sorted(sdel_idx))
 
     def _post_cols():
-        return [mcl.matched_field_value(f, mc, ta, cidx)
+        # matched and by-source claim indexes are mutually exclusive,
+        # so the by-source chain stacks on the matched chain as base
+        return [mcl.matched_field_value(
+                    f, sc, ta, scidx,
+                    base=mcl.matched_field_value(f, mc, ta, cidx))
                 .alias(f.name) for f in snap.schema.fields]
 
     moved: list[tuple] = []
@@ -3084,7 +3120,8 @@ def merge_into_delta(spark: SparkSession, path: str,
                              .withColumn("_change_type",
                                          F.lit("delete")))
             if n_updated:
-                upd = joined.filter((cidx >= 0) & ~is_deleted)
+                upd = joined.filter(((cidx >= 0) | (scidx >= 0))
+                                    & ~is_deleted)
                 parts.append(upd.select(*t_cols)
                              .withColumn("_change_type",
                                          F.lit("update_preimage")))

@@ -1576,7 +1576,8 @@ def merge_into_iceberg(spark: SparkSession, table_path: str,
                        insert_values: Optional[list] = None,
                        insert_all: bool = False,
                        matched_clauses: Optional[list] = None,
-                       insert_clauses: Optional[list] = None) -> dict:
+                       insert_clauses: Optional[list] = None,
+                       source_clauses: Optional[list] = None) -> dict:
     """File-granular MERGE INTO on an offline Iceberg table — the
     copy-on-write twin of `merge_into_delta` (same discovery /
     rewrite / insert decomposition; `sources/delta_reader.py`
@@ -1596,12 +1597,12 @@ def merge_into_iceberg(spark: SparkSession, table_path: str,
     metadata-only)."""
     from lightning_metastore_spark.sources import merge_clauses as mcl
 
-    mc, ic = mcl.normalize_clauses(update_set, matched_delete,
-                                   insert_cols, insert_values,
-                                   insert_all, matched_clauses,
-                                   insert_clauses)
+    mc, ic, sc = mcl.normalize_clauses(update_set, matched_delete,
+                                       insert_cols, insert_values,
+                                       insert_all, matched_clauses,
+                                       insert_clauses, source_clauses)
     try:
-        mcl.validate_clauses(mc, ic)
+        mcl.validate_clauses(mc, ic, sc)
     except mcl.MergeClauseError as e:
         raise ir.IcebergError(str(e)) from e
     meta = ir.load_metadata(table_path)
@@ -1613,7 +1614,7 @@ def merge_into_iceberg(spark: SparkSession, table_path: str,
     table_schema = ir.spark_schema(meta)
     spark_types = {f.name: f.dataType for f in table_schema.fields}
     field_by = {f.name.lower(): f for f in table_schema.fields}
-    for _cond, kind, sets in mc:
+    for _cond, kind, sets in mc + sc:
         for k in (sets or {}):
             if kind == "update" and k.lower() not in field_by:
                 raise ir.IcebergError(
@@ -1638,7 +1639,7 @@ def merge_into_iceberg(spark: SparkSession, table_path: str,
         int(f[1:].split(".")[0]) for f in os.listdir(mdir)
         if f.startswith("v") and f.endswith(".metadata.json"))
     ta, sa = target_alias, source_alias
-    rewrites = bool(mc)
+    rewrites = bool(mc) or bool(sc)
     inserts = bool(ic)
     src = (source_df.withColumn("__se", F.lit(1))
            .localCheckpoint(eager=True).alias(sa))
@@ -1650,17 +1651,28 @@ def merge_into_iceberg(spark: SparkSession, table_path: str,
                                   file_tag="__ice_src")
                   .withColumn("__tid", F.monotonically_increasing_id())
                   .alias(ta))
-        j = (tagged.join(src, F.expr(on_cond), "inner")
+        join_how = "left" if sc else "inner"
+        m_flag = F.col("__se").isNotNull() if sc else F.lit(True)
+        j = (tagged.join(src, F.expr(on_cond), join_how)
              .withColumn("__cidx",
-                         mcl.matched_clause_idx(mc, F.lit(True))))
+                         mcl.matched_clause_idx(mc, m_flag))
+             .withColumn("__scidx",
+                         F.when(~m_flag, mcl.matched_clause_idx(
+                             sc, F.lit(True))).otherwise(F.lit(-1))
+                         if sc else F.lit(-1)))
         per_row = (j.groupBy("__ice_src", "__tid")
-                   .agg(F.count(F.lit(1)).alias("cnt"),
-                        F.min("__cidx").alias("cidx")))
+                   .agg(F.sum(F.when(m_flag, 1).otherwise(0))
+                        .alias("cnt"),
+                        F.min("__cidx").alias("cidx"),
+                        F.min("__scidx").alias("scidx")))
         per_file = (per_row.groupBy("__ice_src")
                     .agg(F.max("cnt").alias("mx"),
                          *[F.sum(F.when(F.col("cidx") == i, 1)
                                  .otherwise(0)).alias(f"c{i}")
-                           for i in range(len(mc))])
+                           for i in range(len(mc))],
+                         *[F.sum(F.when(F.col("scidx") == i, 1)
+                                 .otherwise(0)).alias(f"s{i}")
+                           for i in range(len(sc))])
                     .collect())
     else:
         per_file = []  # no snapshot yet: the target is empty
@@ -1675,22 +1687,32 @@ def merge_into_iceberg(spark: SparkSession, table_path: str,
     by_key = {uri_path_encode(p): p for p, _s in data}
     touched: set[str] = set()
     n_by_clause = [0] * len(mc)
+    n_by_src = [0] * len(sc)
     for r in per_file:
         p = by_key.get(r["__ice_src"])
         if p is None:
             raise ir.IcebergError(
                 f"MERGE matched rows in unrecognized data file "
                 f"{r['__ice_src']!r} — refusing to commit")
-        claimed = sum(int(r[f"c{i}"] or 0) for i in range(len(mc)))
+        claimed = (sum(int(r[f"c{i}"] or 0) for i in range(len(mc)))
+                   + sum(int(r[f"s{i}"] or 0)
+                         for i in range(len(sc))))
         if claimed:
             touched.add(p)
         for i in range(len(mc)):
             n_by_clause[i] += int(r[f"c{i}"] or 0)
+        for i in range(len(sc)):
+            n_by_src[i] += int(r[f"s{i}"] or 0)
     del_idx = set(mcl.delete_idxs(mc))
-    n_updated = sum(n for i, n in enumerate(n_by_clause)
-                    if i not in del_idx)
-    n_deleted = sum(n for i, n in enumerate(n_by_clause)
-                    if i in del_idx)
+    sdel_idx = set(mcl.delete_idxs(sc))
+    n_updated = (sum(n for i, n in enumerate(n_by_clause)
+                     if i not in del_idx)
+                 + sum(n for i, n in enumerate(n_by_src)
+                       if i not in sdel_idx))
+    n_deleted = (sum(n for i, n in enumerate(n_by_clause)
+                     if i in del_idx)
+                 + sum(n for i, n in enumerate(n_by_src)
+                       if i in sdel_idx))
 
     # -- rewrite + insert: ONE replacement DataFrame ------------------
     t_sub = (ir.read_iceberg(spark, table_path, file_subset=touched)
@@ -1698,13 +1720,25 @@ def merge_into_iceberg(spark: SparkSession, table_path: str,
              else spark.createDataFrame([], table_schema)).alias(ta)
     parts = []
     if rewrites and touched:
+        m_col = F.col("__se").isNotNull()
         joined = (t_sub.join(src, F.expr(on_cond), "left")
-                  .withColumn("__cidx", mcl.matched_clause_idx(
-                      mc, F.col("__se").isNotNull())))
+                  .withColumn("__cidx",
+                              mcl.matched_clause_idx(mc, m_col))
+                  .withColumn("__scidx",
+                              F.when(~m_col, mcl.matched_clause_idx(
+                                  sc, F.lit(True)))
+                              .otherwise(F.lit(-1))
+                              if sc else F.lit(-1)))
         cidx = F.col("__cidx")
-        is_deleted = (cidx.isin(*sorted(del_idx)) if del_idx
-                      else F.lit(False))
-        out_cols = [mcl.matched_field_value(f, mc, ta, cidx)
+        scidx = F.col("__scidx")
+        is_deleted = F.lit(False)
+        if del_idx:
+            is_deleted = is_deleted | cidx.isin(*sorted(del_idx))
+        if sdel_idx:
+            is_deleted = is_deleted | scidx.isin(*sorted(sdel_idx))
+        out_cols = [mcl.matched_field_value(
+                        f, sc, ta, scidx,
+                        base=mcl.matched_field_value(f, mc, ta, cidx))
                     .alias(f.name) for f in table_schema.fields]
         # coalesce the join shuffle back to the touched-file count so
         # one rewritten file stays one file, not shuffle.partitions

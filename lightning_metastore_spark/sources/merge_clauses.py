@@ -37,13 +37,17 @@ def normalize_clauses(update_set: Optional[dict],
                       insert_values: Optional[list],
                       insert_all: bool,
                       matched_clauses: Optional[list] = None,
-                      insert_clauses: Optional[list] = None
-                      ) -> tuple[list, list]:
-    """-> (matched_clauses, insert_clauses) in the list form:
-    matched: [(cond|None, "update", sets) | (cond|None, "delete",
-    None)]; insert: [(cond|None, cols|None, vals|None)] where
-    cols=None means INSERT *. The legacy single-clause kwargs map to
-    unconditional one-entry lists."""
+                      insert_clauses: Optional[list] = None,
+                      source_clauses: Optional[list] = None
+                      ) -> tuple[list, list, list]:
+    """-> (matched_clauses, insert_clauses, source_clauses) in the
+    list form: matched/source: [(cond|None, "update", sets) |
+    (cond|None, "delete", None)]; insert: [(cond|None, cols|None,
+    vals|None)] where cols=None means INSERT *. Source clauses are
+    `WHEN NOT MATCHED BY SOURCE` (delta-spark's extension): they
+    claim TARGET rows with no source match, so their conditions and
+    SET expressions may reference target columns only. The legacy
+    single-clause kwargs map to unconditional one-entry lists."""
     if matched_clauses is None:
         matched_clauses = []
         if update_set:
@@ -57,13 +61,17 @@ def normalize_clauses(update_set: Optional[dict],
         elif insert_cols:
             insert_clauses.append((None, list(insert_cols),
                                    list(insert_values or [])))
-    return list(matched_clauses), list(insert_clauses)
+    return (list(matched_clauses), list(insert_clauses),
+            list(source_clauses or []))
 
 
 def validate_clauses(matched_clauses: list,
-                     insert_clauses: list) -> None:
+                     insert_clauses: list,
+                     source_clauses: Optional[list] = None) -> None:
     for group, name in ((matched_clauses, "WHEN MATCHED"),
-                        (insert_clauses, "WHEN NOT MATCHED")):
+                        (insert_clauses, "WHEN NOT MATCHED"),
+                        (source_clauses or [],
+                         "WHEN NOT MATCHED BY SOURCE")):
         for i, clause in enumerate(group):
             if clause[0] is None and i != len(group) - 1:
                 raise MergeClauseError(
@@ -105,12 +113,16 @@ def delete_idxs(matched_clauses: list) -> list[int]:
 
 
 def matched_field_value(field, matched_clauses: list, ta: str,
-                        cidx: Column) -> Column:
+                        cidx: Column,
+                        base: Optional[Column] = None) -> Column:
     """Post-merge value of one target field for a (possibly) matched
     row: the claiming UPDATE clause's SET expression (cast to the
-    field type), else the old value. DELETE-claimed rows are filtered
-    separately; their value here is the old one (irrelevant)."""
-    t_val = F.col(f"{ta}.`{field.name}`")
+    field type), else ``base`` (default: the old value). DELETE-
+    claimed rows are filtered separately; their value here is the old
+    one (irrelevant). Passing another clause group's chain as
+    ``base`` stacks groups whose claim indexes are mutually
+    exclusive (matched vs not-matched-by-source)."""
+    t_val = (F.col(f"{ta}.`{field.name}`") if base is None else base)
     out = None
     for i, (_cond, kind, sets) in enumerate(matched_clauses):
         if kind != "update":

@@ -5286,3 +5286,70 @@ def test_merge_conditional_cdf_replay(spark, tmp_path):
                    ("update_preimage", 4)]
     post = next(r for r in ch if r._change_type == "update_postimage")
     assert post.s == "UPD"
+
+
+def test_merge_not_matched_by_source_lakehouse(spark, tmp_path):
+    """BY SOURCE clauses on lakehouse targets are file-granular:
+    files whose rows are all matched or unclaimed stay untouched;
+    counts and cdc cover by-source updates/deletes."""
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+    from lightning_metastore_spark.sources.delta_reader import (
+        merge_into_delta,
+        table_changes,
+    )
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        merge_into_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "bys")
+    for lo in (0, 10):
+        write_delta(_delta_df(spark, lo, lo + 10).coalesce(1), path,
+                    mode="append" if lo else "error",
+                    configuration={"delta.enableChangeDataFeed":
+                                   "true"})
+    before = _live_rels(spark, path)
+    # source covers ALL of file 0 (ids 0..9) and id 15 of file 1 —
+    # by-source claims hit only file 1's other rows
+    src = spark.createDataFrame([(i,) for i in list(range(10)) + [15]],
+                                "id long")
+    out = merge_into_delta(
+        spark, path, src, "t.id = s.id", "t", "s",
+        source_clauses=[("t.id >= 18", "delete", None),
+                        (None, "update", {"s": "'stale'"})])
+    # unmatched rows of file 1 are 10..14 and 16..19 (15 matched):
+    # the conditional clause deletes 18,19; the rest update
+    assert out["n_deleted"] == 2
+    assert out["n_updated"] == 7
+    rows = {r.id: r.s for r in read_delta(spark, path).collect()}
+    assert 18 not in rows and 19 not in rows
+    assert rows[16] == "stale" and rows[15] == "15" and rows[3] == "3"
+    # file 0 carried over verbatim (its rows are all matched and no
+    # matched clause exists, so nothing claims them)
+    after = _live_rels(spark, path)
+    assert len(before & after) == 1
+    ch = table_changes(spark, path, starting_version=1).collect()
+    types = {}
+    for r in ch:
+        types.setdefault(r._change_type, set()).add(r.id)
+    assert types["delete"] == {18, 19}
+    assert types["update_preimage"] == {10, 11, 12, 13, 14, 16, 17}
+    assert types["update_postimage"] == types["update_preimage"]
+
+    # Iceberg twin
+    ip = str(tmp_path / "bysi")
+    for lo in (0, 10):
+        write_iceberg(_delta_df(spark, lo, lo + 10).coalesce(1), ip,
+                      mode="append" if lo else "error")
+    pre = {p for p, _s in ir.snapshot_files(
+        ip, ir.select_snapshot(ir.load_metadata(ip)))[0]}
+    out = merge_into_iceberg(
+        spark, ip, src, "t.id = s.id", "t", "s",
+        source_clauses=[("t.id >= 18", "delete", None),
+                        (None, "update", {"s": "'stale'"})])
+    assert out["n_deleted"] == 2 and out["n_updated"] == 7
+    post = {p for p, _s in ir.snapshot_files(
+        ip, ir.select_snapshot(ir.load_metadata(ip)))[0]}
+    assert len(pre & post) == 1           # file 0 untouched
+    rows = {r.id: r.s for r in ir.read_iceberg(spark, ip).collect()}
+    assert 18 not in rows and rows[16] == "stale" and rows[3] == "3"

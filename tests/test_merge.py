@@ -292,3 +292,25 @@ def test_merge_conditional_clauses_unreachable(ctx, spark):
             WHEN NOT MATCHED THEN INSERT *
             WHEN NOT MATCHED AND s.id = 1 THEN INSERT *
         """)
+
+
+def test_merge_not_matched_by_source(ctx, spark):
+    """r16: WHEN NOT MATCHED BY SOURCE claims TARGET rows with no
+    source match — the one-statement sync shape (delete absentees,
+    update the rest), delta-spark's extension."""
+    spark.createDataFrame(
+        [(1, "sync1", 11.0)],
+        ["id", "name", "amount"]).createOrReplaceTempView("sync_src")
+    ctx.sql("""
+        MERGE INTO lightning.datasource.file.db.accounts AS t
+        USING (SELECT * FROM sync_src) AS s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET name = s.name, amount = s.amount
+        WHEN NOT MATCHED BY SOURCE AND t.amount < 25 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = 'stale'
+    """)
+    rows = _rows(ctx)
+    # target started as {1:(a,10),2:(b,20),3:(c,30)}
+    assert rows[1] == ("sync1", 11.0)     # matched -> updated
+    assert 2 not in rows                  # absent + amount<25 -> gone
+    assert rows[3][0] == "stale"          # absent, kept, flagged
