@@ -2601,6 +2601,104 @@ def delete_where(spark: SparkSession, path: str,
 DV_DELETE_MAX_ROWS = 1_000_000
 
 
+def _collect_dv_positions(spark: SparkSession, path: str,
+                          snap: DeltaSnapshot, cond: str,
+                          touched: set, by_key: dict,
+                          what: str) -> dict:
+    """{logged add.path: [row positions]} of the rows matching
+    ``cond`` in the touched files — the merge-on-read mark set. The
+    collect is bounded by the caller's DV_DELETE_MAX_ROWS budget
+    check."""
+    tagged = _snapshot_scan(spark, path, snap,
+                            file_tag="__delta_file",
+                            pos_tag="__delta_pos",
+                            file_subset=touched)
+    pos_rows = (tagged.filter(cond)
+                .select("__delta_file", "__delta_pos").collect())
+    pos_by_rel: dict[str, list[int]] = {}
+    for r in pos_rows:
+        rel = by_key.get(r["__delta_file"])
+        if rel is None:
+            raise DeltaLogError(
+                f"{what} matched rows in unrecognized source file "
+                f"{r['__delta_file']!r} — refusing to commit")
+        pos_by_rel.setdefault(rel, []).append(int(r["__delta_pos"]))
+    return pos_by_rel
+
+
+def _dv_protocol_actions(snap: DeltaSnapshot) -> list[dict]:
+    """Protocol upgrade to (3,7)+deletionVectors when the table
+    enabled DVs by property but predates the feature — carrying the
+    cumulative legacy reader/writer implications."""
+    proto = dict(getattr(snap, "protocol", None)
+                 or {"minReaderVersion": 1, "minWriterVersion": 2})
+    wf = set(proto.get("writerFeatures") or [])
+    rf = set(proto.get("readerFeatures") or [])
+    if "deletionVectors" in wf and "deletionVectors" in rf:
+        return []
+    mrv = int(proto.get("minReaderVersion") or 1)
+    mwv = int(proto.get("minWriterVersion") or 1)
+    legacy_w = set(_legacy_writer_feats(mwv)) if mwv < 7 else set()
+    legacy_r = (set(f for v, feats in _LEGACY_READER_FEATS.items()
+                    if v <= mrv for f in feats) if mrv < 3 else set())
+    return [{"protocol": {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(rf | legacy_r | {"deletionVectors"}),
+        "writerFeatures": sorted(wf | legacy_w
+                                 | {"deletionVectors"})}}]
+
+
+def _dv_mark_actions(path: str, snap: DeltaSnapshot, touched: set,
+                     pos_by_rel: dict, now_ms: int) -> list[dict]:
+    """remove+add pairs marking ``pos_by_rel``'s row positions as
+    deleted via per-file deletion vectors (existing DV rows unioned
+    in — the scan already excluded them, so new positions are
+    disjoint). The add repeats partitionValues/size/stats with
+    tightBounds=false; the remove carries the pre-commit DV
+    descriptor for CDF range readers."""
+    from lightning_metastore_spark.sources import delta_dv
+
+    pv_by_rel = dict(snap.files)
+    acts: list[dict] = []
+    for rel in sorted(touched):
+        new_pos = pos_by_rel.get(rel) or []
+        old_desc = snap.dv.get(rel)
+        if old_desc is not None:
+            rows = sorted({v for s, c in
+                           delta_dv.read_dv_runs(old_desc, path)
+                           for v in range(s, s + c)}
+                          | set(new_pos))
+        else:
+            rows = sorted(new_pos)
+        if not rows:
+            continue
+        desc = delta_dv.write_dv_file(path, rows)
+        remove = {"path": rel, "deletionTimestamp": now_ms,
+                  "dataChange": True}
+        if old_desc is not None:
+            remove["deletionVector"] = old_desc
+        acts.append({"remove": remove})
+        add = {"path": rel,
+               "partitionValues": pv_by_rel.get(rel) or {},
+               "size": os.path.getsize(
+                   os.path.join(path, _resolve_rel(path, rel))),
+               "modificationTime": now_ms,
+               "dataChange": True,
+               "deletionVector": desc}
+        st = snap.stats.get(rel)
+        if st:
+            try:
+                parsed = json.loads(st)
+                parsed["tightBounds"] = False
+                add["stats"] = json.dumps(parsed,
+                                          separators=(",", ":"))
+            except ValueError:
+                pass
+        acts.append({"add": add})
+    return acts
+
+
 def _dv_delete_commit(spark: SparkSession, path: str,
                       snap: DeltaSnapshot, predicate: str,
                       touched: set, by_key: dict, n_deleted: int,
@@ -2616,22 +2714,9 @@ def _dv_delete_commit(spark: SparkSession, path: str,
     range readers track state exactly. Upgrades the protocol to
     (3, 7) + deletionVectors in the SAME commit when the table
     enabled DVs by property but predates the feature."""
-    from lightning_metastore_spark.sources import delta_dv
-
-    tagged = _snapshot_scan(spark, path, snap,
-                            file_tag="__delta_file",
-                            pos_tag="__delta_pos",
-                            file_subset=touched)
-    pos_rows = (tagged.filter(f"coalesce(({predicate}), false)")
-                .select("__delta_file", "__delta_pos").collect())
-    pos_by_rel: dict[str, list[int]] = {}
-    for r in pos_rows:
-        rel = by_key.get(r["__delta_file"])
-        if rel is None:
-            raise DeltaLogError(
-                f"DELETE matched rows in unrecognized source file "
-                f"{r['__delta_file']!r} — refusing to commit")
-        pos_by_rel.setdefault(rel, []).append(int(r["__delta_pos"]))
+    pos_by_rel = _collect_dv_positions(
+        spark, path, snap, f"coalesce(({predicate}), false)",
+        touched, by_key, "DELETE")
 
     cdc_actions: list[dict] = []
     if cdf_enabled:
@@ -2654,63 +2739,10 @@ def _dv_delete_commit(spark: SparkSession, path: str,
         {"commitInfo": {"timestamp": now_ms, "operation": "DELETE",
                         "operationParameters": {
                             "predicate": predicate}}}]
-    proto = dict(getattr(snap, "protocol", None)
-                 or {"minReaderVersion": 1, "minWriterVersion": 2})
-    wf = set(proto.get("writerFeatures") or [])
-    rf = set(proto.get("readerFeatures") or [])
-    if "deletionVectors" not in wf or "deletionVectors" not in rf:
-        mrv = int(proto.get("minReaderVersion") or 1)
-        mwv = int(proto.get("minWriterVersion") or 1)
-        legacy_w = (set(_legacy_writer_feats(mwv)) if mwv < 7
-                    else set())
-        legacy_r = (set(f for v, feats in _LEGACY_READER_FEATS.items()
-                        if v <= mrv for f in feats) if mrv < 3
-                    else set())
-        actions.append({"protocol": {
-            "minReaderVersion": 3,
-            "minWriterVersion": 7,
-            "readerFeatures": sorted(rf | legacy_r
-                                     | {"deletionVectors"}),
-            "writerFeatures": sorted(wf | legacy_w
-                                     | {"deletionVectors"})}})
+    actions.extend(_dv_protocol_actions(snap))
     actions.extend(cdc_actions)
-
-    pv_by_rel = dict(snap.files)
-    for rel in sorted(touched):
-        new_pos = pos_by_rel.get(rel) or []
-        old_desc = snap.dv.get(rel)
-        if old_desc is not None:
-            rows = sorted({v for s, c in
-                           delta_dv.read_dv_runs(old_desc, path)
-                           for v in range(s, s + c)}
-                          | set(new_pos))
-        else:
-            rows = sorted(new_pos)
-        if not rows:
-            continue
-        desc = delta_dv.write_dv_file(path, rows)
-        remove = {"path": rel, "deletionTimestamp": now_ms,
-                  "dataChange": True}
-        if old_desc is not None:
-            remove["deletionVector"] = old_desc
-        actions.append({"remove": remove})
-        add = {"path": rel,
-               "partitionValues": pv_by_rel.get(rel) or {},
-               "size": os.path.getsize(
-                   os.path.join(path, _resolve_rel(path, rel))),
-               "modificationTime": now_ms,
-               "dataChange": True,
-               "deletionVector": desc}
-        st = snap.stats.get(rel)
-        if st:
-            try:
-                parsed = json.loads(st)
-                parsed["tightBounds"] = False
-                add["stats"] = json.dumps(parsed,
-                                          separators=(",", ":"))
-            except ValueError:
-                pass
-        actions.append({"add": add})
+    actions.extend(_dv_mark_actions(path, snap, touched, pos_by_rel,
+                                    now_ms))
     _write_commit(path, snap.version + 1, actions)
     return n_deleted
 
@@ -2807,6 +2839,81 @@ def update_where(spark: SparkSession, path: str,
              .otherwise(F.col(f.name)).alias(f.name)
              if f.name in norm_assign else F.col(f.name))
             for f in snap.schema.fields])
+
+    # merge-on-read UPDATE (delta.enableDeletionVectors): mark the
+    # OLD rows deleted via per-file DVs and APPEND just the updated
+    # rows — updating 10 rows of a 1 GB file writes a KB bitmap plus
+    # one small parquet instead of rewriting the file. Same budget/
+    # fallback policy as the DV DELETE; mapped tables keep the
+    # rewrite (DV adds would need physical-keyed stats surgery).
+    conf2 = getattr(snap, "configuration", None) or {}
+    dv_mode = (str(conf2.get("delta.enableDeletionVectors", "")
+                   ).lower() == "true" and not is_mapped)
+    if dv_mode:
+        existing_card = 0
+        for rel in touched:
+            d = snap.dv.get(rel)
+            if d is None:
+                continue
+            if d.get("cardinality") is None:
+                dv_mode = False
+                break
+            existing_card += int(d["cardinality"])
+        if n_updated + existing_card > DV_DELETE_MAX_ROWS:
+            dv_mode = False
+    if dv_mode:
+        from lightning_metastore_spark.sources import delta_dv
+        by_key2 = {delta_dv.uri_path_encode(
+            os.path.abspath(os.path.join(path, _resolve_rel(path, rel)))
+        ): rel for rel, _pv in snap.files}
+        pos_by_rel = _collect_dv_positions(spark, path, snap, cond,
+                                           touched, by_key2, "UPDATE")
+        matched_rows = (_snapshot_scan(spark, path, snap,
+                                       file_subset=touched)
+                        .filter(cond))
+        new_rows = _applied(matched_rows).coalesce(
+            max(1, len(touched)))
+        moved = _stage_files(new_rows, path,
+                             os.path.join(path,
+                                          f".update-dv-{now_ms}"),
+                             snap.partition_columns)
+        _enforce_staged_checks(spark, path, snap.schema,
+                               snap.partition_columns, conf2, moved)
+        cdc_actions: list[dict] = []
+        if cdf_enabled:
+            pre = matched_rows.withColumn(
+                "_change_type", F.lit("update_preimage"))
+            post = _applied(matched_rows).withColumn(
+                "_change_type", F.lit("update_postimage"))
+            cmoved = _stage_files(pre.unionByName(post),
+                                  os.path.join(path, "_change_data"),
+                                  os.path.join(path,
+                                               f".cdc-{now_ms}"),
+                                  snap.partition_columns)
+            for rel, size, pv, _st in cmoved:
+                cdc_actions.append({"cdc": {
+                    "path": "/".join(["_change_data",
+                                      rel.replace(os.sep, "/")]),
+                    "partitionValues": pv, "size": size,
+                    "dataChange": False}})
+        actions: list[dict] = [
+            {"commitInfo": {"timestamp": now_ms,
+                            "operation": "UPDATE",
+                            "operationParameters": {
+                                "predicate": predicate}}}]
+        actions.extend(_dv_protocol_actions(snap))
+        actions.extend(cdc_actions)
+        actions.extend(_dv_mark_actions(path, snap, touched,
+                                        pos_by_rel, now_ms))
+        for rel, size, pv, stats in moved:
+            add = {"path": rel.replace(os.sep, "/"),
+                   "partitionValues": pv, "size": size,
+                   "modificationTime": now_ms, "dataChange": True}
+            if stats:
+                add["stats"] = stats
+            actions.append({"add": add})
+        _write_commit(path, snap.version + 1, actions)
+        return n_updated
 
     rewritten = _applied(
         _snapshot_scan(spark, path, snap, file_subset=touched))

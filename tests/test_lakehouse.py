@@ -5353,3 +5353,62 @@ def test_merge_not_matched_by_source_lakehouse(spark, tmp_path):
     assert len(pre & post) == 1           # file 0 untouched
     rows = {r.id: r.s for r in ir.read_iceberg(spark, ip).collect()}
     assert 18 not in rows and rows[16] == "stale" and rows[3] == "3"
+
+
+def test_update_writes_deletion_vectors(spark, tmp_path, monkeypatch):
+    """r16 merge-on-read UPDATE: with delta.enableDeletionVectors a
+    small predicated UPDATE marks old rows via per-file DVs and
+    appends just the updated rows — original data files stay
+    physically in place, CDF replays exact pre/post images, repeat
+    DML unions DVs, and over-budget updates fall back to rewrite."""
+    import lightning_metastore_spark.sources.delta_reader as dr
+    from lightning_metastore_spark.sources.delta_reader import (
+        delete_where,
+        table_changes,
+        update_where,
+    )
+
+    path = str(tmp_path / "dvu")
+    for lo in (0, 10):
+        write_delta(_delta_df(spark, lo, lo + 10).coalesce(1), path,
+                    mode="append" if lo else "error",
+                    configuration={"delta.enableDeletionVectors":
+                                   "true",
+                                   "delta.enableChangeDataFeed":
+                                   "true"})
+    files0 = {r for r, _ in resolve_snapshot(spark, path).files}
+
+    assert update_where(spark, path, {"s": "upper(s) || '!'",
+                                      "v": "v + 1"},
+                        "id IN (3, 17)") == 2
+    snap = resolve_snapshot(spark, path)
+    live = {r for r, _ in snap.files}
+    # the two original files stay; two single-row update files appended
+    assert files0 <= live
+    assert all(os.path.exists(os.path.join(path, r)) for r in files0)
+    assert set(snap.dv) == files0
+    rows = {r.id: (r.s, r.v) for r in read_delta(spark, path).collect()}
+    assert len(rows) == 20
+    assert rows[3] == ("3!", 7) and rows[17] == ("17!", 35)
+    assert rows[4] == ("4", 8)
+    # CDF replays exact images
+    ch = table_changes(spark, path, starting_version=2).collect()
+    got = sorted((r._change_type, r.id) for r in ch)
+    assert got == [("update_postimage", 3), ("update_postimage", 17),
+                   ("update_preimage", 3), ("update_preimage", 17)]
+    # a DV DELETE after the DV UPDATE unions into the same files' DVs
+    assert delete_where(spark, path, "id = 5") == 1
+    rows = {r.id for r in read_delta(spark, path).collect()}
+    assert rows == set(range(20)) - {5}
+    # time travel across both
+    assert read_delta(spark, path, version_as_of=1).count() == 20
+
+    # over-budget falls back to the rewrite path
+    p2 = str(tmp_path / "dvu2")
+    write_delta(_delta_df(spark, 0, 10).coalesce(1), p2, mode="error",
+                configuration={"delta.enableDeletionVectors": "true"})
+    monkeypatch.setattr(dr, "DV_DELETE_MAX_ROWS", 1)
+    assert update_where(spark, p2, {"v": "v + 1"}, "id < 3") == 3
+    snapf = resolve_snapshot(spark, p2)
+    assert not snapf.dv
+    assert read_delta(spark, p2).where("v % 2 = 1").count() == 3
