@@ -3146,8 +3146,67 @@ def merge_into_delta(spark: SparkSession, path: str,
                     base=mcl.matched_field_value(f, mc, ta, cidx))
                 .alias(f.name) for f in snap.schema.fields]
 
+    # merge-on-read (delta.enableDeletionVectors): instead of
+    # rewriting touched files, DV-mark the CLAIMED rows' old
+    # positions and append only the post-update rows — a 10-row
+    # upsert into a 100 TB table writes bitmaps + one small parquet.
+    # Same budget/fallback policy as the DV DELETE/UPDATE.
+    conf_dv = getattr(snap, "configuration", None) or {}
+    dv_mode = (rewrites and bool(touched) and not is_mapped
+               and str(conf_dv.get("delta.enableDeletionVectors", "")
+                       ).lower() == "true")
+    if dv_mode:
+        existing_card = 0
+        for rel in touched:
+            d = snap.dv.get(rel)
+            if d is None:
+                continue
+            if d.get("cardinality") is None:
+                dv_mode = False
+                break
+            existing_card += int(d["cardinality"])
+        if (n_updated + n_deleted + existing_card
+                > DV_DELETE_MAX_ROWS):
+            dv_mode = False
+    dv_mark_acts: list[dict] = []
     moved: list[tuple] = []
-    if rewrites and touched:
+    if rewrites and touched and dv_mode:
+        claimed = (cidx >= 0) | (scidx >= 0)
+        # old positions of every claimed row, per file — the pos tag
+        # rides the same tagged scan shape the discovery used
+        t_pos = (_snapshot_scan(spark, path, snap,
+                                file_tag="__delta_file",
+                                pos_tag="__delta_pos",
+                                file_subset=touched).alias(ta))
+        jp = (t_pos.join(src, F.expr(on_cond), "left")
+              .withColumn("__cidx",
+                          mcl.matched_clause_idx(mc, m_col))
+              .withColumn("__scidx",
+                          F.when(~m_col, mcl.matched_clause_idx(
+                              sc, F.lit(True))).otherwise(F.lit(-1))
+                          if sc else F.lit(-1)))
+        pos_rows = (jp.filter((F.col("__cidx") >= 0)
+                              | (F.col("__scidx") >= 0))
+                    .select("__delta_file", "__delta_pos").collect())
+        pos_by_rel: dict[str, list[int]] = {}
+        for r in pos_rows:
+            rel = by_key.get(r["__delta_file"])
+            if rel is None:
+                raise DeltaLogError(
+                    f"MERGE matched rows in unrecognized source file "
+                    f"{r['__delta_file']!r} — refusing to commit")
+            pos_by_rel.setdefault(rel, []).append(
+                int(r["__delta_pos"]))
+        dv_mark_acts = _dv_mark_actions(path, snap, touched,
+                                        pos_by_rel, now_ms)
+        # append only the claimed, non-deleted rows' POST values
+        post_rows = (joined.filter(claimed & ~is_deleted)
+                     .select(*_post_cols())
+                     .coalesce(max(1, len(touched))))
+        moved = _stage_files(post_rows, path,
+                             os.path.join(path, f".merge-{now_ms}"),
+                             stage_partition_by)
+    elif rewrites and touched:
         survivors = joined.filter(~is_deleted)
         # the left join shuffled the touched files' rows across
         # shuffle.partitions tasks — coalesce back to the touched-file
@@ -3257,8 +3316,12 @@ def merge_into_delta(spark: SparkSession, path: str,
         {"commitInfo": {"timestamp": now_ms, "operation": "MERGE",
                         "operationParameters": {
                             "predicate": on_cond}}}]
+    if dv_mark_acts:
+        actions.extend(_dv_protocol_actions(snap))
     actions.extend(cdc_actions)
-    if rewrites:
+    if dv_mark_acts:
+        actions.extend(dv_mark_acts)
+    elif rewrites:
         for rel in sorted(touched):
             actions.append({"remove": {"path": rel,
                                        "deletionTimestamp": now_ms,
@@ -3284,6 +3347,14 @@ def merge_into_delta(spark: SparkSession, path: str,
         except (ValueError, KeyError, TypeError):
             complete = False
             break
+        d = new_snap.dv.get(rel)
+        if d is not None:
+            # numRecords is the PHYSICAL row count; DV-marked rows
+            # are logically deleted
+            if d.get("cardinality") is None:
+                complete = False
+                break
+            total -= int(d["cardinality"])
     if not complete:
         total = _snapshot_scan(spark, path, new_snap).count()
     return {"n_updated": int(n_updated),

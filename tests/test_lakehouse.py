@@ -5412,3 +5412,52 @@ def test_update_writes_deletion_vectors(spark, tmp_path, monkeypatch):
     snapf = resolve_snapshot(spark, p2)
     assert not snapf.dv
     assert read_delta(spark, p2).where("v % 2 = 1").count() == 3
+
+
+def test_merge_writes_deletion_vectors(spark, tmp_path):
+    """r16 merge-on-read MERGE: on a DV-enabled table, an upsert
+    DV-marks the claimed rows' old positions and appends only the
+    post-update rows — the original data files stay physically in
+    place; CDF replays exact update/insert cdc; results match the
+    rewrite path exactly."""
+    from lightning_metastore_spark.sources.delta_reader import (
+        merge_into_delta,
+        table_changes,
+    )
+
+    path = str(tmp_path / "dvm")
+    write_delta(_delta_df(spark, 0, 20).coalesce(2), path, mode="error",
+                configuration={"delta.enableDeletionVectors": "true",
+                               "delta.enableChangeDataFeed": "true"})
+    files0 = {r for r, _ in resolve_snapshot(spark, path).files}
+    src = spark.createDataFrame([(5, "n5", 50), (14, "n14", 140),
+                                 (100, "n100", 1000)],
+                                "id long, s string, v long")
+    out = merge_into_delta(
+        spark, path, src, "t.id = s.id", "t", "s",
+        update_set={"s": "s.s", "v": "s.v"}, insert_all=True)
+    assert out == {"n_updated": 2, "n_deleted": 0, "n_inserted": 1,
+                   "total_rows": 21}
+    snap = resolve_snapshot(spark, path)
+    live = {r for r, _ in snap.files}
+    assert files0 <= live                       # no data file rewritten
+    assert all(os.path.exists(os.path.join(path, r)) for r in files0)
+    assert set(snap.dv) == files0               # both files DV-marked
+    rows = {r.id: (r.s, r.v) for r in read_delta(spark, path).collect()}
+    assert len(rows) == 21
+    assert rows[5] == ("n5", 50) and rows[14] == ("n14", 140)
+    assert rows[100] == ("n100", 1000) and rows[4] == ("4", 8)
+    ch = table_changes(spark, path, starting_version=1).collect()
+    got = sorted((r._change_type, r.id) for r in ch)
+    assert got == [("insert", 100),
+                   ("update_postimage", 5), ("update_postimage", 14),
+                   ("update_preimage", 5), ("update_preimage", 14)]
+    # a delete-clause merge on the same table stacks DVs
+    src2 = spark.createDataFrame([(7,)], "id long")
+    out2 = merge_into_delta(spark, path, src2, "t.id = s.id", "t",
+                            "s", matched_delete=True)
+    assert out2["n_deleted"] == 1 and out2["total_rows"] == 20
+    assert {r.id for r in read_delta(spark, path).collect()} == \
+        (set(range(20)) | {100}) - {7}
+    # pre-merge state still time-travels
+    assert read_delta(spark, path, version_as_of=0).count() == 20
