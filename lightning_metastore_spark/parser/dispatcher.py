@@ -66,6 +66,7 @@ _LIGHTNING_HEADS = (
                r"NAMESPACE\s+LIGHTNING\.", re.I | re.S),
     re.compile(r"^MERGE\s+INTO\s+LIGHTNING\.", re.I),
     re.compile(r"^OPTIMIZE\s+LIGHTNING\.", re.I),
+    re.compile(r"^REORG\s+TABLE\s+LIGHTNING\.", re.I),
     re.compile(r"^VACUUM\s+LIGHTNING\.", re.I),
     re.compile(r"^EXPIRE\s+SNAPSHOTS\s+LIGHTNING\.", re.I),
     re.compile(r"^REMOVE\s+ORPHAN\s+FILES\s+LIGHTNING\.", re.I),
@@ -561,6 +562,27 @@ class OptimizeTable(Command):
             ctx, [(stats["files_removed"], stats["files_added"],
                    stats["bytes_compacted"])],
             "files_removed long, files_added long, bytes_compacted long")
+
+
+@dataclass
+class ReorgPurge(Command):
+    """`REORG TABLE lightning.datasource.delta.<ds>.<table> APPLY
+    (PURGE)` — materialize every DV-carrying file's survivors and
+    drop the deletion vectors as one dataChange=false commit
+    (delta-spark's REORG surface; the merge-on-read lifecycle's
+    compaction half — see `delta_reader.purge_delta`)."""
+    path: list[str]
+
+    def run(self, ctx) -> DataFrame:
+        from lightning_metastore_spark.sources.delta_reader import (
+            purge_delta,
+        )
+
+        tpath = _delta_table_path(ctx, self.path, "REORG")
+        out = purge_delta(ctx.spark, tpath)
+        return self._df(
+            ctx, [(out["files_purged"], out["rows_dropped"])],
+            "files_purged long, rows_dropped long")
 
 
 @dataclass
@@ -2358,6 +2380,9 @@ _R_OPTIMIZE = re.compile(
     r"^OPTIMIZE\s+(?P<path>[\w.\-]+)"
     r"(?:\s+TARGET\s+SIZE\s+(?P<sz>\d+))?"
     r"(?:\s+ZORDER\s+BY\s*\((?P<zcols>[^)]+)\))?\s*$", re.I)
+_R_REORG = re.compile(
+    r"^REORG\s+TABLE\s+(?P<path>[\w.\-]+)\s+APPLY\s*\(\s*PURGE\s*\)"
+    r"\s*$", re.I)
 _R_VACUUM = re.compile(
     r"^VACUUM\s+(?P<path>[\w.\-]+)"
     r"(?:\s+RETAIN\s+(?P<h>[\d.]+)\s+HOURS)?"
@@ -2514,6 +2539,9 @@ def parse_command(sql: str) -> Command:
             target_bytes=int(m.group("sz")) if m.group("sz") else None,
             zorder_by=([c.strip() for c in m.group("zcols").split(",")]
                        if m.group("zcols") else None))
+    m = _R_REORG.match(text)
+    if m:
+        return ReorgPurge(path=_split_path(m.group("path")))
     m = _R_VACUUM.match(text)
     if m:
         return VacuumTable(

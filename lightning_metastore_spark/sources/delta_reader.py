@@ -3725,6 +3725,62 @@ def zorder_delta(spark: SparkSession, path: str, columns: list[str],
             "bytes_rewritten": bytes_rewritten}
 
 
+def purge_delta(spark: SparkSession, path: str) -> dict:
+    """REORG TABLE ... APPLY (PURGE) — materialize every DV-carrying
+    file's SURVIVOR rows into fresh files and drop the deletion
+    vectors, as one dataChange=false commit (logical content is
+    identical; only the physical layout changes — delta-spark's
+    REORG/PURGE contract). The merge-on-read lifecycle's compaction
+    half: DV-mode DML keeps deletes cheap; PURGE reclaims the dead
+    rows' space and makes the files OPTIMIZE/ZORDER-eligible again
+    (both skip DV-carrying files). The freed DV files become
+    VACUUM-collectable once unreferenced.
+
+    Returns {"files_purged", "rows_dropped"}."""
+    snap = resolve_snapshot(spark, path)
+    if getattr(snap, "physical", None):
+        raise DeltaLogError(
+            f"offline PURGE of column-mapped tables is not "
+            f"supported: {path}")
+    _check_writer_protocol(snap, path)
+    now_ms = int(time.time() * 1000)
+    touched = set(snap.dv)
+    if not touched:
+        return {"files_purged": 0, "rows_dropped": 0}
+    rows_dropped = 0
+    for rel in touched:
+        d = snap.dv[rel]
+        if d.get("cardinality") is not None:
+            rows_dropped += int(d["cardinality"])
+    # the snapshot scan applies the DVs, so the survivors ARE the
+    # subset scan of the touched files
+    survivors = (_snapshot_scan(spark, path, snap,
+                                file_subset=touched)
+                 .coalesce(max(1, len(touched))))
+    moved = _stage_files(survivors, path,
+                         os.path.join(path, f".purge-{now_ms}"),
+                         snap.partition_columns)
+    actions: list[dict] = [
+        {"commitInfo": {"timestamp": now_ms, "operation": "REORG",
+                        "operationParameters": {
+                            "applyPurge": True}}}]
+    for rel in sorted(touched):
+        remove = {"path": rel, "deletionTimestamp": now_ms,
+                  "dataChange": False,
+                  "deletionVector": snap.dv[rel]}
+        actions.append({"remove": remove})
+    for rel, size, pv, stats in moved:
+        add = {"path": rel.replace(os.sep, "/"),
+               "partitionValues": pv, "size": size,
+               "modificationTime": now_ms, "dataChange": False}
+        if stats:
+            add["stats"] = stats
+        actions.append({"add": add})
+    _write_commit(path, snap.version + 1, actions)
+    return {"files_purged": len(touched),
+            "rows_dropped": int(rows_dropped)}
+
+
 def vacuum_delta(spark: SparkSession, path: str,
                  retention_hours: float = 168.0,
                  dry_run: bool = False,

@@ -5461,3 +5461,62 @@ def test_merge_writes_deletion_vectors(spark, tmp_path):
         (set(range(20)) | {100}) - {7}
     # pre-merge state still time-travels
     assert read_delta(spark, path, version_as_of=0).count() == 20
+
+
+def test_reorg_purge(spark, tmp_path):
+    """REORG TABLE ... APPLY (PURGE): DV-carrying files rewrite to
+    survivors-only as dataChange=false, DVs drop, logical content is
+    provably unchanged across the commit (time travel pins it), and
+    the purged files become OPTIMIZE-eligible again."""
+    from lightning_metastore_spark.context import LightningContext
+    from lightning_metastore_spark.sources.delta_reader import (
+        delete_where,
+        optimize_delta,
+        purge_delta,
+    )
+
+    base = tmp_path / "prg"
+    base.mkdir()
+    path = str(base / "ev")
+    for lo in (0, 10):
+        write_delta(_delta_df(spark, lo, lo + 10).coalesce(1), path,
+                    mode="append" if lo else "error",
+                    configuration={"delta.enableDeletionVectors":
+                                   "true"})
+    assert delete_where(spark, path, "id IN (3, 17)") == 2
+    snap = resolve_snapshot(spark, path)
+    assert len(snap.dv) == 2
+    pre_rows = sorted(r.id for r in read_delta(spark, path).collect())
+
+    out = purge_delta(spark, path)
+    assert out == {"files_purged": 2, "rows_dropped": 2}
+    snap2 = resolve_snapshot(spark, path)
+    assert not snap2.dv                          # vectors gone
+    assert sorted(r.id for r in
+                  read_delta(spark, path).collect()) == pre_rows
+    # dataChange=false: every version's logical content is identical
+    v = snap2.version
+    assert sorted(r.id for r in read_delta(
+        spark, path, version_as_of=v - 1).collect()) == pre_rows
+    # idempotent
+    assert purge_delta(spark, path) == {"files_purged": 0,
+                                        "rows_dropped": 0}
+    # purged files compact normally again
+    res = optimize_delta(spark, path)
+    assert res["files_removed"] >= 2
+    assert sorted(r.id for r in
+                  read_delta(spark, path).collect()) == pre_rows
+
+    # SQL surface
+    p2 = str(base / "ev2")
+    write_delta(_delta_df(spark, 0, 10).coalesce(1), p2, mode="error",
+                configuration={"delta.enableDeletionVectors": "true"})
+    delete_where(spark, p2, "id = 4")
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.delta")
+    ctx.sql(f"REGISTER DELTA DATASOURCE d OPTIONS(path '{base}') "
+            "NAMESPACE lightning.datasource.delta")
+    row = ctx.sql("REORG TABLE lightning.datasource.delta.d.ev2 "
+                  "APPLY (PURGE)").collect()[0]
+    assert (row.files_purged, row.rows_dropped) == (1, 1)
+    assert resolve_snapshot(spark, p2).dv == {}
