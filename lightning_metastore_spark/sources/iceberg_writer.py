@@ -1297,7 +1297,10 @@ def _mor_delete_commit(spark: SparkSession, table_path: str,
                        meta: dict, snap: dict, predicate: str,
                        touched: set, n_deleted: int, seq: int,
                        snap_id: int, parent, version: int,
-                       now_ms: int) -> int:
+                       now_ms: int,
+                       append_df: Optional[DataFrame] = None,
+                       spark_types: Optional[dict] = None,
+                       operation: str = "delete") -> int:
     """Merge-on-read half of `delete_where_iceberg`: stage one
     position-delete parquet (file_path carrying spec field id
     2147483546, pos 2147483545 — matched by the reader's
@@ -1357,10 +1360,40 @@ def _mor_delete_commit(spark: SparkSession, table_path: str,
                  "partition_spec_id": 0, "content": 1,
                  "sequence_number": seq,
                  "added_snapshot_id": snap_id, "partitions": None})
+    if append_df is not None:
+        # merge-on-read UPDATE: the post-update rows land as NEW data
+        # files in the SAME snapshot (their paths are not referenced
+        # by the position deletes, so the deletes never touch them)
+        data_files = _stage_data_files(append_df, table_path, ddir,
+                                       [], spark_types or {}, seq,
+                                       now_ms)
+        if data_files:
+            field_ids, field_types = _current_schema_fields(meta)
+            aentries = []
+            for p, pv in data_files:
+                data_file = {"content": 0, "file_path": p,
+                             "file_format": "PARQUET",
+                             "record_count": _parquet_num_rows(p),
+                             "file_size_in_bytes": os.path.getsize(p),
+                             "equality_ids": None}
+                data_file.update(_parquet_column_stats(
+                    p, field_ids, field_types))
+                aentries.append({"status": 1, "snapshot_id": snap_id,
+                                 "sequence_number": seq,
+                                 "data_file": data_file})
+            amanifest = os.path.join(mdir, f"m-{snap_id}-upd.avro")
+            ac.write_container(amanifest, mschema, aentries)
+            recs.append({"manifest_path": amanifest,
+                         "manifest_length":
+                         os.path.getsize(amanifest),
+                         "partition_spec_id": 0, "content": 0,
+                         "sequence_number": seq,
+                         "added_snapshot_id": snap_id,
+                         "partitions": None})
     mlist = os.path.join(mdir, f"snap-{snap_id}.avro")
     ac.write_container(mlist, MANIFEST_LIST_SCHEMA, recs)
     _commit_snapshot(meta, mdir, snap_id, parent, seq, now_ms, mlist,
-                     "delete", version)
+                     operation, version)
     return n_deleted
 
 
@@ -1552,6 +1585,30 @@ def update_where_iceberg(spark: SparkSession, table_path: str,
                 f"{r['__ice_src']!r} — refusing to commit")
         touched.add(p)
         n_updated += int(r["count"])
+
+    # v2 merge-on-read UPDATE: with `write.update.mode =
+    # merge-on-read` (unpartitioned specs), position-delete the OLD
+    # rows and append only the post-update rows — zero file rewrites,
+    # executor-side end to end (the MOR DELETE's shape plus one small
+    # append manifest)
+    props = meta.get("properties") or {}
+    if (str(props.get("write.update.mode", "")).lower()
+            == "merge-on-read" and not partition_by):
+        new_rows = (ir.read_iceberg(spark, table_path,
+                                    file_subset=touched)
+                    .filter(cond)
+                    .select(*[
+                        (F.expr(norm_assign[f.name]).cast(f.dataType)
+                         .alias(f.name)
+                         if f.name in norm_assign else F.col(f.name))
+                        for f in table_schema.fields])
+                    .coalesce(1))
+        return _mor_delete_commit(
+            spark, table_path, meta, snap,
+            predicate if predicate is not None else "true",
+            touched, n_updated, seq, snap_id, parent, version,
+            now_ms, append_df=new_rows, spark_types=spark_types,
+            operation="overwrite")
 
     base = ir.read_iceberg(spark, table_path, file_subset=touched)
     rewritten = base.select(*[

@@ -5520,3 +5520,53 @@ def test_reorg_purge(spark, tmp_path):
                   "APPLY (PURGE)").collect()[0]
     assert (row.files_purged, row.rows_dropped) == (1, 1)
     assert resolve_snapshot(spark, p2).dv == {}
+
+
+def test_iceberg_merge_on_read_update(spark, tmp_path):
+    """r16 v2 merge-on-read UPDATE: with `write.update.mode =
+    merge-on-read` the old rows position-delete and only the
+    post-update rows append — the original data files stay physically
+    in place, the swap semantics hold, and time travel works."""
+    from lightning_metastore_spark.sources import iceberg_reader as ir
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        update_where_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "moru")
+    write_iceberg(_delta_df(spark, 0, 10).coalesce(1), path,
+                  mode="error",
+                  properties={"write.update.mode": "merge-on-read",
+                              "write.delete.mode": "merge-on-read"})
+    write_iceberg(_delta_df(spark, 10, 20).coalesce(1), path,
+                  mode="append")
+    data0 = {p for p, _s in ir.snapshot_files(
+        path, ir.select_snapshot(ir.load_metadata(path)))[0]}
+
+    n = update_where_iceberg(spark, path,
+                             {"s": "upper(s) || '!'", "v": "v + 1"},
+                             "id IN (3, 17)")
+    assert n == 2
+    meta = ir.load_metadata(path)
+    data1, pos1, _eq = ir.snapshot_files(path,
+                                         ir.select_snapshot(meta))
+    assert data0 <= {p for p, _s in data1}      # originals in place
+    assert len(pos1) == 1                        # one delete file
+    assert len(data1) == 3                       # + one update file
+    rows = {r.id: (r.s, r.v)
+            for r in ir.read_iceberg(spark, path).collect()}
+    assert len(rows) == 20
+    assert rows[3] == ("3!", 7) and rows[17] == ("17!", 35)
+    assert rows[4] == ("4", 8)
+    # time travel to the pre-update snapshot
+    sids = [s["snapshot-id"] for s in meta["snapshots"]]
+    pre = {r.id: r.s for r in ir.read_iceberg(
+        spark, path, snapshot_id=sids[1]).collect()}
+    assert pre[3] == "3"
+    # a MOR DELETE over the MOR-updated table composes
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        delete_where_iceberg,
+    )
+    assert delete_where_iceberg(spark, path, "id = 17") == 1
+    rows = {r.id for r in ir.read_iceberg(spark, path).collect()}
+    assert rows == set(range(20)) - {17}
