@@ -994,6 +994,10 @@ class MergeInto(Command):
         # row matched by more than one source row is an error, not a
         # silent duplication — even pass-through/DELETE paths, where the
         # full-outer join would silently multiply or over-delete rows.
+        # With NO matched clause the duplicate is not ambiguous
+        # (delta-spark parity — an insert-only MERGE against a
+        # duplicate-key source answers): the pass-through target row is
+        # kept ONCE (row_number over the same window key) instead.
         # The per-target match count is a window in the SAME pass as the
         # result, and the violation is checked on the materialized
         # output BEFORE the destructive overwrite.
@@ -1011,11 +1015,24 @@ class MergeInto(Command):
                         "__wkey",
                         F.coalesce(F.col(f"{ta}.__tid"),
                                    -F.monotonically_increasing_id() - 1))
-                    .withColumn("__nm", n_matches)
-                    .withColumn("__dup", matched
-                                & F.col(f"{ta}.__tid").isNotNull()
-                                & (F.col("__nm") > 1))
-                    .withColumn("__keep", keep))
+                    .withColumn("__nm", n_matches))
+        if mc:
+            enriched = (enriched
+                        .withColumn("__dup", matched
+                                    & F.col(f"{ta}.__tid").isNotNull()
+                                    & (F.col("__nm") > 1))
+                        .withColumn("__keep", keep))
+        else:
+            # unclaimed pass-through: any join copy carries the same
+            # (target-only) values — keep the first
+            rn = F.row_number().over(
+                W.partitionBy(F.col("__wkey")).orderBy(F.lit(0)))
+            enriched = (enriched
+                        .withColumn("__dup", F.lit(False))
+                        .withColumn(
+                            "__keep",
+                            keep & (F.col(f"{ta}.__tid").isNull()
+                                    | (rn == 1))))
         result = (enriched.filter(F.col("__keep") | F.col("__dup"))
                   .select(*out_cols, "__dup", "__keep"))
         # break lineage from the files we are about to overwrite

@@ -201,15 +201,19 @@ def catalog_federated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("-").alias("o_orderpriority"),
             F.col("revenue"), F.col("n_items")))
     # r16: the triad becomes a quartet — DELETE, UPDATE, then a
-    # file-granular MERGE (matched rows pin to 100.00, source rows the
-    # DELETE removed re-insert at 100.00) — so the upsert path is
-    # hash-verified against the DuckDB twin every driver run.
+    # file-granular MERGE — so the upsert path is hash-verified
+    # against the DuckDB twin every driver run. r17: the matched
+    # clause is CONDITIONAL (r16 verdict #1 done-criterion): matched
+    # rows the condition rejects are claimed by NO clause, the exact
+    # shape whose source rows the old anti-join wrongly re-inserted —
+    # a regression now hash-mismatches instead of staying invisible.
     merge_sql = """MERGE INTO {tbl} AS t
         USING (SELECT c_custkey AS k
                FROM lightning.datasource.file.tpch.customer
                WHERE c_custkey < 20) AS s
         ON t.c_custkey = s.k
-        WHEN MATCHED THEN UPDATE SET c_acctbal = 100.0
+        WHEN MATCHED AND t.c_mktsegment = 'BUILDING'
+             THEN UPDATE SET c_acctbal = 100.0
         WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal,
                                       c_mktsegment)
              VALUES (s.k, 100.0, 'MERGED')"""
@@ -272,7 +276,8 @@ SELECT 'dml_' || fmt AS arm, '-' AS o_orderpriority,
        CAST(SUM(CAST(ROUND(b * 100) AS BIGINT)) AS DOUBLE)
          / 100 AS revenue,
        COUNT(*) AS n_items
-FROM (SELECT CASE WHEN c_custkey < 20 THEN 100.0
+FROM (SELECT CASE WHEN c_custkey < 20
+                       AND c_mktsegment = 'BUILDING' THEN 100.0
                   WHEN c_mktsegment = 'BUILDING'
                   THEN c_acctbal * 2 ELSE c_acctbal END AS b
       FROM customer WHERE c_custkey % 7 <> 0

@@ -5185,7 +5185,9 @@ def test_iceberg_merge_on_read_delete(spark, tmp_path):
                   pruned.where("id >= 15").collect()) == \
         [15, 16, 18, 19]
 
-    # partitioned tables keep the copy-on-write path
+    # r17: partitioned tables take merge-on-read too (per-partition
+    # delete files — test_mor_delete_update_partitioned pins the
+    # manifest shape)
     p2 = str(tmp_path / "morp")
     write_iceberg(
         spark.createDataFrame([(1, "a"), (2, "b")],
@@ -5195,7 +5197,8 @@ def test_iceberg_merge_on_read_delete(spark, tmp_path):
     assert delete_where_iceberg(spark, p2, "id = 1") == 1
     m = ir.load_metadata(p2)
     _d, posp, _e = ir.snapshot_files(p2, ir.select_snapshot(m))
-    assert posp == []                            # rewrote instead
+    assert len(posp) == 1                        # MOR, not rewrite
+    assert [r.id for r in ir.read_iceberg(spark, p2).collect()] == [2]
     assert [r.id for r in ir.read_iceberg(spark, p2).collect()] == [2]
 
 
@@ -5570,3 +5573,427 @@ def test_iceberg_merge_on_read_update(spark, tmp_path):
     assert delete_where_iceberg(spark, path, "id = 17") == 1
     rows = {r.id for r in ir.read_iceberg(spark, path).collect()}
     assert rows == set(range(20)) - {17}
+
+
+# ---------------------------------------------------------------------------
+# r17: MERGE insert soundness (r16 verdict #1/#2) + discovery file-skip
+# ---------------------------------------------------------------------------
+
+def _merge_tgt(spark):
+    return spark.createDataFrame([(1, 5), (2, 7)], "id long, v long")
+
+
+def test_merge_insert_only_no_duplicates(spark, tmp_path):
+    """r16 verdict #1 repro (b), PINNED both formats: an insert-only
+    MERGE (`WHEN NOT MATCHED THEN INSERT` with no matched clause —
+    the insert-if-absent idiom) must NOT re-insert matched source
+    rows. The old anti-join ran against the touched subset only;
+    with no matched clause `touched` is empty, so EVERY matched row
+    duplicated."""
+    from lightning_metastore_spark.sources.delta_reader import (
+        merge_into_delta,
+    )
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        merge_into_iceberg,
+        write_iceberg,
+    )
+
+    src = spark.createDataFrame([(1, 50), (3, 30)], "id long, v long")
+    dp = str(tmp_path / "mio_d")
+    write_delta(_merge_tgt(spark).coalesce(1), dp, mode="error")
+    out = merge_into_delta(spark, dp, src, "t.id = s.id", "t", "s",
+                           insert_all=True)
+    assert out["n_inserted"] == 1 and out["total_rows"] == 3
+    assert sorted((r.id, r.v) for r in read_delta(spark, dp).collect()) \
+        == [(1, 5), (2, 7), (3, 30)]
+
+    ip = str(tmp_path / "mio_i")
+    write_iceberg(_merge_tgt(spark).coalesce(1), ip, mode="error")
+    out = merge_into_iceberg(spark, ip, src, "t.id = s.id", "t", "s",
+                             insert_all=True)
+    assert out["n_inserted"] == 1 and out["total_rows"] == 3
+    assert sorted((r.id, r.v)
+                  for r in read_iceberg(spark, ip).collect()) \
+        == [(1, 5), (2, 7), (3, 30)]
+
+
+def test_merge_conditional_unclaimed_no_insert(spark, tmp_path):
+    """r16 verdict #1 repro (a), PINNED both formats: a matched row
+    claimed by NO clause (conditional UPDATE whose condition is
+    false) sits in an untouched file — the unconditional INSERT must
+    not duplicate it."""
+    from lightning_metastore_spark.sources.delta_reader import (
+        merge_into_delta,
+    )
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        merge_into_iceberg,
+        write_iceberg,
+    )
+
+    src = spark.createDataFrame([(1, 50), (3, 30)], "id long, v long")
+    mc = [("s.v > 100", "update", {"v": "s.v"})]
+    ic = [(None, None, None)]
+    dp = str(tmp_path / "mcu_d")
+    write_delta(_merge_tgt(spark).coalesce(1), dp, mode="error")
+    out = merge_into_delta(spark, dp, src, "t.id = s.id", "t", "s",
+                           matched_clauses=mc, insert_clauses=ic)
+    assert out == {"n_updated": 0, "n_deleted": 0, "n_inserted": 1,
+                   "total_rows": 3}
+    assert sorted((r.id, r.v) for r in read_delta(spark, dp).collect()) \
+        == [(1, 5), (2, 7), (3, 30)]
+
+    ip = str(tmp_path / "mcu_i")
+    write_iceberg(_merge_tgt(spark).coalesce(1), ip, mode="error")
+    out = merge_into_iceberg(spark, ip, src, "t.id = s.id", "t", "s",
+                             matched_clauses=mc, insert_clauses=ic)
+    assert out == {"n_updated": 0, "n_deleted": 0, "n_inserted": 1,
+                   "total_rows": 3}
+    assert sorted((r.id, r.v)
+                  for r in read_iceberg(spark, ip).collect()) \
+        == [(1, 5), (2, 7), (3, 30)]
+
+
+def test_merge_insert_only_duplicate_key_source_legal(spark, tmp_path):
+    """r16 verdict #2, PINNED both formats: with NO matched clause a
+    doubly-matched target row is not ambiguous — delta-spark does not
+    raise; the matched source rows simply don't insert. (With matched
+    clauses the cardinality error still fires — pinned by
+    test_merge_into_delta_cdf_replay.)"""
+    from lightning_metastore_spark.sources.delta_reader import (
+        merge_into_delta,
+    )
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        merge_into_iceberg,
+        write_iceberg,
+    )
+
+    dup = spark.createDataFrame([(1, 50), (1, 51), (4, 40)],
+                                "id long, v long")
+    dp = str(tmp_path / "mdk_d")
+    write_delta(_merge_tgt(spark).coalesce(1), dp, mode="error")
+    out = merge_into_delta(spark, dp, dup, "t.id = s.id", "t", "s",
+                           insert_all=True)
+    assert out["n_inserted"] == 1
+    assert sorted((r.id, r.v) for r in read_delta(spark, dp).collect()) \
+        == [(1, 5), (2, 7), (4, 40)]
+
+    ip = str(tmp_path / "mdk_i")
+    write_iceberg(_merge_tgt(spark).coalesce(1), ip, mode="error")
+    out = merge_into_iceberg(spark, ip, dup, "t.id = s.id", "t", "s",
+                             insert_all=True)
+    assert out["n_inserted"] == 1
+    assert sorted((r.id, r.v)
+                  for r in read_iceberg(spark, ip).collect()) \
+        == [(1, 5), (2, 7), (4, 40)]
+
+
+def test_merge_discovery_file_skip(spark, tmp_path, monkeypatch):
+    """r16 verdict #3 ("what's missing" #1): the MERGE discovery scan
+    is file-skipped via the source's equi-key bounds — a 1-row-source
+    MERGE into a 4-file table opens ONE file in discovery, both
+    formats (delta-spark's merge file skipping)."""
+    import lightning_metastore_spark.sources.delta_reader as dr
+    import lightning_metastore_spark.sources.iceberg_reader as irm
+    from lightning_metastore_spark.sources.delta_reader import (
+        merge_into_delta,
+    )
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        merge_into_iceberg,
+        write_iceberg,
+    )
+
+    dp = str(tmp_path / "mfs_d")
+    for lo in (0, 10, 20, 30):
+        write_delta(_delta_df(spark, lo, lo + 10).coalesce(1), dp,
+                    mode="append")
+    disc_subsets = []
+    orig_scan = dr._snapshot_scan
+
+    def spy_scan(spark_, path_, snap_, file_tag=None, file_subset=None,
+                 pos_tag=None):
+        if file_tag == "__delta_file" and pos_tag is None:
+            disc_subsets.append(None if file_subset is None
+                                else set(file_subset))
+        return orig_scan(spark_, path_, snap_, file_tag=file_tag,
+                         file_subset=file_subset, pos_tag=pos_tag)
+
+    monkeypatch.setattr(dr, "_snapshot_scan", spy_scan)
+    src = spark.createDataFrame([(35, "x35", 999)],
+                                "id long, s string, v long")
+    out = merge_into_delta(spark, dp, src, "t.id = s.id", "t", "s",
+                           update_set={"v": "s.v"}, insert_all=True)
+    assert out["n_updated"] == 1 and out["n_inserted"] == 0
+    assert disc_subsets and disc_subsets[0] is not None
+    assert len(disc_subsets[0]) == 1     # stats admit one file only
+    got = {r.id: r.v for r in read_delta(spark, dp).collect()}
+    assert got[35] == 999 and got[34] == 68 and len(got) == 40
+
+    ip = str(tmp_path / "mfs_i")
+    df = _delta_df(spark, 0, 40).repartitionByRange(4, "id")
+    write_iceberg(df, ip, mode="error")
+    prunes = []
+    orig_read = irm.read_iceberg
+
+    def spy_read(spark_, table_path_, **kw):
+        if kw.get("file_tag") == "__ice_src":
+            prunes.append(kw.get("prune"))
+        return orig_read(spark_, table_path_, **kw)
+
+    monkeypatch.setattr(irm, "read_iceberg", spy_read)
+    out = merge_into_iceberg(spark, ip, src, "t.id = s.id", "t", "s",
+                             update_set={"v": "s.v"}, insert_all=True)
+    assert out["n_updated"] == 1 and out["n_inserted"] == 0
+    assert prunes and prunes[0]          # conjuncts reached the scan
+    from lightning_metastore_spark.sources.iceberg_reader import (
+        prune_data_files,
+    )
+    col, op, vals = prunes[0][0]
+    assert op == "in" and list(vals) == [35]
+    cands, skipped = prune_data_files(ip, col, op, vals)
+    assert len(cands) == 1 and len(skipped) == 3
+    got = {r.id: r.v for r in read_iceberg(spark, ip).collect()}
+    assert got[35] == 999 and len(got) == 40
+
+
+def test_mor_position_deletes_sorted(spark, tmp_path):
+    """r16 verdict #4 (spec conformance): position-delete files are
+    sorted by (file_path, pos) — external engines may merge-scan or
+    binary-search them."""
+    from lightning_metastore_spark.sources import iceberg_reader as irm
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        delete_where_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "morsort")
+    # two data files so the delete file spans multiple file_paths
+    write_iceberg(_delta_df(spark, 0, 20).repartitionByRange(2, "id"),
+                  path, mode="error",
+                  properties={"write.delete.mode": "merge-on-read"})
+    assert delete_where_iceberg(
+        spark, path, "id IN (17, 3, 11, 1, 19, 5)") == 6
+    meta = irm.load_metadata(path)
+    _data, pos_del, _eq = irm.snapshot_files(
+        path, irm.select_snapshot(meta))
+    assert len(pos_del) == 1
+    rows = [(r.file_path, r.pos)
+            for r in spark.read.parquet(pos_del[0]).collect()]
+    assert len(rows) == 6
+    assert rows == sorted(rows)          # spec-required order
+    assert len({fp for fp, _ in rows}) == 2
+
+
+def test_mor_delete_update_partitioned(spark, tmp_path):
+    """r16 verdict #5: merge-on-read DELETE/UPDATE on an identity-
+    PARTITIONED spec — per-partition delete files whose manifest
+    entries carry the partition tuple, untouched partitions'
+    manifests carry over verbatim, and the reader round-trips."""
+    from lightning_metastore_spark.sources import avro_codec as acm
+    from lightning_metastore_spark.sources import iceberg_reader as irm
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        delete_where_iceberg,
+        update_where_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "morpart")
+    df = spark.range(0, 30).selectExpr(
+        "id", "CAST(id % 3 AS INT) AS bucket", "id * 2 AS v")
+    write_iceberg(df, path, mode="error", partition_by=["bucket"],
+                  properties={"write.delete.mode": "merge-on-read",
+                              "write.update.mode": "merge-on-read"})
+    snap0 = irm.select_snapshot(irm.load_metadata(path))
+    mrecs0 = {r["manifest_path"]
+              for r in acm.iter_records(irm._local(
+                  snap0["manifest-list"]))}
+
+    # MOR DELETE touching buckets 0 and 1 only (ids 3,6 -> 0; 4 -> 1)
+    assert delete_where_iceberg(spark, path, "id IN (3, 4, 6)") == 3
+    meta = irm.load_metadata(path)
+    snap1 = irm.select_snapshot(meta)
+    data1, pos1, _eq = irm.snapshot_files(path, snap1)
+    assert len(pos1) == 2                # one delete file per bucket
+    # original manifests carried VERBATIM (same paths in the list)
+    mrecs1 = list(acm.iter_records(irm._local(snap1["manifest-list"])))
+    assert mrecs0 <= {r["manifest_path"] for r in mrecs1}
+    # the delete manifest carries spec partition tuples + spec id
+    del_rec = next(r for r in mrecs1 if int(r.get("content") or 0) == 1)
+    assert del_rec["partition_spec_id"] == meta.get("default-spec-id", 0)
+    del_parts = set()
+    for e in acm.iter_records(irm._local(del_rec["manifest_path"])):
+        assert int(e["data_file"]["content"]) == 1
+        del_parts.add(e["data_file"]["partition"]["bucket"])
+        rows = [(r.file_path, r.pos) for r in spark.read.parquet(
+            irm._local(e["data_file"]["file_path"])).collect()]
+        assert rows == sorted(rows)      # per-file spec order
+    assert del_parts == {0, 1}
+    got = {r.id for r in irm.read_iceberg(spark, path).collect()}
+    assert got == set(range(30)) - {3, 4, 6}
+
+    # MOR UPDATE on one bucket; appended files carry partition tuples
+    assert update_where_iceberg(spark, path, {"v": "v + 1000"},
+                                "id IN (7, 10)") == 2
+    rows = {r.id: r.v for r in irm.read_iceberg(spark, path).collect()}
+    assert rows[7] == 1014 and rows[10] == 1020 and rows[9] == 18
+    assert len(rows) == 27
+    meta2 = irm.load_metadata(path)
+    snap2 = irm.select_snapshot(meta2)
+    upd_rec = [r for r in acm.iter_records(irm._local(
+        snap2["manifest-list"]))
+        if int(r.get("content") or 0) == 0
+        and r.get("added_snapshot_id") == snap2["snapshot-id"]]
+    assert upd_rec
+    parts = set()
+    for r in upd_rec:
+        for e in acm.iter_records(irm._local(r["manifest_path"])):
+            parts.add(e["data_file"]["partition"]["bucket"])
+    assert parts == {1}                  # 7 % 3 == 1 and 10 % 3 == 1
+    # partition pruning still works over the MOR'd table
+    pr = irm.read_iceberg(spark, path, prune=[("bucket", "=", 2)])
+    assert {r.id % 3 for r in pr.collect()} == {2}
+
+
+def test_mapped_cdf_dml_replays(spark, tmp_path):
+    """r16 verdict #6 ("what's missing" #3): DELETE/UPDATE/MERGE on a
+    column-mapped CDF table write cdc files in the PHYSICAL schema and
+    `table_changes` replays them under LOGICAL names — both DML modes
+    (copy-on-write and deletion-vector merge-on-read)."""
+    from lightning_metastore_spark.sources.delta_reader import (
+        delete_where,
+        merge_into_delta,
+        table_changes,
+        update_where,
+    )
+
+    def _mk(path, dv=False):
+        _mk_mapped_table(spark, path)
+        # flip on CDF (+DV) via a metaData re-commit, like ALTER would
+        log = os.path.join(path, "_delta_log")
+        with open(os.path.join(log, f"{0:020d}.json")) as fh:
+            acts = [json.loads(ln) for ln in fh if ln.strip()]
+        md = next(a for a in acts if "metaData" in a)["metaData"]
+        conf = dict(md["configuration"])
+        conf["delta.enableChangeDataFeed"] = "true"
+        if dv:
+            conf["delta.enableDeletionVectors"] = "true"
+        md2 = dict(md, configuration=conf)
+        with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"commitInfo": {
+                "timestamp": 0, "operation": "SET TBLPROPERTIES"}})
+                + "\n")
+            fh.write(json.dumps({"metaData": md2}) + "\n")
+
+    # --- copy-on-write mode ---
+    path = str(tmp_path / "cmcdf")
+    _mk(path)
+    assert delete_where(spark, path, "name = 'y'") == 1
+    ch = table_changes(spark, path, starting_version=2).collect()
+    assert [(r._change_type, r.id, r.name, r.p) for r in ch] == \
+        [("delete", 2, "y", 7)]
+    # the cdc parquet itself stores PHYSICAL names
+    from lightning_metastore_spark.sources.delta_reader import (
+        _file_field_id_names,
+    )
+    cd_dir = os.path.join(path, "_change_data")
+    cdc_files = [os.path.join(r, f) for r, _d, fs in os.walk(cd_dir)
+                 for f in fs if f.endswith(".parquet")]
+    assert cdc_files
+    import pyarrow.parquet as pq
+    names = set(pq.read_schema(cdc_files[0]).names)
+    assert {"col-aaa", "col-bbb", "_change_type"} <= names
+    assert "id" not in names and "name" not in names
+    idmap = _file_field_id_names(cdc_files[0])
+    assert idmap == {1: "col-aaa", 2: "col-bbb"}
+
+    n = update_where(spark, path, {"name": "upper(name)"}, "id = 1")
+    assert n == 1
+    ch = table_changes(spark, path, starting_version=3).collect()
+    got = sorted((r._change_type, r.id, r.name) for r in ch)
+    assert got == [("update_postimage", 1, "X"),
+                   ("update_preimage", 1, "x")]
+
+    src = spark.createDataFrame([(3, "m", 8), (9, "new", 9)],
+                                "id long, name string, p int")
+    out = merge_into_delta(spark, path, src, "t.id = s.id", "t", "s",
+                           update_set={"name": "s.name"},
+                           insert_all=True)
+    assert (out["n_updated"], out["n_inserted"]) == (1, 1)
+    ch = table_changes(spark, path, starting_version=4).collect()
+    got = sorted((r._change_type, r.id, r.name, r.p) for r in ch)
+    assert got == [("insert", 9, "new", 9),
+                   ("update_postimage", 3, "m", 8),
+                   ("update_preimage", 3, "z", 8)]
+    # derived (no-cdc) commits logicalize too: v0's adds replay as
+    # inserts of the original three rows
+    ch0 = table_changes(spark, path, starting_version=0,
+                        ending_version=0).collect()
+    assert sorted((r._change_type, r.id, r.name) for r in ch0) == \
+        [("insert", 1, "x"), ("insert", 2, "y"), ("insert", 3, "z")]
+
+    # --- deletion-vector merge-on-read mode ---
+    path2 = str(tmp_path / "cmcdfdv")
+    _mk(path2, dv=True)
+    assert delete_where(spark, path2, "id = 3") == 1
+    snap = resolve_snapshot(spark, path2)
+    assert snap.dv                       # DV path, not a rewrite
+    ch = table_changes(spark, path2, starting_version=2).collect()
+    assert [(r._change_type, r.id, r.name, r.p) for r in ch] == \
+        [("delete", 3, "z", 8)]
+    rows = {r.id for r in read_delta(spark, path2).collect()}
+    assert rows == {1, 2}
+
+
+def test_iceberg_merge_on_read_merge(spark, tmp_path):
+    """r17: `write.merge.mode = merge-on-read` — MERGE position-
+    deletes the CLAIMED rows' old positions and appends only post-
+    update + insert rows (the Delta DV merge's Iceberg twin). Data
+    files stay physically in place; identity-partitioned specs get
+    per-partition delete files; unclaimed matched rows are untouched
+    AND not re-inserted."""
+    from lightning_metastore_spark.sources import iceberg_reader as irm
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        merge_into_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "mormerge")
+    df = spark.range(0, 30).selectExpr(
+        "id", "CAST(id % 3 AS INT) AS bucket", "id * 2 AS v")
+    write_iceberg(df, path, mode="error", partition_by=["bucket"],
+                  properties={"write.merge.mode": "merge-on-read"})
+    data0 = {p for p, _s in irm.snapshot_files(
+        path, irm.select_snapshot(irm.load_metadata(path)))[0]}
+
+    src = spark.createDataFrame(
+        [(3, 333), (4, 444), (7, 777), (40, 4000), (41, 41)],
+        "id long, nv long")
+    out = merge_into_iceberg(
+        spark, path, src, "t.id = s.id", "t", "s",
+        matched_clauses=[("s.nv > 500", "update", {"v": "s.nv"}),
+                         ("s.nv = 444", "delete", None)],
+        insert_clauses=[("s.nv > 100", ["id", "bucket", "v"],
+                         ["s.id", "CAST(s.id % 3 AS INT)", "s.nv"])])
+    # 7 updated (777>500), 4 deleted (444), 40 inserted (4000>100);
+    # 3 (333: no clause claims) untouched and NOT duplicated;
+    # 41 insert clause condition false -> not inserted
+    assert out == {"n_updated": 1, "n_deleted": 1, "n_inserted": 1,
+                   "total_rows": 30}
+    meta = irm.load_metadata(path)
+    data1, pos1, _eq = irm.snapshot_files(path,
+                                          irm.select_snapshot(meta))
+    assert data0 <= {p for p, _s in data1}       # no data rewrite
+    assert pos1                                  # delete files exist
+    rows = {r.id: r.v for r in irm.read_iceberg(spark, path).collect()}
+    assert rows[7] == 777 and rows[40] == 4000
+    assert 4 not in rows and rows[3] == 6        # unclaimed untouched
+    assert 41 not in rows
+    assert len(rows) == 30
+    # time travel to the pre-merge snapshot still sees 30 rows
+    sids = [s["snapshot-id"] for s in meta["snapshots"]]
+    assert irm.read_iceberg(spark, path,
+                            snapshot_id=sids[0]).count() == 30
+    # delete files sorted per spec
+    for p in pos1:
+        got = [(r.file_path, r.pos)
+               for r in spark.read.parquet(p).collect()]
+        assert got == sorted(got)

@@ -314,3 +314,41 @@ def test_merge_not_matched_by_source(ctx, spark):
     assert rows[1] == ("sync1", 11.0)     # matched -> updated
     assert 2 not in rows                  # absent + amount<25 -> gone
     assert rows[3][0] == "stale"          # absent, kept, flagged
+
+
+def test_merge_insert_only_file_table_no_duplicates(ctx, spark):
+    """r16 verdict #1 twin on the full-outer-join fallback path: an
+    insert-only MERGE must not duplicate matched target rows, and a
+    duplicate-key source is LEGAL with no matched clause (delta-spark
+    parity) — each pass-through target row survives exactly once."""
+    spark.createDataFrame(
+        [(2, "dup1", 1.0), (2, "dup2", 2.0), (7, "g", 70.0)],
+        ["id", "name", "amount"]).createOrReplaceTempView("ins_src")
+    out = ctx.sql("""
+        MERGE INTO lightning.datasource.file.db.accounts AS t
+        USING (SELECT * FROM ins_src) AS s
+        ON t.id = s.id
+        WHEN NOT MATCHED THEN INSERT *
+    """).collect()
+    assert out[0].n_rows == 4
+    assert _rows(ctx) == {1: ("a", 10.0), 2: ("b", 20.0),
+                          3: ("c", 30.0), 7: ("g", 70.0)}
+
+
+def test_merge_conditional_unclaimed_file_table(ctx, spark):
+    """A matched row claimed by no (conditional) clause must pass
+    through once and must NOT be re-inserted — fallback-path twin of
+    the lakehouse pinned tests."""
+    spark.createDataFrame(
+        [(2, "b9", 99.0), (8, "h", 80.0)], ["id", "name", "amount"]
+    ).createOrReplaceTempView("cond_src")
+    out = ctx.sql("""
+        MERGE INTO lightning.datasource.file.db.accounts AS t
+        USING (SELECT * FROM cond_src) AS s
+        ON t.id = s.id
+        WHEN MATCHED AND s.amount > 1000 THEN UPDATE SET amount = s.amount
+        WHEN NOT MATCHED THEN INSERT *
+    """).collect()
+    assert out[0].n_rows == 4
+    assert _rows(ctx) == {1: ("a", 10.0), 2: ("b", 20.0),
+                          3: ("c", 30.0), 8: ("h", 80.0)}
