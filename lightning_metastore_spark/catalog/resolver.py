@@ -296,13 +296,39 @@ def extract_prune_conjuncts(sql: str
     end = m_tail.start() if m_tail else len(sql)
     where_sql = sql[m_where.end():end]
     where_masked = masked[m_where.end():end]
-    # CASE carries its own AND tokens at paren depth 0 (`CASE WHEN a
-    # AND b THEN ...`), so the top-level split could slice through it
-    # and hand a NON-conjunct fragment to the pruner — bail instead
+    merged = _split_conjunct_pieces(where_sql, where_masked)
+    if merged is None:
+        return None
+
+    def _credit(qual: str) -> Optional[int]:
+        if not qual:
+            return (0 if len(rels) == 1 and 0 in prunable else None)
+        idx = qual_owner.get(qual.lower(), None)
+        if idx is None or idx == _AMBIG or idx not in prunable:
+            return None
+        return idx
+
+    out: dict[str, list[tuple]] = {}
+    for piece in merged:
+        for qual, col, op, lit in _piece_conjuncts(piece):
+            if op == "isnull" and len(rels) != 1:
+                continue  # not null-rejecting — joins unsafe
+            idx = _credit(qual)
+            if idx is None:
+                continue
+            out.setdefault(rels[idx][0], []).append((col, op, lit))
+    out = {k: v for k, v in out.items() if v}
+    return out or None
+
+
+def _split_conjunct_pieces(where_sql: str, where_masked: str
+                           ) -> Optional[list[str]]:
+    """Top-level AND conjunct pieces of a WHERE body, BETWEENs
+    reconstituted — or None when the body is not a plain conjunction
+    (top-level OR, or a CASE whose own depth-0 AND tokens the split
+    could slice through)."""
     if re.search(r"\bCASE\b", where_masked, re.I):
         return None
-    # split on top-level ANDs; a top-level OR makes the whole WHERE a
-    # disjunction (no piece is a conjunct) — bail
     pieces: list[str] = []
     depth = 0
     start = 0
@@ -331,84 +357,79 @@ def extract_prune_conjuncts(sql: str
         else:
             merged.append(pieces[i])
             i += 1
+    return merged
 
-    def _credit(qual: str) -> Optional[int]:
-        if not qual:
-            return (0 if len(rels) == 1 and 0 in prunable else None)
-        idx = qual_owner.get(qual.lower(), None)
-        if idx is None or idx == _AMBIG or idx not in prunable:
-            return None
-        return idx
 
-    out: dict[str, list[tuple]] = {}
+def _piece_conjuncts(piece: str) -> list[tuple]:
+    """[(qualifier, col, op, literal)] for one conjunct piece —
+    empty when the piece is not a shape the pruners understand
+    (always sound: unparsed conjuncts still execute in the full
+    predicate). BETWEEN yields its two bounds; `isnull` is returned
+    and left to the CALLER's null-rejection policy."""
+    m = _SIMPLE_CONJ.match(piece)
+    if m:
+        lit = _typed_literal(m.group(4), m.group(5), m.group(6))
+        if lit is None:
+            return []
+        return [(m.group(1).rstrip("."), m.group(2), m.group(3), lit)]
+    mr = _SIMPLE_CONJ_REV.match(piece)
+    if mr:
+        lit = _typed_literal(mr.group(1), mr.group(2), mr.group(3))
+        if lit is None:
+            return []
+        return [(mr.group(5).rstrip("."), mr.group(6),
+                 _FLIP_OP[mr.group(4)], lit)]
+    mb = _BETWEEN_CONJ.match(piece)
+    if mb:
+        qual = mb.group(1).rstrip(".")
+        col = mb.group(2)
+        lo = _typed_literal(mb.group(3), mb.group(4), mb.group(5))
+        hi = _typed_literal(mb.group(6), mb.group(7), mb.group(8))
+        out = []
+        if lo is not None:
+            out.append((qual, col, ">=", lo))
+        if hi is not None:
+            out.append((qual, col, "<=", hi))
+        return out
+    mn = _NULL_CONJ.match(piece)
+    if mn:
+        op = "notnull" if mn.group(3) else "isnull"
+        return [(mn.group(1).rstrip("."), mn.group(2), op, None)]
+    mi = _IN_CONJ.match(piece)
+    if mi:
+        lits = []
+        for lm in _LITERAL_ONE.finditer(mi.group(3)):
+            lit = _typed_literal(lm.group(1), lm.group(2),
+                                 lm.group(3))
+            if lit is None:
+                return []
+            lits.append(lit)
+        if lits:
+            return [(mi.group(1).rstrip("."), mi.group(2), "in",
+                     tuple(lits))]
+    return []
+
+
+def simple_where_conjuncts(predicate: str) -> list[tuple]:
+    """[(col, op, literal)] planning hints from a bare DML predicate
+    (DELETE/UPDATE ... WHERE body — ONE relation by construction, no
+    SELECT wrapper): top-level AND of the same simple shapes
+    `extract_prune_conjuncts` credits, typed literals included.
+    Qualified references are skipped (a DML predicate has no alias to
+    vouch for); a top-level OR yields [] (no piece is a conjunct of a
+    disjunction). Always sound — the full predicate still executes on
+    the kept files; these only shrink the file list."""
+    masked = _mask_quoted(predicate)
+    merged = _split_conjunct_pieces(predicate, masked)
+    if merged is None:
+        return []
+    out: list[tuple] = []
     for piece in merged:
-        m = _SIMPLE_CONJ.match(piece)
-        if m:
-            idx = _credit(m.group(1).rstrip("."))
-            if idx is None:
+        for qual, col, op, lit in _piece_conjuncts(piece):
+            if qual:
                 continue
-            lit = _typed_literal(m.group(4), m.group(5), m.group(6))
-            if lit is None:
-                continue
-            out.setdefault(rels[idx][0], []).append(
-                (m.group(2), m.group(3), lit))
-            continue
-        mr = _SIMPLE_CONJ_REV.match(piece)
-        if mr:
-            idx = _credit(mr.group(5).rstrip("."))
-            if idx is None:
-                continue
-            lit = _typed_literal(mr.group(1), mr.group(2),
-                                 mr.group(3))
-            if lit is None:
-                continue
-            out.setdefault(rels[idx][0], []).append(
-                (mr.group(6), _FLIP_OP[mr.group(4)], lit))
-            continue
-        mb = _BETWEEN_CONJ.match(piece)
-        if mb:
-            idx = _credit(mb.group(1).rstrip("."))
-            if idx is None:
-                continue
-            lo = _typed_literal(mb.group(3), mb.group(4), mb.group(5))
-            hi = _typed_literal(mb.group(6), mb.group(7), mb.group(8))
-            col = mb.group(2)
-            conj = out.setdefault(rels[idx][0], [])
-            if lo is not None:
-                conj.append((col, ">=", lo))
-            if hi is not None:
-                conj.append((col, "<=", hi))
-            continue
-        mn = _NULL_CONJ.match(piece)
-        if mn:
-            op = "notnull" if mn.group(3) else "isnull"
-            if op == "isnull" and len(rels) != 1:
-                continue  # not null-rejecting — joins unsafe
-            idx = _credit(mn.group(1).rstrip("."))
-            if idx is None:
-                continue
-            out.setdefault(rels[idx][0], []).append(
-                (mn.group(2), op, None))
-            continue
-        mi = _IN_CONJ.match(piece)
-        if mi:
-            idx = _credit(mi.group(1).rstrip("."))
-            if idx is None:
-                continue
-            lits = []
-            ok = True
-            for lm in _LITERAL_ONE.finditer(mi.group(3)):
-                lit = _typed_literal(lm.group(1), lm.group(2),
-                                     lm.group(3))
-                if lit is None:
-                    ok = False
-                    break
-                lits.append(lit)
-            if ok and lits:
-                out.setdefault(rels[idx][0], []).append(
-                    (mi.group(2), "in", tuple(lits)))
-    out = {k: v for k, v in out.items() if v}
-    return out or None
+            out.append((col, op, lit))
+    return out
 
 
 def _path_fingerprint(path: str) -> Optional[tuple]:

@@ -2343,11 +2343,17 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         write_checkpoint(spark, path)
 
 
-# `col <op> literal` — the predicate shape DELETE can stats-prune its
-# touched-file scan on (the iceberg_writer._SIMPLE_PRED twin)
-_DELETE_SIMPLE_PRED = re.compile(
-    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|=|<|>)\s*"
-    r"(?:(-?\d+(?:\.\d+)?)|'([^']*)')\s*$")
+def _dml_prune_conjuncts(predicate: str) -> list[tuple]:
+    """Planning hints from a DML predicate: the resolver's shared
+    conjunct machinery (r17 — previously a one-conjunct regex), so
+    DELETE/UPDATE file-skip on top-level ANDs of simple shapes,
+    BETWEEN, IN, IS [NOT] NULL, reversed spellings, and typed
+    DATE/TIMESTAMP literals, exactly like routed SELECTs. Lazy import
+    (resolver pulls catalog.units at module load)."""
+    from lightning_metastore_spark.catalog.resolver import (
+        simple_where_conjuncts,
+    )
+    return simple_where_conjuncts(predicate)
 
 
 # legacy minWriterVersion implications, CUMULATIVE per the
@@ -2568,13 +2574,10 @@ def delete_where(spark: SparkSession, path: str,
     # provably contain no matching row; non-simple predicates scan
     # everything, as before.
     scan_subset = None
-    mp = _DELETE_SIMPLE_PRED.match(predicate)
-    if mp:
-        lit = (mp.group(4) if mp.group(4) is not None
-               else (float(mp.group(3)) if "." in mp.group(3)
-                     else int(mp.group(3))))
+    conjs = _dml_prune_conjuncts(predicate)
+    if conjs:
         scan_subset = prune_snapshot_files(
-            snap, [(mp.group(1), mp.group(2), lit)],
+            snap, conjs,
             session_tz=spark.conf.get("spark.sql.session.timeZone"))
     tagged = _snapshot_scan(spark, path, snap, file_tag="__delta_file",
                             file_subset=scan_subset)
@@ -2867,13 +2870,10 @@ def update_where(spark: SparkSession, path: str,
 
     scan_subset = None
     if predicate is not None:
-        mp = _DELETE_SIMPLE_PRED.match(predicate)
-        if mp:
-            lit = (mp.group(4) if mp.group(4) is not None
-                   else (float(mp.group(3)) if "." in mp.group(3)
-                         else int(mp.group(3))))
+        conjs = _dml_prune_conjuncts(predicate)
+        if conjs:
             scan_subset = prune_snapshot_files(
-                snap, [(mp.group(1), mp.group(2), lit)],
+                snap, conjs,
                 session_tz=spark.conf.get(
                     "spark.sql.session.timeZone"))
     tagged = _snapshot_scan(spark, path, snap, file_tag="__delta_file",

@@ -1163,11 +1163,31 @@ def remove_orphan_files(spark: SparkSession, table_path: str,
     return doomed
 
 
-# `col <op> literal` — the shape manifest-bounds pruning understands;
-# literals are a number or a single-quoted string
-_SIMPLE_PRED = re.compile(
-    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|=|<|>)\s*"
-    r"(?:(-?\d+(?:\.\d+)?)|'([^']*)')\s*$")
+def _dml_prune_subset(spark, table_path: str,
+                      predicate: str) -> Optional[set]:
+    """Manifest-bounds prune set for a DML predicate via the
+    resolver's shared conjunct machinery (r17 — previously a
+    one-conjunct regex): top-level ANDs, BETWEEN, IN, IS [NOT] NULL,
+    reversed spellings, typed literals. Each conjunct prunes
+    independently (intersection of candidates); any conjunct the
+    bounds reader rejects is skipped — always sound."""
+    from lightning_metastore_spark.catalog.resolver import (
+        simple_where_conjuncts,
+    )
+    prune_subset = None
+    for col, op, lit in simple_where_conjuncts(predicate):
+        try:
+            cands, skipped = ir.prune_data_files(
+                table_path, col, op, lit,
+                session_tz=spark.conf.get(
+                    "spark.sql.session.timeZone"))
+        except ir.IcebergError:
+            continue  # unknown column / operator -> no pruning
+        if skipped:
+            cset = set(cands)
+            prune_subset = (cset if prune_subset is None
+                            else prune_subset & cset)
+    return prune_subset
 
 
 def delete_where_iceberg(spark: SparkSession, table_path: str,
@@ -1228,26 +1248,12 @@ def delete_where_iceberg(spark: SparkSession, table_path: str,
                          mlist, "delete", version)
         return int(n)
 
-    # manifest-bounds pruning for simple `col <op> literal` predicates:
-    # the touched-file scan reads ONLY files whose bounds admit a match
-    # (sound — skipped files provably contain no matching row), so a
-    # selective DELETE on a clustered column opens a fraction of the
-    # table. Non-simple predicates scan everything, as before.
-    prune_subset = None
-    m = _SIMPLE_PRED.match(predicate)
-    if m:
-        lit = (m.group(4) if m.group(4) is not None
-               else (float(m.group(3)) if "." in m.group(3)
-                     else int(m.group(3))))
-        try:
-            cands, skipped = ir.prune_data_files(
-                table_path, m.group(1), m.group(2), lit,
-                session_tz=spark.conf.get(
-                    "spark.sql.session.timeZone"))
-            if skipped:
-                prune_subset = set(cands)
-        except ir.IcebergError:
-            pass  # unknown column / operator -> no pruning
+    # manifest-bounds pruning: the touched-file scan reads ONLY files
+    # whose bounds admit a match (sound — skipped files provably
+    # contain no matching row), so a selective DELETE on a clustered
+    # column opens a fraction of the table. Unparseable predicates
+    # scan everything, as before.
+    prune_subset = _dml_prune_subset(spark, table_path, predicate)
     tagged = ir.read_iceberg(spark, table_path, file_tag="__ice_src",
                              file_subset=prune_subset)
     hits = (tagged.filter(f"coalesce(({predicate}), false)")
@@ -1620,22 +1626,9 @@ def update_where_iceberg(spark: SparkSession, table_path: str,
     cond = (f"coalesce(({predicate}), false)" if predicate is not None
             else "true")
 
-    prune_subset = None
-    if predicate is not None:
-        m = _SIMPLE_PRED.match(predicate)
-        if m:
-            lit = (m.group(4) if m.group(4) is not None
-                   else (float(m.group(3)) if "." in m.group(3)
-                         else int(m.group(3))))
-            try:
-                cands, skipped = ir.prune_data_files(
-                    table_path, m.group(1), m.group(2), lit,
-                    session_tz=spark.conf.get(
-                        "spark.sql.session.timeZone"))
-                if skipped:
-                    prune_subset = set(cands)
-            except ir.IcebergError:
-                pass
+    prune_subset = (None if predicate is None
+                    else _dml_prune_subset(spark, table_path,
+                                           predicate))
     tagged = ir.read_iceberg(spark, table_path, file_tag="__ice_src",
                              file_subset=prune_subset)
     hits = tagged.filter(cond).groupBy("__ice_src").count().collect()

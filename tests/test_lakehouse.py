@@ -5997,3 +5997,61 @@ def test_iceberg_merge_on_read_merge(spark, tmp_path):
         got = [(r.file_path, r.pos)
                for r in spark.read.parquet(p).collect()]
         assert got == sorted(got)
+
+
+def test_dml_compound_predicate_file_skip(spark, tmp_path, monkeypatch):
+    """r17: DELETE/UPDATE predicates prune through the resolver's
+    shared conjunct machinery — top-level ANDs, BETWEEN, IN, typed
+    literals — not just one `col op literal` regex. A compound
+    predicate over a 4-file table opens ONE file, both formats."""
+    import lightning_metastore_spark.sources.delta_reader as dr
+    from lightning_metastore_spark.sources.delta_reader import (
+        delete_where,
+    )
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        delete_where_iceberg,
+        update_where_iceberg,
+        write_iceberg,
+    )
+
+    dp = str(tmp_path / "cfs_d")
+    for lo in (0, 10, 20, 30):
+        write_delta(_delta_df(spark, lo, lo + 10).coalesce(1), dp,
+                    mode="append")
+    subsets = []
+    orig = dr._snapshot_scan
+
+    def spy(spark_, path_, snap_, file_tag=None, file_subset=None,
+            pos_tag=None):
+        if file_tag == "__delta_file":
+            subsets.append(None if file_subset is None
+                           else set(file_subset))
+        return orig(spark_, path_, snap_, file_tag=file_tag,
+                    file_subset=file_subset, pos_tag=pos_tag)
+
+    monkeypatch.setattr(dr, "_snapshot_scan", spy)
+    assert delete_where(spark, dp, "id >= 32 AND id < 35") == 3
+    assert subsets and subsets[0] is not None and len(subsets[0]) == 1
+    assert read_delta(spark, dp).count() == 37
+
+    ip = str(tmp_path / "cfs_i")
+    write_iceberg(_delta_df(spark, 0, 40).repartitionByRange(4, "id"),
+                  ip, mode="error")
+    import lightning_metastore_spark.sources.iceberg_writer as iw
+    prunes = []
+    orig_ps = iw._dml_prune_subset
+
+    def spy_ps(spark_, tp_, pred_):
+        out = orig_ps(spark_, tp_, pred_)
+        prunes.append(out)
+        return out
+
+    monkeypatch.setattr(iw, "_dml_prune_subset", spy_ps)
+    assert delete_where_iceberg(spark, ip,
+                                "id BETWEEN 32 AND 34") == 3
+    assert prunes[-1] is not None and len(prunes[-1]) == 1
+    assert update_where_iceberg(spark, ip, {"v": "v + 1"},
+                                "id IN (5, 7)") == 2
+    assert prunes[-1] is not None and len(prunes[-1]) == 1
+    rows = {r.id: r.v for r in read_iceberg(spark, ip).collect()}
+    assert rows[5] == 11 and rows[7] == 15 and len(rows) == 37
