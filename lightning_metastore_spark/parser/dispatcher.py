@@ -436,6 +436,35 @@ def _iceberg_table_path(ctx, path: list[str], what: str) -> str:
     return _os.path.join(unit._warehouse(), *residual)
 
 
+def _lakehouse_table_path(ctx, path: list[str], what: str
+                          ) -> tuple[str, str]:
+    """("delta"|"iceberg", table dir) for maintenance commands that
+    work on BOTH offline formats (r17: OPTIMIZE, REORG ... PURGE)."""
+    from lightning_metastore_spark.catalog.units import (
+        DeltaCatalogUnit,
+        load_catalog_unit,
+    )
+
+    rest = _require_root(path, DATASOURCE_ROOT, what)
+    hit = ctx.metastore.find_parent_datasource(rest)
+    if hit is None:
+        raise CommandParseError(
+            f"no datasource at lightning.{'.'.join(path)}")
+    ds, residual = hit
+    unit = load_catalog_unit(ds)
+    if isinstance(unit, DeltaCatalogUnit):
+        import os as _os
+        return "delta", _os.path.join(ds.options["path"], *residual)
+    from lightning_metastore_spark.catalog.units import (
+        IcebergCatalogUnit,
+    )
+    if not isinstance(unit, IcebergCatalogUnit):
+        raise CommandParseError(
+            f"{what} supports Delta and offline Iceberg tables only; "
+            f"lightning.{'.'.join(path)} is a {ds.source_type} source")
+    return "iceberg", _iceberg_table_path(ctx, path, what)
+
+
 def _delta_table_path(ctx, path: list[str], what: str) -> str:
     """Resolve a lightning.datasource.delta.* path to the table dir;
     maintenance commands are Delta-only (Iceberg compaction is the
@@ -526,15 +555,17 @@ class DeleteFrom(Command):
 
 @dataclass
 class OptimizeTable(Command):
-    """`OPTIMIZE lightning.datasource.delta.<ds>.<table> [TARGET SIZE
-    n] [ZORDER BY (col, ...)]` — bin-packing compaction of small files
-    into ~n-byte ones (or, with ZORDER BY, a full Morton-order
-    re-clustering that shrinks every clustered column's per-file
-    min/max so stats-based skipping bites on all of them) as a
-    dataChange=false commit (delta-spark's OPTIMIZE surface; the
+    """`OPTIMIZE lightning.datasource.<delta|iceberg>.<ds>.<table>
+    [TARGET SIZE n] [ZORDER BY (col, ...)]` — bin-packing compaction
+    of small files into ~n-byte ones (or, with ZORDER BY on Delta, a
+    full Morton-order re-clustering that shrinks every clustered
+    column's per-file min/max so stats-based skipping bites on all of
+    them) as a dataChange=false / "replace" commit (delta-spark's
+    OPTIMIZE surface; Iceberg's `rewrite_data_files`, r17; the
     reference has no maintenance commands, its docs defer to the
     runtimes). The 100 TB rationale lives in
-    `sources/delta_reader.optimize_delta` / `zorder_delta`."""
+    `sources/delta_reader.optimize_delta` / `zorder_delta` /
+    `sources/iceberg_writer.optimize_iceberg`."""
     path: list[str]
     target_bytes: Optional[int] = None
     zorder_by: Optional[list[str]] = None
@@ -545,10 +576,28 @@ class OptimizeTable(Command):
             zorder_delta,
         )
 
-        tpath = _delta_table_path(ctx, self.path, "OPTIMIZE")
         kwargs = {}
         if self.target_bytes is not None:
             kwargs["target_file_bytes"] = int(self.target_bytes)
+        kind, tpath = _lakehouse_table_path(ctx, self.path, "OPTIMIZE")
+        if kind == "iceberg":
+            # r17: rewrite_data_files (bin-pack) for offline Iceberg
+            # tables — ZORDER stays Delta-only (Iceberg's equivalent
+            # is a sort order rewrite, not implemented offline)
+            if self.zorder_by:
+                raise CommandParseError(
+                    "OPTIMIZE ... ZORDER BY supports Delta tables "
+                    "only; Iceberg bin-pack compaction takes no "
+                    "clustering columns")
+            from lightning_metastore_spark.sources.iceberg_writer import (
+                optimize_iceberg,
+            )
+            stats = optimize_iceberg(ctx.spark, tpath, **kwargs)
+            return self._df(
+                ctx, [(stats["files_removed"], stats["files_added"],
+                       stats["bytes_compacted"])],
+                "files_removed long, files_added long, "
+                "bytes_compacted long")
         if self.zorder_by:
             stats = zorder_delta(ctx.spark, tpath, self.zorder_by,
                                  **kwargs)
@@ -566,19 +615,31 @@ class OptimizeTable(Command):
 
 @dataclass
 class ReorgPurge(Command):
-    """`REORG TABLE lightning.datasource.delta.<ds>.<table> APPLY
-    (PURGE)` — materialize every DV-carrying file's survivors and
-    drop the deletion vectors as one dataChange=false commit
-    (delta-spark's REORG surface; the merge-on-read lifecycle's
-    compaction half — see `delta_reader.purge_delta`)."""
+    """`REORG TABLE lightning.datasource.<delta|iceberg>.<ds>.<table>
+    APPLY (PURGE)` — materialize every DV-carrying (Delta) or
+    position-deleted (Iceberg, r17) file's survivors and drop the
+    deletion vectors / delete manifests as one commit (delta-spark's
+    REORG surface; Iceberg's `rewrite_position_delete_files`; the
+    merge-on-read lifecycle's compaction half — see
+    `delta_reader.purge_delta` / `iceberg_writer.purge_iceberg`)."""
     path: list[str]
 
     def run(self, ctx) -> DataFrame:
+        kind, tpath = _lakehouse_table_path(ctx, self.path, "REORG")
+        if kind == "iceberg":
+            # r17: rewrite_position_delete_files for offline Iceberg
+            # tables, under the same SQL surface
+            from lightning_metastore_spark.sources.iceberg_writer import (
+                purge_iceberg,
+            )
+            out = purge_iceberg(ctx.spark, tpath)
+            return self._df(
+                ctx, [(out["files_purged"], out["rows_dropped"])],
+                "files_purged long, rows_dropped long")
         from lightning_metastore_spark.sources.delta_reader import (
             purge_delta,
         )
 
-        tpath = _delta_table_path(ctx, self.path, "REORG")
         out = purge_delta(ctx.spark, tpath)
         return self._df(
             ctx, [(out["files_purged"], out["rows_dropped"])],

@@ -1477,12 +1477,16 @@ def _commit_touched_rewrite(spark: SparkSession, table_path: str,
                             replacement: DataFrame, operation: str,
                             partition_by: list[str], spark_types: dict,
                             seq: int, snap_id: int, parent, version: int,
-                            now_ms: int) -> None:
+                            now_ms: int,
+                            drop_deletes: bool = False) -> None:
     """The copy-on-write commit shared by DELETE and UPDATE: stage
     ``replacement`` (the touched files' post-op rows), rewrite only
     the manifests containing touched entries (survivor entries keep
     their original data sequence numbers), carry untouched manifests
-    over VERBATIM, and commit the new snapshot."""
+    over VERBATIM, and commit the new snapshot. ``drop_deletes``
+    (the PURGE path) drops every content=1 DELETE manifest from the
+    new manifest list — callers must have materialized the deletes
+    into ``replacement`` first."""
     mdir = os.path.join(table_path, "metadata")
     ddir = os.path.join(table_path, "data")
     mschema = _manifest_schema_for(partition_by, spark_types)
@@ -1516,6 +1520,8 @@ def _commit_touched_rewrite(spark: SparkSession, table_path: str,
     carried: list[dict] = []
     rw = 0
     for mrec in ac.iter_records(ir._local(snap["manifest-list"])):
+        if drop_deletes and int(mrec.get("content") or 0) == 1:
+            continue  # PURGE: delete manifests disappear wholesale
         mpath = ir._local(mrec["manifest_path"])
         entries = [e for e in ac.iter_records(mpath)
                    if e.get("status") != 2]
@@ -1684,6 +1690,164 @@ def update_where_iceberg(spark: SparkSession, table_path: str,
                             spark_types, seq, snap_id, parent, version,
                             now_ms)
     return n_updated
+
+
+def _iceberg_commit_ids(meta: dict, mdir: str) -> tuple:
+    """(seq, snap_id, parent, version) for the next offline commit —
+    the boilerplate every DML/maintenance writer repeats."""
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snap_id = max((s["snapshot-id"] for s in meta.get("snapshots", [])),
+                  default=0) + 1
+    parent = meta.get("current-snapshot-id")
+    version = 1 + max(
+        int(f[1:].split(".")[0]) for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".metadata.json"))
+    return seq, snap_id, parent, version
+
+
+def _identity_partition_by(meta: dict, table_path: str,
+                           what: str) -> list[str]:
+    spec = next((s for s in meta.get("partition-specs", [])
+                 if s.get("spec-id") == meta.get("default-spec-id", 0)),
+                {"fields": []})
+    non_identity = [f["name"] for f in spec.get("fields", [])
+                    if f.get("transform") not in (None, "identity")]
+    if non_identity:
+        raise ir.IcebergError(
+            f"offline {what} supports identity partition transforms "
+            f"only; table has {non_identity}")
+    return [f["name"] for f in spec.get("fields", [])]
+
+
+def purge_iceberg(spark: SparkSession, table_path: str) -> dict:
+    """Iceberg's `rewrite_position_delete_files` twin, shaped like
+    Delta's REORG ... APPLY (PURGE) (r17): materialize every
+    position-deleted data file's SURVIVOR rows as new files, drop the
+    content=1 DELETE manifests, and carry every untouched manifest
+    over verbatim in one "replace" snapshot. This is the
+    merge-on-read lifecycle's compaction half — position deletes
+    accumulate per small mutation, each adding an anti-join to every
+    scan; PURGE resets the table to pure data files (and re-enables
+    `optimize_iceberg`, which refuses delete-referenced files).
+    Equality deletes refuse (they apply by sequence number to
+    arbitrarily many files — materializing them is a whole-table
+    question, and this repo's writers never produce them). Returns
+    {"files_purged", "delete_files_removed", "rows_dropped"}."""
+    meta = ir.load_metadata(table_path)
+    try:
+        snap = ir.select_snapshot(meta)
+    except ir.IcebergError:
+        return {"files_purged": 0, "delete_files_removed": 0,
+                "rows_dropped": 0}
+    data, pos_del, eq_del = ir.snapshot_files(table_path, snap)
+    if eq_del:
+        raise ir.IcebergError(
+            f"PURGE cannot materialize equality deletes offline: "
+            f"{table_path}")
+    if not pos_del:
+        return {"files_purged": 0, "delete_files_removed": 0,
+                "rows_dropped": 0}
+    mdir = os.path.join(table_path, "metadata")
+    table_schema = ir.spark_schema(meta)
+    spark_types = {f.name: f.dataType for f in table_schema.fields}
+    partition_by = _identity_partition_by(meta, table_path, "PURGE")
+    now_ms = int(time.time() * 1000)
+    seq, snap_id, parent, version = _iceberg_commit_ids(meta, mdir)
+    # the files the delete parquets reference (distinct, driver-side:
+    # bounded by the number of DELETED-FROM files, not rows)
+    referenced = {ir._local(r[0]) for r in
+                  spark.read.parquet(*pos_del)
+                  .select("file_path").distinct().collect()}
+    rows_dropped = sum(_parquet_num_rows(p) for p in pos_del)
+    touched = referenced & {p for p, _s in data}
+    # survivors: the touched files scanned WITH deletes applied —
+    # read_iceberg's anti-join does the materialization
+    survivors = (ir.read_iceberg(spark, table_path,
+                                 file_subset=touched)
+                 .coalesce(max(1, len(touched))))
+    _commit_touched_rewrite(spark, table_path, meta, snap, touched,
+                            survivors, "replace", partition_by,
+                            spark_types, seq, snap_id, parent,
+                            version, now_ms, drop_deletes=True)
+    return {"files_purged": len(touched),
+            "delete_files_removed": len(pos_del),
+            "rows_dropped": int(rows_dropped)}
+
+
+def optimize_iceberg(spark: SparkSession, table_path: str,
+                     target_file_bytes: int = 128 * 1024 * 1024
+                     ) -> dict:
+    """Iceberg's `rewrite_data_files` (bin-pack) twin — the
+    `optimize_delta` sibling (r17): per partition, rewrite 2+ files
+    below ``target_file_bytes`` into ~target-sized ones as ONE
+    "replace" snapshot; untouched manifests carry over verbatim. The
+    small-file problem is THE dominant lakehouse maintenance cost at
+    100 TB (streaming ingests produce thousands of KB files whose
+    per-file open/footer overhead dwarfs the scan).
+
+    Files referenced by position deletes are LEFT ALONE (compacting
+    them must go through `purge_iceberg`, which materializes the
+    deletes first — rewriting a referenced file would orphan its
+    delete rows); tables with equality deletes refuse (their
+    sequence-number scoping cannot survive a re-sequencing rewrite).
+    Returns {"files_removed", "files_added", "bytes_compacted"}."""
+    meta = ir.load_metadata(table_path)
+    try:
+        snap = ir.select_snapshot(meta)
+    except ir.IcebergError:
+        return {"files_removed": 0, "files_added": 0,
+                "bytes_compacted": 0}
+    data, pos_del, eq_del = ir.snapshot_files(table_path, snap,
+                                              with_partitions=True)
+    if eq_del:
+        raise ir.IcebergError(
+            f"OPTIMIZE cannot re-sequence tables with equality "
+            f"deletes offline: {table_path}")
+    referenced: set = set()
+    if pos_del:
+        referenced = {ir._local(r[0]) for r in
+                      spark.read.parquet(*pos_del)
+                      .select("file_path").distinct().collect()}
+    mdir = os.path.join(table_path, "metadata")
+    table_schema = ir.spark_schema(meta)
+    spark_types = {f.name: f.dataType for f in table_schema.fields}
+    partition_by = _identity_partition_by(meta, table_path,
+                                          "OPTIMIZE")
+    groups: dict[tuple, list[str]] = {}
+    for p, _seq, pv, _fids in data:
+        if p in referenced or not os.path.exists(p):
+            continue
+        if os.path.getsize(p) >= target_file_bytes:
+            continue
+        key = tuple(sorted(pv.items()))
+        groups.setdefault(key, []).append(p)
+    touched: set = set()
+    bytes_compacted = 0
+    for key, paths in groups.items():
+        if len(paths) < 2:
+            continue  # one small file compacts to itself — skip
+        touched.update(paths)
+        bytes_compacted += sum(os.path.getsize(p) for p in paths)
+    if not touched:
+        return {"files_removed": 0, "files_added": 0,
+                "bytes_compacted": 0}
+    now_ms = int(time.time() * 1000)
+    seq, snap_id, parent, version = _iceberg_commit_ids(meta, mdir)
+    shards = max(1, -(-bytes_compacted // int(target_file_bytes)))
+    replacement = (ir.read_iceberg(spark, table_path,
+                                   file_subset=touched)
+                   .coalesce(int(shards)))
+    _commit_touched_rewrite(spark, table_path, meta, snap, touched,
+                            replacement, "replace", partition_by,
+                            spark_types, seq, snap_id, parent,
+                            version, now_ms)
+    new_data = ir.snapshot_files(
+        table_path, ir.select_snapshot(ir.load_metadata(table_path)))[0]
+    added = len({p for p, _s in new_data}
+                - {p for p, _s, _pv, _f in data})
+    return {"files_removed": len(touched),
+            "files_added": int(added),
+            "bytes_compacted": int(bytes_compacted)}
 
 
 def merge_into_iceberg(spark: SparkSession, table_path: str,

@@ -1880,7 +1880,8 @@ def test_delta_optimize_vacuum_sql(spark, tmp_path):
     ctx.sql("CREATE NAMESPACE lightning.datasource.file")
     ctx.sql(f"REGISTER PARQUET DATASOURCE f OPTIONS(path '{src}') "
             "NAMESPACE lightning.datasource.file")
-    with pytest.raises(Exception, match="Delta tables only"):
+    with pytest.raises(Exception,
+                       match="Delta and offline Iceberg tables only"):
         ctx.sql("OPTIMIZE lightning.datasource.file.f.p")
 
 
@@ -6055,3 +6056,80 @@ def test_dml_compound_predicate_file_skip(spark, tmp_path, monkeypatch):
     assert prunes[-1] is not None and len(prunes[-1]) == 1
     rows = {r.id: r.v for r in read_iceberg(spark, ip).collect()}
     assert rows[5] == 11 and rows[7] == 15 and len(rows) == 37
+
+
+def test_iceberg_optimize_and_purge(spark, tmp_path):
+    """r17: `optimize_iceberg` (rewrite_data_files bin-pack) and
+    `purge_iceberg` (rewrite_position_delete_files) — plus their
+    routed OPTIMIZE / REORG ... APPLY (PURGE) SQL surface. Content is
+    invariant through both; delete-referenced files refuse to compact
+    until purged; untouched partitions carry verbatim."""
+    from lightning_metastore_spark.sources import iceberg_reader as irm
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        delete_where_iceberg,
+        optimize_iceberg,
+        purge_iceberg,
+        write_iceberg,
+    )
+
+    wh = tmp_path / "wh"
+    path = str(wh / "opt")
+    df = spark.range(0, 40).selectExpr(
+        "id", "CAST(id % 2 AS INT) AS bucket", "id * 2 AS v")
+    # four small appends -> 8 files (2 partitions x 4)
+    for lo in (0, 10, 20, 30):
+        write_iceberg(
+            df.where(f"id >= {lo} AND id < {lo + 10}").coalesce(1),
+            path, mode="append" if lo else "error",
+            partition_by=["bucket"],
+            properties={"write.delete.mode": "merge-on-read"})
+    n0 = len(irm.snapshot_files(
+        path, irm.select_snapshot(irm.load_metadata(path)))[0])
+    assert n0 == 8
+
+    # MOR delete touches some files; those refuse to compact
+    assert delete_where_iceberg(spark, path, "id IN (3, 5)") == 2
+    res = optimize_iceberg(spark, path)
+    data1, pos1, _eq = irm.snapshot_files(
+        path, irm.select_snapshot(irm.load_metadata(path)))
+    assert pos1                       # deletes still there
+    assert res["files_removed"] >= 4  # the unreferenced smalls
+    rows = {r.id for r in irm.read_iceberg(spark, path).collect()}
+    assert rows == set(range(40)) - {3, 5}
+
+    # PURGE materializes survivors and drops the delete manifests
+    out = purge_iceberg(spark, path)
+    assert out["files_purged"] >= 1 and out["rows_dropped"] == 2
+    data2, pos2, _eq = irm.snapshot_files(
+        path, irm.select_snapshot(irm.load_metadata(path)))
+    assert pos2 == []
+    rows = {r.id for r in irm.read_iceberg(spark, path).collect()}
+    assert rows == set(range(40)) - {3, 5}
+    # now everything compacts down to one file per partition
+    res2 = optimize_iceberg(spark, path)
+    assert res2["files_removed"] >= 2
+    data3, pos3, _eq = irm.snapshot_files(
+        path, irm.select_snapshot(irm.load_metadata(path)))
+    assert len(data3) <= len(data2)
+    rows = {r.id for r in irm.read_iceberg(spark, path).collect()}
+    assert rows == set(range(40)) - {3, 5}
+    # time travel across the maintenance commits still resolves
+    meta = irm.load_metadata(path)
+    sids = [s["snapshot-id"] for s in meta["snapshots"]]
+    assert irm.read_iceberg(spark, path,
+                            snapshot_id=sids[3]).count() == 40
+
+    # routed SQL surface
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.iceberg")
+    ctx.sql(f"REGISTER ICEBERG DATASOURCE iwh OPTIONS(path '{wh}') "
+            "NAMESPACE lightning.datasource.iceberg")
+    assert delete_where_iceberg(spark, path, "id = 7") == 1
+    out = ctx.sql("REORG TABLE lightning.datasource.iceberg.iwh.opt "
+                  "APPLY (PURGE)").collect()
+    assert out[0].rows_dropped == 1
+    out = ctx.sql(
+        "OPTIMIZE lightning.datasource.iceberg.iwh.opt").collect()
+    assert out[0].files_removed >= 0
+    rows = {r.id for r in irm.read_iceberg(spark, path).collect()}
+    assert rows == set(range(40)) - {3, 5, 7}
