@@ -581,17 +581,21 @@ class OptimizeTable(Command):
             kwargs["target_file_bytes"] = int(self.target_bytes)
         kind, tpath = _lakehouse_table_path(ctx, self.path, "OPTIMIZE")
         if kind == "iceberg":
-            # r17: rewrite_data_files (bin-pack) for offline Iceberg
-            # tables — ZORDER stays Delta-only (Iceberg's equivalent
-            # is a sort order rewrite, not implemented offline)
-            if self.zorder_by:
-                raise CommandParseError(
-                    "OPTIMIZE ... ZORDER BY supports Delta tables "
-                    "only; Iceberg bin-pack compaction takes no "
-                    "clustering columns")
+            # r17: rewrite_data_files (bin-pack / z-order sort) for
+            # offline Iceberg tables
             from lightning_metastore_spark.sources.iceberg_writer import (
                 optimize_iceberg,
+                zorder_iceberg,
             )
+            if self.zorder_by:
+                stats = zorder_iceberg(ctx.spark, tpath,
+                                       self.zorder_by, **kwargs)
+                return self._df(
+                    ctx, [(stats["files_removed"],
+                           stats["files_added"],
+                           stats["bytes_rewritten"])],
+                    "files_removed long, files_added long, "
+                    "bytes_rewritten long")
             stats = optimize_iceberg(ctx.spark, tpath, **kwargs)
             return self._df(
                 ctx, [(stats["files_removed"], stats["files_added"],

@@ -1850,6 +1850,110 @@ def optimize_iceberg(spark: SparkSession, table_path: str,
             "bytes_compacted": int(bytes_compacted)}
 
 
+def zorder_iceberg(spark: SparkSession, table_path: str,
+                   columns: list[str],
+                   target_file_bytes: int = 128 * 1024 * 1024
+                   ) -> dict:
+    """OPTIMIZE ... ZORDER BY for offline Iceberg tables (r17) — the
+    `zorder_delta` twin (its docstring carries the 100 TB rationale;
+    the Morton machinery `_zvalue_column` is shared): per partition,
+    rewrite ALL data files clustered by the columns' interleaved-bit
+    Morton order in one "replace" snapshot. Same guard rails as
+    `optimize_iceberg`: position-delete-referenced files defer to
+    PURGE; equality-delete tables refuse. Returns {"files_removed",
+    "files_added", "bytes_rewritten"}."""
+    from lightning_metastore_spark.sources.delta_reader import (
+        _zvalue_column,
+    )
+
+    meta = ir.load_metadata(table_path)
+    try:
+        snap = ir.select_snapshot(meta)
+    except ir.IcebergError:
+        return {"files_removed": 0, "files_added": 0,
+                "bytes_rewritten": 0}
+    data, pos_del, eq_del = ir.snapshot_files(table_path, snap,
+                                              with_partitions=True)
+    if eq_del:
+        raise ir.IcebergError(
+            f"ZORDER cannot re-sequence tables with equality deletes "
+            f"offline: {table_path}")
+    if pos_del:
+        raise ir.IcebergError(
+            f"ZORDER on a table with position deletes: run REORG "
+            f"APPLY (PURGE) first ({table_path})")
+    mdir = os.path.join(table_path, "metadata")
+    table_schema = ir.spark_schema(meta)
+    spark_types = {f.name: f.dataType for f in table_schema.fields}
+    partition_by = _identity_partition_by(meta, table_path, "ZORDER")
+    field_by = {f.name.lower(): f for f in table_schema.fields}
+    norm_cols: list[str] = []
+    for c in columns:
+        f = field_by.get(str(c).lower())
+        if f is None:
+            raise ir.IcebergError(
+                f"ZORDER column {c!r} does not exist in {table_path}")
+        if f.name in partition_by:
+            raise ir.IcebergError(
+                f"ZORDER column {f.name!r} is a partition column — "
+                f"already layout-clustered")
+        if f.dataType.typeName() not in (
+                "byte", "short", "integer", "long", "float", "double",
+                "date", "timestamp", "timestamp_ntz", "decimal"):
+            raise ir.IcebergError(
+                f"ZORDER supports numeric/date/timestamp columns; "
+                f"{f.name!r} is {f.dataType.simpleString()}")
+        norm_cols.append(f.name)
+    groups: dict[tuple, list[str]] = {}
+    for p_, _seq, pv, _fids in data:
+        if not os.path.exists(p_):
+            raise ir.IcebergError(
+                f"ZORDER aborted: live data file missing on disk: "
+                f"{p_!r}")
+        groups.setdefault(tuple(sorted(pv.items())), []).append(p_)
+    if not groups:
+        return {"files_removed": 0, "files_added": 0,
+                "bytes_rewritten": 0}
+    now_ms = int(time.time() * 1000)
+    seq, snap_id, parent, version = _iceberg_commit_ids(meta, mdir)
+    out_fields = [f.name for f in table_schema.fields]
+    parts = []
+    touched: set = set()
+    bytes_rewritten = 0
+    probs = [j / 256.0 for j in range(1, 256)]
+    for paths in groups.values():
+        touched.update(paths)
+        total = sum(os.path.getsize(p_) for p_ in paths)
+        bytes_rewritten += total
+        n_out = max(1, -(-total // int(target_file_bytes)))
+        df = ir.read_iceberg(spark, table_path,
+                             file_subset=set(paths))
+        cuts = {}
+        for c in norm_cols:
+            q = (df.select(F.col(c).cast("double").alias("__q"))
+                 .na.drop().approxQuantile("__q", probs, 0.01))
+            cuts[c] = q or [0.0]
+        parts.append(
+            df.withColumn("__z", _zvalue_column(df, norm_cols, cuts))
+            .repartitionByRange(int(n_out), "__z")
+            .sortWithinPartitions("__z")
+            .select(*out_fields))
+    replacement = parts[0]
+    for p_ in parts[1:]:
+        replacement = replacement.unionByName(p_)
+    _commit_touched_rewrite(spark, table_path, meta, snap, touched,
+                            replacement, "replace", partition_by,
+                            spark_types, seq, snap_id, parent,
+                            version, now_ms)
+    new_data = ir.snapshot_files(
+        table_path, ir.select_snapshot(ir.load_metadata(table_path)))[0]
+    added = len({p_ for p_, _s in new_data}
+                - {p_ for p_, _s, _pv, _f in data})
+    return {"files_removed": len(touched),
+            "files_added": int(added),
+            "bytes_rewritten": int(bytes_rewritten)}
+
+
 def merge_into_iceberg(spark: SparkSession, table_path: str,
                        source_df: DataFrame, on_cond: str,
                        target_alias: str, source_alias: str,

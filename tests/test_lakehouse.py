@@ -6133,3 +6133,76 @@ def test_iceberg_optimize_and_purge(spark, tmp_path):
     assert out[0].files_removed >= 0
     rows = {r.id for r in irm.read_iceberg(spark, path).collect()}
     assert rows == set(range(40)) - {3, 5, 7}
+
+
+def test_iceberg_zorder(spark, tmp_path):
+    """r17: ZORDER BY on offline Iceberg — per-partition Morton-order
+    rewrite; after clustering, BOTH clustered columns' per-file
+    manifest bounds shrink so selective predicates on either skip
+    files (the layout half of file pruning)."""
+    from lightning_metastore_spark.sources import iceberg_reader as irm
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        write_iceberg,
+        zorder_iceberg,
+    )
+
+    path = str(tmp_path / "zord")
+    # x and y deliberately anti-correlated with the write order so
+    # the pre-zorder per-file ranges are WIDE on both
+    df = spark.range(0, 4096).selectExpr(
+        "id", "CAST(id % 64 AS LONG) AS x",
+        "CAST(CAST(id / 64 AS INT) AS LONG) AS y")
+    write_iceberg(df.repartition(8), path, mode="error")
+    # pre-zorder: an x-selective predicate keeps every file
+    pre, pre_skip = irm.prune_data_files(path, "x", "=", 3)
+    assert len(pre_skip) == 0
+
+    res = zorder_iceberg(spark, path, ["x", "y"],
+                         target_file_bytes=12 * 1024)
+    assert res["files_removed"] == 8 and res["files_added"] >= 2
+    got = {(r.id, r.x, r.y)
+           for r in irm.read_iceberg(spark, path).collect()}
+    assert len(got) == 4096          # content invariant
+    # post-zorder: both columns' bounds shrink -> files skip
+    cx, sx = irm.prune_data_files(path, "x", "=", 3)
+    cy, sy = irm.prune_data_files(path, "y", "=", 60)
+    assert sx and sy                  # strictly fewer files scanned
+    # routed SQL surface
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.iceberg")
+    ctx.sql(f"REGISTER ICEBERG DATASOURCE zw OPTIONS(path '{tmp_path}') "
+            "NAMESPACE lightning.datasource.iceberg")
+    out = ctx.sql("OPTIMIZE lightning.datasource.iceberg.zw.zord "
+                  "ZORDER BY (x, y)").collect()
+    assert out[0].files_removed == res["files_added"]
+    assert irm.read_iceberg(spark, path).count() == 4096
+
+
+def test_iceberg_zorder_partitioned(spark, tmp_path):
+    """ZORDER on a PARTITIONED Iceberg table: the staged write's
+    dynamic-partition path must not destroy the per-file Morton
+    clustering — bounds shrink within every partition."""
+    from lightning_metastore_spark.sources import iceberg_reader as irm
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        write_iceberg,
+        zorder_iceberg,
+    )
+
+    path = str(tmp_path / "zordp")
+    df = spark.range(0, 8192).selectExpr(
+        "id", "CAST(id % 2 AS INT) AS bucket",
+        "CAST(id % 64 AS LONG) AS x",
+        "CAST(CAST(id / 128 AS INT) AS LONG) AS y")
+    write_iceberg(df.repartition(8), path, mode="error",
+                  partition_by=["bucket"])
+    res = zorder_iceberg(spark, path, ["x", "y"],
+                         target_file_bytes=12 * 1024)
+    assert res["files_removed"] >= 2
+    got = irm.read_iceberg(spark, path).count()
+    assert got == 8192
+    _cx, sx = irm.prune_data_files(path, "x", "=", 3)
+    _cy, sy = irm.prune_data_files(path, "y", "=", 60)
+    assert sx and sy
+    # partition pruning composes with the rewrite
+    pr = irm.read_iceberg(spark, path, prune=[("bucket", "=", 1)])
+    assert {r.bucket for r in pr.collect()} == {1}
