@@ -1721,30 +1721,33 @@ def _identity_partition_by(meta: dict, table_path: str,
 
 def purge_iceberg(spark: SparkSession, table_path: str) -> dict:
     """Iceberg's `rewrite_position_delete_files` twin, shaped like
-    Delta's REORG ... APPLY (PURGE) (r17): materialize every
-    position-deleted data file's SURVIVOR rows as new files, drop the
-    content=1 DELETE manifests, and carry every untouched manifest
-    over verbatim in one "replace" snapshot. This is the
-    merge-on-read lifecycle's compaction half — position deletes
-    accumulate per small mutation, each adding an anti-join to every
-    scan; PURGE resets the table to pure data files (and re-enables
-    `optimize_iceberg`, which refuses delete-referenced files).
-    Equality deletes refuse (they apply by sequence number to
-    arbitrarily many files — materializing them is a whole-table
-    question, and this repo's writers never produce them). Returns
-    {"files_purged", "delete_files_removed", "rows_dropped"}."""
+    Delta's REORG ... APPLY (PURGE) (r17): materialize every delete-
+    affected data file's SURVIVOR rows as new files, drop the delete
+    manifests, and carry every untouched manifest over verbatim in
+    one "replace" snapshot. This is the merge-on-read lifecycle's
+    compaction half — deletes accumulate per small mutation, each
+    adding an anti-join to every scan; PURGE resets the table to pure
+    data files (and re-enables `optimize_iceberg`/`zorder_iceberg`).
+
+    Position deletes touch exactly the files they reference.
+    EQUALITY deletes (the `upsert_iceberg` debt) touch every data
+    file with a STRICTLY OLDER sequence number — bounded two ways
+    before any rewrite: sequence scoping drops files written at or
+    after every delete, and for single-column keys the delete files'
+    key min/max (one small agg over the delete parquets, which are
+    small by construction) prunes candidates through the manifest
+    bounds. Affected files rewrite with the deletes applied by the
+    reader's own anti-joins. Returns {"files_purged",
+    "delete_files_removed", "rows_dropped"}."""
     meta = ir.load_metadata(table_path)
     try:
         snap = ir.select_snapshot(meta)
     except ir.IcebergError:
         return {"files_purged": 0, "delete_files_removed": 0,
                 "rows_dropped": 0}
-    data, pos_del, eq_del = ir.snapshot_files(table_path, snap)
-    if eq_del:
-        raise ir.IcebergError(
-            f"PURGE cannot materialize equality deletes offline: "
-            f"{table_path}")
-    if not pos_del:
+    data, pos_del, eq_del = ir.snapshot_files(table_path, snap,
+                                              with_partitions=True)
+    if not pos_del and not eq_del:
         return {"files_purged": 0, "delete_files_removed": 0,
                 "rows_dropped": 0}
     mdir = os.path.join(table_path, "metadata")
@@ -1753,25 +1756,70 @@ def purge_iceberg(spark: SparkSession, table_path: str) -> dict:
     partition_by = _identity_partition_by(meta, table_path, "PURGE")
     now_ms = int(time.time() * 1000)
     seq, snap_id, parent, version = _iceberg_commit_ids(meta, mdir)
-    # the files the delete parquets reference (distinct, driver-side:
-    # bounded by the number of DELETED-FROM files, not rows)
-    referenced = {ir._local(r[0]) for r in
-                  spark.read.parquet(*pos_del)
-                  .select("file_path").distinct().collect()}
-    rows_dropped = sum(_parquet_num_rows(p) for p in pos_del)
-    touched = referenced & {p for p, _s in data}
+    touched: set = set()
+    if pos_del:
+        # the files the delete parquets reference (distinct, driver-
+        # side: bounded by the number of DELETED-FROM files, not rows)
+        referenced = {ir._local(r[0]) for r in
+                      spark.read.parquet(*pos_del)
+                      .select("file_path").distinct().collect()}
+        touched |= referenced & {p for p, _s, _pv, _f in data}
+    if eq_del:
+        name_by_id = {f["id"]: f["name"]
+                      for f in ir.current_schema(meta)["fields"]}
+        # candidates by sequence scoping: only strictly-older data
+        # can match any delete
+        seqs = [s for _p, s, _ids in eq_del]
+        uncond = any(s is None for s in seqs)
+        max_seq = None if uncond else max(seqs)
+        cands = {p for p, s, _pv, _f in data
+                 if uncond or s is None or int(s) < int(max_seq)}
+        # single shared key column: prune candidates via manifest
+        # bounds against the deletes' key range
+        key_sets = {tuple(sorted(ids)) for _p, _s, ids in eq_del}
+        if len(key_sets) == 1 and len(next(iter(key_sets))) == 1:
+            kid = next(iter(key_sets))[0]
+            kcol = name_by_id.get(kid)
+            if kcol is not None:
+                row = (spark.read.parquet(*[p for p, _s, _i in eq_del])
+                       .agg(F.min(f"`{kcol}`").alias("mn"),
+                            F.max(f"`{kcol}`").alias("mx"))
+                       .collect()[0])
+                if row["mn"] is not None:
+                    try:
+                        keep1, _sk1 = ir.prune_data_files(
+                            table_path, kcol, ">=", row["mn"],
+                            session_tz=spark.conf.get(
+                                "spark.sql.session.timeZone"))
+                        keep2, _sk2 = ir.prune_data_files(
+                            table_path, kcol, "<=", row["mx"],
+                            session_tz=spark.conf.get(
+                                "spark.sql.session.timeZone"))
+                        cands &= set(keep1) & set(keep2)
+                    except ir.IcebergError:
+                        pass  # unprunable type -> keep candidates
+        touched |= cands
+    if not touched:
+        # deletes reference nothing live: drop the manifests only
+        touched = set()
     # survivors: the touched files scanned WITH deletes applied —
-    # read_iceberg's anti-join does the materialization
+    # read_iceberg's anti-joins do the materialization
     survivors = (ir.read_iceberg(spark, table_path,
                                  file_subset=touched)
                  .coalesce(max(1, len(touched))))
+    before = 0
+    tset = touched
+    for p, _s, _pv, _f in data:
+        if p in tset:
+            before += _parquet_num_rows(p)
+    n_kept = survivors.count() if touched else 0
     _commit_touched_rewrite(spark, table_path, meta, snap, touched,
                             survivors, "replace", partition_by,
                             spark_types, seq, snap_id, parent,
                             version, now_ms, drop_deletes=True)
     return {"files_purged": len(touched),
-            "delete_files_removed": len(pos_del),
-            "rows_dropped": int(rows_dropped)}
+            "delete_files_removed": len(pos_del) + len(eq_del),
+            "rows_dropped": int(before - n_kept)}
 
 
 def optimize_iceberg(spark: SparkSession, table_path: str,
@@ -1952,6 +2000,201 @@ def zorder_iceberg(spark: SparkSession, table_path: str,
     return {"files_removed": len(touched),
             "files_added": int(added),
             "bytes_rewritten": int(bytes_rewritten)}
+
+
+def upsert_iceberg(spark: SparkSession, table_path: str,
+                   source_df: DataFrame,
+                   key_cols: list[str]) -> dict:
+    """Streaming-style EQUALITY-DELETE upsert (r17) — the Flink/
+    Iceberg v2 `upsert` write shape, the THIRD row-mutation strategy
+    after copy-on-write and position-delete merge-on-read: ONE commit
+    appends (a) an equality-delete file listing the source keys
+    (content=2, `equality_ids`) and (b) a data file with the new
+    rows, both at the SAME sequence number — the delete applies only
+    to STRICTLY OLDER data (spec scoping), so the new rows survive
+    and every pre-existing row with a matching key disappears.
+
+    The 100 TB property MERGE cannot offer: NO table scan at all —
+    not even discovery. A 10-row upsert into a 100 TB table writes
+    two KB-scale files and planning metadata; cost is O(source),
+    independent of table size. The debt is read-side (every scan
+    anti-joins the delete), paid down by REORG APPLY (PURGE) /
+    OPTIMIZE once materialized. Partitioned tables require the
+    partition columns to be part of ``key_cols`` (the Flink upsert
+    constraint) so key equality implies partition equality. A
+    duplicate key in the source is an error (ambiguous last-write).
+    Returns {"n_upserted", "n_keys"}."""
+    meta = ir.load_metadata(table_path)
+    mdir = os.path.join(table_path, "metadata")
+    ddir = os.path.join(table_path, "data")
+    table_schema = ir.spark_schema(meta)
+    spark_types = {f.name: f.dataType for f in table_schema.fields}
+    partition_by = _identity_partition_by(meta, table_path, "UPSERT")
+    field_by = {f.name.lower(): f for f in table_schema.fields}
+    norm_keys = []
+    for c in key_cols:
+        f = field_by.get(str(c).lower())
+        if f is None:
+            raise ir.IcebergError(
+                f"UPSERT key column {c!r} does not exist in "
+                f"{table_path}")
+        norm_keys.append(f.name)
+    missing_part = [c for c in partition_by if c not in norm_keys]
+    if missing_part:
+        raise ir.IcebergError(
+            f"UPSERT on a partitioned table requires the partition "
+            f"columns in the key (Flink's upsert constraint); "
+            f"missing {missing_part}")
+    src_cols = {c.lower() for c in source_df.columns}
+    absent = [f.name for f in table_schema.fields
+              if f.name.lower() not in src_cols]
+    if absent:
+        raise ir.IcebergError(
+            f"UPSERT source must supply every table column; "
+            f"missing {absent}")
+    rows = source_df.select(*[
+        F.col(f"`{f.name}`").cast(f.dataType).alias(f.name)
+        for f in table_schema.fields]).localCheckpoint(eager=True)
+    n = rows.count()
+    n_keys = rows.select(*norm_keys).distinct().count()
+    if n_keys != n:
+        raise ir.IcebergError(
+            f"UPSERT source has duplicate keys ({n} rows, {n_keys} "
+            f"distinct keys) — last-write order is ambiguous")
+    if n == 0:
+        return {"n_upserted": 0, "n_keys": 0}
+    try:
+        snap = ir.select_snapshot(meta)
+    except ir.IcebergError:
+        snap = None
+    if snap is None:
+        # empty table: nothing to delete — a plain append commit
+        write_iceberg(rows, table_path, mode="append")
+        return {"n_upserted": int(n), "n_keys": int(n)}
+    now_ms = int(time.time() * 1000)
+    seq, snap_id, parent, version = _iceberg_commit_ids(meta, mdir)
+    name_to_id = {f["name"]: f["id"]
+                  for f in ir.current_schema(meta)["fields"]}
+    eq_ids = [int(name_to_id[c]) for c in norm_keys]
+
+    # --- equality-delete file(s): the source keys, field ids on ---
+    shadow = [f"__ice_p_{c}" for c in partition_by]
+    dels = rows.select(
+        *[F.col(f"`{c}`").alias(
+            c, metadata={"parquet.field.id": name_to_id[c]})
+          for c in norm_keys],
+        *[F.col(f"`{c}`").alias(sh)
+          for c, sh in zip(partition_by, shadow)])
+    dels = (dels.repartition(*[F.col(sh) for sh in shadow]) if shadow
+            else dels.coalesce(1))
+    staging = os.path.join(table_path, f".staging-eq-{now_ms}")
+    w = dels.write.mode("overwrite")
+    if shadow:
+        w = w.partitionBy(*shadow)
+    w.parquet(staging)
+    import shutil
+    from urllib.parse import quote, unquote
+    os.makedirs(ddir, exist_ok=True)
+    delete_files: list[tuple[str, dict]] = []
+    i = 0
+    for root, _dirs, fnames in sorted(os.walk(staging)):
+        rel_dir = os.path.relpath(root, staging)
+        pv: dict = {}
+        if rel_dir != ".":
+            for seg in rel_dir.split(os.sep):
+                if "=" not in seg:
+                    continue
+                k, v = seg.split("=", 1)
+                c = k[len("__ice_p_"):] if k.startswith("__ice_p_") \
+                    else k
+                raw = (None if v == "__HIVE_DEFAULT_PARTITION__"
+                       else unquote(v))
+                pv[c] = _parse_partition_value(
+                    raw, spark_types[c].typeName())
+        part_dir = ddir
+        if pv:
+            segs = [f"{c}={'null' if pv[c] is None else quote(str(pv[c]), safe='')}"
+                    for c in partition_by]
+            part_dir = os.path.join(ddir, *segs)
+            os.makedirs(part_dir, exist_ok=True)
+        for f in sorted(fnames):
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                dst = os.path.abspath(os.path.join(
+                    part_dir, f"eq-delete-{snap_id}-{i}.parquet"))
+                os.rename(os.path.join(root, f), dst)
+                delete_files.append((dst, pv))
+                i += 1
+    shutil.rmtree(staging, ignore_errors=True)
+
+    spec_id = meta.get("default-spec-id", 0)
+    mschema = _manifest_schema_for(partition_by, spark_types)
+    dentries = []
+    for p, pv in delete_files:
+        data_file = {"content": 2, "file_path": p,
+                     "file_format": "PARQUET",
+                     "record_count": _parquet_num_rows(p),
+                     "file_size_in_bytes": os.path.getsize(p),
+                     "equality_ids": list(eq_ids)}
+        if partition_by:
+            data_file["partition"] = {c: pv.get(c)
+                                      for c in partition_by}
+        dentries.append({"status": 1, "snapshot_id": snap_id,
+                         "sequence_number": seq,
+                         "data_file": data_file})
+    dmanifest = os.path.join(mdir, f"m-{snap_id}-eqdel.avro")
+    ac.write_container(dmanifest, mschema, dentries)
+
+    # --- data file(s): the new rows -------------------------------
+    data_files = _stage_data_files(rows, table_path, ddir,
+                                   partition_by, spark_types, seq,
+                                   now_ms)
+    field_ids, field_types = _current_schema_fields(meta)
+    aentries = []
+    for p, pv in data_files:
+        data_file = {"content": 0, "file_path": p,
+                     "file_format": "PARQUET",
+                     "record_count": _parquet_num_rows(p),
+                     "file_size_in_bytes": os.path.getsize(p),
+                     "equality_ids": None}
+        data_file.update(_parquet_column_stats(p, field_ids,
+                                               field_types))
+        if partition_by:
+            data_file["partition"] = {c: pv.get(c)
+                                      for c in partition_by}
+        aentries.append({"status": 1, "snapshot_id": snap_id,
+                         "sequence_number": seq,
+                         "data_file": data_file})
+    amanifest = os.path.join(mdir, f"m-{snap_id}-ups.avro")
+    ac.write_container(amanifest, mschema, aentries)
+
+    recs = []
+    for mrec in ac.iter_records(ir._local(snap["manifest-list"])):
+        rec = dict(mrec)
+        rec.setdefault("partitions", None)
+        recs.append(rec)
+    recs.append({"manifest_path": dmanifest,
+                 "manifest_length": os.path.getsize(dmanifest),
+                 "partition_spec_id": spec_id, "content": 1,
+                 "sequence_number": seq,
+                 "added_snapshot_id": snap_id,
+                 "partitions": (_field_summaries(dentries,
+                                                 partition_by,
+                                                 spark_types)
+                                if partition_by else None)})
+    recs.append({"manifest_path": amanifest,
+                 "manifest_length": os.path.getsize(amanifest),
+                 "partition_spec_id": spec_id, "content": 0,
+                 "sequence_number": seq,
+                 "added_snapshot_id": snap_id,
+                 "partitions": (_field_summaries(aentries,
+                                                 partition_by,
+                                                 spark_types)
+                                if partition_by else None)})
+    mlist = os.path.join(mdir, f"snap-{snap_id}.avro")
+    ac.write_container(mlist, MANIFEST_LIST_SCHEMA, recs)
+    _commit_snapshot(meta, mdir, snap_id, parent, seq, now_ms, mlist,
+                     "overwrite", version)
+    return {"n_upserted": int(n), "n_keys": int(n)}
 
 
 def merge_into_iceberg(spark: SparkSession, table_path: str,

@@ -6206,3 +6206,102 @@ def test_iceberg_zorder_partitioned(spark, tmp_path):
     # partition pruning composes with the rewrite
     pr = irm.read_iceberg(spark, path, prune=[("bucket", "=", 1)])
     assert {r.bucket for r in pr.collect()} == {1}
+
+
+def test_iceberg_equality_delete_upsert(spark, tmp_path):
+    """r17: `upsert_iceberg` — the Flink-style equality-delete upsert
+    (content=2, same-sequence scoping): zero table scans, old rows
+    with matching keys disappear, new rows survive; repeat upserts
+    stack; PURGE refuses (eq deletes need a whole-table answer) but
+    a copy-on-write DELETE and time travel still compose."""
+    from lightning_metastore_spark.sources import avro_codec as acm
+    from lightning_metastore_spark.sources import iceberg_reader as irm
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        optimize_iceberg,
+        purge_iceberg,
+        upsert_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "ups")
+    write_iceberg(_delta_df(spark, 0, 20).coalesce(2), path,
+                  mode="error")
+    src = spark.createDataFrame(
+        [(5, "five!", 500), (19, "nineteen!", 1900), (40, "forty", 80)],
+        "id long, s string, v long")
+    out = upsert_iceberg(spark, path, src, ["id"])
+    assert out == {"n_upserted": 3, "n_keys": 3}
+    rows = {r.id: (r.s, r.v)
+            for r in irm.read_iceberg(spark, path).collect()}
+    assert len(rows) == 21
+    assert rows[5] == ("five!", 500) and rows[40] == ("forty", 80)
+    assert rows[4] == ("4", 8)
+    # the delete manifest is content=2 with the key's field id
+    meta = irm.load_metadata(path)
+    snap = irm.select_snapshot(meta)
+    _d, _pos, eq = irm.snapshot_files(path, snap)
+    assert len(eq) == 1
+    _p, dseq, eq_ids = eq[0]
+    assert dseq is not None and len(eq_ids) == 1
+    # time travel: the pre-upsert snapshot still shows old values
+    sids = [s["snapshot-id"] for s in meta["snapshots"]]
+    pre = {r.id: r.s for r in irm.read_iceberg(
+        spark, path, snapshot_id=sids[0]).collect()}
+    assert pre[5] == "5"
+    # repeat upsert stacks (updates an upserted row again)
+    out = upsert_iceberg(spark, path, spark.createDataFrame(
+        [(5, "five!!", 5000)], "id long, s string, v long"), ["id"])
+    assert out["n_upserted"] == 1
+    rows = {r.id: r.v for r in irm.read_iceberg(spark, path).collect()}
+    assert rows[5] == 5000 and len(rows) == 21
+    # duplicate source keys refuse
+    with pytest.raises(Exception, match="duplicate keys"):
+        upsert_iceberg(spark, path, spark.createDataFrame(
+            [(1, "a", 1), (1, "b", 2)], "id long, s string, v long"),
+            ["id"])
+    # compaction refuses while the eq-delete debt is live ...
+    with pytest.raises(Exception, match="equality"):
+        optimize_iceberg(spark, path)
+    # ... and PURGE pays it down: deletes materialize (sequence +
+    # key-bounds scoped), eq manifests drop, content invariant
+    out = purge_iceberg(spark, path)
+    assert out["delete_files_removed"] == 2
+    assert out["rows_dropped"] == 3      # two updates of 5 + one of 19
+    _d2, _pos2, eq2 = irm.snapshot_files(
+        path, irm.select_snapshot(irm.load_metadata(path)))
+    assert eq2 == []
+    rows = {r.id: (r.s, r.v)
+            for r in irm.read_iceberg(spark, path).collect()}
+    assert len(rows) == 21
+    assert rows[5] == ("five!!", 5000)
+    assert rows[19] == ("nineteen!", 1900) and rows[4] == ("4", 8)
+    # post-purge the table compacts again
+    res = optimize_iceberg(spark, path)
+    assert res["files_removed"] >= 2
+    assert irm.read_iceberg(spark, path).count() == 21
+
+    # partitioned: partition col must be in the key; per-partition
+    # delete files carry the partition tuple
+    pp = str(tmp_path / "upsp")
+    df = spark.range(0, 20).selectExpr(
+        "id", "CAST(id % 2 AS INT) AS bucket", "id * 2 AS v")
+    write_iceberg(df, pp, mode="error", partition_by=["bucket"])
+    with pytest.raises(Exception, match="partition columns"):
+        upsert_iceberg(spark, pp, spark.createDataFrame(
+            [(3, 1, 333)], "id long, bucket int, v long"), ["id"])
+    out = upsert_iceberg(spark, pp, spark.createDataFrame(
+        [(3, 1, 333), (30, 0, 60)], "id long, bucket int, v long"),
+        ["id", "bucket"])
+    assert out["n_upserted"] == 2
+    rows = {r.id: r.v for r in irm.read_iceberg(spark, pp).collect()}
+    assert rows[3] == 333 and rows[30] == 60 and len(rows) == 21
+    meta = irm.load_metadata(pp)
+    snap = irm.select_snapshot(meta)
+    del_recs = [r for r in acm.iter_records(irm._local(
+        snap["manifest-list"])) if int(r.get("content") or 0) == 1]
+    parts = set()
+    for r in del_recs:
+        for e in acm.iter_records(irm._local(r["manifest_path"])):
+            assert int(e["data_file"]["content"]) == 2
+            parts.add(e["data_file"]["partition"]["bucket"])
+    assert parts == {0, 1}
