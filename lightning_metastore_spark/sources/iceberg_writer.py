@@ -507,14 +507,21 @@ def _parquet_num_rows(p: str) -> int:
 def write_iceberg(df: DataFrame, table_path: str,
                   mode: str = "append",
                   partition_by: Optional[list[str]] = None,
-                  properties: Optional[dict] = None) -> None:
+                  properties: Optional[dict] = None,
+                  identifier_fields: Optional[list[str]] = None
+                  ) -> None:
     """Create/append/overwrite an Iceberg table offline.
 
     ``partition_by`` (create time only) records an identity-transform
     partition spec; appends/overwrites inherit the table's spec.
     ``properties`` (create time only) seeds the table's `properties`
     map — e.g. `write.delete.mode = merge-on-read` switches DELETE to
-    position-delete files."""
+    position-delete files. ``identifier_fields`` (create time only)
+    records the spec's schema-level `identifier-field-ids` (the row
+    identity); with `write.upsert.enabled = true` in the properties,
+    subsequent APPENDS to a non-empty table route through
+    `upsert_iceberg` on those fields — the Flink upsert-mode sink
+    contract (r17)."""
     if mode not in ("append", "overwrite", "error", "errorifexists"):
         raise ir.IcebergError(f"unsupported save mode: {mode}")
     spark = df.sparkSession
@@ -529,6 +536,25 @@ def write_iceberg(df: DataFrame, table_path: str,
     if exists:
         meta = ir.load_metadata(table_path)
         table_schema = ir.spark_schema(meta)
+        # Flink upsert-mode sink contract: appends to a non-empty
+        # upsert table are equality-delete upserts on the schema's
+        # identifier fields (the snapshot guard breaks the recursion
+        # through upsert_iceberg's own empty-table append)
+        props0 = meta.get("properties") or {}
+        id_ids = (ir.current_schema(meta).get("identifier-field-ids")
+                  or [])
+        if (mode == "append" and id_ids
+                and str(props0.get("write.upsert.enabled", "")
+                        ).lower() == "true"
+                and meta.get("current-snapshot-id") is not None):
+            by_id = {f["id"]: f["name"]
+                     for f in ir.current_schema(meta)["fields"]}
+            keys = [by_id[i] for i in id_ids if i in by_id]
+            aligned = df.select(*[
+                F.col(c).cast(f.dataType).alias(f.name)
+                for c, f in zip(df.columns, table_schema.fields)])
+            upsert_iceberg(spark, table_path, aligned, keys)
+            return
         # INSERT semantics for append AND overwrite: align by position,
         # cast to the table schema (no schema evolution offline)
         if len(df.columns) != len(table_schema.fields):
@@ -591,6 +617,13 @@ def write_iceberg(df: DataFrame, table_path: str,
             spec_fields.append({"name": c, "transform": "identity",
                                 "source-id": name_to_id[c],
                                 "field-id": 1000 + i})
+        if identifier_fields:
+            bad = [c for c in identifier_fields if c not in name_to_id]
+            if bad:
+                raise ir.IcebergError(
+                    f"identifier_fields not in data: {bad}")
+            schema_json["identifier-field-ids"] = [
+                name_to_id[c] for c in identifier_fields]
         meta = {
             "format-version": 2,
             "table-uuid": "00000000-0000-0000-0000-000000000000",

@@ -6305,3 +6305,56 @@ def test_iceberg_equality_delete_upsert(spark, tmp_path):
             assert int(e["data_file"]["content"]) == 2
             parts.add(e["data_file"]["partition"]["bucket"])
     assert parts == {0, 1}
+
+
+def test_iceberg_upsert_mode_sink(spark, tmp_path):
+    """r17: the Flink upsert-mode sink contract — a table created
+    with `identifier_fields` + `write.upsert.enabled = true` turns
+    every APPEND (including routed INSERT INTO) into an
+    equality-delete upsert on the identifier fields."""
+    from lightning_metastore_spark.sources import iceberg_reader as irm
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        write_iceberg,
+    )
+
+    wh = tmp_path / "wh"
+    path = str(wh / "sink")
+    df = spark.createDataFrame([(1, "a", 10), (2, "b", 20)],
+                               "id long, s string, v long")
+    write_iceberg(df, path, mode="error",
+                  properties={"write.upsert.enabled": "true"},
+                  identifier_fields=["id"])
+    # schema records the spec's identifier-field-ids
+    meta = irm.load_metadata(path)
+    assert irm.current_schema(meta)["identifier-field-ids"] == [1]
+    # a plain append now upserts
+    write_iceberg(spark.createDataFrame(
+        [(2, "b2", 200), (3, "c", 30)], "id long, s string, v long"),
+        path, mode="append")
+    rows = {r.id: (r.s, r.v)
+            for r in irm.read_iceberg(spark, path).collect()}
+    assert rows == {1: ("a", 10), 2: ("b2", 200), 3: ("c", 30)}
+    _d, _pos, eq = irm.snapshot_files(
+        path, irm.select_snapshot(irm.load_metadata(path)))
+    assert len(eq) == 1               # the upsert's delete file
+
+    # routed INSERT INTO takes the same path
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.iceberg")
+    ctx.sql(f"REGISTER ICEBERG DATASOURCE uw OPTIONS(path '{wh}') "
+            "NAMESPACE lightning.datasource.iceberg")
+    spark.createDataFrame([(3, "c3", 333), (4, "d", 40)],
+                          "id long, s string, v long"
+                          ).createOrReplaceTempView("sink_src")
+    ctx.sql("INSERT INTO lightning.datasource.iceberg.uw.sink "
+            "SELECT * FROM sink_src")
+    rows = {r.id: (r.s, r.v)
+            for r in irm.read_iceberg(spark, path).collect()}
+    assert rows == {1: ("a", 10), 2: ("b2", 200), 3: ("c3", 333),
+                    4: ("d", 40)}
+    # overwrite ignores upsert mode (full replacement, as spec'd)
+    write_iceberg(spark.createDataFrame(
+        [(9, "z", 90)], "id long, s string, v long"),
+        path, mode="overwrite")
+    assert [(r.id, r.s) for r in
+            irm.read_iceberg(spark, path).collect()] == [(9, "z")]
