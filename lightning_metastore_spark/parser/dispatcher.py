@@ -67,6 +67,7 @@ _LIGHTNING_HEADS = (
     re.compile(r"^MERGE\s+INTO\s+LIGHTNING\.", re.I),
     re.compile(r"^OPTIMIZE\s+LIGHTNING\.", re.I),
     re.compile(r"^REORG\s+TABLE\s+LIGHTNING\.", re.I),
+    re.compile(r"^REWRITE\s+MANIFESTS\s+LIGHTNING\.", re.I),
     re.compile(r"^VACUUM\s+LIGHTNING\.", re.I),
     re.compile(r"^EXPIRE\s+SNAPSHOTS\s+LIGHTNING\.", re.I),
     re.compile(r"^REMOVE\s+ORPHAN\s+FILES\s+LIGHTNING\.", re.I),
@@ -648,6 +649,33 @@ class ReorgPurge(Command):
         return self._df(
             ctx, [(out["files_purged"], out["rows_dropped"])],
             "files_purged long, rows_dropped long")
+
+
+@dataclass
+class RewriteManifests(Command):
+    """`REWRITE MANIFESTS lightning.datasource.iceberg.<ds>.<table>
+    [TARGET ENTRIES n]` — Iceberg's `rewrite_manifests` procedure
+    (r17): compact the current snapshot's manifests into ~n-entry
+    ones, metadata-only (see `iceberg_writer.
+    rewrite_manifests_iceberg` for the 100 TB planning rationale).
+    Iceberg-only — Delta's log compaction is the checkpoint,
+    written automatically every 10 commits."""
+    path: list[str]
+    target_entries: int = 5000
+
+    def run(self, ctx) -> DataFrame:
+        from lightning_metastore_spark.sources.iceberg_writer import (
+            rewrite_manifests_iceberg,
+        )
+
+        tpath = _iceberg_table_path(ctx, self.path,
+                                    "REWRITE MANIFESTS")
+        out = rewrite_manifests_iceberg(
+            ctx.spark, tpath,
+            target_entries_per_manifest=int(self.target_entries))
+        return self._df(
+            ctx, [(out["manifests_before"], out["manifests_after"])],
+            "manifests_before long, manifests_after long")
 
 
 @dataclass
@@ -2465,6 +2493,9 @@ _R_OPTIMIZE = re.compile(
 _R_REORG = re.compile(
     r"^REORG\s+TABLE\s+(?P<path>[\w.\-]+)\s+APPLY\s*\(\s*PURGE\s*\)"
     r"\s*$", re.I)
+_R_REWRITE_MANIFESTS = re.compile(
+    r"^REWRITE\s+MANIFESTS\s+(?P<path>[\w.\-]+)"
+    r"(?:\s+TARGET\s+ENTRIES\s+(?P<n>\d+))?\s*$", re.I)
 _R_VACUUM = re.compile(
     r"^VACUUM\s+(?P<path>[\w.\-]+)"
     r"(?:\s+RETAIN\s+(?P<h>[\d.]+)\s+HOURS)?"
@@ -2621,6 +2652,12 @@ def parse_command(sql: str) -> Command:
             target_bytes=int(m.group("sz")) if m.group("sz") else None,
             zorder_by=([c.strip() for c in m.group("zcols").split(",")]
                        if m.group("zcols") else None))
+    m = _R_REWRITE_MANIFESTS.match(text)
+    if m:
+        return RewriteManifests(
+            path=_split_path(m.group("path")),
+            target_entries=int(m.group("n")) if m.group("n")
+            else 5000)
     m = _R_REORG.match(text)
     if m:
         return ReorgPurge(path=_split_path(m.group("path")))

@@ -2035,6 +2035,98 @@ def zorder_iceberg(spark: SparkSession, table_path: str,
             "bytes_rewritten": int(bytes_rewritten)}
 
 
+def rewrite_manifests_iceberg(spark: SparkSession,
+                              table_path: str,
+                              target_entries_per_manifest: int = 5000
+                              ) -> dict:
+    """Iceberg's `rewrite_manifests` procedure offline (r17):
+    compact the current snapshot's many small manifests into a few
+    large ones — METADATA-ONLY, zero data movement. At 100 TB every
+    commit (streaming appends especially) adds a manifest; planning
+    reads all of them, so thousands of tiny manifests turn the
+    KB-scale planning step into the bottleneck. Entries carry over
+    with their original data sequence numbers and partition tuples
+    (delete manifests compact separately from data manifests — the
+    manifest-list `content` field keys each group). Returns
+    {"manifests_before", "manifests_after"}."""
+    meta = ir.load_metadata(table_path)
+    try:
+        snap = ir.select_snapshot(meta)
+    except ir.IcebergError:
+        return {"manifests_before": 0, "manifests_after": 0}
+    mdir = os.path.join(table_path, "metadata")
+    table_schema = ir.spark_schema(meta)
+    spark_types = {f.name: f.dataType for f in table_schema.fields}
+    partition_by = _identity_partition_by(meta, table_path,
+                                          "REWRITE MANIFESTS")
+    now_ms = int(time.time() * 1000)
+    seq, snap_id, parent, version = _iceberg_commit_ids(meta, mdir)
+    by_content: dict[int, list[dict]] = {}
+    n_before = 0
+    for mrec in ac.iter_records(ir._local(snap["manifest-list"])):
+        n_before += 1
+        content = int(mrec.get("content") or 0)
+        m_seq = mrec.get("sequence_number")
+        for e in ac.iter_records(ir._local(mrec["manifest_path"])):
+            if e.get("status") == 2:
+                continue
+            es = e.get("sequence_number")
+            d = e["data_file"]
+            out_df = {"content": int(d.get("content") or 0),
+                      "file_path": d["file_path"],
+                      "file_format": d.get("file_format", "PARQUET"),
+                      "record_count": int(d.get("record_count") or 0),
+                      "file_size_in_bytes": int(
+                          d.get("file_size_in_bytes") or 0),
+                      "value_counts": d.get("value_counts"),
+                      "null_value_counts": d.get("null_value_counts"),
+                      "lower_bounds": d.get("lower_bounds"),
+                      "upper_bounds": d.get("upper_bounds"),
+                      "equality_ids": d.get("equality_ids")}
+            if partition_by:
+                out_df["partition"] = (d.get("partition")
+                                       or {c: None
+                                           for c in partition_by})
+            by_content.setdefault(content, []).append(
+                {"status": 0,  # EXISTING
+                 "snapshot_id": e.get("snapshot_id"),
+                 # original data sequence PINNED — delete scoping
+                 # must survive the compaction
+                 "sequence_number": m_seq if es is None else es,
+                 "data_file": out_df})
+    mschema = _manifest_schema_for(partition_by, spark_types)
+    spec_id = meta.get("default-spec-id", 0)
+    recs = []
+    n_after = 0
+    for content in sorted(by_content):
+        entries = by_content[content]
+        for i in range(0, len(entries),
+                       int(target_entries_per_manifest)):
+            chunk = entries[i:i + int(target_entries_per_manifest)]
+            mpath = os.path.join(
+                mdir, f"m-{snap_id}-c{content}-{n_after}.avro")
+            ac.write_container(mpath, mschema, chunk)
+            recs.append({
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": spec_id, "content": content,
+                # the manifest-list sequence inherits to entries that
+                # omit one; every entry above pins its own, so this
+                # is informational
+                "sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "partitions": (_field_summaries(chunk, partition_by,
+                                                spark_types)
+                               if partition_by else None)})
+            n_after += 1
+    mlist = os.path.join(mdir, f"snap-{snap_id}.avro")
+    ac.write_container(mlist, MANIFEST_LIST_SCHEMA, recs)
+    _commit_snapshot(meta, mdir, snap_id, parent, seq, now_ms, mlist,
+                     "replace", version)
+    return {"manifests_before": int(n_before),
+            "manifests_after": int(n_after)}
+
+
 def upsert_iceberg(spark: SparkSession, table_path: str,
                    source_df: DataFrame,
                    key_cols: list[str]) -> dict:

@@ -6358,3 +6358,59 @@ def test_iceberg_upsert_mode_sink(spark, tmp_path):
         path, mode="overwrite")
     assert [(r.id, r.s) for r in
             irm.read_iceberg(spark, path).collect()] == [(9, "z")]
+
+
+def test_iceberg_rewrite_manifests(spark, tmp_path):
+    """r17: REWRITE MANIFESTS — N append commits leave N manifests;
+    the rewrite compacts them metadata-only (entries keep their data
+    sequence numbers so MOR delete scoping survives), reads and time
+    travel are unchanged, and delete manifests compact separately."""
+    from lightning_metastore_spark.sources import avro_codec as acm
+    from lightning_metastore_spark.sources import iceberg_reader as irm
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        delete_where_iceberg,
+        rewrite_manifests_iceberg,
+        write_iceberg,
+    )
+
+    wh = tmp_path / "wh"
+    path = str(wh / "rman")
+    for lo in (0, 10, 20, 30):
+        write_iceberg(_delta_df(spark, lo, lo + 10).coalesce(1), path,
+                      mode="append" if lo else "error",
+                      properties={"write.delete.mode":
+                                  "merge-on-read"})
+    assert delete_where_iceberg(spark, path, "id IN (3, 35)") == 2
+
+    def manifests():
+        snap = irm.select_snapshot(irm.load_metadata(path))
+        return list(acm.iter_records(irm._local(
+            snap["manifest-list"])))
+
+    before = manifests()
+    assert len(before) == 5              # 4 data + 1 delete
+    out = rewrite_manifests_iceberg(spark, path)
+    assert out == {"manifests_before": 5, "manifests_after": 2}
+    after = manifests()
+    by_content = {int(r.get("content") or 0) for r in after}
+    assert by_content == {0, 1}          # data + delete kept apart
+    # MOR deletes still apply (sequence scoping survived)
+    got = sorted(r.id for r in irm.read_iceberg(spark, path).collect())
+    assert got == [i for i in range(40) if i not in (3, 35)]
+    # time travel to pre-rewrite snapshots intact
+    meta = irm.load_metadata(path)
+    sids = [s["snapshot-id"] for s in meta["snapshots"]]
+    assert irm.read_iceberg(spark, path,
+                            snapshot_id=sids[3]).count() == 40
+    # routed SQL + TARGET ENTRIES chunking
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.iceberg")
+    ctx.sql(f"REGISTER ICEBERG DATASOURCE mw OPTIONS(path '{wh}') "
+            "NAMESPACE lightning.datasource.iceberg")
+    out = ctx.sql("REWRITE MANIFESTS "
+                  "lightning.datasource.iceberg.mw.rman "
+                  "TARGET ENTRIES 2").collect()
+    assert out[0].manifests_before == 2
+    assert out[0].manifests_after == 3   # 4 data entries / 2 + 1 del
+    got = sorted(r.id for r in irm.read_iceberg(spark, path).collect())
+    assert got == [i for i in range(40) if i not in (3, 35)]
