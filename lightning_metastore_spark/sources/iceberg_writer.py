@@ -508,8 +508,8 @@ def write_iceberg(df: DataFrame, table_path: str,
                   mode: str = "append",
                   partition_by: Optional[list[str]] = None,
                   properties: Optional[dict] = None,
-                  identifier_fields: Optional[list[str]] = None
-                  ) -> None:
+                  identifier_fields: Optional[list[str]] = None,
+                  summary_extra: Optional[dict] = None) -> None:
     """Create/append/overwrite an Iceberg table offline.
 
     ``partition_by`` (create time only) records an identity-transform
@@ -553,7 +553,8 @@ def write_iceberg(df: DataFrame, table_path: str,
             aligned = df.select(*[
                 F.col(c).cast(f.dataType).alias(f.name)
                 for c, f in zip(df.columns, table_schema.fields)])
-            upsert_iceberg(spark, table_path, aligned, keys)
+            upsert_iceberg(spark, table_path, aligned, keys,
+                           summary_extra=summary_extra)
             return
         # INSERT semantics for append AND overwrite: align by position,
         # cast to the table schema (no schema evolution offline)
@@ -692,17 +693,50 @@ def write_iceberg(df: DataFrame, table_path: str,
 
     _commit_snapshot(meta, mdir, snap_id, parent, seq, now_ms, mlist,
                      "append" if mode == "append" or not exists
-                     else "overwrite", version)
+                     else "overwrite", version,
+                     summary_extra=summary_extra)
+
+
+def last_streaming_batch(table_path: str, app_id: str
+                         ) -> Optional[int]:
+    """Highest batch id the given streaming app committed to this
+    table, from the snapshots' summary keys — the Iceberg twin of
+    Delta's `last_txn_version` (SetTransaction). None = never
+    committed. O(snapshots) metadata walk, no file I/O beyond the
+    current metadata JSON."""
+    try:
+        meta = ir.load_metadata(table_path)
+    except (ir.IcebergError, FileNotFoundError, OSError):
+        return None
+    best = None
+    for snap in meta.get("snapshots", []):
+        summ = snap.get("summary") or {}
+        if summ.get("streaming-app-id") != str(app_id):
+            continue
+        try:
+            b = int(summ.get("streaming-batch-id"))
+        except (TypeError, ValueError):
+            continue
+        best = b if best is None else max(best, b)
+    return best
 
 
 def _commit_snapshot(meta: dict, mdir: str, snap_id: int,
                      parent: Optional[int], seq: int, now_ms: int,
-                     mlist: str, operation: str, version: int) -> None:
+                     mlist: str, operation: str, version: int,
+                     summary_extra: Optional[dict] = None) -> None:
     """Append the snapshot + snapshot-log entry and atomically write
-    v{N}.metadata.json + version-hint.text (single-writer semantics)."""
+    v{N}.metadata.json + version-hint.text (single-writer semantics).
+    ``summary_extra`` adds engine keys to the snapshot summary — the
+    spec's mechanism for streaming commit tracking (Flink's
+    `flink.max-committed-checkpoint-id` idea)."""
+    summary = {"operation": operation}
+    if summary_extra:
+        summary.update({str(k): str(v)
+                        for k, v in summary_extra.items()})
     snap = {"snapshot-id": snap_id, "timestamp-ms": now_ms,
             "sequence-number": seq, "manifest-list": mlist,
-            "summary": {"operation": operation}}
+            "summary": summary}
     if parent is not None:
         snap["parent-snapshot-id"] = parent
     meta["snapshots"] = list(meta.get("snapshots", [])) + [snap]
@@ -2129,7 +2163,8 @@ def rewrite_manifests_iceberg(spark: SparkSession,
 
 def upsert_iceberg(spark: SparkSession, table_path: str,
                    source_df: DataFrame,
-                   key_cols: list[str]) -> dict:
+                   key_cols: list[str],
+                   summary_extra: Optional[dict] = None) -> dict:
     """Streaming-style EQUALITY-DELETE upsert (r17) — the Flink/
     Iceberg v2 `upsert` write shape, the THIRD row-mutation strategy
     after copy-on-write and position-delete merge-on-read: ONE commit
@@ -2194,7 +2229,8 @@ def upsert_iceberg(spark: SparkSession, table_path: str,
         snap = None
     if snap is None:
         # empty table: nothing to delete — a plain append commit
-        write_iceberg(rows, table_path, mode="append")
+        write_iceberg(rows, table_path, mode="append",
+                      summary_extra=summary_extra)
         return {"n_upserted": int(n), "n_keys": int(n)}
     now_ms = int(time.time() * 1000)
     seq, snap_id, parent, version = _iceberg_commit_ids(meta, mdir)
@@ -2318,7 +2354,8 @@ def upsert_iceberg(spark: SparkSession, table_path: str,
     mlist = os.path.join(mdir, f"snap-{snap_id}.avro")
     ac.write_container(mlist, MANIFEST_LIST_SCHEMA, recs)
     _commit_snapshot(meta, mdir, snap_id, parent, seq, now_ms, mlist,
-                     "overwrite", version)
+                     "overwrite", version,
+                     summary_extra=summary_extra)
     return {"n_upserted": int(n), "n_keys": int(n)}
 
 

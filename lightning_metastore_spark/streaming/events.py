@@ -232,6 +232,38 @@ def start_exactly_once_delta_sink(stream_df: DataFrame, path: str,
             .start())
 
 
+def start_exactly_once_iceberg_sink(stream_df: DataFrame, path: str,
+                                    checkpoint: str,
+                                    app_id: str = "lightning-stream"):
+    """Exactly-once ICEBERG sink (r17) — the Delta sink's twin via
+    snapshot-summary commit tracking (the mechanism Flink's Iceberg
+    sink uses with `flink.max-committed-checkpoint-id`): each
+    micro-batch appends through the offline writer with
+    `streaming-app-id`/`streaming-batch-id` summary keys; a replayed
+    batch (foreachBatch is at-least-once) finds its id at or below
+    `last_streaming_batch` and SKIPS, so rows never duplicate. On an
+    upsert-mode table (identifier fields + `write.upsert.enabled`)
+    the append routes through the equality-delete upsert with the
+    same mark — an exactly-once STREAMING UPSERT sink, the Flink
+    changelog-ingest shape. Returns the StreamingQuery handle; the
+    caller owns stop()."""
+    from lightning_metastore_spark.sources import iceberg_writer as iw
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last = iw.last_streaming_batch(path, app_id)
+        if last is not None and last >= int(batch_id):
+            return  # replay of an already-committed batch
+        iw.write_iceberg(batch_df, path, mode="append",
+                         summary_extra={
+                             "streaming-app-id": app_id,
+                             "streaming-batch-id": int(batch_id)})
+
+    return (stream_df.writeStream
+            .foreachBatch(_write_batch)
+            .option("checkpointLocation", checkpoint)
+            .start())
+
+
 def consume_table_changes(spark: SparkSession, src_path: str,
                           sink_path: str,
                           app_id: str = "lightning-cdf-consumer") -> int:
