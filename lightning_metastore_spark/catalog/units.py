@@ -460,6 +460,19 @@ class IcebergCatalogUnit(CatalogUnit):
             parent = os.path.join(wh, *residual[:-1])
             if os.path.isdir(os.path.join(parent, "metadata")):
                 return _meta_tables[residual[-1].lower()](spark, parent)
+        if (residual and residual[-1].lower() == "changes"
+                and not os.path.isdir(os.path.join(path, "metadata"))):
+            parent = os.path.join(wh, *residual[:-1])
+            if os.path.isdir(os.path.join(parent, "metadata")):
+                # `.changes` = the changelog scan (r17), the Delta CDF
+                # suffix's Iceberg twin; VERSION AS OF n sets the
+                # EXCLUSIVE starting snapshot id (the runtime
+                # changelog procedure's start-snapshot-id), default =
+                # the full history
+                return ir.iceberg_changelog(
+                    spark, parent,
+                    from_snapshot_id=(None if version_as_of is None
+                                      else int(version_as_of)))
         if not os.path.isdir(os.path.join(path, "metadata")):
             raise CatalogUnitError(f"no Iceberg table at {path}")
         ts_ms = None

@@ -6414,3 +6414,89 @@ def test_iceberg_rewrite_manifests(spark, tmp_path):
     assert out[0].manifests_after == 3   # 4 data entries / 2 + 1 del
     got = sorted(r.id for r in irm.read_iceberg(spark, path).collect())
     assert got == [i for i in range(40) if i not in (3, 35)]
+
+
+def test_iceberg_changelog(spark, tmp_path):
+    """r17: the changelog scan (create_changelog_view twin) derives
+    row-level changes across EVERY snapshot kind: appends -> insert,
+    copy-on-write DELETE -> delete, MOR position deletes -> delete,
+    equality-delete upserts -> delete+insert, and `replace`
+    maintenance snapshots are skipped. Routed `.changes` suffix
+    works with VERSION AS OF as the exclusive start."""
+    from lightning_metastore_spark.sources import iceberg_reader as irm
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        delete_where_iceberg,
+        optimize_iceberg,
+        upsert_iceberg,
+        write_iceberg,
+    )
+
+    wh = tmp_path / "wh"
+    path = str(wh / "cl")
+    # s1: append 0..9; s2: append 10..19 (two files each for COW play)
+    write_iceberg(_delta_df(spark, 0, 10).coalesce(1), path,
+                  mode="error",
+                  properties={"write.delete.mode": "merge-on-read"})
+    write_iceberg(_delta_df(spark, 10, 20).coalesce(1), path,
+                  mode="append")
+    # s3: MOR position delete of id 3
+    assert delete_where_iceberg(spark, path, "id = 3") == 1
+    # s4: equality-delete upsert (update 5, insert 40)
+    src = spark.createDataFrame([(5, "five!", 500), (40, "forty", 80)],
+                                "id long, s string, v long")
+    upsert_iceberg(spark, path, src, ["id"])
+    # s5: replace (OPTIMIZE is refused on eq tables; REWRITE MANIFESTS
+    # is a pure replace)
+    from lightning_metastore_spark.sources.iceberg_writer import (
+        rewrite_manifests_iceberg,
+    )
+    rewrite_manifests_iceberg(spark, path)
+
+    meta = irm.load_metadata(path)
+    sids = [s["snapshot-id"] for s in meta["snapshots"]]
+    ch = irm.iceberg_changelog(spark, path).collect()
+    by = {}
+    for r in ch:
+        by.setdefault((r._snapshot_id, r._change_type), set()).add(r.id)
+    assert by[(sids[0], "insert")] == set(range(10))
+    assert by[(sids[1], "insert")] == set(range(10, 20))
+    assert by[(sids[2], "delete")] == {3}
+    assert by[(sids[3], "insert")] == {5, 40}
+    assert by[(sids[3], "delete")] == {5}       # the old row 5
+    assert not any(sid == sids[4] for sid, _t in by)  # replace skipped
+    # exclusive start: from s2 onward
+    ch2 = irm.iceberg_changelog(spark, path,
+                                from_snapshot_id=sids[1]).collect()
+    assert {r._snapshot_id for r in ch2} == {sids[2], sids[3]}
+
+    # a COW delete reports the removed rows
+    p2 = str(wh / "clcow")
+    write_iceberg(_delta_df(spark, 0, 20).repartitionByRange(2, "id"),
+                  p2, mode="error")
+    assert delete_where_iceberg(spark, p2, "id IN (1, 17)") == 2
+    m2 = irm.load_metadata(p2)
+    s2ids = [s["snapshot-id"] for s in m2["snapshots"]]
+    ch3 = irm.iceberg_changelog(spark, p2,
+                                from_snapshot_id=s2ids[0]).collect()
+    dels = {r.id for r in ch3 if r._change_type == "delete"}
+    ins = {r.id for r in ch3 if r._change_type == "insert"}
+    assert {1, 17} <= dels
+    # COW derivation: survivors of touched files re-report as inserts
+    assert dels - ins == {1, 17}
+
+    # routed `.changes` suffix
+    ctx = LightningContext(spark, warehouse=str(tmp_path / "model"))
+    ctx.sql("CREATE NAMESPACE lightning.datasource.iceberg")
+    ctx.sql(f"REGISTER ICEBERG DATASOURCE cw OPTIONS(path '{wh}') "
+            "NAMESPACE lightning.datasource.iceberg")
+    out = ctx.sql("SELECT _change_type, COUNT(*) AS n FROM "
+                  "lightning.datasource.iceberg.cw.cl.changes "
+                  "GROUP BY _change_type ORDER BY _change_type"
+                  ).collect()
+    got = {r._change_type: r.n for r in out}
+    assert got["insert"] == 22 and got["delete"] == 2
+    out2 = ctx.sql(
+        f"SELECT COUNT(*) AS n FROM "
+        f"lightning.datasource.iceberg.cw.cl.changes "
+        f"VERSION AS OF {sids[1]}").collect()
+    assert out2[0].n == 4      # MOR delete + upsert (2 ins + 1 del)
