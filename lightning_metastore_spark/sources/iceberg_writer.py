@@ -547,6 +547,10 @@ def write_iceberg(df: DataFrame, table_path: str,
                 and str(props0.get("write.upsert.enabled", "")
                         ).lower() == "true"
                 and meta.get("current-snapshot-id") is not None):
+            if len(df.columns) != len(table_schema.fields):
+                raise ir.IcebergError(
+                    f"write width mismatch: {len(df.columns)} "
+                    f"columns vs table's {len(table_schema.fields)}")
             by_id = {f["id"]: f["name"]
                      for f in ir.current_schema(meta)["fields"]}
             keys = [by_id[i] for i in id_ids if i in by_id]

@@ -291,6 +291,43 @@ def consume_table_changes(spark: SparkSession, src_path: str,
     return src.version - start + 1
 
 
+def consume_iceberg_changes(spark: SparkSession, src_path: str,
+                            sink_path: str,
+                            app_id: str = "lightning-cl-consumer"
+                            ) -> int:
+    """One exactly-once Iceberg CHANGELOG consumption step (r17) —
+    `consume_table_changes`' Iceberg twin: read the source table's
+    changelog (`iceberg_reader.iceberg_changelog`) strictly after
+    the last snapshot this consumer committed, append the change
+    rows to the sink Iceberg table, and record the consumed
+    high-water mark in the SAME commit's snapshot summary
+    (`streaming-batch-id` = the source snapshot id) — a crash/replay
+    either finds the mark (skips) or re-runs the step atomically. At
+    100 TB a replica stays current by reading only the changed files
+    of the snapshots it missed. Returns the number of source
+    snapshots consumed (0 = already current)."""
+    from lightning_metastore_spark.sources import (
+        iceberg_reader as irm,
+        iceberg_writer as iw,
+    )
+
+    meta = irm.load_metadata(src_path)
+    cur = meta.get("current-snapshot-id")
+    if cur is None:
+        return 0
+    last = iw.last_streaming_batch(sink_path, app_id)
+    if last is not None and int(last) == int(cur):
+        return 0
+    changes = irm.iceberg_changelog(
+        spark, src_path,
+        from_snapshot_id=None if last is None else int(last))
+    n_snaps = changes.select("_snapshot_id").distinct().count()
+    iw.write_iceberg(changes, sink_path, mode="append",
+                     summary_extra={"streaming-app-id": app_id,
+                                    "streaming-batch-id": int(cur)})
+    return int(n_snaps)
+
+
 def start_cdf_pump(spark: SparkSession, src_path: str, sink_path: str,
                    checkpoint: str,
                    app_id: str = "lightning-cdf-consumer",

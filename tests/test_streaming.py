@@ -789,3 +789,41 @@ def test_exactly_once_iceberg_sink(spark, events_dir, tmp_path):
     drain_upsert()                    # replay: guard skips, no change
     assert irm.read_iceberg(spark, up).count() == n1
     assert before == expected
+
+
+def test_consume_iceberg_changes(spark, tmp_path):
+    """r17: exactly-once Iceberg changelog consumption — the
+    consume_table_changes twin: each step reads only the snapshots
+    after the consumer's sink-side mark, replays are no-ops, and
+    MOR deletes arrive as `delete` rows."""
+    from lightning_metastore_spark.sources import iceberg_reader as irm
+    from lightning_metastore_spark.sources import iceberg_writer as iw
+    from lightning_metastore_spark.streaming.events import (
+        consume_iceberg_changes,
+    )
+
+    src = str(tmp_path / "clsrc")
+    sink = str(tmp_path / "clsink")
+    iw.write_iceberg(
+        spark.range(0, 10).selectExpr("id", "id * 2 AS v"), src,
+        mode="error",
+        properties={"write.delete.mode": "merge-on-read"})
+    assert consume_iceberg_changes(spark, src, sink) == 1
+    got = irm.read_iceberg(spark, sink)
+    assert got.count() == 10
+    assert {r._change_type for r in got.collect()} == {"insert"}
+    # replay: already current
+    assert consume_iceberg_changes(spark, src, sink) == 0
+    assert irm.read_iceberg(spark, sink).count() == 10
+
+    # two more source commits: append + MOR delete
+    iw.write_iceberg(
+        spark.range(10, 15).selectExpr("id", "id * 2 AS v"), src,
+        mode="append")
+    iw.delete_where_iceberg(spark, src, "id = 3")
+    assert consume_iceberg_changes(spark, src, sink) == 2
+    rows = irm.read_iceberg(spark, sink).collect()
+    assert len(rows) == 16               # 10 + 5 inserts + 1 delete
+    dels = [r for r in rows if r._change_type == "delete"]
+    assert [(r.id, r.v) for r in dels] == [(3, 6)]
+    assert consume_iceberg_changes(spark, src, sink) == 0
