@@ -125,17 +125,34 @@ def catalog_federated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(1 AS BIGINT) AS n_items
         FROM lightning.datasource.delta.cdflake.prio.changes
     """
-    rev = """
-        SELECT '{arm}' AS arm, o_orderpriority,
+    # The four revenue arms differ ONLY in which prio table (and
+    # version) they join; the expensive part — the lineitem ⋈ orders
+    # join + per-priority aggregation — is identical. r16 ran that
+    # join FOUR times inside the one union (union arms share no
+    # subtrees, and exchange reuse missed across the differing
+    # pre-aggregation join shapes). Compute it ONCE, checkpoint the
+    # <=5-row aggregate, and join each arm's (routed, possibly
+    # time-travelled) prio table AFTER the aggregation — an inner
+    # equi-join on the group key commutes with the GROUP BY, and each
+    # prio table is a DISTINCT priority set, so the rows are
+    # identical (hash-verified against the unchanged oracle).
+    # Guide §2.4 (remove repeated shuffles) / §1.2.
+    rev_base = ctx.sql("""
+        SELECT o_orderpriority,
                CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
                         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE)
                  / 10000 AS revenue,
                COUNT(*) AS n_items
         FROM lightning.datasource.file.tpch.lineitem
         JOIN lightning.datasource.file.tpch.orders ON l_orderkey = o_orderkey
-        JOIN {tbl} {tt} p
-          ON o_orderpriority = p.prio
         GROUP BY o_orderpriority
+    """).coalesce(1).localCheckpoint(eager=True)
+    rev_base.createOrReplaceTempView("gate_rev_base")
+    rev = """
+        SELECT '{arm}' AS arm, r.o_orderpriority, r.revenue, r.n_items
+        FROM gate_rev_base r
+        JOIN {tbl} {tt} p
+          ON r.o_orderpriority = p.prio
     """
     base = ctx.sql(" UNION ALL ".join([
         rev.format(arm="current", tbl=dtbl, tt=""),
@@ -805,7 +822,8 @@ ORDER BY query_id, rk
 """
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_topk(spark: SparkSession, sf_dir: str,
+                 truth: DataFrame | None = None) -> DataFrame:
     """IVF-bucketed ANN, oracle-hardened as recall verdicts.
 
     An approximate index can't hash-match a SQL oracle on its raw
@@ -828,7 +846,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cells are weakly separated — nprobe=6 of 14 cells still gives
     # ~0.8 recall; clustered real-world embeddings need far fewer probes.
     ivf = similarity.ivf_topk(emb, queries, centroids, k=5, nprobe=6)
-    truth = similarity.brute_force_topk(emb, queries, k=5)
+    if truth is None:
+        truth = similarity.brute_force_topk(emb, queries, k=5)
     hits = (truth.select("query_id", "neighbor_id")
             .join(ivf.select("query_id", "neighbor_id"),
                   ["query_id", "neighbor_id"])
@@ -852,7 +871,8 @@ FROM embeddings WHERE vec_id % 50 = 0 ORDER BY query_id
 """
 
 
-def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_hard_negatives(spark: SparkSession, sf_dir: str,
+                       truth: DataFrame | None = None) -> DataFrame:
     """Denoised hard-negative mining gate arm
     (`operators/retrieval.mine_hard_negatives`): the supervision pairs
     are deterministic in-suite — each query's rank-1 brute-force
@@ -865,9 +885,16 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    pos = (similarity.brute_force_topk(emb, queries, k=1)
-           .select("query_id",
-                   F.col("neighbor_id").alias("positive_id")))
+    if truth is not None:
+        # rank-1 rows of a precomputed exact top-k ARE brute_force_topk
+        # (emb, queries, k=1): same scoring, same tie-break order.
+        pos = (truth.filter(F.col("rk") == 1)
+               .select("query_id",
+                       F.col("neighbor_id").alias("positive_id")))
+    else:
+        pos = (similarity.brute_force_topk(emb, queries, k=1)
+               .select("query_id",
+                       F.col("neighbor_id").alias("positive_id")))
     return mine_hard_negatives(emb, pos, k=3, margin=0.02)
 
 
@@ -877,7 +904,13 @@ def ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     denoised hard-negative mining, schema-aligned with NULLs on the
     columns the other methods don't produce. Each method keeps its full
     per-row hash check."""
-    brute = (ann_brute_force_topk(spark, sf_dir)
+    # ONE exact brute-force pass serves all three arms (guide §1.2:
+    # the suite previously ran it three times — the 'brute' rows, the
+    # IVF recall ground truth, and the hard-negative positives at k=1
+    # are all derivable from the same k=5 result). localCheckpoint
+    # materializes the |queries| x 5 relation once; every arm reads it.
+    truth = ann_brute_force_topk(spark, sf_dir).localCheckpoint(eager=True)
+    brute = (truth
              .select(F.lit("brute").alias("method"), "query_id",
                      F.col("rk").cast("long").alias("rk"),
                      F.col("neighbor_id").cast("long").alias("neighbor_id"),
@@ -885,14 +918,14 @@ def ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lit(None).cast("double").alias("pos_cosine"),
                      F.lit(None).cast("boolean").alias("recall_ok"),
                      F.lit(None).cast("boolean").alias("mean_recall_ok")))
-    hardneg = (ann_hard_negatives(spark, sf_dir)
+    hardneg = (ann_hard_negatives(spark, sf_dir, truth=truth)
                .select(F.lit("hardneg").alias("method"), "query_id",
                        F.col("rk").cast("long").alias("rk"),
                        F.col("negative_id").cast("long").alias("neighbor_id"),
                        "cosine", "pos_cosine",
                        F.lit(None).cast("boolean").alias("recall_ok"),
                        F.lit(None).cast("boolean").alias("mean_recall_ok")))
-    ivf = (ann_ivf_topk(spark, sf_dir)
+    ivf = (ann_ivf_topk(spark, sf_dir, truth=truth)
            .select(F.lit("ivf").alias("method"), "query_id",
                    F.lit(None).cast("long").alias("rk"),
                    F.lit(None).cast("long").alias("neighbor_id"),
