@@ -371,7 +371,8 @@ def _span_hashes(docs: DataFrame, k: int, text_col: str,
 
 
 def corpus_dup_spans(docs: DataFrame, k: int = 5, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     sp: DataFrame | None = None) -> DataFrame:
     """Cross-document exact-substring duplication signal (the
     Lee-et-al-style "deduplicating training data" span statistic):
     (doc_id, n_spans, n_dup_spans, dup_span_frac).
@@ -393,7 +394,12 @@ def corpus_dup_spans(docs: DataFrame, k: int = 5, text_col: str = "text",
     shape as TF-IDF. Docs shorter than k tokens contribute their whole
     text as one span (consistent with ``shingles``).
     """
-    spans = _span_hashes(docs, k, text_col, id_col).drop("pos")
+    # ``sp`` = a prebuilt (id, pos, gh) span-hash relation (the shared
+    # corpus artifact — same prebuilt-input contract as simhash_pairs'
+    # sh/fp): callers running several span operators over one corpus
+    # build the fan-out once and pass it through.
+    spans = (sp if sp is not None
+             else _span_hashes(docs, k, text_col, id_col)).drop("pos")
     occ = spans.groupBy("gh").agg(F.count(F.lit(1)).alias("occ"))
     return (spans.join(occ, "gh")
             .groupBy(id_col)
@@ -407,7 +413,8 @@ def corpus_dup_spans(docs: DataFrame, k: int = 5, text_col: str = "text",
 
 def remove_dup_spans(docs: DataFrame, k: int = 5, min_occ: int = 2,
                      text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     sp: DataFrame | None = None) -> DataFrame:
     """Excise corpus-duplicated k-token spans from every document — the
     REMOVAL step of exact-substring training-data dedup
     (``corpus_dup_spans`` scores the duplication; this operator cuts
@@ -434,28 +441,17 @@ def remove_dup_spans(docs: DataFrame, k: int = 5, min_occ: int = 2,
     import pandas as pd
 
     toks = tokens(docs, text_col, id_col)
-    zip_args = ", ".join(f"slice(toks, {i + 1}, m)" for i in range(k))
-    concat_args = ", ' ', ".join(f"s['{i}']" for i in range(k))
-    base = (
-        toks.withColumn("m", F.size("toks") - (k - 1))
-        .select(
-            F.col(id_col), "toks",
-            F.when(
-                F.col("m") >= 1,
-                F.expr(f"transform(arrays_zip({zip_args}), "
-                       f"s -> concat({concat_args}))"),
-            ).otherwise(F.expr("array(concat_ws(' ', toks))"))
-            .alias("g_arr")))
-    spans = (base
-             .select(F.col(id_col), F.posexplode("g_arr")
-                     .alias("pos", "g"))
-             .select(F.col(id_col), "pos", F.xxhash64("g").alias("gh")))
+    # ``sp`` = a prebuilt (id, pos, gh) span-hash relation (the shared
+    # corpus artifact); when given, only the tokenization is rebuilt
+    # here (the excision pass needs the token arrays themselves).
+    spans = (sp if sp is not None
+             else _span_hashes(docs, k, text_col, id_col))
     dup = (spans.groupBy("gh").agg(F.count(F.lit(1)).alias("occ"))
            .filter(F.col("occ") >= min_occ).select("gh"))
     starts = (spans.join(dup, "gh")
               .groupBy(id_col)
               .agg(F.sort_array(F.collect_list("pos")).alias("starts")))
-    joined = base.select(id_col, "toks").join(starts, id_col, "left")
+    joined = toks.select(id_col, "toks").join(starts, id_col, "left")
 
     def excise(batches):
         import numpy as np
@@ -494,14 +490,16 @@ def remove_dup_spans(docs: DataFrame, k: int = 5, min_occ: int = 2,
 
 
 def span_index(docs: DataFrame, k: int = 5, text_col: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id",
+               sp: DataFrame | None = None) -> DataFrame:
     """The persisted corpus artifact for incremental exact-substring
     dedup: (gh, occ) — every distinct positional k-gram's xxhash64 with
     its corpus-wide occurrence count. One span fan-out + one hash-keyed
     agg; at scale this lives partitioned by hash prefix next to the
     corpus, exactly like the MinHash signature and CDC chunk indexes.
     """
-    return (_span_hashes(docs, k, text_col, id_col)
+    return ((sp if sp is not None
+             else _span_hashes(docs, k, text_col, id_col))
             .groupBy("gh").agg(F.count(F.lit(1)).cast("long")
                                .alias("occ")))
 
@@ -509,7 +507,8 @@ def span_index(docs: DataFrame, k: int = 5, text_col: str = "text",
 def span_batch_against_index(batch: DataFrame, index: DataFrame,
                              k: int = 5, max_dup_frac: float = 0.5,
                              text_col: str = "text",
-                             id_col: str = "doc_id") -> DataFrame:
+                             id_col: str = "doc_id",
+                             sp: DataFrame | None = None) -> DataFrame:
     """Incremental span-level dedup of a NEW batch against a stored
     span index: (doc_id, n_spans, n_known_spans, known_frac, admit) —
     admit=false when more than ``max_dup_frac`` of a doc's k-token
@@ -523,7 +522,8 @@ def span_batch_against_index(batch: DataFrame, index: DataFrame,
     known — only corpus history rejects (intra-batch dup is
     ``corpus_dup_spans``' job on the batch itself).
     """
-    sp = _span_hashes(batch, k, text_col, id_col)
+    if sp is None:
+        sp = _span_hashes(batch, k, text_col, id_col)
     hits = (index.join(F.broadcast(sp.select("gh").distinct()), "gh")
             .select("gh"))
     per_doc = (sp.join(F.broadcast(hits.withColumn("_known", F.lit(1))),

@@ -481,6 +481,18 @@ def _simhash_fp_cached(spark: SparkSession, docs: DataFrame, sf_dir: str):
                       lambda: dedup.simhash_fingerprints(docs))
 
 
+def _span_hashes_cached(spark: SparkSession, docs: DataFrame, sf_dir: str):
+    """Persisted positional 5-token span-hash stream (doc_id, pos, gh)
+    — the exact-substring dedup family's shared corpus artifact (the
+    span_index docstring's "persisted corpus artifact", here under the
+    same warm-shared-artifact protocol as the shingle/MinHash caches):
+    the duplication scorer, the excision pass and the admission index
+    all consume the SAME fan-out instead of re-deriving it."""
+    return _cached_df(spark, sf_dir, "span_hashes",
+                      lambda: dedup._span_hashes(docs, 5, "text",
+                                                 "doc_id"))
+
+
 def _jaccard_pairs_cached(spark: SparkSession, docs: DataFrame, sf_dir: str):
     """Exact-Jaccard near-dup pairs (threshold 0.5, n=3) — the shared
     ground-truth pair graph for ngram dedup, clustering and keep-best."""
@@ -2848,7 +2860,9 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans, Lee-et-al exact-substring dedup signal —
     operators/dedup.py::corpus_dup_spans)."""
     t = load_tables(spark, sf_dir, ("documents",))
-    return dedup.corpus_dup_spans(t["documents"], k=5).orderBy("doc_id")
+    sp = _span_hashes_cached(spark, t["documents"], sf_dir)
+    return (dedup.corpus_dup_spans(t["documents"], k=5, sp=sp)
+            .orderBy("doc_id"))
 
 
 DUP_SPANS_ORACLE = r"""
@@ -3517,7 +3531,8 @@ def span_removal_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB ROUND convention) so the gate never depends on Python
     banker's rounding."""
     t = load_tables(spark, sf_dir, ("documents",))
-    out = dedup.remove_dup_spans(t["documents"], k=5, min_occ=2)
+    sp = _span_hashes_cached(spark, t["documents"], sf_dir)
+    out = dedup.remove_dup_spans(t["documents"], k=5, min_occ=2, sp=sp)
     return (out.select(
         "doc_id", "n_tokens", "n_removed",
         F.round(F.col("n_removed") / F.col("n_tokens"), 6)
@@ -3577,9 +3592,15 @@ def span_admission_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"]
     batch = docs.filter(F.col("doc_id") % 10 == 7)
     rest = docs.filter(F.col("doc_id") % 10 != 7)
-    idx = dedup.span_index(rest, k=5)
+    # both sides derive from the shared span-hash artifact (a doc's
+    # spans depend only on its own text, so subsetting is exact —
+    # the same per-doc-artifact argument as dedup_incremental)
+    sp = _span_hashes_cached(spark, docs, sf_dir)
+    idx = dedup.span_index(rest, k=5,
+                           sp=sp.filter(F.col("doc_id") % 10 != 7))
     return dedup.span_batch_against_index(
-        batch, idx, k=5, max_dup_frac=0.5).orderBy("doc_id")
+        batch, idx, k=5, max_dup_frac=0.5,
+        sp=sp.filter(F.col("doc_id") % 10 == 7)).orderBy("doc_id")
 
 
 SPAN_ADMIT_ORACLE = r"""
