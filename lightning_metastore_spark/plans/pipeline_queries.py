@@ -94,9 +94,6 @@ def catalog_federated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi_df.createOrReplaceTempView("gate_prio_hi")
     dtbl = "lightning.datasource.delta.dlake.prio"
     itbl = "lightning.datasource.iceberg.ilake.gate.prio"
-    for tbl in (dtbl, itbl):
-        ctx.sql(f"INSERT INTO {tbl} SELECT prio FROM gate_prio_lo")
-        ctx.sql(f"INSERT INTO {tbl} SELECT prio FROM gate_prio_hi")
     # r14: a Change Data Feed arm in the same gate — a CDF-enabled
     # twin of the prio table takes the same two commits through the
     # offline writer, and the `.changes` suffix table replays them as
@@ -105,18 +102,33 @@ def catalog_federated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `_commit_timestamp` is wall-clock and stays out of the gate.
     import os
     import tempfile as _tf
+    from concurrent.futures import ThreadPoolExecutor
 
     from lightning_metastore_spark.sources import delta_reader as _dr
 
     cdf_lake = _tf.mkdtemp(prefix="lightning-cdf-gate-")
     cdf_path = os.path.join(cdf_lake, "prio")
-    _dr.write_delta(
-        lo_df, cdf_path, mode="error",
-        configuration={"delta.enableChangeDataFeed": "true"})
-    _dr.write_delta(hi_df, cdf_path, mode="append")
-    ctx.sql(f"REGISTER OR REPLACE DELTA DATASOURCE cdflake "
-            f"OPTIONS(path '{cdf_lake}') "
-            f"NAMESPACE lightning.datasource.delta")
+
+    # r17 (guide §2.6 — overlap independent jobs): the Delta prio
+    # history, the Iceberg prio history, the CDF twin and the shared
+    # revenue aggregation touch disjoint tables/dirs; each is a chain
+    # of SMALL driver-committed jobs that leaves the cluster idle, so
+    # they are submitted from driver threads and joined before
+    # anything that reads them. Staging writes are concurrency-safe
+    # via sources/staging_conf (reentrant session-conf guard); all
+    # temp-view names are content-keyed in the resolver.
+    def _ins_chain(tbl):
+        ctx.sql(f"INSERT INTO {tbl} SELECT prio FROM gate_prio_lo")
+        ctx.sql(f"INSERT INTO {tbl} SELECT prio FROM gate_prio_hi")
+
+    def _cdf_chain():
+        _dr.write_delta(
+            lo_df, cdf_path, mode="error",
+            configuration={"delta.enableChangeDataFeed": "true"})
+        _dr.write_delta(hi_df, cdf_path, mode="append")
+        ctx.sql(f"REGISTER OR REPLACE DELTA DATASOURCE cdflake "
+                f"OPTIONS(path '{cdf_lake}') "
+                f"NAMESPACE lightning.datasource.delta")
     cdf_sql = """
         SELECT 'cdf_' || _change_type || '_'
                  || CAST(_commit_version AS STRING) AS arm,
@@ -137,17 +149,23 @@ def catalog_federated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prio table is a DISTINCT priority set, so the rows are
     # identical (hash-verified against the unchanged oracle).
     # Guide §2.4 (remove repeated shuffles) / §1.2.
-    rev_base = ctx.sql("""
-        SELECT o_orderpriority,
-               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE)
-                 / 10000 AS revenue,
-               COUNT(*) AS n_items
-        FROM lightning.datasource.file.tpch.lineitem
-        JOIN lightning.datasource.file.tpch.orders ON l_orderkey = o_orderkey
-        GROUP BY o_orderpriority
-    """).coalesce(1).localCheckpoint(eager=True)
-    rev_base.createOrReplaceTempView("gate_rev_base")
+    def _rev_chain():
+        rev_base = ctx.sql("""
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE)
+                     / 10000 AS revenue,
+                   COUNT(*) AS n_items
+            FROM lightning.datasource.file.tpch.lineitem
+            JOIN lightning.datasource.file.tpch.orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """).coalesce(1).localCheckpoint(eager=True)
+        rev_base.createOrReplaceTempView("gate_rev_base")
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        for fut in [ex.submit(_ins_chain, dtbl), ex.submit(_ins_chain, itbl),
+                    ex.submit(_cdf_chain), ex.submit(_rev_chain)]:
+            fut.result()
     rev = """
         SELECT '{arm}' AS arm, r.o_orderpriority, r.revenue, r.n_items
         FROM gate_rev_base r
@@ -194,11 +212,6 @@ def catalog_federated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE c_custkey >= 75""").coalesce(1)
         .localCheckpoint(eager=True),
     ]
-    for i, h in enumerate(halves):
-        _wd(h, os.path.join(lake, "cust"),
-            mode="error" if i == 0 else "append")
-        _wi(h, os.path.join(wh, "gate", "cust"),
-            mode="error" if i == 0 else "append")
     sel = """SELECT COUNT(*) AS n_items,
                 CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
                      AS DOUBLE) / 100 AS revenue
@@ -209,14 +222,6 @@ def catalog_federated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM {t}"""
     dctbl = "lightning.datasource.delta.dlake.cust"
     ictbl = "lightning.datasource.iceberg.ilake.gate.cust"
-    arms = []
-    for kind, tbl in (("delta", dctbl), ("iceberg", ictbl)):
-        df = ctx.sql(sel.format(t=tbl))
-        tag = "ok" if len(df.inputFiles()) < 2 else "full"
-        arms.append(df.select(
-            F.lit(f"pruned_{kind}_{tag}").alias("arm"),
-            F.lit("-").alias("o_orderpriority"),
-            F.col("revenue"), F.col("n_items")))
     # r16: the triad becomes a quartet — DELETE, UPDATE, then a
     # file-granular MERGE — so the upsert path is hash-verified
     # against the DuckDB twin every driver run. r17: the matched
@@ -234,15 +239,39 @@ def catalog_federated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal,
                                       c_mktsegment)
              VALUES (s.k, 100.0, 'MERGED')"""
-    for kind, tbl in (("delta", dctbl), ("iceberg", ictbl)):
+
+    # r17 (guide §2.6): the Delta and Iceberg cust chains — two-commit
+    # write, pruned read (pinned PRE-DML, exactly as the serial loop
+    # pinned it), then the DML quartet — touch disjoint tables/dirs;
+    # run one chain per driver thread. Each chain's internal order is
+    # unchanged, so every arm sees the same table states as r16.
+    def _cust_chain(kind, tbl, writer, base_path):
+        for i, h in enumerate(halves):
+            writer(h, base_path, mode="error" if i == 0 else "append")
+        df = ctx.sql(sel.format(t=tbl))
+        tag = "ok" if len(df.inputFiles()) < 2 else "full"
+        pruned_arm = df.select(
+            F.lit(f"pruned_{kind}_{tag}").alias("arm"),
+            F.lit("-").alias("o_orderpriority"),
+            F.col("revenue"), F.col("n_items"))
         ctx.sql(f"DELETE FROM {tbl} WHERE c_custkey % 7 = 0")
         ctx.sql(f"UPDATE {tbl} SET c_acctbal = c_acctbal * 2 "
                 f"WHERE c_mktsegment = 'BUILDING'")
         ctx.sql(merge_sql.format(tbl=tbl))
-        arms.append(ctx.sql(dml_agg.format(t=tbl)).select(
+        dml_arm = ctx.sql(dml_agg.format(t=tbl)).select(
             F.lit(f"dml_{kind}").alias("arm"),
             F.lit("-").alias("o_orderpriority"),
-            F.col("revenue"), F.col("n_items")))
+            F.col("revenue"), F.col("n_items"))
+        return pruned_arm, dml_arm
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fd = ex.submit(_cust_chain, "delta", dctbl, _wd,
+                       os.path.join(lake, "cust"))
+        fi = ex.submit(_cust_chain, "iceberg", ictbl, _wi,
+                       os.path.join(wh, "gate", "cust"))
+        d_pruned, d_dml = fd.result()
+        i_pruned, i_dml = fi.result()
+    arms = [d_pruned, i_pruned, d_dml, i_dml]
     out = base.select("arm", "o_orderpriority", "revenue", "n_items")
     for a in arms:
         out = out.unionByName(a)

@@ -1980,18 +1980,13 @@ def _stage_files(df: DataFrame, path: str, staging: str,
     # NO usable parquet min/max, which would leave add.stats without
     # timestamp bounds and silently disable timestamp file skipping
     # (delta-spark likewise writes int64). Session conf is the only
-    # switch Spark exposes; set + restore.
-    sess = df.sparkSession
-    _TS_KEY = "spark.sql.parquet.outputTimestampType"
-    old_ts = sess.conf.get(_TS_KEY, None)
-    sess.conf.set(_TS_KEY, "TIMESTAMP_MICROS")
-    try:
+    # switch Spark exposes; the guard makes set/restore reentrant so
+    # independent writes may overlap from driver threads (guide §2.6).
+    from lightning_metastore_spark.sources.staging_conf import (
+        staging_ts_micros,
+    )
+    with staging_ts_micros(df.sparkSession):
         w.parquet(staging)
-    finally:
-        if old_ts is None:
-            sess.conf.unset(_TS_KEY)
-        else:
-            sess.conf.set(_TS_KEY, old_ts)
     moved: list[tuple] = []     # (rel path, size, pv, stats)
     for root, _dirs, files in os.walk(staging):
         rel_dir = os.path.relpath(root, staging)

@@ -449,18 +449,14 @@ def _stage_data_files(df: DataFrame, table_path: str, ddir: str,
     # the Iceberg spec REQUIRES int64 micros for timestamps (INT96 is
     # banned) — and Spark's INT96 default also writes NO usable
     # min/max stats, which would silently disable timestamp pruning.
-    # Session conf is the only switch Spark exposes; set + restore.
-    sess = df.sparkSession
-    _TS_KEY = "spark.sql.parquet.outputTimestampType"
-    old_ts = sess.conf.get(_TS_KEY, None)
-    sess.conf.set(_TS_KEY, "TIMESTAMP_MICROS")
-    try:
+    # Session conf is the only switch Spark exposes; the shared guard
+    # makes set/restore reentrant so independent writes may overlap
+    # from driver threads (guide §2.6).
+    from lightning_metastore_spark.sources.staging_conf import (
+        staging_ts_micros,
+    )
+    with staging_ts_micros(df.sparkSession):
         w.parquet(staging)
-    finally:
-        if old_ts is None:
-            sess.conf.unset(_TS_KEY)
-        else:
-            sess.conf.set(_TS_KEY, old_ts)
     from urllib.parse import quote, unquote
     data_files: list[tuple[str, dict]] = []   # (dst path, partition tuple)
     i = 0
