@@ -4255,79 +4255,96 @@ def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     fertility audit. Every cell of every
     component is still
     hash-verified."""
-    parts = [
-        _melt(text_repetition(spark, sf_dir), "repetition", "doc_id",
-              ["n_words", "n_distinct_words", "distinct_word_ratio",
-               "dup_word_char_frac", "top_2gram_char_frac",
-               "dup_2gram_char_frac", "word_entropy", "is_repetitive"]),
-        _melt(text_gopher_rules(spark, sf_dir), "gopher", "doc_id",
-              ["n_words", "mean_word_len", "symbol_word_ratio",
-               "bullet_line_frac", "ellipsis_line_frac",
-               "alpha_word_frac", "n_stop_present", "gopher_keep"]),
-        _melt(text_c4_clean(spark, sf_dir), "c4", "doc_id",
-              ["n_lines", "n_lines_kept", "n_sentences", "c4_keep"],
-              ("clean_md5",)),
-        _melt(token_histogram(spark, sf_dir), "histogram", "bucket_lo",
-              ["n_docs", "min_tokens", "max_tokens", "avg_tokens",
-               "sum_chars"]),
-        _melt(sequence_pack(spark, sf_dir), "pack", "doc_id",
-              ["n_tokens", "start_offset", "end_offset", "first_chunk",
-               "last_chunk", "n_chunks"]),
-        _melt(contamination_check(spark, sf_dir), "contamination", "doc_id",
-              ["n_shingles", "n_contaminated", "contam_frac",
-               "is_contaminated"]),
-        _melt(dup_span_stats(spark, sf_dir), "dup_spans", "doc_id",
-              ["n_spans", "n_dup_spans", "dup_span_frac"]),
-        _melt(doc_chunks(spark, sf_dir), "chunks", "ck",
-              ["start_tok", "end_tok", "n_chunk_tokens"], ("chunk_md5",)),
-        _melt(token_ids(spark, sf_dir), "token_ids", "doc_id",
-              ["n_tokens", "n_oov", "oov_frac", "n_distinct_ids",
-               "ids_checksum"]),
-        _melt(doc_skyline(spark, sf_dir), "skyline", "doc_id",
-              ["n_chars", "n_tokens"]),
-        _melt(token_heavy_hitters(spark, sf_dir), "heavy", "rank",
-              ["cnt", "frac"], ("token",)),
-        _melt(corpus_zipf(spark, sf_dir), "zipf", "grp",
-              ["slope", "intercept", "r2", "n_types", "n_tokens", "ttr"]),
-        _melt(encoding_profile(spark, sf_dir), "encoding", "doc_id",
-              ["n_replacement", "n_ctrl", "mojibake_hits", "nonascii_frac",
-               "is_suspect"]),
-        _melt(domain_profile_gate(spark, sf_dir), "domains", "dom_id",
-              ["n_docs", "sum_chars", "avg_quality", "n_langs",
-               "domain_keep"], ("source",)),
-        _melt(cdc_profile(spark, sf_dir), "cdc", "doc_id",
-              ["n_chunks", "n_dup_chunks", "dup_chunk_frac",
-               "avg_chunk_len"]),
-        _melt(entity_profile(spark, sf_dir), "entities", "doc_id",
-              ["n_emails", "n_urls", "n_dates", "n_numbers",
-               "any_entity"]),
-        _melt(span_removal_check(spark, sf_dir), "span_removal", "doc_id",
-              ["n_tokens", "n_removed", "removed_frac"], ("clean_md5",)),
-        _melt(span_admission_check(spark, sf_dir), "span_admit", "doc_id",
-              ["n_spans", "n_known_spans", "known_frac", "admit"]),
-        _melt(bloom_check(spark, sf_dir), "bloom", "doc_id",
-              ["n_shingles", "n_contaminated", "contam_frac",
-               "is_contaminated"]),
-        _melt(pack_bins_check(spark, sf_dir), "bins", "doc_id",
-              ["n_tokens", "bin_id", "bin_fill", "bin_n_docs"]),
-        _melt(bpe_ids_check(spark, sf_dir), "bpe_ids", "doc_id",
-              ["n_pieces"], ("ids_checksum",)),
-        _melt(fertility_check(spark, sf_dir), "fertility", "lang_id",
-              ["n_docs", "n_words", "n_tokens", "n_chars", "fertility",
-               "compression"], ("lang",)),
-        _melt(corpus_diff_check(spark, sf_dir), "diff", "doc_id",
-              ["token_delta"], ("status", "old_fp", "new_fp")),
-        _melt(html_extract_check(spark, sf_dir), "html", "doc_id",
-              ["n_chars", "n_links", "link_density"],
-              ("title", "clean_md5")),
-        _melt(corpus_drift_check(spark, sf_dir), "drift", "mid",
-              ["value_num"], ("metric", "value_str")),
-        _melt(url_dedup_check(spark, sf_dir), "urls", "doc_id",
-              ["keep_id", "dup_count"], ("canonical_url",)),
-        _melt(table_stats_check(spark, sf_dir), "stats", "col_id",
-              ["n_rows", "n_nulls", "ndv"],
-              ("col_name", "min_val", "max_val")),
+    from concurrent.futures import ThreadPoolExecutor
+
+    specs = [
+        (text_repetition, "repetition", "doc_id",
+         ["n_words", "n_distinct_words", "distinct_word_ratio",
+          "dup_word_char_frac", "top_2gram_char_frac",
+          "dup_2gram_char_frac", "word_entropy", "is_repetitive"], ()),
+        (text_gopher_rules, "gopher", "doc_id",
+         ["n_words", "mean_word_len", "symbol_word_ratio",
+          "bullet_line_frac", "ellipsis_line_frac",
+          "alpha_word_frac", "n_stop_present", "gopher_keep"], ()),
+        (text_c4_clean, "c4", "doc_id",
+         ["n_lines", "n_lines_kept", "n_sentences", "c4_keep"],
+         ("clean_md5",)),
+        (token_histogram, "histogram", "bucket_lo",
+         ["n_docs", "min_tokens", "max_tokens", "avg_tokens",
+          "sum_chars"], ()),
+        (sequence_pack, "pack", "doc_id",
+         ["n_tokens", "start_offset", "end_offset", "first_chunk",
+          "last_chunk", "n_chunks"], ()),
+        (contamination_check, "contamination", "doc_id",
+         ["n_shingles", "n_contaminated", "contam_frac",
+          "is_contaminated"], ()),
+        (dup_span_stats, "dup_spans", "doc_id",
+         ["n_spans", "n_dup_spans", "dup_span_frac"], ()),
+        (doc_chunks, "chunks", "ck",
+         ["start_tok", "end_tok", "n_chunk_tokens"], ("chunk_md5",)),
+        (token_ids, "token_ids", "doc_id",
+         ["n_tokens", "n_oov", "oov_frac", "n_distinct_ids",
+          "ids_checksum"], ()),
+        (doc_skyline, "skyline", "doc_id",
+         ["n_chars", "n_tokens"], ()),
+        (token_heavy_hitters, "heavy", "rank",
+         ["cnt", "frac"], ("token",)),
+        (corpus_zipf, "zipf", "grp",
+         ["slope", "intercept", "r2", "n_types", "n_tokens", "ttr"], ()),
+        (encoding_profile, "encoding", "doc_id",
+         ["n_replacement", "n_ctrl", "mojibake_hits", "nonascii_frac",
+          "is_suspect"], ()),
+        (domain_profile_gate, "domains", "dom_id",
+         ["n_docs", "sum_chars", "avg_quality", "n_langs",
+          "domain_keep"], ("source",)),
+        (cdc_profile, "cdc", "doc_id",
+         ["n_chunks", "n_dup_chunks", "dup_chunk_frac",
+          "avg_chunk_len"], ()),
+        (entity_profile, "entities", "doc_id",
+         ["n_emails", "n_urls", "n_dates", "n_numbers",
+          "any_entity"], ()),
+        (span_removal_check, "span_removal", "doc_id",
+         ["n_tokens", "n_removed", "removed_frac"], ("clean_md5",)),
+        (span_admission_check, "span_admit", "doc_id",
+         ["n_spans", "n_known_spans", "known_frac", "admit"], ()),
+        (bloom_check, "bloom", "doc_id",
+         ["n_shingles", "n_contaminated", "contam_frac",
+          "is_contaminated"], ()),
+        (pack_bins_check, "bins", "doc_id",
+         ["n_tokens", "bin_id", "bin_fill", "bin_n_docs"], ()),
+        (bpe_ids_check, "bpe_ids", "doc_id",
+         ["n_pieces"], ("ids_checksum",)),
+        (fertility_check, "fertility", "lang_id",
+         ["n_docs", "n_words", "n_tokens", "n_chars", "fertility",
+          "compression"], ("lang",)),
+        (corpus_diff_check, "diff", "doc_id",
+         ["token_delta"], ("status", "old_fp", "new_fp")),
+        (html_extract_check, "html", "doc_id",
+         ["n_chars", "n_links", "link_density"],
+         ("title", "clean_md5")),
+        (corpus_drift_check, "drift", "mid",
+         ["value_num"], ("metric", "value_str")),
+        (url_dedup_check, "urls", "doc_id",
+         ["keep_id", "dup_count"], ("canonical_url",)),
+        (table_stats_check, "stats", "col_id",
+         ["n_rows", "n_nulls", "ndv"],
+         ("col_name", "min_val", "max_val")),
     ]
+    # r17 (guide §2.6): several sections run driver-side jobs while
+    # BUILDING (the drift token diff, the packing prefix-sum, the
+    # Bloom bitmap build, the stats scalar row) — serially they left
+    # the cluster idle between small jobs. Build the sections from
+    # driver threads (the dedup suite's cold-artifact pattern) and
+    # union in DECLARED order, so the plan and result are unchanged.
+    # The shared artifacts are materialized once, on the main thread,
+    # before the pool (the _cached_df dict is not thread-safe).
+    t = load_tables(spark, sf_dir, ("documents",))
+    _shingles_cached(spark, t["documents"], sf_dir)
+    _span_hashes_cached(spark, t["documents"], sf_dir)
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        futs = [ex.submit(fn, spark, sf_dir) for fn, *_ in specs]
+        parts = [_melt(f.result(), sec, key, nums, strs)
+                 for f, (_fn, sec, key, nums, strs) in zip(futs, specs)]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -4774,32 +4791,44 @@ def sampling_quantize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     resampling, token-budget prefix selection, DSIR importance
     resampling and the CCNet bucket-thinning terminal step in one
     melted tagged-union slot."""
-    parts = [
-        _melt(domain_mixture(spark, sf_dir), "mixture", "doc_id",
-              ["keep_rate", "kept"], ("lang",)),
-        _melt(stratified_sample_fixed(spark, sf_dir), "stratified", "doc_id",
-              ["sample_rank"], ("lang",)),
-        _melt(embedding_quantize(spark, sf_dir), "quantize", "vec_id",
-              ["n_dims", "n_clipped", "max_abs_err", "mse"]),
-        _melt(embedding_project(spark, sf_dir), "project", "vec_id",
-              [f"y{j}" for j in range(8)]),
-        _melt(embedding_semdedup(spark, sf_dir), "semdedup", "vec_id",
-              ["bucket", "n_dups", "kept"]),
-        _melt(weighted_sample(spark, sf_dir), "weighted", "doc_id",
-              ["n_chars", "sample_rank"]),
-        _melt(quantile_normalize_gate(spark, sf_dir), "qnorm", "doc_id",
-              ["n_chars", "pct_rank"], ("lang",)),
-        _melt(embedding_outliers(spark, sf_dir), "outliers", "vec_id",
-              ["norm", "rz", "is_outlier"]),
-        _melt(temperature_mixture(spark, sf_dir), "temperature", "doc_id",
-              ["keep_rate", "kept"], ("lang",)),
-        _melt(budget_selection(spark, sf_dir), "budget", "doc_id",
-              ["score", "n_tokens", "cum_tokens", "selected"]),
-        _melt(dsir_selection(spark, sf_dir), "dsir", "doc_id",
-              ["log_weight", "sample_rank"]),
-        _melt(ccnet_bucket_sample(spark, sf_dir), "ccnet", "doc_id",
-              ["rank_frac", "keep_rate", "kept"], ("lang", "bucket")),
+    from concurrent.futures import ThreadPoolExecutor
+
+    specs = [
+        (domain_mixture, "mixture", "doc_id",
+         ["keep_rate", "kept"], ("lang",)),
+        (stratified_sample_fixed, "stratified", "doc_id",
+         ["sample_rank"], ("lang",)),
+        (embedding_quantize, "quantize", "vec_id",
+         ["n_dims", "n_clipped", "max_abs_err", "mse"], ()),
+        (embedding_project, "project", "vec_id",
+         [f"y{j}" for j in range(8)], ()),
+        (embedding_semdedup, "semdedup", "vec_id",
+         ["bucket", "n_dups", "kept"], ()),
+        (weighted_sample, "weighted", "doc_id",
+         ["n_chars", "sample_rank"], ()),
+        (quantile_normalize_gate, "qnorm", "doc_id",
+         ["n_chars", "pct_rank"], ("lang",)),
+        (embedding_outliers, "outliers", "vec_id",
+         ["norm", "rz", "is_outlier"], ()),
+        (temperature_mixture, "temperature", "doc_id",
+         ["keep_rate", "kept"], ("lang",)),
+        (budget_selection, "budget", "doc_id",
+         ["score", "n_tokens", "cum_tokens", "selected"], ()),
+        (dsir_selection, "dsir", "doc_id",
+         ["log_weight", "sample_rank"], ()),
+        (ccnet_bucket_sample, "ccnet", "doc_id",
+         ["rank_frac", "keep_rate", "kept"], ("lang", "bucket")),
     ]
+    # r17 (guide §2.6): several sections run small driver-side jobs
+    # while building (quantize/project/outliers sniff dimensions and
+    # collect scale tables; dsir builds the ratio table) — build the
+    # sections from driver threads and union in DECLARED order, same
+    # plan and result (the corpus-profile/dedup-suite pattern).
+    load_tables(spark, sf_dir, ("documents", "embeddings"))
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        futs = [ex.submit(fn, spark, sf_dir) for fn, *_ in specs]
+        parts = [_melt(f.result(), sec, key, nums, strs)
+                 for f, (_fn, sec, key, nums, strs) in zip(futs, specs)]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
