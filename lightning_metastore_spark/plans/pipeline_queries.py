@@ -1127,42 +1127,58 @@ def text_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-checked), 'kn_ccnet' = the CCNet terminal flow consuming a
     SAVED KN artifact through the family-sniffing loader.
     Columns: (section, doc_id, n_terms, score)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
-    uni = (text_fns.unigram_logprob(docs)
-           .select(F.lit("unigram").alias("section"), "doc_id",
-                   F.col("n_tokens").alias("n_terms"),
-                   F.col("avg_logprob").alias("score")))
-    big = (text_fns.bigram_logprob(docs)
-           .select(F.lit("bigram").alias("section"), "doc_id",
-                   "n_terms", F.col("avg_logprob").alias("score")))
-    clf = (text_fns.classifier_score(docs)
-           .select(F.lit("classifier").alias("section"), "doc_id",
-                   "n_terms", "score"))
-    bm = (text_fns.bm25_scores(docs)
-          .select(F.lit("bm25").alias("section"), "doc_id",
-                  "n_terms", "score"))
-    # 'phrase' = positional-index exact-phrase retrieval: n_terms plays
-    # n_hits, score plays first_pos (both hash-verified as values)
-    ph = (text_fns.phrase_search(docs, "the table")
-          .select(F.lit("phrase").alias("section"), "doc_id",
-                  F.col("n_hits").alias("n_terms"),
-                  F.col("first_pos").cast("double").alias("score")))
-    ref_scored = _ref_lm_scores(docs)
+    # r17 (guide §2.6): three section builders run driver-side actions
+    # — the ref-LM N/V scalars, the KN vocab/continuation scalars, and
+    # clf_train's two full GD iteration collects — which serially left
+    # the cluster idle. Build them (and the artifact-consuming CCNet
+    # flow) from driver threads; the lazy sections stay inline. Union
+    # order and every section's plan are unchanged.
+    with ThreadPoolExecutor(max_workers=4) as _ex:
+        f_ref = _ex.submit(_ref_lm_scores, docs)
+        f_kn = _ex.submit(_kn_ref_scores, docs)
+        f_clt = _ex.submit(_clf_train_weights, docs)
+        f_knc = _ex.submit(_kn_ccnet_flow, docs)
+        uni = (text_fns.unigram_logprob(docs)
+               .select(F.lit("unigram").alias("section"), "doc_id",
+                       F.col("n_tokens").alias("n_terms"),
+                       F.col("avg_logprob").alias("score")))
+        big = (text_fns.bigram_logprob(docs)
+               .select(F.lit("bigram").alias("section"), "doc_id",
+                       "n_terms", F.col("avg_logprob").alias("score")))
+        clf = (text_fns.classifier_score(docs)
+               .select(F.lit("classifier").alias("section"), "doc_id",
+                       "n_terms", "score"))
+        bm = (text_fns.bm25_scores(docs)
+              .select(F.lit("bm25").alias("section"), "doc_id",
+                      "n_terms", "score"))
+        # 'phrase' = positional-index exact-phrase retrieval: n_terms
+        # plays n_hits, score plays first_pos (both hash-verified)
+        ph = (text_fns.phrase_search(docs, "the table")
+              .select(F.lit("phrase").alias("section"), "doc_id",
+                      F.col("n_hits").alias("n_terms"),
+                      F.col("first_pos").cast("double").alias("score")))
+        ref_scored = f_ref.result()
+        kn_scored = f_kn.result()
+        clt_w = f_clt.result()
+        knc_flow = f_knc.result()
     ref = (ref_scored
            .select(F.lit("ref_lm").alias("section"), "doc_id",
                    "n_terms", F.col("avg_logprob").alias("score")))
     # 'kn_lm' = the same external reference under the order-3
     # interpolated Kneser-Ney model (the KenLM/CCNet family) — the
     # oracle re-derives the chained continuation counts in SQL
-    kn = (_kn_ref_scores(docs)
+    kn = (kn_scored
           .select(F.lit("kn_lm").alias("section"), "doc_id",
                   "n_terms", F.col("avg_logprob").alias("score")))
     # 'clf_train' = distributed classifier TRAINING gate: doc_id plays
     # the bucket, n_terms the integer milli-unit weight (bit-checked),
     # score the float weight — the DuckDB twin replays both GD
     # iterations from the module's integer-freezing contract
-    clt = (_clf_train_weights(docs)
+    clt = (clt_w
            .select(F.lit("clf_train").alias("section"),
                    F.col("bucket").alias("doc_id"),
                    F.col("m").cast("long").alias("n_terms"),
@@ -1184,7 +1200,7 @@ def text_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # head 1.0 / middle 0.5 / tail 0.1. n_terms encodes bucket ordinal
     # * 2 + kept, score the 9dp rank — bucket, rank AND every md5 keep
     # decision hash-verify under the artifact path.
-    knc = (_kn_ccnet_flow(docs)
+    knc = (knc_flow
            .select(F.lit("kn_ccnet").alias("section"), "doc_id",
                    (F.when(F.col("bucket") == "head", 0)
                     .when(F.col("bucket") == "middle", 2)
