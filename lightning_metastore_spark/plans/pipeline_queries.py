@@ -414,8 +414,11 @@ def _cached_df(spark: SparkSession, sf_dir: str, tag: str, build):
     # reused after GC); purge entries from dead applications so cached
     # DataFrames bound to a stopped context are never returned
     app_id = spark.sparkContext.applicationId
+    # pop (not del): suite builders now call cached getters from driver
+    # threads (guide §2.6), so two threads may race the stale-app purge
+    # — pop tolerates the other thread having removed the key first.
     for k in [k for k in _df_cache if k[0] != app_id]:
-        del _df_cache[k]
+        _df_cache.pop(k, None)
     key = (app_id, sf_dir, tag)
     if key not in _df_cache:
         df = build().persist()
@@ -425,7 +428,10 @@ def _cached_df(spark: SparkSession, sf_dir: str, tag: str, build):
         # subtree (cache blocks land only as each partition finishes);
         # an eager count makes every later reference a cache read.
         df.count()
-        _df_cache[key] = df
+        # setdefault: if a concurrent caller built the same key first,
+        # keep the winner so every consumer shares ONE persisted DF
+        # (the loser's blocks are dropped lazily by the LRU store).
+        _df_cache.setdefault(key, df)
     return _df_cache[key]
 
 
