@@ -657,6 +657,23 @@ def simhash_pairs(docs: DataFrame, hamming_max: int = 4,
     the defaults (5x12-bit chunks, hamming<=4, random-pair collision
     ~1.2e-3) sit safely under the guard — a default-arg call never
     warns, the guard fires only on explicitly degenerate chunking.
+
+    Degenerate-chunking candidate path: when the guard trips (and the
+    caller chose to proceed), the chunk index has stopped filtering —
+    the bucket self-join enumerates ~p_collide of all n^2/2 pairs only
+    to re-test the hamming gate it no longer narrows. In that regime
+    candidates are derived from the verify's own shingle-intersection
+    relation instead, filtered by the same hamming gate. Equivalence is
+    unconditional, not a data assumption: (i) the chunk-index candidate
+    set IS {a<b : hamming <= hamming_max} — the join condition tests
+    the hamming gate directly, and pigeonhole (hamming_max < chunks,
+    enforced above) guarantees every such pair shares a clean chunk and
+    is enumerated; (ii) the shingle-join verify inner-joins candidates
+    against the intersection relation, so pairs with zero shingle
+    overlap never survive EITHER path; (iii) the intersection relation
+    enumerates exactly the a<b pairs with overlap. Both paths therefore
+    emit exactly {a<b : hamming <= hamming_max AND n_common > 0 AND
+    jaccard >= threshold}.
     """
     if hamming_max >= chunks:
         raise ValueError(
@@ -683,6 +700,31 @@ def simhash_pairs(docs: DataFrame, hamming_max: int = 4,
     if fp is None:
         fp = simhash_fingerprints(docs, text_col, id_col) \
             .localCheckpoint(eager=False)
+    if p_collide > max_collision_prob:
+        # Degenerate chunking: skip the (near-all-pairs) bucket
+        # self-join and gate the shingle-intersection pairs — computed
+        # by the verify below in any case — on the identical hamming
+        # predicate. See the docstring equivalence argument.
+        if sh is None:
+            sh = shingles(docs, n, text_col, id_col)
+        if inter is None:
+            # referenced twice (candidate gate + verify) — checkpoint
+            # so the expensive intersection join runs once
+            inter = shingle_intersections(sh, id_col) \
+                .localCheckpoint(eager=False)
+        fa = fp.select(F.col(id_col).alias("doc_id_a"),
+                       F.col("simhash").alias("_fp_a"))
+        fb = fp.select(F.col(id_col).alias("doc_id_b"),
+                       F.col("simhash").alias("_fp_b"))
+        candidates = (
+            inter.select("doc_id_a", "doc_id_b")
+            .join(fa, "doc_id_a").join(fb, "doc_id_b")
+            .filter(F.bit_count(F.col("_fp_a").bitwiseXOR(F.col("_fp_b")))
+                    <= hamming_max)
+            .select("doc_id_a", "doc_id_b"))
+        return _verify_pairs_jaccard(candidates, sh, jaccard_threshold,
+                                     id_col, strategy="shingle-join",
+                                     inter=inter, counts=counts)
     chunk_bits = _SIMHASH_BITS // chunks
     mask = (1 << chunk_bits) - 1
     entries = F.array(*[

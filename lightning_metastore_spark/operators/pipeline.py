@@ -199,8 +199,18 @@ def curate_corpus(docs: DataFrame, cfg: CurationConfig | None = None,
             id_col, "left_anti")
     fp = text_fns.fingerprint(dedup_input, text_col, id_col)
     fp_keep = (fp.groupBy("fp").agg(F.min(id_col).alias("__keep_id")))
+    # Materialize the per-doc exact-dedup verdict ONCE (narrow rows:
+    # fp + ids + flag — the §8 "decide with small rows" proxy, ~60
+    # bytes/doc at any scale). It feeds THREE separate actions: the
+    # connected-components edge probe/collect (via `survivors` →
+    # shingle pipeline) and the final pass (both the main join and
+    # `best`'s survivors subtree) — unmaterialized, each action re-ran
+    # the fingerprint aggregation + keep-min join over the cleaned
+    # corpus. Same trade-off note as `cleaned` above re: localCheckpoint
+    # reliability.
     exact_kept = fp.join(fp_keep, "fp").withColumn(
-        "exact_survivor", F.col(id_col) == F.col("__keep_id"))
+        "exact_survivor", F.col(id_col) == F.col("__keep_id")) \
+        .localCheckpoint(eager=True)
 
     # near-dup clusters over the exact survivors; keep longest per cluster
     survivors = (dedup_input.join(

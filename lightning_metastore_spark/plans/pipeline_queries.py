@@ -22,6 +22,8 @@ Oracle notes — every entry has one (50/50 hash-checked):
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -92,6 +94,20 @@ def catalog_federated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1).localCheckpoint(eager=True)
     lo_df.createOrReplaceTempView("gate_prio_lo")
     hi_df.createOrReplaceTempView("gate_prio_hi")
+    # The post-aggregation prio join below (`rev`) is row-identical to
+    # joining before the GROUP BY ONLY while every prio table (lo, hi,
+    # and their union — both lakehouse tables hold lo ∪ hi) is a
+    # duplicate-free priority set. That holds by construction (DISTINCT
+    # over disjoint ranges); assert it so a change to the gate data can
+    # never silently flip the rewrite's semantics. The relations are
+    # checkpointed 1-partition ≤5-row leaves — the collects are
+    # driver-trivial.
+    _lo = [r.prio for r in lo_df.collect()]
+    _hi = [r.prio for r in hi_df.collect()]
+    if len(set(_lo) | set(_hi)) != len(_lo) + len(_hi):
+        raise AssertionError(
+            "federated-revenue prio sets must be distinct and disjoint: "
+            "the post-aggregation prio join relies on it")
     dtbl = "lightning.datasource.delta.dlake.prio"
     itbl = "lightning.datasource.iceberg.ilake.gate.prio"
     # r14: a Change Data Feed arm in the same gate — a CDF-enabled
@@ -407,6 +423,12 @@ ORDER BY check_type
 # are each persisted once per (session, sf_dir) and later queries skip
 # the whole upstream pipeline. MEMORY_AND_DISK; ~20 MB at sf0.1.
 _df_cache: dict = {}
+# Guards _df_cache's purge/lookup/insert: cached getters are called from
+# driver thread pools (guide §2.6), and an unlocked purge comprehension
+# can race a concurrent insert ("dictionary changed size during
+# iteration"). build()+materialization stay OUTSIDE the lock so threads
+# building DIFFERENT artifacts still overlap.
+_df_cache_lock = threading.Lock()
 
 
 def _cached_df(spark: SparkSession, sf_dir: str, tag: str, build):
@@ -414,25 +436,28 @@ def _cached_df(spark: SparkSession, sf_dir: str, tag: str, build):
     # reused after GC); purge entries from dead applications so cached
     # DataFrames bound to a stopped context are never returned
     app_id = spark.sparkContext.applicationId
-    # pop (not del): suite builders now call cached getters from driver
-    # threads (guide §2.6), so two threads may race the stale-app purge
-    # — pop tolerates the other thread having removed the key first.
-    for k in [k for k in _df_cache if k[0] != app_id]:
-        _df_cache.pop(k, None)
     key = (app_id, sf_dir, tag)
-    if key not in _df_cache:
-        df = build().persist()
-        # materialize NOW: persist() is lazy, and when one action's
-        # branches reference the same unmaterialized cache entry through
-        # several concurrent stages, stages can race to compute the same
-        # subtree (cache blocks land only as each partition finishes);
-        # an eager count makes every later reference a cache read.
-        df.count()
-        # setdefault: if a concurrent caller built the same key first,
-        # keep the winner so every consumer shares ONE persisted DF
-        # (the loser's blocks are dropped lazily by the LRU store).
-        _df_cache.setdefault(key, df)
-    return _df_cache[key]
+    with _df_cache_lock:
+        for k in [k for k in _df_cache if k[0] != app_id]:
+            del _df_cache[k]
+        cached = _df_cache.get(key)
+    if cached is not None:
+        return cached
+    df = build().persist()
+    # materialize NOW: persist() is lazy, and when one action's
+    # branches reference the same unmaterialized cache entry through
+    # several concurrent stages, stages can race to compute the same
+    # subtree (cache blocks land only as each partition finishes);
+    # an eager count makes every later reference a cache read.
+    df.count()
+    with _df_cache_lock:
+        winner = _df_cache.setdefault(key, df)
+    if winner is not df:
+        # lost a build race: drop the loser's persisted blocks NOW —
+        # the LRU store only evicts under storage-memory pressure, so
+        # an orphaned duplicate would otherwise live app-long.
+        df.unpersist()
+    return winner
 
 
 def _melt(df: DataFrame, section: str, key_col: str,
@@ -530,12 +555,24 @@ def _span_hashes_cached(spark: SparkSession, docs: DataFrame, sf_dir: str):
 
 def _jaccard_pairs_cached(spark: SparkSession, docs: DataFrame, sf_dir: str):
     """Exact-Jaccard near-dup pairs (threshold 0.5, n=3) — the shared
-    ground-truth pair graph for ngram dedup, clustering and keep-best."""
+    ground-truth pair graph for ngram dedup, clustering and keep-best.
+
+    localCheckpoint truncates the pair graph's lineage to a leaf: the
+    graph consumers (pagerank's 3 power iterations, triangles' 3-way
+    self-join, keep-best's window) each reference the pair relation
+    several times, and with a full logical plan behind the cache every
+    reference re-embeds the shingle→intersection subtree — the cluster
+    suite's analyzed plan exploded to ~85k printed lines of
+    InMemoryRelation expansion, pure driver-side analysis cost (guide
+    §5 "very large query plans"; §3.3 "materialising an intermediate
+    truncates the plan"). The checkpointed relation is tiny (verified
+    near-dup pairs only)."""
     sh = _shingles_cached(spark, docs, sf_dir)
     inter = _intersections_cached(spark, docs, sf_dir)
     return _cached_df(spark, sf_dir, "jaccard_pairs",
                       lambda: dedup.jaccard_pairs(docs, threshold=0.5, n=3,
-                                                  sh=sh, inter=inter))
+                                                  sh=sh, inter=inter)
+                      .localCheckpoint(eager=False))
 
 
 def _clusters_cached(spark: SparkSession, docs: DataFrame, sf_dir: str):
@@ -610,6 +647,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (random-pair collision prob 0.62 — near-all-pairs at scale); the
     # scale-safe setting is dedup.SIMHASH_WEB_SCALE (4x15-bit chunks,
     # hamming<=3). The warning is the documented, intended behavior here.
+    # On the degenerate path the operator derives candidates from the
+    # shared shingle-intersection artifact gated by the SAME hamming
+    # predicate (provably identical output — see simhash_pairs
+    # docstring) instead of the near-all-pairs bucket self-join.
     import warnings
 
     sh = _shingles_cached(spark, t["documents"], sf_dir)
@@ -2040,6 +2081,45 @@ DEDUP_CLUSTER_SUITE_ORACLE = (
 
 # --- streaming (batch-equivalence through the gate) ------------------------
 
+def _stream_partitions(spark: SparkSession, input_bytes: int) -> int:
+    """Volume-derived shuffle/state partition count for the streaming
+    gate queries. Structured Streaming pins state partitioning to
+    `spark.sql.shuffle.partitions` at the first batch (AQE never
+    coalesces stateful streaming exchanges), so leaving it at the
+    session default (= core count) makes micro-batches of KB-scale
+    input pay one state-store commit PER CORE per stateful operator
+    per batch — overhead that scales WITH cores (r17 driver scaling:
+    stream_events ran 3.5x faster at 8 cores than 32). Derive the
+    count from input volume at ~128 MB of input per state partition,
+    with a cap of 4x cores so state parallelism still scales with the
+    cluster: at 100 TB the volume term saturates the cap (partitions =
+    4x cores, the production setting); at gate/test scale it is 1 —
+    constant state machinery regardless of the local core count."""
+    import math
+    import os as _os
+
+    cpus = int(_os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    vol = max(1, math.ceil(input_bytes / (128 << 20)))
+    return min(vol, 4 * cpus)
+
+
+from contextlib import contextmanager as _contextmanager  # noqa: E402
+
+
+@_contextmanager
+def _stream_conf(spark: SparkSession, n_partitions: int):
+    """Hold spark.sql.shuffle.partitions = n_partitions while streaming
+    queries START (the value is captured into each query's checkpoint at
+    first batch); restore the session default afterwards so the batch
+    tail of the query — and every later query — plans unchanged."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _hourly_stream(spark: SparkSession, sf_dir: str):
     """Build (unstarted) the windowed-agg stream and its sink name."""
     import os
@@ -2060,12 +2140,16 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming windowed aggregation drained to completion;
     the oracle is the BATCH SQL — passing proves the incremental
     computation converges to the batch answer."""
+    import os
+
     from lightning_metastore_spark.streaming import events as sev
 
     agg, name = _hourly_stream(spark, sf_dir)
+    ev_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
     # complete mode: the memory sink holds exactly the final aggregation
     # state (update mode would append one row per key per trigger)
-    sev.run_to_memory(agg, name, output_mode="complete")
+    with _stream_conf(spark, _stream_partitions(spark, ev_bytes)):
+        sev.run_to_memory(agg, name, output_mode="complete")
     return spark.sql(f"""
         SELECT window_start, event_type, n_events, sum_value
         FROM {name} ORDER BY window_start, event_type
@@ -2253,14 +2337,20 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     The two streams are independent, so both queries start before either
     drains: their micro-batch work interleaves on the scheduler and wall
     time is the max of the two, not the sum."""
+    import os
+
     from lightning_metastore_spark.streaming import events as sev
 
     agg, hourly_name = _hourly_stream(spark, sf_dir)
     ded, dedup_name = _dedup_stream(spark, sf_dir)
-    queries = [sev.start_memory_stream(agg, hourly_name, "complete"),
-               sev.start_memory_stream(ded, dedup_name, "complete")]
-    for q in queries:
-        q.processAllAvailable()
+    # stream inputs are copies of events.parquet (1x hourly + 2x dedup);
+    # size the state partitioning to that volume, not to the core count
+    ev_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    with _stream_conf(spark, _stream_partitions(spark, 3 * ev_bytes)):
+        queries = [sev.start_memory_stream(agg, hourly_name, "complete"),
+                   sev.start_memory_stream(ded, dedup_name, "complete")]
+        for q in queries:
+            q.processAllAvailable()
     for q in queries:
         q.stop()
     hourly = spark.sql(f"""

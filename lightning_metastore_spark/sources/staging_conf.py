@@ -14,6 +14,14 @@ is set on the first enter and restored to the pre-existing value only
 when the last concurrent writer exits — so concurrent staging writes
 are safe. All writers set the SAME value, so nesting order is
 irrelevant.
+
+The depth counter and saved value are tracked PER SparkSession: the
+conf being guarded is session-scoped, so a module-global counter would
+let a second session piggyback on the first session's depth and never
+have its own conf set (silently staging INT96), and the final restore
+could land on the wrong session. Entries are keyed by the session
+object itself and removed on last-exit, so a stopped session's entry
+does not outlive its last writer.
 """
 
 from __future__ import annotations
@@ -23,27 +31,30 @@ from contextlib import contextmanager
 
 _TS_KEY = "spark.sql.parquet.outputTimestampType"
 _lock = threading.Lock()
-_depth = 0
-_saved: str | None = None
+# SparkSession -> [depth, saved_value]; guarded by _lock
+_state: dict = {}
 
 
 @contextmanager
 def staging_ts_micros(spark):
     """Hold `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`
-    for the duration; safe under concurrent use from driver threads."""
-    global _depth, _saved
+    for the duration; safe under concurrent use from driver threads,
+    independently per SparkSession."""
     with _lock:
-        if _depth == 0:
-            _saved = spark.conf.get(_TS_KEY, None)
+        st = _state.get(spark)
+        if st is None:
+            st = [0, spark.conf.get(_TS_KEY, None)]
+            _state[spark] = st
             spark.conf.set(_TS_KEY, "TIMESTAMP_MICROS")
-        _depth += 1
+        st[0] += 1
     try:
         yield
     finally:
         with _lock:
-            _depth -= 1
-            if _depth == 0:
-                if _saved is None:
+            st[0] -= 1
+            if st[0] == 0:
+                _state.pop(spark, None)
+                if st[1] is None:
                     spark.conf.unset(_TS_KEY)
                 else:
-                    spark.conf.set(_TS_KEY, _saved)
+                    spark.conf.set(_TS_KEY, st[1])
