@@ -6157,9 +6157,17 @@ def test_iceberg_zorder(spark, tmp_path):
     pre, pre_skip = irm.prune_data_files(path, "x", "=", 3)
     assert len(pre_skip) == 0
 
+    # target sized so the rewrite yields ~8 z-range files: with only
+    # 2-3 output files the skip assertion is marginal — whether an
+    # x=3 / y=60 predicate skips a file depends on where the range
+    # exchange's SAMPLED boundaries fall (seeded by RDD id, i.e. by
+    # session history), and the full-suite run drew unlucky cuts. More
+    # files = every Morton quadrant gets own files and both predicates
+    # skip under any boundary jitter; the property under test (bounds
+    # shrink after clustering) is unchanged.
     res = zorder_iceberg(spark, path, ["x", "y"],
-                         target_file_bytes=12 * 1024)
-    assert res["files_removed"] == 8 and res["files_added"] >= 2
+                         target_file_bytes=3 * 1024)
+    assert res["files_removed"] == 8 and res["files_added"] >= 4
     got = {(r.id, r.x, r.y)
            for r in irm.read_iceberg(spark, path).collect()}
     assert len(got) == 4096          # content invariant
