@@ -91,15 +91,28 @@ def build_dedup_index(docs: DataFrame, index_dir: str,
     """Bootstrap the corpus index from an existing (already deduped)
     corpus. Call once; the streaming sink extends it per batch."""
     sh, sig, spans, urls = _artifacts(docs, id_col, text_col, url_col)
-    sh.write.mode("overwrite").parquet(
-        os.path.join(index_dir, "shingles", "batch=init"))
-    sig.write.mode("overwrite").parquet(
-        os.path.join(index_dir, "signatures", "batch=init"))
-    spans.write.mode("overwrite").parquet(
-        os.path.join(index_dir, "spans", "batch=init"))
+    _write_artifacts(index_dir, "init", sh, sig, spans, urls)
+
+
+def _write_artifacts(index_dir: str, batch: str, sh, sig, spans, urls):
+    """Write the per-batch artifact set. The four writes touch disjoint
+    directories and share no ordering constraint, so they run from a
+    small driver thread pool (guide §2.6) — serially each is a small
+    driver-committed job that leaves the cluster idle between commits."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = [(sh, "shingles"), (sig, "signatures"), (spans, "spans")]
     if urls is not None:
-        urls.write.mode("overwrite").parquet(
-            os.path.join(index_dir, "urls", "batch=init"))
+        jobs.append((urls, "urls"))
+
+    def _write(df_art):
+        df, art = df_art
+        df.write.mode("overwrite").parquet(
+            os.path.join(index_dir, art, f"batch={batch}"))
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        for _ in ex.map(_write, jobs):
+            pass
 
 
 def _before_batch(df: DataFrame, batch_id) -> DataFrame:
@@ -262,6 +275,18 @@ def dedup_batch_against_index(spark: SparkSession, batch: DataFrame,
                 .select(id_col))
         batch = batch.join(junk, id_col, "left_anti")
 
+    # Materialize the surviving batch ONCE before the heavy LSH/CC
+    # section: that section references the batch relation from many
+    # subtrees (signature build, banding self-join, the CC size probe +
+    # edge collect, both incremental join sides), and
+    # connected_components runs driver actions mid-plan — without a
+    # checkpoint every one of those re-plans and re-executes the whole
+    # rejector chain above (guide §3.3: materialising an intermediate
+    # truncates the plan). The batch is micro-batch-sized by contract,
+    # so the materialization is trivially small; this is the sink's
+    # per-batch steady-state overhead at scale, not just a local win.
+    batch = batch.localCheckpoint(eager=True)
+
     # 1. exact intra-batch: keep the smallest id per normalized text
     exact = dedup.exact_dedup(batch, text_col, id_col)
     b = batch.join(exact.select(id_col), id_col)
@@ -371,15 +396,7 @@ def ingest_micro_batch(spark: SparkSession, batch_df: DataFrame,
     novel.write.mode("overwrite").parquet(
         os.path.join(out_dir, f"batch={batch_id}"))
     sh, sig, spans, urls = _artifacts(novel, id_col, text_col, url_col)
-    sh.write.mode("overwrite").parquet(
-        os.path.join(index_dir, "shingles", f"batch={batch_id}"))
-    sig.write.mode("overwrite").parquet(
-        os.path.join(index_dir, "signatures", f"batch={batch_id}"))
-    spans.write.mode("overwrite").parquet(
-        os.path.join(index_dir, "spans", f"batch={batch_id}"))
-    if urls is not None:
-        urls.write.mode("overwrite").parquet(
-            os.path.join(index_dir, "urls", f"batch={batch_id}"))
+    _write_artifacts(index_dir, str(batch_id), sh, sig, spans, urls)
 
 
 def start_dedup_ingest_sink(stream_docs: DataFrame, index_dir: str,
