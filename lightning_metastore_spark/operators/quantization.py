@@ -192,6 +192,11 @@ def power_iteration_pca(emb: DataFrame, k: int = 2, n_iter: int = 10,
     # apply_pca's width check — so one degenerate row can't skew the
     # posexploded mean or crash np.stack mid-iteration
     base = base.filter(F.size("v") == d)
+    # the loop below runs 1 + n_iter actions over this relation (the
+    # docstring's own advice): persist it once instead of re-deriving
+    # the scan + cast + width filter per iteration; MEMORY_AND_DISK
+    # spills gracefully at corpus scale, and we unpersist on exit
+    base = base.persist()
 
     # mean vector: one exploded dim-keyed agg (d rows back to driver)
     ex = base.select(F.posexplode("v").alias("dim", "x"))
@@ -225,15 +230,18 @@ def power_iteration_pca(emb: DataFrame, k: int = 2, n_iter: int = 10,
                                     "val": pd.Series(dtype="float64")})
         return run
 
-    for _ in range(n_iter):
-        rows = (base.mapInPandas(make_pass(V, mean),
-                                 schema="dim long, j long, val double")
-                .groupBy("dim", "j").agg(F.sum("val").alias("y"))
-                .collect())
-        Y = np.zeros((d, k))
-        for r in rows:
-            Y[int(r["dim"]), int(r["j"])] = r["y"]
-        V, _ = np.linalg.qr(Y)
+    try:
+        for _ in range(n_iter):
+            rows = (base.mapInPandas(make_pass(V, mean),
+                                     schema="dim long, j long, val double")
+                    .groupBy("dim", "j").agg(F.sum("val").alias("y"))
+                    .collect())
+            Y = np.zeros((d, k))
+            for r in rows:
+                Y[int(r["dim"]), int(r["j"])] = r["y"]
+            V, _ = np.linalg.qr(Y)
+    finally:
+        base.unpersist()
 
     # deterministic sign: make the largest-|loading| coordinate positive
     for j in range(k):
