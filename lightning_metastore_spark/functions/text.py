@@ -568,8 +568,7 @@ VOCAB_SIZE = 256
 
 
 def build_vocab(docs: DataFrame, vocab_size: int = VOCAB_SIZE,
-                text_col: str = "text",
-                toks: DataFrame | None = None) -> DataFrame:
+                text_col: str = "text") -> DataFrame:
     """(token, token_id) — the top-``vocab_size`` corpus tokens by
     frequency, ids 1..V assigned in (count DESC, token ASC) order; id 0
     is reserved for OOV at encode time.
@@ -577,18 +576,12 @@ def build_vocab(docs: DataFrame, vocab_size: int = VOCAB_SIZE,
     100 TB shape: one token aggregation (map-side combined) followed by
     a distributed TakeOrdered top-V — the global (count, token) sort
     only ever materializes V rows. The final row_number window runs on
-    those V rows (a broadcast-sized relation), not the corpus. Pass a
-    prebuilt (persisted) ``toks`` — any relation with a ``token``
-    column holding the lowered ``\\S+`` stream, e.g. the positional
-    stream ``encode_token_stats`` consumes — to skip re-tokenizing
-    (fingerprints/shingles-style shared corpus artifact).
+    those V rows (a broadcast-sized relation), not the corpus.
     """
-    if toks is None:
-        toks = docs.select(
-            F.explode(F.regexp_extract_all(F.lower(F.col(text_col)),
-                                           F.lit(r"(\S+)"), 1)).alias("token"))
-    top = (toks.select("token").groupBy("token")
-           .agg(F.count(F.lit(1)).alias("cnt"))
+    toks = docs.select(
+        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)),
+                                       F.lit(r"(\S+)"), 1)).alias("token"))
+    top = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
            .orderBy(F.desc("cnt"), F.asc("token")).limit(vocab_size))
     w = W.orderBy(F.desc("cnt"), F.asc("token"))
     return top.select("token", F.row_number().over(w).alias("token_id"))
@@ -596,8 +589,7 @@ def build_vocab(docs: DataFrame, vocab_size: int = VOCAB_SIZE,
 
 def encode_token_stats(docs: DataFrame, vocab_size: int = VOCAB_SIZE,
                        text_col: str = "text",
-                       id_col: str = "doc_id",
-                       toks: DataFrame | None = None) -> DataFrame:
+                       id_col: str = "doc_id") -> DataFrame:
     """Tokenizer-application stats per document: encode every token to
     its vocab id (OOV -> 0) and aggregate
     ``(doc_id, n_tokens, n_oov, oov_frac, n_distinct_ids,
@@ -611,20 +603,13 @@ def encode_token_stats(docs: DataFrame, vocab_size: int = VOCAB_SIZE,
     arrays themselves (``collect_list`` over pos) is the same plan; the
     checksum keeps gate output compact. Docs with zero tokens keep a
     row (left join from the id spine, zero-filled).
-
-    Pass a prebuilt (persisted) ``toks`` = the positional lowered
-    ``\\S+`` stream (id_col, pos, token) — byte-equivalent to the
-    derivation below — to tokenize the corpus once for the whole
-    tokenizer-application family (vocab build + encoding + heavy
-    hitters); the shared-corpus-artifact pattern of sh=/fp=/sp=.
     """
-    if toks is None:
-        toks = docs.select(
-            F.col(id_col),
-            F.posexplode(F.regexp_extract_all(F.lower(F.col(text_col)),
-                                              F.lit(r"(\S+)"), 1))
-            .alias("pos", "token"))
-    vocab = build_vocab(docs, vocab_size, text_col, toks=toks)
+    vocab = build_vocab(docs, vocab_size, text_col)
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.regexp_extract_all(F.lower(F.col(text_col)),
+                                          F.lit(r"(\S+)"), 1))
+        .alias("pos", "token"))
     enc = (toks.join(F.broadcast(vocab), "token", "left")
            .withColumn("tid", F.coalesce("token_id", F.lit(0))))
     agg = (enc.groupBy(id_col)

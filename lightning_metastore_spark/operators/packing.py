@@ -30,8 +30,7 @@ from pyspark.sql.window import Window as W
 
 def packed_offsets(docs: DataFrame, capacity: int = 2048,
                    n_blocks: int = 64, text_col: str = "text",
-                   id_col: str = "doc_id",
-                   tc: DataFrame | None = None) -> DataFrame:
+                   id_col: str = "doc_id") -> DataFrame:
     """Per-document packing offsets under concat-and-chunk:
     (doc_id, n_tokens, start_offset, end_offset, first_chunk,
     last_chunk, n_chunks).
@@ -51,25 +50,16 @@ def packed_offsets(docs: DataFrame, capacity: int = 2048,
     floor(id * n_blocks / max_id) arithmetic collapsed most rows into
     few blocks and re-serialized the prefix sum. Per-block sums
     (``<= n_blocks`` rows) prefix-sum on the driver.
-
-    Pass a prebuilt (persisted) ``tc`` holding (id_col, n_tokens) —
-    equivalent to the operator's own ``\\S+`` count derivation — to
-    skip the corpus scan entirely (the shared-corpus-artifact pattern,
-    e.g. a persisted functions/text.token_counts projection).
     """
-    if tc is None:
-        tc = docs.select(
-            F.col(id_col),
-            F.size(F.regexp_extract_all(
-                F.coalesce(F.col(text_col), F.lit("")),
-                F.lit(r"(\S+)"), 1))
-            .alias("n_tokens"))
-        # four consumers follow (max-id probe, quantile sketch, block
-        # sums, final window); materialize the 16-byte-per-doc relation
-        # once so the corpus is scanned+tokenized once, not four times
-        tc = tc.localCheckpoint(eager=True)
-    else:
-        tc = tc.select(F.col(id_col), F.col("n_tokens"))
+    tc = docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(F.coalesce(F.col(text_col), F.lit("")),
+                                    F.lit(r"(\S+)"), 1))
+        .alias("n_tokens"))
+    # four consumers follow (max-id probe, quantile sketch, block sums,
+    # final window); materialize the 16-byte-per-doc relation once so
+    # the corpus is scanned+tokenized once, not four times
+    tc = tc.localCheckpoint(eager=True)
 
     max_id = tc.agg(F.max(id_col)).first()[0]
     if max_id is None:
@@ -118,8 +108,7 @@ def packed_offsets(docs: DataFrame, capacity: int = 2048,
 
 def greedy_pack_bins(docs: DataFrame, capacity: int = 2048,
                      n_shards: int = 32, text_col: str = "text",
-                     id_col: str = "doc_id",
-                     tc: DataFrame | None = None) -> DataFrame:
+                     id_col: str = "doc_id") -> DataFrame:
     """Padding-minimizing sequence packing: first-fit-decreasing (FFD)
     bin packing of whole documents into fixed-``capacity`` bins — the
     alternative to concat-and-chunk (``packed_offsets``) when documents
@@ -144,25 +133,15 @@ def greedy_pack_bins(docs: DataFrame, capacity: int = 2048,
     task (stream-friendly: only lengths + ids cross into Python).
     Deterministic: placement order is (n_tokens DESC, doc_id) within a
     shard; shard assignment is a hash of the id.
-
-    Pass a prebuilt (persisted) ``tc`` holding (id_col, n_tokens) —
-    equivalent to the operator's own ``\\S+`` count derivation — to
-    skip the corpus scan (shared-corpus-artifact pattern).
     """
     import pandas as pd
 
-    if tc is None:
-        tc = docs.select(
-            F.col(id_col),
-            F.size(F.regexp_extract_all(
-                F.coalesce(F.col(text_col), F.lit("")),
-                F.lit(r"(\S+)"), 1))
-            .alias("n_tokens"),
-            F.pmod(F.hash(F.col(id_col)), F.lit(n_shards)).alias("shard"))
-    else:
-        tc = tc.select(
-            F.col(id_col), F.col("n_tokens"),
-            F.pmod(F.hash(F.col(id_col)), F.lit(n_shards)).alias("shard"))
+    tc = docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(F.coalesce(F.col(text_col), F.lit("")),
+                                    F.lit(r"(\S+)"), 1))
+        .alias("n_tokens"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_shards)).alias("shard"))
 
     def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["n_tokens", id_col],

@@ -553,31 +553,6 @@ def _span_hashes_cached(spark: SparkSession, docs: DataFrame, sf_dir: str):
                                                  "doc_id"))
 
 
-def _token_counts_cached(spark: SparkSession, docs: DataFrame, sf_dir: str):
-    """Persisted per-doc token/char counts (functions/text.token_counts:
-    doc_id, n_chars, n_tokens, n_subwords — ~24 bytes/doc at any scale)
-    — the corpus-profile suite's 'decide with small rows' artifact
-    (guide §8): the histogram, concat-and-chunk packing, FFD bins and
-    skyline sections each re-derived the same counts with their own
-    full text scan + regexp tokenize."""
-    return _cached_df(spark, sf_dir, "token_counts",
-                      lambda: text_fns.token_counts(docs))
-
-
-def _lower_tokens_cached(spark: SparkSession, docs: DataFrame, sf_dir: str):
-    """Persisted positional lowered \\S+ token stream (doc_id, pos,
-    token) — the tokenizer-application family's shared fan-out: vocab
-    build, id encoding and heavy hitters all consume the SAME exploded
-    stream instead of three separate text scans + regexp tokenizes."""
-    return _cached_df(
-        spark, sf_dir, "lower_tokens",
-        lambda: docs.select(
-            F.col("doc_id"),
-            F.posexplode(F.regexp_extract_all(
-                F.lower(F.col("text")), F.lit(r"(\S+)"), 1))
-            .alias("pos", "token")))
-
-
 def _jaccard_pairs_cached(spark: SparkSession, docs: DataFrame, sf_dir: str):
     """Exact-Jaccard near-dup pairs (threshold 0.5, n=3) — the shared
     ground-truth pair graph for ngram dedup, clustering and keep-best.
@@ -3126,7 +3101,7 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass a pipeline runs before choosing packing/truncation lengths.
     One map-only scan + one tiny aggregation."""
     t = load_tables(spark, sf_dir, ("documents",))
-    tc = _token_counts_cached(spark, t["documents"], sf_dir)
+    tc = text_fns.token_counts(t["documents"])
     return (tc.withColumn("bucket_lo",
                           (F.floor(F.col("n_tokens") / 8) * 8).cast("long"))
             .groupBy("bucket_lo")
@@ -3202,9 +3177,7 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lightning_metastore_spark.operators.packing import packed_offsets
 
     t = load_tables(spark, sf_dir, ("documents",))
-    tc = _token_counts_cached(spark, t["documents"], sf_dir)
-    return packed_offsets(t["documents"], capacity=2048, tc=tc) \
-        .orderBy("doc_id")
+    return packed_offsets(t["documents"], capacity=2048).orderBy("doc_id")
 
 
 SEQUENCE_PACK_ORACLE = r"""
@@ -3274,9 +3247,7 @@ def token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order-sensitive ids_checksum hash-verifies the full encoded
     sequence, not just counts."""
     t = load_tables(spark, sf_dir, ("documents",))
-    toks = _lower_tokens_cached(spark, t["documents"], sf_dir)
-    return text_fns.encode_token_stats(t["documents"], toks=toks) \
-        .orderBy("doc_id")
+    return text_fns.encode_token_stats(t["documents"]).orderBy("doc_id")
 
 
 TOKEN_IDS_ORACLE = r"""
@@ -3377,10 +3348,11 @@ def doc_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     # n_chars/n_tokens are exactly token_counts columns — read the
     # shared per-doc counts artifact instead of re-scanning the text
-    base = _token_counts_cached(spark, t["documents"], sf_dir).select(
+    base = t["documents"].select(
         "doc_id",
-        F.col("n_chars").cast("long").alias("n_chars"),
-        F.col("n_tokens").cast("long").alias("n_tokens"))
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"(\S+)"), 1))
+        .cast("long").alias("n_tokens"))
     return (skyline(base, minimize=["n_chars"], maximize=["n_tokens"])
             .orderBy("doc_id"))
 
@@ -3412,8 +3384,9 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         heavy_hitters)
 
     t = load_tables(spark, sf_dir, ("documents",))
-    toks = _lower_tokens_cached(spark, t["documents"], sf_dir) \
-        .select("token")
+    toks = t["documents"].select(
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")),
+                                       F.lit(r"(\S+)"), 1)).alias("token"))
     return heavy_hitters(toks, s=0.017, item_col="token").orderBy("rank")
 
 
@@ -3877,9 +3850,8 @@ def pack_bins_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         greedy_pack_bins)
 
     t = load_tables(spark, sf_dir, ("documents",))
-    tc = _token_counts_cached(spark, t["documents"], sf_dir)
-    return greedy_pack_bins(t["documents"], capacity=2048, n_shards=1,
-                            tc=tc).orderBy("doc_id")
+    return greedy_pack_bins(t["documents"], capacity=2048, n_shards=1) \
+        .orderBy("doc_id")
 
 
 PACK_BINS_ORACLE = r"""
@@ -4487,8 +4459,6 @@ def corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     _shingles_cached(spark, t["documents"], sf_dir)
     _span_hashes_cached(spark, t["documents"], sf_dir)
-    _token_counts_cached(spark, t["documents"], sf_dir)
-    _lower_tokens_cached(spark, t["documents"], sf_dir)
     with ThreadPoolExecutor(max_workers=3) as ex:
         futs = [ex.submit(fn, spark, sf_dir) for fn, *_ in specs]
         parts = [_melt(f.result(), sec, key, nums, strs)
